@@ -1,0 +1,147 @@
+"""Index alignment: observations → conformed series grid; rebasing.
+
+Reference equivalents:
+
+- ``timeSeriesRDDFromObservations`` (``TimeSeriesRDD.scala:694-745``):
+  secondary-sort shuffle + per-partition dense-vector assembly with
+  O(log n)-per-element index lookups (a flagged slow path, ``:722-723``).
+- ``withIndex`` / ``rebase`` (``TimeSeriesRDD.scala:554-563``,
+  ``TimeSeriesUtils.scala:56-221``): conform series to a new index, filling
+  missing instants.
+
+Spark-first design: alignment is a **join against the index**, not a
+per-element lookup loop. For uniform indices the join disappears entirely —
+``loc`` is O(1) epoch arithmetic inside codegen. For irregular/hybrid indices
+we join the (small) index DataFrame; Catalyst broadcasts it automatically.
+Densification (materializing missing cells as NULL) is a key×index grid left
+join — the grid is exactly the size of the reference's dense vectors, and it
+shuffles once on (key, loc). The reference's four hand-specialized rebaser
+code paths (``TimeSeriesUtils.scala:78-102``) all collapse into this single
+declarative plan; Catalyst picks the physical strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..frequencies import DayFrequency, DurationFrequency, WeekFrequency
+from ..index import DateTimeIndex, UniformDateTimeIndex
+
+
+def _uniform_step_us(index: UniformDateTimeIndex) -> int | None:
+    f = index.freq
+    if isinstance(f, DurationFrequency):
+        return f.nanos // 1000
+    if isinstance(f, DayFrequency):
+        return f.days * 86_400_000_000
+    if isinstance(f, WeekFrequency):
+        return f.weeks * 7 * 86_400_000_000
+    return None
+
+
+def loc_expr(ts: Column, index: DateTimeIndex) -> Column | None:
+    """O(1) arithmetic ``loc`` for uniform fixed-step indices; NULL when the
+    timestamp is off-grid or out of range. None if not expressible."""
+    if not isinstance(index, UniformDateTimeIndex):
+        return None
+    step = _uniform_step_us(index)
+    if step is None:
+        return None
+    start_us = index.start.value // 1000
+    delta = F.unix_micros(ts) - F.lit(start_us)
+    loc = (delta / F.lit(step)).cast("long")
+    on_grid = (F.pmod(delta, F.lit(step)) == 0) & (delta >= 0) & (
+        loc < F.lit(index.size)
+    )
+    return F.when(on_grid, loc)
+
+
+def attach_loc(
+    df: DataFrame, index: DateTimeIndex, ts_col: str = "ts", loc_col: str = "loc"
+) -> DataFrame:
+    """Attach the index location of each observation (NULL if off-index).
+
+    Uniform fixed-step → arithmetic; otherwise an equi-join with the index
+    DataFrame (broadcast by Catalyst/AQE when small)."""
+    expr = loc_expr(F.col(ts_col), index)
+    if expr is not None:
+        return df.withColumn(loc_col, expr)
+    idx = index.to_df(df.sparkSession).withColumnsRenamed(
+        {"ts": ts_col, "loc": loc_col}
+    )
+    return df.join(idx, ts_col, "left")
+
+
+def from_observations(
+    df: DataFrame,
+    index: DateTimeIndex,
+    ts_col: str = "ts",
+    key_col: str = "key",
+    value_col: str = "value",
+    dense: bool = True,
+) -> DataFrame:
+    """Conform a long observations table to ``index``: returns the canonical
+    conformed layout ``(key, loc, ts, value)`` with one row per key×instant
+    (``dense=True``) and NULL for missing cells. Observations whose timestamp
+    is not in the index are dropped, matching ``TimeSeriesRDD.scala:727-739``.
+
+    Duplicate observations for the same (key, instant) keep the last one by
+    timestamp order (the reference overwrites by arrival; we make it
+    deterministic)."""
+    obs = (
+        attach_loc(
+            df.select(
+                F.col(ts_col).alias("ts"),
+                F.col(key_col).cast("string").alias("key"),
+                F.col(value_col).cast("double").alias("value"),
+            ),
+            index,
+        )
+        .where(F.col("loc").isNotNull())
+        .groupBy("key", "loc")
+        .agg(F.last("value").alias("value"))
+    )
+    if not dense:
+        idx = index.to_df(df.sparkSession)
+        return obs.join(F.broadcast(idx), "loc").select("key", "loc", "ts", "value")
+    keys = df.select(F.col(key_col).cast("string").alias("key")).distinct()
+    grid = keys.crossJoin(F.broadcast(index.to_df(df.sparkSession)))
+    return grid.join(obs, ["key", "loc"], "left").select("key", "loc", "ts", "value")
+
+
+def with_index(
+    df: DataFrame,
+    new_index: DateTimeIndex,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    dense: bool = True,
+) -> DataFrame:
+    """Rebase a conformed frame onto a new index (``TimeSeriesRDD.scala:554-563``):
+    values at instants present in both indices survive; instants only in the
+    new index become NULL. Replaces all four specialized rebaser paths of
+    ``TimeSeriesUtils.scala:78-221`` with one join plan."""
+    return from_observations(
+        df.where(F.col(value_col).isNotNull()),
+        new_index,
+        ts_col=ts_col,
+        key_col=key_col,
+        value_col=value_col,
+        dense=dense,
+    )
+
+
+def union_index_df(*dfs: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Distributed index union (cf. ``DateTimeIndexUtils.scala:80-153``):
+    sorted distinct instants across inputs, with fresh locations."""
+    out = None
+    for d in dfs:
+        part = d.select(F.col(ts_col).alias("ts"))
+        out = part if out is None else out.unionByName(part)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("ts")
+    return (
+        out.distinct().withColumn("loc", F.row_number().over(w) - 1).select("loc", "ts")
+    )

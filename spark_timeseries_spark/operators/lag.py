@@ -1,0 +1,135 @@
+"""Lagging, differencing, quotients, return rates.
+
+Window-function reimplementation of the reference kernels:
+
+- ``lags`` — ``TimeSeriesRDD.scala:77-100`` + ``Lag.lagMatTrimBoth``
+  (``Lag.scala:20-130``): per series produce maxLag lagged copies as NEW
+  series keyed ``lag{i}(key)``; the result drops the first ``maxLag`` stamps
+  of the index (trim-both).
+- ``differences(n)`` — ``TimeSeriesRDD.scala:113-115`` /
+  ``UnivariateTimeSeries.scala:384-415`` (drops first n stamps).
+- ``quotients(n)`` — ``TimeSeriesRDD.scala:121-123``.
+- ``return_rates`` — ``TimeSeriesRDD.scala:129-131``.
+
+All are single-window plans: one exchange on the key, whole-stage codegen
+after that. ``lags`` fans out rows via an exploded literal array of structs
+(one pass, no self-joins), so maxLag lagged series cost one shuffle total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _w(key_col: str, order_col: str) -> Window:
+    return Window.partitionBy(key_col).orderBy(order_col)
+
+
+def lagged_string_key(key_col: str, n: int):
+    """Key naming convention ``lag{n}(key)`` (``TimeSeries.scala:406-409``)."""
+    return F.format_string(f"lag{n}(%s)", F.col(key_col))
+
+
+def lags(
+    df: DataFrame,
+    max_lag: int,
+    include_originals: bool = True,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-series lagged copies as new series, first ``max_lag`` stamps
+    trimmed (semantics of ``TimeSeriesRDD.scala:77-100``)."""
+    w = _w(key_col, order_col)
+    min_loc = Window.partitionBy(key_col)
+    pairs = []
+    if include_originals:
+        pairs.append(F.struct(F.col(key_col).alias("k"), F.col(value_col).alias("v")))
+    for i in range(1, max_lag + 1):
+        pairs.append(
+            F.struct(
+                lagged_string_key(key_col, i).alias("k"),
+                F.lag(value_col, i).over(w).alias("v"),
+            )
+        )
+    out = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_fan", F.explode(F.array(*pairs)))
+        .where(F.col("_rn") > max_lag)
+        .select(
+            F.col("_fan.k").alias(key_col),
+            *[c for c in df.columns if c not in (key_col, value_col)],
+            F.col("_fan.v").alias(value_col),
+        )
+    )
+    del min_loc
+    return out
+
+
+def differences(
+    df: DataFrame,
+    n: int = 1,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """value(t) − value(t−n); drops the first n stamps
+    (``UnivariateTimeSeries.scala:384-415``)."""
+    w = _w(key_col, order_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn(value_col, F.col(value_col) - F.lag(value_col, n).over(w))
+        .where(F.col("_rn") > n)
+        .drop("_rn")
+    )
+
+
+def quotients(
+    df: DataFrame,
+    n: int = 1,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """value(t) / value(t−n); drops the first n stamps
+    (``UnivariateTimeSeries.scala:47-55``)."""
+    w = _w(key_col, order_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn(value_col, F.col(value_col) / F.lag(value_col, n).over(w))
+        .where(F.col("_rn") > n)
+        .drop("_rn")
+    )
+
+
+def return_rates(
+    df: DataFrame,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """value(t)/value(t−1) − 1 (``UnivariateTimeSeries.scala:57-65``)."""
+    w = _w(key_col, order_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn(value_col, F.col(value_col) / F.lag(value_col, 1).over(w) - 1.0)
+        .where(F.col("_rn") > 1)
+        .drop("_rn")
+    )
+
+
+def differences_of_order_d(
+    df: DataFrame,
+    d: int,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Apply first-differencing d times
+    (``UnivariateTimeSeries.scala:468-480``). d chained window expressions,
+    still one exchange (same window spec throughout)."""
+    out = df
+    for _ in range(d):
+        out = differences(out, 1, key_col, order_col, value_col)
+    return out

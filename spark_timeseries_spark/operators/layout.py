@@ -1,0 +1,122 @@
+"""Layout conversions: observations ⇄ conformed grid ⇄ instants ⇄ series.
+
+The reference's conversion triangle (``src/site/markdown/docs/users.md:23-87``)
+with these equivalents:
+
+- ``to_observations`` — ``TimeSeriesRDD.toObservationsDataFrame``
+  (``TimeSeriesRDD.scala:419-443``): long table, missing cells dropped.
+- ``to_instants`` / ``to_instants_df`` — ``TimeSeriesRDD.toInstants(DataFrame)``
+  (``TimeSeriesRDD.scala:276-413``): the reference hand-rolls a chunked
+  transpose (≤20 series per map-side record, custom range partitioner +
+  ``repartitionAndSortWithinPartitions``); ours is a single
+  ``groupBy(ts).pivot(key)`` — one Catalyst-planned shuffle, same boundary.
+  The reference collects all keys on the driver (``TimeSeriesRDD.scala:56``,
+  a flagged anti-pattern); we pass explicit keys or compute them
+  distributively, and offer a **map-column variant** for very wide key spaces
+  where a 1M-column pivot schema would be nonsense.
+- ``to_series`` / ``from_series`` — the (key, ARRAY<double>) layout of
+  ``TimeSeriesRDD`` itself (``TimeSeriesRDD.scala:41-54``), used at pandas-UDF
+  boundaries and for save/load parity.
+- ``series_stats`` — ``TimeSeriesRDD.seriesStats`` (``:265-267``).
+- ``to_row_matrix``-style exports are served by ``to_instants_df`` +
+  ``pyspark.ml`` assemblers; we keep the instants DataFrame as the canonical
+  matrix form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..index import DateTimeIndex
+
+
+def to_observations(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Conformed grid → long observations table, dropping missing cells
+    (``TimeSeriesRDD.scala:425-434`` skips NaNs)."""
+    return df.where(F.col(value_col).isNotNull()).select(ts_col, key_col, value_col)
+
+
+def to_instants_df(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Wide instants layout: one row per timestamp, one double column per key
+    (``TimeSeriesRDD.scala:399-413``). Passing ``keys`` avoids the extra
+    distinct-values job Spark otherwise runs before pivoting."""
+    g = df.groupBy(ts_col)
+    p = g.pivot(key_col, keys) if keys else g.pivot(key_col)
+    return p.agg(F.first(value_col)).orderBy(ts_col)
+
+
+def to_instants_map(
+    df: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Wide-key-space instants variant: ``(ts, MAP<key,double>)`` — scales to
+    millions of series where a pivot schema cannot (cf. the reference's
+    chunked transpose bounding width at 20, ``TimeSeriesRDD.scala:280``)."""
+    return df.where(F.col(value_col).isNotNull()).groupBy(ts_col).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct(key_col, value_col)))
+        ).alias("instant")
+    )
+
+
+def to_series(
+    df: DataFrame,
+    key_col: str = "key",
+    loc_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Conformed grid → ``(key, series ARRAY<double>)`` ordered by location;
+    missing cells become NaN inside the array (the reference's in-vector
+    convention, ``TimeSeriesRDD.scala:41-54``)."""
+    return df.groupBy(key_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(loc_col, value_col))),
+            lambda s: F.coalesce(s[value_col], F.lit(float("nan"))),
+        ).alias("series")
+    )
+
+
+def from_series(
+    df: DataFrame,
+    index: DateTimeIndex,
+    key_col: str = "key",
+    series_col: str = "series",
+) -> DataFrame:
+    """(key, ARRAY<double>) + index → conformed grid (inverse of
+    ``to_series``; cf. ``timeSeriesRDD(targetIndex, seriesRDD)``
+    ``TimeSeriesRDD.scala:657-666``). NaNs become NULL."""
+    exploded = df.select(
+        key_col, F.posexplode(series_col).alias("loc", "value")
+    ).withColumn(
+        "value", F.when(~F.isnan("value"), F.col("value"))
+    )
+    idx = index.to_df(df.sparkSession)
+    return exploded.join(F.broadcast(idx), "loc").select(key_col, "loc", "ts", "value")
+
+
+def series_stats(
+    df: DataFrame, key_col: str = "key", value_col: str = "value"
+) -> DataFrame:
+    """Per-series StatCounter equivalent (``TimeSeriesRDD.scala:265-267``)."""
+    v = F.col(value_col)
+    return df.groupBy(key_col).agg(
+        F.count(v).alias("count"),
+        F.avg(v).alias("mean"),
+        F.stddev(v).alias("stdev"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+    )

@@ -1,0 +1,183 @@
+"""Resampling with the reference's four boundary regimes, plus down/upsample.
+
+Reference kernel: ``/root/reference/src/main/scala/com/cloudera/sparkts/Resample.scala:20-122``
+— time is partitioned into non-overlapping windows, one per target-index
+stamp; ``closedRight`` picks which edge is closed, ``stampRight`` whether the
+stamp labels the window's end or start; empty windows yield NaN; with
+``stampRight=False`` leading observations before the first window are dropped
+and trailing ones all fall into the last window (ASCII spec at
+``Resample.scala:62-86``, leading-skip ``:91-98``).
+
+Spark-first design: the sequential merge of the reference reduces to a pure
+**bucket formula** per observation. With ``n_lt`` = #stamps < ts and
+``n_le`` = #stamps ≤ ts (target stamps sorted):
+
+====================  =========================  ==================
+regime                window per stamp           bucket loc
+====================  =========================  ==================
+open-R,  stamp-L      [cur, next)                n_le − 1  (drop <0)
+closed-R, stamp-L     (cur, next]                n_lt − 1  (drop <0)
+open-R,  stamp-R      [prev, cur)                n_le      (drop =m)
+closed-R, stamp-R     (prev, cur]                n_lt      (drop =m)
+====================  =========================  ==================
+
+For uniform duration/day-frequency targets both counts are O(1) arithmetic on
+epoch micros (whole-stage codegen, no join, no shuffle beyond the final
+groupBy). For irregular / calendar-frequency targets the sorted stamp array is
+broadcast as a literal and counted with ``F.filter``+``F.size`` — O(m) JVM
+work per row, zero Python, still shuffle-free (use only when the target index
+is modest; resampling targets almost always are).
+
+The aggregation itself is one ``groupBy(key, loc)`` — a single shuffle —
+followed by an optional left join from the key×stamp grid to materialize
+empty windows as NULL (matching the reference's NaN).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..frequencies import DayFrequency, DurationFrequency, WeekFrequency
+from ..index import DateTimeIndex, UniformDateTimeIndex
+
+
+def _floordiv(a: Column, b: int) -> Column:
+    return ((a - F.pmod(a, F.lit(b))) / F.lit(b)).cast("long")
+
+
+def _clamp(c: Column, lo: int, hi: int) -> Column:
+    return F.greatest(F.lit(lo), F.least(F.lit(hi), c))
+
+
+def _counts_uniform(ts: Column, index: UniformDateTimeIndex):
+    """(n_lt, n_le) via O(1) epoch-micros arithmetic."""
+    f = index.freq
+    if isinstance(f, DurationFrequency):
+        step = f.nanos // 1000
+    elif isinstance(f, DayFrequency):
+        step = f.days * 86_400_000_000
+    elif isinstance(f, WeekFrequency):
+        step = f.weeks * 7 * 86_400_000_000
+    else:
+        return None
+    m = index.size
+    start_us = index.start.value // 1000
+    delta = F.unix_micros(ts) - F.lit(start_us)
+    n_le = _clamp(_floordiv(delta, step) + 1, 0, m)
+    n_lt = _clamp(_floordiv(delta - 1, step) + 1, 0, m)
+    return n_lt, n_le
+
+
+def _counts_array(ts: Column, index: DateTimeIndex):
+    """(n_lt, n_le) by counting over a broadcast sorted stamp-array literal."""
+    stamps = [int(v) // 1000 for v in index.to_pandas().asi8]
+    arr = F.array(*[F.lit(s) for s in stamps])
+    us = F.unix_micros(ts)
+    n_lt = F.size(F.filter(arr, lambda x: x < us))
+    n_le = F.size(F.filter(arr, lambda x: x <= us))
+    return n_lt, n_le
+
+
+def bucket_loc(
+    ts: Column,
+    target_index: DateTimeIndex,
+    closed_right: bool = False,
+    stamp_right: bool = False,
+) -> Column:
+    """Target-index location for an observation timestamp under the given
+    regime; NULL for observations outside every window."""
+    counts = None
+    if isinstance(target_index, UniformDateTimeIndex):
+        counts = _counts_uniform(ts, target_index)
+    if counts is None:
+        counts = _counts_array(ts, target_index)
+    n_lt, n_le = counts
+    m = target_index.size
+    if not stamp_right:
+        loc = (n_lt if closed_right else n_le) - 1
+        return F.when(loc >= 0, loc)
+    loc = n_lt if closed_right else n_le
+    return F.when(loc < m, loc)
+
+
+def resample(
+    df: DataFrame,
+    target_index: DateTimeIndex,
+    aggr: str | Column = "avg",
+    closed_right: bool = False,
+    stamp_right: bool = False,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    dense: bool = True,
+) -> DataFrame:
+    """Downsample observations onto ``target_index``.
+
+    ``aggr``: name of a builtin aggregate ("avg","sum","min","max","count",
+    "first","last", ...) or a full Column aggregate expression over
+    ``value_col``. ``dense=True`` reinserts empty windows as NULL values via a
+    key×stamp grid join (reference: NaN, ``Resample.scala:113-115``).
+
+    Returns ``(key, loc, ts, value)``.
+    """
+    loc = bucket_loc(F.col(ts_col), target_index, closed_right, stamp_right)
+    agg_expr = (
+        getattr(F, aggr)(value_col) if isinstance(aggr, str) else aggr
+    ).alias(value_col)
+    binned = (
+        df.withColumn("loc", loc)
+        .where(F.col("loc").isNotNull())
+        .groupBy(key_col, "loc")
+        .agg(agg_expr)
+    )
+    if not dense:
+        idx_df = F.broadcast(target_index.to_df(df.sparkSession))
+        return binned.join(idx_df, "loc").select(key_col, "loc", "ts", value_col)
+    keys = df.select(key_col).distinct()
+    idx_df = F.broadcast(target_index.to_df(df.sparkSession))
+    grid = keys.crossJoin(idx_df)
+    return grid.join(binned, [key_col, "loc"], "left").select(
+        key_col, "loc", "ts", value_col
+    )
+
+
+def downsample(
+    df: DataFrame,
+    n: int,
+    phase: int = 0,
+    key_col: str = "key",
+    order_col: str = "loc",
+) -> DataFrame:
+    """Take every n-th element (``UnivariateTimeSeries.scala:332-345``).
+    Positions are index locs, so this is a pushdown-friendly filter."""
+    return df.where(F.pmod(F.col(order_col), F.lit(n)) == phase)
+
+
+def upsample(
+    df: DataFrame,
+    n: int,
+    phase: int = 0,
+    use_zero: bool = False,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Insert n−1 missing cells between consecutive elements
+    (``UnivariateTimeSeries.scala:355-373``): new loc grid of size n·len −
+    (n−1); original values land at multiples of n (+phase)."""
+    fanned = df.select(
+        key_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("_o"),
+        (F.col(order_col) * n + F.col("_o")).alias(order_col),
+        F.when(F.col("_o") == 0, F.col(value_col))
+        .otherwise(F.lit(0.0) if use_zero else F.lit(None))
+        .alias(value_col),
+    )
+    max_loc = df.groupBy().agg((F.max(order_col) * n).alias("_m"))
+    return (
+        fanned.join(F.broadcast(max_loc))
+        .where(F.col(order_col) <= F.col("_m") + phase)
+        .withColumn(order_col, F.col(order_col) + phase)
+        .select(key_col, order_col, value_col)
+    )

@@ -1,0 +1,106 @@
+"""Rolling-window aggregation and autocorrelation.
+
+- ``roll_sum(n, align)`` / ``roll_mean(n, align)`` — reference
+  ``TimeSeriesRDD.scala:611-621,640-642`` + kernel
+  ``UnivariateTimeSeries.rollSum`` (``:497-499``). The reference stamps the
+  n-window aggregate on the Left/Center/Right element of the window by
+  re-slicing the result index (``islice`` arithmetic at ``:614-619``); we get
+  identical semantics with a rows-frame anchored accordingly, keeping only
+  complete windows (count == n).
+- ``autocorr(max_lag)`` — sample ACF per series
+  (``UnivariateTimeSeries.scala:43-45,70-96``): demean by the series mean,
+  then acf(k) = Σ (x_t−µ)(x_{t+k}−µ) / Σ (x_t−µ)² — expressed entirely with
+  window lags + aggregates (no Python).
+
+Each is one exchange on the key; all window frames share the (key, loc) sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_ALIGN = {"right", "center", "left"}
+
+
+def _frame(n: int, align: str):
+    a = align.lower()
+    if a not in _ALIGN:
+        raise ValueError(f"align must be one of {_ALIGN}")
+    if a == "right":
+        return (-(n - 1), 0)
+    if a == "left":
+        return (0, n - 1)
+    half = (n - 1) // 2
+    return (-half, n - 1 - half)
+
+
+def roll_agg(
+    df: DataFrame,
+    n: int,
+    agg: str,
+    align: str = "right",
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Generic rolling aggregate (sum/avg/min/max/stddev...).
+
+    NaN propagation matches the reference kernel: a window containing a
+    missing cell yields a missing result (Scala double arithmetic over the
+    dense vector), while positions whose window would extend past the series
+    boundary are trimmed entirely (result has size − n + 1 stamps)."""
+    lo, hi = _frame(n, align)
+    w = Window.partitionBy(key_col).orderBy(order_col).rowsBetween(lo, hi)
+    out_col = out_col or value_col
+    agg_fn = getattr(F, agg)
+    return (
+        df.withColumn("_rows", F.count(F.lit(1)).over(w))
+        .withColumn("_vals", F.count(value_col).over(w))
+        .withColumn(
+            out_col,
+            F.when(F.col("_vals") == n, agg_fn(value_col).over(w)),
+        )
+        .where(F.col("_rows") == n)
+        .drop("_rows", "_vals")
+    )
+
+
+def roll_sum(df, n, align="right", key_col="key", order_col="loc", value_col="value"):
+    return roll_agg(df, n, "sum", align, key_col, order_col, value_col)
+
+
+def roll_mean(df, n, align="right", key_col="key", order_col="loc", value_col="value"):
+    return roll_agg(df, n, "avg", align, key_col, order_col, value_col)
+
+
+def autocorr(
+    df: DataFrame,
+    max_lag: int,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Sample autocorrelation for lags 1..max_lag per series → rows
+    (key, lag, acf). Pure window+aggregate plan: one exchange."""
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    mean_w = Window.partitionBy(key_col)
+    centered = df.withColumn("_c", F.col(value_col) - F.avg(value_col).over(mean_w))
+    num_cols = []
+    for k in range(1, max_lag + 1):
+        num_cols.append(
+            F.sum(F.col("_c") * F.lag("_c", k).over(w)).alias(f"_num{k}")
+        )
+    agg = centered.groupBy(key_col).agg(
+        F.sum(F.col("_c") * F.col("_c")).alias("_den"), *num_cols
+    )
+    pairs = F.array(
+        *[
+            F.struct(F.lit(k).alias("lag"), (F.col(f"_num{k}") / F.col("_den")).alias("acf"))
+            for k in range(1, max_lag + 1)
+        ]
+    )
+    return agg.select(key_col, F.explode(pairs).alias("_p")).select(
+        key_col, F.col("_p.lag").alias("lag"), F.col("_p.acf").alias("acf")
+    )

@@ -1,0 +1,206 @@
+"""TimeSeriesDataFrame — the user-facing handle (reference:
+``TimeSeriesRDD``, ``/root/reference/src/main/scala/com/cloudera/sparkts/TimeSeriesRDD.scala:41-54``).
+
+A thin immutable wrapper around a *conformed* observations DataFrame
+``(key STRING, loc BIGINT, ts TIMESTAMP, value DOUBLE)`` — one row per
+key×index-instant, NULL value = missing — plus the shared
+:class:`~spark_timeseries_spark.index.DateTimeIndex`. Every method returns a
+new wrapper; all heavy lifting is the declarative operators in
+``spark_timeseries_spark.operators`` so Catalyst/AQE own the physical plan.
+
+Unlike the reference, series are NOT one-JVM-object-per-series: a single
+series larger than executor memory is fine because it is just rows. The
+"each series fits in memory" envelope of the reference
+(``src/site/markdown/index.md:35-40``) only returns at explicit pandas-UDF
+boundaries (``map_series``, model fitting).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .index import DateTimeIndex, IrregularDateTimeIndex
+from .operators import align, fill as fill_ops, filters, lag as lag_ops, layout, resample as resample_ops, rolling
+
+
+class TimeSeriesDataFrame:
+    KEY, LOC, TS, VALUE = "key", "loc", "ts", "value"
+
+    def __init__(self, df: DataFrame, index: DateTimeIndex):
+        self.df = df
+        self.index = index
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def from_observations(
+        cls,
+        df: DataFrame,
+        index: DateTimeIndex,
+        ts_col: str = "ts",
+        key_col: str = "key",
+        value_col: str = "value",
+    ) -> "TimeSeriesDataFrame":
+        """``timeSeriesRDDFromObservations`` (``TimeSeriesRDD.scala:694-745``)."""
+        return cls(align.from_observations(df, index, ts_col, key_col, value_col), index)
+
+    # -- layout ------------------------------------------------------------
+    def to_observations(self) -> DataFrame:
+        return layout.to_observations(self.df)
+
+    def to_instants_df(self, keys: list[str] | None = None) -> DataFrame:
+        return layout.to_instants_df(self.df, keys)
+
+    def to_instants_map(self) -> DataFrame:
+        return layout.to_instants_map(self.df)
+
+    def to_series(self) -> DataFrame:
+        return layout.to_series(self.df)
+
+    def series_stats(self) -> DataFrame:
+        return layout.series_stats(self.df)
+
+    def to_pandas(self) -> pd.DataFrame:
+        """Driver-side instants matrix (``collectAsTimeSeries``,
+        ``TimeSeriesRDD.scala:61-75``). Small data only."""
+        pdf = self.df.toPandas()
+        return pdf.pivot_table(
+            index=self.TS, columns=self.KEY, values=self.VALUE, dropna=False
+        )
+
+    # -- filtering / slicing ----------------------------------------------
+    def filter(self, predicate: Column) -> "TimeSeriesDataFrame":
+        return TimeSeriesDataFrame(self.df.where(predicate), self.index)
+
+    def find_series(self, key: str) -> "TimeSeriesDataFrame":
+        return TimeSeriesDataFrame(filters.find_series(self.df, key), self.index)
+
+    def filter_starting_before(self, dt) -> "TimeSeriesDataFrame":
+        return TimeSeriesDataFrame(filters.filter_starting_before(self.df, dt), self.index)
+
+    def filter_ending_after(self, dt) -> "TimeSeriesDataFrame":
+        return TimeSeriesDataFrame(filters.filter_ending_after(self.df, dt), self.index)
+
+    def slice(self, start, end) -> "TimeSeriesDataFrame":
+        return TimeSeriesDataFrame(
+            filters.slice_by_time(self.df, start, end), self.index.slice(start, end)
+        )
+
+    def islice(self, start: int, end: int) -> "TimeSeriesDataFrame":
+        return TimeSeriesDataFrame(
+            filters.islice(self.df, start, end), self.index.islice(start, end)
+        )
+
+    def filter_by_instant(self, predicate: Column, keys=None) -> "TimeSeriesDataFrame":
+        out = filters.filter_by_instant(self.df, predicate, keys)
+        return TimeSeriesDataFrame(out, self._irregular_from(out))
+
+    def remove_instants_with_nans(self) -> "TimeSeriesDataFrame":
+        out = filters.remove_instants_with_nans(self.df)
+        return TimeSeriesDataFrame(out, self._irregular_from(out))
+
+    def _irregular_from(self, df: DataFrame) -> DateTimeIndex:
+        """Surviving-instant index after instant-level filtering. Lazy driver
+        materialization: only computed when the index object is actually used."""
+        ts = [r[0] for r in df.select(self.TS).distinct().orderBy(self.TS).collect()]
+        return IrregularDateTimeIndex(ts, self.index.zone)
+
+    # -- alignment ---------------------------------------------------------
+    def with_index(self, new_index: DateTimeIndex) -> "TimeSeriesDataFrame":
+        return TimeSeriesDataFrame(align.with_index(self.df, new_index), new_index)
+
+    # -- imputation --------------------------------------------------------
+    def fill(self, method: str) -> "TimeSeriesDataFrame":
+        return TimeSeriesDataFrame(fill_ops.fill(self.df, method), self.index)
+
+    def fill_value(self, value: float) -> "TimeSeriesDataFrame":
+        return TimeSeriesDataFrame(fill_ops.fill_value(self.df, value), self.index)
+
+    # -- windowed transforms ----------------------------------------------
+    def lags(self, max_lag: int, include_originals: bool = True) -> "TimeSeriesDataFrame":
+        out = lag_ops.lags(self.df, max_lag, include_originals)
+        return TimeSeriesDataFrame(
+            out.withColumn(self.LOC, F.col(self.LOC) - max_lag),
+            self.index.islice(max_lag, self.index.size),
+        )
+
+    def differences(self, n: int = 1) -> "TimeSeriesDataFrame":
+        out = lag_ops.differences(self.df, n).withColumn(self.LOC, F.col(self.LOC) - n)
+        return TimeSeriesDataFrame(out, self.index.islice(n, self.index.size))
+
+    def quotients(self, n: int = 1) -> "TimeSeriesDataFrame":
+        out = lag_ops.quotients(self.df, n).withColumn(self.LOC, F.col(self.LOC) - n)
+        return TimeSeriesDataFrame(out, self.index.islice(n, self.index.size))
+
+    def return_rates(self) -> "TimeSeriesDataFrame":
+        out = lag_ops.return_rates(self.df).withColumn(self.LOC, F.col(self.LOC) - 1)
+        return TimeSeriesDataFrame(out, self.index.islice(1, self.index.size))
+
+    def roll_sum(self, n: int, align_: str = "right") -> "TimeSeriesDataFrame":
+        return self._roll("sum", n, align_)
+
+    def roll_mean(self, n: int, align_: str = "right") -> "TimeSeriesDataFrame":
+        return self._roll("avg", n, align_)
+
+    def _roll(self, agg: str, n: int, align_: str) -> "TimeSeriesDataFrame":
+        out = rolling.roll_agg(self.df, n, agg, align_)
+        lo, hi = rolling._frame(n, align_)
+        # surviving locs are [-lo, size-1-hi]; renumber to 0-based
+        out = out.withColumn(self.LOC, F.col(self.LOC) + lo)
+        return TimeSeriesDataFrame(out, self.index.islice(-lo, self.index.size - hi))
+
+    def autocorr(self, max_lag: int) -> DataFrame:
+        return rolling.autocorr(self.df, max_lag)
+
+    # -- resampling --------------------------------------------------------
+    def resample(
+        self,
+        target_index: DateTimeIndex,
+        aggr: str | Column = "avg",
+        closed_right: bool = False,
+        stamp_right: bool = False,
+    ) -> "TimeSeriesDataFrame":
+        out = resample_ops.resample(
+            self.to_observations(), target_index, aggr, closed_right, stamp_right
+        )
+        return TimeSeriesDataFrame(out, target_index)
+
+    # -- escape hatches (reference §2.13 UDF surface) ----------------------
+    def map_series(
+        self, fn: Callable[[pd.Series], pd.Series]
+    ) -> "TimeSeriesDataFrame":
+        """``mapSeries`` (``TimeSeriesRDD.scala:246-260``): apply a
+        same-length transform to each series as a pandas Series indexed by
+        loc. Grouped-map pandas UDF — the documented slow path."""
+        value = self.VALUE
+
+        def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("loc")
+            s = pd.Series(pdf[value].to_numpy(), index=pdf["loc"].to_numpy())
+            pdf[value] = fn(s).to_numpy()
+            return pdf
+
+        out = self.df.groupBy(self.KEY).applyInPandas(_apply, schema=self.df.schema)
+        return TimeSeriesDataFrame(out, self.index)
+
+    def aggr_series(self, fn: Callable[[pd.DataFrame], pd.DataFrame], schema):
+        """Per-series arbitrary aggregation → caller-defined schema
+        (``mapValues``, ``TimeSeries.scala:361-363``)."""
+        return self.df.groupBy(self.KEY).applyInPandas(fn, schema=schema)
+
+    # -- basic sugar -------------------------------------------------------
+    def sum(self) -> DataFrame:
+        return self.df.groupBy(self.KEY).agg(F.sum(self.VALUE).alias("sum"))
+
+    def mean(self) -> DataFrame:
+        return self.df.groupBy(self.KEY).agg(F.avg(self.VALUE).alias("mean"))
+
+    def count(self) -> int:
+        return self.df.count()
+
+    def cache(self) -> "TimeSeriesDataFrame":
+        self.df.cache()
+        return self

@@ -1,0 +1,93 @@
+"""Phase-0 end-to-end slice (SURVEY.md §7): observations → uniform index
+alignment → fill → rolling mean, validated cell-by-cell against a pandas
+oracle. Exercises ingest shuffle, index generation, window exchange, and the
+NULL-missing convention in one test."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spark_timeseries_spark import DayFrequency, TimeSeriesDataFrame, uniform
+
+
+@pytest.fixture(scope="module")
+def obs(spark):
+    # 3 series × 10 daily points, ~like the reference's RDD suite fixture
+    # (TimeSeriesRDDSuite.scala:35-50), with holes to exercise NaN insertion
+    rows = []
+    start = pd.Timestamp("2015-04-09")
+    for s, key in enumerate(["a", "b", "c"]):
+        for i in range(10):
+            if (s, i) in {(0, 3), (1, 0), (2, 9)}:
+                continue  # deleted cells → missing on alignment
+            rows.append(((start + pd.Timedelta(days=i)).to_pydatetime(), key, float(s * 10 + i)))
+    return spark.createDataFrame(rows, "ts timestamp, key string, value double")
+
+
+@pytest.fixture(scope="module")
+def index():
+    return uniform("2015-04-09", 10, DayFrequency(1))
+
+
+def test_alignment_dense_grid(spark, obs, index):
+    ts = TimeSeriesDataFrame.from_observations(obs, index)
+    pdf = ts.df.toPandas()
+    assert len(pdf) == 30  # 3 keys × 10 instants, dense
+    a = pdf[pdf.key == "a"].sort_values("loc")
+    assert list(a.loc[:, "loc"]) == list(range(10))
+    assert np.isnan(a.value.to_numpy()[3])
+    assert a.value.to_numpy()[4] == 4.0
+
+
+def test_off_index_observations_dropped(spark, index):
+    rows = [
+        (pd.Timestamp("2015-04-09 12:00").to_pydatetime(), "a", 99.0),  # off-grid
+        (pd.Timestamp("2015-04-10").to_pydatetime(), "a", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, key string, value double")
+    ts = TimeSeriesDataFrame.from_observations(df, index)
+    vals = ts.df.where(F.col("value").isNotNull()).toPandas()
+    assert len(vals) == 1 and vals.value.iloc[0] == 1.0
+
+
+def test_fill_linear_roll_mean_vs_pandas(spark, obs, index):
+    ts = TimeSeriesDataFrame.from_observations(obs, index)
+    result = ts.fill("linear").roll_mean(5, "left")
+    got = (
+        result.df.toPandas()
+        .pivot_table(index="loc", columns="key", values="value", dropna=False)
+        .sort_index()
+    )
+    # pandas oracle
+    pidx = index.to_pandas()
+    frame = {}
+    for s, key in enumerate(["a", "b", "c"]):
+        v = [float(s * 10 + i) for i in range(10)]
+        for hole_s, hole_i in {(0, 3), (1, 0), (2, 9)}:
+            if hole_s == s:
+                v[hole_i] = np.nan
+        ser = pd.Series(v, index=pidx).interpolate(limit_area="inside")
+        # left-aligned: stamp at window start = pandas right-stamp shifted
+        frame[key] = (
+            ser.rolling(5).mean().shift(-4).iloc[0:6].reset_index(drop=True)
+        )
+    want = pd.DataFrame(frame)
+    assert got.shape == want.shape == (6, 3)
+    np.testing.assert_allclose(got.to_numpy(), want.to_numpy(), rtol=1e-12)
+    # left-aligned: 6 surviving stamps starting at the index start
+    assert result.index.size == 6
+    assert result.index.first() == pd.Timestamp("2015-04-09")
+
+
+def test_roll_alignments_consistent(spark, obs, index):
+    ts = TimeSeriesDataFrame.from_observations(obs, index).fill("previous").fill("next")
+    vals = {}
+    for al in ["left", "center", "right"]:
+        r = ts.roll_sum(3, al)
+        pdf = r.df.where(F.col("key") == "a").toPandas().sort_values("loc")
+        vals[al] = pdf.value.to_numpy()
+        assert r.index.size == 8
+    # same window sums regardless of alignment; only stamping differs
+    np.testing.assert_allclose(vals["left"], vals["center"])
+    np.testing.assert_allclose(vals["left"], vals["right"])
