@@ -1,38 +1,574 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship time-series pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator from SURVEY.md §2
+(+ the LLM-data-pipeline operators); ``oracle_sql()`` gives the DuckDB
+equivalent for the driver's correctness harness.
+
+Column-name and rounding conventions: every computed column is aliased
+identically on both sides; aggregates whose float value depends on summation
+order (avg/stddev/ratios) are rounded to 6 decimals on both sides; pure
+arithmetic (lag differences, quotients) is left exact (IEEE-identical in both
+engines).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+import spark_timeseries_spark as sts
+from spark_timeseries_spark.operators import (
+    fill as fill_ops,
+    filters,
+    layout,
+    resample as resample_ops,
+    rolling,
+)
+from spark_timeseries_spark.sources import events_observations, load_table
+
+# ---------------------------------------------------------------------------
+# shared fixtures: the events table spans January 2024
+# ---------------------------------------------------------------------------
+
+DAILY = sts.uniform("2024-01-01", 31, sts.DayFrequency(1))
+HOURLY = sts.uniform("2024-01-01", 31 * 24, sts.HourFrequency(1))
+
+_DAILY_GRID_SQL = """
+    WITH keys AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS key FROM events),
+    cal AS (
+        SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01', g) AS BIGINT) AS loc,
+               CAST(g AS TIMESTAMP) AS ts
+        FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31',
+                             INTERVAL 1 DAY) t(g)
+    ),
+    agg AS (
+        SELECT CAST(user_id AS VARCHAR) AS key, date_trunc('day', ts) AS ts,
+               ROUND(AVG(value), 6) AS value
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT keys.key, cal.loc, cal.ts, agg.value
+        FROM keys CROSS JOIN cal
+        LEFT JOIN agg ON agg.key = keys.key AND agg.ts = cal.ts
+    )
+"""
+
+
+def _daily_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events resampled to a dense daily grid (avg per user per day),
+    values rounded 6 — the shared base for grid-level operator queries."""
+    obs = events_observations(spark, sf_dir)
+    res = resample_ops.resample(obs, DAILY, "avg")
+    return res.withColumn("value", F.round("value", 6))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: irregular events → daily alignment → linear fill →
+    7-day rolling mean (the Phase-0 slice of SURVEY.md §7)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    grid = _daily_grid(spark, "/root/testdata/sf0.001")
+    t = sts.TimeSeriesDataFrame(grid, DAILY)
+    return t.fill("linear").roll_mean(7, "right").df
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_series_stats(spark, sf_dir):
+    obs = events_observations(spark, sf_dir)
+    return layout.series_stats(obs).select(
+        "key",
+        F.col("count").alias("cnt"),
+        F.round("mean", 6).alias("mean"),
+        F.round("stdev", 6).alias("stdev"),
+        F.col("min").alias("vmin"),
+        F.col("max").alias("vmax"),
+    )
+
+
+def _q_slice(spark, sf_dir):
+    obs = events_observations(spark, sf_dir)
+    return filters.slice_by_time(obs, "2024-01-10", "2024-01-20").select(
+        "key", "ts", "value"
+    )
+
+
+def _q_resample_daily_avg(spark, sf_dir):
+    return _daily_grid(spark, sf_dir).select("key", "loc", "ts", "value")
+
+
+def _q_resample_stamp_right(spark, sf_dir):
+    obs = events_observations(spark, sf_dir)
+    res = resample_ops.resample(
+        obs, DAILY, "max", closed_right=True, stamp_right=True
+    )
+    return res.select("key", "loc", "ts", F.col("value").alias("vmax"))
+
+
+def _q_fill_previous(spark, sf_dir):
+    grid = _daily_grid(spark, sf_dir)
+    return fill_ops.fill_previous(grid).select("key", "loc", "ts", "value")
+
+
+def _q_fill_linear(spark, sf_dir):
+    grid = _daily_grid(spark, sf_dir)
+    return fill_ops.fill_linear(grid).select(
+        "key", "loc", "ts", F.round("value", 6).alias("value")
+    )
+
+
+def _q_differences(spark, sf_dir):
+    obs = events_observations(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy("ts")
+    return (
+        obs.withColumn("diff", F.col("value") - F.lag("value", 1).over(w))
+        .where(F.col("diff").isNotNull())
+        .select("key", "ts", "diff")
+    )
+
+
+def _q_return_rates(spark, sf_dir):
+    obs = events_observations(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy("ts")
+    return (
+        obs.withColumn("rate", F.try_divide("value", F.lag("value", 1).over(w)) - 1.0)
+        .where(F.col("rate").isNotNull())
+        .select("key", "ts", "rate")
+    )
+
+
+def _q_roll_mean(spark, sf_dir):
+    grid = _daily_grid(spark, sf_dir)
+    out = rolling.roll_mean(grid, 7, "right")
+    return out.select("key", "loc", "ts", F.round("value", 6).alias("value"))
+
+
+def _q_remove_instants_with_nans(spark, sf_dir):
+    grid = _daily_grid(spark, sf_dir).where(F.col("key").isin("1", "2", "3"))
+    out = filters.remove_instants_with_nans(grid, rebase_loc=False)
+    return out.select("key", "ts", "value")
+
+
+def _q_filter_starting_before(spark, sf_dir):
+    obs = events_observations(spark, sf_dir)
+    out = filters.filter_starting_before(obs, "2024-01-02")
+    return out.groupBy("key").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+
+
+def _q_filter_ending_after(spark, sf_dir):
+    obs = events_observations(spark, sf_dir)
+    out = filters.filter_ending_after(obs, "2024-01-29")
+    return out.groupBy("key").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+
+
+def _q_to_instants_pivot(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    avg = ev.groupBy(F.date_trunc("day", "ts").alias("ts")).pivot(
+        "event_type", ["click", "error", "purchase", "signup", "view"]
+    ).agg(F.round(F.avg("value"), 6))
+    return avg.orderBy("ts")
+
+
+def _q_min_max_datetimes(spark, sf_dir):
+    obs = events_observations(spark, sf_dir)
+    return obs.groupBy("key").agg(
+        F.min(F.struct("value", "ts"))["ts"].alias("min_dt"),
+        F.max(F.struct("value", "ts"))["ts"].alias("max_dt"),
+    )
+
+
+def _q_autocorr(spark, sf_dir):
+    obs = events_observations(spark, sf_dir)
+    out = rolling.autocorr(obs, 3, order_col="ts")
+    return out.select("key", "lag", F.round("acf", 6).alias("acf"))
+
+
+def _q_trim(spark, sf_dir):
+    grid = _daily_grid(spark, sf_dir).where(F.col("key").isin("0", "1"))
+    out = filters.trim_leading_trailing(grid)
+    return out.select("key", "loc", "ts", "value")
+
+
+# -- pipeline operators (documents / embeddings) ----------------------------
+
+def _q_dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n")
+    )
+
+
+def _q_text_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    n_nospace = F.length(F.regexp_replace("text", r"\s", ""))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(n_nospace / n_tokens, 6).alias("avg_token_len"),
+        F.round(F.length("text") / n_tokens, 6).alias("chars_per_token"),
+    )
+
+
+def _q_token_count_by_source(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    return docs.groupBy("source").agg(
+        F.count("*").alias("docs"),
+        F.sum(n_tokens).alias("total_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+def _q_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower("text"), r"\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def _q_ngram_jaccard_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), r"\s+")
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(words) - 3),
+                    lambda i: F.concat_ws(
+                        " ", words[i], words[i + 1], words[i + 2]
+                    ),
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnsRenamed({"doc_id": "id_a", "n": "na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "id_b", "n": "nb"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= 0.2)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _q_knn_cosine(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "v", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = (
+        q.crossJoin(F.broadcast(emb))
+        .where(F.col("qid") != F.col("vec_id"))
+        .withColumn("sim", F.try_divide(dot, norm(F.col("qv")) * norm(F.col("v"))))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("qid", "vec_id", F.round("sim", 4).alias("sim"), "rank")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "series_stats": _q_series_stats,
+        "slice": _q_slice,
+        "resample_daily_avg": _q_resample_daily_avg,
+        "resample_stamp_right": _q_resample_stamp_right,
+        "fill_previous": _q_fill_previous,
+        "fill_linear": _q_fill_linear,
+        "differences": _q_differences,
+        "return_rates": _q_return_rates,
+        "roll_mean": _q_roll_mean,
+        "remove_instants_with_nans": _q_remove_instants_with_nans,
+        "filter_starting_before": _q_filter_starting_before,
+        "filter_ending_after": _q_filter_ending_after,
+        "to_instants_pivot": _q_to_instants_pivot,
+        "min_max_datetimes": _q_min_max_datetimes,
+        "autocorr": _q_autocorr,
+        "trim_leading_trailing": _q_trim,
+        "dedup_exact": _q_dedup_exact,
+        "text_quality": _q_text_quality,
+        "token_count_by_source": _q_token_count_by_source,
+        "fingerprint": _q_fingerprint,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "knn_cosine": _q_knn_cosine,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "series_stats": """
+            SELECT CAST(user_id AS VARCHAR) AS key, COUNT(value) AS cnt,
+                   ROUND(AVG(value), 6) AS mean,
+                   ROUND(STDDEV_SAMP(value), 6) AS stdev,
+                   MIN(value) AS vmin, MAX(value) AS vmax
+            FROM events GROUP BY 1
+        """,
+        "slice": """
+            SELECT CAST(user_id AS VARCHAR) AS key, ts, value FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-20'
+        """,
+        "resample_daily_avg": _DAILY_GRID_SQL
+        + "SELECT key, loc, ts, value FROM grid",
+        "resample_stamp_right": """
+            WITH keys AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS key FROM events),
+            cal AS (
+                SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01', g) AS BIGINT) AS loc,
+                       CAST(g AS TIMESTAMP) AS ts
+                FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31',
+                                     INTERVAL 1 DAY) t(g)
+            ),
+            stamped AS (
+                SELECT CAST(user_id AS VARCHAR) AS key,
+                       CASE WHEN date_trunc('day', ts) = ts THEN ts
+                            ELSE date_trunc('day', ts) + INTERVAL 1 DAY END AS sts,
+                       value
+                FROM events
+            ),
+            agg AS (
+                SELECT key, sts, MAX(value) AS vmax FROM stamped
+                WHERE sts <= TIMESTAMP '2024-01-31' GROUP BY 1, 2
+            )
+            SELECT keys.key, cal.loc, cal.ts, agg.vmax
+            FROM keys CROSS JOIN cal
+            LEFT JOIN agg ON agg.key = keys.key AND agg.sts = cal.ts
+        """,
+        "fill_previous": _DAILY_GRID_SQL
+        + """
+            SELECT key, loc, ts,
+                   last_value(value IGNORE NULLS) OVER (
+                       PARTITION BY key ORDER BY loc
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS value
+            FROM grid
+        """,
+        "fill_linear": _DAILY_GRID_SQL
+        + """
+            , aug AS (
+                SELECT key, loc, ts, value,
+                    last_value(value IGNORE NULLS) OVER wb AS pv,
+                    last_value(CASE WHEN value IS NOT NULL THEN loc END IGNORE NULLS)
+                        OVER wb AS pi,
+                    first_value(value IGNORE NULLS) OVER wf AS nv,
+                    first_value(CASE WHEN value IS NOT NULL THEN loc END IGNORE NULLS)
+                        OVER wf AS ni
+                FROM grid
+                WINDOW wb AS (PARTITION BY key ORDER BY loc
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       wf AS (PARTITION BY key ORDER BY loc
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT key, loc, ts,
+                   ROUND(CASE WHEN value IS NOT NULL THEN value
+                              WHEN pv IS NULL OR nv IS NULL THEN NULL
+                              ELSE pv + (nv - pv) * (CAST(loc AS DOUBLE) - pi) / (ni - pi)
+                         END, 6) AS value
+            FROM aug
+        """,
+        "differences": """
+            SELECT * FROM (
+                SELECT CAST(user_id AS VARCHAR) AS key, ts,
+                       value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS diff
+                FROM events
+            ) WHERE diff IS NOT NULL
+        """,
+        "return_rates": """
+            SELECT * FROM (
+                SELECT CAST(user_id AS VARCHAR) AS key, ts,
+                       value / lag(value) OVER (PARTITION BY user_id ORDER BY ts) - 1.0 AS rate
+                FROM events
+            ) WHERE rate IS NOT NULL
+        """,
+        "roll_mean": _DAILY_GRID_SQL
+        + """
+            , rolled AS (
+                SELECT key, loc, ts,
+                       count(*) OVER w AS nrows, count(value) OVER w AS nvals,
+                       avg(value) OVER w AS m
+                FROM grid
+                WINDOW w AS (PARTITION BY key ORDER BY loc
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            )
+            SELECT key, loc, ts,
+                   ROUND(CASE WHEN nvals = 7 THEN m END, 6) AS value
+            FROM rolled WHERE nrows = 7
+        """,
+        "remove_instants_with_nans": _DAILY_GRID_SQL
+        + """
+            SELECT key, ts, value FROM grid
+            WHERE key IN ('1','2','3') AND ts NOT IN (
+                SELECT ts FROM grid WHERE key IN ('1','2','3') AND value IS NULL
+            )
+        """,
+        "filter_starting_before": """
+            SELECT CAST(user_id AS VARCHAR) AS key,
+                   MIN(ts) AS first_ts, MAX(ts) AS last_ts
+            FROM events GROUP BY 1
+            HAVING MIN(ts) <= TIMESTAMP '2024-01-02'
+        """,
+        "filter_ending_after": """
+            SELECT CAST(user_id AS VARCHAR) AS key,
+                   MIN(ts) AS first_ts, MAX(ts) AS last_ts
+            FROM events GROUP BY 1
+            HAVING MAX(ts) >= TIMESTAMP '2024-01-29'
+        """,
+        "to_instants_pivot": """
+            SELECT date_trunc('day', ts) AS ts,
+                   ROUND(AVG(value) FILTER (event_type = 'click'), 6) AS click,
+                   ROUND(AVG(value) FILTER (event_type = 'error'), 6) AS error,
+                   ROUND(AVG(value) FILTER (event_type = 'purchase'), 6) AS purchase,
+                   ROUND(AVG(value) FILTER (event_type = 'signup'), 6) AS signup,
+                   ROUND(AVG(value) FILTER (event_type = 'view'), 6) AS view
+            FROM events GROUP BY 1
+        """,
+        "min_max_datetimes": """
+            WITH ext AS (
+                SELECT CAST(user_id AS VARCHAR) AS key,
+                       MIN(value) AS lo, MAX(value) AS hi
+                FROM events GROUP BY 1
+            )
+            SELECT ext.key,
+                   MIN(e.ts) FILTER (e.value = ext.lo) AS min_dt,
+                   MAX(e.ts) FILTER (e.value = ext.hi) AS max_dt
+            FROM ext JOIN (SELECT CAST(user_id AS VARCHAR) AS key, ts, value
+                           FROM events) e ON e.key = ext.key
+            GROUP BY 1
+        """,
+        "autocorr": """
+            WITH c AS (
+                SELECT CAST(user_id AS VARCHAR) AS key, ts,
+                       value - avg(value) OVER (PARTITION BY user_id) AS cv
+                FROM events
+            ), l AS (
+                SELECT key, cv,
+                       lag(cv, 1) OVER w AS l1,
+                       lag(cv, 2) OVER w AS l2,
+                       lag(cv, 3) OVER w AS l3
+                FROM c WINDOW w AS (PARTITION BY key ORDER BY ts)
+            ), a AS (
+                SELECT key, sum(cv*cv) AS den,
+                       sum(cv*l1) AS n1, sum(cv*l2) AS n2, sum(cv*l3) AS n3
+                FROM l GROUP BY 1
+            )
+            SELECT key, lag, ROUND(num/den, 6) AS acf FROM (
+                SELECT key, 1 AS lag, n1 AS num, den FROM a UNION ALL
+                SELECT key, 2, n2, den FROM a UNION ALL
+                SELECT key, 3, n3, den FROM a
+            )
+        """,
+        "trim_leading_trailing": _DAILY_GRID_SQL
+        + """
+            , b AS (
+                SELECT key, loc, ts, value,
+                       min(CASE WHEN value IS NOT NULL THEN loc END) OVER (PARTITION BY key) AS lo,
+                       max(CASE WHEN value IS NOT NULL THEN loc END) OVER (PARTITION BY key) AS hi
+                FROM grid WHERE key IN ('0','1')
+            )
+            SELECT key, loc, ts, value FROM b WHERE loc >= lo AND loc <= hi
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS h, MIN(doc_id) AS doc_id, COUNT(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "text_quality": """
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   ROUND(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                         / len(string_split_regex(trim(text), '\\s+')), 6) AS avg_token_len,
+                   ROUND(CAST(length(text) AS DOUBLE)
+                         / len(string_split_regex(trim(text), '\\s+')), 6) AS chars_per_token
+            FROM documents
+        """,
+        "token_count_by_source": """
+            SELECT source, COUNT(*) AS docs,
+                   SUM(len(string_split_regex(trim(text), '\\s+'))) AS total_tokens,
+                   SUM(length(text)) AS total_chars
+            FROM documents GROUP BY 1
+        """,
+        "fingerprint": """
+            SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "ngram_jaccard_pairs": """
+            WITH words AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, sh FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               generate_series(1, len(w) - 2),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                           )) AS sh
+                    FROM words
+                )
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                FROM sh a JOIN sh b USING (sh)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+        """,
+        "knn_cosine": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), q AS (
+                SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10
+            ), scored AS (
+                SELECT qid, vec_id,
+                       list_dot_product(qv, v)
+                       / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))
+                       AS sim
+                FROM q CROSS JOIN e WHERE qid != vec_id
+            ), ranked AS (
+                SELECT qid, vec_id, sim,
+                       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+                       AS rank
+                FROM scored
+            )
+            SELECT qid, vec_id, ROUND(sim, 4) AS sim, rank
+            FROM ranked WHERE rank <= 5
+        """,
+    }

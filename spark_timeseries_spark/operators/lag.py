@@ -97,7 +97,7 @@ def quotients(
     w = _w(key_col, order_col)
     return (
         df.withColumn("_rn", F.row_number().over(w))
-        .withColumn(value_col, F.col(value_col) / F.lag(value_col, n).over(w))
+        .withColumn(value_col, F.try_divide(F.col(value_col), F.lag(value_col, n).over(w)))
         .where(F.col("_rn") > n)
         .drop("_rn")
     )
@@ -113,7 +113,7 @@ def return_rates(
     w = _w(key_col, order_col)
     return (
         df.withColumn("_rn", F.row_number().over(w))
-        .withColumn(value_col, F.col(value_col) / F.lag(value_col, 1).over(w) - 1.0)
+        .withColumn(value_col, F.try_divide(F.col(value_col), F.lag(value_col, 1).over(w)) - 1.0)
         .where(F.col("_rn") > 1)
         .drop("_rn")
     )

@@ -87,13 +87,11 @@ def autocorr(
     w = Window.partitionBy(key_col).orderBy(order_col)
     mean_w = Window.partitionBy(key_col)
     centered = df.withColumn("_c", F.col(value_col) - F.avg(value_col).over(mean_w))
-    num_cols = []
     for k in range(1, max_lag + 1):
-        num_cols.append(
-            F.sum(F.col("_c") * F.lag("_c", k).over(w)).alias(f"_num{k}")
-        )
+        centered = centered.withColumn(f"_p{k}", F.col("_c") * F.lag("_c", k).over(w))
     agg = centered.groupBy(key_col).agg(
-        F.sum(F.col("_c") * F.col("_c")).alias("_den"), *num_cols
+        F.sum(F.col("_c") * F.col("_c")).alias("_den"),
+        *[F.sum(f"_p{k}").alias(f"_num{k}") for k in range(1, max_lag + 1)],
     )
     pairs = F.array(
         *[
