@@ -197,6 +197,59 @@ def _q_trim(spark, sf_dir):
     return out.select("key", "loc", "ts", "value")
 
 
+# -- statistical tests & models ---------------------------------------------
+
+def _q_dw_test(spark, sf_dir):
+    """Durbin-Watson per series — SQL-expressible window+agg plan
+    (SURVEY §2.10): sum(Δv²)/sum(v²) over the per-key event sequence."""
+    obs = events_observations(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy("ts")
+    d = F.col("value") - F.lag("value", 1).over(w)
+    return (
+        obs.withColumn("_d2", d * d)
+        .groupBy("key")
+        .agg(
+            F.round(
+                F.sum("_d2") / F.sum(F.col("value") * F.col("value")), 6
+            ).alias("dw")
+        )
+    )
+
+
+def _q_ar_forecast(spark, sf_dir):
+    """AR(2) per-series fit + 5-step forecast via grouped-map pandas UDF
+    (non-SQL-expressible → rows-only check)."""
+    from spark_timeseries_spark.models import forecast as model_forecast
+
+    obs = events_observations(spark, sf_dir)
+    return model_forecast(obs, "ar", 5, order_col="ts", max_lag=2)
+
+
+def _q_adf_test(spark, sf_dir):
+    from spark_timeseries_spark.models import test_series
+
+    obs = events_observations(spark, sf_dir)
+    return test_series(obs, "adf", order_col="ts", max_lag=1)
+
+
+def _q_kpss_test(spark, sf_dir):
+    from spark_timeseries_spark.models import test_series
+
+    obs = events_observations(spark, sf_dir)
+    return test_series(obs, "kpss", order_col="ts", method="c")
+
+
+def _q_holt_winters_forecast(spark, sf_dir):
+    """Holt-Winters weekly-seasonal forecast on the daily grid (rows-only)."""
+    from spark_timeseries_spark.models import forecast as model_forecast
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_linear(grid)
+    filled = fill_ops.fill_previous(filled)
+    filled = fill_ops.fill_next(filled)
+    return model_forecast(filled, "holtwinters", 7, period=7)
+
+
 # -- pipeline operators (documents / embeddings) ----------------------------
 
 def _q_dedup_exact(spark, sf_dir):
@@ -317,6 +370,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_max_datetimes": _q_min_max_datetimes,
         "autocorr": _q_autocorr,
         "trim_leading_trailing": _q_trim,
+        "dw_test": _q_dw_test,
+        "ar_forecast": _q_ar_forecast,
+        "adf_test": _q_adf_test,
+        "kpss_test": _q_kpss_test,
+        "holt_winters_forecast": _q_holt_winters_forecast,
         "dedup_exact": _q_dedup_exact,
         "text_quality": _q_text_quality,
         "token_count_by_source": _q_token_count_by_source,
@@ -470,25 +528,21 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "autocorr": """
-            WITH c AS (
-                SELECT CAST(user_id AS VARCHAR) AS key, ts,
-                       value - avg(value) OVER (PARTITION BY user_id) AS cv
-                FROM events
-            ), l AS (
-                SELECT key, cv,
-                       lag(cv, 1) OVER w AS l1,
-                       lag(cv, 2) OVER w AS l2,
-                       lag(cv, 3) OVER w AS l3
-                FROM c WINDOW w AS (PARTITION BY key ORDER BY ts)
+            WITH l AS (
+                SELECT CAST(user_id AS VARCHAR) AS key, value,
+                       lag(value, 1) OVER w AS l1,
+                       lag(value, 2) OVER w AS l2,
+                       lag(value, 3) OVER w AS l3
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             ), a AS (
-                SELECT key, sum(cv*cv) AS den,
-                       sum(cv*l1) AS n1, sum(cv*l2) AS n2, sum(cv*l3) AS n3
+                SELECT key, corr(value, l1) AS c1, corr(value, l2) AS c2,
+                       corr(value, l3) AS c3
                 FROM l GROUP BY 1
             )
-            SELECT key, lag, ROUND(num/den, 6) AS acf FROM (
-                SELECT key, 1 AS lag, n1 AS num, den FROM a UNION ALL
-                SELECT key, 2, n2, den FROM a UNION ALL
-                SELECT key, 3, n3, den FROM a
+            SELECT key, lag, ROUND(acf, 6) AS acf FROM (
+                SELECT key, 1 AS lag, c1 AS acf FROM a UNION ALL
+                SELECT key, 2, c2 FROM a UNION ALL
+                SELECT key, 3, c3 FROM a
             )
         """,
         "trim_leading_trailing": _DAILY_GRID_SQL
@@ -500,6 +554,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM grid WHERE key IN ('0','1')
             )
             SELECT key, loc, ts, value FROM b WHERE loc >= lo AND loc <= hi
+        """,
+        "dw_test": """
+            WITH l AS (
+                SELECT CAST(user_id AS VARCHAR) AS key, value,
+                       value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts)
+                       AS d
+                FROM events
+            )
+            SELECT key, ROUND(SUM(d*d) / SUM(value*value), 6) AS dw
+            FROM l GROUP BY 1
         """,
         "dedup_exact": """
             SELECT md5(text) AS h, MIN(doc_id) AS doc_id, COUNT(*) AS n

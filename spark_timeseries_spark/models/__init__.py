@@ -1,0 +1,31 @@
+from .arima import ARIMAModel, auto_fit, fit_arima
+from .arx import (
+    ARIMAXModel,
+    ARXModel,
+    RegressionARIMAModel,
+    fit_arimax,
+    fit_arx,
+    fit_regression_arima_cochrane_orcutt,
+)
+from .fit import fit_models, forecast, residuals, test_series
+from .univariate import (
+    ARGARCHModel,
+    ARModel,
+    EWMAModel,
+    GARCHModel,
+    HoltWintersModel,
+    fit_ar,
+    fit_ar_garch,
+    fit_ewma,
+    fit_garch,
+    fit_holt_winters,
+)
+
+__all__ = [
+    "ARIMAModel", "auto_fit", "fit_arima",
+    "ARIMAXModel", "ARXModel", "RegressionARIMAModel",
+    "fit_arimax", "fit_arx", "fit_regression_arima_cochrane_orcutt",
+    "fit_models", "forecast", "residuals", "test_series",
+    "ARGARCHModel", "ARModel", "EWMAModel", "GARCHModel", "HoltWintersModel",
+    "fit_ar", "fit_ar_garch", "fit_ewma", "fit_garch", "fit_holt_winters",
+]

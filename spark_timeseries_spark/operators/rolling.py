@@ -83,19 +83,20 @@ def autocorr(
     value_col: str = "value",
 ) -> DataFrame:
     """Sample autocorrelation for lags 1..max_lag per series → rows
-    (key, lag, acf). Pure window+aggregate plan: one exchange."""
+    (key, lag, acf), as the Pearson correlation of the (y_t, y_{t−k}) pairs —
+    exactly the reference's formula (``UnivariateTimeSeries.scala:66-96``
+    computes per-slice means/variances, i.e. Pearson over the overlap).
+    Pure window+aggregate plan: one exchange."""
     w = Window.partitionBy(key_col).orderBy(order_col)
-    mean_w = Window.partitionBy(key_col)
-    centered = df.withColumn("_c", F.col(value_col) - F.avg(value_col).over(mean_w))
+    lagged = df
     for k in range(1, max_lag + 1):
-        centered = centered.withColumn(f"_p{k}", F.col("_c") * F.lag("_c", k).over(w))
-    agg = centered.groupBy(key_col).agg(
-        F.sum(F.col("_c") * F.col("_c")).alias("_den"),
-        *[F.sum(f"_p{k}").alias(f"_num{k}") for k in range(1, max_lag + 1)],
+        lagged = lagged.withColumn(f"_l{k}", F.lag(value_col, k).over(w))
+    agg = lagged.groupBy(key_col).agg(
+        *[F.corr(value_col, f"_l{k}").alias(f"_c{k}") for k in range(1, max_lag + 1)]
     )
     pairs = F.array(
         *[
-            F.struct(F.lit(k).alias("lag"), (F.col(f"_num{k}") / F.col("_den")).alias("acf"))
+            F.struct(F.lit(k).alias("lag"), F.col(f"_c{k}").alias("acf"))
             for k in range(1, max_lag + 1)
         ]
     )

@@ -1,0 +1,21 @@
+from .tests import (
+    adf_test,
+    autocorr_pearson,
+    breusch_godfrey,
+    breusch_pagan,
+    durbin_watson,
+    kpss_test,
+    ljung_box,
+    mackinnon_p,
+)
+
+__all__ = [
+    "adf_test",
+    "autocorr_pearson",
+    "breusch_godfrey",
+    "breusch_pagan",
+    "durbin_watson",
+    "kpss_test",
+    "ljung_box",
+    "mackinnon_p",
+]
