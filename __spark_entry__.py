@@ -352,6 +352,74 @@ def _q_knn_cosine(spark, sf_dir):
     )
 
 
+def _q_lang_id(spark, sf_dir):
+    from spark_timeseries_spark.pipeline import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text_ops.language_id(F.col("text")).alias("pred_lang")
+    )
+
+
+def _q_quality_score(spark, sf_dir):
+    from spark_timeseries_spark.pipeline import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.quality_score(docs)
+
+
+def _q_cosine_dup_pairs(spark, sf_dir):
+    """Exact embedding near-dup pairs (cosine ≥ 0.35; the synthetic vectors
+    are near-orthogonal, max pairwise ≈ 0.51) — brute force as the
+    correctness baseline; the LSH-bucketed variant is ``minhash``-style
+    approximate and checked rows-only separately."""
+    from spark_timeseries_spark.pipeline.dedup import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = emb.withColumnsRenamed({"vec_id": "id_a", "v": "va"})
+    b = emb.withColumnsRenamed({"vec_id": "id_b", "v": "vb"})
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("cosine") >= 0.35)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def _q_minhash_lsh_dedup(spark, sf_dir):
+    from spark_timeseries_spark.pipeline import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.dedup_minhash_lsh(docs, threshold=0.3).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _q_simhash_near_dups(spark, sf_dir):
+    from spark_timeseries_spark.pipeline import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_near_dups(dd.simhash(docs), max_hamming=8)
+
+
+def _q_lsh_topk(spark, sf_dir):
+    from spark_timeseries_spark.pipeline import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    return sim.lsh_topk(emb, q, k=5, dim=64, n_planes=8)
+
+
+def _q_winnowing_fingerprints(spark, sf_dir):
+    from spark_timeseries_spark.pipeline import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.winnowing_fingerprints(docs, k=5, keep=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "series_stats": _q_series_stats,
@@ -381,6 +449,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "knn_cosine": _q_knn_cosine,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        "cosine_dup_pairs": _q_cosine_dup_pairs,
+        "minhash_lsh_dedup": _q_minhash_lsh_dedup,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "lsh_topk": _q_lsh_topk,
+        "winnowing_fingerprints": _q_winnowing_fingerprints,
     }
 
 
@@ -614,6 +689,72 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+        """,
+        "lang_id": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+                FROM documents
+            ), s AS (
+                SELECT doc_id, 'en' AS lang, len(list_filter(w, x -> list_contains(
+                    ['the','and','of','to','in','is','that','it','was','for'], x))) AS score FROM toks
+                UNION ALL
+                SELECT doc_id, 'de', len(list_filter(w, x -> list_contains(
+                    ['der','die','das','und','ist','nicht','ein','mit','von','zu'], x))) FROM toks
+                UNION ALL
+                SELECT doc_id, 'es', len(list_filter(w, x -> list_contains(
+                    ['el','la','de','que','y','en','un','por','con','una'], x))) FROM toks
+                UNION ALL
+                SELECT doc_id, 'fr', len(list_filter(w, x -> list_contains(
+                    ['le','la','et','les','des','est','un','une','dans','que'], x))) FROM toks
+            ), r AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, lang DESC) AS rn
+                FROM s
+            )
+            SELECT doc_id, lang AS pred_lang FROM r WHERE rn = 1
+        """,
+        "quality_score": """
+            WITH f AS (
+                SELECT doc_id,
+                       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                       length(text) AS len,
+                       length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                           AS n_punct,
+                       len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> list_contains(
+                               ['a','an','and','at','by','for','in','is','it','of',
+                                'on','that','the','to','was','with'], x))) AS n_stop
+                FROM documents
+            ), sc AS (
+                SELECT doc_id,
+                       least(n_tokens / 50.0, 1.0)
+                           * (CASE WHEN n_tokens > 5000 THEN 0.5 ELSE 1.0 END)
+                           AS len_score,
+                       least((CAST(n_stop AS DOUBLE) / n_tokens) * 4.0, 1.0)
+                           AS stop_score,
+                       CASE WHEN CAST(n_punct AS DOUBLE) / len > 0.2
+                            THEN 0.5 ELSE 1.0 END AS punct_score
+                FROM f
+            )
+            SELECT doc_id,
+                   ROUND(len_score * (0.5 + 0.5 * stop_score) * punct_score, 6)
+                       AS quality
+            FROM sc
+        """,
+        "cosine_dup_pairs": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+            FROM e a CROSS JOIN e b
+            WHERE a.vec_id < b.vec_id
+              AND list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))) >= 0.35
         """,
         "knn_cosine": """
             WITH e AS (

@@ -1,0 +1,312 @@
+"""Deduplication operators for large-scale text corpora.
+
+Beyond-reference surface (BASELINE.json north star): exact, MinHash+LSH,
+SimHash, n-gram Jaccard, and embedding-cosine near-dup — all designed for the
+100 TB regime:
+
+- **Exact**: hash-groupBy on a content digest. One shuffle on the digest;
+  no driver state.
+- **MinHash+LSH**: shingle → k minhashes via ``xxhash64(shingle, seed_i)``
+  (JVM-side, whole-stage codegen; NO Python in the pipeline) → band into
+  b bands of r rows → bucket-join candidates → exact-Jaccard verification
+  restricted to candidates. Shuffles: one for the minhash groupBy, one for
+  the band self-join — both on well-distributed hash keys. The candidate
+  verification joins shingle sets only for candidate pairs, so the quadratic
+  blow-up of naive all-pairs Jaccard never materializes.
+- **SimHash**: 64-bit signature from per-token hash bit-votes (64 conditional
+  sums in one aggregate — one shuffle); near-dup candidates by pigeonhole
+  banding on 16-bit blocks (Hamming ≤ 3 ⇒ some block equal).
+- **Embedding near-dup**: random-hyperplane LSH signatures (seeded,
+  deterministic) → bucket join → exact cosine verify within buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def content_digest(text: Column, normalize: bool = True) -> Column:
+    """Stable digest for exact dedup; optional whitespace/case normalization."""
+    if normalize:
+        text = F.regexp_replace(F.lower(text), r"\s+", " ")
+    return F.md5(text)
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Keep the lowest-id representative of each exact-content group."""
+    w = Window.partitionBy("_h").orderBy(id_col)
+    return (
+        df.withColumn("_h", content_digest(F.col(text_col), normalize))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
+def shingles(
+    text: Column, n: int = 3, as_words: bool = True
+) -> Column:
+    """Word (default) or character n-gram shingle array."""
+    if as_words:
+        words = F.split(F.trim(text), r"\s+")
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+                lambda i: F.concat_ws(
+                    " ", *[words[i + j] for j in range(n)]
+                ),
+            )
+        )
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.length(text) - n, F.lit(0))),
+            lambda i: text.substr(i + 1, F.lit(n)),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig ARRAY<BIGINT>[num_hashes]) — min over shingle xxhash64 per
+    seed. Entirely JVM expressions; one shuffle (groupBy id after explode)."""
+    sh = df.select(
+        id_col, F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    aggs = [
+        F.min(F.xxhash64("sh", F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate pairs whose signatures collide in ≥1 band → (id_a, id_b).
+    Band hash = xxhash64 over the band's slice — a well-distributed join key,
+    so the self-join shuffles evenly."""
+    banded = sig_df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "bh"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs only → (id_a, id_b, jaccard)."""
+    sets = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    return (
+        candidates.join(sets.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sets.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end near-dup pair detection: signatures → LSH candidates →
+    exact verification."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    cand = minhash_lsh_candidates(sig, id_col, bands, num_hashes // bands)
+    return jaccard_verify(df, cand, text_col, id_col, shingle_n, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document → (id, simhash BIGINT). One explode +
+    one groupBy with 64 conditional sums — all JVM-side."""
+    toks = df.select(
+        id_col, F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_b{i}")
+            for i in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig + F.when(F.col(f"_b{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
+    return votes.select(id_col, sig.alias("simhash"))
+
+
+def simhash_near_dups(
+    sig_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by pigeonhole banding: split the 64-bit signature into
+    4 16-bit blocks; Hamming ≤ 3 ⇒ at least one block identical → join on
+    (block_idx, block_value), verify Hamming exactly."""
+    blocks = sig_df.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftright("simhash", b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bv"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.blk", "bb.bv")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = (
+        a.join(b, ["blk", "bv"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two ARRAY<DOUBLE> columns, JVM-side fold."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.try_divide(dot, na * nb)
+
+
+def embedding_lsh_signature(
+    vec: Column, dim: int, n_planes: int = 16, seed: int = 42
+) -> Column:
+    """Random-hyperplane signature (deterministic) as a BIGINT bucket id.
+    The plane matrix ships as a literal — no Python at row time."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = []
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(v)) for v in planes[i]])
+        dot = F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(2**i)).otherwise(0))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def dedup_embedding_cosine(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate vector pairs: LSH bucket join + exact cosine verify.
+    At 100 TB the bucket join replaces the O(n²) cross join; bucket count
+    2^n_planes is tuned so buckets stay executor-sized."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        embedding_lsh_signature(v, dim, n_planes, seed).alias("bucket"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a.id") < F.col("b.id"))
+        .withColumn("cosine", cosine(F.col("a.v"), F.col("b.v")))
+        .where(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine"
+        )
+        .distinct()
+    )

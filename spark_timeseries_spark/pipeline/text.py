@@ -1,0 +1,127 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All built from JVM-side expression trees (regex,
+array, hash builtins) — no Python UDFs — so they codegen and scale linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Small high-frequency word lexicons for the n-gram/stopword language
+# heuristic. (Deterministic, self-contained; real deployments would swap in
+# fastText-style models via the same operator shape.)
+LANG_LEXICONS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "una"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "dans", "que"],
+}
+
+STOPWORDS_EN = set(LANG_LEXICONS["en"]) | {"a", "an", "on", "at", "by", "with"}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def bpe_like_tokens(text: Column) -> Column:
+    """BPE-ish regex pre-tokenization (letters / digits / punctuation runs),
+    the GPT-2 style split reduced to an RE2/Java-compatible core."""
+    return F.regexp_extract_all(text, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)
+
+
+def token_count(text: Column, bpe: bool = False) -> Column:
+    return F.size(bpe_like_tokens(text) if bpe else tokens(text))
+
+
+def language_scores(text: Column) -> list[tuple[str, Column]]:
+    toks = tokens(F.lower(text))
+    out = []
+    for lang, lex in LANG_LEXICONS.items():
+        lex_arr = F.array(*[F.lit(w) for w in lex])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(lex_arr, t)))
+        out.append((lang, hits))
+    return out
+
+
+def language_id(text: Column) -> Column:
+    """Most-probable language by stopword hit count; ties break to the
+    lexicographically larger code (deterministic)."""
+    scored = F.array(
+        *[
+            F.struct(score.alias("score"), F.lit(lang).alias("lang"))
+            for lang, score in language_scores(text)
+        ]
+    )
+    return F.array_max(scored)["lang"]
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality features: token count, mean token length,
+    punctuation ratio, stopword ratio, digit ratio, uppercase ratio."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    length = F.length(t)
+    stop_arr = F.array(*[F.lit(w) for w in sorted(STOPWORDS_EN)])
+    n_stop = F.size(F.filter(tokens(F.lower(t)), lambda x: F.array_contains(stop_arr, x)))
+    n_punct = length - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_digit = length - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    n_upper = length - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    n_nospace = F.length(F.regexp_replace(t, r"\s", ""))
+    return df.select(
+        id_col,
+        n_tok.alias("n_tokens"),
+        F.try_divide(n_nospace, n_tok).alias("mean_token_len"),
+        F.try_divide(n_punct, length).alias("punct_ratio"),
+        F.try_divide(n_stop, n_tok).alias("stopword_ratio"),
+        F.try_divide(n_digit, length).alias("digit_ratio"),
+        F.try_divide(n_upper, length).alias("upper_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Scalar [0,1] quality heuristic: length sweet-spot × stopword presence ×
+    punctuation sanity (monotone, deterministic)."""
+    feats = quality_features(df, text_col, id_col)
+    len_score = F.least(F.col("n_tokens") / 50.0, F.lit(1.0)) * F.when(
+        F.col("n_tokens") > 5000, 0.5
+    ).otherwise(1.0)
+    stop_score = F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0))
+    punct_score = F.when(F.col("punct_ratio") > 0.2, 0.5).otherwise(1.0)
+    return feats.select(
+        id_col,
+        F.round(len_score * (0.5 + 0.5 * stop_score) * punct_score, 6).alias(
+            "quality"
+        ),
+    )
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Normalized-content MD5 fingerprint."""
+    return F.md5(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    keep: int = 8,
+) -> DataFrame:
+    """Winnowing-style robust fingerprint: hash all character k-grams, keep
+    the ``keep`` smallest hashes (a deterministic min-sketch of content that
+    survives small edits) → (id, fingerprints ARRAY<BIGINT>)."""
+    t = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.length(t) - k, F.lit(0))),
+        lambda i: t.substr(i + 1, F.lit(k)),
+    )
+    hashes = F.transform(F.array_distinct(grams), lambda g: F.xxhash64(g))
+    return df.select(
+        id_col, F.slice(F.array_sort(hashes), 1, keep).alias("fingerprints")
+    )

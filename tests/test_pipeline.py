@@ -1,0 +1,138 @@
+"""Tests for the data-pipeline operators: dedup family, similarity search,
+text analysis, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spark_timeseries_spark.pipeline import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("quick", "rapid")),  # near dup of 0
+        (3, "completely different content about spark engines and data"),
+        (4, "der hund und die katze sind nicht ein mit von zu haus"),
+        (5, "el perro y la casa de que en un por con una mesa"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    vecs[1] = vecs[0] * 1.5  # same direction as 0 → cosine 1
+    vecs[2] = vecs[0] + rng.standard_normal(8).astype(np.float32) * 0.01
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_dedup_exact(spark, docs):
+    out = dedup.dedup_exact(docs).toPandas()
+    assert sorted(out.doc_id) == [0, 2, 3, 4, 5]  # 1 removed as dup of 0
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = dedup.dedup_minhash_lsh(docs, threshold=0.5).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (0, 1) in got  # exact dup found
+    assert (0, 2) in got or (1, 2) in got  # near dup found
+    assert not any(3 in p for p in got)
+
+
+def test_minhash_signature_deterministic(spark, docs):
+    s1 = dedup.minhash_signatures(docs, num_hashes=16).orderBy("doc_id").toPandas()
+    s2 = dedup.minhash_signatures(docs, num_hashes=16).orderBy("doc_id").toPandas()
+    assert s1.sig.apply(tuple).tolist() == s2.sig.apply(tuple).tolist()
+    # identical docs → identical signatures
+    assert tuple(s1.sig[0]) == tuple(s1.sig[1])
+
+
+def test_simhash_near_dups(spark, docs):
+    sig = dedup.simhash(docs)
+    pairs = dedup.simhash_near_dups(sig, max_hamming=6).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (0, 1) in got
+    assert pairs[(pairs.id_a == 0) & (pairs.id_b == 1)].hamming.iloc[0] == 0
+
+
+def test_embedding_cosine_dedup(spark, vectors):
+    pairs = dedup.dedup_embedding_cosine(
+        vectors, dim=8, threshold=0.95, n_planes=6
+    ).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (0, 1) in got and (0, 2) in got
+
+
+def test_brute_force_topk_exact(spark, vectors):
+    q = vectors.where(F.col("vec_id") < 3)
+    out = similarity.brute_force_topk(vectors, q, k=3).toPandas()
+    assert len(out) == 9
+    # nearest neighbor of 0 must be 1 (same direction, cosine ≈ 1)
+    top0 = out[(out.qid == 0) & (out["rank"] == 1)]
+    assert top0.vec_id.iloc[0] == 1
+    assert abs(top0.sim.iloc[0] - 1.0) < 1e-6
+
+
+def test_lsh_topk_recall_on_near_dups(spark, vectors):
+    q = vectors.where(F.col("vec_id") == 0)
+    out = similarity.lsh_topk(vectors, q, k=3, dim=8, n_planes=4).toPandas()
+    # colinear vector 1 hashes to the same bucket by construction
+    assert 1 in set(out.vec_id)
+
+
+def test_ivf_topk_runs(spark, vectors):
+    q = vectors.where(F.col("vec_id") < 2)
+    out = similarity.ivf_topk(vectors, q, k=3, n_centroids=8, nprobe=4).toPandas()
+    assert set(out.qid) == {0, 1}
+    assert (out.groupby("qid")["rank"].max() <= 3).all()
+
+
+def test_language_id(spark, docs):
+    out = docs.select("doc_id", text.language_id(F.col("text")).alias("lang")).toPandas()
+    by_id = dict(zip(out.doc_id, out.lang))
+    assert by_id[0] == "en"
+    assert by_id[4] == "de"
+    assert by_id[5] == "es"
+
+
+def test_quality_and_tokens(spark, docs):
+    feats = text.quality_features(docs).toPandas().set_index("doc_id")
+    assert feats.loc[0, "n_tokens"] == 14
+    assert 0 <= feats.loc[0, "stopword_ratio"] <= 1
+    q = text.quality_score(docs).toPandas()
+    assert ((q.quality >= 0) & (q.quality <= 1)).all()
+    bpe = docs.select(text.token_count(F.col("text"), bpe=True).alias("n")).toPandas()
+    assert (bpe.n > 0).all()
+
+
+def test_winnowing_fingerprint_stable_under_small_edit(spark, docs):
+    fp = text.winnowing_fingerprints(docs, k=5, keep=6).toPandas().set_index("doc_id")
+    a, b = set(fp.loc[0, "fingerprints"]), set(fp.loc[2, "fingerprints"])
+    c = set(fp.loc[3, "fingerprints"])
+    assert len(a & b) > len(a & c)  # near-dup shares more fingerprints
+
+
+def test_multimodal_fake_decode(spark):
+    rows = [(i, bytes([i]) * (100 + i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    meta = multimodal.attach_binary_metadata(df, "media", "img").toPandas()
+    assert (meta.media_size == [100, 101, 102, 103, 104]).all()
+    feats = multimodal.decode_image_features(df, fake=True).toPandas()
+    assert len(feats) == 5 and len(feats.features.iloc[0]) == 16
+    # deterministic: same payload → same features
+    feats2 = multimodal.decode_image_features(df, fake=True).toPandas()
+    assert feats.features.apply(tuple).tolist() == feats2.features.apply(tuple).tolist()
+    audio = multimodal.decode_audio_features(df, fake=True).toPandas()
+    assert (audio.n_frames >= 1).all()
+
+
+def test_multimodal_real_decode_raises(spark):
+    df = spark.createDataFrame([(0, b"xx")], "doc_id long, media binary")
+    with pytest.raises(Exception):
+        multimodal.decode_image_features(df, fake=False).collect()
