@@ -42,29 +42,25 @@ def lags(
     """Per-series lagged copies as new series, first ``max_lag`` stamps
     trimmed (semantics of ``TimeSeriesRDD.scala:77-100``)."""
     w = _w(key_col, order_col)
-    min_loc = Window.partitionBy(key_col)
+    staged = df.withColumn("_rn", F.row_number().over(w))
+    for i in range(1, max_lag + 1):
+        staged = staged.withColumn(f"_lag{i}", F.lag(value_col, i).over(w))
     pairs = []
     if include_originals:
         pairs.append(F.struct(F.col(key_col).alias("k"), F.col(value_col).alias("v")))
     for i in range(1, max_lag + 1):
         pairs.append(
-            F.struct(
-                lagged_string_key(key_col, i).alias("k"),
-                F.lag(value_col, i).over(w).alias("v"),
-            )
+            F.struct(lagged_string_key(key_col, i).alias("k"), F.col(f"_lag{i}").alias("v"))
         )
-    out = (
-        df.withColumn("_rn", F.row_number().over(w))
+    return (
+        staged.where(F.col("_rn") > max_lag)
         .withColumn("_fan", F.explode(F.array(*pairs)))
-        .where(F.col("_rn") > max_lag)
         .select(
             F.col("_fan.k").alias(key_col),
             *[c for c in df.columns if c not in (key_col, value_col)],
             F.col("_fan.v").alias(value_col),
         )
     )
-    del min_loc
-    return out
 
 
 def differences(

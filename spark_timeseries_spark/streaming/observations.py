@@ -1,0 +1,104 @@
+"""Structured Streaming extension for observations tables.
+
+The reference has NO streaming surface (SURVEY §2.12 — verified absence);
+its docs only call the observations layout "append friendly"
+(``users.md:54-56``). This module is the documented extension point: the
+same observations schema ``(ts, key, value)`` consumed as a stream with
+watermarked windowed aggregation — i.e. streaming ``resample`` — plus
+stateful per-key EWMA via ``applyInPandasWithState``.
+
+Scale design: windowed aggregation is Spark's native streaming shuffle with
+state store compaction; the watermark bounds state. The EWMA operator keeps
+O(1) state per key (the running smoothed value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def read_observations_stream(
+    spark,
+    path: str,
+    schema: str = "ts timestamp, key string, value double",
+    fmt: str = "parquet",
+) -> DataFrame:
+    """File-source stream of observations (one file batch = one micro-batch)."""
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def streaming_resample(
+    stream: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    aggr: str = "avg",
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Watermarked tumbling/sliding-window aggregation — the streaming form
+    of ``resample`` (open-left/stamp-left regime). Late data beyond the
+    watermark is dropped; state is bounded by watermark × keys."""
+    agg_fn = getattr(F, aggr)
+    win = (
+        F.window(ts_col, window_duration, slide)
+        if slide
+        else F.window(ts_col, window_duration)
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col, win.alias("win"))
+        .agg(agg_fn(value_col).alias(value_col))
+        .select(
+            key_col,
+            F.col("win.start").alias("ts"),
+            value_col,
+        )
+    )
+
+
+def streaming_ewma(
+    stream: DataFrame,
+    smoothing: float,
+    watermark: str = "2 hours",
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Stateful streaming EWMA per key via ``applyInPandasWithState``:
+    state = (last smoothed value); each micro-batch folds its (sorted)
+    observations into the running smoothed value — the streaming analog of
+    ``EWMAModel.addTimeDependentEffects`` (``models/EWMA.scala:136-143``)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        if state.exists:
+            (s,) = state.get
+        else:
+            s = None
+        out_ts, out_v = [], []
+        for _, row in rows.iterrows():
+            x = row[value_col]
+            if x is None or pd.isna(x):
+                continue
+            s = x if s is None else smoothing * x + (1 - smoothing) * s
+            out_ts.append(row[ts_col])
+            out_v.append(s)
+        state.update((float(s) if s is not None else 0.0,))
+        yield pd.DataFrame({"key": key[0], "ts": out_ts, "smoothed": out_v})
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType="key string, ts timestamp, smoothed double",
+            stateStructType="s double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,278 @@
+"""Spec-by-example parity tests ported from the reference's suites:
+ResampleSuite ASCII tables (all four boundary regimes), FillSuite arrays,
+lags worked example, index algebra, business-day frequency
+(cf. SURVEY.md §5 items 3-5)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import spark_timeseries_spark as sts
+from spark_timeseries_spark import (
+    BusinessDayFrequency,
+    DayFrequency,
+    HourFrequency,
+    MonthFrequency,
+    TimeSeriesDataFrame,
+    irregular,
+    uniform,
+)
+from spark_timeseries_spark.operators import fill as fill_ops
+from spark_timeseries_spark.operators import lag as lag_ops
+from spark_timeseries_spark.operators import resample as resample_ops
+
+BASE = pd.Timestamp("2015-04-08")
+
+
+def _parse_ascii(s: str):
+    """Parse the reference's ASCII series strings: digit (possibly two-digit)
+    at char offset i = value at day BASE+i; 'N' = NaN
+    (ResampleSuite.scala:32-52)."""
+    points = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == " ":
+            i += 1
+            continue
+        if c == "N":
+            points.append((float("nan"), i))
+            i += 1
+            continue
+        j = i
+        while j + 1 < len(s) and s[j + 1].isdigit():
+            j += 1
+        points.append((float(s[i : j + 1]), i))
+        i = j + 1
+    return points
+
+
+DOWNSAMPLE_CASES = [
+    ("0  1  2  3  4  5  6  7  8", False, False, "3        12       21"),
+    ("0  1  2  3  4  5  6  7  8", True, False, "6        15       15"),
+    ("1  2  3  4  5  6  7  8  9", False, True, "N        6        15"),
+    ("0  1  2  3  4  5  6  7  8", True, True, "0        6        15"),
+    ("0  1  2  3  4  5  6  7  8", False, False, "         12       21       N"),
+    ("1  2  3  4  5  6  7  8  9", True, False, "         18       17        N"),
+    ("0  1  2  3  4  5  6  7  8", False, True, "         3        12       21"),
+    ("1  2  3  4  5  6  7  8  9", True, True, "         10       18       17"),
+    ("0  1  2  3  4  5  6  7  8", False, False, "6         15       15"),
+    ("0  1  2  3  4  5  6  7  8", True, False, "6         15       15"),
+    ("1  2  3  4  5  6  7  8  9", False, True, "N         10       18"),
+    ("0  1  2  3  4  5  6  7  8", True, True, "0         6        15"),
+    ("1    2    3    4    5", False, False, "1 N  2  N 3 N  4 N  5"),
+    ("1    2    3    4    5", False, False, "1   2   N 3 N  4 N  5"),
+]
+
+
+@pytest.mark.parametrize("series,closed_right,stamp_right,expected", DOWNSAMPLE_CASES)
+def test_resample_regimes_ascii(spark, series, closed_right, stamp_right, expected):
+    src = _parse_ascii(series)
+    want = _parse_ascii(expected)
+    obs = spark.createDataFrame(
+        [
+            ((BASE + pd.Timedelta(days=off)).to_pydatetime(), "x", v)
+            for v, off in src
+            if not math.isnan(v)
+        ],
+        "ts timestamp, key string, value double",
+    )
+    target = irregular([BASE + pd.Timedelta(days=off) for _, off in want])
+    out = resample_ops.resample(
+        obs, target, "sum", closed_right=closed_right, stamp_right=stamp_right
+    )
+    got = out.orderBy("loc").toPandas()
+    got_vals = got.value.to_numpy(dtype=float)
+    want_vals = np.array([v for v, _ in want])
+    np.testing.assert_allclose(got_vals, want_vals, equal_nan=True)
+
+
+FILL_CASES = {
+    "previous": [
+        ([1.0], [1.0]),
+        ([1.0, 1.0, 2.0], [1.0, 1.0, 2.0]),
+        ([1.0, None, 2.0], [1.0, 1.0, 2.0]),
+        ([1.0, None, None, 2.0], [1.0, 1.0, 1.0, 2.0]),
+        ([1.0, None, None, None, 2.0], [1.0, 1.0, 1.0, 1.0, 2.0]),
+        ([1.0, None, 3.0, None, 2.0], [1.0, 1.0, 3.0, 3.0, 2.0]),
+    ],
+    "next": [
+        ([1.0, None, 2.0], [1.0, 2.0, 2.0]),
+        ([1.0, None, None, 2.0], [1.0, 2.0, 2.0, 2.0]),
+        ([1.0, None, 3.0, None, 2.0], [1.0, 3.0, 3.0, 2.0, 2.0]),
+    ],
+    "linear": [
+        ([1.0, None, 2.0], [1.0, 1.5, 2.0]),
+        ([2.0, None, 1.0], [2.0, 1.5, 1.0]),
+        ([1.0, None, None, 4.0], [1.0, 2.0, 3.0, 4.0]),
+        ([1.0, None, None, None, 5.0], [1.0, 2.0, 3.0, 4.0, 5.0]),
+        ([1.0, None, 3.0, None, 2.0], [1.0, 2.0, 3.0, 2.5, 2.0]),
+    ],
+    "nearest": [
+        ([1.0, None, 2.0], [1.0, 1.0, 2.0]),  # prev wins ties
+        ([1.0, None, None, 2.0], [1.0, 1.0, 2.0, 2.0]),
+        ([None, 1.0], [1.0, 1.0]),
+    ],
+}
+
+
+@pytest.mark.parametrize(
+    "method,case",
+    [(m, c) for m, cases in FILL_CASES.items() for c in cases],
+    ids=lambda x: str(x)[:40],
+)
+def test_fill_methods_reference_examples(spark, method, case):
+    vals, want = case
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)], "key string, loc long, value double"
+    )
+    out = (
+        fill_ops.fill(df, method)
+        .orderBy("loc")
+        .toPandas()
+        .value.to_numpy(dtype=float)
+    )
+    np.testing.assert_allclose(out, np.array(want, dtype=float), equal_nan=True)
+
+
+def test_lags_worked_example(spark):
+    idx = uniform("2015-04-09", 10, DayFrequency(1))
+    obs = spark.createDataFrame(
+        [
+            ((pd.Timestamp("2015-04-09") + pd.Timedelta(days=i)).to_pydatetime(), "a", float(i))
+            for i in range(10)
+        ],
+        "ts timestamp, key string, value double",
+    )
+    t = TimeSeriesDataFrame.from_observations(obs, idx)
+    lagged = t.lags(2, include_originals=True)
+    assert lagged.index.size == 8
+    assert lagged.index.first() == pd.Timestamp("2015-04-11")
+    pdf = lagged.df.toPandas().pivot_table(
+        index="loc", columns="key", values="value", dropna=False
+    )
+    assert set(pdf.columns) == {"a", "lag1(a)", "lag2(a)"}
+    np.testing.assert_allclose(pdf["a"], np.arange(2.0, 10.0))
+    np.testing.assert_allclose(pdf["lag1(a)"], np.arange(1.0, 9.0))
+    np.testing.assert_allclose(pdf["lag2(a)"], np.arange(0.0, 8.0))
+
+
+def test_differences_and_quotients(spark):
+    df = spark.createDataFrame(
+        [("k", i, float(2**i)) for i in range(5)], "key string, loc long, value double"
+    )
+    d = lag_ops.differences(df, 1).orderBy("loc").toPandas()
+    np.testing.assert_allclose(d.value, [1.0, 2.0, 4.0, 8.0])
+    q = lag_ops.quotients(df, 1).orderBy("loc").toPandas()
+    np.testing.assert_allclose(q.value, [2.0, 2.0, 2.0, 2.0])
+    r = lag_ops.return_rates(df).orderBy("loc").toPandas()
+    np.testing.assert_allclose(r.value, [1.0, 1.0, 1.0, 1.0])
+
+
+# -- index algebra ----------------------------------------------------------
+
+def test_uniform_index_loc_arithmetic():
+    idx = uniform("2015-04-09", 10, DayFrequency(1))
+    assert idx.loc_at_datetime("2015-04-09") == 0
+    assert idx.loc_at_datetime("2015-04-14") == 5
+    assert idx.loc_at_datetime("2015-04-14 12:00") == -1  # off grid
+    assert idx.loc_at_datetime("2015-05-01") == -1  # out of range
+    assert idx.datetime_at_loc(9) == pd.Timestamp("2015-04-18")
+    assert idx.loc_at_or_before("2015-04-14 12:00") == 5
+    assert idx.loc_at_or_after("2015-04-14 12:00") == 6
+
+
+def test_index_slicing_and_islice():
+    idx = uniform("2015-04-09", 10, DayFrequency(1))
+    s = idx.slice("2015-04-11", "2015-04-14")
+    assert s.size == 4 and s.first() == pd.Timestamp("2015-04-11")
+    i = idx.islice(2, 6)
+    assert i.size == 4 and i.first() == pd.Timestamp("2015-04-11")
+
+
+def test_irregular_index_binary_search():
+    idx = irregular(["2015-01-01", "2015-01-03", "2015-01-07"])
+    assert idx.loc_at_datetime("2015-01-03") == 1
+    assert idx.loc_at_datetime("2015-01-04") == -1
+    assert idx.loc_at_or_before("2015-01-04") == 1
+    assert idx.loc_at_or_after("2015-01-04") == 2
+    assert idx.insertion_loc("2015-01-03") == 2
+
+
+def test_hybrid_index_prefix_sums():
+    h = sts.hybrid(
+        [
+            uniform("2015-01-01", 3, DayFrequency(1)),
+            irregular(["2015-02-01", "2015-02-05"]),
+            uniform("2015-03-01", 2, DayFrequency(1)),
+        ]
+    )
+    assert h.size == 7
+    assert h.datetime_at_loc(0) == pd.Timestamp("2015-01-01")
+    assert h.datetime_at_loc(3) == pd.Timestamp("2015-02-01")
+    assert h.datetime_at_loc(6) == pd.Timestamp("2015-03-02")
+    assert h.loc_at_datetime("2015-02-05") == 4
+    rt = sts.from_string(h.to_string())
+    assert rt.to_string() == h.to_string()
+
+
+def test_index_union():
+    a = uniform("2015-01-01", 3, DayFrequency(1))
+    b = irregular(["2015-01-02", "2015-01-10"])
+    u = sts.union([a, b])
+    assert u.size == 4  # 01,02,03,10 (02 deduplicated)
+    assert u.datetime_at_loc(3) == pd.Timestamp("2015-01-10")
+
+
+def test_index_to_df_matches_driver_side(spark):
+    for idx in [
+        uniform("2015-04-09", 10, DayFrequency(1)),
+        uniform("2015-04-09", 24, HourFrequency(2)),
+        uniform("2015-01-31", 4, MonthFrequency(1)),
+        uniform("2015-04-09", 9, BusinessDayFrequency(1)),
+        irregular(["2015-01-01", "2015-01-03 12:30", "2015-02-07"]),
+    ]:
+        got = idx.to_df(spark).orderBy("loc").toPandas()
+        want = idx.to_pandas()
+        assert len(got) == idx.size
+        assert list(pd.to_datetime(got.ts)) == list(want), idx
+
+
+def test_business_day_frequency():
+    f = BusinessDayFrequency(1)
+    fri = pd.Timestamp("2015-04-10")  # Friday
+    assert f.advance(fri, 1) == pd.Timestamp("2015-04-13")  # Monday
+    assert f.advance(fri, 5) == pd.Timestamp("2015-04-17")
+    assert f.difference(fri, pd.Timestamp("2015-04-13")) == 1
+    assert f.difference(pd.Timestamp("2015-04-06"), pd.Timestamp("2015-04-17")) == 9
+    with pytest.raises(ValueError):
+        f.advance(pd.Timestamp("2015-04-11"), 1)  # Saturday anchor
+    # negative advance back across a weekend
+    mon = pd.Timestamp("2015-04-13")
+    assert f.advance(mon, -1) == fri
+
+
+def test_month_frequency_end_clamping():
+    f = MonthFrequency(1)
+    jan31 = pd.Timestamp("2015-01-31")
+    assert f.advance(jan31, 1) == pd.Timestamp("2015-02-28")
+    assert f.difference(jan31, pd.Timestamp("2015-03-31")) == 2
+
+
+def test_next_business_day():
+    assert sts.next_business_day("2015-04-11") == pd.Timestamp("2015-04-13")
+    assert sts.next_business_day("2015-04-12") == pd.Timestamp("2015-04-13")
+    assert sts.next_business_day("2015-04-13") == pd.Timestamp("2015-04-13")
+
+
+def test_index_string_roundtrip_formats():
+    cases = [
+        uniform("2015-04-09", 10, DayFrequency(1)),
+        uniform("2015-04-09", 5, BusinessDayFrequency(1, 1)),
+        irregular(["2015-01-01", "2015-01-03"]),
+    ]
+    for idx in cases:
+        assert sts.from_string(idx.to_string()).to_string() == idx.to_string()

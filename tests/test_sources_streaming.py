@@ -1,0 +1,136 @@
+"""Save/load round-trips (reference sidecar formats), Yahoo CSV parsing,
+and Structured Streaming operators (file-source micro-batches)."""
+
+import os
+import shutil
+import tempfile
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spark_timeseries_spark import DayFrequency, TimeSeriesDataFrame, uniform
+from spark_timeseries_spark.sources import serde
+from spark_timeseries_spark.streaming import streaming_ewma, streaming_resample
+
+
+@pytest.fixture(scope="module")
+def conformed(spark):
+    rows = []
+    start = pd.Timestamp("2015-04-09")
+    for s, key in enumerate(["a", "b"]):
+        for i in range(6):
+            if (s, i) != (1, 2):
+                rows.append(
+                    ((start + pd.Timedelta(days=i)).to_pydatetime(), key, float(s * 10 + i))
+                )
+    df = spark.createDataFrame(rows, "ts timestamp, key string, value double")
+    idx = uniform("2015-04-09", 6, DayFrequency(1))
+    return TimeSeriesDataFrame.from_observations(df, idx)
+
+
+def _roundtrip_equal(t1, df2):
+    a = t1.df.orderBy("key", "loc").toPandas()
+    b = df2.orderBy("key", "loc").toPandas()
+    assert a.key.tolist() == b.key.tolist()
+    assert a["loc"].tolist() == b["loc"].tolist()
+    np.testing.assert_allclose(
+        a.value.to_numpy(dtype=float), b.value.to_numpy(dtype=float)
+    )
+
+
+def test_parquet_roundtrip_with_idx_sidecar(spark, conformed, tmp_path):
+    path = str(tmp_path / "ts_parquet")
+    serde.save_parquet(conformed.df, conformed.index, path)
+    assert os.path.exists(path + ".idx")
+    df2, idx2 = serde.load_parquet(spark, path)
+    assert idx2.to_string() == conformed.index.to_string()
+    _roundtrip_equal(conformed, df2)
+
+
+def test_csv_roundtrip_with_timeindex_sidecar(spark, conformed, tmp_path):
+    path = str(tmp_path / "ts_csv")
+    serde.save_csv(conformed.df, conformed.index, path)
+    assert os.path.exists(os.path.join(path, "timeIndex"))
+    df2, idx2 = serde.load_csv(spark, path)
+    assert idx2.size == 6
+    _roundtrip_equal(conformed, df2)
+
+
+def test_yahoo_csv_parser(spark, tmp_path):
+    csv = tmp_path / "GOOG.csv"
+    csv.write_text(
+        "Date,Open,High,Low,Close,Volume,Adj Close\n"
+        "2014-10-24,544.36,545.0,537.65,539.78,1053200,539.78\n"
+        "2014-10-23,548.28,549.62,541.75,543.98,1184500,543.98\n"
+    )
+    obs = serde.load_yahoo_csv(spark, str(csv), key_prefix="GOOG.")
+    pdf = obs.toPandas()
+    assert len(pdf) == 12  # 2 rows × 6 series
+    keys = set(pdf.key)
+    assert "GOOG.Close" in keys and "GOOG.AdjClose" in keys
+    close = pdf[(pdf.key == "GOOG.Close")].sort_values("ts")
+    assert close.value.tolist() == [543.98, 539.78]
+
+
+def test_streaming_resample_micro_batches(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    rows = [
+        (pd.Timestamp("2024-01-01 00:10").to_pydatetime(), "a", 1.0),
+        (pd.Timestamp("2024-01-01 00:40").to_pydatetime(), "a", 3.0),
+        (pd.Timestamp("2024-01-01 01:20").to_pydatetime(), "a", 5.0),
+        (pd.Timestamp("2024-01-01 00:30").to_pydatetime(), "b", 10.0),
+    ]
+    spark.createDataFrame(rows, "ts timestamp, key string, value double").write.parquet(
+        src + "/batch1"
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp, key string, value double")
+        .parquet(src + "/*")
+    )
+    agg = streaming_resample(stream, "1 hour", watermark="4 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("resampled")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from resampled").toPandas()
+    by = {(r.key, str(r.ts)): r.value for r in out.itertuples()}
+    assert by[("a", "2024-01-01 00:00:00")] == 2.0
+    assert by[("a", "2024-01-01 01:00:00")] == 5.0
+    assert by[("b", "2024-01-01 00:00:00")] == 10.0
+
+
+def test_streaming_ewma_state(spark, tmp_path):
+    src = str(tmp_path / "ewma_src")
+    os.makedirs(src)
+    rows = [
+        (pd.Timestamp("2024-01-01 00:00").to_pydatetime(), "a", 1.0),
+        (pd.Timestamp("2024-01-01 01:00").to_pydatetime(), "a", 2.0),
+        (pd.Timestamp("2024-01-01 02:00").to_pydatetime(), "a", 3.0),
+    ]
+    spark.createDataFrame(rows, "ts timestamp, key string, value double").write.parquet(
+        src + "/b1"
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp, key string, value double")
+        .parquet(src + "/*")
+    )
+    sm = streaming_ewma(stream, smoothing=0.5, watermark="1 minute")
+    q = (
+        sm.writeStream.format("memory")
+        .queryName("ewma_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from ewma_out order by ts").toPandas()
+    # S0=1, S1=.5*2+.5*1=1.5, S2=.5*3+.5*1.5=2.25
+    np.testing.assert_allclose(out.smoothed.to_numpy(), [1.0, 1.5, 2.25])
