@@ -373,17 +373,24 @@ def _q_cosine_dup_pairs(spark, sf_dir):
     are near-orthogonal, max pairwise ≈ 0.51) — brute force as the
     correctness baseline; the LSH-bucketed variant is ``minhash``-style
     approximate and checked rows-only separately."""
-    from spark_timeseries_spark.pipeline.dedup import cosine
-
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    a = emb.withColumnsRenamed({"vec_id": "id_a", "v": "va"})
-    b = emb.withColumnsRenamed({"vec_id": "id_b", "v": "vb"})
+    # pre-normalize each vector ONCE so the pairwise stage folds a single
+    # dot product instead of three (dot + two norms) per pair
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    emb = emb.select(
+        "vec_id", F.transform("v", lambda x: x / norm).alias("u")
+    )
+    a = emb.withColumnsRenamed({"vec_id": "id_a", "u": "ua"})
+    b = emb.withColumnsRenamed({"vec_id": "id_b", "u": "ub"})
+    dot = F.aggregate(
+        F.zip_with("ua", "ub", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x
+    )
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cosine", dot)
         .where(F.col("cosine") >= 0.35)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )

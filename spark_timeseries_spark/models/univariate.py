@@ -371,7 +371,8 @@ def fit_holt_winters(
         return HoltWintersModel(period, p[0], p[1], p[2], model_type).sse(y)
 
     x = nelder_mead(
-        f, np.array([0.3, 0.1, 0.1]), bounds=[(0.0, 1.0)] * 3, step=0.2
+        f, np.array([0.3, 0.1, 0.1]), bounds=[(0.0, 1.0)] * 3, step=0.2,
+        max_iter=400, tol=1e-8,
     )
     m = HoltWintersModel(period, float(x[0]), float(x[1]), float(x[2]), model_type)
     m.sse_ = m.sse(y)

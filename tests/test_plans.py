@@ -1,0 +1,138 @@
+"""Physical-plan regression tests — the 100 TB design contract.
+
+BASELINE.md's engine budget: series-wise transforms (fill/lag/diff/roll) must
+add ZERO exchanges beyond the initial partition-by-key; layout conversions
+exactly one. These tests pin that by counting Exchange/Sort operators in the
+executed plan, and verify predicate pushdown + column pruning reach the
+parquet scan.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+import spark_timeseries_spark as sts
+from spark_timeseries_spark.operators import (
+    fill as fill_ops,
+    filters,
+    lag as lag_ops,
+    layout,
+    resample as resample_ops,
+    rolling,
+)
+from spark_timeseries_spark.sources import events_observations
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _counts(df):
+    p = _plan(df)
+    shuffles = len(re.findall(r"Exchange hashpartitioning", p)) + len(
+        re.findall(r"Exchange rangepartitioning", p)
+    )
+    sorts = len(re.findall(r"\bSort \[", p))
+    return shuffles, sorts, p
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    """A conformed grid materialized as a local DataFrame so downstream
+    plans contain ONLY the operator under test."""
+    import pandas as pd
+
+    rows = []
+    start = pd.Timestamp("2024-01-01")
+    for k in range(5):
+        for i in range(31):
+            rows.append(
+                (str(k), i, (start + pd.Timedelta(days=i)).to_pydatetime(),
+                 float(k * 100 + i) if (k + i) % 7 else None)
+            )
+    return spark.createDataFrame(
+        rows, "key string, loc long, ts timestamp, value double"
+    )
+
+
+def test_series_transforms_single_sort_zero_extra_exchanges(spark, grid):
+    """fill→fill→roll stacks five window functions on ONE (key, loc) sort;
+    no exchange between them (cached input is already materialized)."""
+    chain = rolling.roll_mean(
+        fill_ops.fill_linear(fill_ops.fill_previous(grid)), 7
+    )
+    shuffles, sorts, p = _counts(chain)
+    assert sorts == 1, p
+    assert shuffles <= 1, p  # at most the partition-by-key on top of the cache
+    assert p.count("Window") >= 5
+
+
+def test_lag_diff_chain_shares_window_partitioning(spark, grid):
+    chain = lag_ops.differences(lag_ops.differences(grid, 1), 1)
+    shuffles, sorts, p = _counts(chain)
+    assert shuffles <= 1, p
+    # chained differences reuse the same sort ordering
+    assert sorts == 1, p
+
+
+def test_lags_fanout_single_exchange(spark, grid):
+    out = lag_ops.lags(grid, 3)
+    shuffles, sorts, p = _counts(out)
+    assert shuffles <= 1, p
+    assert sorts == 1, p
+
+
+def test_slice_pushdown_reaches_parquet_scan(spark):
+    obs = events_observations(spark, SF)
+    sliced = filters.slice_by_time(
+        obs, "2024-01-10", "2024-01-20", rebase_loc=False
+    )
+    p = _plan(sliced)
+    assert "PushedFilters" in p
+    # the ts range predicate must be pushed into the scan (on the raw long
+    # nanos column after our conversion it stays as a data filter; the
+    # user_id/value pruning shows in ReadSchema)
+    m = re.search(r"ReadSchema: ([^\n]*)", p)
+    assert m and "event_type" not in m.group(1), p  # column pruning works
+
+
+def test_column_pruning_on_series_stats(spark):
+    obs = events_observations(spark, SF)
+    stats = layout.series_stats(obs)
+    p = _plan(stats)
+    m = re.search(r"ReadSchema: ([^\n]*)", p)
+    assert m is not None
+    assert "props" not in m.group(1) and "event_type" not in m.group(1), p
+
+
+def test_resample_is_one_shuffle_plus_broadcasts(spark):
+    obs = events_observations(spark, SF)
+    idx = sts.uniform("2024-01-01", 31, sts.DayFrequency(1))
+    out = resample_ops.resample(obs, idx, "avg")
+    shuffles, sorts, p = _counts(out)
+    # one shuffle for the (key, loc) aggregate + one for distinct keys
+    # (each may appear as partial+final pair pre-AQE); join sides broadcast
+    assert shuffles <= 4, p
+    assert "BroadcastExchange" in p
+
+
+def test_uniform_bucket_loc_is_pure_arithmetic(spark):
+    """No join/explode in the bucket assignment for uniform fixed-step
+    targets: the loc must be computed in the scan's project."""
+    obs = events_observations(spark, SF)
+    idx = sts.uniform("2024-01-01", 31 * 24, sts.HourFrequency(1))
+    binned = obs.withColumn(
+        "loc", resample_ops.bucket_loc(F.col("ts"), idx)
+    )
+    p = _plan(binned)
+    assert "Exchange" not in p, p
+    assert "Generate" not in p  # no explode
+
+
+def test_filter_by_instant_uses_broadcast_anti_join(spark, grid):
+    out = filters.remove_instants_with_nans(grid, rebase_loc=False)
+    p = _plan(out)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
