@@ -427,6 +427,212 @@ def _q_winnowing_fingerprints(spark, sf_dir):
     return text_ops.winnowing_fingerprints(docs, k=5, keep=8)
 
 
+# -- manipulation-parity operators (SURVEY §2.3-2.8 widening) ----------------
+
+_IRREG_INSTANTS = [
+    "2024-01-02", "2024-01-05", "2024-01-07", "2024-01-11", "2024-01-13",
+    "2024-01-17", "2024-01-19", "2024-01-23", "2024-01-29",
+]
+
+
+def _q_lags(spark, sf_dir):
+    """lags(2): per-series lagged copies as new series ``lag{i}(k)``,
+    first 2 stamps trimmed (``TimeSeriesRDD.scala:77-100``)."""
+    from spark_timeseries_spark.operators import lag as lag_ops
+
+    grid = _daily_grid(spark, sf_dir).where(F.col("key").isin("0", "1", "2"))
+    return lag_ops.lags(grid, 2)
+
+
+def _q_quotients(spark, sf_dir):
+    from spark_timeseries_spark.operators import lag as lag_ops
+
+    obs = events_observations(spark, sf_dir)
+    out = lag_ops.quotients(obs, 1, order_col="ts")
+    return out.select("key", "ts", F.col("value").alias("quot"))
+
+
+def _q_fill_next(spark, sf_dir):
+    grid = _daily_grid(spark, sf_dir)
+    return fill_ops.fill_next(grid).select("key", "loc", "ts", "value")
+
+
+def _q_fill_nearest(spark, sf_dir):
+    grid = _daily_grid(spark, sf_dir)
+    return fill_ops.fill_nearest(grid).select("key", "loc", "ts", "value")
+
+
+def _q_fill_zero(spark, sf_dir):
+    grid = _daily_grid(spark, sf_dir)
+    return fill_ops.fill(grid, "zero").select("key", "loc", "ts", "value")
+
+
+def _q_resample_closed_right(spark, sf_dir):
+    """closed-right / stamp-left regime: windows (cur, next]
+    (``Resample.scala:62-86``)."""
+    obs = events_observations(spark, sf_dir)
+    res = resample_ops.resample(obs, DAILY, "sum", closed_right=True)
+    return res.select("key", "loc", "ts", F.round("value", 6).alias("value"))
+
+
+def _q_downsample(spark, sf_dir):
+    grid = _daily_grid(spark, sf_dir)
+    return resample_ops.downsample(grid, 3).select("key", "loc", "ts", "value")
+
+
+def _q_upsample(spark, sf_dir):
+    grid = _daily_grid(spark, sf_dir).where(F.col("key").isin("0", "1", "2"))
+    return resample_ops.upsample(grid, 2).select("key", "loc", "value")
+
+
+def _q_rebase_uniform(spark, sf_dir):
+    """withIndex onto a shifted daily index (``TimeSeriesRDD.scala:554-563``):
+    common instants survive, new instants are NULL."""
+    from spark_timeseries_spark.operators import align as align_ops
+
+    shifted = sts.uniform("2024-01-05", 31, sts.DayFrequency(1))
+    return align_ops.with_index(_daily_grid(spark, sf_dir), shifted)
+
+
+def _q_rebase_irregular(spark, sf_dir):
+    """Rebase onto an irregular index — exercises the index-DataFrame
+    equi-join path of ``attach_loc`` (vs the uniform arithmetic path)."""
+    from spark_timeseries_spark.operators import align as align_ops
+
+    idx = sts.irregular(_IRREG_INSTANTS)
+    return align_ops.with_index(_daily_grid(spark, sf_dir), idx)
+
+
+def _q_diff_by_frequency(spark, sf_dir):
+    """Backward as-of difference vs the value at/just-before t − 7 days
+    (``TimeSeries.scala:200-235``) as a native range window."""
+    from spark_timeseries_spark.operators import lag as lag_ops
+
+    obs = events_observations(spark, sf_dir)
+    out = lag_ops.differences_by_frequency(obs, 7 * 86_400_000_000)
+    return out.select("key", "ts", F.col("value").alias("diff7"))
+
+
+def _q_ewma_smooth(spark, sf_dir):
+    """EWMA(0.3) addTimeDependentEffects over every series
+    (``EWMA.scala:125-143``); oracle is the closed-form window sum."""
+    from spark_timeseries_spark.models import apply_model_effects
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
+    out = apply_model_effects(filled, "ewma", [0.3], add=True)
+    # raw doubles are bit-identical to the oracle's recursion; use the same
+    # floor-based rounding on both sides (engine ROUND() tie-breaks differ)
+    rounded = F.floor(F.col("value") * 1e6 + F.lit(0.5)) / 1e6
+    return out.select("key", "loc", rounded.alias("value"))
+
+
+def _q_lb_test(spark, sf_dir):
+    """Ljung-Box(3) per series; the oracle recomputes it from Pearson lag
+    correlations — a strong value check on a 'model-side' statistic."""
+    from spark_timeseries_spark.models import test_series
+
+    obs = events_observations(spark, sf_dir)
+    out = test_series(obs, "ljung_box", order_col="ts", max_lag=3)
+    return out.select("key", F.round("stat", 6).alias("lb_stat"))
+
+
+def _q_business_days(spark, sf_dir):
+    """Business-day scalar kernel: nextBusinessDay + closed-form business-day
+    difference from 2024-01-01 (``Frequency.scala:143-189``,
+    ``DateTimeIndex.scala:855-869``) — pure JVM column arithmetic."""
+    from spark_timeseries_spark import functions as ts_fns
+
+    obs = events_observations(spark, sf_dir)
+    start = F.lit("2024-01-01").cast("timestamp")
+    return obs.select(
+        "key",
+        "ts",
+        ts_fns.next_business_day(F.col("ts")).alias("nbd"),
+        ts_fns.business_day_difference(start, F.col("ts")).alias("bd"),
+    )
+
+
+def _q_filter_by_instant(spark, sf_dir):
+    grid = _daily_grid(spark, sf_dir).where(F.col("key").isin("1", "2", "3"))
+    out = filters.filter_by_instant(
+        grid, F.col("value") >= 10.0, rebase_loc=False
+    )
+    return out.select("key", "ts", "value")
+
+
+def _q_to_observations(spark, sf_dir):
+    return layout.to_observations(_daily_grid(spark, sf_dir))
+
+
+def _q_index_union(spark, sf_dir):
+    """DateTimeIndex.union as a distributed sorted-distinct
+    (``DateTimeIndexUtils.scala:80-153``)."""
+    import datetime as dt
+
+    from spark_timeseries_spark.operators import align as align_ops
+
+    extra = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1),),
+            (dt.datetime(2024, 1, 15, 12, 0, 0),),
+            (dt.datetime(2024, 2, 2),),
+        ],
+        "ts timestamp",
+    )
+    return align_ops.union_index_df(DAILY.to_df(spark), extra)
+
+
+def _q_multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: opaque binary column + JVM-side typed metadata
+    (size / digest) — the scale-out filter keys that precede any decode."""
+    from spark_timeseries_spark.pipeline import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "media", F.encode("text", "UTF-8")
+    )
+    out = mm.attach_binary_metadata(docs, "media", "text/plain")
+    return out.select("doc_id", "media_size", "media_digest")
+
+
+# -- model-surface widening (rows-only: non-SQL-expressible estimators) ------
+
+def _q_arima_forecast(spark, sf_dir):
+    from spark_timeseries_spark.models import forecast as model_forecast
+
+    obs = events_observations(spark, sf_dir)
+    return model_forecast(obs, "arima", 5, order_col="ts", p=1, d=1, q=1)
+
+
+def _q_garch_fit(spark, sf_dir):
+    from spark_timeseries_spark.models import fit_models
+
+    obs = events_observations(spark, sf_dir)
+    return fit_models(obs, "garch", order_col="ts")
+
+
+def _q_ewma_fit(spark, sf_dir):
+    from spark_timeseries_spark.models import fit_models
+
+    obs = events_observations(spark, sf_dir)
+    return fit_models(obs, "ewma", order_col="ts")
+
+
+def _q_fill_spline(spark, sf_dir):
+    grid = _daily_grid(spark, sf_dir).where(F.col("key").isin("0", "1", "2"))
+    out = fill_ops.fill_spline(grid)
+    return out.select("key", "loc", "ts", F.round("value", 6).alias("value"))
+
+
+def _q_image_features(spark, sf_dir):
+    from spark_timeseries_spark.pipeline import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "media", F.encode("text", "UTF-8")
+    )
+    return mm.decode_image_features(docs, fake=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "series_stats": _q_series_stats,
@@ -463,12 +669,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_topk": _q_lsh_topk,
         "winnowing_fingerprints": _q_winnowing_fingerprints,
+        "lags": _q_lags,
+        "quotients": _q_quotients,
+        "fill_next": _q_fill_next,
+        "fill_nearest": _q_fill_nearest,
+        "fill_zero": _q_fill_zero,
+        "resample_closed_right": _q_resample_closed_right,
+        "downsample": _q_downsample,
+        "upsample": _q_upsample,
+        "rebase_uniform": _q_rebase_uniform,
+        "rebase_irregular": _q_rebase_irregular,
+        "diff_by_frequency": _q_diff_by_frequency,
+        "ewma_smooth": _q_ewma_smooth,
+        "lb_test": _q_lb_test,
+        "business_days": _q_business_days,
+        "filter_by_instant": _q_filter_by_instant,
+        "to_observations": _q_to_observations,
+        "index_union": _q_index_union,
+        "multimodal_meta": _q_multimodal_meta,
+        "arima_forecast": _q_arima_forecast,
+        "garch_fit": _q_garch_fit,
+        "ewma_fit": _q_ewma_fit,
+        "fill_spline": _q_fill_spline,
+        "image_features": _q_image_features,
     }
 
 
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
+
+# prev/next bracketing values+positions — shared by fill_linear / fill_nearest
+_AUG_SQL = """
+    , aug AS (
+        SELECT key, loc, ts, value,
+            last_value(value IGNORE NULLS) OVER wb AS pv,
+            last_value(CASE WHEN value IS NOT NULL THEN loc END IGNORE NULLS)
+                OVER wb AS pi,
+            first_value(value IGNORE NULLS) OVER wf AS nv,
+            first_value(CASE WHEN value IS NOT NULL THEN loc END IGNORE NULLS)
+                OVER wf AS ni
+        FROM grid
+        WINDOW wb AS (PARTITION BY key ORDER BY loc
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY key ORDER BY loc
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+"""
+
+# linear → previous → next fill chain (dense, non-null everywhere a key has
+# any data) — mirrors the Spark-side prep of the EWMA/Holt-Winters queries
+_FILLED_SQL = _AUG_SQL + """
+    , lin AS (
+        -- parenthesized exactly like the engine (frac computed first):
+        -- pv + (nv-pv)*frac, frac = (loc-pi)/(ni-pi) — keeps the fill
+        -- bit-identical so the downstream smoothing recursion matches too
+        SELECT key, loc, ts,
+               CASE WHEN value IS NOT NULL THEN value
+                    WHEN pv IS NULL OR nv IS NULL THEN NULL
+                    ELSE pv + (nv - pv) * ((CAST(loc AS DOUBLE) - pi) / (ni - pi))
+               END AS value
+        FROM aug
+    ),
+    fprev AS (
+        SELECT key, loc, ts,
+               last_value(value IGNORE NULLS) OVER (
+                   PARTITION BY key ORDER BY loc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        FROM lin
+    ),
+    filled AS (
+        SELECT key, loc, ts,
+               first_value(value IGNORE NULLS) OVER (
+                   PARTITION BY key ORDER BY loc
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS value
+        FROM fprev
+    )
+"""
+
+_IRREG_VALUES = ", ".join(
+    f"({i}, TIMESTAMP '{t}')" for i, t in enumerate(_IRREG_INSTANTS)
+)
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -782,5 +1064,203 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT qid, vec_id, ROUND(sim, 4) AS sim, rank
             FROM ranked WHERE rank <= 5
+        """,
+        "lags": _DAILY_GRID_SQL
+        + """
+            , g AS (SELECT key, loc, ts, value FROM grid
+                    WHERE key IN ('0','1','2')),
+            l AS (
+                SELECT key, loc, ts, value,
+                       lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2
+                FROM g WINDOW w AS (PARTITION BY key ORDER BY loc)
+            )
+            SELECT key, loc, ts, value FROM l WHERE loc >= 2
+            UNION ALL
+            SELECT 'lag1(' || key || ')' AS key, loc, ts, l1 AS value
+            FROM l WHERE loc >= 2
+            UNION ALL
+            SELECT 'lag2(' || key || ')' AS key, loc, ts, l2 AS value
+            FROM l WHERE loc >= 2
+        """,
+        "quotients": """
+            SELECT * FROM (
+                SELECT CAST(user_id AS VARCHAR) AS key, ts,
+                       value / lag(value) OVER (PARTITION BY user_id ORDER BY ts)
+                           AS quot
+                FROM events
+            ) WHERE quot IS NOT NULL
+        """,
+        "fill_next": _DAILY_GRID_SQL
+        + """
+            SELECT key, loc, ts,
+                   first_value(value IGNORE NULLS) OVER (
+                       PARTITION BY key ORDER BY loc
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS value
+            FROM grid
+        """,
+        "fill_nearest": _DAILY_GRID_SQL + _AUG_SQL
+        + """
+            SELECT key, loc, ts,
+                   CASE WHEN value IS NOT NULL THEN value
+                        WHEN pv IS NULL THEN nv
+                        WHEN nv IS NULL THEN pv
+                        WHEN loc - pi <= ni - loc THEN pv
+                        ELSE nv END AS value
+            FROM aug
+        """,
+        "fill_zero": _DAILY_GRID_SQL
+        + """
+            SELECT key, loc, ts, COALESCE(value, 0.0) AS value FROM grid
+        """,
+        "resample_closed_right": """
+            WITH keys AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS key FROM events),
+            cal AS (
+                SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01', g) AS BIGINT) AS loc,
+                       CAST(g AS TIMESTAMP) AS ts
+                FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31',
+                                     INTERVAL 1 DAY) t(g)
+            ),
+            b AS (
+                SELECT CAST(user_id AS VARCHAR) AS key,
+                       LEAST(CAST(ceil((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                                       / 86400000000.0) AS BIGINT), 31) - 1 AS loc,
+                       value
+                FROM events
+            ),
+            agg AS (
+                SELECT key, loc, ROUND(SUM(value), 6) AS value FROM b
+                WHERE loc >= 0 GROUP BY 1, 2
+            )
+            SELECT keys.key, cal.loc, cal.ts, agg.value
+            FROM keys CROSS JOIN cal
+            LEFT JOIN agg ON agg.key = keys.key AND agg.loc = cal.loc
+        """,
+        "downsample": _DAILY_GRID_SQL
+        + """
+            SELECT key, loc, ts, value FROM grid WHERE loc % 3 = 0
+        """,
+        "upsample": _DAILY_GRID_SQL
+        + """
+            , g AS (SELECT * FROM grid WHERE key IN ('0','1','2')),
+            locs AS (SELECT CAST(x AS BIGINT) AS loc
+                     FROM generate_series(0, 60) t(x)),
+            k AS (SELECT DISTINCT key FROM g)
+            SELECT k.key, locs.loc, g.value
+            FROM k CROSS JOIN locs
+            LEFT JOIN g ON g.key = k.key AND g.loc * 2 = locs.loc
+        """,
+        "rebase_uniform": """
+            WITH keys AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS key FROM events),
+            cal AS (
+                SELECT CAST(date_diff('day', TIMESTAMP '2024-01-05', g) AS BIGINT) AS loc,
+                       CAST(g AS TIMESTAMP) AS ts
+                FROM generate_series(TIMESTAMP '2024-01-05', TIMESTAMP '2024-02-04',
+                                     INTERVAL 1 DAY) t(g)
+            ),
+            agg AS (
+                SELECT CAST(user_id AS VARCHAR) AS key, date_trunc('day', ts) AS ts,
+                       ROUND(AVG(value), 6) AS value
+                FROM events GROUP BY 1, 2
+            )
+            SELECT keys.key, cal.loc, cal.ts, agg.value
+            FROM keys CROSS JOIN cal
+            LEFT JOIN agg ON agg.key = keys.key AND agg.ts = cal.ts
+        """,
+        "rebase_irregular": f"""
+            WITH keys AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS key FROM events),
+            inst AS (SELECT * FROM (VALUES {_IRREG_VALUES}) AS t(loc, ts)),
+            agg AS (
+                SELECT CAST(user_id AS VARCHAR) AS key, date_trunc('day', ts) AS ts,
+                       ROUND(AVG(value), 6) AS value
+                FROM events GROUP BY 1, 2
+            )
+            SELECT keys.key, CAST(inst.loc AS BIGINT) AS loc, inst.ts, agg.value
+            FROM keys CROSS JOIN inst
+            LEFT JOIN agg ON agg.key = keys.key AND agg.ts = inst.ts
+        """,
+        "diff_by_frequency": """
+            WITH e AS (
+                SELECT CAST(user_id AS VARCHAR) AS key, ts, value FROM events
+            ),
+            a AS (SELECT key, ts, ts - INTERVAL 7 DAY AS cutoff, value FROM e)
+            SELECT a.key, a.ts, a.value - b.value AS diff7
+            FROM a ASOF JOIN e b
+            ON a.key = b.key AND a.cutoff >= b.ts
+        """,
+        # the smoothing recursion is replayed with a recursive CTE using the
+        # SAME per-step expression as the model kernel (0.3·x + 0.7·s), so
+        # both sides are bit-identical — no closed-form FP amplification
+        "ewma_smooth": "WITH RECURSIVE" + _DAILY_GRID_SQL.lstrip().removeprefix("WITH")
+        + _FILLED_SQL
+        + """
+            , r AS (
+                SELECT key, loc, value AS s FROM filled WHERE loc = 0
+                UNION ALL
+                SELECT f.key, f.loc, 0.3 * f.value + 0.7 * r.s
+                FROM r JOIN filled f ON f.key = r.key AND f.loc = r.loc + 1
+            )
+            SELECT key, loc, FLOOR(s * 1000000 + 0.5) / 1000000 AS value FROM r
+        """,
+        "lb_test": """
+            WITH l AS (
+                SELECT CAST(user_id AS VARCHAR) AS key, value,
+                       lag(value, 1) OVER w AS l1,
+                       lag(value, 2) OVER w AS l2,
+                       lag(value, 3) OVER w AS l3
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            a AS (
+                SELECT key, COUNT(*) AS n,
+                       corr(value, l1) AS r1, corr(value, l2) AS r2,
+                       corr(value, l3) AS r3
+                FROM l GROUP BY 1
+            )
+            SELECT key,
+                   ROUND(n * (n + 2) * (r1*r1/(n-1) + r2*r2/(n-2) + r3*r3/(n-3)),
+                         6) AS lb_stat
+            FROM a
+        """,
+        "business_days": """
+            WITH d AS (
+                SELECT CAST(user_id AS VARCHAR) AS key, ts,
+                       isodow(ts) - 1 AS dow,
+                       date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days
+                FROM events
+            )
+            SELECT key, ts,
+                   CASE WHEN dow = 5 THEN ts + INTERVAL 2 DAY
+                        WHEN dow = 6 THEN ts + INTERVAL 1 DAY
+                        ELSE ts END AS nbd,
+                   CAST((days // 7) * 5 + LEAST(days % 7, 4) AS BIGINT) AS bd
+            FROM d
+        """,
+        "filter_by_instant": _DAILY_GRID_SQL
+        + """
+            , g AS (SELECT * FROM grid WHERE key IN ('1','2','3'))
+            SELECT key, ts, value FROM g
+            WHERE ts NOT IN (SELECT ts FROM g WHERE value < 10.0)
+        """,
+        "to_observations": _DAILY_GRID_SQL
+        + """
+            SELECT ts, key, value FROM grid WHERE value IS NOT NULL
+        """,
+        "index_union": """
+            WITH u AS (
+                SELECT CAST(g AS TIMESTAMP) AS ts
+                FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31',
+                                     INTERVAL 1 DAY) t(g)
+                UNION
+                SELECT * FROM (VALUES (TIMESTAMP '2024-01-01'),
+                                      (TIMESTAMP '2024-01-15 12:00:00'),
+                                      (TIMESTAMP '2024-02-02')) v(ts)
+            )
+            SELECT CAST(row_number() OVER (ORDER BY ts) - 1 AS BIGINT) AS loc, ts
+            FROM u
+        """,
+        "multimodal_meta": """
+            SELECT doc_id, octet_length(encode(text)) AS media_size,
+                   md5(text) AS media_digest
+            FROM documents
         """,
     }

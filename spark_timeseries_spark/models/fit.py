@@ -214,6 +214,37 @@ def residuals(
     return _spread(df, key_col).groupBy(key_col).applyInPandas(_resid, schema=out_schema)
 
 
+def apply_model_effects(
+    df: DataFrame,
+    model: str,
+    params,
+    add: bool = True,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+    **kwargs,
+) -> DataFrame:
+    """Distributed ``addTimeDependentEffects`` / ``removeTimeDependentEffects``
+    (``models/TimeSeriesModel.scala:23-45``): apply a model's filter (or its
+    inverse) to every series with ONE fixed parameter vector. Grouped-map
+    pandas UDF; the value column is replaced in place, schema unchanged."""
+    import numpy as np
+
+    params = np.asarray(params, dtype=float)
+    m = _model_obj(model, params, kwargs)
+
+    def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        y = pdf[value_col].to_numpy(dtype=float, na_value=np.nan)
+        out = m.add_effects(y) if add else m.remove_effects(y)
+        pdf[value_col] = [None if np.isnan(v) else float(v) for v in out]
+        return pdf
+
+    return _spread(df, key_col).groupBy(key_col).applyInPandas(
+        _apply, schema=df.schema
+    )
+
+
 def test_series(
     df: DataFrame,
     test: str,

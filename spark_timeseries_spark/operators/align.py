@@ -143,5 +143,7 @@ def union_index_df(*dfs: DataFrame, ts_col: str = "ts") -> DataFrame:
 
     w = Window.orderBy("ts")
     return (
-        out.distinct().withColumn("loc", F.row_number().over(w) - 1).select("loc", "ts")
+        out.distinct()
+        .withColumn("loc", (F.row_number().over(w) - 1).cast("long"))
+        .select("loc", "ts")
     )

@@ -115,6 +115,36 @@ def return_rates(
     )
 
 
+def differences_by_frequency(
+    df: DataFrame,
+    freq_us: int,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Difference vs the value at/just-before ``t − freq`` with skip-back over
+    missing values (``TimeSeries.scala:200-235``) — a backward as-of self-join
+    expressed as a native range window: ``last(value, ignorenulls) OVER
+    (PARTITION BY key ORDER BY unix_micros(ts) RANGE BETWEEN UNBOUNDED
+    PRECEDING AND freq PRECEDING)``. Rows with no base observation (the first
+    ``freq`` of each series) are dropped, matching the reference's NaN head.
+
+    Pure JVM plan — one exchange on the key, one sort, no join, no Python —
+    so the as-of scales exactly like any other window op."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(Window.unboundedPreceding, -int(freq_us))
+    )
+    base = F.last(value_col, ignorenulls=True).over(w)
+    return (
+        df.withColumn("_base", base)
+        .where(F.col("_base").isNotNull())
+        .withColumn(value_col, F.col(value_col) - F.col("_base"))
+        .drop("_base")
+    )
+
+
 def differences_of_order_d(
     df: DataFrame,
     d: int,

@@ -276,3 +276,78 @@ def test_index_string_roundtrip_formats():
     ]
     for idx in cases:
         assert sts.from_string(idx.to_string()).to_string() == idx.to_string()
+
+
+def test_business_day_column_exprs_match_driver_kernels(spark):
+    """The JVM column expressions (functions/datetime.py) must agree with the
+    driver-side BusinessDayFrequency arithmetic over a long date span
+    (weekends, month/year rollovers)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from spark_timeseries_spark import functions as ts_fns
+
+    start = pd.Timestamp("2024-01-01")  # a Monday
+    days = [start + pd.Timedelta(days=i) for i in range(120)]
+    df = spark.createDataFrame(
+        [(d.to_pydatetime(),) for d in days], "ts timestamp"
+    )
+    got = (
+        df.select(
+            "ts",
+            ts_fns.next_business_day(F.col("ts")).alias("nbd"),
+            ts_fns.business_day_difference(
+                F.lit("2024-01-01").cast("timestamp"), F.col("ts")
+            ).alias("bd"),
+        )
+        .orderBy("ts")
+        .collect()
+    )
+    f = BusinessDayFrequency(1, 1)
+    for row in got:
+        d = pd.Timestamp(row.ts)
+        assert pd.Timestamp(row.nbd) == sts.next_business_day(d)
+        assert row.bd == f.difference(start, d)
+
+
+def test_differences_by_frequency_asof_semantics(spark):
+    """Backward as-of base: value at/just-before t − freq
+    (``TimeSeries.scala:200-235``), first rows without a base dropped."""
+    import datetime as dt
+
+    from spark_timeseries_spark.operators.lag import differences_by_frequency
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1), 1.0),
+        ("a", dt.datetime(2024, 1, 2), 5.0),
+        ("a", dt.datetime(2024, 1, 4), 10.0),
+        ("a", dt.datetime(2024, 1, 5, 12), 20.0),
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    out = differences_by_frequency(df, 2 * 86_400_000_000)  # 2 days
+    got = {r.ts: r.value for r in out.collect()}
+    # Jan 4: base = value at/just-before Jan 2 → 5.0; diff 5.0
+    # Jan 5 12:00: base = at/just-before Jan 3 12:00 → Jan 2 (5.0); diff 15.0
+    assert got == {
+        dt.datetime(2024, 1, 4): 5.0,
+        dt.datetime(2024, 1, 5, 12): 15.0,
+    }
+
+
+def test_apply_model_effects_ewma_roundtrip(spark):
+    """add_effects ∘ remove_effects ≈ identity for a fixed EWMA parameter
+    (``models/TimeSeriesModel.scala:23-45`` surface)."""
+    import datetime as dt
+
+    from spark_timeseries_spark.models import apply_model_effects
+
+    rows = [
+        ("k", i, dt.datetime(2024, 1, 1 + i), float(v))
+        for i, v in enumerate([3.0, 7.0, 2.0, 9.0, 4.0, 6.0])
+    ]
+    df = spark.createDataFrame(rows, "key string, loc long, ts timestamp, value double")
+    smoothed = apply_model_effects(df, "ewma", [0.4], add=True)
+    back = apply_model_effects(smoothed, "ewma", [0.4], add=False)
+    got = [r.value for r in back.orderBy("loc").collect()]
+    assert np.allclose(got, [3.0, 7.0, 2.0, 9.0, 4.0, 6.0])
