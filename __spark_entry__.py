@@ -65,6 +65,18 @@ def _daily_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumn("value", F.round("value", 6))
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents spread across all cores. The test corpus is one small
+    parquet file (one scan partition); the shingling/fingerprint pipelines
+    are CPU-bound per document, so a 1.5 MB round-robin shuffle buys full
+    parallelism. At real scale the scan has thousands of splits and this
+    repartition is still wanted — it decouples downstream CPU work from
+    input-file skew (a giant file no longer serializes its documents)."""
+    return load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: irregular events → daily alignment → linear fill →
     7-day rolling mean (the Phase-0 slice of SURVEY.md §7)."""
@@ -288,23 +300,23 @@ def _q_fingerprint(spark, sf_dir):
 
 
 def _q_ngram_jaccard_pairs(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.trim("text"), r"\s+")
-    sh = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(words) - 3),
-                    lambda i: F.concat_ws(
-                        " ", words[i], words[i + 1], words[i + 2]
-                    ),
-                )
-            ).alias("sh"),
-        )
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    """Exact 3-gram Jaccard pairs via an inverted-index self-join on 64-bit
+    shingle hashes. The per-doc signature table (doc_id, hash array) is
+    computed once and persisted — it feeds three consumers (both join sides
+    and the size table), and shingling is the expensive part; joining on
+    longs instead of strings keeps the shuffle narrow. xxhash64 collisions
+    across ~10⁵ distinct shingles are ~10⁻⁹-probable and deterministic."""
+    from spark_timeseries_spark.pipeline import dedup as dd
+
+    docs = _docs_spread(spark, sf_dir)
+    sigs = docs.select(
+        "doc_id",
+        F.transform(
+            dd.shingles(F.col("text"), 3), lambda s: F.xxhash64(s)
+        ).alias("hs"),
+    ).persist()
+    sh = sigs.select("doc_id", F.explode("hs").alias("sh"))
+    sizes = sigs.select("doc_id", F.size("hs").alias("n"))
     pairs = (
         sh.alias("a")
         .join(sh.alias("b"), "sh")
@@ -370,36 +382,22 @@ def _q_quality_score(spark, sf_dir):
 
 def _q_cosine_dup_pairs(spark, sf_dir):
     """Exact embedding near-dup pairs (cosine ≥ 0.35; the synthetic vectors
-    are near-orthogonal, max pairwise ≈ 0.51) — brute force as the
-    correctness baseline; the LSH-bucketed variant is ``minhash``-style
+    are near-orthogonal, max pairwise ≈ 0.51) — exact blocked-GEMM all-pairs
+    (one BLAS product per block pair); the LSH-bucketed variant is
     approximate and checked rows-only separately."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    # pre-normalize each vector ONCE so the pairwise stage folds a single
-    # dot product instead of three (dot + two norms) per pair
-    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
-    emb = emb.select(
-        "vec_id", F.transform("v", lambda x: x / norm).alias("u")
-    )
-    a = emb.withColumnsRenamed({"vec_id": "id_a", "u": "ua"})
-    b = emb.withColumnsRenamed({"vec_id": "id_b", "u": "ub"})
-    dot = F.aggregate(
-        F.zip_with("ua", "ub", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x
-    )
-    return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", dot)
-        .where(F.col("cosine") >= 0.35)
-        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    from spark_timeseries_spark.pipeline import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.blocked_all_pairs_cosine(emb, threshold=0.35, num_blocks=8)
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
     )
 
 
 def _q_minhash_lsh_dedup(spark, sf_dir):
     from spark_timeseries_spark.pipeline import dedup as dd
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     return dd.dedup_minhash_lsh(docs, threshold=0.3).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -408,7 +406,7 @@ def _q_minhash_lsh_dedup(spark, sf_dir):
 def _q_simhash_near_dups(spark, sf_dir):
     from spark_timeseries_spark.pipeline import dedup as dd
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     return dd.simhash_near_dups(dd.simhash(docs), max_hamming=8)
 
 
@@ -423,7 +421,7 @@ def _q_lsh_topk(spark, sf_dir):
 def _q_winnowing_fingerprints(spark, sf_dir):
     from spark_timeseries_spark.pipeline import text as text_ops
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     return text_ops.winnowing_fingerprints(docs, k=5, keep=8)
 
 

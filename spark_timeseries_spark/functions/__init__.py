@@ -3,6 +3,7 @@
 ``DateTimeIndex.scala:820-869``, ``TimeSeriesUtils.scala:303-310``) as pure
 Spark SQL expressions — JVM-side, whole-stage-codegen friendly."""
 
+from .hof import let  # noqa: F401
 from .datetime import (  # noqa: F401
     business_day_difference,
     iso_dow,

@@ -26,6 +26,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from spark_timeseries_spark.functions import let
+
 
 def content_digest(text: Column, normalize: bool = True) -> Column:
     """Stable digest for exact dedup; optional whitespace/case normalization."""
@@ -51,22 +53,48 @@ def dedup_exact(
 def shingles(
     text: Column, n: int = 3, as_words: bool = True
 ) -> Column:
-    """Word (default) or character n-gram shingle array."""
+    """Word (default) or character n-gram shingle array.
+
+    The tokenization/normalization is ``let``-bound so the lambda sees a
+    plain variable — capturing the split/replace expression directly would
+    re-run it per array element (interpreted HOF), turning shingling
+    quadratic in document length.
+    """
     if as_words:
-        words = F.split(F.trim(text), r"\s+")
-        return F.array_distinct(
+        return let(
+            F.split(F.trim(text), r"\s+"),
+            lambda words: F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+                    lambda i: F.concat_ws(
+                        " ", *[words[i + j] for j in range(n)]
+                    ),
+                )
+            ),
+        )
+    return let(
+        text,
+        lambda t: F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-                lambda i: F.concat_ws(
-                    " ", *[words[i + j] for j in range(n)]
-                ),
+                F.sequence(F.lit(0), F.greatest(F.length(t) - n, F.lit(0))),
+                lambda i: t.substr(i + 1, F.lit(n)),
             )
-        )
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.length(text) - n, F.lit(0))),
-            lambda i: text.substr(i + 1, F.lit(n)),
-        )
+        ),
+    )
+
+
+def shingle_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sh ARRAY<STRING>) distinct-shingle signature table. Shingling is
+    the expensive stage of every text-dedup pipeline, so callers that need it
+    more than once (signatures + exact verify) should ``.persist()`` the
+    result — it is ~2 orders of magnitude smaller than the corpus."""
+    return df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
     )
 
 
@@ -79,11 +107,22 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig ARRAY<BIGINT>[num_hashes]) — min over shingle xxhash64 per
     seed. Entirely JVM expressions; one shuffle (groupBy id after explode)."""
-    sh = df.select(
-        id_col, F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+    sets = shingle_sets(df, text_col, id_col, shingle_n).withColumnRenamed(
+        "id", id_col
     )
+    return minhash_signatures_from_sets(sets, id_col)
+
+
+def minhash_signatures_from_sets(
+    sets: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_col: str = "sh",
+) -> DataFrame:
+    """Signatures from a precomputed (id, shingle-array) table."""
+    sh = sets.select(id_col, F.explode(shingle_col).alias("_s"))
     aggs = [
-        F.min(F.xxhash64("sh", F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)
+        F.min(F.xxhash64("_s", F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)
     ]
     sig = sh.groupBy(id_col).agg(*aggs)
     return sig.select(
@@ -138,11 +177,13 @@ def jaccard_verify(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.7,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact Jaccard on candidate pairs only → (id_a, id_b, jaccard)."""
-    sets = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
-    )
+    """Exact Jaccard on candidate pairs only → (id_a, id_b, jaccard).
+    Pass a precomputed/persisted ``sets`` (from :func:`shingle_sets`) to
+    avoid re-shingling the corpus."""
+    if sets is None:
+        sets = shingle_sets(df, text_col, id_col, shingle_n)
     return (
         candidates.join(sets.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sets.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
@@ -166,10 +207,16 @@ def dedup_minhash_lsh(
     shingle_n: int = 3,
 ) -> DataFrame:
     """End-to-end near-dup pair detection: signatures → LSH candidates →
-    exact verification."""
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    exact verification. The shingle-set table is computed once and persisted;
+    it feeds both the signature stage and the exact-verify join."""
+    sets = shingle_sets(df, text_col, id_col, shingle_n).persist()
+    sig = minhash_signatures_from_sets(
+        sets.withColumnRenamed("id", id_col), id_col, num_hashes
+    )
     cand = minhash_lsh_candidates(sig, id_col, bands, num_hashes // bands)
-    return jaccard_verify(df, cand, text_col, id_col, shingle_n, threshold)
+    return jaccard_verify(
+        df, cand, text_col, id_col, shingle_n, threshold, sets=sets
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -16,6 +16,8 @@ All variants return (qid, vec_id, sim, rank).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -33,6 +35,85 @@ def _ranked(scored: DataFrame, k: int) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("qid", "vec_id", "sim", "rank")
     )
+
+
+def blocked_all_pairs_cosine(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via blocked BLAS matrix products.
+
+    Vectors are hashed into ``num_blocks`` blocks; each of the
+    ``num_blocks·(num_blocks+1)/2`` block pairs becomes one Arrow batch whose
+    pandas stage computes a single normalized matrix product ``A·Bᵀ``. This
+    replaces the n²·d interpreted array-fold of a naive self-join (measured
+    ~60 s for 2k×2k×64 at sf0.1) with vectorized numpy (<1 s), while keeping
+    the work distributed: block pairs are embarrassingly parallel tasks.
+
+    At scale, pick ``num_blocks ≈ n·d·8B / (task memory budget)`` so one
+    block pair fits in executor memory; the task count grows quadratically
+    but each task is a dense GEMM — the canonical blocked all-pairs design.
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine unrounded.
+    """
+    e = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(num_blocks))
+        .cast("int")
+        .alias("blk"),
+    )
+    blocks = e.groupBy("blk").agg(
+        F.collect_list(F.struct("id", "v")).alias("items")
+    )
+    pairs = (
+        blocks.select(F.col("blk").alias("blk_a"), F.col("items").alias("items_a"))
+        .join(
+            blocks.select(
+                F.col("blk").alias("blk_b"), F.col("items").alias("items_b")
+            ),
+            F.col("blk_a") <= F.col("blk_b"),
+        )
+        # one block pair per task: the GEMM is the unit of parallelism
+        .repartition(num_blocks * (num_blocks + 1) // 2, "blk_a", "blk_b")
+    )
+
+    def compute(batches):
+        for pdf in batches:
+            ids_a, ids_b, sims = [], [], []
+            for row in pdf.itertuples(index=False):
+                ia = np.fromiter((x["id"] for x in row.items_a), dtype=np.int64)
+                A = np.vstack([np.asarray(x["v"], dtype=np.float64) for x in row.items_a])
+                A /= np.linalg.norm(A, axis=1, keepdims=True)
+                if row.blk_a == row.blk_b:
+                    ib, B = ia, A
+                else:
+                    ib = np.fromiter((x["id"] for x in row.items_b), dtype=np.int64)
+                    B = np.vstack(
+                        [np.asarray(x["v"], dtype=np.float64) for x in row.items_b]
+                    )
+                    B /= np.linalg.norm(B, axis=1, keepdims=True)
+                G = A @ B.T
+                ii, jj = np.nonzero(G >= threshold)
+                lo, hi = ia[ii], ib[jj]
+                keep = lo < hi if row.blk_a == row.blk_b else lo != hi
+                g = G[ii[keep], jj[keep]]
+                lo, hi = lo[keep], hi[keep]
+                ids_a.append(np.minimum(lo, hi))
+                ids_b.append(np.maximum(lo, hi))
+                sims.append(g)
+            if ids_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(ids_a),
+                        "id_b": np.concatenate(ids_b),
+                        "cosine": np.concatenate(sims),
+                    }
+                )
+
+    return pairs.mapInPandas(compute, "id_a long, id_b long, cosine double")
 
 
 def brute_force_topk(

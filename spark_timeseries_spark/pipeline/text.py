@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from spark_timeseries_spark.functions import let
+
 # Small high-frequency word lexicons for the n-gram/stopword language
 # heuristic. (Deterministic, self-contained; real deployments would swap in
 # fastText-style models via the same operator shape.)
@@ -116,12 +118,21 @@ def winnowing_fingerprints(
     """Winnowing-style robust fingerprint: hash all character k-grams, keep
     the ``keep`` smallest hashes (a deterministic min-sketch of content that
     survives small edits) → (id, fingerprints ARRAY<BIGINT>)."""
-    t = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.length(t) - k, F.lit(0))),
-        lambda i: t.substr(i + 1, F.lit(k)),
+    # let-bind the normalized text: capturing the regexp_replace expression
+    # in the k-gram lambda would re-run the regex once PER CHARACTER
+    # (interpreted HOF), i.e. O(len²) per document — measured 8× slower.
+    hashes = let(
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "),
+        lambda t: F.transform(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.length(t) - k, F.lit(0))),
+                    lambda i: t.substr(i + 1, F.lit(k)),
+                )
+            ),
+            lambda g: F.xxhash64(g),
+        ),
     )
-    hashes = F.transform(F.array_distinct(grams), lambda g: F.xxhash64(g))
     return df.select(
         id_col, F.slice(F.array_sort(hashes), 1, keep).alias("fingerprints")
     )
