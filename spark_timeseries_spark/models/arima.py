@@ -43,6 +43,39 @@ def inverse_difference(dy: np.ndarray, heads: list[np.ndarray]) -> np.ndarray:
     return out
 
 
+def _css_residuals(
+    dy: np.ndarray, c: float, ar: np.ndarray, ma: np.ndarray
+) -> np.ndarray:
+    """Zero-init CSS innovations e_t = dy_t − c − Σφᵢdy_{t−i} − Σθⱼe_{t−j}.
+
+    The AR part is vectorized (shifted-array subtraction); only the MA
+    feedback needs a sequential scan, and that loop carries q scalar ops per
+    step. This sits in the innermost optimizer loop — the fully nested-loop
+    form cost ~0.9 s per 7k-eval fit and dominated distributed model stages.
+    """
+    n = len(dy)
+    p, q = len(ar), len(ma)
+    u = dy - c
+    for i in range(1, p + 1):
+        u[i:] -= ar[i - 1] * dy[:-i]
+    if q == 0:
+        return u
+    e = np.zeros(n)
+    if q == 1:
+        th = ma[0]
+        prev = 0.0
+        for t in range(n):
+            prev = u[t] - th * prev
+            e[t] = prev
+    else:
+        for t in range(n):
+            acc = u[t]
+            for j in range(1, min(q, t) + 1):
+                acc -= ma[j - 1] * e[t - j]
+            e[t] = acc
+    return e
+
+
 @dataclass
 class ARIMAModel:
     p: int
@@ -68,19 +101,7 @@ class ARIMAModel:
     # -- CSS machinery -----------------------------------------------------
     def _residuals(self, dy: np.ndarray) -> np.ndarray:
         """Recursive innovations on the differenced series (zero-init)."""
-        c, ar, ma = self.c, self.ar, self.ma
-        n = len(dy)
-        e = np.zeros(n)
-        for t in range(n):
-            pred = c
-            for i in range(1, self.p + 1):
-                if t - i >= 0:
-                    pred += ar[i - 1] * dy[t - i]
-            for j in range(1, self.q + 1):
-                if t - j >= 0:
-                    pred += ma[j - 1] * e[t - j]
-            e[t] = dy[t] - pred
-        return e
+        return _css_residuals(dy, self.c, self.ar, self.ma)
 
     def log_likelihood_css(self, y: np.ndarray) -> float:
         dy = difference(np.asarray(y, dtype=float), self.d)
@@ -219,11 +240,26 @@ def fit_arima(
     else:
         x0 = hannan_rissanen(dy, p, q, include_intercept)
 
-    def neg_ll(params):
-        m = ARIMAModel(p, d, q, params, include_intercept)
-        return -m.log_likelihood_css(y)
+    # objective on the precomputed differenced series; coefficient layout
+    # matches ARIMAModel ([c?, ar_1..p, ma_1..q])
+    s = 1 if include_intercept else 0
+    n_cond = len(dy) - p
+    log2pi = np.log(2 * np.pi)
 
-    x = nelder_mead(neg_ll, x0, step=0.05, max_iter=4000)
+    def neg_ll(params):
+        c = float(params[0]) if include_intercept else 0.0
+        e = _css_residuals(dy, c, params[s : s + p], params[s + p :])
+        err = e[p:]
+        css = float(err @ err)
+        if css <= 0 or n_cond <= 0:
+            return np.inf
+        return 0.5 * n_cond * (np.log(css / n_cond) + log2pi + 1.0)
+
+    # tol 1e-8 on the simplex spread reaches the reference's own ±0.05
+    # parameter tolerance (ARIMASuite.scala:39-55); the previous 1e-10/4000
+    # budget made flat-likelihood series burn ~7000 evals for noise-level
+    # movement
+    x = nelder_mead(neg_ll, x0, step=0.05, max_iter=1500, tol=1e-8)
     return ARIMAModel(p, d, q, x, include_intercept)
 
 
