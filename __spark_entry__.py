@@ -489,7 +489,10 @@ def _q_rebase_uniform(spark, sf_dir):
     from spark_timeseries_spark.operators import align as align_ops
 
     shifted = sts.uniform("2024-01-05", 31, sts.DayFrequency(1))
-    return align_ops.with_index(_daily_grid(spark, sf_dir), shifted)
+    # keys from the raw source scan — rebuilding them from the daily-grid
+    # pipeline would re-execute the whole resample plan a second time
+    keys = events_observations(spark, sf_dir).select("key")
+    return align_ops.with_index(_daily_grid(spark, sf_dir), shifted, keys_df=keys)
 
 
 def _q_rebase_irregular(spark, sf_dir):
@@ -498,7 +501,8 @@ def _q_rebase_irregular(spark, sf_dir):
     from spark_timeseries_spark.operators import align as align_ops
 
     idx = sts.irregular(_IRREG_INSTANTS)
-    return align_ops.with_index(_daily_grid(spark, sf_dir), idx)
+    keys = events_observations(spark, sf_dir).select("key")
+    return align_ops.with_index(_daily_grid(spark, sf_dir), idx, keys_df=keys)
 
 
 def _q_diff_by_frequency(spark, sf_dir):

@@ -31,9 +31,6 @@ def main():
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # keep Python grouped-map stages parallel: AQE's byte-based
-        # coalescing would serialize CPU-bound pandas UDFs on small inputs
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -37,14 +37,12 @@ def _spread(df: DataFrame, key_col: str) -> DataFrame:
     """Repartition by key with an EXPLICIT partition count before a
     grouped-map stage. Without this, AQE coalesces the small shuffled input
     to one partition and the (CPU-bound, Python-side) per-series estimators
-    run serially — the classic small-input/expensive-UDF mismatch.
-
-    AQE's byte-based coalescing cannot see Python CPU cost, so we also stop
-    it from shrinking these exchanges below the core count (runtime conf,
-    idempotent; measured 37s → 11s for 1500 Holt-Winters fits on local[32])."""
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
-    n = spark.sparkContext.defaultParallelism
+    run serially — the classic small-input/expensive-UDF mismatch. AQE's
+    byte-based coalescing cannot see Python CPU cost, but it preserves
+    user-specified repartition counts, so this explicit repartition is
+    enough — no session-wide coalescing override (which would force
+    full-width task counts on every tiny JVM shuffle in the plan)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n, key_col)
 
 

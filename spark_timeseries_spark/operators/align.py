@@ -80,6 +80,7 @@ def from_observations(
     key_col: str = "key",
     value_col: str = "value",
     dense: bool = True,
+    keys_df: DataFrame | None = None,
 ) -> DataFrame:
     """Conform a long observations table to ``index``: returns the canonical
     conformed layout ``(key, loc, ts, value)`` with one row per key×instant
@@ -88,7 +89,14 @@ def from_observations(
 
     Duplicate observations for the same (key, instant) keep the last one by
     timestamp order (the reference overwrites by arrival; we make it
-    deterministic)."""
+    deterministic).
+
+    ``keys_df``: optional one-column key universe for the dense grid. By
+    default keys are derived from ``df`` itself — which re-executes ``df``'s
+    whole plan a second time when ``df`` is an expensive pipeline. Callers
+    that know a cheap key source (the raw source table, a dimension table)
+    should pass it; this is the same driver-side-keys problem the reference
+    has at ``TimeSeriesRDD.scala:56``, solved distributively."""
     obs = (
         attach_loc(
             df.select(
@@ -105,7 +113,11 @@ def from_observations(
     if not dense:
         idx = index.to_df(df.sparkSession)
         return obs.join(F.broadcast(idx), "loc").select("key", "loc", "ts", "value")
-    keys = df.select(F.col(key_col).cast("string").alias("key")).distinct()
+    keys = (
+        keys_df.select(F.col(keys_df.columns[0]).cast("string").alias("key"))
+        if keys_df is not None
+        else df.select(F.col(key_col).cast("string").alias("key"))
+    ).distinct()
     grid = keys.crossJoin(F.broadcast(index.to_df(df.sparkSession)))
     return grid.join(obs, ["key", "loc"], "left").select("key", "loc", "ts", "value")
 
@@ -117,11 +129,13 @@ def with_index(
     ts_col: str = "ts",
     value_col: str = "value",
     dense: bool = True,
+    keys_df: DataFrame | None = None,
 ) -> DataFrame:
     """Rebase a conformed frame onto a new index (``TimeSeriesRDD.scala:554-563``):
     values at instants present in both indices survive; instants only in the
     new index become NULL. Replaces all four specialized rebaser paths of
-    ``TimeSeriesUtils.scala:78-221`` with one join plan."""
+    ``TimeSeriesUtils.scala:78-221`` with one join plan. See
+    :func:`from_observations` for ``keys_df``."""
     return from_observations(
         df.where(F.col(value_col).isNotNull()),
         new_index,
@@ -129,6 +143,7 @@ def with_index(
         key_col=key_col,
         value_col=value_col,
         dense=dense,
+        keys_df=keys_df,
     )
 
 
