@@ -635,6 +635,111 @@ def _q_image_features(spark, sf_dir):
     return mm.decode_image_features(docs, fake=True)
 
 
+def _xy_daily(spark, sf_dir):
+    """Per-user daily (y=avg value, x=event count) pairs — the exogenous-
+    regressor fixture for ARX/ARIMAX/RegressionARIMA surfaces."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("user_id").cast("string").alias("key"),
+            F.date_trunc("day", "ts").alias("ts"),
+        )
+        .agg(F.avg("value").alias("value"), F.count("*").cast("double").alias("x"))
+        .withColumn("loc", F.datediff("ts", F.lit("2024-01-01")).cast("long"))
+    )
+
+
+def _q_arx_fit(spark, sf_dir):
+    """ARX(1,1) per series: y on its own lag + current/lagged event count
+    (``AutoregressionX.scala:48-68``); rows-only (OLS over a lagged design
+    matrix is not reasonably SQL-expressible)."""
+    from spark_timeseries_spark.models import fit_xreg_models
+
+    return fit_xreg_models(
+        _xy_daily(spark, sf_dir), "arx", ["x"], y_max_lag=1, x_max_lag=1
+    ).select("key", "model", F.col("params").alias("params"))
+
+
+def _q_arimax_forecast(spark, sf_dir):
+    """ARIMAX(1,0,1)+xreg CSS fit per series (``ARIMAX.scala:59-87``);
+    rows-only. Restricted to a key subset — the estimator is the point, not
+    bulk throughput (arima_forecast covers that)."""
+    from spark_timeseries_spark.models import fit_xreg_models
+
+    xy = _xy_daily(spark, sf_dir).where(F.col("key").cast("long") < 100)
+    return fit_xreg_models(
+        xy, "arimax", ["x"], p=1, d=0, q=1, xreg_max_lag=0
+    ).select("key", "model", "params", "aux")
+
+
+def _q_regression_arima(spark, sf_dir):
+    """Regression with AR(1) errors via iterated Cochrane-Orcutt
+    (``RegressionARIMA.scala:83-160``); aux = [rho, dw, iterations]."""
+    from spark_timeseries_spark.models import fit_xreg_models
+
+    return fit_xreg_models(
+        _xy_daily(spark, sf_dir), "regression_arima", ["x"]
+    ).select("key", "model", "params", "aux")
+
+
+def _q_bg_test(spark, sf_dir):
+    from spark_timeseries_spark.models import test_series
+
+    obs = events_observations(spark, sf_dir)
+    return test_series(obs, "breusch_godfrey", order_col="ts", max_lag=2)
+
+
+def _q_bp_test(spark, sf_dir):
+    from spark_timeseries_spark.models import test_series
+
+    obs = events_observations(spark, sf_dir)
+    return test_series(obs, "breusch_pagan", order_col="ts")
+
+
+def _q_auto_arima(spark, sf_dir):
+    """Hyndman-Khandakar stepwise order selection (``ARIMA.scala:280-375``)
+    on a key subset; returns the chosen (p,d,q) as the params head."""
+    from spark_timeseries_spark.models import fit_models
+
+    obs = events_observations(spark, sf_dir).where(F.col("key").cast("long") < 20)
+    return fit_models(obs, "arima_auto", order_col="ts")
+
+
+def _q_roll_sum_center(spark, sf_dir):
+    """roll_sum(5, center): result stamped at the window's center position
+    with boundary trim (``TimeSeriesRDD.scala:611-621`` alignment arm)."""
+    grid = _daily_grid(spark, sf_dir)
+    out = rolling.roll_sum(grid, 5, "center")
+    return out.select("key", "loc", F.round("value", 6).alias("value"))
+
+
+def _q_to_series_digest(spark, sf_dir):
+    """Series-layout materialization (``users.md:76-87``): per-key dense
+    double array; compared via an order-sensitive digest projection (first,
+    last, length, checksum) since array cells with NaN defeat row equality."""
+    grid = _daily_grid(spark, sf_dir)
+    ser = layout.to_series(grid)
+    nn = F.filter("series", lambda v: ~F.isnan(v))
+    return ser.select(
+        "key",
+        F.size("series").alias("n"),
+        F.size(nn).alias("n_obs"),
+        F.round(
+            F.aggregate(nn, F.lit(0.0), lambda acc, v: acc + v), 6
+        ).alias("checksum"),
+    )
+
+
+def _q_ivf_topk(spark, sf_dir):
+    """IVF-flat approximate top-k (sampled centroid lists, nprobe probing) —
+    the third similarity-search strategy next to brute force and LSH."""
+    from spark_timeseries_spark.pipeline import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    return sim.ivf_topk(emb, q, k=5, n_centroids=16, nprobe=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "series_stats": _q_series_stats,
@@ -694,6 +799,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_fit": _q_ewma_fit,
         "fill_spline": _q_fill_spline,
         "image_features": _q_image_features,
+        "arx_fit": _q_arx_fit,
+        "arimax_forecast": _q_arimax_forecast,
+        "regression_arima": _q_regression_arima,
+        "bg_test": _q_bg_test,
+        "bp_test": _q_bp_test,
+        "auto_arima": _q_auto_arima,
+        "roll_sum_center": _q_roll_sum_center,
+        "to_series_digest": _q_to_series_digest,
+        "ivf_topk": _q_ivf_topk,
     }
 
 
@@ -1264,5 +1378,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, octet_length(encode(text)) AS media_size,
                    md5(text) AS media_digest
             FROM documents
+        """,
+        "roll_sum_center": _DAILY_GRID_SQL
+        + """
+            , rolled AS (
+                SELECT key, loc,
+                       count(*) OVER w AS nrows, count(value) OVER w AS nvals,
+                       sum(value) OVER w AS s
+                FROM grid
+                WINDOW w AS (PARTITION BY key ORDER BY loc
+                             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+            )
+            SELECT key, loc,
+                   ROUND(CASE WHEN nvals = 5 THEN s END, 6) AS value
+            FROM rolled WHERE nrows = 5
+        """,
+        "to_series_digest": _DAILY_GRID_SQL
+        + """
+            SELECT key,
+                   CAST(COUNT(*) AS INT) AS n,
+                   CAST(COUNT(value) AS INT) AS n_obs,
+                   ROUND(COALESCE(SUM(value), 0.0), 6) AS checksum
+            FROM grid GROUP BY key
         """,
     }

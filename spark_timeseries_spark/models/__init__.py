@@ -7,7 +7,14 @@ from .arx import (
     fit_arx,
     fit_regression_arima_cochrane_orcutt,
 )
-from .fit import apply_model_effects, fit_models, forecast, residuals, test_series
+from .fit import (
+    apply_model_effects,
+    fit_models,
+    fit_xreg_models,
+    forecast,
+    residuals,
+    test_series,
+)
 from .univariate import (
     ARGARCHModel,
     ARModel,
@@ -25,7 +32,7 @@ __all__ = [
     "ARIMAModel", "auto_fit", "fit_arima",
     "ARIMAXModel", "ARXModel", "RegressionARIMAModel",
     "fit_arimax", "fit_arx", "fit_regression_arima_cochrane_orcutt",
-    "apply_model_effects", "fit_models", "forecast", "residuals", "test_series",
+    "apply_model_effects", "fit_models", "fit_xreg_models", "forecast", "residuals", "test_series",
     "ARGARCHModel", "ARModel", "EWMAModel", "GARCHModel", "HoltWintersModel",
     "fit_ar", "fit_ar_garch", "fit_ewma", "fit_garch", "fit_holt_winters",
 ]

@@ -189,7 +189,9 @@ def fit_arimax(
         )
         return m.css(y, xreg)
 
-    best = nelder_mead(obj, x0, step=0.05, max_iter=4000)
+    # same budget rationale as fit_arima: 1e-8 relative simplex spread is
+    # well inside the reference's own assertion tolerances
+    best = nelder_mead(obj, x0, step=0.05, max_iter=1500, tol=1e-8)
     return ARIMAXModel(
         p, d, q, xreg_max_lag, include_original_xreg, include_intercept, best
     )

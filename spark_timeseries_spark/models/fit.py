@@ -243,6 +243,82 @@ def apply_model_effects(
     )
 
 
+def fit_xreg_models(
+    df: DataFrame,
+    model: str,
+    xreg_cols: list[str],
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+    **kwargs,
+) -> DataFrame:
+    """Per-series estimation with exogenous regressors →
+    (key, model, params ARRAY<double>, aux ARRAY<double>).
+
+    ``model`` ∈ arx (``AutoregressionX.scala:48-68``) | arimax
+    (``ARIMAX.scala:59-87``) | regression_arima (Cochrane-Orcutt,
+    ``RegressionARIMA.scala:83-160``). ``aux`` carries model-specific
+    extras: arx → [y_max_lag, x_max_lag]; arimax → [p, d, q];
+    regression_arima → [rho, dw, iterations]."""
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf[key_col].iloc[0]
+        pdf = pdf.sort_values(order_col)
+        y = pdf[value_col].to_numpy(dtype=float, na_value=np.nan)
+        X = pdf[list(xreg_cols)].to_numpy(dtype=float, na_value=np.nan)
+        mask = ~np.isnan(y) & ~np.isnan(X).any(axis=1)
+        y, X = y[mask], X[mask]
+        params, aux = np.array([]), np.array([])
+        try:
+            if model == "arx":
+                yl = kwargs.get("y_max_lag", 1)
+                xl = kwargs.get("x_max_lag", 1)
+                m = arx_mod.fit_arx(
+                    y, X, yl, xl,
+                    kwargs.get("include_original_x", True),
+                    kwargs.get("no_intercept", False),
+                )
+                params = np.concatenate([[m.c], m.coefficients])
+                aux = np.array([yl, xl], dtype=float)
+            elif model == "arimax":
+                p = kwargs.get("p", 1)
+                d = kwargs.get("d", 0)
+                q = kwargs.get("q", 0)
+                m = arx_mod.fit_arimax(
+                    y, X, p, d, q,
+                    kwargs.get("xreg_max_lag", 0),
+                    kwargs.get("include_original_xreg", True),
+                    kwargs.get("include_intercept", True),
+                )
+                params = np.asarray(m.coefficients, dtype=float)
+                aux = np.array([p, d, q], dtype=float)
+            elif model == "regression_arima":
+                m = arx_mod.fit_regression_arima_cochrane_orcutt(
+                    y, X, kwargs.get("max_iter", 10)
+                )
+                params = np.asarray(m.beta, dtype=float)
+                aux = np.array([m.rho, m.dw, m.iterations], dtype=float)
+            else:
+                raise ValueError(f"unknown xreg model {model}")
+        except ValueError:
+            raise
+        except Exception:
+            pass
+        return pd.DataFrame(
+            {
+                "key": [key],
+                "model": [model],
+                "params": [params.tolist()],
+                "aux": [aux.tolist()],
+            }
+        )
+
+    return _spread(df, key_col).groupBy(key_col).applyInPandas(
+        _fit,
+        schema="key string, model string, params array<double>, aux array<double>",
+    )
+
+
 def test_series(
     df: DataFrame,
     test: str,
@@ -252,8 +328,11 @@ def test_series(
     **kwargs,
 ) -> DataFrame:
     """Per-series statistical test → (key, stat, p_value). ``test`` ∈
-    adf | kpss | dw | ljung_box; p_value is NaN for tests that return
-    critical values instead (kpss) or none (dw)."""
+    adf | kpss | dw | ljung_box | breusch_godfrey | breusch_pagan; p_value
+    is NaN for tests that return critical values instead (kpss) or none
+    (dw). The BG/BP auxiliary regressions use a linear time trend as the
+    factor matrix (the per-series analog of the reference's caller-supplied
+    ``factors``, ``TimeSeriesStatisticalTests.scala:276-329``)."""
     from ..stats import tests as st
 
     def _t(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -271,6 +350,12 @@ def test_series(
                 stat = st.durbin_watson(y)
             elif test == "ljung_box":
                 stat, p = st.ljung_box(y, kwargs.get("max_lag", 10))
+            elif test == "breusch_godfrey":
+                trend = np.arange(len(y), dtype=float)[:, None]
+                stat, p = st.breusch_godfrey(y, trend, kwargs.get("max_lag", 1))
+            elif test == "breusch_pagan":
+                trend = np.arange(len(y), dtype=float)[:, None]
+                stat, p = st.breusch_pagan(y, trend)
             else:
                 raise ValueError(f"unknown test {test}")
         except ValueError:

@@ -91,3 +91,60 @@ def test_roll_alignments_consistent(spark, obs, index):
     # same window sums regardless of alignment; only stamping differs
     np.testing.assert_allclose(vals["left"], vals["center"])
     np.testing.assert_allclose(vals["left"], vals["right"])
+
+
+def test_fit_xreg_models_distributed(spark):
+    """ARX / Cochrane-Orcutt through the grouped-map surface: two series
+    generated from known (beta, x-effect); recovered coefficients land
+    within the reference's own tolerance bands."""
+    from spark_timeseries_spark.models import fit_xreg_models
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for key in ("a", "b"):
+        x = rng.uniform(0, 10, 200)
+        y = np.zeros(200)
+        for t in range(1, 200):
+            y[t] = 1.0 + 0.5 * y[t - 1] + 2.0 * x[t] + 0.1 * rng.standard_normal()
+        for i in range(200):
+            rows.append((key, i, float(y[i]), float(x[i])))
+    df = spark.createDataFrame(rows, "key string, loc long, value double, x double")
+
+    out = fit_xreg_models(df, "arx", ["x"], y_max_lag=1, x_max_lag=0).toPandas()
+    assert set(out.key) == {"a", "b"}
+    for _, r in out.iterrows():
+        c, phi, beta = r.params[0], r.params[1], r.params[2]
+        assert abs(phi - 0.5) < 0.05 and abs(beta - 2.0) < 0.05
+
+    # Cochrane-Orcutt wants its own DGP: static regression + AR(1) errors
+    rows2 = []
+    for key in ("a", "b"):
+        x = rng.uniform(0, 10, 300)
+        u = np.zeros(300)
+        for t in range(1, 300):
+            u[t] = 0.8 * u[t - 1] + 0.2 * rng.standard_normal()
+        y = 1.0 + 2.0 * x + u
+        for i in range(300):
+            rows2.append((key, i, float(y[i]), float(x[i])))
+    df2 = spark.createDataFrame(rows2, "key string, loc long, value double, x double")
+    ro = fit_xreg_models(df2, "regression_arima", ["x"]).toPandas()
+    assert set(ro.key) == {"a", "b"}
+    for _, r in ro.iterrows():
+        assert abs(r.params[1] - 2.0) < 0.05  # x effect net of AR(1) errors
+
+
+def test_series_tests_bg_bp_distributed(spark):
+    from spark_timeseries_spark.models import test_series
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for key in ("w", "v"):
+        y = rng.standard_normal(150)
+        for i in range(150):
+            rows.append((key, i, float(y[i])))
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    for test in ("breusch_godfrey", "breusch_pagan"):
+        out = test_series(df, test).toPandas()
+        assert set(out.key) == {"w", "v"}
+        # white noise: no serial correlation / heteroskedasticity
+        assert (out.p_value > 0.01).all(), (test, out)
