@@ -620,6 +620,13 @@ def _q_ewma_fit(spark, sf_dir):
     return fit_models(obs, "ewma", order_col="ts")
 
 
+def _q_argarch_fit(spark, sf_dir):
+    from spark_timeseries_spark.models import fit_models
+
+    obs = events_observations(spark, sf_dir)
+    return fit_models(obs, "argarch", order_col="ts")
+
+
 def _q_fill_spline(spark, sf_dir):
     grid = _daily_grid(spark, sf_dir).where(F.col("key").isin("0", "1", "2"))
     out = fill_ops.fill_spline(grid)
@@ -797,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arima_forecast": _q_arima_forecast,
         "garch_fit": _q_garch_fit,
         "ewma_fit": _q_ewma_fit,
+        "argarch_fit": _q_argarch_fit,
         "fill_spline": _q_fill_spline,
         "image_features": _q_image_features,
         "arx_fit": _q_arx_fit,

@@ -75,6 +75,29 @@ def test_yahoo_csv_parser(spark, tmp_path):
     assert close.value.tolist() == [543.98, 539.78]
 
 
+def test_yahoo_directory_reader(spark, tmp_path):
+    d = tmp_path / "yahoo"
+    d.mkdir()
+    (d / "GOOG.csv").write_text(
+        "Date,Open,High,Low,Close,Volume,Adj Close\n"
+        "2014-10-24,544.36,545.0,537.65,539.78,1053200,539.78\n"
+        "2014-10-23,548.28,549.62,541.75,543.98,1184500,543.98\n"
+    )
+    (d / "AAPL.csv").write_text(
+        "Date,Open,High,Low,Close,Volume,Adj Close\n"
+        "2014-10-24,105.0,106.0,104.0,105.2,900000,105.2\n"
+    )
+    from spark_timeseries_spark.sources import read_yahoo_observations
+
+    pdf = read_yahoo_observations(spark, str(d)).toPandas()
+    assert len(pdf) == 18  # (2 + 1) rows × 6 fields
+    keys = set(pdf.key)
+    assert "GOOG.csvClose" in keys and "AAPL.csvClose" in keys
+    assert "GOOG.csvAdjClose" in keys
+    goog_close = pdf[pdf.key == "GOOG.csvClose"].sort_values("ts")
+    assert goog_close.value.tolist() == [543.98, 539.78]
+
+
 def test_streaming_resample_micro_batches(spark, tmp_path):
     src = str(tmp_path / "stream_src")
     os.makedirs(src)
