@@ -315,9 +315,10 @@ class HoltWintersModel:
         level0 = ybar - slope * xbar
         return level0, slope, init_season
 
-    def components(self, y: np.ndarray):
+    def components(self, y: np.ndarray, init_state=None):
         """(fitted, level, trend, season) recurrences
-        (``HoltWinters.scala:180-226``)."""
+        (``HoltWinters.scala:180-226``). ``init_state`` lets a fitting loop
+        precompute the (α,β,γ)-independent ``_init`` once per series."""
         y = np.asarray(y, dtype=float)
         n, p = len(y), self.period
         a, b, g = self.alpha, self.beta, self.gamma
@@ -325,7 +326,7 @@ class HoltWintersModel:
         level = np.zeros(n)
         trend = np.zeros(n)
         season = np.zeros(n)
-        l0, t0, s0 = self._init(y)
+        l0, t0, s0 = init_state if init_state is not None else self._init(y)
         level[0], trend[0] = l0, t0
         season[: len(s0)] = s0
         for i in range(n - p):
@@ -340,8 +341,8 @@ class HoltWintersModel:
             season[i + p] = g * sw + (1 - g) * season[i]
         return fitted, level, trend, season
 
-    def sse(self, y: np.ndarray) -> float:
-        fitted, *_ = self.components(y)
+    def sse(self, y: np.ndarray, init_state=None) -> float:
+        fitted, *_ = self.components(y, init_state)
         err = y[self.period :] - fitted[self.period :]
         return float(err @ err)
 
@@ -366,13 +367,18 @@ def fit_holt_winters(
     y: np.ndarray, period: int, model_type: str = "additive"
 ) -> HoltWintersModel:
     y = np.asarray(y, dtype=float)
+    # the init recurrence seeds (level/trend/seasonals) depend only on the
+    # data, not on (α,β,γ) — compute once, not per optimizer evaluation
+    init_state = HoltWintersModel(period, 0.0, 0.0, 0.0, model_type)._init(y)
 
     def f(p):
-        return HoltWintersModel(period, p[0], p[1], p[2], model_type).sse(y)
+        return HoltWintersModel(period, p[0], p[1], p[2], model_type).sse(
+            y, init_state
+        )
 
     x = nelder_mead(
         f, np.array([0.3, 0.1, 0.1]), bounds=[(0.0, 1.0)] * 3, step=0.2,
-        max_iter=400, tol=1e-8,
+        max_iter=250, tol=1e-7,
     )
     m = HoltWintersModel(period, float(x[0]), float(x[1]), float(x[2]), model_type)
     m.sse_ = m.sse(y)

@@ -70,7 +70,10 @@ def attach_loc(
     idx = index.to_df(df.sparkSession).withColumnsRenamed(
         {"ts": ts_col, "loc": loc_col}
     )
-    return df.join(idx, ts_col, "left")
+    # a non-uniform index is driver-resident (instants array) and therefore
+    # always small relative to the observations side — force the broadcast
+    # rather than letting a stats-less createDataFrame fall back to SMJ
+    return df.join(F.broadcast(idx), ts_col, "left")
 
 
 def from_observations(
