@@ -136,3 +136,18 @@ def test_filter_by_instant_uses_broadcast_anti_join(spark, grid):
     out = filters.remove_instants_with_nans(grid, rebase_loc=False)
     p = _plan(out)
     assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+
+
+def test_irregular_index_attach_is_broadcast_join(spark):
+    """attach_loc onto an irregular index must broadcast the (tiny,
+    driver-resident) index DataFrame, never sort-merge the fact side."""
+    from spark_timeseries_spark.operators import align
+
+    obs = events_observations(spark, SF)
+    idx = sts.irregular(
+        ["2024-01-%02d" % d for d in (2, 5, 9, 14, 20, 27)]
+    )
+    out = align.attach_loc(obs, idx)
+    p = _plan(out)
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
