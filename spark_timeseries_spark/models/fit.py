@@ -41,8 +41,17 @@ def _spread(df: DataFrame, key_col: str) -> DataFrame:
     byte-based coalescing cannot see Python CPU cost, but it preserves
     user-specified repartition counts, so this explicit repartition is
     enough — no session-wide coalescing override (which would force
-    full-width task counts on every tiny JVM shuffle in the plan)."""
-    n = df.sparkSession.sparkContext.defaultParallelism
+    full-width task counts on every tiny JVM shuffle in the plan).
+
+    The count must DIFFER from the upstream partitioning: when the input is
+    already hash-partitioned by key with the same count (e.g. a window-fill
+    chain over `partitionBy(key)` with `spark.sql.shuffle.partitions`
+    partitions), the optimizer prunes the repartition as redundant, the
+    grouped map rides the upstream ENSURE_REQUIREMENTS exchange, and AQE
+    coalesces that to ONE partition — measured 7× slowdown (serialized
+    fits). An odd `2·parallelism + 1` count never matches cores or the
+    usual shuffle-partition settings and load-balances CPU-skewed series."""
+    n = 2 * df.sparkSession.sparkContext.defaultParallelism + 1
     return df.repartition(n, key_col)
 
 
