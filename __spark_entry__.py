@@ -285,7 +285,11 @@ def _q_text_quality(spark, sf_dir):
 
 def _q_token_count_by_source(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    # empty/whitespace-only documents tokenize to [''] in both engines, but
+    # counting them as 1 token is wrong — guard to 0 (mirrored in the oracle)
+    n_tokens = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
     return docs.groupBy("source").agg(
         F.count("*").alias("docs"),
         F.sum(n_tokens).alias("total_tokens"),
@@ -395,34 +399,52 @@ def _q_cosine_dup_pairs(spark, sf_dir):
 
 
 def _q_minhash_lsh_dedup(spark, sf_dir):
+    """Full MinHash+LSH pipeline in cross-engine md5_60 hash mode: the DuckDB
+    oracle replays signatures → banding → candidate join → exact-Jaccard
+    verify bit-for-bit, so the ENTIRE approximate pipeline (not just the
+    verified pairs) is correctness-checked. xxhash64 remains the scale-path
+    default in the library."""
     from spark_timeseries_spark.pipeline import dedup as dd
 
     docs = _docs_spread(spark, sf_dir)
-    return dd.dedup_minhash_lsh(docs, threshold=0.3).select(
+    return dd.dedup_minhash_lsh(docs, threshold=0.3, hash_fn="md5_60").select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 
 
 def _q_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup pairs in md5_60 hash mode — oracle recomputes the
+    signatures and replays the pigeonhole-banding semantics (hamming ≤ 8 AND
+    ≥1 equal 16-bit block) over all pairs."""
     from spark_timeseries_spark.pipeline import dedup as dd
 
     docs = _docs_spread(spark, sf_dir)
-    return dd.simhash_near_dups(dd.simhash(docs), max_hamming=8)
+    return dd.simhash_near_dups(
+        dd.simhash(docs, hash_fn="md5_60"), max_hamming=8
+    )
 
 
 def _q_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH multiprobe top-k. The seeded plane matrix is embedded
+    as literals in the DuckDB oracle, which replays the exact bucketing +
+    probing + ranking — the approximate result is deterministically checked."""
     from spark_timeseries_spark.pipeline import similarity as sim
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10)
-    return sim.lsh_topk(emb, q, k=5, dim=64, n_planes=8)
+    out = sim.lsh_topk(emb, q, k=5, dim=64, n_planes=8)
+    return out.select("qid", "vec_id", F.round("sim", 4).alias("sim"), "rank")
 
 
 def _q_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing min-sketch, exploded to (doc_id, fingerprint) rows (array
+    columns defeat the harness canonicalizer) in md5_60 hash mode."""
     from spark_timeseries_spark.pipeline import text as text_ops
 
     docs = _docs_spread(spark, sf_dir)
-    return text_ops.winnowing_fingerprints(docs, k=5, keep=8)
+    return text_ops.winnowing_fingerprints(
+        docs, k=5, keep=8, hash_fn="md5_60", exploded=True
+    )
 
 
 # -- manipulation-parity operators (SURVEY §2.3-2.8 widening) ----------------
@@ -634,12 +656,23 @@ def _q_fill_spline(spark, sf_dir):
 
 
 def _q_image_features(spark, sf_dir):
+    """mapInPandas decode plumbing with the deterministic fake decoder
+    (md5-derived features — SQL-reproducible); features posexploded to rows
+    so the harness can canonicalize."""
     from spark_timeseries_spark.pipeline import multimodal as mm
 
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "media", F.encode("text", "UTF-8")
     )
-    return mm.decode_image_features(docs, fake=True)
+    out = mm.decode_image_features(docs, fake=True)
+    return out.select(
+        "doc_id", "width", "height", "channels", "format",
+        F.posexplode("features").alias("feat_idx", "_f"),
+    ).select(
+        "doc_id", "width", "height", "channels", "format",
+        F.col("feat_idx").cast("long").alias("feat_idx"),
+        F.round(F.col("_f").cast("double"), 6).alias("feat"),
+    )
 
 
 def _xy_daily(spark, sf_dir):
@@ -744,7 +777,8 @@ def _q_ivf_topk(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10)
-    return sim.ivf_topk(emb, q, k=5, n_centroids=16, nprobe=4)
+    out = sim.ivf_topk(emb, q, k=5, n_centroids=16, nprobe=4)
+    return out.select("qid", "vec_id", F.round("sim", 4).alias("sim"), "rank")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -873,6 +907,38 @@ _FILLED_SQL = _AUG_SQL + """
 
 _IRREG_VALUES = ", ".join(
     f"({i}, TIMESTAMP '{t}')" for i, t in enumerate(_IRREG_INSTANTS)
+)
+
+# -- cross-engine hash / vector SQL helpers ---------------------------------
+from spark_timeseries_spark.functions import hash60_sql as _h60  # noqa: E402
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+    )
+
+
+def _planes_values_sql(dim: int = 64, n_planes: int = 8, seed: int = 42) -> str:
+    """The seeded hyperplane matrix used by lsh_topk, as literal VALUES rows
+    (pi, pv DOUBLE[]) — repr() round-trips doubles exactly."""
+    from spark_timeseries_spark.pipeline.dedup import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    return ", ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(float(v)) for v in row) + "]::DOUBLE[])"
+        for i, row in enumerate(planes)
+    )
+
+
+_SIMHASH_VOTES = ",\n                   ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(60)
+)
+_SIMHASH_SIG = "\n                     + ".join(
+    f"CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    for i in range(60)
 )
 
 
@@ -1066,10 +1132,14 @@ def oracle_sql() -> dict[str, str]:
                          / len(string_split_regex(trim(text), '\\s+')), 6) AS chars_per_token
             FROM documents
         """,
+        # CASTs: DuckDB SUM(int) yields HUGEINT whose stringification differs
+        # from Spark's BIGINT — cast so the value hashes agree
         "token_count_by_source": """
             SELECT source, COUNT(*) AS docs,
-                   SUM(len(string_split_regex(trim(text), '\\s+'))) AS total_tokens,
-                   SUM(length(text)) AS total_chars
+                   CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                            END) AS BIGINT) AS total_tokens,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars
             FROM documents GROUP BY 1
         """,
         "fingerprint": """
@@ -1408,5 +1478,211 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(value) AS INT) AS n_obs,
                    ROUND(COALESCE(SUM(value), 0.0), 6) AS checksum
             FROM grid GROUP BY key
+        """,
+        # exact replay of the winnowing min-sketch (md5_60 hash mode)
+        "winnowing_fingerprints": f"""
+            WITH norm AS (
+                SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS i
+                FROM norm WHERE length(t) >= 5
+            ),
+            grams AS (SELECT DISTINCT doc_id, substr(t, i, 5) AS g FROM pos),
+            hashes AS (SELECT doc_id, {_h60('g')} AS h FROM grams),
+            ranked AS (
+                SELECT doc_id, h,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+                FROM hashes
+            )
+            SELECT doc_id, h AS fingerprint FROM ranked WHERE rn <= 8
+        """,
+        # exact replay of the 60-bit SimHash + pigeonhole banding semantics:
+        # hamming <= 8 AND at least one equal 16-bit block
+        "simhash_near_dups": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                FROM documents
+            ),
+            th AS (SELECT doc_id, {_h60('tok')} AS h FROM toks),
+            votes AS (
+                SELECT doc_id,
+                   {_SIMHASH_VOTES}
+                FROM th GROUP BY doc_id
+            ),
+            sigs AS (
+                SELECT doc_id,
+                       {_SIMHASH_SIG} AS s
+                FROM votes
+            ),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming,
+                       a.s AS sa, b.s AS sb
+                FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, hamming FROM pairs
+            WHERE hamming <= 8 AND (
+                ((sa >> 0) & 65535) = ((sb >> 0) & 65535) OR
+                ((sa >> 16) & 65535) = ((sb >> 16) & 65535) OR
+                ((sa >> 32) & 65535) = ((sb >> 32) & 65535) OR
+                ((sa >> 48) & 65535) = ((sb >> 48) & 65535))
+        """,
+        # exact replay of the full MinHash+LSH pipeline (md5_60 hash mode):
+        # 64 seeded minhashes -> 16 bands of 4 -> band-collision candidates
+        # -> exact Jaccard >= 0.3 on 3-word shingles
+        "minhash_lsh_dedup": f"""
+            WITH words AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, sh FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               generate_series(1, len(w) - 2),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                           )) AS sh
+                    FROM words
+                )
+            ),
+            seeds AS (SELECT unnest(generate_series(0, 63)) AS s),
+            sig AS (
+                SELECT doc_id, s,
+                       MIN({_h60("sh || chr(1) || CAST(s AS VARCHAR)")}) AS m
+                FROM sh CROSS JOIN seeds GROUP BY doc_id, s
+            ),
+            bandhash AS (
+                SELECT doc_id, s // 4 AS band,
+                       {_h60("string_agg(CAST(m AS VARCHAR), ',' ORDER BY s)")} AS bh
+                FROM sig GROUP BY doc_id, s // 4
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bandhash a
+                JOIN bandhash b ON a.band = b.band AND a.bh = b.bh
+                                AND a.doc_id < b.doc_id
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+                SELECT id_a, id_b, COUNT(*) AS i
+                FROM cand
+                JOIN sh sa ON sa.doc_id = id_a
+                JOIN sh sb ON sb.doc_id = id_b AND sa.sh = sb.sh
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3
+        """,
+        # exact replay of hyperplane-LSH multiprobe top-k: the seeded plane
+        # matrix ships as literals; bucketing, probing and ranking replayed
+        "lsh_topk": f"""
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            planes AS (
+                SELECT * FROM (VALUES {_planes_values_sql()}) t(pi, pv)
+            ),
+            sigs AS (
+                SELECT vec_id, v,
+                       CAST(SUM(CASE WHEN list_dot_product(v, pv) >= 0
+                                     THEN pow(2, pi) ELSE 0 END) AS BIGINT)
+                           AS bucket
+                FROM e CROSS JOIN planes GROUP BY vec_id, v
+            ),
+            q AS (
+                SELECT vec_id AS qid, v AS qv, bucket AS sig
+                FROM sigs WHERE vec_id < 10
+            ),
+            probes AS (
+                SELECT qid, qv,
+                       unnest(list_prepend(sig, list_transform(
+                           generate_series(0, 7),
+                           i -> xor(sig, CAST(pow(2, i) AS BIGINT))
+                       ))) AS bucket
+                FROM q
+            ),
+            scored AS (
+                SELECT DISTINCT qid, qv, s.vec_id, s.v
+                FROM probes JOIN sigs s USING (bucket)
+                WHERE qid != s.vec_id
+            ),
+            sims AS (
+                SELECT qid, vec_id, {_cos_sql('qv', 'v')} AS sim FROM scored
+            ),
+            ranked AS (
+                SELECT qid, vec_id, sim,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY sim DESC, vec_id) AS rank
+                FROM sims
+            )
+            SELECT qid, vec_id, ROUND(sim, 4) AS sim, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        # exact replay of IVF-flat: md5_60-sampled centroids, nearest-centroid
+        # assignment, nprobe=4 probing, global rank
+        "ivf_topk": f"""
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            cents AS (
+                SELECT CAST(row_number() OVER (
+                           ORDER BY {_h60('CAST(vec_id AS VARCHAR)')}
+                       ) AS INT) AS cid, v AS cv
+                FROM e QUALIFY cid <= 16
+            ),
+            assigned AS (
+                SELECT vec_id, v, cid FROM (
+                    SELECT e.vec_id, e.v, c.cid,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY {_cos_sql('e.v', 'c.cv')} DESC, c.cid
+                           ) AS rk
+                    FROM e CROSS JOIN cents c
+                ) WHERE rk = 1
+            ),
+            qprobe AS (
+                SELECT qid, qv, cid FROM (
+                    SELECT q.vec_id AS qid, q.v AS qv, c.cid,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY {_cos_sql('q.v', 'c.cv')} DESC, c.cid
+                           ) AS rk
+                    FROM (SELECT * FROM e WHERE vec_id < 10) q
+                    CROSS JOIN cents c
+                ) WHERE rk <= 4
+            ),
+            scored AS (
+                SELECT DISTINCT qid, qv, a.vec_id, a.v
+                FROM qprobe JOIN assigned a USING (cid)
+                WHERE qid != a.vec_id
+            ),
+            sims AS (
+                SELECT qid, vec_id, {_cos_sql('qv', 'v')} AS sim FROM scored
+            ),
+            ranked AS (
+                SELECT qid, vec_id, sim,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY sim DESC, vec_id) AS rank
+                FROM sims
+            )
+            SELECT qid, vec_id, ROUND(sim, 4) AS sim, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        # exact replay of the deterministic fake image decode (md5-derived
+        # uniform features, float32-rounded)
+        "image_features": f"""
+            SELECT doc_id, 64 AS width, 64 AS height, 3 AS channels,
+                   'fake' AS format, i AS feat_idx,
+                   ROUND(CAST(CAST(
+                       {_h60("text || chr(1) || CAST(i AS VARCHAR)")}
+                       / 1152921504606846976.0 AS FLOAT) AS DOUBLE), 6) AS feat
+            FROM documents, (SELECT unnest(generate_series(0, 15)) AS i) g
         """,
     }

@@ -4,6 +4,14 @@
 Spark SQL expressions — JVM-side, whole-stage-codegen friendly."""
 
 from .hof import let  # noqa: F401
+from .hashing import (  # noqa: F401
+    HASH60_SCALE,
+    hash60,
+    hash60_seeded_sql,
+    hash60_sql,
+    hashed,
+    hashed_with_seed,
+)
 from .datetime import (  # noqa: F401
     business_day_difference,
     iso_dow,

@@ -53,33 +53,42 @@ def dedup_exact(
 def shingles(
     text: Column, n: int = 3, as_words: bool = True
 ) -> Column:
-    """Word (default) or character n-gram shingle array.
+    """Word (default) or character n-gram shingle array. Documents shorter
+    than ``n`` units yield an EMPTY array (no partial shingles — empty or
+    near-empty documents must not collide into spurious Jaccard-1.0 pairs).
 
     The tokenization/normalization is ``let``-bound so the lambda sees a
     plain variable — capturing the split/replace expression directly would
     re-run it per array element (interpreted HOF), turning shingling
     quadratic in document length.
     """
+    empty = F.array().cast("array<string>")
     if as_words:
         return let(
             F.split(F.trim(text), r"\s+"),
-            lambda words: F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-                    lambda i: F.concat_ws(
-                        " ", *[words[i + j] for j in range(n)]
-                    ),
-                )
-            ),
+            lambda words: F.when(
+                F.size(words) >= n,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(words) - n),
+                        lambda i: F.concat_ws(
+                            " ", *[words[i + j] for j in range(n)]
+                        ),
+                    )
+                ),
+            ).otherwise(empty),
         )
     return let(
         text,
-        lambda t: F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.length(t) - n, F.lit(0))),
-                lambda i: t.substr(i + 1, F.lit(n)),
-            )
-        ),
+        lambda t: F.when(
+            F.length(t) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.length(t) - n),
+                    lambda i: t.substr(i + 1, F.lit(n)),
+                )
+            ),
+        ).otherwise(empty),
     )
 
 
@@ -118,11 +127,16 @@ def minhash_signatures_from_sets(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_col: str = "sh",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Signatures from a precomputed (id, shingle-array) table."""
+    """Signatures from a precomputed (id, shingle-array) table.
+    ``hash_fn="md5_60"`` uses the DuckDB-reproducible seeded hash."""
+    from spark_timeseries_spark.functions import hashed_with_seed
+
     sh = sets.select(id_col, F.explode(shingle_col).alias("_s"))
     aggs = [
-        F.min(F.xxhash64("_s", F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)
+        F.min(hashed_with_seed(F.col("_s"), i, hash_fn)).alias(f"_m{i}")
+        for i in range(num_hashes)
     ]
     sig = sh.groupBy(id_col).agg(*aggs)
     return sig.select(
@@ -135,10 +149,13 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     bands: int = 16,
     rows_per_band: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate pairs whose signatures collide in ≥1 band → (id_a, id_b).
-    Band hash = xxhash64 over the band's slice — a well-distributed join key,
+    Band hash = hash over the band's slice — a well-distributed join key,
     so the self-join shuffles evenly."""
+    from spark_timeseries_spark.functions import hashed
+
     banded = sig_df.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -146,14 +163,15 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
+                        hashed(
                             F.concat_ws(
                                 ",",
                                 *[
                                     F.col("sig")[b * rows_per_band + r].cast("string")
                                     for r in range(rows_per_band)
                                 ],
-                            )
+                            ),
+                            hash_fn,
                         ).alias("bh"),
                     )
                     for b in range(bands)
@@ -205,15 +223,23 @@ def dedup_minhash_lsh(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end near-dup pair detection: signatures → LSH candidates →
     exact verification. The shingle-set table is computed once and persisted;
-    it feeds both the signature stage and the exact-verify join."""
+    it feeds both the signature stage and the exact-verify join.
+
+    Persist lifetime: the shingle-set cache lives until the session drops it
+    — the CALLER owns it. Long-lived sessions issuing many dedup calls should
+    ``spark.catalog.clearCache()`` between pipelines (bench.py does exactly
+    that), or materialize the result and unpersist explicitly."""
     sets = shingle_sets(df, text_col, id_col, shingle_n).persist()
     sig = minhash_signatures_from_sets(
-        sets.withColumnRenamed("id", id_col), id_col, num_hashes
+        sets.withColumnRenamed("id", id_col), id_col, num_hashes, hash_fn=hash_fn
     )
-    cand = minhash_lsh_candidates(sig, id_col, bands, num_hashes // bands)
+    cand = minhash_lsh_candidates(
+        sig, id_col, bands, num_hashes // bands, hash_fn=hash_fn
+    )
     return jaccard_verify(
         df, cand, text_col, id_col, shingle_n, threshold, sets=sets
     )
@@ -224,13 +250,19 @@ def dedup_minhash_lsh(
 # ---------------------------------------------------------------------------
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per document → (id, simhash BIGINT). One explode +
-    one groupBy with 64 conditional sums — all JVM-side."""
+    one groupBy with 64 conditional sums — all JVM-side. With
+    ``hash_fn="md5_60"`` the token hash is 60-bit (bits 60-63 of the
+    signature are then always 0 — an effectively-60-bit SimHash), which a
+    DuckDB oracle can replay exactly."""
+    from spark_timeseries_spark.functions import hashed
+
     toks = df.select(
         id_col, F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", hashed(F.col("tok"), hash_fn))
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(

@@ -51,11 +51,19 @@ def attach_binary_metadata(
 
 
 def _fake_decode(payload: bytes, n_features: int) -> np.ndarray:
-    """Deterministic stand-in for a real decoder: content-hash-seeded
-    feature vector (stable across runs/partitions)."""
-    seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big") % (2**32)
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal(n_features).astype(np.float32)
+    """Deterministic stand-in for a real decoder: feature i is the top 60
+    bits of ``md5(payload || chr(1) || str(i))`` scaled to [0, 1) — stable
+    across runs/partitions AND reproducible in plain SQL
+    (``('0x' || substr(md5(..), 1, 15))::BIGINT / 2^60``), so the
+    correctness oracle can check the full mapInPandas plumbing."""
+    feats = [
+        int(
+            hashlib.md5(payload + b"\x01" + str(i).encode()).hexdigest()[:15], 16
+        )
+        / float(1 << 60)
+        for i in range(n_features)
+    ]
+    return np.asarray(feats, dtype=np.float32)
 
 
 def decode_image_features(

@@ -195,14 +195,17 @@ def ivf_topk(
     id_col: str = "vec_id",
     query_id_col: str = "vec_id",
 ) -> DataFrame:
-    """IVF-flat: centroids = deterministic corpus sample (ids hashed; at
-    scale, swap in a trained k-means without changing the plan shape);
-    every vector is assigned to its nearest centroid (broadcast join);
-    queries scan only the ``nprobe`` nearest inverted lists."""
+    """IVF-flat: centroids = deterministic corpus sample (ids hashed with the
+    cross-engine md5-based hash so the DuckDB oracle reproduces the same
+    sample; at scale, swap in a trained k-means without changing the plan
+    shape); every vector is assigned to its nearest centroid (broadcast
+    join); queries scan only the ``nprobe`` nearest inverted lists."""
+    from spark_timeseries_spark.functions import hash60
+
     c = corpus.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )
-    w = Window.orderBy(F.xxhash64(F.col("vec_id").cast("string")))
+    w = Window.orderBy(hash60(F.col("vec_id").cast("string")))
     cents = (
         c.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= n_centroids)

@@ -114,25 +114,42 @@ def winnowing_fingerprints(
     id_col: str = "doc_id",
     k: int = 5,
     keep: int = 8,
+    hash_fn: str = "xxhash64",
+    exploded: bool = False,
 ) -> DataFrame:
     """Winnowing-style robust fingerprint: hash all character k-grams, keep
     the ``keep`` smallest hashes (a deterministic min-sketch of content that
-    survives small edits) → (id, fingerprints ARRAY<BIGINT>)."""
+    survives small edits) → (id, fingerprints ARRAY<BIGINT>), or — with
+    ``exploded=True`` — one (id, fingerprint) row per kept hash (the shape
+    downstream joins and the correctness harness consume).
+
+    ``hash_fn="md5_60"`` swaps xxhash64 for the cross-engine md5-based hash
+    (:mod:`spark_timeseries_spark.functions.hashing`) so a DuckDB oracle can
+    reproduce the exact fingerprints. Documents shorter than ``k`` characters
+    produce no fingerprints."""
+    from spark_timeseries_spark.functions import hashed
+
     # let-bind the normalized text: capturing the regexp_replace expression
     # in the k-gram lambda would re-run the regex once PER CHARACTER
     # (interpreted HOF), i.e. O(len²) per document — measured 8× slower.
     hashes = let(
         F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "),
-        lambda t: F.transform(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.length(t) - k, F.lit(0))),
-                    lambda i: t.substr(i + 1, F.lit(k)),
-                )
+        lambda t: F.when(
+            F.length(t) >= k,
+            F.transform(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.length(t) - k),
+                        lambda i: t.substr(i + 1, F.lit(k)),
+                    )
+                ),
+                lambda g: hashed(g, hash_fn),
             ),
-            lambda g: F.xxhash64(g),
-        ),
+        ).otherwise(F.array().cast("array<bigint>")),
     )
-    return df.select(
+    out = df.select(
         id_col, F.slice(F.array_sort(hashes), 1, keep).alias("fingerprints")
     )
+    if exploded:
+        return out.select(id_col, F.explode("fingerprints").alias("fingerprint"))
+    return out
