@@ -285,6 +285,29 @@ class IrregularDateTimeIndex(DateTimeIndex):
         return f"irregular,{self.zone},{stamps}"
 
 
+class LazyIrregularDateTimeIndex(IrregularDateTimeIndex):
+    """IrregularDateTimeIndex whose instants come from a thunk evaluated on
+    first use. Lets instant-level filters (``filterByInstant``,
+    ``removeInstantsWithNaNs``) hand back an index WITHOUT running a Spark
+    job or holding O(#instants) driver memory up front — both are deferred
+    until (unless) the index's instants are actually read."""
+
+    def __init__(self, thunk, zone: str = "Z"):
+        self._thunk = thunk
+        self.zone = zone
+
+    @property
+    def materialized(self) -> bool:
+        return "instants" in self.__dict__
+
+    def __getattr__(self, name):
+        # only reached when the attribute is missing, i.e. pre-materialization
+        if name in ("instants", "_nanos"):
+            IrregularDateTimeIndex.__init__(self, self._thunk(), self.zone)
+            return getattr(self, name)
+        raise AttributeError(name)
+
+
 class HybridDateTimeIndex(DateTimeIndex):
     """Ordered disjoint sub-indices with prefix-sum loc offsets
     (cf. ``DateTimeIndex.scala:434-553``)."""

@@ -9,11 +9,13 @@ from .arx import (
 )
 from .fit import (
     apply_model_effects,
+    fit_improvement,
     fit_models,
     fit_xreg_models,
     forecast,
     residuals,
     test_series,
+    variance_forecast,
 )
 from .univariate import (
     ARGARCHModel,
@@ -24,6 +26,7 @@ from .univariate import (
     fit_ar,
     fit_ar_garch,
     fit_ewma,
+    fit_ewma_grid,
     fit_garch,
     fit_holt_winters,
 )
@@ -32,7 +35,9 @@ __all__ = [
     "ARIMAModel", "auto_fit", "fit_arima",
     "ARIMAXModel", "ARXModel", "RegressionARIMAModel",
     "fit_arimax", "fit_arx", "fit_regression_arima_cochrane_orcutt",
-    "apply_model_effects", "fit_models", "fit_xreg_models", "forecast", "residuals", "test_series",
+    "apply_model_effects", "fit_improvement", "fit_models", "fit_xreg_models",
+    "forecast", "residuals", "test_series", "variance_forecast",
     "ARGARCHModel", "ARModel", "EWMAModel", "GARCHModel", "HoltWintersModel",
-    "fit_ar", "fit_ar_garch", "fit_ewma", "fit_garch", "fit_holt_winters",
+    "fit_ar", "fit_ar_garch", "fit_ewma", "fit_ewma_grid", "fit_garch",
+    "fit_holt_winters",
 ]

@@ -59,12 +59,34 @@ def _clean(y: np.ndarray) -> np.ndarray:
     return y[~np.isnan(y)]
 
 
+_KNOWN_MODELS = (
+    "ar", "ewma", "ewma_grid", "garch", "argarch", "holtwinters",
+    "arima", "arima_auto",
+)
+_KNOWN_XREG_MODELS = ("arx", "arimax", "regression_arima")
+_KNOWN_TESTS = (
+    "adf", "kpss", "dw", "ljung_box", "breusch_godfrey", "breusch_pagan",
+)
+
+
+def _require(name: str, known: tuple) -> None:
+    """Name validation happens BEFORE the grouped-map UDF is shipped: a typo
+    fails fast on the driver instead of inside every task, and the per-series
+    except-all below can then safely degrade real estimator failures (short /
+    degenerate series) to empty params rather than failing the stage."""
+    if name not in known:
+        raise ValueError(f"unknown model/test {name!r}; expected one of {known}")
+
+
 def _fit_one(model: str, y: np.ndarray, kwargs: dict):
     if model == "ar":
         m = uni.fit_ar(y, kwargs.get("max_lag", 1), kwargs.get("no_intercept", False))
         return np.concatenate([[m.c], m.coefficients])
     if model == "ewma":
         return np.array([uni.fit_ewma(y).smoothing])
+    if model == "ewma_grid":
+        alpha, sse = uni.fit_ewma_grid(y, kwargs.get("steps", 100))
+        return np.array([alpha, sse])
     if model == "garch":
         m = uni.fit_garch(y)
         return np.array([m.omega, m.alpha, m.beta])
@@ -132,6 +154,7 @@ def fit_models(
     **kwargs,
 ) -> DataFrame:
     """Per-series estimation → (key, model, params)."""
+    _require(model, _KNOWN_MODELS)
 
     def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
         key = pdf[key_col].iloc[0]
@@ -158,19 +181,31 @@ def forecast(
     value_col: str = "value",
     **kwargs,
 ) -> DataFrame:
-    """Fit per series and forecast ``horizon`` steps → (key, step, forecast)."""
+    """Fit per series and forecast ``horizon`` steps → (key, step, forecast).
+
+    Pass ``params=[...]`` to skip the fit and forecast with a known parameter
+    vector (the distributed analog of forecasting from a pre-fit model)."""
+    _require(model, _KNOWN_MODELS)
+    fixed_params = kwargs.pop("params", None)
 
     def _fc(pdf: pd.DataFrame) -> pd.DataFrame:
         key = pdf[key_col].iloc[0]
         y = _clean(_series_from(pdf, order_col, value_col))
         try:
-            params = _fit_one(model, y, kwargs)
+            params = (
+                np.asarray(fixed_params, dtype=float)
+                if fixed_params is not None
+                else _fit_one(model, y, kwargs)
+            )
             m = _model_obj(model, params, kwargs)
             if model == "ewma":
                 s = m.add_effects(y)
                 fc = np.full(horizon, s[-1])
             elif model == "garch":
-                fc = np.full(horizon, np.nan)  # mean forecast of pure GARCH is 0
+                # the mean forecast of a pure GARCH process IS 0 — the
+                # interesting quantity, the conditional variance path, is
+                # exposed by :func:`variance_forecast`
+                fc = np.zeros(horizon)
             else:
                 fc = m.forecast(y, horizon)
         except Exception:
@@ -269,6 +304,7 @@ def fit_xreg_models(
     ``RegressionARIMA.scala:83-160``). ``aux`` carries model-specific
     extras: arx → [y_max_lag, x_max_lag]; arimax → [p, d, q];
     regression_arima → [rho, dw, iterations]."""
+    _require(model, _KNOWN_XREG_MODELS)
 
     def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
         key = pdf[key_col].iloc[0]
@@ -307,12 +343,11 @@ def fit_xreg_models(
                 )
                 params = np.asarray(m.beta, dtype=float)
                 aux = np.array([m.rho, m.dw, m.iterations], dtype=float)
-            else:
-                raise ValueError(f"unknown xreg model {model}")
-        except ValueError:
-            raise
         except Exception:
-            pass
+            # same per-series degradation as fit_models: one degenerate
+            # series (too short for the lag order, singular design) yields
+            # empty params instead of failing the whole Spark stage
+            params, aux = np.array([]), np.array([])
         return pd.DataFrame(
             {
                 "key": [key],
@@ -325,6 +360,125 @@ def fit_xreg_models(
     return _spread(df, key_col).groupBy(key_col).applyInPandas(
         _fit,
         schema="key string, model string, params array<double>, aux array<double>",
+    )
+
+
+def variance_forecast(
+    df: DataFrame,
+    horizon: int,
+    model: str = "garch",
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+    **kwargs,
+) -> DataFrame:
+    """Per-series conditional-variance forecast → (key, step, variance).
+    ``model`` ∈ garch | argarch: fits the model, then iterates the variance
+    recursion h steps ahead (``GARCH.scala:198-259`` is the recursion shape;
+    the reference never exposes a variance path — this is the quantity a
+    GARCH user actually wants, so we surface it)."""
+    if model not in ("garch", "argarch"):
+        raise ValueError("variance_forecast supports garch | argarch")
+
+    def _vf(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf[key_col].iloc[0]
+        y = _clean(_series_from(pdf, order_col, value_col))
+        try:
+            if model == "garch":
+                g = uni.fit_garch(y)
+                vf = g.variance_forecast(y, horizon)
+            else:
+                m = uni.fit_ar_garch(y)
+                resid = uni.ARModel(m.c, np.array([m.phi])).remove_effects(y)
+                resid[0] = 0.0
+                vf = m.garch.variance_forecast(resid, horizon)
+        except Exception:
+            vf = np.full(horizon, np.nan)
+        return pd.DataFrame(
+            {
+                "key": key,
+                "step": np.arange(1, horizon + 1, dtype=np.int64),
+                "variance": vf,
+            }
+        )
+
+    return _spread(df, key_col).groupBy(key_col).applyInPandas(
+        _vf, schema="key string, step long, variance double"
+    )
+
+
+def _certificate_one(model: str, y: np.ndarray, kwargs: dict) -> tuple[float, float]:
+    """(objective at fitted params, objective at the optimizer's start) for
+    one series — the deterministic inequality behind :func:`fit_improvement`.
+    Lower is better for every objective (SSE or negative log-likelihood)."""
+    if model == "ewma":
+        return uni.fit_ewma(y).sse(y), uni.EWMAModel(0.94).sse(y)
+    if model == "garch":
+        var = float(np.var(y)) or 1.0
+        start = uni.GARCHModel(var * 0.1, 0.1, 0.8)
+        return -uni.fit_garch(y).log_likelihood(y), -start.log_likelihood(y)
+    if model == "argarch":
+        ar = uni.fit_ar(y, 1)
+        resid = ar.remove_effects(y)
+        resid[0] = 0.0
+        var = float(np.var(resid)) or 1.0
+        start = uni.GARCHModel(var * 0.1, 0.1, 0.8)
+        fitted = uni.fit_garch(resid)
+        return -fitted.log_likelihood(resid), -start.log_likelihood(resid)
+    if model == "holtwinters":
+        period = kwargs.get("period", 12)
+        mt = kwargs.get("model_type", "additive")
+        m = uni.fit_holt_winters(y, period, mt)
+        base = uni.HoltWintersModel(period, 0.3, 0.1, 0.1, mt)
+        return m.sse_, base.sse(y)
+    if model == "arima":
+        p, d, q = kwargs.get("p", 1), kwargs.get("d", 0), kwargs.get("q", 0)
+        dy = arima_mod.difference(y, d)
+        x0 = arima_mod.hannan_rissanen(dy, p, q, True)
+        start = arima_mod.ARIMAModel(p, d, q, x0, True)
+        fitted = arima_mod.fit_arima(y, p, d, q)
+        return -fitted.log_likelihood_css(y), -start.log_likelihood_css(y)
+    if model == "arima_auto":
+        fitted = arima_mod.auto_fit(y)
+        naive = arima_mod.fit_arima(y, 0, fitted.d, 0, include_intercept=fitted.d == 0)
+        return fitted.approx_aic(y), naive.approx_aic(y)
+    raise ValueError(f"no certificate for model {model}")
+
+
+def fit_improvement(
+    df: DataFrame,
+    model: str,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+    **kwargs,
+) -> DataFrame:
+    """Deterministic optimizer certificate → (key, n, ok).
+
+    ``ok`` asserts the fitted objective is no worse than the objective at the
+    optimizer's own deterministic starting point (HR init for ARIMA, the
+    fixed CG/simplex starts otherwise) — the strongest *hashable* statement
+    about an iterative fit: the optimum itself is optimizer-path-dependent,
+    but "the optimizer never returns something worse than its start" is an
+    exact boolean the DuckDB oracle can assert per key. A per-series fit
+    failure (degenerate input) yields ok = false, so the certificate also
+    gates silent degradation."""
+    _require(model, _KNOWN_MODELS)
+    if model in ("ar", "ewma_grid"):
+        raise ValueError(f"{model} is exactly reproducible; hash its params instead")
+
+    def _c(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf[key_col].iloc[0]
+        y = _clean(_series_from(pdf, order_col, value_col))
+        try:
+            fitted, start = _certificate_one(model, y, kwargs)
+            ok = bool(fitted <= start * (1 + 1e-9) + 1e-9)
+        except Exception:
+            ok = False
+        return pd.DataFrame({"key": [key], "n": [len(y)], "ok": [ok]})
+
+    return _spread(df, key_col).groupBy(key_col).applyInPandas(
+        _c, schema="key string, n long, ok boolean"
     )
 
 
@@ -343,6 +497,8 @@ def test_series(
     factor matrix (the per-series analog of the reference's caller-supplied
     ``factors``, ``TimeSeriesStatisticalTests.scala:276-329``)."""
     from ..stats import tests as st
+
+    _require(test, _KNOWN_TESTS)
 
     def _t(pdf: pd.DataFrame) -> pd.DataFrame:
         key = pdf[key_col].iloc[0]
@@ -365,12 +521,8 @@ def test_series(
             elif test == "breusch_pagan":
                 trend = np.arange(len(y), dtype=float)[:, None]
                 stat, p = st.breusch_pagan(y, trend)
-            else:
-                raise ValueError(f"unknown test {test}")
-        except ValueError:
-            raise
         except Exception:
-            pass
+            pass  # degenerate series → NaN stat, like fit_models
         return pd.DataFrame({"key": [key], "stat": [stat], "p_value": [p]})
 
     return _spread(df, key_col).groupBy(key_col).applyInPandas(

@@ -139,6 +139,24 @@ class EWMAModel:
         return 2.0 * total
 
 
+def fit_ewma_grid(y: np.ndarray, steps: int = 100) -> tuple[float, float]:
+    """Exhaustive-grid EWMA fit: α ∈ {1/steps, …, (steps−1)/steps} minimizing
+    the one-step-ahead SSE; ties break to the smallest α. Deterministic
+    (same SSE recursion as :meth:`EWMAModel.sse`, evaluated in time order) —
+    the variant the correctness oracle replays with a recursive CTE. The
+    continuous CG fit (:func:`fit_ewma`) refines within ±1/steps of this."""
+    y = np.asarray(y, dtype=float)
+    alphas = np.arange(1, steps) / float(steps)
+    s = np.full(len(alphas), y[0])
+    sse = np.zeros(len(alphas))
+    for t in range(1, len(y)):
+        err = y[t] - s
+        sse += err * err
+        s = alphas * y[t] + (1 - alphas) * s
+    i = int(np.argmin(sse))
+    return float(alphas[i]), float(sse[i])
+
+
 def fit_ewma(y: np.ndarray) -> EWMAModel:
     y = np.asarray(y, dtype=float)
     clip = lambda p: float(np.clip(p[0], 1e-6, 1.0))
@@ -198,6 +216,21 @@ class GARCHModel:
         eta = np.asarray(eta, dtype=float)
         h = self._variances(eta)
         return eta / np.sqrt(h)
+
+    def variance_forecast(self, eta: np.ndarray, horizon: int) -> np.ndarray:
+        """h-step conditional-variance forecast — the quantity a GARCH user
+        wants (the mean forecast is 0): one more recursion step from the
+        observed tail, then the stationary contraction
+        h_{t+k} = ω + (α+β)·h_{t+k−1} (``GARCH.scala:198-259`` shape)."""
+        eta = np.asarray(eta, dtype=float)
+        h = self._variances(eta)
+        out = np.empty(horizon)
+        prev = self.omega + self.alpha * eta[-1] ** 2 + self.beta * h[-1]
+        out[0] = prev
+        for k in range(1, horizon):
+            prev = self.omega + (self.alpha + self.beta) * prev
+            out[k] = prev
+        return out
 
     def add_effects(self, z: np.ndarray) -> np.ndarray:
         z = np.asarray(z, dtype=float)

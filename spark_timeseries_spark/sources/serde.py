@@ -76,7 +76,10 @@ def load_yahoo_csv(
     per price column keyed ``<prefix><Column>``
     (cf. ``parsers/YahooParser.scala:24-48``; the reference parses with
     ``sc.wholeTextFiles`` + string splitting — ours is a declarative csv scan
-    + unpivot, so Catalyst parallelizes and prunes)."""
+    + unpivot, so Catalyst parallelizes and prunes). Unlike
+    :func:`~spark_timeseries_spark.sources.yahoo.read_yahoo_observations`
+    (exact reference keying, raw header tokens), this convenience loader
+    INTENTIONALLY normalizes "Adj Close" → "AdjClose" for friendlier keys."""
     df = (
         spark.read.option("header", True)
         .option("inferSchema", True)

@@ -12,8 +12,6 @@ distributively; no driver-side file loop, no whole-file text records (a
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -39,9 +37,12 @@ def read_yahoo_observations(
         F.stack(
             F.lit(len(fields)),
             *[
+                # raw header token kept verbatim: the reference's key is
+                # keyPrefix + header, so "Adj Close" → "GOOG.csvAdj Close"
+                # (space preserved, YahooParser.scala:29-37)
                 x
                 for c in fields
-                for x in (F.lit(c.replace(" ", "")), F.col(c).cast("double"))
+                for x in (F.lit(c), F.col(c).cast("double"))
             ],
         ).alias("field", "value"),
     )

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .index import DateTimeIndex, IrregularDateTimeIndex
+from .index import DateTimeIndex, LazyIrregularDateTimeIndex
 from .operators import align, fill as fill_ops, filters, lag as lag_ops, layout, resample as resample_ops, rolling
 
 
@@ -103,10 +103,19 @@ class TimeSeriesDataFrame:
         return TimeSeriesDataFrame(out, self._irregular_from(out))
 
     def _irregular_from(self, df: DataFrame) -> DateTimeIndex:
-        """Surviving-instant index after instant-level filtering. Lazy driver
-        materialization: only computed when the index object is actually used."""
-        ts = [r[0] for r in df.select(self.TS).distinct().orderBy(self.TS).collect()]
-        return IrregularDateTimeIndex(ts, self.index.zone)
+        """Surviving-instant index after instant-level filtering. Genuinely
+        lazy: constructing the returned wrapper triggers NO Spark job — the
+        distinct-instant collect runs only if the index's instants are
+        actually read driver-side (and the O(#instants) driver memory is only
+        paid then)."""
+        zone = self.index.zone
+        return LazyIrregularDateTimeIndex(
+            lambda: [
+                r[0]
+                for r in df.select(self.TS).distinct().orderBy(self.TS).collect()
+            ],
+            zone,
+        )
 
     # -- alignment ---------------------------------------------------------
     def with_index(self, new_index: DateTimeIndex) -> "TimeSeriesDataFrame":

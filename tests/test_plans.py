@@ -151,3 +151,30 @@ def test_irregular_index_attach_is_broadcast_join(spark):
     p = _plan(out)
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_instant_filters_trigger_no_job_on_construction(spark, grid, monkeypatch):
+    """VERDICT r1 #3: filter_by_instant / remove_instants_with_nans must not
+    run a Spark job (driver collect of surviving instants) just to build the
+    returned wrapper — the index materializes lazily on first use."""
+    cls = type(grid)  # the concrete (classic) DataFrame class, not the ABC
+    calls = {"n": 0}
+    orig = cls.collect
+
+    def counting_collect(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(cls, "collect", counting_collect)
+
+    t = sts.TimeSeriesDataFrame(grid, sts.uniform("2024-01-01", 31, sts.DayFrequency(1)))
+    out = t.remove_instants_with_nans()
+    out2 = out.filter_by_instant(F.col("value") > 50.0)
+    assert calls["n"] == 0, "index construction ran a Spark collect"
+    assert not out2.index.materialized
+    # first real use materializes exactly once and agrees with the data
+    n_instants = out2.index.size
+    assert calls["n"] == 1
+    distinct_ts = out2.df.select("ts").distinct().count()
+    assert n_instants == distinct_ts
+    assert out2.index.materialized

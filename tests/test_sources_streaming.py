@@ -93,7 +93,9 @@ def test_yahoo_directory_reader(spark, tmp_path):
     assert len(pdf) == 18  # (2 + 1) rows × 6 fields
     keys = set(pdf.key)
     assert "GOOG.csvClose" in keys and "AAPL.csvClose" in keys
-    assert "GOOG.csvAdjClose" in keys
+    # reference keying is keyPrefix + RAW header token — space preserved
+    # ("GOOG.csvAdj Close", YahooParser.scala:29-37)
+    assert "GOOG.csvAdj Close" in keys
     goog_close = pdf[pdf.key == "GOOG.csvClose"].sort_values("ts")
     assert goog_close.value.tolist() == [543.98, 539.78]
 

@@ -27,6 +27,12 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf[c] = pdf[c].astype(float)
         elif pd.api.types.is_integer_dtype(pdf[c]):
             pdf[c] = pdf[c].astype("Int64")
+        elif pdf[c].dtype == object:
+            # array columns (lists / ndarrays) are unhashable and break the
+            # lexsort — canonicalize to tuples so they sort & compare
+            pdf[c] = pdf[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+            )
     return pdf.sort_values(list(pdf.columns), na_position="first").reset_index(
         drop=True
     )
