@@ -229,37 +229,72 @@ def _q_dw_test(spark, sf_dir):
 
 
 def _q_ar_forecast(spark, sf_dir):
-    """AR(2) per-series fit + 5-step forecast via grouped-map pandas UDF
-    (non-SQL-expressible → rows-only check)."""
+    """AR(2) per-series fit + 5-step forecast via grouped-map pandas UDF.
+    The fit is pure OLS, so the DuckDB oracle replays it exactly (centered
+    2×2 Cramer on covariance moments + the 5-step recursion) — a full value
+    check on a model surface (``Autoregression.scala:24-95``)."""
     from spark_timeseries_spark.models import forecast as model_forecast
 
     obs = events_observations(spark, sf_dir)
-    return model_forecast(obs, "ar", 5, order_col="ts", max_lag=2)
+    out = model_forecast(obs, "ar", 5, order_col="ts", max_lag=2)
+    return out.select(
+        "key", "step", _stable_round(F.col("forecast"), 4).alias("forecast")
+    )
 
 
 def _q_adf_test(spark, sf_dir):
+    """ADF(maxLag=1, c) statistic; the oracle solves the same 3-variable OLS
+    (level, Δy lag, intercept) from covariance moments and reproduces the
+    t-statistic. p-value (MacKinnon interpolation) is pytest-covered."""
     from spark_timeseries_spark.models import test_series
 
     obs = events_observations(spark, sf_dir)
-    return test_series(obs, "adf", order_col="ts", max_lag=1)
+    out = test_series(obs, "adf", order_col="ts", max_lag=1)
+    return out.select("key", _stable_round(F.col("stat"), 4).alias("adf_stat"))
 
 
 def _q_kpss_test(spark, sf_dir):
+    """KPSS(c) statistic with the R-tseries lag rule and Newey-West long-run
+    variance — all aggregate arithmetic, replayed exactly by the oracle."""
     from spark_timeseries_spark.models import test_series
 
     obs = events_observations(spark, sf_dir)
-    return test_series(obs, "kpss", order_col="ts", method="c")
+    out = test_series(obs, "kpss", order_col="ts", method="c")
+    return out.select("key", _stable_round(F.col("stat"), 6).alias("kpss_stat"))
 
 
-def _q_holt_winters_forecast(spark, sf_dir):
-    """Holt-Winters weekly-seasonal forecast on the daily grid (rows-only)."""
-    from spark_timeseries_spark.models import forecast as model_forecast
-
+def _hw_filled(spark, sf_dir):
     grid = _daily_grid(spark, sf_dir)
     filled = fill_ops.fill_linear(grid)
     filled = fill_ops.fill_previous(filled)
-    filled = fill_ops.fill_next(filled)
-    return model_forecast(filled, "holtwinters", 7, period=7)
+    return fill_ops.fill_next(filled)
+
+
+_HW_PARAMS = [0.3, 0.1, 0.2]
+
+
+def _q_holt_winters_forecast(spark, sf_dir):
+    """Holt-Winters weekly-seasonal 7-step forecast with FIXED (α,β,γ) —
+    exercises the full R-style init + triple-smoothing recursion + forecast
+    machinery (``HoltWinters.scala:146-325``), which the oracle replays with
+    a recursive CTE carrying (level, trend, season array). The optimizer
+    itself is certified separately by ``holt_winters_fit``."""
+    from spark_timeseries_spark.models import forecast as model_forecast
+
+    out = model_forecast(
+        _hw_filled(spark, sf_dir), "holtwinters", 7, period=7, params=_HW_PARAMS
+    )
+    return out.select(
+        "key", "step", _stable_round(F.col("forecast"), 6).alias("forecast")
+    )
+
+
+def _q_holt_winters_fit(spark, sf_dir):
+    """Nelder-Mead (α,β,γ) fit certificate: fitted SSE ≤ SSE at the fixed
+    simplex start — the deterministic inequality the oracle can assert."""
+    from spark_timeseries_spark.models import fit_improvement
+
+    return fit_improvement(_hw_filled(spark, sf_dir), "holtwinters", period=7)
 
 
 # -- pipeline operators (documents / embeddings) ----------------------------
@@ -622,37 +657,64 @@ def _q_multimodal_meta(spark, sf_dir):
 # -- model-surface widening (rows-only: non-SQL-expressible estimators) ------
 
 def _q_arima_forecast(spark, sf_dir):
-    from spark_timeseries_spark.models import forecast as model_forecast
+    """ARIMA(1,1,1) CSS fit certificate: the CSS at the fitted coefficients
+    must not exceed the CSS at the Hannan-Rissanen start (the optimizer's own
+    deterministic origin, ``ARIMA.scala:216-242``). Coefficient parity vs R
+    goldens is pytest-covered (``ARIMASuite.scala:27-55`` datasets)."""
+    from spark_timeseries_spark.models import fit_improvement
 
     obs = events_observations(spark, sf_dir)
-    return model_forecast(obs, "arima", 5, order_col="ts", p=1, d=1, q=1)
+    return fit_improvement(obs, "arima", order_col="ts", p=1, d=1, q=1)
 
 
 def _q_garch_fit(spark, sf_dir):
-    from spark_timeseries_spark.models import fit_models
+    """GARCH(1,1) likelihood-maximization certificate: fitted ll ≥ ll at the
+    fixed CG start (``GARCH.scala:75-162``); per-series fit failures surface
+    as ok=false."""
+    from spark_timeseries_spark.models import fit_improvement
 
     obs = events_observations(spark, sf_dir)
-    return fit_models(obs, "garch", order_col="ts")
+    return fit_improvement(obs, "garch", order_col="ts")
 
 
 def _q_ewma_fit(spark, sf_dir):
+    """Exhaustive-grid EWMA fit (α over {0.01..0.99} minimizing one-step
+    SSE) — exactly reproducible, so the oracle replays the SSE recursion per
+    (key, α) with a recursive CTE and re-derives the argmin. Floor-rounding
+    on both sides avoids engine ROUND tie-break differences."""
     from spark_timeseries_spark.models import fit_models
 
     obs = events_observations(spark, sf_dir)
-    return fit_models(obs, "ewma", order_col="ts")
+    out = fit_models(obs, "ewma_grid", order_col="ts")
+    sse6 = F.floor(F.col("params")[1] * 1e6 + F.lit(0.5)) / 1e6
+    return out.select(
+        "key",
+        F.round(F.col("params")[0], 2).alias("alpha"),
+        sse6.alias("sse"),
+    )
 
 
 def _q_argarch_fit(spark, sf_dir):
+    """AR(1)+GARCH(1,1): the AR mean stage is exact OLS — the oracle
+    re-derives (c, φ) from simple-regression moments. The GARCH stage's
+    optimizer is certified by ``garch_fit``."""
     from spark_timeseries_spark.models import fit_models
 
     obs = events_observations(spark, sf_dir)
-    return fit_models(obs, "argarch", order_col="ts")
+    out = fit_models(obs, "argarch", order_col="ts")
+    return out.select(
+        "key",
+        _stable_round(F.col("params")[0], 4).alias("c"),
+        _stable_round(F.col("params")[1], 4).alias("phi"),
+    )
 
 
 def _q_fill_spline(spark, sf_dir):
     grid = _daily_grid(spark, sf_dir).where(F.col("key").isin("0", "1", "2"))
     out = fill_ops.fill_spline(grid)
-    return out.select("key", "loc", "ts", F.round("value", 6).alias("value"))
+    return out.select(
+        "key", "loc", "ts", _stable_round(F.col("value"), 6).alias("value")
+    )
 
 
 def _q_image_features(spark, sf_dir):
@@ -691,58 +753,89 @@ def _xy_daily(spark, sf_dir):
 
 def _q_arx_fit(spark, sf_dir):
     """ARX(1,1) per series: y on its own lag + current/lagged event count
-    (``AutoregressionX.scala:48-68``); rows-only (OLS over a lagged design
-    matrix is not reasonably SQL-expressible)."""
+    (``AutoregressionX.scala:48-68``). Pure OLS → the oracle solves the same
+    centered 3×3 normal equations (Cramer) and reproduces every coefficient."""
     from spark_timeseries_spark.models import fit_xreg_models
 
-    return fit_xreg_models(
+    out = fit_xreg_models(
         _xy_daily(spark, sf_dir), "arx", ["x"], y_max_lag=1, x_max_lag=1
-    ).select("key", "model", F.col("params").alias("params"))
+    )
+    return out.select(
+        "key",
+        _stable_round(F.col("params")[0], 4).alias("c"),
+        _stable_round(F.col("params")[1], 4).alias("phi1"),
+        _stable_round(F.col("params")[2], 4).alias("beta0"),
+        _stable_round(F.col("params")[3], 4).alias("beta1"),
+    )
 
 
 def _q_arimax_forecast(spark, sf_dir):
-    """ARIMAX(1,0,1)+xreg CSS fit per series (``ARIMAX.scala:59-87``);
-    rows-only. Restricted to a key subset — the estimator is the point, not
-    bulk throughput (arima_forecast covers that)."""
-    from spark_timeseries_spark.models import fit_xreg_models
+    """ARIMAX(1,0,1)+xreg CSS certificate (``ARIMAX.scala:59-87``): fitted
+    CSS ≤ CSS at the deterministic ARX start. Restricted to a key subset —
+    the estimator is the point, not bulk throughput."""
+    from spark_timeseries_spark.models import fit_xreg_improvement
 
     xy = _xy_daily(spark, sf_dir).where(F.col("key").cast("long") < 100)
-    return fit_xreg_models(
-        xy, "arimax", ["x"], p=1, d=0, q=1, xreg_max_lag=0
-    ).select("key", "model", "params", "aux")
+    return fit_xreg_improvement(xy, "arimax", ["x"], p=1, d=0, q=1, xreg_max_lag=0)
 
 
 def _q_regression_arima(spark, sf_dir):
     """Regression with AR(1) errors via iterated Cochrane-Orcutt
-    (``RegressionARIMA.scala:83-160``); aux = [rho, dw, iterations]."""
+    (``RegressionARIMA.scala:83-160``). The OLS stage + the Durbin-Watson
+    branch decision are exact (oracle-replayed); for series that short-
+    circuit (DW ∈ (1,3) — no serial correlation) the final coefficients ARE
+    the OLS ones and get a full value check; CO-iterated series emit NULLs
+    (path-dependent) with the branch itself still verified."""
     from spark_timeseries_spark.models import fit_xreg_models
 
-    return fit_xreg_models(
-        _xy_daily(spark, sf_dir), "regression_arima", ["x"]
-    ).select("key", "model", "params", "aux")
+    out = fit_xreg_models(_xy_daily(spark, sf_dir), "regression_arima", ["x"])
+    dw0 = F.col("aux")[3]
+    co = ~((dw0 > 1.0) & (dw0 < 3.0))
+    # coefficients at 3 decimals: lstsq (Spark side) vs covariance-moment
+    # OLS (oracle) differ at ~1e-9 — 4-decimal rounding measurably hits
+    # .00005 boundaries across 150 keys × 2 coefficients
+    return out.select(
+        "key",
+        _stable_round(dw0, 4).alias("dw0"),
+        co.alias("co"),
+        F.when(co, F.lit(None))
+        .otherwise(_stable_round(F.col("params")[0], 3))
+        .alias("b0"),
+        F.when(co, F.lit(None))
+        .otherwise(_stable_round(F.col("params")[1], 3))
+        .alias("b1"),
+    )
 
 
 def _q_bg_test(spark, sf_dir):
+    """Breusch-Godfrey(2) on a linear-trend factor: nobs·R² of the auxiliary
+    regression — oracle-replayed via a centered 3×3 Cramer solve."""
     from spark_timeseries_spark.models import test_series
 
     obs = events_observations(spark, sf_dir)
-    return test_series(obs, "breusch_godfrey", order_col="ts", max_lag=2)
+    out = test_series(obs, "breusch_godfrey", order_col="ts", max_lag=2)
+    return out.select("key", _stable_round(F.col("stat"), 4).alias("bg_stat"))
 
 
 def _q_bp_test(spark, sf_dir):
+    """Breusch-Pagan on a linear trend: n·R² of y² on t = n·corr(y², t)² —
+    a single-regressor R², exactly a squared Pearson correlation."""
     from spark_timeseries_spark.models import test_series
 
     obs = events_observations(spark, sf_dir)
-    return test_series(obs, "breusch_pagan", order_col="ts")
+    out = test_series(obs, "breusch_pagan", order_col="ts")
+    return out.select("key", _stable_round(F.col("stat"), 5).alias("bp_stat"))
 
 
 def _q_auto_arima(spark, sf_dir):
     """Hyndman-Khandakar stepwise order selection (``ARIMA.scala:280-375``)
-    on a key subset; returns the chosen (p,d,q) as the params head."""
-    from spark_timeseries_spark.models import fit_models
+    certificate on a key subset: the chosen model's AIC must not exceed the
+    (0,d,0) baseline's — (0,0) is always in the candidate set, so a correct
+    search can never do worse."""
+    from spark_timeseries_spark.models import fit_improvement
 
     obs = events_observations(spark, sf_dir).where(F.col("key").cast("long") < 20)
-    return fit_models(obs, "arima_auto", order_col="ts")
+    return fit_improvement(obs, "arima_auto", order_col="ts")
 
 
 def _q_roll_sum_center(spark, sf_dir):
@@ -804,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adf_test": _q_adf_test,
         "kpss_test": _q_kpss_test,
         "holt_winters_forecast": _q_holt_winters_forecast,
+        "holt_winters_fit": _q_holt_winters_fit,
         "dedup_exact": _q_dedup_exact,
         "text_quality": _q_text_quality,
         "token_count_by_source": _q_token_count_by_source,
@@ -931,6 +1025,41 @@ def _planes_values_sql(dim: int = 64, n_planes: int = 8, seed: int = 42) -> str:
         for i, row in enumerate(planes)
     )
 
+
+def _stable_round(col, digits: int):
+    """Half-up rounding with the boundary nudged by 1e-6: floor(x·10^d +
+    0.500001)/10^d, mirrored exactly in the oracle SQL (:func:`_sr_sql`).
+    Inputs with few decimals can put a derived statistic EXACTLY on a .5
+    rounding boundary, where ~1e-13 cross-engine fp noise flips plain
+    ROUND() — the nudge absorbs any |noise| < 1e-6 · 10^-d."""
+    s = float(10**digits)
+    return F.floor(col * s + F.lit(0.500001)) / s
+
+
+def _sr_sql(expr: str, digits: int) -> str:
+    s = 10**digits
+    return f"FLOOR(({expr}) * {s} + 0.500001) / {s}"
+
+
+# per-key 0-based event sequence — shared by the model/test oracles (events
+# have no duplicate (user_id, ts), so the order is deterministic)
+_EVSEQ_SQL = """
+    e AS (
+        SELECT CAST(user_id AS VARCHAR) AS key, value,
+               CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1
+                    AS BIGINT) AS t
+        FROM events
+    )
+"""
+
+# trivially-true certificate shape: keys × (n, TRUE) — the content of the
+# check is that the Spark side's per-series optimizer certificate must come
+# back ok for EVERY series (a fit failure or a worse-than-start optimum
+# hashes as false and fails the row)
+_CERT_SQL = """
+    SELECT CAST(user_id AS VARCHAR) AS key, COUNT(value) AS n, TRUE AS ok
+    FROM events {where} GROUP BY 1
+"""
 
 _SIMHASH_VOTES = ",\n                   ".join(
     f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
@@ -1674,6 +1803,455 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT qid, vec_id, ROUND(sim, 4) AS sim, rank
             FROM ranked WHERE rank <= 5
+        """,
+        # -- model / statistical-test oracles --------------------------------
+        # AR(2) OLS replayed from covariance moments (centered 2×2 Cramer),
+        # then the 5-step forecast recursion unrolled with lateral aliases
+        "ar_forecast": "WITH" + _EVSEQ_SQL + """
+            , n AS (SELECT key, MAX(t) AS tmax FROM e GROUP BY 1),
+            r AS (
+                SELECT key, value AS y,
+                       lag(value, 1) OVER w AS x1, lag(value, 2) OVER w AS x2
+                FROM e WINDOW w AS (PARTITION BY key ORDER BY t)
+            ),
+            m AS (
+                SELECT key,
+                       var_pop(x1) AS s11, covar_pop(x1, x2) AS s12,
+                       var_pop(x2) AS s22,
+                       covar_pop(x1, y) AS q1, covar_pop(x2, y) AS q2,
+                       AVG(y) AS my, AVG(x1) AS m1, AVG(x2) AS m2
+                FROM r WHERE x2 IS NOT NULL GROUP BY 1
+            ),
+            tail AS (
+                SELECT e.key,
+                       MAX(CASE WHEN e.t = n.tmax THEN e.value END) AS y1,
+                       MAX(CASE WHEN e.t = n.tmax - 1 THEN e.value END) AS y2
+                FROM e JOIN n ON n.key = e.key GROUP BY 1
+            ),
+            coef AS (
+                SELECT m.key,
+                       s11*s22 - s12*s12 AS det,
+                       (q1*s22 - q2*s12) / det AS b1,
+                       (q2*s11 - q1*s12) / det AS b2,
+                       my - ((q1*s22 - q2*s12) / det) * m1
+                          - ((q2*s11 - q1*s12) / det) * m2 AS c,
+                       y1, y2
+                FROM m JOIN tail ON tail.key = m.key
+            ),
+            f AS (
+                SELECT key,
+                       c + b1*y1 + b2*y2 AS f1,
+                       c + b1*f1 + b2*y1 AS f2,
+                       c + b1*f2 + b2*f1 AS f3,
+                       c + b1*f3 + b2*f2 AS f4,
+                       c + b1*f4 + b2*f3 AS f5
+                FROM coef
+            )
+            SELECT key, CAST(s AS BIGINT) AS step,
+                   FLOOR((CASE s WHEN 1 THEN f1 WHEN 2 THEN f2 WHEN 3 THEN f3
+                                WHEN 4 THEN f4 ELSE f5 END) * 10000 + 0.500001)
+                       / 10000 AS forecast
+            FROM f, (SELECT unnest(generate_series(1, 5)) AS s) st
+        """,
+        # ADF(maxLag=1, 'c'): 3-var OLS (level, Δy lag, intercept) solved by
+        # centered 2×2 Cramer; t-stat from the (X'X)^{-1} diagonal
+        "adf_test": "WITH" + _EVSEQ_SQL + """
+            , d1 AS (
+                SELECT key, t, value,
+                       value - lag(value) OVER w AS dy,
+                       lag(value) OVER w AS ylag
+                FROM e WINDOW w AS (PARTITION BY key ORDER BY t)
+            ),
+            d2 AS (
+                SELECT key, dy AS yv, ylag AS x1,
+                       lag(dy) OVER (PARTITION BY key ORDER BY t) AS x2
+                FROM d1
+            ),
+            r AS (SELECT * FROM d2 WHERE x2 IS NOT NULL),
+            m AS (
+                SELECT key, COUNT(*) AS n,
+                       var_pop(x1) AS s11, covar_pop(x1, x2) AS s12,
+                       var_pop(x2) AS s22,
+                       covar_pop(x1, yv) AS q1, covar_pop(x2, yv) AS q2,
+                       var_pop(yv) AS syy
+                FROM r GROUP BY 1
+            )
+            SELECT key,
+                   FLOOR((
+                     ((q1*s22 - q2*s12) / (s11*s22 - s12*s12))
+                     / sqrt(
+                         (syy - ((q1*s22 - q2*s12)/(s11*s22 - s12*s12))*q1
+                              - ((q2*s11 - q1*s12)/(s11*s22 - s12*s12))*q2)
+                         * s22 / ((n - 3) * (s11*s22 - s12*s12))
+                       )) * 10000 + 0.500001) / 10000 AS adf_stat
+            FROM m
+        """,
+        # KPSS('c'): demeaned partial sums + Newey-West long-run variance
+        # with the R-tseries lag rule floor(3·√n/13)
+        "kpss_test": "WITH" + _EVSEQ_SQL + """
+            , st AS (SELECT key, COUNT(*) AS n, AVG(value) AS mu FROM e GROUP BY 1),
+            r AS (
+                SELECT e.key, e.t, e.value - st.mu AS r
+                FROM e JOIN st ON st.key = e.key
+            ),
+            cs AS (
+                SELECT key, t, r,
+                       SUM(r) OVER (PARTITION BY key ORDER BY t) AS s,
+                       lag(r, 1) OVER w AS r1, lag(r, 2) OVER w AS r2,
+                       lag(r, 3) OVER w AS r3
+                FROM r WINDOW w AS (PARTITION BY key ORDER BY t)
+            ),
+            agg AS (
+                SELECT key, SUM(s*s) AS s2, SUM(r*r) AS rr,
+                       SUM(r*r1) AS g1, SUM(r*r2) AS g2, SUM(r*r3) AS g3
+                FROM cs GROUP BY 1
+            ),
+            fin AS (
+                SELECT a.key, st.n, a.s2, a.rr, a.g1, a.g2, a.g3,
+                       CAST(FLOOR(3 * sqrt(st.n) / 13) AS INT) AS lagk
+                FROM agg a JOIN st ON st.key = a.key
+            )
+            SELECT key,
+                   FLOOR(((s2 / ((2 * (
+                       CASE WHEN lagk >= 1 THEN g1 * (1 - 1.0/(lagk+1)) ELSE 0 END
+                     + CASE WHEN lagk >= 2 THEN g2 * (1 - 2.0/(lagk+1)) ELSE 0 END
+                     + CASE WHEN lagk >= 3 THEN g3 * (1 - 3.0/(lagk+1)) ELSE 0 END
+                   ) + rr) / n)) / (CAST(n AS DOUBLE) * n)) * 1000000 + 0.500001)
+                   / 1000000 AS kpss_stat
+            FROM fin
+        """,
+        # Breusch-Godfrey(2) on a linear trend factor: centered 3×3 Cramer
+        # for the auxiliary-regression R²; stat = nobs·R²
+        "bg_test": "WITH" + _EVSEQ_SQL + """
+            , r0 AS (
+                SELECT key, CAST(t AS DOUBLE) AS tr, value AS y,
+                       lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2
+                FROM e WINDOW w AS (PARTITION BY key ORDER BY t)
+            ),
+            r AS (SELECT * FROM r0 WHERE l2 IS NOT NULL),
+            m AS (
+                SELECT key, COUNT(*) AS n,
+                       var_pop(tr) AS s11, covar_pop(tr, l1) AS s12,
+                       covar_pop(tr, l2) AS s13,
+                       var_pop(l1) AS s22, covar_pop(l1, l2) AS s23,
+                       var_pop(l2) AS s33,
+                       covar_pop(tr, y) AS q1, covar_pop(l1, y) AS q2,
+                       covar_pop(l2, y) AS q3,
+                       var_pop(y) AS syy
+                FROM r GROUP BY 1
+            ),
+            sol AS (
+                SELECT key, n, syy, q1, q2, q3,
+                       s11*(s22*s33 - s23*s23) - s12*(s12*s33 - s23*s13)
+                         + s13*(s12*s23 - s22*s13) AS det,
+                       (q1*(s22*s33 - s23*s23) - s12*(q2*s33 - s23*q3)
+                         + s13*(q2*s23 - s22*q3)) / det AS b1,
+                       (s11*(q2*s33 - q3*s23) - q1*(s12*s33 - s13*s23)
+                         + s13*(s12*q3 - q2*s13)) / det AS b2,
+                       (s11*(s22*q3 - s23*q2) - s12*(s12*q3 - s13*q2)
+                         + q1*(s12*s23 - s22*s13)) / det AS b3
+                FROM m
+            )
+            SELECT key,
+                   FLOOR((n * (b1*q1 + b2*q2 + b3*q3) / syy) * 10000 + 0.500001)
+                   / 10000 AS bg_stat
+            FROM sol
+        """,
+        # Breusch-Pagan on a linear trend: n·R²(y² on t) = n·corr(y², t)²
+        "bp_test": "WITH" + _EVSEQ_SQL + """
+            SELECT key,
+                   FLOOR((COUNT(*) * pow(corr(value*value, CAST(t AS DOUBLE)), 2))
+                         * 100000 + 0.500001) / 100000 AS bp_stat
+            FROM e GROUP BY key
+        """,
+        # exhaustive-grid EWMA fit: the SSE recursion replayed per (key, α)
+        # with a recursive CTE — same per-step expressions as the numpy
+        # kernel, so the doubles (and the argmin) are bit-identical
+        "ewma_fit": "WITH RECURSIVE" + _EVSEQ_SQL + """
+            , n AS (SELECT key, MAX(t) AS tmax FROM e GROUP BY 1),
+            a AS (SELECT CAST(i AS DOUBLE) / 100 AS alpha
+                  FROM (SELECT unnest(generate_series(1, 99)) AS i)),
+            rec AS (
+                SELECT e.key, a.alpha, e.t, e.value AS s, CAST(0 AS DOUBLE) AS sse
+                FROM e CROSS JOIN a WHERE e.t = 0
+                UNION ALL
+                SELECT r.key, r.alpha, e.t,
+                       r.alpha * e.value + (1 - r.alpha) * r.s,
+                       r.sse + (e.value - r.s) * (e.value - r.s)
+                FROM rec r JOIN e ON e.key = r.key AND e.t = r.t + 1
+            ),
+            fin AS (
+                SELECT r.key, r.alpha, r.sse
+                FROM rec r JOIN n ON n.key = r.key AND r.t = n.tmax
+            ),
+            best AS (
+                SELECT key, alpha, sse,
+                       row_number() OVER (PARTITION BY key
+                                          ORDER BY sse, alpha) AS rk
+                FROM fin
+            )
+            SELECT key, ROUND(alpha, 2) AS alpha,
+                   FLOOR(sse * 1000000 + 0.5) / 1000000 AS sse
+            FROM best WHERE rk = 1
+        """,
+        # ARGARCH mean stage = AR(1) OLS — simple-regression moments
+        "argarch_fit": "WITH" + _EVSEQ_SQL + """
+            , r AS (
+                SELECT key, value AS y,
+                       lag(value) OVER (PARTITION BY key ORDER BY t) AS x
+                FROM e
+            )
+            SELECT key,
+                   FLOOR((AVG(y) - covar_pop(x, y) / var_pop(x) * AVG(x))
+                         * 10000 + 0.500001) / 10000 AS c,
+                   FLOOR((covar_pop(x, y) / var_pop(x)) * 10000 + 0.500001)
+                   / 10000 AS phi
+            FROM r WHERE x IS NOT NULL GROUP BY key
+        """,
+        # optimizer certificates: keys × (n, TRUE) — see _CERT_SQL
+        "garch_fit": _CERT_SQL.format(where=""),
+        "arima_forecast": _CERT_SQL.format(where=""),
+        "auto_arima": _CERT_SQL.format(where="WHERE user_id < 20"),
+        "arimax_forecast": """
+            SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n, TRUE AS ok
+            FROM (
+                SELECT user_id, date_trunc('day', ts) AS d FROM events
+                WHERE user_id < 100 GROUP BY 1, 2
+            ) GROUP BY 1
+        """,
+        "holt_winters_fit": """
+            SELECT DISTINCT CAST(user_id AS VARCHAR) AS key,
+                   CAST(31 AS BIGINT) AS n, TRUE AS ok
+            FROM events
+        """,
+        # ARX(1,1): centered 3×3 Cramer over the lagged daily design
+        "arx_fit": """
+            WITH xy AS (
+                SELECT CAST(user_id AS VARCHAR) AS key, date_trunc('day', ts) AS ts,
+                       AVG(value) AS value, CAST(COUNT(*) AS DOUBLE) AS x
+                FROM events GROUP BY 1, 2
+            ),
+            r0 AS (
+                SELECT key, value AS y,
+                       lag(value) OVER w AS x1, x AS x2, lag(x) OVER w AS x3
+                FROM xy WINDOW w AS (PARTITION BY key ORDER BY ts)
+            ),
+            r AS (SELECT * FROM r0 WHERE x1 IS NOT NULL),
+            m AS (
+                SELECT key,
+                       var_pop(x1) AS s11, covar_pop(x1, x2) AS s12,
+                       covar_pop(x1, x3) AS s13,
+                       var_pop(x2) AS s22, covar_pop(x2, x3) AS s23,
+                       var_pop(x3) AS s33,
+                       covar_pop(x1, y) AS q1, covar_pop(x2, y) AS q2,
+                       covar_pop(x3, y) AS q3,
+                       AVG(y) AS my, AVG(x1) AS m1, AVG(x2) AS m2, AVG(x3) AS m3
+                FROM r GROUP BY 1
+            ),
+            sol AS (
+                SELECT key, my, m1, m2, m3,
+                       s11*(s22*s33 - s23*s23) - s12*(s12*s33 - s23*s13)
+                         + s13*(s12*s23 - s22*s13) AS det,
+                       (q1*(s22*s33 - s23*s23) - s12*(q2*s33 - s23*q3)
+                         + s13*(q2*s23 - s22*q3)) / det AS b1,
+                       (s11*(q2*s33 - q3*s23) - q1*(s12*s33 - s13*s23)
+                         + s13*(s12*q3 - q2*s13)) / det AS b2,
+                       (s11*(s22*q3 - s23*q2) - s12*(s12*q3 - s13*q2)
+                         + q1*(s12*s23 - s22*s13)) / det AS b3
+                FROM m
+            )
+            SELECT key,
+                   FLOOR((my - b1*m1 - b2*m2 - b3*m3) * 10000 + 0.500001)
+                       / 10000 AS c,
+                   FLOOR(b1 * 10000 + 0.500001) / 10000 AS phi1,
+                   FLOOR(b2 * 10000 + 0.500001) / 10000 AS beta0,
+                   FLOOR(b3 * 10000 + 0.500001) / 10000 AS beta1
+            FROM sol
+        """,
+        # Cochrane-Orcutt: initial-OLS + Durbin-Watson branch replayed;
+        # short-circuited series get full coefficient checks
+        "regression_arima": """
+            WITH xy AS (
+                SELECT CAST(user_id AS VARCHAR) AS key, date_trunc('day', ts) AS ts,
+                       AVG(value) AS value, CAST(COUNT(*) AS DOUBLE) AS x
+                FROM events GROUP BY 1, 2
+            ),
+            ols AS (
+                SELECT key,
+                       covar_pop(x, value) / var_pop(x) AS b1,
+                       AVG(value) - covar_pop(x, value) / var_pop(x) * AVG(x) AS b0
+                FROM xy GROUP BY 1
+            ),
+            r AS (
+                SELECT xy.key, xy.ts, xy.value - (o.b0 + o.b1 * xy.x) AS r
+                FROM xy JOIN ols o ON o.key = xy.key
+            ),
+            d AS (
+                SELECT key, r,
+                       r - lag(r) OVER (PARTITION BY key ORDER BY ts) AS dr
+                FROM r
+            ),
+            dw AS (SELECT key, SUM(dr*dr) / SUM(r*r) AS dw0 FROM d GROUP BY 1)
+            SELECT o.key,
+                   FLOOR(dw.dw0 * 10000 + 0.500001) / 10000 AS dw0,
+                   NOT (dw.dw0 > 1 AND dw.dw0 < 3) AS co,
+                   CASE WHEN NOT (dw.dw0 > 1 AND dw.dw0 < 3) THEN NULL
+                        ELSE FLOOR(o.b0 * 1000 + 0.500001) / 1000 END AS b0,
+                   CASE WHEN NOT (dw.dw0 > 1 AND dw.dw0 < 3) THEN NULL
+                        ELSE FLOOR(o.b1 * 1000 + 0.500001) / 1000 END AS b1
+            FROM ols o JOIN dw ON dw.key = o.key
+        """,
+        # natural cubic spline: Thomas-algorithm forward sweep and back
+        # substitution as two recursive CTEs over the knots, then piecewise
+        # cubic evaluation at the missing grid positions
+        "fill_spline": "WITH RECURSIVE" + _DAILY_GRID_SQL.lstrip().removeprefix("WITH")
+        + """
+            , g AS (SELECT * FROM grid WHERE key IN ('0','1','2')),
+            knots AS (
+                SELECT key, loc, value,
+                       CAST(row_number() OVER (PARTITION BY key ORDER BY loc) - 1
+                            AS BIGINT) AS k
+                FROM g WHERE value IS NOT NULL
+            ),
+            nk AS (SELECT key, COUNT(*) AS n, MIN(loc) AS xmin, MAX(loc) AS xmax
+                   FROM knots GROUP BY 1),
+            kk AS (
+                SELECT key, k, loc, value,
+                       CAST(lead(loc) OVER w - loc AS DOUBLE) AS h,
+                       CAST(loc - lag(loc) OVER w AS DOUBLE) AS hp,
+                       lead(value) OVER w AS yn, lag(value) OVER w AS yp,
+                       lead(loc) OVER w AS xn
+                FROM knots WINDOW w AS (PARTITION BY key ORDER BY k)
+            ),
+            abcd AS (
+                SELECT kk.key, k,
+                       CASE WHEN k = 0 OR k = n - 1 THEN 0.0 ELSE hp END AS a,
+                       CASE WHEN k = 0 OR k = n - 1 THEN 1.0
+                            ELSE 2*(hp + h) END AS b,
+                       CASE WHEN k = 0 OR k = n - 1 THEN 0.0 ELSE h END AS c,
+                       CASE WHEN k = 0 OR k = n - 1 THEN 0.0
+                            ELSE 6*((yn - value)/h - (value - yp)/hp) END AS d
+                FROM kk JOIN nk ON nk.key = kk.key
+            ),
+            fwd AS (
+                SELECT key, k, c / b AS cp, d / b AS dp FROM abcd WHERE k = 0
+                UNION ALL
+                SELECT x.key, x.k,
+                       x.c / (x.b - x.a * f.cp),
+                       (x.d - x.a * f.dp) / (x.b - x.a * f.cp)
+                FROM fwd f JOIN abcd x ON x.key = f.key AND x.k = f.k + 1
+            ),
+            bwd AS (
+                SELECT f.key, f.k, f.dp AS m
+                FROM fwd f JOIN nk ON nk.key = f.key AND f.k = nk.n - 1
+                UNION ALL
+                SELECT f.key, f.k, f.dp - f.cp * b.m
+                FROM bwd b JOIN fwd f ON f.key = b.key AND f.k = b.k - 1
+            ),
+            seg AS (
+                SELECT kk.key, kk.loc AS x0, kk.xn AS x1, kk.value AS y0,
+                       kk.yn AS y1, kk.h, m0.m AS m0, m1.m AS m1
+                FROM kk
+                JOIN bwd m0 ON m0.key = kk.key AND m0.k = kk.k
+                JOIN bwd m1 ON m1.key = kk.key AND m1.k = kk.k + 1
+                WHERE kk.xn IS NOT NULL
+            ),
+            miss AS (
+                SELECT g.key, g.loc, g.ts
+                FROM g JOIN nk ON nk.key = g.key
+                WHERE g.value IS NULL AND g.loc >= nk.xmin AND g.loc <= nk.xmax
+            ),
+            ev AS (
+                SELECT ms.key, ms.loc, ms.ts,
+                       (s.x1 - ms.loc) / s.h AS aa,
+                       (ms.loc - s.x0) / s.h AS bb,
+                       s.y0, s.y1, s.m0, s.m1, s.h
+                FROM miss ms
+                JOIN seg s ON s.key = ms.key AND ms.loc >= s.x0 AND ms.loc < s.x1
+            )
+            SELECT key, loc, ts,
+                   FLOOR(value * 1000000 + 0.500001) / 1000000 AS value
+            FROM g WHERE value IS NOT NULL
+            UNION ALL
+            SELECT key, loc, ts,
+                   FLOOR((aa*y0 + bb*y1
+                          + ((aa*aa*aa - aa)*m0 + (bb*bb*bb - bb)*m1) * h*h / 6)
+                         * 1000000 + 0.500001) / 1000000 AS value
+            FROM ev
+            UNION ALL
+            SELECT g.key, g.loc, g.ts, NULL AS value
+            FROM g JOIN nk ON nk.key = g.key
+            WHERE g.value IS NULL AND (g.loc < nk.xmin OR g.loc > nk.xmax)
+        """,
+        # Holt-Winters with fixed (α,β,γ): R-style init (centered-MA trend,
+        # de-trended seasonal means, trend regression) + the triple-smoothing
+        # recursion as a recursive CTE carrying (level, trend, season list),
+        # then the 7-step forecast
+        "holt_winters_forecast": "WITH RECURSIVE"
+        + _DAILY_GRID_SQL.lstrip().removeprefix("WITH")
+        + _FILLED_SQL
+        + """
+            , tr8 AS (
+                SELECT key, loc AS j,
+                       AVG(value) OVER (PARTITION BY key ORDER BY loc
+                                        ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)
+                           AS tr
+                FROM filled QUALIFY j <= 7
+            ),
+            detr AS (
+                SELECT f.key, f.loc, f.value - t8.tr AS dv
+                FROM filled f
+                JOIN tr8 t8 ON t8.key = f.key AND t8.j = f.loc - 3
+                WHERE f.loc BETWEEN 3 AND 10
+            ),
+            sm AS (
+                SELECT k.key, g.i,
+                       CASE WHEN g.i <= 2 THEN d2.dv
+                            WHEN g.i = 3 THEN (d1.dv + d2.dv) / 2
+                            ELSE d1.dv END AS sm
+                FROM (SELECT DISTINCT key FROM filled) k
+                CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS i) g
+                LEFT JOIN detr d1 ON d1.key = k.key AND d1.loc = g.i
+                LEFT JOIN detr d2 ON d2.key = k.key AND d2.loc = g.i + 7
+            ),
+            mf AS (SELECT key, SUM(sm) / 7 AS mf FROM sm GROUP BY 1),
+            season0 AS (
+                SELECT sm.key, list(sm.sm - mf.mf ORDER BY sm.i) AS s0
+                FROM sm JOIN mf ON mf.key = sm.key GROUP BY sm.key
+            ),
+            lt AS (
+                SELECT key,
+                       covar_pop(CAST(j + 1 AS DOUBLE), tr)
+                           / var_pop(CAST(j + 1 AS DOUBLE)) AS t0,
+                       AVG(tr) - covar_pop(CAST(j + 1 AS DOUBLE), tr)
+                           / var_pop(CAST(j + 1 AS DOUBLE))
+                           * AVG(CAST(j + 1 AS DOUBLE)) AS l0
+                FROM tr8 GROUP BY 1
+            ),
+            rec AS (
+                SELECT lt.key, 0 AS i, lt.l0 AS level, lt.t0 AS trend,
+                       s.s0 AS seasons
+                FROM lt JOIN season0 s ON s.key = lt.key
+                UNION ALL
+                SELECT r.key, r.i + 1,
+                       0.3*(f.value - r.seasons[r.i + 1])
+                         + (1 - 0.3)*(r.level + r.trend),
+                       0.1*((0.3*(f.value - r.seasons[r.i + 1])
+                              + (1 - 0.3)*(r.level + r.trend)) - r.level)
+                         + (1 - 0.1)*r.trend,
+                       list_append(r.seasons,
+                           0.2*(f.value - (0.3*(f.value - r.seasons[r.i + 1])
+                                            + (1 - 0.3)*(r.level + r.trend)))
+                             + (1 - 0.2)*r.seasons[r.i + 1])
+                FROM rec r
+                JOIN filled f ON f.key = r.key AND f.loc = r.i + 7
+                WHERE r.i < 24
+            ),
+            fin AS (SELECT key, level, trend, seasons FROM rec WHERE i = 24)
+            SELECT key, CAST(s AS BIGINT) AS step,
+                   FLOOR((level + s*trend + seasons[24 + s]) * 1000000 + 0.500001)
+                   / 1000000 AS forecast
+            FROM fin, (SELECT unnest(generate_series(1, 7)) AS s) st
         """,
         # exact replay of the deterministic fake image decode (md5-derived
         # uniform features, float32-rounded)

@@ -3,6 +3,7 @@ from .arx import (
     ARIMAXModel,
     ARXModel,
     RegressionARIMAModel,
+    arimax_start,
     fit_arimax,
     fit_arx,
     fit_regression_arima_cochrane_orcutt,
@@ -11,6 +12,7 @@ from .fit import (
     apply_model_effects,
     fit_improvement,
     fit_models,
+    fit_xreg_improvement,
     fit_xreg_models,
     forecast,
     residuals,
@@ -34,8 +36,10 @@ from .univariate import (
 __all__ = [
     "ARIMAModel", "auto_fit", "fit_arima",
     "ARIMAXModel", "ARXModel", "RegressionARIMAModel",
-    "fit_arimax", "fit_arx", "fit_regression_arima_cochrane_orcutt",
+    "arimax_start", "fit_arimax", "fit_arx",
+    "fit_regression_arima_cochrane_orcutt",
     "apply_model_effects", "fit_improvement", "fit_models", "fit_xreg_models",
+    "fit_xreg_improvement",
     "forecast", "residuals", "test_series", "variance_forecast",
     "ARGARCHModel", "ARModel", "EWMAModel", "GARCHModel", "HoltWintersModel",
     "fit_ar", "fit_ar_garch", "fit_ewma", "fit_ewma_grid", "fit_garch",

@@ -149,6 +149,42 @@ class ARIMAXModel:
         return dy - e
 
 
+def arimax_start(
+    y: np.ndarray,
+    xreg: np.ndarray,
+    p: int,
+    d: int,
+    q: int,
+    xreg_max_lag: int = 0,
+    include_original_xreg: bool = True,
+    include_intercept: bool = True,
+) -> np.ndarray:
+    """Deterministic optimizer start for :func:`fit_arimax`: OLS for
+    [c, beta], AR terms from an AR fit of the OLS residuals, zero MA terms
+    (``ARIMAX.scala:59-87``). Exposed so fit-improvement certificates can
+    evaluate the objective at exactly the optimizer's starting point."""
+    y = np.asarray(y, dtype=float)
+    proto = ARIMAXModel(
+        p, d, q, xreg_max_lag, include_original_xreg, include_intercept,
+        np.zeros(0),
+    )
+    X = proto._xmat(xreg)
+    dy = difference(y, d)
+    beta0 = ols(X, dy, intercept=include_intercept)
+    if include_intercept:
+        c0, b0 = float(beta0[0]), beta0[1:]
+    else:
+        c0, b0 = 0.0, beta0
+    resid0 = dy - (c0 + X @ b0)
+    ar0 = np.zeros(p)
+    if p > 0 and len(resid0) > p + 1:
+        arc = ols(lag_matrix(resid0, p), resid0[p:], intercept=False)
+        ar0 = np.asarray(arc, dtype=float)
+    return np.concatenate(
+        [[c0] if include_intercept else [], ar0, np.zeros(q), b0]
+    )
+
+
 def fit_arimax(
     y: np.ndarray,
     xreg: np.ndarray,
@@ -162,25 +198,8 @@ def fit_arimax(
     """CSS fit; start = ARX coefficients + zero MA terms
     (``ARIMAX.scala:59-87``)."""
     y = np.asarray(y, dtype=float)
-    proto = ARIMAXModel(
-        p, d, q, xreg_max_lag, include_original_xreg, include_intercept,
-        np.zeros(0),
-    )
-    X = proto._xmat(xreg)
-    dy = difference(y, d)
-    # OLS start for [c, beta]; AR terms from an AR fit of the OLS residuals
-    beta0 = ols(X, dy, intercept=include_intercept)
-    if include_intercept:
-        c0, b0 = float(beta0[0]), beta0[1:]
-    else:
-        c0, b0 = 0.0, beta0
-    resid0 = dy - (c0 + X @ b0)
-    ar0 = np.zeros(p)
-    if p > 0 and len(resid0) > p + 1:
-        arc = ols(lag_matrix(resid0, p), resid0[p:], intercept=False)
-        ar0 = np.asarray(arc, dtype=float)
-    x0 = np.concatenate(
-        [[c0] if include_intercept else [], ar0, np.zeros(q), b0]
+    x0 = arimax_start(
+        y, xreg, p, d, q, xreg_max_lag, include_original_xreg, include_intercept
     )
 
     def obj(params):
@@ -203,6 +222,7 @@ class RegressionARIMAModel:
     rho: float
     dw: float
     iterations: int
+    dw0: float = float("nan")  # DW of the initial OLS (the branch statistic)
 
     def predict(self, x: np.ndarray) -> np.ndarray:
         x = np.atleast_2d(np.asarray(x, dtype=float))
@@ -226,9 +246,9 @@ def fit_regression_arima_cochrane_orcutt(
         X = X.T
     beta = ols(X, y, intercept=True)
     resid = y - (beta[0] + X @ beta[1:])
-    dw = durbin_watson(resid)
-    if 1.0 < dw < 3.0:
-        return RegressionARIMAModel(beta, 0.0, dw, 0)
+    dw0 = durbin_watson(resid)
+    if 1.0 < dw0 < 3.0:
+        return RegressionARIMAModel(beta, 0.0, dw0, 0, dw0)
     rho = 0.0
     it = 0
     for it in range(1, max_iter + 1):
@@ -244,4 +264,4 @@ def fit_regression_arima_cochrane_orcutt(
             break
         rho = rho_new
     dw = durbin_watson(resid[1:] - rho * resid[:-1])
-    return RegressionARIMAModel(beta, rho, dw, it)
+    return RegressionARIMAModel(beta, rho, dw, it, dw0)

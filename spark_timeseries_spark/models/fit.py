@@ -303,7 +303,7 @@ def fit_xreg_models(
     (``ARIMAX.scala:59-87``) | regression_arima (Cochrane-Orcutt,
     ``RegressionARIMA.scala:83-160``). ``aux`` carries model-specific
     extras: arx → [y_max_lag, x_max_lag]; arimax → [p, d, q];
-    regression_arima → [rho, dw, iterations]."""
+    regression_arima → [rho, dw, iterations, dw0]."""
     _require(model, _KNOWN_XREG_MODELS)
 
     def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -342,7 +342,7 @@ def fit_xreg_models(
                     y, X, kwargs.get("max_iter", 10)
                 )
                 params = np.asarray(m.beta, dtype=float)
-                aux = np.array([m.rho, m.dw, m.iterations], dtype=float)
+                aux = np.array([m.rho, m.dw, m.iterations, m.dw0], dtype=float)
         except Exception:
             # same per-series degradation as fit_models: one degenerate
             # series (too short for the lag order, singular design) yields
@@ -473,6 +473,51 @@ def fit_improvement(
         try:
             fitted, start = _certificate_one(model, y, kwargs)
             ok = bool(fitted <= start * (1 + 1e-9) + 1e-9)
+        except Exception:
+            ok = False
+        return pd.DataFrame({"key": [key], "n": [len(y)], "ok": [ok]})
+
+    return _spread(df, key_col).groupBy(key_col).applyInPandas(
+        _c, schema="key string, n long, ok boolean"
+    )
+
+
+def fit_xreg_improvement(
+    df: DataFrame,
+    model: str,
+    xreg_cols: list[str],
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+    **kwargs,
+) -> DataFrame:
+    """Optimizer certificate for exogenous-regressor models → (key, n, ok);
+    same contract as :func:`fit_improvement`, comparing the CSS at the fitted
+    parameters to the CSS at the deterministic start
+    (:func:`~spark_timeseries_spark.models.arx.arimax_start`)."""
+    if model != "arimax":
+        raise ValueError("fit_xreg_improvement supports arimax")
+    p = kwargs.get("p", 1)
+    d = kwargs.get("d", 0)
+    q = kwargs.get("q", 0)
+    xl = kwargs.get("xreg_max_lag", 0)
+    io = kwargs.get("include_original_xreg", True)
+    ii = kwargs.get("include_intercept", True)
+
+    def _c(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf[key_col].iloc[0]
+        pdf = pdf.sort_values(order_col)
+        y = pdf[value_col].to_numpy(dtype=float, na_value=np.nan)
+        X = pdf[list(xreg_cols)].to_numpy(dtype=float, na_value=np.nan)
+        mask = ~np.isnan(y) & ~np.isnan(X).any(axis=1)
+        y, X = y[mask], X[mask]
+        try:
+            x0 = arx_mod.arimax_start(y, X, p, d, q, xl, io, ii)
+            start = arx_mod.ARIMAXModel(p, d, q, xl, io, ii, x0)
+            fitted = arx_mod.fit_arimax(y, X, p, d, q, xl, io, ii)
+            ok = bool(
+                fitted.css(y, X) <= start.css(y, X) * (1 + 1e-9) + 1e-9
+            )
         except Exception:
             ok = False
         return pd.DataFrame({"key": [key], "n": [len(y)], "ok": [ok]})
