@@ -211,6 +211,22 @@ def _q_trim(spark, sf_dir):
 
 # -- statistical tests & models ---------------------------------------------
 
+def _q_pacf(spark, sf_dir):
+    """Partial autocorrelation function (``EasyPlot.scala:84-86``: the
+    AR(maxLag) coefficient vector) + the white-noise confidence band — exact
+    OLS, oracle-replayed via the same centered 2×2 Cramer as ar_forecast."""
+    from spark_timeseries_spark.stats import pacf
+
+    obs = events_observations(spark, sf_dir)
+    out = pacf(obs, 2, order_col="ts")
+    return out.select(
+        "key",
+        "lag",
+        _stable_round(F.col("pacf"), 4).alias("pacf"),
+        _stable_round(F.col("conf_bound"), 6).alias("conf_bound"),
+    )
+
+
 def _q_dw_test(spark, sf_dir):
     """Durbin-Watson per series — SQL-expressible window+agg plan
     (SURVEY §2.10): sum(Δv²)/sum(v²) over the per-key event sequence."""
@@ -893,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorr": _q_autocorr,
         "trim_leading_trailing": _q_trim,
         "dw_test": _q_dw_test,
+        "pacf": _q_pacf,
         "ar_forecast": _q_ar_forecast,
         "adf_test": _q_adf_test,
         "kpss_test": _q_kpss_test,
@@ -1805,6 +1822,37 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         # -- model / statistical-test oracles --------------------------------
+        # PACF = AR(2) OLS slopes (centered 2×2 Cramer) + z/√n band; the z
+        # literal is the exact double of NormalDist().inv_cdf(0.975)
+        "pacf": "WITH" + _EVSEQ_SQL + """
+            , r AS (
+                SELECT key, value AS y,
+                       lag(value, 1) OVER w AS x1, lag(value, 2) OVER w AS x2
+                FROM e WINDOW w AS (PARTITION BY key ORDER BY t)
+            ),
+            n AS (SELECT key, COUNT(value) AS n FROM e GROUP BY 1),
+            m AS (
+                SELECT key,
+                       var_pop(x1) AS s11, covar_pop(x1, x2) AS s12,
+                       var_pop(x2) AS s22,
+                       covar_pop(x1, y) AS q1, covar_pop(x2, y) AS q2
+                FROM r WHERE x2 IS NOT NULL GROUP BY 1
+            ),
+            sol AS (
+                SELECT key,
+                       (q1*s22 - q2*s12) / (s11*s22 - s12*s12) AS b1,
+                       (q2*s11 - q1*s12) / (s11*s22 - s12*s12) AS b2
+                FROM m
+            )
+            SELECT sol.key, CAST(g.lag AS BIGINT) AS lag,
+                   FLOOR((CASE g.lag WHEN 1 THEN b1 ELSE b2 END) * 10000
+                         + 0.500001) / 10000 AS pacf,
+                   FLOOR((1.9599639845400536 / sqrt(n.n)) * 1000000 + 0.500001)
+                       / 1000000 AS conf_bound
+            FROM sol
+            JOIN n ON n.key = sol.key
+            CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS lag) g
+        """,
         # AR(2) OLS replayed from covariance moments (centered 2×2 Cramer),
         # then the 5-step forecast recursion unrolled with lateral aliases
         "ar_forecast": "WITH" + _EVSEQ_SQL + """

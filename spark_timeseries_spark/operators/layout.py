@@ -120,3 +120,56 @@ def series_stats(
         F.min(v).alias("min"),
         F.max(v).alias("max"),
     )
+
+
+def _instant_vectors(
+    df: DataFrame, key_col: str, loc_col: str, value_col: str
+) -> DataFrame:
+    """(loc, vals ARRAY<double>) — one dense row per instant, columns in
+    sorted-key order, NULL cells as NaN. Requires the conformed grid (one row
+    per key×loc) so every vector has the full width."""
+    return df.groupBy(loc_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(key_col, value_col))),
+            lambda s: F.coalesce(s[value_col], F.lit(float("nan"))),
+        ).alias("vals")
+    )
+
+
+def to_indexed_row_matrix(
+    df: DataFrame,
+    index=None,
+    key_col: str = "key",
+    loc_col: str = "loc",
+    value_col: str = "value",
+):
+    """Conformed grid → MLlib ``IndexedRowMatrix``
+    (``TimeSeriesRDD.scala:456-476``): row index = the instant's location on
+    the (uniform) index — the reference computes it as
+    ``frequency.difference(start, ts)``, which is exactly our ``loc`` —
+    columns = series in sorted-key order. The bridge to MLlib's distributed
+    matrix statistics (PCA, SVD, column similarities)."""
+    from pyspark.mllib.linalg.distributed import IndexedRow, IndexedRowMatrix
+
+    from ..index import UniformDateTimeIndex
+
+    if index is not None and not isinstance(index, UniformDateTimeIndex):
+        raise ValueError("only supported for uniform indices")
+    rows = _instant_vectors(df, key_col, loc_col, value_col)
+    return IndexedRowMatrix(
+        rows.rdd.map(lambda r: IndexedRow(r[0], r[1]))
+    )
+
+
+def to_row_matrix(
+    df: DataFrame,
+    key_col: str = "key",
+    loc_col: str = "loc",
+    value_col: str = "value",
+):
+    """Conformed grid → MLlib ``RowMatrix`` (``TimeSeriesRDD.scala:478-486``);
+    row order is not significant in a RowMatrix, so any index type works."""
+    from pyspark.mllib.linalg.distributed import RowMatrix
+
+    rows = _instant_vectors(df, key_col, loc_col, value_col)
+    return RowMatrix(rows.rdd.map(lambda r: r[1]))

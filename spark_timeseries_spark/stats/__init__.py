@@ -1,3 +1,4 @@
+from .correlogram import acf, conf_bound, pacf
 from .tests import (
     adf_test,
     autocorr_pearson,
@@ -10,6 +11,9 @@ from .tests import (
 )
 
 __all__ = [
+    "acf",
+    "conf_bound",
+    "pacf",
     "adf_test",
     "autocorr_pearson",
     "breusch_godfrey",

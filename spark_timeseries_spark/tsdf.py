@@ -63,6 +63,15 @@ class TimeSeriesDataFrame:
     def series_stats(self) -> DataFrame:
         return layout.series_stats(self.df)
 
+    def to_indexed_row_matrix(self):
+        """Instants → MLlib ``IndexedRowMatrix`` (``TimeSeriesRDD.scala:456-476``);
+        uniform indices only, row index = loc, columns = sorted keys."""
+        return layout.to_indexed_row_matrix(self.df, self.index)
+
+    def to_row_matrix(self):
+        """Instants → MLlib ``RowMatrix`` (``TimeSeriesRDD.scala:478-486``)."""
+        return layout.to_row_matrix(self.df)
+
     def to_pandas(self) -> pd.DataFrame:
         """Driver-side instants matrix (``collectAsTimeSeries``,
         ``TimeSeriesRDD.scala:61-75``). Small data only."""

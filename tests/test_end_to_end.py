@@ -148,3 +148,69 @@ def test_series_tests_bg_bp_distributed(spark):
         assert set(out.key) == {"w", "v"}
         # white noise: no serial correlation / heteroskedasticity
         assert (out.p_value > 0.01).all(), (test, out)
+
+
+def test_matrix_bridges_round_trip_vs_pivot(spark):
+    """to_indexed_row_matrix / to_row_matrix (TimeSeriesRDD.scala:456-486):
+    rows = instants (row index = loc), columns = sorted keys, NULL → NaN —
+    verified cell-by-cell against a pandas pivot of the same grid."""
+    import math
+
+    from spark_timeseries_spark.operators import layout
+
+    rows = []
+    for k in ("a", "b", "c"):
+        for i in range(6):
+            v = None if (k == "b" and i == 2) else float(ord(k) * 10 + i)
+            rows.append((k, i, v))
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+
+    m = layout.to_indexed_row_matrix(df)
+    assert m.numRows() == 6 and m.numCols() == 3
+    got = {int(r.index): list(r.vector) for r in m.rows.collect()}
+    pdf = df.toPandas().pivot(index="loc", columns="key", values="value")
+    for loc in range(6):
+        want = pdf.loc[loc, ["a", "b", "c"]].tolist()
+        for g, w in zip(got[loc], want):
+            assert (math.isnan(g) and pd.isna(w)) or g == w
+
+    rm = layout.to_row_matrix(df)
+    assert rm.numRows() == 6 and rm.numCols() == 3
+
+    # uniform-index gate matches the reference's UnsupportedOperationException
+    import spark_timeseries_spark as sts
+
+    t = TimeSeriesDataFrame(
+        df.withColumn("ts", F.lit("2024-01-01").cast("timestamp")),
+        sts.irregular(["2024-01-0%d" % d for d in range(1, 7)]),
+    )
+    with pytest.raises(ValueError):
+        t.to_indexed_row_matrix()
+
+
+def test_acf_pacf_correlogram(spark):
+    """stats.acf / stats.pacf (EasyPlot.scala:61-96 numbers): acf matches the
+    numpy Pearson autocorrelation, pacf matches the AR(max_lag) coefficients,
+    conf_bound is z/sqrt(n)."""
+    from spark_timeseries_spark.stats import acf, conf_bound, pacf
+    from spark_timeseries_spark.stats.tests import autocorr_pearson
+    from spark_timeseries_spark.models import fit_ar
+
+    rng = np.random.default_rng(23)
+    rows = []
+    series = {}
+    for k in ("a", "b"):
+        y = np.cumsum(rng.standard_normal(80)) + 10
+        series[k] = y
+        rows += [(k, i, float(v)) for i, v in enumerate(y)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+
+    a = acf(df, 3).toPandas().set_index(["key", "lag"]).sort_index()
+    p = pacf(df, 3).toPandas().set_index(["key", "lag"]).sort_index()
+    for k, y in series.items():
+        want_acf = autocorr_pearson(y, 3)
+        want_pacf = fit_ar(y, 3).coefficients
+        for lag in (1, 2, 3):
+            assert abs(a.loc[(k, lag), "acf"] - want_acf[lag - 1]) < 1e-9
+            assert abs(p.loc[(k, lag), "pacf"] - want_pacf[lag - 1]) < 1e-9
+            assert abs(a.loc[(k, lag), "conf_bound"] - conf_bound(0.95, 80)) < 1e-12
