@@ -767,6 +767,37 @@ def _xy_daily(spark, sf_dir):
     )
 
 
+def _q_arima_filter(spark, sf_dir):
+    """removeTimeDependentEffects for ARIMA(1,0,1) with FIXED coefficients —
+    the CSS innovations recursion e_t = (y_t − c − φ·y_{t−1}) − θ·e_{t−1}
+    (``ARIMA.scala:417-445``) replayed exactly by a recursive CTE. Full value
+    check on the filter machinery; the fit is certified by arima_forecast."""
+    from spark_timeseries_spark.models import apply_model_effects
+
+    obs = events_observations(spark, sf_dir)
+    out = apply_model_effects(
+        obs, "arima", [2.0, 0.55, 0.3], add=False, order_col="ts", p=1, d=0, q=1
+    )
+    return out.select(
+        "key", "ts", _stable_round(F.col("value"), 6).alias("resid")
+    )
+
+
+def _q_garch_filter(spark, sf_dir):
+    """GARCH(1,1) volatility standardization with FIXED (ω,α,β) —
+    h_t = ω + α·η²_{t−1} + β·h_{t−1}, h_0 = ω/(1−α−β), out = η/√h
+    (``GARCH.scala:178-196``); recursive-CTE replay."""
+    from spark_timeseries_spark.models import apply_model_effects
+
+    obs = events_observations(spark, sf_dir)
+    out = apply_model_effects(
+        obs, "garch", [4.0, 0.1, 0.8], add=False, order_col="ts"
+    )
+    return out.select(
+        "key", "ts", _stable_round(F.col("value"), 6).alias("std_resid")
+    )
+
+
 def _q_arx_fit(spark, sf_dir):
     """ARX(1,1) per series: y on its own lag + current/lagged event count
     (``AutoregressionX.scala:48-68``). Pure OLS → the oracle solves the same
@@ -947,6 +978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_union": _q_index_union,
         "multimodal_meta": _q_multimodal_meta,
         "arima_forecast": _q_arima_forecast,
+        "arima_filter": _q_arima_filter,
+        "garch_filter": _q_garch_filter,
         "garch_fit": _q_garch_fit,
         "ewma_fit": _q_ewma_fit,
         "argarch_fit": _q_argarch_fit,
@@ -2041,6 +2074,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT key, ROUND(alpha, 2) AS alpha,
                    FLOOR(sse * 1000000 + 0.5) / 1000000 AS sse
             FROM best WHERE rk = 1
+        """,
+        # fixed-coefficient ARIMA(1,0,1) innovations filter — recursion
+        # replayed with the numpy kernel's exact expression order
+        "arima_filter": """
+            WITH RECURSIVE e AS (
+                SELECT CAST(user_id AS VARCHAR) AS key, ts, value,
+                       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts)
+                            - 1 AS BIGINT) AS t
+                FROM events
+            ),
+            rec AS (
+                SELECT key, t, ts, value AS y, value - 2.0 AS ev
+                FROM e WHERE t = 0
+                UNION ALL
+                SELECT r.key, e.t, e.ts, e.value,
+                       ((e.value - 2.0) - 0.55 * r.y) - 0.3 * r.ev
+                FROM rec r JOIN e ON e.key = r.key AND e.t = r.t + 1
+            )
+            SELECT key, ts,
+                   FLOOR(ev * 1000000 + 0.500001) / 1000000 AS resid
+            FROM rec
+        """,
+        # fixed-coefficient GARCH(1,1) volatility standardization
+        "garch_filter": """
+            WITH RECURSIVE e AS (
+                SELECT CAST(user_id AS VARCHAR) AS key, ts, value,
+                       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts)
+                            - 1 AS BIGINT) AS t
+                FROM events
+            ),
+            rec AS (
+                SELECT key, t, ts, value AS eta,
+                       4.0 / (1 - 0.1 - 0.8) AS h,
+                       value / sqrt(4.0 / (1 - 0.1 - 0.8)) AS z
+                FROM e WHERE t = 0
+                UNION ALL
+                SELECT r.key, e.t, e.ts, e.value,
+                       4.0 + 0.1 * (r.eta * r.eta) + 0.8 * r.h,
+                       e.value / sqrt(4.0 + 0.1 * (r.eta * r.eta) + 0.8 * r.h)
+                FROM rec r JOIN e ON e.key = r.key AND e.t = r.t + 1
+            )
+            SELECT key, ts,
+                   FLOOR(z * 1000000 + 0.500001) / 1000000 AS std_resid
+            FROM rec
         """,
         # ARGARCH mean stage = AR(1) OLS — simple-regression moments
         "argarch_fit": "WITH" + _EVSEQ_SQL + """
