@@ -348,6 +348,19 @@ def _q_token_count_by_source(spark, sf_dir):
     )
 
 
+def _q_token_count_bpe(spark, sf_dir):
+    """BPE-ish regex pre-tokenization (letter / digit / punctuation runs —
+    the GPT-2-style split reduced to its engine-portable core) counted per
+    document; the oracle replays the identical regex."""
+    from spark_timeseries_spark.pipeline import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text_ops.token_count(F.col("text"), bpe=True).alias("n_bpe_tokens"),
+    )
+
+
 def _q_fingerprint(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower("text"), r"\s+", " ")
@@ -693,6 +706,16 @@ def _q_garch_fit(spark, sf_dir):
     return fit_improvement(obs, "garch", order_col="ts")
 
 
+def _q_egarch_fit(spark, sf_dir):
+    """EGARCH(1,1) likelihood certificate. The reference DECLARES EGARCH but
+    its methods throw (``GARCH.scala:262-283``); this is a real Nelson-1991
+    implementation, certified like the other iterative fits."""
+    from spark_timeseries_spark.models import fit_improvement
+
+    obs = events_observations(spark, sf_dir)
+    return fit_improvement(obs, "egarch", order_col="ts")
+
+
 def _q_ewma_fit(spark, sf_dir):
     """Exhaustive-grid EWMA fit (α over {0.01..0.99} minimizing one-step
     SSE) — exactly reproducible, so the oracle replays the SSE recursion per
@@ -949,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "text_quality": _q_text_quality,
         "token_count_by_source": _q_token_count_by_source,
+        "token_count_bpe": _q_token_count_bpe,
         "fingerprint": _q_fingerprint,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "knn_cosine": _q_knn_cosine,
@@ -981,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arima_filter": _q_arima_filter,
         "garch_filter": _q_garch_filter,
         "garch_fit": _q_garch_fit,
+        "egarch_fit": _q_egarch_fit,
         "ewma_fit": _q_ewma_fit,
         "argarch_fit": _q_argarch_fit,
         "fill_spline": _q_fill_spline,
@@ -1320,6 +1345,13 @@ def oracle_sql() -> dict[str, str]:
                             END) AS BIGINT) AS total_tokens,
                    CAST(SUM(length(text)) AS BIGINT) AS total_chars
             FROM documents GROUP BY 1
+        """,
+        "token_count_bpe": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT)
+                       AS n_bpe_tokens
+            FROM documents
         """,
         "fingerprint": """
             SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
@@ -2135,6 +2167,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # optimizer certificates: keys × (n, TRUE) — see _CERT_SQL
         "garch_fit": _CERT_SQL.format(where=""),
+        "egarch_fit": _CERT_SQL.format(where=""),
         "arima_forecast": _CERT_SQL.format(where=""),
         "auto_arima": _CERT_SQL.format(where="WHERE user_id < 20"),
         "arimax_forecast": """

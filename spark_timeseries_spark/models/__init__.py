@@ -22,11 +22,14 @@ from .fit import (
 from .univariate import (
     ARGARCHModel,
     ARModel,
+    EGARCHModel,
     EWMAModel,
     GARCHModel,
     HoltWintersModel,
+    egarch_start,
     fit_ar,
     fit_ar_garch,
+    fit_egarch,
     fit_ewma,
     fit_ewma_grid,
     fit_garch,
@@ -41,7 +44,8 @@ __all__ = [
     "apply_model_effects", "fit_improvement", "fit_models", "fit_xreg_models",
     "fit_xreg_improvement",
     "forecast", "residuals", "test_series", "variance_forecast",
-    "ARGARCHModel", "ARModel", "EWMAModel", "GARCHModel", "HoltWintersModel",
-    "fit_ar", "fit_ar_garch", "fit_ewma", "fit_ewma_grid", "fit_garch",
-    "fit_holt_winters",
+    "ARGARCHModel", "ARModel", "EGARCHModel", "EWMAModel", "GARCHModel",
+    "HoltWintersModel", "egarch_start",
+    "fit_ar", "fit_ar_garch", "fit_egarch", "fit_ewma", "fit_ewma_grid",
+    "fit_garch", "fit_holt_winters",
 ]

@@ -60,7 +60,7 @@ def _clean(y: np.ndarray) -> np.ndarray:
 
 
 _KNOWN_MODELS = (
-    "ar", "ewma", "ewma_grid", "garch", "argarch", "holtwinters",
+    "ar", "ewma", "ewma_grid", "garch", "egarch", "argarch", "holtwinters",
     "arima", "arima_auto",
 )
 _KNOWN_XREG_MODELS = ("arx", "arimax", "regression_arima")
@@ -90,6 +90,9 @@ def _fit_one(model: str, y: np.ndarray, kwargs: dict):
     if model == "garch":
         m = uni.fit_garch(y)
         return np.array([m.omega, m.alpha, m.beta])
+    if model == "egarch":
+        m = uni.fit_egarch(y)
+        return np.array([m.omega, m.alpha, m.gamma, m.beta])
     if model == "argarch":
         m = uni.fit_ar_garch(y)
         return np.array([m.c, m.phi, m.garch.omega, m.garch.alpha, m.garch.beta])
@@ -122,6 +125,8 @@ def _model_obj(model: str, params: np.ndarray, kwargs: dict):
         return uni.EWMAModel(float(params[0]))
     if model == "garch":
         return uni.GARCHModel(*map(float, params))
+    if model == "egarch":
+        return uni.EGARCHModel(*map(float, params))
     if model == "argarch":
         return uni.ARGARCHModel(
             float(params[0]), float(params[1]), uni.GARCHModel(*map(float, params[2:]))
@@ -417,6 +422,9 @@ def _certificate_one(model: str, y: np.ndarray, kwargs: dict) -> tuple[float, fl
         var = float(np.var(y)) or 1.0
         start = uni.GARCHModel(var * 0.1, 0.1, 0.8)
         return -uni.fit_garch(y).log_likelihood(y), -start.log_likelihood(y)
+    if model == "egarch":
+        start = uni.egarch_start(y)
+        return -uni.fit_egarch(y).log_likelihood(y), -start.log_likelihood(y)
     if model == "argarch":
         ar = uni.fit_ar(y, 1)
         resid = ar.remove_effects(y)

@@ -20,11 +20,15 @@ The "model" is a small dataclass; distributed use goes through
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 import numpy as np
 
 from ._numeric import minimize_cg, nelder_mead, ols
+
+#: E|Z| for standard normal Z — the centering constant in EGARCH's |z| term.
+_EABS_NORMAL = math.sqrt(2.0 / math.pi)
 
 
 # ---------------------------------------------------------------------------
@@ -267,6 +271,121 @@ def fit_garch(eta: np.ndarray) -> GARCHModel:
         f, x, bounds=[(1e-6, 0.97), (1e-6, 0.97), (1e-10, None)], step=0.05
     )
     return unpack(x)
+
+
+@dataclass
+class EGARCHModel:
+    """EGARCH(1,1), Nelson (1991):
+    ln h_t = ω + α(|z_{t−1}| − √(2/π)) + γ·z_{t−1} + β·ln h_{t−1},
+    z_t = η_t/√h_t, ln h_0 = ω/(1−β) (unconditional mean of the shock-free
+    recursion). The reference declares EGARCH but its fit/filter methods
+    throw (``GARCH.scala:262-283``) — this is a real implementation, kept
+    API-compatible with :class:`GARCHModel` (log-likelihood, standardize,
+    simulate, variance forecast)."""
+
+    omega: float
+    alpha: float
+    gamma: float
+    beta: float
+
+    _EABS = _EABS_NORMAL
+
+    def _log_variances(self, eta: np.ndarray) -> np.ndarray:
+        n = len(eta)
+        lh = np.empty(n)
+        # clamp ln h to ±50 (h ∈ [e⁻⁵⁰, e⁵⁰]): wild optimizer iterates would
+        # otherwise overflow exp(); the clamp is deterministic, so both the
+        # fitted and start objectives in certificates see the same surface
+        lh[0] = min(max(self.omega / (1.0 - self.beta), -50.0), 50.0)
+        for t in range(1, n):
+            z = eta[t - 1] / np.sqrt(np.exp(lh[t - 1]))
+            v = (
+                self.omega
+                + self.alpha * (abs(z) - self._EABS)
+                + self.gamma * z
+                + self.beta * lh[t - 1]
+            )
+            lh[t] = min(max(v, -50.0), 50.0)
+        return lh
+
+    def log_likelihood(self, eta: np.ndarray) -> float:
+        eta = np.asarray(eta, dtype=float)
+        lh = self._log_variances(eta)
+        ll = -0.5 * np.sum(lh[1:] + eta[1:] ** 2 / np.exp(lh[1:]))
+        return float(ll - 0.5 * np.log(2 * np.pi) * (len(eta) - 1))
+
+    def remove_effects(self, eta: np.ndarray) -> np.ndarray:
+        eta = np.asarray(eta, dtype=float)
+        return eta / np.sqrt(np.exp(self._log_variances(eta)))
+
+    def add_effects(self, z: np.ndarray) -> np.ndarray:
+        z = np.asarray(z, dtype=float)
+        out = np.empty_like(z)
+        # same ±50 clamp as _log_variances so add∘remove is an exact inverse
+        lh = min(max(self.omega / (1.0 - self.beta), -50.0), 50.0)
+        out[0] = z[0] * np.sqrt(np.exp(lh))
+        for t in range(1, len(z)):
+            v = (
+                self.omega
+                + self.alpha * (abs(z[t - 1]) - self._EABS)
+                + self.gamma * z[t - 1]
+                + self.beta * lh
+            )
+            lh = min(max(v, -50.0), 50.0)
+            out[t] = z[t] * np.sqrt(np.exp(lh))
+        return out
+
+    def variance_forecast(self, eta: np.ndarray, horizon: int) -> np.ndarray:
+        """E[ln h] path: shock terms have zero mean under the fitted law, so
+        ln h_{t+k} = ω + β·ln h_{t+k−1} (exact for k=1, the standard
+        log-variance approximation beyond)."""
+        eta = np.asarray(eta, dtype=float)
+        lh = self._log_variances(eta)
+        z_last = eta[-1] / np.sqrt(np.exp(lh[-1]))
+        cur = (
+            self.omega
+            + self.alpha * (abs(z_last) - self._EABS)
+            + self.gamma * z_last
+            + self.beta * lh[-1]
+        )
+        out = np.empty(horizon)
+        out[0] = np.exp(cur)
+        for k in range(1, horizon):
+            cur = self.omega + self.beta * cur
+            out[k] = np.exp(cur)
+        return out
+
+    def sample(self, n: int, rng: np.random.Generator) -> np.ndarray:
+        return self.add_effects(rng.standard_normal(n))
+
+
+def fit_egarch(eta: np.ndarray) -> EGARCHModel:
+    """Nelder-Mead maximum likelihood from the standard start
+    (ω centered on the sample variance, mild ARCH, no leverage, β = 0.9)."""
+    eta = np.asarray(eta, dtype=float)
+    var = float(np.var(eta)) or 1.0
+
+    def unpack(p):
+        return EGARCHModel(
+            float(p[0]),
+            float(p[1]),
+            float(p[2]),
+            float(np.clip(p[3], -0.999, 0.999)),
+        )
+
+    x0 = np.array([0.1 * np.log(var), 0.1, 0.0, 0.9])
+    x = nelder_mead(
+        lambda p: -unpack(p).log_likelihood(eta), x0, step=0.1,
+        max_iter=800, tol=1e-8,
+    )
+    return unpack(x)
+
+
+def egarch_start(eta: np.ndarray) -> EGARCHModel:
+    """The deterministic optimizer start of :func:`fit_egarch` — exposed for
+    fit-improvement certificates."""
+    var = float(np.var(np.asarray(eta, dtype=float))) or 1.0
+    return EGARCHModel(0.1 * np.log(var), 0.1, 0.0, 0.9)
 
 
 @dataclass

@@ -352,3 +352,33 @@ def test_breusch_tests():
         u[t] = 0.8 * u[t - 1] + rng.standard_normal()
     stat_bg, p_bg = breusch_godfrey(u, x, 2)
     assert p_bg < 1e-6
+
+
+def test_egarch_recovers_leverage_and_persistence():
+    """EGARCH(1,1) sample→refit: the reference declares EGARCH but throws
+    (GARCH.scala:262-283) — ours is real. Persistence (β) and the leverage
+    sign (γ<0: negative shocks raise volatility) must be recovered."""
+    from spark_timeseries_spark.models import EGARCHModel, fit_egarch
+
+    rng = np.random.default_rng(29)
+    true = EGARCHModel(omega=-0.1, alpha=0.25, gamma=-0.15, beta=0.9)
+    y = true.sample(8000, rng)
+    m = fit_egarch(y)
+    assert abs(m.beta - 0.9) < 0.1, m
+    assert m.gamma < 0, m  # leverage sign
+    assert abs(m.alpha - 0.25) < 0.15, m
+
+
+def test_egarch_standardize_roundtrip_and_ll_beats_start():
+    from spark_timeseries_spark.models import EGARCHModel, egarch_start, fit_egarch
+
+    rng = np.random.default_rng(31)
+    true = EGARCHModel(omega=0.2, alpha=0.3, gamma=0.1, beta=0.7)
+    y = true.sample(600, rng)
+    z = true.remove_effects(y)
+    back = true.add_effects(z)
+    np.testing.assert_allclose(back, y, atol=1e-9)
+    m = fit_egarch(y)
+    assert m.log_likelihood(y) >= egarch_start(y).log_likelihood(y)
+    vf = m.variance_forecast(y, 5)
+    assert np.all(vf > 0) and vf.shape == (5,)

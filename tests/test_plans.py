@@ -178,3 +178,15 @@ def test_instant_filters_trigger_no_job_on_construction(spark, grid, monkeypatch
     distinct_ts = out2.df.select("ts").distinct().count()
     assert n_instants == distinct_ts
     assert out2.index.materialized
+
+
+def test_model_fit_single_exchange(spark, grid):
+    """Grouped-map model stages must add exactly ONE exchange (the explicit
+    _spread repartition that defeats AQE's serialize-the-Python-stage
+    coalescing) — no hidden ENSURE_REQUIREMENTS shuffle on top."""
+    from spark_timeseries_spark.models import fit_models
+
+    out = fit_models(grid.where(F.col("value").isNotNull()), "ar", max_lag=1)
+    shuffles, _, p = _counts(out)
+    assert shuffles == 1, p
+    assert "ArrowEvalPython" in p or "FlatMapGroupsInPandas" in p, p
