@@ -1,3 +1,17 @@
-from .observations import read_observations_stream, streaming_ewma, streaming_resample
+from .observations import (
+    read_documents_stream,
+    read_observations_stream,
+    streaming_dedup_exact,
+    streaming_ewma,
+    streaming_resample,
+    streaming_token_stats,
+)
 
-__all__ = ["read_observations_stream", "streaming_ewma", "streaming_resample"]
+__all__ = [
+    "read_documents_stream",
+    "read_observations_stream",
+    "streaming_dedup_exact",
+    "streaming_ewma",
+    "streaming_resample",
+    "streaming_token_stats",
+]

@@ -102,3 +102,77 @@ def streaming_ewma(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def read_documents_stream(
+    spark,
+    path: str,
+    schema: str = "doc_id long, source string, lang string, text string",
+    fmt: str = "parquet",
+) -> DataFrame:
+    """File-source stream of documents — the streaming ingest side of the
+    training-data pipeline (new crawl shards land as files)."""
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def streaming_dedup_exact(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str | None = None,
+    watermark: str = "24 hours",
+    normalize: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup: keep ONE document per content digest.
+
+    Uses ``dropDuplicates`` on the md5 content digest — Spark's native
+    streaming dedup operator with state-store backing. With a ``ts_col`` the
+    watermark bounds state (duplicates arriving later than the watermark are
+    NOT caught — the usual streaming trade-off, stated rather than hidden);
+    without one, state grows with the number of distinct documents, which is
+    the exact-dedup lower bound anyway (one digest per unique doc).
+
+    Batch parity: on a static frame this keeps one row per digest like
+    ``pipeline.dedup.dedup_exact``, but the representative differs: batch
+    keeps the lowest id; streaming keeps whichever row its state store saw
+    first (arbitrary WITHIN a micro-batch, earliest batch across batches)."""
+    from spark_timeseries_spark.pipeline.dedup import content_digest
+
+    out = stream.withColumn("_h", content_digest(F.col(text_col), normalize))
+    if ts_col is not None:
+        out = out.withWatermark(ts_col, watermark)
+        out = out.dropDuplicatesWithinWatermark(["_h"])
+    else:
+        out = out.dropDuplicates(["_h"])
+    return out.drop("_h")
+
+
+def streaming_token_stats(
+    stream: DataFrame,
+    window_duration: str = "1 hour",
+    ts_col: str = "ts",
+    source_col: str = "source",
+    text_col: str = "text",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed per-source document/token/char throughput — the ingest
+    monitoring aggregate of a streaming training-data pipeline (the
+    streaming twin of the ``token_count_by_source`` batch query)."""
+    from spark_timeseries_spark.pipeline.text import token_count
+
+    n_tokens = F.when(
+        F.length(F.trim(text_col)) == 0, F.lit(0)
+    ).otherwise(token_count(F.col(text_col)))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_duration), source_col)
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(n_tokens).alias("total_tokens"),
+            F.sum(F.length(text_col)).alias("total_chars"),
+        )
+        .select(
+            F.col("window.start").alias("ts"), source_col,
+            "docs", "total_tokens", "total_chars",
+        )
+    )

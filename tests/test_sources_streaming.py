@@ -159,3 +159,70 @@ def test_streaming_ewma_state(spark, tmp_path):
     out = spark.sql("select * from ewma_out order by ts").toPandas()
     # S0=1, S1=.5*2+.5*1=1.5, S2=.5*3+.5*1.5=2.25
     np.testing.assert_allclose(out.smoothed.to_numpy(), [1.0, 1.5, 2.25])
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    """Streaming exact dedup keeps the first document per content digest
+    across micro-batches (state persists between batches)."""
+    from spark_timeseries_spark.streaming import (
+        read_documents_stream,
+        streaming_dedup_exact,
+    )
+
+    src = str(tmp_path / "docs_stream")
+    os.makedirs(src)
+    schema = "doc_id long, source string, lang string, text string"
+    b1 = [(1, "web", "en", "alpha beta"), (2, "web", "en", "gamma delta"),
+          (3, "web", "en", "alpha  beta")]  # 3 = whitespace-variant dup of 1
+    spark.createDataFrame(b1, schema).write.parquet(src + "/b1")
+
+    stream = read_documents_stream(spark, src + "/*")
+    deduped = streaming_dedup_exact(stream)
+    q = (
+        deduped.writeStream.format("memory").queryName("dd")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out1 = spark.sql("select doc_id from dd").toPandas()
+    assert len(out1) == 2  # the normalized duplicate was dropped
+    assert set(out1.doc_id) <= {1, 2, 3} and 2 in set(out1.doc_id)
+
+    # second micro-batch: an exact repeat and one new doc
+    b2 = [(4, "web", "en", "alpha beta"), (5, "web", "en", "epsilon")]
+    spark.createDataFrame(b2, schema).write.parquet(src + "/b2")
+    q2 = (
+        deduped.writeStream.format("memory").queryName("dd2")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    out2 = spark.sql("select doc_id from dd2").toPandas()
+    # replaying all files still yields exactly one row per distinct digest
+    # (3 digests); the representative within a batch is arbitrary
+    assert len(out2) == 3 and len(set(out2.doc_id)) == 3
+
+
+def test_streaming_token_stats(spark, tmp_path):
+    from spark_timeseries_spark.streaming import streaming_token_stats
+
+    src = str(tmp_path / "docs_ts_stream")
+    os.makedirs(src)
+    schema = "ts timestamp, doc_id long, source string, text string"
+    rows = [
+        (pd.Timestamp("2024-01-01 00:05").to_pydatetime(), 1, "web", "a b c"),
+        (pd.Timestamp("2024-01-01 00:55").to_pydatetime(), 2, "web", "d e"),
+        (pd.Timestamp("2024-01-01 01:10").to_pydatetime(), 3, "books", ""),
+    ]
+    spark.createDataFrame(rows, schema).write.parquet(src + "/b1")
+    stream = (
+        spark.readStream.schema(schema).parquet(src + "/*")
+    )
+    agg = streaming_token_stats(stream, "1 hour")
+    q = (
+        agg.writeStream.format("memory").queryName("tok")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from tok").toPandas()
+    by = {(r.source, str(r.ts)): (r.docs, r.total_tokens) for r in out.itertuples()}
+    assert by[("web", "2024-01-01 00:00:00")] == (2, 5)
+    assert by[("books", "2024-01-01 01:00:00")] == (1, 0)  # empty doc -> 0 tokens
