@@ -683,6 +683,18 @@ def _q_multimodal_meta(spark, sf_dir):
     return out.select("doc_id", "media_size", "media_digest")
 
 
+def _q_video_frames(spark, sf_dir):
+    """Video frame-sampling plumbing (mapInPandas 1→N explode shape) with
+    the deterministic fake sampler; the oracle replays frame counts and
+    per-frame digests exactly."""
+    from spark_timeseries_spark.pipeline import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "media", F.encode("text", "UTF-8")
+    )
+    return mm.sample_video_frames(docs, hop_bytes=128, max_frames=8, fake=True)
+
+
 # -- model-surface widening (rows-only: non-SQL-expressible estimators) ------
 
 def _q_arima_forecast(spark, sf_dir):
@@ -1001,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_observations": _q_to_observations,
         "index_union": _q_index_union,
         "multimodal_meta": _q_multimodal_meta,
+        "video_frames": _q_video_frames,
         "arima_forecast": _q_arima_forecast,
         "arima_filter": _q_arima_filter,
         "garch_filter": _q_garch_filter,
@@ -1667,6 +1680,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, octet_length(encode(text)) AS media_size,
                    md5(text) AS media_digest
             FROM documents
+        """,
+        # exact replay of the fake video frame sampler: frame count from the
+        # payload size, per-frame digest md5(payload ‖ 0x02 ‖ idx)
+        "video_frames": """
+            SELECT doc_id, CAST(i AS INT) AS frame_idx,
+                   md5(text || chr(2) || CAST(i AS VARCHAR)) AS frame_digest
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(
+                     0, LEAST(8, 1 + octet_length(encode(text)) // 128) - 1
+                 )) AS i) g
         """,
         "roll_sum_center": _DAILY_GRID_SQL
         + """

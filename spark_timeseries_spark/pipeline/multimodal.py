@@ -136,3 +136,91 @@ def decode_audio_features(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, binary_col).mapInPandas(_decode, schema=AUDIO_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = "doc_id long, frame_idx int, frame_digest string"
+RESIZED_SCHEMA = "doc_id long, width int, height int, media binary"
+
+
+def sample_video_frames(
+    df: DataFrame,
+    binary_col: str = "media",
+    id_col: str = "doc_id",
+    hop_bytes: int = 128,
+    max_frames: int = 8,
+    fake: bool = False,
+) -> DataFrame:
+    """Frame-sample videos via ``mapInPandas`` — the 1→N *exploding* decode
+    shape (one video row yields many frame rows), which is the plumbing a
+    real ffmpeg-backed sampler needs: per-frame rows with stable indices so
+    downstream feature extraction / dedup can key on (doc_id, frame_idx).
+
+    Real decode is stubbed (no video libs in this container). The fake
+    samples ``min(max_frames, 1 + len(payload)//hop_bytes)`` frames and
+    digests each as ``md5(payload ‖ 0x02 ‖ idx)`` — deterministic and
+    SQL-reproducible, so the harness oracle checks the full explode shape."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video decoding requires ffmpeg/video libraries not "
+                    "present in this environment; use fake=True for "
+                    "plumbing tests"
+                )
+            out = {"doc_id": [], "frame_idx": [], "frame_digest": []}
+            for _, row in pdf.iterrows():
+                payload = bytes(row[binary_col] or b"")
+                n = min(max_frames, 1 + len(payload) // hop_bytes)
+                for i in range(n):
+                    out["doc_id"].append(row[id_col])
+                    out["frame_idx"].append(i)
+                    out["frame_digest"].append(
+                        hashlib.md5(
+                            payload + b"\x02" + str(i).encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, binary_col).mapInPandas(
+        _sample, schema=VIDEO_FRAME_SCHEMA
+    )
+
+
+def resize_image(
+    df: DataFrame,
+    width: int,
+    height: int,
+    binary_col: str = "media",
+    id_col: str = "doc_id",
+    fake: bool = False,
+) -> DataFrame:
+    """Resize plumbing: binary in → binary out with the new dimensions
+    attached. Real resample is stubbed; the fake emits a deterministic
+    payload (md5 of the input tiled to width·height·3 bytes) so batch
+    shapes, Arrow binary round-trip, and size accounting are testable."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height * 3
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resizing requires an image library not present "
+                    "in this environment; use fake=True for plumbing tests"
+                )
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[binary_col] or b"")
+                seed = hashlib.md5(payload).digest()
+                fake_pixels = (seed * (target // len(seed) + 1))[:target]
+                rows.append(
+                    {
+                        "doc_id": row[id_col],
+                        "width": width,
+                        "height": height,
+                        "media": fake_pixels,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, binary_col).mapInPandas(_resize, schema=RESIZED_SCHEMA)

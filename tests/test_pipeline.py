@@ -136,3 +136,32 @@ def test_multimodal_real_decode_raises(spark):
     df = spark.createDataFrame([(0, b"xx")], "doc_id long, media binary")
     with pytest.raises(Exception):
         multimodal.decode_image_features(df, fake=False).collect()
+
+
+def test_video_frame_sampling_and_resize_plumbing(spark):
+    """sample_video_frames: 1→N explode shape with deterministic frame count
+    and digests; resize_image: binary→binary with exact target payload size.
+    Real decoders are stubbed — NotImplementedError without fake=True."""
+    import hashlib
+
+    from spark_timeseries_spark.pipeline import multimodal as mm
+
+    rows = [(1, b"x" * 300), (2, b"y" * 10), (3, b"")]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+
+    frames = mm.sample_video_frames(df, hop_bytes=128, max_frames=8, fake=True)
+    pdf = frames.toPandas().sort_values(["doc_id", "frame_idx"])
+    # 300//128=2 → 3 frames; 10//128=0 → 1 frame; empty → 1 frame
+    assert pdf.groupby("doc_id").size().to_dict() == {1: 3, 2: 1, 3: 1}
+    want = hashlib.md5(b"x" * 300 + b"\x02" + b"1").hexdigest()
+    assert pdf[(pdf.doc_id == 1) & (pdf.frame_idx == 1)].frame_digest.iloc[0] == want
+
+    resized = mm.resize_image(df, 4, 4, fake=True).toPandas()
+    assert set(resized.width) == {4} and set(resized.height) == {4}
+    assert all(len(m) == 4 * 4 * 3 for m in resized.media)
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):  # NotImplementedError inside the task
+
+        mm.sample_video_frames(df, fake=False).collect()
