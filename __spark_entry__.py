@@ -500,6 +500,25 @@ def _q_lsh_topk(spark, sf_dir):
     return out.select("qid", "vec_id", F.round("sim", 4).alias("sim"), "rank")
 
 
+def _q_lsh_recall(spark, sf_dir):
+    """ANN evaluation: recall@5 of hyperplane-LSH multiprobe against exact
+    brute-force top-k, per query point — the quality metric an approximate
+    index must report at scale. Both sides are deterministic, so the oracle
+    replays the entire evaluation."""
+    exact = _q_knn_cosine(spark, sf_dir).select("qid", "vec_id")
+    approx = _q_lsh_topk(spark, sf_dir).select("qid", "vec_id")
+    hits = (
+        exact.join(approx, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("hits"))
+    )
+    k = exact.groupBy("qid").agg(F.count("*").alias("k"))
+    return k.join(hits, "qid", "left").select(
+        "qid",
+        F.round(F.coalesce("hits", F.lit(0)) / F.col("k"), 4).alias("recall"),
+    )
+
+
 def _q_winnowing_fingerprints(spark, sf_dir):
     """Winnowing min-sketch, exploded to (doc_id, fingerprint) rows (array
     columns defeat the harness canonicalizer) in md5_60 hash mode."""
@@ -994,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": _q_minhash_lsh_dedup,
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_topk": _q_lsh_topk,
+        "lsh_recall": _q_lsh_recall,
         "winnowing_fingerprints": _q_winnowing_fingerprints,
         "lags": _q_lags,
         "quotients": _q_quotients,
@@ -1160,7 +1180,7 @@ _SIMHASH_SIG = "\n                     + ".join(
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    o = {
         "series_stats": """
             SELECT CAST(user_id AS VARCHAR) AS key, COUNT(value) AS cnt,
                    ROUND(AVG(value), 6) AS mean,
@@ -2445,3 +2465,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents, (SELECT unnest(generate_series(0, 15)) AS i) g
         """,
     }
+
+    # composed oracle: ANN recall@5 evaluation — exact and approximate top-k
+    # replays joined (DuckDB allows CTE-bearing subqueries in FROM)
+    o["lsh_recall"] = f"""
+        SELECT k.qid,
+               ROUND(COALESCE(h.hits, 0) / CAST(k.k AS DOUBLE), 4) AS recall
+        FROM (SELECT qid, COUNT(*) AS k
+              FROM ({o['knn_cosine']}) GROUP BY 1) k
+        LEFT JOIN (
+            SELECT e.qid, COUNT(*) AS hits
+            FROM ({o['knn_cosine']}) e
+            JOIN ({o['lsh_topk']}) a
+              ON a.qid = e.qid AND a.vec_id = e.vec_id
+            GROUP BY 1
+        ) h ON h.qid = k.qid
+    """
+    return o
