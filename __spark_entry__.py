@@ -976,11 +976,47 @@ def _q_ivf_topk(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dict ORDER matters: the driver's correctness harness records exactly
+    the first 50 entries. Window policy (round 3): (a) the 25 queries that
+    had never had a driver row in r1/r2 (model fits, diagnostics, fills,
+    multimodal, IVF) go first; (b) then the events-based queries whose r1
+    green rows predate the fixture regeneration, so the fixed loader is
+    re-proven against the driver oracle. Queries pushed past the window
+    either have green r2 rows (the documents/embeddings family) or are
+    near-variants of in-window queries; all 75 are still validated locally
+    by ``tools/check_correctness.py`` (full log committed per round)."""
     return {
+        # -- (a) never driver-checked before round 3 -------------------------
+        "arima_forecast": _q_arima_forecast,
+        "auto_arima": _q_auto_arima,
+        "garch_fit": _q_garch_fit,
+        "egarch_fit": _q_egarch_fit,
+        "arx_fit": _q_arx_fit,
+        "arimax_forecast": _q_arimax_forecast,
+        "regression_arima": _q_regression_arima,
+        "ewma_fit": _q_ewma_fit,
+        "argarch_fit": _q_argarch_fit,
+        "holt_winters_fit": _q_holt_winters_fit,
+        "bg_test": _q_bg_test,
+        "bp_test": _q_bp_test,
+        "lb_test": _q_lb_test,
+        "fill_spline": _q_fill_spline,
+        "index_union": _q_index_union,
+        "business_days": _q_business_days,
+        "filter_by_instant": _q_filter_by_instant,
+        "to_observations": _q_to_observations,
+        "ivf_topk": _q_ivf_topk,
+        "multimodal_meta": _q_multimodal_meta,
+        "video_frames": _q_video_frames,
+        "image_features": _q_image_features,
+        "roll_sum_center": _q_roll_sum_center,
+        "to_series_digest": _q_to_series_digest,
+        "lsh_recall": _q_lsh_recall,
+        "arima_filter": _q_arima_filter,
+        "garch_filter": _q_garch_filter,
+        # -- (b) events queries re-proven after the loader/fixture fix -------
         "series_stats": _q_series_stats,
-        "slice": _q_slice,
         "resample_daily_avg": _q_resample_daily_avg,
-        "resample_stamp_right": _q_resample_stamp_right,
         "fill_previous": _q_fill_previous,
         "fill_linear": _q_fill_linear,
         "differences": _q_differences,
@@ -990,16 +1026,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_starting_before": _q_filter_starting_before,
         "filter_ending_after": _q_filter_ending_after,
         "to_instants_pivot": _q_to_instants_pivot,
-        "min_max_datetimes": _q_min_max_datetimes,
         "autocorr": _q_autocorr,
-        "trim_leading_trailing": _q_trim,
         "dw_test": _q_dw_test,
         "pacf": _q_pacf,
         "ar_forecast": _q_ar_forecast,
         "adf_test": _q_adf_test,
         "kpss_test": _q_kpss_test,
         "holt_winters_forecast": _q_holt_winters_forecast,
-        "holt_winters_fit": _q_holt_winters_fit,
+        "downsample": _q_downsample,
+        "rebase_uniform": _q_rebase_uniform,
+        "rebase_irregular": _q_rebase_irregular,
+        "diff_by_frequency": _q_diff_by_frequency,
+        "ewma_smooth": _q_ewma_smooth,
+        # ---- driver window (50) ends here ----------------------------------
+        "slice": _q_slice,
+        "resample_stamp_right": _q_resample_stamp_right,
+        "resample_closed_right": _q_resample_closed_right,
+        "fill_next": _q_fill_next,
+        "fill_nearest": _q_fill_nearest,
+        "fill_zero": _q_fill_zero,
+        "lags": _q_lags,
+        "quotients": _q_quotients,
+        "upsample": _q_upsample,
+        "trim_leading_trailing": _q_trim,
+        "min_max_datetimes": _q_min_max_datetimes,
         "dedup_exact": _q_dedup_exact,
         "text_quality": _q_text_quality,
         "token_count_by_source": _q_token_count_by_source,
@@ -1013,45 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": _q_minhash_lsh_dedup,
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_topk": _q_lsh_topk,
-        "lsh_recall": _q_lsh_recall,
         "winnowing_fingerprints": _q_winnowing_fingerprints,
-        "lags": _q_lags,
-        "quotients": _q_quotients,
-        "fill_next": _q_fill_next,
-        "fill_nearest": _q_fill_nearest,
-        "fill_zero": _q_fill_zero,
-        "resample_closed_right": _q_resample_closed_right,
-        "downsample": _q_downsample,
-        "upsample": _q_upsample,
-        "rebase_uniform": _q_rebase_uniform,
-        "rebase_irregular": _q_rebase_irregular,
-        "diff_by_frequency": _q_diff_by_frequency,
-        "ewma_smooth": _q_ewma_smooth,
-        "lb_test": _q_lb_test,
-        "business_days": _q_business_days,
-        "filter_by_instant": _q_filter_by_instant,
-        "to_observations": _q_to_observations,
-        "index_union": _q_index_union,
-        "multimodal_meta": _q_multimodal_meta,
-        "video_frames": _q_video_frames,
-        "arima_forecast": _q_arima_forecast,
-        "arima_filter": _q_arima_filter,
-        "garch_filter": _q_garch_filter,
-        "garch_fit": _q_garch_fit,
-        "egarch_fit": _q_egarch_fit,
-        "ewma_fit": _q_ewma_fit,
-        "argarch_fit": _q_argarch_fit,
-        "fill_spline": _q_fill_spline,
-        "image_features": _q_image_features,
-        "arx_fit": _q_arx_fit,
-        "arimax_forecast": _q_arimax_forecast,
-        "regression_arima": _q_regression_arima,
-        "bg_test": _q_bg_test,
-        "bp_test": _q_bp_test,
-        "auto_arima": _q_auto_arima,
-        "roll_sum_center": _q_roll_sum_center,
-        "to_series_digest": _q_to_series_digest,
-        "ivf_topk": _q_ivf_topk,
     }
 
 
@@ -1878,6 +1890,69 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT qid, vec_id, ROUND(sim, 4) AS sim, rank
             FROM ranked WHERE rank <= 5
+        """,
+        # recall@5 of LSH multiprobe vs exact top-k: composes the knn_cosine
+        # and lsh_topk replays above and joins them — both sides deterministic
+        "lsh_recall": f"""
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            exact AS (
+                SELECT qid, vec_id FROM (
+                    SELECT q.qid, e.vec_id,
+                           row_number() OVER (PARTITION BY q.qid
+                               ORDER BY {_cos_sql('q.qv', 'e.v')} DESC,
+                                        e.vec_id) AS rank
+                    FROM (SELECT vec_id AS qid, v AS qv FROM e
+                          WHERE vec_id < 10) q
+                    CROSS JOIN e WHERE q.qid != e.vec_id
+                ) WHERE rank <= 5
+            ),
+            planes AS (
+                SELECT * FROM (VALUES {_planes_values_sql()}) t(pi, pv)
+            ),
+            sigs AS (
+                SELECT vec_id, v,
+                       CAST(SUM(CASE WHEN list_dot_product(v, pv) >= 0
+                                     THEN pow(2, pi) ELSE 0 END) AS BIGINT)
+                           AS bucket
+                FROM e CROSS JOIN planes GROUP BY vec_id, v
+            ),
+            q AS (
+                SELECT vec_id AS qid, v AS qv, bucket AS sig
+                FROM sigs WHERE vec_id < 10
+            ),
+            probes AS (
+                SELECT qid, qv,
+                       unnest(list_prepend(sig, list_transform(
+                           generate_series(0, 7),
+                           i -> xor(sig, CAST(pow(2, i) AS BIGINT))
+                       ))) AS bucket
+                FROM q
+            ),
+            cand AS (
+                SELECT DISTINCT qid, qv, s.vec_id, s.v
+                FROM probes JOIN sigs s USING (bucket)
+                WHERE qid != s.vec_id
+            ),
+            approx AS (
+                SELECT qid, vec_id FROM (
+                    SELECT qid, vec_id,
+                           row_number() OVER (PARTITION BY qid
+                               ORDER BY {_cos_sql('qv', 'v')} DESC,
+                                        vec_id) AS rank
+                    FROM cand
+                ) WHERE rank <= 5
+            ),
+            hits AS (
+                SELECT exact.qid, COUNT(*) AS hits
+                FROM exact JOIN approx
+                  ON exact.qid = approx.qid AND exact.vec_id = approx.vec_id
+                GROUP BY 1
+            ),
+            k AS (SELECT qid, COUNT(*) AS k FROM exact GROUP BY 1)
+            SELECT k.qid, ROUND(COALESCE(hits.hits, 0) / k.k, 4) AS recall
+            FROM k LEFT JOIN hits ON k.qid = hits.qid
         """,
         # exact replay of IVF-flat: md5_60-sampled centroids, nearest-centroid
         # assignment, nprobe=4 probing, global rank

@@ -44,8 +44,14 @@ def main():
     # operators, not session startup
     from spark_timeseries_spark.sources import load_table
 
+    # Guarded per table: a single unreadable table must degrade that table's
+    # queries (they report -1 below), never zero out the whole bench (the
+    # round-2 failure mode — BENCH_r02 was empty because this loop threw).
     for t in ("events", "documents", "embeddings"):
-        load_table(spark, sf_dir, t).count()
+        try:
+            load_table(spark, sf_dir, t).count()
+        except Exception as e:
+            print(f"bench warmup failed for table {t}: {e}", file=sys.stderr)
 
     def run_one(fn) -> float:
         t0 = time.time()

@@ -152,16 +152,41 @@ def with_index(
 
 def union_index_df(*dfs: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Distributed index union (cf. ``DateTimeIndexUtils.scala:80-153``):
-    sorted distinct instants across inputs, with fresh locations."""
+    sorted distinct instants across inputs, with fresh locations.
+
+    Location numbering uses the distributed-rank pattern rather than a
+    global ``Window.orderBy`` (which is a single-partition sort — the exact
+    thing that dies first at 100 TB): range-partition the distinct instants
+    so partition *i* holds a contiguous ts range, rank within each partition,
+    then add per-partition offsets (one tiny aggregate over #partitions
+    rows, broadcast back). Every stage is parallel; nothing ever sees the
+    whole index on one task.
+    """
     out = None
     for d in dfs:
         part = d.select(F.col(ts_col).alias("ts"))
         out = part if out is None else out.unionByName(part)
     from pyspark.sql import Window
 
-    w = Window.orderBy("ts")
+    distinct = out.distinct().repartitionByRange("ts")
+    local = (
+        distinct.withColumn("_pid", F.spark_partition_id())
+        # partitionBy(_pid) keeps the rank per-range-partition — no task
+        # ever sorts more than its own slice
+        .withColumn(
+            "_rk",
+            F.row_number().over(Window.partitionBy("_pid").orderBy("ts")) - 1,
+        )
+    )
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    # cumulative offsets: #partitions rows — trivially small, single
+    # partition here is fine and broadcast below
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+    ).select("_pid", "_off")
     return (
-        out.distinct()
-        .withColumn("loc", (F.row_number().over(w) - 1).cast("long"))
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("loc", (F.col("_rk") + F.col("_off")).cast("long"))
         .select("loc", "ts")
     )

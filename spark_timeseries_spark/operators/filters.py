@@ -101,7 +101,11 @@ def filter_by_instant(
     renumbered (the reference's result index becomes irregular)."""
     scoped = df if keys is None else df.where(F.col(key_col).isin(list(keys)))
     bad = scoped.where(~predicate).select(ts_col).distinct()
-    out = df.join(F.broadcast(bad), ts_col, "left_anti")
+    # No broadcast hint: the bad-instant set is usually tiny but is NOT
+    # bounded (a predicate most instants fail yields ~the whole index), so a
+    # forced broadcast can exceed driver/executor limits at scale. AQE picks
+    # broadcast at runtime when the built side is actually small.
+    out = df.join(bad, ts_col, "left_anti")
     if rebase_loc and loc_col in df.columns:
         w = Window.partitionBy(key_col).orderBy(loc_col)
         out = out.withColumn(loc_col, F.row_number().over(w) - 1)

@@ -1,18 +1,30 @@
 """Table loading for the synthetic benchmark/test datasets.
 
-The driver-generated ``events`` table stores nanosecond parquet timestamps
-(``INT64 TIMESTAMP(NANOS)``) which Spark's vectorized reader rejects by
-default. We flip ``spark.sql.legacy.parquet.nanosAsLong`` (runtime-settable)
-and convert with exact integer arithmetic (``div`` — a double-precision
-divide would be off by up to a microsecond at 2024 epochs), keeping the raw
-``ts_nanos`` column for the reference's nanosecond-parity surface
-(``python/sparkts/utils.py`` works in nanos).
+The driver-generated ``events`` table's ``ts`` column has shipped in two
+physical parquet encodings across fixture generations:
+
+* ``INT64 TIMESTAMP(NANOS)`` — readable as BIGINT nanos under older Spark
+  with ``spark.sql.legacy.parquet.nanosAsLong=true``;
+* ``INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false)`` (current fixtures) —
+  which Spark 4.x reads natively as ``TIMESTAMP_NTZ``.
+
+Rather than assume either encoding, we branch on the *actual* dtype Spark
+infers and normalize to a stable contract: ``ts`` is a session-TZ TIMESTAMP
+and ``ts_nanos`` is the exact BIGINT epoch-nanos value. All engines pin
+``spark.sql.session.timeZone=UTC``, so ``TIMESTAMP_NTZ -> TIMESTAMP`` casts
+are lossless, and because the data is micros-precision,
+``unix_micros(ts) * 1000`` loses nothing. Integer arithmetic throughout
+(``div`` / ``unix_micros`` — a double-precision divide would be off by up to
+a microsecond at 2024 epochs). The raw ``ts_nanos`` column backs the
+reference's nanosecond-parity surface (``python/sparkts/utils.py`` works in
+nanos).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 TABLES = (
     "region",
@@ -29,13 +41,32 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one synthetic table, normalizing nanosecond timestamps."""
+    """Read one synthetic table, normalizing ``events.ts`` to the
+    ``(ts TIMESTAMP, ts_nanos BIGINT)`` contract regardless of the parquet
+    timestamp encoding (see module docstring)."""
+    # Harmless under Spark 4.x (ignored for micros-encoded files); keeps the
+    # legacy INT64-nanos fixture readable if it ever reappears.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn("ts_nanos", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # Legacy fixture: BIGINT epoch-nanos.
+            df = df.withColumn("ts_nanos", F.col("ts")).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif isinstance(ts_type, (TimestampNTZType, TimestampType)):
+            # Current fixture: micros-precision timestamp (NTZ under 4.x).
+            # Session TZ is pinned UTC, so the cast is lossless.
+            ts = F.col("ts").cast("timestamp")
+            df = df.withColumn(
+                "ts_nanos", F.unix_micros(ts) * F.lit(1000).cast("bigint")
+            ).withColumn("ts", ts)
+        else:  # pragma: no cover - unknown future encoding
+            raise TypeError(
+                f"events.ts has unsupported dtype {ts_type}; expected "
+                "LongType (nanos), TimestampType, or TimestampNTZType"
+            )
     return df
 
 

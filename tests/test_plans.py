@@ -132,10 +132,42 @@ def test_uniform_bucket_loc_is_pure_arithmetic(spark):
     assert "Generate" not in p  # no explode
 
 
-def test_filter_by_instant_uses_broadcast_anti_join(spark, grid):
+def test_filter_by_instant_anti_join_is_aqe_decided(spark, grid):
+    """r2 VERDICT #5: the bad-instant set is unbounded (a predicate most
+    instants fail yields ~the whole index), so the anti join must NOT pin a
+    broadcast hint — AQE converts to broadcast at runtime when the built
+    side is actually small."""
     out = filters.remove_instants_with_nans(grid, rebase_loc=False)
     p = _plan(out)
-    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+    assert "LeftAnti" in p, p
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    # the hint-free plan is adaptive, not a statically pinned broadcast
+    assert "AdaptiveSparkPlan" in p, p
+
+
+def test_union_index_numbering_is_distributed(spark):
+    """r2 VERDICT #4: union_index_df must range-partition + rank within
+    partitions (offsets joined back), never a global Window.orderBy —
+    a single-partition sort of the whole index."""
+    from spark_timeseries_spark.operators.align import union_index_df
+
+    a = spark.range(0, 500).select(
+        F.timestamp_micros(F.col("id") * 86_400_000_000).alias("ts")
+    )
+    b = spark.range(250, 800).select(
+        F.timestamp_micros(F.col("id") * 86_400_000_000).alias("ts")
+    )
+    out = union_index_df(a, b)
+    p = _plan(out)
+    assert "Exchange rangepartitioning(ts" in p, p
+    # the full-index window ranks by _pid slices, not one global partition
+    assert "hashpartitioning(_pid" in p, p
+    # correctness of the numbering: contiguous 0..n-1 in ts order
+    rows = out.orderBy("loc").collect()
+    assert [r.loc for r in rows] == list(range(800))
+    assert all(
+        rows[i].ts < rows[i + 1].ts for i in range(len(rows) - 1)
+    )
 
 
 def test_irregular_index_attach_is_broadcast_join(spark):
