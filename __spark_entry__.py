@@ -448,6 +448,35 @@ def _q_quality_score(spark, sf_dir):
     return text_ops.quality_score(docs)
 
 
+def _q_repetition_features(spark, sf_dir):
+    """Gopher-style within-document repetition signals (Rae et al. 2021):
+    duplicate-line ratios + most-frequent word n-gram coverage — the
+    standard pre-training repetition gate, as relational explode→groupBy
+    aggregation (``pipeline/text.py::repetition_features``)."""
+    from spark_timeseries_spark.pipeline import text as text_ops
+
+    docs = _docs_spread(spark, sf_dir)
+    out = text_ops.repetition_features(docs)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        _stable_round(F.col("dup_line_ratio"), 6).alias("dup_line_ratio"),
+        _stable_round(F.col("dup_line_char_ratio"), 6).alias(
+            "dup_line_char_ratio"
+        ),
+        _stable_round(F.col("top2gram_char_ratio"), 6).alias("top2_ratio"),
+        _stable_round(F.col("top3gram_char_ratio"), 6).alias("top3_ratio"),
+    )
+
+
+def _q_gopher_repetition(spark, sf_dir):
+    """Boolean Gopher repetition filter at the published thresholds."""
+    from spark_timeseries_spark.pipeline import text as text_ops
+
+    docs = _docs_spread(spark, sf_dir)
+    return text_ops.gopher_repetition_filter(docs)
+
+
 def _q_cosine_dup_pairs(spark, sf_dir):
     """Exact embedding near-dup pairs (cosine ≥ 0.35; the synthetic vectors
     are near-orthogonal, max pairwise ≈ 0.51) — exact blocked-GEMM all-pairs
@@ -1064,6 +1093,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_topk": _q_lsh_topk,
         "winnowing_fingerprints": _q_winnowing_fingerprints,
+        # new in round 3 (rotate into the window next round)
+        "repetition_features": _q_repetition_features,
+        "gopher_repetition": _q_gopher_repetition,
     }
 
 
@@ -1171,6 +1203,71 @@ _EVSEQ_SQL = """
         FROM events
     )
 """
+
+def _rep_features_sql(ns=(2, 3, 4)) -> str:
+    """CTE block replaying ``pipeline.text.repetition_features`` exactly:
+    relation ``rep`` with doc_id, n_lines, dup_line_ratio,
+    dup_line_char_ratio, top{n}gram_char_ratio. Tie-break parity: Spark's
+    max(struct(cnt, gram)) picks the lexicographically LARGEST gram among
+    max-count n-grams → ORDER BY cnt DESC, gram DESC here."""
+    parts = [r"""
+    WITH lines AS (
+        SELECT doc_id, trim(l) AS line
+        FROM documents, unnest(string_split(text, chr(10))) AS t(l)
+    ),
+    ls AS (
+        SELECT doc_id, line, COUNT(*) AS cnt, length(line) AS len
+        FROM lines WHERE line != '' GROUP BY 1, 2
+    ),
+    lagg AS (
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_lines,
+               1.0 - COUNT(*) / CAST(SUM(cnt) AS DOUBLE) AS dup_line_ratio,
+               CASE WHEN SUM(cnt*len) = 0 THEN 0.0
+                    ELSE SUM((cnt-1)*len) / CAST(SUM(cnt*len) AS DOUBLE)
+               END AS dup_line_char_ratio
+        FROM ls GROUP BY 1
+    ),
+    toked AS (
+        SELECT doc_id, length(text) AS tlen,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    )"""]
+    for n in ns:
+        parts.append(f"""
+    , g{n} AS (
+        SELECT doc_id, tlen,
+               array_to_string(toks[i:i+{n - 1}], ' ') AS gram
+        FROM toked, unnest(range(1, len(toks) - {n - 2})) AS r(i)
+        WHERE len(toks) >= {n}
+    ),
+    gc{n} AS (
+        SELECT doc_id, tlen, gram, COUNT(*) AS cnt,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY COUNT(*) DESC, gram DESC) AS rk
+        FROM g{n} GROUP BY 1, 2, 3
+    ),
+    top{n} AS (
+        SELECT doc_id, cnt * length(gram) / CAST(tlen AS DOUBLE) AS ratio
+        FROM gc{n} WHERE rk = 1
+    )""")
+    tops = ",\n".join(
+        f"               COALESCE(top{n}.ratio, 0.0) AS top{n}gram_char_ratio"
+        for n in ns
+    )
+    joins = "\n".join(f"        LEFT JOIN top{n} USING (doc_id)" for n in ns)
+    parts.append(f"""
+    , rep AS (
+        SELECT d.doc_id,
+               COALESCE(lagg.n_lines, 0) AS n_lines,
+               COALESCE(lagg.dup_line_ratio, 0.0) AS dup_line_ratio,
+               COALESCE(lagg.dup_line_char_ratio, 0.0) AS dup_line_char_ratio,
+{tops}
+        FROM documents d
+        LEFT JOIN lagg USING (doc_id)
+{joins}
+    )""")
+    return "".join(parts)
+
 
 # trivially-true certificate shape: keys × (n, TRUE) — the content of the
 # check is that the Spark side's per-series optimizer certificate must come
@@ -1480,6 +1577,25 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(len_score * (0.5 + 0.5 * stop_score) * punct_score, 6)
                        AS quality
             FROM sc
+        """,
+        "repetition_features": _rep_features_sql((2, 3)) + f"""
+            SELECT doc_id, n_lines,
+                   {_sr_sql('dup_line_ratio', 6)} AS dup_line_ratio,
+                   {_sr_sql('dup_line_char_ratio', 6)} AS dup_line_char_ratio,
+                   {_sr_sql('top2gram_char_ratio', 6)} AS top2_ratio,
+                   {_sr_sql('top3gram_char_ratio', 6)} AS top3_ratio
+            FROM rep
+        """,
+        # thresholds = pipeline.text.GOPHER_REPETITION_THRESHOLDS (Rae et
+        # al. 2021 table A1); both engines evaluate identical IEEE ops, so
+        # the raw-double comparisons agree bit-for-bit
+        "gopher_repetition": _rep_features_sql((2, 3, 4)) + """
+            SELECT doc_id,
+                   (dup_line_ratio <= 0.30 AND dup_line_char_ratio <= 0.20
+                    AND top2gram_char_ratio <= 0.20
+                    AND top3gram_char_ratio <= 0.18
+                    AND top4gram_char_ratio <= 0.16) AS keep
+            FROM rep
         """,
         "cosine_dup_pairs": """
             WITH e AS (

@@ -61,19 +61,26 @@ def _css_residuals(
     if q == 0:
         return u
     e = np.zeros(n)
+    # plain-float lists in the scan: np.float64 scalar indexing/arithmetic
+    # costs ~10× a float op with identical IEEE results; this loop runs once
+    # per optimizer eval
+    ul = u.tolist()
     if q == 1:
-        th = ma[0]
+        th = float(ma[0])
         prev = 0.0
+        el = e.tolist()
         for t in range(n):
-            prev = u[t] - th * prev
-            e[t] = prev
-    else:
-        for t in range(n):
-            acc = u[t]
-            for j in range(1, min(q, t) + 1):
-                acc -= ma[j - 1] * e[t - j]
-            e[t] = acc
-    return e
+            prev = ul[t] - th * prev
+            el[t] = prev
+        return np.asarray(el)
+    ml = [float(v) for v in ma]
+    el = e.tolist()
+    for t in range(n):
+        acc = ul[t]
+        for j in range(1, min(q, t) + 1):
+            acc -= ml[j - 1] * el[t - j]
+        el[t] = acc
+    return np.asarray(el)
 
 
 @dataclass

@@ -295,17 +295,21 @@ class EGARCHModel:
         lh = np.empty(n)
         # clamp ln h to ±50 (h ∈ [e⁻⁵⁰, e⁵⁰]): wild optimizer iterates would
         # otherwise overflow exp(); the clamp is deterministic, so both the
-        # fitted and start objectives in certificates see the same surface
-        lh[0] = min(max(self.omega / (1.0 - self.beta), -50.0), 50.0)
+        # fitted and start objectives in certificates see the same surface.
+        # Scalar math.* and a plain-float input list here: this recursion is
+        # the innermost loop of every likelihood eval, and numpy scalar
+        # ufuncs cost ~10× a libm call (same bits — both are the platform
+        # libm, so `/ sqrt(exp(.))` stays the exact inverse of add_effects).
+        om, al, ga, be, ea = self.omega, self.alpha, self.gamma, self.beta, self._EABS
+        prev = min(max(om / (1.0 - be), -50.0), 50.0)
+        lh[0] = prev
+        el = np.asarray(eta, dtype=float).tolist()
+        _exp, _sqrt = math.exp, math.sqrt
         for t in range(1, n):
-            z = eta[t - 1] / np.sqrt(np.exp(lh[t - 1]))
-            v = (
-                self.omega
-                + self.alpha * (abs(z) - self._EABS)
-                + self.gamma * z
-                + self.beta * lh[t - 1]
-            )
-            lh[t] = min(max(v, -50.0), 50.0)
+            z = el[t - 1] / _sqrt(_exp(prev))
+            v = om + al * (abs(z) - ea) + ga * z + be * prev
+            prev = -50.0 if v < -50.0 else (50.0 if v > 50.0 else v)
+            lh[t] = prev
         return lh
 
     def log_likelihood(self, eta: np.ndarray) -> float:
@@ -321,18 +325,17 @@ class EGARCHModel:
     def add_effects(self, z: np.ndarray) -> np.ndarray:
         z = np.asarray(z, dtype=float)
         out = np.empty_like(z)
-        # same ±50 clamp as _log_variances so add∘remove is an exact inverse
-        lh = min(max(self.omega / (1.0 - self.beta), -50.0), 50.0)
-        out[0] = z[0] * np.sqrt(np.exp(lh))
-        for t in range(1, len(z)):
-            v = (
-                self.omega
-                + self.alpha * (abs(z[t - 1]) - self._EABS)
-                + self.gamma * z[t - 1]
-                + self.beta * lh
-            )
-            lh = min(max(v, -50.0), 50.0)
-            out[t] = z[t] * np.sqrt(np.exp(lh))
+        # same ±50 clamp and scalar `sqrt(exp(.))` as _log_variances so
+        # add∘remove is an exact inverse
+        om, al, ga, be, ea = self.omega, self.alpha, self.gamma, self.beta, self._EABS
+        _exp, _sqrt = math.exp, math.sqrt
+        lh = min(max(om / (1.0 - be), -50.0), 50.0)
+        zl = z.tolist()
+        out[0] = zl[0] * _sqrt(_exp(lh))
+        for t in range(1, len(zl)):
+            v = om + al * (abs(zl[t - 1]) - ea) + ga * zl[t - 1] + be * lh
+            lh = -50.0 if v < -50.0 else (50.0 if v > 50.0 else v)
+            out[t] = zl[t] * _sqrt(_exp(lh))
         return out
 
     def variance_forecast(self, eta: np.ndarray, horizon: int) -> np.ndarray:
@@ -366,11 +369,12 @@ def fit_egarch(eta: np.ndarray) -> EGARCHModel:
     var = float(np.var(eta)) or 1.0
 
     def unpack(p):
+        b = float(p[3])
         return EGARCHModel(
             float(p[0]),
             float(p[1]),
             float(p[2]),
-            float(np.clip(p[3], -0.999, 0.999)),
+            -0.999 if b < -0.999 else (0.999 if b > 0.999 else b),
         )
 
     x0 = np.array([0.1 * np.log(var), 0.1, 0.0, 0.9])

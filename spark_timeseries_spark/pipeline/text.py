@@ -108,6 +108,124 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
+def repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ngram_ns: tuple[int, ...] = (2, 3, 4),
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    §A1.1 "repetitious documents"), the standard pre-training quality gate:
+
+    - ``n_lines`` — non-empty (after trim) line count;
+    - ``dup_line_ratio`` — ``1 - distinct_lines / n_lines``;
+    - ``dup_line_char_ratio`` — characters on the 2nd+ occurrence of a
+      repeated line, over all line characters;
+    - ``top{n}gram_char_ratio`` — characters covered by the single most
+      frequent word n-gram (occurrences × n-gram length, over text length);
+      ties break to the lexicographically largest n-gram (deterministic).
+
+    Shape: explode → (id, unit) groupBy → per-doc aggregate. Every stage is
+    map-side-combinable relational aggregation keyed by ``id_col`` (no
+    per-doc Python, no O(len²) HOF over arrays — see the winnowing note),
+    so it scales exactly like a word-count at 100 TB.
+    """
+    t = F.col(text_col)
+
+    lines = df.select(
+        id_col,
+        F.explode(
+            F.filter(
+                F.transform(F.split(t, r"\n"), lambda l: F.trim(l)),
+                lambda l: l != "",
+            )
+        ).alias("line"),
+    )
+    line_stats = (
+        lines.groupBy(id_col, "line")
+        .agg(F.count("*").alias("cnt"), F.length("line").alias("len"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_lines"),
+            (1 - F.try_divide(F.count("*"), F.sum("cnt"))).alias(
+                "dup_line_ratio"
+            ),
+            F.try_divide(
+                F.sum((F.col("cnt") - 1) * F.col("len")),
+                F.sum(F.col("cnt") * F.col("len")),
+            ).alias("dup_line_char_ratio"),
+        )
+    )
+
+    out = df.select(id_col, F.length(t).alias("_len")).join(
+        line_stats, id_col, "left"
+    )
+    toks = tokens(F.lower(t))
+    for n in top_ngram_ns:
+        # guard: sequence(1, stop) with stop < 1 yields a DESCENDING [1, 0],
+        # not an empty array — short docs must produce zero n-grams instead
+        starts = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        grams = df.select(
+            id_col,
+            F.explode(
+                F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+            ).alias("gram"),
+        )
+        top = (
+            grams.groupBy(id_col, "gram")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy(id_col)
+            .agg(F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("_m"))
+            .select(
+                id_col,
+                F.col("_m.cnt").alias(f"_top{n}_cnt"),
+                F.col("_m.gram").alias(f"_top{n}_gram"),
+            )
+        )
+        out = out.join(top, id_col, "left").withColumn(
+            f"top{n}gram_char_ratio",
+            F.coalesce(
+                F.try_divide(
+                    F.col(f"_top{n}_cnt") * F.length(f"_top{n}_gram"),
+                    F.col("_len"),
+                ),
+                F.lit(0.0),
+            ),
+        ).drop(f"_top{n}_cnt", f"_top{n}_gram")
+    return out.drop("_len").na.fill(
+        {"n_lines": 0, "dup_line_ratio": 0.0, "dup_line_char_ratio": 0.0}
+    )
+
+
+# Published Gopher thresholds (Rae et al. 2021, table A1): a document is
+# repetitious if ANY signal exceeds its bound.
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line_ratio": 0.30,
+    "dup_line_char_ratio": 0.20,
+    "top2gram_char_ratio": 0.20,
+    "top3gram_char_ratio": 0.18,
+    "top4gram_char_ratio": 0.16,
+}
+
+
+def gopher_repetition_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """(id, keep) per document: keep = no repetition signal over threshold.
+    Filter-style counterpart of :func:`repetition_features`."""
+    th = dict(GOPHER_REPETITION_THRESHOLDS if thresholds is None else thresholds)
+    feats = repetition_features(df, text_col, id_col)
+    cond = F.lit(True)
+    for name, bound in th.items():
+        cond = cond & (F.coalesce(F.col(name), F.lit(0.0)) <= bound)
+    return feats.select(id_col, cond.alias("keep"))
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     text_col: str = "text",

@@ -1,4 +1,5 @@
 from .correlogram import acf, conf_bound, pacf
+from .easyplot import acf_plot, corr_plot_data, ezplot, local_autocorr, pacf_plot
 from .tests import (
     adf_test,
     autocorr_pearson,
@@ -12,8 +13,13 @@ from .tests import (
 
 __all__ = [
     "acf",
+    "acf_plot",
     "conf_bound",
+    "corr_plot_data",
+    "ezplot",
+    "local_autocorr",
     "pacf",
+    "pacf_plot",
     "adf_test",
     "autocorr_pearson",
     "breusch_godfrey",

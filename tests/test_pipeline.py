@@ -165,3 +165,45 @@ def test_video_frame_sampling_and_resize_plumbing(spark):
     with _pytest.raises(Exception):  # NotImplementedError inside the task
 
         mm.sample_video_frames(df, fake=False).collect()
+
+
+def test_repetition_features_and_gopher_filter(spark):
+    """Gopher repetition gate on crafted docs: a clean doc, a doc with a
+    repeated line, a doc dominated by one bigram, and a short doc."""
+    from pyspark.sql import functions as F
+
+    from spark_timeseries_spark.pipeline.text import (
+        gopher_repetition_filter,
+        repetition_features,
+    )
+
+    # the clean doc needs realistic length: on tiny docs a single bigram
+    # inherently covers >20% of characters and trips the top2 threshold
+    clean = "\n".join(
+        " ".join(f"word{i}x{j}" for j in range(8)) for i in range(6)
+    )
+    rows = [
+        (1, clean),
+        (2, "same line here\nsame line here\nsame line here\nother text"),
+        (3, "spam ham " * 30),         # one bigram ("spam ham"/"ham spam") dominates
+        (4, "hi"),                      # shorter than any n-gram window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    feats = {
+        r.doc_id: r
+        for r in repetition_features(df).collect()
+    }
+
+    assert feats[1].n_lines == 6 and feats[1].dup_line_ratio == 0.0
+    # doc 2: 4 lines, 2 distinct → dup ratio 1 - 2/4; repeated-line chars:
+    # 2 extra copies of a 14-char line over 4*14+10 total line chars
+    assert feats[2].n_lines == 4
+    assert abs(feats[2].dup_line_ratio - 0.5) < 1e-12
+    assert abs(feats[2].dup_line_char_ratio - (2 * 14) / (3 * 14 + 10)) < 1e-12
+    # doc 3: "spam ham spam ham ...": top bigram covers most characters
+    assert feats[3].top2gram_char_ratio > 0.16
+    # doc 4: no 2-grams at all → ratio 0, no crash (sequence guard)
+    assert feats[4].top2gram_char_ratio == 0.0 and feats[4].dup_line_ratio == 0.0
+
+    keep = {r.doc_id: r.keep for r in gopher_repetition_filter(df).collect()}
+    assert keep == {1: True, 2: False, 3: False, 4: True}

