@@ -448,6 +448,32 @@ def _q_quality_score(spark, sf_dir):
     return text_ops.quality_score(docs)
 
 
+def _q_sessionize(spark, sf_dir):
+    """Gap-based per-event session ids (6h gap): lag + running sum over one
+    (key, ts) sort — single exchange (``operators/sessionize.py``)."""
+    from spark_timeseries_spark.operators.sessionize import sessionize
+
+    obs = events_observations(spark, sf_dir)
+    return sessionize(obs, 21600).select("key", "ts", "session_id")
+
+
+def _q_session_stats(spark, sf_dir):
+    """Per-session aggregates via Spark's NATIVE session_window operator —
+    the streaming-compatible form; oracle replays with lag+cumsum+groupBy."""
+    from spark_timeseries_spark.operators.sessionize import session_stats
+
+    obs = events_observations(spark, sf_dir)
+    out = session_stats(obs, 21600)
+    return out.select(
+        "key",
+        "session_start",
+        "session_end_ts",
+        "n_events",
+        F.round("duration_seconds", 6).alias("duration_seconds"),
+        _stable_round(F.col("value_sum"), 6).alias("value_sum"),
+    )
+
+
 def _q_repetition_features(spark, sf_dir):
     """Gopher-style within-document repetition signals (Rae et al. 2021):
     duplicate-line ratios + most-frequent word n-gram coverage — the
@@ -1096,6 +1122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 3 (rotate into the window next round)
         "repetition_features": _q_repetition_features,
         "gopher_repetition": _q_gopher_repetition,
+        "sessionize": _q_sessionize,
+        "session_stats": _q_session_stats,
     }
 
 
@@ -1577,6 +1605,54 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(len_score * (0.5 + 0.5 * stop_score) * punct_score, 6)
                        AS quality
             FROM sc
+        """,
+        # lag + cumulative-sum session ids; a gap of EXACTLY 6h continues
+        # the session (verified against Spark's session_window semantics)
+        "sessionize": """
+            WITH e AS (
+                SELECT CAST(user_id AS VARCHAR) AS key, ts FROM events
+            ),
+            g AS (
+                SELECT key, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR date_diff('microsecond', lag(ts) OVER w, ts)
+                                    > 21600000000
+                            THEN 1 ELSE 0 END AS s
+                FROM e WINDOW w AS (PARTITION BY key ORDER BY ts)
+            )
+            SELECT key, ts,
+                   CAST(SUM(s) OVER (PARTITION BY key ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                        AS BIGINT) AS session_id
+            FROM g
+        """,
+        "session_stats": f"""
+            WITH e AS (
+                SELECT CAST(user_id AS VARCHAR) AS key, ts, value FROM events
+            ),
+            g AS (
+                SELECT key, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR date_diff('microsecond', lag(ts) OVER w, ts)
+                                    > 21600000000
+                            THEN 1 ELSE 0 END AS s
+                FROM e WINDOW w AS (PARTITION BY key ORDER BY ts)
+            ),
+            sid AS (
+                SELECT key, ts, value,
+                       SUM(s) OVER (PARTITION BY key ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS session_id
+                FROM g
+            )
+            SELECT key,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end_ts,
+                   COUNT(*) AS n_events,
+                   ROUND(date_diff('microsecond', MIN(ts), MAX(ts))
+                         / 1000000.0, 6) AS duration_seconds,
+                   {_sr_sql('SUM(value)', 6)} AS value_sum
+            FROM sid GROUP BY key, session_id
         """,
         "repetition_features": _rep_features_sql((2, 3)) + f"""
             SELECT doc_id, n_lines,

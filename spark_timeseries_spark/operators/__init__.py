@@ -1,3 +1,12 @@
-from . import align, fill, filters, lag, layout, resample, rolling
+from . import align, fill, filters, lag, layout, resample, rolling, sessionize
 
-__all__ = ["align", "fill", "filters", "lag", "layout", "resample", "rolling"]
+__all__ = [
+    "align",
+    "fill",
+    "filters",
+    "lag",
+    "layout",
+    "resample",
+    "rolling",
+    "sessionize",
+]

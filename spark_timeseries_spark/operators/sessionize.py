@@ -1,0 +1,79 @@
+"""Gap-based sessionization over irregular event streams.
+
+An extension beyond the reference (which has no session concept): the
+standard building block for activity analysis and training-data pipelines
+over event logs. Two surfaces:
+
+- :func:`sessionize` — per-event 0-based session ids via lag + running sum:
+  two window functions over ONE (key, ts) sort, single exchange — the same
+  plan-shape budget as the series transforms (``tests/test_plans.py``).
+- :func:`session_stats` — per-session aggregates via Spark's NATIVE
+  ``session_window`` grouping (the Catalyst operator built for exactly
+  this; also the streaming-compatible form — the same expression works
+  under Structured Streaming with a watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: float,
+    key_col: str = "key",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Append ``session_id`` (0-based per key): a new session starts at the
+    first event and whenever the gap from the previous event EXCEEDS
+    ``gap_seconds`` (a gap of exactly ``gap_seconds`` continues the session,
+    matching ``session_window``'s closed-left semantics)."""
+    gap_us = int(round(gap_seconds * 1_000_000))
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    starts = F.when(
+        prev_us.isNull()
+        | (F.unix_micros(F.col(ts_col)) - prev_us > gap_us),
+        1,
+    ).otherwise(0)
+    return df.withColumn(
+        "session_id", (F.sum(starts).over(w) - 1).cast("long")
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    gap_seconds: float,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Per-session aggregates via the native ``session_window`` operator:
+    (key, session_start, session_end_ts, n_events, duration_seconds
+    [, value_sum]). ``session_end_ts`` is the LAST EVENT's timestamp (the
+    raw ``session_window.end`` is last event + gap)."""
+    gap_expr = f"{int(round(gap_seconds * 1_000_000))} microseconds"
+    aggs = [
+        F.count("*").alias("n_events"),
+        F.max(ts_col).alias("session_end_ts"),
+    ]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("value_sum"))
+    out = df.groupBy(
+        key_col, F.session_window(F.col(ts_col), gap_expr).alias("_w")
+    ).agg(*aggs)
+    return out.select(
+        key_col,
+        F.col("_w.start").alias("session_start"),
+        "session_end_ts",
+        "n_events",
+        (
+            (
+                F.unix_micros("session_end_ts")
+                - F.unix_micros(F.col("_w.start"))
+            )
+            / 1_000_000.0
+        ).alias("duration_seconds"),
+        *([F.col("value_sum")] if value_col is not None else []),
+    )

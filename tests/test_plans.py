@@ -222,3 +222,14 @@ def test_model_fit_single_exchange(spark, grid):
     shuffles, _, p = _counts(out)
     assert shuffles == 1, p
     assert "ArrowEvalPython" in p or "FlatMapGroupsInPandas" in p, p
+
+
+def test_sessionize_single_exchange(spark, grid):
+    """sessionize stacks lag + running-sum on ONE (key, ts) sort — the same
+    single-exchange budget as the series transforms."""
+    from spark_timeseries_spark.operators.sessionize import sessionize
+
+    out = sessionize(grid, 86400.0)
+    shuffles, sorts, p = _counts(out)
+    assert shuffles <= 1, p
+    assert sorts == 1, p

@@ -401,3 +401,35 @@ def test_easyplot_data_surfaces(spark):
         assert fig is not None
     except ImportError as e:
         assert "matplotlib" in str(e)
+
+
+def test_sessionize_matches_native_session_window():
+    """Per-event session ids must induce the same partitions as Spark's
+    native session_window aggregate, including the exact-gap boundary
+    (diff == gap CONTINUES a session in both)."""
+    import datetime as dt
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from spark_timeseries_spark.operators.sessionize import (
+        session_stats,
+        sessionize,
+    )
+
+    spark = SparkSession.getActiveSession()
+    base = dt.datetime(2024, 1, 1)
+    offsets = [0, 600, 1500, 1800, 9999, 10599, 11200]  # gaps incl. == 600
+    rows = [("a", base + dt.timedelta(seconds=s), float(i))
+            for i, s in enumerate(offsets)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+
+    ids = sessionize(df, 600, ts_col="ts")
+    got = [r.session_id for r in ids.orderBy("ts").collect()]
+    # 0: start; +600 continues; +900 new; +300 continues; +8199 new;
+    # +600 continues; +601 new
+    assert got == [0, 0, 1, 1, 2, 2, 3]
+
+    stats = session_stats(df, 600).orderBy("session_start").collect()
+    assert [r.n_events for r in stats] == [2, 2, 2, 1]
+    assert stats[0].duration_seconds == 600.0
+    assert stats[0].session_end_ts == base + dt.timedelta(seconds=600)
