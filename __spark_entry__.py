@@ -474,6 +474,18 @@ def _q_session_stats(spark, sf_dir):
     )
 
 
+def _q_pretrain_clean(spark, sf_dir):
+    """End-to-end cleaning composition (language → quality → Gopher
+    repetition → exact dedup) as one plan — ``pipeline/clean.py``. Row-local
+    gates run first; the aggregation gate sees only survivors; the content
+    digest shuffle runs last on the smallest set."""
+    from spark_timeseries_spark.pipeline.clean import pretrain_clean
+
+    docs = _docs_spread(spark, sf_dir)
+    out = pretrain_clean(docs, lang="en", min_quality=0.5)
+    return out.select("doc_id", F.round("quality", 6).alias("quality"))
+
+
 def _q_repetition_features(spark, sf_dir):
     """Gopher-style within-document repetition signals (Rae et al. 2021):
     duplicate-line ratios + most-frequent word n-gram coverage — the
@@ -1124,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": _q_gopher_repetition,
         "sessionize": _q_sessionize,
         "session_stats": _q_session_stats,
+        "pretrain_clean": _q_pretrain_clean,
     }
 
 
@@ -1605,6 +1618,78 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(len_score * (0.5 + 0.5 * stop_score) * punct_score, 6)
                        AS quality
             FROM sc
+        """,
+        # full cleaning composition: language rank → quality formula →
+        # Gopher gates (rep CTEs) → min-id per normalized-content md5
+        "pretrain_clean": _rep_features_sql((2, 3, 4)) + r"""
+            , ltoks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\s+') AS w
+                FROM documents
+            ),
+            lscore AS (
+                SELECT doc_id, 'en' AS lang, len(list_filter(w, x -> list_contains(
+                    ['the','and','of','to','in','is','that','it','was','for'], x))) AS score FROM ltoks
+                UNION ALL
+                SELECT doc_id, 'de', len(list_filter(w, x -> list_contains(
+                    ['der','die','das','und','ist','nicht','ein','mit','von','zu'], x))) FROM ltoks
+                UNION ALL
+                SELECT doc_id, 'es', len(list_filter(w, x -> list_contains(
+                    ['el','la','de','que','y','en','un','por','con','una'], x))) FROM ltoks
+                UNION ALL
+                SELECT doc_id, 'fr', len(list_filter(w, x -> list_contains(
+                    ['le','la','et','les','des','est','un','une','dans','que'], x))) FROM ltoks
+            ),
+            lang_ok AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id, lang,
+                           row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, lang DESC) AS rn
+                    FROM lscore
+                ) WHERE rn = 1 AND lang = 'en'
+            ),
+            qf AS (
+                SELECT doc_id,
+                       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                       length(text) AS tl,
+                       length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                           AS n_punct,
+                       len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> list_contains(
+                               ['a','an','and','at','by','for','in','is','it','of',
+                                'on','that','the','to','was','with'], x))) AS n_stop
+                FROM documents
+            ),
+            q AS (
+                SELECT doc_id,
+                       ROUND(least(n_tokens / 50.0, 1.0)
+                             * (CASE WHEN n_tokens > 5000 THEN 0.5 ELSE 1.0 END)
+                             * (0.5 + 0.5 * least(
+                                   (CAST(n_stop AS DOUBLE) / n_tokens) * 4.0, 1.0))
+                             * (CASE WHEN CAST(n_punct AS DOUBLE) / tl > 0.2
+                                     THEN 0.5 ELSE 1.0 END), 6) AS quality
+                FROM qf
+            ),
+            surv AS (
+                SELECT d.doc_id, q.quality,
+                       md5(regexp_replace(lower(d.text), '\s+', ' ', 'g')) AS h
+                FROM documents d
+                JOIN lang_ok USING (doc_id)
+                JOIN q USING (doc_id)
+                JOIN rep USING (doc_id)
+                WHERE q.quality >= 0.5
+                  AND rep.dup_line_ratio <= 0.30
+                  AND rep.dup_line_char_ratio <= 0.20
+                  AND rep.top2gram_char_ratio <= 0.20
+                  AND rep.top3gram_char_ratio <= 0.18
+                  AND rep.top4gram_char_ratio <= 0.16
+            )
+            SELECT doc_id, ROUND(quality, 6) AS quality
+            FROM (
+                SELECT doc_id, quality,
+                       row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+                FROM surv
+            ) WHERE rn = 1
         """,
         # lag + cumulative-sum session ids; a gap of EXACTLY 6h continues
         # the session (verified against Spark's session_window semantics)

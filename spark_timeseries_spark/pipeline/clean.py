@@ -1,0 +1,59 @@
+"""End-to-end pre-training corpus cleaning: the composition a real
+training-data pipeline runs, as ONE lazy Catalyst plan.
+
+Gate order is the scale-aware one — cheapest, most-selective, row-local
+predicates first so later (aggregation-bearing) stages see only survivors:
+
+1. language gate — pure row-local expression, evaluated in the scan's
+   project (no shuffle);
+2. quality gate — row-local column on the SAME lineage (no second scan,
+   :func:`..text.quality_score_col`);
+3. Gopher repetition gate — the only aggregation-based signal
+   (explode → groupBy, see :func:`..text.repetition_features`), computed
+   ONLY over docs that survived the row-local gates;
+4. exact dedup last — one shuffle on the content digest over the smallest
+   surviving set.
+
+The repetition gate and the final join are separate consumers of the
+row-local survivors, so without materialization Spark re-scans the corpus
+once per consumer (re-applying the cheap gates each time — correct, just
+redundant I/O). At real scale pass ``persist_intermediate=True`` to cache
+the filtered survivors once — corpus parquet is then read exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import dedup_exact
+from .text import gopher_repetition_filter, language_id, quality_score_col
+
+
+def pretrain_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    min_quality: float = 0.5,
+    rep_thresholds: dict[str, float] | None = None,
+    normalize_digest: bool = True,
+    persist_intermediate: bool = False,
+) -> DataFrame:
+    """Language → quality → Gopher-repetition → exact-dedup chain; returns
+    the surviving documents with their original columns plus ``quality``.
+    With ``persist_intermediate=True`` the row-local survivors are cached
+    (caller unpersists via the returned frame's lineage when done)."""
+    t = F.col(text_col)
+    scored = (
+        df.where(language_id(t) == lang)
+        .withColumn("quality", quality_score_col(t))
+        .where(F.col("quality") >= min_quality)
+    )
+    if persist_intermediate:
+        scored = scored.persist()
+    rep = gopher_repetition_filter(
+        scored, text_col, id_col, thresholds=rep_thresholds
+    ).where(F.col("keep"))
+    survivors = scored.join(rep.select(id_col), id_col)
+    return dedup_exact(survivors, text_col, id_col, normalize=normalize_digest)

@@ -86,20 +86,31 @@ def quality_features(
     )
 
 
+def quality_score_col(text: Column) -> Column:
+    """Scalar [0,1] quality heuristic as a row-local COLUMN — composable
+    into an existing lineage without a second corpus scan (used by
+    :func:`~spark_timeseries_spark.pipeline.clean.pretrain_clean`)."""
+    toks_raw = tokens(text)
+    n_tok = F.size(toks_raw)
+    length = F.length(text)
+    stop_arr = F.array(*[F.lit(w) for w in sorted(STOPWORDS_EN)])
+    n_stop = F.size(
+        F.filter(tokens(F.lower(text)), lambda x: F.array_contains(stop_arr, x))
+    )
+    n_punct = length - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    len_score = F.least(n_tok / 50.0, F.lit(1.0)) * F.when(
+        n_tok > 5000, 0.5
+    ).otherwise(1.0)
+    stop_score = F.least(F.try_divide(n_stop, n_tok) * 4.0, F.lit(1.0))
+    punct_score = F.when(F.try_divide(n_punct, length) > 0.2, 0.5).otherwise(1.0)
+    return F.round(len_score * (0.5 + 0.5 * stop_score) * punct_score, 6)
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Scalar [0,1] quality heuristic: length sweet-spot × stopword presence ×
     punctuation sanity (monotone, deterministic)."""
-    feats = quality_features(df, text_col, id_col)
-    len_score = F.least(F.col("n_tokens") / 50.0, F.lit(1.0)) * F.when(
-        F.col("n_tokens") > 5000, 0.5
-    ).otherwise(1.0)
-    stop_score = F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0))
-    punct_score = F.when(F.col("punct_ratio") > 0.2, 0.5).otherwise(1.0)
-    return feats.select(
-        id_col,
-        F.round(len_score * (0.5 + 0.5 * stop_score) * punct_score, 6).alias(
-            "quality"
-        ),
+    return df.select(
+        id_col, quality_score_col(F.col(text_col)).alias("quality")
     )
 
 
@@ -128,7 +139,10 @@ def repetition_features(
     Shape: explode → (id, unit) groupBy → per-doc aggregate. Every stage is
     map-side-combinable relational aggregation keyed by ``id_col`` (no
     per-doc Python, no O(len²) HOF over arrays — see the winnowing note),
-    so it scales exactly like a word-count at 100 TB.
+    so it scales exactly like a word-count at 100 TB. The TEXT column is
+    scanned exactly THREE times regardless of ``len(top_ngram_ns)`` — base
+    lengths, lines, and ONE tagged explode carrying every n-gram size —
+    instead of 2+|ns| scans of the corpus.
     """
     t = F.col(text_col)
 
@@ -157,43 +171,61 @@ def repetition_features(
         )
     )
 
-    out = df.select(id_col, F.length(t).alias("_len")).join(
-        line_stats, id_col, "left"
-    )
     toks = tokens(F.lower(t))
-    for n in top_ngram_ns:
+
+    def _grams_for(n: int):
         # guard: sequence(1, stop) with stop < 1 yields a DESCENDING [1, 0],
         # not an empty array — short docs must produce zero n-grams instead
         starts = F.when(
             F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
         ).otherwise(F.array().cast("array<int>"))
-        grams = df.select(
-            id_col,
-            F.explode(
-                F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-            ).alias("gram"),
+        return F.transform(
+            starts,
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(" ", F.slice(toks, i, n)).alias("gram"),
+            ),
         )
-        top = (
-            grams.groupBy(id_col, "gram")
-            .agg(F.count("*").alias("cnt"))
-            .groupBy(id_col)
-            .agg(F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("_m"))
-            .select(
-                id_col,
-                F.col("_m.cnt").alias(f"_top{n}_cnt"),
-                F.col("_m.gram").alias(f"_top{n}_gram"),
-            )
+
+    grams = df.select(
+        id_col,
+        F.explode(
+            F.concat(*[_grams_for(n) for n in top_ngram_ns])
+        ).alias("g"),
+    ).select(id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    tops = (
+        grams.groupBy(id_col, "n", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(id_col, "n")
+        .agg(F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("_m"))
+        .groupBy(id_col)
+        # pivot over the statically-known n values → one row per doc
+        .agg(
+            *[
+                F.max(
+                    F.when(
+                        F.col("n") == n,
+                        F.col("_m.cnt") * F.length("_m.gram"),
+                    )
+                ).alias(f"_top{n}_chars")
+                for n in top_ngram_ns
+            ]
         )
-        out = out.join(top, id_col, "left").withColumn(
+    )
+
+    out = (
+        df.select(id_col, F.length(t).alias("_len"))
+        .join(line_stats, id_col, "left")
+        .join(tops, id_col, "left")
+    )
+    for n in top_ngram_ns:
+        out = out.withColumn(
             f"top{n}gram_char_ratio",
             F.coalesce(
-                F.try_divide(
-                    F.col(f"_top{n}_cnt") * F.length(f"_top{n}_gram"),
-                    F.col("_len"),
-                ),
+                F.try_divide(F.col(f"_top{n}_chars"), F.col("_len")),
                 F.lit(0.0),
             ),
-        ).drop(f"_top{n}_cnt", f"_top{n}_gram")
+        ).drop(f"_top{n}_chars")
     return out.drop("_len").na.fill(
         {"n_lines": 0, "dup_line_ratio": 0.0, "dup_line_char_ratio": 0.0}
     )
