@@ -171,9 +171,7 @@ def repetition_features(
         )
     )
 
-    toks = tokens(F.lower(t))
-
-    def _grams_for(n: int):
+    def _grams_for(toks, n: int):
         # guard: sequence(1, stop) with stop < 1 yields a DESCENDING [1, 0],
         # not an empty array — short docs must produce zero n-grams instead
         starts = F.when(
@@ -187,12 +185,17 @@ def repetition_features(
             ),
         )
 
-    grams = df.select(
-        id_col,
-        F.explode(
-            F.concat(*[_grams_for(n) for n in top_ngram_ns])
-        ).alias("g"),
-    ).select(id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    # let-bind the token array: referencing the split expression inside the
+    # transform lambdas would re-tokenize once PER TOKEN per n (interpreted
+    # HOF, the same O(len²) trap the winnowing note documents — measured
+    # ~4× on this operator even at 54-token docs)
+    all_grams = let(
+        tokens(F.lower(t)),
+        lambda toks: F.concat(*[_grams_for(toks, n) for n in top_ngram_ns]),
+    )
+    grams = df.select(id_col, F.explode(all_grams).alias("g")).select(
+        id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
+    )
     tops = (
         grams.groupBy(id_col, "n", "gram")
         .agg(F.count("*").alias("cnt"))
