@@ -486,6 +486,24 @@ def _q_pretrain_clean(spark, sf_dir):
     return out.select("doc_id", F.round("quality", 6).alias("quality"))
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic per-source mixture sampling (md5_60 hash mode so the
+    oracle replays the exact keep set): row-local hash compare, no shuffle —
+    ``pipeline/sampling.py``."""
+    from spark_timeseries_spark.pipeline.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs,
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1},
+        stratum_col="source",
+        seed=7,
+        default_rate=0.05,
+        hash_fn="md5_60",
+    )
+    return out.select("doc_id", "source")
+
+
 def _q_repetition_features(spark, sf_dir):
     """Gopher-style within-document repetition signals (Rae et al. 2021):
     duplicate-line ratios + most-frequent word n-gram coverage — the
@@ -1049,9 +1067,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal, IVF) go first; (b) then the events-based queries whose r1
     green rows predate the fixture regeneration, so the fixed loader is
     re-proven against the driver oracle. Queries pushed past the window
-    either have green r2 rows (the documents/embeddings family) or are
-    near-variants of in-window queries; all 75 are still validated locally
-    by ``tools/check_correctness.py`` (full log committed per round)."""
+    either have green r2 rows (the documents/embeddings family), are
+    near-variants of in-window queries, or are new this round (rotate in
+    next round: repetition_features, gopher_repetition, sessionize,
+    session_stats, pretrain_clean); all 80 are validated locally by
+    ``tools/check_correctness.py`` (full log committed per round)."""
     return {
         # -- (a) never driver-checked before round 3 -------------------------
         "arima_forecast": _q_arima_forecast,
@@ -1137,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "session_stats": _q_session_stats,
         "pretrain_clean": _q_pretrain_clean,
+        "stratified_sample": _q_stratified_sample,
     }
 
 
@@ -1618,6 +1639,18 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(len_score * (0.5 + 0.5 * stop_score) * punct_score, 6)
                        AS quality
             FROM sc
+        """,
+        # deterministic mixture sampling: exact hash-bucket replay
+        "stratified_sample": f"""
+            SELECT doc_id, source FROM documents
+            WHERE {_h60("CAST(doc_id AS VARCHAR) || chr(1) || '7'")} % 1000000
+                  < CASE source
+                        WHEN 'src0' THEN 1000000
+                        WHEN 'src1' THEN 500000
+                        WHEN 'src2' THEN 250000
+                        WHEN 'src3' THEN 100000
+                        ELSE 50000
+                    END
         """,
         # full cleaning composition: language rank → quality formula →
         # Gopher gates (rep CTEs) → min-id per normalized-content md5

@@ -1,3 +1,3 @@
-from . import clean, dedup, multimodal, similarity, text
+from . import clean, dedup, multimodal, sampling, similarity, text
 
-__all__ = ["clean", "dedup", "multimodal", "similarity", "text"]
+__all__ = ["clean", "dedup", "multimodal", "sampling", "similarity", "text"]

@@ -207,3 +207,30 @@ def test_repetition_features_and_gopher_filter(spark):
 
     keep = {r.doc_id: r.keep for r in gopher_repetition_filter(df).collect()}
     assert keep == {1: True, 2: False, 3: False, 4: True}
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark):
+    """Mixture sampling: same seed → identical keep set across runs; rates
+    shape per-stratum keep counts; rate 1.0 keeps everything, 0.0 nothing."""
+    from pyspark.sql import functions as F
+
+    from spark_timeseries_spark.pipeline.sampling import stratified_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    kept1 = stratified_sample(df, {"a": 1.0, "b": 0.25}, seed=3)
+    kept2 = stratified_sample(df, {"a": 1.0, "b": 0.25}, seed=3)
+    ids1 = sorted(r.doc_id for r in kept1.collect())
+    ids2 = sorted(r.doc_id for r in kept2.collect())
+    assert ids1 == ids2                      # reproducible
+    by_src = {r.source: r["count"] for r in kept1.groupBy("source").count().collect()}
+    assert by_src["a"] == 1000               # rate 1.0 keeps all
+    assert 150 < by_src.get("b", 0) < 350    # ~0.25 of 1000
+
+    none = stratified_sample(df, {}, default_rate=0.0, seed=3)
+    assert none.count() == 0
+    other_seed = sorted(
+        r.doc_id for r in stratified_sample(df, {"a": 1.0, "b": 0.25}, seed=4).collect()
+    )
+    assert other_seed != ids1                # seed draws a different sample
