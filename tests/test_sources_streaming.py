@@ -226,3 +226,43 @@ def test_streaming_token_stats(spark, tmp_path):
     by = {(r.source, str(r.ts)): (r.docs, r.total_tokens) for r in out.itertuples()}
     assert by[("web", "2024-01-01 00:00:00")] == (2, 5)
     assert by[("books", "2024-01-01 01:00:00")] == (1, 0)  # empty doc -> 0 tokens
+
+
+def test_streaming_session_stats(spark, tmp_path):
+    """session_stats' native session_window expression works unchanged under
+    Structured Streaming: watermark + session windows over a file stream."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    rows = [
+        (pd.Timestamp("2024-01-01 00:00").to_pydatetime(), "a", 1.0),
+        (pd.Timestamp("2024-01-01 00:05").to_pydatetime(), "a", 2.0),  # same session
+        (pd.Timestamp("2024-01-01 01:00").to_pydatetime(), "a", 4.0),  # gap > 10min → new
+        (pd.Timestamp("2024-01-01 00:02").to_pydatetime(), "b", 7.0),
+    ]
+    spark.createDataFrame(rows, "ts timestamp, key string, value double").write.parquet(
+        src + "/batch1"
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp, key string, value double")
+        .parquet(src + "/*")
+        .withWatermark("ts", "2 hours")
+    )
+    agg = stream.groupBy(
+        "key", F.session_window("ts", "600 seconds").alias("w")
+    ).agg(F.count("*").alias("n_events"), F.sum("value").alias("value_sum"))
+    q = (
+        agg.select("key", F.col("w.start").alias("start"), "n_events", "value_sum")
+        .writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from sess").toPandas()
+    by = {(r.key, str(r.start)): (r.n_events, r.value_sum) for r in out.itertuples()}
+    assert by[("a", "2024-01-01 00:00:00")] == (2, 3.0)
+    assert by[("a", "2024-01-01 01:00:00")] == (1, 4.0)
+    assert by[("b", "2024-01-01 00:02:00")] == (1, 7.0)
