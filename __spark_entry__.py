@@ -512,7 +512,9 @@ def _q_repetition_features(spark, sf_dir):
     from spark_timeseries_spark.pipeline import text as text_ops
 
     docs = _docs_spread(spark, sf_dir)
-    out = text_ops.repetition_features(docs)
+    # only the 2-/3-gram ratios are output — don't pay for the 4-gram
+    # explode+aggregate (the gopher_repetition query covers n=4)
+    out = text_ops.repetition_features(docs, top_ngram_ns=(2, 3))
     return out.select(
         "doc_id",
         "n_lines",
@@ -1070,8 +1072,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     either have green r2 rows (the documents/embeddings family), are
     near-variants of in-window queries, or are new this round (rotate in
     next round: repetition_features, gopher_repetition, sessionize,
-    session_stats, pretrain_clean); all 80 are validated locally by
-    ``tools/check_correctness.py`` (full log committed per round)."""
+    session_stats, pretrain_clean, stratified_sample); all 81 are validated
+    locally by ``tools/check_correctness.py`` (full log committed per
+    round)."""
     return {
         # -- (a) never driver-checked before round 3 -------------------------
         "arima_forecast": _q_arima_forecast,

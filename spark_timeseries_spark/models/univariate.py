@@ -298,8 +298,9 @@ class EGARCHModel:
         # fitted and start objectives in certificates see the same surface.
         # Scalar math.* and a plain-float input list here: this recursion is
         # the innermost loop of every likelihood eval, and numpy scalar
-        # ufuncs cost ~10× a libm call (same bits — both are the platform
-        # libm, so `/ sqrt(exp(.))` stays the exact inverse of add_effects).
+        # ufuncs cost ~10× a libm call. add_effects/remove_effects use the
+        # same scalar form so the recursions see identical per-step floats
+        # (numpy's vectorized exp differs from libm in the last ulp).
         om, al, ga, be, ea = self.omega, self.alpha, self.gamma, self.beta, self._EABS
         prev = min(max(om / (1.0 - be), -50.0), 50.0)
         lh[0] = prev
@@ -320,13 +321,19 @@ class EGARCHModel:
 
     def remove_effects(self, eta: np.ndarray) -> np.ndarray:
         eta = np.asarray(eta, dtype=float)
-        return eta / np.sqrt(np.exp(self._log_variances(eta)))
+        lh = self._log_variances(eta)
+        # scalar math.sqrt/math.exp, NOT np vectorized: numpy's SIMD exp
+        # kernel differs from libm in the last ulp on ~1/4 of inputs, which
+        # would add systematic noise on top of the inherent (x/s)*s
+        # round-trip rounding (add_effects scales with the scalar form)
+        scale = np.array([math.sqrt(math.exp(v)) for v in lh.tolist()])
+        return eta / scale
 
     def add_effects(self, z: np.ndarray) -> np.ndarray:
         z = np.asarray(z, dtype=float)
         out = np.empty_like(z)
         # same ±50 clamp and scalar `sqrt(exp(.))` as _log_variances so
-        # add∘remove is an exact inverse
+        # add∘remove inverts to within division/multiply rounding (~1 ulp)
         om, al, ga, be, ea = self.omega, self.alpha, self.gamma, self.beta, self._EABS
         _exp, _sqrt = math.exp, math.sqrt
         lh = min(max(om / (1.0 - be), -50.0), 50.0)

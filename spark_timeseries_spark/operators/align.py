@@ -168,6 +168,24 @@ def union_index_df(*dfs: DataFrame, ts_col: str = "ts") -> DataFrame:
         out = part if out is None else out.unionByName(part)
     from pyspark.sql import Window
 
+    # CORRECTNESS PRECONDITION: the `local` subtree below feeds two
+    # consumers (the rank rows and the per-partition counts). Exchange
+    # reuse (default on) dedupes the range shuffle so both see the SAME
+    # partition boundaries; with reuse disabled the two executions sample
+    # boundaries independently (RDD-id-derived seed) and _pid could
+    # disagree between branches — locs would silently duplicate/skip.
+    # Fall back to the single-partition global sort in that configuration:
+    # slower but always correct.
+    spark = dfs[0].sparkSession
+    reuse = spark.conf.get("spark.sql.exchange.reuse.enabled", "true")
+    if str(reuse).lower() != "true":
+        w = Window.orderBy("ts")
+        return (
+            out.distinct()
+            .withColumn("loc", (F.row_number().over(w) - 1).cast("long"))
+            .select("loc", "ts")
+        )
+
     distinct = out.distinct().repartitionByRange("ts")
     local = (
         distinct.withColumn("_pid", F.spark_partition_id())

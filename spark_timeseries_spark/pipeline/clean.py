@@ -42,8 +42,10 @@ def pretrain_clean(
 ) -> DataFrame:
     """Language → quality → Gopher-repetition → exact-dedup chain; returns
     the surviving documents with their original columns plus ``quality``.
-    With ``persist_intermediate=True`` the row-local survivors are cached
-    (caller unpersists via the returned frame's lineage when done)."""
+    With ``persist_intermediate=True`` the row-local survivors are cached;
+    the cached frame is exposed as ``result.cached_intermediate`` — call
+    ``.unpersist()`` on it when done (unpersisting the RESULT would not
+    release it)."""
     t = F.col(text_col)
     scored = (
         df.where(language_id(t) == lang)
@@ -56,4 +58,7 @@ def pretrain_clean(
         scored, text_col, id_col, thresholds=rep_thresholds
     ).where(F.col("keep"))
     survivors = scored.join(rep.select(id_col), id_col)
-    return dedup_exact(survivors, text_col, id_col, normalize=normalize_digest)
+    out = dedup_exact(survivors, text_col, id_col, normalize=normalize_digest)
+    if persist_intermediate:
+        out.cached_intermediate = scored
+    return out

@@ -57,7 +57,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         elif isinstance(ts_type, (TimestampNTZType, TimestampType)):
             # Current fixture: micros-precision timestamp (NTZ under 4.x).
-            # Session TZ is pinned UTC, so the cast is lossless.
+            # The NTZ→TIMESTAMP cast interprets the wall-clock in the
+            # SESSION timezone; the fixture's wall-clock is UTC, so any
+            # other session tz would silently shift every instant. Fail
+            # loudly instead (every engine entry point pins UTC).
+            if isinstance(ts_type, TimestampNTZType):
+                tz = spark.conf.get("spark.sql.session.timeZone")
+                if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+                    raise ValueError(
+                        "load_table requires spark.sql.session.timeZone=UTC "
+                        f"to read TIMESTAMP_NTZ events (session tz is {tz!r}"
+                        "); a non-UTC session would shift ts/ts_nanos by "
+                        "the UTC offset"
+                    )
             ts = F.col("ts").cast("timestamp")
             df = df.withColumn(
                 "ts_nanos", F.unix_micros(ts) * F.lit(1000).cast("bigint")

@@ -47,6 +47,11 @@ def local_autocorr(data: Sequence[float], max_lag: int) -> np.ndarray:
     (NOT the common fixed-denominator ACF estimator)."""
     y = np.asarray(data, dtype=float)
     n = y.size
+    if max_lag >= n:
+        raise ValueError(
+            f"max_lag ({max_lag}) must be < series length ({n}); lag-k "
+            "autocorrelation needs at least k+1 observations"
+        )
     out = np.empty(max_lag, dtype=float)
     for k in range(1, max_lag + 1):
         a = y[k:] - y[k:].mean()

@@ -403,20 +403,17 @@ def test_easyplot_data_surfaces(spark):
         assert "matplotlib" in str(e)
 
 
-def test_sessionize_matches_native_session_window():
+def test_sessionize_matches_native_session_window(spark):
     """Per-event session ids must induce the same partitions as Spark's
     native session_window aggregate, including the exact-gap boundary
     (diff == gap CONTINUES a session in both)."""
     import datetime as dt
-
-    from pyspark.sql import SparkSession, functions as F
 
     from spark_timeseries_spark.operators.sessionize import (
         session_stats,
         sessionize,
     )
 
-    spark = SparkSession.getActiveSession()
     base = dt.datetime(2024, 1, 1)
     offsets = [0, 600, 1500, 1800, 9999, 10599, 11200]  # gaps incl. == 600
     rows = [("a", base + dt.timedelta(seconds=s), float(i))
