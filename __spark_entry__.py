@@ -486,6 +486,31 @@ def _q_pretrain_clean(spark, sf_dir):
     return out.select("doc_id", F.round("quality", 6).alias("quality"))
 
 
+def _q_token_percentiles(spark, sf_dir):
+    """Per-source exact token-count percentiles (p50/p90/p99 with linear
+    interpolation) — the dataset-profiling aggregate a mixture pipeline
+    reports; Spark ``percentile`` ≡ DuckDB ``quantile_cont``."""
+    docs = load_table(spark, sf_dir, "documents")
+    from spark_timeseries_spark.pipeline import text as text_ops
+
+    n = text_ops.token_count(F.col("text"), bpe=True).cast("double")
+    out = (
+        docs.select("source", n.alias("n"))
+        .groupBy("source")
+        .agg(
+            F.percentile("n", F.lit(0.5)).alias("r50"),
+            F.percentile("n", F.lit(0.9)).alias("r90"),
+            F.percentile("n", F.lit(0.99)).alias("r99"),
+        )
+    )
+    return out.select(
+        "source",
+        _stable_round(F.col("r50"), 4).alias("p50"),
+        _stable_round(F.col("r90"), 4).alias("p90"),
+        _stable_round(F.col("r99"), 4).alias("p99"),
+    )
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Deterministic per-source mixture sampling (md5_60 hash mode so the
     oracle replays the exact keep set): row-local hash compare, no shuffle —
@@ -1072,9 +1097,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     either have green r2 rows (the documents/embeddings family), are
     near-variants of in-window queries, or are new this round (rotate in
     next round: repetition_features, gopher_repetition, sessionize,
-    session_stats, pretrain_clean, stratified_sample); all 81 are validated
-    locally by ``tools/check_correctness.py`` (full log committed per
-    round)."""
+    session_stats, pretrain_clean, stratified_sample, token_percentiles);
+    all 82 are validated locally by ``tools/check_correctness.py`` (full
+    log committed per round)."""
     return {
         # -- (a) never driver-checked before round 3 -------------------------
         "arima_forecast": _q_arima_forecast,
@@ -1161,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": _q_session_stats,
         "pretrain_clean": _q_pretrain_clean,
         "stratified_sample": _q_stratified_sample,
+        "token_percentiles": _q_token_percentiles,
     }
 
 
@@ -1642,6 +1668,20 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(len_score * (0.5 + 0.5 * stop_score) * punct_score, 6)
                        AS quality
             FROM sc
+        """,
+        # exact interpolated percentiles: Spark percentile == quantile_cont
+        "token_percentiles": f"""
+            WITH n AS (
+                SELECT source,
+                       CAST(len(regexp_extract_all(text,
+                           '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS DOUBLE) AS n
+                FROM documents
+            )
+            SELECT source,
+                   {_sr_sql('quantile_cont(n, 0.5)', 4)} AS p50,
+                   {_sr_sql('quantile_cont(n, 0.9)', 4)} AS p90,
+                   {_sr_sql('quantile_cont(n, 0.99)', 4)} AS p99
+            FROM n GROUP BY 1
         """,
         # deterministic mixture sampling: exact hash-bucket replay
         "stratified_sample": f"""

@@ -1,9 +1,12 @@
+from .bucketed import load_observations_bucketed, save_observations_bucketed
 from .io import TABLES, events_observations, load_table
 from .yahoo import read_yahoo_observations
 
 __all__ = [
     "TABLES",
     "events_observations",
+    "load_observations_bucketed",
     "load_table",
     "read_yahoo_observations",
+    "save_observations_bucketed",
 ]

@@ -233,3 +233,30 @@ def test_sessionize_single_exchange(spark, grid):
     shuffles, sorts, p = _counts(out)
     assert shuffles <= 1, p
     assert sorts == 1, p
+
+
+def test_bucketed_observations_skip_exchange(spark, grid, tmp_path):
+    """The 100 TB repeated-workload path: a table bucketed by key reports
+    HashPartitioning(key) from the scan, so per-key aggregates plan with
+    ZERO exchanges — the one shuffle series ops normally pay moves into
+    the storage layout."""
+    from spark_timeseries_spark.sources import (
+        load_observations_bucketed,
+        save_observations_bucketed,
+    )
+
+    # warehouse.dir is a static conf — the managed test table lands in the
+    # session default (./spark-warehouse, gitignored) and is dropped below
+    save_observations_bucketed(grid, "obs_bucketed_test", n_buckets=4)
+    try:
+        obs = load_observations_bucketed(spark, "obs_bucketed_test")
+        agg = obs.groupBy("key").agg(
+            F.avg("value").alias("mean"), F.count("*").alias("n")
+        )
+        shuffles, _, p = _counts(agg)
+        assert shuffles == 0, p
+        # and the numbers are right
+        got = {r.key: r.n for r in agg.collect()}
+        assert got == {str(k): 31 for k in range(5)}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS obs_bucketed_test")
