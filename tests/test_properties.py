@@ -1,0 +1,68 @@
+"""Property-based tests (hypothesis): Spark operators vs pure-Python
+reference semantics on randomized inputs. Few examples (Spark jobs are
+~0.5 s each) but each example exercises shapes hand-written cases miss —
+duplicate timestamps across inputs, exact-gap boundaries, singleton and
+empty partitions."""
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+@st.composite
+def _offset_lists(draw):
+    """1-3 keys, each with 1-25 strictly increasing second-offsets."""
+    n_keys = draw(st.integers(1, 3))
+    out = {}
+    for k in range(n_keys):
+        gaps = draw(st.lists(st.integers(1, 2000), min_size=1, max_size=25))
+        offs, acc = [], 0
+        for g in gaps:
+            acc += g
+            offs.append(acc)
+        out[str(k)] = offs
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(data=_offset_lists(), gap=st.integers(60, 900))
+def test_sessionize_matches_python_reference(spark, data, gap):
+    from spark_timeseries_spark.operators.sessionize import sessionize
+
+    rows = [
+        (k, BASE + dt.timedelta(seconds=s), float(i))
+        for k, offs in data.items()
+        for i, s in enumerate(offs)
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    got = {
+        (r.key, r.ts): r.session_id
+        for r in sessionize(df, float(gap)).collect()
+    }
+    for k, offs in data.items():
+        sid = 0
+        for i, s in enumerate(offs):
+            if i > 0 and s - offs[i - 1] > gap:
+                sid += 1
+            assert got[(k, BASE + dt.timedelta(seconds=s))] == sid, (k, s, gap)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    a=st.lists(st.integers(0, 500), min_size=1, max_size=40),
+    b=st.lists(st.integers(0, 500), min_size=1, max_size=40),
+)
+def test_union_index_df_matches_sorted_distinct(spark, a, b):
+    from spark_timeseries_spark.operators.align import union_index_df
+
+    mk = lambda xs: spark.createDataFrame(
+        [(BASE + dt.timedelta(minutes=x),) for x in xs], "ts timestamp"
+    )
+    rows = union_index_df(mk(a), mk(b)).orderBy("loc").collect()
+    want = sorted({BASE + dt.timedelta(minutes=x) for x in a + b})
+    assert [r.ts for r in rows] == want
+    assert [r.loc for r in rows] == list(range(len(want)))
