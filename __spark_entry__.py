@@ -487,27 +487,20 @@ def _q_pretrain_clean(spark, sf_dir):
 
 
 def _q_token_percentiles(spark, sf_dir):
-    """Per-source exact token-count percentiles (p50/p90/p99 with linear
-    interpolation) — the dataset-profiling aggregate a mixture pipeline
-    reports; Spark ``percentile`` ≡ DuckDB ``quantile_cont``."""
+    """Per-source EXACT token-count percentiles (linear interpolation;
+    Spark ``percentile`` ≡ DuckDB ``quantile_cont``) — exact mode is the
+    oracle-checkable variant; the library default
+    (``pipeline.text.token_percentiles``) is the mergeable
+    ``approx_percentile`` sketch, the bounded-memory 100 TB path."""
     docs = load_table(spark, sf_dir, "documents")
     from spark_timeseries_spark.pipeline import text as text_ops
 
-    n = text_ops.token_count(F.col("text"), bpe=True).cast("double")
-    out = (
-        docs.select("source", n.alias("n"))
-        .groupBy("source")
-        .agg(
-            F.percentile("n", F.lit(0.5)).alias("r50"),
-            F.percentile("n", F.lit(0.9)).alias("r90"),
-            F.percentile("n", F.lit(0.99)).alias("r99"),
-        )
-    )
+    out = text_ops.token_percentiles(docs, exact=True)
     return out.select(
         "source",
-        _stable_round(F.col("r50"), 4).alias("p50"),
-        _stable_round(F.col("r90"), 4).alias("p90"),
-        _stable_round(F.col("r99"), 4).alias("p99"),
+        _stable_round(F.col("p50"), 4).alias("p50"),
+        _stable_round(F.col("p90"), 4).alias("p90"),
+        _stable_round(F.col("p99"), 4).alias("p99"),
     )
 
 

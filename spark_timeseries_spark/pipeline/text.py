@@ -119,6 +119,40 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
+def token_percentiles(
+    df: DataFrame,
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    stratum_col: str = "source",
+    text_col: str = "text",
+    bpe: bool = True,
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-stratum token-count percentiles → (stratum, p50, p90, ...).
+
+    Default is ``approx_percentile`` — the 100 TB path: a mergeable
+    KLL-style sketch with bounded memory per group, regardless of group
+    size. ``exact=True`` switches to exact interpolated ``percentile``,
+    which buffers every group value in executor memory — correct for
+    profiling samples and oracle checks, an OOM at corpus scale with few
+    strata. ``accuracy`` trades sketch memory for error (1/accuracy
+    relative rank error)."""
+    n = token_count(F.col(text_col), bpe=bpe).cast("double")
+    if exact:
+        aggs = [
+            F.percentile("_n", F.lit(p)).alias(f"p{int(p * 100)}")
+            for p in percentiles
+        ]
+    else:
+        aggs = [
+            F.approx_percentile("_n", F.lit(p), F.lit(accuracy)).alias(
+                f"p{int(p * 100)}"
+            )
+            for p in percentiles
+        ]
+    return df.select(stratum_col, n.alias("_n")).groupBy(stratum_col).agg(*aggs)
+
+
 def repetition_features(
     df: DataFrame,
     text_col: str = "text",
