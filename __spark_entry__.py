@@ -486,6 +486,40 @@ def _q_pretrain_clean(spark, sf_dir):
     return out.select("doc_id", F.round("quality", 6).alias("quality"))
 
 
+def _q_scrub_pii(spark, sf_dir):
+    """PII redaction over documents with deterministically injected PII
+    (email/IP/phone derived from doc_id, so both engines see identical
+    inputs): the full regexp_replace chain is hash-checked via the
+    scrubbed-text md5, plus a pre-scrub match count per kind."""
+    from spark_timeseries_spark.pipeline.text import PII_PATTERNS, scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    salted = docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 192.168.0."),
+            F.col("doc_id").cast("string"),
+            F.lit(" tel +1 555 0100 100"),
+        ),
+    )
+    counts = [
+        F.regexp_count("text", F.lit(pat)).alias(f"n_{kind}")
+        for kind, pat in PII_PATTERNS
+    ]
+    pre = salted.select("doc_id", "text", *counts)
+    out = scrub_pii(pre)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("scrubbed_md5"),
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+    )
+
+
 def _q_token_percentiles(spark, sf_dir):
     """Per-source EXACT token-count percentiles (linear interpolation;
     Spark ``percentile`` ≡ DuckDB ``quantile_cont``) — exact mode is the
@@ -1090,9 +1124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     either have green r2 rows (the documents/embeddings family), are
     near-variants of in-window queries, or are new this round (rotate in
     next round: repetition_features, gopher_repetition, sessionize,
-    session_stats, pretrain_clean, stratified_sample, token_percentiles);
-    all 82 are validated locally by ``tools/check_correctness.py`` (full
-    log committed per round)."""
+    session_stats, pretrain_clean, stratified_sample, token_percentiles,
+    scrub_pii); all 83 are validated locally by
+    ``tools/check_correctness.py`` (full log committed per round)."""
     return {
         # -- (a) never driver-checked before round 3 -------------------------
         "arima_forecast": _q_arima_forecast,
@@ -1180,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pretrain_clean": _q_pretrain_clean,
         "stratified_sample": _q_stratified_sample,
         "token_percentiles": _q_token_percentiles,
+        "scrub_pii": _q_scrub_pii,
     }
 
 
@@ -1351,6 +1386,33 @@ def _rep_features_sql(ns=(2, 3, 4)) -> str:
 {joins}
     )""")
     return "".join(parts)
+
+
+def _scrub_pii_sql() -> str:
+    """DuckDB replay of _q_scrub_pii: identical PII-salted input, the same
+    ordered regexp_replace chain from ``pipeline.text.PII_PATTERNS``, and
+    per-kind pre-scrub match counts."""
+    from spark_timeseries_spark.pipeline.text import PII_PATTERNS
+
+    salt = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com or 192.168.0.' || CAST(doc_id AS VARCHAR) || "
+        "' tel +1 555 0100 100'"
+    )
+    chain = "t"
+    for kind, pat in PII_PATTERNS:
+        chain = f"regexp_replace({chain}, '{pat}', '[{kind}]', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS n_{kind}"
+        for kind, pat in PII_PATTERNS
+    )
+    return f"""
+        WITH s AS (
+            SELECT doc_id, {salt} AS t FROM documents
+        )
+        SELECT doc_id, md5({chain}) AS scrubbed_md5, {counts}
+        FROM s
+    """
 
 
 # trivially-true certificate shape: keys × (n, TRUE) — the content of the
@@ -1662,6 +1724,9 @@ def oracle_sql() -> dict[str, str]:
                        AS quality
             FROM sc
         """,
+        # PII scrub replay: same injected inputs, same ordered
+        # regexp_replace chain (Java and RE2 agree on these patterns)
+        "scrub_pii": _scrub_pii_sql(),
         # exact interpolated percentiles: Spark percentile == quantile_cont
         "token_percentiles": f"""
             WITH n AS (

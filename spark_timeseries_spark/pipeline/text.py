@@ -119,6 +119,33 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
+# PII patterns: Java-regex (RE2-free) forms that DuckDB's RE2 also accepts;
+# ordered so longer structures match before their substrings (email before
+# the bare domain, full phone before number runs)
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]"),
+)
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    replacement: str = "[{kind}]",
+    patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+) -> DataFrame:
+    """Redact PII spans in place: each pattern is replaced by
+    ``replacement.format(kind=name)`` (default ``[email]``/``[ipv4]``/
+    ``[phone]``). A chain of JVM ``regexp_replace`` — codegen'd, row-local,
+    zero shuffles; at 100 TB this costs one scan. Pattern order matters:
+    structures are redacted before their substrings can match."""
+    out = F.col(text_col)
+    for kind, pat in patterns:
+        out = F.regexp_replace(out, pat, replacement.format(kind=kind))
+    return df.withColumn(text_col, out)
+
+
 def token_percentiles(
     df: DataFrame,
     percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),

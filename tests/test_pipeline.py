@@ -234,3 +234,20 @@ def test_stratified_sample_deterministic_and_rate_shaped(spark):
         r.doc_id for r in stratified_sample(df, {"a": 1.0, "b": 0.25}, seed=4).collect()
     )
     assert other_seed != ids1                # seed draws a different sample
+
+
+def test_scrub_pii_redacts_in_order(spark):
+    from spark_timeseries_spark.pipeline.text import scrub_pii
+
+    rows = [
+        (1, "mail me at jane.doe+x@corp.example.org today"),
+        (2, "server 10.0.255.7 answered"),
+        (3, "call +1 (555) 010-4477 now"),
+        (4, "clean text with no identifiers"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in scrub_pii(df).collect()}
+    assert got[1] == "mail me at [email] today"
+    assert got[2] == "server [ipv4] answered"
+    assert got[3] == "call [phone] now"
+    assert got[4] == "clean text with no identifiers"
