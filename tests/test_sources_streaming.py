@@ -266,3 +266,35 @@ def test_streaming_session_stats(spark, tmp_path):
     assert by[("a", "2024-01-01 00:00:00")] == (2, 3.0)
     assert by[("a", "2024-01-01 01:00:00")] == (1, 4.0)
     assert by[("b", "2024-01-01 00:02:00")] == (1, 7.0)
+
+
+def test_streaming_scrub_and_sample(spark, tmp_path):
+    """Row-local pipeline gates (PII scrub, deterministic sampling) are
+    streaming-compatible as-is: no state, no aggregation — the same
+    expressions run under readStream unchanged."""
+    from spark_timeseries_spark.pipeline.sampling import stratified_sample
+    from spark_timeseries_spark.pipeline.text import scrub_pii
+
+    src = str(tmp_path / "scrub_src")
+    os.makedirs(src)
+    rows = [
+        (i, "srcA" if i % 2 == 0 else "srcB", f"doc {i} mail u{i}@ex.org end")
+        for i in range(40)
+    ]
+    spark.createDataFrame(rows, "doc_id long, source string, text string").write.parquet(
+        src + "/batch1"
+    )
+    stream = spark.readStream.schema("doc_id long, source string, text string").parquet(
+        src + "/*"
+    )
+    cleaned = stratified_sample(
+        scrub_pii(stream), {"srcA": 1.0, "srcB": 0.0}, seed=1
+    )
+    q = (
+        cleaned.writeStream.format("memory").queryName("scrubbed")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from scrubbed").toPandas()
+    assert set(out.source) == {"srcA"} and len(out) == 20
+    assert all("[email]" in t and "@" not in t for t in out.text)
