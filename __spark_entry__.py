@@ -486,6 +486,39 @@ def _q_pretrain_clean(spark, sf_dir):
     return out.select("doc_id", F.round("quality", 6).alias("quality"))
 
 
+def _q_dedup_components(spark, sf_dir):
+    """Duplicate-cluster resolution: the 3-gram-Jaccard near-dup pairs
+    (same pipeline as ``ngram_jaccard_pairs``) collapsed into connected
+    components via DataFrame min-label propagation → (doc_id, component).
+    The oracle replays with a recursive-CTE transitive closure."""
+    from spark_timeseries_spark.pipeline import dedup as dd
+
+    docs = _docs_spread(spark, sf_dir)
+    sigs = docs.select(
+        "doc_id",
+        F.transform(
+            dd.shingles(F.col("text"), 3), lambda s: F.xxhash64(s)
+        ).alias("hs"),
+    ).persist()
+    sh = sigs.select("doc_id", F.explode("hs").alias("sh"))
+    sizes = sigs.select("doc_id", F.size("hs").alias("n"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+        .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .where(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")) >= 0.2)
+        .select("id_a", "id_b")
+    )
+    comp = dd.connected_components(pairs)
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
 def _q_scrub_pii(spark, sf_dir):
     """PII redaction over documents with deterministically injected PII
     (email/IP/phone derived from doc_id, so both engines see identical
@@ -1125,7 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     near-variants of in-window queries, or are new this round (rotate in
     next round: repetition_features, gopher_repetition, sessionize,
     session_stats, pretrain_clean, stratified_sample, token_percentiles,
-    scrub_pii); all 83 are validated locally by
+    scrub_pii, dedup_components); all 84 are validated locally by
     ``tools/check_correctness.py`` (full log committed per round)."""
     return {
         # -- (a) never driver-checked before round 3 -------------------------
@@ -1215,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "token_percentiles": _q_token_percentiles,
         "scrub_pii": _q_scrub_pii,
+        "dedup_components": _q_dedup_components,
     }
 
 
@@ -1671,6 +1705,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+        """,
+        # same pairs CTEs as ngram_jaccard_pairs, then transitive closure:
+        # component = min doc_id reachable over symmetric near-dup edges
+        "dedup_components": """
+            WITH RECURSIVE words AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, sh FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               generate_series(1, len(w) - 2),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                           )) AS sh
+                    FROM words
+                )
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+            ), pr AS (
+                SELECT id_a, id_b FROM (
+                    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                    FROM sh a JOIN sh b USING (sh)
+                    WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+                ) p
+                JOIN sizes sa ON sa.doc_id = p.id_a
+                JOIN sizes sb ON sb.doc_id = p.id_b
+                WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+            ), ed AS (
+                SELECT id_a AS a, id_b AS b FROM pr
+                UNION
+                SELECT id_b, id_a FROM pr
+            ), reach(id, r) AS (
+                SELECT a, a FROM ed
+                UNION
+                SELECT ed.a, reach.r FROM ed JOIN reach ON reach.id = ed.b
+            )
+            SELECT id AS doc_id, MIN(r) AS component
+            FROM reach GROUP BY 1
         """,
         "lang_id": """
             WITH toks AS (

@@ -398,3 +398,78 @@ def dedup_embedding_cosine(
         )
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-CLUSTER resolution: collapse near-dup pairs into connected
+    components → (id, component), component = min id in the cluster.
+
+    Pair output alone over-deletes nothing and under-deletes a lot: A~B and
+    B~C mean {A,B,C} is ONE duplicate group even if A~C never scored. This
+    is the min-label-propagation algorithm (each round every node takes the
+    min label among itself and its neighbors), a DataFrame-only iteration:
+    per round one join + one groupBy(min) on the PAIRS table — which is
+    orders of magnitude smaller than the corpus — converging in
+    O(cluster diameter) rounds (near-dup clusters are tight; diameter is
+    single-digit in practice, and ``max_iter`` bounds adversarial chains).
+    The driver-side loop carries only a changed-row count per round, never
+    data."""
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
+    )
+    edges = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["b"] == labels["id"]).select(
+            edges["a"].alias("id"), "component"
+        )
+        new = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.select("id", F.col("component").alias("_old")), "id")
+            .where(F.col("component") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def keep_cluster_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop every clustered duplicate except its min-id representative —
+    the corpus-side consumer of :func:`connected_components`. One anti-join
+    against the (tiny) non-representative set; AQE broadcasts it."""
+    comp = connected_components(pairs, id_a, id_b)
+    drop = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

@@ -251,3 +251,28 @@ def test_scrub_pii_redacts_in_order(spark):
     assert got[2] == "server [ipv4] answered"
     assert got[3] == "call [phone] now"
     assert got[4] == "clean text with no identifiers"
+
+
+def test_connected_components_and_representatives(spark):
+    """A~B, B~C chain is ONE cluster even though A~C never paired; the
+    representative keep drops everything but the min id per cluster."""
+    from spark_timeseries_spark.pipeline.dedup import (
+        connected_components,
+        keep_cluster_representatives,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (20, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 5, 7, 9, 20, 21)],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id for r in keep_cluster_representatives(docs, pairs).collect()
+    )
+    assert kept == [1, 5, 7, 20]
