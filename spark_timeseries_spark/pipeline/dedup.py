@@ -418,7 +418,12 @@ def connected_components(
     O(cluster diameter) rounds (near-dup clusters are tight; diameter is
     single-digit in practice, and ``max_iter`` bounds adversarial chains).
     The driver-side loop carries only a changed-row count per round, never
-    data."""
+    data.
+
+    The returned frame is PERSISTED (unpersisting it would re-walk the full
+    iteration lineage on every downstream action); the caller owns that
+    cache — ``.unpersist()`` when done, as with :func:`dedup_minhash_lsh`'s
+    shingle table."""
     e = pairs.select(
         F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
     )
