@@ -486,6 +486,25 @@ def _q_pretrain_clean(spark, sf_dir):
     return out.select("doc_id", F.round("quality", 6).alias("quality"))
 
 
+def _q_gopher_quality(spark, sf_dir):
+    """The non-repetition Gopher quality rules (word bounds, symbol/bullet/
+    ellipsis ratios, alphabetic + stopword checks) — all row-local JVM
+    expressions, one scan; oracle replays each rule."""
+    from spark_timeseries_spark.pipeline import text as text_ops
+
+    docs = _docs_spread(spark, sf_dir)
+    feats = text_ops.gopher_quality_features(docs)
+    keep = text_ops.gopher_quality_filter(docs)
+    return feats.join(keep, "doc_id").select(
+        "doc_id",
+        "n_words",
+        _stable_round(F.col("mean_word_len"), 6).alias("mean_word_len"),
+        _stable_round(F.col("alpha_word_ratio"), 6).alias("alpha_word_ratio"),
+        "n_gopher_stopwords",
+        "keep",
+    )
+
+
 def _q_dedup_components(spark, sf_dir):
     """Duplicate-cluster resolution: the 3-gram-Jaccard near-dup pairs
     (same pipeline as ``ngram_jaccard_pairs``) collapsed into connected
@@ -1158,8 +1177,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     near-variants of in-window queries, or are new this round (rotate in
     next round: repetition_features, gopher_repetition, sessionize,
     session_stats, pretrain_clean, stratified_sample, token_percentiles,
-    scrub_pii, dedup_components); all 84 are validated locally by
-    ``tools/check_correctness.py`` (full log committed per round)."""
+    scrub_pii, dedup_components, gopher_quality); all 85 are validated
+    locally by ``tools/check_correctness.py`` (full log committed per
+    round)."""
     return {
         # -- (a) never driver-checked before round 3 -------------------------
         "arima_forecast": _q_arima_forecast,
@@ -1249,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_percentiles": _q_token_percentiles,
         "scrub_pii": _q_scrub_pii,
         "dedup_components": _q_dedup_components,
+        "gopher_quality": _q_gopher_quality,
     }
 
 
@@ -1705,6 +1726,52 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+        """,
+        # row-by-row replay of every non-repetition Gopher rule; the keep
+        # boolean is identical IEEE arithmetic in both engines
+        "gopher_quality": f"""
+            WITH f AS (
+                SELECT doc_id,
+                       len(string_split_regex(trim(text), '\\s+')) AS n_words,
+                       length(regexp_replace(text, '\\s', '', 'g')) AS n_nospace,
+                       len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_symbols,
+                       list_filter(list_transform(string_split(text, chr(10)),
+                                                  l -> trim(l)),
+                                   l -> l != '') AS lines,
+                       string_split_regex(trim(text), '\\s+') AS words,
+                       string_split_regex(trim(lower(text)), '\\s+') AS lwords
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, n_words,
+                       CAST(n_nospace AS DOUBLE) / n_words AS mean_word_len,
+                       CAST(n_symbols AS DOUBLE) / n_words AS symbol_word_ratio,
+                       COALESCE(CAST(len(list_filter(lines,
+                           l -> regexp_matches(l, '^[-*•]'))) AS DOUBLE)
+                           / NULLIF(len(lines), 0), 0.0) AS bullet_line_ratio,
+                       COALESCE(CAST(len(list_filter(lines,
+                           l -> regexp_matches(l, '\\.\\.\\.$'))) AS DOUBLE)
+                           / NULLIF(len(lines), 0), 0.0) AS ellipsis_line_ratio,
+                       CAST(len(list_filter(words,
+                           w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                           / n_words AS alpha_word_ratio,
+                       len(list_filter(['the','be','to','of','and','that',
+                                        'have','with'],
+                           s -> list_contains(lwords, s))) AS n_stop
+                FROM f
+            )
+            SELECT doc_id, n_words,
+                   {_sr_sql('mean_word_len', 6)} AS mean_word_len,
+                   {_sr_sql('alpha_word_ratio', 6)} AS alpha_word_ratio,
+                   n_stop AS n_gopher_stopwords,
+                   COALESCE(n_words BETWEEN 50 AND 100000
+                            AND mean_word_len BETWEEN 3.0 AND 10.0
+                            AND symbol_word_ratio <= 0.1
+                            AND bullet_line_ratio <= 0.9
+                            AND ellipsis_line_ratio <= 0.3
+                            AND alpha_word_ratio >= 0.8
+                            AND n_stop >= 2, FALSE) AS keep
+            FROM g
         """,
         # same pairs CTEs as ngram_jaccard_pairs, then transitive closure:
         # component = min doc_id reachable over symmetric near-dup edges

@@ -119,6 +119,89 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
+# Gopher quality-rule stopwords (Rae et al. 2021 §A1.1: "contains at least
+# two of the following English words")
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The non-repetition half of the published Gopher document-quality
+    rules (Rae et al. 2021 §A1.1), each as a row-local JVM expression —
+    no shuffle, one scan, codegen'd:
+
+    - ``n_words``, ``mean_word_len`` (non-space chars per word);
+    - ``symbol_word_ratio`` — '#' or '...' occurrences per word;
+    - ``bullet_line_ratio`` / ``ellipsis_line_ratio`` — fraction of lines
+      starting with a bullet / ending with an ellipsis (array ops over the
+      line split, still row-local);
+    - ``alpha_word_ratio`` — words containing at least one alphabetic char;
+    - ``n_gopher_stopwords`` — distinct hits among Gopher's 8 stopwords.
+    """
+    t = F.col(text_col)
+    words = tokens(t)
+    n_words = F.size(words)
+    n_nospace = F.length(F.regexp_replace(t, r"\s", ""))
+    n_symbols = F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\."), 0))
+    lines = F.filter(
+        F.transform(F.split(t, r"\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^[-*•]")))
+    n_ellipsis = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$")))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(tokens(F.lower(t))), stop_arr)
+    )
+    return df.select(
+        id_col,
+        n_words.alias("n_words"),
+        F.try_divide(n_nospace, n_words).alias("mean_word_len"),
+        F.try_divide(n_symbols, n_words).alias("symbol_word_ratio"),
+        F.coalesce(F.try_divide(n_bullet, n_lines), F.lit(0.0)).alias(
+            "bullet_line_ratio"
+        ),
+        F.coalesce(F.try_divide(n_ellipsis, n_lines), F.lit(0.0)).alias(
+            "ellipsis_line_ratio"
+        ),
+        F.try_divide(n_alpha, n_words).alias("alpha_word_ratio"),
+        n_stop.alias("n_gopher_stopwords"),
+    )
+
+
+# Published bounds (Rae et al. 2021 table A1)
+GOPHER_QUALITY_BOUNDS = {
+    "n_words": (50, 100_000),
+    "mean_word_len": (3.0, 10.0),
+    "symbol_word_ratio_max": 0.1,
+    "bullet_line_ratio_max": 0.9,
+    "ellipsis_line_ratio_max": 0.3,
+    "alpha_word_ratio_min": 0.8,
+    "min_gopher_stopwords": 2,
+}
+
+
+def gopher_quality_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, keep) at the published Gopher quality bounds; combine with
+    :func:`gopher_repetition_filter` for the full rule set."""
+    b = GOPHER_QUALITY_BOUNDS
+    f = gopher_quality_features(df, text_col, id_col)
+    keep = (
+        F.col("n_words").between(*b["n_words"])
+        & F.col("mean_word_len").between(*b["mean_word_len"])
+        & (F.col("symbol_word_ratio") <= b["symbol_word_ratio_max"])
+        & (F.col("bullet_line_ratio") <= b["bullet_line_ratio_max"])
+        & (F.col("ellipsis_line_ratio") <= b["ellipsis_line_ratio_max"])
+        & (F.col("alpha_word_ratio") >= b["alpha_word_ratio_min"])
+        & (F.col("n_gopher_stopwords") >= b["min_gopher_stopwords"])
+    )
+    return f.select(id_col, F.coalesce(keep, F.lit(False)).alias("keep"))
+
+
 # PII patterns: Java-regex (RE2-free) forms that DuckDB's RE2 also accepts;
 # ordered so longer structures match before their substrings (email before
 # the bare domain, full phone before number runs)

@@ -276,3 +276,27 @@ def test_connected_components_and_representatives(spark):
         r.doc_id for r in keep_cluster_representatives(docs, pairs).collect()
     )
     assert kept == [1, 5, 7, 20]
+
+
+def test_gopher_quality_rules(spark):
+    """Published non-repetition Gopher bounds on crafted docs."""
+    from spark_timeseries_spark.pipeline.text import (
+        gopher_quality_features,
+        gopher_quality_filter,
+    )
+
+    good = " ".join(
+        f"the quality of and that have with be to word{i}" for i in range(8)
+    )
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "short text"),                           # < 50 words
+        (3, "- a\n- b\n- c\n- d\n" + good),          # bullets but under 0.9 ratio? 4 bullet lines / 5 lines = 0.8 → keep
+        (4, " ".join("12345" for _ in range(60))),   # no alpha words, no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    feats = {r.doc_id: r for r in gopher_quality_features(df).collect()}
+    assert feats[1].n_words == 80 and feats[1].n_gopher_stopwords == 8
+    assert feats[4].alpha_word_ratio == 0.0
+    keep = {r.doc_id: r.keep for r in gopher_quality_filter(df).collect()}
+    assert keep == {1: True, 2: False, 3: True, 4: False}
