@@ -486,6 +486,17 @@ def _q_pretrain_clean(spark, sf_dir):
     return out.select("doc_id", F.round("quality", 6).alias("quality"))
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs sharing any 5-gram with a probe set
+    (docs 0-4 standing in for a benchmark) are flagged; the probe n-gram
+    set broadcasts, the corpus side is explode + semi-join."""
+    from spark_timeseries_spark.pipeline.text import contamination_flags
+
+    docs = _docs_spread(spark, sf_dir)
+    probes = docs.where(F.col("doc_id") < 5)
+    return contamination_flags(docs, probes, n=5)
+
+
 def _q_gopher_quality(spark, sf_dir):
     """The non-repetition Gopher quality rules (word bounds, symbol/bullet/
     ellipsis ratios, alphabetic + stopword checks) — all row-local JVM
@@ -1177,9 +1188,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     near-variants of in-window queries, or are new this round (rotate in
     next round: repetition_features, gopher_repetition, sessionize,
     session_stats, pretrain_clean, stratified_sample, token_percentiles,
-    scrub_pii, dedup_components, gopher_quality); all 85 are validated
-    locally by ``tools/check_correctness.py`` (full log committed per
-    round)."""
+    scrub_pii, dedup_components, gopher_quality, decontaminate); all 86
+    are validated locally by ``tools/check_correctness.py`` (full log
+    committed per round)."""
     return {
         # -- (a) never driver-checked before round 3 -------------------------
         "arima_forecast": _q_arima_forecast,
@@ -1270,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": _q_scrub_pii,
         "dedup_components": _q_dedup_components,
         "gopher_quality": _q_gopher_quality,
+        "decontaminate": _q_decontaminate,
     }
 
 
@@ -1726,6 +1738,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+        """,
+        # probe 5-gram membership replay (docs 0-4 are the probe set)
+        "decontaminate": """
+            WITH g AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           generate_series(1, len(w) - 4),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                || ' ' || w[i+3] || ' ' || w[i+4]
+                       ))) AS gram
+                FROM (
+                    SELECT doc_id,
+                           string_split_regex(trim(lower(text)), '\\s+') AS w
+                    FROM documents
+                ) WHERE len(w) >= 5
+            ),
+            probe AS (SELECT DISTINCT gram FROM g WHERE doc_id < 5),
+            hit AS (
+                SELECT DISTINCT doc_id FROM g JOIN probe USING (gram)
+            )
+            SELECT d.doc_id, (hit.doc_id IS NOT NULL) AS contaminated
+            FROM documents d LEFT JOIN hit ON d.doc_id = hit.doc_id
         """,
         # row-by-row replay of every non-repetition Gopher rule; the keep
         # boolean is identical IEEE arithmetic in both engines

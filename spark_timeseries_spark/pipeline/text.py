@@ -119,6 +119,79 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
+def ngram_set(text: Column, n: int) -> Column:
+    """Distinct lowercase word n-grams of a document as an array — the
+    shared kernel of the repetition, Jaccard, and decontamination
+    operators. ``let``-bound tokenization (see the winnowing note)."""
+    return let(
+        tokens(F.lower(text)),
+        lambda toks: F.when(
+            F.size(toks) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+
+
+def contamination_flags(
+    df: DataFrame,
+    probes: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: (id, contaminated) — a document is
+    contaminated if it shares ANY word ``n``-gram with the probe corpus
+    (the standard pre-training hygiene check against test-set leakage,
+    e.g. the GPT-3 13-gram / PaLM 8-gram protocols).
+
+    Scale shape: the probe side (benchmarks) is tiny relative to the
+    corpus, so its distinct n-gram set builds once and the membership test
+    is a semi-join the optimizer broadcasts; the corpus side is one
+    explode + semi-join + distinct — no corpus self-join, no driver
+    state."""
+    doc_grams = df.select(
+        id_col, F.explode(ngram_set(F.col(text_col), n)).alias("g")
+    )
+    probe_grams = probes.select(
+        F.explode(ngram_set(F.col(probe_text_col), n)).alias("g")
+    ).distinct()
+    hit = (
+        doc_grams.join(probe_grams, "g", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        df.select(id_col)
+        .join(hit, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    probes: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str = "text",
+) -> DataFrame:
+    """Drop contaminated documents (see :func:`contamination_flags`)."""
+    flags = contamination_flags(df, probes, n, text_col, id_col, probe_text_col)
+    return df.join(
+        flags.where(F.col("contaminated")).select(id_col), id_col, "left_anti"
+    )
+
+
 # Gopher quality-rule stopwords (Rae et al. 2021 §A1.1: "contains at least
 # two of the following English words")
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")

@@ -300,3 +300,28 @@ def test_gopher_quality_rules(spark):
     assert feats[4].alpha_word_ratio == 0.0
     keep = {r.doc_id: r.keep for r in gopher_quality_filter(df).collect()}
     assert keep == {1: True, 2: False, 3: True, 4: False}
+
+
+def test_decontamination_flags_and_drop(spark):
+    """A doc sharing an 8-gram with the probe set is contaminated; disjoint
+    docs are kept; the probe docs themselves flag (they trivially share)."""
+    from spark_timeseries_spark.pipeline.text import (
+        contamination_flags,
+        decontaminate,
+    )
+
+    bench = "the capital of france is paris and everyone knows it"
+    rows = [
+        (1, "intro text then " + bench + " plus trailing words here"),
+        (2, "completely unrelated content about spark query planning stuff"),
+        (3, bench),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    probes = spark.createDataFrame([(99, bench)], "doc_id long, text string")
+    flags = {
+        r.doc_id: r.contaminated
+        for r in contamination_flags(docs, probes, n=8).collect()
+    }
+    assert flags == {1: True, 2: False, 3: True}
+    kept = sorted(r.doc_id for r in decontaminate(docs, probes, n=8).collect())
+    assert kept == [2]
