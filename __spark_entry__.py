@@ -544,9 +544,18 @@ def _q_dedup_components(spark, sf_dir):
         .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
         .where(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")) >= 0.2)
         .select("id_a", "id_b")
+        # eager checkpoint cuts the lineage back to sigs so its cache can
+        # be released here instead of leaking (r3 ADVICE), and the CC
+        # iteration re-reads the materialized pairs, not the shingle join
+        .localCheckpoint(eager=True)
     )
+    sigs.unpersist()
     comp = dd.connected_components(pairs)
-    return comp.select(F.col("id").alias("doc_id"), "component")
+    out = comp.select(F.col("id").alias("doc_id"), "component").localCheckpoint(
+        eager=True
+    )
+    comp.unpersist()
+    return out
 
 
 def _q_scrub_pii(spark, sf_dir):
@@ -1179,20 +1188,47 @@ def _q_ivf_topk(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
-    the first 50 entries. Window policy (round 3): (a) the 25 queries that
-    had never had a driver row in r1/r2 (model fits, diagnostics, fills,
-    multimodal, IVF) go first; (b) then the events-based queries whose r1
-    green rows predate the fixture regeneration, so the fixed loader is
-    re-proven against the driver oracle. Queries pushed past the window
-    either have green r2 rows (the documents/embeddings family), are
-    near-variants of in-window queries, or are new this round (rotate in
-    next round: repetition_features, gopher_repetition, sessionize,
-    session_stats, pretrain_clean, stratified_sample, token_percentiles,
-    scrub_pii, dedup_components, gopher_quality, decontaminate); all 86
-    are validated locally by ``tools/check_correctness.py`` (full log
+    the first 50 entries. Window policy (round 4, per the r3 verdict's
+    rotation plan): (a) the 11 round-3 queries that have never had a driver
+    row (gopher/sessionize/pii/sampling/dedup_components/decontaminate
+    family) plus the 11 loader-era queries whose only green rows predate
+    the fixture regeneration; (b) the 27 round-3-window queries whose
+    single green row is r3 — kept in-window so this round's code changes
+    (union-index numbering, PII pattern, CC convergence) are re-proven
+    against the driver oracle; (c) ``cosine_dup_pairs`` (r1-only row, and
+    one of the two r3 perf-watch outliers) as slot 50. Past the window:
+    the events family re-proven green in r3 and the documents/embeddings
+    family with green r1/r2 rows. With this rotation, every one of the 86
+    queries has a green driver row in r1∪r3∪r4; all 86 are additionally
+    validated locally by ``tools/check_correctness.py`` (full log
     committed per round)."""
     return {
-        # -- (a) never driver-checked before round 3 -------------------------
+        # -- (a) never driver-checked (new in r3) ----------------------------
+        "repetition_features": _q_repetition_features,
+        "gopher_repetition": _q_gopher_repetition,
+        "gopher_quality": _q_gopher_quality,
+        "sessionize": _q_sessionize,
+        "session_stats": _q_session_stats,
+        "pretrain_clean": _q_pretrain_clean,
+        "stratified_sample": _q_stratified_sample,
+        "token_percentiles": _q_token_percentiles,
+        "scrub_pii": _q_scrub_pii,
+        "dedup_components": _q_dedup_components,
+        "decontaminate": _q_decontaminate,
+        # -- (a') loader-era greens re-proven on the regenerated fixtures ----
+        "slice": _q_slice,
+        "resample_stamp_right": _q_resample_stamp_right,
+        "resample_closed_right": _q_resample_closed_right,
+        "fill_next": _q_fill_next,
+        "fill_nearest": _q_fill_nearest,
+        "fill_zero": _q_fill_zero,
+        "lags": _q_lags,
+        "quotients": _q_quotients,
+        "upsample": _q_upsample,
+        "trim_leading_trailing": _q_trim,
+        "min_max_datetimes": _q_min_max_datetimes,
+        # -- (b) r3-window queries kept in (single green row; code touched
+        #        this round for index_union / scrub_pii / dedup paths) ------
         "arima_forecast": _q_arima_forecast,
         "auto_arima": _q_auto_arima,
         "garch_fit": _q_garch_fit,
@@ -1220,7 +1256,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall": _q_lsh_recall,
         "arima_filter": _q_arima_filter,
         "garch_filter": _q_garch_filter,
-        # -- (b) events queries re-proven after the loader/fixture fix -------
+        # -- (c) r1-only row + r3 perf-watch outlier -------------------------
+        "cosine_dup_pairs": _q_cosine_dup_pairs,
+        # ---- driver window (50) ends here ----------------------------------
+        # events family: re-proven green in r3 on the fixed loader
         "series_stats": _q_series_stats,
         "resample_daily_avg": _q_resample_daily_avg,
         "fill_previous": _q_fill_previous,
@@ -1244,18 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebase_irregular": _q_rebase_irregular,
         "diff_by_frequency": _q_diff_by_frequency,
         "ewma_smooth": _q_ewma_smooth,
-        # ---- driver window (50) ends here ----------------------------------
-        "slice": _q_slice,
-        "resample_stamp_right": _q_resample_stamp_right,
-        "resample_closed_right": _q_resample_closed_right,
-        "fill_next": _q_fill_next,
-        "fill_nearest": _q_fill_nearest,
-        "fill_zero": _q_fill_zero,
-        "lags": _q_lags,
-        "quotients": _q_quotients,
-        "upsample": _q_upsample,
-        "trim_leading_trailing": _q_trim,
-        "min_max_datetimes": _q_min_max_datetimes,
+        # documents/embeddings family: green r1/r2 driver rows
         "dedup_exact": _q_dedup_exact,
         "text_quality": _q_text_quality,
         "token_count_by_source": _q_token_count_by_source,
@@ -1265,23 +1293,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": _q_knn_cosine,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
-        "cosine_dup_pairs": _q_cosine_dup_pairs,
         "minhash_lsh_dedup": _q_minhash_lsh_dedup,
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_topk": _q_lsh_topk,
         "winnowing_fingerprints": _q_winnowing_fingerprints,
-        # new in round 3 (rotate into the window next round)
-        "repetition_features": _q_repetition_features,
-        "gopher_repetition": _q_gopher_repetition,
-        "sessionize": _q_sessionize,
-        "session_stats": _q_session_stats,
-        "pretrain_clean": _q_pretrain_clean,
-        "stratified_sample": _q_stratified_sample,
-        "token_percentiles": _q_token_percentiles,
-        "scrub_pii": _q_scrub_pii,
-        "dedup_components": _q_dedup_components,
-        "gopher_quality": _q_gopher_quality,
-        "decontaminate": _q_decontaminate,
     }
 
 

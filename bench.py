@@ -88,18 +88,28 @@ def main():
                 pass
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_headline_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_headline_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # full-precision record on disk — survives any stdout truncation
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.json"),
+        "w",
+    ) as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
     spark.stop()
+    # the driver captures only a bounded TAIL of stdout (r3 lost the first
+    # 3 queries to a ~2900-char pretty line in a 2000-char window): print
+    # the line LAST, compact separators, 2-decimal timings — ~1.9 KB for
+    # 86 queries, and nothing after it to push it out of the window
+    payload["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    sys.stdout.flush()
+    print(json.dumps(payload, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -156,11 +156,22 @@ def union_index_df(*dfs: DataFrame, ts_col: str = "ts") -> DataFrame:
 
     Location numbering uses the distributed-rank pattern rather than a
     global ``Window.orderBy`` (which is a single-partition sort — the exact
-    thing that dies first at 100 TB): range-partition the distinct instants
-    so partition *i* holds a contiguous ts range, rank within each partition,
-    then add per-partition offsets (one tiny aggregate over #partitions
-    rows, broadcast back). Every stage is parallel; nothing ever sees the
-    whole index on one task.
+    thing that dies first at 100 TB): bucket each instant by a
+    DETERMINISTIC function of its value (equi-width over the broadcast
+    [min, max] span), rank within each bucket, then add per-bucket offsets
+    (one tiny aggregate over #buckets rows, broadcast back). Every stage is
+    parallel; nothing ever sees the whole index on one task.
+
+    Why value-derived buckets and not ``repartitionByRange``: the ranked
+    rows and the per-bucket counts are two consumers of the same subtree,
+    and range partitioning samples its boundaries per-execution — without
+    exchange reuse the two branches could disagree on which partition a ts
+    lands in, silently duplicating/skipping locs (r3 ADVICE). A bucket
+    computed from the value itself is identical in every re-execution, so
+    the numbering is structurally deterministic: no conf guard, no
+    single-partition fallback, and no extra boundary-sampling job. Skew
+    caveat: pathologically clustered instants can pile into one bucket —
+    correctness is unaffected, the rank degrades toward a partial sort.
     """
     out = None
     for d in dfs:
@@ -168,43 +179,43 @@ def union_index_df(*dfs: DataFrame, ts_col: str = "ts") -> DataFrame:
         out = part if out is None else out.unionByName(part)
     from pyspark.sql import Window
 
-    # CORRECTNESS PRECONDITION: the `local` subtree below feeds two
-    # consumers (the rank rows and the per-partition counts). Exchange
-    # reuse (default on) dedupes the range shuffle so both see the SAME
-    # partition boundaries; with reuse disabled the two executions sample
-    # boundaries independently (RDD-id-derived seed) and _pid could
-    # disagree between branches — locs would silently duplicate/skip.
-    # Fall back to the single-partition global sort in that configuration:
-    # slower but always correct.
-    spark = dfs[0].sparkSession
-    reuse = spark.conf.get("spark.sql.exchange.reuse.enabled", "true")
-    if str(reuse).lower() != "true":
-        w = Window.orderBy("ts")
-        return (
-            out.distinct()
-            .withColumn("loc", (F.row_number().over(w) - 1).cast("long"))
-            .select("loc", "ts")
-        )
-
-    distinct = out.distinct().repartitionByRange("ts")
-    local = (
-        distinct.withColumn("_pid", F.spark_partition_id())
-        # partitionBy(_pid) keeps the rank per-range-partition — no task
-        # ever sorts more than its own slice
-        .withColumn(
-            "_rk",
-            F.row_number().over(Window.partitionBy("_pid").orderBy("ts")) - 1,
-        )
+    distinct = out.distinct()
+    # broadcast 1-row min/max instead of a driver collect: keeps the whole
+    # plan lazy, and min/max over a distinct set are deterministic no
+    # matter how either consumer re-executes the scan
+    span = distinct.agg(
+        F.unix_micros(F.min("ts")).alias("_lo"),
+        F.unix_micros(F.max("ts")).alias("_hi"),
     )
-    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    # cumulative offsets: #partitions rows — trivially small, single
+    spark = dfs[0].sparkSession
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    width = F.greatest(
+        (F.col("_hi") - F.col("_lo") + F.lit(1)).cast("double")
+        / F.lit(float(n_buckets)),
+        F.lit(1.0),
+    )
+    bucketed = distinct.join(F.broadcast(span)).withColumn(
+        "_b",
+        F.least(
+            F.floor((F.unix_micros("ts") - F.col("_lo")) / width),
+            F.lit(n_buckets - 1),
+        ).cast("int"),
+    )
+    # partitionBy(_b) keeps the rank per-bucket — no task ever sorts more
+    # than its own contiguous ts slice
+    local = bucketed.withColumn(
+        "_rk",
+        F.row_number().over(Window.partitionBy("_b").orderBy("ts")) - 1,
+    )
+    counts = local.groupBy("_b").agg(F.count("*").alias("_cnt"))
+    # cumulative offsets: #buckets rows — trivially small, single
     # partition here is fine and broadcast below
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(
         "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
-    ).select("_pid", "_off")
+    ).select("_b", "_off")
     return (
-        local.join(F.broadcast(offsets), "_pid")
+        local.join(F.broadcast(offsets), "_b")
         .withColumn("loc", (F.col("_rk") + F.col("_off")).cast("long"))
         .select("loc", "ts")
     )

@@ -23,11 +23,41 @@ the filtered survivors once — corpus parquet is then read exactly once.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import dedup_exact
 from .text import gopher_repetition_filter, language_id, quality_score_col
+
+
+@dataclass
+class CleanResult:
+    """Handle pair from :func:`pretrain_clean` with caching enabled.
+
+    ``df`` is the cleaned corpus; ``cached`` is the persisted row-local
+    survivor frame both downstream consumers share (r3 VERDICT #6 — a
+    dynamic attribute on the result DataFrame evaporated on the next
+    transformation, leaking the cache). The caller owns the cache:
+    call :meth:`release` (or ``cached.unpersist()``) once ``df`` has been
+    materialized. Usable as a context manager::
+
+        with pretrain_clean(docs, persist_intermediate=True) as clean:
+            clean.write.parquet(out_path)
+    """
+
+    df: DataFrame
+    cached: DataFrame
+
+    def release(self) -> None:
+        self.cached.unpersist()
+
+    def __enter__(self) -> DataFrame:
+        return self.df
+
+    def __exit__(self, *exc) -> None:
+        self.release()
 
 
 def pretrain_clean(
@@ -39,13 +69,13 @@ def pretrain_clean(
     rep_thresholds: dict[str, float] | None = None,
     normalize_digest: bool = True,
     persist_intermediate: bool = False,
-) -> DataFrame:
+) -> DataFrame | CleanResult:
     """Language → quality → Gopher-repetition → exact-dedup chain; returns
     the surviving documents with their original columns plus ``quality``.
-    With ``persist_intermediate=True`` the row-local survivors are cached;
-    the cached frame is exposed as ``result.cached_intermediate`` — call
-    ``.unpersist()`` on it when done (unpersisting the RESULT would not
-    release it)."""
+    With ``persist_intermediate=True`` the row-local survivors are cached
+    and the return value is a :class:`CleanResult` — ``result.df`` plus the
+    ``result.cached`` frame to ``.unpersist()`` when done (unpersisting
+    the result frame itself would not release it)."""
     t = F.col(text_col)
     scored = (
         df.where(language_id(t) == lang)
@@ -60,5 +90,5 @@ def pretrain_clean(
     survivors = scored.join(rep.select(id_col), id_col)
     out = dedup_exact(survivors, text_col, id_col, normalize=normalize_digest)
     if persist_intermediate:
-        out.cached_intermediate = scored
+        return CleanResult(df=out, cached=scored)
     return out

@@ -275,13 +275,24 @@ def gopher_quality_filter(
     return f.select(id_col, F.coalesce(keep, F.lit(False)).alias("keep"))
 
 
-# PII patterns: Java-regex (RE2-free) forms that DuckDB's RE2 also accepts;
-# ordered so longer structures match before their substrings (email before
-# the bare domain, full phone before number runs)
+# PII patterns: Java-regex forms that DuckDB's RE2 also accepts (no
+# lookaround, no backrefs); ordered so longer structures match before their
+# substrings (email before the bare domain, ipv4 before phone-ish digit
+# groups). The phone pattern requires PHONE-SHAPED structure — either an
+# international "+" prefix or NANP 3-3-4 grouping with real separators —
+# precisely so dates ("2024-01-01"), timestamps ("12:30"), year ranges
+# ("2010 - 2019"), ISBNs, and bare ID digit runs survive scrubbing (the r3
+# verdict's over-redaction bug: the old pattern ate any 9+-char digit run).
+# Deliberate non-match: a separator-free 10-digit run ("5551234567") is
+# indistinguishable from an ID and is left alone.
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
     ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
-    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]"),
+    (
+        "phone",
+        r"\+[0-9]{1,3}[ .-]?\(?[0-9]{1,4}\)?[ .-]?[0-9]{2,4}[ .-]?[0-9]{2,4}"
+        r"|\(?\b[0-9]{3}\)?[ .-][0-9]{3}[ .-][0-9]{4}\b",
+    ),
 )
 
 

@@ -209,6 +209,39 @@ def test_repetition_features_and_gopher_filter(spark):
     assert keep == {1: True, 2: False, 3: False, 4: True}
 
 
+def test_pretrain_clean_cache_handle(spark):
+    """r3 VERDICT #6 / ADVICE: with persist_intermediate=True the cache
+    must come back as an explicit handle (CleanResult), not a dynamic
+    DataFrame attribute — and release() must actually unpersist it."""
+    from spark_timeseries_spark.pipeline.clean import CleanResult, pretrain_clean
+
+    clean = "\n".join(
+        " ".join(f"the word{i}x{j} and" for j in range(8)) for i in range(6)
+    )
+    rows = [
+        (1, clean),
+        (2, clean),                    # exact dup of 1 → dedup keeps one
+        (3, "same line here\nsame line here\nsame line here\nother text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    plain = pretrain_clean(df, min_quality=0.0)
+    kept_plain = sorted(r.doc_id for r in plain.collect())
+
+    res = pretrain_clean(df, min_quality=0.0, persist_intermediate=True)
+    assert isinstance(res, CleanResult)
+    kept = sorted(r.doc_id for r in res.df.collect())
+    assert kept == kept_plain          # same answer either mode
+    assert len(kept) <= 2 and 3 not in kept
+    assert res.cached.is_cached
+    res.release()
+    assert not res.cached.is_cached
+
+    # context-manager form releases on exit
+    with pretrain_clean(df, min_quality=0.0, persist_intermediate=True) as c:
+        assert sorted(r.doc_id for r in c.collect()) == kept_plain
+
+
 def test_stratified_sample_deterministic_and_rate_shaped(spark):
     """Mixture sampling: same seed → identical keep set across runs; rates
     shape per-stratum keep counts; rate 1.0 keeps everything, 0.0 nothing."""
@@ -251,6 +284,64 @@ def test_scrub_pii_redacts_in_order(spark):
     assert got[2] == "server [ipv4] answered"
     assert got[3] == "call [phone] now"
     assert got[4] == "clean text with no identifiers"
+
+
+def test_scrub_pii_spares_dates_and_ids(spark):
+    """r3 VERDICT #1: the phone pattern must be phone-SHAPED — dates,
+    ISO timestamps, year ranges, ISBNs, and bare numeric ID runs are
+    corpus content, not PII, and must survive the scrub byte-identical."""
+    from spark_timeseries_spark.pipeline.text import scrub_pii
+
+    rows = [
+        (1, "released 2024-01-01 12:30 UTC"),
+        (2, "active 2010 - 2019 and 2020-2024"),
+        (3, "ISBN 978-0-306-40615-7 shelf 40615"),
+        (4, "order 123456789012 shipped 2024-12-31T23:59:59"),
+        (5, "call 555-123-4567 or +44 20 7946 0958"),
+        (6, "call (555) 123-4567 ext 9"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in scrub_pii(df).collect()}
+    assert got[1] == "released 2024-01-01 12:30 UTC"
+    assert got[2] == "active 2010 - 2019 and 2020-2024"
+    assert got[3] == "ISBN 978-0-306-40615-7 shelf 40615"
+    assert got[4] == "order 123456789012 shipped 2024-12-31T23:59:59"
+    assert got[5] == "call [phone] or [phone]"
+    assert got[6] == "call [phone] ext 9"
+
+
+def test_connected_components_nonconvergence_is_loud(spark):
+    """r3 VERDICT #3: a duplicate chain longer than max_iter must NOT
+    silently return partial labels — default raises; warn-mode surfaces a
+    RuntimeWarning and returns the (under-merged but valid-subset)
+    labels."""
+    import warnings
+
+    import pytest
+
+    from spark_timeseries_spark.pipeline.dedup import connected_components
+
+    # path graph 0-1-2-...-9: diameter 9 > max_iter=2
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        labels = connected_components(chain, max_iter=2, on_nonconverged="warn")
+        got = {r.id: r.component for r in labels.collect()}
+        labels.unpersist()
+    assert any("did not converge" in str(x.message) for x in w)
+    # partial labels are a refinement: every label is a true-component member
+    assert all(comp <= i for i, comp in got.items())
+
+    # and a chain that fits inside max_iter converges silently to one root
+    ok = connected_components(chain, max_iter=15)
+    full = {r.id: r.component for r in ok.collect()}
+    ok.unpersist()
+    assert set(full.values()) == {0}
 
 
 def test_connected_components_and_representatives(spark):

@@ -146,9 +146,12 @@ def test_filter_by_instant_anti_join_is_aqe_decided(spark, grid):
 
 
 def test_union_index_numbering_is_distributed(spark):
-    """r2 VERDICT #4: union_index_df must range-partition + rank within
-    partitions (offsets joined back), never a global Window.orderBy —
-    a single-partition sort of the whole index."""
+    """r2 VERDICT #4 + r3 ADVICE: union_index_df must bucket by a
+    deterministic function of ts + rank within buckets (offsets joined
+    back), never a global Window.orderBy — a single-partition sort of the
+    whole index. Value-derived buckets (not sampled rangepartitioning) so
+    the numbering is identical across re-executions with or without
+    exchange reuse."""
     from spark_timeseries_spark.operators.align import union_index_df
 
     a = spark.range(0, 500).select(
@@ -159,15 +162,41 @@ def test_union_index_numbering_is_distributed(spark):
     )
     out = union_index_df(a, b)
     p = _plan(out)
-    assert "Exchange rangepartitioning(ts" in p, p
-    # the full-index window ranks by _pid slices, not one global partition
-    assert "hashpartitioning(_pid" in p, p
+    # no sampled range shuffle anywhere in the numbering
+    assert "Exchange rangepartitioning" not in p, p
+    # the full-index window ranks by deterministic _b slices, not one
+    # global partition
+    assert "hashpartitioning(_b" in p, p
     # correctness of the numbering: contiguous 0..n-1 in ts order
     rows = out.orderBy("loc").collect()
     assert [r.loc for r in rows] == list(range(800))
     assert all(
         rows[i].ts < rows[i + 1].ts for i in range(len(rows) - 1)
     )
+
+
+def test_union_index_numbering_survives_reuse_disabled(spark):
+    """The numbering must be correct with exchange reuse OFF — the exact
+    configuration that broke the old rangepartitioning scheme (both
+    consumers now derive buckets from the value, so re-executions agree)."""
+    from spark_timeseries_spark.operators.align import union_index_df
+
+    old = spark.conf.get("spark.sql.exchange.reuse.enabled", "true")
+    spark.conf.set("spark.sql.exchange.reuse.enabled", "false")
+    try:
+        a = spark.range(0, 300).select(
+            F.timestamp_micros(F.col("id") * 3_600_000_000).alias("ts")
+        )
+        b = spark.range(150, 400).select(
+            F.timestamp_micros(F.col("id") * 3_600_000_000).alias("ts")
+        )
+        rows = union_index_df(a, b).orderBy("loc").collect()
+        assert [r.loc for r in rows] == list(range(400))
+        assert all(
+            rows[i].ts < rows[i + 1].ts for i in range(len(rows) - 1)
+        )
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse.enabled", old)
 
 
 def test_irregular_index_attach_is_broadcast_join(spark):
