@@ -268,6 +268,69 @@ def test_streaming_session_stats(spark, tmp_path):
     assert by[("b", "2024-01-01 00:02:00")] == (1, 7.0)
 
 
+def test_streaming_watermark_drops_late_data(spark, tmp_path):
+    """r3 verdict follow-up: pin the late-data semantics of
+    streaming_resample in APPEND mode — a window is emitted exactly once
+    when the watermark passes its end, its state is then evicted, and a
+    row arriving later than the watermark is DROPPED (never re-emits or
+    mutates the closed window). Three runs over one checkpoint so the
+    watermark genuinely advances across restarts."""
+    src = str(tmp_path / "late_src")
+    cp = str(tmp_path / "late_cp")
+    sink = str(tmp_path / "late_out")
+    os.makedirs(src)
+    schema = "ts timestamp, key string, value double"
+
+    def run(name):
+        # memory sink can't recover a checkpoint — a durable file sink is
+        # what carries the watermark across restarts
+        stream = spark.readStream.schema(schema).parquet(src + "/*")
+        agg = streaming_resample(stream, "1 hour", watermark="2 hours", aggr="sum")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", cp)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).write.parquet(f"{src}/{name}")
+
+    # run 1: two on-time rows in the 00:00 window + a row at 10:00 that
+    # advances the watermark to 08:00, finalizing (emitting) window 00:00
+    write("b1", [
+        (pd.Timestamp("2024-01-01 00:05").to_pydatetime(), "a", 1.0),
+        (pd.Timestamp("2024-01-01 00:10").to_pydatetime(), "a", 2.0),
+        (pd.Timestamp("2024-01-01 10:00").to_pydatetime(), "a", 5.0),
+    ])
+    run("late1")
+
+    # run 2: a LATE row for the closed 00:00 window (behind the 08:00
+    # watermark → must be dropped) + a fresh row at 11:30
+    write("b2", [
+        (pd.Timestamp("2024-01-01 00:20").to_pydatetime(), "a", 100.0),
+        (pd.Timestamp("2024-01-01 11:30").to_pydatetime(), "a", 7.0),
+    ])
+    run("late2")
+
+    # run 3: push the watermark past 12:30 so windows 10:00 and 11:00 close
+    write("b3", [
+        (pd.Timestamp("2024-01-01 15:00").to_pydatetime(), "a", 9.0),
+    ])
+    run("late3")
+
+    emitted = spark.read.parquet(sink).toPandas()
+    by_window = emitted.groupby(emitted.ts.astype(str)).value.agg(["sum", "count"])
+    # window 00:00 emitted exactly once, sum 3.0 — the late 100.0 vanished
+    assert by_window.loc["2024-01-01 00:00:00", "count"] == 1
+    assert by_window.loc["2024-01-01 00:00:00", "sum"] == 3.0
+    assert 100.0 not in set(emitted.value)
+    # the later windows each closed exactly once with their on-time sums
+    assert by_window.loc["2024-01-01 10:00:00"].tolist() == [5.0, 1]
+    assert by_window.loc["2024-01-01 11:00:00"].tolist() == [7.0, 1]
+
+
 def test_streaming_scrub_and_sample(spark, tmp_path):
     """Row-local pipeline gates (PII scrub, deterministic sampling) are
     streaming-compatible as-is: no state, no aggregation — the same
