@@ -1,11 +1,21 @@
 """Multimodal column handling: images/audio/video as opaque binary columns
 with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
-The decode kernels themselves are STUBBED (image/audio libraries are not in
-this container): ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless ``fake=True``, which substitutes a
-deterministic content-hash-seeded fake decode so the Spark-side plumbing —
-schema, batching, partitioning, UDF signatures — is real and testable.
+Decode kernels, in decreasing order of realness:
+
+- **audio**: REAL for WAV payloads — stdlib ``wave`` parses the container,
+  numpy computes the RMS-envelope features; no external library needed.
+- **image decode/resize**: real path behind a PIL import-guard (the
+  container has no PIL today; if it appears, the real kernel activates
+  with no code change). Without PIL, ``NotImplementedError`` unless
+  ``fake=True``.
+- **video frame-sampling**: needs ffmpeg/av — guarded the same way
+  (currently always the guard), fake path exercises the 1→N explode shape.
+
+``fake=True`` substitutes a deterministic content-hash-seeded fake decode
+so the Spark-side plumbing — schema, batching, partitioning, UDF
+signatures — is testable (and SQL-replayable for the oracle) regardless of
+which libraries exist.
 
 Scale design: binary payloads never pass through Python row-at-a-time; they
 move as Arrow buffers in ``mapInPandas`` batches. Metadata extraction and
@@ -17,12 +27,19 @@ keeps undecodable/oversized blobs out of the expensive stage), and
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+try:  # real image kernels activate if PIL is ever present
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - container has no PIL
+    _PILImage = None
 
 IMAGE_SCHEMA = (
     "doc_id long, width int, height int, channels int, format string, "
@@ -66,6 +83,25 @@ def _fake_decode(payload: bytes, n_features: int) -> np.ndarray:
     return np.asarray(feats, dtype=np.float32)
 
 
+def _real_image_features(payload: bytes, n_features: int) -> dict:
+    """PIL-backed decode: grayscale n_features-bin histogram (normalized to
+    sum 1) — a deterministic, library-stable feature for dedup/filtering."""
+    img = _PILImage.open(io.BytesIO(payload))
+    w, h = img.size
+    fmt = (img.format or "unknown").lower()
+    gray = np.asarray(img.convert("L"), dtype=np.float64).ravel()
+    hist, _ = np.histogram(gray, bins=n_features, range=(0.0, 256.0))
+    feats = (hist / max(hist.sum(), 1)).astype(np.float32)
+    channels = len(img.getbands())
+    return {
+        "width": w,
+        "height": h,
+        "channels": channels,
+        "format": fmt,
+        "features": feats.tolist(),
+    }
+
+
 def decode_image_features(
     df: DataFrame,
     binary_col: str = "media",
@@ -73,34 +109,82 @@ def decode_image_features(
     n_features: int = 16,
     fake: bool = False,
 ) -> DataFrame:
-    """Decode + feature-extract images via ``mapInPandas``. Real decode is
-    stubbed (no image libs in this container): pass ``fake=True`` for the
-    deterministic fake, else NotImplementedError surfaces per-batch."""
+    """Decode + feature-extract images via ``mapInPandas``. Real decode
+    activates when PIL is importable (import-guarded at module load);
+    without it, pass ``fake=True`` for the deterministic fake, else
+    NotImplementedError surfaces per-batch."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
+            if not fake and _PILImage is None:
                 raise NotImplementedError(
-                    "image decoding requires an image library not present "
-                    "in this environment; use fake=True for plumbing tests"
+                    "image decoding requires PIL, which is not present in "
+                    "this environment; use fake=True for plumbing tests"
                 )
             rows = []
             for _, row in pdf.iterrows():
                 payload = bytes(row[binary_col] or b"")
-                feats = _fake_decode(payload, n_features)
-                rows.append(
-                    {
-                        "doc_id": row[id_col],
-                        "width": 64,
-                        "height": 64,
-                        "channels": 3,
-                        "format": "fake",
-                        "features": feats.tolist(),
-                    }
-                )
+                if fake:
+                    rows.append(
+                        {
+                            "doc_id": row[id_col],
+                            "width": 64,
+                            "height": 64,
+                            "channels": 3,
+                            "format": "fake",
+                            "features": _fake_decode(
+                                payload, n_features
+                            ).tolist(),
+                        }
+                    )
+                else:
+                    rows.append(
+                        {"doc_id": row[id_col]}
+                        | _real_image_features(payload, n_features)
+                    )
             yield pd.DataFrame(rows)
 
     return df.select(id_col, binary_col).mapInPandas(_decode, schema=IMAGE_SCHEMA)
+
+
+def _real_wav_features(payload: bytes, n_features: int, frame_hop: int) -> dict:
+    """REAL audio decode for WAV containers — stdlib ``wave`` + numpy, no
+    external library. Features are the n_features-chunk RMS envelope of the
+    first channel, normalized to [0, 1] by the sample-width full scale.
+    Non-WAV payloads raise NotImplementedError (a compressed-codec decode
+    genuinely needs ffmpeg-class libraries)."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            rate = w.getframerate()
+            n_ch = w.getnchannels()
+            width = w.getsampwidth()
+            n_samples = w.getnframes()
+            raw = w.readframes(n_samples)
+    except (wave.Error, EOFError) as e:
+        raise NotImplementedError(
+            f"non-WAV audio payload ({e}); compressed codecs require audio "
+            "libraries not present in this environment"
+        ) from None
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(raw, dtype="u1").astype(np.float64) - 128.0) / 128.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"unsupported WAV sample width {width}")
+    mono = x[::n_ch] if n_ch > 1 else x  # first channel
+    feats = np.zeros(n_features, dtype=np.float32)
+    if mono.size:
+        for i, chunk in enumerate(np.array_split(mono, n_features)):
+            if chunk.size:
+                feats[i] = np.sqrt(np.mean(chunk * chunk))
+    return {
+        "sample_rate": rate,
+        "n_samples": int(n_samples),
+        "n_frames": (int(n_samples) + frame_hop - 1) // frame_hop,
+        "features": feats.tolist(),
+    }
 
 
 def decode_audio_features(
@@ -111,28 +195,35 @@ def decode_audio_features(
     frame_hop: int = 512,
     fake: bool = False,
 ) -> DataFrame:
-    """Audio decode / frame-sample via ``mapInPandas`` (stubbed decode)."""
+    """Audio decode / feature-extract via ``mapInPandas``. The real path is
+    genuinely implemented for WAV (stdlib-only, see
+    :func:`_real_wav_features`); compressed codecs still raise
+    NotImplementedError. ``fake=True`` keeps the oracle-replayable fake."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "audio decoding requires an audio library not present "
-                    "in this environment; use fake=True for plumbing tests"
-                )
             rows = []
             for _, row in pdf.iterrows():
                 payload = bytes(row[binary_col] or b"")
-                n_samples = max(len(payload), 1)
-                rows.append(
-                    {
-                        "doc_id": row[id_col],
-                        "sample_rate": 16000,
-                        "n_samples": n_samples,
-                        "n_frames": (n_samples + frame_hop - 1) // frame_hop,
-                        "features": _fake_decode(payload, n_features).tolist(),
-                    }
-                )
+                if fake:
+                    n_samples = max(len(payload), 1)
+                    rows.append(
+                        {
+                            "doc_id": row[id_col],
+                            "sample_rate": 16000,
+                            "n_samples": n_samples,
+                            "n_frames": (n_samples + frame_hop - 1)
+                            // frame_hop,
+                            "features": _fake_decode(
+                                payload, n_features
+                            ).tolist(),
+                        }
+                    )
+                else:
+                    rows.append(
+                        {"doc_id": row[id_col]}
+                        | _real_wav_features(payload, n_features, frame_hop)
+                    )
             yield pd.DataFrame(rows)
 
     return df.select(id_col, binary_col).mapInPandas(_decode, schema=AUDIO_SCHEMA)
@@ -196,29 +287,38 @@ def resize_image(
     fake: bool = False,
 ) -> DataFrame:
     """Resize plumbing: binary in → binary out with the new dimensions
-    attached. Real resample is stubbed; the fake emits a deterministic
-    payload (md5 of the input tiled to width·height·3 bytes) so batch
-    shapes, Arrow binary round-trip, and size accounting are testable."""
+    attached. The real path activates when PIL is importable (bilinear
+    resize, PNG-encoded output); the fake emits a deterministic payload
+    (md5 of the input tiled to width·height·3 bytes) so batch shapes,
+    Arrow binary round-trip, and size accounting are testable without it."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height * 3
         for pdf in batches:
-            if not fake:
+            if not fake and _PILImage is None:
                 raise NotImplementedError(
-                    "image resizing requires an image library not present "
-                    "in this environment; use fake=True for plumbing tests"
+                    "image resizing requires PIL, which is not present in "
+                    "this environment; use fake=True for plumbing tests"
                 )
             rows = []
             for _, row in pdf.iterrows():
                 payload = bytes(row[binary_col] or b"")
-                seed = hashlib.md5(payload).digest()
-                fake_pixels = (seed * (target // len(seed) + 1))[:target]
+                if fake:
+                    seed = hashlib.md5(payload).digest()
+                    media = (seed * (target // len(seed) + 1))[:target]
+                else:
+                    img = _PILImage.open(io.BytesIO(payload)).resize(
+                        (width, height), _PILImage.BILINEAR
+                    )
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    media = buf.getvalue()
                 rows.append(
                     {
                         "doc_id": row[id_col],
                         "width": width,
                         "height": height,
-                        "media": fake_pixels,
+                        "media": media,
                     }
                 )
             yield pd.DataFrame(rows)
