@@ -1186,6 +1186,51 @@ def _q_ivf_topk(spark, sf_dir):
     return out.select("qid", "vec_id", F.round("sim", 4).alias("sim"), "rank")
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Concat-then-chunk sequence packing (the GPT-style pretraining
+    layout): global token offsets in (source, doc_id) order via the
+    distributed bucket-cumsum pattern — no single-partition sort
+    (``pipeline/packing.py``); oracle replays with one SQL window."""
+    from spark_timeseries_spark.pipeline.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, seq_len=512, sep_tokens=1, bpe=True)
+
+
+def _q_split_dataset(spark, sf_dir):
+    """Deterministic train/val/test assignment: seeded-hash range carve,
+    row-local (``pipeline/packing.py::split_dataset``); md5_60 mode so the
+    oracle replays the exact assignment."""
+    from spark_timeseries_spark.pipeline.packing import split_dataset
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = split_dataset(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=11, hash_fn="md5_60"
+    )
+    return out.select("doc_id", "split")
+
+
+def _q_normalize_text(spark, sf_dir):
+    """Corpus text normalization (control-char strip, newline
+    canonicalization, whitespace collapse) — row-local regexp chain
+    (``pipeline/text.py::normalize_text``), checked via md5 of the
+    normalized text. Input is salted with the messy cases (CRLF, control
+    bytes, space runs) so the rules demonstrably fire in both engines."""
+    from spark_timeseries_spark.pipeline.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    salted = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("  x\x07y\r\nz\t t  \n\n\n\n"),
+            "text",
+            F.lit("  trail  "),
+        ),
+    )
+    out = normalize_text(salted)
+    return out.select("doc_id", F.md5("text").alias("norm_md5"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
     the first 50 entries. Window policy (round 4, per the r3 verdict's
@@ -1297,6 +1342,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_topk": _q_lsh_topk,
         "winnowing_fingerprints": _q_winnowing_fingerprints,
+        # new in round 4 (rotate into the window next round)
+        "pack_sequences": _q_pack_sequences,
+        "split_dataset": _q_split_dataset,
+        "normalize_text": _q_normalize_text,
     }
 
 
@@ -3139,6 +3188,61 @@ def oracle_sql() -> dict[str, str]:
             FROM documents, (SELECT unnest(generate_series(0, 15)) AS i) g
         """,
     }
+
+    # concat-then-chunk packing: ONE SQL window is the semantic spec; the
+    # engine's bucket-cumsum plan must reproduce it exactly
+    o["pack_sequences"] = """
+        WITH n AS (
+            SELECT source, doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        ), strm AS (
+            SELECT source, doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens + 1) OVER (
+                       ORDER BY source, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS "offset"
+            FROM n
+        )
+        SELECT source, doc_id, n_tokens, "offset",
+               CAST("offset" // 512 AS BIGINT) AS seq_id,
+               CAST((("offset" + n_tokens) // 512) - ("offset" // 512) + 1
+                    AS INT) AS n_seqs_spanned
+        FROM strm
+    """
+    # seeded-hash range carve; sorted(fractions) order → test|train|val
+    o["split_dataset"] = f"""
+        WITH b AS (
+            SELECT doc_id,
+                   {_h60("CAST(doc_id AS VARCHAR) || chr(1) || '11'")}
+                       % 1000000 AS bk
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN bk < 100000 THEN 'test'
+                    WHEN bk < 900000 THEN 'train'
+                    ELSE 'val' END AS split
+        FROM b
+    """
+    # normalization chain replayed rule-for-rule from NORMALIZE_RULES
+    _norm_salt = (
+        "'  x' || chr(7) || 'y' || chr(13) || chr(10) || 'z' || chr(9) ||"
+        " ' t  ' || repeat(chr(10), 4) || text || '  trail  '"
+    )
+    _norm_chain = "t"
+    from spark_timeseries_spark.pipeline.text import NORMALIZE_RULES as _NR
+
+    _repl_sql = {" ": "' '", "\n": "chr(10)", "\n\n": "chr(10) || chr(10)"}
+    for _pat, _repl in _NR:
+        _norm_chain = (
+            f"regexp_replace({_norm_chain}, '{_pat}', {_repl_sql[_repl]}, 'g')"
+        )
+    o["normalize_text"] = f"""
+        WITH s AS (SELECT doc_id, {_norm_salt} AS t FROM documents)
+        SELECT doc_id, md5(trim({_norm_chain})) AS norm_md5 FROM s
+    """
 
     # composed oracle: ANN recall@5 evaluation — exact and approximate top-k
     # replays joined (DuckDB allows CTE-bearing subqueries in FROM)

@@ -1,3 +1,3 @@
-from . import clean, dedup, multimodal, sampling, similarity, text
+from . import clean, dedup, multimodal, packing, sampling, similarity, text
 
-__all__ = ["clean", "dedup", "multimodal", "sampling", "similarity", "text"]
+__all__ = ["clean", "dedup", "multimodal", "packing", "sampling", "similarity", "text"]

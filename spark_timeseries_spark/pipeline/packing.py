@@ -1,0 +1,155 @@
+"""Sequence packing and dataset splitting — the operators that sit between
+a cleaned corpus and a training run.
+
+``pack_sequences`` implements the standard concat-then-chunk pretraining
+layout: documents are laid out in a DETERMINISTIC global order (stratum,
+then id), each contributing its token count plus a separator, and the
+concatenated stream is chunked into fixed-length training sequences. Each
+document learns its byte offset in the stream and therefore which sequence
+id it starts in. Reproducible across runs, engines, and cluster sizes —
+the order is data-derived, never partition-derived.
+
+Scale design: the global running sum is the distributed-rank pattern (cf.
+``operators/align.py:union_index_df``) — cumsum within deterministic
+value-derived buckets + per-bucket totals (tiny, broadcast) composed into
+global offsets. No single-partition sort, no sampled boundaries; the plan
+is identical on every re-execution. ``split_dataset`` is row-local hash
+arithmetic — scales like a filter, exactly as ``pipeline.sampling`` does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_timeseries_spark.functions import hashed_with_seed
+
+from .sampling import _MOD
+from .text import token_count
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 2048,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep_tokens: int = 1,
+    bpe: bool = True,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Concat-then-chunk packing plan: → (stratum, id, n_tokens, offset,
+    seq_id, n_seqs_spanned).
+
+    ``offset`` is the global token position where the document starts in
+    the concatenated stream (order = ``stratum_col, id_col``; each doc is
+    followed by ``sep_tokens`` separator tokens). ``seq_id = offset //
+    seq_len`` is the fixed-length training sequence the document starts
+    in; ``n_seqs_spanned`` how many sequences it crosses — downstream
+    writers group by seq_id to materialize the training examples.
+    """
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n = (token_count(F.col(text_col), bpe=bpe) + F.lit(sep_tokens)).cast("long")
+    base = df.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(id_col).alias("id"),
+        n.alias("n_tokens"),
+    )
+    # deterministic value-derived bucket of the id (broadcast min/max span;
+    # identical in every re-execution — see union_index_df for why sampled
+    # range partitioning is NOT usable when two consumers share a subtree)
+    span = base.agg(
+        F.min("id").alias("_lo"), F.max("id").alias("_hi")
+    )
+    width = F.greatest(
+        (F.col("_hi") - F.col("_lo") + F.lit(1)).cast("double")
+        / F.lit(float(n_buckets)),
+        F.lit(1.0),
+    )
+    bucketed = base.join(F.broadcast(span)).withColumn(
+        "_b",
+        F.least(
+            F.floor((F.col("id") - F.col("_lo")) / width),
+            F.lit(n_buckets - 1),
+        ).cast("int"),
+    )
+    w_local = (
+        Window.partitionBy("stratum", "_b")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn(
+        "_cum", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    # per-(stratum, bucket) totals: #strata × #buckets rows — tiny; the
+    # running sum over them is the global composition, broadcast back
+    totals = local.groupBy("stratum", "_b").agg(
+        F.sum("n_tokens").alias("_tot")
+    )
+    w_off = Window.orderBy("stratum", "_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0))
+    ).select("stratum", "_b", "_off")
+    packed = (
+        local.join(F.broadcast(offsets), ["stratum", "_b"])
+        .withColumn("offset", (F.col("_cum") + F.col("_off")).cast("long"))
+        .withColumn("seq_id", (F.col("offset") / F.lit(seq_len)).cast("long"))
+        .withColumn(
+            "n_seqs_spanned",
+            (
+                ((F.col("offset") + F.col("n_tokens") - 1) / F.lit(seq_len))
+                .cast("long")
+                - F.col("seq_id")
+                + 1
+            ).cast("int"),
+        )
+    )
+    return packed.select(
+        F.col("stratum").alias(stratum_col),
+        F.col("id").alias(id_col),
+        (F.col("n_tokens") - F.lit(sep_tokens)).alias("n_tokens"),
+        "offset",
+        "seq_id",
+        "n_seqs_spanned",
+    )
+
+
+def split_dataset(
+    df: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds a ``split`` column.
+
+    The id's seeded hash lands in [0, 1e6); cumulative fraction boundaries
+    (in sorted split-name order, so the mapping is independent of dict
+    ordering) carve that range. Row-local — no shuffle, no RNG stream, the
+    same document lands in the same split on every run, engine, and
+    cluster size. Fractions must sum to ≤ 1; any remainder is labeled
+    ``None`` (dropped rows for mixture-style holdout)."""
+    if fractions is None:
+        fractions = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    bucket = F.pmod(
+        hashed_with_seed(F.col(id_col).cast("string"), seed, hash_fn), _MOD
+    )
+    expr = F.lit(None).cast("string")
+    hi = 0
+    # build the CASE chain from the TOP boundary down so earlier WHENs
+    # don't shadow later ranges
+    bounds = []
+    for name, frac in sorted(fractions.items()):
+        lo = hi
+        hi = lo + int(round(frac * _MOD))
+        bounds.append((name, lo, hi))
+    for name, lo, hi in reversed(bounds):
+        expr = F.when((bucket >= lo) & (bucket < hi), name).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -296,6 +296,42 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
 )
 
 
+# (pattern, replacement) chain for corpus text normalization — each is a
+# row-local regexp_replace both engines replay identically
+NORMALIZE_RULES: tuple[tuple[str, str], ...] = (
+    # C0 control chars (except \t \n \r) + DEL → space
+    (r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", " "),
+    # CRLF / bare CR → LF
+    (r"\r\n?", "\n"),
+    # runs of spaces/tabs → one space
+    (r"[ \t]+", " "),
+    # trailing spaces before a newline
+    (r" \n", "\n"),
+    # 3+ blank lines → one blank line
+    (r"\n{3,}", "\n\n"),
+)
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = False,
+    rules: tuple[tuple[str, str], ...] = NORMALIZE_RULES,
+) -> DataFrame:
+    """Corpus text normalization in place: strip control characters,
+    canonicalize newlines, collapse whitespace runs and blank-line stacks,
+    trim. A chain of JVM ``regexp_replace`` — codegen'd, row-local, zero
+    shuffle; the canonical first step before digest-based dedup (two docs
+    differing only in line endings or trailing spaces must collide)."""
+    out = F.col(text_col)
+    for pat, repl in rules:
+        out = F.regexp_replace(out, pat, repl)
+    out = F.trim(out)
+    if lowercase:
+        out = F.lower(out)
+    return df.withColumn(text_col, out)
+
+
 def scrub_pii(
     df: DataFrame,
     text_col: str = "text",

@@ -464,3 +464,99 @@ def test_decontamination_flags_and_drop(spark):
     assert flags == {1: True, 2: False, 3: True}
     kept = sorted(r.doc_id for r in decontaminate(docs, probes, n=8).collect())
     assert kept == [2]
+
+
+def test_pack_sequences_concat_then_chunk(spark):
+    """Packing must reproduce the single-stream layout: offsets are the
+    exact running sum of (tokens + sep) in (stratum, id) order, seq_id is
+    offset // seq_len, and the layout is identical across runs and
+    partition counts (determinism = data-derived order)."""
+    from spark_timeseries_spark.pipeline.packing import pack_sequences
+
+    rows = [
+        (1, "a", "one two three"),          # 3 tokens
+        (2, "a", "four five"),              # 2
+        (3, "a", "x " * 6),                 # 6
+        (10, "b", "alpha"),                 # 1
+        (11, "b", "beta gamma delta"),      # 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = pack_sequences(df, seq_len=5, sep_tokens=1, bpe=False)
+    got = {r.doc_id: r for r in out.collect()}
+
+    # stream: a/1 (3+1) a/2 (2+1) a/3 (6+1) b/10 (1+1) b/11 (3+1)
+    assert [got[i].offset for i in (1, 2, 3, 10, 11)] == [0, 4, 7, 14, 16]
+    assert [got[i].seq_id for i in (1, 2, 3, 10, 11)] == [0, 0, 1, 2, 3]
+    assert got[3].n_seqs_spanned == 2   # tokens 7..13 cross the 10 boundary
+    assert got[1].n_tokens == 3 and got[11].n_tokens == 3
+
+    # repartitioning the input must not change the layout
+    out2 = pack_sequences(df.repartition(7), seq_len=5, sep_tokens=1, bpe=False)
+    assert sorted((r.doc_id, r.offset) for r in out2.collect()) == sorted(
+        (r.doc_id, r.offset) for r in out.collect()
+    )
+
+
+def test_pack_sequences_plan_is_distributed(spark):
+    """No single-partition global sort: the running sum ranks within
+    deterministic buckets and composes broadcast offsets (the same shape
+    pinned for union_index_df)."""
+    from spark_timeseries_spark.pipeline.packing import pack_sequences
+
+    rows = [(i, "s", "w " * (i % 5 + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = pack_sequences(df, seq_len=16, bpe=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(stratum" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    # correctness: offsets are the exact prefix sums in id order
+    recs = sorted(out.collect(), key=lambda r: r.doc_id)
+    run = 0
+    for r in recs:
+        assert r.offset == run, (r.doc_id, r.offset, run)
+        run += r.n_tokens + 1
+
+
+def test_split_dataset_deterministic_partition(spark):
+    from spark_timeseries_spark.pipeline.packing import split_dataset
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(4000)], "doc_id long"
+    )
+    out = split_dataset(df, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=5)
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}     # full coverage, no None
+    assert 3000 < counts["train"] < 3450
+    assert 250 < counts["val"] < 550 and 250 < counts["test"] < 550
+    # reproducible assignment, disjoint by construction
+    again = split_dataset(df, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=5)
+    a = {(r.doc_id, r.split) for r in out.collect()}
+    b = {(r.doc_id, r.split) for r in again.collect()}
+    assert a == b
+    # remainder → None label
+    part = split_dataset(df, {"train": 0.5}, seed=5)
+    got = {r.split for r in part.select("split").distinct().collect()}
+    assert got == {"train", None}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        split_dataset(df, {"a": 0.9, "b": 0.2})
+
+
+def test_normalize_text(spark):
+    from spark_timeseries_spark.pipeline.text import normalize_text
+
+    rows = [
+        (1, "a\x00b\x07c"),                       # control chars → spaces
+        (2, "line1\r\nline2\rline3"),             # CRLF / CR → LF
+        (3, "  a \t b  \n\n\n\n c  "),            # runs + blank stack + trim
+        (4, "MiXeD"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in normalize_text(df).collect()}
+    assert got[1] == "a b c"
+    assert got[2] == "line1\nline2\nline3"
+    assert got[3] == "a b\n\n c"
+    assert got[4] == "MiXeD"
+    low = {r.doc_id: r.text for r in normalize_text(df, lowercase=True).collect()}
+    assert low[4] == "mixed"
