@@ -1243,8 +1243,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     against the driver oracle; (c) ``cosine_dup_pairs`` (r1-only row, and
     one of the two r3 perf-watch outliers) as slot 50. Past the window:
     the events family re-proven green in r3 and the documents/embeddings
-    family with green r1/r2 rows. With this rotation, every one of the 86
-    queries has a green driver row in r1∪r3∪r4; all 86 are additionally
+    family with green r1/r2 rows, then the three round-4 additions
+    (packing/split/normalize — rotate next round). With this rotation,
+    every query except the three new ones has a green driver row in
+    r1∪r3∪r4; all 89 are additionally
     validated locally by ``tools/check_correctness.py`` (full log
     committed per round)."""
     return {

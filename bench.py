@@ -105,11 +105,16 @@ def main():
     spark.stop()
     # the driver captures only a bounded TAIL of stdout (r3 lost the first
     # 3 queries to a ~2900-char pretty line in a 2000-char window): print
-    # the line LAST, compact separators, 2-decimal timings — ~1.9 KB for
-    # 86 queries, and nothing after it to push it out of the window
-    payload["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    # the line LAST, compact separators, reduced-precision timings, and
+    # degrade precision further if the query count ever pushes the line
+    # past the window (full precision always lives in bench_results.json)
+    for digits in (2, 1):
+        payload["queries"] = {k: round(v, digits) for k, v in timings.items()}
+        line = json.dumps(payload, separators=(",", ":"))
+        if len(line) <= 1900:
+            break
     sys.stdout.flush()
-    print(json.dumps(payload, separators=(",", ":")))
+    print(line)
 
 
 if __name__ == "__main__":

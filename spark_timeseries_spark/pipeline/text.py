@@ -35,7 +35,15 @@ def bpe_like_tokens(text: Column) -> Column:
 
 
 def token_count(text: Column, bpe: bool = False) -> Column:
-    return F.size(bpe_like_tokens(text) if bpe else tokens(text))
+    """Token count with the blank-text edge handled: Spark's split on an
+    empty string yields [""] (size 1), so whitespace mode guards on the
+    trimmed length — blank text counts 0 tokens, matching the SQL oracle's
+    CASE and what any tokenizer would report."""
+    if bpe:
+        return F.size(bpe_like_tokens(text))
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(text))
+    )
 
 
 def language_scores(text: Column) -> list[tuple[str, Column]]:

@@ -66,3 +66,48 @@ def test_union_index_df_matches_sorted_distinct(spark, a, b):
     want = sorted({BASE + dt.timedelta(minutes=x) for x in a + b})
     assert [r.ts for r in rows] == want
     assert [r.loc for r in rows] == list(range(len(want)))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 10_000),            # doc_id (may collide; dedup below)
+            st.sampled_from(["a", "b", "c"]),  # stratum
+            st.integers(0, 30),                # n whitespace tokens
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    seq_len=st.integers(2, 64),
+)
+def test_pack_sequences_matches_python_prefix_sum(spark, docs, seq_len):
+    """Packing invariant under random corpora: offsets are EXACTLY the
+    prefix sums of (tokens + sep) in (stratum, id) order — i.e. the
+    distributed bucket-cumsum plan reproduces the sequential layout a
+    single-threaded packer would produce, for any id distribution
+    (clustered, sparse, colliding buckets) and any seq_len."""
+    from spark_timeseries_spark.pipeline.packing import pack_sequences
+
+    uniq = {(i, s): n for i, s, n in docs}          # one row per (id, stratum)
+    uniq = {
+        i: (s, n)
+        for (i, s), n in sorted(uniq.items())       # and one stratum per id
+    }
+    rows = [(i, s, "w " * n) for i, (s, n) in uniq.items()]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.doc_id: r
+        for r in pack_sequences(
+            df, seq_len=seq_len, sep_tokens=1, bpe=False, n_buckets=5
+        ).collect()
+    }
+    run = 0
+    for i, (s, n) in sorted(uniq.items(), key=lambda kv: (kv[1][0], kv[0])):
+        r = got[i]
+        assert r.offset == run, (i, r.offset, run)
+        assert r.n_tokens == n
+        assert r.seq_id == run // seq_len
+        end = run + n  # last occupied position is offset + (n+1) - 1
+        assert r.n_seqs_spanned == end // seq_len - run // seq_len + 1
+        run += n + 1
