@@ -1231,6 +1231,42 @@ def _q_normalize_text(spark, sf_dir):
     return out.select("doc_id", F.md5("text").alias("norm_md5"))
 
 
+def _q_remove_boilerplate(spark, sf_dir):
+    """C4-style cross-document boilerplate line removal
+    (``pipeline/text.py::remove_boilerplate_lines``): the corpus is salted
+    with a shared footer line (occurs in every doc → removed) and a
+    per-doc unique line (survives), so the distributed
+    explode→hash-count→anti-join→rebuild pipeline demonstrably fires;
+    checked via md5 of the rebuilt text."""
+    from spark_timeseries_spark.pipeline.text import remove_boilerplate_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    salted = docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.lit("\nSubscribe To Our Newsletter\nunique line "),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    out = remove_boilerplate_lines(salted, min_docs=3)
+    return out.select("doc_id", "source", F.md5("text").alias("clean_md5"))
+
+
+def _q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking
+    (``pipeline/packing.py::chunk_documents``): row-local explode of
+    chunk starts + token-array slices, zero shuffle; the oracle replays
+    the layout with generate_series + list_slice."""
+    from spark_timeseries_spark.pipeline.packing import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_documents(docs, chunk_tokens=32, overlap=8)
+    return out.select(
+        "doc_id", "chunk_id", "n_tokens", F.md5("chunk_text").alias("chunk_md5")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
     the first 50 entries. Window policy (round 4, per the r3 verdict's
@@ -1348,6 +1384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "split_dataset": _q_split_dataset,
         "normalize_text": _q_normalize_text,
+        "remove_boilerplate": _q_remove_boilerplate,
+        "chunk_documents": _q_chunk_documents,
     }
 
 
@@ -3244,6 +3282,61 @@ def oracle_sql() -> dict[str, str]:
     o["normalize_text"] = f"""
         WITH s AS (SELECT doc_id, {_norm_salt} AS t FROM documents)
         SELECT doc_id, md5(trim({_norm_chain})) AS norm_md5 FROM s
+    """
+
+    # C4 boilerplate: the oracle groups by the normalized line itself where
+    # the engine groups by its xxhash64 (same partition; a collision would
+    # surface as a hash mismatch here)
+    o["remove_boilerplate"] = """
+        WITH salted AS (
+            SELECT doc_id, source,
+                   text || chr(10) || 'Subscribe To Our Newsletter' ||
+                   chr(10) || 'unique line ' || CAST(doc_id AS VARCHAR) AS t
+            FROM documents
+        ), parts AS (
+            SELECT doc_id, source, string_split(t, chr(10)) AS ls FROM salted
+        ), lines AS (
+            SELECT doc_id, source, i AS line_no, ls[i] AS line
+            FROM parts, LATERAL (
+                SELECT unnest(generate_series(1, len(ls))) AS i) g
+        ), boiler AS (
+            SELECT lower(trim(line)) AS nl FROM lines
+            WHERE length(trim(line)) > 0
+            GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3
+        ), kept AS (
+            SELECT l.doc_id, l.source, l.line_no, l.line
+            FROM lines l LEFT JOIN boiler b ON lower(trim(l.line)) = b.nl
+            WHERE b.nl IS NULL
+        ), rebuilt AS (
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS t
+            FROM kept GROUP BY 1
+        )
+        SELECT s.doc_id, s.source, md5(COALESCE(r.t, '')) AS clean_md5
+        FROM salted s LEFT JOIN rebuilt r ON r.doc_id = s.doc_id
+    """
+    # token-window chunking: chunk k = tokens [k*stride, k*stride+chunk);
+    # n_chunks = ceil(max(n - overlap, 1) / stride)
+    o["chunk_documents"] = """
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\\s+') AS toks,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END AS n
+            FROM documents
+        ), c AS (
+            SELECT doc_id, toks, n,
+                   GREATEST(CAST(CEIL(GREATEST(n - 8, 1) / 24.0) AS INT), 1)
+                       AS nc
+            FROM t
+        )
+        SELECT doc_id, k AS chunk_id,
+               CAST(GREATEST(LEAST(32, n - k * 24), 0) AS INT) AS n_tokens,
+               md5(array_to_string(
+                   list_slice(toks, k * 24 + 1,
+                              k * 24 + GREATEST(LEAST(32, n - k * 24), 0)),
+                   ' ')) AS chunk_md5
+        FROM c, LATERAL (SELECT unnest(generate_series(0, nc - 1)) AS k) g
     """
 
     # composed oracle: ANN recall@5 evaluation — exact and approximate top-k

@@ -118,6 +118,61 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks → (id,
+    chunk_id, n_tokens, chunk_text) — the RAG-indexing / long-doc-training
+    prep step. Chunk *k* covers whitespace tokens ``[k·stride, k·stride +
+    chunk_tokens)`` with ``stride = chunk_tokens − overlap``; the last
+    chunk is the remainder (never empty, never duplicated: a doc whose
+    tail would start past the end emits no extra chunk).
+
+    Entirely row-local — tokenize once (``let``-bound), explode a
+    ``sequence`` of chunk starts, slice the token array per chunk. No
+    shuffle at all: at 100 TB this is a map-side transform whose output
+    is ~(1 + overlap/stride)× the input."""
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(toks))
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        n.alias("_n"),
+        # number of chunks: ceil(max(n - overlap, 1) / stride), min 1
+        F.greatest(
+            F.ceil(
+                (F.greatest(n - F.lit(overlap), F.lit(1)))
+                / F.lit(float(stride))
+            ),
+            F.lit(1),
+        ).cast("int").alias("_nc"),
+    )
+    exploded = base.select(
+        id_col,
+        "_toks",
+        "_n",
+        F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * stride
+    length = F.least(F.lit(chunk_tokens), F.col("_n") - start)
+    chunk = F.slice("_toks", start + 1, F.greatest(length, F.lit(0)))
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.greatest(length, F.lit(0)).cast("int").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 def split_dataset(
     df: DataFrame,
     fractions: dict[str, float] | None = None,

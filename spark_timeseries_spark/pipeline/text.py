@@ -127,6 +127,58 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style cross-document boilerplate removal (Raffel et al. 2020
+    §2.2 "three-sentence" rule, applied per line as RefinedWeb/Dolma do):
+    any line whose NORMALIZED form (lowercased, trimmed) occurs in at
+    least ``min_docs`` distinct documents is dropped from every document;
+    the surviving lines are reassembled in their original order. Documents
+    whose every line is boilerplate come back with empty text (callers
+    typically follow with a length gate).
+
+    Scale shape: explode to (doc, line_no, line) once; the global
+    frequency count groups on a 64-bit ``xxhash64`` of the normalized line
+    — the shuffle moves hashes, never the line text; the boilerplate set
+    joins back by the same hash (AQE broadcasts it when small — for real
+    corpora the ≥min_docs set is tiny relative to the corpus); the rebuild
+    is one groupBy(doc) with an order-restoring array_sort, not a window.
+    Three shuffles total, each on a fixed-width key."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    ).withColumn("_h", F.xxhash64(F.lower(F.trim(F.col("line")))))
+    boiler = (
+        lines.where(F.length(F.trim("line")) > 0)
+        .groupBy("_h")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    kept = lines.join(boiler, "_h", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("line_no", "line"))
+                ),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias(text_col)
+    )
+    # rejoin to the untouched columns (they never ride through the explode,
+    # which would multiply them per line); every input row survives —
+    # a fully-boilerplate document comes back with empty text
+    return df.drop(text_col).join(rebuilt, id_col, "left").withColumn(
+        text_col, F.coalesce(F.col(text_col), F.lit(""))
+    )
+
+
 def ngram_set(text: Column, n: int) -> Column:
     """Distinct lowercase word n-grams of a document as an array — the
     shared kernel of the repetition, Jaccard, and decontamination

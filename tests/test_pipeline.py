@@ -560,3 +560,59 @@ def test_normalize_text(spark):
     assert got[4] == "MiXeD"
     low = {r.doc_id: r.text for r in normalize_text(df, lowercase=True).collect()}
     assert low[4] == "mixed"
+
+
+def test_remove_boilerplate_lines(spark):
+    """C4-style rule: a line in ≥ min_docs distinct docs disappears from
+    every doc; unique lines survive in order; non-text columns ride along;
+    a fully-boilerplate doc comes back empty rather than dropped."""
+    from spark_timeseries_spark.pipeline.text import remove_boilerplate_lines
+
+    footer = "Subscribe to our newsletter"
+    rows = [
+        (1, "s1", f"alpha one\n{footer}\nbeta one"),
+        (2, "s1", f"alpha two\n{footer.upper()}\ngamma two"),   # case-folds
+        (3, "s2", f"{footer}\ndelta three"),
+        (4, "s2", footer),                                      # only boilerplate
+        (5, "s2", "unique single line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: r for r in remove_boilerplate_lines(df, min_docs=3).collect()}
+    assert out[1].text == "alpha one\nbeta one"
+    assert out[2].text == "alpha two\ngamma two"
+    assert out[3].text == "delta three"
+    assert out[4].text == ""                      # survived, emptied
+    assert out[5].text == "unique single line"
+    assert out[2].source == "s1"                  # columns preserved
+    # footer is in 4 docs: a threshold of 5 leaves everything untouched
+    out2 = {r.doc_id: r.text for r in remove_boilerplate_lines(df, min_docs=5).collect()}
+    assert out2[1] == rows[0][2]
+
+
+def test_chunk_documents_layout(spark):
+    """Chunk k covers tokens [k*stride, k*stride + chunk); last chunk is
+    the remainder; short docs give exactly one chunk; overlap tokens are
+    shared between neighbors."""
+    from spark_timeseries_spark.pipeline.packing import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))     # 10 tokens
+    rows = [(1, words), (2, "a b c"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=4, overlap=1, id_col="doc_id")
+    got = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+
+    # doc 1: stride 3 → chunks at 0,3,6 cover all 10 tokens; a 4th chunk
+    # at 9 would add no unseen token (chunk 2 already ends at token 9)
+    d1 = sorted(k[1] for k in got if k[0] == 1)
+    assert d1 == [0, 1, 2]
+    assert got[(1, 0)].chunk_text == "w0 w1 w2 w3"
+    assert got[(1, 1)].chunk_text == "w3 w4 w5 w6"
+    assert got[(1, 2)].chunk_text == "w6 w7 w8 w9" and got[(1, 2)].n_tokens == 4
+    assert got[(2, 0)].chunk_text == "a b c" and got[(2, 0)].n_tokens == 3
+    assert (2, 1) not in got
+    assert got[(3, 0)].chunk_text == "" and got[(3, 0)].n_tokens == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)

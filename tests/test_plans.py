@@ -289,3 +289,32 @@ def test_bucketed_observations_skip_exchange(spark, grid, tmp_path):
         assert got == {str(k): 31 for k in range(5)}
     finally:
         spark.sql("DROP TABLE IF EXISTS obs_bucketed_test")
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    """Chunking is a map-side transform: tokenize + explode chunk starts +
+    array slices, ZERO exchanges — at 100 TB it runs entirely inside the
+    scan stage."""
+    from spark_timeseries_spark.pipeline.packing import chunk_documents
+    from spark_timeseries_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = chunk_documents(docs, chunk_tokens=32, overlap=8)
+    shuffles, _, p = _counts(out)
+    assert shuffles == 0, p
+    assert "Generate explode" in p, p  # the chunk-start explode, codegen'd
+
+
+def test_remove_boilerplate_shuffles_hashes_not_text(spark):
+    """The global line-frequency count must shuffle the 64-bit line hash,
+    never the line text: the aggregate's grouping key is the xxhash64
+    column, so shuffle width is fixed regardless of line length."""
+    from spark_timeseries_spark.pipeline.text import remove_boilerplate_lines
+    from spark_timeseries_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = remove_boilerplate_lines(docs, min_docs=3)
+    p = _plan(out)
+    assert "xxhash64" in p, p
+    # frequency-count aggregate groups on the hash column _h
+    assert re.search(r"Exchange hashpartitioning\(_h", p), p
