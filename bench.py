@@ -108,11 +108,23 @@ def main():
     # the line LAST, compact separators, reduced-precision timings, and
     # degrade precision further if the query count ever pushes the line
     # past the window (full precision always lives in bench_results.json)
-    for digits in (2, 1):
-        payload["queries"] = {k: round(v, digits) for k, v in timings.items()}
+    for digits in (2, 1, 0):
+        payload["queries"] = {
+            k: (int(round(v)) if digits == 0 else round(v, digits))
+            for k, v in timings.items()
+        }
         line = json.dumps(payload, separators=(",", ":"))
-        if len(line) <= 1900:
+        if len(line) <= 1950:
             break
+    else:
+        # last resort: keep the slowest queries (the ones a perf reader
+        # needs), note the omission count; full data is in the file
+        keep = sorted(timings.items(), key=lambda kv: -kv[1])
+        while len(line) > 1950 and keep:
+            keep = keep[:-5]
+            payload["queries"] = {k: round(v, 1) for k, v in keep}
+            payload["queries_omitted"] = len(timings) - len(keep)
+            line = json.dumps(payload, separators=(",", ":"))
     sys.stdout.flush()
     print(line)
 
