@@ -1267,6 +1267,79 @@ def _q_chunk_documents(spark, sf_dir):
     )
 
 
+def _q_calendar_ops(spark, sf_dir):
+    """Calendar scalar surface, driver-proven (previously pytest-only
+    rows): ISO day-of-week, day-of-week rebased to a Wednesday week start
+    (``DateTimeIndex.scala:820-853``), next-business-day snap
+    (``:855-869``), and the closed-form business-day difference from a
+    fixed anchor (``Frequency.scala:178-189``) — all pure JVM expressions
+    over the events timestamps."""
+    from spark_timeseries_spark.functions.datetime import (
+        business_day_difference,
+        iso_dow,
+        next_business_day,
+        rebase_day_of_week,
+    )
+
+    obs = events_observations(spark, sf_dir)
+    anchor = F.lit("2024-01-01").cast("timestamp")
+    return obs.select(
+        "key",
+        "ts",
+        iso_dow(F.col("ts")).alias("dow_iso"),
+        rebase_day_of_week(F.col("ts"), 3).alias("dow_rebased_wed"),
+        next_business_day(F.col("ts")).alias("next_bday"),
+        business_day_difference(anchor, F.col("ts")).alias("bdays_from_anchor"),
+    )
+
+
+def _q_serde_roundtrip(spark, sf_dir):
+    """Parquet save/load with index sidecar, driver-proven (previously a
+    pytest-only row): the daily grid goes to series-layout parquet +
+    ``.idx`` sidecar (``TimeSeriesRDD.scala:511-551``) and back; the
+    reloaded observations must equal the grid the oracle computes from
+    the raw events — proving to_series → parquet → from_series loses
+    nothing (NaN↔NULL round-trips included)."""
+    import os
+    import shutil
+    import tempfile
+
+    from spark_timeseries_spark.sources import serde
+
+    grid = _daily_grid(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="sts_serde_rt_")
+    try:
+        serde.save_parquet(grid, DAILY, os.path.join(path, "series"))
+        loaded, idx = serde.load_parquet(spark, os.path.join(path, "series"))
+        assert idx.size == DAILY.size
+        # materialize before the tmp dir disappears
+        out = spark.createDataFrame(
+            loaded.select("key", "loc", "ts", "value").collect(),
+            "key string, loc long, ts timestamp, value double",
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+def _q_row_matrix_norms(spark, sf_dir):
+    """MLlib matrix bridge, driver-proven (previously a pytest-only row):
+    the daily grid (zero-filled) → ``IndexedRowMatrix``
+    (``TimeSeriesRDD.scala:456-476``), then per-instant squared row norms
+    computed THROUGH the matrix rows — the oracle recomputes them as
+    Σ value² per instant straight from the events."""
+    from spark_timeseries_spark.operators import fill as fill_ops
+    from spark_timeseries_spark.operators.layout import to_indexed_row_matrix
+
+    grid = fill_ops.fill_value(_daily_grid(spark, sf_dir), 0.0)
+    m = to_indexed_row_matrix(grid, DAILY)
+    norms = m.rows.map(
+        lambda r: (int(r.index), float((r.vector.toArray() ** 2).sum()))
+    )
+    out = spark.createDataFrame(norms, "loc long, norm2 double")
+    return out.select("loc", _stable_round(F.col("norm2"), 4).alias("norm2"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
     the first 50 entries. Window policy (round 4, per the r3 verdict's
@@ -1386,6 +1459,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": _q_normalize_text,
         "remove_boilerplate": _q_remove_boilerplate,
         "chunk_documents": _q_chunk_documents,
+        "calendar_ops": _q_calendar_ops,
+        "serde_roundtrip": _q_serde_roundtrip,
+        "row_matrix_norms": _q_row_matrix_norms,
     }
 
 
@@ -3337,6 +3413,50 @@ def oracle_sql() -> dict[str, str]:
                               k * 24 + GREATEST(LEAST(32, n - k * 24), 0)),
                    ' ')) AS chunk_md5
         FROM c, LATERAL (SELECT unnest(generate_series(0, nc - 1)) AS k) g
+    """
+
+    # calendar scalar surface: ISO dow, Wednesday-rebased dow, next-
+    # business-day snap, closed-form business-day difference from an anchor
+    o["calendar_ops"] = """
+        WITH base AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, ts,
+                   isodow(ts) AS dow_iso,
+                   ((isodow(ts) - 3) % 7 + 7) % 7 AS dow_rebased_wed,
+                   ((isodow(ts) - 1) % 7 + 7) % 7 AS dow0,
+                   date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days
+            FROM events
+        )
+        SELECT key, ts, dow_iso, dow_rebased_wed,
+               CASE WHEN dow0 = 5 THEN ts + INTERVAL 2 DAY
+                    WHEN dow0 = 6 THEN ts + INTERVAL 1 DAY
+                    ELSE ts END AS next_bday,
+               CAST((days // 7) * 5 +
+                    (CASE WHEN 0 < ((days % 7) + 7) % 7
+                          AND ((0 + 1) % 7) < 5 THEN 1 ELSE 0 END) +
+                    (CASE WHEN 1 < ((days % 7) + 7) % 7
+                          AND ((1 + 1) % 7) < 5 THEN 1 ELSE 0 END) +
+                    (CASE WHEN 2 < ((days % 7) + 7) % 7
+                          AND ((2 + 1) % 7) < 5 THEN 1 ELSE 0 END) +
+                    (CASE WHEN 3 < ((days % 7) + 7) % 7
+                          AND ((3 + 1) % 7) < 5 THEN 1 ELSE 0 END) +
+                    (CASE WHEN 4 < ((days % 7) + 7) % 7
+                          AND ((4 + 1) % 7) < 5 THEN 1 ELSE 0 END) +
+                    (CASE WHEN 5 < ((days % 7) + 7) % 7
+                          AND ((5 + 1) % 7) < 5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS bdays_from_anchor
+        FROM base
+    """
+
+    # parquet+sidecar roundtrip must reproduce the daily grid exactly
+    o["serde_roundtrip"] = (
+        _DAILY_GRID_SQL + "SELECT key, loc, ts, value FROM grid"
+    )
+    # squared row norms through the MLlib matrix bridge ≡ Σ value² per loc
+    o["row_matrix_norms"] = _DAILY_GRID_SQL + f"""
+        SELECT loc,
+               {_sr_sql("SUM(COALESCE(value, 0) * COALESCE(value, 0))", 4)}
+                   AS norm2
+        FROM grid GROUP BY 1
     """
 
     # composed oracle: ANN recall@5 evaluation — exact and approximate top-k
