@@ -1346,18 +1346,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotation plan): (a) the 11 round-3 queries that have never had a driver
     row (gopher/sessionize/pii/sampling/dedup_components/decontaminate
     family) plus the 11 loader-era queries whose only green rows predate
-    the fixture regeneration; (b) the 27 round-3-window queries whose
-    single green row is r3 — kept in-window so this round's code changes
-    (union-index numbering, PII pattern, CC convergence) are re-proven
-    against the driver oracle; (c) ``cosine_dup_pairs`` (r1-only row, and
-    one of the two r3 perf-watch outliers) as slot 50. Past the window:
-    the events family re-proven green in r3 and the documents/embeddings
-    family with green r1/r2 rows, then the three round-4 additions
-    (packing/split/normalize — rotate next round). With this rotation,
-    every query except the three new ones has a green driver row in
-    r1∪r3∪r4; all 89 are additionally
-    validated locally by ``tools/check_correctness.py`` (full log
-    committed per round)."""
+    the fixture regeneration; (b) the 6 NEW round-4 operator queries
+    (packing, split, normalize, boilerplate, chunking, calendar) — in the
+    window immediately rather than deferred a round (r3 ADVICE); (c) 21
+    round-3-window queries kept in because this round's code touched
+    their paths (union-index numbering, PII pattern, CC convergence,
+    token_count) or their only green row is r3; (d) ``cosine_dup_pairs``
+    (r1-only row, and one of the two r3 perf-watch outliers) as slot 50.
+    Past the window: six r3-proven queries displaced by (b) whose code is
+    untouched this round (bg/bp/lb tests, business_days, to_observations,
+    roll_sum_center), the events family re-proven green in r3, the
+    documents/embeddings family with green r1/r2 rows, and the two
+    round-4 serde/matrix queries (rotate next round). All 94 are
+    additionally validated locally by ``tools/check_correctness.py``
+    (full log committed per round)."""
     return {
         # -- (a) never driver-checked (new in r3) ----------------------------
         "repetition_features": _q_repetition_features,
@@ -1383,8 +1385,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsample": _q_upsample,
         "trim_leading_trailing": _q_trim,
         "min_max_datetimes": _q_min_max_datetimes,
-        # -- (b) r3-window queries kept in (single green row; code touched
-        #        this round for index_union / scrub_pii / dedup paths) ------
+        # -- (b) round-4 operator queries, in-window immediately -------------
+        "pack_sequences": _q_pack_sequences,
+        "split_dataset": _q_split_dataset,
+        "normalize_text": _q_normalize_text,
+        "remove_boilerplate": _q_remove_boilerplate,
+        "chunk_documents": _q_chunk_documents,
+        "calendar_ops": _q_calendar_ops,
+        # -- (c) r3-window queries kept in (code-touched paths or single
+        #        green row) --------------------------------------------------
         "arima_forecast": _q_arima_forecast,
         "auto_arima": _q_auto_arima,
         "garch_fit": _q_garch_fit,
@@ -1395,26 +1404,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_fit": _q_ewma_fit,
         "argarch_fit": _q_argarch_fit,
         "holt_winters_fit": _q_holt_winters_fit,
-        "bg_test": _q_bg_test,
-        "bp_test": _q_bp_test,
-        "lb_test": _q_lb_test,
         "fill_spline": _q_fill_spline,
         "index_union": _q_index_union,
-        "business_days": _q_business_days,
         "filter_by_instant": _q_filter_by_instant,
-        "to_observations": _q_to_observations,
         "ivf_topk": _q_ivf_topk,
         "multimodal_meta": _q_multimodal_meta,
         "video_frames": _q_video_frames,
         "image_features": _q_image_features,
-        "roll_sum_center": _q_roll_sum_center,
         "to_series_digest": _q_to_series_digest,
         "lsh_recall": _q_lsh_recall,
         "arima_filter": _q_arima_filter,
         "garch_filter": _q_garch_filter,
-        # -- (c) r1-only row + r3 perf-watch outlier -------------------------
+        # -- (d) r1-only row + r3 perf-watch outlier -------------------------
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         # ---- driver window (50) ends here ----------------------------------
+        # displaced by (b): untouched this round, r3 driver rows stand
+        "bg_test": _q_bg_test,
+        "bp_test": _q_bp_test,
+        "lb_test": _q_lb_test,
+        "business_days": _q_business_days,
+        "to_observations": _q_to_observations,
+        "roll_sum_center": _q_roll_sum_center,
         # events family: re-proven green in r3 on the fixed loader
         "series_stats": _q_series_stats,
         "resample_daily_avg": _q_resample_daily_avg,
@@ -1453,13 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_topk": _q_lsh_topk,
         "winnowing_fingerprints": _q_winnowing_fingerprints,
-        # new in round 4 (rotate into the window next round)
-        "pack_sequences": _q_pack_sequences,
-        "split_dataset": _q_split_dataset,
-        "normalize_text": _q_normalize_text,
-        "remove_boilerplate": _q_remove_boilerplate,
-        "chunk_documents": _q_chunk_documents,
-        "calendar_ops": _q_calendar_ops,
+        # new in round 4, past-window (rotate next round)
         "serde_roundtrip": _q_serde_roundtrip,
         "row_matrix_norms": _q_row_matrix_norms,
     }
