@@ -1413,11 +1413,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": _q_image_features,
         "to_series_digest": _q_to_series_digest,
         "lsh_recall": _q_lsh_recall,
-        "arima_filter": _q_arima_filter,
-        "garch_filter": _q_garch_filter,
+        # -- (b') round-4 serde/matrix queries, in-window immediately (no
+        #         driver row exists anywhere; displaces two r3-green model
+        #         filters whose code paths arima_forecast/garch_fit still
+        #         exercise in-window) ----------------------------------------
+        "serde_roundtrip": _q_serde_roundtrip,
+        "row_matrix_norms": _q_row_matrix_norms,
         # -- (d) r1-only row + r3 perf-watch outlier -------------------------
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         # ---- driver window (50) ends here ----------------------------------
+        # displaced by (b'): untouched this round, r3 driver rows stand
+        "arima_filter": _q_arima_filter,
+        "garch_filter": _q_garch_filter,
         # displaced by (b): untouched this round, r3 driver rows stand
         "bg_test": _q_bg_test,
         "bp_test": _q_bp_test,
@@ -1463,9 +1470,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_topk": _q_lsh_topk,
         "winnowing_fingerprints": _q_winnowing_fingerprints,
-        # new in round 4, past-window (rotate next round)
-        "serde_roundtrip": _q_serde_roundtrip,
-        "row_matrix_norms": _q_row_matrix_norms,
     }
 
 
