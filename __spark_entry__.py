@@ -1340,6 +1340,25 @@ def _q_row_matrix_norms(spark, sf_dir):
     return out.select("loc", _stable_round(F.col("norm2"), 4).alias("norm2"))
 
 
+def _q_lm_perplexity(spark, sf_dir):
+    """CCNet-style quality gate (Wenzek et al. 2020): train an add-1 bigram
+    LM on the high-quality reference slice (lang='en'), score EVERY document
+    by mean negative log-probability (``pipeline/lm.py``). Train: one
+    (ctx,w) shuffle over the reference only; score: two broadcast joins of
+    the small LM against the full corpus + one per-doc agg. Docs with <2
+    tokens carry no bigram evidence and are excluded (documented)."""
+    from spark_timeseries_spark.pipeline.lm import score_perplexity, train_bigram_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = train_bigram_lm(docs.where(F.col("lang") == "en"))
+    out = score_perplexity(docs, lm, k=1.0)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        _stable_round(F.col("cross_entropy"), 6).alias("cross_entropy"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
     the first 50 entries. Window policy (round 4, per the r3 verdict's
@@ -1470,6 +1489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_topk": _q_lsh_topk,
         "winnowing_fingerprints": _q_winnowing_fingerprints,
+        # new in round 4 (late), past-window (rotate next round)
+        "lm_perplexity": _q_lm_perplexity,
     }
 
 
@@ -3481,5 +3502,49 @@ def oracle_sql() -> dict[str, str]:
               ON a.qid = e.qid AND a.vec_id = e.vec_id
             GROUP BY 1
         ) h ON h.qid = k.qid
+    """
+
+    # CCNet-style bigram-LM scoring: train on lang='en', add-1 smoothing,
+    # per-doc mean NLL — the token split mirrors pipeline/text.py::tokens
+    # (trim+lower+\s+ with empties dropped)
+    o["lm_perplexity"] = f"""
+        WITH ref_toks AS (
+            SELECT list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> '') AS ts
+            FROM documents WHERE lang = 'en'
+        ),
+        c2 AS (
+            SELECT ts[i] AS ctx, ts[i + 1] AS w, COUNT(*) AS c2
+            FROM ref_toks, unnest(range(1, len(ts))) AS r(i)
+            GROUP BY 1, 2
+        ),
+        c1 AS (SELECT ctx, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+        v AS (
+            SELECT COUNT(DISTINCT t) AS v
+            FROM ref_toks, unnest(ts) AS u(t)
+        ),
+        doc_toks AS (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> '') AS ts
+            FROM documents
+        ),
+        doc_pairs AS (
+            SELECT doc_id, ts[i] AS ctx, ts[i + 1] AS w
+            FROM doc_toks, unnest(range(1, len(ts))) AS r(i)
+        ),
+        nlls AS (
+            SELECT p.doc_id,
+                   -ln((COALESCE(c2.c2, 0) + 1.0)
+                       / (COALESCE(c1.c1, 0) + (SELECT v FROM v))) AS nll
+            FROM doc_pairs p
+            LEFT JOIN c2 ON c2.ctx = p.ctx AND c2.w = p.w
+            LEFT JOIN c1 ON c1.ctx = p.ctx
+        )
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               {_sr_sql("AVG(nll)", 6)} AS cross_entropy
+        FROM nlls GROUP BY 1
     """
     return o

@@ -1,0 +1,172 @@
+"""N-gram language-model perplexity scoring (CCNet-style quality filter).
+
+CCNet (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data") ranks web documents by the perplexity of a
+small LM trained on a high-quality reference corpus (Wikipedia): low
+perplexity ≈ reference-like prose, high perplexity ≈ boilerplate/gibberish.
+The production pipelines derived from it (CCNet buckets head/middle/tail)
+make this one of the standard pretrain-corpus quality gates.
+
+This module re-expresses the idea Spark-first with an **interpolated add-k
+bigram LM** — no external LM runtime, every step a DataFrame op:
+
+1. **Train** (:func:`train_bigram_lm`): one pass over the reference slice —
+   explode per-document bigrams (array ops on a let-bound token array, no
+   O(len²) higher-order-function trap), then a single ``groupBy(ctx, w)``
+   shuffle. Context totals derive from the bigram counts (no second corpus
+   scan); vocabulary size is one scalar.
+2. **Score** (:func:`score_perplexity`): explode the target corpus's
+   bigrams, join the (small) LM counts — broadcast by default, the LM is a
+   reference-corpus artifact orders of magnitude smaller than the corpus
+   being scored — and aggregate per-document mean negative log-probability.
+
+100 TB scale notes: training shuffles only (ctx, w) pairs with map-side
+partial aggregation (rows ∝ unique bigrams, not corpus size); scoring is
+two joins against the LM — broadcast when it fits (the normal case for a
+reference-trained LM), AQE-decided otherwise — plus one per-document
+aggregation that reuses the corpus's natural partitioning. Nothing iterates
+and no driver-side state beyond two scalars (vocab size, context count).
+
+No reference-counterpart: sryza/spark-timeseries has no text pipeline; the
+spec here is the published CCNet recipe.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_timeseries_spark.pipeline.text import tokens
+
+__all__ = ["NgramLM", "train_bigram_lm", "score_perplexity", "perplexity_buckets"]
+
+
+def _clean_tokens(text_col):
+    """Lowercased whitespace tokens with empties dropped (split("") -> [""])."""
+    return F.filter(tokens(F.lower(text_col)), lambda t: t != F.lit(""))
+
+
+def _bigrams(toks):
+    """array<struct<ctx,w>> of adjacent token pairs from a *let-bound* token
+    array column. ``arrays_zip(slice(t,1,n-1), slice(t,2,n-1))`` touches the
+    array O(n) times total — no per-element lambda over the whole array."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice(toks, 1, n - 1).alias("ctx"), F.slice(toks, 2, n - 1).alias("w")
+        ),
+    ).otherwise(F.array())
+
+
+@dataclass
+class NgramLM:
+    """A trained bigram LM: ``counts`` is (ctx, w, c2), ``context_counts``
+    is (ctx, c1 = Σ_w c2), ``vocab_size`` the reference vocabulary size.
+    Both frames are unmaterialized plans unless the caller persists them;
+    :func:`train_bigram_lm` leaves caching policy to the caller (train once,
+    persist, score many — the expected production pattern)."""
+
+    counts: DataFrame
+    context_counts: DataFrame
+    vocab_size: int
+
+
+def bigram_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, ctx, w) — one row per adjacent token pair per document."""
+    toks = _clean_tokens(F.col(text_col))
+    return (
+        df.select(F.col(id_col), _bigrams(toks).alias("_bg"))
+        .select(id_col, F.explode("_bg").alias("_p"))
+        .select(id_col, F.col("_p.ctx").alias("ctx"), F.col("_p.w").alias("w"))
+    )
+
+
+def train_bigram_lm(
+    reference: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> NgramLM:
+    """Fit bigram counts on the reference corpus.
+
+    One shuffle (groupBy ctx,w with map-side combine); context totals are a
+    second, much smaller aggregation over the bigram-count frame itself —
+    the corpus text is scanned exactly once. ``vocab_size`` is the only
+    driver-side value (a single count)."""
+    pairs = bigram_pairs(reference, text_col, id_col)
+    counts = pairs.groupBy("ctx", "w").agg(F.count("*").alias("c2"))
+    ctx_counts = counts.groupBy("ctx").agg(F.sum("c2").alias("c1"))
+    vocab = (
+        reference.select(
+            F.explode(_clean_tokens(F.col(text_col))).alias("t")
+        )
+        .agg(F.countDistinct("t"))
+        .first()[0]
+    )
+    return NgramLM(counts=counts, context_counts=ctx_counts, vocab_size=int(vocab or 0))
+
+
+def score_perplexity(
+    df: DataFrame,
+    lm: NgramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 1.0,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Per-document cross-entropy and perplexity under ``lm``.
+
+    P(w|ctx) = (c2 + k) / (c1 + k·V)  (add-k smoothing; unseen context →
+    uniform 1/V at k=1). Returns (id, n_bigrams, cross_entropy, perplexity);
+    documents with <2 tokens have no bigrams and are excluded (they carry
+    no LM evidence — gate them with a length filter, not a perplexity one).
+
+    ``broadcast_lm=True`` (default) hints both LM sides broadcast — correct
+    whenever the LM fits in executor memory, which a reference-corpus LM
+    does; set False to let AQE choose for corpus-scale LMs."""
+    if lm.vocab_size <= 0:
+        raise ValueError("LM has an empty vocabulary")
+    counts, ctx_counts = lm.counts, lm.context_counts
+    if broadcast_lm:
+        counts, ctx_counts = F.broadcast(counts), F.broadcast(ctx_counts)
+    pairs = bigram_pairs(df, text_col, id_col)
+    kv = float(k) * float(lm.vocab_size)
+    logp = F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(float(k)))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(kv))
+    )
+    return (
+        pairs.join(counts, ["ctx", "w"], "left")
+        .join(ctx_counts, ["ctx"], "left")
+        .withColumn("_nll", -logp)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.avg("_nll").alias("cross_entropy"),
+        )
+        .withColumn("perplexity", F.exp("cross_entropy"))
+    )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    boundaries: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    ppl_col: str = "perplexity",
+) -> DataFrame:
+    """CCNet's head/middle/tail split: bucket by perplexity quantile.
+    Boundaries come from ``approx_percentile`` (sketch, scale-safe — the
+    exact-percentile trap is documented in :func:`text.token_percentiles`);
+    rows at or below the head boundary are 'head' (reference-like), above
+    the tail boundary 'tail'."""
+    lo, hi = boundaries
+    q = scored.agg(
+        F.percentile_approx(ppl_col, [lo, hi], 10_000).alias("q")
+    ).first()["q"]
+    return scored.withColumn(
+        "ppl_bucket",
+        F.when(F.col(ppl_col) <= float(q[0]), "head")
+        .when(F.col(ppl_col) <= float(q[1]), "middle")
+        .otherwise("tail"),
+    )

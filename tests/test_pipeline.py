@@ -616,3 +616,88 @@ def test_chunk_documents_layout(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_bigram_lm_hand_computed(spark):
+    """Add-1 bigram LM on a 2-doc reference, scored by hand.
+
+    Reference: "a b a b" and "a c" → bigrams {(a,b):2, (b,a):1, (a,c):1},
+    contexts {a:3, b:1}, V=3. Scoring "a b c" under it:
+      P(b|a) = (2+1)/(3+3) = 1/2 ;  P(c|b) = (0+1)/(1+3) = 1/4
+      CE = -(ln .5 + ln .25)/2 ;  unseen context "z q": P = (0+1)/(0+3).
+    """
+    import math
+
+    from spark_timeseries_spark.pipeline.lm import (
+        score_perplexity,
+        train_bigram_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string"
+    )
+    lm = train_bigram_lm(ref)
+    assert lm.vocab_size == 3
+    c2 = {(r.ctx, r.w): r.c2 for r in lm.counts.collect()}
+    assert c2 == {("a", "b"): 2, ("b", "a"): 1, ("a", "c"): 1}
+    c1 = {r.ctx: r.c1 for r in lm.context_counts.collect()}
+    assert c1 == {"a": 3, "b": 1}
+
+    tgt = spark.createDataFrame(
+        [(10, "a b c"), (11, "z q"), (12, "one"), (13, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in score_perplexity(tgt, lm).collect()}
+    want_10 = -(math.log(3 / 6) + math.log(1 / 4)) / 2
+    assert abs(out[10].cross_entropy - want_10) < 1e-12
+    assert out[10].n_bigrams == 2
+    assert abs(out[10].perplexity - math.exp(want_10)) < 1e-12
+    # unseen context → uniform 1/V
+    assert abs(out[11].cross_entropy - (-math.log(1 / 3))) < 1e-12
+    # <2 tokens: no bigram evidence, excluded by contract
+    assert 12 not in out and 13 not in out
+
+
+def test_perplexity_buckets_partition(spark):
+    """head/middle/tail cover every scored row and respect the ordering:
+    max(head ppl) <= min(middle ppl) <= ... on distinct-valued data."""
+    from spark_timeseries_spark.pipeline.lm import (
+        perplexity_buckets,
+        score_perplexity,
+        train_bigram_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(3)],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "the lazy dog sleeps"),
+         (2, "lorem ipsum dolor sit amet"), (3, "over the lazy dog"),
+         (4, "zz yy xx ww vv"), (5, "the quick quick quick")],
+        "doc_id long, text string",
+    )
+    lm = train_bigram_lm(ref)
+    scored = perplexity_buckets(score_perplexity(tgt, lm))
+    rows = scored.collect()
+    assert {r.ppl_bucket for r in rows} <= {"head", "middle", "tail"}
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.ppl_bucket, []).append(r.perplexity)
+    order = [b for b in ("head", "middle", "tail") if b in by_bucket]
+    for lo_b, hi_b in zip(order, order[1:]):
+        assert max(by_bucket[lo_b]) <= min(by_bucket[hi_b])
+
+
+def test_bigram_lm_empty_vocab_raises(spark):
+    import pytest as _pytest
+
+    from spark_timeseries_spark.pipeline.lm import (
+        score_perplexity,
+        train_bigram_lm,
+    )
+
+    ref = spark.createDataFrame([(1, "  ")], "doc_id long, text string")
+    lm = train_bigram_lm(ref)
+    with _pytest.raises(ValueError):
+        score_perplexity(ref, lm)
