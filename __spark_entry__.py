@@ -1359,6 +1359,25 @@ def _q_lm_perplexity(spark, sf_dir):
     )
 
 
+_BM25_QUERIES = {
+    "q1": "hash join performance",
+    "q2": "columnar scan filter",
+    "q3": "merge sort order",
+}
+
+
+def _q_bm25_search(spark, sf_dir):
+    """Okapi BM25 top-10 per query (``pipeline/search.py``): query-term
+    broadcast semi-join BEFORE the first shuffle (inverted-index semantics),
+    corpus scalars on a broadcast 1-row frame, per-query row_number top-k.
+    Ranks derive from the 6-digit quantized score so the SQL oracle replays
+    the ordering exactly."""
+    from spark_timeseries_spark.pipeline.search import bm25_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_search(docs, _BM25_QUERIES, k=10, round_digits=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
     the first 50 entries. Window policy (round 4, per the r3 verdict's
@@ -1491,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints": _q_winnowing_fingerprints,
         # new in round 4 (late), past-window (rotate next round)
         "lm_perplexity": _q_lm_perplexity,
+        "bm25_search": _q_bm25_search,
     }
 
 
@@ -3546,5 +3566,57 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, COUNT(*) AS n_bigrams,
                {_sr_sql("AVG(nll)", 6)} AS cross_entropy
         FROM nlls GROUP BY 1
+    """
+
+    # Okapi BM25 replay: Lucene idf, k1=1.2 b=0.75, rank on the 6-digit
+    # quantized score (same boundary nudge as the Spark side)
+    qvals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, qs in sorted(_BM25_QUERIES.items())
+        for t in sorted(set(qs.lower().split()))
+    )
+    o["bm25_search"] = f"""
+        WITH q(query_id, term) AS (VALUES {qvals}),
+        toks AS (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> '') AS ts
+            FROM documents
+        ),
+        terms AS (
+            SELECT doc_id, len(ts) AS dl, t AS term, COUNT(*) AS tf
+            FROM toks, unnest(ts) AS u(t)
+            GROUP BY 1, 2, 3
+        ),
+        stats AS (SELECT COUNT(*) AS n, AVG(len(ts)) AS avgdl FROM toks),
+        hits AS (
+            SELECT * FROM terms WHERE term IN (SELECT DISTINCT term FROM q)
+        ),
+        dfreq AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY 1
+        ),
+        scored AS (
+            SELECT q.query_id, h.doc_id,
+                   SUM(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                       * (h.tf * 2.2)
+                       / (h.tf + 1.2 * (0.25 + 0.75 * h.dl / s.avgdl))
+                   ) AS score
+            FROM hits h
+            JOIN q ON q.term = h.term
+            JOIN dfreq d ON d.term = h.term, stats s
+            GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT query_id, doc_id, {_sr_sql("score", 6)} AS score
+            FROM scored
+        )
+        SELECT query_id, doc_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, doc_id)
+                    AS INT) AS rank,
+               score
+        FROM r
+        QUALIFY rank <= 10
     """
     return o

@@ -701,3 +701,111 @@ def test_bigram_lm_empty_vocab_raises(spark):
     lm = train_bigram_lm(ref)
     with _pytest.raises(ValueError):
         score_perplexity(ref, lm)
+
+
+def test_bm25_hand_computed(spark):
+    """BM25 on a 3-doc corpus, cross-checked against a direct numpy
+    evaluation of the Lucene-idf formula."""
+    import math
+
+    from spark_timeseries_spark.pipeline.search import bm25_search
+
+    corpus = [
+        (1, "spark shuffles data across the cluster"),
+        (2, "spark spark spark caching"),
+        (3, "postgres stores data on one node"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = bm25_search(df, "spark data", k=3)
+    got = {(r.query_id, r.doc_id): r for r in out.collect()}
+
+    N, avgdl = 3, (6 + 4 + 6) / 3
+    tfs = {1: {"spark": 1, "data": 1}, 2: {"spark": 3}, 3: {"data": 1}}
+    dls = {1: 6, 2: 4, 3: 6}
+    dfreq = {"spark": 2, "data": 2}
+
+    def score(doc):
+        s = 0.0
+        for t, tf in tfs[doc].items():
+            idf = math.log(1 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dls[doc] / avgdl))
+        return s
+
+    for doc in (1, 2, 3):
+        assert abs(got[("q", doc)].score - score(doc)) < 1e-12, doc
+    ranked = sorted(
+        (1, 2, 3), key=lambda d: (-score(d), d)
+    )
+    for want_rank, doc in enumerate(ranked, start=1):
+        assert got[("q", doc)].rank == want_rank
+
+
+def test_bm25_multi_query_and_determinism_knob(spark):
+    from spark_timeseries_spark.pipeline.search import bm25_search
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta" if i % 2 else "beta gamma") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = bm25_search(
+        df, {"a": "alpha", "g": "gamma"}, k=5, round_digits=6
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {"a", "g"}
+    for rows in by_q.values():
+        assert len(rows) == 5
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
+        # identical texts → identical quantized scores → doc_id tie-break
+        docs = [r.doc_id for r in sorted(rows, key=lambda r: r.rank)]
+        assert docs == sorted(docs)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25_search(df, {"empty": "   "})
+
+
+def test_bm25_plan_filters_before_shuffle(spark):
+    """The exploded term stream must hit the broadcast query-term join
+    before any Exchange — the inverted-index semantics that make this
+    viable at corpus scale."""
+    from spark_timeseries_spark.pipeline.search import bm25_search
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = (
+        bm25_search(df, "alpha", k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    gen = plan.find("Generate explode")
+    part = plan.find("partial_count")
+    assert gen != -1 and part != -1 and part < gen
+    # children print below parents: between the partial tf-aggregate and
+    # the explode that feeds it there must be the broadcast query-term join
+    # and NO shuffle — i.e. the full vocabulary never reaches an Exchange
+    seg = plan[part:gen]
+    assert "BroadcastHashJoin" in seg, seg
+    assert "Exchange hashpartitioning" not in seg, seg
+
+
+def test_tf_idf_values(spark):
+    import math
+
+    from spark_timeseries_spark.pipeline.search import tf_idf
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    got = {(r.doc_id, r.term): r for r in tf_idf(df).collect()}
+    assert got[(1, "a")].tf == 2 and got[(1, "a")].df == 2
+    assert abs(got[(1, "a")].tfidf - 2 * math.log(2 / 2)) < 1e-12
+    assert abs(got[(1, "b")].tfidf - 1 * math.log(2 / 1)) < 1e-12
+    # min_df prunes hapaxes
+    pruned = tf_idf(df, min_df=2)
+    assert {r.term for r in pruned.collect()} == {"a"}
