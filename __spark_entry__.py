@@ -1378,6 +1378,25 @@ def _q_bm25_search(spark, sf_dir):
     return bm25_search(docs, _BM25_QUERIES, k=10, round_digits=6)
 
 
+def _q_dup_spans(spark, sf_dir):
+    """Duplicated-substring coverage per document (Lee et al. 2021's
+    substring dedup, re-expressed as positioned n-gram hashing —
+    ``pipeline/dedup.py::duplicated_span_stats``): one groupBy to find
+    cross-document 8-gram hashes, a join back restricted to them, and a
+    position-coverage count that explodes ONLY already-duplicated spans.
+    md5_60 hash mode so DuckDB replays the identical hash keys."""
+    from spark_timeseries_spark.pipeline.dedup import duplicated_span_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = duplicated_span_stats(docs, n=8, hash_fn="md5_60")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "dup_tokens",
+        _stable_round(F.col("dup_token_ratio"), 6).alias("dup_token_ratio"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
     the first 50 entries. Window policy (round 4, per the r3 verdict's
@@ -1511,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (late), past-window (rotate next round)
         "lm_perplexity": _q_lm_perplexity,
         "bm25_search": _q_bm25_search,
+        "dup_spans": _q_dup_spans,
     }
 
 
@@ -3618,5 +3638,39 @@ def oracle_sql() -> dict[str, str]:
                score
         FROM r
         QUALIFY rank <= 10
+    """
+
+    # duplicated-substring coverage: positioned 8-gram md5_60 hashes,
+    # cross-doc hash groups, interval union via COUNT(DISTINCT position)
+    o["dup_spans"] = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> '') AS ts
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, i AS start,
+                   {_h60("array_to_string(ts[i:i+7], ' ')")} AS gh
+            FROM toks, unnest(range(1, len(ts) - 6)) AS r(i)
+            WHERE len(ts) >= 8
+        ),
+        dup AS (
+            SELECT gh FROM grams GROUP BY gh
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        cov AS (
+            SELECT doc_id, COUNT(DISTINCT g.start + x) AS dup_tokens
+            FROM grams g JOIN dup USING (gh), unnest(range(0, 8)) AS u(x)
+            GROUP BY 1
+        )
+        SELECT t.doc_id, len(t.ts) AS n_tokens,
+               COALESCE(c.dup_tokens, 0) AS dup_tokens,
+               {_sr_sql(
+                   "CASE WHEN len(t.ts) = 0 THEN 0.0 "
+                   "ELSE COALESCE(c.dup_tokens, 0) / CAST(len(t.ts) AS DOUBLE) "
+                   "END", 6)} AS dup_token_ratio
+        FROM toks t LEFT JOIN cov c USING (doc_id)
     """
     return o

@@ -519,3 +519,107 @@ def keep_cluster_representatives(
     )
     comp.unpersist()
     return df.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# duplicated-substring detection (Lee et al. 2021)
+# ---------------------------------------------------------------------------
+
+def positioned_ngrams(
+    df: DataFrame,
+    n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, dl, start, gh) — the hash of every token ``n``-gram with its
+    1-based start position. The scale path of Lee et al. 2021's
+    suffix-array substring dedup ("Deduplicating Training Data Makes
+    Language Models Better"): a long n-gram (default 20 tokens ≈ the
+    paper's 50-token threshold at pretrain tokenization granularity) is a
+    fingerprint of an exact substring; hashing keeps the shuffle rows
+    narrow (16 bytes vs the ~120-byte gram text). Documents shorter than
+    ``n`` tokens yield no rows."""
+    from spark_timeseries_spark.functions import hashed
+    from spark_timeseries_spark.pipeline.text import tokens
+
+    toks = F.filter(
+        tokens(F.lower(F.col(text_col))), lambda t: t != F.lit("")
+    )
+    base = df.select(F.col(id_col), toks.alias("_toks")).withColumn(
+        "dl", F.size("_toks")
+    )
+    # let-bound array: sequence over starts, slice per start — the text is
+    # tokenized once; the per-start work is a slice + concat (O(n))
+    gram = lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n))  # noqa: E731
+    return (
+        base.where(F.col("dl") >= n)
+        .select(
+            id_col,
+            "dl",
+            F.explode(F.sequence(F.lit(1), F.col("dl") - n + 1)).alias("start"),
+            "_toks",
+        )
+        .select(
+            id_col,
+            "dl",
+            "start",
+            hashed(gram(F.col("start")), hash_fn).alias("gh"),
+        )
+    )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-document duplicated-substring coverage: (id, n_tokens,
+    dup_tokens, dup_token_ratio), where a token position counts as
+    duplicated iff it lies inside some ``n``-gram whose hash occurs in at
+    least ``min_docs`` distinct documents.
+
+    Plan: one shuffle to find cross-document gram hashes (groupBy gh with
+    map-side combine), a join back restricted to those hashes, then a
+    position-coverage count. Positions are counted via an explode over the
+    *duplicated occurrences only* (overlapping spans merge through
+    countDistinct) — the n-fold row blow-up applies solely to text that is
+    already known duplicated, which is the minority at corpus scale; clean
+    documents never leave the first aggregate. Output covers every input
+    document (clean ones report ratio 0.0)."""
+    grams = positioned_ngrams(df, n, text_col, id_col, hash_fn)
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .where(F.col("_nd") >= int(min_docs))
+        .select("gh")
+    )
+    covered = (
+        grams.join(dup, "gh")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + n - 1)
+            ).alias("_pos"),
+        )
+        .groupBy(id_col)
+        .agg(F.countDistinct("_pos").alias("dup_tokens"))
+    )
+    from spark_timeseries_spark.pipeline.text import token_count
+
+    lens = df.select(
+        F.col(id_col), token_count(F.col(text_col)).alias("n_tokens")
+    )
+    return (
+        lens.join(covered, id_col, "left")
+        .withColumn("dup_tokens", F.coalesce("dup_tokens", F.lit(0)))
+        .withColumn(
+            "dup_token_ratio",
+            F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                F.col("dup_tokens") / F.col("n_tokens")
+            ),
+        )
+    )

@@ -809,3 +809,40 @@ def test_tf_idf_values(spark):
     # min_df prunes hapaxes
     pruned = tf_idf(df, min_df=2)
     assert {r.term for r in pruned.collect()} == {"a"}
+
+
+def test_duplicated_span_stats_hand_computed(spark):
+    """Two docs share the run 'c1 c2 c3 c4 c5' (5 tokens); with n=3 the
+    shared 3-grams are starts 1..3 of the run — coverage merges the
+    overlapping spans into exactly the 5 shared positions."""
+    from spark_timeseries_spark.pipeline.dedup import duplicated_span_stats
+
+    shared = "c1 c2 c3 c4 c5"
+    rows = [
+        (1, f"a1 a2 {shared} a3 a4"),          # 9 tokens, shared at 3..7
+        (2, f"{shared} b1 b2 b3 b4 b5"),        # 10 tokens, shared at 1..5
+        (3, "z1 z2 z3 z4 z5 z6"),               # clean
+        (4, "x"),                                # shorter than n
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in duplicated_span_stats(df, n=3).collect()}
+
+    assert out[1].n_tokens == 9 and out[1].dup_tokens == 5
+    assert abs(out[1].dup_token_ratio - 5 / 9) < 1e-12
+    assert out[2].n_tokens == 10 and out[2].dup_tokens == 5
+    assert out[3].dup_tokens == 0 and out[3].dup_token_ratio == 0.0
+    # doc shorter than n: present, zero coverage
+    assert out[4].n_tokens == 1 and out[4].dup_tokens == 0
+
+
+def test_duplicated_spans_within_doc_repeat_not_counted(spark):
+    """min_docs=2 counts CROSS-document duplication only: a doc repeating
+    its own 3-gram twice is not flagged (that is gopher_repetition's job)."""
+    from spark_timeseries_spark.pipeline.dedup import duplicated_span_stats
+
+    df = spark.createDataFrame(
+        [(1, "r1 r2 r3 q1 r1 r2 r3"), (2, "u1 u2 u3 u4")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in duplicated_span_stats(df, n=3).collect()}
+    assert out[1].dup_tokens == 0 and out[2].dup_tokens == 0
