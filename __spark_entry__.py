@@ -1397,6 +1397,42 @@ def _q_dup_spans(spark, sf_dir):
     )
 
 
+def _kmeans_model(spark, sf_dir, k=8, iters=2):
+    from spark_timeseries_spark.pipeline.clustering import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb, kmeans_fit(emb, k=k, max_iter=iters)
+
+
+def _q_kmeans_assign(spark, sf_dir):
+    """Distributed Lloyd's k-means (k=8, 2 iterations, deterministic
+    lowest-id init — ``pipeline/clustering.py``): assignment is a broadcast
+    crossJoin + codegen'd squared-L2 argmin, update a posexplode groupBy;
+    driver state is only the k×dim centroid matrix per round. The oracle
+    replays both Lloyd iterations as unrolled SQL CTEs."""
+    from spark_timeseries_spark.pipeline.clustering import kmeans_assign
+
+    emb, model = _kmeans_model(spark, sf_dir)
+    out = kmeans_assign(emb, model)
+    return out.select(
+        "vec_id", "cid", _stable_round(F.col("dist"), 6).alias("dist")
+    )
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): high-cosine pairs searched ONLY within
+    a shared k-means cluster — k partitions the quadratic comparison. Same
+    fitted model as kmeans_assign; pairs feed the connected-components
+    resolver exactly like the MinHash path."""
+    from spark_timeseries_spark.pipeline.clustering import semantic_dedup_pairs
+
+    emb, model = _kmeans_model(spark, sf_dir)
+    out = semantic_dedup_pairs(emb, model, threshold=0.35)
+    return out.select(
+        "id_a", "id_b", "cid", _stable_round(F.col("sim"), 4).alias("sim")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
     the first 50 entries. Window policy (round 4, per the r3 verdict's
@@ -1531,6 +1567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _q_lm_perplexity,
         "bm25_search": _q_bm25_search,
         "dup_spans": _q_dup_spans,
+        "kmeans_assign": _q_kmeans_assign,
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 
@@ -3672,5 +3710,62 @@ def oracle_sql() -> dict[str, str]:
                    "ELSE COALESCE(c.dup_tokens, 0) / CAST(len(t.ts) AS DOUBLE) "
                    "END", 6)} AS dup_token_ratio
         FROM toks t LEFT JOIN cov c USING (doc_id)
+    """
+
+    # k-means replay: Lloyd's iterations unrolled as CTE chains — c0 is the
+    # deterministic lowest-id init, each round is argmin-assign (ties to the
+    # smaller cid, same as the Spark window) then per-dimension AVG with the
+    # empty-cluster COALESCE; the final assignment is what the query returns
+    def _kmeans_sql(k: int, iters: int) -> str:
+        parts = [f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        c0 AS (
+            SELECT CAST(rn - 1 AS INT) AS cid, v AS cv
+            FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM v)
+            WHERE rn <= {k}
+        )"""]
+        for t in range(1, iters + 2):
+            prev = f"c{t - 1}"
+            parts.append(f""",
+        d{t} AS (
+            SELECT v.vec_id, v.v, c.cid,
+                   list_sum(list_transform(range(1, len(v.v) + 1),
+                       i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i]))) AS dist
+            FROM v, {prev} c
+        ),
+        a{t} AS (
+            SELECT vec_id, v, cid, dist FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY dist, cid) AS rk
+                FROM d{t})
+            WHERE rk = 1
+        )""")
+            if t <= iters:  # the last assignment needs no update step
+                parts.append(f""",
+        n{t} AS (
+            SELECT cid, list(m ORDER BY i) AS m FROM (
+                SELECT cid, i, AVG(v[i]) AS m
+                FROM a{t}, unnest(range(1, len(v) + 1)) AS r(i)
+                GROUP BY 1, 2)
+            GROUP BY 1
+        ),
+        c{t} AS (
+            SELECT c.cid, COALESCE(n.m, c.cv) AS cv
+            FROM {prev} c LEFT JOIN n{t} n USING (cid)
+        )""")
+        return "".join(parts), f"a{iters + 1}"
+
+    _km_ctes, _km_final = _kmeans_sql(8, 2)
+    o["kmeans_assign"] = f"""{_km_ctes}
+        SELECT vec_id, cid, {_sr_sql("dist", 6)} AS dist FROM {_km_final}
+    """
+    o["semantic_dedup"] = f"""{_km_ctes}
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cid,
+               {_sr_sql(_cos_sql("a.v", "b.v"), 4)} AS sim
+        FROM {_km_final} a JOIN {_km_final} b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE {_cos_sql("a.v", "b.v")} >= 0.35
     """
     return o

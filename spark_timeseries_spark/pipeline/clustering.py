@@ -1,0 +1,180 @@
+"""Distributed k-means over embedding columns + SemDeDup semantic dedup.
+
+SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication") deduplicates by meaning rather
+than surface text: cluster the corpus's embeddings with k-means, then look
+for high-cosine pairs ONLY within each cluster — the clustering turns the
+O(N²) all-pairs comparison into k independent within-cluster problems.
+
+Everything here is DataFrame ops on `array<double>` columns:
+
+- **Assignment** is a crossJoin against a broadcast centroid frame (k rows)
+  with a `zip_with`/`aggregate` squared-L2 expression and a per-vector
+  `row_number` argmin — the same shape `similarity.ivf_topk` pins. Cost
+  O(N·k·dim), fully codegen, no Python.
+- **Update** re-averages per (cluster, dimension) via posexplode — one
+  shuffle of N·dim narrow rows with map-side partial aggregation.
+- **Driver state** is exactly the k×dim centroid matrix per iteration
+  (k·dim doubles — kilobytes), the same bounded-scalar pattern as
+  `dedup.connected_components`'s per-round changed-count. Lloyd's algorithm
+  is inherently iterative; the corpus itself is never collected.
+
+At 100 TB: the assignment scan dominates and parallelizes perfectly; the
+update shuffle carries (cid, dim, partial-sum) triples. For very large k,
+swap the crossJoin argmin for an LSH/IVF pre-filter (same trick the search
+path uses) without changing the update step. Init here is the k lowest-id
+vectors (deterministic, oracle-replayable); production-scale init would use
+k-means|| — the fit loop is unchanged.
+
+No reference counterpart: sryza/spark-timeseries has no clustering surface.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_timeseries_spark.pipeline.dedup import cosine
+
+__all__ = ["KMeansModel", "kmeans_fit", "kmeans_assign", "semantic_dedup_pairs"]
+
+
+def _sq_l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _as_double(vec):
+    return vec.cast("array<double>")
+
+
+@dataclass
+class KMeansModel:
+    """Fitted centroids as plain Python lists (k×dim — driver-small) plus
+    the spark session to rebuild the broadcast frame on demand."""
+
+    centroids: list[list[float]]
+    n_iter: int
+
+    def centroid_df(self, spark) -> DataFrame:
+        rows = [(i, list(c)) for i, c in enumerate(self.centroids)]
+        return spark.createDataFrame(rows, "cid int, cv array<double>")
+
+
+def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, v, cid, dist): nearest centroid by squared L2; ties break
+    to the smallest cid so assignment is deterministic."""
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("dist", _sq_l2(F.col("v"), F.col("cv")))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("vec_id", "v", "cid", "dist")
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 16,
+    max_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> KMeansModel:
+    """Lloyd's algorithm. Init = the ``k`` lowest-id vectors (deterministic
+    and replayable; see module docstring for the scale-up init). Empty
+    clusters keep their previous centroid. Each iteration materializes one
+    k×dim centroid matrix on the driver — nothing else leaves the executors.
+    """
+    if k < 1 or max_iter < 1:
+        raise ValueError("k and max_iter must be >= 1")
+    spark = df.sparkSession
+    vecs = df.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    init = (
+        vecs.withColumn(
+            "_rn", F.row_number().over(Window.orderBy(F.asc("vec_id")))
+        )
+        .where(F.col("_rn") <= k)
+        .select((F.col("_rn") - 1).alias("cid"), F.col("v").alias("cv"))
+    )
+    centroids = {r.cid: list(r.cv) for r in init.collect()}
+    if len(centroids) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(centroids)}")
+
+    for it in range(max_iter):
+        cents = spark.createDataFrame(
+            sorted(centroids.items()), "cid int, cv array<double>"
+        )
+        new = (
+            _assign(vecs, cents)
+            .select("cid", F.posexplode("v").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_s"))
+            .select("cid", F.col("_s.m").alias("cv"))
+        )
+        for r in new.collect():  # k rows — bounded driver transfer
+            centroids[r.cid] = list(r.cv)
+    return KMeansModel(
+        centroids=[centroids[c] for c in sorted(centroids)], n_iter=max_iter
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    model: KMeansModel,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cid, dist) for every vector under the fitted model."""
+    vecs = df.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    out = _assign(vecs, model.centroid_df(df.sparkSession))
+    return out.select(F.col("vec_id").alias(id_col), "cid", "dist")
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    model: KMeansModel,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup candidate pairs: (id_a, id_b, cid, sim) with id_a < id_b,
+    cosine ≥ ``threshold``, compared ONLY within a shared k-means cluster.
+
+    The self-join key is the cluster id, so the quadratic cost is per
+    cluster, not per corpus — k partitions the problem. Feed the pairs to
+    ``dedup.connected_components`` + ``keep_cluster_representatives`` to
+    materialize the kept set (same composition as the MinHash path). Skew
+    caveat: a pathologically popular cluster re-concentrates the join;
+    raise k (or sub-split hot clusters by an LSH band) if one cluster
+    exceeds executor-pair capacity."""
+    base = df.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    vecs = _assign(base, model.centroid_df(df.sparkSession)).select(
+        "vec_id", "v", "cid"
+    )
+    left = vecs.select(
+        F.col("cid"), F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    right = vecs.select(
+        F.col("cid"), F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    return (
+        left.join(right, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("sim") >= float(threshold))
+        .select("id_a", "id_b", "cid", "sim")
+    )

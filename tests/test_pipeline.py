@@ -846,3 +846,83 @@ def test_duplicated_spans_within_doc_repeat_not_counted(spark):
     )
     out = {r.doc_id: r for r in duplicated_span_stats(df, n=3).collect()}
     assert out[1].dup_tokens == 0 and out[2].dup_tokens == 0
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    """Three well-separated blobs: after a few Lloyd iterations every point
+    must be assigned with its blob-mates, and centroids must sit near the
+    blob means."""
+    import numpy as np
+
+    from spark_timeseries_spark.pipeline.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = np.array([[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0]])
+    pts = np.concatenate(
+        [c + rng.standard_normal((20, 4)) * 0.3 for c in centers]
+    )
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    model = kmeans_fit(df, k=3, max_iter=6)
+    out = kmeans_assign(df, model).collect()
+    by_blob = {}
+    for r in out:
+        by_blob.setdefault(r.vec_id // 20, set()).add(r.cid)
+    # each blob maps to exactly one cluster, and the three differ
+    assert all(len(cids) == 1 for cids in by_blob.values()), by_blob
+    assert len({next(iter(c)) for c in by_blob.values()}) == 3
+    got_centers = sorted(
+        np.round(c, 0).tolist() for c in model.centroids
+    )
+    assert got_centers == sorted(c.tolist() for c in centers)
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """k larger than the number of distinct locations: some clusters get no
+    points; their centroids must persist (no NaNs, no dropped cids)."""
+    from spark_timeseries_spark.pipeline.clustering import kmeans_fit
+
+    rows = [(i, [0.0, 0.0]) for i in range(3)] + [(i, [5.0, 5.0]) for i in range(3, 6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    model = kmeans_fit(df, k=4, max_iter=3)
+    assert len(model.centroids) == 4
+    assert all(all(np.isfinite(x) for x in c) for c in model.centroids)
+
+
+def test_semantic_dedup_pairs_within_cluster_only(spark):
+    """A planted near-duplicate pair inside one blob is found; points from
+    different blobs are never compared (no cross-blob pair can appear even
+    at threshold 0)."""
+    import numpy as np
+
+    from spark_timeseries_spark.pipeline.clustering import (
+        kmeans_fit,
+        semantic_dedup_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal(6) + np.array([20, 0, 0, 0, 0, 0])
+    blob1 = [a + rng.standard_normal(6) * 0.01 for _ in range(2)]  # near-dups
+    blob1 += [np.array([20.0, 0, 0, 0, 0, 5]) + rng.standard_normal(6)
+              for _ in range(8)]
+    blob2 = [np.array([0, 0, 0, 0, 0, -20.0]) + rng.standard_normal(6)
+             for _ in range(10)]
+    pts = blob1 + blob2
+    rows = [(i, [float(x) for x in p]) for i, p in enumerate(pts)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    model = kmeans_fit(df, k=2, max_iter=5)
+    pairs = semantic_dedup_pairs(df, model, threshold=0.999).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(0, 1)}
+    # cross-cluster pairs are structurally impossible
+    all_pairs = semantic_dedup_pairs(df, model, threshold=-1.0).collect()
+    assign = {r.id_a for r in all_pairs} | {r.id_b for r in all_pairs}
+    for p in all_pairs:
+        assert (p.id_a < 10) == (p.id_b < 10), p
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kmeans_fit(df.limit(1), k=2)
