@@ -3699,9 +3699,17 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(DISTINCT doc_id) >= 2
         ),
         cov AS (
-            SELECT doc_id, COUNT(DISTINCT g.start + x) AS dup_tokens
-            FROM grams g JOIN dup USING (gh), unnest(range(0, 8)) AS u(x)
-            GROUP BY 1
+            SELECT doc_id,
+                   SUM(GREATEST(0, (start + 7)
+                       - GREATEST(COALESCE(pmax, 0), start - 1))) AS dup_tokens
+            FROM (
+                SELECT g.doc_id, g.start,
+                       MAX(g.start + 7) OVER (
+                           PARTITION BY g.doc_id ORDER BY g.start
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ) AS pmax
+                FROM grams g JOIN dup USING (gh)
+            ) GROUP BY 1
         )
         SELECT t.doc_id, len(t.ts) AS n_tokens,
                COALESCE(c.dup_tokens, 0) AS dup_tokens,

@@ -583,13 +583,14 @@ def duplicated_span_stats(
     least ``min_docs`` distinct documents.
 
     Plan: one shuffle to find cross-document gram hashes (groupBy gh with
-    map-side combine), a join back restricted to those hashes, then a
-    position-coverage count. Positions are counted via an explode over the
-    *duplicated occurrences only* (overlapping spans merge through
-    countDistinct) — the n-fold row blow-up applies solely to text that is
-    already known duplicated, which is the minority at corpus scale; clean
-    documents never leave the first aggregate. Output covers every input
-    document (clean ones report ratio 0.0)."""
+    map-side combine), a join back restricted to those hashes (AQE decides
+    broadcast vs sort-merge; the dup-hash side is the small one), then an
+    interval-union window per document: spans sorted by start, each
+    contributing its length minus whatever a preceding span already covered
+    (running max of span ends). One doc_id shuffle over *duplicated
+    occurrences only*, no position explode — the n-fold row blow-up of the
+    naive countDistinct(position) formulation never materializes. Output
+    covers every input document (clean ones report ratio 0.0)."""
     grams = positioned_ngrams(df, n, text_col, id_col, hash_fn)
     dup = (
         grams.groupBy("gh")
@@ -597,16 +598,25 @@ def duplicated_span_stats(
         .where(F.col("_nd") >= int(min_docs))
         .select("gh")
     )
+    prev = (
+        Window.partitionBy(id_col)
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    end = F.col("start") + n - 1
+    new_cov = F.greatest(
+        F.lit(0),
+        end - F.greatest(
+            F.coalesce(F.max(F.col("start") + n - 1).over(prev), F.lit(0)),
+            F.col("start") - 1,
+        ),
+    )
     covered = (
         grams.join(dup, "gh")
-        .select(
-            id_col,
-            F.explode(
-                F.sequence(F.col("start"), F.col("start") + n - 1)
-            ).alias("_pos"),
-        )
+        .select(id_col, "start")
+        .withColumn("_new", new_cov)
         .groupBy(id_col)
-        .agg(F.countDistinct("_pos").alias("dup_tokens"))
+        .agg(F.sum("_new").alias("dup_tokens"))
     )
     from spark_timeseries_spark.pipeline.text import token_count
 
