@@ -1,0 +1,168 @@
+"""Linear text classification: model-based quality filtering.
+
+The scoring half of a fastText/CCNet-style quality filter (Wenzek et al.
+2020 filter CommonCrawl with a linear model over bag-of-words features;
+GPT-3's data work does the same with an LR classifier): featurize each
+document as normalized term frequencies, dot with a weight table, squash
+through a sigmoid. Plus a distributed trainer — batch gradient descent
+with executor-aggregated gradients and driver-held coefficients, the same
+driver/executor split ``spark.ml``'s LogisticRegression uses (and the same
+shape as :mod:`clustering`'s k-means loop: per-iteration driver transfer is
+bounded by the model size, never the corpus).
+
+Scale shape (100 TB): featurization is explode + per-doc groupBy (one
+shuffle, map-side combine). Scoring joins the feature stream against a
+BROADCAST weight table (vocab-bounded) and re-aggregates per doc — one
+shuffle. Training repeats that per iteration plus a token-keyed gradient
+aggregate whose shuffle is distinct-token-sized; only the k-dim gradient
+vector ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_timeseries_spark.pipeline.vocab import _token_stream
+
+
+def featurize(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bpe: bool = False,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Bag-of-words features: ``(id, token, tf)`` with ``tf`` the token's
+    within-document relative frequency (counts normalized by document
+    length, the fastText input representation)."""
+    stream = _token_stream(df, text_col, id_col, bpe, lowercase)
+    counts = stream.groupBy(id_col, "token").agg(F.count("*").alias("cnt"))
+    n = F.sum("cnt").over(Window.partitionBy(id_col))
+    return counts.select(id_col, "token", (F.col("cnt") / n).alias("tf"))
+
+
+def _weights_df(spark, weights) -> DataFrame:
+    if isinstance(weights, DataFrame):
+        return weights
+    rows = sorted(weights.items())
+    return spark.createDataFrame(rows, "token string, w double")
+
+
+def linear_score(
+    df: DataFrame,
+    weights,
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bpe: bool = False,
+    lowercase: bool = True,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Score every document under a linear model: ``(id, margin, score,
+    keep)`` with ``score = sigmoid(bias + Σ tf·w)`` and ``keep = score >=
+    threshold``. ``weights`` is a ``(token, w)`` DataFrame (trained
+    elsewhere or via :func:`train_logreg`) or a plain dict lexicon.
+    Documents with no weighted token score ``sigmoid(bias)`` — they still
+    get a row (left join from the corpus side)."""
+    wdf = _weights_df(df.sparkSession, weights)
+    feats = featurize(df, text_col, id_col, bpe, lowercase)
+    margins = (
+        feats.join(F.broadcast(wdf), "token")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("tf") * F.col("w")).alias("_dot"))
+    )
+    return (
+        df.select(id_col)
+        .join(margins, id_col, "left")
+        .select(
+            id_col,
+            (F.coalesce("_dot", F.lit(0.0)) + F.lit(bias)).alias("margin"),
+        )
+        .withColumn("score", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))))
+        .withColumn("keep", F.col("score") >= threshold)
+    )
+
+
+@dataclass
+class LogRegModel:
+    """Driver-held coefficients — bounded by the vocabulary size."""
+
+    weights: dict[str, float]
+    bias: float
+    n_iter: int
+
+
+def train_logreg(
+    df: DataFrame,
+    label_col: str,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_iter: int = 10,
+    lr: float = 1.0,
+    l2: float = 0.0,
+    bpe: bool = False,
+) -> LogRegModel:
+    """Batch-gradient logistic regression over bag-of-words features
+    restricted to ``vocab`` (build with :func:`vocab.build_vocab`; keeps
+    the weight table broadcastable and the gradient shuffle bounded).
+
+    Per iteration: one broadcast join to score, one doc-keyed aggregate
+    for the residual, one token-keyed aggregate for the gradient; the
+    collected gradient is |vocab| rows. Labels are 0/1 doubles.
+    """
+    spark = df.sparkSession
+    feats = featurize(df, text_col, id_col, bpe).join(
+        F.broadcast(vocab.select("token")), "token"
+    )
+    labels = df.select(id_col, F.col(label_col).cast("double").alias("_y"))
+    n_docs = labels.count()
+    feats = feats.persist()
+    try:
+        w: dict[str, float] = {}
+        b = 0.0
+        for _ in range(max_iter):
+            wdf = _weights_df(spark, w) if w else spark.createDataFrame(
+                [], "token string, w double"
+            )
+            margins = (
+                feats.join(F.broadcast(wdf), "token", "left")
+                .groupBy(id_col)
+                .agg(
+                    F.sum(
+                        F.col("tf") * F.coalesce(F.col("w"), F.lit(0.0))
+                    ).alias("_dot")
+                )
+            )
+            resid = (
+                labels.join(margins, id_col, "left")
+                .select(
+                    id_col,
+                    (
+                        F.lit(1.0)
+                        / (
+                            F.lit(1.0)
+                            + F.exp(-(F.coalesce("_dot", F.lit(0.0)) + F.lit(b)))
+                        )
+                        - F.col("_y")
+                    ).alias("_err"),
+                )
+            )
+            grad_rows = (
+                feats.join(resid, id_col)
+                .groupBy("token")
+                .agg((F.sum(F.col("tf") * F.col("_err")) / n_docs).alias("g"))
+                .collect()
+            )
+            b_grad = resid.agg((F.sum("_err") / n_docs).alias("g")).collect()[0].g
+            for r in grad_rows:
+                w[r.token] = w.get(r.token, 0.0) - lr * (
+                    r.g + l2 * w.get(r.token, 0.0)
+                )
+            b -= lr * b_grad
+        return LogRegModel(weights=w, bias=b, n_iter=max_iter)
+    finally:
+        feats.unpersist()

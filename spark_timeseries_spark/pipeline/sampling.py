@@ -38,6 +38,55 @@ def deterministic_sample(
     return df.where(_bucket(F.col(id_col), seed, hash_fn) < thr)
 
 
+def mixture_epochs(
+    df: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_weight: float = 1.0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Repeat-factor UPsampling — the other half of mixture construction
+    (:func:`stratified_sample` only drops rows). A stratum with weight
+    ``w`` emits every row ``floor(w)`` times, plus one more with
+    probability ``frac(w)`` decided by the same deterministic hash bucket
+    as the samplers, so e.g. ``{"books": 2.5}`` sees each book 2 or 3
+    times (mean 2.5 epochs) — the LLaMA/Gopher-style per-source epoch
+    table. Adds an ``epoch`` column (0-based copy index) so downstream
+    shuffles/packing see distinct rows.
+
+    Scale: the weight lookup is a literal CASE chain and the copy count a
+    hash compare — row-local. The only row-count change is the explode
+    itself, which is exactly the upsampled corpus size; no shuffle, no
+    join, no driver state. Fractional thresholds are precomputed to
+    integer literals here so both engines compare integers (no float
+    parity risk)."""
+    def _parts(w: float) -> tuple[int, int]:
+        if w < 0:
+            raise ValueError(f"negative mixture weight {w}")
+        base = int(w)
+        return base, int(round((w - base) * _MOD))
+
+    dbase, dthr = _parts(default_weight)
+    base_c, thr_c = F.lit(dbase), F.lit(dthr)
+    for name, w in sorted(weights.items()):
+        b, t = _parts(w)
+        base_c = F.when(F.col(stratum_col) == name, b).otherwise(base_c)
+        thr_c = F.when(F.col(stratum_col) == name, t).otherwise(thr_c)
+    n = base_c + F.when(
+        _bucket(F.col(id_col), seed, hash_fn) < thr_c, 1
+    ).otherwise(0)
+    return (
+        df.withColumn("_n_copies", n)
+        .where(F.col("_n_copies") > 0)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1))
+        )
+        .drop("_n_copies")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],

@@ -1,0 +1,118 @@
+"""Vocabulary construction and out-of-vocabulary profiling.
+
+Tokenizer training prep for a pretraining corpus: count every token once
+across the corpus, keep the ``max_size`` most frequent above ``min_count``,
+and profile each document's OOV rate against the frozen vocabulary (the
+standard coverage check before committing to a tokenizer).
+
+Scale shape (100 TB): token counting is one explode + one hash-shuffle
+groupBy with map-side partial aggregation — the shuffle carries one row per
+DISTINCT token per partition, not per occurrence. Top-k selection uses
+``orderBy(...).limit(k)`` which Spark plans as ``TakeOrderedAndProject``:
+each partition keeps its local top-k and only ``k`` rows ever reach the
+driver — no global sort. The resulting vocabulary is small by construction
+(a tokenizer vocab is ~10⁴–10⁵ rows), so OOV scoring broadcasts it and
+stays a map-side join; the only shuffle is the per-document re-aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_timeseries_spark.pipeline.text import bpe_like_tokens, tokens
+
+
+def _token_stream(
+    df: DataFrame, text_col: str, id_col: str | None, bpe: bool, lowercase: bool
+) -> DataFrame:
+    """One row per token occurrence. Empty tokens (blank/whitespace-only
+    documents) are filtered so both engines agree on zero-token docs."""
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    tok = bpe_like_tokens(t) if bpe else tokens(t)
+    cols = ([F.col(id_col)] if id_col else []) + [F.explode(tok).alias("token")]
+    return df.select(*cols).where(F.col("token") != "")
+
+
+def token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    bpe: bool = False,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus-wide token frequencies: ``(token, cnt)``. One explode + one
+    groupBy — partial aggregation makes the shuffle distinct-token-sized."""
+    return (
+        _token_stream(df, text_col, None, bpe, lowercase)
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def build_vocab(
+    df: DataFrame,
+    max_size: int = 50_000,
+    min_count: int = 1,
+    text_col: str = "text",
+    bpe: bool = False,
+    lowercase: bool = True,
+) -> DataFrame:
+    """The ``max_size`` most frequent tokens with ``cnt >= min_count``,
+    ranked ``(cnt DESC, token ASC)`` (deterministic tie-break), with a
+    0-based ``token_id`` in rank order.
+
+    The global sort only exists on the post-``limit`` frame — at most
+    ``max_size`` rows — so the ``row_number`` window's single-partition
+    stage is bounded by the vocab size, never the corpus.
+    """
+    counted = token_counts(df, text_col, bpe, lowercase).where(
+        F.col("cnt") >= min_count
+    )
+    top = counted.orderBy(F.desc("cnt"), F.asc("token")).limit(max_size)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return top.select(
+        (F.row_number().over(w) - 1).alias("token_id"), "token", "cnt"
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bpe: bool = False,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document OOV profile against a frozen vocabulary:
+    ``(id, n_tokens, n_oov, oov_rate)``. Zero-token documents report
+    ``n_tokens = 0`` and a NULL rate.
+
+    The vocab side is explicitly broadcast (bounded by ``max_size``), so
+    membership testing is map-side; the per-document aggregate is the one
+    shuffle, with map-side combine on the id."""
+    stream = _token_stream(df, text_col, id_col, bpe, lowercase)
+    marked = stream.join(
+        F.broadcast(vocab.select("token").withColumn("_in", F.lit(1))),
+        "token",
+        "left",
+    )
+    per_doc = marked.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        (F.count("*") - F.sum(F.coalesce(F.col("_in"), F.lit(0)))).alias(
+            "n_oov"
+        ),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            (
+                F.col("n_oov") / F.col("n_tokens")
+            ).alias("oov_rate"),
+        )
+    )

@@ -926,3 +926,140 @@ def test_semantic_dedup_pairs_within_cluster_only(spark):
 
     with _pytest.raises(ValueError):
         kmeans_fit(df.limit(1), k=2)
+
+
+def test_mixture_epochs_repeat_factors(spark):
+    """Upsampling: weight w emits floor(w)/ceil(w) copies hash-decided,
+    epoch indexes the copies, weight 0 drops the stratum, and the whole
+    plan is shuffle-free (row-local CASE + hash + explode)."""
+    from spark_timeseries_spark.pipeline.sampling import mixture_epochs
+
+    rows = [(i, ["a", "b", "c", "d"][i % 4]) for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    out = mixture_epochs(df, {"a": 2.0, "b": 0.5, "c": 0.0}, seed=1)
+    per = {r.source: r for r in out.groupBy("source").agg(
+        F.count("*").alias("rows"),
+        F.countDistinct("doc_id").alias("docs"),
+        F.max("epoch").alias("max_epoch"),
+        F.min("epoch").alias("min_epoch"),
+    ).collect()}
+    assert per["a"].rows == 2000 and per["a"].docs == 1000   # exactly 2 copies
+    assert per["a"].max_epoch == 1 and per["a"].min_epoch == 0
+    assert 350 < per["b"].rows < 650 and per["b"].max_epoch == 0
+    assert "c" not in per                                    # weight 0 drops
+    assert per["d"].rows == 1000                             # default weight 1
+
+    frac = mixture_epochs(df.where("source = 'a'"), {"a": 2.5}, seed=1)
+    copies = frac.groupBy("doc_id").count().collect()
+    assert all(r["count"] in (2, 3) for r in copies)
+    mean = sum(r["count"] for r in copies) / len(copies)
+    assert 2.3 < mean < 2.7                                  # ≈ 2.5 epochs
+
+    # reproducible, and row-local: no Exchange anywhere in the plan
+    again = mixture_epochs(df, {"a": 2.0, "b": 0.5, "c": 0.0}, seed=1)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+    with pytest.raises(ValueError):
+        mixture_epochs(df, {"a": -1.0})
+
+
+def test_build_vocab_ranking(spark):
+    """(cnt DESC, token ASC) ranking with min_count and max_size gates,
+    0-based contiguous token ids."""
+    from spark_timeseries_spark.pipeline.vocab import build_vocab
+
+    rows = [
+        (0, "apple apple apple banana banana cherry"),
+        (1, "banana apple date Apple"),  # lowercased: apple x2 more
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    v = build_vocab(df, max_size=3, min_count=2).collect()
+    assert [(r.token_id, r.token, r.cnt) for r in v] == [
+        (0, "apple", 5),
+        (1, "banana", 3),
+    ]  # cherry/date fail min_count; ids contiguous from 0
+
+    tie = spark.createDataFrame([(0, "zz aa zz aa")], "doc_id long, text string")
+    t = build_vocab(tie, max_size=10, min_count=1).collect()
+    assert [r.token for r in t] == ["aa", "zz"]  # count tie → alphabetical
+
+
+def test_oov_rate_hand_computed(spark):
+    from spark_timeseries_spark.pipeline.vocab import oov_rate
+
+    docs = spark.createDataFrame(
+        [(0, "apple banana cherry apple"), (1, "date elder"), (2, "   ")],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame([("apple",), ("banana",)], "token string")
+    out = {r.doc_id: r for r in oov_rate(docs, vocab).collect()}
+    assert (out[0].n_tokens, out[0].n_oov) == (4, 1)         # cherry OOV
+    assert abs(out[0].oov_rate - 0.25) < 1e-12
+    assert (out[1].n_tokens, out[1].n_oov) == (2, 2)
+    assert out[1].oov_rate == 1.0
+    assert (out[2].n_tokens, out[2].n_oov) == (0, 0)         # blank doc
+    assert out[2].oov_rate is None                           # NULL, not NaN/0
+
+
+def test_linear_score_hand_computed(spark):
+    from spark_timeseries_spark.pipeline.classifier import linear_score
+
+    docs = spark.createDataFrame(
+        [(0, "good good bad"), (1, "nothing matches here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in linear_score(
+        docs, {"good": 1.0, "bad": -2.0}, bias=0.0
+    ).collect()}
+    # margin = (2/3)(1) + (1/3)(-2) = 0 → score 0.5 → keep at threshold
+    assert abs(out[0].margin) < 1e-12 and abs(out[0].score - 0.5) < 1e-12
+    assert out[0].keep is True
+    # no lexicon hit → sigmoid(bias) exactly
+    assert out[1].margin == 0.0 and out[1].keep is True
+
+
+def test_train_logreg_matches_numpy(spark):
+    """The distributed trainer replays a dense numpy batch-GD exactly:
+    same features, same update rule → same weights to fp noise."""
+    import math
+
+    from spark_timeseries_spark.pipeline.classifier import (
+        linear_score,
+        train_logreg,
+    )
+
+    rows = [
+        (0, "spam spam offer", 1.0),
+        (1, "offer spam free spam", 1.0),
+        (2, "meeting notes agenda", 0.0),
+        (3, "agenda for the meeting", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y double")
+    toks = sorted({t for _, s, _ in rows for t in s.split()})
+    vocab = spark.createDataFrame([(t,) for t in toks], "token string")
+
+    model = train_logreg(df, "y", vocab, max_iter=4, lr=2.0)
+
+    X = np.zeros((len(rows), len(toks)))
+    y = np.array([r[2] for r in rows])
+    for i, (_, s, _) in enumerate(rows):
+        words = s.split()
+        for w in words:
+            X[i, toks.index(w)] += 1.0 / len(words)
+    wv, b = np.zeros(len(toks)), 0.0
+    for _ in range(4):
+        p = 1.0 / (1.0 + np.exp(-(X @ wv + b)))
+        err = p - y
+        wv -= 2.0 * (X.T @ err) / len(rows)
+        b -= 2.0 * err.mean()
+    got = np.array([model.weights.get(t, 0.0) for t in toks])
+    assert np.allclose(got, wv, atol=1e-9)
+    assert abs(model.bias - b) < 1e-9
+
+    # and the fitted model separates the training set
+    pred = {r.doc_id: r.keep for r in linear_score(
+        df, model.weights, bias=model.bias
+    ).collect()}
+    assert pred[0] and pred[1] and not pred[2] and not pred[3]
