@@ -1433,6 +1433,25 @@ def _q_semantic_dedup(spark, sf_dir):
     )
 
 
+def _q_remove_dup_spans(spark, sf_dir):
+    """Substring-dedup REWRITE (Lee et al. 2021's removal step, completing
+    ``dup_spans``' measurement step — ``pipeline/dedup.py::remove_dup_spans``):
+    cut every cross-document duplicated 8-gram span except its canonical
+    (min-doc_id) occurrence, rebuild the text relationally (interval-merge
+    window + gap extraction + array slices — no position explode, no
+    quadratic HOF). md5_60 mode; compared via md5 of the rebuilt text."""
+    from spark_timeseries_spark.pipeline.dedup import remove_dup_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = remove_dup_spans(docs, n=8, keep_first=True, hash_fn="md5_60")
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_tokens",
+        "removed_tokens",
+    )
+
+
 _MIXTURE_WEIGHTS = {"src0": 2.5, "src1": 0.25, "src2": 0.0, "src3": 1.75}
 
 
@@ -1517,20 +1536,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotation plan): (a) the 11 round-3 queries that have never had a driver
     row (gopher/sessionize/pii/sampling/dedup_components/decontaminate
     family) plus the 11 loader-era queries whose only green rows predate
-    the fixture regeneration; (b) ALL 19 queries newly added this round
+    the fixture regeneration; (b) ALL 20 queries newly added this round
     (packing, split, normalize, boilerplate, chunking, calendar, serde,
-    matrix, LM-perplexity, BM25, dup-spans, k-means, SemDeDup, mixture
-    upsampling, vocab, OOV, linear classifier) — in the window immediately
-    rather than deferred a round (r3 ADVICE); (c) 8 round-3-window queries
-    kept in because this round's code touched their paths (union-index
-    numbering, multimodal decode kernels) or a model-free single green
-    row, plus ``arima_forecast`` as the flagship; (d) ``cosine_dup_pairs``
-    (r1-only row, and one of the two r3 perf-watch outliers) as slot 50.
-    Past the window: nine r3-green model queries displaced by the new set
-    (models/ untouched this round — their r3 driver rows stand), the six
+    matrix, LM-perplexity, BM25, dup-span stats + removal, k-means,
+    SemDeDup, mixture upsampling, vocab, OOV, linear classifier) — in the
+    window immediately rather than deferred a round (r3 ADVICE); (c) 8
+    round-3-window queries kept in because this round's code touched
+    their paths (union-index numbering, multimodal decode kernels) or a
+    model-free single green row, plus ``arima_forecast`` as the flagship;
+    (d) ``cosine_dup_pairs`` (r1-only row, and one of the two r3
+    perf-watch outliers) as slot 50. Past the window: nine r3-green model
+    queries plus ``fill_spline`` displaced by the new set (models/ and
+    fill.py untouched this round — their r3 driver rows stand), the six
     r3-proven stats/layout queries displaced in the first rotation, the
     events family re-proven green in r3, and the documents/embeddings
-    family with green r1/r2 rows. All 103 are additionally validated
+    family with green r1/r2 rows. All 104 are additionally validated
     locally by ``tools/check_correctness.py`` (full log committed per
     round)."""
     return {
@@ -1577,10 +1597,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "oov_rate": _q_oov_rate,
         "linear_score": _q_linear_score,
+        "remove_dup_spans": _q_remove_dup_spans,
         # -- (c) r3-window queries kept in (code-touched paths or single
         #        green row) --------------------------------------------------
         "arima_forecast": _q_arima_forecast,
-        "fill_spline": _q_fill_spline,
         "index_union": _q_index_union,
         "filter_by_instant": _q_filter_by_instant,
         "ivf_topk": _q_ivf_topk,
@@ -1609,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_fit": _q_ewma_fit,
         "argarch_fit": _q_argarch_fit,
         "holt_winters_fit": _q_holt_winters_fit,
+        "fill_spline": _q_fill_spline,
         # displaced by (b'): untouched this round, r3 driver rows stand
         "arima_filter": _q_arima_filter,
         "garch_filter": _q_garch_filter,
@@ -3806,6 +3827,92 @@ def oracle_sql() -> dict[str, str]:
                    "ELSE COALESCE(c.dup_tokens, 0) / CAST(len(t.ts) AS DOUBLE) "
                    "END", 6)} AS dup_token_ratio
         FROM toks t LEFT JOIN cov c USING (doc_id)
+    """
+
+    # remove_dup_spans: same positioned-8-gram pipeline as dup_spans, plus
+    # canonical-occurrence exemption, interval merge (running-max groups),
+    # gap/tail keep-segments, and list-slice text rebuild. The gram hash
+    # runs over the LOWERCASED tokens, the rebuild over the ORIGINAL-case
+    # tokens — positions align because lowercasing preserves whitespace.
+    o["remove_dup_spans"] = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       x -> x <> '') AS ts_o,
+                   list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> '') AS ts
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, i AS start,
+                   {_h60("array_to_string(ts[i:i+7], ' ')")} AS gh
+            FROM toks, unnest(range(1, len(ts) - 6)) AS r(i)
+            WHERE len(ts) >= 8
+        ),
+        dup AS (
+            SELECT gh, MIN(doc_id) AS canon FROM grams GROUP BY gh
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        occ AS (
+            SELECT g.doc_id, g.start, g.start + 7 AS e
+            FROM grams g JOIN dup USING (gh)
+            WHERE g.doc_id <> dup.canon
+        ),
+        grp AS (
+            SELECT doc_id, start, e,
+                   SUM(CASE WHEN start > COALESCE(pmax, 0) + 1
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY start
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS g
+            FROM (
+                SELECT doc_id, start, e,
+                       MAX(e) OVER (PARTITION BY doc_id ORDER BY start
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING) AS pmax
+                FROM occ)
+        ),
+        merged AS (
+            SELECT doc_id, g, MIN(start) AS a, MAX(e) AS b
+            FROM grp GROUP BY 1, 2
+        ),
+        gaps AS (
+            SELECT doc_id, s, e FROM (
+                SELECT doc_id,
+                       COALESCE(lag(b) OVER (PARTITION BY doc_id ORDER BY a)
+                                + 1, 1) AS s,
+                       a - 1 AS e
+                FROM merged)
+            WHERE s <= e
+        ),
+        tailseg AS (
+            SELECT m.doc_id, MAX(m.b) + 1 AS s, ANY_VALUE(len(k.ts)) AS e
+            FROM merged m JOIN toks k USING (doc_id)
+            GROUP BY 1 HAVING MAX(m.b) + 1 <= ANY_VALUE(len(k.ts))
+        ),
+        allsegs AS (
+            SELECT * FROM gaps UNION ALL SELECT * FROM tailseg
+        ),
+        reb AS (
+            SELECT g.doc_id,
+                   flatten(list(k.ts_o[g.s:g.e] ORDER BY g.s)) AS kept
+            FROM allsegs g JOIN toks k USING (doc_id)
+            GROUP BY 1
+        )
+        SELECT t.doc_id,
+               md5(CASE WHEN d.doc_id IS NULL
+                        THEN array_to_string(t.ts_o, ' ')
+                        ELSE COALESCE(array_to_string(r.kept, ' '), '')
+                   END) AS clean_md5,
+               len(t.ts_o) AS n_tokens,
+               CASE WHEN d.doc_id IS NULL THEN 0
+                    ELSE len(t.ts_o) - COALESCE(len(r.kept), 0)
+               END AS removed_tokens
+        FROM toks t
+        LEFT JOIN (SELECT DISTINCT doc_id FROM merged) d USING (doc_id)
+        LEFT JOIN reb r USING (doc_id)
     """
 
     # k-means replay: Lloyd's iterations unrolled as CTE chains — c0 is the

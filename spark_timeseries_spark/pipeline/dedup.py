@@ -633,3 +633,113 @@ def duplicated_span_stats(
             ),
         )
     )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    keep_first: bool = True,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Substring-dedup REWRITE (the removal half of Lee et al. 2021, next
+    to :func:`duplicated_span_stats`'s measurement half): cut every token
+    span covered by a cross-document duplicated ``n``-gram and rebuild the
+    text from what remains. With ``keep_first`` (default, the paper's
+    keep-one-copy policy) each gram's canonical occurrence — the one in
+    the smallest ``id`` containing it — is exempt, so exactly one copy of
+    every duplicated substring survives the corpus. Output: (id,
+    clean_text, n_tokens, removed_tokens); the rebuilt text is
+    whitespace-normalized (tokens joined by single spaces). Documents
+    shorter than ``n`` tokens pass through unchanged.
+
+    Plan (100 TB lens): the dup-hash table is found with one gram-hash
+    shuffle (map-side combine; carries (gh, count, min-id) only). Spans
+    join back restricted to those hashes, then ALL span algebra — overlap
+    merging via the running-max-of-ends window, gap extraction via lag —
+    is windowed over one doc_id shuffle of *duplicated occurrences only*;
+    no position explode, no quadratic HOF. The rebuild is a per-doc
+    collect of non-overlapping keep-segments (bounded by the document's
+    own token count) + array slices — row-local. Intra-document repeats
+    do not count as duplicates (min_docs is over DISTINCT documents),
+    matching duplicated_span_stats.
+    """
+    from spark_timeseries_spark.pipeline.text import tokens
+
+    grams = positioned_ngrams(df, n, text_col, id_col, hash_fn)
+    agg = [F.countDistinct(id_col).alias("_nd")]
+    if keep_first:
+        agg.append(F.min(id_col).alias("_canon"))
+    dup = grams.groupBy("gh").agg(*agg).where(F.col("_nd") >= int(min_docs))
+    occ = grams.join(dup, "gh")
+    if keep_first:
+        occ = occ.where(F.col(id_col) != F.col("_canon"))
+    spans = occ.select(
+        id_col, "start", (F.col("start") + n - 1).alias("end")
+    )
+
+    # merge overlapping/touching spans: a span starts a new merged group
+    # iff it begins past the running max of previous ends (same trick as
+    # duplicated_span_stats, kept relational to avoid O(m²) array HOFs)
+    w_ord = Window.partitionBy(id_col).orderBy("start", "end")
+    prev_max_end = F.max("end").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    grouped = spans.withColumn(
+        "_grp",
+        F.sum(
+            F.when(
+                F.col("start") > F.coalesce(prev_max_end, F.lit(0)) + 1, 1
+            ).otherwise(0)
+        ).over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = grouped.groupBy(id_col, "_grp").agg(
+        F.min("start").alias("a"), F.max("end").alias("b")
+    )
+
+    # keep-segments = complement of merged spans inside [1, dl]
+    w_m = Window.partitionBy(id_col).orderBy("a")
+    gaps = merged.select(
+        id_col,
+        F.coalesce(F.lag("b").over(w_m) + 1, F.lit(1)).alias("s"),
+        (F.col("a") - 1).alias("e"),
+    ).where(F.col("s") <= F.col("e"))
+    tails = merged.groupBy(id_col).agg((F.max("b") + 1).alias("s"))
+
+    toks_orig = F.filter(tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    base = df.select(F.col(id_col), toks_orig.alias("_toks")).withColumn(
+        "dl", F.size("_toks")
+    )
+    tail_segs = (
+        tails.join(base.select(id_col, "dl"), id_col)
+        .where(F.col("s") <= F.col("dl"))
+        .select(id_col, "s", F.col("dl").alias("e"))
+    )
+    segs = (
+        gaps.unionByName(tail_segs)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_segs"))
+    )
+    kept = F.flatten(
+        F.transform(
+            F.col("_segs"),
+            lambda s: F.slice(F.col("_toks"), s["s"], s["e"] - s["s"] + 1),
+        )
+    )
+    out = (
+        base.join(segs, id_col, "left")
+        .join(merged.groupBy(id_col).agg(F.lit(1).alias("_has")), id_col, "left")
+        .withColumn(
+            "_kept",
+            F.when(F.col("_has").isNull(), F.col("_toks")).otherwise(
+                F.coalesce(kept, F.array())
+            ),
+        )
+        .select(
+            id_col,
+            F.concat_ws(" ", F.col("_kept")).alias("clean_text"),
+            F.col("dl").alias("n_tokens"),
+            (F.col("dl") - F.size("_kept")).alias("removed_tokens"),
+        )
+    )
+    return out

@@ -1063,3 +1063,55 @@ def test_train_logreg_matches_numpy(spark):
         df, model.weights, bias=model.bias
     ).collect()}
     assert pred[0] and pred[1] and not pred[2] and not pred[3]
+
+
+def test_remove_dup_spans_keep_first_policy(spark):
+    """Keep-one-copy: the canonical (min doc_id) occurrence survives, every
+    other copy is cut — including multiple copies inside one non-canonical
+    doc; clean docs and too-short docs pass through unchanged."""
+    from spark_timeseries_spark.pipeline.dedup import remove_dup_spans
+
+    rows = [
+        (0, "a b c d x y z w q r"),
+        (1, "p q a b c d r s t u"),
+        (2, "a b c d a b c d m n"),        # two copies, both non-canonical
+        (3, "completely unrelated words here now ok fine yes sure thing"),
+        (4, "tiny doc"),                    # shorter than n
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_dup_spans(df, n=4).collect()}
+    assert out[0].clean_text == "a b c d x y z w q r"      # canonical intact
+    assert out[0].removed_tokens == 0
+    assert out[1].clean_text == "p q r s t u"
+    assert out[1].removed_tokens == 4
+    assert out[2].clean_text == "m n" and out[2].removed_tokens == 8
+    assert out[3].removed_tokens == 0 and out[4].removed_tokens == 0
+    assert out[4].clean_text == "tiny doc"
+
+    # keep_first=False removes every copy, canonical included
+    all_cut = {r.doc_id: r for r in
+               remove_dup_spans(df, n=4, keep_first=False).collect()}
+    assert all_cut[0].clean_text == "x y z w q r"
+    assert all_cut[0].removed_tokens == 4
+
+
+def test_remove_dup_spans_merges_overlaps_and_keeps_case(spark):
+    """Overlapping duplicated grams merge into one cut (no double count),
+    hashes are case-insensitive but the rebuilt text keeps original case."""
+    from spark_timeseries_spark.pipeline.dedup import remove_dup_spans
+
+    rows = [
+        (0, "a b c d e f tail0 one two three"),   # 3 overlapping dup 4-grams
+        (1, "A B C D E F tail1 four five six"),   # upper-case copy
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_dup_spans(df, n=4).collect()}
+    assert out[0].clean_text == "a b c d e f tail0 one two three"
+    assert out[1].clean_text == "tail1 four five six"       # merged 1..6 cut
+    assert out[1].removed_tokens == 6
+    # intra-doc repetition alone is NOT cross-document duplication
+    solo = spark.createDataFrame(
+        [(0, "x y z w x y z w pad pad")], "doc_id long, text string"
+    )
+    s = remove_dup_spans(solo, n=4).collect()[0]
+    assert s.removed_tokens == 0
