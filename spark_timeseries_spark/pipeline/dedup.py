@@ -677,7 +677,7 @@ def remove_dup_spans(
     if keep_first:
         occ = occ.where(F.col(id_col) != F.col("_canon"))
     spans = occ.select(
-        id_col, "start", (F.col("start") + n - 1).alias("end")
+        id_col, "dl", "start", (F.col("start") + n - 1).alias("end")
     )
 
     # merge overlapping/touching spans: a span starts a new merged group
@@ -694,31 +694,47 @@ def remove_dup_spans(
         ).over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
     )
     merged = grouped.groupBy(id_col, "_grp").agg(
-        F.min("start").alias("a"), F.max("end").alias("b")
+        F.min("start").alias("a"),
+        F.max("end").alias("b"),
+        F.first("dl").alias("dl"),
     )
 
-    # keep-segments = complement of merged spans inside [1, dl]
+    # keep-segments = complement of merged spans inside [1, dl]. ONE pass
+    # over merged (plan-pinned: a second consumer would recompute the
+    # whole gram pipeline): each interval emits the gap before itself
+    # (prev_end+1 .. a-1) and, if last in its doc, the tail (b+1 .. dl);
+    # degenerate segments are filtered inside the aggregate. Every doc
+    # with ≥1 merged span gets exactly one row here (possibly an empty
+    # segment array — the fully-covered case), so the left-join NULL below
+    # is precisely "no duplicated spans".
     w_m = Window.partitionBy(id_col).orderBy("a")
-    gaps = merged.select(
+    pair = merged.select(
         id_col,
-        F.coalesce(F.lag("b").over(w_m) + 1, F.lit(1)).alias("s"),
-        (F.col("a") - 1).alias("e"),
-    ).where(F.col("s") <= F.col("e"))
-    tails = merged.groupBy(id_col).agg((F.max("b") + 1).alias("s"))
+        F.array(
+            F.struct(
+                F.coalesce(F.lag("b").over(w_m) + 1, F.lit(1)).alias("s"),
+                (F.col("a") - 1).alias("e"),
+            ),
+            F.struct(
+                (F.col("b") + 1).alias("s"),
+                F.when(
+                    F.lead("a").over(w_m).isNull(), F.col("dl")
+                ).otherwise(F.lit(0)).alias("e"),
+            ),
+        ).alias("_pair"),
+    )
+    segs = pair.groupBy(id_col).agg(
+        F.sort_array(
+            F.filter(
+                F.flatten(F.collect_list("_pair")),
+                lambda g: g["s"] <= g["e"],
+            )
+        ).alias("_segs")
+    )
 
     toks_orig = F.filter(tokens(F.col(text_col)), lambda t: t != F.lit(""))
     base = df.select(F.col(id_col), toks_orig.alias("_toks")).withColumn(
         "dl", F.size("_toks")
-    )
-    tail_segs = (
-        tails.join(base.select(id_col, "dl"), id_col)
-        .where(F.col("s") <= F.col("dl"))
-        .select(id_col, "s", F.col("dl").alias("e"))
-    )
-    segs = (
-        gaps.unionByName(tail_segs)
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_segs"))
     )
     kept = F.flatten(
         F.transform(
@@ -728,12 +744,9 @@ def remove_dup_spans(
     )
     out = (
         base.join(segs, id_col, "left")
-        .join(merged.groupBy(id_col).agg(F.lit(1).alias("_has")), id_col, "left")
         .withColumn(
             "_kept",
-            F.when(F.col("_has").isNull(), F.col("_toks")).otherwise(
-                F.coalesce(kept, F.array())
-            ),
+            F.when(F.col("_segs").isNull(), F.col("_toks")).otherwise(kept),
         )
         .select(
             id_col,

@@ -318,3 +318,67 @@ def test_remove_boilerplate_shuffles_hashes_not_text(spark):
     assert "xxhash64" in p, p
     # frequency-count aggregate groups on the hash column _h
     assert re.search(r"Exchange hashpartitioning\(_h", p), p
+
+
+def test_vocab_topk_no_global_sort(spark):
+    """build_vocab's global ranking must NOT plan a rangepartitioning
+    (global sort) over the token counts: the top-k is TakeOrderedAndProject
+    (per-partition top-k, k rows to the driver) and the row_number window
+    runs on the already-limited ≤max_size frame."""
+    from spark_timeseries_spark.pipeline.vocab import build_vocab
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} common") for i in range(50)],
+        "doc_id long, text string",
+    )
+    v = build_vocab(docs, max_size=5, min_count=1)
+    p = _plan(v)
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_oov_rate_vocab_join_is_broadcast(spark):
+    """The vocabulary membership join must stay a broadcast: a shuffled
+    join keyed on token would repartition the whole token stream by a
+    skewed key (stopwords) at corpus scale."""
+    from spark_timeseries_spark.pipeline.vocab import oov_rate
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame([("alpha",), ("beta",)], "token string")
+    p = _plan(oov_rate(docs, vocab))
+    assert "BroadcastHashJoin" in p
+    assert not re.search(r"SortMergeJoin.*token", p)
+
+
+def test_linear_score_weight_join_is_broadcast(spark):
+    """The weight-table join of the linear classifier is broadcast — the
+    lexicon/model is vocab-bounded by construction."""
+    from spark_timeseries_spark.pipeline.classifier import linear_score
+
+    docs = spark.createDataFrame(
+        [(i, "good bad neutral words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    p = _plan(linear_score(docs, {"good": 1.0, "bad": -1.0}))
+    assert "BroadcastHashJoin" in p
+
+
+def test_remove_dup_spans_no_position_explode(spark):
+    """The span algebra must stay interval-based: exactly two Generates —
+    the n-gram start explode, computed once for the dup-hash aggregate
+    and once for the occurrence join (the inherent two-pass of a
+    self-referencing dedup, same as dup_spans) — and NEVER an explode
+    over covered positions or a third recomputation (the gap/tail/flag
+    stages must all hang off ONE consumer of the merged intervals)."""
+    from spark_timeseries_spark.pipeline.dedup import remove_dup_spans
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(30))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    p = _plan(remove_dup_spans(docs, n=4))
+    assert len(re.findall(r"\bGenerate explode", p)) == 2
+    assert "posexplode" not in p
