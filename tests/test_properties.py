@@ -111,3 +111,44 @@ def test_pack_sequences_matches_python_prefix_sum(spark, docs, seq_len):
         end = run + n  # last occupied position is offset + (n+1) - 1
         assert r.n_seqs_spanned == end // seq_len - run // seq_len + 1
         run += n + 1
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=24),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(2, 4),
+)
+def test_remove_dup_spans_matches_python_reference(spark, docs, n):
+    """remove_dup_spans(keep_first=False) against a brute-force reference:
+    mark every token position covered by an n-gram occurring in ≥2 distinct
+    docs, keep the rest."""
+    from spark_timeseries_spark.pipeline.dedup import remove_dup_spans
+
+    corpus = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+
+    # brute force over the token lists
+    from collections import defaultdict
+
+    where = defaultdict(set)
+    for i, toks in enumerate(docs):
+        for s in range(len(toks) - n + 1):
+            where[tuple(toks[s:s + n])].add(i)
+    expected = {}
+    for i, toks in enumerate(docs):
+        cut = set()
+        for s in range(len(toks) - n + 1):
+            if len(where[tuple(toks[s:s + n])]) >= 2:
+                cut.update(range(s, s + n))
+        kept = [t for p, t in enumerate(toks) if p not in cut]
+        expected[i] = (" ".join(kept), len(toks), len(cut))
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.removed_tokens)
+        for r in remove_dup_spans(df, n=n, keep_first=False).collect()
+    }
+    assert got == expected

@@ -361,3 +361,38 @@ def test_streaming_scrub_and_sample(spark, tmp_path):
     out = spark.sql("select * from scrubbed").toPandas()
     assert set(out.source) == {"srcA"} and len(out) == 20
     assert all("[email]" in t and "@" not in t for t in out.text)
+
+
+def test_streaming_mixture_epochs(spark, tmp_path):
+    """Repeat-factor upsampling is row-local (CASE + hash + explode), so
+    the same operator runs under readStream unchanged: a weight-2 stratum
+    emits every arriving doc twice, weight-0 never, with epochs intact and
+    identical copy decisions to the batch run (hash-determined, not
+    partition/RNG-dependent)."""
+    from spark_timeseries_spark.pipeline.sampling import mixture_epochs
+
+    src = str(tmp_path / "mix_src")
+    os.makedirs(src)
+    rows = [(i, "keep2" if i % 2 == 0 else "drop0", f"d{i}") for i in range(30)]
+    batch_df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    batch_df.write.parquet(src + "/batch1")
+
+    stream = spark.readStream.schema("doc_id long, source string, text string").parquet(
+        src + "/*"
+    )
+    weights = {"keep2": 2.0, "drop0": 0.0}
+    q = (
+        mixture_epochs(stream, weights, seed=5)
+        .writeStream.format("memory").queryName("mixed")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select doc_id, source, epoch from mixed").toPandas()
+    assert set(out.source) == {"keep2"} and len(out) == 30  # 15 docs × 2
+    assert sorted(out.epoch.unique()) == [0, 1]
+
+    batch = mixture_epochs(batch_df, weights, seed=5).select(
+        "doc_id", "source", "epoch"
+    ).toPandas()
+    key = lambda d: sorted(map(tuple, d.itertuples(index=False)))  # noqa: E731
+    assert key(out) == key(batch)
