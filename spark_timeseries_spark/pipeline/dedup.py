@@ -148,16 +148,43 @@ def minhash_signatures_from_sets(
     )
 
 
+def cap_bucket_size(
+    buckets: DataFrame, keys: list[str], max_bucket_size: int
+) -> DataFrame:
+    """Drop every bucket whose membership exceeds ``max_bucket_size`` —
+    the standard guard against the quadratic candidate blow-up of a
+    bucketed self-join: one hot bucket of B rows emits B² pairs, so a
+    single degenerate hash value (boilerplate band, all-zero signature
+    block, a mass-produced template) can dominate the whole job at corpus
+    scale. Capping trades recall ONLY within oversized buckets; run
+    :func:`dedup_exact` first so identical documents (which share every
+    bucket and would lose all their bands at once) are already gone.
+
+    The membership count is a window over the bucket keys — the same
+    partitioning the downstream self-join shuffles on, so the count rides
+    the exchange the join already pays."""
+    w = Window.partitionBy(*keys)
+    return (
+        buckets.withColumn("_bsz", F.count("*").over(w))
+        .where(F.col("_bsz") <= int(max_bucket_size))
+        .drop("_bsz")
+    )
+
+
 def minhash_lsh_candidates(
     sig_df: DataFrame,
     id_col: str = "doc_id",
     bands: int = 16,
     rows_per_band: int = 4,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate pairs whose signatures collide in ≥1 band → (id_a, id_b).
     Band hash = hash over the band's slice — a well-distributed join key,
-    so the self-join shuffles evenly."""
+    so the self-join shuffles evenly. ``max_bucket_size`` (off by default)
+    applies :func:`cap_bucket_size` to the banded table before the
+    self-join — the hot-bucket guard for corpora with template/boilerplate
+    mass duplication."""
     from spark_timeseries_spark.functions import hashed
 
     banded = sig_df.select(
@@ -183,6 +210,8 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bh")
+    if max_bucket_size is not None:
+        banded = cap_bucket_size(banded, ["band", "bh"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, ["band", "bh"])
@@ -377,16 +406,22 @@ def dedup_embedding_cosine(
     threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs: LSH bucket join + exact cosine verify.
     At 100 TB the bucket join replaces the O(n²) cross join; bucket count
-    2^n_planes is tuned so buckets stay executor-sized."""
+    2^n_planes is tuned so buckets stay executor-sized, and
+    ``max_bucket_size`` (off by default) applies :func:`cap_bucket_size`
+    for corpora where one direction dominates (e.g. zero/constant
+    embeddings from a broken encoder land in one bucket)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(
         F.col(id_col).alias("id"),
         v.alias("v"),
         embedding_lsh_signature(v, dim, n_planes, seed).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        base = cap_bucket_size(base, ["bucket"], max_bucket_size)
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(b, "bucket")

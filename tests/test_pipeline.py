@@ -1115,3 +1115,28 @@ def test_remove_dup_spans_merges_overlaps_and_keeps_case(spark):
     )
     s = remove_dup_spans(solo, n=4).collect()[0]
     assert s.removed_tokens == 0
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """cap_bucket_size guards the quadratic blow-up: a template slammed
+    into the corpus 30x would emit ~30² pairs per band; with the cap those
+    buckets drop entirely while normal near-dup pairs keep their
+    candidates. The count rides the join's own (band, bh) partitioning —
+    no extra exchange beyond it."""
+    from spark_timeseries_spark.pipeline.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, "spam template body repeated verbatim everywhere forever x y")
+            for i in range(30)]
+    rows += [(100, base), (101, base.replace("quick", "rapid"))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df)
+
+    uncapped = minhash_lsh_candidates(sigs)
+    assert uncapped.where("id_a < 100").count() == 30 * 29 // 2  # the blow-up
+    capped = minhash_lsh_candidates(sigs, max_bucket_size=10)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(100, 101)}  # template pairs gone, real near-dup kept
