@@ -1452,6 +1452,35 @@ def _q_remove_dup_spans(spark, sf_dir):
     )
 
 
+def _q_ivf_persist(spark, sf_dir):
+    """Build-once / probe-many IVF index (``pipeline/similarity.py::
+    ivf_build/ivf_probe``): the inverted lists are written partitioned BY
+    CID so probing reads only the probed cid= directories (dynamic
+    partition pruning), the centroid table broadcasts. Same centroid
+    scheme and semantics as the inline ``ivf_topk`` — the oracle is
+    shared, proving the persisted path loses nothing."""
+    import shutil
+    import tempfile
+
+    from spark_timeseries_spark.pipeline import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    path = tempfile.mkdtemp(prefix="sts_ivf_")
+    try:
+        sim.ivf_build(emb, path, n_centroids=16)
+        out = sim.ivf_probe(spark, path, q, k=5, nprobe=4).select(
+            "qid", "vec_id", F.round("sim", 4).alias("sim"), "rank"
+        )
+        # materialize before the tmp dir disappears
+        res = spark.createDataFrame(
+            out.collect(), "qid long, vec_id long, sim double, rank int"
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return res
+
+
 _MIXTURE_WEIGHTS = {"src0": 2.5, "src1": 0.25, "src2": 0.0, "src3": 1.75}
 
 
@@ -1536,21 +1565,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotation plan): (a) the 11 round-3 queries that have never had a driver
     row (gopher/sessionize/pii/sampling/dedup_components/decontaminate
     family) plus the 11 loader-era queries whose only green rows predate
-    the fixture regeneration; (b) ALL 20 queries newly added this round
+    the fixture regeneration; (b) ALL 21 queries newly added this round
     (packing, split, normalize, boilerplate, chunking, calendar, serde,
     matrix, LM-perplexity, BM25, dup-span stats + removal, k-means,
-    SemDeDup, mixture upsampling, vocab, OOV, linear classifier) — in the
-    window immediately rather than deferred a round (r3 ADVICE); (c) 8
-    round-3-window queries kept in because this round's code touched
-    their paths (union-index numbering, multimodal decode kernels) or a
-    model-free single green row, plus ``arima_forecast`` as the flagship;
-    (d) ``cosine_dup_pairs`` (r1-only row, and one of the two r3
-    perf-watch outliers) as slot 50. Past the window: nine r3-green model
-    queries plus ``fill_spline`` displaced by the new set (models/ and
-    fill.py untouched this round — their r3 driver rows stand), the six
-    r3-proven stats/layout queries displaced in the first rotation, the
-    events family re-proven green in r3, and the documents/embeddings
-    family with green r1/r2 rows. All 104 are additionally validated
+    SemDeDup, mixture upsampling, vocab, OOV, linear classifier,
+    persisted IVF) — in the window immediately rather than deferred a
+    round (r3 ADVICE); (c) 7 round-3-window queries kept in because this
+    round's code touched their paths (union-index numbering, multimodal
+    decode kernels) or a model-free single green row, plus
+    ``arima_forecast`` as the flagship; (d) ``cosine_dup_pairs`` (r1-only
+    row, and one of the two r3 perf-watch outliers) as slot 50. Past the
+    window: nine r3-green model queries plus ``fill_spline`` and
+    ``filter_by_instant`` displaced by the new set (models/, fill.py and
+    filters.py untouched this round — their r3 driver rows stand), the
+    six r3-proven stats/layout queries displaced in the first rotation,
+    the events family re-proven green in r3, and the documents/embeddings
+    family with green r1/r2 rows. All 105 are additionally validated
     locally by ``tools/check_correctness.py`` (full log committed per
     round)."""
     return {
@@ -1598,11 +1628,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": _q_oov_rate,
         "linear_score": _q_linear_score,
         "remove_dup_spans": _q_remove_dup_spans,
+        "ivf_persist": _q_ivf_persist,
         # -- (c) r3-window queries kept in (code-touched paths or single
         #        green row) --------------------------------------------------
         "arima_forecast": _q_arima_forecast,
         "index_union": _q_index_union,
-        "filter_by_instant": _q_filter_by_instant,
         "ivf_topk": _q_ivf_topk,
         "multimodal_meta": _q_multimodal_meta,
         "video_frames": _q_video_frames,
@@ -1630,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "argarch_fit": _q_argarch_fit,
         "holt_winters_fit": _q_holt_winters_fit,
         "fill_spline": _q_fill_spline,
+        "filter_by_instant": _q_filter_by_instant,
         # displaced by (b'): untouched this round, r3 driver rows stand
         "arima_filter": _q_arima_filter,
         "garch_filter": _q_garch_filter,
@@ -3914,6 +3945,10 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN (SELECT DISTINCT doc_id FROM merged) d USING (doc_id)
         LEFT JOIN reb r USING (doc_id)
     """
+
+    # the persisted-index probe must return exactly what the inline IVF
+    # returns — one oracle proves both paths
+    o["ivf_persist"] = o["ivf_topk"]
 
     # k-means replay: Lloyd's iterations unrolled as CTE chains — c0 is the
     # deterministic lowest-id init, each round is argmin-assign (ties to the

@@ -248,3 +248,99 @@ def ivf_topk(
         .distinct()
     )
     return _ranked(scored, k)
+
+
+def _sampled_centroids(c: DataFrame, n_centroids: int) -> DataFrame:
+    """Deterministic corpus sample as centroids — the cross-engine-stable
+    init shared by ivf_topk and ivf_build (swap in clustering.kmeans_fit
+    centroids for trained quality; the plan shape is identical)."""
+    from spark_timeseries_spark.functions import hash60
+
+    w = Window.orderBy(hash60(F.col("vec_id").cast("string")))
+    return (
+        c.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_centroids)
+        .select(F.col("_rn").alias("cid"), F.col("v").alias("cv"))
+    )
+
+
+def ivf_build(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cents: DataFrame | None = None,
+) -> None:
+    """Materialize an IVF-flat index for build-once / probe-many serving:
+    ``{path}/centroids`` (cid, cv — k rows) and ``{path}/lists`` — the
+    corpus vectors partitioned BY CID on disk. Probing then reads only the
+    probed lists' files: the centroid join is broadcast, and Spark's
+    dynamic partition pruning (plus the parquet cid= directory layout)
+    keeps the scan at ~nprobe/k of the corpus instead of all of it. At
+    100 TB this is the difference between an ANN query costing a corpus
+    scan and costing a few partitions.
+
+    Pass ``cents`` (cid, cv) to index under trained k-means centroids
+    (:func:`clustering.kmeans_fit`); the default is the deterministic
+    hash-sample init shared with :func:`ivf_topk`."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    if cents is None:
+        cents = _sampled_centroids(c, n_centroids)
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("_d", cosine(F.col("v"), F.col("cv")))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("_d"), F.asc("cid"))
+            ),
+        )
+        .where(F.col("_rk") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(path + "/lists")
+
+
+def ivf_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k against a persisted :func:`ivf_build` index. The centroid
+    table (k rows) broadcasts; each query picks its ``nprobe`` nearest
+    lists; the inverted-list scan joins on the PARTITION column, so only
+    the probed cid= directories are read."""
+    cents = spark.read.parquet(path + "/centroids")
+    lists = spark.read.parquet(path + "/lists")
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    q_probe = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("_d", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("_d"), F.asc("cid"))
+            ),
+        )
+        .where(F.col("_rk") <= nprobe)
+        .select("qid", "qv", "cid")
+    )
+    scored = (
+        q_probe.join(lists, "cid")
+        .where(F.col("qid") != F.col("vec_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("v")))
+        .select("qid", "vec_id", "sim")
+        .distinct()
+    )
+    return _ranked(scored, k)

@@ -1140,3 +1140,29 @@ def test_lsh_hot_bucket_cap(spark):
     capped = minhash_lsh_candidates(sigs, max_bucket_size=10)
     got = {(r.id_a, r.id_b) for r in capped.collect()}
     assert got == {(100, 101)}  # template pairs gone, real near-dup kept
+
+
+def test_ivf_build_probe_matches_inline(spark, vectors, tmp_path):
+    """A persisted IVF index (build-once / probe-many) returns exactly the
+    inline ivf_topk results under the same centroid scheme, the on-disk
+    lists are partitioned by cid (the probe-time pruning layout), and the
+    probed scan reads the partition column as a partition, not data."""
+    import os
+
+    from spark_timeseries_spark.pipeline.similarity import (
+        ivf_build,
+        ivf_probe,
+        ivf_topk,
+    )
+
+    path = str(tmp_path / "ivf")
+    ivf_build(vectors, path, n_centroids=4)
+    assert any(d.startswith("cid=") for d in os.listdir(path + "/lists"))
+
+    queries = vectors.where("vec_id < 4")
+    got = ivf_probe(spark, path, queries, k=3, nprobe=2)
+    want = ivf_topk(vectors, queries, k=3, n_centroids=4, nprobe=2)
+    key = lambda df: sorted(  # noqa: E731
+        (r.qid, r.vec_id, r.rank, round(r.sim, 9)) for r in df.collect()
+    )
+    assert key(got) == key(want)
