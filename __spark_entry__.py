@@ -1481,6 +1481,28 @@ def _q_ivf_persist(spark, sf_dir):
     return res
 
 
+def _q_pq_adc(spark, sf_dir):
+    """Product quantization end-to-end (Jégou et al. 2011 —
+    ``pipeline/pq.py``): per-subspace k-means codebooks (m=2, k=4, two
+    Lloyd rounds, deterministic lowest-id init), row-local HOF encoding
+    (zero shuffles, plan-pinned), and asymmetric-distance top-5 for the
+    first five vectors. The oracle replays both subspace trainings as
+    unrolled CTE chains, re-derives every code, and re-ranks by ADC."""
+    from spark_timeseries_spark.pipeline.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pq_train(emb, dim=64, m=2, k=4, max_iter=2)
+    codes = pq_encode(emb, model)
+    out = pq_adc_topk(codes, model, emb.where(F.col("vec_id") < 5), k=5)
+    return out.select(
+        "qid", "vec_id", _stable_round(F.col("adist"), 6).alias("adist"), "rank"
+    )
+
+
 _MIXTURE_WEIGHTS = {"src0": 2.5, "src1": 0.25, "src2": 0.0, "src3": 1.75}
 
 
@@ -1565,24 +1587,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotation plan): (a) the 11 round-3 queries that have never had a driver
     row (gopher/sessionize/pii/sampling/dedup_components/decontaminate
     family) plus the 11 loader-era queries whose only green rows predate
-    the fixture regeneration; (b) ALL 21 queries newly added this round
+    the fixture regeneration; (b) ALL 22 queries newly added this round
     (packing, split, normalize, boilerplate, chunking, calendar, serde,
     matrix, LM-perplexity, BM25, dup-span stats + removal, k-means,
     SemDeDup, mixture upsampling, vocab, OOV, linear classifier,
-    persisted IVF) — in the window immediately rather than deferred a
-    round (r3 ADVICE); (c) 7 round-3-window queries kept in because this
-    round's code touched their paths (union-index numbering, multimodal
-    decode kernels) or a model-free single green row, plus
-    ``arima_forecast`` as the flagship; (d) ``cosine_dup_pairs`` (r1-only
-    row, and one of the two r3 perf-watch outliers) as slot 50. Past the
-    window: nine r3-green model queries plus ``fill_spline`` and
-    ``filter_by_instant`` displaced by the new set (models/, fill.py and
-    filters.py untouched this round — their r3 driver rows stand), the
-    six r3-proven stats/layout queries displaced in the first rotation,
-    the events family re-proven green in r3, and the documents/embeddings
-    family with green r1/r2 rows. All 105 are additionally validated
-    locally by ``tools/check_correctness.py`` (full log committed per
-    round)."""
+    persisted IVF, product quantization) — in the window immediately
+    rather than deferred a round (r3 ADVICE); (c) 6 round-3-window
+    queries kept in because this round's code touched their paths
+    (union-index numbering, multimodal decode kernels, similarity/dedup)
+    or a model-free single green row, plus ``arima_forecast`` as the
+    flagship; (d) ``cosine_dup_pairs`` (r1-only row, and one of the two
+    r3 perf-watch outliers) as slot 50. Past the window: nine r3-green
+    model queries plus ``fill_spline``/``filter_by_instant``/
+    ``to_series_digest`` displaced by the new set (models/, fill.py,
+    filters.py and layout.py untouched this round — their r3 driver rows
+    stand), the six r3-proven stats/layout queries displaced in the
+    first rotation, the events family re-proven green in r3, and the
+    documents/embeddings family with green r1/r2 rows. All 106 are
+    additionally validated locally by ``tools/check_correctness.py``
+    (full log committed per round)."""
     return {
         # -- (a) never driver-checked (new in r3) ----------------------------
         "repetition_features": _q_repetition_features,
@@ -1629,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_score": _q_linear_score,
         "remove_dup_spans": _q_remove_dup_spans,
         "ivf_persist": _q_ivf_persist,
+        "pq_adc": _q_pq_adc,
         # -- (c) r3-window queries kept in (code-touched paths or single
         #        green row) --------------------------------------------------
         "arima_forecast": _q_arima_forecast,
@@ -1637,7 +1661,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q_multimodal_meta,
         "video_frames": _q_video_frames,
         "image_features": _q_image_features,
-        "to_series_digest": _q_to_series_digest,
         "lsh_recall": _q_lsh_recall,
         # -- (b') round-4 serde/matrix queries, in-window immediately (no
         #         driver row exists anywhere; displaces two r3-green model
@@ -1661,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters_fit": _q_holt_winters_fit,
         "fill_spline": _q_fill_spline,
         "filter_by_instant": _q_filter_by_instant,
+        "to_series_digest": _q_to_series_digest,
         # displaced by (b'): untouched this round, r3 driver rows stand
         "arima_filter": _q_arima_filter,
         "garch_filter": _q_garch_filter,
@@ -3949,6 +3973,97 @@ def oracle_sql() -> dict[str, str]:
     # the persisted-index probe must return exactly what the inline IVF
     # returns — one oracle proves both paths
     o["ivf_persist"] = o["ivf_topk"]
+
+    # product quantization: per-subspace Lloyd chains (same CTE shapes the
+    # kmeans_assign oracle proved), then codes = final assignments, ADC =
+    # LUT joins summed in subspace order (matching the Spark-side sum)
+    def _pq_sql(m: int, k: int, iters: int, dim: int, nq: int, topk: int) -> str:
+        sub = dim // m
+        parts = ["""
+        WITH fv AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS f FROM embeddings
+        )"""]
+        for s in range(m):
+            lo, hi = s * sub + 1, (s + 1) * sub
+            parts.append(f""",
+        vs{s} AS (SELECT vec_id, f[{lo}:{hi}] AS v FROM fv),
+        s{s}c0 AS (
+            SELECT CAST(rn - 1 AS INT) AS cid, v AS cv
+            FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS rn
+                  FROM vs{s})
+            WHERE rn <= {k}
+        )""")
+            for t in range(1, iters + 2):
+                prev = f"s{s}c{t - 1}"
+                parts.append(f""",
+        s{s}d{t} AS (
+            SELECT v.vec_id, v.v, c.cid,
+                   list_sum(list_transform(range(1, len(v.v) + 1),
+                       i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i]))) AS dist
+            FROM vs{s} v, {prev} c
+        ),
+        s{s}a{t} AS (
+            SELECT vec_id, v, cid, dist FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY dist, cid) AS rk
+                FROM s{s}d{t})
+            WHERE rk = 1
+        )""")
+                if t <= iters:
+                    parts.append(f""",
+        s{s}n{t} AS (
+            SELECT cid, list(mm ORDER BY i) AS mm FROM (
+                SELECT cid, i, AVG(v[i]) AS mm
+                FROM s{s}a{t}, unnest(range(1, len(v) + 1)) AS r(i)
+                GROUP BY 1, 2)
+            GROUP BY 1
+        ),
+        s{s}c{t} AS (
+            SELECT c.cid, COALESCE(n.mm, c.cv) AS cv
+            FROM {prev} c LEFT JOIN s{s}n{t} n USING (cid)
+        )""")
+        fin = iters + 1
+        code_cols = ", ".join(
+            f"a{s}.cid AS c{s}" for s in range(m)
+        )
+        code_joins = " ".join(
+            f"JOIN s{s}a{fin} a{s} USING (vec_id)" for s in range(1, m)
+        )
+        parts.append(f""",
+        codes AS (
+            SELECT a0.vec_id, {code_cols}
+            FROM s0a{fin} a0 {code_joins}
+        )""")
+        for s in range(m):
+            parts.append(f""",
+        lut{s} AS (
+            SELECT q.vec_id AS qid, c.cid,
+                   list_sum(list_transform(range(1, len(q.v) + 1),
+                       i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) AS d
+            FROM (SELECT * FROM vs{s} WHERE vec_id < {nq}) q, s{s}c{iters} c
+        )""")
+        adist = " + ".join(f"l{s}.d" for s in range(m))
+        lut_joins = " ".join(
+            f"JOIN lut{s} l{s} ON l{s}.cid = codes.c{s} AND l{s}.qid = l0.qid"
+            for s in range(1, m)
+        )
+        parts.append(f""",
+        scored AS (
+            SELECT l0.qid, codes.vec_id, {adist} AS adist
+            FROM codes JOIN lut0 l0 ON l0.cid = codes.c0 {lut_joins}
+            WHERE l0.qid <> codes.vec_id
+        ),
+        ranked AS (
+            SELECT qid, vec_id, adist,
+                   CAST(row_number() OVER (PARTITION BY qid
+                            ORDER BY adist, vec_id) AS INT) AS rank
+            FROM scored
+        )
+        SELECT qid, vec_id, {_sr_sql("adist", 6)} AS adist, rank
+        FROM ranked WHERE rank <= {topk}""")
+        return "".join(parts)
+
+    o["pq_adc"] = _pq_sql(m=2, k=4, iters=2, dim=64, nq=5, topk=5)
 
     # k-means replay: Lloyd's iterations unrolled as CTE chains — c0 is the
     # deterministic lowest-id init, each round is argmin-assign (ties to the

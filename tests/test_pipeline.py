@@ -1166,3 +1166,50 @@ def test_ivf_build_probe_matches_inline(spark, vectors, tmp_path):
         (r.qid, r.vec_id, r.rank, round(r.sim, 9)) for r in df.collect()
     )
     assert key(got) == key(want)
+
+
+def test_pq_encode_matches_numpy(spark, vectors):
+    """PQ codes replay a dense numpy argmin per subspace exactly (same
+    codebooks, same tie-break), and the ADC ranking puts the colinear
+    near-duplicate of vector 0 at rank 1."""
+    from spark_timeseries_spark.pipeline.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    model = pq_train(vectors, dim=8, m=2, k=4, max_iter=3)
+    assert len(model.codebooks) == 2
+    assert all(len(b) == 4 and len(b[0]) == 4 for b in model.codebooks)
+
+    codes = pq_encode(vectors, model)
+    got = {r.vec_id: list(r.codes) for r in codes.collect()}
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in vectors.collect()}
+    books = [np.array(b) for b in model.codebooks]
+    for vid, v in vecs.items():
+        want = [int(np.argmin(((books[s] - v[s * 4:(s + 1) * 4]) ** 2)
+                              .sum(axis=1))) for s in range(2)]
+        assert got[vid] == want, vid
+
+    # vector 2 is vector 0 + tiny noise → shares 0's codes, so ADC must
+    # rank it (or the colinear copy 1) first among 0's neighbors
+    top = pq_adc_topk(codes, model, vectors.where("vec_id = 0"), k=3)
+    first = top.orderBy("rank").first()
+    assert first.vec_id in (1, 2)
+
+    with pytest.raises(ValueError):
+        pq_train(vectors, dim=8, m=3)
+
+
+def test_pq_encode_plan_is_row_local(spark, vectors):
+    """Encoding must be a pure scan-stage transform: literal codebooks,
+    HOF argmin, no shuffle, no UDF."""
+    from spark_timeseries_spark.pipeline.pq import pq_encode, PQModel
+
+    model = PQModel(
+        dim=8, m=2, k=2,
+        codebooks=[[[0.0] * 4, [1.0] * 4], [[0.0] * 4, [-1.0] * 4]],
+    )
+    p = pq_encode(vectors, model)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "Python" not in p
