@@ -22,10 +22,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from spark_timeseries_spark.pipeline.vocab import _token_stream
 
 
 def featurize(
@@ -37,11 +35,30 @@ def featurize(
 ) -> DataFrame:
     """Bag-of-words features: ``(id, token, tf)`` with ``tf`` the token's
     within-document relative frequency (counts normalized by document
-    length, the fastText input representation)."""
-    stream = _token_stream(df, text_col, id_col, bpe, lowercase)
-    counts = stream.groupBy(id_col, "token").agg(F.count("*").alias("cnt"))
-    n = F.sum("cnt").over(Window.partitionBy(id_col))
-    return counts.select(id_col, "token", (F.col("cnt") / n).alias("tf"))
+    length, the fastText input representation).
+
+    The document length rides the explode as a row-local array size, so
+    normalization needs NO doc-keyed window — one (id, token) shuffle
+    total (a per-doc window here would re-exchange the whole token
+    stream a second time)."""
+    from spark_timeseries_spark.pipeline.text import bpe_like_tokens, tokens
+
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    tok = bpe_like_tokens(t) if bpe else tokens(t)
+    base = df.select(
+        F.col(id_col), F.filter(tok, lambda x: x != F.lit("")).alias("_tk")
+    )
+    stream = base.select(
+        id_col, F.size("_tk").alias("_dl"), F.explode("_tk").alias("token")
+    )
+    counts = stream.groupBy(id_col, "token").agg(
+        F.count("*").alias("cnt"), F.first("_dl").alias("_dl")
+    )
+    return counts.select(
+        id_col, "token", (F.col("cnt") / F.col("_dl")).alias("tf")
+    )
 
 
 def _weights_df(spark, weights) -> DataFrame:

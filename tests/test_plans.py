@@ -382,3 +382,18 @@ def test_remove_dup_spans_no_position_explode(spark):
     p = _plan(remove_dup_spans(docs, n=4))
     assert len(re.findall(r"\bGenerate explode", p)) == 2
     assert "posexplode" not in p
+
+
+def test_featurize_single_shuffle(spark):
+    """Bag-of-words featurization must be ONE (id, token) exchange: the
+    doc-length normalizer rides the explode as an array size, never a
+    second doc-keyed window exchange over the token stream."""
+    from spark_timeseries_spark.pipeline.classifier import featurize
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta beta gamma") for i in range(10)],
+        "doc_id long, text string",
+    )
+    shuffles, _, p = _counts(featurize(docs))
+    assert shuffles == 1, p
+    assert "Window" not in p
