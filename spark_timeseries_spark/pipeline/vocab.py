@@ -90,29 +90,33 @@ def oov_rate(
     ``n_tokens = 0`` and a NULL rate.
 
     The vocab side is explicitly broadcast (bounded by ``max_size``), so
-    membership testing is map-side; the per-document aggregate is the one
-    shuffle, with map-side combine on the id."""
-    stream = _token_stream(df, text_col, id_col, bpe, lowercase)
-    marked = stream.join(
-        F.broadcast(vocab.select("token").withColumn("_in", F.lit(1))),
-        "token",
-        "left",
+    membership testing is map-side — as a LEFT ANTI join, so the one
+    per-document shuffle carries only the OOV occurrences (for a healthy
+    corpus the small minority), not the whole token stream; the total
+    token count is a row-local array size computed before the explode."""
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    tok = bpe_like_tokens(t) if bpe else tokens(t)
+    base = df.select(
+        F.col(id_col),
+        F.size(F.filter(tok, lambda x: x != F.lit(""))).alias("n_tokens"),
     )
-    per_doc = marked.groupBy(id_col).agg(
-        F.count("*").alias("n_tokens"),
-        (F.count("*") - F.sum(F.coalesce(F.col("_in"), F.lit(0)))).alias(
-            "n_oov"
-        ),
+    stream = _token_stream(df, text_col, id_col, bpe, lowercase)
+    oov = (
+        stream.join(F.broadcast(vocab.select("token")), "token", "left_anti")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_oov"))
     )
     return (
-        df.select(id_col)
-        .join(per_doc, id_col, "left")
+        base.join(oov, id_col, "left")
         .select(
             id_col,
-            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
-            (
-                F.col("n_oov") / F.col("n_tokens")
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce("_oov", F.lit(0)) / F.col("n_tokens"),
             ).alias("oov_rate"),
         )
     )
