@@ -316,11 +316,17 @@ def simhash(
 
 
 def simhash_near_dups(
-    sig_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by pigeonhole banding: split the 64-bit signature into
     4 16-bit blocks; Hamming ≤ 3 ⇒ at least one block identical → join on
-    (block_idx, block_value), verify Hamming exactly."""
+    (block_idx, block_value), verify Hamming exactly. ``max_bucket_size``
+    (off by default) applies :func:`cap_bucket_size` to the block table —
+    short/templated docs concentrate into few simhash values, and one hot
+    16-bit block value makes the self-join quadratic."""
     blocks = sig_df.select(
         F.col(id_col).alias("id"),
         "simhash",
@@ -338,6 +344,8 @@ def simhash_near_dups(
             )
         ).alias("bb"),
     ).select("id", "simhash", "bb.blk", "bb.bv")
+    if max_bucket_size is not None:
+        blocks = cap_bucket_size(blocks, ["blk", "bv"], max_bucket_size)
     a, b = blocks.alias("a"), blocks.alias("b")
     pairs = (
         a.join(b, ["blk", "bv"])
