@@ -214,3 +214,70 @@ def test_acf_pacf_correlogram(spark):
             assert abs(a.loc[(k, lag), "acf"] - want_acf[lag - 1]) < 1e-9
             assert abs(p.loc[(k, lag), "pacf"] - want_pacf[lag - 1]) < 1e-9
             assert abs(a.loc[(k, lag), "conf_bound"] - conf_bound(0.95, 80)) < 1e-12
+
+
+def test_pretraining_pipeline_composes(spark):
+    """The full training-data story chains without schema friction:
+    heuristic clean → cross-doc substring removal → near-dup pair →
+    cluster-resolution dedup → mixture upsampling → sequence packing.
+    Asserts each stage's effect is visible in the survivors."""
+    from spark_timeseries_spark.pipeline.clean import pretrain_clean
+    from spark_timeseries_spark.pipeline.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+        minhash_signatures,
+        remove_dup_spans,
+    )
+    from spark_timeseries_spark.pipeline.packing import pack_sequences
+    from spark_timeseries_spark.pipeline.sampling import mixture_epochs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs very far "
+        "away to the old stone house by the quiet river in the early morning"
+    )
+    shared = "this exact footer sentence is duplicated across many documents"
+    rows = [(i, "web", f"{base} unique{i} {shared}") for i in range(6)]
+    rows += [(10, "books", base + " canonical copy " + shared)]
+    rows += [(11, "web", "ein deutscher satz der nicht englisch ist und mit von zu")]
+    rows += [(12, "web", "x! y! z!")]  # fails quality gates
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    cleaned = pretrain_clean(docs, min_quality=0.3)
+    ids = {r.doc_id for r in cleaned.select("doc_id").collect()}
+    assert 11 not in ids and 12 not in ids          # lang + quality gates
+    assert {0, 10} <= ids
+
+    scrubbed = remove_dup_spans(cleaned, n=8, keep_first=True)
+    kept = {r.doc_id: r for r in scrubbed.collect()}
+    assert kept[0].removed_tokens == 0              # min-id doc is canonical
+    assert all(kept[i].removed_tokens > 0 for i in range(1, 6) if i in kept)
+    assert "canonical copy" in kept[10].clean_text  # unique part survives
+
+    # rebuild a docs frame with the cleaned text for the downstream stages
+    survivors = scrubbed.join(
+        cleaned.select("doc_id", "source"), "doc_id"
+    ).select("doc_id", "source", F.col("clean_text").alias("text"))
+
+    sigs = minhash_signatures(survivors)
+    comps = connected_components(minhash_lsh_candidates(sigs))
+    reps = survivors.join(
+        comps.where("id != component").withColumnRenamed("id", "doc_id"),
+        "doc_id",
+        "left_anti",
+    )
+    assert reps.count() <= survivors.count()
+
+    mixed = mixture_epochs(reps, {"books": 2.0, "web": 1.0}, seed=3)
+    per = {r.source: r["cnt"] for r in
+           mixed.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert per.get("books", 0) == 2                 # doc 10 twice
+
+    packed = pack_sequences(
+        mixed.withColumn(
+            "doc_id", F.col("doc_id") * 10 + F.col("epoch")
+        ),
+        seq_len=64,
+    )
+    assert packed.count() == mixed.count()
+    offs = [r.offset for r in packed.orderBy("offset").collect()]
+    assert offs[0] == 0 and offs == sorted(offs)    # contiguous global layout
