@@ -1503,6 +1503,59 @@ def _q_pq_adc(spark, sf_dir):
     )
 
 
+_BLOCK_PHRASES = ["badphrase", "spam token"]
+
+
+def _q_blocklist_flag(spark, sf_dir):
+    """C4-style blocked-phrase gate in audit mode (``pipeline/text.py::
+    phrase_blocklist``): the corpus is salted so a third of the docs
+    contain a blocked phrase (one inside a longer word to prove the word
+    boundary holds), and the whole list compiles to ONE case-insensitive
+    regex — a pure row-local filter, zero shuffles."""
+    from spark_timeseries_spark.pipeline.text import phrase_blocklist
+
+    docs = load_table(spark, sf_dir, "documents")
+    salted = docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(" has a BadPhrase inside")
+            ).otherwise(F.lit(" superbadphrased is no hit")),
+        ),
+    )
+    out = phrase_blocklist(salted, _BLOCK_PHRASES, mode="flag")
+    return out.select("doc_id", "blocked", "n_blocked")
+
+
+def _q_url_stats(spark, sf_dir):
+    """URL/domain hygiene profile (``pipeline/text.py::url_stats``):
+    salted links per doc; row-local regex extraction with a HOF domain
+    transform — no explode, no shuffle. Domains compared as a sorted
+    comma-joined string."""
+    from spark_timeseries_spark.pipeline.text import url_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    salted = docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.lit(" see https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/page and http://Dup.ORG/x?q=1 plus"),
+            F.lit(" https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/other"),
+        ),
+    )
+    out = url_stats(salted)
+    return out.select(
+        "doc_id",
+        "n_urls",
+        F.concat_ws(",", "domains").alias("domain_list"),
+    )
+
+
 _MIXTURE_WEIGHTS = {"src0": 2.5, "src1": 0.25, "src2": 0.0, "src3": 1.75}
 
 
@@ -1587,25 +1640,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotation plan): (a) the 11 round-3 queries that have never had a driver
     row (gopher/sessionize/pii/sampling/dedup_components/decontaminate
     family) plus the 11 loader-era queries whose only green rows predate
-    the fixture regeneration; (b) ALL 22 queries newly added this round
-    (packing, split, normalize, boilerplate, chunking, calendar, serde,
-    matrix, LM-perplexity, BM25, dup-span stats + removal, k-means,
-    SemDeDup, mixture upsampling, vocab, OOV, linear classifier,
-    persisted IVF, product quantization) — in the window immediately
-    rather than deferred a round (r3 ADVICE); (c) 6 round-3-window
-    queries kept in because this round's code touched their paths
-    (union-index numbering, multimodal decode kernels, similarity/dedup)
-    or a model-free single green row, plus ``arima_forecast`` as the
-    flagship; (d) ``cosine_dup_pairs`` (r1-only row, and one of the two
-    r3 perf-watch outliers) as slot 50. Past the window: nine r3-green
-    model queries plus ``fill_spline``/``filter_by_instant``/
-    ``to_series_digest`` displaced by the new set (models/, fill.py,
-    filters.py and layout.py untouched this round — their r3 driver rows
-    stand), the six r3-proven stats/layout queries displaced in the
-    first rotation, the events family re-proven green in r3, and the
-    documents/embeddings family with green r1/r2 rows. All 106 are
-    additionally validated locally by ``tools/check_correctness.py``
-    (full log committed per round)."""
+    the fixture regeneration; (b) 23 of the 24 queries newly added this
+    round (packing, split, normalize, boilerplate, chunking, calendar,
+    serde, matrix, LM-perplexity, BM25, dup-span stats + removal,
+    k-means, SemDeDup, mixture upsampling, vocab, OOV, linear
+    classifier, persisted IVF, product quantization, blocklist) — in the
+    window immediately rather than deferred a round (r3 ADVICE);
+    ``url_stats`` (same row-local-regex family as ``blocklist_flag``)
+    sits at slot 51; (c) 5 round-3-window queries kept in because this
+    round's code touched their paths (union-index numbering, multimodal
+    decode kernels, similarity/dedup) or a model-free single green row,
+    plus ``arima_forecast`` as the flagship; (d) ``cosine_dup_pairs``
+    (r1-only row, and one of the two r3 perf-watch outliers) as slot 50.
+    Past the window: nine r3-green model queries plus ``fill_spline``/
+    ``filter_by_instant``/``to_series_digest``/``video_frames``
+    displaced by the new set (models/, fill.py, filters.py, layout.py
+    untouched this round; video_frames' decode plumbing is covered
+    in-window by multimodal_meta + image_features), the six r3-proven
+    stats/layout queries displaced in the first rotation, the events
+    family re-proven green in r3, and the documents/embeddings family
+    with green r1/r2 rows. All 108 are additionally validated locally by
+    ``tools/check_correctness.py`` (full log committed per round)."""
     return {
         # -- (a) never driver-checked (new in r3) ----------------------------
         "repetition_features": _q_repetition_features,
@@ -1653,13 +1708,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_dup_spans": _q_remove_dup_spans,
         "ivf_persist": _q_ivf_persist,
         "pq_adc": _q_pq_adc,
+        "blocklist_flag": _q_blocklist_flag,
         # -- (c) r3-window queries kept in (code-touched paths or single
         #        green row) --------------------------------------------------
         "arima_forecast": _q_arima_forecast,
         "index_union": _q_index_union,
         "ivf_topk": _q_ivf_topk,
         "multimodal_meta": _q_multimodal_meta,
-        "video_frames": _q_video_frames,
         "image_features": _q_image_features,
         "lsh_recall": _q_lsh_recall,
         # -- (b') round-4 serde/matrix queries, in-window immediately (no
@@ -1671,6 +1726,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (d) r1-only row + r3 perf-watch outlier -------------------------
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         # ---- driver window (50) ends here ----------------------------------
+        # same family as blocklist_flag (row-local regex gates), full-log
+        # proven; rotate next round. video_frames displaced: its decode
+        # plumbing is covered in-window by multimodal_meta+image_features.
+        "url_stats": _q_url_stats,
+        "video_frames": _q_video_frames,
         # displaced by (b''): model family untouched this round, r3 driver
         # rows stand (arima_forecast stays in-window as the flagship)
         "auto_arima": _q_auto_arima,
@@ -4064,6 +4124,48 @@ def oracle_sql() -> dict[str, str]:
         return "".join(parts)
 
     o["pq_adc"] = _pq_sql(m=2, k=4, iters=2, dim=64, nq=5, topk=5)
+
+    # blocklist / URL hygiene: the Spark side compiles the same regexes
+    # (RE2-compatible core: inline (?i), \b, literal alternation)
+    from spark_timeseries_spark.pipeline.text import _blocklist_pattern
+
+    _bl_pat = _blocklist_pattern(_BLOCK_PHRASES)
+    o["blocklist_flag"] = f"""
+        WITH s AS (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % 3 = 0
+                                THEN ' has a BadPhrase inside'
+                                ELSE ' superbadphrased is no hit'
+                           END AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{_bl_pat}')) AS INT)
+                   AS n_blocked,
+               len(regexp_extract_all(t, '{_bl_pat}')) > 0 AS blocked
+        FROM s
+    """
+    o["url_stats"] = r"""
+        WITH s AS (
+            SELECT doc_id,
+                   text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+                        || '.example.com/page and http://Dup.ORG/x?q=1 plus'
+                        || ' https://site' || CAST(doc_id % 7 AS VARCHAR)
+                        || '.example.com/other' AS t
+            FROM documents
+        ),
+        u AS (
+            SELECT doc_id, regexp_extract_all(t, 'https?://[^\s]+') AS urls
+            FROM s
+        )
+        SELECT doc_id,
+               CAST(len(urls) AS INT) AS n_urls,
+               array_to_string(
+                   list_sort(list_distinct(list_transform(urls,
+                       x -> lower(regexp_extract(x, 'https?://([^/\s:]+)', 1))
+                   ))), ',') AS domain_list
+        FROM u
+    """
 
     # k-means replay: Lloyd's iterations unrolled as CTE chains — c0 is the
     # deterministic lowest-id init, each round is argmin-assign (ties to the

@@ -630,3 +630,91 @@ def winnowing_fingerprints(
     if exploded:
         return out.select(id_col, F.explode("fingerprints").alias("fingerprint"))
     return out
+
+
+# ---------------------------------------------------------------------------
+# blocklist / URL hygiene gates
+# ---------------------------------------------------------------------------
+
+
+def _blocklist_pattern(phrases: list[str], word_boundary: bool = True) -> str:
+    """One alternation regex for the whole list — a single codegen'd scan
+    per document instead of |phrases| passes. Case-insensitive; phrases
+    are literal-escaped; word-bounded by default so 'ass' does not hit
+    'class' (the classic C4 bad-word false positive)."""
+    import re as _re
+
+    if not phrases:
+        raise ValueError("empty blocklist")
+    alts = "|".join(_re.escape(p.lower()) for p in sorted(phrases))
+    core = f"(?:{alts})"
+    return rf"(?i)\b{core}\b" if word_boundary else f"(?i){core}"
+
+
+def phrase_blocklist(
+    df: DataFrame,
+    phrases: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "drop",
+    word_boundary: bool = True,
+) -> DataFrame:
+    """C4-style blocked-phrase gate (Raffel et al. 2020 drop any document
+    containing a "List of Dirty, Naughty …" entry). ``mode="drop"``
+    filters; ``mode="flag"`` appends (blocked BOOLEAN, n_blocked INT) for
+    audit pipelines. Row-local single-regex scan — no join, no shuffle;
+    the phrase list compiles into the expression, so at 100 TB this is
+    exactly as expensive as any other filter."""
+    pat = _blocklist_pattern(phrases, word_boundary)
+    hits = F.regexp_count(F.col(text_col), F.lit(pat))
+    if mode == "drop":
+        return df.where(hits == 0)
+    if mode == "flag":
+        return df.withColumn("n_blocked", hits.cast("int")).withColumn(
+            "blocked", F.col("n_blocked") > 0
+        )
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+_URL_RE = r"https?://[^\s]+"
+_DOMAIN_RE = r"https?://([^/\s:]+)"
+
+
+def url_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_urls, domains) — URL count and the DISTINCT, sorted domain
+    list per document. Row-local regex extraction (no explode, no
+    shuffle): the domain list is a HOF transform over the matched URLs."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(_URL_RE), 0)
+    domains = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                urls,
+                lambda u: F.lower(F.regexp_extract(u, _DOMAIN_RE, 1)),
+            )
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(urls).alias("n_urls"),
+        domains.alias("domains"),
+    )
+
+
+def domain_blocklist(
+    df: DataFrame,
+    blocked: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop documents linking to any blocked domain (exact host match on
+    the extracted domain list). The block set compiles into a literal
+    array — membership via ``arrays_overlap`` computed inline on the text
+    column: a pure filter, zero shuffles, zero joins."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(_URL_RE), 0)
+    domains = F.transform(
+        urls, lambda u: F.lower(F.regexp_extract(u, _DOMAIN_RE, 1))
+    )
+    bad = F.array(*[F.lit(d.lower()) for d in sorted(set(blocked))])
+    return df.where(~F.arrays_overlap(domains, bad))

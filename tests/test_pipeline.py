@@ -1213,3 +1213,52 @@ def test_pq_encode_plan_is_row_local(spark, vectors):
     )
     p = pq_encode(vectors, model)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p and "Python" not in p
+
+
+def test_phrase_blocklist_modes_and_boundaries(spark):
+    from spark_timeseries_spark.pipeline.text import phrase_blocklist
+
+    rows = [
+        (0, "a perfectly clean document about data"),
+        (1, "contains the BADWORD here"),            # case-insensitive hit
+        (2, "superbadwordish is not a hit"),         # word boundary holds
+        (3, "the class keyword is fine"),            # 'ass' ⊄ 'class'
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r.doc_id for r in
+            phrase_blocklist(df, ["badword", "ass"]).collect()}
+    assert kept == {0, 2, 3}
+
+    flagged = {r.doc_id: (r.blocked, r.n_blocked) for r in
+               phrase_blocklist(df, ["badword", "ass"], mode="flag").collect()}
+    assert flagged[1] == (True, 1) and flagged[0] == (False, 0)
+    # plan is a pure filter / projection — no shuffle, no join
+    p = phrase_blocklist(df, ["badword"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in p and "Join" not in p
+
+    with pytest.raises(ValueError):
+        phrase_blocklist(df, [])
+
+
+def test_url_stats_and_domain_blocklist(spark):
+    from spark_timeseries_spark.pipeline.text import domain_blocklist, url_stats
+
+    rows = [
+        (0, "see https://good.example.com/page and http://Other.ORG/x?q=1"),
+        (1, "links to https://spam.bad.site/download twice "
+            "https://spam.bad.site/again"),
+        (2, "no links at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {r.doc_id: r for r in url_stats(df).collect()}
+    assert stats[0].n_urls == 2
+    assert stats[0].domains == ["good.example.com", "other.org"]
+    assert stats[1].n_urls == 2 and stats[1].domains == ["spam.bad.site"]
+    assert stats[2].n_urls == 0 and stats[2].domains == []
+
+    kept = {r.doc_id for r in domain_blocklist(df, ["SPAM.bad.site"]).collect()}
+    assert kept == {0, 2}
+    p = domain_blocklist(df, ["x.y"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in p and "Join" not in p
