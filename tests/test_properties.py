@@ -152,3 +152,69 @@ def test_remove_dup_spans_matches_python_reference(spark, docs, n):
         for r in remove_dup_spans(df, n=n, keep_first=False).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    weights=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.floats(0.0, 3.0, allow_nan=False, width=16),
+        max_size=3,
+    ),
+    seed=st.integers(0, 5),
+)
+def test_mixture_epochs_matches_exact_hash_reference(spark, weights, seed):
+    """In md5_60 mode every copy decision is exactly computable in plain
+    Python: n = floor(w) + (md5-bucket < frac(w)·1e6)."""
+    import hashlib
+
+    from spark_timeseries_spark.pipeline.sampling import mixture_epochs
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(
+        (r.doc_id, r.epoch)
+        for r in mixture_epochs(
+            df, weights, seed=seed, hash_fn="md5_60"
+        ).collect()
+    )
+
+    def bucket(i):
+        h = hashlib.md5(f"{i}\x01{seed}".encode()).hexdigest()[:15]
+        return int(h, 16) % 1_000_000
+
+    expected = []
+    for i, src in rows:
+        w = weights.get(src, 1.0)
+        n = int(w) + (1 if bucket(i) < int(round((w - int(w)) * 1_000_000))
+                      else 0)
+        expected.extend((i, e) for e in range(n))
+    assert got == sorted(expected)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=10,
+    ),
+    max_size=st.integers(1, 8),
+    min_count=st.integers(1, 3),
+)
+def test_build_vocab_matches_python_reference(spark, docs, max_size, min_count):
+    from collections import Counter
+
+    from spark_timeseries_spark.pipeline.vocab import build_vocab
+
+    corpus = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = [(r.token_id, r.token, r.cnt)
+           for r in build_vocab(df, max_size, min_count).collect()]
+
+    counts = Counter(t for toks in docs for t in toks)
+    ranked = sorted(
+        ((t, c) for t, c in counts.items() if c >= min_count),
+        key=lambda tc: (-tc[1], tc[0]),
+    )[:max_size]
+    assert got == [(i, t, c) for i, (t, c) in enumerate(ranked)]
