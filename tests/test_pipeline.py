@@ -1288,3 +1288,48 @@ def test_ivfpq_topk_composes(spark, vectors):
     # pruned probing still finds a colinear near-dup of 0 at rank 1
     pruned = ivfpq_topk(vectors, q, model, k=3, n_centroids=4, nprobe=2)
     assert pruned.orderBy("rank").first().vec_id in (1, 2)
+
+
+def test_model_persistence_roundtrips(spark, vectors, tmp_path):
+    """k-means / PQ / logreg models round-trip through their JSON sidecars
+    bit-exactly: reloaded models produce identical assignments, codes, and
+    scores (training once, scoring in later jobs)."""
+    from spark_timeseries_spark.pipeline import models_io as mio
+    from spark_timeseries_spark.pipeline.classifier import (
+        LogRegModel,
+        linear_score,
+    )
+    from spark_timeseries_spark.pipeline.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from spark_timeseries_spark.pipeline.pq import pq_encode, pq_train
+
+    km = kmeans_fit(vectors, k=3, max_iter=2)
+    mio.save_kmeans(km, str(tmp_path / "km.json"))
+    km2 = mio.load_kmeans(str(tmp_path / "km.json"))
+    assert km2.centroids == km.centroids
+    a1 = {(r.vec_id, r.cid) for r in kmeans_assign(vectors, km).collect()}
+    a2 = {(r.vec_id, r.cid) for r in kmeans_assign(vectors, km2).collect()}
+    assert a1 == a2
+
+    pq = pq_train(vectors, dim=8, m=2, k=4, max_iter=2)
+    mio.save_pq(pq, str(tmp_path / "pq.json"))
+    pq2 = mio.load_pq(str(tmp_path / "pq.json"))
+    assert pq2.codebooks == pq.codebooks
+    c1 = {(r.vec_id, tuple(r.codes)) for r in pq_encode(vectors, pq).collect()}
+    c2 = {(r.vec_id, tuple(r.codes)) for r in pq_encode(vectors, pq2).collect()}
+    assert c1 == c2
+
+    lr = LogRegModel(weights={"alpha": 0.5, "beta": -1.25}, bias=0.125,
+                     n_iter=3)
+    mio.save_logreg(lr, str(tmp_path / "lr.json"))
+    lr2 = mio.load_logreg(str(tmp_path / "lr.json"))
+    assert lr2 == lr
+    docs = spark.createDataFrame([(0, "alpha beta")], "doc_id long, text string")
+    s1 = linear_score(docs, lr.weights, bias=lr.bias).first()
+    s2 = linear_score(docs, lr2.weights, bias=lr2.bias).first()
+    assert s1.score == s2.score
+
+    with pytest.raises(ValueError):
+        mio.load_pq(str(tmp_path / "km.json"))

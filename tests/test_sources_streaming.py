@@ -396,3 +396,37 @@ def test_streaming_mixture_epochs(spark, tmp_path):
     ).toPandas()
     key = lambda d: sorted(map(tuple, d.itertuples(index=False)))  # noqa: E731
     assert key(out) == key(batch)
+
+
+def test_streaming_blocklist_and_urls(spark, tmp_path):
+    """The phrase-blocklist and domain-blocklist gates are row-local regex
+    filters, so they run under readStream unchanged — the streaming
+    corpus-hygiene front door."""
+    from spark_timeseries_spark.pipeline.text import (
+        domain_blocklist,
+        phrase_blocklist,
+    )
+
+    src = str(tmp_path / "bl_src")
+    os.makedirs(src)
+    rows = [
+        (0, "clean doc", "a"),
+        (1, "has the badword inside", "a"),
+        (2, "links https://spam.bad.site/x", "a"),
+        (3, "links https://fine.org/y", "a"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, source string") \
+        .write.parquet(src + "/batch1")
+    stream = spark.readStream.schema(
+        "doc_id long, text string, source string"
+    ).parquet(src + "/*")
+    gated = domain_blocklist(
+        phrase_blocklist(stream, ["badword"]), ["spam.bad.site"]
+    )
+    q = (
+        gated.writeStream.format("memory").queryName("gated")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select doc_id from gated").toPandas()
+    assert sorted(out.doc_id) == [0, 3]
