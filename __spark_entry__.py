@@ -1503,6 +1503,31 @@ def _q_pq_adc(spark, sf_dir):
     )
 
 
+def _q_dedup_paragraphs(spark, sf_dir):
+    """Corpus-wide paragraph dedup, keep-first (``pipeline/dedup.py::
+    dedup_paragraphs``): the corpus is salted with a shared footer
+    paragraph (cut everywhere but doc 0) and a per-doc unique paragraph
+    (kept). Canonical selection is a partially-aggregated min — no
+    hot-key window — so a corpus-viral paragraph stays one row per
+    partition. The oracle replays by grouping on paragraph CONTENT,
+    proving the result is independent of the hash key choice."""
+    from spark_timeseries_spark.pipeline.dedup import dedup_paragraphs
+
+    docs = load_table(spark, sf_dir, "documents")
+    salted = docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.lit("\n\nshared footer paragraph\n\nunique paragraph "),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    out = dedup_paragraphs(salted)
+    return out.select(
+        "doc_id", F.md5("text").alias("clean_md5"), "n_paras", "removed_paras"
+    )
+
+
 _BLOCK_PHRASES = ["badphrase", "spam token"]
 
 
@@ -1730,6 +1755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # proven; rotate next round. video_frames displaced: its decode
         # plumbing is covered in-window by multimodal_meta+image_features.
         "url_stats": _q_url_stats,
+        "dedup_paragraphs": _q_dedup_paragraphs,
         "video_frames": _q_video_frames,
         # displaced by (b''): model family untouched this round, r3 driver
         # rows stand (arima_forecast stays in-window as the flagship)
@@ -4144,6 +4170,46 @@ def oracle_sql() -> dict[str, str]:
                    AS n_blocked,
                len(regexp_extract_all(t, '{_bl_pat}')) > 0 AS blocked
         FROM s
+    """
+    o["dedup_paragraphs"] = r"""
+        WITH s AS (
+            SELECT doc_id,
+                   text || chr(10) || chr(10) || 'shared footer paragraph'
+                        || chr(10) || chr(10) || 'unique paragraph '
+                        || CAST(doc_id AS VARCHAR) AS t
+            FROM documents
+        ),
+        lst AS (
+            SELECT doc_id,
+                   list_filter(
+                       list_transform(regexp_split_to_array(t, '\n{2,}'),
+                                      x -> trim(x)),
+                       x -> x <> '') AS ps
+            FROM s
+        ),
+        paras AS (
+            SELECT doc_id, i - 1 AS idx, ps[i] AS para
+            FROM lst, unnest(range(1, len(ps) + 1)) AS r(i)
+        ),
+        kept AS (
+            SELECT doc_id, idx, para FROM (
+                SELECT *, row_number() OVER (PARTITION BY para
+                                             ORDER BY doc_id, idx) AS rn
+                FROM paras)
+            WHERE rn = 1
+        ),
+        reb AS (
+            SELECT doc_id,
+                   string_agg(para, chr(10) || chr(10) ORDER BY idx) AS text,
+                   COUNT(*) AS k
+            FROM kept GROUP BY 1
+        )
+        SELECT l.doc_id,
+               md5(COALESCE(reb.text, '')) AS clean_md5,
+               CAST(len(l.ps) AS BIGINT) AS n_paras,
+               CAST(len(l.ps) - COALESCE(reb.k, 0) AS BIGINT)
+                   AS removed_paras
+        FROM lst l LEFT JOIN reb USING (doc_id)
     """
     o["url_stats"] = r"""
         WITH s AS (

@@ -799,3 +799,86 @@ def remove_dup_spans(
         )
     )
     return out
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Corpus-wide paragraph dedup (the C4 three-sentence-span rule's
+    paragraph-granularity cousin, applied by several pretraining corpora):
+    every repeated paragraph keeps exactly its FIRST occurrence — smallest
+    (doc, position) — and is cut everywhere else, then documents are
+    rebuilt with blank-line joins. Output: (id, text, n_paras,
+    removed_paras); a document whose every paragraph is a repeat rebuilds
+    to ''.
+
+    Scale shape: paragraphs are split row-locally; the canonical
+    occurrence per paragraph hash is ONE partially-aggregated groupBy
+    (min(struct(doc, pos)) — map-side combine collapses even a
+    corpus-wide boilerplate paragraph to one row per partition, so there
+    is no hot-key window; a row_number-over-hash formulation would put
+    every copy of a viral paragraph in one task). The join back is
+    hash-keyed (AQE skew-split applies) and the rebuild is one groupBy
+    over the SURVIVING occurrences only."""
+    from spark_timeseries_spark.functions import hashed
+
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.transform(
+                    F.split(F.col(text_col), r"\n{2,}"), lambda p: F.trim(p)
+                ),
+                lambda p: p != F.lit(""),
+            )
+        ).alias("idx", "para"),
+    ).withColumn("ph", hashed(F.col("para"), hash_fn))
+    canon = paras.groupBy("ph").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("idx").alias("x"))).alias(
+            "_first"
+        )
+    )
+    kept = (
+        paras.join(canon, "ph")
+        .where(
+            (F.col(id_col) == F.col("_first.i"))
+            & (F.col("idx") == F.col("_first.x"))
+        )
+        .select(id_col, "idx", "para")
+    )
+    # anchor on the corpus so blank/whitespace-only documents (zero
+    # paragraphs) still get an output row
+    counts = (
+        df.select(id_col)
+        .join(
+            paras.groupBy(id_col).agg(F.count("*").alias("n_paras")),
+            id_col,
+            "left",
+        )
+        .select(id_col, F.coalesce("n_paras", F.lit(0)).alias("n_paras"))
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("idx", "para"))).alias("_ps")
+        )
+        .select(
+            id_col,
+            F.concat_ws("\n\n", F.col("_ps.para")).alias("text"),
+            F.size("_ps").alias("_kept"),
+        )
+    )
+    return (
+        counts.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_paras",
+            (F.col("n_paras") - F.coalesce("_kept", F.lit(0))).alias(
+                "removed_paras"
+            ),
+        )
+    )

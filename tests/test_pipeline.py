@@ -1333,3 +1333,25 @@ def test_model_persistence_roundtrips(spark, vectors, tmp_path):
 
     with pytest.raises(ValueError):
         mio.load_pq(str(tmp_path / "km.json"))
+
+
+def test_dedup_paragraphs_keep_first(spark):
+    """Corpus-wide paragraph dedup: a repeated paragraph survives only at
+    its smallest (doc, position); intra-doc repeats collapse too; blank
+    docs still get a row; paragraph order is preserved on rebuild."""
+    from spark_timeseries_spark.pipeline.dedup import dedup_paragraphs
+
+    shared = "this paragraph appears everywhere"
+    rows = [
+        (0, f"unique zero\n\n{shared}\n\ntail zero"),
+        (1, f"{shared}\n\nunique one"),
+        (2, f"{shared}\n\nmiddle two\n\n{shared}"),   # two copies in one doc
+        (3, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_paragraphs(df).collect()}
+    assert out[0].text == f"unique zero\n\n{shared}\n\ntail zero"
+    assert out[0].removed_paras == 0                  # doc 0 holds the first
+    assert out[1].text == "unique one" and out[1].removed_paras == 1
+    assert out[2].text == "middle two" and out[2].removed_paras == 2
+    assert out[3].text == "" and out[3].n_paras == 0
