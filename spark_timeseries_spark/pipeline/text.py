@@ -718,3 +718,47 @@ def domain_blocklist(
     )
     bad = F.array(*[F.lit(d.lower()) for d in sorted(set(blocked))])
     return df.where(~F.arrays_overlap(domains, bad))
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """(id, raw_bytes, zlib_bytes, compression_ratio) — the zlib
+    compressibility quality signal (highly compressible ⇒ repetitive/
+    templated text; used by Gopher-era and RedPajama-era filters alongside
+    the explicit repetition rules).
+
+    This is one of the few deliberately-Python operators in the pipeline:
+    Spark has no JVM compression EXPRESSION (codecs exist only at the
+    storage layer), so the rule drops to an Arrow-batched pandas UDF —
+    row-local, no shuffle, and the batch boundary is the only Python
+    crossing. Ratio is zlib_bytes/raw_bytes over UTF-8; empty text
+    reports NULL ratio."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _sizes_fn(texts):
+        import zlib
+
+        raw, comp = [], []
+        for t in texts:
+            b = (t or "").encode("utf-8")
+            raw.append(len(b))
+            comp.append(len(zlib.compress(b, level)))
+        return pd.DataFrame({"raw_bytes": raw, "zlib_bytes": comp})
+
+    _sizes = pandas_udf(_sizes_fn, "struct<raw_bytes: long, zlib_bytes: long>")
+
+    sized = df.select(F.col(id_col), _sizes(F.col(text_col)).alias("_s"))
+    return sized.select(
+        id_col,
+        F.col("_s.raw_bytes").alias("raw_bytes"),
+        F.col("_s.zlib_bytes").alias("zlib_bytes"),
+        F.when(
+            F.col("_s.raw_bytes") > 0,
+            F.col("_s.zlib_bytes") / F.col("_s.raw_bytes"),
+        ).alias("compression_ratio"),
+    )

@@ -1355,3 +1355,27 @@ def test_dedup_paragraphs_keep_first(spark):
     assert out[1].text == "unique one" and out[1].removed_paras == 1
     assert out[2].text == "middle two" and out[2].removed_paras == 2
     assert out[3].text == "" and out[3].n_paras == 0
+
+
+def test_compression_ratio_signal(spark):
+    """Repetitive text compresses far better than high-entropy text; the
+    ratio is exactly reproducible against local zlib, and the plan stays
+    a single Arrow-batched projection (no shuffle)."""
+    import zlib
+
+    from spark_timeseries_spark.pipeline.text import compression_ratio
+
+    rep = "spam " * 200
+    import random
+
+    rng = random.Random(7)
+    noise = "".join(chr(rng.randint(33, 126)) for _ in range(1000))
+    df = spark.createDataFrame(
+        [(0, rep), (1, noise), (2, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in compression_ratio(df).collect()}
+    assert out[0].compression_ratio < 0.05 < out[1].compression_ratio
+    assert out[1].zlib_bytes == len(zlib.compress(noise.encode(), 6))
+    assert out[2].raw_bytes == 0 and out[2].compression_ratio is None
+    p = compression_ratio(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "ArrowEvalPython" in p
