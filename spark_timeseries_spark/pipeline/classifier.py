@@ -122,6 +122,7 @@ def train_logreg(
     lr: float = 1.0,
     l2: float = 0.0,
     bpe: bool = False,
+    lowercase: bool = True,
 ) -> LogRegModel:
     """Batch-gradient logistic regression over bag-of-words features
     restricted to ``vocab`` (build with :func:`vocab.build_vocab`; keeps
@@ -130,9 +131,13 @@ def train_logreg(
     Per iteration: one broadcast join to score, one doc-keyed aggregate
     for the residual, one token-keyed aggregate for the gradient; the
     collected gradient is |vocab| rows. Labels are 0/1 doubles.
+    ``bpe``/``lowercase`` must match the settings the vocab was built
+    with and the settings later passed to :func:`linear_score` — a
+    case-preserving vocab against the lowercased default would silently
+    drop every cased token at the join.
     """
     spark = df.sparkSession
-    feats = featurize(df, text_col, id_col, bpe).join(
+    feats = featurize(df, text_col, id_col, bpe, lowercase).join(
         F.broadcast(vocab.select("token")), "token"
     )
     labels = df.select(id_col, F.col(label_col).cast("double").alias("_y"))

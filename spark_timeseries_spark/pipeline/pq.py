@@ -103,24 +103,19 @@ def _sub_dists(subvec, book: list[list[float]]):
     )
 
 
-def pq_encode(
-    df: DataFrame,
-    model: PQModel,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """(id, codes ARRAY<INT>[m]) — per subspace, the index of the nearest
-    codebook centroid (ties to the lowest code via first-match
-    array_position, mirroring k-means assignment). Entirely row-local
-    array arithmetic: zero shuffles, zero Python at row time."""
+def pq_code_expr(model: PQModel, vec):
+    """The codes ARRAY<INT>[m] as a COLUMN EXPRESSION over a double-array
+    vector column — composable into an existing lineage (e.g. attached to
+    an IVF assignment) without a second corpus scan or a join. Per
+    subspace: index of the nearest codebook centroid, ties to the lowest
+    code via first-match array_position (mirrors k-means assignment)."""
     from spark_timeseries_spark.functions import let
 
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     sub = model.sub_dim
 
     def code_for(s: int):
         return let(
-            F.slice(v, s * sub + 1, sub),
+            F.slice(vec, s * sub + 1, sub),
             lambda sv: let(
                 _sub_dists(sv, model.codebooks[s]),
                 lambda d: (F.array_position(d, F.array_min(d)) - 1).cast(
@@ -129,9 +124,20 @@ def pq_encode(
             ),
         )
 
+    return F.array(*[code_for(s) for s in range(model.m)])
+
+
+def pq_encode(
+    df: DataFrame,
+    model: PQModel,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes ARRAY<INT>[m]) via :func:`pq_code_expr`. Entirely
+    row-local array arithmetic: zero shuffles, zero Python at row time."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return df.select(
-        F.col(id_col).alias("vec_id"),
-        F.array(*[code_for(s) for s in range(model.m)]).alias("codes"),
+        F.col(id_col).alias("vec_id"), pq_code_expr(model, v).alias("codes")
     )
 
 
@@ -190,39 +196,40 @@ def ivfpq_topk(
     their ``nprobe`` nearest coarse lists (the IVF layer cuts the scan to
     ~nprobe/n_centroids of the corpus), and within a list score against
     m-byte PQ codes by ADC (the PQ layer cuts the bytes touched per
-    candidate ~50×). Simplification vs the paper: codes encode the raw
-    vectors, not the coarse residuals — documented, and exactly what the
-    flat :func:`pq_adc_topk` does, so the two compose transparently with
-    :func:`similarity.ivf_build`'s persisted layout.
+    candidate ~50×). The coarse quantizer uses SQUARED L2 — the same
+    metric ADC approximates — so pruning and ranking agree (a cosine
+    coarse layer over an L2 ranker silently drops true L2 neighbors of
+    unnormalized vectors). Simplification vs the paper: codes encode the
+    raw vectors, not the coarse residuals (exactly what the flat
+    :func:`pq_adc_topk` does, so exhaustive probing equals flat ADC).
 
-    Plan: coarse centroids + probe table broadcast; the corpus is touched
-    once for (assign ⨝ encode) — both row-local against broadcast/literal
-    state; the only shuffles are the per-query top-k."""
+    Plan: coarse centroids + probe table broadcast; the corpus is read
+    ONCE — coarse assignment and PQ codes are both row-local column
+    expressions in the same projection (no encode join, no second scan);
+    the candidate stream is already (qid, vec_id)-unique, so the only
+    shuffle is the per-query top-k window."""
+    from spark_timeseries_spark.pipeline.clustering import _sq_l2
     from spark_timeseries_spark.pipeline.similarity import (
         _as_double,
         _sampled_centroids,
-        cosine,
     )
+
+    def nearest(df_, vec_field, key_field, topn):
+        w_ = Window.partitionBy(key_field).orderBy(F.asc("_d"), F.asc("cid"))
+        return (
+            df_.crossJoin(F.broadcast(cents))
+            .withColumn("_d", _sq_l2(F.col(vec_field), F.col("cv")))
+            .withColumn("_rk", F.row_number().over(w_))
+            .where(F.col("_rk") <= topn)
+        )
 
     c = corpus.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )
     cents = _sampled_centroids(c, n_centroids)
-    assigned = (
-        c.crossJoin(F.broadcast(cents))
-        .withColumn("_d", cosine(F.col("v"), F.col("cv")))
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.desc("_d"), F.asc("cid"))
-            ),
-        )
-        .where(F.col("_rk") == 1)
-        .select("vec_id", "v", "cid")
+    coded = nearest(c, "v", "vec_id", 1).select(
+        "vec_id", "cid", pq_code_expr(model, F.col("v")).alias("codes")
     )
-    coded = assigned.join(
-        pq_encode(corpus, model, vec_col, id_col), "vec_id"
-    ).select("vec_id", "cid", "codes")
 
     qv = _as_double(F.col(vec_col))
     sub = model.sub_dim
@@ -235,18 +242,8 @@ def ivfpq_topk(
     q = queries.select(
         F.col(query_id_col).alias("qid"), qv.alias("qv"), luts.alias("_lut")
     )
-    q_probe = (
-        F.broadcast(q)
-        .crossJoin(F.broadcast(cents))
-        .withColumn("_d", cosine(F.col("qv"), F.col("cv")))
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(F.desc("_d"), F.asc("cid"))
-            ),
-        )
-        .where(F.col("_rk") <= nprobe)
-        .select("qid", "_lut", "cid")
+    q_probe = F.broadcast(
+        nearest(q, "qv", "qid", nprobe).select("qid", "_lut", "cid")
     )
     adist = None
     for s in range(model.m):
@@ -256,7 +253,6 @@ def ivfpq_topk(
         q_probe.join(coded, "cid")
         .where(F.col("qid") != F.col("vec_id"))
         .select("qid", "vec_id", adist.alias("adist"))
-        .distinct()
     )
     w = Window.partitionBy("qid").orderBy(F.asc("adist"), F.asc("vec_id"))
     return (

@@ -93,7 +93,15 @@ def oov_rate(
     membership testing is map-side — as a LEFT ANTI join, so the one
     per-document shuffle carries only the OOV occurrences (for a healthy
     corpus the small minority), not the whole token stream; the total
-    token count is a row-local array size computed before the explode."""
+    token count is a row-local array size computed before the explode.
+
+    Deliberate trade-off: the corpus is tokenized twice (once for the
+    counts projection, once for the OOV stream). The single-tokenization
+    alternative must keep in-vocab rows through the aggregate — i.e.
+    shuffle the ENTIRE token stream — because zero-OOV documents still
+    need a count; repeating the row-local regex CPU is far cheaper than
+    that corpus-wide exchange. Callers holding ``df`` cached pay only
+    the CPU, not a second input read."""
     t = F.col(text_col)
     if lowercase:
         t = F.lower(t)
