@@ -648,6 +648,10 @@ def _blocklist_pattern(phrases: list[str], word_boundary: bool = True) -> str:
         raise ValueError("empty blocklist")
     alts = "|".join(_re.escape(p.lower()) for p in sorted(phrases))
     core = f"(?:{alts})"
+    # \b anchors require a word character on the inside: a phrase ENDING
+    # in a symbol ('c++') followed by a space has no boundary there and
+    # will never match word-bounded — pass word_boundary=False for
+    # symbol-bearing phrase lists (same caveat as any \b-based blocklist)
     return rf"(?i)\b{core}\b" if word_boundary else f"(?i){core}"
 
 

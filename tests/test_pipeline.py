@@ -1379,3 +1379,22 @@ def test_compression_ratio_signal(spark):
     assert out[2].raw_bytes == 0 and out[2].compression_ratio is None
     p = compression_ratio(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p and "ArrowEvalPython" in p
+
+
+def test_phrase_blocklist_regex_metachars(spark):
+    """Phrases are literal-escaped: regex metacharacters must match
+    themselves, and symbol-final phrases work with word_boundary=False
+    (\\b needs a word char inside — documented caveat)."""
+    from spark_timeseries_spark.pipeline.text import phrase_blocklist
+
+    rows = [
+        (0, "uses a.b here"),
+        (1, "uses aXb here"),        # '.' must NOT act as a wildcard
+        (2, "loves c++ a lot"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r.doc_id for r in phrase_blocklist(df, ["a.b"]).collect()}
+    assert kept == {1, 2}
+    kept2 = {r.doc_id for r in
+             phrase_blocklist(df, ["c++"], word_boundary=False).collect()}
+    assert kept2 == {0, 1}

@@ -218,3 +218,35 @@ def test_build_vocab_matches_python_reference(spark, docs, max_size, min_count):
         key=lambda tc: (-tc[1], tc[0]),
     )[:max_size]
     assert got == [(i, t, c) for i, (t, c) in enumerate(ranked)]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["pa", "pb", "pc", "pd"]),
+                 min_size=0, max_size=5),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_dedup_paragraphs_matches_python_reference(spark, docs):
+    """Keep-first paragraph dedup against a brute-force reference over
+    random corpora built from a tiny paragraph alphabet (maximizing
+    collisions, intra-doc repeats, and empty docs)."""
+    from spark_timeseries_spark.pipeline.dedup import dedup_paragraphs
+
+    corpus = [(i, "\n\n".join(ps)) for i, ps in enumerate(docs)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r.doc_id: (r.text, r.n_paras, r.removed_paras)
+           for r in dedup_paragraphs(df).collect()}
+
+    seen = set()
+    expected = {}
+    for i, ps in enumerate(docs):
+        kept = []
+        for p in ps:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        expected[i] = ("\n\n".join(kept), len(ps), len(ps) - len(kept))
+    assert got == expected
