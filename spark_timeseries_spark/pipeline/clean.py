@@ -69,19 +69,45 @@ def pretrain_clean(
     rep_thresholds: dict[str, float] | None = None,
     normalize_digest: bool = True,
     persist_intermediate: bool = False,
+    blocklist: list[str] | None = None,
+    blocked_domains: list[str] | None = None,
+    min_compression_ratio: float | None = None,
 ) -> DataFrame | CleanResult:
     """Language → quality → Gopher-repetition → exact-dedup chain; returns
     the surviving documents with their original columns plus ``quality``.
     With ``persist_intermediate=True`` the row-local survivors are cached
     and the return value is a :class:`CleanResult` — ``result.df`` plus the
     ``result.cached`` frame to ``.unpersist()`` when done (unpersisting
-    the result frame itself would not release it)."""
+    the result frame itself would not release it).
+
+    Optional gates (all off by default, all joining the ROW-LOCAL stage
+    so they ride the same scan): ``blocklist`` (C4 phrase gate),
+    ``blocked_domains`` (link hygiene), and ``min_compression_ratio``
+    — a MINIMUM compressibility gate in the Gopher spirit: ratios BELOW
+    the threshold mean near-pure repetition (the pandas-UDF crossing is
+    still one projection, no shuffle)."""
+    from .text import domain_blocklist, phrase_blocklist
+
     t = F.col(text_col)
+    gated = df
+    if blocklist:
+        gated = phrase_blocklist(gated, blocklist, text_col, id_col)
+    if blocked_domains:
+        gated = domain_blocklist(gated, blocked_domains, text_col, id_col)
     scored = (
-        df.where(language_id(t) == lang)
+        gated.where(language_id(t) == lang)
         .withColumn("quality", quality_score_col(t))
         .where(F.col("quality") >= min_quality)
     )
+    if min_compression_ratio is not None:
+        from .text import compression_ratio
+
+        too_templated = (
+            compression_ratio(scored, text_col, id_col)
+            .where(F.col("compression_ratio") < min_compression_ratio)
+            .select(id_col)
+        )
+        scored = scored.join(too_templated, id_col, "left_anti")
     if persist_intermediate:
         scored = scored.persist()
     rep = gopher_repetition_filter(

@@ -1398,3 +1398,34 @@ def test_phrase_blocklist_regex_metachars(spark):
     kept2 = {r.doc_id for r in
              phrase_blocklist(df, ["c++"], word_boundary=False).collect()}
     assert kept2 == {0, 1}
+
+
+def test_pretrain_clean_optional_gates(spark):
+    """The defaults-off hygiene gates compose into the clean chain: a
+    blocked phrase, a blocked domain, and a near-pure-repetition doc are
+    each dropped; the default call is unchanged (gates off)."""
+    from spark_timeseries_spark.pipeline.clean import pretrain_clean
+
+    good = ("the quick brown fox jumps over the lazy dog and then walks to "
+            "the old stone house by the quiet river bank early in the day")
+    rows = [
+        (0, good),
+        (1, good + " contains the badstuff token"),
+        (2, good + " see https://spam.site/x"),
+        (3, "the fox " * 40),                       # zlib ratio ≈ 0.04
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {r.doc_id for r in
+            pretrain_clean(df, min_quality=0.2,
+                           rep_thresholds={"top2gram_char_ratio": 10.0}
+                           ).select("doc_id").collect()}
+    assert base == {0, 1, 2, 3}                    # gates off → all survive
+    gated = {r.doc_id for r in
+             pretrain_clean(
+                 df, min_quality=0.2,
+                 rep_thresholds={"top2gram_char_ratio": 10.0},
+                 blocklist=["badstuff"],
+                 blocked_domains=["spam.site"],
+                 min_compression_ratio=0.1,
+             ).select("doc_id").collect()}
+    assert gated == {0}
