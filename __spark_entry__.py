@@ -4305,8 +4305,11 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN '{s}' THEN {_mix_parts(w)[1]}"
         for s, w in sorted(_MIXTURE_WEIGHTS.items())
     )
+    # the epoch coin is NAMESPACED (id || chr(2) || 'epoch') so it is
+    # independent of the samplers' keep/drop hash at equal seeds
     _mix_bucket = (
-        _h60("CAST(doc_id AS VARCHAR) || chr(1) || '7'") + " % 1000000"
+        _h60("CAST(doc_id AS VARCHAR) || chr(2) || 'epoch' || chr(1) || '7'")
+        + " % 1000000"
     )
     o["mixture_epochs"] = f"""
         WITH n AS (

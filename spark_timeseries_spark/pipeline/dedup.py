@@ -119,7 +119,7 @@ def minhash_signatures(
     sets = shingle_sets(df, text_col, id_col, shingle_n).withColumnRenamed(
         "id", id_col
     )
-    return minhash_signatures_from_sets(sets, id_col)
+    return minhash_signatures_from_sets(sets, id_col, num_hashes=num_hashes)
 
 
 def minhash_signatures_from_sets(

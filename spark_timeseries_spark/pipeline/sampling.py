@@ -61,7 +61,15 @@ def mixture_epochs(
     itself, which is exactly the upsampled corpus size; no shuffle, no
     join, no driver state. Fractional thresholds are precomputed to
     integer literals here so both engines compare integers (no float
-    parity risk)."""
+    parity risk).
+
+    The fractional coin hashes a NAMESPACED id (``id + "\\x02epoch"``),
+    not the raw id the samplers hash: with a shared stream,
+    ``stratified_sample(rate=0.5, seed=0)`` followed by
+    ``mixture_epochs(w=1.5, seed=0)`` would give EVERY survivor the extra
+    copy (bucket < 500000 twice) — realized mean 2.0 epochs instead of
+    1.5. The namespace makes the two decisions independent even at equal
+    seeds."""
     def _parts(w: float) -> tuple[int, int]:
         if w < 0:
             raise ValueError(f"negative mixture weight {w}")
@@ -74,9 +82,12 @@ def mixture_epochs(
         b, t = _parts(w)
         base_c = F.when(F.col(stratum_col) == name, b).otherwise(base_c)
         thr_c = F.when(F.col(stratum_col) == name, t).otherwise(thr_c)
-    n = base_c + F.when(
-        _bucket(F.col(id_col), seed, hash_fn) < thr_c, 1
-    ).otherwise(0)
+    coin = _bucket(
+        F.concat(F.col(id_col).cast("string"), F.lit("\x02epoch")),
+        seed,
+        hash_fn,
+    )
+    n = base_c + F.when(coin < thr_c, 1).otherwise(0)
     return (
         df.withColumn("_n_copies", n)
         .where(F.col("_n_copies") > 0)

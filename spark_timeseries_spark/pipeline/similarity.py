@@ -57,7 +57,18 @@ def blocked_all_pairs_cosine(
     block pair fits in executor memory; the task count grows quadratically
     but each task is a dense GEMM — the canonical blocked all-pairs design.
     Returns (id_a, id_b, cosine) with id_a < id_b, cosine unrounded.
+
+    Ids must be INTEGRAL: the GEMM stage packs them into int64 numpy
+    arrays and the id_a < id_b canonicalization is numeric. Checked
+    eagerly — string ids would otherwise die deep inside an Arrow worker
+    with an opaque np.fromiter traceback.
     """
+    id_type = dict(df.dtypes)[id_col]
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"blocked_all_pairs_cosine needs an integral {id_col!r} "
+            f"(got {id_type}); map string ids to a surrogate long first"
+        )
     e = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -200,30 +211,11 @@ def ivf_topk(
     sample; at scale, swap in a trained k-means without changing the plan
     shape); every vector is assigned to its nearest centroid (broadcast
     join); queries scan only the ``nprobe`` nearest inverted lists."""
-    from spark_timeseries_spark.functions import hash60
-
     c = corpus.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )
-    w = Window.orderBy(hash60(F.col("vec_id").cast("string")))
-    cents = (
-        c.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= n_centroids)
-        .select(F.col("_rn").alias("cid"), F.col("v").alias("cv"))
-    )
-
-    assigned = (
-        c.crossJoin(F.broadcast(cents))
-        .withColumn("_d", cosine(F.col("v"), F.col("cv")))
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.desc("_d"), F.asc("cid"))
-            ),
-        )
-        .where(F.col("_rk") == 1)
-        .select("vec_id", "v", "cid")
-    )
+    cents = _sampled_centroids(c, n_centroids)
+    assigned = _ivf_assign(c, cents)
     q = queries.select(
         F.col(query_id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
     )
@@ -252,15 +244,43 @@ def ivf_topk(
 
 def _sampled_centroids(c: DataFrame, n_centroids: int) -> DataFrame:
     """Deterministic corpus sample as centroids — the cross-engine-stable
-    init shared by ivf_topk and ivf_build (swap in clustering.kmeans_fit
-    centroids for trained quality; the plan shape is identical)."""
+    init shared by ivf_topk / ivf_build / ivfpq_topk (swap in
+    clustering.kmeans_fit centroids for trained quality; the plan shape
+    is identical). Selection is the n smallest id-hashes via
+    ``orderBy(...).limit(n)`` — TakeOrderedAndProject, per-partition
+    top-k with only n rows reaching the driver-side merge; the cid
+    numbering window then sorts ONLY the ≤n survivors (a bare
+    ``row_number over orderBy(hash)`` here funneled the whole corpus
+    through one window partition)."""
     from spark_timeseries_spark.functions import hash60
 
-    w = Window.orderBy(hash60(F.col("vec_id").cast("string")))
+    top = (
+        c.select("v", hash60(F.col("vec_id").cast("string")).alias("_h"))
+        .orderBy("_h")
+        .limit(n_centroids)
+    )
+    w = Window.orderBy("_h")
+    return top.select(
+        F.row_number().over(w).alias("cid"), F.col("v").alias("cv")
+    )
+
+
+def _ivf_assign(c: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid by cosine, ties to the lowest cid →
+    (vec_id, v, cid) — the single assignment implementation behind
+    ivf_topk and ivf_build (one copy, so the inline and persisted paths
+    cannot drift)."""
     return (
-        c.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= n_centroids)
-        .select(F.col("_rn").alias("cid"), F.col("v").alias("cv"))
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("_d", cosine(F.col("v"), F.col("cv")))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("_d"), F.asc("cid"))
+            ),
+        )
+        .where(F.col("_rk") == 1)
+        .select("vec_id", "v", "cid")
     )
 
 
@@ -288,19 +308,15 @@ def ivf_build(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )
     if cents is None:
-        cents = _sampled_centroids(c, n_centroids)
-    assigned = (
-        c.crossJoin(F.broadcast(cents))
-        .withColumn("_d", cosine(F.col("v"), F.col("cv")))
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.desc("_d"), F.asc("cid"))
-            ),
+        # materialize the tiny centroid table once (k×dim doubles on the
+        # driver, the same bound as a k-means model) — it feeds both the
+        # centroids write and the assignment, which would otherwise each
+        # recompute the corpus-wide sample
+        rows = _sampled_centroids(c, n_centroids).collect()
+        cents = corpus.sparkSession.createDataFrame(
+            [(r.cid, list(r.cv)) for r in rows], "cid int, cv array<double>"
         )
-        .where(F.col("_rk") == 1)
-        .select("vec_id", "v", "cid")
-    )
+    assigned = _ivf_assign(c, cents)
     cents.write.mode("overwrite").parquet(path + "/centroids")
     assigned.write.mode("overwrite").partitionBy("cid").parquet(path + "/lists")
 

@@ -1429,3 +1429,37 @@ def test_pretrain_clean_optional_gates(spark):
                  min_compression_ratio=0.1,
              ).select("doc_id").collect()}
     assert gated == {0}
+
+
+def test_mixture_coin_independent_of_sampler(spark):
+    """The fractional-epoch coin must be independent of the samplers'
+    keep/drop hash at EQUAL seeds: survivors of a rate-0.5 sample given
+    weight 1.5 must average ~1.5 epochs, not 2.0 (the correlated-stream
+    failure: every survivor's bucket < 500000 would win the extra-copy
+    coin too)."""
+    from spark_timeseries_spark.pipeline.sampling import (
+        deterministic_sample,
+        mixture_epochs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(4000)], "doc_id long, source string"
+    )
+    kept = deterministic_sample(df, 0.5, seed=0)
+    n_kept = kept.count()
+    rows = mixture_epochs(kept, {"a": 1.5}, seed=0).count()
+    mean = rows / n_kept
+    assert 1.4 < mean < 1.6, mean
+
+
+def test_blocked_all_pairs_rejects_string_ids(spark):
+    from spark_timeseries_spark.pipeline.similarity import (
+        blocked_all_pairs_cosine,
+    )
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.0])],
+        "vec_id string, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="integral"):
+        blocked_all_pairs_cosine(df, 0.9)

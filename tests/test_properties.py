@@ -180,7 +180,7 @@ def test_mixture_epochs_matches_exact_hash_reference(spark, weights, seed):
     )
 
     def bucket(i):
-        h = hashlib.md5(f"{i}\x01{seed}".encode()).hexdigest()[:15]
+        h = hashlib.md5(f"{i}\x02epoch\x01{seed}".encode()).hexdigest()[:15]
         return int(h, 16) % 1_000_000
 
     expected = []
