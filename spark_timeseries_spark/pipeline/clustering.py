@@ -97,11 +97,15 @@ def kmeans_fit(
     vecs = df.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )
+    # k lowest-id vectors via orderBy+limit (TakeOrderedAndProject — no
+    # single-partition window over the whole corpus); the numbering
+    # window then sorts only the k survivors
     init = (
-        vecs.withColumn(
+        vecs.orderBy("vec_id")
+        .limit(k)
+        .withColumn(
             "_rn", F.row_number().over(Window.orderBy(F.asc("vec_id")))
         )
-        .where(F.col("_rn") <= k)
         .select((F.col("_rn") - 1).alias("cid"), F.col("v").alias("cv"))
     )
     centroids = {r.cid: list(r.cv) for r in init.collect()}
