@@ -2440,7 +2440,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": """
             WITH f AS (
                 SELECT doc_id,
-                       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS n_tokens,
                        length(text) AS len,
                        length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
                            AS n_punct,
@@ -2525,7 +2527,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             qf AS (
                 SELECT doc_id,
-                       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+'))
+                       END AS n_tokens,
                        length(text) AS tl,
                        length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
                            AS n_punct,
@@ -3712,8 +3716,10 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT source, doc_id, n_tokens, "offset",
                CAST("offset" // 512 AS BIGINT) AS seq_id,
-               CAST((("offset" + n_tokens) // 512) - ("offset" // 512) + 1
-                    AS INT) AS n_seqs_spanned
+               CAST(CASE WHEN n_tokens > 0
+                         THEN (("offset" + n_tokens - 1) // 512)
+                              - ("offset" // 512) + 1
+                         ELSE 0 END AS INT) AS n_seqs_spanned
         FROM strm
     """
     # seeded-hash range carve; sorted(fractions) order → test|train|val

@@ -77,10 +77,16 @@ class NgramLM:
 def bigram_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, ctx, w) — one row per adjacent token pair per document."""
-    toks = _clean_tokens(F.col(text_col))
+    """(id, ctx, w) — one row per adjacent token pair per document. The
+    token array is ``let``-bound before :func:`_bigrams` references it
+    five times (size + two slice lengths + two slice inputs) — unbound,
+    the interpreted tokenize+filter would re-run per reference (the
+    measured ~4× trap documented at ``text.winnowing_fingerprints``)."""
+    from spark_timeseries_spark.functions import let
+
+    bg = let(_clean_tokens(F.col(text_col)), _bigrams)
     return (
-        df.select(F.col(id_col), _bigrams(toks).alias("_bg"))
+        df.select(F.col(id_col), bg.alias("_bg"))
         .select(id_col, F.explode("_bg").alias("_p"))
         .select(id_col, F.col("_p.ctx").alias("ctx"), F.col("_p.w").alias("w"))
     )
@@ -164,6 +170,11 @@ def perplexity_buckets(
     q = scored.agg(
         F.percentile_approx(ppl_col, [lo, hi], 10_000).alias("q")
     ).first()["q"]
+    if q is None:
+        raise ValueError(
+            "perplexity_buckets: no scored rows (every document shorter "
+            "than 2 tokens?) — cannot derive quantile boundaries"
+        )
     return scored.withColumn(
         "ppl_bucket",
         F.when(F.col(ppl_col) <= float(q[0]), "head")

@@ -51,6 +51,16 @@ def pack_sequences(
     spark = df.sparkSession
     if n_buckets is None:
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # the value-derived bucketing is range arithmetic over the id — with a
+    # non-numeric id the NULL coercion would silently collapse every row
+    # into ONE bucket (the exact single-partition cumsum this design
+    # exists to avoid), so fail eagerly instead
+    id_type = dict(df.dtypes)[id_col]
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"pack_sequences needs an integral {id_col!r} for value-derived "
+            f"bucketing (got {id_type}); map ids to a surrogate long first"
+        )
     n = (token_count(F.col(text_col), bpe=bpe) + F.lit(sep_tokens)).cast("long")
     base = df.select(
         F.col(stratum_col).alias("stratum"),
@@ -99,13 +109,29 @@ def pack_sequences(
         .withColumn("offset", (F.col("_cum") + F.col("_off")).cast("long"))
         .withColumn("seq_id", (F.col("offset") / F.lit(seq_len)).cast("long"))
         .withColumn(
+            # span of the document's OWN tokens (last own index = offset +
+            # own - 1): counting the trailing separator spanned one extra
+            # sequence for docs ending exactly on a boundary; 0-token docs
+            # span 0 sequences
             "n_seqs_spanned",
-            (
-                ((F.col("offset") + F.col("n_tokens") - 1) / F.lit(seq_len))
-                .cast("long")
-                - F.col("seq_id")
-                + 1
-            ).cast("int"),
+            F.when(
+                F.col("n_tokens") - F.lit(sep_tokens) > 0,
+                (
+                    (
+                        (
+                            F.col("offset")
+                            + F.col("n_tokens")
+                            - F.lit(sep_tokens)
+                            - 1
+                        )
+                        / F.lit(seq_len)
+                    ).cast("long")
+                    - F.col("seq_id")
+                    + 1
+                ),
+            )
+            .otherwise(0)
+            .cast("int"),
         )
     )
     return packed.select(
@@ -205,6 +231,12 @@ def split_dataset(
         lo = hi
         hi = lo + int(round(frac * _MOD))
         bounds.append((name, lo, hi))
+    if bounds and abs(total - 1.0) < 1e-9:
+        # fractions that sum to exactly 1 must cover the whole range:
+        # per-split rounding (e.g. three 1/3s → 999999) would otherwise
+        # leave a deterministic sliver of ids with split=None
+        name, lo, _ = bounds[-1]
+        bounds[-1] = (name, lo, _MOD)
     for name, lo, hi in reversed(bounds):
         expr = F.when((bucket >= lo) & (bucket < hi), name).otherwise(expr)
     return df.withColumn("split", expr)

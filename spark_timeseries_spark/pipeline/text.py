@@ -74,8 +74,7 @@ def quality_features(
     """Per-document quality features: token count, mean token length,
     punctuation ratio, stopword ratio, digit ratio, uppercase ratio."""
     t = F.col(text_col)
-    toks = tokens(t)
-    n_tok = F.size(toks)
+    n_tok = token_count(t)  # blank-guarded: "" is 0 tokens, not [""]→1
     length = F.length(t)
     stop_arr = F.array(*[F.lit(w) for w in sorted(STOPWORDS_EN)])
     n_stop = F.size(F.filter(tokens(F.lower(t)), lambda x: F.array_contains(stop_arr, x)))
@@ -98,8 +97,7 @@ def quality_score_col(text: Column) -> Column:
     """Scalar [0,1] quality heuristic as a row-local COLUMN — composable
     into an existing lineage without a second corpus scan (used by
     :func:`~spark_timeseries_spark.pipeline.clean.pretrain_clean`)."""
-    toks_raw = tokens(text)
-    n_tok = F.size(toks_raw)
+    n_tok = token_count(text)  # blank-guarded: "" is 0 tokens, not [""]→1
     length = F.length(text)
     stop_arr = F.array(*[F.lit(w) for w in sorted(STOPWORDS_EN)])
     n_stop = F.size(

@@ -1490,3 +1490,56 @@ def test_pq_recall_on_near_dups(spark, vectors):
                       vectors.where("vec_id = 0"), k=3)
     hits = {r.vec_id for r in adc.collect()} & set(got)
     assert len(hits) >= 1  # the coded near-dup family overlaps ground truth
+
+
+def test_pack_sequences_boundary_span_and_id_guard(spark):
+    """A doc ending exactly on a sequence boundary spans only its own
+    sequences (the trailing separator must not add a phantom one), and
+    non-integral ids are rejected eagerly."""
+    from spark_timeseries_spark.pipeline.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, "a", "w " * 10), (1, "a", "w " * 3)],
+        "doc_id long, source string, text string",
+    )
+    out = {r.doc_id: r for r in pack_sequences(
+        df, seq_len=10, sep_tokens=1, bpe=False
+    ).collect()}
+    assert out[0].n_seqs_spanned == 1            # own tokens end at index 9
+    assert out[1].offset == 11 and out[1].n_seqs_spanned == 1
+
+    sdf = spark.createDataFrame(
+        [("x", "a", "w w")], "doc_id string, source string, text string"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        pack_sequences(sdf)
+
+
+def test_split_dataset_thirds_cover_every_bucket(spark):
+    """Fractions summing to exactly 1 must assign EVERY id: per-split
+    rounding of three 1/3s left bucket 999999 split-less."""
+    from spark_timeseries_spark.pipeline.packing import split_dataset
+
+    df = spark.createDataFrame([(i,) for i in range(5000)], "doc_id long")
+    out = split_dataset(df, {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}, seed=1)
+    assert out.where("split IS NULL").count() == 0
+    assert out.count() == 5000
+
+
+def test_quality_blank_text_scores_zero(spark):
+    """Blank/whitespace-only text reports 0 tokens and quality 0 — the
+    token_count blank guard propagated to the quality surfaces (it was
+    fixed for counting but the [\"\"]→1 bug lived on here)."""
+    from spark_timeseries_spark.pipeline.text import (
+        quality_features,
+        quality_score,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "   "), (1, "a real sentence with the usual words in it")],
+        "doc_id long, text string",
+    )
+    feats = {r.doc_id: r for r in quality_features(df).collect()}
+    assert feats[0].n_tokens == 0 and feats[0].mean_token_len is None
+    q = {r.doc_id: r.quality for r in quality_score(df).collect()}
+    assert q[0] == 0.0 and q[1] > 0.0

@@ -108,8 +108,13 @@ def test_pack_sequences_matches_python_prefix_sum(spark, docs, seq_len):
         assert r.offset == run, (i, r.offset, run)
         assert r.n_tokens == n
         assert r.seq_id == run // seq_len
-        end = run + n  # last occupied position is offset + (n+1) - 1
-        assert r.n_seqs_spanned == end // seq_len - run // seq_len + 1
+        if n > 0:  # last OWN token sits at offset + n - 1 (separator
+            # excluded — counting it spanned a phantom sequence for docs
+            # ending exactly on a boundary); empty docs span 0 sequences
+            want = (run + n - 1) // seq_len - run // seq_len + 1
+        else:
+            want = 0
+        assert r.n_seqs_spanned == want, (i, r.n_seqs_spanned, want)
         run += n + 1
 
 
