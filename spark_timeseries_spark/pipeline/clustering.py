@@ -50,6 +50,9 @@ def _sq_l2(a, b):
 
 
 def _as_double(vec):
+    # twin of similarity._as_double (which uses a per-element transform);
+    # both widen float→double exactly — kept separate so each module's
+    # oracle-pinned plans stay byte-stable
     return vec.cast("array<double>")
 
 
@@ -97,6 +100,17 @@ def kmeans_fit(
     vecs = df.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )
+    # one materialization for the whole Lloyd loop: without it every
+    # iteration's collect re-executes the full upstream lineage (decode /
+    # UDF stages included) — max_iter+1 times
+    vecs = vecs.persist()
+    try:
+        return _lloyd(spark, vecs, k, max_iter)
+    finally:
+        vecs.unpersist()
+
+
+def _lloyd(spark, vecs, k, max_iter):
     # k lowest-id vectors via orderBy+limit (TakeOrderedAndProject — no
     # single-partition window over the whole corpus); the numbering
     # window then sorts only the k survivors
@@ -166,8 +180,14 @@ def semantic_dedup_pairs(
     base = df.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )
-    vecs = _assign(base, model.centroid_df(df.sparkSession)).select(
-        "vec_id", "v", "cid"
+    # the assignment feeds BOTH self-join sides; eager localCheckpoint
+    # materializes it once and truncates the lineage (same pattern as
+    # connected_components — blocks are freed when the frame is GC'd),
+    # instead of running the crossJoin-argmin over the corpus twice
+    vecs = (
+        _assign(base, model.centroid_df(df.sparkSession))
+        .select("vec_id", "v", "cid")
+        .localCheckpoint(eager=True)
     )
     left = vecs.select(
         F.col("cid"), F.col("vec_id").alias("id_a"), F.col("v").alias("va")

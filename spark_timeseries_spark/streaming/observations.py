@@ -68,27 +68,43 @@ def streaming_ewma(
     value_col: str = "value",
 ) -> DataFrame:
     """Stateful streaming EWMA per key via ``applyInPandasWithState``:
-    state = (last smoothed value); each micro-batch folds its (sorted)
-    observations into the running smoothed value — the streaming analog of
-    ``EWMAModel.addTimeDependentEffects`` (``models/EWMA.scala:136-143``)."""
+    state = (last smoothed value, last folded timestamp); each micro-batch
+    folds its (sorted) observations into the running smoothed value — the
+    streaming analog of ``EWMAModel.addTimeDependentEffects``
+    (``models/EWMA.scala:136-143``).
+
+    EWMA is ORDER-SENSITIVE, and sorting only happens within a
+    micro-batch: a late-but-within-watermark row arriving after newer
+    data has already been folded cannot be inserted retroactively.
+    Folding it anyway would silently corrupt every subsequent value, so
+    such rows are DROPPED (the state carries the last folded timestamp) —
+    in-order streams match the batch EWMA exactly; disordered streams
+    degrade by omission, never by corruption. A key whose batch holds
+    only null values keeps its state untouched (writing a 0.0 seed there
+    biased the key's whole tail toward zero)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
         rows = pd.concat(list(pdfs)).sort_values(ts_col)
         if state.exists:
-            (s,) = state.get
+            s, last_us = state.get
         else:
-            s = None
+            s, last_us = None, None
         out_ts, out_v = [], []
         for _, row in rows.iterrows():
             x = row[value_col]
             if x is None or pd.isna(x):
                 continue
+            ts_us = int(pd.Timestamp(row[ts_col]).value // 1000)
+            if last_us is not None and ts_us < last_us:
+                continue  # out-of-order: drop, never fold retroactively
             s = x if s is None else smoothing * x + (1 - smoothing) * s
+            last_us = ts_us
             out_ts.append(row[ts_col])
             out_v.append(s)
-        state.update((float(s) if s is not None else 0.0,))
+        if s is not None:
+            state.update((float(s), int(last_us)))
         yield pd.DataFrame({"key": key[0], "ts": out_ts, "smoothed": out_v})
 
     return (
@@ -97,7 +113,7 @@ def streaming_ewma(
         .applyInPandasWithState(
             update,
             outputStructType="key string, ts timestamp, smoothed double",
-            stateStructType="s double",
+            stateStructType="s double, last_us long",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
@@ -160,9 +176,7 @@ def streaming_token_stats(
     streaming twin of the ``token_count_by_source`` batch query)."""
     from spark_timeseries_spark.pipeline.text import token_count
 
-    n_tokens = F.when(
-        F.length(F.trim(text_col)) == 0, F.lit(0)
-    ).otherwise(token_count(F.col(text_col)))
+    n_tokens = token_count(F.col(text_col))  # blank-guard lives inside
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window_duration), source_col)

@@ -1,6 +1,7 @@
 """Save/load round-trips (reference sidecar formats), Yahoo CSV parsing,
 and Structured Streaming operators (file-source micro-batches)."""
 
+import datetime
 import os
 import shutil
 import tempfile
@@ -430,3 +431,54 @@ def test_streaming_blocklist_and_urls(spark, tmp_path):
     q.awaitTermination(120)
     out = spark.sql("select doc_id from gated").toPandas()
     assert sorted(out.doc_id) == [0, 3]
+
+
+def test_streaming_ewma_order_guard_and_null_seed(spark, tmp_path):
+    """Two review-pinned EWMA state behaviors: (a) an all-null first batch
+    must NOT write a 0.0 seed (the key's first real value seeds the
+    recursion), and (b) a late row older than the last folded timestamp is
+    dropped, never folded retroactively."""
+    import math
+
+    from spark_timeseries_spark.streaming.observations import streaming_ewma
+
+    src = str(tmp_path / "ewma_src")
+    os.makedirs(src)
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(name, rows):
+        # one file per batch dir so maxFilesPerTrigger=1 replays them as
+        # two ORDERED micro-batches inside a single availableNow run
+        # (memory-sink queries cannot restart from a checkpoint)
+        spark.createDataFrame(
+            rows, "key string, ts timestamp, value double"
+        ).coalesce(1).write.parquet(f"{src}/{name}")
+
+    # batch 1: key a has ONLY a null — state must stay unseeded
+    write_batch("b1", [("a", t0, None),
+                       ("b", t0, 10.0)])
+    time.sleep(1.1)  # distinct mtimes → deterministic file order
+    # batch 2: a's first real value; b gets a LATE row older than t0
+    write_batch("b2", [("a", t0 + datetime.timedelta(minutes=1), 8.0),
+                       ("b", t0 - datetime.timedelta(minutes=5), 99.0),
+                       ("b", t0 + datetime.timedelta(minutes=2), 20.0)])
+
+    stream = (
+        spark.readStream.schema("key string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    (streaming_ewma(stream, smoothing=0.5, watermark="1 hour")
+     .writeStream.format("memory").queryName("ewma_guard")
+     .outputMode("append").trigger(availableNow=True).start()
+     .awaitTermination(120))
+
+    rows = {(r.key, r.ts): r.smoothed
+            for r in spark.sql("select * from ewma_guard").collect()}
+    # (a) a seeds with 8.0, not 0.5*8 + 0.5*0 = 4.0
+    assert math.isclose(rows[("a", t0 + datetime.timedelta(minutes=1))], 8.0)
+    # (b) b's late 99.0 is dropped; folding order is 10 -> 20
+    assert ("b", t0 - datetime.timedelta(minutes=5)) not in rows
+    assert math.isclose(
+        rows[("b", t0 + datetime.timedelta(minutes=2))], 0.5 * 20 + 0.5 * 10
+    )
