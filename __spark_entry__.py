@@ -2749,8 +2749,10 @@ def oracle_sql() -> dict[str, str]:
         "upsample": _DAILY_GRID_SQL
         + """
             , g AS (SELECT * FROM grid WHERE key IN ('0','1','2')),
+            -- reference-faithful grid: newLen = origLen * n = 62 cells
+            -- (trailing filler included), values at loc * n
             locs AS (SELECT CAST(x AS BIGINT) AS loc
-                     FROM generate_series(0, 60) t(x)),
+                     FROM generate_series(0, 61) t(x)),
             k AS (SELECT DISTINCT key FROM g)
             SELECT k.key, locs.loc, g.value
             FROM k CROSS JOIN locs

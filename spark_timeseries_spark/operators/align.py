@@ -90,9 +90,11 @@ def from_observations(
     (``dense=True``) and NULL for missing cells. Observations whose timestamp
     is not in the index are dropped, matching ``TimeSeriesRDD.scala:727-739``.
 
-    Duplicate observations for the same (key, instant) keep the last one by
-    timestamp order (the reference overwrites by arrival; we make it
-    deterministic).
+    Duplicate observations for the same (key, instant) resolve to the
+    MAXIMUM value. The reference overwrites by arrival order, which has no
+    distributed analogue — rows in a shuffled group carry the same
+    timestamp, so any "last one wins" (F.last over a groupBy) is
+    partition-order roulette; max is the deterministic tiebreak.
 
     ``keys_df``: optional one-column key universe for the dense grid. By
     default keys are derived from ``df`` itself — which re-executes ``df``'s
@@ -111,7 +113,7 @@ def from_observations(
         )
         .where(F.col("loc").isNotNull())
         .groupBy("key", "loc")
-        .agg(F.last("value").alias("value"))
+        .agg(F.max("value").alias("value"))
     )
     if not dense:
         idx = index.to_df(df.sparkSession)
@@ -138,7 +140,14 @@ def with_index(
     values at instants present in both indices survive; instants only in the
     new index become NULL. Replaces all four specialized rebaser paths of
     ``TimeSeriesUtils.scala:78-221`` with one join plan. See
-    :func:`from_observations` for ``keys_df``."""
+    :func:`from_observations` for ``keys_df``.
+
+    The default key universe is derived from ``df`` BEFORE the null filter:
+    a series whose values are entirely NULL over the old index (offline
+    sensor) must survive the rebase as an all-NULL row set — the reference
+    rebasers keep every series — not silently vanish from the grid."""
+    if keys_df is None:
+        keys_df = df.select(F.col(key_col))
     return from_observations(
         df.where(F.col(value_col).isNotNull()),
         new_index,

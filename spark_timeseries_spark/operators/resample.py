@@ -111,6 +111,7 @@ def resample(
     ts_col: str = "ts",
     value_col: str = "value",
     dense: bool = True,
+    keys_df: DataFrame | None = None,
 ) -> DataFrame:
     """Downsample observations onto ``target_index``.
 
@@ -118,6 +119,11 @@ def resample(
     "first","last", ...) or a full Column aggregate expression over
     ``value_col``. ``dense=True`` reinserts empty windows as NULL values via a
     key×stamp grid join (reference: NaN, ``Resample.scala:113-115``).
+
+    ``keys_df``: optional cheap key universe for the dense grid — same
+    escape hatch as ``align.from_observations``: the default derives keys
+    from ``df`` itself, which re-executes ``df``'s whole plan a second
+    time when it is an expensive pipeline.
 
     Returns ``(key, loc, ts, value)``.
     """
@@ -134,7 +140,11 @@ def resample(
     if not dense:
         idx_df = F.broadcast(target_index.to_df(df.sparkSession))
         return binned.join(idx_df, "loc").select(key_col, "loc", "ts", value_col)
-    keys = df.select(key_col).distinct()
+    keys = (
+        keys_df.select(F.col(keys_df.columns[0]).alias(key_col))
+        if keys_df is not None
+        else df.select(key_col)
+    ).distinct()
     idx_df = F.broadcast(target_index.to_df(df.sparkSession))
     grid = keys.crossJoin(idx_df)
     return grid.join(binned, [key_col, "loc"], "left").select(
@@ -163,21 +173,21 @@ def upsample(
     order_col: str = "loc",
     value_col: str = "value",
 ) -> DataFrame:
-    """Insert n−1 missing cells between consecutive elements
-    (``UnivariateTimeSeries.scala:355-373``): new loc grid of size n·len −
-    (n−1); original values land at multiples of n (+phase)."""
-    fanned = df.select(
+    """Insert missing cells around each element, reference-faithfully
+    (``UnivariateTimeSeries.scala:355-373``): the new grid is the FULL
+    ``[0, n·len)`` (newLen = origLen·n, trailing fillers included) with
+    original values at ``i·n + phase`` — each input loc emits exactly its
+    n grid cells, the value landing where the fan offset equals
+    ``phase``. Row-local (one explode, no join, no global max); an
+    earlier formulation truncated the grid at the last value and shifted
+    it by phase, diverging from the reference for phase > 0."""
+    if not 0 <= phase < n:
+        raise ValueError(f"phase must be in [0, {n}), got {phase}")
+    return df.select(
         key_col,
         F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("_o"),
         (F.col(order_col) * n + F.col("_o")).alias(order_col),
-        F.when(F.col("_o") == 0, F.col(value_col))
+        F.when(F.col("_o") == phase, F.col(value_col))
         .otherwise(F.lit(0.0) if use_zero else F.lit(None))
         .alias(value_col),
-    )
-    max_loc = df.groupBy().agg((F.max(order_col) * n).alias("_m"))
-    return (
-        fanned.join(F.broadcast(max_loc))
-        .where(F.col(order_col) <= F.col("_m") + phase)
-        .withColumn(order_col, F.col(order_col) + phase)
-        .select(key_col, order_col, value_col)
-    )
+    ).select(key_col, order_col, value_col)

@@ -7,10 +7,13 @@
   re-slicing the result index (``islice`` arithmetic at ``:614-619``); we get
   identical semantics with a rows-frame anchored accordingly, keeping only
   complete windows (count == n).
-- ``autocorr(max_lag)`` — sample ACF per series
-  (``UnivariateTimeSeries.scala:43-45,70-96``): demean by the series mean,
-  then acf(k) = Σ (x_t−µ)(x_{t+k}−µ) / Σ (x_t−µ)² — expressed entirely with
-  window lags + aggregates (no Python).
+- ``autocorr(max_lag)`` — per-series autocorrelation
+  (``UnivariateTimeSeries.scala:43-45,70-96``): the reference computes the
+  PEARSON CORRELATION of the lag-k slice pairs (each slice demeaned by its
+  own mean, normalized by its own variance) — NOT the classical
+  global-mean ACF Σ(x_t−µ)(x_{t+k}−µ)/Σ(x_t−µ)², which differs on short
+  or trending series. We mirror the reference exactly with ``F.corr``
+  over (x_t, x_{t−k}) pairs — window lags + one aggregate, no Python.
 
 Each is one exchange on the key; all window frames share the (key, loc) sort.
 """

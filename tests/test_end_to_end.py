@@ -281,3 +281,59 @@ def test_pretraining_pipeline_composes(spark):
     assert packed.count() == mixed.count()
     offs = [r.offset for r in packed.orderBy("offset").collect()]
     assert offs[0] == 0 and offs == sorted(offs)    # contiguous global layout
+
+
+def test_upsample_reference_grid_and_phase(spark):
+    """Reference parity (UnivariateTimeSeries.scala:355-373): newLen is
+    exactly origLen*n (trailing fillers included) and values land at
+    i*n + phase — the truncate-and-shift formulation diverged for
+    phase > 0 and clipped the tail for phase = 0."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from spark_timeseries_spark.operators import resample as resample_ops
+
+    df = spark.createDataFrame(
+        [("k", i, float(10 + i)) for i in range(3)],
+        "key string, loc long, value double",
+    )
+    out = {r.loc: r.value for r in
+           resample_ops.upsample(df, 2).collect()}
+    assert sorted(out) == list(range(6))          # newLen = 3*2
+    assert out[0] == 10.0 and out[2] == 11.0 and out[4] == 12.0
+    assert out[1] is None and out[5] is None      # trailing filler exists
+
+    shifted = {r.loc: r.value for r in
+               resample_ops.upsample(df, 2, phase=1).collect()}
+    assert sorted(shifted) == list(range(6))      # grid unchanged by phase
+    assert shifted[1] == 10.0 and shifted[3] == 11.0 and shifted[5] == 12.0
+    assert shifted[0] is None                     # loc 0 exists, filler
+
+    with _pytest.raises(ValueError):
+        resample_ops.upsample(df, 2, phase=2)
+
+
+def test_with_index_keeps_all_null_series(spark):
+    """A series that is entirely NULL over the old index must survive a
+    rebase as all-NULL rows (reference rebasers keep every series) — the
+    key universe is derived before the null filter."""
+    import pandas as pd
+
+    import spark_timeseries_spark as sts
+    from spark_timeseries_spark.operators import align as align_ops
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    for k, v in (("live", 1.0), ("offline", None)):
+        for i in range(3):
+            rows.append((k, i, (t0 + pd.Timedelta(days=i)).to_pydatetime(), v))
+    df = spark.createDataFrame(
+        rows, "key string, loc long, ts timestamp, value double"
+    )
+    idx = sts.uniform("2024-01-02", 3, sts.DayFrequency(1))
+    out = align_ops.with_index(df, idx)
+    per_key = {r.key: r.cnt for r in out.groupBy("key").agg(
+        __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("cnt")
+    ).collect()}
+    assert per_key == {"live": 3, "offline": 3}
+    assert out.where("key = 'offline' AND value IS NOT NULL").count() == 0
