@@ -2846,8 +2846,11 @@ def oracle_sql() -> dict[str, str]:
         "filter_by_instant": _DAILY_GRID_SQL
         + """
             , g AS (SELECT * FROM grid WHERE key IN ('1','2','3'))
+            -- NULL predicate counts as failed (reference: NaN comparisons
+            -- are false -> instant dropped), so NULL cells flag the instant
             SELECT key, ts, value FROM g
-            WHERE ts NOT IN (SELECT ts FROM g WHERE value < 10.0)
+            WHERE ts NOT IN (SELECT ts FROM g
+                             WHERE value < 10.0 OR value IS NULL)
         """,
         "to_observations": _DAILY_GRID_SQL
         + """

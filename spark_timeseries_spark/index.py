@@ -342,12 +342,36 @@ class HybridDateTimeIndex(DateTimeIndex):
         return -1
 
     def islice(self, start: int, end: int) -> DateTimeIndex:
-        return IrregularDateTimeIndex(self.to_pandas()[start:end], self.zone)
+        """STRUCTURAL slice (``DateTimeIndex.scala:434-553``): intersect the
+        loc range with each sub-index via the prefix-sum offsets and slice
+        the overlapping pieces in place — never materializes the index
+        (``to_pandas`` of a hybrid-of-uniform over 10⁸ instants is
+        gigabytes on the driver for a 10-element answer)."""
+        pieces = []
+        for i, ix in enumerate(self.indices):
+            lo, hi = int(self._offsets[i]), int(self._offsets[i + 1])
+            s, e = max(int(start), lo), min(int(end), hi)
+            if s < e:
+                pieces.append(ix.islice(s - lo, e - lo))
+        return self._from_pieces(pieces)
 
     def slice(self, start, end) -> DateTimeIndex:
-        pidx = self.to_pandas()
-        mask = (pidx >= _to_ts(start)) & (pidx <= _to_ts(end))
-        return IrregularDateTimeIndex(pidx[mask], self.zone)
+        """Structural datetime slice: each overlapping sub-index slices
+        itself over the clipped [start, end] range (inclusive)."""
+        start, end = _to_ts(start), _to_ts(end)
+        pieces = [
+            ix.slice(max(start, ix.first()), min(end, ix.last()))
+            for ix in self.indices
+            if ix.size and ix.last() >= start and ix.first() <= end
+        ]
+        return self._from_pieces([p for p in pieces if p.size])
+
+    def _from_pieces(self, pieces: list) -> DateTimeIndex:
+        if not pieces:
+            return IrregularDateTimeIndex(pd.DatetimeIndex([]), self.zone)
+        if len(pieces) == 1:
+            return pieces[0]
+        return HybridDateTimeIndex(pieces, self.zone)
 
     def to_pandas(self) -> pd.DatetimeIndex:
         parts = [ix.to_pandas() for ix in self.indices]

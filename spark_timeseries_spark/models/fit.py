@@ -64,6 +64,14 @@ _KNOWN_MODELS = (
     "arima", "arima_auto",
 )
 _KNOWN_XREG_MODELS = ("arx", "arimax", "regression_arima")
+#: models with a mean-forecast path — the volatility family's mean
+#: forecast is identically 0 only for plain GARCH (handled explicitly);
+#: egarch/argarch and the grid/auto selector aliases have no forecast
+#: implementation, and accepting them made every per-series task fail
+#: inside the NaN-swallowing except (silent all-NaN output)
+_FORECASTABLE = ("ar", "ewma", "garch", "holtwinters", "arima")
+#: models whose fitted object implements remove_effects
+_RESIDUAL_MODELS = ("ar", "ewma", "garch", "egarch", "argarch", "arima")
 _KNOWN_TESTS = (
     "adf", "kpss", "dw", "ljung_box", "breusch_godfrey", "breusch_pagan",
 )
@@ -190,7 +198,7 @@ def forecast(
 
     Pass ``params=[...]`` to skip the fit and forecast with a known parameter
     vector (the distributed analog of forecasting from a pre-fit model)."""
-    _require(model, _KNOWN_MODELS)
+    _require(model, _FORECASTABLE)
     fixed_params = kwargs.pop("params", None)
 
     def _fc(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -238,6 +246,7 @@ def residuals(
 ) -> DataFrame:
     """Fit per series and remove time-dependent effects
     (``TimeSeriesModel.removeTimeDependentEffects``)."""
+    _require(model, _RESIDUAL_MODELS)
     out_schema = df.schema
 
     def _resid(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -275,8 +284,6 @@ def apply_model_effects(
     (``models/TimeSeriesModel.scala:23-45``): apply a model's filter (or its
     inverse) to every series with ONE fixed parameter vector. Grouped-map
     pandas UDF; the value column is replaced in place, schema unchanged."""
-    import numpy as np
-
     params = np.asarray(params, dtype=float)
     m = _model_obj(model, params, kwargs)
 
@@ -441,10 +448,11 @@ def _certificate_one(model: str, y: np.ndarray, kwargs: dict) -> tuple[float, fl
         return m.sse_, base.sse(y)
     if model == "arima":
         p, d, q = kwargs.get("p", 1), kwargs.get("d", 0), kwargs.get("q", 0)
+        ic = kwargs.get("include_intercept", True)
         dy = arima_mod.difference(y, d)
-        x0 = arima_mod.hannan_rissanen(dy, p, q, True)
-        start = arima_mod.ARIMAModel(p, d, q, x0, True)
-        fitted = arima_mod.fit_arima(y, p, d, q)
+        x0 = arima_mod.hannan_rissanen(dy, p, q, ic)
+        start = arima_mod.ARIMAModel(p, d, q, x0, ic)
+        fitted = arima_mod.fit_arima(y, p, d, q, include_intercept=ic)
         return -fitted.log_likelihood_css(y), -start.log_likelihood_css(y)
     if model == "arima_auto":
         fitted = arima_mod.auto_fit(y)

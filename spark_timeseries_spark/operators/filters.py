@@ -98,9 +98,19 @@ def filter_by_instant(
     """Drop every time point at which ``predicate`` (a boolean Column over
     ``value_col``) fails for ANY of the named series (all series if
     ``keys=None``) — ``TimeSeriesRDD.scala:158-184``. The surviving frame is
-    renumbered (the reference's result index becomes irregular)."""
+    renumbered (the reference's result index becomes irregular).
+
+    A NULL predicate result counts as FAILED: the reference evaluates the
+    predicate over doubles where a missing cell is NaN and every NaN
+    comparison is plain false, so the instant is dropped — ``~predicate``
+    alone would leave SQL-NULL rows out of the bad set and silently KEEP
+    instants where a series is missing."""
     scoped = df if keys is None else df.where(F.col(key_col).isin(list(keys)))
-    bad = scoped.where(~predicate).select(ts_col).distinct()
+    bad = (
+        scoped.where(predicate.isNull() | ~predicate)
+        .select(ts_col)
+        .distinct()
+    )
     # No broadcast hint: the bad-instant set is usually tiny but is NOT
     # bounded (a predicate most instants fail yields ~the whole index), so a
     # forced broadcast can exceed driver/executor limits at scale. AQE picks

@@ -430,3 +430,37 @@ def test_sessionize_matches_native_session_window(spark):
     assert [r.n_events for r in stats] == [2, 2, 2, 1]
     assert stats[0].duration_seconds == 600.0
     assert stats[0].session_end_ts == base + dt.timedelta(seconds=600)
+
+
+def test_hybrid_islice_is_structural_and_correct(spark):
+    """Hybrid islice/slice compose per-sub-index structurally (reference
+    DateTimeIndex.scala:434-553): results equal the materialized slice,
+    single-sub-index answers collapse to the sub type, and crossing
+    pieces come back as a hybrid — never via a driver concat of the
+    whole index."""
+    import pandas as pd
+
+    import spark_timeseries_spark as sts
+
+    h = sts.hybrid([
+        sts.uniform("2024-01-01", 5, sts.DayFrequency(1)),
+        sts.uniform("2024-03-01", 4, sts.DayFrequency(1)),
+    ])
+    want = h.to_pandas()
+
+    mid = h.islice(3, 7)           # crosses the seam → 2 pieces
+    assert list(mid.to_pandas()) == list(want[3:7])
+    assert isinstance(mid, sts.index.HybridDateTimeIndex)
+
+    one = h.islice(1, 4)           # inside sub 0 → collapses to uniform
+    assert list(one.to_pandas()) == list(want[1:4])
+    assert isinstance(one, sts.index.UniformDateTimeIndex)
+
+    empty = h.islice(9, 9)
+    assert empty.size == 0
+
+    sl = h.slice("2024-01-04", "2024-03-02")
+    assert list(sl.to_pandas()) == list(
+        want[(want >= pd.Timestamp("2024-01-04"))
+             & (want <= pd.Timestamp("2024-03-02"))]
+    )
