@@ -77,13 +77,20 @@ _KNOWN_TESTS = (
 )
 
 
-def _require(name: str, known: tuple) -> None:
+#: accepted spellings → canonical registry names
+_MODEL_ALIASES = {"holt_winters": "holtwinters", "ljungbox": "ljung_box"}
+
+
+def _require(name: str, known: tuple) -> str:
     """Name validation happens BEFORE the grouped-map UDF is shipped: a typo
     fails fast on the driver instead of inside every task, and the per-series
     except-all below can then safely degrade real estimator failures (short /
-    degenerate series) to empty params rather than failing the stage."""
+    degenerate series) to empty params rather than failing the stage.
+    Returns the canonical name (aliases like ``holt_winters`` normalize)."""
+    name = _MODEL_ALIASES.get(name, name)
     if name not in known:
         raise ValueError(f"unknown model/test {name!r}; expected one of {known}")
+    return name
 
 
 def _fit_one(model: str, y: np.ndarray, kwargs: dict):
@@ -167,7 +174,7 @@ def fit_models(
     **kwargs,
 ) -> DataFrame:
     """Per-series estimation → (key, model, params)."""
-    _require(model, _KNOWN_MODELS)
+    model = _require(model, _KNOWN_MODELS)
 
     def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
         key = pdf[key_col].iloc[0]
@@ -198,7 +205,7 @@ def forecast(
 
     Pass ``params=[...]`` to skip the fit and forecast with a known parameter
     vector (the distributed analog of forecasting from a pre-fit model)."""
-    _require(model, _FORECASTABLE)
+    model = _require(model, _FORECASTABLE)
     fixed_params = kwargs.pop("params", None)
 
     def _fc(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -246,7 +253,7 @@ def residuals(
 ) -> DataFrame:
     """Fit per series and remove time-dependent effects
     (``TimeSeriesModel.removeTimeDependentEffects``)."""
-    _require(model, _RESIDUAL_MODELS)
+    model = _require(model, _RESIDUAL_MODELS)
     out_schema = df.schema
 
     def _resid(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -316,7 +323,7 @@ def fit_xreg_models(
     ``RegressionARIMA.scala:83-160``). ``aux`` carries model-specific
     extras: arx → [y_max_lag, x_max_lag]; arimax → [p, d, q];
     regression_arima → [rho, dw, iterations, dw0]."""
-    _require(model, _KNOWN_XREG_MODELS)
+    model = _require(model, _KNOWN_XREG_MODELS)
 
     def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
         key = pdf[key_col].iloc[0]
@@ -479,7 +486,7 @@ def fit_improvement(
     exact boolean the DuckDB oracle can assert per key. A per-series fit
     failure (degenerate input) yields ok = false, so the certificate also
     gates silent degradation."""
-    _require(model, _KNOWN_MODELS)
+    model = _require(model, _KNOWN_MODELS)
     if model in ("ar", "ewma_grid"):
         raise ValueError(f"{model} is exactly reproducible; hash its params instead")
 
@@ -559,7 +566,7 @@ def test_series(
     ``factors``, ``TimeSeriesStatisticalTests.scala:276-329``)."""
     from ..stats import tests as st
 
-    _require(test, _KNOWN_TESTS)
+    test = _require(test, _KNOWN_TESTS)
 
     def _t(pdf: pd.DataFrame) -> pd.DataFrame:
         key = pdf[key_col].iloc[0]

@@ -84,17 +84,23 @@ def from_observations(
     value_col: str = "value",
     dense: bool = True,
     keys_df: DataFrame | None = None,
+    duplicates: str = "max",
 ) -> DataFrame:
     """Conform a long observations table to ``index``: returns the canonical
     conformed layout ``(key, loc, ts, value)`` with one row per key×instant
     (``dense=True``) and NULL for missing cells. Observations whose timestamp
     is not in the index are dropped, matching ``TimeSeriesRDD.scala:727-739``.
 
-    Duplicate observations for the same (key, instant) resolve to the
-    MAXIMUM value. The reference overwrites by arrival order, which has no
-    distributed analogue — rows in a shuffled group carry the same
-    timestamp, so any "last one wins" (F.last over a groupBy) is
-    partition-order roulette; max is the deterministic tiebreak.
+    ``duplicates`` controls how several observations for the same
+    (key, instant) resolve: ``"max"`` (default) / ``"min"`` take the
+    extremum — deterministic under any partitioning; ``"fail"`` raises at
+    execution time on the first duplicated cell, for callers needing the
+    reference's overwrite-by-arrival parity to DETECT divergence instead
+    of silently taking an extremum. The reference overwrites by arrival
+    order, which has no distributed analogue — rows in a shuffled group
+    carry the same timestamp, so any "last one wins" (F.last over a
+    groupBy) is partition-order roulette; the extremum is the
+    deterministic tiebreak.
 
     ``keys_df``: optional one-column key universe for the dense grid. By
     default keys are derived from ``df`` itself — which re-executes ``df``'s
@@ -102,6 +108,25 @@ def from_observations(
     that know a cheap key source (the raw source table, a dimension table)
     should pass it; this is the same driver-side-keys problem the reference
     has at ``TimeSeriesRDD.scala:56``, solved distributively."""
+    if duplicates == "fail":
+        agg_value = F.when(
+            F.count(F.lit(1)) > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit("duplicate observations for (key, instant): ("),
+                    F.col("key"),
+                    F.lit(", loc="),
+                    F.col("loc").cast("string"),
+                    F.lit(")"),
+                )
+            ).cast("double"),
+        ).otherwise(F.max("value"))
+    elif duplicates in ("max", "min"):
+        agg_value = (F.max if duplicates == "max" else F.min)("value")
+    else:
+        raise ValueError(
+            f"duplicates must be 'max', 'min' or 'fail', got {duplicates!r}"
+        )
     obs = (
         attach_loc(
             df.select(
@@ -113,7 +138,7 @@ def from_observations(
         )
         .where(F.col("loc").isNotNull())
         .groupBy("key", "loc")
-        .agg(F.max("value").alias("value"))
+        .agg(agg_value.alias("value"))
     )
     if not dense:
         idx = index.to_df(df.sparkSession)

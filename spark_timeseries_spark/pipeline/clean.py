@@ -49,9 +49,15 @@ class CleanResult:
 
     df: DataFrame
     cached: DataFrame
+    #: also-persisted survivor frame when a rewrite gate multiplied its
+    #: consumers (paragraph dedup / span removal scan their input several
+    #: times); released together with ``cached``
+    cached_survivors: DataFrame | None = None
 
     def release(self) -> None:
         self.cached.unpersist()
+        if self.cached_survivors is not None:
+            self.cached_survivors.unpersist()
 
     def __enter__(self) -> DataFrame:
         return self.df
@@ -72,9 +78,13 @@ def pretrain_clean(
     blocklist: list[str] | None = None,
     blocked_domains: list[str] | None = None,
     min_compression_ratio: float | None = None,
+    dedup_paragraph: bool = False,
+    remove_span_grams: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame | CleanResult:
-    """Language → quality → Gopher-repetition → exact-dedup chain; returns
-    the surviving documents with their original columns plus ``quality``.
+    """Language → quality → Gopher-repetition → [paragraph dedup] →
+    [span removal] → exact-dedup chain; returns the surviving documents
+    with their original columns plus ``quality``.
     With ``persist_intermediate=True`` the row-local survivors are cached
     and the return value is a :class:`CleanResult` — ``result.df`` plus the
     ``result.cached`` frame to ``.unpersist()`` when done (unpersisting
@@ -85,7 +95,21 @@ def pretrain_clean(
     ``blocked_domains`` (link hygiene), and ``min_compression_ratio``
     — a MINIMUM compressibility gate in the Gopher spirit: ratios BELOW
     the threshold mean near-pure repetition (the pandas-UDF crossing is
-    still one projection, no shuffle)."""
+    still one projection, no shuffle).
+
+    Optional REWRITE stages (off by default) cover the package's two
+    remaining dedup modalities — applied between the repetition gate and
+    the final exact dedup, so the digest dedups the REWRITTEN text:
+    ``dedup_paragraph=True`` cuts every repeated paragraph except its
+    corpus-first occurrence (:func:`..dedup.dedup_paragraphs`);
+    ``remove_span_grams=n`` cuts cross-document duplicated n-gram spans
+    (:func:`..dedup.remove_dup_spans`, Lee et al. 2021 removal), keeping
+    one canonical copy. Both run on the gated survivor set only, and each
+    costs its documented shuffle budget (paragraph: hash groupBy + join
+    back + per-doc rebuild; spans: gram-hash groupBy + doc_id window).
+    ``hash_fn`` selects their gram/paragraph hash (``md5_60`` for
+    oracle-replayable runs)."""
+    from .dedup import dedup_paragraphs, remove_dup_spans
     from .text import domain_blocklist, phrase_blocklist
 
     t = F.col(text_col)
@@ -114,7 +138,35 @@ def pretrain_clean(
         scored, text_col, id_col, thresholds=rep_thresholds
     ).where(F.col("keep"))
     survivors = scored.join(rep.select(id_col), id_col)
+    rewriting = dedup_paragraph or remove_span_grams is not None
+    cached_survivors = None
+    if rewriting and persist_intermediate:
+        # the rewrite stages each scan their input several times
+        # (paragraph dedup: canon/join/counts; span removal: grams +
+        # rebuild) — without this cache every internal consumer re-runs
+        # the gate joins, multiplying the plan (measured: >100 exchanges
+        # in the fully-composed lazy plan vs ~20 cached)
+        survivors = survivors.persist()
+        cached_survivors = survivors
+    if dedup_paragraph:
+        para = dedup_paragraphs(survivors, text_col, id_col, hash_fn=hash_fn)
+        survivors = survivors.drop(text_col).join(
+            para.select(id_col, text_col), id_col
+        )
+    if remove_span_grams is not None:
+        spans = remove_dup_spans(
+            survivors,
+            n=int(remove_span_grams),
+            text_col=text_col,
+            id_col=id_col,
+            hash_fn=hash_fn,
+        )
+        survivors = survivors.drop(text_col).join(
+            spans.select(id_col, F.col("clean_text").alias(text_col)), id_col
+        )
     out = dedup_exact(survivors, text_col, id_col, normalize=normalize_digest)
     if persist_intermediate:
-        return CleanResult(df=out, cached=scored)
+        return CleanResult(
+            df=out, cached=scored, cached_survivors=cached_survivors
+        )
     return out

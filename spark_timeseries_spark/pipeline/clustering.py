@@ -166,6 +166,10 @@ def semantic_dedup_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_cluster_size: int | None = None,
+    n_subplanes: int = 4,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup candidate pairs: (id_a, id_b, cid, sim) with id_a < id_b,
     cosine ≥ ``threshold``, compared ONLY within a shared k-means cluster.
@@ -173,10 +177,33 @@ def semantic_dedup_pairs(
     The self-join key is the cluster id, so the quadratic cost is per
     cluster, not per corpus — k partitions the problem. Feed the pairs to
     ``dedup.connected_components`` + ``keep_cluster_representatives`` to
-    materialize the kept set (same composition as the MinHash path). Skew
-    caveat: a pathologically popular cluster re-concentrates the join;
-    raise k (or sub-split hot clusters by an LSH band) if one cluster
-    exceeds executor-pair capacity."""
+    materialize the kept set (same composition as the MinHash path).
+
+    Hot-cluster guard (both off by default — defaults reproduce the plain
+    per-cluster join): a pathologically popular cluster re-concentrates
+    the quadratic join, so
+
+    - ``max_cluster_size`` SUB-SPLITS any cluster above the bound by a
+      deterministic ``n_subplanes``-bit random-hyperplane signature
+      (``dedup.embedding_lsh_signature`` — the cosine-LSH family, so
+      high-cosine pairs mostly co-bucket); the join key becomes
+      (cid, sub) and a size-B hot cluster pays ~B²/2^n_subplanes pairs
+      instead of B². Recall is traded ONLY inside oversized clusters
+      (pairs split across sub-buckets are missed), mirroring
+      ``minhash_lsh_candidates``' banding trade.
+    - ``max_bucket_size`` then HARD-CAPS (cid, sub) buckets via
+      :func:`dedup.cap_bucket_size` — the worst-case bound for adversarial
+      corpora (e.g. thousands of identical vectors, which no hyperplane
+      can separate). Run ``dedup_exact`` first so identical documents are
+      already gone, exactly as the MinHash path documents.
+
+    The cluster-size count is a window over cid — the same partitioning
+    the self-join shuffles on, so it rides the exchange the join pays."""
+    from spark_timeseries_spark.pipeline.dedup import (
+        cap_bucket_size,
+        embedding_lsh_signature,
+    )
+
     base = df.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )
@@ -189,14 +216,34 @@ def semantic_dedup_pairs(
         .select("vec_id", "v", "cid")
         .localCheckpoint(eager=True)
     )
+    keys = ["cid"]
+    if max_cluster_size is not None:
+        dim = len(model.centroids[0])
+        wc = Window.partitionBy("cid")
+        vecs = (
+            vecs.withColumn("_csz", F.count("*").over(wc))
+            .withColumn(
+                "sub",
+                F.when(
+                    F.col("_csz") > int(max_cluster_size),
+                    embedding_lsh_signature(
+                        F.col("v"), dim, n_subplanes, seed
+                    ),
+                ).otherwise(F.lit(0).cast("long")),
+            )
+            .drop("_csz")
+        )
+        if max_bucket_size is not None:
+            vecs = cap_bucket_size(vecs, ["cid", "sub"], max_bucket_size)
+        keys = ["cid", "sub"]
     left = vecs.select(
-        F.col("cid"), F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+        *keys, F.col("vec_id").alias("id_a"), F.col("v").alias("va")
     )
     right = vecs.select(
-        F.col("cid"), F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+        *keys, F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
     )
     return (
-        left.join(right, "cid")
+        left.join(right, keys)
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("sim", cosine(F.col("va"), F.col("vb")))
         .where(F.col("sim") >= float(threshold))

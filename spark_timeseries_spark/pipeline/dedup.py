@@ -178,15 +178,29 @@ def minhash_lsh_candidates(
     rows_per_band: int = 4,
     hash_fn: str = "xxhash64",
     max_bucket_size: int | None = None,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """Candidate pairs whose signatures collide in ≥1 band → (id_a, id_b).
     Band hash = hash over the band's slice — a well-distributed join key,
     so the self-join shuffles evenly. ``max_bucket_size`` (off by default)
     applies :func:`cap_bucket_size` to the banded table before the
     self-join — the hot-bucket guard for corpora with template/boilerplate
-    mass duplication."""
+    mass duplication. Pass ``num_hashes`` (the signature length) to
+    fail fast when ``bands · rows_per_band`` overruns it — out-of-range
+    signature indices yield NULLs that ``concat_ws`` silently drops,
+    collapsing whole bands into hot buckets and exploding the candidate
+    self-join."""
     from spark_timeseries_spark.functions import hashed
 
+    if bands < 1 or rows_per_band < 1:
+        raise ValueError(
+            f"bands ({bands}) and rows_per_band ({rows_per_band}) must be >= 1"
+        )
+    if num_hashes is not None and bands * rows_per_band > num_hashes:
+        raise ValueError(
+            f"bands*rows_per_band = {bands * rows_per_band} exceeds the "
+            f"signature length num_hashes = {num_hashes}"
+        )
     banded = sig_df.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -275,8 +289,11 @@ def dedup_minhash_lsh(
     sig = minhash_signatures_from_sets(
         sets.withColumnRenamed("id", id_col), id_col, num_hashes, hash_fn=hash_fn
     ).persist()
+    if bands < 1 or num_hashes < bands:
+        raise ValueError(f"need 1 <= bands ({bands}) <= num_hashes ({num_hashes})")
     cand = minhash_lsh_candidates(
-        sig, id_col, bands, num_hashes // bands, hash_fn=hash_fn
+        sig, id_col, bands, num_hashes // bands, hash_fn=hash_fn,
+        num_hashes=num_hashes,
     )
     return jaccard_verify(
         df, cand, text_col, id_col, shingle_n, threshold, sets=sets

@@ -37,6 +37,7 @@ def pack_sequences(
     sep_tokens: int = 1,
     bpe: bool = True,
     n_buckets: int | None = None,
+    epoch_col: str = "epoch",
 ) -> DataFrame:
     """Concat-then-chunk packing plan: → (stratum, id, n_tokens, offset,
     seq_id, n_seqs_spanned).
@@ -47,6 +48,14 @@ def pack_sequences(
     seq_len`` is the fixed-length training sequence the document starts
     in; ``n_seqs_spanned`` how many sequences it crosses — downstream
     writers group by seq_id to materialize the training examples.
+
+    Determinism needs a UNIQUE ordering key. When the input carries an
+    ``epoch_col`` column (``mixture_epochs`` output, where the same id
+    legitimately appears once per epoch copy) it joins the ordering and
+    the output, so per-copy offsets are stable under any partitioning.
+    Without it, duplicate ids would tie in the cumsum ordering and make
+    row-level offset attribution partition-order dependent — so they are
+    rejected loudly (checked lazily inside the plan, no extra action).
     """
     spark = df.sparkSession
     if n_buckets is None:
@@ -61,12 +70,15 @@ def pack_sequences(
             f"pack_sequences needs an integral {id_col!r} for value-derived "
             f"bucketing (got {id_type}); map ids to a surrogate long first"
         )
+    has_epoch = epoch_col in df.columns
     n = (token_count(F.col(text_col), bpe=bpe) + F.lit(sep_tokens)).cast("long")
     base = df.select(
         F.col(stratum_col).alias("stratum"),
         F.col(id_col).alias("id"),
+        *([F.col(epoch_col).alias("_epoch")] if has_epoch else []),
         n.alias("n_tokens"),
     )
+
     # deterministic value-derived bucket of the id (broadcast min/max span;
     # identical in every re-execution — see union_index_df for why sampled
     # range partitioning is NOT usable when two consumers share a subtree)
@@ -85,14 +97,36 @@ def pack_sequences(
             F.lit(n_buckets - 1),
         ).cast("int"),
     )
+    order_cols = ["id", "_epoch"] if has_epoch else ["id"]
     w_local = (
         Window.partitionBy("stratum", "_b")
-        .orderBy("id")
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = bucketed.withColumn(
         "_cum", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
     )
+    if not has_epoch:
+        # duplicate ids without an epoch disambiguator make the cumsum
+        # ordering ambiguous (row-level offset attribution would be
+        # partition-order dependent) — fail at the first duplicate. The
+        # lag shares w_local's partitioning AND sort (same-id rows are
+        # adjacent in the bucket since _b derives from the id value), so
+        # the check rides the exchange the cumsum already pays.
+        w_adj = Window.partitionBy("stratum", "_b").orderBy("id")
+        local = local.withColumn(
+            "_cum",
+            F.when(
+                F.lag("id").over(w_adj) == F.col("id"),
+                F.raise_error(
+                    F.concat(
+                        F.lit("pack_sequences: duplicate id without an "),
+                        F.lit(f"{epoch_col!r} column: "),
+                        F.col("id").cast("string"),
+                    )
+                ).cast("long"),
+            ).otherwise(F.col("_cum")),
+        )
     # per-(stratum, bucket) totals: #strata × #buckets rows — tiny; the
     # running sum over them is the global composition, broadcast back
     totals = local.groupBy("stratum", "_b").agg(
@@ -137,6 +171,7 @@ def pack_sequences(
     return packed.select(
         F.col("stratum").alias(stratum_col),
         F.col("id").alias(id_col),
+        *([F.col("_epoch").alias(epoch_col)] if has_epoch else []),
         (F.col("n_tokens") - F.lit(sep_tokens)).alias("n_tokens"),
         "offset",
         "seq_id",

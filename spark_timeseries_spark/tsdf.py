@@ -43,9 +43,17 @@ class TimeSeriesDataFrame:
         ts_col: str = "ts",
         key_col: str = "key",
         value_col: str = "value",
+        duplicates: str = "max",
     ) -> "TimeSeriesDataFrame":
-        """``timeSeriesRDDFromObservations`` (``TimeSeriesRDD.scala:694-745``)."""
-        return cls(align.from_observations(df, index, ts_col, key_col, value_col), index)
+        """``timeSeriesRDDFromObservations`` (``TimeSeriesRDD.scala:694-745``).
+        ``duplicates``: "max" (default) / "min" / "fail" — see
+        :func:`operators.align.from_observations`."""
+        return cls(
+            align.from_observations(
+                df, index, ts_col, key_col, value_col, duplicates=duplicates
+            ),
+            index,
+        )
 
     # -- layout ------------------------------------------------------------
     def to_observations(self) -> DataFrame:

@@ -40,6 +40,38 @@ def test_alignment_dense_grid(spark, obs, index):
     assert a.value.to_numpy()[4] == 4.0
 
 
+def test_duplicate_observation_tiebreak(spark, index):
+    """Duplicate (key, instant) cells resolve by the ``duplicates``
+    parameter: max (default) / min are deterministic extrema; "fail"
+    raises at execution so reference-parity callers can DETECT duplicate
+    stamps instead of silently taking an extremum (r4 ADVICE)."""
+    from pyspark.errors import SparkRuntimeException
+
+    rows = [
+        (pd.Timestamp("2015-04-10").to_pydatetime(), "a", 1.0),
+        (pd.Timestamp("2015-04-10").to_pydatetime(), "a", 5.0),
+        (pd.Timestamp("2015-04-11").to_pydatetime(), "a", 2.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, key string, value double")
+
+    def cell(duplicates):
+        ts = TimeSeriesDataFrame.from_observations(df, index,
+                                                   duplicates=duplicates)
+        return ts.df.where("loc = 1").toPandas().value.iloc[0]
+
+    assert cell("max") == 5.0
+    assert cell("min") == 1.0
+    with pytest.raises(SparkRuntimeException, match="duplicate observations"):
+        cell("fail")
+    with pytest.raises(ValueError, match="duplicates"):
+        cell("banana")
+    # clean input passes through the fail mode untouched
+    clean = df.where("value <> 5.0")
+    ts = TimeSeriesDataFrame.from_observations(clean, index, duplicates="fail")
+    got = ts.df.where("value IS NOT NULL").toPandas().sort_values("loc")
+    assert list(got.value) == [1.0, 2.0]
+
+
 def test_off_index_observations_dropped(spark, index):
     rows = [
         (pd.Timestamp("2015-04-09 12:00").to_pydatetime(), "a", 99.0),  # off-grid

@@ -382,3 +382,22 @@ def test_egarch_standardize_roundtrip_and_ll_beats_start():
     assert m.log_likelihood(y) >= egarch_start(y).log_likelihood(y)
     vf = m.variance_forecast(y, 5)
     assert np.all(vf > 0) and vf.shape == (5,)
+
+
+def test_model_name_aliases():
+    """README spells the model "holt_winters"; the registry's canonical
+    name is "holtwinters" — the alias normalizes instead of raising
+    (r4 ADVICE), and typos still fail fast."""
+    import pytest
+
+    from spark_timeseries_spark.models.fit import (
+        _KNOWN_MODELS,
+        _KNOWN_TESTS,
+        _require,
+    )
+
+    assert _require("holt_winters", _KNOWN_MODELS) == "holtwinters"
+    assert _require("holtwinters", _KNOWN_MODELS) == "holtwinters"
+    assert _require("ljungbox", _KNOWN_TESTS) == "ljung_box"
+    with pytest.raises(ValueError, match="unknown model"):
+        _require("holt-winters", _KNOWN_MODELS)

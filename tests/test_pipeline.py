@@ -928,6 +928,72 @@ def test_semantic_dedup_pairs_within_cluster_only(spark):
         kmeans_fit(df.limit(1), k=2)
 
 
+def test_semantic_dedup_hot_cluster_subsplit(spark):
+    """Degenerate one-cluster corpus (k=1): ``max_cluster_size`` sub-splits
+    the hot cluster by hyperplane signature so the worst join bucket is
+    bounded below the cluster size, a planted near-identical pair is still
+    found (cosine LSH co-buckets it), precision is unaffected (every
+    emitted pair re-verifies ≥ threshold), and ``max_bucket_size`` gives
+    the hard worst-bucket guarantee: pairs ≤ buckets · C(cap, 2)."""
+    import numpy as np
+
+    from spark_timeseries_spark.pipeline.clustering import (
+        kmeans_fit,
+        semantic_dedup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim = 120, 8
+    pts = [rng.standard_normal(dim) for _ in range(n)]
+    pts[1] = pts[0] + rng.standard_normal(dim) * 1e-4  # planted near-dup
+    rows = [(i, [float(x) for x in p]) for i, p in enumerate(pts)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    model = kmeans_fit(df, k=1, max_iter=1)  # everything in one cluster
+
+    # un-split baseline: the whole corpus is ONE quadratic bucket
+    base = semantic_dedup_pairs(df, model, threshold=-1.0).collect()
+    assert len(base) == n * (n - 1) // 2
+
+    # sub-split: worst (cid, sub) bucket strictly below the cluster size,
+    # so the candidate pair count drops well under the quadratic baseline
+    split = semantic_dedup_pairs(
+        df, model, threshold=-1.0, max_cluster_size=50, n_subplanes=4
+    ).collect()
+    assert 0 < len(split) < len(base) / 2
+    # the near-identical planted pair survives the split (cosine LSH)
+    found = semantic_dedup_pairs(
+        df, model, threshold=0.999, max_cluster_size=50, n_subplanes=4
+    ).collect()
+    assert {(p.id_a, p.id_b) for p in found} == {(0, 1)}
+    # precision: every emitted pair is genuinely within-threshold
+    for p in found:
+        assert p.sim >= 0.999
+
+    # clusters under the bound are NOT split: identical output to baseline
+    nosplit = semantic_dedup_pairs(
+        df, model, threshold=-1.0, max_cluster_size=n
+    ).collect()
+    assert {(p.id_a, p.id_b) for p in nosplit} == {
+        (p.id_a, p.id_b) for p in base
+    }
+
+    # hard cap: worst-bucket pair count provably bounded even when the
+    # corpus is adversarial (all-identical vectors defeat any hyperplane)
+    same = [(i, [1.0] * dim) for i in range(n)]
+    df2 = spark.createDataFrame(same, "vec_id long, embedding array<float>")
+    model2 = kmeans_fit(df2, k=1, max_iter=1)
+    cap = 10
+    capped = semantic_dedup_pairs(
+        df2,
+        model2,
+        threshold=-1.0,
+        max_cluster_size=20,
+        n_subplanes=4,
+        max_bucket_size=cap,
+    ).collect()
+    assert len(capped) <= (2**4) * cap * (cap - 1) // 2
+
+
 def test_mixture_epochs_repeat_factors(spark):
     """Upsampling: weight w emits floor(w)/ceil(w) copies hash-decided,
     epoch indexes the copies, weight 0 drops the stratum, and the whole
@@ -1431,6 +1497,111 @@ def test_pretrain_clean_optional_gates(spark):
     assert gated == {0}
 
 
+def test_pretrain_clean_rewrite_gates(spark):
+    """The dedup-rewrite stages compose into the clean chain: with
+    ``dedup_paragraph=True`` a paragraph shared by two surviving docs is
+    cut from the later one; with ``remove_span_grams`` a cross-document
+    duplicated token span is cut from the non-canonical doc; the final
+    exact dedup then operates on the REWRITTEN text (two docs identical
+    after the paragraph cut collapse to one)."""
+    from spark_timeseries_spark.pipeline.clean import pretrain_clean
+
+    footer = ("please subscribe to the newsletter for more updates about "
+              "the village and its people every single week")
+    body0 = ("the quick brown fox jumps over the lazy dog and then walks "
+             "to the old stone house by the quiet river bank early")
+    body1 = ("a calm grey cat sits near the warm fire and watches the "
+             "slow rain fall outside the small wooden window all night")
+    rows = [
+        (0, body0 + "\n\n" + footer),
+        (1, body1 + "\n\n" + footer),
+        (2, body1),      # every paragraph canonical elsewhere → rebuilds ''
+        (3, footer),     # likewise '' — and then digest-collides with doc 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(min_quality=0.0, rep_thresholds={"top2gram_char_ratio": 10.0})
+
+    out = {r.doc_id: r.text
+           for r in pretrain_clean(df, dedup_paragraph=True, **kw).collect()}
+    # first occurrences win: doc 0 keeps the footer, doc 1 loses it; docs
+    # 2 and 3 rebuild to '' and the exact dedup — running on the REWRITTEN
+    # text — collapses them to the smaller id
+    assert footer in out[0]
+    assert out[1] == body1
+    assert out[2] == "" and 3 not in out
+
+    # span removal: the 10-token duplicated run is cut from doc 1 (doc 0
+    # is canonical), rebuilt text is single-space joined
+    span = "one two three four five six seven eight nine ten"
+    rows2 = [(0, body0 + " " + span), (1, body1 + " " + span)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    out2 = {r.doc_id: r.text
+            for r in pretrain_clean(df2, remove_span_grams=10, **kw).collect()}
+    assert span in out2[0]
+    assert out2[1] == body1
+
+
+def test_pretrain_clean_rewrite_plan_budget(spark):
+    """Shuffle pin for the fully-composed chain (repetition gate +
+    paragraph dedup + span removal + exact dedup) in its RECOMMENDED
+    at-scale form (``persist_intermediate=True``, which also caches the
+    survivor frame the rewrite stages scan repeatedly): no range
+    partitioning (no global sorts), no cartesian products, and the
+    exchange count stays within the documented budget of the composed
+    stages — without the survivor cache the same chain measures >100
+    exchanges (every rewrite-internal consumer re-runs the gate joins)."""
+    import re
+
+    from spark_timeseries_spark.pipeline.clean import pretrain_clean
+
+    df = spark.createDataFrame(
+        [(0, "some simple english text for the plan only")],
+        "doc_id long, text string",
+    )
+    res = pretrain_clean(
+        df,
+        min_quality=0.0,
+        dedup_paragraph=True,
+        remove_span_grams=8,
+        persist_intermediate=True,
+    )
+    def _exchanges_outside_cache(p):
+        # the tree printout inlines the cached relation's child plan at
+        # every scan site — count only exchanges the query itself runs,
+        # skipping subtrees rooted at InMemoryRelation
+        n, skip = 0, None
+        for line in p.splitlines():
+            m = re.search(r"[+:]- ", line)
+            indent = m.start() if m else -1
+            if skip is not None:
+                if indent > skip:
+                    continue
+                skip = None
+            if "InMemoryRelation" in line:
+                skip = indent
+                continue
+            if re.search(r"Exchange (hash|range)partitioning", line):
+                n += 1
+        return n
+
+    try:
+        p = res.df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in p
+        assert "Exchange rangepartitioning" not in p
+        assert "InMemoryTableScan" in p  # the survivor cache is wired in
+        # documented budget per stage over the CACHED survivors:
+        # paragraph dedup (canon groupBy, join back, rebuild groupBy,
+        # counts join) + span removal (gram groupBy, occurrence window,
+        # segs groupBy, rebuild join) + exact dedup + rewrite joins;
+        # measures 24 today — the pin catches a consumer-multiplication
+        # regression (uncached form measures >100)
+        n = _exchanges_outside_cache(p)
+        assert n <= 30, f"{n} exchanges outside the cache:\n{p}"
+        assert res.cached_survivors is not None
+    finally:
+        res.release()
+
+
 def test_mixture_coin_independent_of_sampler(spark):
     """The fractional-epoch coin must be independent of the samplers'
     keep/drop hash at EQUAL seeds: survivors of a rate-0.5 sample given
@@ -1513,6 +1684,60 @@ def test_pack_sequences_boundary_span_and_id_guard(spark):
     )
     with pytest.raises(ValueError, match="integral"):
         pack_sequences(sdf)
+
+
+def test_pack_sequences_epoch_copies(spark):
+    """mixture_epochs output (duplicate ids disambiguated by ``epoch``)
+    packs deterministically: the epoch column joins the ordering and the
+    output, per-copy offsets are stable across runs, and the offsets are
+    the exact prefix sums of the (id, epoch)-ordered stream. Duplicate
+    ids WITHOUT an epoch column fail loudly at execution."""
+    from pyspark.errors import SparkRuntimeException
+
+    from spark_timeseries_spark.pipeline.packing import pack_sequences
+
+    rows = [(i, e, "s", "w " * (i % 4 + 2)) for i in range(40)
+            for e in range(i % 3 + 1)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, epoch int, source string, text string"
+    )
+    out = pack_sequences(df, seq_len=16, bpe=False)
+    assert "epoch" in out.columns
+    recs = sorted(out.collect(), key=lambda r: (r.doc_id, r.epoch))
+    run = 0
+    for r in recs:
+        assert r.offset == run, (r.doc_id, r.epoch, r.offset, run)
+        run += r.n_tokens + 1
+    again = sorted(pack_sequences(df, seq_len=16, bpe=False).collect(),
+                   key=lambda r: (r.doc_id, r.epoch))
+    assert [(r.doc_id, r.epoch, r.offset) for r in recs] == \
+           [(r.doc_id, r.epoch, r.offset) for r in again]
+
+    dup = spark.createDataFrame(
+        [(7, "s", "w w w"), (7, "s", "w w")],
+        "doc_id long, source string, text string",
+    )
+    with pytest.raises(SparkRuntimeException, match="duplicate id"):
+        pack_sequences(dup, seq_len=16, bpe=False).collect()
+
+
+def test_minhash_band_validation(spark):
+    """bands·rows_per_band exceeding the signature length fails fast on
+    the driver (out-of-range sig indices would silently collapse band
+    hashes into hot buckets); degenerate band shapes are rejected too."""
+    from spark_timeseries_spark.pipeline.dedup import (
+        dedup_minhash_lsh,
+        minhash_lsh_candidates,
+    )
+
+    sig = spark.createDataFrame([(0, [1, 2])], "doc_id long, sig array<bigint>")
+    with pytest.raises(ValueError, match="exceeds the signature length"):
+        minhash_lsh_candidates(sig, bands=4, rows_per_band=4, num_hashes=8)
+    with pytest.raises(ValueError, match="must be >= 1"):
+        minhash_lsh_candidates(sig, bands=0, rows_per_band=4)
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bands"):
+        dedup_minhash_lsh(docs, num_hashes=8, bands=16)
 
 
 def test_split_dataset_thirds_cover_every_bucket(spark):
