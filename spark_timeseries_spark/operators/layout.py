@@ -48,10 +48,29 @@ def to_instants_df(
     key_col: str = "key",
     ts_col: str = "ts",
     value_col: str = "value",
+    max_pivot_keys: int | None = None,
 ) -> DataFrame:
     """Wide instants layout: one row per timestamp, one double column per key
     (``TimeSeriesRDD.scala:399-413``). Passing ``keys`` avoids the extra
-    distinct-values job Spark otherwise runs before pivoting."""
+    distinct-values job Spark otherwise runs before pivoting.
+
+    Width guard: a pivot materializes one SCHEMA COLUMN per key — at
+    corpus scale that is a driver-side distinct-keys job plus a schema no
+    engine enjoys (the reference bounds its transpose width at 20 for the
+    same reason, ``TimeSeriesRDD.scala:280``). Set ``max_pivot_keys`` to
+    fall back to the :func:`to_instants_map` layout — ``(ts, MAP<key,
+    double>)``, width-independent — whenever the key count (of ``keys``
+    when given, else one cheap countDistinct) exceeds the bound. Spark's
+    own ``spark.sql.pivotMaxValues`` (default 10k) still errors the
+    unguarded path rather than silently planning a 10k-column schema."""
+    if max_pivot_keys is not None:
+        n_keys = (
+            len(keys)
+            if keys is not None
+            else df.select(key_col).distinct().count()
+        )
+        if n_keys > int(max_pivot_keys):
+            return to_instants_map(df, key_col, ts_col, value_col)
     g = df.groupBy(ts_col)
     p = g.pivot(key_col, keys) if keys else g.pivot(key_col)
     return p.agg(F.first(value_col)).orderBy(ts_col)

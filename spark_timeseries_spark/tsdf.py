@@ -59,8 +59,14 @@ class TimeSeriesDataFrame:
     def to_observations(self) -> DataFrame:
         return layout.to_observations(self.df)
 
-    def to_instants_df(self, keys: list[str] | None = None) -> DataFrame:
-        return layout.to_instants_df(self.df, keys)
+    def to_instants_df(
+        self,
+        keys: list[str] | None = None,
+        max_pivot_keys: int | None = None,
+    ) -> DataFrame:
+        return layout.to_instants_df(
+            self.df, keys, max_pivot_keys=max_pivot_keys
+        )
 
     def to_instants_map(self) -> DataFrame:
         return layout.to_instants_map(self.df)

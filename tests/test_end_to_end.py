@@ -369,3 +369,22 @@ def test_with_index_keeps_all_null_series(spark):
     ).collect()}
     assert per_key == {"live": 3, "offline": 3}
     assert out.where("key = 'offline' AND value IS NOT NULL").count() == 0
+
+
+def test_to_instants_width_guard(spark, obs, index):
+    """Pivot-width guard: under the bound the pivot layout is produced
+    (one double column per key); above it the map-column layout comes
+    back instead — width-independent, same cells."""
+    ts = TimeSeriesDataFrame.from_observations(obs, index)
+    wide = ts.to_instants_df(max_pivot_keys=10).toPandas()
+    assert {"a", "b", "c"} <= set(wide.columns)
+    mapped = ts.to_instants_df(max_pivot_keys=2)
+    assert dict(mapped.dtypes)["instant"].startswith("map<")
+    m = {r.ts: r.instant for r in mapped.collect()}
+    row = wide[wide.ts == pd.Timestamp("2015-04-13")].iloc[0]
+    got = m[pd.Timestamp("2015-04-13")]
+    for k in ("a", "b", "c"):
+        if pd.isna(row[k]):
+            assert k not in got
+        else:
+            assert got[k] == row[k]
