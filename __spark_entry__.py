@@ -1639,6 +1639,125 @@ def _q_url_stats(spark, sf_dir):
     )
 
 
+def _q_dedup_lines(spark, sf_dir):
+    """CCNet-style line-level dedup (``pipeline/dedup.py::dedup_lines``):
+    the corpus is salted with a shared footer line (kept only at its
+    corpus-first occurrence) and a per-doc unique line (always kept);
+    lines below the min_docs threshold keep every occurrence. The
+    oracle replays by grouping on line CONTENT — the result is
+    independent of the hash key choice."""
+    from spark_timeseries_spark.pipeline.dedup import dedup_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    salted = docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.lit("\nshared footer line\nunique line "),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    out = dedup_lines(salted, min_docs=2)
+    return out.select(
+        "doc_id", F.md5("text").alias("clean_md5"), "n_lines", "removed_lines"
+    )
+
+
+def _q_containment_pairs(spark, sf_dir):
+    """Asymmetric near-dup detection (Broder containment —
+    ``pipeline/dedup.py::containment_verify``): every 50th document gets
+    its predecessor's text appended, planting subset pairs Jaccard
+    misses; candidates come from the shingle inverted index (the
+    ``ngram_jaccard_pairs`` plan), then exact containment keeps pairs
+    where EITHER direction reaches 0.9."""
+    from spark_timeseries_spark.pipeline.dedup import containment_verify
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("_pt")
+    )
+    salted = (
+        docs.join(pred, "doc_id", "left")
+        .withColumn(
+            "text",
+            F.when(
+                (F.col("doc_id") % 50 == 1) & F.col("_pt").isNotNull(),
+                F.concat("text", F.lit(" "), F.col("_pt")),
+            ).otherwise(F.col("text")),
+        )
+        .select("doc_id", "text")
+    )
+    from spark_timeseries_spark.pipeline.dedup import shingle_sets
+
+    sets = shingle_sets(salted, shingle_n=3)
+    ex = sets.select("id", F.explode("sh").alias("s"))
+    cand = (
+        ex.alias("a")
+        .join(ex.alias("b"), "s")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    out = containment_verify(salted, cand, shingle_n=3, threshold=0.9)
+    return out.select(
+        "id_a",
+        "id_b",
+        _stable_round(F.col("containment_a"), 6).alias("containment_a"),
+        _stable_round(F.col("containment_b"), 6).alias("containment_b"),
+        _stable_round(F.col("jaccard"), 6).alias("jaccard"),
+    )
+
+
+def _q_incremental_dedup(spark, sf_dir):
+    """Incremental-ingest exact dedup (``pipeline/dedup.py::
+    dedup_exact_incremental``): the corpus is split into an existing half
+    (doc_id < 250) and a new batch; every 5th new doc is salted with an
+    old doc's text (must be dropped — digest already ingested), in-batch
+    duplicates keep the first id, everything else passes. The anti-join
+    ships only the old side's digest column."""
+    from spark_timeseries_spark.pipeline.dedup import dedup_exact_incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") < 250).select("doc_id", "text")
+    dup_src = old.select(
+        (F.col("doc_id") + 250).alias("doc_id"), F.col("text").alias("_ot")
+    )
+    new = (
+        docs.where(F.col("doc_id") >= 250)
+        .join(dup_src, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 5 == 0) & F.col("_ot").isNotNull(),
+                F.col("_ot"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    out = dedup_exact_incremental(new, old)
+    return out.select("doc_id", F.md5("text").alias("md5"))
+
+
+def _q_zipf_slope(spark, sf_dir):
+    """Zipf's-law corpus diagnostic (``pipeline/vocab.py::zipf_slope``):
+    OLS slope of ln(freq) ~ ln(rank) over each source's top-50 tokens —
+    closed-form moment aggregates over a distinct-token-sized table, no
+    Python, no global sort. The oracle replays the ranking (cnt DESC,
+    token tie-break) and the covariance algebra exactly."""
+    from spark_timeseries_spark.pipeline.vocab import zipf_slope
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = zipf_slope(docs, group_col="source", top_r=50)
+    return out.select(
+        "source",
+        _stable_round(F.col("slope"), 6).alias("slope"),
+        _stable_round(F.col("intercept"), 6).alias("intercept"),
+        _stable_round(F.col("r2"), 6).alias("r2"),
+        "n_ranks",
+    )
+
+
 _MIXTURE_WEIGHTS = {"src0": 2.5, "src1": 0.25, "src2": 0.0, "src3": 1.75}
 
 
@@ -1793,15 +1912,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "business_days": _q_business_days,
         "to_observations": _q_to_observations,
         "roll_sum_center": _q_roll_sum_center,
-        # -- (e) events-family r3 rows: re-prove the ingest path after the
+        # -- (e) NEW round-5 operators, in-window immediately (no driver
+        #        row exists anywhere): line dedup, containment, incremental
+        #        ingest dedup, Zipf diagnostic --------------------------------
+        "dedup_lines": _q_dedup_lines,
+        "containment_pairs": _q_containment_pairs,
+        "incremental_dedup": _q_incremental_dedup,
+        "zipf_slope": _q_zipf_slope,
+        # -- (f) events-family r3 row: re-prove the ingest path after the
         #        align.py duplicate-stamp tiebreak parameter ----------------
         "series_stats": _q_series_stats,
+        # ---- driver window (50) ends here ----------------------------------
+        # events family: r3-green rows stand, ingest path re-proven above
         "resample_daily_avg": _q_resample_daily_avg,
         "fill_previous": _q_fill_previous,
         "fill_linear": _q_fill_linear,
         "differences": _q_differences,
-        # ---- driver window (50) ends here ----------------------------------
-        # events family: r3-green rows stand, ingest path re-proven above
         "return_rates": _q_return_rates,
         "roll_mean": _q_roll_mean,
         "remove_instants_with_nans": _q_remove_instants_with_nans,
@@ -4368,6 +4494,182 @@ def oracle_sql() -> dict[str, str]:
                        x -> lower(regexp_extract(x, 'https?://([^/\s:]+)', 1))
                    ))), ',') AS domain_list
         FROM u
+    """
+
+    # line dedup: same content-grouped replay shape as dedup_paragraphs,
+    # single-\n split, plus the min_docs threshold (sub-threshold lines
+    # keep every occurrence, including intra-document repeats)
+    o["dedup_lines"] = r"""
+        WITH s AS (
+            SELECT doc_id,
+                   text || chr(10) || 'shared footer line'
+                        || chr(10) || 'unique line '
+                        || CAST(doc_id AS VARCHAR) AS t
+            FROM documents
+        ),
+        lst AS (
+            SELECT doc_id,
+                   list_filter(
+                       list_transform(regexp_split_to_array(t, '\n'),
+                                      x -> trim(x)),
+                       x -> x <> '') AS ls
+            FROM s
+        ),
+        lines AS (
+            SELECT doc_id, i - 1 AS idx, ls[i] AS line
+            FROM lst, unnest(range(1, len(ls) + 1)) AS r(i)
+        ),
+        st AS (
+            SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY 1
+        ),
+        firsts AS (
+            SELECT line, doc_id AS fi, idx AS fx FROM (
+                SELECT line, doc_id, idx,
+                       row_number() OVER (PARTITION BY line
+                                          ORDER BY doc_id, idx) AS rn
+                FROM lines)
+            WHERE rn = 1
+        ),
+        kept AS (
+            SELECT l.doc_id, l.idx, l.line
+            FROM lines l
+            JOIN st ON st.line = l.line
+            JOIN firsts f ON f.line = l.line
+            WHERE st.nd < 2 OR (l.doc_id = f.fi AND l.idx = f.fx)
+        ),
+        reb AS (
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY idx) AS text,
+                   COUNT(*) AS k
+            FROM kept GROUP BY 1
+        )
+        SELECT l.doc_id,
+               md5(COALESCE(reb.text, '')) AS clean_md5,
+               CAST(len(l.ls) AS BIGINT) AS n_lines,
+               CAST(len(l.ls) - COALESCE(reb.k, 0) AS BIGINT)
+                   AS removed_lines
+        FROM lst l LEFT JOIN reb USING (doc_id)
+    """
+
+    # containment: salted subset pairs + shingle-inverted-index candidates
+    # + exact set algebra (DISTINCT 3-gram shingles, same as the Spark
+    # shingles() kernel: docs under 3 tokens have an empty set)
+    o["containment_pairs"] = f"""
+        WITH pred AS (
+            SELECT doc_id + 1 AS doc_id, text AS pt FROM documents
+        ),
+        s AS (
+            SELECT d.doc_id,
+                   CASE WHEN d.doc_id % 50 = 1 AND p.pt IS NOT NULL
+                        THEN d.text || ' ' || p.pt
+                        ELSE d.text END AS text
+            FROM documents d LEFT JOIN pred p USING (doc_id)
+        ),
+        words AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM s
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(w) - 2),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                       )) AS sh
+                FROM words
+            )
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b USING (sh)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT id_a, id_b,
+                   CAST(inter AS DOUBLE) / sa.n AS ca,
+                   CAST(inter AS DOUBLE) / sb.n AS cb,
+                   CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS j
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+        )
+        SELECT id_a, id_b,
+               {_sr_sql("ca", 6)} AS containment_a,
+               {_sr_sql("cb", 6)} AS containment_b,
+               {_sr_sql("j", 6)} AS jaccard
+        FROM scored
+        WHERE ca >= 0.9 OR cb >= 0.9
+    """
+
+    # incremental exact dedup: digest anti-join vs the old half + in-batch
+    # keep-first; digests use the same whitespace/case normalization as
+    # the dedup_exact oracle
+    o["incremental_dedup"] = r"""
+        WITH old AS (
+            SELECT doc_id, text,
+                   md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS dig
+            FROM documents WHERE doc_id < 250
+        ),
+        dup_src AS (SELECT doc_id + 250 AS doc_id, text AS ot FROM old),
+        newb AS (
+            SELECT n.doc_id,
+                   CASE WHEN n.doc_id % 5 = 0 AND o.ot IS NOT NULL
+                        THEN o.ot ELSE n.text END AS text
+            FROM documents n LEFT JOIN dup_src o USING (doc_id)
+            WHERE n.doc_id >= 250
+        ),
+        newd AS (
+            SELECT doc_id, text,
+                   md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS dig
+            FROM newb
+        ),
+        fresh AS (
+            SELECT * FROM newd
+            WHERE dig NOT IN (SELECT dig FROM old)
+        ),
+        firsts AS (SELECT dig, MIN(doc_id) AS doc_id FROM fresh GROUP BY 1)
+        SELECT f.doc_id, md5(f.text) AS md5
+        FROM fresh f JOIN firsts USING (dig, doc_id)
+    """
+
+    # Zipf diagnostic: deterministic (cnt DESC, token) ranking + closed
+    # covariance algebra, natural logs both engines
+    o["zipf_slope"] = f"""
+        WITH toks AS (
+            SELECT source, t AS token
+            FROM documents,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS u(t)
+            WHERE t != ''
+        ),
+        c AS (
+            SELECT source, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT source, ln(CAST(rank AS DOUBLE)) AS x,
+                   ln(CAST(cnt AS DOUBLE)) AS y
+            FROM (
+                SELECT source, cnt,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY cnt DESC, token ASC)
+                           AS rank
+                FROM c)
+            WHERE rank <= 50
+        ),
+        m AS (
+            SELECT source, COUNT(*) AS n_ranks,
+                   covar_pop(x, y) AS sxy, var_pop(x) AS sxx,
+                   var_pop(y) AS syy, AVG(x) AS mx, AVG(y) AS my
+            FROM r GROUP BY 1
+        )
+        SELECT source,
+               {_sr_sql("sxy / sxx", 6)} AS slope,
+               {_sr_sql("my - (sxy / sxx) * mx", 6)} AS intercept,
+               CASE WHEN syy = 0 THEN 1.0
+                    ELSE {_sr_sql("sxy * sxy / (sxx * syy)", 6)}
+               END AS r2,
+               CAST(n_ranks AS BIGINT) AS n_ranks
+        FROM m
     """
 
     # k-means replay: Lloyd's iterations unrolled as CTE chains — c0 is the

@@ -81,6 +81,8 @@ def pretrain_clean(
     dedup_paragraph: bool = False,
     remove_span_grams: int | None = None,
     hash_fn: str = "xxhash64",
+    max_perplexity: float | None = None,
+    lm=None,
 ) -> DataFrame | CleanResult:
     """Language → quality → Gopher-repetition → [paragraph dedup] →
     [span removal] → exact-dedup chain; returns the surviving documents
@@ -132,6 +134,22 @@ def pretrain_clean(
             .select(id_col)
         )
         scored = scored.join(too_templated, id_col, "left_anti")
+    if max_perplexity is not None:
+        # CCNet-style LM gate: drop documents a reference-corpus bigram LM
+        # finds too surprising (boilerplate/garbled text scores high).
+        # The LM broadcasts (reference vocabularies are executor-small);
+        # <2-token docs carry no LM evidence and pass through — gate them
+        # with quality/length, not perplexity
+        if lm is None:
+            raise ValueError("max_perplexity needs a fitted lm (NgramLM)")
+        from .lm import score_perplexity
+
+        too_surprising = (
+            score_perplexity(scored, lm, text_col, id_col)
+            .where(F.col("perplexity") > float(max_perplexity))
+            .select(id_col)
+        )
+        scored = scored.join(too_surprising, id_col, "left_anti")
     if persist_intermediate:
         scored = scored.persist()
     rep = gopher_repetition_filter(

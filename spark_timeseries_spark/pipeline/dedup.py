@@ -899,3 +899,222 @@ def dedup_paragraphs(
             ),
         )
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    keep_first: bool = True,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """CCNet-style LINE-level dedup (Wenzek et al. 2020 dedupe lines by
+    hash across shards; the single-``\\n`` cousin of
+    :func:`dedup_paragraphs`): a line whose hash appears in at least
+    ``min_docs`` DISTINCT documents is duplicated — with ``keep_first``
+    its corpus-first occurrence (smallest (doc, position)) survives,
+    without it every copy is cut; non-duplicated lines always keep all
+    their occurrences (intra-document repeats below the threshold are
+    untouched, unlike the paragraph operator's keep-first-everywhere).
+    Output: (id, text, n_lines, removed_lines); rebuilt with ``\\n``.
+
+    Scale shape mirrors :func:`dedup_paragraphs`: row-local split, ONE
+    partially-aggregated groupBy per line hash carrying (distinct-doc
+    count, min (doc, pos)) — map-side combine collapses a corpus-viral
+    line to one row per partition — then a hash-keyed join back and a
+    per-doc rebuild over surviving occurrences only."""
+    from spark_timeseries_spark.functions import hashed
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.transform(F.split(F.col(text_col), r"\n"), lambda s: F.trim(s)),
+                lambda s: s != F.lit(""),
+            )
+        ).alias("idx", "line"),
+    ).withColumn("lh", hashed(F.col("line"), hash_fn))
+    stats = lines.groupBy("lh").agg(
+        F.countDistinct(id_col).alias("_nd"),
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("idx").alias("x"))).alias(
+            "_first"
+        ),
+    )
+    is_first = (F.col(id_col) == F.col("_first.i")) & (
+        F.col("idx") == F.col("_first.x")
+    )
+    keep_pred = F.col("_nd") < int(min_docs)
+    if keep_first:
+        keep_pred = keep_pred | is_first
+    kept = (
+        lines.join(stats, "lh")
+        .where(keep_pred)
+        .select(id_col, "idx", "line")
+    )
+    counts = (
+        df.select(id_col)
+        .join(
+            lines.groupBy(id_col).agg(F.count("*").alias("n_lines")),
+            id_col,
+            "left",
+        )
+        .select(id_col, F.coalesce("n_lines", F.lit(0)).alias("n_lines"))
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "line"))).alias("_ls"))
+        .select(
+            id_col,
+            F.concat_ws("\n", F.col("_ls.line")).alias("text"),
+            F.size("_ls").alias("_kept"),
+        )
+    )
+    return counts.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("text", F.lit("")).alias("text"),
+        "n_lines",
+        (F.col("n_lines") - F.coalesce("_kept", F.lit(0))).alias(
+            "removed_lines"
+        ),
+    )
+
+
+def containment_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+    sets: DataFrame | None = None,
+) -> DataFrame:
+    """Exact shingle CONTAINMENT on candidate pairs → (id_a, id_b,
+    containment_a, containment_b, jaccard). Containment (Broder 1997's
+    resemblance companion) is |A∩B|/|A| — near 1.0 when A is embedded in
+    B even though Jaccard is small, which is exactly the
+    quotation/expansion/contamination case symmetric near-dup scoring
+    misses. ``threshold`` keeps pairs where EITHER direction reaches it.
+    Same candidate-restricted plan as :func:`jaccard_verify`; pass a
+    persisted ``sets`` to avoid re-shingling."""
+    if sets is None:
+        sets = shingle_sets(df, text_col, id_col, shingle_n)
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    out = (
+        candidates.join(
+            sets.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a"
+        )
+        .join(sets.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn("containment_a", inter / F.size("sh_a"))
+        .withColumn("containment_b", inter / F.size("sh_b"))
+        .withColumn(
+            "jaccard", inter / F.size(F.array_union("sh_a", "sh_b"))
+        )
+        .select("id_a", "id_b", "containment_a", "containment_b", "jaccard")
+    )
+    if threshold > 0.0:
+        out = out.where(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+    return out
+
+
+def dedup_exact_incremental(
+    new_df: DataFrame,
+    existing_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Incremental-ingest exact dedup: keep the NEW documents whose
+    content digest appears nowhere in the EXISTING corpus and is unique
+    within the new batch itself (first id wins inside the batch) — the
+    everyday shape of a growing training corpus, where re-deduplicating
+    100 TB to admit a 100 GB crawl increment is not an option.
+
+    Plan: digest both sides row-locally (same normalization as
+    :func:`dedup_exact` so results compose), LEFT ANTI join the new
+    batch against existing digests — the existing side ships ONLY its
+    digest column (one narrow scan of a corpus-resident column, no text
+    movement), then the in-batch keep-first resolves on the survivors
+    only."""
+
+    def digest(frame):
+        return frame.withColumn(
+            "_dig", content_digest(F.col(text_col), normalize=normalize)
+        )
+
+    old = digest(existing_df).select("_dig").distinct()
+    fresh = digest(new_df).join(old, "_dig", "left_anti")
+    first = fresh.groupBy("_dig").agg(F.min(id_col).alias(id_col))
+    return fresh.join(first, ["_dig", id_col]).drop("_dig")
+
+
+def minhash_cross_candidates(
+    new_sigs: DataFrame,
+    existing_sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
+    num_hashes: int | None = None,
+) -> DataFrame:
+    """Cross-corpus LSH candidates → (id_new, id_old): band-hash join of
+    a NEW batch's signatures against the EXISTING corpus's — the
+    near-dup half of incremental ingest (verify with
+    :func:`jaccard_verify`/:func:`containment_verify` against the union
+    corpus). Unlike the self-join path there is no id ordering between
+    the sides; both directions of near-duplication surface as the same
+    row. The existing side's banded table is a build-once artifact at
+    scale — persist it keyed by (band, bh) and each increment pays only
+    its own banding plus the bucket join."""
+    from spark_timeseries_spark.functions import hashed
+
+    if bands < 1 or rows_per_band < 1:
+        raise ValueError(
+            f"bands ({bands}) and rows_per_band ({rows_per_band}) must be >= 1"
+        )
+    if num_hashes is not None and bands * rows_per_band > num_hashes:
+        raise ValueError(
+            f"bands*rows_per_band = {bands * rows_per_band} exceeds the "
+            f"signature length num_hashes = {num_hashes}"
+        )
+
+    def banded(sig_df, out_id):
+        return sig_df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            hashed(
+                                F.concat_ws(
+                                    ",",
+                                    *[
+                                        F.col("sig")[
+                                            b * rows_per_band + r
+                                        ].cast("string")
+                                        for r in range(rows_per_band)
+                                    ],
+                                ),
+                                hash_fn,
+                            ).alias("bh"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(out_id, "bb.band", "bb.bh")
+
+    nb = banded(new_sigs, "id_new")
+    ob = banded(existing_sigs, "id_old")
+    if max_bucket_size is not None:
+        ob = cap_bucket_size(ob, ["band", "bh"], max_bucket_size)
+    return (
+        nb.join(ob, ["band", "bh"])
+        .select("id_new", "id_old")
+        .distinct()
+    )

@@ -128,3 +128,61 @@ def oov_rate(
             ).alias("oov_rate"),
         )
     )
+
+
+def zipf_slope(
+    df: DataFrame,
+    group_col: str | None = "source",
+    top_r: int = 200,
+    text_col: str = "text",
+    bpe: bool = False,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Zipf's-law diagnostic per corpus stratum: OLS slope of
+    ``ln(freq) ~ ln(rank)`` over the ``top_r`` most frequent tokens →
+    (group, slope, intercept, r2, n_ranks). Natural text sits near
+    slope ≈ −1; strata that deviate hard flag template/boilerplate mass
+    (flat head) or tokenizer damage (steep head) — a one-number corpus
+    health check a 100 TB pipeline can afford to run per ingest batch.
+
+    Plan: token counting is the usual explode + partially-aggregated
+    groupBy; ranking uses a per-group window over the counts table
+    (distinct-token-sized, orders of magnitude under corpus size) with a
+    deterministic (cnt DESC, token) tie-break; the regression is a
+    closed-form moment aggregate per group — no Python, no global sort.
+    With ``group_col=None`` the whole corpus is one stratum ``"_all"``.
+    """
+    gc = group_col
+    stream = _token_stream(df, text_col, gc, bpe, lowercase)
+    if gc is None:
+        gc = "grp"
+        stream = stream.withColumn(gc, F.lit("_all"))
+    counts = stream.groupBy(gc, "token").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy(gc).orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(top_r))
+        .select(
+            gc,
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("cnt").cast("double")).alias("y"),
+        )
+    )
+    m = ranked.groupBy(gc).agg(
+        F.count("*").alias("n_ranks"),
+        F.covar_pop("x", "y").alias("_sxy"),
+        F.var_pop("x").alias("_sxx"),
+        F.var_pop("y").alias("_syy"),
+        F.avg("x").alias("_mx"),
+        F.avg("y").alias("_my"),
+    )
+    slope = F.col("_sxy") / F.col("_sxx")
+    return m.select(
+        F.col(gc).alias(group_col if group_col else "grp"),
+        slope.alias("slope"),
+        (F.col("_my") - slope * F.col("_mx")).alias("intercept"),
+        F.when(F.col("_syy") == 0, F.lit(1.0))
+        .otherwise(F.col("_sxy") * F.col("_sxy") / (F.col("_sxx") * F.col("_syy")))
+        .alias("r2"),
+        "n_ranks",
+    )

@@ -1768,3 +1768,151 @@ def test_quality_blank_text_scores_zero(spark):
     assert feats[0].n_tokens == 0 and feats[0].mean_token_len is None
     q = {r.doc_id: r.quality for r in quality_score(df).collect()}
     assert q[0] == 0.0 and q[1] > 0.0
+
+
+def test_dedup_lines_ccnet_semantics(spark):
+    """Line-level dedup: a line in >= min_docs DISTINCT docs keeps only
+    its corpus-first occurrence (or none with keep_first=False); lines
+    below the threshold keep ALL occurrences — including intra-document
+    repeats (unlike the paragraph operator); blank docs survive with 0
+    lines."""
+    from spark_timeseries_spark.pipeline.dedup import dedup_lines
+
+    rows = [
+        (0, "alpha line\nshared line\nalpha line"),  # intra-doc repeat, 1 doc
+        (1, "beta line\nshared line"),
+        (2, "shared line\ngamma line"),
+        (3, "   \n  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_lines(df, min_docs=2).collect()}
+    # 'shared line' is in 3 docs -> first occurrence is (0, idx 1)
+    assert out[0].text == "alpha line\nshared line\nalpha line"
+    assert out[0].removed_lines == 0
+    assert out[1].text == "beta line" and out[1].removed_lines == 1
+    assert out[2].text == "gamma line" and out[2].removed_lines == 1
+    assert out[3].text == "" and out[3].n_lines == 0
+
+    nofirst = {r.doc_id: r
+               for r in dedup_lines(df, min_docs=2, keep_first=False).collect()}
+    assert nofirst[0].text == "alpha line\nalpha line"
+    assert nofirst[0].removed_lines == 1
+
+
+def test_containment_verify_subset_detection(spark):
+    """Containment catches embedding: B = A + extra text has
+    containment_a ~ 1.0 while Jaccard is well below; the threshold keeps
+    a pair when EITHER direction qualifies."""
+    from spark_timeseries_spark.pipeline.dedup import containment_verify
+
+    a = "one two three four five six"
+    b = a + " seven eight nine ten eleven twelve thirteen fourteen"
+    rows = [(0, a), (1, b), (2, "totally different words here now then")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = spark.createDataFrame(
+        [(0, 1), (0, 2)], "id_a long, id_b long"
+    )
+    out = {(r.id_a, r.id_b): r
+           for r in containment_verify(df, cand, shingle_n=3).collect()}
+    r01 = out[(0, 1)]
+    assert r01.containment_a == 1.0          # A fully inside B
+    assert r01.containment_b < 0.5
+    assert r01.jaccard < 0.5
+    assert out[(0, 2)].containment_a == 0.0
+    kept = containment_verify(df, cand, shingle_n=3, threshold=0.9).collect()
+    assert {(r.id_a, r.id_b) for r in kept} == {(0, 1)}
+
+
+def test_incremental_dedup_exact_and_lsh(spark):
+    """Incremental ingest: new docs whose digest exists in the old corpus
+    are dropped, in-batch dups keep the first id, genuinely new docs pass;
+    the cross-corpus LSH banding surfaces old~new near-dup candidates
+    without the O(n^2) self-join of re-deduplicating the union."""
+    from spark_timeseries_spark.pipeline.dedup import (
+        dedup_exact_incremental,
+        minhash_cross_candidates,
+        minhash_signatures,
+    )
+
+    old = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today"),
+         (1, "an entirely separate document about rivers and stones")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "The quick  brown fox jumps over the lazy dog today"),  # = 0
+         (11, "a brand new document that matches nothing at all"),
+         (12, "a brand new document that matches nothing at all"),    # batch dup
+         (13, "the quick brown fox jumps over the lazy dog yesterday")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id
+                  for r in dedup_exact_incremental(new, old).collect())
+    assert kept == [11, 13]
+
+    sig_old = minhash_signatures(old, num_hashes=32)
+    sig_new = minhash_signatures(new, num_hashes=32)
+    cand = minhash_cross_candidates(
+        sig_new, sig_old, bands=8, rows_per_band=4, num_hashes=32
+    ).collect()
+    pairs = {(r.id_new, r.id_old) for r in cand}
+    assert (10, 0) in pairs and (13, 0) in pairs     # near-dups of old 0
+    assert not any(o == 1 for (_, o) in pairs)       # nothing matches old 1
+    with pytest.raises(ValueError, match="exceeds"):
+        minhash_cross_candidates(sig_new, sig_old, bands=16, rows_per_band=4,
+                                 num_hashes=32)
+
+
+def test_zipf_slope_closed_form(spark):
+    """The OLS moments reproduce numpy's polyfit on a constructed corpus
+    whose token frequencies are exactly Zipfian (freq = 600/rank ->
+    slope -1, r2 1); a uniform-frequency stratum yields slope 0."""
+    import numpy as np
+
+    from spark_timeseries_spark.pipeline.vocab import zipf_slope
+
+    words = []
+    for rank in range(1, 13):
+        words += [f"w{rank:02d}"] * round(600 / rank)
+    zipf_text = " ".join(words)
+    uni_text = " ".join(f"u{i}" for i in range(30)) * 4
+    df = spark.createDataFrame(
+        [("z", zipf_text), ("u", uni_text)], "source string, text string"
+    )
+    out = {r.source: r for r in zipf_slope(df, top_r=12).collect()}
+    x = np.log(np.arange(1, 13))
+    y = np.log(np.array([round(600 / r) for r in range(1, 13)], dtype=float))
+    want_slope, want_icpt = np.polyfit(x, y, 1)
+    assert abs(out["z"].slope - want_slope) < 1e-9
+    assert abs(out["z"].intercept - want_icpt) < 1e-9
+    assert out["z"].r2 > 0.999 and out["z"].n_ranks == 12
+    assert abs(out["u"].slope) < 1e-9 and out["u"].r2 == 1.0
+
+    whole = zipf_slope(df, group_col=None, top_r=12).collect()
+    assert len(whole) == 1 and whole[0].grp == "_all"
+
+
+def test_pretrain_clean_perplexity_gate(spark):
+    """CCNet-style LM gate: a doc the reference LM finds wildly
+    surprising is dropped; in-distribution docs survive; the gate
+    requires a fitted LM."""
+    from spark_timeseries_spark.pipeline.clean import pretrain_clean
+    from spark_timeseries_spark.pipeline.lm import train_bigram_lm
+
+    ref_text = ("the quick brown fox jumps over the lazy dog and the dog "
+                "sleeps near the quiet river bank in the warm sun all day")
+    ref = spark.createDataFrame(
+        [(i, ref_text) for i in range(4)], "doc_id long, text string"
+    )
+    lm = train_bigram_lm(ref)
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "zq xv qj wk vz jx kq zw vq xj plarg vonk trebu zilm"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(min_quality=0.0, rep_thresholds={"top2gram_char_ratio": 10.0})
+    kept = {r.doc_id for r in
+            pretrain_clean(df, max_perplexity=500.0, lm=lm, **kw).collect()}
+    assert kept == {0}
+    with pytest.raises(ValueError, match="needs a fitted lm"):
+        pretrain_clean(df, max_perplexity=500.0, **kw)
