@@ -397,3 +397,42 @@ def test_featurize_single_shuffle(spark):
     shuffles, _, p = _counts(featurize(docs))
     assert shuffles == 1, p
     assert "Window" not in p
+
+
+def test_zipf_slope_no_global_sort(spark):
+    """The per-stratum ranking is a window PARTITIONED by the group —
+    a hash exchange over the distinct-token counts table, never a
+    rangepartitioning (global sort); the regression is a plain closed-form
+    aggregate."""
+    from spark_timeseries_spark.pipeline.vocab import zipf_slope
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", "alpha beta gamma delta " * 3) for i in range(30)],
+        "doc_id long, source string, text string",
+    )
+    out = zipf_slope(docs, top_r=10)
+    p = _plan(out)
+    assert "Exchange rangepartitioning" not in p, p
+    assert re.search(r"Exchange hashpartitioning\(source", p), p
+
+
+def test_incremental_dedup_ships_digests_not_text(spark):
+    """The existing-corpus side of the anti-join must project ONLY the
+    digest column before its exchange — at 100 TB the old corpus's text
+    never moves; and the join is LeftAnti."""
+    from spark_timeseries_spark.pipeline.dedup import dedup_exact_incremental
+
+    old = spark.createDataFrame(
+        [(i, f"old doc {i}") for i in range(20)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(100 + i, f"new doc {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = dedup_exact_incremental(new, old)
+    p = _plan(out)
+    assert "LeftAnti" in p, p
+    # the old side's exchange carries the digest only: no text column in
+    # any anti-join-feeding exchange's output schema
+    for m in re.finditer(r"Exchange hashpartitioning\(_dig[^\n]*", p):
+        assert "text" not in m.group(0), m.group(0)
