@@ -1665,12 +1665,13 @@ def _q_dedup_lines(spark, sf_dir):
 
 def _q_containment_pairs(spark, sf_dir):
     """Asymmetric near-dup detection (Broder containment —
-    ``pipeline/dedup.py::containment_verify``): every 50th document gets
-    its predecessor's text appended, planting subset pairs Jaccard
-    misses; candidates come from the shingle inverted index (the
-    ``ngram_jaccard_pairs`` plan), then exact containment keeps pairs
-    where EITHER direction reaches 0.9."""
-    from spark_timeseries_spark.pipeline.dedup import containment_verify
+    ``pipeline/dedup.py::ngram_containment_pairs``): every 50th document
+    gets its predecessor's text appended, planting subset pairs Jaccard
+    misses; the intersection is a COUNT over the shingle inverted-index
+    self-join (the ``ngram_jaccard_pairs`` plan shape — no shingle-array
+    materialization per pair), keeping pairs where EITHER direction
+    reaches 0.9."""
+    from spark_timeseries_spark.pipeline.dedup import ngram_containment_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     pred = docs.select(
@@ -1687,18 +1688,7 @@ def _q_containment_pairs(spark, sf_dir):
         )
         .select("doc_id", "text")
     )
-    from spark_timeseries_spark.pipeline.dedup import shingle_sets
-
-    sets = shingle_sets(salted, shingle_n=3)
-    ex = sets.select("id", F.explode("sh").alias("s"))
-    cand = (
-        ex.alias("a")
-        .join(ex.alias("b"), "s")
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    out = containment_verify(salted, cand, shingle_n=3, threshold=0.9)
+    out = ngram_containment_pairs(salted, shingle_n=3, threshold=0.9)
     return out.select(
         "id_a",
         "id_b",
@@ -1858,8 +1848,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (e) five events-family r3 rows re-proving the from_observations
     ingest path after this round's align.py tiebreak parameter. Past the
     window: the 40 queries r4 just proved green (their rows are the
-    freshest in the file) and the remaining r3-green events family. All
-    111 are additionally validated locally by
+    freshest in the file) and the remaining r3-green events family; (e)
+    the four operators NEW this round (line dedup, containment,
+    incremental-ingest dedup, Zipf slope) slot in-window immediately,
+    displacing four events-family queries whose r3 rows stand. All 115
+    are additionally validated locally by
     ``tools/check_correctness.py`` (full log committed per round)."""
     return {
         # -- (a) must-prove: r4 red row, never-checked, semantics-moved,

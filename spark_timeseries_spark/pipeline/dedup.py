@@ -1118,3 +1118,51 @@ def minhash_cross_candidates(
         .select("id_new", "id_old")
         .distinct()
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+    sets: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus-wide containment pairs straight from the shingle inverted
+    index → (id_a, id_b, containment_a, containment_b, jaccard), keeping
+    pairs where EITHER direction reaches ``threshold``.
+
+    Unlike :func:`containment_verify` (which joins full shingle ARRAYS
+    onto an externally supplied candidate list — right when LSH has
+    already cut candidates to a sliver), this computes the intersection
+    as a COUNT over the inverted-index self-join: the pair stream carries
+    (id_a, id_b, 1)-shaped rows with map-side combine, never a
+    document's whole shingle set — the same plan shape as the n-gram
+    Jaccard pipeline, so corpus-wide scans stay narrow. Pair with
+    ``cap_bucket_size`` on the shingle key for corpora with viral
+    shingles."""
+    if sets is None:
+        sets = shingle_sets(df, text_col, id_col, shingle_n)
+    ex = sets.select("id", F.explode("sh").alias("_s"))
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), "_s")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").cast("double").alias("_i"))
+    )
+    sizes = sets.select("id", F.size("sh").alias("_n"))
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "_n": "_na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "_n": "_nb"}), "id_b")
+        .withColumn("containment_a", F.col("_i") / F.col("_na"))
+        .withColumn("containment_b", F.col("_i") / F.col("_nb"))
+        .withColumn(
+            "jaccard", F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i"))
+        )
+        .where(
+            (F.col("containment_a") >= float(threshold))
+            | (F.col("containment_b") >= float(threshold))
+        )
+        .select("id_a", "id_b", "containment_a", "containment_b", "jaccard")
+    )

@@ -1822,6 +1822,17 @@ def test_containment_verify_subset_detection(spark):
     kept = containment_verify(df, cand, shingle_n=3, threshold=0.9).collect()
     assert {(r.id_a, r.id_b) for r in kept} == {(0, 1)}
 
+    # the corpus-wide count-based variant agrees with the array-based
+    # verifier on every surviving pair (same algebra, no array join)
+    from spark_timeseries_spark.pipeline.dedup import ngram_containment_pairs
+
+    allp = {(r.id_a, r.id_b): r
+            for r in ngram_containment_pairs(df, shingle_n=3,
+                                             threshold=0.9).collect()}
+    assert set(allp) == {(0, 1)}
+    assert allp[(0, 1)].containment_a == 1.0
+    assert abs(allp[(0, 1)].jaccard - r01.jaccard) < 1e-12
+
 
 def test_incremental_dedup_exact_and_lsh(spark):
     """Incremental ingest: new docs whose digest exists in the old corpus
