@@ -1748,6 +1748,42 @@ def _q_zipf_slope(spark, sf_dir):
     )
 
 
+def _q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016 —
+    ``pipeline/bpe.py``): 8 merges learned over the corpus word-TYPE
+    table (one corpus scan; per merge one explode+groupBy over the
+    vocabulary-sized table and a single argmax row to the driver;
+    deterministic (count DESC, left, right) tie-break). The oracle
+    replays every iteration — pair counting, argmax, and the identical
+    leftmost-first fold via list_reduce — as unrolled CTEs."""
+    from spark_timeseries_spark.pipeline.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = bpe_train(docs, n_merges=8)
+    rows = [
+        (i + 1, a, b, c)
+        for i, ((a, b), c) in enumerate(zip(m.merges, m.pair_counts))
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, left_sym string, right_sym string, pair_count long"
+    )
+
+
+def _q_bpe_segment(spark, sf_dir):
+    """Corpus tokenization under the learned BPE model
+    (``pipeline/bpe.py::bpe_segment``): the 8-merge chain applied as
+    stacked let-bound fold expressions — row-local, zero shuffles, zero
+    Python. The oracle segments via the training replay's final word
+    table (word → merged symbols) joined back onto the document word
+    stream."""
+    from spark_timeseries_spark.pipeline.bpe import bpe_segment, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = bpe_train(docs, n_merges=8)
+    out = bpe_segment(docs, m)
+    return out.select("doc_id", "n_tokens")
+
+
 _MIXTURE_WEIGHTS = {"src0": 2.5, "src1": 0.25, "src2": 0.0, "src3": 1.75}
 
 
@@ -1849,10 +1885,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ingest path after this round's align.py tiebreak parameter. Past the
     window: the 40 queries r4 just proved green (their rows are the
     freshest in the file) and the remaining r3-green events family; (e)
-    the four operators NEW this round (line dedup, containment,
-    incremental-ingest dedup, Zipf slope) slot in-window immediately,
-    displacing four events-family queries whose r3 rows stand. All 115
-    are additionally validated locally by
+    the six operators NEW this round (line dedup, containment,
+    incremental-ingest dedup, Zipf slope, distributed BPE training +
+    segmentation) slot in-window immediately, displacing four
+    events-family queries and two model filters whose r3 rows stand.
+    All 117 are additionally validated locally by
     ``tools/check_correctness.py`` (full log committed per round)."""
     return {
         # -- (a) must-prove: r4 red row, never-checked, semantics-moved,
@@ -1897,8 +1934,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters_fit": _q_holt_winters_fit,
         "fill_spline": _q_fill_spline,
         "to_series_digest": _q_to_series_digest,
-        "arima_filter": _q_arima_filter,
-        "garch_filter": _q_garch_filter,
         "bg_test": _q_bg_test,
         "bp_test": _q_bp_test,
         "lb_test": _q_lb_test,
@@ -1912,6 +1947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment_pairs,
         "incremental_dedup": _q_incremental_dedup,
         "zipf_slope": _q_zipf_slope,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_segment": _q_bpe_segment,
         # -- (f) events-family r3 row: re-prove the ingest path after the
         #        align.py duplicate-stamp tiebreak parameter ----------------
         "series_stats": _q_series_stats,
@@ -1921,6 +1958,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_previous": _q_fill_previous,
         "fill_linear": _q_fill_linear,
         "differences": _q_differences,
+        # model-filter pair displaced by the BPE queries: r3-green rows
+        # stand, models/fit.py untouched beyond the alias table this round
+        "arima_filter": _q_arima_filter,
+        "garch_filter": _q_garch_filter,
         "return_rates": _q_return_rates,
         "roll_mean": _q_roll_mean,
         "remove_instants_with_nans": _q_remove_instants_with_nans,
@@ -4663,6 +4704,81 @@ def oracle_sql() -> dict[str, str]:
                END AS r2,
                CAST(n_ranks AS BIGINT) AS n_ranks
         FROM m
+    """
+
+    # BPE training replay: per merge, pair counting over the word-type
+    # table, deterministic argmax, and the identical leftmost-first fold
+    # (list_reduce folds from the first element exactly like the Spark
+    # F.aggregate(slice(syms,2,...), syms[0], step) expression)
+    def _bpe_sql(n: int) -> str:
+        parts = [r"""
+        WITH w0 AS (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   list_filter(string_split(word, ''),
+                               x -> x <> '' AND x <> chr(31))
+                       || ['</w>'] AS syms
+            FROM (SELECT unnest(string_split_regex(trim(lower(text)),
+                                                   '\s+')) AS word
+                  FROM documents)
+            WHERE word <> ''
+            GROUP BY 1
+        )"""]
+        for k in range(1, n + 1):
+            prev = f"w{k - 1}"
+            parts.append(f""",
+        p{k} AS (
+            SELECT syms[i] AS l, syms[i+1] AS r, SUM(cnt) AS pcnt
+            FROM {prev}, unnest(range(1, len(syms))) AS u(i)
+            GROUP BY 1, 2
+        ),
+        m{k} AS (
+            SELECT l, r, CAST(pcnt AS BIGINT) AS pcnt
+            FROM p{k} ORDER BY pcnt DESC, l ASC, r ASC LIMIT 1
+        ),
+        w{k} AS (
+            SELECT word, cnt,
+                   CASE WHEN len(syms) < 2 THEN syms
+                        ELSE string_split(
+                            list_reduce(syms, (acc, x) -> CASE
+                                WHEN acc = m.l AND x = m.r THEN m.l || m.r
+                                WHEN ends_with(acc, chr(31) || m.l)
+                                     AND x = m.r
+                                    THEN substr(acc, 1,
+                                         length(acc) - length(m.l) - 1)
+                                         || chr(31) || m.l || m.r
+                                ELSE acc || chr(31) || x END),
+                            chr(31))
+                   END AS syms
+            FROM {prev}, m{k} m
+        )""")
+        return "".join(parts)
+
+    _BPE_N = 8
+    _bpe_ranks = " UNION ALL ".join(
+        f"SELECT {k} AS rank, l AS left_sym, r AS right_sym, "
+        f"pcnt AS pair_count FROM m{k}"
+        for k in range(1, _BPE_N + 1)
+    )
+    o["bpe_merges"] = _bpe_sql(_BPE_N) + f"""
+        SELECT CAST(rank AS INT) AS rank, left_sym, right_sym, pair_count
+        FROM ({_bpe_ranks}) ORDER BY rank
+    """
+    o["bpe_segment"] = _bpe_sql(_BPE_N) + f""",
+        docw AS (
+            SELECT doc_id, word FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS word
+                FROM documents)
+            WHERE word <> ''
+        ),
+        per AS (
+            SELECT d.doc_id, SUM(len(w.syms)) AS n
+            FROM docw d JOIN w{_BPE_N} w USING (word)
+            GROUP BY 1
+        )
+        SELECT doc.doc_id, CAST(COALESCE(per.n, 0) AS INT) AS n_tokens
+        FROM documents doc LEFT JOIN per ON per.doc_id = doc.doc_id
     """
 
     # k-means replay: Lloyd's iterations unrolled as CTE chains — c0 is the

@@ -1,0 +1,222 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016, "Neural
+Machine Translation of Rare Words with Subword Units").
+
+The classic algorithm: represent each word as a symbol sequence
+(characters + an end-of-word marker), repeatedly find the most frequent
+adjacent symbol PAIR across the corpus (weighted by word frequency) and
+merge it into a new symbol. The learned merge list IS the tokenizer.
+
+Scale shape (100 TB): the corpus is scanned ONCE to build the word-TYPE
+table (distinct word, count) — everything after runs on that table, which
+is orders of magnitude smaller (vocabulary-sized, not corpus-sized) and is
+re-checkpointed between merges so the plan never deepens past a bounded
+window. Per merge: one explode of adjacent pairs + one partially-aggregated
+groupBy, and exactly ONE row (the argmax pair) crosses to the driver — the
+same bounded-driver-transfer pattern as the Lloyd loop in
+:mod:`clustering`. Merge application is a row-local left-fold column
+expression (``F.aggregate``), zero shuffles, zero Python at row time.
+
+Determinism: pair selection tie-breaks on (count DESC, left, right); the
+fold applies merges leftmost-first — exactly reproducible in DuckDB via
+``list_reduce`` (which also folds from the first element), so the whole
+training loop is oracle-replayable.
+
+The fold encodes the symbol sequence as a sentinel-joined string while
+accumulating (SQL folds accumulate a scalar, not a list). ``SEP`` is
+ASCII unit-separator; input symbols containing it would corrupt the
+encoding, so :func:`_word_symbols` filters it out of the alphabet.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["BPEModel", "bpe_train", "bpe_segment", "word_type_table"]
+
+#: end-of-word marker appended to every word's symbol sequence
+EOW = "</w>"
+#: fold sentinel — ASCII unit separator, filtered from the input alphabet
+SEP = "\x1f"
+
+
+@dataclass
+class BPEModel:
+    """Ordered merge list; ``merges[i] = (left, right)`` applied i-th."""
+
+    merges: list[tuple[str, str]] = field(default_factory=list)
+    pair_counts: list[int] = field(default_factory=list)
+
+    @property
+    def vocab(self) -> set[str]:
+        out = {a + b for a, b in self.merges}
+        for a, b in self.merges:
+            out.add(a)
+            out.add(b)
+        return out
+
+
+def _word_symbols(word: Column) -> Column:
+    """Initial symbol sequence: characters + EOW, sentinel filtered."""
+    chars = F.filter(
+        F.split(word, ""), lambda c: (c != F.lit("")) & (c != F.lit(SEP))
+    )
+    return F.concat(chars, F.array(F.lit(EOW)))
+
+
+def word_type_table(
+    df: DataFrame, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """(word, cnt, syms ARRAY<STRING>) — the distinct-word table BPE
+    iterates on. One corpus scan, one groupBy with map-side combine."""
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    words = df.select(F.explode(F.split(F.trim(t), r"\s+")).alias("word")).where(
+        F.col("word") != ""
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("syms", _word_symbols(F.col("word")))
+    )
+
+
+def merge_fold_expr(syms: Column, a: str, b: str) -> Column:
+    """Apply one merge (a, b) → a+b to a symbol array, leftmost-first, as
+    a pure column expression: left-fold into a SEP-joined string (init =
+    first element, mirroring DuckDB's ``list_reduce``), then split back.
+    Words shorter than 2 symbols pass through.
+
+    The input is ``let``-bound: this expression references its argument
+    several times, so CHAINED merges (``bpe_segment`` stacks one layer
+    per learned merge) would otherwise duplicate the whole preceding
+    tree at every layer — the exponential expression blow-up measured as
+    an analyzer OOM at 6 layers."""
+    from spark_timeseries_spark.functions import let
+
+    sa, sb, sab = F.lit(a), F.lit(b), F.lit(a + b)
+    sep = F.lit(SEP)
+
+    def step(acc, x):
+        whole = (acc == sa) & (x == sb)
+        tail = F.endswith(acc, F.concat(sep, sa)) & (x == sb)
+        cut = acc.substr(F.lit(1), F.length(acc) - F.length(sa) - 1)
+        return (
+            F.when(whole, sab)
+            .when(tail, F.concat(cut, sep, sab))
+            .otherwise(F.concat(acc, sep, x))
+        )
+
+    def apply_one(s):
+        folded = F.aggregate(
+            F.slice(s, 2, F.greatest(F.size(s) - 1, F.lit(0))),
+            s[0],
+            step,
+        )
+        return F.when(F.size(s) < 2, s).otherwise(F.split(folded, SEP))
+
+    return let(syms, apply_one)
+
+
+def _pair_counts(types_df: DataFrame) -> DataFrame:
+    """(left, right, cnt): adjacent-pair frequencies weighted by word
+    count — one explode + one partially-aggregated groupBy over the
+    word-TYPE table only."""
+    # guard: Spark's sequence(1, 0) generates DESCENDING [1, 0] — a fully
+    # merged single-symbol word must contribute no pairs, not a bogus one
+    idx = F.when(
+        F.size("syms") >= 2, F.sequence(F.lit(1), F.size("syms") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = types_df.select(
+        "cnt",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.col("syms")[i - 1].alias("l"), F.col("syms")[i].alias("r")
+                ),
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .agg(F.sum("cnt").alias("pcnt"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 50,
+    text_col: str = "text",
+    lowercase: bool = True,
+    checkpoint_every: int = 8,
+) -> BPEModel:
+    """Learn ``n_merges`` BPE merges from the corpus. Driver traffic is
+    one (left, right, count) row per merge; the word-type table is
+    localCheckpoint'ed every ``checkpoint_every`` merges so the fold
+    expressions never stack past a bounded depth (each merge adds one
+    fold+split layer; unbounded stacking is a codegen/analysis blow-up,
+    the same lineage-truncation pattern as ``connected_components``).
+    Stops early when no adjacent pair is left (fully merged corpus)."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    types_df = word_type_table(df, text_col, lowercase).localCheckpoint(
+        eager=True
+    )
+    model = BPEModel()
+    since_ckpt = 0
+    for _ in range(int(n_merges)):
+        top = (
+            _pair_counts(types_df)
+            .orderBy(F.desc("pcnt"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0].left, top[0].right, top[0].pcnt
+        model.merges.append((a, b))
+        model.pair_counts.append(int(cnt))
+        types_df = types_df.withColumn(
+            "syms", merge_fold_expr(F.col("syms"), a, b)
+        )
+        since_ckpt += 1
+        if since_ckpt >= checkpoint_every:
+            types_df = types_df.localCheckpoint(eager=True)
+            since_ckpt = 0
+    return model
+
+
+def bpe_segment(
+    df: DataFrame,
+    model: BPEModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Tokenize documents with the learned merges → (id, tokens
+    ARRAY<STRING>, n_tokens). Row-local: per word, the full merge chain
+    is applied as stacked fold expressions — zero shuffles, zero Python.
+    Apply to small merge lists directly; for production-sized lists
+    (10k+) segment via the standard rank-greedy local algorithm inside a
+    pandas UDF instead (the fold chain is linear in merge count)."""
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != F.lit(""))
+
+    def segment_word(w):
+        syms = _word_symbols(w)
+        for a, b in model.merges:
+            syms = merge_fold_expr(syms, a, b)
+        return syms
+
+    toks = F.flatten(F.transform(words, segment_word))
+    return df.select(
+        F.col(id_col),
+        toks.alias("tokens"),
+        F.size(toks).alias("n_tokens"),
+    )

@@ -1927,3 +1927,54 @@ def test_pretrain_clean_perplexity_gate(spark):
     assert kept == {0}
     with pytest.raises(ValueError, match="needs a fitted lm"):
         pretrain_clean(df, max_perplexity=500.0, **kw)
+
+
+def test_bpe_train_classic_corpus(spark):
+    """Sennrich et al. 2016's toy corpus: the learned merges are the
+    textbook sequence (es, est, est</w>, lo, low), counts match the
+    hand-computed pair frequencies, ties break deterministically, and
+    segmentation with the learned merges reproduces the expected
+    subwords. Early-stop: a corpus that fully merges stops before
+    n_merges."""
+    from spark_timeseries_spark.pipeline.bpe import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
+                    + ["widest"] * 3)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    m = bpe_train(df, n_merges=5)
+    assert m.merges == [("e", "s"), ("es", "t"), ("est", "</w>"),
+                        ("l", "o"), ("lo", "w")]
+    assert m.pair_counts == [9, 9, 9, 7, 7]
+
+    seg = {r.doc_id: r for r in bpe_segment(df, m).collect()}[0]
+    toks = seg.tokens
+    # 'newest' -> n e w est</w>; 'low' -> low </w>; 'lower' -> low e r </w>
+    assert toks[:2] == ["low", "</w>"]
+    i = toks.index("n")
+    assert toks[i:i + 4] == ["n", "e", "w", "est</w>"]
+    assert seg.n_tokens == len(toks)
+
+    tiny = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
+    mt = bpe_train(tiny, n_merges=50)
+    # a+b, ab+</w> — then the word is one symbol, no pairs remain
+    assert mt.merges == [("a", "b"), ("ab", "</w>")]
+
+
+def test_bpe_merge_fold_leftmost_first(spark):
+    """The fold applies a merge leftmost-first over overlaps (aaa with
+    merge (a,a) -> [aa, a]) and single-symbol arrays pass through —
+    pinned because the DuckDB oracle replays the identical fold."""
+    from pyspark.sql import functions as F
+
+    from spark_timeseries_spark.pipeline.bpe import merge_fold_expr
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["x"],), (["a", "b", "a", "a"],)],
+        "syms array<string>",
+    )
+    out = [r.m for r in df.select(
+        merge_fold_expr(F.col("syms"), "a", "a").alias("m")).collect()]
+    assert out == [["aa", "a"], ["x"], ["a", "b", "aa"]]
