@@ -1,12 +1,14 @@
 from .bucketed import load_observations_bucketed, save_observations_bucketed
-from .io import TABLES, events_observations, load_table
+from .io import TABLES, events_observations, load_jsonl, load_table, save_jsonl
 from .yahoo import read_yahoo_observations
 
 __all__ = [
     "TABLES",
     "events_observations",
     "load_observations_bucketed",
+    "load_jsonl",
     "load_table",
+    "save_jsonl",
     "read_yahoo_observations",
     "save_observations_bucketed",
 ]

@@ -89,3 +89,31 @@ def events_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         F.col("user_id").cast("string").alias("key"), "ts", "value"
     )
+
+
+def save_jsonl(
+    df: DataFrame, path: str, compression: str | None = "gzip", mode: str = "error"
+) -> None:
+    """Write a table as JSON-Lines — the interchange format most text
+    corpora arrive in. One JSON object per line, partition-parallel;
+    gzip by default (JSONL compresses ~10×, and Spark splits the READ by
+    file, so writers should emit many moderate files — the upstream
+    partitioning controls that, as usual)."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def load_jsonl(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """Read a JSONL corpus. ALWAYS pass ``schema`` at scale: without one
+    Spark runs a full inference pass over the data before the real scan —
+    a silent double read of a 100 TB corpus. Malformed lines surface in
+    the standard ``_corrupt_record`` column (PERMISSIVE mode) rather than
+    failing the job; filter or count them explicitly."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)

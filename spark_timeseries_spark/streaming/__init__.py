@@ -3,6 +3,7 @@ from .observations import (
     read_observations_stream,
     streaming_dedup_exact,
     streaming_ewma,
+    streaming_incremental_dedup,
     streaming_resample,
     streaming_token_stats,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "read_observations_stream",
     "streaming_dedup_exact",
     "streaming_ewma",
+    "streaming_incremental_dedup",
     "streaming_resample",
     "streaming_token_stats",
 ]

@@ -190,3 +190,41 @@ def streaming_token_stats(
             "docs", "total_tokens", "total_chars",
         )
     )
+
+
+def streaming_incremental_dedup(
+    stream: DataFrame,
+    existing_digests: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Streaming incremental-ingest dedup: drop arriving documents whose
+    content digest already exists in a STATIC corpus snapshot, then
+    dedup the stream itself (the streaming counterpart of
+    ``pipeline.dedup.dedup_exact_incremental``).
+
+    The corpus side is a static frame of digests — Structured Streaming
+    plans the stream-static LEFT ANTI join natively, re-reading (or
+    caching) only the one-column digest table per micro-batch; the old
+    corpus's text never moves. ``existing_digests`` may be either a
+    frame already carrying a ``_dig`` column (e.g. a persisted digest
+    table — the build-once artifact at corpus scale) or raw documents
+    with ``text_col``, digested here with the same normalization. The
+    in-stream dedup is the state-store-backed ``dropDuplicates`` on the
+    digest, exactly as :func:`streaming_dedup_exact`."""
+    from spark_timeseries_spark.pipeline.dedup import content_digest
+
+    if existing_digests.isStreaming:
+        raise ValueError("existing_digests must be a STATIC frame")
+    if "_dig" not in existing_digests.columns:
+        existing_digests = existing_digests.select(
+            content_digest(F.col(text_col), normalize).alias("_dig")
+        )
+    old = existing_digests.select("_dig").distinct()
+    out = (
+        stream.withColumn("_dig", content_digest(F.col(text_col), normalize))
+        .join(old, "_dig", "left_anti")
+        .dropDuplicates(["_dig"])
+    )
+    return out.drop("_dig")

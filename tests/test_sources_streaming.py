@@ -482,3 +482,69 @@ def test_streaming_ewma_order_guard_and_null_seed(spark, tmp_path):
     assert math.isclose(
         rows[("b", t0 + datetime.timedelta(minutes=2))], 0.5 * 20 + 0.5 * 10
     )
+
+
+def test_streaming_incremental_dedup(spark, tmp_path):
+    """Stream-static incremental dedup: arriving docs whose digest exists
+    in the static corpus snapshot are dropped (whitespace/case variants
+    included), in-stream duplicates collapse via the state store across
+    micro-batches, and genuinely new docs pass."""
+    from spark_timeseries_spark.streaming import (
+        read_documents_stream,
+        streaming_incremental_dedup,
+    )
+
+    schema = "doc_id long, source string, lang string, text string"
+    corpus = spark.createDataFrame(
+        [(0, "web", "en", "alpha beta"), (1, "web", "en", "gamma delta")],
+        schema,
+    )
+    src = str(tmp_path / "inc_stream")
+    os.makedirs(src)
+    b1 = [(10, "web", "en", "ALPHA  beta"),   # normalized dup of corpus 0
+          (11, "web", "en", "epsilon zeta"),  # new
+          (12, "web", "en", "epsilon  zeta")] # in-batch dup of 11
+    spark.createDataFrame(b1, schema).write.parquet(src + "/b1")
+
+    stream = read_documents_stream(spark, src + "/*")
+    out = streaming_incremental_dedup(stream, corpus)
+    q = (out.writeStream.format("memory").queryName("inc1")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select doc_id from inc1").toPandas()
+    assert len(got) == 1 and set(got.doc_id) <= {11, 12}
+
+    # next micro-batch: a repeat of the stream's own earlier doc + one new
+    b2 = [(13, "web", "en", "epsilon zeta"), (14, "web", "en", "eta theta")]
+    spark.createDataFrame(b2, schema).write.parquet(src + "/b2")
+    q2 = (out.writeStream.format("memory").queryName("inc2")
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    got2 = spark.sql("select doc_id from inc2").toPandas()
+    # replay over both files: corpus dups gone, one row per novel digest
+    assert len(got2) == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="STATIC"):
+        streaming_incremental_dedup(stream, stream)
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    """JSONL save/load round-trips the documents table bit-exactly with
+    an explicit schema (no inference scan) and gzip compression."""
+    from spark_timeseries_spark.sources import (
+        load_jsonl,
+        load_table,
+        save_jsonl,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_jsonl")
+    save_jsonl(docs, path)
+    back = load_jsonl(spark, path, schema=docs.schema)
+    a = sorted((r.doc_id, r.text) for r in docs.collect())
+    b = sorted((r.doc_id, r.text) for r in back.collect())
+    assert a == b
+    import glob
+    assert glob.glob(path + "/*.gz")  # compressed parts
