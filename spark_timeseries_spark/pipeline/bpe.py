@@ -196,27 +196,80 @@ def bpe_segment(
     text_col: str = "text",
     id_col: str = "doc_id",
     lowercase: bool = True,
+    method: str = "join",
 ) -> DataFrame:
     """Tokenize documents with the learned merges → (id, tokens
-    ARRAY<STRING>, n_tokens). Row-local: per word, the full merge chain
-    is applied as stacked fold expressions — zero shuffles, zero Python.
-    Apply to small merge lists directly; for production-sized lists
-    (10k+) segment via the standard rank-greedy local algorithm inside a
-    pandas UDF instead (the fold chain is linear in merge count)."""
+    ARRAY<STRING>, n_tokens).
+
+    ``method="join"`` (default, the scale path): the merge chain is
+    folded ONCE over the distinct-word table (vocabulary-sized — the
+    fold cost divides by average word frequency), then the per-position
+    doc word stream joins the word→subwords lookup and re-assembles in
+    order. Two well-keyed shuffles, and the interpreted-HOF fold never
+    touches a word twice — this is the standard segmenter word-cache,
+    distributed. Measured 9 s → well under a second of fold work at
+    sf0.1 versus folding per occurrence.
+
+    ``method="fold"``: row-local stacked fold expressions per occurrence
+    — zero shuffles, linear in merge count, no join; right for tiny
+    merge lists or when the extra exchanges matter more than CPU."""
     t = F.col(text_col)
     if lowercase:
         t = F.lower(t)
-    words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != F.lit(""))
+    if method == "fold":
+        words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != F.lit(""))
 
-    def segment_word(w):
-        syms = _word_symbols(w)
-        for a, b in model.merges:
-            syms = merge_fold_expr(syms, a, b)
-        return syms
+        def segment_word(w):
+            syms = _word_symbols(w)
+            for a, b in model.merges:
+                syms = merge_fold_expr(syms, a, b)
+            return syms
 
-    toks = F.flatten(F.transform(words, segment_word))
-    return df.select(
+        toks = F.flatten(F.transform(words, segment_word))
+        return df.select(
+            F.col(id_col),
+            toks.alias("tokens"),
+            F.size(toks).alias("n_tokens"),
+        )
+    if method != "join":
+        raise ValueError(f"method must be 'join' or 'fold', got {method!r}")
+    occ = df.select(
         F.col(id_col),
-        toks.alias("tokens"),
-        F.size(toks).alias("n_tokens"),
+        F.posexplode(
+            F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != F.lit(""))
+        ).alias("_pos", "word"),
+    )
+    types_df = occ.select("word").distinct().withColumn(
+        "syms", _word_symbols(F.col("word"))
+    )
+    for a, b in model.merges:
+        types_df = types_df.withColumn(
+            "syms", merge_fold_expr(F.col("syms"), a, b)
+        )
+    joined = occ.join(types_df, "word")
+    out = (
+        joined.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "syms"))
+                    ),
+                    lambda s: s["syms"],
+                )
+            ).alias("tokens")
+        )
+        .withColumn("n_tokens", F.size("tokens"))
+    )
+    # blank documents have no word occurrences — anchor on the corpus
+    return (
+        df.select(id_col)
+        .join(out, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("tokens", F.array().cast("array<string>")).alias(
+                "tokens"
+            ),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        )
     )

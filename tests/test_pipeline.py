@@ -1949,13 +1949,15 @@ def test_bpe_train_classic_corpus(spark):
                         ("l", "o"), ("lo", "w")]
     assert m.pair_counts == [9, 9, 9, 7, 7]
 
-    seg = {r.doc_id: r for r in bpe_segment(df, m).collect()}[0]
-    toks = seg.tokens
-    # 'newest' -> n e w est</w>; 'low' -> low </w>; 'lower' -> low e r </w>
-    assert toks[:2] == ["low", "</w>"]
-    i = toks.index("n")
-    assert toks[i:i + 4] == ["n", "e", "w", "est</w>"]
-    assert seg.n_tokens == len(toks)
+    for method in ("join", "fold"):
+        seg = {r.doc_id: r
+               for r in bpe_segment(df, m, method=method).collect()}[0]
+        toks = seg.tokens
+        # 'newest' -> n e w est</w>; 'low' -> low </w>
+        assert toks[:2] == ["low", "</w>"], method
+        i = toks.index("n")
+        assert toks[i:i + 4] == ["n", "e", "w", "est</w>"], method
+        assert seg.n_tokens == len(toks)
 
     tiny = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
     mt = bpe_train(tiny, n_merges=50)
