@@ -83,3 +83,20 @@ def load_logreg(path: str):
         bias=float(d["bias"]),
         n_iter=int(d["n_iter"]),
     )
+
+
+def save_bpe(model, path: str) -> None:
+    _write(path, "bpe", {
+        "merges": [list(m) for m in model.merges],
+        "pair_counts": model.pair_counts,
+    })
+
+
+def load_bpe(path: str):
+    from spark_timeseries_spark.pipeline.bpe import BPEModel
+
+    d = _read(path, "bpe")
+    return BPEModel(
+        merges=[tuple(m) for m in d["merges"]],
+        pair_counts=[int(c) for c in d["pair_counts"]],
+    )

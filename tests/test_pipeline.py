@@ -1400,6 +1400,13 @@ def test_model_persistence_roundtrips(spark, vectors, tmp_path):
     with pytest.raises(ValueError):
         mio.load_pq(str(tmp_path / "km.json"))
 
+    from spark_timeseries_spark.pipeline.bpe import BPEModel
+
+    bm = BPEModel(merges=[("e", "s"), ("es", "t")], pair_counts=[9, 9])
+    mio.save_bpe(bm, str(tmp_path / "bpe.json"))
+    bm2 = mio.load_bpe(str(tmp_path / "bpe.json"))
+    assert bm2.merges == bm.merges and bm2.pair_counts == bm.pair_counts
+
 
 def test_dedup_paragraphs_keep_first(spark):
     """Corpus-wide paragraph dedup: a repeated paragraph survives only at
