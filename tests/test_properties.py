@@ -255,3 +255,86 @@ def test_dedup_paragraphs_matches_python_reference(spark, docs):
                 kept.append(p)
         expected[i] = ("\n\n".join(kept), len(ps), len(ps) - len(kept))
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "c", "ab"]), min_size=1,
+                  max_size=12),
+    pair=st.sampled_from([("a", "b"), ("a", "a"), ("b", "c"), ("ab", "c")]),
+)
+def test_bpe_merge_fold_matches_python_reference(spark, syms, pair):
+    """merge_fold_expr == the leftmost-first single-pass greedy merge (the
+    classic BPE merge semantics): after a merge the new symbol does NOT
+    immediately re-merge with the following symbol in the same pass."""
+    from spark_timeseries_spark.pipeline.bpe import merge_fold_expr
+
+    a, b = pair
+
+    def py_fold(xs):
+        out = []
+        just_merged = False
+        for x in xs:
+            if out and not just_merged and out[-1] == a and x == b:
+                out[-1] = a + b
+                just_merged = True
+            else:
+                out.append(x)
+                just_merged = False
+        return out
+
+    df = spark.createDataFrame([(syms,)], "syms array<string>")
+    got = df.select(merge_fold_expr(F.col("syms"), a, b).alias("m")).first().m
+    assert got == py_fold(syms), (syms, pair, got)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["red line", "blue line", "green line",
+                                  "unique %d"]), min_size=0, max_size=5),
+        min_size=1, max_size=6,
+    ),
+    min_docs=st.integers(2, 3),
+    keep_first=st.booleans(),
+)
+def test_dedup_lines_matches_python_reference(spark, docs, min_docs,
+                                              keep_first):
+    """dedup_lines == brute-force python: a line in >= min_docs distinct
+    docs keeps only its corpus-first occurrence (or none), others keep
+    every occurrence."""
+    from spark_timeseries_spark.pipeline.dedup import dedup_lines
+
+    texts = []
+    for i, lines in enumerate(docs):
+        texts.append((i, "\n".join(
+            ln % i if "%d" in ln else ln for ln in lines)))
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+
+    # python reference
+    occ = []
+    for i, text in texts:
+        for j, ln in enumerate(
+                s.strip() for s in text.split("\n") if s.strip()):
+            occ.append((i, j, ln))
+    from collections import defaultdict
+    by_line = defaultdict(set)
+    for i, j, ln in occ:
+        by_line[ln].add(i)
+    firsts = {}
+    for i, j, ln in sorted(occ):
+        firsts.setdefault(ln, (i, j))
+    want = {}
+    for i, text in texts:
+        kept = []
+        for j, ln in enumerate(
+                s.strip() for s in text.split("\n") if s.strip()):
+            dup = len(by_line[ln]) >= min_docs
+            if not dup or (keep_first and firsts[ln] == (i, j)):
+                kept.append(ln)
+        want[i] = "\n".join(kept)
+
+    got = {r.doc_id: r.text for r in
+           dedup_lines(df, min_docs=min_docs, keep_first=keep_first)
+           .collect()}
+    assert got == want, (texts, min_docs, keep_first)
