@@ -4697,9 +4697,13 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY 1
         )
         SELECT source,
-               {_sr_sql("sxy / sxx", 6)} AS slope,
-               {_sr_sql("my - (sxy / sxx) * mx", 6)} AS intercept,
-               CASE WHEN syy = 0 THEN 1.0
+               CASE WHEN sxx = 0 THEN NULL
+                    ELSE {_sr_sql("sxy / sxx", 6)} END AS slope,
+               CASE WHEN sxx = 0 THEN NULL
+                    ELSE {_sr_sql("my - (sxy / sxx) * mx", 6)} END
+                   AS intercept,
+               CASE WHEN sxx = 0 THEN NULL
+                    WHEN syy = 0 THEN 1.0
                     ELSE {_sr_sql("sxy * sxy / (sxx * syy)", 6)}
                END AS r2,
                CAST(n_ranks AS BIGINT) AS n_ranks

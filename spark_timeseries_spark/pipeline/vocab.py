@@ -176,12 +176,18 @@ def zipf_slope(
         F.avg("x").alias("_mx"),
         F.avg("y").alias("_my"),
     )
-    slope = F.col("_sxy") / F.col("_sxx")
+    # degenerate strata (a single rank → zero x-variance) yield NULL, not
+    # NaN: Spark's 0.0/0.0 is NaN while SQL engines return NULL — emit
+    # NULL explicitly so the semantics are engine-independent
+    slope = F.when(F.col("_sxx") == 0, F.lit(None)).otherwise(
+        F.col("_sxy") / F.col("_sxx")
+    )
     return m.select(
         F.col(gc).alias(group_col if group_col else "grp"),
         slope.alias("slope"),
         (F.col("_my") - slope * F.col("_mx")).alias("intercept"),
-        F.when(F.col("_syy") == 0, F.lit(1.0))
+        F.when(F.col("_sxx") == 0, F.lit(None))
+        .when(F.col("_syy") == 0, F.lit(1.0))
         .otherwise(F.col("_sxy") * F.col("_sxy") / (F.col("_sxx") * F.col("_syy")))
         .alias("r2"),
         "n_ranks",

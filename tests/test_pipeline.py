@@ -1987,3 +1987,21 @@ def test_bpe_merge_fold_leftmost_first(spark):
     out = [r.m for r in df.select(
         merge_fold_expr(F.col("syms"), "a", "a").alias("m")).collect()]
     assert out == [["aa", "a"], ["x"], ["a", "b", "aa"]]
+
+
+def test_zipf_slope_degenerate_stratum_is_null(spark):
+    """A single-rank stratum (zero x-variance) yields NULL slope /
+    intercept / r2 — not the NaN Spark's 0/0 would produce (SQL engines
+    return NULL for the same algebra; the oracle comparison pins the
+    engine-independent convention)."""
+    from spark_timeseries_spark.pipeline.vocab import zipf_slope
+
+    df = spark.createDataFrame(
+        [("one", "solo solo solo"), ("many", "a a a b b c")],
+        "source string, text string",
+    )
+    out = {r.source: r for r in zipf_slope(df, top_r=10).collect()}
+    assert out["one"].slope is None
+    assert out["one"].intercept is None and out["one"].r2 is None
+    assert out["one"].n_ranks == 1
+    assert out["many"].slope is not None
