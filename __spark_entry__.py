@@ -1748,6 +1748,67 @@ def _q_zipf_slope(spark, sf_dir):
     )
 
 
+def _q_roll_std(spark, sf_dir):
+    """Rolling sample standard deviation (beyond-reference member of the
+    ``roll_agg`` family — ``operators/rolling.py``): 5-wide right-aligned
+    window, incomplete windows trimmed, windows containing a missing
+    cell yield NULL (the reference's NaN-propagation kernel semantics)."""
+    grid = _daily_grid(spark, sf_dir)
+    out = rolling.roll_std(grid, 5, "right")
+    return out.select(
+        "key", "loc", "ts", _stable_round(F.col("value"), 6).alias("value")
+    )
+
+
+def _q_crosscorr(spark, sf_dir):
+    """Cross-correlation between two conformed series
+    (``operators/rolling.py::crosscorr`` — the two-series companion of
+    the reference's autocorr, same per-overlap Pearson convention):
+    lags 0..7 of user 1 against user 2 on the daily grid."""
+    out = rolling.crosscorr(_daily_grid(spark, sf_dir), "1", "2", 7)
+    return out.select("lag", _stable_round(F.col("ccf"), 6).alias("ccf"))
+
+
+def _q_lm3_perplexity(spark, sf_dir):
+    """Interpolated trigram LM scoring (Jelinek-Mercer over add-1
+    layers — ``pipeline/lm.py::train_trigram_lm/score_perplexity_trigram``):
+    trained on the lang='en' reference slice, scores every document with
+    ≥3 tokens; five broadcast joins + one per-doc aggregation. The
+    oracle replays all three count layers and the interpolation algebra."""
+    from spark_timeseries_spark.pipeline.lm import (
+        score_perplexity_trigram,
+        train_trigram_lm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = train_trigram_lm(docs.where(F.col("lang") == "en"))
+    out = score_perplexity_trigram(docs, lm, k=1.0, lambdas=(0.6, 0.3, 0.1))
+    return out.select(
+        "doc_id",
+        "n_trigrams",
+        _stable_round(F.col("cross_entropy"), 6).alias("cross_entropy"),
+    )
+
+
+def _q_corpus_stats(spark, sf_dir):
+    """Per-source corpus profile (``pipeline/vocab.py::corpus_stats``):
+    doc counts, token totals, DISTINCT token counts and mean document
+    length in one scan. ``approx=False`` here so the DuckDB oracle can
+    match exactly; the library default is the HLL sketch (the exact
+    distinct's (group, token) de-dup shuffle is the 100 TB trap)."""
+    from spark_timeseries_spark.pipeline.vocab import corpus_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = corpus_stats(docs, group_col="source", approx=False)
+    return out.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "distinct_tokens",
+        _stable_round(F.col("avg_doc_tokens"), 6).alias("avg_doc_tokens"),
+    )
+
+
 def _q_bpe_merges(spark, sf_dir):
     """Distributed BPE tokenizer training (Sennrich et al. 2016 —
     ``pipeline/bpe.py``): 8 merges learned over the corpus word-TYPE
@@ -1885,11 +1946,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ingest path after this round's align.py tiebreak parameter. Past the
     window: the 40 queries r4 just proved green (their rows are the
     freshest in the file) and the remaining r3-green events family; (e)
-    the six operators NEW this round (line dedup, containment,
+    the ten operators NEW this round (line dedup, containment,
     incremental-ingest dedup, Zipf slope, distributed BPE training +
-    segmentation) slot in-window immediately, displacing four
-    events-family queries and two model filters whose r3 rows stand.
-    All 117 are additionally validated locally by
+    segmentation, rolling std, cross-correlation, interpolated trigram
+    LM, per-source corpus stats) slot in-window immediately, displacing
+    four events-family queries, two model filters and four r3-green
+    stats rows. All 121 are additionally validated locally by
     ``tools/check_correctness.py`` (full log committed per round)."""
     return {
         # -- (a) must-prove: r4 red row, never-checked, semantics-moved,
@@ -1934,10 +1996,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters_fit": _q_holt_winters_fit,
         "fill_spline": _q_fill_spline,
         "to_series_digest": _q_to_series_digest,
-        "bg_test": _q_bg_test,
-        "bp_test": _q_bp_test,
-        "lb_test": _q_lb_test,
-        "business_days": _q_business_days,
         "to_observations": _q_to_observations,
         "roll_sum_center": _q_roll_sum_center,
         # -- (e) NEW round-5 operators, in-window immediately (no driver
@@ -1949,6 +2007,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_slope": _q_zipf_slope,
         "bpe_merges": _q_bpe_merges,
         "bpe_segment": _q_bpe_segment,
+        "roll_std": _q_roll_std,
+        "crosscorr": _q_crosscorr,
+        "lm3_perplexity": _q_lm3_perplexity,
+        "corpus_stats": _q_corpus_stats,
         # -- (f) events-family r3 row: re-prove the ingest path after the
         #        align.py duplicate-stamp tiebreak parameter ----------------
         "series_stats": _q_series_stats,
@@ -1958,10 +2020,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_previous": _q_fill_previous,
         "fill_linear": _q_fill_linear,
         "differences": _q_differences,
-        # model-filter pair displaced by the BPE queries: r3-green rows
-        # stand, models/fit.py untouched beyond the alias table this round
+        # displaced by the round-5 additions (BPE, roll_std, crosscorr,
+        # trigram LM, corpus stats): r3-green rows stand, their code
+        # untouched beyond the fit.py alias table this round
         "arima_filter": _q_arima_filter,
         "garch_filter": _q_garch_filter,
+        "bg_test": _q_bg_test,
+        "bp_test": _q_bp_test,
+        "lb_test": _q_lb_test,
+        "business_days": _q_business_days,
         "return_rates": _q_return_rates,
         "roll_mean": _q_roll_mean,
         "remove_instants_with_nans": _q_remove_instants_with_nans,
@@ -4708,6 +4775,131 @@ def oracle_sql() -> dict[str, str]:
                END AS r2,
                CAST(n_ranks AS BIGINT) AS n_ranks
         FROM m
+    """
+
+    # rolling sample std over the daily grid — same guard shape as the
+    # roll_mean oracle (incomplete windows trimmed, missing cell → NULL)
+    o["roll_std"] = _DAILY_GRID_SQL + f"""
+        , rolled AS (
+            SELECT key, loc, ts,
+                   count(*) OVER w AS nrows, count(value) OVER w AS nvals,
+                   stddev(value) OVER w AS s
+            FROM grid
+            WINDOW w AS (PARTITION BY key ORDER BY loc
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        )
+        SELECT key, loc, ts,
+               CASE WHEN nvals = 5 THEN {_sr_sql("s", 6)} END AS value
+        FROM rolled WHERE nrows = 5
+    """
+
+    # cross-correlation: per-overlap Pearson of (a_t, b_{t-lag})
+    _cc_rows = " UNION ALL ".join(
+        f"SELECT {k} AS lag, c{k} AS ccf FROM m" for k in range(8)
+    )
+    o["crosscorr"] = _DAILY_GRID_SQL + f"""
+        , a AS (SELECT loc, value FROM grid WHERE key = '1'),
+        b AS (SELECT loc, value FROM grid WHERE key = '2'),
+        j AS (
+            SELECT a.loc, a.value AS av, b.value AS bv
+            FROM a JOIN b USING (loc)
+        ),
+        lagged AS (
+            SELECT loc, av, bv,
+                   {", ".join(f"lag(bv, {k}) OVER (ORDER BY loc) AS bv{k}"
+                              for k in range(1, 8))}
+            FROM j
+        ),
+        m AS (
+            SELECT corr(av, bv) AS c0,
+                   {", ".join(f"corr(av, bv{k}) AS c{k}"
+                              for k in range(1, 8))}
+            FROM lagged
+        )
+        SELECT CAST(lag AS INT) AS lag, {_sr_sql("ccf", 6)} AS ccf
+        FROM ({_cc_rows})
+    """
+
+    # interpolated trigram LM: three count layers from the lang='en'
+    # reference slice + the Jelinek-Mercer algebra, λ = (0.6, 0.3, 0.1)
+    o["lm3_perplexity"] = f"""
+        WITH ref_toks AS (
+            SELECT list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> '') AS ts
+            FROM documents WHERE lang = 'en'
+        ),
+        t3 AS (
+            SELECT ts[i] AS c2, ts[i+1] AS c1, ts[i+2] AS w,
+                   COUNT(*) AS t3
+            FROM ref_toks, unnest(range(1, len(ts) - 1)) AS r(i)
+            GROUP BY 1, 2, 3
+        ),
+        t2 AS (SELECT c2, c1, SUM(t3) AS t2 FROM t3 GROUP BY 1, 2),
+        b2 AS (
+            SELECT ts[i] AS c1, ts[i+1] AS w, COUNT(*) AS b2
+            FROM ref_toks, unnest(range(1, len(ts))) AS r(i)
+            GROUP BY 1, 2
+        ),
+        b1 AS (SELECT c1, SUM(b2) AS b1 FROM b2 GROUP BY 1),
+        u1 AS (
+            SELECT t AS w, COUNT(*) AS u1
+            FROM ref_toks, unnest(ts) AS u(t) GROUP BY 1
+        ),
+        sc AS (
+            SELECT SUM(u1) AS n, COUNT(*) AS v FROM u1
+        ),
+        doc_trip AS (
+            SELECT doc_id, ts[i] AS c2, ts[i+1] AS c1, ts[i+2] AS w
+            FROM (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS ts
+                FROM documents),
+                unnest(range(1, len(ts) - 1)) AS r(i)
+        ),
+        nlls AS (
+            SELECT d.doc_id,
+                   -ln(0.6 * (COALESCE(t3.t3, 0) + 1.0)
+                           / (COALESCE(t2.t2, 0) + sc.v)
+                       + 0.3 * (COALESCE(b2.b2, 0) + 1.0)
+                           / (COALESCE(b1.b1, 0) + sc.v)
+                       + 0.1 * (COALESCE(u1.u1, 0) + 1.0)
+                           / (sc.n + sc.v)) AS nll
+            FROM doc_trip d
+            LEFT JOIN t3 ON t3.c2 = d.c2 AND t3.c1 = d.c1 AND t3.w = d.w
+            LEFT JOIN t2 ON t2.c2 = d.c2 AND t2.c1 = d.c1
+            LEFT JOIN b2 ON b2.c1 = d.c1 AND b2.w = d.w
+            LEFT JOIN b1 ON b1.c1 = d.c1
+            LEFT JOIN u1 ON u1.w = d.w, sc
+        )
+        SELECT doc_id, COUNT(*) AS n_trigrams,
+               {_sr_sql("AVG(nll)", 6)} AS cross_entropy
+        FROM nlls GROUP BY 1
+    """
+
+    # per-source corpus profile — exact distinct mode
+    o["corpus_stats"] = f"""
+        WITH toks AS (
+            SELECT source, t AS token
+            FROM documents,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS u(t)
+            WHERE t != ''
+        ),
+        tk AS (
+            SELECT source, COUNT(*) AS n_tokens,
+                   COUNT(DISTINCT token) AS distinct_tokens
+            FROM toks GROUP BY 1
+        ),
+        dc AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+        SELECT dc.source, dc.n_docs,
+               CAST(COALESCE(tk.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(tk.distinct_tokens, 0) AS BIGINT)
+                   AS distinct_tokens,
+               {_sr_sql("COALESCE(tk.n_tokens, 0) / CAST(dc.n_docs AS DOUBLE)",
+                        6)} AS avg_doc_tokens
+        FROM dc LEFT JOIN tk USING (source)
     """
 
     # BPE training replay: per merge, pair counting over the word-type

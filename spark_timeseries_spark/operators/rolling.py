@@ -78,6 +78,72 @@ def roll_mean(df, n, align="right", key_col="key", order_col="loc", value_col="v
     return roll_agg(df, n, "avg", align, key_col, order_col, value_col)
 
 
+def roll_min(df, n, align="right", key_col="key", order_col="loc", value_col="value"):
+    return roll_agg(df, n, "min", align, key_col, order_col, value_col)
+
+
+def roll_max(df, n, align="right", key_col="key", order_col="loc", value_col="value"):
+    return roll_agg(df, n, "max", align, key_col, order_col, value_col)
+
+
+def roll_std(df, n, align="right", key_col="key", order_col="loc", value_col="value"):
+    """Rolling SAMPLE standard deviation (n−1 denominator — the Spark /
+    SQL ``stddev`` default, stated because rolling-volatility users
+    habitually assume one or the other)."""
+    return roll_agg(df, n, "stddev", align, key_col, order_col, value_col)
+
+
+def roll_var(df, n, align="right", key_col="key", order_col="loc", value_col="value"):
+    """Rolling sample variance (n−1 denominator)."""
+    return roll_agg(df, n, "variance", align, key_col, order_col, value_col)
+
+
+def crosscorr(
+    df: DataFrame,
+    key_a: str,
+    key_b: str,
+    max_lag: int,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Sample cross-correlation between two conformed series → rows
+    (lag, ccf) for lag 0..max_lag: the Pearson correlation of
+    (a_t, b_{t−lag}) over the overlap — the two-series companion of
+    :func:`autocorr`, same per-overlap convention (each slice demeaned by
+    its own mean), beyond-reference (the reference ships autocorr only).
+    Positive lag means ``key_a`` LAGS ``key_b`` (b leads). Plan: the two
+    series align by location (one equi-join), then the lag window runs
+    over the single joined pair — a one-partition window bounded by the
+    SERIES length, i.e. the reference's own one-series-fits-in-memory
+    envelope (``src/site/markdown/index.md:35-40``), not corpus-sized."""
+    if max_lag < 0:
+        raise ValueError("max_lag must be >= 0")
+    a = df.where(F.col(key_col) == key_a).select(
+        F.col(order_col).alias("_o"), F.col(value_col).alias("_a")
+    )
+    b = df.where(F.col(key_col) == key_b).select(
+        F.col(order_col).alias("_o"), F.col(value_col).alias("_b")
+    )
+    j = a.join(b, "_o")
+    w = Window.orderBy("_o")
+    for k in range(1, max_lag + 1):
+        j = j.withColumn(f"_b{k}", F.lag("_b", k).over(w))
+    cols = ["_b"] + [f"_b{k}" for k in range(1, max_lag + 1)]
+    agg = j.agg(
+        *[F.corr("_a", c).alias(f"_c{k}") for k, c in enumerate(cols)]
+    )
+    pairs = F.array(
+        *[
+            F.struct(F.lit(k).alias("lag"), F.col(f"_c{k}").alias("ccf"))
+            for k in range(max_lag + 1)
+        ]
+    )
+    return agg.select(F.explode(pairs).alias("_p")).select(
+        F.col("_p.lag").alias("lag"), F.col("_p.ccf").alias("ccf")
+    )
+
+
 def autocorr(
     df: DataFrame,
     max_lag: int,

@@ -40,7 +40,15 @@ from pyspark.sql import functions as F
 
 from spark_timeseries_spark.pipeline.text import tokens
 
-__all__ = ["NgramLM", "train_bigram_lm", "score_perplexity", "perplexity_buckets"]
+__all__ = [
+    "NgramLM",
+    "TrigramLM",
+    "train_bigram_lm",
+    "train_trigram_lm",
+    "score_perplexity",
+    "score_perplexity_trigram",
+    "perplexity_buckets",
+]
 
 
 def _clean_tokens(text_col):
@@ -180,4 +188,137 @@ def perplexity_buckets(
         F.when(F.col(ppl_col) <= float(q[0]), "head")
         .when(F.col(ppl_col) <= float(q[1]), "middle")
         .otherwise("tail"),
+    )
+
+
+def _trigrams(toks):
+    """array<struct<c2,c1,w>> of adjacent token triples (let-bound input)."""
+    n = F.size(toks)
+    return F.when(
+        n >= 3,
+        F.arrays_zip(
+            F.slice(toks, 1, n - 2).alias("c2"),
+            F.slice(toks, 2, n - 2).alias("c1"),
+            F.slice(toks, 3, n - 2).alias("w"),
+        ),
+    ).otherwise(F.array())
+
+
+def trigram_triples(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, c2, c1, w) — one row per adjacent token TRIPLE per document
+    (c2 = w_{t-2}, c1 = w_{t-1}); same let-bound slice-zip shape as
+    :func:`bigram_pairs`."""
+    from spark_timeseries_spark.functions import let
+
+    tg = let(_clean_tokens(F.col(text_col)), _trigrams)
+    return (
+        df.select(F.col(id_col), tg.alias("_tg"))
+        .select(id_col, F.explode("_tg").alias("_t"))
+        .select(
+            id_col,
+            F.col("_t.c2").alias("c2"),
+            F.col("_t.c1").alias("c1"),
+            F.col("_t.w").alias("w"),
+        )
+    )
+
+
+@dataclass
+class TrigramLM:
+    """Interpolated trigram LM: trigram / bigram / unigram count frames
+    with their context totals derived per layer (each layer's context
+    total is the sum over its own continuations — no second corpus
+    scan), plus the two driver scalars (vocab size, token total)."""
+
+    tri: DataFrame        # (c2, c1, w, t3)
+    tri_ctx: DataFrame    # (c2, c1, t2 = Σ_w t3)
+    bi: DataFrame         # (ctx, w, b2)
+    bi_ctx: DataFrame     # (ctx, b1 = Σ_w b2)
+    uni: DataFrame        # (w, u1)
+    n_tokens: int
+    vocab_size: int
+
+
+def train_trigram_lm(
+    reference: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> TrigramLM:
+    """Fit the three count layers on the reference corpus: one trigram
+    explode + groupBy, one bigram explode + groupBy, one unigram explode
+    + groupBy — each shuffle carries distinct n-grams only (map-side
+    combine); the context totals re-aggregate the count frames, never
+    the corpus. Two scalars cross to the driver."""
+    tri = (
+        trigram_triples(reference, text_col, id_col)
+        .groupBy("c2", "c1", "w")
+        .agg(F.count("*").alias("t3"))
+    )
+    tri_ctx = tri.groupBy("c2", "c1").agg(F.sum("t3").alias("t2"))
+    bi = (
+        bigram_pairs(reference, text_col, id_col)
+        .groupBy("ctx", "w")
+        .agg(F.count("*").alias("b2"))
+    )
+    bi_ctx = bi.groupBy("ctx").agg(F.sum("b2").alias("b1"))
+    uni = (
+        reference.select(F.explode(_clean_tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("u1"))
+    )
+    row = uni.agg(
+        F.sum("u1").alias("n"), F.count("*").alias("v")
+    ).first()
+    return TrigramLM(
+        tri=tri, tri_ctx=tri_ctx, bi=bi, bi_ctx=bi_ctx, uni=uni,
+        n_tokens=int(row.n or 0), vocab_size=int(row.v or 0),
+    )
+
+
+def score_perplexity_trigram(
+    df: DataFrame,
+    lm: TrigramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 1.0,
+    lambdas: tuple[float, float, float] = (0.6, 0.3, 0.1),
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Per-document perplexity under the INTERPOLATED trigram model
+    (Jelinek-Mercer over add-k layers):
+
+        p(w|u,v) = λ₃·(t3+k)/(t2+kV) + λ₂·(b2+k)/(b1+kV) + λ₁·(u1+k)/(N+kV)
+
+    Returns (id, n_trigrams, cross_entropy, perplexity); documents with
+    <3 tokens carry no trigram evidence and are excluded. Five joins
+    against the LM frames — all broadcast by default (a reference LM is
+    executor-small); the per-document aggregation is the only shuffle on
+    the scored corpus."""
+    l3, l2, l1 = (float(x) for x in lambdas)
+    if abs(l3 + l2 + l1 - 1.0) > 1e-9:
+        raise ValueError(f"lambdas must sum to 1, got {lambdas}")
+    if lm.vocab_size <= 0:
+        raise ValueError("LM has an empty vocabulary")
+    bc = F.broadcast if broadcast_lm else (lambda x: x)
+    kv = float(k) * float(lm.vocab_size)
+    triples = trigram_triples(df, text_col, id_col)
+    p3 = (F.coalesce("t3", F.lit(0)) + k) / (F.coalesce("t2", F.lit(0)) + kv)
+    p2 = (F.coalesce("b2", F.lit(0)) + k) / (F.coalesce("b1", F.lit(0)) + kv)
+    p1 = (F.coalesce("u1", F.lit(0)) + k) / (float(lm.n_tokens) + kv)
+    nll = -F.log(l3 * p3 + l2 * p2 + l1 * p1)
+    return (
+        triples.join(bc(lm.tri), ["c2", "c1", "w"], "left")
+        .join(bc(lm.tri_ctx), ["c2", "c1"], "left")
+        .join(
+            bc(lm.bi.withColumnsRenamed({"ctx": "c1"})), ["c1", "w"], "left"
+        )
+        .join(bc(lm.bi_ctx.withColumnsRenamed({"ctx": "c1"})), ["c1"], "left")
+        .join(bc(lm.uni), ["w"], "left")
+        .withColumn("_nll", nll)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.avg("_nll").alias("cross_entropy"),
+        )
+        .withColumn("perplexity", F.exp("cross_entropy"))
     )

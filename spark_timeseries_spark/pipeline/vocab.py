@@ -192,3 +192,46 @@ def zipf_slope(
         .alias("r2"),
         "n_ranks",
     )
+
+
+def corpus_stats(
+    df: DataFrame,
+    group_col: str | None = "source",
+    text_col: str = "text",
+    bpe: bool = False,
+    lowercase: bool = True,
+    approx: bool = True,
+) -> DataFrame:
+    """Per-stratum corpus profile: (group, n_docs, n_tokens,
+    distinct_tokens, avg_doc_tokens) — the one-glance health table an
+    ingest batch gets before heavier analysis.
+
+    ``approx=True`` (default) counts distinct tokens with the HLL sketch
+    (``approx_count_distinct``, ~2% error) — at 100 TB an exact distinct
+    forces a full (group, token) de-duplicating shuffle; the sketch
+    merges map-side in constant memory. Set ``approx=False`` for exact
+    counts (the oracle-comparable mode). One corpus scan either way."""
+    gc = group_col
+    stream = _token_stream(df, text_col, gc, bpe, lowercase)
+    if gc is None:
+        gc = "grp"
+        stream = stream.withColumn(gc, F.lit("_all"))
+    cd = (
+        F.approx_count_distinct("token")
+        if approx
+        else F.countDistinct("token")
+    )
+    toks = stream.groupBy(gc).agg(
+        F.count("*").alias("n_tokens"), cd.alias("distinct_tokens")
+    )
+    group_expr = F.col(gc) if group_col else F.lit("_all").alias(gc)
+    docs = df.groupBy(group_expr).agg(F.count("*").alias("n_docs"))
+    return docs.join(toks, gc, "left").select(
+        gc,
+        "n_docs",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("distinct_tokens", F.lit(0)).alias("distinct_tokens"),
+        (F.coalesce("n_tokens", F.lit(0)) / F.col("n_docs")).alias(
+            "avg_doc_tokens"
+        ),
+    )

@@ -177,6 +177,24 @@ class TimeSeriesDataFrame:
     def roll_mean(self, n: int, align_: str = "right") -> "TimeSeriesDataFrame":
         return self._roll("avg", n, align_)
 
+    def roll_min(self, n: int, align_: str = "right") -> "TimeSeriesDataFrame":
+        return self._roll("min", n, align_)
+
+    def roll_max(self, n: int, align_: str = "right") -> "TimeSeriesDataFrame":
+        return self._roll("max", n, align_)
+
+    def roll_std(self, n: int, align_: str = "right") -> "TimeSeriesDataFrame":
+        """Rolling sample std (n−1 denominator) — beyond-reference."""
+        return self._roll("stddev", n, align_)
+
+    def roll_var(self, n: int, align_: str = "right") -> "TimeSeriesDataFrame":
+        return self._roll("variance", n, align_)
+
+    def crosscorr(self, key_a: str, key_b: str, max_lag: int) -> DataFrame:
+        """Cross-correlation (lag 0..max_lag) between two series —
+        beyond-reference companion of :meth:`autocorr`."""
+        return rolling.crosscorr(self.df, key_a, key_b, max_lag)
+
     def _roll(self, agg: str, n: int, align_: str) -> "TimeSeriesDataFrame":
         out = rolling.roll_agg(self.df, n, agg, align_)
         lo, hi = rolling._frame(n, align_)

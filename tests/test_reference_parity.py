@@ -464,3 +464,73 @@ def test_hybrid_islice_is_structural_and_correct(spark):
         want[(want >= pd.Timestamp("2024-01-04"))
              & (want <= pd.Timestamp("2024-03-02"))]
     )
+
+
+def test_roll_std_minmax_vs_pandas(spark):
+    """Rolling std/var/min/max through the tsdf surface match pandas
+    rolling with the same sample (n−1) convention; alignment and
+    index-trim semantics are the roll_sum machinery (already pinned)."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_timeseries_spark import (
+        DayFrequency,
+        TimeSeriesDataFrame,
+        uniform,
+    )
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    idx = uniform("2024-01-01", len(vals), DayFrequency(1))
+    rows = [((pd.Timestamp("2024-01-01")
+              + pd.Timedelta(days=i)).to_pydatetime(), "a", v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "ts timestamp, key string, value double")
+    ts = TimeSeriesDataFrame.from_observations(df, idx)
+    s = pd.Series(vals)
+    for meth, want in (
+        ("roll_std", s.rolling(3).std()),
+        ("roll_var", s.rolling(3).var()),
+        ("roll_min", s.rolling(3).min()),
+        ("roll_max", s.rolling(3).max()),
+    ):
+        got = (getattr(ts, meth)(3, "right").df.toPandas()
+               .sort_values("loc").value.to_numpy())
+        np.testing.assert_allclose(got, want.dropna().to_numpy(),
+                                   rtol=1e-12, err_msg=meth)
+
+
+def test_crosscorr_vs_numpy(spark):
+    """Cross-correlation: ccf(0) == corr(a,b); at the planted lag the
+    correlation of a_t with b_{t-lag} is ~1 (a is b delayed by 2); the
+    per-overlap Pearson convention matches numpy's corrcoef on the
+    aligned slices."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_timeseries_spark import (
+        DayFrequency,
+        TimeSeriesDataFrame,
+        uniform,
+    )
+
+    rng = np.random.default_rng(5)
+    b = rng.standard_normal(40)
+    a = np.roll(b, 2)  # a lags b by 2
+    idx = uniform("2024-01-01", 40, DayFrequency(1))
+    rows = []
+    for i in range(40):
+        t = (pd.Timestamp("2024-01-01") + pd.Timedelta(days=i)).to_pydatetime()
+        rows += [(t, "a", float(a[i])), (t, "b", float(b[i]))]
+    df = spark.createDataFrame(rows, "ts timestamp, key string, value double")
+    ts = TimeSeriesDataFrame.from_observations(df, idx)
+    got = {r.lag: r.ccf for r in ts.crosscorr("a", "b", 3).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    np.testing.assert_allclose(got[0], np.corrcoef(a, b)[0, 1], rtol=1e-9)
+    np.testing.assert_allclose(
+        got[2], np.corrcoef(a[2:], b[:-2])[0, 1], rtol=1e-9)
+    assert got[2] > 0.99 and abs(got[1]) < 0.6
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ts.crosscorr("a", "b", -1)
