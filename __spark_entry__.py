@@ -1809,6 +1809,23 @@ def _q_corpus_stats(spark, sf_dir):
     )
 
 
+def _q_embedding_covariance(spark, sf_dir):
+    """Distributed covariance of the embedding matrix
+    (``pipeline/embeddings.py`` — MLlib RowMatrix moment aggregation,
+    the PCA/OPQ front door for the ANN stack): dim×dim unbiased sample
+    covariance, only the 64×64 result touching the driver. The oracle
+    replays with covar_samp over the exploded coordinate pairs."""
+    from spark_timeseries_spark.pipeline.embeddings import (
+        embedding_covariance,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_covariance(emb)
+    return out.select(
+        "i", "j", _stable_round(F.col("cov"), 6).alias("cov")
+    )
+
+
 def _q_bpe_merges(spark, sf_dir):
     """Distributed BPE tokenizer training (Sennrich et al. 2016 —
     ``pipeline/bpe.py``): 8 merges learned over the corpus word-TYPE
@@ -1946,12 +1963,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ingest path after this round's align.py tiebreak parameter. Past the
     window: the 40 queries r4 just proved green (their rows are the
     freshest in the file) and the remaining r3-green events family; (e)
-    the ten operators NEW this round (line dedup, containment,
+    the eleven operators NEW this round (line dedup, containment,
     incremental-ingest dedup, Zipf slope, distributed BPE training +
     segmentation, rolling std, cross-correlation, interpolated trigram
-    LM, per-source corpus stats) slot in-window immediately, displacing
-    four events-family queries, two model filters and four r3-green
-    stats rows. All 121 are additionally validated locally by
+    LM, per-source corpus stats, embedding covariance) slot in-window
+    immediately, displacing four events-family queries, two model
+    filters and five r3-green stats/layout rows. All 122 are
+    additionally validated locally by
     ``tools/check_correctness.py`` (full log committed per round)."""
     return {
         # -- (a) must-prove: r4 red row, never-checked, semantics-moved,
@@ -1995,7 +2013,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "argarch_fit": _q_argarch_fit,
         "holt_winters_fit": _q_holt_winters_fit,
         "fill_spline": _q_fill_spline,
-        "to_series_digest": _q_to_series_digest,
         "to_observations": _q_to_observations,
         "roll_sum_center": _q_roll_sum_center,
         # -- (e) NEW round-5 operators, in-window immediately (no driver
@@ -2011,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crosscorr": _q_crosscorr,
         "lm3_perplexity": _q_lm3_perplexity,
         "corpus_stats": _q_corpus_stats,
+        "embedding_covariance": _q_embedding_covariance,
         # -- (f) events-family r3 row: re-prove the ingest path after the
         #        align.py duplicate-stamp tiebreak parameter ----------------
         "series_stats": _q_series_stats,
@@ -2025,6 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # untouched beyond the fit.py alias table this round
         "arima_filter": _q_arima_filter,
         "garch_filter": _q_garch_filter,
+        "to_series_digest": _q_to_series_digest,
         "bg_test": _q_bg_test,
         "bp_test": _q_bp_test,
         "lb_test": _q_lb_test,
@@ -4900,6 +4919,23 @@ def oracle_sql() -> dict[str, str]:
                {_sr_sql("COALESCE(tk.n_tokens, 0) / CAST(dc.n_docs AS DOUBLE)",
                         6)} AS avg_doc_tokens
         FROM dc LEFT JOIN tk USING (source)
+    """
+
+    # embedding covariance: covar_samp over exploded coordinate pairs —
+    # the dim²-per-row explode is fine for the ORACLE at sf0.01; the
+    # Spark side uses MLlib's one-pass moment aggregation
+    o["embedding_covariance"] = f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        x AS (
+            SELECT vec_id, CAST(i - 1 AS INT) AS i, v[i] AS xi
+            FROM e, unnest(range(1, len(v) + 1)) AS r(i)
+        )
+        SELECT a.i, CAST(b.i AS INT) AS j,
+               {_sr_sql("covar_samp(a.xi, b.xi)", 6)} AS cov
+        FROM x a JOIN x b USING (vec_id)
+        GROUP BY 1, 2
     """
 
     # BPE training replay: per merge, pair counting over the word-type

@@ -2094,3 +2094,63 @@ def test_corpus_stats_exact_and_approx(spark):
     whole = corpus_stats(df, group_col=None, approx=False).collect()
     assert len(whole) == 1 and whole[0].grp == "_all"
     assert whole[0].n_tokens == 9
+
+
+def test_pca_matches_numpy(spark):
+    """Distributed covariance == numpy.cov (unbiased); pca_fit recovers
+    numpy's eigen-structure (explained variances match, components match
+    up to the documented sign fix); pca_project equals the numpy
+    projection of the centered data; projected variance is ordered."""
+    import numpy as np
+
+    from spark_timeseries_spark.pipeline.embeddings import (
+        embedding_covariance,
+        pca_fit,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((80, 2))
+    X = np.column_stack([
+        3.0 * base[:, 0],
+        1.0 * base[:, 1] + 0.5 * base[:, 0],
+        0.1 * rng.standard_normal(80) + 2.0,
+        0.2 * base[:, 0] - 0.3 * base[:, 1],
+    ])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+
+    cov = {(r.i, r.j): r.cov for r in embedding_covariance(df).collect()}
+    want = np.cov(X, rowvar=False)
+    for i in range(4):
+        for j in range(4):
+            assert abs(cov[(i, j)] - want[i, j]) < 1e-9, (i, j)
+
+    m = pca_fit(df, k=3)
+    vals, vecs = np.linalg.eigh(want)
+    order = np.argsort(vals)[::-1][:3]
+    np.testing.assert_allclose(
+        m.explained_variance, vals[order], rtol=1e-9)
+    for c, idx in zip(m.components, order):
+        v = vecs[:, idx]
+        j = int(np.argmax(np.abs(v)))
+        if v[j] < 0:
+            v = -v
+        np.testing.assert_allclose(c, v, atol=1e-9)
+
+    proj = {r.vec_id: r.pca for r in pca_project(df, m).collect()}
+    C = np.array(m.components)
+    want_p = (X - X.mean(axis=0)) @ C.T
+    for i in range(80):
+        np.testing.assert_allclose(proj[i], want_p[i], atol=1e-9)
+    # variance concentrates in component order
+    P = np.array([proj[i] for i in range(80)])
+    pv = P.var(axis=0)
+    assert pv[0] > pv[1] > pv[2]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="1 <= k"):
+        pca_fit(df, k=9)
