@@ -64,13 +64,31 @@ def to_instants_df(
     own ``spark.sql.pivotMaxValues`` (default 10k) still errors the
     unguarded path rather than silently planning a 10k-column schema."""
     if max_pivot_keys is not None:
-        n_keys = (
-            len(keys)
-            if keys is not None
-            else df.select(key_col).distinct().count()
-        )
-        if n_keys > int(max_pivot_keys):
-            return to_instants_map(df, key_col, ts_col, value_col)
+        bound = int(max_pivot_keys)
+        if keys is None:
+            # one bounded job serves both the guard AND the pivot: collect
+            # at most bound+1 distinct keys — if we stay under the bound,
+            # pass them to pivot() so Spark skips its own distinct-values
+            # pass (otherwise the guard + unguarded pivot double-scan)
+            got = [
+                r[0]
+                for r in df.select(key_col)
+                .distinct()
+                .limit(bound + 1)
+                .collect()
+            ]
+            if len(got) > bound:
+                return to_instants_map(df, key_col, ts_col, value_col)
+            keys = sorted(got)
+        elif len(keys) > bound:
+            # honor the caller's key selection in the fallback — the map
+            # layout would otherwise silently contain EVERY key in df
+            return to_instants_map(
+                df.where(F.col(key_col).isin(list(keys))),
+                key_col,
+                ts_col,
+                value_col,
+            )
     g = df.groupBy(ts_col)
     p = g.pivot(key_col, keys) if keys else g.pivot(key_col)
     return p.agg(F.first(value_col)).orderBy(ts_col)

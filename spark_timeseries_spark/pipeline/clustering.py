@@ -233,9 +233,11 @@ def semantic_dedup_pairs(
             )
             .drop("_csz")
         )
-        if max_bucket_size is not None:
-            vecs = cap_bucket_size(vecs, ["cid", "sub"], max_bucket_size)
         keys = ["cid", "sub"]
+    if max_bucket_size is not None:
+        # the hard cap applies with or without the sub-split — a caller
+        # asking only for max_bucket_size must still get a bounded join
+        vecs = cap_bucket_size(vecs, keys, max_bucket_size)
     left = vecs.select(
         *keys, F.col("vec_id").alias("id_a"), F.col("v").alias("va")
     )

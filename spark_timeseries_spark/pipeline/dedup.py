@@ -171,6 +171,59 @@ def cap_bucket_size(
     )
 
 
+def _validate_bands(bands: int, rows_per_band: int, num_hashes: int | None):
+    if bands < 1 or rows_per_band < 1:
+        raise ValueError(
+            f"bands ({bands}) and rows_per_band ({rows_per_band}) must be >= 1"
+        )
+    if num_hashes is not None and bands * rows_per_band > num_hashes:
+        raise ValueError(
+            f"bands*rows_per_band = {bands * rows_per_band} exceeds the "
+            f"signature length num_hashes = {num_hashes}"
+        )
+
+
+def _banded(
+    sig_df: DataFrame,
+    id_col: str,
+    out_id: str,
+    bands: int,
+    rows_per_band: int,
+    hash_fn: str,
+) -> DataFrame:
+    """(out_id, band, bh): one row per band per signature — the ONE
+    band-hash construction both the self-join and cross-corpus candidate
+    paths key on (a separator/index fix must hit both or the two paths
+    silently produce incompatible band keys)."""
+    from spark_timeseries_spark.functions import hashed
+
+    return sig_df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        hashed(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[
+                                        b * rows_per_band + r
+                                    ].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            ),
+                            hash_fn,
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(out_id, "bb.band", "bb.bh")
+
+
 def minhash_lsh_candidates(
     sig_df: DataFrame,
     id_col: str = "doc_id",
@@ -190,40 +243,8 @@ def minhash_lsh_candidates(
     signature indices yield NULLs that ``concat_ws`` silently drops,
     collapsing whole bands into hot buckets and exploding the candidate
     self-join."""
-    from spark_timeseries_spark.functions import hashed
-
-    if bands < 1 or rows_per_band < 1:
-        raise ValueError(
-            f"bands ({bands}) and rows_per_band ({rows_per_band}) must be >= 1"
-        )
-    if num_hashes is not None and bands * rows_per_band > num_hashes:
-        raise ValueError(
-            f"bands*rows_per_band = {bands * rows_per_band} exceeds the "
-            f"signature length num_hashes = {num_hashes}"
-        )
-    banded = sig_df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        hashed(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[b * rows_per_band + r].cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            ),
-                            hash_fn,
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bh")
+    _validate_bands(bands, rows_per_band, num_hashes)
+    banded = _banded(sig_df, id_col, "id", bands, rows_per_band, hash_fn)
     if max_bucket_size is not None:
         banded = cap_bucket_size(banded, ["band", "bh"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
@@ -884,7 +905,7 @@ def dedup_paragraphs(
         )
         .select(
             id_col,
-            F.concat_ws("\n\n", F.col("_ps.para")).alias("text"),
+            F.concat_ws("\n\n", F.col("_ps.para")).alias("_reb"),
             F.size("_ps").alias("_kept"),
         )
     )
@@ -892,7 +913,7 @@ def dedup_paragraphs(
         counts.join(rebuilt, id_col, "left")
         .select(
             id_col,
-            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("_reb", F.lit("")).alias(text_col),
             "n_paras",
             (F.col("n_paras") - F.coalesce("_kept", F.lit(0))).alias(
                 "removed_paras"
@@ -966,13 +987,13 @@ def dedup_lines(
         .agg(F.array_sort(F.collect_list(F.struct("idx", "line"))).alias("_ls"))
         .select(
             id_col,
-            F.concat_ws("\n", F.col("_ls.line")).alias("text"),
+            F.concat_ws("\n", F.col("_ls.line")).alias("_reb"),
             F.size("_ls").alias("_kept"),
         )
     )
     return counts.join(rebuilt, id_col, "left").select(
         id_col,
-        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("_reb", F.lit("")).alias(text_col),
         "n_lines",
         (F.col("n_lines") - F.coalesce("_kept", F.lit(0))).alias(
             "removed_lines"
@@ -1000,15 +1021,19 @@ def containment_verify(
     if sets is None:
         sets = shingle_sets(df, text_col, id_col, shingle_n)
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    # try_divide: an empty shingle set yields NULL scores (a plain 0/0
+    # is NaN, which compares GREATER than any threshold in Spark and
+    # would sail through the filter below)
     out = (
         candidates.join(
             sets.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a"
         )
         .join(sets.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
-        .withColumn("containment_a", inter / F.size("sh_a"))
-        .withColumn("containment_b", inter / F.size("sh_b"))
+        .withColumn("containment_a", F.try_divide(inter, F.size("sh_a")))
+        .withColumn("containment_b", F.try_divide(inter, F.size("sh_b")))
         .withColumn(
-            "jaccard", inter / F.size(F.array_union("sh_a", "sh_b"))
+            "jaccard",
+            F.try_divide(inter, F.size(F.array_union("sh_a", "sh_b"))),
         )
         .select("id_a", "id_b", "containment_a", "containment_b", "jaccard")
     )
@@ -1070,47 +1095,10 @@ def minhash_cross_candidates(
     row. The existing side's banded table is a build-once artifact at
     scale — persist it keyed by (band, bh) and each increment pays only
     its own banding plus the bucket join."""
-    from spark_timeseries_spark.functions import hashed
-
-    if bands < 1 or rows_per_band < 1:
-        raise ValueError(
-            f"bands ({bands}) and rows_per_band ({rows_per_band}) must be >= 1"
-        )
-    if num_hashes is not None and bands * rows_per_band > num_hashes:
-        raise ValueError(
-            f"bands*rows_per_band = {bands * rows_per_band} exceeds the "
-            f"signature length num_hashes = {num_hashes}"
-        )
-
-    def banded(sig_df, out_id):
-        return sig_df.select(
-            F.col(id_col).alias(out_id),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            hashed(
-                                F.concat_ws(
-                                    ",",
-                                    *[
-                                        F.col("sig")[
-                                            b * rows_per_band + r
-                                        ].cast("string")
-                                        for r in range(rows_per_band)
-                                    ],
-                                ),
-                                hash_fn,
-                            ).alias("bh"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        ).select(out_id, "bb.band", "bb.bh")
-
-    nb = banded(new_sigs, "id_new")
-    ob = banded(existing_sigs, "id_old")
+    _validate_bands(bands, rows_per_band, num_hashes)
+    nb = _banded(new_sigs, id_col, "id_new", bands, rows_per_band, hash_fn)
+    ob = _banded(existing_sigs, id_col, "id_old", bands, rows_per_band,
+                 hash_fn)
     if max_bucket_size is not None:
         ob = cap_bucket_size(ob, ["band", "bh"], max_bucket_size)
     return (

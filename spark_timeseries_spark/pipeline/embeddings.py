@@ -87,8 +87,15 @@ def pca_fit(df: DataFrame, k: int, vec_col: str = "embedding") -> PCAModel:
     made positive — eigensolvers are sign-ambiguous and an unfixed sign
     makes the model non-replayable across runs/platforms."""
     rm = _row_matrix(df, vec_col)
-    cov = rm.computeCovariance().toArray()
-    mean = rm.computeColumnSummaryStatistics().mean()
+    # two MLlib actions (covariance, summary stats) share one cached RDD —
+    # uncached, the DataFrame→Vectors map would re-deserialize every row
+    # twice, doubling the dominant pass
+    rm.rows.cache()
+    try:
+        cov = rm.computeCovariance().toArray()
+        mean = rm.computeColumnSummaryStatistics().mean()
+    finally:
+        rm.rows.unpersist()
     dim = cov.shape[0]
     if not (1 <= k <= dim):
         raise ValueError(f"need 1 <= k <= dim ({dim}), got {k}")

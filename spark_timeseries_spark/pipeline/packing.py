@@ -106,27 +106,33 @@ def pack_sequences(
     local = bucketed.withColumn(
         "_cum", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
     )
-    if not has_epoch:
-        # duplicate ids without an epoch disambiguator make the cumsum
-        # ordering ambiguous (row-level offset attribution would be
-        # partition-order dependent) — fail at the first duplicate. The
-        # lag shares w_local's partitioning AND sort (same-id rows are
-        # adjacent in the bucket since _b derives from the id value), so
-        # the check rides the exchange the cumsum already pays.
-        w_adj = Window.partitionBy("stratum", "_b").orderBy("id")
-        local = local.withColumn(
-            "_cum",
-            F.when(
-                F.lag("id").over(w_adj) == F.col("id"),
-                F.raise_error(
-                    F.concat(
-                        F.lit("pack_sequences: duplicate id without an "),
-                        F.lit(f"{epoch_col!r} column: "),
-                        F.col("id").cast("string"),
-                    )
-                ).cast("long"),
-            ).otherwise(F.col("_cum")),
+    # duplicate ordering keys make the cumsum ambiguous (row-level offset
+    # attribution would be partition-order dependent) — fail at the first
+    # duplicate (id) / (id, epoch). The lag shares w_local's partitioning
+    # AND sort (same-key rows are adjacent in the bucket since _b derives
+    # from the id value), so the check rides the exchange the cumsum
+    # already pays.
+    w_adj = Window.partitionBy("stratum", "_b").orderBy(*order_cols)
+    dup_pred = F.lag("id").over(w_adj) == F.col("id")
+    what = f"duplicate id without an {epoch_col!r} column: "
+    if has_epoch:
+        dup_pred = dup_pred & (
+            F.lag("_epoch").over(w_adj) == F.col("_epoch")
         )
+        what = f"duplicate (id, {epoch_col}): "
+    local = local.withColumn(
+        "_cum",
+        F.when(
+            dup_pred,
+            F.raise_error(
+                F.concat(
+                    F.lit("pack_sequences: "),
+                    F.lit(what),
+                    F.col("id").cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("_cum")),
+    )
     # per-(stratum, bucket) totals: #strata × #buckets rows — tiny; the
     # running sum over them is the global composition, broadcast back
     totals = local.groupBy("stratum", "_b").agg(

@@ -2154,3 +2154,88 @@ def test_pca_matches_numpy(spark):
 
     with _pytest.raises(ValueError, match="1 <= k"):
         pca_fit(df, k=9)
+
+
+def test_round5_review_fixes(spark, tmp_path):
+    """Regression pins for the round-5 review findings: custom text_col
+    through the rewrite gates, SemDeDup hard cap without sub-split,
+    keys-respecting pivot fallback, NaN-free containment on empty
+    shingle sets, duplicate (id, epoch) packing guard, and pipeline
+    module registration."""
+    import pytest as _pytest
+    from pyspark.errors import SparkRuntimeException
+
+    # 1. rewrite gates honor a non-default text column
+    from spark_timeseries_spark.pipeline.clean import pretrain_clean
+
+    body = ("the quick brown fox jumps over the lazy dog and then walks "
+            "to the old stone house by the quiet river bank early")
+    df = spark.createDataFrame(
+        [(0, body + "\n\nshared"), (1, body + " again\n\nshared")],
+        "doc_id long, content string",
+    )
+    out = pretrain_clean(
+        df, text_col="content", min_quality=0.0,
+        rep_thresholds={"top2gram_char_ratio": 10.0},
+        dedup_paragraph=True, remove_span_grams=30,
+    ).collect()
+    assert {r.doc_id for r in out} == {0, 1}
+    assert all("content" in r.asDict() for r in out)
+
+    # 2. max_bucket_size alone caps the per-cluster join
+    import numpy as np
+
+    from spark_timeseries_spark.pipeline.clustering import (
+        kmeans_fit,
+        semantic_dedup_pairs,
+    )
+
+    same = [(i, [1.0] * 4) for i in range(40)]
+    vdf = spark.createDataFrame(same, "vec_id long, embedding array<float>")
+    km = kmeans_fit(vdf, k=1, max_iter=1)
+    capped = semantic_dedup_pairs(
+        vdf, km, threshold=-1.0, max_bucket_size=5
+    ).collect()
+    assert len(capped) <= 5 * 4 // 2
+
+    # 3. pivot fallback honors the caller's key subset
+    from spark_timeseries_spark.operators.layout import to_instants_df
+
+    import pandas as pd
+    rows = [(pd.Timestamp("2024-01-01").to_pydatetime(), k, float(i))
+            for i, k in enumerate(["a", "b", "c"])]
+    grid = spark.createDataFrame(rows, "ts timestamp, key string, value double")
+    m = to_instants_df(grid, keys=["a", "b"], max_pivot_keys=1).collect()
+    assert set(m[0].instant.keys()) == {"a", "b"}          # "c" excluded
+    # keys=None under the bound: single collected key list drives the pivot
+    wide = to_instants_df(grid, max_pivot_keys=10)
+    assert set(wide.columns) == {"ts", "a", "b", "c"}
+
+    # 4. empty shingle set -> NULL scores, filtered by any threshold
+    from spark_timeseries_spark.pipeline.dedup import containment_verify
+
+    docs = spark.createDataFrame(
+        [(0, "only two"), (1, "one two three four five")],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    nul = containment_verify(docs, cand, shingle_n=3).collect()
+    assert nul[0].containment_a is None
+    assert not containment_verify(docs, cand, shingle_n=3,
+                                  threshold=0.1).collect()
+
+    # 5. duplicate (id, epoch) fails loudly
+    from spark_timeseries_spark.pipeline.packing import pack_sequences
+
+    dup = spark.createDataFrame(
+        [(7, 0, "s", "w w w"), (7, 0, "s", "w w")],
+        "doc_id long, epoch int, source string, text string",
+    )
+    with _pytest.raises(SparkRuntimeException, match="duplicate"):
+        pack_sequences(dup, seq_len=16, bpe=False).collect()
+
+    # 6. new modules registered like every sibling
+    import spark_timeseries_spark.pipeline as pl
+
+    assert hasattr(pl, "bpe") and hasattr(pl, "embeddings")
+    assert "bpe" in pl.__all__ and "embeddings" in pl.__all__
