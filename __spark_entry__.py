@@ -1809,6 +1809,25 @@ def _q_corpus_stats(spark, sf_dir):
     )
 
 
+def _q_seasonal_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition
+    (``operators/decompose.py`` — the statsmodels moving-average
+    algebra): weekly period over the daily grid; trend is the centered
+    7-wide MA with NULL edges, seasonal the re-centered per-position
+    detrended means tiled over the series, resid the remainder."""
+    from spark_timeseries_spark.operators.decompose import (
+        seasonal_decompose,
+    )
+
+    out = seasonal_decompose(_daily_grid(spark, sf_dir), 7)
+    return out.select(
+        "key", "loc", "ts", "value",
+        _stable_round(F.col("trend"), 6).alias("trend"),
+        _stable_round(F.col("seasonal"), 6).alias("seasonal"),
+        _stable_round(F.col("resid"), 6).alias("resid"),
+    )
+
+
 def _q_embedding_covariance(spark, sf_dir):
     """Distributed covariance of the embedding matrix
     (``pipeline/embeddings.py`` — MLlib RowMatrix moment aggregation,
@@ -1963,13 +1982,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ingest path after this round's align.py tiebreak parameter. Past the
     window: the 40 queries r4 just proved green (their rows are the
     freshest in the file) and the remaining r3-green events family; (e)
-    the eleven operators NEW this round (line dedup, containment,
+    the twelve operators NEW this round (line dedup, containment,
     incremental-ingest dedup, Zipf slope, distributed BPE training +
     segmentation, rolling std, cross-correlation, interpolated trigram
-    LM, per-source corpus stats, embedding covariance) slot in-window
-    immediately, displacing four events-family queries, two model
-    filters and five r3-green stats/layout rows. All 122 are
-    additionally validated locally by
+    LM, per-source corpus stats, embedding covariance, classical
+    seasonal decomposition) slot in-window immediately, displacing five
+    events-family queries, two model filters and five r3-green
+    stats/layout rows. All 123 are additionally validated locally by
     ``tools/check_correctness.py`` (full log committed per round)."""
     return {
         # -- (a) must-prove: r4 red row, never-checked, semantics-moved,
@@ -2029,10 +2048,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm3_perplexity": _q_lm3_perplexity,
         "corpus_stats": _q_corpus_stats,
         "embedding_covariance": _q_embedding_covariance,
-        # -- (f) events-family r3 row: re-prove the ingest path after the
-        #        align.py duplicate-stamp tiebreak parameter ----------------
-        "series_stats": _q_series_stats,
+        "seasonal_decompose": _q_seasonal_decompose,
         # ---- driver window (50) ends here ----------------------------------
+        # series_stats displaced to slot 51 by seasonal_decompose: its
+        # ingest path is equally exercised in-window by roll_std/crosscorr
+        # (same _daily_grid base), and its own r3 row stands
+        "series_stats": _q_series_stats,
         # events family: r3-green rows stand, ingest path re-proven above
         "resample_daily_avg": _q_resample_daily_avg,
         "fill_previous": _q_fill_previous,
@@ -4919,6 +4940,34 @@ def oracle_sql() -> dict[str, str]:
                {_sr_sql("COALESCE(tk.n_tokens, 0) / CAST(dc.n_docs AS DOUBLE)",
                         6)} AS avg_doc_tokens
         FROM dc LEFT JOIN tk USING (source)
+    """
+
+    # classical decomposition: centered MA trend + per-position seasonal
+    o["seasonal_decompose"] = _DAILY_GRID_SQL + f"""
+        , t AS (
+            SELECT key, loc, ts, value,
+                   CASE WHEN count(*) OVER wf = 7
+                             AND count(value) OVER wf = 7
+                        THEN avg(value) OVER wf END AS trend,
+                   loc % 7 AS pos
+            FROM grid
+            WINDOW wf AS (PARTITION BY key ORDER BY loc
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        sm AS (
+            SELECT key, pos, AVG(value - trend) AS sm
+            FROM t GROUP BY 1, 2
+        ),
+        sc AS (
+            SELECT key, pos,
+                   sm - AVG(sm) OVER (PARTITION BY key) AS seasonal
+            FROM sm
+        )
+        SELECT t.key, t.loc, t.ts, t.value,
+               {_sr_sql("t.trend", 6)} AS trend,
+               {_sr_sql("sc.seasonal", 6)} AS seasonal,
+               {_sr_sql("t.value - t.trend - sc.seasonal", 6)} AS resid
+        FROM t LEFT JOIN sc ON sc.key = t.key AND sc.pos = t.pos
     """
 
     # embedding covariance: covar_samp over exploded coordinate pairs —

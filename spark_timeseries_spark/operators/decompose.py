@@ -1,0 +1,90 @@
+"""Classical seasonal decomposition (additive): y = trend + seasonal + resid.
+
+The moving-average decomposition of statsmodels'
+``seasonal_decompose(model="additive")`` — the standard first look at any
+seasonal series, and a natural companion to the reference's Holt-Winters
+smoother (``models/HoltWinters.scala`` fits level/trend/season; this
+operator *measures* them non-parametrically):
+
+1. **Trend** — centered moving average of one full period. Odd period:
+   plain ``period``-wide mean. Even period: the textbook 2×MA — a
+   ``period+1``-wide window with half weight on both end points. Windows
+   that would extend past the series (or contain a missing cell) yield
+   NULL, exactly statsmodels' NaN edges.
+2. **Seasonal** — per period-position mean of the detrended series,
+   re-centered to sum to zero over one period, tiled across the whole
+   series (edges included, like statsmodels).
+3. **Residual** — ``y − trend − seasonal`` (NULL wherever trend is).
+
+Plan shape: one (key, loc)-windowed pass for the trend (rides the standard
+per-series exchange every grid transform shares), one
+(key, position) groupBy for the seasonal means (period-sized per series),
+one broadcast-friendly join back. No Python, no per-series collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["seasonal_decompose"]
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    period: int,
+    key_col: str = "key",
+    loc_col: str = "loc",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """→ (key, loc, ts, value, trend, seasonal, resid) over a conformed
+    grid. ``period`` ≥ 2; seasonal position = ``loc % period`` (the grid's
+    loc is the index position, so phase is stable under slicing only if
+    the slice offset is a multiple of the period — slice first, decompose
+    second, as with every loc-derived statistic)."""
+    p = int(period)
+    if p < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    w = Window.partitionBy(key_col).orderBy(loc_col)
+    if p % 2 == 1:
+        h = (p - 1) // 2
+        wf = w.rowsBetween(-h, h)
+        trend = F.when(
+            (F.count(F.lit(1)).over(wf) == p)
+            & (F.count(value_col).over(wf) == p),
+            F.avg(value_col).over(wf),
+        )
+    else:
+        h = p // 2
+        wf = w.rowsBetween(-h, h)
+        ends = F.lag(value_col, h).over(w) + F.lead(value_col, h).over(w)
+        trend = F.when(
+            (F.count(F.lit(1)).over(wf) == p + 1)
+            & (F.count(value_col).over(wf) == p + 1),
+            (F.sum(value_col).over(wf) - 0.5 * ends) / p,
+        )
+    base = df.select(
+        key_col, loc_col, ts_col, value_col,
+        trend.alias("trend"),
+        (F.col(loc_col) % p).alias("_pos"),
+    )
+    smeans = (
+        base.withColumn("_dt", F.col(value_col) - F.col("trend"))
+        .groupBy(key_col, "_pos")
+        .agg(F.avg("_dt").alias("_sm"))
+    )
+    wk = Window.partitionBy(key_col)
+    seasonal = smeans.withColumn(
+        "seasonal", F.col("_sm") - F.avg("_sm").over(wk)
+    ).select(key_col, "_pos", "seasonal")
+    return (
+        base.join(seasonal, [key_col, "_pos"], "left")
+        .withColumn(
+            "resid", F.col(value_col) - F.col("trend") - F.col("seasonal")
+        )
+        .select(
+            key_col, loc_col, ts_col, value_col,
+            "trend", "seasonal", "resid",
+        )
+    )

@@ -205,6 +205,14 @@ class TimeSeriesDataFrame:
     def autocorr(self, max_lag: int) -> DataFrame:
         return rolling.autocorr(self.df, max_lag)
 
+    def seasonal_decompose(self, period: int) -> DataFrame:
+        """Classical additive decomposition (trend / seasonal / resid) —
+        beyond-reference companion of Holt-Winters; see
+        :func:`operators.decompose.seasonal_decompose`."""
+        from .operators.decompose import seasonal_decompose
+
+        return seasonal_decompose(self.df, period)
+
     # -- resampling --------------------------------------------------------
     def resample(
         self,

@@ -534,3 +534,67 @@ def test_crosscorr_vs_numpy(spark):
 
     with _pytest.raises(ValueError):
         ts.crosscorr("a", "b", -1)
+
+
+def test_seasonal_decompose_vs_statsmodels_formula(spark):
+    """Classical additive decomposition matches a pure-python replay of
+    the statsmodels algebra (centered 2xMA trend for even periods, plain
+    MA for odd, re-centered per-position seasonal means, NULL edges) on
+    a constructed trend+season+noise series; y == trend+seasonal+resid
+    wherever trend is defined."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_timeseries_spark import (
+        DayFrequency,
+        TimeSeriesDataFrame,
+        uniform,
+    )
+    from spark_timeseries_spark.operators.decompose import seasonal_decompose
+
+    n = 42
+    rng = np.random.default_rng(3)
+    season = np.array([2.0, -1.0, 0.5, -0.5, 1.0, -2.0, 0.0])
+    y = (0.3 * np.arange(n) + np.tile(season, n // 7)
+         + 0.01 * rng.standard_normal(n))
+    idx = uniform("2024-01-01", n, DayFrequency(1))
+    rows = [((pd.Timestamp("2024-01-01") + pd.Timedelta(days=i))
+             .to_pydatetime(), "a", float(y[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "ts timestamp, key string, value double")
+    grid = TimeSeriesDataFrame.from_observations(df, idx).df
+
+    for period in (7, 6):
+        out = (seasonal_decompose(grid, period)
+               .toPandas().sort_values("loc").reset_index(drop=True))
+        # python replay
+        if period % 2 == 1:
+            h = (period - 1) // 2
+            trend = np.full(n, np.nan)
+            for t in range(h, n - h):
+                trend[t] = y[t - h:t + h + 1].mean()
+        else:
+            h = period // 2
+            trend = np.full(n, np.nan)
+            for t in range(h, n - h):
+                win = y[t - h:t + h + 1].copy()
+                win[0] *= 0.5
+                win[-1] *= 0.5
+                trend[t] = win.sum() / period
+        dt = y - trend
+        sm = np.array([np.nanmean(dt[pos::period])
+                       for pos in range(period)])
+        sm = sm - sm.mean()
+        seas = np.array([sm[i % period] for i in range(n)])
+        np.testing.assert_allclose(
+            out.trend.to_numpy(), trend, rtol=1e-12, equal_nan=True)
+        np.testing.assert_allclose(
+            out.seasonal.to_numpy(), seas, rtol=1e-9)
+        ok = ~np.isnan(trend)
+        np.testing.assert_allclose(
+            (out.trend + out.seasonal + out.resid).to_numpy()[ok],
+            y[ok], rtol=1e-12)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="period"):
+        seasonal_decompose(grid, 1)
