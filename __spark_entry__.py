@@ -1809,6 +1809,20 @@ def _q_corpus_stats(spark, sf_dir):
     )
 
 
+def _q_pmi_pairs(spark, sf_dir):
+    """Adjacent-bigram PMI collocations (Church & Hanks 1990 —
+    ``pipeline/lm.py::pmi_pairs``): one distinct-bigram shuffle + two
+    marginal re-aggregations + a broadcast scalar total. All pairs with
+    count ≥ 5 (no top-k cutoff, so the compared set is exact)."""
+    from spark_timeseries_spark.pipeline.lm import pmi_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = pmi_pairs(docs, min_count=5)
+    return out.select(
+        "left", "right", "cnt", _stable_round(F.col("pmi"), 6).alias("pmi")
+    )
+
+
 def _q_seasonal_decompose(spark, sf_dir):
     """Classical additive seasonal decomposition
     (``operators/decompose.py`` — the statsmodels moving-average
@@ -1982,13 +1996,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ingest path after this round's align.py tiebreak parameter. Past the
     window: the 40 queries r4 just proved green (their rows are the
     freshest in the file) and the remaining r3-green events family; (e)
-    the twelve operators NEW this round (line dedup, containment,
+    the thirteen operators NEW this round (line dedup, containment,
     incremental-ingest dedup, Zipf slope, distributed BPE training +
     segmentation, rolling std, cross-correlation, interpolated trigram
     LM, per-source corpus stats, embedding covariance, classical
-    seasonal decomposition) slot in-window immediately, displacing five
-    events-family queries, two model filters and five r3-green
-    stats/layout rows. All 123 are additionally validated locally by
+    seasonal decomposition, PMI collocations) slot in-window
+    immediately, displacing five events-family queries, two model
+    filters and six r3-green stats/layout rows. All 124 are
+    additionally validated locally by
     ``tools/check_correctness.py`` (full log committed per round)."""
     return {
         # -- (a) must-prove: r4 red row, never-checked, semantics-moved,
@@ -2032,7 +2047,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "argarch_fit": _q_argarch_fit,
         "holt_winters_fit": _q_holt_winters_fit,
         "fill_spline": _q_fill_spline,
-        "to_observations": _q_to_observations,
         "roll_sum_center": _q_roll_sum_center,
         # -- (e) NEW round-5 operators, in-window immediately (no driver
         #        row exists anywhere): line dedup, containment, incremental
@@ -2049,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "embedding_covariance": _q_embedding_covariance,
         "seasonal_decompose": _q_seasonal_decompose,
+        "pmi_pairs": _q_pmi_pairs,
         # ---- driver window (50) ends here ----------------------------------
         # series_stats displaced to slot 51 by seasonal_decompose: its
         # ingest path is equally exercised in-window by roll_std/crosscorr
@@ -2065,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arima_filter": _q_arima_filter,
         "garch_filter": _q_garch_filter,
         "to_series_digest": _q_to_series_digest,
+        "to_observations": _q_to_observations,
         "bg_test": _q_bg_test,
         "bp_test": _q_bp_test,
         "lb_test": _q_lb_test,
@@ -4940,6 +4956,31 @@ def oracle_sql() -> dict[str, str]:
                {_sr_sql("COALESCE(tk.n_tokens, 0) / CAST(dc.n_docs AS DOUBLE)",
                         6)} AS avg_doc_tokens
         FROM dc LEFT JOIN tk USING (source)
+    """
+
+    # PMI: bigram counts + slot marginals + the ln formula (bigrams use
+    # the SAME lowercased tokenization as the LM oracles)
+    o["pmi_pairs"] = f"""
+        WITH dt AS (
+            SELECT list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> '') AS ts
+            FROM documents
+        ),
+        bg AS (
+            SELECT ts[i] AS l, ts[i+1] AS r, COUNT(*) AS cnt
+            FROM dt, unnest(range(1, len(ts))) AS u(i)
+            GROUP BY 1, 2
+        ),
+        tot AS (SELECT SUM(cnt) AS n FROM bg),
+        la AS (SELECT l, SUM(cnt) AS la FROM bg GROUP BY 1),
+        rb AS (SELECT r, SUM(cnt) AS rb FROM bg GROUP BY 1)
+        SELECT bg.l AS left, bg.r AS right, CAST(bg.cnt AS BIGINT) AS cnt,
+               {_sr_sql("ln(CAST(bg.cnt AS DOUBLE) * tot.n / (la.la * rb.rb))", 6)} AS pmi
+        FROM bg
+        JOIN la ON la.l = bg.l
+        JOIN rb ON rb.r = bg.r, tot
+        WHERE bg.cnt >= 5
     """
 
     # classical decomposition: centered MA trend + per-position seasonal

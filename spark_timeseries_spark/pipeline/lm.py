@@ -48,6 +48,7 @@ __all__ = [
     "score_perplexity",
     "score_perplexity_trigram",
     "perplexity_buckets",
+    "pmi_pairs",
 ]
 
 
@@ -322,3 +323,56 @@ def score_perplexity_trigram(
         )
         .withColumn("perplexity", F.exp("cross_entropy"))
     )
+
+
+def pmi_pairs(
+    df: DataFrame,
+    min_count: int = 5,
+    top_k: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Adjacent-bigram pointwise mutual information → (left, right, cnt,
+    pmi): the classic collocation detector (Church & Hanks 1990),
+
+        pmi(a,b) = ln( c(a,b) · N / (c_left(a) · c_right(b)) )
+
+    with marginals taken over the bigram table itself (left-slot and
+    right-slot totals). High-PMI pairs are multiword units ("new york",
+    "machine learning") — useful for tokenizer seeding and template
+    detection. ``min_count`` suppresses the low-frequency PMI explosion
+    (hapax pairs score arbitrarily high).
+
+    Plan: one bigram groupBy (distinct-bigram-sized shuffle with map-side
+    combine), two re-aggregations of that count frame for the marginals,
+    one scalar total carried as a broadcast 1-row frame — the corpus is
+    scanned once. ``top_k`` ranks by (pmi DESC, left, right) via
+    orderBy+limit (TakeOrderedAndProject — per-partition top-k, no
+    global sort)."""
+    pairs = bigram_pairs(df, text_col, id_col).select("ctx", "w")
+    c2 = pairs.groupBy(F.col("ctx").alias("left"), F.col("w").alias("right")).agg(
+        F.count("*").alias("cnt")
+    )
+    tot = c2.agg(F.sum("cnt").alias("_n"))
+    la = c2.groupBy("left").agg(F.sum("cnt").alias("_la"))
+    rb = c2.groupBy("right").agg(F.sum("cnt").alias("_rb"))
+    out = (
+        c2.where(F.col("cnt") >= int(min_count))
+        .join(la, "left")
+        .join(rb, "right")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "pmi",
+            F.log(
+                F.col("cnt").cast("double")
+                * F.col("_n")
+                / (F.col("_la") * F.col("_rb"))
+            ),
+        )
+        .select("left", "right", "cnt", "pmi")
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.desc("pmi"), F.asc("left"), F.asc("right")
+        ).limit(int(top_k))
+    return out

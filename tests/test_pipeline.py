@@ -2239,3 +2239,40 @@ def test_round5_review_fixes(spark, tmp_path):
 
     assert hasattr(pl, "bpe") and hasattr(pl, "embeddings")
     assert "bpe" in pl.__all__ and "embeddings" in pl.__all__
+
+
+def test_pmi_pairs_matches_python_reference(spark):
+    """PMI == the hand-computed Church & Hanks formula on a small corpus;
+    a recurring collocation outranks a frequent-but-independent pair;
+    min_count suppresses hapax pairs; top_k ranking is deterministic."""
+    import math
+    from collections import Counter
+
+    from spark_timeseries_spark.pipeline.lm import pmi_pairs
+
+    texts = ["new york is big and new york is loud",
+             "the city is big and the city is new"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    toks = [t.split() for t in texts]
+    bg = Counter((w[i], w[i+1]) for w in toks for i in range(len(w) - 1))
+    n = sum(bg.values())
+    la = Counter()
+    rb = Counter()
+    for (a, b), c in bg.items():
+        la[a] += c
+        rb[b] += c
+
+    got = {(r.left, r.right): r
+           for r in pmi_pairs(df, min_count=2).collect()}
+    assert all(v.cnt >= 2 for v in got.values())
+    for (a, b), r in got.items():
+        want = math.log(bg[(a, b)] * n / (la[a] * rb[b]))
+        assert abs(r.pmi - want) < 1e-12, (a, b)
+    assert ("new", "york") in got
+    assert got[("new", "york")].pmi > got[("is", "big")].pmi
+
+    top = pmi_pairs(df, min_count=2, top_k=3).collect()
+    assert len(top) == 3
+    assert top[0].pmi >= top[1].pmi >= top[2].pmi
