@@ -1809,6 +1809,21 @@ def _q_corpus_stats(spark, sf_dir):
     )
 
 
+def _q_outliers(spark, sf_dir):
+    """Per-series outlier flagging (``operators/outliers.py``): z-score
+    variant over the daily grid (the MAD/robust variant is
+    parity-pinned in pytest against numpy); zero-spread and missing
+    cells yield NULL scores on both engines."""
+    from spark_timeseries_spark.operators.outliers import outliers
+
+    out = outliers(_daily_grid(spark, sf_dir), method="zscore", threshold=2.0)
+    return out.select(
+        "key", "loc", "ts", "value",
+        _stable_round(F.col("score"), 6).alias("score"),
+        "is_outlier",
+    )
+
+
 def _q_pmi_pairs(spark, sf_dir):
     """Adjacent-bigram PMI collocations (Church & Hanks 1990 —
     ``pipeline/lm.py::pmi_pairs``): one distinct-bigram shuffle + two
@@ -1996,14 +2011,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ingest path after this round's align.py tiebreak parameter. Past the
     window: the 40 queries r4 just proved green (their rows are the
     freshest in the file) and the remaining r3-green events family; (e)
-    the thirteen operators NEW this round (line dedup, containment,
+    the fourteen operators NEW this round (line dedup, containment,
     incremental-ingest dedup, Zipf slope, distributed BPE training +
     segmentation, rolling std, cross-correlation, interpolated trigram
     LM, per-source corpus stats, embedding covariance, classical
-    seasonal decomposition, PMI collocations) slot in-window
-    immediately, displacing five events-family queries, two model
-    filters and six r3-green stats/layout rows. All 124 are
-    additionally validated locally by
+    seasonal decomposition, PMI collocations, per-series outlier
+    flagging) slot in-window immediately, displacing five events-family
+    queries, two model filters and seven r3-green stats/layout rows.
+    All 125 are additionally validated locally by
     ``tools/check_correctness.py`` (full log committed per round)."""
     return {
         # -- (a) must-prove: r4 red row, never-checked, semantics-moved,
@@ -2047,7 +2062,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "argarch_fit": _q_argarch_fit,
         "holt_winters_fit": _q_holt_winters_fit,
         "fill_spline": _q_fill_spline,
-        "roll_sum_center": _q_roll_sum_center,
         # -- (e) NEW round-5 operators, in-window immediately (no driver
         #        row exists anywhere): line dedup, containment, incremental
         #        ingest dedup, Zipf diagnostic --------------------------------
@@ -2064,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_covariance": _q_embedding_covariance,
         "seasonal_decompose": _q_seasonal_decompose,
         "pmi_pairs": _q_pmi_pairs,
+        "outliers": _q_outliers,
         # ---- driver window (50) ends here ----------------------------------
         # series_stats displaced to slot 51 by seasonal_decompose: its
         # ingest path is equally exercised in-window by roll_std/crosscorr
@@ -2081,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "garch_filter": _q_garch_filter,
         "to_series_digest": _q_to_series_digest,
         "to_observations": _q_to_observations,
+        "roll_sum_center": _q_roll_sum_center,
         "bg_test": _q_bg_test,
         "bp_test": _q_bp_test,
         "lb_test": _q_lb_test,
@@ -4956,6 +4972,25 @@ def oracle_sql() -> dict[str, str]:
                {_sr_sql("COALESCE(tk.n_tokens, 0) / CAST(dc.n_docs AS DOUBLE)",
                         6)} AS avg_doc_tokens
         FROM dc LEFT JOIN tk USING (source)
+    """
+
+    # z-score outliers over the daily grid; zero-spread -> NULL score
+    o["outliers"] = _DAILY_GRID_SQL + f"""
+        , st AS (
+            SELECT key, AVG(value) AS c, stddev(value) AS s
+            FROM grid GROUP BY 1
+        ),
+        sc AS (
+            SELECT g.key, g.loc, g.ts, g.value,
+                   CASE WHEN st.s IS NULL OR st.s = 0 THEN NULL
+                        ELSE (g.value - st.c) / st.s END AS score
+            FROM grid g JOIN st USING (key)
+        )
+        SELECT key, loc, ts, value,
+               {_sr_sql("score", 6)} AS score,
+               CASE WHEN score IS NULL THEN NULL
+                    ELSE abs(score) > 2.0 END AS is_outlier
+        FROM sc
     """
 
     # PMI: bigram counts + slot marginals + the ln formula (bigrams use

@@ -598,3 +598,44 @@ def test_seasonal_decompose_vs_statsmodels_formula(spark):
 
     with _pytest.raises(ValueError, match="period"):
         seasonal_decompose(grid, 1)
+
+
+def test_outliers_zscore_and_mad(spark):
+    """Outlier flagging vs numpy: z-scores match (mean, sample std); MAD
+    scores match the 1.4826-scaled robust formula and still catch the
+    spike that drags the z-score below threshold (masking); zero-spread
+    and NULL cells yield NULL scores."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.outliers import outliers
+
+    base = [10.0, 11.0, 9.0, 10.5, 9.5, 10.0, 10.2, 9.8, 500.0]
+    rows = [("a", i, v) for i, v in enumerate(base)]
+    rows += [("flat", i, 5.0) for i in range(4)]
+    rows += [("gap", 0, 1.0), ("gap", 1, None), ("gap", 2, 3.0)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+
+    z = {(r.key, r.loc): r for r in
+         outliers(df, method="zscore", threshold=3.0).collect()}
+    arr = np.array(base)
+    want = (arr - arr.mean()) / arr.std(ddof=1)
+    for i in range(9):
+        assert abs(z[("a", i)].score - want[i]) < 1e-9
+    # the spike inflates std so much that its own z stays under 3: the
+    # classic masking failure the robust variant exists for
+    assert z[("a", 8)].is_outlier is False
+
+    m = {(r.key, r.loc): r for r in
+         outliers(df, method="mad", threshold=3.5).collect()}
+    med = np.median(arr)
+    madv = np.median(np.abs(arr - med)) * 1.4826022185056018
+    for i in range(9):
+        assert abs(m[("a", i)].score - (arr[i] - med) / madv) < 1e-9
+    assert m[("a", 8)].is_outlier is True          # robust catches it
+    assert m[("flat", 0)].score is None            # zero spread
+    assert m[("gap", 1)].score is None             # missing cell
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="method"):
+        outliers(df, method="iqr")
