@@ -2276,3 +2276,46 @@ def test_pmi_pairs_matches_python_reference(spark):
     top = pmi_pairs(df, min_count=2, top_k=3).collect()
     assert len(top) == 3
     assert top[0].pmi >= top[1].pmi >= top[2].pmi
+
+
+def test_pca_feeds_ann_stack(spark):
+    """The promised composition: pca_project output drops straight into
+    the ANN operators. Full-rank PCA is an isometry (orthogonal rotation
+    of centered data), so exact L2 top-k over the projected space equals
+    exact L2 top-k over the raw space — pinned exactly; and the
+    PQ train/encode/ADC chain runs end-to-end on the projected frame."""
+    import numpy as np
+
+    from spark_timeseries_spark.pipeline.embeddings import (
+        pca_fit,
+        pca_project,
+    )
+    from spark_timeseries_spark.pipeline.pq import (
+        exact_l2_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(17)
+    X = rng.standard_normal((60, 8)) @ np.diag([4, 3, 2, 1, .5, .3, .2, .1])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    m = pca_fit(df, k=8)
+    proj = pca_project(df, m)
+    q_raw = df.where("vec_id < 3")
+    q_prj = proj.where("vec_id < 3")
+
+    raw_top = {(r.qid, r.rank): r.vec_id
+               for r in exact_l2_topk(df, q_raw, k=5).collect()}
+    prj_top = {(r.qid, r.rank): r.vec_id
+               for r in exact_l2_topk(proj, q_prj, k=5,
+                                      vec_col="pca").collect()}
+    assert raw_top == prj_top              # rotation preserves L2
+
+    pq = pq_train(proj, dim=8, m=2, k=4, max_iter=2, vec_col="pca")
+    codes = pq_encode(proj, pq, vec_col="pca")
+    adc = pq_adc_topk(codes, pq, q_prj, k=5, vec_col="pca").collect()
+    assert len(adc) == 15 and all(1 <= r.rank <= 5 for r in adc)
