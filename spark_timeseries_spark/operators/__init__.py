@@ -1,11 +1,24 @@
-from . import align, fill, filters, lag, layout, resample, rolling, sessionize
+from . import (
+    align,
+    decompose,
+    fill,
+    filters,
+    lag,
+    layout,
+    outliers,
+    resample,
+    rolling,
+    sessionize,
+)
 
 __all__ = [
     "align",
+    "decompose",
     "fill",
     "filters",
     "lag",
     "layout",
+    "outliers",
     "resample",
     "rolling",
     "sessionize",

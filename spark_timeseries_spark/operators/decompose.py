@@ -75,8 +75,17 @@ def seasonal_decompose(
         .agg(F.avg("_dt").alias("_sm"))
     )
     wk = Window.partitionBy(key_col)
+    # a seasonal estimate needs every period position to carry at least
+    # one detrended observation (statsmodels raises "x must have 2
+    # complete cycles"; a lazy distributed plan can't raise driver-side,
+    # so short/gappy series get NULL seasonal+resid instead of a
+    # silently mis-centered cycle averaged over partial positions)
     seasonal = smeans.withColumn(
-        "seasonal", F.col("_sm") - F.avg("_sm").over(wk)
+        "seasonal",
+        F.when(
+            F.count("_sm").over(wk) == p,
+            F.col("_sm") - F.avg("_sm").over(wk),
+        ),
     ).select(key_col, "_pos", "seasonal")
     return (
         base.join(seasonal, [key_col, "_pos"], "left")

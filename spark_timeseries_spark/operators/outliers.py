@@ -36,8 +36,12 @@ def outliers(
 ) -> DataFrame:
     """Input columns + ``score`` (signed, in σ-equivalents) +
     ``is_outlier`` (|score| > threshold). Missing values get NULL score
-    and NULL flag (no evidence either way); a zero-spread series (std or
-    MAD = 0) yields NULL scores rather than ±Infinity."""
+    and NULL flag (no evidence either way). Zero scale yields NULL
+    scores rather than ±Infinity — and note MAD collapses to zero
+    whenever MORE THAN HALF the series equals its median (e.g.
+    [5,5,5,5,100] flags nothing), not only for constant series; on
+    corpora with heavy repeated values prefer ``method="zscore"`` or
+    pre-filter the repeats."""
     if method not in ("zscore", "mad"):
         raise ValueError(f"method must be 'zscore' or 'mad', got {method!r}")
     v = F.col(value_col)

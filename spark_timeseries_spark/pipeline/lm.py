@@ -362,11 +362,15 @@ def pmi_pairs(
         .join(rb, "right")
         .crossJoin(F.broadcast(tot))
         .withColumn(
+            # marginals cast to double BEFORE multiplying: at the corpus
+            # scales this module targets, a long*long marginal product can
+            # exceed 2^63 and wrap negative under non-ANSI arithmetic,
+            # silently NULLing the log for exactly the most frequent pairs
             "pmi",
             F.log(
                 F.col("cnt").cast("double")
                 * F.col("_n")
-                / (F.col("_la") * F.col("_rb"))
+                / (F.col("_la").cast("double") * F.col("_rb"))
             ),
         )
         .select("left", "right", "cnt", "pmi")

@@ -213,6 +213,15 @@ class TimeSeriesDataFrame:
 
         return seasonal_decompose(self.df, period)
 
+    def outliers(
+        self, method: str = "mad", threshold: float = 3.5
+    ) -> DataFrame:
+        """Per-series outlier flagging (z-score / robust MAD) —
+        beyond-reference; see :func:`operators.outliers.outliers`."""
+        from .operators.outliers import outliers as _outliers
+
+        return _outliers(self.df, method, threshold)
+
     # -- resampling --------------------------------------------------------
     def resample(
         self,

@@ -639,3 +639,17 @@ def test_outliers_zscore_and_mad(spark):
 
     with _pytest.raises(ValueError, match="method"):
         outliers(df, method="iqr")
+
+
+def test_seasonal_decompose_short_series_nulls(spark):
+    """A series without one full set of trend-bearing period positions
+    gets NULL seasonal/resid (statsmodels raises 'x must have 2 complete
+    cycles'; the distributed plan NULLs instead of silently mis-centering
+    a partial cycle); trend still reports where its window completes."""
+    from spark_timeseries_spark.operators.decompose import seasonal_decompose
+
+    rows = [("s", i, None, float(i)) for i in range(8)]
+    df = spark.createDataFrame(rows, "key string, loc long, ts timestamp, value double")
+    out = seasonal_decompose(df, 7).orderBy("loc").collect()
+    assert all(r.seasonal is None and r.resid is None for r in out)
+    assert sum(r.trend is not None for r in out) == 2  # locs 3, 4
