@@ -4,6 +4,7 @@ from .observations import (
     streaming_dedup_exact,
     streaming_ewma,
     streaming_incremental_dedup,
+    streaming_outliers,
     streaming_resample,
     streaming_token_stats,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "streaming_dedup_exact",
     "streaming_ewma",
     "streaming_incremental_dedup",
+    "streaming_outliers",
     "streaming_resample",
     "streaming_token_stats",
 ]

@@ -228,3 +228,42 @@ def streaming_incremental_dedup(
         .dropDuplicates(["_dig"])
     )
     return out.drop("_dig")
+
+
+def streaming_outliers(
+    stream: DataFrame,
+    stats: DataFrame,
+    threshold: float = 3.5,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming outlier scoring against a STATIC per-key stats snapshot:
+    arriving observations get ``score``/``is_outlier`` from a
+    (key, center, scale) table fitted offline (batch
+    ``operators.outliers`` output, a robust-fit artifact, or any SLA
+    table) — the monitoring half of the batch operator, as a
+    stream-static join + row-local arithmetic (no state store, no
+    watermark needed; refresh the snapshot by replacing the table).
+
+    ``stats`` must carry ``key_col``, ``center`` and ``scale`` columns;
+    keys absent from the snapshot score NULL (no baseline — surface
+    them, don't guess). Zero scale yields NULL, as in the batch twin."""
+    if stats.isStreaming:
+        raise ValueError("stats must be a STATIC frame")
+    for c in ("center", "scale"):
+        if c not in stats.columns:
+            raise ValueError(f"stats is missing the {c!r} column")
+    snap = F.broadcast(stats.select(key_col, "center", "scale"))
+    score = F.try_divide(F.col(value_col) - F.col("center"), F.col("scale"))
+    return (
+        stream.join(snap, key_col, "left")
+        .withColumn("score", score)
+        .withColumn(
+            "is_outlier",
+            F.when(
+                F.col("score").isNotNull(),
+                F.abs(F.col("score")) > float(threshold),
+            ),
+        )
+        .drop("center", "scale")
+    )

@@ -548,3 +548,45 @@ def test_jsonl_roundtrip(spark, tmp_path):
     assert a == b
     import glob
     assert glob.glob(path + "/*.gz")  # compressed parts
+
+
+def test_streaming_outliers_against_snapshot(spark, tmp_path):
+    """Stream-static outlier gate: arriving values score against the
+    offline per-key (center, scale) snapshot; unknown keys and zero
+    scale yield NULL; the spike flags."""
+    import pandas as pd
+
+    from spark_timeseries_spark.streaming import (
+        read_observations_stream,
+        streaming_outliers,
+    )
+
+    stats = spark.createDataFrame(
+        [("a", 10.0, 2.0), ("z", 1.0, 0.0)],
+        "key string, center double, scale double",
+    )
+    src = str(tmp_path / "obs_out")
+    os.makedirs(src)
+    t = pd.Timestamp("2024-01-01").to_pydatetime()
+    rows = [(t, "a", 11.0), (t, "a", 30.0), (t, "z", 9.0), (t, "q", 5.0)]
+    spark.createDataFrame(
+        rows, "ts timestamp, key string, value double"
+    ).write.parquet(src + "/b1")
+
+    stream = read_observations_stream(spark, src + "/*")
+    out = streaming_outliers(stream, stats, threshold=3.0)
+    q = (out.writeStream.format("memory").queryName("so")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.key, r.value): r for r in spark.sql("select * from so").collect()}
+    assert got[("a", 11.0)].is_outlier is False
+    assert got[("a", 30.0)].is_outlier is True     # |30-10|/2 = 10 > 3
+    assert got[("z", 9.0)].score is None           # zero scale
+    assert got[("q", 5.0)].score is None           # no baseline
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="STATIC"):
+        streaming_outliers(stream, stream)
+    with _pytest.raises(ValueError, match="center"):
+        streaming_outliers(stream, stats.select("key", "scale"))
