@@ -1809,6 +1809,23 @@ def _q_corpus_stats(spark, sf_dir):
     )
 
 
+def _q_cusum(spark, sf_dir):
+    """CUSUM change-point summary (Page 1954 —
+    ``operators/cusum.py``): the max(0, ...) recursion as its
+    running-sum-minus-running-min closed form, both shift directions,
+    entirely window functions; per-series peak statistic, first alarm
+    location and peak direction."""
+    from spark_timeseries_spark.operators.cusum import cusum_changepoints
+
+    out = cusum_changepoints(_daily_grid(spark, sf_dir), k=0.25, h=3.0)
+    return out.select(
+        "key",
+        _stable_round(F.col("max_stat"), 6).alias("max_stat"),
+        "alarm_loc",
+        "direction",
+    )
+
+
 def _q_outliers(spark, sf_dir):
     """Per-series outlier flagging (``operators/outliers.py``): z-score
     variant over the daily grid (the MAD/robust variant is
@@ -2011,14 +2028,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ingest path after this round's align.py tiebreak parameter. Past the
     window: the 40 queries r4 just proved green (their rows are the
     freshest in the file) and the remaining r3-green events family; (e)
-    the fourteen operators NEW this round (line dedup, containment,
+    the fifteen operators NEW this round (line dedup, containment,
     incremental-ingest dedup, Zipf slope, distributed BPE training +
     segmentation, rolling std, cross-correlation, interpolated trigram
     LM, per-source corpus stats, embedding covariance, classical
     seasonal decomposition, PMI collocations, per-series outlier
-    flagging) slot in-window immediately, displacing five events-family
-    queries, two model filters and seven r3-green stats/layout rows.
-    All 125 are additionally validated locally by
+    flagging, CUSUM change-point detection) slot in-window immediately,
+    displacing five events-family queries, two model filters and eight
+    r3-green stats/layout/model rows. All 126 are additionally
+    validated locally by
     ``tools/check_correctness.py`` (full log committed per round)."""
     return {
         # -- (a) must-prove: r4 red row, never-checked, semantics-moved,
@@ -2061,7 +2079,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_fit": _q_ewma_fit,
         "argarch_fit": _q_argarch_fit,
         "holt_winters_fit": _q_holt_winters_fit,
-        "fill_spline": _q_fill_spline,
         # -- (e) NEW round-5 operators, in-window immediately (no driver
         #        row exists anywhere): line dedup, containment, incremental
         #        ingest dedup, Zipf diagnostic --------------------------------
@@ -2079,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose": _q_seasonal_decompose,
         "pmi_pairs": _q_pmi_pairs,
         "outliers": _q_outliers,
+        "cusum": _q_cusum,
         # ---- driver window (50) ends here ----------------------------------
         # series_stats displaced to slot 51 by seasonal_decompose: its
         # ingest path is equally exercised in-window by roll_std/crosscorr
@@ -2094,9 +2112,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # untouched beyond the fit.py alias table this round
         "arima_filter": _q_arima_filter,
         "garch_filter": _q_garch_filter,
-        "to_series_digest": _q_to_series_digest,
         "to_observations": _q_to_observations,
         "roll_sum_center": _q_roll_sum_center,
+        "fill_spline": _q_fill_spline,
+        "to_series_digest": _q_to_series_digest,
         "bg_test": _q_bg_test,
         "bp_test": _q_bp_test,
         "lb_test": _q_lb_test,
@@ -4974,6 +4993,46 @@ def oracle_sql() -> dict[str, str]:
         FROM dc LEFT JOIN tk USING (source)
     """
 
+    # CUSUM closed form: running sum minus running min (floored by the
+    # virtual s_0 = 0), both directions, then the per-series summary
+    o["cusum"] = _DAILY_GRID_SQL + f"""
+        , pts AS (
+            SELECT key, loc, value FROM grid WHERE value IS NOT NULL
+        ),
+        st AS (
+            SELECT key, AVG(value) AS m, stddev(value) AS s
+            FROM pts GROUP BY 1
+        ),
+        zz AS (
+            SELECT p.key, p.loc,
+                   CASE WHEN st.s IS NULL OR st.s = 0 THEN NULL
+                        ELSE (p.value - st.m) / st.s END AS z
+            FROM pts p JOIN st USING (key)
+        ),
+        cs AS (
+            SELECT key, loc,
+                   SUM(z - 0.25) OVER w AS sp,
+                   SUM(-z - 0.25) OVER w AS sn
+            FROM zz
+            WINDOW w AS (PARTITION BY key ORDER BY loc
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        g AS (
+            SELECT key, loc,
+                   sp - LEAST(MIN(sp) OVER w, 0) AS gp,
+                   sn - LEAST(MIN(sn) OVER w, 0) AS gn
+            FROM cs
+            WINDOW w AS (PARTITION BY key ORDER BY loc
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT key,
+               {_sr_sql("GREATEST(MAX(gp), MAX(gn))", 6)} AS max_stat,
+               MIN(CASE WHEN gp > 3.0 OR gn > 3.0 THEN loc END) AS alarm_loc,
+               CASE WHEN MAX(gp) >= MAX(gn) THEN 'up' ELSE 'down' END
+                   AS direction
+        FROM g GROUP BY 1
+    """
+
     # z-score outliers over the daily grid; zero-spread -> NULL score
     o["outliers"] = _DAILY_GRID_SQL + f"""
         , st AS (
@@ -5036,7 +5095,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         sc AS (
             SELECT key, pos,
-                   sm - AVG(sm) OVER (PARTITION BY key) AS seasonal
+                   CASE WHEN COUNT(sm) OVER (PARTITION BY key) = 7
+                        THEN sm - AVG(sm) OVER (PARTITION BY key)
+                   END AS seasonal
             FROM sm
         )
         SELECT t.key, t.loc, t.ts, t.value,

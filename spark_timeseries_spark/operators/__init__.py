@@ -1,5 +1,6 @@
 from . import (
     align,
+    cusum,
     decompose,
     fill,
     filters,
@@ -13,6 +14,7 @@ from . import (
 
 __all__ = [
     "align",
+    "cusum",
     "decompose",
     "fill",
     "filters",

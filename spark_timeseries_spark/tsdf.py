@@ -213,6 +213,15 @@ class TimeSeriesDataFrame:
 
         return seasonal_decompose(self.df, period)
 
+    def cusum_changepoints(
+        self, k: float = 0.5, h: float = 5.0, standardize: bool = True
+    ) -> DataFrame:
+        """Per-series CUSUM change-point summary — beyond-reference; see
+        :func:`operators.cusum.cusum_changepoints`."""
+        from .operators.cusum import cusum_changepoints
+
+        return cusum_changepoints(self.df, k, h, standardize=standardize)
+
     def outliers(
         self, method: str = "mad", threshold: float = 3.5
     ) -> DataFrame:

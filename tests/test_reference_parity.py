@@ -653,3 +653,61 @@ def test_seasonal_decompose_short_series_nulls(spark):
     out = seasonal_decompose(df, 7).orderBy("loc").collect()
     assert all(r.seasonal is None and r.resid is None for r in out)
     assert sum(r.trend is not None for r in out) == 2  # locs 3, 4
+
+
+def test_cusum_matches_page_recursion(spark):
+    """The window-function closed form (running sum minus running min,
+    floored by the virtual s_0 = 0) equals Page's recursion
+    g_t = max(0, g_{t-1} + z_t - k) computed in python; a planted mean
+    shift alarms at the right place and direction; a no-shift series
+    stays quiet; missing cells are bridged."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.cusum import (
+        cusum,
+        cusum_changepoints,
+    )
+
+    rng = np.random.default_rng(9)
+    up = np.r_[rng.standard_normal(30) * 0.5,
+               rng.standard_normal(30) * 0.5 + 3.0]
+    quiet = rng.standard_normal(60) * 0.5
+    rows = [("up", i, float(v)) for i, v in enumerate(up)]
+    rows += [("q", i, float(v)) for i, v in enumerate(quiet)]
+    rows += [("gap", 0, 1.0), ("gap", 1, None), ("gap", 2, 2.0),
+             ("gap", 3, 1.5)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+
+    k, h = 0.5, 5.0
+    got = {(r.key, r.loc): r for r in cusum(df, k, h).collect()}
+    for name, series in (("up", up), ("q", quiet)):
+        z = (series - series.mean()) / series.std(ddof=1)
+        gp = gn = 0.0
+        for i, zi in enumerate(z):
+            gp = max(0.0, gp + zi - k)
+            gn = max(0.0, gn - zi - k)
+            r = got[(name, i)]
+            assert abs(r.g_pos - gp) < 1e-9, (name, i)
+            assert abs(r.g_neg - gn) < 1e-9, (name, i)
+
+    cp = {r.key: r for r in cusum_changepoints(df, k, h).collect()}
+    # full-series standardization de-centers BOTH segments of a shifted
+    # series, so either side may alarm first (documented); the peak side
+    # is the shift direction and the statistic is far above threshold
+    assert cp["up"].direction == "up" and cp["up"].alarm_loc is not None
+    assert cp["up"].max_stat > 2 * h
+    assert cp["q"].alarm_loc is None and cp["q"].max_stat < h
+    assert ("gap", 1) not in got                 # null row dropped
+    assert got[("gap", 2)].g_pos is not None     # statistic bridges gaps
+
+    # textbook monitoring form: calibrate on the in-control baseline,
+    # standardize=False — the alarm fires shortly AFTER the shift
+    base_m, base_s = up[:30].mean(), up[:30].std(ddof=1)
+    zrows = [("up", i, float((v - base_m) / base_s))
+             for i, v in enumerate(up)]
+    zdf = spark.createDataFrame(zrows, "key string, loc long, value double")
+    mon = {r.key: r
+           for r in cusum_changepoints(zdf, k, h,
+                                       standardize=False).collect()}
+    assert 30 <= mon["up"].alarm_loc <= 33
+    assert mon["up"].direction == "up"
