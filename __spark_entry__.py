@@ -1809,6 +1809,40 @@ def _q_corpus_stats(spark, sf_dir):
     )
 
 
+def _q_theil_sen(spark, sf_dir):
+    """Theil–Sen robust trend per series (``operators/cusum.py::
+    theil_sen``): median of pairwise slopes + median intercept — the
+    pairwise join is quadratic in SERIES length (the reference's own
+    envelope), keyed per series so the corpus dimension parallelizes."""
+    from spark_timeseries_spark.operators.cusum import theil_sen
+
+    out = theil_sen(_daily_grid(spark, sf_dir))
+    return out.select(
+        "key",
+        _stable_round(F.col("slope"), 6).alias("slope"),
+        _stable_round(F.col("intercept"), 6).alias("intercept"),
+        "n_pairs",
+    )
+
+
+def _q_token_entropy(spark, sf_dir):
+    """Per-document token-distribution profile (``pipeline/vocab.py::
+    token_entropy``): Shannon entropy + hapax ratio over each doc's own
+    frequencies — a scale-free repetition signal; the shuffle carries
+    distinct (doc, token) rows only."""
+    from spark_timeseries_spark.pipeline.vocab import token_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = token_entropy(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_tokens",
+        _stable_round(F.col("entropy"), 6).alias("entropy"),
+        _stable_round(F.col("hapax_ratio"), 6).alias("hapax_ratio"),
+    )
+
+
 def _q_cusum(spark, sf_dir):
     """CUSUM change-point summary (Page 1954 —
     ``operators/cusum.py``): the max(0, ...) recursion as its
@@ -2028,15 +2062,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ingest path after this round's align.py tiebreak parameter. Past the
     window: the 40 queries r4 just proved green (their rows are the
     freshest in the file) and the remaining r3-green events family; (e)
-    the fifteen operators NEW this round (line dedup, containment,
+    the seventeen operators NEW this round (line dedup, containment,
     incremental-ingest dedup, Zipf slope, distributed BPE training +
     segmentation, rolling std, cross-correlation, interpolated trigram
     LM, per-source corpus stats, embedding covariance, classical
     seasonal decomposition, PMI collocations, per-series outlier
-    flagging, CUSUM change-point detection) slot in-window immediately,
-    displacing five events-family queries, two model filters and eight
-    r3-green stats/layout/model rows. All 126 are additionally
-    validated locally by
+    flagging, CUSUM change-point detection, Theil-Sen robust trend,
+    token-entropy profiling) slot in-window immediately, displacing
+    five events-family queries, two model filters and ten r3-green
+    stats/layout/model rows. All 128 are additionally validated
+    locally by
     ``tools/check_correctness.py`` (full log committed per round)."""
     return {
         # -- (a) must-prove: r4 red row, never-checked, semantics-moved,
@@ -2076,8 +2111,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arx_fit": _q_arx_fit,
         "arimax_forecast": _q_arimax_forecast,
         "regression_arima": _q_regression_arima,
-        "ewma_fit": _q_ewma_fit,
-        "argarch_fit": _q_argarch_fit,
         "holt_winters_fit": _q_holt_winters_fit,
         # -- (e) NEW round-5 operators, in-window immediately (no driver
         #        row exists anywhere): line dedup, containment, incremental
@@ -2097,6 +2130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_pairs": _q_pmi_pairs,
         "outliers": _q_outliers,
         "cusum": _q_cusum,
+        "theil_sen": _q_theil_sen,
+        "token_entropy": _q_token_entropy,
         # ---- driver window (50) ends here ----------------------------------
         # series_stats displaced to slot 51 by seasonal_decompose: its
         # ingest path is equally exercised in-window by roll_std/crosscorr
@@ -2114,6 +2149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "garch_filter": _q_garch_filter,
         "to_observations": _q_to_observations,
         "roll_sum_center": _q_roll_sum_center,
+        "ewma_fit": _q_ewma_fit,
+        "argarch_fit": _q_argarch_fit,
         "fill_spline": _q_fill_spline,
         "to_series_digest": _q_to_series_digest,
         "bg_test": _q_bg_test,
@@ -4991,6 +5028,70 @@ def oracle_sql() -> dict[str, str]:
                {_sr_sql("COALESCE(tk.n_tokens, 0) / CAST(dc.n_docs AS DOUBLE)",
                         6)} AS avg_doc_tokens
         FROM dc LEFT JOIN tk USING (source)
+    """
+
+    # Theil-Sen: median of pairwise slopes, median intercept
+    o["theil_sen"] = _DAILY_GRID_SQL + f"""
+        , pts AS (
+            SELECT key, loc, value FROM grid WHERE value IS NOT NULL
+        ),
+        sl AS (
+            SELECT a.key,
+                   (b.value - a.value) / (b.loc - a.loc) AS s
+            FROM pts a JOIN pts b
+              ON a.key = b.key AND a.loc < b.loc
+        ),
+        sm AS (
+            SELECT key, median(s) AS slope,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM sl GROUP BY 1
+        ),
+        ic AS (
+            SELECT p.key, median(p.value - sm.slope * p.loc) AS icpt
+            FROM pts p JOIN sm USING (key) GROUP BY 1
+        ),
+        ks AS (SELECT DISTINCT key FROM grid)
+        SELECT ks.key,
+               {_sr_sql("sm.slope", 6)} AS slope,
+               {_sr_sql("ic.icpt", 6)} AS intercept,
+               COALESCE(sm.n_pairs, 0) AS n_pairs
+        FROM ks
+        LEFT JOIN sm USING (key)
+        LEFT JOIN ic USING (key)
+    """
+
+    # per-doc entropy/hapax profile over the doc's own token frequencies
+    o["token_entropy"] = f"""
+        WITH toks AS (
+            SELECT doc_id, t AS token
+            FROM documents,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS u(t)
+            WHERE t != ''
+        ),
+        c AS (
+            SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY 1, 2
+        ),
+        per AS (
+            SELECT doc_id, SUM(c) AS n, COUNT(*) AS d
+            FROM c GROUP BY 1
+        ),
+        ent AS (
+            SELECT c.doc_id,
+                   -SUM((c.c / CAST(p.n AS DOUBLE))
+                        * ln(c.c / CAST(p.n AS DOUBLE))) AS entropy,
+                   SUM(CASE WHEN c.c = 1 THEN 1 ELSE 0 END)
+                       / CAST(COUNT(*) AS DOUBLE) AS hapax
+            FROM c JOIN per p USING (doc_id)
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n, 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(p.d, 0) AS BIGINT) AS distinct_tokens,
+               {_sr_sql("e.entropy", 6)} AS entropy,
+               {_sr_sql("e.hapax", 6)} AS hapax_ratio
+        FROM documents d
+        LEFT JOIN per p USING (doc_id)
+        LEFT JOIN ent e USING (doc_id)
     """
 
     # CUSUM closed form: running sum minus running min (floored by the

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cusum", "cusum_changepoints"]
+__all__ = ["cusum", "cusum_changepoints", "theil_sen"]
 
 
 def cusum(
@@ -113,4 +113,63 @@ def cusum_changepoints(
         F.when(
             F.max("g_pos") >= F.max("g_neg"), F.lit("up")
         ).otherwise(F.lit("down")).alias("direction"),
+    )
+
+
+def theil_sen(
+    df: DataFrame,
+    key_col: str = "key",
+    loc_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Theil–Sen robust trend per series → (key, slope, intercept,
+    n_pairs): slope = median of all pairwise slopes (29% breakdown
+    point — a few spikes cannot bend it, unlike OLS), intercept =
+    median of ``y − slope·loc``. The pairwise self-join is quadratic in
+    SERIES LENGTH — the reference's own one-series-in-memory envelope
+    (``src/site/markdown/index.md:35-40``), keyed per series so the
+    corpus dimension parallelizes; medians are exact interpolated
+    percentiles (per-series cardinality, not corpus-scale). Series with
+    <2 observations yield NULLs."""
+    pts = df.where(F.col(value_col).isNotNull()).select(
+        key_col,
+        F.col(loc_col).alias("_l"),
+        F.col(value_col).alias("_v"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    pairs = (
+        a.join(b, key_col)
+        .where(F.col("a._l") < F.col("b._l"))
+        .select(
+            key_col,
+            (
+                (F.col("b._v") - F.col("a._v"))
+                / (F.col("b._l") - F.col("a._l"))
+            ).alias("_s"),
+        )
+    )
+    slopes = pairs.groupBy(key_col).agg(
+        F.percentile("_s", F.lit(0.5)).alias("slope"),
+        F.count("*").alias("n_pairs"),
+    )
+    resid = pts.join(slopes, key_col).select(
+        key_col,
+        "slope",
+        "n_pairs",
+        (F.col("_v") - F.col("slope") * F.col("_l")).alias("_r"),
+    )
+    out = resid.groupBy(key_col, "slope", "n_pairs").agg(
+        F.percentile("_r", F.lit(0.5)).alias("intercept")
+    )
+    # anchor on every input series so <2-point series report NULLs
+    return (
+        df.select(key_col)
+        .distinct()
+        .join(out, key_col, "left")
+        .select(
+            key_col,
+            "slope",
+            "intercept",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        )
     )

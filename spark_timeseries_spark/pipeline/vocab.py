@@ -235,3 +235,53 @@ def corpus_stats(
             "avg_doc_tokens"
         ),
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bpe: bool = False,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document token-distribution profile: (id, n_tokens,
+    distinct_tokens, entropy, hapax_ratio).
+
+    ``entropy`` = −Σ (c/n)·ln(c/n) over the document's own token
+    frequencies (natural log): near ln(n_tokens) for fully diverse text,
+    collapsing toward 0 as repetition takes over — a scale-free
+    companion to the Gopher repetition rules. ``hapax_ratio`` = share of
+    distinct tokens occurring exactly once (high for natural prose,
+    low for templates). Zero-token documents report 0 counts and NULL
+    ratios.
+
+    Plan: one explode + (id, token) groupBy with map-side combine, then
+    the per-document aggregation — the shuffle carries one row per
+    distinct (doc, token), not per occurrence."""
+    stream = _token_stream(df, text_col, id_col, bpe, lowercase)
+    counts = stream.groupBy(id_col, "token").agg(F.count("*").alias("_c"))
+    # the doc total rides the same (id) partitioning the final aggregate
+    # shuffles on (window before groupBy, same key — one exchange)
+    wn = Window.partitionBy(id_col)
+    enriched = counts.withColumn("_n", F.sum("_c").over(wn))
+    p = F.col("_c") / F.col("_n")
+    per = enriched.groupBy(id_col).agg(
+        F.first("_n").alias("n_tokens"),
+        F.count("*").alias("distinct_tokens"),
+        (-F.sum(p * F.log(p))).alias("entropy"),
+        F.try_divide(
+            F.sum(F.when(F.col("_c") == 1, 1).otherwise(0)),
+            F.count("*"),
+        ).alias("hapax_ratio"),
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("distinct_tokens", F.lit(0)).alias("distinct_tokens"),
+            "entropy",
+            "hapax_ratio",
+        )
+    )

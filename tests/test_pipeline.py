@@ -2319,3 +2319,27 @@ def test_pca_feeds_ann_stack(spark):
     codes = pq_encode(proj, pq, vec_col="pca")
     adc = pq_adc_topk(codes, pq, q_prj, k=5, vec_col="pca").collect()
     assert len(adc) == 15 and all(1 <= r.rank <= 5 for r in adc)
+
+
+def test_token_entropy_matches_python(spark):
+    """Entropy/hapax profile == the hand formula; repetition drives
+    entropy toward 0 and hapax toward 0; blank docs report 0 counts and
+    NULL ratios."""
+    import math
+    from collections import Counter
+
+    from spark_timeseries_spark.pipeline.vocab import token_entropy
+
+    rows = [(0, "a b c d e f"), (1, "a a a a a b"), (2, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in token_entropy(df).collect()}
+    for d, text in [(0, rows[0][1]), (1, rows[1][1])]:
+        c = Counter(text.split())
+        n = sum(c.values())
+        want = -sum((v / n) * math.log(v / n) for v in c.values())
+        assert abs(got[d].entropy - want) < 1e-12, d
+        assert got[d].hapax_ratio == sum(
+            1 for v in c.values() if v == 1) / len(c)
+    assert got[0].entropy > got[1].entropy
+    assert got[2].n_tokens == 0 and got[2].entropy is None
+    assert got[2].hapax_ratio is None

@@ -711,3 +711,33 @@ def test_cusum_matches_page_recursion(spark):
                                        standardize=False).collect()}
     assert 30 <= mon["up"].alarm_loc <= 33
     assert mon["up"].direction == "up"
+
+
+def test_theil_sen_matches_numpy(spark):
+    """Theil-Sen slope/intercept == the median-of-pairwise-slopes replay;
+    a planted spike barely moves the robust slope while bending OLS;
+    <2-point series report NULLs."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.cusum import theil_sen
+
+    rng = np.random.default_rng(21)
+    x = np.arange(40, dtype=float)
+    y = 2.0 * x + 5.0 + 0.1 * rng.standard_normal(40)
+    y[13] = 500.0                                    # spike
+    rows = [("a", int(i), float(v)) for i, v in zip(x, y)]
+    rows += [("tiny", 0, 1.0)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    got = {r.key: r for r in theil_sen(df).collect()}
+
+    slopes = [(y[j] - y[i]) / (x[j] - x[i])
+              for i in range(40) for j in range(i + 1, 40)]
+    want_slope = float(np.median(slopes))
+    want_icpt = float(np.median(y - want_slope * x))
+    assert abs(got["a"].slope - want_slope) < 1e-9
+    assert abs(got["a"].intercept - want_icpt) < 1e-9
+    assert got["a"].n_pairs == 40 * 39 // 2
+    assert abs(got["a"].slope - 2.0) < 0.01          # spike shrugged off
+    ols = np.polyfit(x, y, 1)[0]
+    assert abs(ols - 2.0) > 0.5                      # OLS bent by it
+    assert got["tiny"].slope is None and got["tiny"].n_pairs == 0
