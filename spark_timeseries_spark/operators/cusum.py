@@ -130,7 +130,13 @@ def theil_sen(
     (``src/site/markdown/index.md:35-40``), keyed per series so the
     corpus dimension parallelizes; medians are exact interpolated
     percentiles (per-series cardinality, not corpus-scale). Series with
-    <2 observations yield NULLs."""
+    <2 observations yield NULLs.
+
+    The input lineage feeds several consumers (both self-join sides, the
+    residual join, the key anchor); on an EXPENSIVE upstream plan,
+    persist the input grid before calling — the lazy builder cannot own
+    a cache lifetime (the ``pretrain_clean`` caller-owns-the-cache
+    rule)."""
     pts = df.where(F.col(value_col).isNotNull()).select(
         key_col,
         F.col(loc_col).alias("_l"),

@@ -222,6 +222,13 @@ class TimeSeriesDataFrame:
 
         return cusum_changepoints(self.df, k, h, standardize=standardize)
 
+    def theil_sen(self) -> DataFrame:
+        """Per-series Theil–Sen robust trend — beyond-reference; see
+        :func:`operators.cusum.theil_sen`."""
+        from .operators.cusum import theil_sen
+
+        return theil_sen(self.df)
+
     def outliers(
         self, method: str = "mad", threshold: float = 3.5
     ) -> DataFrame:
