@@ -338,3 +338,68 @@ def test_dedup_lines_matches_python_reference(spark, docs, min_docs,
            dedup_lines(df, min_docs=min_docs, keep_first=keep_first)
            .collect()}
     assert got == want, (texts, min_docs, keep_first)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 30), st.floats(-100, 100)),
+        min_size=2, max_size=15, unique_by=lambda t: t[0],
+    )
+)
+def test_theil_sen_matches_python_reference(spark, data):
+    """Theil-Sen on randomized (loc, value) sets == the numpy median of
+    pairwise slopes / residual median, including interpolated medians on
+    even pair counts."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.cusum import theil_sen
+
+    rows = [("k", int(l), float(v)) for l, v in data]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    got = theil_sen(df).collect()[0]
+    xs = np.array([l for l, _ in data], dtype=float)
+    ys = np.array([v for _, v in data], dtype=float)
+    slopes = [(ys[j] - ys[i]) / (xs[j] - xs[i])
+              for i in range(len(xs)) for j in range(len(xs)) if xs[i] < xs[j]]
+    want_slope = float(np.median(slopes))
+    want_icpt = float(np.median(ys - want_slope * xs))
+    assert abs(got.slope - want_slope) < 1e-9, data
+    assert abs(got.intercept - want_icpt) < 1e-9, data
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+                 min_size=0, max_size=12),
+        min_size=2, max_size=5,
+    )
+)
+def test_containment_matches_python_sets(spark, docs):
+    """ngram_containment_pairs (count-based) == brute-force python set
+    algebra over distinct 2-gram shingles on randomized corpora."""
+    from spark_timeseries_spark.pipeline.dedup import ngram_containment_pairs
+
+    texts = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r
+           for r in ngram_containment_pairs(df, shingle_n=2,
+                                            threshold=0.0).collect()}
+
+    def sh(ws):
+        return {" ".join(ws[i:i+2]) for i in range(len(ws) - 1)}
+    sets = {i: sh(ws) for i, ws in enumerate(docs)}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] & sets[b]:
+                inter = len(sets[a] & sets[b])
+                want[(a, b)] = (inter / len(sets[a]), inter / len(sets[b]),
+                                inter / len(sets[a] | sets[b]))
+    assert set(got) == set(want), docs
+    for k, (ca, cb, j) in want.items():
+        r = got[k]
+        assert abs(r.containment_a - ca) < 1e-12
+        assert abs(r.containment_b - cb) < 1e-12
+        assert abs(r.jaccard - j) < 1e-12
