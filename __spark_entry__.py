@@ -1809,6 +1809,30 @@ def _q_corpus_stats(spark, sf_dir):
     )
 
 
+def _q_token_divergence(spark, sf_dir):
+    """Corpus drift between two snapshots (``pipeline/vocab.py::
+    token_divergence``): add-k KL both ways + Jensen-Shannon over the
+    union vocabulary, halves of the documents table as the snapshots;
+    one count groupBy per side, a full-outer count join, one scalar
+    aggregation — only count tables move."""
+    from spark_timeseries_spark.pipeline.vocab import token_divergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = token_divergence(
+        docs.where(F.col("doc_id") < 250),
+        docs.where(F.col("doc_id") >= 250),
+        k=0.5,
+    )
+    return out.select(
+        _stable_round(F.col("kl_ab"), 6).alias("kl_ab"),
+        _stable_round(F.col("kl_ba"), 6).alias("kl_ba"),
+        _stable_round(F.col("js"), 6).alias("js"),
+        "vocab_union",
+        "n_a",
+        "n_b",
+    )
+
+
 def _q_theil_sen(spark, sf_dir):
     """Theil–Sen robust trend per series (``operators/cusum.py::
     theil_sen``): median of pairwise slopes + median intercept — the
@@ -2062,16 +2086,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ingest path after this round's align.py tiebreak parameter. Past the
     window: the 40 queries r4 just proved green (their rows are the
     freshest in the file) and the remaining r3-green events family; (e)
-    the seventeen operators NEW this round (line dedup, containment,
+    the eighteen operators NEW this round (line dedup, containment,
     incremental-ingest dedup, Zipf slope, distributed BPE training +
     segmentation, rolling std, cross-correlation, interpolated trigram
     LM, per-source corpus stats, embedding covariance, classical
     seasonal decomposition, PMI collocations, per-series outlier
     flagging, CUSUM change-point detection, Theil-Sen robust trend,
-    token-entropy profiling) slot in-window immediately, displacing
-    five events-family queries, two model filters and ten r3-green
-    stats/layout/model rows. All 128 are additionally validated
-    locally by
+    token-entropy profiling, KL/JS corpus-drift divergence) slot
+    in-window immediately, displacing five events-family queries, two
+    model filters, ten r3-green stats/layout/model rows and one r2-green
+    similarity row. All 129 are additionally validated locally by
     ``tools/check_correctness.py`` (full log committed per round)."""
     return {
         # -- (a) must-prove: r4 red row, never-checked, semantics-moved,
@@ -2098,7 +2122,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": _q_token_count_bpe,
         "fingerprint": _q_fingerprint,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-        "knn_cosine": _q_knn_cosine,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "simhash_near_dups": _q_simhash_near_dups,
@@ -2132,6 +2155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum": _q_cusum,
         "theil_sen": _q_theil_sen,
         "token_entropy": _q_token_entropy,
+        "token_divergence": _q_token_divergence,
         # ---- driver window (50) ends here ----------------------------------
         # series_stats displaced to slot 51 by seasonal_decompose: its
         # ingest path is equally exercised in-window by roll_std/crosscorr
@@ -2151,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roll_sum_center": _q_roll_sum_center,
         "ewma_fit": _q_ewma_fit,
         "argarch_fit": _q_argarch_fit,
+        "knn_cosine": _q_knn_cosine,
         "fill_spline": _q_fill_spline,
         "to_series_digest": _q_to_series_digest,
         "bg_test": _q_bg_test,
@@ -5028,6 +5053,45 @@ def oracle_sql() -> dict[str, str]:
                {_sr_sql("COALESCE(tk.n_tokens, 0) / CAST(dc.n_docs AS DOUBLE)",
                         6)} AS avg_doc_tokens
         FROM dc LEFT JOIN tk USING (source)
+    """
+
+    # corpus drift: smoothed KL/JS over the union vocabulary
+    o["token_divergence"] = f"""
+        WITH ta AS (
+            SELECT t AS token, COUNT(*) AS c
+            FROM documents,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS u(t)
+            WHERE doc_id < 250 AND t != ''
+            GROUP BY 1
+        ),
+        tb AS (
+            SELECT t AS token, COUNT(*) AS c
+            FROM documents,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS u(t)
+            WHERE doc_id >= 250 AND t != ''
+            GROUP BY 1
+        ),
+        j AS (
+            SELECT COALESCE(ta.c, 0) AS ca, COALESCE(tb.c, 0) AS cb
+            FROM ta FULL OUTER JOIN tb USING (token)
+        ),
+        tot AS (
+            SELECT SUM(ca) AS na, SUM(cb) AS nb, COUNT(*) AS v FROM j
+        ),
+        pq AS (
+            SELECT (ca + 0.5) / (tot.na + 0.5 * tot.v) AS p,
+                   (cb + 0.5) / (tot.nb + 0.5 * tot.v) AS q
+            FROM j, tot
+        )
+        SELECT {_sr_sql("SUM(p * ln(p / q))", 6)} AS kl_ab,
+               {_sr_sql("SUM(q * ln(q / p))", 6)} AS kl_ba,
+               {_sr_sql(
+                   "0.5 * SUM(p * ln(p / ((p + q) / 2)))"
+                   " + 0.5 * SUM(q * ln(q / ((p + q) / 2)))", 6)} AS js,
+               (SELECT CAST(v AS BIGINT) FROM tot) AS vocab_union,
+               (SELECT CAST(na AS BIGINT) FROM tot) AS n_a,
+               (SELECT CAST(nb AS BIGINT) FROM tot) AS n_b
+        FROM pq
     """
 
     # Theil-Sen: median of pairwise slopes, median intercept

@@ -285,3 +285,57 @@ def token_entropy(
             "hapax_ratio",
         )
     )
+
+
+def token_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    k: float = 0.5,
+    text_col: str = "text",
+    bpe: bool = False,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots → ONE row
+    (kl_ab, kl_ba, js, vocab_union, n_a, n_b): add-k-smoothed KL
+    divergence both ways plus the symmetric bounded Jensen-Shannon
+    divergence (0 = identical distributions, ln 2 = disjoint) — the
+    standard drift monitor between ingest batches or before/after a
+    cleaning pass ("did the filter change WHAT the corpus says or just
+    how much of it there is?").
+
+    Smoothing: P(t) = (c_a(t) + k) / (N_a + k·V) over the UNION
+    vocabulary V, so tokens private to one side contribute finitely.
+
+    Plan: one token-count groupBy per side (distinct-token shuffles), a
+    full-outer join of the two count tables, one scalar aggregation —
+    the corpus texts are each scanned once and only count tables move."""
+    ca = token_counts(df_a, text_col, bpe, lowercase).withColumnRenamed(
+        "cnt", "_ca"
+    )
+    cb = token_counts(df_b, text_col, bpe, lowercase).withColumnRenamed(
+        "cnt", "_cb"
+    )
+    j = ca.join(cb, "token", "full_outer").select(
+        F.coalesce("_ca", F.lit(0)).alias("_ca"),
+        F.coalesce("_cb", F.lit(0)).alias("_cb"),
+    )
+    tot = j.agg(
+        F.sum("_ca").alias("_na"),
+        F.sum("_cb").alias("_nb"),
+        F.count("*").alias("_v"),
+    )
+    kf = float(k)
+    p = (F.col("_ca") + kf) / (F.col("_na") + kf * F.col("_v"))
+    q = (F.col("_cb") + kf) / (F.col("_nb") + kf * F.col("_v"))
+    m = (p + q) / 2
+    out = j.crossJoin(F.broadcast(tot)).agg(
+        F.sum(p * F.log(p / q)).alias("kl_ab"),
+        F.sum(q * F.log(q / p)).alias("kl_ba"),
+        (
+            0.5 * F.sum(p * F.log(p / m)) + 0.5 * F.sum(q * F.log(q / m))
+        ).alias("js"),
+        F.first("_v").alias("vocab_union"),
+        F.first("_na").alias("n_a"),
+        F.first("_nb").alias("n_b"),
+    )
+    return out

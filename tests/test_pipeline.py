@@ -2343,3 +2343,46 @@ def test_token_entropy_matches_python(spark):
     assert got[0].entropy > got[1].entropy
     assert got[2].n_tokens == 0 and got[2].entropy is None
     assert got[2].hapax_ratio is None
+
+
+def test_token_divergence_matches_python(spark):
+    """KL/JS drift == the hand formula over the union vocabulary with
+    add-k smoothing; identical corpora diverge ~0; disjoint corpora
+    approach JS = ln 2; KL is asymmetric, JS symmetric and bounded."""
+    import math
+    from collections import Counter
+
+    from spark_timeseries_spark.pipeline.vocab import token_divergence
+
+    a_txt = ["the cat sat on the mat", "the dog ran"]
+    b_txt = ["the cat sat on a rug", "a bird flew far away today"]
+    da = spark.createDataFrame([(i, t) for i, t in enumerate(a_txt)],
+                               "doc_id long, text string")
+    db = spark.createDataFrame([(i, t) for i, t in enumerate(b_txt)],
+                               "doc_id long, text string")
+    k = 0.5
+    got = token_divergence(da, db, k=k).collect()[0]
+
+    ca = Counter(t for s in a_txt for t in s.split())
+    cb = Counter(t for s in b_txt for t in s.split())
+    vocab = set(ca) | set(cb)
+    na, nb, v = sum(ca.values()), sum(cb.values()), len(vocab)
+    kl_ab = kl_ba = js = 0.0
+    for t in vocab:
+        p = (ca[t] + k) / (na + k * v)
+        q = (cb[t] + k) / (nb + k * v)
+        m = (p + q) / 2
+        kl_ab += p * math.log(p / q)
+        kl_ba += q * math.log(q / p)
+        js += 0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)
+    assert abs(got.kl_ab - kl_ab) < 1e-12
+    assert abs(got.kl_ba - kl_ba) < 1e-12
+    assert abs(got.js - js) < 1e-12
+    assert got.vocab_union == v and got.n_a == na and got.n_b == nb
+
+    same = token_divergence(da, da).collect()[0]
+    assert abs(same.js) < 1e-12 and abs(same.kl_ab) < 1e-12
+    dx = spark.createDataFrame([(0, "zz qq ww " * 50)],
+                               "doc_id long, text string")
+    far = token_divergence(da, dx, k=0.01).collect()[0]
+    assert 0.5 < far.js <= math.log(2) + 1e-9
