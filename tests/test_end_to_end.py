@@ -388,3 +388,49 @@ def test_to_instants_width_guard(spark, obs, index):
             assert k not in got
         else:
             assert got[k] == row[k]
+
+
+def test_readme_pipeline_example_runs(spark):
+    """The README's composed training-data pipeline, nearly verbatim, on
+    the real sf0.001 documents table: gates + rewrites + near-dup
+    cluster resolution + BPE + packing + drift + perplexity all chain
+    off one another and produce sane shapes."""
+    from spark_timeseries_spark.pipeline import (
+        bpe,
+        clean,
+        dedup,
+        lm,
+        packing,
+        vocab,
+    )
+    from spark_timeseries_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n_docs = docs.count()
+
+    with clean.pretrain_clean(
+        docs,
+        min_quality=0.0,
+        min_compression_ratio=0.05,
+        dedup_paragraph=True,
+        remove_span_grams=20,
+        persist_intermediate=True,
+    ) as cleaned:
+        pairs = dedup.dedup_minhash_lsh(cleaned, threshold=0.8,
+                                        num_hashes=32, bands=8)
+        kept = dedup.keep_cluster_representatives(cleaned, pairs)
+        n_kept = kept.count()
+        assert 0 < n_kept <= n_docs
+
+        merges = bpe.bpe_train(kept, n_merges=4)
+        assert len(merges.merges) == 4
+
+        packed = packing.pack_sequences(kept, seq_len=512)
+        offs = packed.orderBy("offset").collect()
+        assert offs[0].offset == 0 and len(offs) == n_kept
+
+        drift = vocab.token_divergence(docs, kept).collect()[0]
+        assert drift.js >= 0.0 and drift.vocab_union > 0
+
+        ppl = lm.score_perplexity(kept, lm.train_bigram_lm(docs))
+        assert ppl.where("perplexity > 0").count() == ppl.count() > 0
