@@ -1396,8 +1396,8 @@ def _q_dup_spans(spark, sf_dir):
     out = duplicated_span_stats(docs, n=8, hash_fn="md5_60")
     return out.select(
         "doc_id",
-        "n_tokens",
-        "dup_tokens",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("dup_tokens").cast("long").alias("dup_tokens"),
         F.when(F.col("n_tokens") == 0, F.lit(0))
         .otherwise(
             F.expr("CAST(dup_tokens AS BIGINT) * 1000000 div n_tokens")
@@ -4397,8 +4397,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM grams g JOIN dup USING (gh)
             ) GROUP BY 1
         )
-        SELECT t.doc_id, len(t.ts) AS n_tokens,
-               COALESCE(c.dup_tokens, 0) AS dup_tokens,
+        SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
                CAST(CASE WHEN len(t.ts) = 0 THEN 0
                     ELSE (CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) * 1000000)
                          // CAST(len(t.ts) AS BIGINT)
@@ -4922,8 +4922,7 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN sxx = 0 THEN NULL
                     ELSE {_sr_sql("my - (sxy / sxx) * mx", 6)} END
                    AS intercept,
-               CASE WHEN sxx = 0 THEN NULL
-                    WHEN syy = 0 THEN 1.0
+               CASE WHEN sxx = 0 OR syy = 0 THEN NULL
                     ELSE {_sr_sql("sxy * sxy / (sxx * syy)", 6)}
                END AS r2,
                CAST(n_ranks AS BIGINT) AS n_ranks
@@ -5193,7 +5192,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT key,
                {_sr_sql("GREATEST(MAX(gp), MAX(gn))", 6)} AS max_stat,
                MIN(CASE WHEN gp > 3.0 OR gn > 3.0 THEN loc END) AS alarm_loc,
-               CASE WHEN MAX(gp) >= MAX(gn) THEN 'up' ELSE 'down' END
+               CASE WHEN MAX(gp) IS NULL OR MAX(gn) IS NULL THEN NULL
+                    WHEN MAX(gp) >= MAX(gn) THEN 'up' ELSE 'down' END
                    AS direction
         FROM g GROUP BY 1
     """

@@ -102,7 +102,9 @@ def cusum_changepoints(
     """Per-series summary → (key, max_stat, alarm_loc, direction):
     the peak one-sided statistic, the FIRST location where either side
     crosses ``h`` (NULL if never), and which side peaked ("up"/"down",
-    ties to "up"). One aggregation over the per-point frame."""
+    ties to "up"; NULL when the statistics themselves are NULL —
+    zero-variance or single-point series — rather than a spurious
+    "down")."""
     pts = cusum(df, k, h, key_col, loc_col, value_col, standardize)
     first_alarm = F.min(
         F.when(F.col("alarm"), F.col(loc_col))
@@ -110,9 +112,10 @@ def cusum_changepoints(
     return pts.groupBy(key_col).agg(
         F.greatest(F.max("g_pos"), F.max("g_neg")).alias("max_stat"),
         first_alarm,
-        F.when(
-            F.max("g_pos") >= F.max("g_neg"), F.lit("up")
-        ).otherwise(F.lit("down")).alias("direction"),
+        F.when(F.max("g_pos").isNull() | F.max("g_neg").isNull(), F.lit(None))
+        .when(F.max("g_pos") >= F.max("g_neg"), F.lit("up"))
+        .otherwise(F.lit("down"))
+        .alias("direction"),
     )
 
 

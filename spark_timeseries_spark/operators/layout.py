@@ -185,7 +185,14 @@ def to_indexed_row_matrix(
     the (uniform) index — the reference computes it as
     ``frequency.difference(start, ts)``, which is exactly our ``loc`` —
     columns = series in sorted-key order. The bridge to MLlib's distributed
-    matrix statistics (PCA, SVD, column similarities)."""
+    matrix statistics (PCA, SVD, column similarities).
+
+    Scale envelope: the returned object is an MLlib type, and PySpark's
+    MLlib bridge requires a Python RDD of ``Vector`` rows — acceptable
+    here ONLY because the instants grid is bounded (index length × a
+    width-guarded series count), unlike the corpus-sized embedding path
+    (see ``pipeline/embeddings._moment_partials`` for the Arrow-batched
+    pattern used when the input is unbounded)."""
     from pyspark.mllib.linalg.distributed import IndexedRow, IndexedRowMatrix
 
     from ..index import UniformDateTimeIndex

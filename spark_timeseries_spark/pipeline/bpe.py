@@ -44,14 +44,21 @@ SEP = "\x1f"
 
 @dataclass
 class BPEModel:
-    """Ordered merge list; ``merges[i] = (left, right)`` applied i-th."""
+    """Ordered merge list; ``merges[i] = (left, right)`` applied i-th.
+    ``alphabet`` is the training corpus's base symbol set (characters +
+    EOW), captured by :func:`bpe_train` so :attr:`vocab` is the FULL
+    tokenizer vocabulary — base symbols that never took part in a merge
+    included. A hand-built model with an empty ``alphabet`` degrades to
+    the merge-derived symbols only."""
 
     merges: list[tuple[str, str]] = field(default_factory=list)
     pair_counts: list[int] = field(default_factory=list)
+    alphabet: list[str] = field(default_factory=list)
 
     @property
     def vocab(self) -> set[str]:
-        out = {a + b for a, b in self.merges}
+        out = set(self.alphabet)
+        out.update(a + b for a, b in self.merges)
         for a, b in self.merges:
             out.add(a)
             out.add(b)
@@ -166,7 +173,16 @@ def bpe_train(
     types_df = word_type_table(df, text_col, lowercase).localCheckpoint(
         eager=True
     )
-    model = BPEModel()
+    # base alphabet: distinct initial symbols (chars + EOW) — one
+    # explode+distinct over the vocabulary-sized type table, bounded by
+    # alphabet size at the driver
+    alphabet = sorted(
+        r["sym"]
+        for r in types_df.select(
+            F.explode("syms").alias("sym")
+        ).distinct().collect()
+    )
+    model = BPEModel(alphabet=alphabet)
     since_ckpt = 0
     for _ in range(int(n_merges)):
         top = (

@@ -940,6 +940,13 @@ def dedup_lines(
     untouched, unlike the paragraph operator's keep-first-everywhere).
     Output: (id, text, n_lines, removed_lines); rebuilt with ``\\n``.
 
+    Normalization (dedup_paragraphs-family semantics): every document is
+    rebuilt from its TRIMMED non-empty lines — leading/trailing
+    whitespace per line and blank lines disappear even when nothing was
+    deduplicated, and ``n_lines``/``removed_lines`` count non-empty
+    lines only (dropped blank lines are normalization, not removal, and
+    are not counted in ``removed_lines``).
+
     Scale shape mirrors :func:`dedup_paragraphs`: row-local split, ONE
     partially-aggregated groupBy per line hash carrying (distinct-doc
     count, min (doc, pos)) — map-side combine collapses a corpus-viral

@@ -6,10 +6,12 @@ rotation that spreads energy across subspaces (the observation behind OPQ,
 Ge et al. 2014; plain PCA is its standard cheap approximation). This module
 keeps the heavy pass distributed and the tiny algebra on the driver:
 
-- **Covariance** (:func:`embedding_covariance`): MLlib ``RowMatrix
-  .computeCovariance()`` — the JVM-distributed one-pass moment
-  aggregation (no dim²-per-row explode, no Python); result is a dim×dim
-  local matrix (driver-small by construction).
+- **Covariance** (:func:`embedding_covariance`): one Arrow-batched
+  ``mapInPandas`` pass emits a single (n, Σx, XᵀX) moment partial per
+  partition (numpy GEMM per Arrow batch — no per-row Python pickling,
+  no dim²-per-row explode); partials reduce through one map-side-combined
+  ``groupBy`` (1+d+d² groups total), so only the dim×dim result reaches
+  the driver regardless of corpus size.
 - **PCA fit** (:func:`pca_fit`): eigendecomposition of that covariance on
   the driver (numpy ``eigh`` — dim×dim, microseconds), eigenvectors
   sign-fixed (largest-|component| coordinate made positive) so the model
@@ -38,24 +40,73 @@ __all__ = [
 ]
 
 
-def _row_matrix(df: DataFrame, vec_col: str):
-    from pyspark.mllib.linalg import Vectors
-    from pyspark.mllib.linalg.distributed import RowMatrix
+def _moment_partials(df: DataFrame, vec_col: str) -> DataFrame:
+    """One flattened moment vector ``[n, Σx (d), XᵀX (d·d)]`` per
+    partition, computed as a numpy GEMM over each Arrow batch — the
+    whole corpus crosses into Python exactly once, in columnar batches
+    (never per-row pickling), and each partition's output is a single
+    (1+d+d²)-length array regardless of its row count."""
+    import pandas as pd
 
-    rows = df.select(F.col(vec_col).cast("array<double>").alias("v")).rdd.map(
-        lambda r: Vectors.dense(r.v)
+    vdf = df.select(F.col(vec_col).cast("array<double>").alias("v"))
+
+    def part(batches):
+        n = 0
+        s = g = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["v"].tolist(), dtype=np.float64)
+            n += x.shape[0]
+            cs, cg = x.sum(axis=0), x.T @ x
+            s = cs if s is None else s + cs
+            g = cg if g is None else g + cg
+        if n:
+            yield pd.DataFrame(
+                {"m": [[float(n), *s.tolist(), *g.ravel().tolist()]]}
+            )
+
+    return vdf.mapInPandas(part, "m array<double>")
+
+
+def _moments(df: DataFrame, vec_col: str):
+    """(n, Σx, XᵀX) of the embedding matrix. Partials reduce through one
+    posexplode + map-side-combined groupBy (1+d+d² groups in total), so
+    the driver receives ~d² scalars however many partitions fed in."""
+    rows = (
+        _moment_partials(df, vec_col)
+        .select(F.posexplode("m").alias("k", "val"))
+        .groupBy("k")
+        .agg(F.sum("val").alias("val"))
+        .collect()
     )
-    return RowMatrix(rows)
+    if not rows:
+        raise ValueError("empty input: no embedding rows")
+    vals = {r["k"]: r["val"] for r in rows}
+    n = int(vals[0])
+    d = int(round((-1 + (1 + 4 * (len(vals) - 1)) ** 0.5) / 2))
+    s = np.array([vals[1 + i] for i in range(d)])
+    gram = np.array([vals[1 + d + i] for i in range(d * d)]).reshape(d, d)
+    return n, s, gram
+
+
+def _covariance(n: int, s: np.ndarray, gram: np.ndarray) -> np.ndarray:
+    if n < 2:
+        raise ValueError("need at least 2 rows for sample covariance")
+    cov = (gram - np.outer(s, s) / n) / (n - 1)
+    return (cov + cov.T) / 2.0  # enforce exact symmetry for eigh
 
 
 def embedding_covariance(
     df: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:
     """Sample covariance of the embedding matrix → (i, j, cov) rows,
-    0-based coordinates, unbiased (n−1) normalization (MLlib's
-    convention). The distributed pass is MLlib's Gramian aggregation;
-    only the dim×dim result touches the driver."""
-    cov = _row_matrix(df, vec_col).computeCovariance().toArray()
+    0-based coordinates, unbiased (n−1) normalization (matching
+    ``covar_samp``). The distributed pass is the Arrow-batched moment
+    aggregation of :func:`_moment_partials`; only the dim×dim result
+    touches the driver."""
+    n, s, gram = _moments(df, vec_col)
+    cov = _covariance(n, s, gram)
     spark = df.sparkSession
     rows = [
         (i, j, float(cov[i, j]))
@@ -81,21 +132,16 @@ class PCAModel:
 
 
 def pca_fit(df: DataFrame, k: int, vec_col: str = "embedding") -> PCAModel:
-    """Top-k PCA from the distributed covariance: one MLlib pass for the
-    moments, ``numpy.linalg.eigh`` on the dim×dim matrix driver-side.
-    Sign convention: each eigenvector's largest-|coordinate| entry is
-    made positive — eigensolvers are sign-ambiguous and an unfixed sign
-    makes the model non-replayable across runs/platforms."""
-    rm = _row_matrix(df, vec_col)
-    # two MLlib actions (covariance, summary stats) share one cached RDD —
-    # uncached, the DataFrame→Vectors map would re-deserialize every row
-    # twice, doubling the dominant pass
-    rm.rows.cache()
-    try:
-        cov = rm.computeCovariance().toArray()
-        mean = rm.computeColumnSummaryStatistics().mean()
-    finally:
-        rm.rows.unpersist()
+    """Top-k PCA from the distributed covariance: one Arrow-batched
+    moment pass (covariance AND mean come from the same (n, Σx, XᵀX)
+    partials — a single scan), ``numpy.linalg.eigh`` on the dim×dim
+    matrix driver-side. Sign convention: each eigenvector's
+    largest-|coordinate| entry is made positive — eigensolvers are
+    sign-ambiguous and an unfixed sign makes the model non-replayable
+    across runs/platforms."""
+    n, s, gram = _moments(df, vec_col)
+    cov = _covariance(n, s, gram)
+    mean = s / n
     dim = cov.shape[0]
     if not (1 <= k <= dim):
         raise ValueError(f"need 1 <= k <= dim ({dim}), got {k}")

@@ -89,6 +89,7 @@ def save_bpe(model, path: str) -> None:
     _write(path, "bpe", {
         "merges": [list(m) for m in model.merges],
         "pair_counts": model.pair_counts,
+        "alphabet": list(model.alphabet),
     })
 
 
@@ -99,4 +100,5 @@ def load_bpe(path: str):
     return BPEModel(
         merges=[tuple(m) for m in d["merges"]],
         pair_counts=[int(c) for c in d["pair_counts"]],
+        alphabet=[str(s) for s in d.get("alphabet", [])],
     )

@@ -151,6 +151,12 @@ def zipf_slope(
     deterministic (cnt DESC, token) tie-break; the regression is a
     closed-form moment aggregate per group — no Python, no global sort.
     With ``group_col=None`` the whole corpus is one stratum ``"_all"``.
+
+    Degenerate strata yield NULL, never a masking constant: a single
+    rank (zero x-variance) NULLs all three statistics, and all-equal
+    top-r counts (zero RESPONSE variance — a uniform/template stratum,
+    slope 0, exactly what the diagnostic exists to flag) NULLs ``r2``
+    rather than reporting a vacuous 1.0.
     """
     gc = group_col
     stream = _token_stream(df, text_col, gc, bpe, lowercase)
@@ -186,8 +192,7 @@ def zipf_slope(
         F.col(gc).alias(group_col if group_col else "grp"),
         slope.alias("slope"),
         (F.col("_my") - slope * F.col("_mx")).alias("intercept"),
-        F.when(F.col("_sxx") == 0, F.lit(None))
-        .when(F.col("_syy") == 0, F.lit(1.0))
+        F.when((F.col("_sxx") == 0) | (F.col("_syy") == 0), F.lit(None))
         .otherwise(F.col("_sxy") * F.col("_sxy") / (F.col("_sxx") * F.col("_syy")))
         .alias("r2"),
         "n_ranks",

@@ -1884,7 +1884,9 @@ def test_incremental_dedup_exact_and_lsh(spark):
 def test_zipf_slope_closed_form(spark):
     """The OLS moments reproduce numpy's polyfit on a constructed corpus
     whose token frequencies are exactly Zipfian (freq = 600/rank ->
-    slope -1, r2 1); a uniform-frequency stratum yields slope 0."""
+    slope -1, r2 1); a uniform-frequency stratum yields slope 0 with
+    NULL r2 (zero response variance — the conventional undefined case,
+    not a masking 1.0)."""
     import numpy as np
 
     from spark_timeseries_spark.pipeline.vocab import zipf_slope
@@ -1904,7 +1906,7 @@ def test_zipf_slope_closed_form(spark):
     assert abs(out["z"].slope - want_slope) < 1e-9
     assert abs(out["z"].intercept - want_icpt) < 1e-9
     assert out["z"].r2 > 0.999 and out["z"].n_ranks == 12
-    assert abs(out["u"].slope) < 1e-9 and out["u"].r2 == 1.0
+    assert abs(out["u"].slope) < 1e-9 and out["u"].r2 is None
 
     whole = zipf_slope(df, group_col=None, top_r=12).collect()
     assert len(whole) == 1 and whole[0].grp == "_all"

@@ -436,3 +436,28 @@ def test_incremental_dedup_ships_digests_not_text(spark):
     # any anti-join-feeding exchange's output schema
     for m in re.finditer(r"Exchange hashpartitioning\(_dig[^\n]*", p):
         assert "text" not in m.group(0), m.group(0)
+
+
+def test_embedding_moments_arrow_batched_no_python_rdd(spark):
+    """The covariance/PCA moment pass must be Arrow-batched
+    (MapInPandas), never a per-row Python RDD round-trip (the
+    ``Scan ExistingRDD`` signature of ``df.rdd.map``) — at 100 TB of
+    embeddings a per-row pickle pass costs more than the Gramian
+    itself. The partial reduce is one map-side-combined hash
+    aggregation, no global sort."""
+    from spark_timeseries_spark.pipeline.embeddings import _moment_partials
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i) + 1.0, 2.0]) for i in range(16)],
+        "vec_id long, embedding array<double>",
+    )
+    reduced = (
+        _moment_partials(df, "embedding")
+        .select(F.posexplode("m").alias("k", "val"))
+        .groupBy("k")
+        .agg(F.sum("val").alias("val"))
+    )
+    p = _plan(reduced)
+    assert "MapInPandas" in p, p
+    assert "ExistingRDD" not in p.replace("Scan ExistingRDD[vec_id", ""), p
+    assert "Exchange rangepartitioning" not in p, p

@@ -46,6 +46,22 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     if list(g.columns) != list(w.columns):
         problems.append(f"columns spark={list(g.columns)} duckdb={list(w.columns)}")
         return problems
+    # Strict-dtype gate: the driver hashes value REPRESENTATIONS, so an
+    # integer column on one side vs a float column on the other (the DuckDB
+    # HUGEINT->float64 class: SUM(BIGINT) comes back 3.0 against Spark's 3)
+    # hash-mismatches even when every value is bit-identical. The tolerant
+    # float compare below would mask it — fail it here instead.
+    for c in g.columns:
+        gi = pd.api.types.is_integer_dtype(g[c])
+        wi = pd.api.types.is_integer_dtype(w[c])
+        gf = pd.api.types.is_float_dtype(g[c])
+        wf = pd.api.types.is_float_dtype(w[c])
+        if (gi and wf) or (gf and wi):
+            problems.append(
+                f"col {c}: dtype class mismatch spark={g[c].dtype} "
+                f"duckdb={w[c].dtype} (int-vs-float hashes differently on "
+                f"the driver even when values are equal)"
+            )
     if len(g) != len(w):
         return problems
     for c in g.columns:
