@@ -2063,127 +2063,136 @@ def _q_linear_score(spark, sf_dir):
     )
 
 
+_HYBRID_IRREG = ["2024-01-10", "2024-01-12", "2024-01-15"]
+
+
+def _q_rebase_hybrid(spark, sf_dir):
+    """Rebase onto a HYBRID target index (``DateTimeIndex.scala:434-553``;
+    ``RebaseSuite.scala:31-200``'s hybrid cases): uniform[Jan 3..7] ⊕
+    irregular[10,12,15] ⊕ uniform[Jan 20..23] with prefix-sum loc
+    offsets. Exercises ``HybridDateTimeIndex.to_df`` (sub-index union
+    with offsets) through the same single join plan as the
+    uniform/irregular rebases — the reference's per-pair rebaser
+    specializations collapse into one declarative path."""
+    from spark_timeseries_spark.operators import align as align_ops
+
+    idx = sts.hybrid(
+        [
+            sts.uniform("2024-01-03", 5, sts.DayFrequency(1)),
+            sts.irregular(_HYBRID_IRREG),
+            sts.uniform("2024-01-20", 4, sts.DayFrequency(1)),
+        ]
+    )
+    keys = events_observations(spark, sf_dir).select("key")
+    return align_ops.with_index(_daily_grid(spark, sf_dir), idx, keys_df=keys)
+
+
+def _q_union_series(spark, sf_dir):
+    """First-non-missing coalesce of same-index series into one
+    (``TimeSeriesUtils.scala:30-45``): per instant the lowest-key series
+    with a value wins. One struct-min aggregation — the priority scan as
+    a map-side-combined shuffle on loc."""
+    from spark_timeseries_spark.operators.align import union_series
+
+    return union_series(_daily_grid(spark, sf_dir))
+
+
+def _q_lags_custom(spark, sf_dir):
+    """Per-series lag map (``TimeSeries.scala:86-148``): series '1' keeps
+    its original only, series '2' contributes lag1/lag2 copies without
+    the original; the shared index trims by the global max lag (2)."""
+    from spark_timeseries_spark.operators.lag import lags_per_key
+
+    grid = _daily_grid(spark, sf_dir)
+    return lags_per_key(grid, {"1": (True, 0), "2": (False, 2)})
+
+
+def _q_stats_suite(spark, sf_dir):
+    """All six §2.10 statistical tests re-proved in ONE driver row
+    (``TimeSeriesStatisticalTests.scala:209-431``): ADF(1,'c'), KPSS('c'),
+    Durbin-Watson, Ljung-Box(2), Breusch-Godfrey(2), Breusch-Pagan —
+    six per-key aggregates joined on key. χ²(2) survival is closed-form
+    (``exp(-stat/2)``, exactly our ``chi2_sf`` at df=2), so the LB/BG
+    p-values replay in SQL from the rounded statistics; ADF's MacKinnon
+    interpolation and BP's χ²(1) (needs erfc) stay pytest-covered."""
+    from spark_timeseries_spark.models import test_series
+
+    obs = events_observations(spark, sf_dir)
+    lb = test_series(obs, "ljung_box", order_col="ts", max_lag=2).select(
+        "key", _stable_round(F.col("stat"), 6).alias("lb2_stat")
+    )
+    lb = lb.withColumn(
+        "lb2_p", _stable_round(F.exp(-F.col("lb2_stat") / 2), 6)
+    )
+    bg = _q_bg_test(spark, sf_dir).withColumn(
+        "bg_p", _stable_round(F.exp(-F.col("bg_stat") / 2), 6)
+    )
+    out = (
+        _q_adf_test(spark, sf_dir)
+        .join(_q_kpss_test(spark, sf_dir), "key")
+        .join(_q_dw_test(spark, sf_dir), "key")
+        .join(lb, "key")
+        .join(bg, "key")
+        .join(_q_bp_test(spark, sf_dir), "key")
+    )
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
-    the first 50 entries. Window policy (round 5, per the r4 verdict's
-    rotation plan): (a) the six must-prove rows — ``dup_spans`` (r4's one
-    red row, now emitting an integer micro-ratio so the float-hash
-    sensitivity class is gone), the three queries that have never had a
-    driver row (``dedup_paragraphs``, ``url_stats``, ``pq_recall``),
-    ``filter_by_instant`` (NULL-predicate semantics changed after its
-    only r3 row, commit 75a7745), and the NEW ``ivfpq_topk`` composed
-    two-level ANN query (r4 verdict item #3); (b) queries whose code
-    paths this round touches — SemDeDup hot-cluster hardening
-    (semantic_dedup, kmeans_assign), pretrain_clean's new paragraph/span
-    gates, the MinHash band-validation guard (minhash_lsh_dedup), the
-    packing epoch tiebreak (pack_sequences, mixture_epochs), the
-    dup-span family (remove_dup_spans), plus ``video_frames`` (displaced
-    in r4, decode plumbing unproven by a driver row since r3); (c) the
-    twelve documents/embeddings queries whose newest driver rows are
-    r1/r2-era — the oldest green rows in the file; (d) the thirteen
-    model-family queries (newest rows r3) and six stats/layout r3 rows;
-    (e) five events-family r3 rows re-proving the from_observations
-    ingest path after this round's align.py tiebreak parameter. Past the
-    window: the 40 queries r4 just proved green (their rows are the
-    freshest in the file) and the remaining r3-green events family; (e)
-    the eighteen operators NEW this round (line dedup, containment,
-    incremental-ingest dedup, Zipf slope, distributed BPE training +
-    segmentation, rolling std, cross-correlation, interpolated trigram
-    LM, per-source corpus stats, embedding covariance, classical
-    seasonal decomposition, PMI collocations, per-series outlier
-    flagging, CUSUM change-point detection, Theil-Sen robust trend,
-    token-entropy profiling, KL/JS corpus-drift divergence) slot
-    in-window immediately, displacing five events-family queries, two
-    model filters, ten r3-green stats/layout/model rows and one r2-green
-    similarity row. All 129 are additionally validated locally by
+    the first 50 entries. Window policy (round 6, per the r5 verdict's
+    rotation plan): (a) must-prove rows — ``dup_spans`` (red in r4 AND r5
+    on the DuckDB HUGEINT→float64 representation class; both sides now
+    CAST to BIGINT and the local checker gained a strict-dtype gate),
+    ``embedding_covariance`` (the moment pass was rewritten from a
+    per-row Python RDD map to an Arrow-batched mapInPandas Gramian),
+    and the four rows whose semantics moved this round with their
+    oracles (``cusum`` NULL direction on degenerate series,
+    ``zipf_slope`` NULL r2 on zero response variance, the BPE pair after
+    the model gained its training alphabet); (b) the four queries NEW
+    this round, never driver-checked — ``rebase_hybrid`` (the hybrid
+    source/target index path, r5 verdict item 6), ``union_series``
+    (TimeSeriesUtils.union coalesce-merge, item 7), ``lags_custom``
+    (the per-column lag map, item 7), and ``stats_suite`` (all six
+    §2.10 statistics + closed-form χ²(2) p-values in one row, item 8);
+    (c) the standing rotation queue, oldest green rows first —
+    ``knn_cosine`` (last row r2, the oldest in the file), then the
+    displaced r3-green model/stats/events set, then four r4-era fill/lag
+    rows. Past the window: everything r5 just proved green (the freshest
+    rows in the file). All 133 are additionally validated locally by
     ``tools/check_correctness.py`` (full log committed per round)."""
     return {
-        # -- (a) must-prove: r4 red row, never-checked, semantics-moved,
-        #        and the new composed ANN flagship -------------------------
+        # -- (a) must-prove + (b) new-this-round + (c) rotation queue ----
         "dup_spans": _q_dup_spans,
-        "dedup_paragraphs": _q_dedup_paragraphs,
-        "url_stats": _q_url_stats,
-        "pq_recall": _q_pq_recall,
-        "filter_by_instant": _q_filter_by_instant,
-        "ivfpq_topk": _q_ivfpq_topk,
-        # -- (b) code paths touched this round ------------------------------
-        "semantic_dedup": _q_semantic_dedup,
-        "kmeans_assign": _q_kmeans_assign,
-        "pretrain_clean": _q_pretrain_clean,
-        "minhash_lsh_dedup": _q_minhash_lsh_dedup,
-        "pack_sequences": _q_pack_sequences,
-        "mixture_epochs": _q_mixture_epochs,
-        "remove_dup_spans": _q_remove_dup_spans,
-        "video_frames": _q_video_frames,
-        # -- (c) documents/embeddings family: newest rows are r1/r2 ---------
-        "dedup_exact": _q_dedup_exact,
-        "text_quality": _q_text_quality,
-        "token_count_by_source": _q_token_count_by_source,
-        "token_count_bpe": _q_token_count_bpe,
-        "fingerprint": _q_fingerprint,
-        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-        "lang_id": _q_lang_id,
-        "quality_score": _q_quality_score,
-        "simhash_near_dups": _q_simhash_near_dups,
-        "lsh_topk": _q_lsh_topk,
-        "winnowing_fingerprints": _q_winnowing_fingerprints,
-        # -- (d) model + stats/layout families: newest rows are r3 ----------
-        "auto_arima": _q_auto_arima,
-        "garch_fit": _q_garch_fit,
-        "egarch_fit": _q_egarch_fit,
-        "arx_fit": _q_arx_fit,
-        "arimax_forecast": _q_arimax_forecast,
-        "regression_arima": _q_regression_arima,
-        "holt_winters_fit": _q_holt_winters_fit,
-        # -- (e) NEW round-5 operators, in-window immediately (no driver
-        #        row exists anywhere): line dedup, containment, incremental
-        #        ingest dedup, Zipf diagnostic --------------------------------
-        "dedup_lines": _q_dedup_lines,
-        "containment_pairs": _q_containment_pairs,
-        "incremental_dedup": _q_incremental_dedup,
+        "embedding_covariance": _q_embedding_covariance,
+        "cusum": _q_cusum,
         "zipf_slope": _q_zipf_slope,
         "bpe_merges": _q_bpe_merges,
         "bpe_segment": _q_bpe_segment,
-        "roll_std": _q_roll_std,
-        "crosscorr": _q_crosscorr,
-        "lm3_perplexity": _q_lm3_perplexity,
-        "corpus_stats": _q_corpus_stats,
-        "embedding_covariance": _q_embedding_covariance,
-        "seasonal_decompose": _q_seasonal_decompose,
-        "pmi_pairs": _q_pmi_pairs,
-        "outliers": _q_outliers,
-        "cusum": _q_cusum,
-        "theil_sen": _q_theil_sen,
-        "token_entropy": _q_token_entropy,
-        "token_divergence": _q_token_divergence,
-        # ---- driver window (50) ends here ----------------------------------
-        # series_stats displaced to slot 51 by seasonal_decompose: its
-        # ingest path is equally exercised in-window by roll_std/crosscorr
-        # (same _daily_grid base), and its own r3 row stands
-        "series_stats": _q_series_stats,
-        # events family: r3-green rows stand, ingest path re-proven above
-        "resample_daily_avg": _q_resample_daily_avg,
-        "fill_previous": _q_fill_previous,
-        "fill_linear": _q_fill_linear,
-        "differences": _q_differences,
-        # displaced by the round-5 additions (BPE, roll_std, crosscorr,
-        # trigram LM, corpus stats): r3-green rows stand, their code
-        # untouched beyond the fit.py alias table this round
-        "arima_filter": _q_arima_filter,
-        "garch_filter": _q_garch_filter,
-        "to_observations": _q_to_observations,
-        "roll_sum_center": _q_roll_sum_center,
+        "rebase_hybrid": _q_rebase_hybrid,
+        "union_series": _q_union_series,
+        "lags_custom": _q_lags_custom,
+        "stats_suite": _q_stats_suite,
+        "knn_cosine": _q_knn_cosine,
         "ewma_fit": _q_ewma_fit,
         "argarch_fit": _q_argarch_fit,
-        "knn_cosine": _q_knn_cosine,
         "fill_spline": _q_fill_spline,
         "to_series_digest": _q_to_series_digest,
+        "to_observations": _q_to_observations,
+        "roll_sum_center": _q_roll_sum_center,
         "bg_test": _q_bg_test,
         "bp_test": _q_bp_test,
         "lb_test": _q_lb_test,
         "business_days": _q_business_days,
+        "series_stats": _q_series_stats,
+        "resample_daily_avg": _q_resample_daily_avg,
+        "fill_previous": _q_fill_previous,
+        "fill_linear": _q_fill_linear,
+        "differences": _q_differences,
         "return_rates": _q_return_rates,
         "roll_mean": _q_roll_mean,
+        "arima_filter": _q_arima_filter,
+        "garch_filter": _q_garch_filter,
         "remove_instants_with_nans": _q_remove_instants_with_nans,
         "filter_starting_before": _q_filter_starting_before,
         "filter_ending_after": _q_filter_ending_after,
@@ -2200,7 +2209,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebase_irregular": _q_rebase_irregular,
         "diff_by_frequency": _q_diff_by_frequency,
         "ewma_smooth": _q_ewma_smooth,
-        # r4-green rows (the freshest in the file) — rotated out
+        "fill_next": _q_fill_next,
+        "fill_nearest": _q_fill_nearest,
+        "fill_zero": _q_fill_zero,
+        "lags": _q_lags,
+        # ---- driver window (50) ends here ----------------------------------
+        # r5-green rows (the freshest in the file) — rotated out
+        "dedup_paragraphs": _q_dedup_paragraphs,
+        "url_stats": _q_url_stats,
+        "pq_recall": _q_pq_recall,
+        "filter_by_instant": _q_filter_by_instant,
+        "ivfpq_topk": _q_ivfpq_topk,
+        "semantic_dedup": _q_semantic_dedup,
+        "kmeans_assign": _q_kmeans_assign,
+        "pretrain_clean": _q_pretrain_clean,
+        "minhash_lsh_dedup": _q_minhash_lsh_dedup,
+        "pack_sequences": _q_pack_sequences,
+        "mixture_epochs": _q_mixture_epochs,
+        "remove_dup_spans": _q_remove_dup_spans,
+        "video_frames": _q_video_frames,
+        "dedup_exact": _q_dedup_exact,
+        "text_quality": _q_text_quality,
+        "token_count_by_source": _q_token_count_by_source,
+        "token_count_bpe": _q_token_count_bpe,
+        "fingerprint": _q_fingerprint,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "lsh_topk": _q_lsh_topk,
+        "winnowing_fingerprints": _q_winnowing_fingerprints,
+        "auto_arima": _q_auto_arima,
+        "garch_fit": _q_garch_fit,
+        "egarch_fit": _q_egarch_fit,
+        "arx_fit": _q_arx_fit,
+        "arimax_forecast": _q_arimax_forecast,
+        "regression_arima": _q_regression_arima,
+        "holt_winters_fit": _q_holt_winters_fit,
+        "dedup_lines": _q_dedup_lines,
+        "containment_pairs": _q_containment_pairs,
+        "incremental_dedup": _q_incremental_dedup,
+        "roll_std": _q_roll_std,
+        "crosscorr": _q_crosscorr,
+        "lm3_perplexity": _q_lm3_perplexity,
+        "corpus_stats": _q_corpus_stats,
+        "seasonal_decompose": _q_seasonal_decompose,
+        "pmi_pairs": _q_pmi_pairs,
+        "outliers": _q_outliers,
+        "theil_sen": _q_theil_sen,
+        "token_entropy": _q_token_entropy,
+        "token_divergence": _q_token_divergence,
         "repetition_features": _q_repetition_features,
         "gopher_repetition": _q_gopher_repetition,
         "gopher_quality": _q_gopher_quality,
@@ -2214,10 +2272,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slice": _q_slice,
         "resample_stamp_right": _q_resample_stamp_right,
         "resample_closed_right": _q_resample_closed_right,
-        "fill_next": _q_fill_next,
-        "fill_nearest": _q_fill_nearest,
-        "fill_zero": _q_fill_zero,
-        "lags": _q_lags,
         "quotients": _q_quotients,
         "upsample": _q_upsample,
         "trim_leading_trailing": _q_trim,
@@ -4098,6 +4152,103 @@ def oracle_sql() -> dict[str, str]:
 
     # concat-then-chunk packing: ONE SQL window is the semantic spec; the
     # engine's bucket-cumsum plan must reproduce it exactly
+    # hybrid-index rebase: the three sub-indices replay as a union of
+    # generate_series CTEs with the same prefix-sum loc offsets
+    o["rebase_hybrid"] = """
+        WITH keys AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS key FROM events),
+        inst AS (
+            SELECT CAST(date_diff('day', TIMESTAMP '2024-01-03', g) AS BIGINT)
+                       AS loc,
+                   CAST(g AS TIMESTAMP) AS ts
+            FROM generate_series(TIMESTAMP '2024-01-03', TIMESTAMP '2024-01-07',
+                                 INTERVAL 1 DAY) t(g)
+            UNION ALL
+            SELECT loc, ts FROM (VALUES
+                (CAST(5 AS BIGINT), TIMESTAMP '2024-01-10'),
+                (CAST(6 AS BIGINT), TIMESTAMP '2024-01-12'),
+                (CAST(7 AS BIGINT), TIMESTAMP '2024-01-15')) v(loc, ts)
+            UNION ALL
+            SELECT 8 + CAST(date_diff('day', TIMESTAMP '2024-01-20', g) AS BIGINT),
+                   CAST(g AS TIMESTAMP)
+            FROM generate_series(TIMESTAMP '2024-01-20', TIMESTAMP '2024-01-23',
+                                 INTERVAL 1 DAY) t(g)
+        ),
+        agg AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, date_trunc('day', ts) AS ts,
+                   ROUND(AVG(value), 6) AS value
+            FROM events GROUP BY 1, 2
+        )
+        SELECT keys.key, inst.loc, inst.ts, agg.value
+        FROM keys CROSS JOIN inst
+        LEFT JOIN agg ON agg.key = keys.key AND agg.ts = inst.ts
+    """
+
+    # first-non-missing union: arg_min over non-null cells = the priority
+    # scan (grid holes are NULL; ascending key order is the default priority)
+    o["union_series"] = _DAILY_GRID_SQL + """
+        SELECT 'union' AS key, loc, MIN(ts) AS ts,
+               arg_min(value, key) FILTER (WHERE value IS NOT NULL) AS value
+        FROM grid GROUP BY loc
+    """
+
+    # per-series lag map: '1' keeps the original only, '2' fans into
+    # lag1/lag2; global trim at the max lag (dense grid → loc >= 2)
+    o["lags_custom"] = _DAILY_GRID_SQL + """
+        , lagged AS (
+            SELECT key, loc, ts, value,
+                   lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2
+            FROM grid WHERE key IN ('1', '2')
+            WINDOW w AS (PARTITION BY key ORDER BY loc)
+        )
+        SELECT key, loc, ts, value FROM lagged WHERE key = '1' AND loc >= 2
+        UNION ALL
+        SELECT 'lag1(' || key || ')', loc, ts, l1
+        FROM lagged WHERE key = '2' AND loc >= 2
+        UNION ALL
+        SELECT 'lag2(' || key || ')', loc, ts, l2
+        FROM lagged WHERE key = '2' AND loc >= 2
+    """
+
+    # composed six-test suite: the individual oracles as derived tables,
+    # plus LB(2) and closed-form χ²(2) p-values (exp(-stat/2)) computed
+    # from the ROUNDED statistics on both engines
+    _lb2_sql = """
+        WITH l AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, value,
+                   lag(value, 1) OVER w AS l1,
+                   lag(value, 2) OVER w AS l2
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        a AS (
+            SELECT key, COUNT(*) AS n,
+                   corr(value, l1) AS r1, corr(value, l2) AS r2
+            FROM l GROUP BY 1
+        ),
+        s AS (
+            SELECT key,
+                   FLOOR(n * (n + 2) * (r1*r1/(n-1) + r2*r2/(n-2))
+                         * 1000000 + 0.500001) / 1000000 AS lb2_stat
+            FROM a
+        )
+        SELECT key, lb2_stat,
+               FLOOR(EXP(-lb2_stat / 2) * 1000000 + 0.500001) / 1000000
+                   AS lb2_p
+        FROM s
+    """
+    o["stats_suite"] = f"""
+        SELECT a.key, a.adf_stat, k.kpss_stat, d.dw,
+               l.lb2_stat, l.lb2_p, b.bg_stat,
+               FLOOR(EXP(-b.bg_stat / 2) * 1000000 + 0.500001) / 1000000
+                   AS bg_p,
+               p.bp_stat
+        FROM ({o["adf_test"]}) a
+        JOIN ({o["kpss_test"]}) k USING (key)
+        JOIN ({o["dw_test"]}) d USING (key)
+        JOIN ({_lb2_sql}) l USING (key)
+        JOIN ({o["bg_test"]}) b USING (key)
+        JOIN ({o["bp_test"]}) p USING (key)
+    """
+
     o["pack_sequences"] = """
         WITH n AS (
             SELECT source, doc_id,

@@ -253,3 +253,52 @@ def union_index_df(*dfs: DataFrame, ts_col: str = "ts") -> DataFrame:
         .withColumn("loc", (F.col("_rk") + F.col("_off")).cast("long"))
         .select("loc", "ts")
     )
+
+
+def union_series(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    out_key: str = "union",
+    key_col: str = "key",
+    loc_col: str = "loc",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """First-non-missing coalesce of same-index series into ONE series
+    (``TimeSeriesUtils.scala:30-54``: per instant, scan the series in
+    order and take the first non-NaN — the reference implements only this
+    same-index case and throws beyond it). ``keys`` fixes the priority
+    order (series listed first win); ``None`` means all series in
+    ascending key order. Cells where every series is missing stay NULL
+    (our grid's NaN). Output: ``(key=out_key, loc, ts, value)``.
+
+    Plan: one ``min(when(valid, struct(priority, value)))`` aggregation
+    per instant — a single map-side-combined shuffle on ``loc``, no join,
+    no window; the struct-min IS the "first non-missing in priority
+    order" scan, run distributively."""
+    valid = F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
+    if keys is not None:
+        if len(set(keys)) != len(keys):
+            raise ValueError("duplicate keys in priority list")
+        prio = F.array_position(
+            F.array(*[F.lit(str(k)) for k in keys]), F.col(key_col)
+        )
+        d = df.where(F.col(key_col).isin([str(k) for k in keys]))
+    else:
+        prio = F.col(key_col)
+        d = df
+    picked = (
+        d.groupBy(F.col(loc_col).alias("loc"))
+        .agg(
+            F.min(F.col(ts_col)).alias("ts"),
+            F.min(
+                F.when(valid, F.struct(prio.alias("p"), F.col(value_col).alias("v")))
+            ).alias("_pick"),
+        )
+    )
+    return picked.select(
+        F.lit(out_key).alias("key"),
+        "loc",
+        "ts",
+        F.col("_pick.v").alias("value"),
+    )

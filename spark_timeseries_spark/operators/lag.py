@@ -63,6 +63,78 @@ def lags(
     )
 
 
+def lags_per_key(
+    df: DataFrame,
+    spec: dict[str, tuple[bool, int]],
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-series lag map (``TimeSeries.scala:86-148``):
+    ``spec[key] = (keep_original, max_lag)`` lets every series choose its
+    own lag depth and whether the unlagged copy survives. The global trim
+    is the MAX lag across the spec (the reference's ``maxLag`` —
+    ``TimeSeries.scala:110``), so all output series share one shortened
+    index; lag-k keys are named ``lag{k}(key)`` and the kept original
+    retains its bare key (``laggedStringKey``, ``TimeSeries.scala:406-407``
+    — lag order 0 maps to the key itself). Series absent from ``spec``
+    are dropped (the reference throws on them; dropping is the
+    distributed-friendly containment of the same contract).
+
+    Plan shape matches :func:`lags`: ONE window pass per series computes
+    every lag column, then a key-conditional explode fans each row into
+    that series' configured copies — no join, no second shuffle."""
+    if not spec:
+        raise ValueError("spec must name at least one series")
+    for k, (_, n) in spec.items():
+        if n < 0:
+            raise ValueError(f"negative max_lag for {k!r}")
+    max_lag = max(n for _, n in spec.values())
+    w = _w(key_col, order_col)
+    staged = df.where(
+        F.col(key_col).isin([str(k) for k in spec])
+    ).withColumn("_rn", F.row_number().over(w))
+    for i in range(1, max_lag + 1):
+        staged = staged.withColumn(f"_lag{i}", F.lag(value_col, i).over(w))
+
+    def fan_for(keep: bool, n: int):
+        pairs = []
+        if keep:
+            pairs.append(
+                F.struct(F.col(key_col).alias("k"), F.col(value_col).alias("v"))
+            )
+        for i in range(1, n + 1):
+            pairs.append(
+                F.struct(
+                    lagged_string_key(key_col, i).alias("k"),
+                    F.col(f"_lag{i}").alias("v"),
+                )
+            )
+        # a (keep=False, max_lag=0) entry contributes nothing: empty
+        # typed array so the explode drops the series cleanly
+        if not pairs:
+            return F.array().cast("array<struct<k:string,v:double>>")
+        return F.array(*pairs)
+
+    fan = None
+    for k, (keep, n) in spec.items():
+        branch = fan_for(keep, n)
+        fan = (
+            F.when(F.col(key_col) == str(k), branch)
+            if fan is None
+            else fan.when(F.col(key_col) == str(k), branch)
+        )
+    return (
+        staged.where(F.col("_rn") > max_lag)
+        .withColumn("_fan", F.explode(fan))
+        .select(
+            F.col("_fan.k").alias(key_col),
+            *[c for c in df.columns if c not in (key_col, value_col)],
+            F.col("_fan.v").alias(value_col),
+        )
+    )
+
+
 def differences(
     df: DataFrame,
     n: int = 1,

@@ -253,17 +253,24 @@ class TimeSeriesDataFrame:
 
     # -- escape hatches (reference §2.13 UDF surface) ----------------------
     def map_series(
-        self, fn: Callable[[pd.Series], pd.Series]
+        self, fn: Callable[..., pd.Series], with_key: bool = False
     ) -> "TimeSeriesDataFrame":
         """``mapSeries`` (``TimeSeriesRDD.scala:246-260``): apply a
         same-length transform to each series as a pandas Series indexed by
-        loc. Grouped-map pandas UDF — the documented slow path."""
+        loc. Grouped-map pandas UDF — the documented slow path.
+
+        ``with_key=True`` is ``mapSeriesWithKey``
+        (``TimeSeries.scala:337-346``): ``fn(key, series)`` instead of
+        ``fn(series)``, for transforms that branch on which series they
+        are rewriting."""
         value = self.VALUE
+        key_col = self.KEY
 
         def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("loc")
             s = pd.Series(pdf[value].to_numpy(), index=pdf["loc"].to_numpy())
-            pdf[value] = fn(s).to_numpy()
+            out = fn(pdf[key_col].iloc[0], s) if with_key else fn(s)
+            pdf[value] = out.to_numpy()
             return pdf
 
         out = self.df.groupBy(self.KEY).applyInPandas(_apply, schema=self.df.schema)

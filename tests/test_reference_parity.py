@@ -741,3 +741,90 @@ def test_theil_sen_matches_numpy(spark):
     ols = np.polyfit(x, y, 1)[0]
     assert abs(ols - 2.0) > 0.5                      # OLS bent by it
     assert got["tiny"].slope is None and got["tiny"].n_pairs == 0
+
+
+def test_custom_lags_reference_example(spark):
+    """``customLags`` (``TimeSeriesSuite.scala:76-91``): spec
+    a→(keep, 0 lags), b→(drop original, 2 lags) over columns
+    a=[1..5], b=[6..10] trims to the global max lag (2) and yields
+    exactly keys {a, lag1(b), lag2(b)} with a=[3,4,5],
+    lag1(b)=[7,8,9], lag2(b)=[6,7,8]."""
+    from spark_timeseries_spark.operators.lag import lags_per_key
+
+    rows = [("a", i, float(i + 1)) for i in range(5)] + [
+        ("b", i, float(i + 6)) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    out = lags_per_key(df, {"a": (True, 0), "b": (False, 2)})
+    pdf = out.toPandas().pivot_table(
+        index="loc", columns="key", values="value", dropna=False
+    )
+    assert set(pdf.columns) == {"a", "lag1(b)", "lag2(b)"}
+    assert list(pdf.index) == [2, 3, 4]
+    np.testing.assert_allclose(pdf["a"], [3.0, 4.0, 5.0])
+    np.testing.assert_allclose(pdf["lag1(b)"], [7.0, 8.0, 9.0])
+    np.testing.assert_allclose(pdf["lag2(b)"], [6.0, 7.0, 8.0])
+
+
+def test_union_series_first_non_missing(spark):
+    """``TimeSeriesUtils.union`` (``TimeSeriesUtils.scala:30-45``): per
+    instant, the first series in priority order with a non-missing value
+    wins; all-missing instants stay missing. NULL and NaN cells both
+    count as missing (the grid materializes holes as NULL; the reference
+    uses NaN)."""
+    from spark_timeseries_spark.operators.align import union_series
+
+    nan = float("nan")
+    rows = [
+        # loc: 0    1     2     3
+        ("s1", 0, 1.0), ("s1", 1, None), ("s1", 2, nan), ("s1", 3, None),
+        ("s2", 0, 9.0), ("s2", 1, 5.0), ("s2", 2, None), ("s2", 3, None),
+        ("s3", 0, 8.0), ("s3", 1, 7.0), ("s3", 2, 6.0), ("s3", 3, nan),
+    ]
+    df = spark.createDataFrame(
+        [(k, loc, pd.Timestamp("2015-01-01").to_pydatetime(), v) for k, loc, v in rows],
+        "key string, loc long, ts timestamp, value double",
+    )
+    out = (
+        union_series(df, keys=["s1", "s2", "s3"])
+        .orderBy("loc")
+        .toPandas()
+    )
+    assert list(out["key"].unique()) == ["union"]
+    np.testing.assert_allclose(
+        out["value"].to_numpy(dtype=float),
+        [1.0, 5.0, 6.0, np.nan],
+        equal_nan=True,
+    )
+    # default priority = ascending key order; restricting keys drops s3
+    out2 = union_series(df, keys=["s3", "s1"]).orderBy("loc").toPandas()
+    np.testing.assert_allclose(
+        out2["value"].to_numpy(dtype=float),
+        [8.0, 7.0, 6.0, np.nan],
+        equal_nan=True,
+    )
+
+
+def test_map_series_with_key(spark):
+    """``mapSeriesWithKey`` (``TimeSeries.scala:337-346``): the transform
+    receives the series key and may branch on it."""
+    idx = uniform("2015-04-09", 4, DayFrequency(1))
+    obs = spark.createDataFrame(
+        [
+            (
+                (pd.Timestamp("2015-04-09") + pd.Timedelta(days=i)).to_pydatetime(),
+                k,
+                float(i),
+            )
+            for i in range(4)
+            for k in ("a", "b")
+        ],
+        "ts timestamp, key string, value double",
+    )
+    t = TimeSeriesDataFrame.from_observations(obs, idx)
+    out = t.map_series(
+        lambda key, s: s + (100.0 if key == "a" else 200.0), with_key=True
+    )
+    pdf = out.df.toPandas().pivot_table(index="loc", columns="key", values="value")
+    np.testing.assert_allclose(pdf["a"], [100.0, 101.0, 102.0, 103.0])
+    np.testing.assert_allclose(pdf["b"], [200.0, 201.0, 202.0, 203.0])
