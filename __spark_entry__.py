@@ -2063,6 +2063,76 @@ def _q_linear_score(spark, sf_dir):
     )
 
 
+def _q_hampel(spark, sf_dir):
+    """Hampel filter over the raw daily grid (``operators/outliers.py::
+    hampel``): rolling median ± 3·1.4826·rolling-MAD over a centered
+    7-point window, medians as row-local sorted-array expressions after
+    ONE window pass. The oracle replays the window arrays with
+    ``list_median`` (same even-count interpolation over DOUBLE); the
+    outlier flag is derived from the ROUNDED score on both engines so
+    the boundary cannot flip on fp noise."""
+    from spark_timeseries_spark.operators.outliers import hampel
+
+    out = hampel(_daily_grid(spark, sf_dir), half_window=3, n_sigmas=3.0)
+    score_r = _stable_round(F.col("score"), 4)
+    return out.select(
+        "key",
+        "loc",
+        _stable_round(F.col("med"), 6).alias("med"),
+        score_r.alias("score"),
+        F.when(score_r.isNotNull(), F.abs(score_r) > 3.0).alias(
+            "is_outlier"
+        ),
+    )
+
+
+def _q_periodogram(spark, sf_dir):
+    """Schuster periodogram per series over the filled daily grid
+    (``operators/spectral.py``): power at Fourier frequencies
+    k = 1..15 of the 31-day grid — all JVM trig, one map-side-combined
+    (key, k) aggregation. The oracle replays the demeaned cos/sin
+    projection sums exactly."""
+    from spark_timeseries_spark.operators.spectral import periodogram
+
+    out = periodogram(_hw_filled(spark, sf_dir))
+    return out.select(
+        "key", "k", _stable_round(F.col("power"), 4).alias("power")
+    )
+
+
+def _q_dominant_period(spark, sf_dir):
+    """Argmax-power Fourier frequency per series (ties to the lowest k)
+    and its period in grid steps — one struct-max over the
+    periodogram."""
+    from spark_timeseries_spark.operators.spectral import dominant_period
+
+    out = dominant_period(_hw_filled(spark, sf_dir))
+    return out.select(
+        "key",
+        "k",
+        F.round("period", 6).alias("period"),
+        _stable_round(F.col("power"), 4).alias("power"),
+    )
+
+
+def _q_incremental_near_dedup(spark, sf_dir):
+    """Incremental-ingest NEAR-dup (``pipeline/dedup.py::
+    dedup_minhash_cross``): fresh batch (doc_id ≡ 0 mod 7) against the
+    existing corpus, MinHash signatures → cross-corpus band join →
+    exact-Jaccard verify, in md5_60 mode so the oracle replays the whole
+    approximate pipeline bit-for-bit. The MinHash analog of the exact
+    ``incremental_dedup`` row."""
+    from spark_timeseries_spark.pipeline import dedup as dd
+
+    docs = _docs_spread(spark, sf_dir)
+    new = docs.where(F.col("doc_id") % 7 == 0)
+    old = docs.where(F.col("doc_id") % 7 != 0)
+    out = dd.dedup_minhash_cross(new, old, threshold=0.3, hash_fn="md5_60")
+    return out.select(
+        "id_new", "id_old", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 _HYBRID_IRREG = ["2024-01-10", "2024-01-12", "2024-01-15"]
 
 
@@ -2153,13 +2223,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     this round, never driver-checked — ``rebase_hybrid`` (the hybrid
     source/target index path, r5 verdict item 6), ``union_series``
     (TimeSeriesUtils.union coalesce-merge, item 7), ``lags_custom``
-    (the per-column lag map, item 7), and ``stats_suite`` (all six
-    §2.10 statistics + closed-form χ²(2) p-values in one row, item 8);
+    (the per-column lag map, item 7), ``stats_suite`` (all six §2.10
+    statistics + closed-form χ²(2) p-values in one row, item 8), plus
+    the four operators NEW in round 6's widening — ``hampel``
+    (rolling-median/MAD local outliers), ``periodogram`` /
+    ``dominant_period`` (Schuster spectral analysis), and
+    ``incremental_near_dedup`` (cross-snapshot MinHash ingest dedup);
     (c) the standing rotation queue, oldest green rows first —
     ``knn_cosine`` (last row r2, the oldest in the file), then the
-    displaced r3-green model/stats/events set, then four r4-era fill/lag
-    rows. Past the window: everything r5 just proved green (the freshest
-    rows in the file). All 133 are additionally validated locally by
+    displaced r3-green model/stats/events set. Past the window:
+    everything r5 just proved green (the freshest rows in the file).
+    All 137 are additionally validated locally by
     ``tools/check_correctness.py`` (full log committed per round)."""
     return {
         # -- (a) must-prove + (b) new-this-round + (c) rotation queue ----
@@ -2173,6 +2247,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_series": _q_union_series,
         "lags_custom": _q_lags_custom,
         "stats_suite": _q_stats_suite,
+        "hampel": _q_hampel,
+        "periodogram": _q_periodogram,
+        "dominant_period": _q_dominant_period,
+        "incremental_near_dedup": _q_incremental_near_dedup,
         "knn_cosine": _q_knn_cosine,
         "ewma_fit": _q_ewma_fit,
         "argarch_fit": _q_argarch_fit,
@@ -2209,11 +2287,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebase_irregular": _q_rebase_irregular,
         "diff_by_frequency": _q_diff_by_frequency,
         "ewma_smooth": _q_ewma_smooth,
+        # ---- driver window (50) ends here ----------------------------------
+        # the four r4-era fill/lag rows originally queued in-window were
+        # displaced by the four NEW round-6 operators above (hampel,
+        # periodogram, dominant_period, incremental_near_dedup)
         "fill_next": _q_fill_next,
         "fill_nearest": _q_fill_nearest,
         "fill_zero": _q_fill_zero,
         "lags": _q_lags,
-        # ---- driver window (50) ends here ----------------------------------
         # r5-green rows (the freshest in the file) — rotated out
         "dedup_paragraphs": _q_dedup_paragraphs,
         "url_stats": _q_url_stats,
@@ -4247,6 +4328,129 @@ def oracle_sql() -> dict[str, str]:
         JOIN ({_lb2_sql}) l USING (key)
         JOIN ({o["bg_test"]}) b USING (key)
         JOIN ({o["bp_test"]}) p USING (key)
+    """
+
+    # Hampel filter: window arrays via list() OVER, medians via
+    # list_median (DOUBLE interpolation == the Spark sorted-array formula)
+    o["hampel"] = _DAILY_GRID_SQL + f"""
+        , arr AS (
+            SELECT key, loc, value,
+                   list_filter(
+                       list(value) OVER (PARTITION BY key ORDER BY loc
+                           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING),
+                       x -> x IS NOT NULL) AS a
+            FROM grid
+        ),
+        sc AS (
+            SELECT key, loc, value, list_median(a) AS med,
+                   1.4826022185056018 * list_median(
+                       list_transform(a, x -> abs(x - list_median(a)))
+                   ) AS sigma
+            FROM arr
+        ),
+        fin AS (
+            SELECT key, loc, med,
+                   CASE WHEN value IS NULL OR sigma IS NULL OR sigma = 0
+                        THEN NULL
+                        ELSE {_sr_sql("(value - med) / sigma", 4)}
+                   END AS score
+            FROM sc
+        )
+        SELECT key, loc, {_sr_sql("med", 6)} AS med, score,
+               CASE WHEN score IS NULL THEN NULL
+                    ELSE abs(score) > 3.0 END AS is_outlier
+        FROM fin
+    """
+
+    # periodogram over the filled grid: demeaned cos/sin projection sums
+    # at the Fourier frequencies, replayed with the same association order
+    _pgram_base = (
+        "WITH"
+        + _DAILY_GRID_SQL.lstrip().removeprefix("WITH")
+        + _FILLED_SQL
+        + """
+        , st AS (SELECT key, COUNT(*) AS n, AVG(value) AS mu
+                 FROM filled GROUP BY 1),
+        pk AS (
+            SELECT f.key, f.loc, f.value - st.mu AS dv, st.n,
+                   unnest(generate_series(1, CAST(st.n // 2 AS INT))) AS k
+            FROM filled f JOIN st USING (key)
+            WHERE f.value IS NOT NULL
+        ),
+        ag AS (
+            SELECT key, k,
+                   SUM(dv * cos(2 * pi() * k * loc / n)) AS a,
+                   SUM(dv * sin(2 * pi() * k * loc / n)) AS b,
+                   MAX(n) AS n
+            FROM pk GROUP BY 1, 2
+        )
+    """
+    )
+    o["periodogram"] = _pgram_base + f"""
+        SELECT key, CAST(k AS INT) AS k,
+               {_sr_sql("(a*a + b*b) * 2 / n", 4)} AS power
+        FROM ag
+    """
+    o["dominant_period"] = _pgram_base + f"""
+        SELECT key, k, period, power FROM (
+            SELECT key, CAST(k AS INT) AS k,
+                   ROUND(CAST(n AS DOUBLE) / k, 6) AS period,
+                   {_sr_sql("(a*a + b*b) * 2 / n", 4)} AS power,
+                   row_number() OVER (PARTITION BY key
+                                      ORDER BY (a*a + b*b) DESC, k ASC)
+                       AS rk
+            FROM ag
+        ) WHERE rk = 1
+    """
+
+    # cross-corpus MinHash near-dup: the minhash_lsh_dedup replay with the
+    # candidate join split by batch membership (new = doc_id ≡ 0 mod 7)
+    o["incremental_near_dedup"] = f"""
+        WITH words AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(w) - 2),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                       )) AS sh
+                FROM words
+            )
+        ),
+        seeds AS (SELECT unnest(generate_series(0, 63)) AS s),
+        sig AS (
+            SELECT doc_id, s,
+                   MIN({_h60("sh || chr(1) || CAST(s AS VARCHAR)")}) AS m
+            FROM sh CROSS JOIN seeds GROUP BY doc_id, s
+        ),
+        bandhash AS (
+            SELECT doc_id, s // 4 AS band,
+                   {_h60("string_agg(CAST(m AS VARCHAR), ',' ORDER BY s)")} AS bh
+            FROM sig GROUP BY doc_id, s // 4
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+            FROM bandhash a
+            JOIN bandhash b ON a.band = b.band AND a.bh = b.bh
+            WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+            SELECT id_new, id_old, COUNT(*) AS i
+            FROM cand
+            JOIN sh sa ON sa.doc_id = id_new
+            JOIN sh sb ON sb.doc_id = id_old AND sa.sh = sb.sh
+            GROUP BY 1, 2
+        )
+        SELECT id_new, id_old,
+               ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_new
+        JOIN sizes sb ON sb.doc_id = id_old
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3
     """
 
     o["pack_sequences"] = """

@@ -10,6 +10,7 @@ from . import (
     resample,
     rolling,
     sessionize,
+    spectral,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "resample",
     "rolling",
     "sessionize",
+    "spectral",
 ]

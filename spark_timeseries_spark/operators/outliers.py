@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["outliers"]
+__all__ = ["outliers", "hampel"]
 
 _MAD_K = 1.4826022185056018  # 1/Phi^-1(0.75): MAD→sigma under normality
 
@@ -73,4 +73,81 @@ def outliers(
             ),
         )
         .drop("_c", "_s")
+    )
+
+
+def _arr_median(srt, n):
+    """Exact interpolated median of a SORTED array with ``n`` elements
+    (NULL if empty) — same even-count interpolation as DuckDB's
+    ``median``/``list_median`` over DOUBLE."""
+    h = (n / F.lit(2)).cast("int")
+    return (
+        F.when(n == 0, F.lit(None).cast("double"))
+        .when(n % 2 == 1, F.element_at(srt, h + 1))
+        .otherwise((F.element_at(srt, h) + F.element_at(srt, h + 1)) / 2.0)
+    )
+
+
+def hampel(
+    df: DataFrame,
+    half_window: int = 3,
+    n_sigmas: float = 3.0,
+    key_col: str = "key",
+    loc_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hampel filter: LOCAL outlier flagging against a rolling median ±
+    ``n_sigmas``·1.4826·(rolling MAD) over a centered window of
+    ``2·half_window+1`` points (truncated at series edges). The global
+    :func:`outliers` misses spikes in trending/seasonal series — the
+    trend drags the global center; the rolling median tracks it.
+    Output: input columns + ``med`` (rolling median), ``score`` (signed
+    σ-equivalents vs the LOCAL scale) and ``is_outlier``; NULL cells get
+    NULL score/flag, zero local MAD yields NULL score (see the MAD
+    collapse caveat on :func:`outliers` — it bites per-window here).
+
+    Plan: ONE window pass collects the (series-bounded) neighbor array;
+    median and MAD are row-local sorted-array expressions — one
+    exchange on key, zero Python, no self-join. Window cells skip NULLs
+    (``collect_list`` semantics == DuckDB ``median`` NULL handling)."""
+    if half_window < 1:
+        raise ValueError("half_window must be >= 1")
+    from pyspark.sql import Window
+
+    from ..functions import let
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(loc_col)
+        .rowsBetween(-int(half_window), int(half_window))
+    )
+    arr = F.array_sort(F.collect_list(F.col(value_col)).over(w))
+    v = F.col(value_col)
+
+    def score_cols(srt):
+        n = F.size(srt)
+        med = _arr_median(srt, n)
+
+        def with_med(m):
+            dev = F.array_sort(F.transform(srt, lambda x: F.abs(x - m)))
+            sigma = _arr_median(dev, n) * _MAD_K
+            return F.struct(
+                m.alias("med"),
+                F.try_divide(v - m, sigma).alias("score"),
+            )
+
+        return let(med, with_med)
+
+    out = df.withColumn("_h", let(arr, score_cols))
+    return (
+        out.withColumn("med", F.col("_h.med"))
+        .withColumn("score", F.col("_h.score"))
+        .withColumn(
+            "is_outlier",
+            F.when(
+                F.col("score").isNotNull(),
+                F.abs(F.col("score")) > float(n_sigmas),
+            ),
+        )
+        .drop("_h")
     )

@@ -1115,6 +1115,67 @@ def minhash_cross_candidates(
     )
 
 
+def dedup_minhash_cross(
+    new_df: DataFrame,
+    existing_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental-ingest NEAR-dup: verified ``(id_new, id_old, jaccard)``
+    pairs between a fresh batch and the existing corpus — the MinHash
+    analog of :func:`dedup_exact_incremental` (Lee et al. 2021 applied at
+    ingest time rather than corpus-wide). Signatures → cross-corpus band
+    join (:func:`minhash_cross_candidates`) → exact Jaccard on candidates
+    only. Anti-join the result's ``id_new`` against the batch to admit
+    only genuinely novel documents.
+
+    Scale shape: the existing side's banded table is a build-once
+    artifact — persist it keyed by (band, bh) and each increment pays
+    only its OWN shingling/banding plus the bucket join; the existing
+    corpus's text is never re-read (the verify join ships shingle sets,
+    which callers should persist alongside)."""
+    new_sets = shingle_sets(new_df, text_col, id_col, shingle_n).persist()
+    old_sets = shingle_sets(existing_df, text_col, id_col, shingle_n).persist()
+    sig_new = minhash_signatures_from_sets(
+        new_sets.withColumnRenamed("id", id_col), id_col, num_hashes,
+        hash_fn=hash_fn,
+    )
+    sig_old = minhash_signatures_from_sets(
+        old_sets.withColumnRenamed("id", id_col), id_col, num_hashes,
+        hash_fn=hash_fn,
+    )
+    if bands < 1 or num_hashes < bands:
+        raise ValueError(f"need 1 <= bands ({bands}) <= num_hashes ({num_hashes})")
+    cand = minhash_cross_candidates(
+        sig_new, sig_old, id_col, bands, num_hashes // bands,
+        hash_fn=hash_fn, max_bucket_size=max_bucket_size,
+        num_hashes=num_hashes,
+    )
+    return (
+        cand.join(
+            new_sets.withColumnsRenamed({"id": "id_new", "sh": "sh_n"}),
+            "id_new",
+        )
+        .join(
+            old_sets.withColumnsRenamed({"id": "id_old", "sh": "sh_o"}),
+            "id_old",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_n", "sh_o"))
+            / F.size(F.array_union("sh_n", "sh_o")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_new", "id_old", "jaccard")
+    )
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -434,3 +434,60 @@ def test_readme_pipeline_example_runs(spark):
 
         ppl = lm.score_perplexity(kept, lm.train_bigram_lm(docs))
         assert ppl.where("perplexity > 0").count() == ppl.count() > 0
+
+
+def test_hampel_local_outlier_vs_numpy(spark):
+    """Hampel filter: the rolling median/MAD score reproduces numpy on a
+    trending series with one spike, and exactly that point is flagged."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.outliers import hampel
+
+    vals = [float(i) for i in range(40)]
+    vals[20] = 120.0  # spike riding a trend
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)],
+        "key string, loc long, value double",
+    )
+    out = hampel(df, half_window=3, n_sigmas=3.0).orderBy("loc").toPandas()
+    flagged = out[out["is_outlier"].fillna(False)]
+    assert list(flagged["loc"]) == [20]
+    # numpy cross-check of the spike's window [17..23]
+    win = np.array(vals[17:24])
+    med = np.median(win)
+    mad = np.median(np.abs(win - med))
+    want = (120.0 - med) / (mad * 1.4826022185056018)
+    assert abs(out.loc[20, "score"] - want) < 1e-9
+
+
+def test_periodogram_recovers_planted_cycle(spark):
+    """A pure k=4 cosine over 32 points concentrates all power at k=4
+    (P = 2/n·(nA/2)² = nA²/2 = 144 for A=3); dominant_period reports
+    period 8."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.spectral import (
+        dominant_period,
+        periodogram,
+    )
+
+    n = 32
+    t = np.arange(n)
+    vals = 3.0 * np.cos(2 * np.pi * 4 * t / n) + 0.5
+    df = spark.createDataFrame(
+        [("k", int(i), float(v)) for i, v in zip(t, vals)],
+        "key string, loc long, value double",
+    )
+    out = periodogram(df).orderBy("k").toPandas()
+    v = vals - vals.mean()
+    want = [
+        2 / n * (np.sum(v * np.cos(2 * np.pi * k * t / n)) ** 2
+                 + np.sum(v * np.sin(2 * np.pi * k * t / n)) ** 2)
+        for k in range(1, n // 2 + 1)
+    ]
+    np.testing.assert_allclose(
+        out["power"].to_numpy(), np.array(want), atol=1e-9
+    )
+    assert int(out.loc[out["power"].idxmax(), "k"]) == 4
+    dom = dominant_period(df).collect()[0]
+    assert dom.k == 4 and dom.period == 8.0 and abs(dom.power - 144.0) < 1e-9

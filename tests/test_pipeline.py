@@ -2388,3 +2388,29 @@ def test_token_divergence_matches_python(spark):
                                "doc_id long, text string")
     far = token_divergence(da, dx, k=0.01).collect()[0]
     assert 0.5 < far.js <= math.log(2) + 1e-9
+
+
+def test_dedup_minhash_cross_flags_near_dup_of_existing(spark):
+    """A new-batch doc nearly identical to an existing-corpus doc is
+    flagged (id_new, id_old, jaccard); novel new docs and pairs WITHIN
+    the new batch are not (cross-corpus only)."""
+    from spark_timeseries_spark.pipeline.dedup import dedup_minhash_cross
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls softly on the quiet village roofs all night long")
+    existing = spark.createDataFrame(
+        [(1, base), (2, "completely different content about spark query "
+                        "plans shuffles and broadcast joins at scale")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, base + " extra"),        # near-dup of existing doc 1
+         (101, "genuinely novel text discussing tokenizer fertility "
+               "and vocabulary coverage across language strata"),
+         (102, "genuinely novel text discussing tokenizer fertility "
+               "and vocabulary coverage across language strata too")],
+        "doc_id long, text string",
+    )
+    out = dedup_minhash_cross(new, existing, threshold=0.5).collect()
+    assert {(r.id_new, r.id_old) for r in out} == {(100, 1)}
+    assert all(r.jaccard >= 0.5 for r in out)

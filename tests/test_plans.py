@@ -461,3 +461,38 @@ def test_embedding_moments_arrow_batched_no_python_rdd(spark):
     assert "MapInPandas" in p, p
     assert "ExistingRDD" not in p.replace("Scan ExistingRDD[vec_id", ""), p
     assert "Exchange rangepartitioning" not in p, p
+
+
+def test_hampel_single_exchange_no_python(spark):
+    """Hampel's rolling median/MAD must ride ONE window exchange — the
+    medians are row-local sorted-array expressions, never a self-join,
+    second shuffle, or Python stage."""
+    from spark_timeseries_spark.operators.outliers import hampel
+
+    df = spark.createDataFrame(
+        [("k", i, float(i)) for i in range(10)],
+        "key string, loc long, value double",
+    )
+    s, _, p = _counts(hampel(df))
+    assert s == 1, p
+    assert "Exchange rangepartitioning" not in p, p
+    assert "Python" not in p and "MapInPandas" not in p, p
+
+
+def test_periodogram_mapside_combine_no_sort(spark):
+    """The periodogram's O(n²/2)-per-series frequency explode must
+    collapse in a map-side partial aggregate BEFORE its (key, k)
+    exchange — the shuffle carries one row per (series, frequency), not
+    per (point, frequency) — with no global sort and no Python."""
+    from spark_timeseries_spark.operators.spectral import periodogram
+
+    df = spark.createDataFrame(
+        [("k", i, float(i)) for i in range(10)],
+        "key string, loc long, value double",
+    )
+    _, _, p = _counts(periodogram(df))
+    assert "Exchange rangepartitioning" not in p, p
+    assert "Python" not in p, p
+    # partial_sum of the COS projection proves map-side combine of the
+    # exploded frequency rows before their exchange
+    assert re.search(r"partial_sum.*COS", p), p
