@@ -1934,10 +1934,12 @@ def _q_seasonal_decompose(spark, sf_dir):
 
 def _q_embedding_covariance(spark, sf_dir):
     """Distributed covariance of the embedding matrix
-    (``pipeline/embeddings.py`` — MLlib RowMatrix moment aggregation,
-    the PCA/OPQ front door for the ANN stack): dim×dim unbiased sample
-    covariance, only the 64×64 result touching the driver. The oracle
-    replays with covar_samp over the exploded coordinate pairs."""
+    (``pipeline/embeddings.py`` — Arrow-batched mapInPandas moment pass:
+    per-batch numpy GEMM partials, one explode+groupBy reduce, no
+    Python-RDD node; the PCA/OPQ front door for the ANN stack): dim×dim
+    unbiased sample covariance, only the 64×64 result touching the
+    driver. The oracle replays with covar_samp over the exploded
+    coordinate pairs."""
     from spark_timeseries_spark.pipeline.embeddings import (
         embedding_covariance,
     )
@@ -2101,12 +2103,13 @@ def _q_periodogram(spark, sf_dir):
 
 
 def _q_dominant_period(spark, sf_dir):
-    """Argmax-power Fourier frequency per series (ties to the lowest k)
-    and its period in grid steps — one struct-max over the
-    periodogram."""
+    """Argmax-power Fourier frequency per series and its period in grid
+    steps — one struct-max over the periodogram, ranked on
+    round(power, 6) so near-ties resolve by the lowest-k rule on both
+    engines instead of by fp summation noise."""
     from spark_timeseries_spark.operators.spectral import dominant_period
 
-    out = dominant_period(_hw_filled(spark, sf_dir))
+    out = dominant_period(_hw_filled(spark, sf_dir), tie_digits=6)
     return out.select(
         "key",
         "k",
@@ -4365,8 +4368,7 @@ def oracle_sql() -> dict[str, str]:
     # periodogram over the filled grid: demeaned cos/sin projection sums
     # at the Fourier frequencies, replayed with the same association order
     _pgram_base = (
-        "WITH"
-        + _DAILY_GRID_SQL.lstrip().removeprefix("WITH")
+        _DAILY_GRID_SQL
         + _FILLED_SQL
         + """
         , st AS (SELECT key, COUNT(*) AS n, AVG(value) AS mu
@@ -4397,7 +4399,8 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(n AS DOUBLE) / k, 6) AS period,
                    {_sr_sql("(a*a + b*b) * 2 / n", 4)} AS power,
                    row_number() OVER (PARTITION BY key
-                                      ORDER BY (a*a + b*b) DESC, k ASC)
+                                      ORDER BY ROUND((a*a + b*b) * 2 / n, 6)
+                                                   DESC, k ASC)
                        AS rk
             FROM ag
         ) WHERE rk = 1

@@ -129,12 +129,20 @@ def hampel(
         med = _arr_median(srt, n)
 
         def with_med(m):
+            # let-bind the sorted deviation array too: _arr_median reads
+            # its argument up to 3 times (two element_at branches + the
+            # parity when), and each read would re-run the O(w log w)
+            # array_sort(transform(...)) per row otherwise.
             dev = F.array_sort(F.transform(srt, lambda x: F.abs(x - m)))
-            sigma = _arr_median(dev, n) * _MAD_K
-            return F.struct(
-                m.alias("med"),
-                F.try_divide(v - m, sigma).alias("score"),
-            )
+
+            def with_dev(d):
+                sigma = _arr_median(d, n) * _MAD_K
+                return F.struct(
+                    m.alias("med"),
+                    F.try_divide(v - m, sigma).alias("score"),
+                )
+
+            return let(dev, with_dev)
 
         return let(med, with_med)
 

@@ -46,7 +46,13 @@ def periodogram(
     stats = df.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("_n"), F.avg(v).alias("_mu")
     )
-    pts = df.join(stats, key_col).where(v.isNotNull())
+    # _n >= 2 guard: sequence(1, 0) counts DOWN in Spark (default step -1),
+    # so a 1-point series would emit spurious k=1,0 rows instead of none.
+    pts = (
+        df.join(stats, key_col)
+        .where(v.isNotNull())
+        .where(F.col("_n") >= F.lit(2))
+    )
     two_pi = 2.0 * math.pi
     freq = pts.withColumn(
         "k", F.explode(F.sequence(F.lit(1), (F.col("_n") / 2).cast("int")))
@@ -82,17 +88,31 @@ def dominant_period(
     key_col: str = "key",
     loc_col: str = "loc",
     value_col: str = "value",
+    tie_digits: int | None = None,
 ) -> DataFrame:
     """(key, k, period, power): the argmax-power Fourier frequency per
     series and its period n/k in grid steps (ties to the LOWEST k — the
     longest period — deterministically). One aggregation over the
-    periodogram via struct-max."""
+    periodogram via struct-max.
+
+    ``tie_digits`` ranks on ``round(power, tie_digits)`` instead of the
+    raw float: near-tied ordinates whose difference is below summation-
+    order noise then resolve by the deterministic lowest-k rule on every
+    engine, instead of by whichever side's fp dust is larger.
+    """
     per = periodogram(df, key_col, loc_col, value_col)
     n = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+    rank_p = (
+        F.round(F.col("power"), tie_digits)
+        if tie_digits is not None
+        else F.col("power")
+    )
     best = per.groupBy(key_col).agg(
         F.max(
             F.struct(
-                F.col("power").alias("p"), (-F.col("k")).alias("nk")
+                rank_p.alias("rp"),
+                (-F.col("k")).alias("nk"),
+                F.col("power").alias("p"),
             )
         ).alias("_best")
     )

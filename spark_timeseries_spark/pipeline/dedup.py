@@ -256,6 +256,36 @@ def minhash_lsh_candidates(
     )
 
 
+def _jaccard_join(
+    candidates: DataFrame,
+    sets_a: DataFrame,
+    sets_b: DataFrame,
+    a_col: str,
+    b_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Shared exact-Jaccard verify join: attach each side's shingle set
+    (``(id, sh)`` tables) to the candidate pairs and keep pairs at or
+    above ``threshold``. Serves both the self-join path
+    (:func:`jaccard_verify`) and the cross-corpus path
+    (:func:`dedup_minhash_cross`) so NULL/empty-set and threshold
+    semantics cannot drift between them. An empty-vs-empty pair divides
+    0/0 → NULL jaccard → dropped by the threshold filter."""
+    sa = sets_a.withColumnsRenamed({"id": a_col, "sh": "_sh_a"})
+    sb = sets_b.withColumnsRenamed({"id": b_col, "sh": "_sh_b"})
+    return (
+        candidates.join(sa, a_col)
+        .join(sb, b_col)
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sh_a", "_sh_b"))
+            / F.size(F.array_union("_sh_a", "_sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(a_col, b_col, "jaccard")
+    )
+
+
 def jaccard_verify(
     df: DataFrame,
     candidates: DataFrame,
@@ -270,17 +300,7 @@ def jaccard_verify(
     avoid re-shingling the corpus."""
     if sets is None:
         sets = shingle_sets(df, text_col, id_col, shingle_n)
-    return (
-        candidates.join(sets.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
-        .join(sets.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _jaccard_join(candidates, sets, sets, "id_a", "id_b", threshold)
 
 
 def dedup_minhash_lsh(
@@ -1157,22 +1177,8 @@ def dedup_minhash_cross(
         hash_fn=hash_fn, max_bucket_size=max_bucket_size,
         num_hashes=num_hashes,
     )
-    return (
-        cand.join(
-            new_sets.withColumnsRenamed({"id": "id_new", "sh": "sh_n"}),
-            "id_new",
-        )
-        .join(
-            old_sets.withColumnsRenamed({"id": "id_old", "sh": "sh_o"}),
-            "id_old",
-        )
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_n", "sh_o"))
-            / F.size(F.array_union("sh_n", "sh_o")),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_new", "id_old", "jaccard")
+    return _jaccard_join(
+        cand, new_sets, old_sets, "id_new", "id_old", threshold
     )
 
 

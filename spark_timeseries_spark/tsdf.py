@@ -238,6 +238,30 @@ class TimeSeriesDataFrame:
 
         return _outliers(self.df, method, threshold)
 
+    def hampel(
+        self, half_window: int = 3, n_sigmas: float = 3.0
+    ) -> DataFrame:
+        """Per-series LOCAL outlier flagging vs a rolling median/MAD —
+        beyond-reference; see :func:`operators.outliers.hampel`."""
+        from .operators.outliers import hampel as _hampel
+
+        return _hampel(self.df, half_window, n_sigmas)
+
+    def periodogram(self) -> DataFrame:
+        """Schuster periodogram at the Fourier frequencies per series —
+        beyond-reference; see :func:`operators.spectral.periodogram`."""
+        from .operators.spectral import periodogram as _periodogram
+
+        return _periodogram(self.df)
+
+    def dominant_period(self, tie_digits: int | None = None) -> DataFrame:
+        """Argmax-power Fourier frequency / period per series —
+        beyond-reference; see
+        :func:`operators.spectral.dominant_period`."""
+        from .operators.spectral import dominant_period as _dominant
+
+        return _dominant(self.df, tie_digits=tie_digits)
+
     # -- resampling --------------------------------------------------------
     def resample(
         self,

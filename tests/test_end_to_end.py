@@ -491,3 +491,24 @@ def test_periodogram_recovers_planted_cycle(spark):
     assert int(out.loc[out["power"].idxmax(), "k"]) == 4
     dom = dominant_period(df).collect()[0]
     assert dom.k == 4 and dom.period == 8.0 and abs(dom.power - 144.0) < 1e-9
+
+
+def test_periodogram_degenerate_series_emit_no_rows(spark):
+    """A 1-point series has no Fourier frequencies (k = 1..⌊n/2⌋ is
+    empty): neither spurious k=1,0 rows (Spark's sequence(1, 0) counts
+    DOWN) nor a dominant_period row may appear — matching the DuckDB
+    oracle's empty generate_series(1, 0)."""
+    from spark_timeseries_spark.operators.spectral import (
+        dominant_period,
+        periodogram,
+    )
+
+    df = spark.createDataFrame(
+        [("one", 0, 5.0), ("two", 0, 1.0), ("two", 1, 3.0)],
+        "key string, loc long, value double",
+    )
+    per = periodogram(df).collect()
+    assert {r.key for r in per} == {"two"}  # n=2 → k=1 only
+    assert [(r.key, r.k) for r in per] == [("two", 1)]
+    dom = dominant_period(df).collect()
+    assert [(r.key, r.k) for r in dom] == [("two", 1)]
