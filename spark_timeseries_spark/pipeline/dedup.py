@@ -1112,6 +1112,7 @@ def minhash_cross_candidates(
     hash_fn: str = "xxhash64",
     max_bucket_size: int | None = None,
     num_hashes: int | None = None,
+    broadcast_new: bool = True,
 ) -> DataFrame:
     """Cross-corpus LSH candidates → (id_new, id_old): band-hash join of
     a NEW batch's signatures against the EXISTING corpus's — the
@@ -1121,13 +1122,23 @@ def minhash_cross_candidates(
     the sides; both directions of near-duplication surface as the same
     row. The existing side's banded table is a build-once artifact at
     scale — persist it keyed by (band, bh) and each increment pays only
-    its own banding plus the bucket join."""
+    its own banding plus the bucket join.
+
+    ``broadcast_new`` (default True) ships the fresh batch's banded
+    table to every executor so the EXISTING corpus's banded table is
+    probed in place — zero shuffle of the big side, which is the whole
+    point of incremental ingest (an increment is small relative to the
+    corpus by construction). Set False when a bulk backfill makes the
+    "new" side too large to broadcast; the join then falls back to the
+    usual (band, bh) hash exchange."""
     _validate_bands(bands, rows_per_band, num_hashes)
     nb = _banded(new_sigs, id_col, "id_new", bands, rows_per_band, hash_fn)
     ob = _banded(existing_sigs, id_col, "id_old", bands, rows_per_band,
                  hash_fn)
     if max_bucket_size is not None:
         ob = cap_bucket_size(ob, ["band", "bh"], max_bucket_size)
+    if broadcast_new:
+        nb = F.broadcast(nb)
     return (
         nb.join(ob, ["band", "bh"])
         .select("id_new", "id_old")
@@ -1146,6 +1157,7 @@ def dedup_minhash_cross(
     shingle_n: int = 3,
     hash_fn: str = "xxhash64",
     max_bucket_size: int | None = None,
+    broadcast_new: bool = True,
 ) -> DataFrame:
     """Incremental-ingest NEAR-dup: verified ``(id_new, id_old, jaccard)``
     pairs between a fresh batch and the existing corpus — the MinHash
@@ -1175,7 +1187,7 @@ def dedup_minhash_cross(
     cand = minhash_cross_candidates(
         sig_new, sig_old, id_col, bands, num_hashes // bands,
         hash_fn=hash_fn, max_bucket_size=max_bucket_size,
-        num_hashes=num_hashes,
+        num_hashes=num_hashes, broadcast_new=broadcast_new,
     )
     return _jaccard_join(
         cand, new_sets, old_sets, "id_new", "id_old", threshold

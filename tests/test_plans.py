@@ -366,6 +366,30 @@ def test_linear_score_weight_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in p
 
 
+def test_minhash_cross_band_join_broadcasts_the_increment(spark):
+    """Incremental near-dup must probe the EXISTING corpus's banded
+    table in place: the fresh batch's banded rows broadcast, so the big
+    side never exchanges on (band, bh) — the shape that makes ingest
+    increments O(increment), not O(corpus)."""
+    from spark_timeseries_spark.pipeline.dedup import (
+        minhash_signatures,
+        minhash_cross_candidates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog %d" % (i % 3))
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    new = minhash_signatures(docs.where("doc_id < 3"), num_hashes=8)
+    old = minhash_signatures(docs.where("doc_id >= 3"), num_hashes=8)
+    p = _plan(minhash_cross_candidates(new, old, bands=4, rows_per_band=2,
+                                       num_hashes=8))
+    assert "BroadcastHashJoin" in p, p
+    # the existing side must not hash-exchange on the band key
+    assert not re.search(r"Exchange hashpartitioning\(band", p), p
+
+
 def test_remove_dup_spans_no_position_explode(spark):
     """The span algebra must stay interval-based: exactly two Generates —
     the n-gram start explode, computed once for the dup-hash aggregate
