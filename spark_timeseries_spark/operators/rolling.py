@@ -98,6 +98,66 @@ def roll_var(df, n, align="right", key_col="key", order_col="loc", value_col="va
     return roll_agg(df, n, "variance", align, key_col, order_col, value_col)
 
 
+def roll_quantile(
+    df: DataFrame,
+    n: int,
+    q: float,
+    align: str = "right",
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Exact rolling quantile over a complete n-window — linear
+    interpolation at position (n−1)·q of the sorted window (numpy
+    default / DuckDB ``quantile_cont``). Same contract as
+    :func:`roll_agg`: windows with a missing cell yield NULL, boundary
+    positions with incomplete windows are trimmed.
+
+    Plan: the window pass collects the n-cell array once; because n and
+    q are Python constants the interpolation indices fold to literals,
+    so the whole expression is two ``element_at`` picks off one
+    let-bound ``array_sort`` — single exchange, no Python, no
+    self-join."""
+    import math
+
+    from ..functions import let
+
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    lo, hi = _frame(n, align)
+    w = Window.partitionBy(key_col).orderBy(order_col).rowsBetween(lo, hi)
+    out_col = out_col or value_col
+    idx = (n - 1) * q
+    k = int(math.floor(idx))
+    frac = idx - k
+
+    def pick(srt):
+        if frac == 0.0:
+            return F.element_at(srt, k + 1)
+        return (
+            F.element_at(srt, k + 1) * F.lit(1.0 - frac)
+            + F.element_at(srt, k + 2) * F.lit(frac)
+        )
+
+    srt = F.array_sort(F.collect_list(F.col(value_col).cast("double")).over(w))
+    return (
+        df.withColumn("_rows", F.count(F.lit(1)).over(w))
+        .withColumn("_vals", F.count(value_col).over(w))
+        .withColumn(
+            out_col, F.when(F.col("_vals") == n, let(srt, pick))
+        )
+        .where(F.col("_rows") == n)
+        .drop("_rows", "_vals")
+    )
+
+
+def roll_median(df, n, align="right", key_col="key", order_col="loc", value_col="value"):
+    """Exact rolling median (interpolated on even windows) — the robust
+    companion of :func:`roll_mean`; see :func:`roll_quantile`."""
+    return roll_quantile(df, n, 0.5, align, key_col, order_col, value_col)
+
+
 def crosscorr(
     df: DataFrame,
     key_a: str,
