@@ -159,6 +159,48 @@ def _q_roll_mean(spark, sf_dir):
     return out.select("key", "loc", "ts", F.round("value", 6).alias("value"))
 
 
+def _q_roll_quantile(spark, sf_dir):
+    """roll_quantile(7, 0.3) + roll_median(7) in one row — exercises both
+    the interpolated branch (idx = 6·0.3 = 1.8) and the exact-pick branch
+    (idx = 3) of the sorted-window pick; DuckDB ``quantile_cont`` shares the
+    same lerp form so the values match bit-for-bit before rounding.
+    q = 0.3 (frac 0.8) rather than 0.25: frac 0.5 on 6-decimal grid values
+    puts every interpolation exactly on a …5 rounding tie at the 6th
+    decimal, where Spark's HALF_UP and DuckDB's round() disagree; frac 0.8
+    keeps the 7th decimal even, so no ties exist."""
+    grid = _daily_grid(spark, sf_dir)
+    q30 = rolling.roll_quantile(grid, 7, 0.3, out_col="q30").select(
+        "key", "loc", "ts", "q30"
+    )
+    med = rolling.roll_quantile(grid, 7, 0.5, out_col="med").select(
+        "key", "loc", "med"
+    )
+    return q30.join(med, ["key", "loc"]).select(
+        "key", "loc", "ts",
+        F.round("q30", 6).alias("q30"), F.round("med", 6).alias("med"),
+    )
+
+
+def _q_fill_suite(spark, sf_dir):
+    """Composed re-proof of the SQL-expressible fill family in one window
+    slot (r6 verdict item 7): previous / next / nearest / linear / zero /
+    constant, each as its own column off the same daily grid. All six share
+    one (key, loc) sort → a single exchange; ``fill_spline`` (the one
+    Python-kernel fill) keeps its own dedicated row."""
+    g = _daily_grid(spark, sf_dir)
+    for col, method in [
+        ("prev", "previous"), ("nxt", "next"), ("near", "nearest"),
+        ("lin", "linear"), ("zero", "zero"),
+    ]:
+        g = fill_ops.fill(g.withColumn(col, F.col("value")), method, value_col=col)
+    g = fill_ops.fill_value(g.withColumn("cval", F.col("value")), -1.0,
+                            value_col="cval")
+    return g.select(
+        "key", "loc", "ts", "prev", "nxt", "near",
+        F.round("lin", 6).alias("lin"), "zero", "cval",
+    )
+
+
 def _q_remove_instants_with_nans(spark, sf_dir):
     grid = _daily_grid(spark, sf_dir).where(F.col("key").isin("1", "2", "3"))
     out = filters.remove_instants_with_nans(grid, rebase_loc=False)
@@ -685,6 +727,28 @@ def _q_minhash_lsh_dedup(spark, sf_dir):
     return dd.dedup_minhash_lsh(docs, threshold=0.3, hash_fn="md5_60").select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+def _q_minhash_lsh_dedup_xx(spark, sf_dir):
+    """BENCH-ONLY twin of ``minhash_lsh_dedup`` on the PRODUCTION hash path
+    (``hash_fn="xxhash64"`` — one JVM xxhash64 per shingle per seed instead
+    of 64 seeded MD5s), so the recorded headline number reflects the scale
+    path, not the oracle-replay mode (r6 verdict item 4). Not in
+    ``queries()``: DuckDB has no xxhash64, so the row is not
+    oracle-replayable; correctness of the shared pipeline is already proven
+    by the md5_60 row, which differs only in the hash expression."""
+    from spark_timeseries_spark.pipeline import dedup as dd
+
+    docs = _docs_spread(spark, sf_dir)
+    return dd.dedup_minhash_lsh(docs, threshold=0.3, hash_fn="xxhash64").select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Extra entries bench.py times but the correctness harness skips
+    (non-oracle-replayable variants of already-proven pipelines)."""
+    return {"minhash_lsh_dedup_xx": _q_minhash_lsh_dedup_xx}
 
 
 def _q_simhash_near_dups(spark, sf_dir):
@@ -2213,33 +2277,117 @@ def _q_stats_suite(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
-    the first 50 entries. Window policy (round 6, per the r5 verdict's
-    rotation plan): (a) must-prove rows — ``dup_spans`` (red in r4 AND r5
-    on the DuckDB HUGEINT→float64 representation class; both sides now
-    CAST to BIGINT and the local checker gained a strict-dtype gate),
-    ``embedding_covariance`` (the moment pass was rewritten from a
-    per-row Python RDD map to an Arrow-batched mapInPandas Gramian),
-    and the four rows whose semantics moved this round with their
-    oracles (``cusum`` NULL direction on degenerate series,
-    ``zipf_slope`` NULL r2 on zero response variance, the BPE pair after
-    the model gained its training alphabet); (b) the four queries NEW
-    this round, never driver-checked — ``rebase_hybrid`` (the hybrid
-    source/target index path, r5 verdict item 6), ``union_series``
-    (TimeSeriesUtils.union coalesce-merge, item 7), ``lags_custom``
-    (the per-column lag map, item 7), ``stats_suite`` (all six §2.10
-    statistics + closed-form χ²(2) p-values in one row, item 8), plus
-    the four operators NEW in round 6's widening — ``hampel``
-    (rolling-median/MAD local outliers), ``periodogram`` /
-    ``dominant_period`` (Schuster spectral analysis), and
-    ``incremental_near_dedup`` (cross-snapshot MinHash ingest dedup);
-    (c) the standing rotation queue, oldest green rows first —
-    ``knn_cosine`` (last row r2, the oldest in the file), then the
-    displaced r3-green model/stats/events set. Past the window:
-    everything r5 just proved green (the freshest rows in the file).
-    All 137 are additionally validated locally by
-    ``tools/check_correctness.py`` (full log committed per round)."""
+    the first 50 entries. Window policy (round 7, per the r6 verdict's
+    rotation plan, item 6): (a) must-prove rows — ``roll_quantile``
+    (landed untested in the r6 snapshot commit; now unit-tested,
+    tsdf-wrapped, and oracle-backed — r6 verdict item 2) and
+    ``fill_suite`` (NEW composed row re-proving the six SQL-expressible
+    fill methods in one slot, item 7), plus ``simhash_near_dups`` and
+    ``containment_pairs`` — the two ``_jaccard_join``-downstream rows the
+    r6 refactor touched without in-window proof; (b) the standing
+    rotation queue, oldest evidence first — the fifteen r4-era rows
+    (``slice`` … ``arima_forecast``) plus the four r4 fill/lag rows
+    displaced from the r6 window; (c) the oldest r5-green rows to fill
+    the remaining slots. Past the window: everything r6 just proved
+    green (the freshest rows in the file). All 139 are additionally
+    validated locally by ``tools/check_correctness.py`` (full log
+    committed per round — r7 restores the full-log discipline r6
+    skipped, verdict item 1)."""
     return {
-        # -- (a) must-prove + (b) new-this-round + (c) rotation queue ----
+        # -- (a) must-prove: new/changed this round + refactor-downstream ----
+        "roll_quantile": _q_roll_quantile,
+        "fill_suite": _q_fill_suite,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "containment_pairs": _q_containment_pairs,
+        # -- (b) stalest evidence: the r4-era rows -------------------------
+        "slice": _q_slice,
+        "quotients": _q_quotients,
+        "upsample": _q_upsample,
+        "trim_leading_trailing": _q_trim,
+        "min_max_datetimes": _q_min_max_datetimes,
+        "calendar_ops": _q_calendar_ops,
+        "serde_roundtrip": _q_serde_roundtrip,
+        "row_matrix_norms": _q_row_matrix_norms,
+        "cosine_dup_pairs": _q_cosine_dup_pairs,
+        "lsh_recall": _q_lsh_recall,
+        "ivf_topk": _q_ivf_topk,
+        "index_union": _q_index_union,
+        "multimodal_meta": _q_multimodal_meta,
+        "image_features": _q_image_features,
+        "arima_forecast": _q_arima_forecast,
+        "fill_next": _q_fill_next,
+        "fill_nearest": _q_fill_nearest,
+        "fill_zero": _q_fill_zero,
+        "lags": _q_lags,
+        # -- (c) oldest r5-green rows fill the window ----------------------
+        "dedup_paragraphs": _q_dedup_paragraphs,
+        "url_stats": _q_url_stats,
+        "pq_recall": _q_pq_recall,
+        "filter_by_instant": _q_filter_by_instant,
+        "ivfpq_topk": _q_ivfpq_topk,
+        "semantic_dedup": _q_semantic_dedup,
+        "kmeans_assign": _q_kmeans_assign,
+        "pretrain_clean": _q_pretrain_clean,
+        "minhash_lsh_dedup": _q_minhash_lsh_dedup,
+        "pack_sequences": _q_pack_sequences,
+        "mixture_epochs": _q_mixture_epochs,
+        "remove_dup_spans": _q_remove_dup_spans,
+        "video_frames": _q_video_frames,
+        "dedup_exact": _q_dedup_exact,
+        "text_quality": _q_text_quality,
+        "token_count_by_source": _q_token_count_by_source,
+        "token_count_bpe": _q_token_count_bpe,
+        "fingerprint": _q_fingerprint,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        "lsh_topk": _q_lsh_topk,
+        "winnowing_fingerprints": _q_winnowing_fingerprints,
+        "auto_arima": _q_auto_arima,
+        "garch_fit": _q_garch_fit,
+        "egarch_fit": _q_egarch_fit,
+        "arx_fit": _q_arx_fit,
+        # ---- driver window (50) ends here ----------------------------------
+        "arimax_forecast": _q_arimax_forecast,
+        "regression_arima": _q_regression_arima,
+        "holt_winters_fit": _q_holt_winters_fit,
+        "dedup_lines": _q_dedup_lines,
+        "incremental_dedup": _q_incremental_dedup,
+        "roll_std": _q_roll_std,
+        "crosscorr": _q_crosscorr,
+        "lm3_perplexity": _q_lm3_perplexity,
+        "corpus_stats": _q_corpus_stats,
+        "seasonal_decompose": _q_seasonal_decompose,
+        "pmi_pairs": _q_pmi_pairs,
+        "outliers": _q_outliers,
+        "theil_sen": _q_theil_sen,
+        "token_entropy": _q_token_entropy,
+        "token_divergence": _q_token_divergence,
+        "repetition_features": _q_repetition_features,
+        "gopher_repetition": _q_gopher_repetition,
+        "gopher_quality": _q_gopher_quality,
+        "sessionize": _q_sessionize,
+        "session_stats": _q_session_stats,
+        "stratified_sample": _q_stratified_sample,
+        "token_percentiles": _q_token_percentiles,
+        "scrub_pii": _q_scrub_pii,
+        "dedup_components": _q_dedup_components,
+        "decontaminate": _q_decontaminate,
+        "resample_stamp_right": _q_resample_stamp_right,
+        "resample_closed_right": _q_resample_closed_right,
+        "split_dataset": _q_split_dataset,
+        "normalize_text": _q_normalize_text,
+        "remove_boilerplate": _q_remove_boilerplate,
+        "chunk_documents": _q_chunk_documents,
+        "lm_perplexity": _q_lm_perplexity,
+        "bm25_search": _q_bm25_search,
+        "vocab_topk": _q_vocab_topk,
+        "oov_rate": _q_oov_rate,
+        "linear_score": _q_linear_score,
+        "ivf_persist": _q_ivf_persist,
+        "pq_adc": _q_pq_adc,
+        "blocklist_flag": _q_blocklist_flag,
+        # r6-green rows (the freshest evidence in the file) — rotated out
         "dup_spans": _q_dup_spans,
         "embedding_covariance": _q_embedding_covariance,
         "cusum": _q_cusum,
@@ -2290,98 +2438,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebase_irregular": _q_rebase_irregular,
         "diff_by_frequency": _q_diff_by_frequency,
         "ewma_smooth": _q_ewma_smooth,
-        # ---- driver window (50) ends here ----------------------------------
-        # the four r4-era fill/lag rows originally queued in-window were
-        # displaced by the four NEW round-6 operators above (hampel,
-        # periodogram, dominant_period, incremental_near_dedup)
-        "fill_next": _q_fill_next,
-        "fill_nearest": _q_fill_nearest,
-        "fill_zero": _q_fill_zero,
-        "lags": _q_lags,
-        # r5-green rows (the freshest in the file) — rotated out
-        "dedup_paragraphs": _q_dedup_paragraphs,
-        "url_stats": _q_url_stats,
-        "pq_recall": _q_pq_recall,
-        "filter_by_instant": _q_filter_by_instant,
-        "ivfpq_topk": _q_ivfpq_topk,
-        "semantic_dedup": _q_semantic_dedup,
-        "kmeans_assign": _q_kmeans_assign,
-        "pretrain_clean": _q_pretrain_clean,
-        "minhash_lsh_dedup": _q_minhash_lsh_dedup,
-        "pack_sequences": _q_pack_sequences,
-        "mixture_epochs": _q_mixture_epochs,
-        "remove_dup_spans": _q_remove_dup_spans,
-        "video_frames": _q_video_frames,
-        "dedup_exact": _q_dedup_exact,
-        "text_quality": _q_text_quality,
-        "token_count_by_source": _q_token_count_by_source,
-        "token_count_bpe": _q_token_count_bpe,
-        "fingerprint": _q_fingerprint,
-        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-        "lang_id": _q_lang_id,
-        "quality_score": _q_quality_score,
-        "simhash_near_dups": _q_simhash_near_dups,
-        "lsh_topk": _q_lsh_topk,
-        "winnowing_fingerprints": _q_winnowing_fingerprints,
-        "auto_arima": _q_auto_arima,
-        "garch_fit": _q_garch_fit,
-        "egarch_fit": _q_egarch_fit,
-        "arx_fit": _q_arx_fit,
-        "arimax_forecast": _q_arimax_forecast,
-        "regression_arima": _q_regression_arima,
-        "holt_winters_fit": _q_holt_winters_fit,
-        "dedup_lines": _q_dedup_lines,
-        "containment_pairs": _q_containment_pairs,
-        "incremental_dedup": _q_incremental_dedup,
-        "roll_std": _q_roll_std,
-        "crosscorr": _q_crosscorr,
-        "lm3_perplexity": _q_lm3_perplexity,
-        "corpus_stats": _q_corpus_stats,
-        "seasonal_decompose": _q_seasonal_decompose,
-        "pmi_pairs": _q_pmi_pairs,
-        "outliers": _q_outliers,
-        "theil_sen": _q_theil_sen,
-        "token_entropy": _q_token_entropy,
-        "token_divergence": _q_token_divergence,
-        "repetition_features": _q_repetition_features,
-        "gopher_repetition": _q_gopher_repetition,
-        "gopher_quality": _q_gopher_quality,
-        "sessionize": _q_sessionize,
-        "session_stats": _q_session_stats,
-        "stratified_sample": _q_stratified_sample,
-        "token_percentiles": _q_token_percentiles,
-        "scrub_pii": _q_scrub_pii,
-        "dedup_components": _q_dedup_components,
-        "decontaminate": _q_decontaminate,
-        "slice": _q_slice,
-        "resample_stamp_right": _q_resample_stamp_right,
-        "resample_closed_right": _q_resample_closed_right,
-        "quotients": _q_quotients,
-        "upsample": _q_upsample,
-        "trim_leading_trailing": _q_trim,
-        "min_max_datetimes": _q_min_max_datetimes,
-        "split_dataset": _q_split_dataset,
-        "normalize_text": _q_normalize_text,
-        "remove_boilerplate": _q_remove_boilerplate,
-        "chunk_documents": _q_chunk_documents,
-        "calendar_ops": _q_calendar_ops,
-        "lm_perplexity": _q_lm_perplexity,
-        "bm25_search": _q_bm25_search,
-        "vocab_topk": _q_vocab_topk,
-        "oov_rate": _q_oov_rate,
-        "linear_score": _q_linear_score,
-        "ivf_persist": _q_ivf_persist,
-        "pq_adc": _q_pq_adc,
-        "blocklist_flag": _q_blocklist_flag,
-        "arima_forecast": _q_arima_forecast,
-        "index_union": _q_index_union,
-        "ivf_topk": _q_ivf_topk,
-        "multimodal_meta": _q_multimodal_meta,
-        "image_features": _q_image_features,
-        "lsh_recall": _q_lsh_recall,
-        "serde_roundtrip": _q_serde_roundtrip,
-        "row_matrix_norms": _q_row_matrix_norms,
-        "cosine_dup_pairs": _q_cosine_dup_pairs,
     }
 
 
@@ -2698,6 +2754,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT key, loc, ts,
                    ROUND(CASE WHEN nvals = 7 THEN m END, 6) AS value
             FROM rolled WHERE nrows = 7
+        """,
+        "roll_quantile": _DAILY_GRID_SQL
+        + """
+            , rolled AS (
+                SELECT key, loc, ts,
+                       count(*) OVER w AS nrows, count(value) OVER w AS nvals,
+                       quantile_cont(value, 0.3) OVER w AS q30r,
+                       quantile_cont(value, 0.5) OVER w AS medr
+                FROM grid
+                WINDOW w AS (PARTITION BY key ORDER BY loc
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            )
+            SELECT key, loc, ts,
+                   ROUND(CASE WHEN nvals = 7 THEN q30r END, 6) AS q30,
+                   ROUND(CASE WHEN nvals = 7 THEN medr END, 6) AS med
+            FROM rolled WHERE nrows = 7
+        """,
+        "fill_suite": _DAILY_GRID_SQL + _AUG_SQL
+        + """
+            SELECT key, loc, ts,
+                   pv AS prev,
+                   nv AS nxt,
+                   CASE WHEN value IS NOT NULL THEN value
+                        WHEN pv IS NULL THEN nv
+                        WHEN nv IS NULL THEN pv
+                        WHEN loc - pi <= ni - loc THEN pv
+                        ELSE nv END AS near,
+                   ROUND(CASE WHEN value IS NOT NULL THEN value
+                              WHEN pv IS NULL OR nv IS NULL THEN NULL
+                              ELSE pv + (nv - pv) * (CAST(loc AS DOUBLE) - pi)
+                                   / (ni - pi)
+                         END, 6) AS lin,
+                   COALESCE(value, 0.0) AS zero,
+                   COALESCE(value, -1.0) AS cval
+            FROM aug
         """,
         "remove_instants_with_nans": _DAILY_GRID_SQL
         + """

@@ -39,7 +39,10 @@ def main():
 
     import __spark_entry__ as entry
 
-    qs = entry.queries()
+    qs = dict(entry.queries())
+    # bench-only rows (production-hash variants etc.) — timed, never
+    # correctness-checked
+    qs.update(getattr(entry, "bench_only_queries", dict)())
     # warm the JVM + parquet footers once so per-query numbers measure the
     # operators, not session startup
     from spark_timeseries_spark.sources import load_table
@@ -63,6 +66,13 @@ def main():
         spark.catalog.clearCache()
         return dt
 
+    # Min-of-2 protocol (PERFORMANCE.md "bench variance"): this box's
+    # run-to-run spread reaches 4× under co-tenant load — two rounds of
+    # phantom "regressions" (video_frames r5; minhash/cusum r6) were
+    # adjudicated as contention, not plans. Every query runs twice and the
+    # MIN is recorded: the structural cost of the plan, not the contention
+    # lottery. (Pass 1 all queries, then pass 2 all queries — interleaving
+    # the passes decorrelates a contention burst from any single query.)
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         try:
@@ -70,13 +80,15 @@ def main():
         except Exception as e:  # pragma: no cover
             timings[name] = -1.0
             print(f"bench error in {name}: {e}", file=sys.stderr)
+    for name, fn in qs.items():
+        if timings.get(name, -1.0) >= 0:
+            try:
+                timings[name] = min(timings[name], run_one(fn))
+            except Exception:
+                pass
 
-    # Outlier re-measure: single-box wall times absorb multi-second OS-level
-    # stalls from co-tenant load (PERFORMANCE.md "bench variance" — the same
-    # query measures 0.3 s standalone and tens of seconds in a contended
-    # window, reproducibly NOT attributable to the plan). Re-run anything
-    # anomalously slow once and keep the min — the structural cost, not the
-    # contention lottery.
+    # Third-chance outlier re-measure: anything still anomalously slow after
+    # min-of-2 gets one more sample.
     vals = sorted(v for v in timings.values() if v >= 0)
     median = vals[len(vals) // 2] if vals else 0.0
     threshold = max(3.0, 4 * median)

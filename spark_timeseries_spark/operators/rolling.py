@@ -125,20 +125,30 @@ def roll_quantile(
 
     if not 0.0 <= q <= 1.0:
         raise ValueError(f"q must be in [0, 1], got {q}")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
     lo, hi = _frame(n, align)
     w = Window.partitionBy(key_col).orderBy(order_col).rowsBetween(lo, hi)
     out_col = out_col or value_col
+    # Index arithmetic happens in Python floats; (n−1)·q can land a hair off
+    # a mathematically exact pick (10·0.7 = 7.000000000000001), which would
+    # flip the exact-pick branch into a near-zero-weight interpolation with
+    # platform-dependent last bits. Snap to the integer within 1e-9 so exact
+    # picks stay exact — matches numpy/DuckDB to the bit on those quantiles.
     idx = (n - 1) * q
-    k = int(math.floor(idx))
+    k = int(math.floor(idx + 1e-9))
+    k = min(k, n - 1)  # q=1.0 (or round-off above it) must not index past n
     frac = idx - k
+    if frac < 1e-9 or k >= n - 1:
+        frac = 0.0  # k+2 would read past the array; the pick is exact anyway
 
     def pick(srt):
         if frac == 0.0:
             return F.element_at(srt, k + 1)
-        return (
-            F.element_at(srt, k + 1) * F.lit(1.0 - frac)
-            + F.element_at(srt, k + 2) * F.lit(frac)
-        )
+        # lo + frac·(hi − lo): the lerp form numpy and DuckDB quantile_cont
+        # both use — bit-identical to them, unlike the (1−f)·lo + f·hi form.
+        lo_v = F.element_at(srt, k + 1)
+        return lo_v + F.lit(frac) * (F.element_at(srt, k + 2) - lo_v)
 
     srt = F.array_sort(F.collect_list(F.col(value_col).cast("double")).over(w))
     return (

@@ -190,6 +190,21 @@ class TimeSeriesDataFrame:
     def roll_var(self, n: int, align_: str = "right") -> "TimeSeriesDataFrame":
         return self._roll("variance", n, align_)
 
+    def roll_quantile(
+        self, n: int, q: float, align_: str = "right"
+    ) -> "TimeSeriesDataFrame":
+        """Exact interpolated rolling quantile (numpy-default linear at
+        (n−1)·q) — robust beyond-reference companion of :meth:`roll_mean`;
+        see :func:`operators.rolling.roll_quantile`."""
+        out = rolling.roll_quantile(self.df, n, q, align_)
+        lo, hi = rolling._frame(n, align_)
+        out = out.withColumn(self.LOC, F.col(self.LOC) + lo)
+        return TimeSeriesDataFrame(out, self.index.islice(-lo, self.index.size - hi))
+
+    def roll_median(self, n: int, align_: str = "right") -> "TimeSeriesDataFrame":
+        """Exact rolling median (interpolated on even windows)."""
+        return self.roll_quantile(n, 0.5, align_)
+
     def crosscorr(self, key_a: str, key_b: str, max_lag: int) -> DataFrame:
         """Cross-correlation (lag 0..max_lag) between two series —
         beyond-reference companion of :meth:`autocorr`."""

@@ -499,6 +499,62 @@ def test_roll_std_minmax_vs_pandas(spark):
                                    rtol=1e-12, err_msg=meth)
 
 
+def test_roll_quantile_vs_numpy(spark):
+    """Rolling quantile matches numpy's default linear interpolation at
+    (n−1)·q for exact-pick and interpolated quantiles, even/odd windows,
+    and the q=0/q=1 extremes; windows containing a NULL yield NULL;
+    n=1 degenerates to identity; fp-dust quantiles (10·0.7 =
+    7.000000000000001) stay exact picks."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators import rolling
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0, 5.0]
+    rows = [(i, "a", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "loc long, key string, value double")
+
+    for n, q in [(3, 0.5), (4, 0.5), (3, 0.0), (3, 1.0), (4, 0.25),
+                 (5, 0.1), (1, 0.5), (11, 0.7), (4, 1.0), (4, 0.0)]:
+        got = (rolling.roll_quantile(df, n, q).toPandas()
+               .sort_values("loc").value.to_numpy())
+        want = np.array([
+            np.quantile(vals[i - n + 1:i + 1], q)
+            for i in range(n - 1, len(vals))
+        ])
+        np.testing.assert_allclose(got, want, rtol=0, atol=0,
+                                   err_msg=f"n={n} q={q}")
+
+    # NULL in window → NULL result at that stamp (matches roll_agg contract)
+    rows_n = [(i, "a", None if i == 3 else v) for i, v in enumerate(vals)]
+    dfn = spark.createDataFrame(rows_n, "loc long, key string, value double")
+    got = (rolling.roll_quantile(dfn, 3, 0.5).toPandas()
+           .sort_values("loc").value.to_numpy())
+    assert np.isnan(got[1:4]).all() and not np.isnan(got[0])
+
+    # tsdf wrapper: roll_median trims the index like roll_mean does
+    import pandas as pd
+
+    from spark_timeseries_spark import DayFrequency, TimeSeriesDataFrame, uniform
+
+    idx = uniform("2024-01-01", len(vals), DayFrequency(1))
+    obs = [((pd.Timestamp("2024-01-01") + pd.Timedelta(days=i)).to_pydatetime(),
+            "a", v) for i, v in enumerate(vals)]
+    ts = TimeSeriesDataFrame.from_observations(
+        spark.createDataFrame(obs, "ts timestamp, key string, value double"), idx)
+    med = ts.roll_median(4, "right")
+    assert med.index.size == len(vals) - 3
+    got = med.df.toPandas().sort_values("loc").value.to_numpy()
+    want = pd.Series(vals).rolling(4).median().dropna().to_numpy()
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+    # invalid args
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        rolling.roll_quantile(df, 3, 1.5)
+    with _pytest.raises(ValueError):
+        rolling.roll_quantile(df, 0, 0.5)
+
+
 def test_crosscorr_vs_numpy(spark):
     """Cross-correlation: ccf(0) == corr(a,b); at the planted lag the
     correlation of a_t with b_{t-lag} is ~1 (a is b delayed by 2); the
