@@ -8,13 +8,30 @@ b_k = Σ v'_t·sin(2πkt/n) over the demeaned series v', evaluated at the
 Fourier frequencies k = 1..⌊n/2⌋ (Schuster 1898; the length-normalized
 variant used by R's ``spec.pegram`` family up to its scaling constant).
 
-Plan: one per-series moment aggregate (n, mean), then each point explodes
-into its ⌊n/2⌋ frequency contributions and ONE map-side-combined groupBy
-(key, k) sums the projections — all JVM trig expressions, no Python, no
-window, no global sort. The explode is O(n²/2) per series — the
-reference's own one-series-in-memory envelope (same documented quadratic
-class as Theil-Sen), keyed per series so the corpus dimension
-parallelizes; swap in a grouped-map FFT kernel if series outgrow it.
+Two physical strategies for the same math, selected per series by length:
+
+- **explode** (short series): each point explodes into its ⌊n/2⌋ frequency
+  contributions and ONE map-side-combined groupBy (key, k) sums the
+  projections — all JVM trig expressions, no Python, no window, no global
+  sort, and SQL-exact (the DuckDB oracle replays it bit-for-bit). The
+  explode emits O(n²/2) rows per series, so it is only the right plan
+  inside the reference's one-series-in-memory envelope.
+- **fft** (long series): a grouped-map numpy kernel computes the SAME
+  ordinates from the DFT of the demeaned series — |X_k|²·2/n IS
+  a_k² + b_k² · 2/n (a_k = Re X_k, b_k = −Im X_k) — in O(n log n) per
+  series with ZERO shuffle rows beyond the series itself. |X_k| is
+  invariant under the constant phase e^{−2πik·t₀/n}, so any contiguous
+  loc range (not just 0-based) hits the rfft fast path; series with holes
+  (dropped NULL cells) fall back to a chunked vectorized direct DFT at
+  the exact same angles (still no quadratic shuffle — the quadratic work
+  stays in-core as BLAS flops).
+
+``method="auto"`` (default) branches PER SERIES inside one lazy plan:
+series with n ≤ ``fft_threshold`` take the explode subplan, longer ones
+the grouped-map subplan, unioned — no driver-side length probe, no
+action at plan-build time. The threshold default (512) keeps the explode
+side under ~128k shuffle rows per series; at 100× series length the
+kernel side takes over and shuffle volume stays linear in the corpus.
 
 Missing cells: the input should be FILLED first (``fill.fill_linear`` et
 al.) — a NULL cell is dropped from the sums, which is the "treat as the
@@ -31,28 +48,12 @@ from pyspark.sql import functions as F
 
 __all__ = ["periodogram", "dominant_period"]
 
+_FFT_THRESHOLD = 512
 
-def periodogram(
-    df: DataFrame,
-    key_col: str = "key",
-    loc_col: str = "loc",
-    value_col: str = "value",
-) -> DataFrame:
-    """(key, k, power): periodogram ordinate at each Fourier frequency
-    k = 1..⌊n/2⌋, where n is the series' grid length (rows per key) and
-    t is the grid location — a spike at k means a cycle of period n/k
-    grid steps."""
-    v = F.col(value_col)
-    stats = df.groupBy(key_col).agg(
-        F.count(F.lit(1)).alias("_n"), F.avg(v).alias("_mu")
-    )
-    # _n >= 2 guard: sequence(1, 0) counts DOWN in Spark (default step -1),
-    # so a 1-point series would emit spurious k=1,0 rows instead of none.
-    pts = (
-        df.join(stats, key_col)
-        .where(v.isNotNull())
-        .where(F.col("_n") >= F.lit(2))
-    )
+
+def _periodogram_explode(pts: DataFrame, key_col, loc_col, value_col) -> DataFrame:
+    """SQL-exact explode plan over pre-joined (row, _n, _mu) points →
+    (key, k, power, _n)."""
     two_pi = 2.0 * math.pi
     freq = pts.withColumn(
         "k", F.explode(F.sequence(F.lit(1), (F.col("_n") / 2).cast("int")))
@@ -63,7 +64,7 @@ def periodogram(
         * F.col(loc_col).cast("double")
         / F.col("_n").cast("double")
     )
-    dv = v - F.col("_mu")
+    dv = F.col(value_col) - F.col("_mu")
     return (
         freq.groupBy(key_col, "k")
         .agg(
@@ -79,8 +80,122 @@ def periodogram(
                 * 2.0
                 / F.col("_n")
             ).alias("power"),
+            "_n",
         )
     )
+
+
+def _periodogram_fft(df: DataFrame, key_col, loc_col, value_col) -> DataFrame:
+    """Grouped-map numpy kernel → (key, k, power, _n); same ordinates as
+    the explode plan (same angles, same demeaning, same NULL-drop)."""
+    key_field = df.schema[key_col]
+    schema = (
+        f"`{key_col}` {key_field.dataType.simpleString()}, "
+        "k int, power double, _n long"
+    )
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        m = n // 2
+        if m < 1:
+            return pd.DataFrame(
+                {key_col: [], "k": [], "power": [], "_n": []}
+            ).astype({"k": "int32", "power": "float64", "_n": "int64"})
+        v = pdf[value_col].to_numpy(dtype=float)
+        mask = ~np.isnan(v)
+        if not mask.any():
+            power = np.zeros(m)
+        else:
+            mu = v[mask].mean()
+            dv = v[mask] - mu
+            t = pdf[loc_col].to_numpy(dtype=float)[mask]
+            order = np.argsort(t)
+            t, dv = t[order], dv[order]
+            if mask.all() and n > 1 and np.all(np.diff(t) == 1.0):
+                # contiguous grid: O(n log n); |X_k| is shift-invariant so
+                # a non-zero starting loc needs no re-indexing
+                x = np.fft.rfft(dv)
+                power = (2.0 / n) * np.abs(x[1 : m + 1]) ** 2
+            else:
+                # holes: direct DFT at the same angles, chunked over k so
+                # the (k × t) angle matrix stays bounded in memory
+                power = np.empty(m)
+                w = 2.0 * np.pi / n
+                for s in range(0, m, 2048):
+                    kb = np.arange(s + 1, min(s + 2048, m) + 1, dtype=float)
+                    ang = w * np.outer(kb, t)
+                    a = (np.cos(ang) * dv).sum(axis=1)
+                    b = (np.sin(ang) * dv).sum(axis=1)
+                    power[s : s + kb.size] = (a * a + b * b) * 2.0 / n
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col].iloc[0],
+                "k": np.arange(1, m + 1, dtype="int32"),
+                "power": power,
+                "_n": np.int64(n),
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(kernel, schema)
+
+
+def _periodogram_with_n(
+    df: DataFrame,
+    key_col: str,
+    loc_col: str,
+    value_col: str,
+    method: str,
+    fft_threshold: int,
+) -> DataFrame:
+    if method not in ("auto", "explode", "fft"):
+        raise ValueError(f"method must be auto|explode|fft, got {method}")
+    v = F.col(value_col)
+    stats = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("_n"), F.avg(v).alias("_mu")
+    )
+    # _n >= 2 guard: sequence(1, 0) counts DOWN in Spark (default step -1),
+    # so a 1-point series would emit spurious k=1,0 rows instead of none.
+    joined = df.join(stats, key_col).where(F.col("_n") >= F.lit(2))
+    pts = joined.where(v.isNotNull())
+    if method == "explode":
+        return _periodogram_explode(pts, key_col, loc_col, value_col)
+    if method == "fft":
+        return _periodogram_fft(
+            joined.drop("_n", "_mu"), key_col, loc_col, value_col
+        ).where(F.col("_n") >= 2)
+    short = _periodogram_explode(
+        pts.where(F.col("_n") <= fft_threshold), key_col, loc_col, value_col
+    )
+    long_ = _periodogram_fft(
+        joined.where(F.col("_n") > fft_threshold).drop("_n", "_mu"),
+        key_col,
+        loc_col,
+        value_col,
+    )
+    return short.unionByName(long_.select(key_col, "k", "power", "_n"))
+
+
+def periodogram(
+    df: DataFrame,
+    key_col: str = "key",
+    loc_col: str = "loc",
+    value_col: str = "value",
+    method: str = "auto",
+    fft_threshold: int = _FFT_THRESHOLD,
+) -> DataFrame:
+    """(key, k, power): periodogram ordinate at each Fourier frequency
+    k = 1..⌊n/2⌋, where n is the series' grid length (rows per key) and
+    t is the grid location — a spike at k means a cycle of period n/k
+    grid steps. ``method``: "auto" (default) routes each series by length
+    — explode plan for n ≤ ``fft_threshold``, grouped-map FFT kernel
+    above it; "explode" / "fft" force one strategy (use "explode" for
+    SQL-oracle replay, "fft" when every series is long)."""
+    return _periodogram_with_n(
+        df, key_col, loc_col, value_col, method, fft_threshold
+    ).select(key_col, "k", "power")
 
 
 def dominant_period(
@@ -89,19 +204,23 @@ def dominant_period(
     loc_col: str = "loc",
     value_col: str = "value",
     tie_digits: int | None = None,
+    method: str = "auto",
+    fft_threshold: int = _FFT_THRESHOLD,
 ) -> DataFrame:
     """(key, k, period, power): the argmax-power Fourier frequency per
     series and its period n/k in grid steps (ties to the LOWEST k — the
     longest period — deterministically). One aggregation over the
-    periodogram via struct-max.
+    periodogram via struct-max; n rides the periodogram's own aggregate
+    (no second scan of ``df``).
 
     ``tie_digits`` ranks on ``round(power, tie_digits)`` instead of the
     raw float: near-tied ordinates whose difference is below summation-
     order noise then resolve by the deterministic lowest-k rule on every
     engine, instead of by whichever side's fp dust is larger.
     """
-    per = periodogram(df, key_col, loc_col, value_col)
-    n = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+    per = _periodogram_with_n(
+        df, key_col, loc_col, value_col, method, fft_threshold
+    )
     rank_p = (
         F.round(F.col("power"), tie_digits)
         if tie_digits is not None
@@ -114,16 +233,12 @@ def dominant_period(
                 (-F.col("k")).alias("nk"),
                 F.col("power").alias("p"),
             )
-        ).alias("_best")
+        ).alias("_best"),
+        F.first("_n").alias("_n"),
     )
-    return (
-        best.join(n, key_col)
-        .select(
-            key_col,
-            (-F.col("_best.nk")).alias("k"),
-            (F.col("_n").cast("double") / (-F.col("_best.nk"))).alias(
-                "period"
-            ),
-            F.col("_best.p").alias("power"),
-        )
+    return best.select(
+        key_col,
+        (-F.col("_best.nk")).alias("k"),
+        (F.col("_n").cast("double") / (-F.col("_best.nk"))).alias("period"),
+        F.col("_best.p").alias("power"),
     )

@@ -1112,7 +1112,7 @@ def minhash_cross_candidates(
     hash_fn: str = "xxhash64",
     max_bucket_size: int | None = None,
     num_hashes: int | None = None,
-    broadcast_new: bool = True,
+    broadcast_new: bool | None = None,
 ) -> DataFrame:
     """Cross-corpus LSH candidates → (id_new, id_old): band-hash join of
     a NEW batch's signatures against the EXISTING corpus's — the
@@ -1124,13 +1124,17 @@ def minhash_cross_candidates(
     scale — persist it keyed by (band, bh) and each increment pays only
     its own banding plus the bucket join.
 
-    ``broadcast_new`` (default True) ships the fresh batch's banded
-    table to every executor so the EXISTING corpus's banded table is
-    probed in place — zero shuffle of the big side, which is the whole
-    point of incremental ingest (an increment is small relative to the
-    corpus by construction). Set False when a bulk backfill makes the
-    "new" side too large to broadcast; the join then falls back to the
-    usual (band, bh) hash exchange."""
+    ``broadcast_new=True`` ships the fresh batch's banded table to every
+    executor so the EXISTING corpus's banded table is probed in place —
+    zero shuffle of the big side, which is the whole point of incremental
+    ingest (an increment is small relative to the corpus by
+    construction). The default is ``None`` = no forced hint: Catalyst /
+    AQE pick the strategy from size estimates, which is the safe default
+    for this GENERAL entry point — a bulk backfill's "new" side is
+    bands × new-docs rows and force-broadcasting it OOMs executors. The
+    ingest wrapper :func:`dedup_minhash_cross`, whose contract is
+    small-increment-vs-corpus, passes ``True`` explicitly. ``False``
+    never broadcasts (always the (band, bh) hash exchange)."""
     _validate_bands(bands, rows_per_band, num_hashes)
     nb = _banded(new_sigs, id_col, "id_new", bands, rows_per_band, hash_fn)
     ob = _banded(existing_sigs, id_col, "id_old", bands, rows_per_band,
@@ -1158,6 +1162,8 @@ def dedup_minhash_cross(
     hash_fn: str = "xxhash64",
     max_bucket_size: int | None = None,
     broadcast_new: bool = True,
+    new_sets: DataFrame | None = None,
+    old_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental-ingest NEAR-dup: verified ``(id_new, id_old, jaccard)``
     pairs between a fresh batch and the existing corpus — the MinHash
@@ -1165,15 +1171,30 @@ def dedup_minhash_cross(
     ingest time rather than corpus-wide). Signatures → cross-corpus band
     join (:func:`minhash_cross_candidates`) → exact Jaccard on candidates
     only. Anti-join the result's ``id_new`` against the batch to admit
-    only genuinely novel documents.
+    only genuinely novel documents. ``broadcast_new`` defaults True HERE
+    (unlike the general :func:`minhash_cross_candidates` entry point)
+    because this wrapper's contract is ingest: the increment is small
+    relative to the corpus by construction; pass ``False`` for bulk
+    backfills.
 
     Scale shape: the existing side's banded table is a build-once
     artifact — persist it keyed by (band, bh) and each increment pays
     only its OWN shingling/banding plus the bucket join; the existing
     corpus's text is never re-read (the verify join ships shingle sets,
-    which callers should persist alongside)."""
-    new_sets = shingle_sets(new_df, text_col, id_col, shingle_n).persist()
-    old_sets = shingle_sets(existing_df, text_col, id_col, shingle_n).persist()
+    which callers should persist alongside).
+
+    Cache ownership: the shingle-set tables feed both the signature and
+    the verify sides, so they are persisted. Pass ``new_sets`` /
+    ``old_sets`` (schema ``(id, sh)``, from :func:`shingle_sets` — the
+    old side's is a build-once artifact like the banded table) to own
+    their lifecycle yourself; when omitted, this function persists two
+    session-lifetime cached tables per call — repeated ingest loops
+    should pass their own or ``spark.catalog.clearCache()`` between
+    increments."""
+    if new_sets is None:
+        new_sets = shingle_sets(new_df, text_col, id_col, shingle_n).persist()
+    if old_sets is None:
+        old_sets = shingle_sets(existing_df, text_col, id_col, shingle_n).persist()
     sig_new = minhash_signatures_from_sets(
         new_sets.withColumnRenamed("id", id_col), id_col, num_hashes,
         hash_fn=hash_fn,

@@ -512,3 +512,54 @@ def test_periodogram_degenerate_series_emit_no_rows(spark):
     assert [(r.key, r.k) for r in per] == [("two", 1)]
     dom = dominant_period(df).collect()
     assert [(r.key, r.k) for r in dom] == [("two", 1)]
+
+
+def test_periodogram_fft_kernel_matches_explode(spark):
+    """The grouped-map FFT kernel computes the SAME ordinates as the
+    SQL-exact explode plan: (a) contiguous series (rfft fast path, with a
+    non-zero starting loc to pin the phase-shift invariance), (b) a series
+    with a NULL hole (chunked direct-DFT fallback), (c) auto mode at the
+    threshold boundary routes short series to explode and long ones to the
+    kernel while producing identical values either way."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.spectral import (
+        dominant_period,
+        periodogram,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    # key "a": 40 points, locs start at 100 (phase-shift check)
+    va = (2.0 * np.sin(2 * np.pi * 5 * np.arange(40) / 40)
+          + rng.randn(40) * 0.3)
+    rows += [("a", int(100 + i), float(v)) for i, v in enumerate(va)]
+    # key "b": 33 points (odd n) with a NULL hole at loc 7
+    vb = rng.randn(33)
+    rows += [("b", int(i), None if i == 7 else float(vb[i]))
+             for i in range(33)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+
+    exp = (periodogram(df, method="explode").orderBy("key", "k").toPandas())
+    fft = (periodogram(df, method="fft").orderBy("key", "k").toPandas())
+    assert list(exp["key"]) == list(fft["key"])
+    assert list(exp["k"]) == list(fft["k"])
+    np.testing.assert_allclose(
+        fft["power"].to_numpy(), exp["power"].to_numpy(), rtol=1e-9, atol=1e-9
+    )
+
+    # auto at the boundary: threshold 33 sends "a" (40 > 33) through the
+    # kernel and "b" (33 <= 33) through explode — same union result
+    auto = (periodogram(df, method="auto", fft_threshold=33)
+            .orderBy("key", "k").toPandas())
+    np.testing.assert_allclose(
+        auto["power"].to_numpy(), exp["power"].to_numpy(), rtol=1e-9, atol=1e-9
+    )
+
+    # dominant_period agrees across methods (and needs no second df scan)
+    d_exp = {r.key: (r.k, r.period) for r in
+             dominant_period(df, method="explode").collect()}
+    d_fft = {r.key: (r.k, r.period) for r in
+             dominant_period(df, method="fft").collect()}
+    assert d_exp == d_fft
+    assert d_exp["a"][0] == 5 and abs(d_exp["a"][1] - 8.0) < 1e-9

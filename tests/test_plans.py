@@ -383,8 +383,11 @@ def test_minhash_cross_band_join_broadcasts_the_increment(spark):
     )
     new = minhash_signatures(docs.where("doc_id < 3"), num_hashes=8)
     old = minhash_signatures(docs.where("doc_id >= 3"), num_hashes=8)
+    # broadcast_new=True is the INGEST contract (dedup_minhash_cross passes
+    # it); the bare entry point defaults to None = let Catalyst/AQE decide,
+    # so a bulk backfill can't force-broadcast an unbounded banded table
     p = _plan(minhash_cross_candidates(new, old, bands=4, rows_per_band=2,
-                                       num_hashes=8))
+                                       num_hashes=8, broadcast_new=True))
     assert "BroadcastHashJoin" in p, p
     # the existing side must not hash-exchange on the band key
     assert not re.search(r"Exchange hashpartitioning\(band", p), p
