@@ -201,6 +201,36 @@ def _q_fill_suite(spark, sf_dir):
     )
 
 
+def _q_roll_skew_kurt(spark, sf_dir):
+    """Rolling adjusted skewness + excess kurtosis (pandas conventions) in
+    one row — the oracle replays the power-sum moment assembly
+    term-for-term (explicit products, identical operation order), so the
+    only cross-engine divergence is libm pow(m2, 1.5), absorbed by the
+    6-decimal rounding."""
+    grid = _daily_grid(spark, sf_dir)
+    sk = rolling.roll_skew(grid, 7, out_col="skew").select(
+        "key", "loc", "ts", "skew"
+    )
+    ku = rolling.roll_kurt(grid, 7, out_col="kurt").select("key", "loc", "kurt")
+    return sk.join(ku, ["key", "loc"]).select(
+        "key", "loc", "ts",
+        F.round("skew", 6).alias("skew"), F.round("kurt", 6).alias("kurt"),
+    )
+
+
+def _q_roll_corr(spark, sf_dir):
+    """Rolling 7-day Pearson correlation between two user series off the
+    daily grid — windowed companion of crosscorr. NaN (zero-variance
+    window, Spark's corr convention) is canonicalized to NULL to match
+    DuckDB's."""
+    grid = _daily_grid(spark, sf_dir)
+    out = rolling.roll_corr(grid, "1", "2", 7)
+    c = F.when(F.isnan("corr"), F.lit(None).cast("double")).otherwise(
+        F.col("corr")
+    )
+    return out.select("loc", F.round(c, 6).alias("corr"))
+
+
 def _q_remove_instants_with_nans(spark, sf_dir):
     grid = _daily_grid(spark, sf_dir).where(F.col("key").isin("1", "2", "3"))
     out = filters.remove_instants_with_nans(grid, rebase_loc=False)
@@ -2289,7 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (``slice`` … ``arima_forecast``) plus the four r4 fill/lag rows
     displaced from the r6 window; (c) the oldest r5-green rows to fill
     the remaining slots. Past the window: everything r6 just proved
-    green (the freshest rows in the file). All 139 are additionally
+    green (the freshest rows in the file). All 141 are additionally
     validated locally by ``tools/check_correctness.py`` (full log
     committed per round — r7 restores the full-log discipline r6
     skipped, verdict item 1)."""
@@ -2297,6 +2327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (a) must-prove: new/changed this round + refactor-downstream ----
         "roll_quantile": _q_roll_quantile,
         "fill_suite": _q_fill_suite,
+        "roll_skew_kurt": _q_roll_skew_kurt,
+        "roll_corr": _q_roll_corr,
         "simhash_near_dups": _q_simhash_near_dups,
         "containment_pairs": _q_containment_pairs,
         # -- (b) stalest evidence: the r4-era rows -------------------------
@@ -2345,9 +2377,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints": _q_winnowing_fingerprints,
         "auto_arima": _q_auto_arima,
         "garch_fit": _q_garch_fit,
+        # ---- driver window (50) ends here ----------------------------------
+        # (egarch_fit/arx_fit displaced past the boundary by the two NEW
+        # rolling rows above; both r5-green, queued for the r8 rotation)
         "egarch_fit": _q_egarch_fit,
         "arx_fit": _q_arx_fit,
-        # ---- driver window (50) ends here ----------------------------------
         "arimax_forecast": _q_arimax_forecast,
         "regression_arima": _q_regression_arima,
         "holt_winters_fit": _q_holt_winters_fit,
@@ -2789,6 +2823,57 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(value, 0.0) AS zero,
                    COALESCE(value, -1.0) AS cval
             FROM aug
+        """,
+        "roll_skew_kurt": _DAILY_GRID_SQL
+        + """
+            , rolled AS (
+                SELECT key, loc, ts,
+                       count(*) OVER w AS nrows, count(value) OVER w AS nvals,
+                       sum(value) OVER w AS s1,
+                       sum(value*value) OVER w AS s2,
+                       sum(value*value*value) OVER w AS s3,
+                       sum(value*value*value*value) OVER w AS s4
+                FROM grid
+                WINDOW w AS (PARTITION BY key ORDER BY loc
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            ),
+            mom AS (
+                SELECT key, loc, ts, nrows, nvals,
+                       s1/7.0 AS m, s2, s3, s4,
+                       s2/7.0 - (s1/7.0)*(s1/7.0) AS m2
+                FROM rolled
+            ),
+            hi AS (
+                SELECT key, loc, ts, nrows, nvals, m2,
+                       s3/7.0 - 3.0*m*s2/7.0 + 2.0*m*m*m AS m3,
+                       s4/7.0 - 4.0*m*s3/7.0 + 6.0*m*m*s2/7.0
+                           - 3.0*m*m*m*m AS m4
+                FROM mom
+            )
+            SELECT key, loc, ts,
+                   ROUND(CASE WHEN nvals = 7 AND m2 > 0.0 THEN
+                       SQRT(42.0)/5.0 * m3 / POWER(m2, 1.5) END, 6) AS skew,
+                   ROUND(CASE WHEN nvals = 7 AND m2 > 0.0 THEN
+                       0.3 * (8.0 * m4 / (m2*m2) - 18.0) END, 6) AS kurt
+            FROM hi WHERE nrows = 7
+        """,
+        "roll_corr": _DAILY_GRID_SQL
+        + """
+            , a AS (SELECT loc, value AS va FROM grid WHERE key = '1'),
+            b AS (SELECT loc, value AS vb FROM grid WHERE key = '2'),
+            j AS (SELECT a.loc, va, vb FROM a JOIN b USING (loc)),
+            r AS (
+                SELECT loc,
+                       count(*) OVER w AS nrows,
+                       count(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
+                             THEN 1 END) OVER w AS npairs,
+                       corr(va, vb) OVER w AS c
+                FROM j
+                WINDOW w AS (ORDER BY loc
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            )
+            SELECT loc, ROUND(CASE WHEN npairs = 7 THEN c END, 6) AS corr
+            FROM r WHERE nrows = 7
         """,
         "remove_instants_with_nans": _DAILY_GRID_SQL
         + """

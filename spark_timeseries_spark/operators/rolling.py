@@ -168,6 +168,151 @@ def roll_median(df, n, align="right", key_col="key", order_col="loc", value_col=
     return roll_quantile(df, n, 0.5, align, key_col, order_col, value_col)
 
 
+def _roll_moments(
+    df: DataFrame,
+    n: int,
+    align: str,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    order: int,
+):
+    """Attach complete-window power sums _s1.._s{order} + gating counts.
+    Raw power sums (not centered) so the arithmetic is reproducible
+    verbatim in any SQL engine — the moments are then assembled per
+    output row from the sums, which is where an oracle can replay them
+    term-for-term. Window sizes are small by contract (rolling stats),
+    so the power-sum conditioning loss is below the 6-decimal reporting
+    precision."""
+    lo, hi = _frame(n, align)
+    w = Window.partitionBy(key_col).orderBy(order_col).rowsBetween(lo, hi)
+    v = F.col(value_col).cast("double")
+    out = df.withColumn("_rows", F.count(F.lit(1)).over(w)).withColumn(
+        "_vals", F.count(value_col).over(w)
+    )
+    # explicit products, not pow(): libm pow(x, k) is not guaranteed
+    # bit-identical to repeated multiplication across engines, and the
+    # oracle replays these sums term-for-term
+    powers = {1: v, 2: v * v, 3: v * v * v, 4: v * v * v * v}
+    for p in range(1, order + 1):
+        out = out.withColumn(f"_s{p}", F.sum(powers[p]).over(w))
+    return out.where(F.col("_rows") == n)
+
+
+def roll_skew(
+    df: DataFrame,
+    n: int,
+    align: str = "right",
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Rolling ADJUSTED Fisher–Pearson skewness
+    G1 = √(n(n−1))/(n−2) · m3/m2^1.5 — the pandas ``rolling().skew()`` /
+    Excel SKEW convention, stated because the unadjusted g1 differs by a
+    factor that matters at rolling window sizes. Same complete-window +
+    NULL-propagation contract as :func:`roll_agg`; windows with zero
+    variance yield NULL. Requires n ≥ 3. Beyond-reference (the reference
+    stops at rolling sum/mean)."""
+    import math
+
+    if n < 3:
+        raise ValueError(f"roll_skew needs n >= 3, got {n}")
+    out_col = out_col or value_col
+    nn = float(n)
+    m = F.col("_s1") / nn
+    m2 = F.col("_s2") / nn - m * m
+    m3 = F.col("_s3") / nn - 3.0 * m * F.col("_s2") / nn + 2.0 * m * m * m
+    adj = math.sqrt(n * (n - 1.0)) / (n - 2.0)
+    expr = F.when(
+        (F.col("_vals") == n) & (m2 > 0.0),
+        F.lit(adj) * m3 / F.pow(m2, 1.5),
+    )
+    return (
+        _roll_moments(df, n, align, key_col, order_col, value_col, 3)
+        .withColumn(out_col, expr)
+        .drop("_rows", "_vals", "_s1", "_s2", "_s3")
+    )
+
+
+def roll_kurt(
+    df: DataFrame,
+    n: int,
+    align: str = "right",
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Rolling ADJUSTED excess kurtosis
+    G2 = (n−1)/((n−2)(n−3)) · ((n+1)·m4/m2² − 3(n−1)) — the pandas
+    ``rolling().kurt()`` / Excel KURT convention. Same complete-window +
+    NULL-propagation contract as :func:`roll_agg`; zero-variance windows
+    yield NULL. Requires n ≥ 4. Beyond-reference."""
+    if n < 4:
+        raise ValueError(f"roll_kurt needs n >= 4, got {n}")
+    out_col = out_col or value_col
+    nn = float(n)
+    m = F.col("_s1") / nn
+    m2 = F.col("_s2") / nn - m * m
+    m4 = (
+        F.col("_s4") / nn
+        - 4.0 * m * F.col("_s3") / nn
+        + 6.0 * m * m * F.col("_s2") / nn
+        - 3.0 * m * m * m * m
+    )
+    c = (nn - 1.0) / ((nn - 2.0) * (nn - 3.0))
+    expr = F.when(
+        (F.col("_vals") == n) & (m2 > 0.0),
+        F.lit(c) * ((nn + 1.0) * m4 / (m2 * m2) - 3.0 * (nn - 1.0)),
+    )
+    return (
+        _roll_moments(df, n, align, key_col, order_col, value_col, 4)
+        .withColumn(out_col, expr)
+        .drop("_rows", "_vals", "_s1", "_s2", "_s3", "_s4")
+    )
+
+
+def roll_corr(
+    df: DataFrame,
+    key_a: str,
+    key_b: str,
+    n: int,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Rolling sample Pearson correlation between two conformed series →
+    (loc, corr) over right-aligned complete n-windows of the overlap —
+    the windowed companion of :func:`crosscorr` (which aggregates the
+    whole overlap at once). Beyond-reference. Windows where either
+    series has a missing cell yield NULL; constant windows yield NULL
+    (0/0). Plan: one equi-join aligns the pair, then ONE window pass on
+    the single joined series — same one-series-in-memory envelope as
+    :func:`crosscorr`."""
+    if n < 2:
+        raise ValueError(f"roll_corr needs n >= 2, got {n}")
+    a = df.where(F.col(key_col) == key_a).select(
+        F.col(order_col).alias(order_col), F.col(value_col).alias("_a")
+    )
+    b = df.where(F.col(key_col) == key_b).select(
+        F.col(order_col).alias(order_col), F.col(value_col).alias("_b")
+    )
+    j = a.join(b, order_col)
+    w = Window.orderBy(order_col).rowsBetween(-(n - 1), 0)
+    pair = F.when(F.col("_a").isNotNull() & F.col("_b").isNotNull(), 1)
+    return (
+        j.withColumn("_rows", F.count(F.lit(1)).over(w))
+        .withColumn("_pairs", F.count(pair).over(w))
+        .withColumn(
+            "corr", F.when(F.col("_pairs") == n, F.corr("_a", "_b").over(w))
+        )
+        .where(F.col("_rows") == n)
+        .select(order_col, "corr")
+    )
+
+
 def crosscorr(
     df: DataFrame,
     key_a: str,

@@ -205,6 +205,28 @@ class TimeSeriesDataFrame:
         """Exact rolling median (interpolated on even windows)."""
         return self.roll_quantile(n, 0.5, align_)
 
+    def roll_skew(self, n: int, align_: str = "right") -> "TimeSeriesDataFrame":
+        """Rolling adjusted Fisher–Pearson skewness (pandas
+        ``rolling().skew()`` convention); see
+        :func:`operators.rolling.roll_skew`."""
+        return self._roll_via(rolling.roll_skew, n, align_)
+
+    def roll_kurt(self, n: int, align_: str = "right") -> "TimeSeriesDataFrame":
+        """Rolling adjusted excess kurtosis (pandas ``rolling().kurt()``
+        convention); see :func:`operators.rolling.roll_kurt`."""
+        return self._roll_via(rolling.roll_kurt, n, align_)
+
+    def roll_corr(self, key_a: str, key_b: str, n: int) -> DataFrame:
+        """Rolling Pearson correlation between two series — windowed
+        companion of :meth:`crosscorr`."""
+        return rolling.roll_corr(self.df, key_a, key_b, n)
+
+    def _roll_via(self, fn, n: int, align_: str) -> "TimeSeriesDataFrame":
+        out = fn(self.df, n, align_)
+        lo, hi = rolling._frame(n, align_)
+        out = out.withColumn(self.LOC, F.col(self.LOC) + lo)
+        return TimeSeriesDataFrame(out, self.index.islice(-lo, self.index.size - hi))
+
     def crosscorr(self, key_a: str, key_b: str, max_lag: int) -> DataFrame:
         """Cross-correlation (lag 0..max_lag) between two series —
         beyond-reference companion of :meth:`autocorr`."""

@@ -555,6 +555,73 @@ def test_roll_quantile_vs_numpy(spark):
         rolling.roll_quantile(df, 0, 0.5)
 
 
+def test_roll_skew_kurt_corr_vs_pandas(spark):
+    """Rolling skew/kurt match pandas' adjusted conventions
+    (rolling().skew()/kurt()); roll_corr matches pandas rolling
+    correlation of the aligned pair; NULL windows and zero-variance
+    windows yield NULL; invalid n raises."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_timeseries_spark.operators import rolling
+
+    rng = np.random.RandomState(3)
+    vals = list(rng.randn(20) * 4 + 10)
+    vals[5] = 30.0  # a spike so skew/kurt are far from 0
+    rows = [(i, "a", float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "loc long, key string, value double")
+    s = pd.Series(vals)
+
+    got = (rolling.roll_skew(df, 5).toPandas()
+           .sort_values("loc").value.to_numpy())
+    np.testing.assert_allclose(got, s.rolling(5).skew().dropna().to_numpy(),
+                               rtol=1e-9, atol=1e-9)
+    got = (rolling.roll_kurt(df, 6).toPandas()
+           .sort_values("loc").value.to_numpy())
+    np.testing.assert_allclose(got, s.rolling(6).kurt().dropna().to_numpy(),
+                               rtol=1e-9, atol=1e-9)
+
+    # constant window → NULL (m2 == 0), NULL cell → NULL
+    vals2 = [1.0, 1.0, 1.0, 1.0, 2.0, None, 3.0, 4.0, 5.0, 6.0]
+    df2 = spark.createDataFrame(
+        [(i, "a", v) for i, v in enumerate(vals2)],
+        "loc long, key string, value double")
+    sk = (rolling.roll_skew(df2, 3).toPandas()
+          .sort_values("loc").value.to_numpy())
+    assert np.isnan(sk[0]) and np.isnan(sk[1])   # constant windows
+    assert np.isnan(sk[3]) and np.isnan(sk[4]) and np.isnan(sk[5])  # NULL cell
+
+    # roll_corr: two keys, aligned; compare vs pandas rolling corr
+    vb = list(rng.randn(20) + 0.3 * np.array(vals))
+    rows2 = rows + [(i, "b", float(v)) for i, v in enumerate(vb)]
+    dfc = spark.createDataFrame(rows2, "loc long, key string, value double")
+    got = (rolling.roll_corr(dfc, "a", "b", 6).toPandas()
+           .sort_values("loc")["corr"].to_numpy())
+    want = (pd.Series(vals).rolling(6).corr(pd.Series(vb))
+            .dropna().to_numpy())
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        rolling.roll_skew(df, 2)
+    with _pytest.raises(ValueError):
+        rolling.roll_kurt(df, 3)
+    with _pytest.raises(ValueError):
+        rolling.roll_corr(dfc, "a", "b", 1)
+
+    # tsdf wrappers trim the index like the other rolling ops
+    from spark_timeseries_spark import DayFrequency, TimeSeriesDataFrame, uniform
+
+    idx = uniform("2024-01-01", len(vals), DayFrequency(1))
+    obs = [((pd.Timestamp("2024-01-01") + pd.Timedelta(days=i)).to_pydatetime(),
+            "a", float(v)) for i, v in enumerate(vals)]
+    ts = TimeSeriesDataFrame.from_observations(
+        spark.createDataFrame(obs, "ts timestamp, key string, value double"),
+        idx)
+    sk = ts.roll_skew(5, "right")
+    assert sk.index.size == len(vals) - 4
+
+
 def test_crosscorr_vs_numpy(spark):
     """Cross-correlation: ccf(0) == corr(a,b); at the planted lag the
     correlation of a_t with b_{t-lag} is ~1 (a is b delayed by 2); the
