@@ -231,6 +231,32 @@ def _q_roll_corr(spark, sf_dir):
     return out.select("loc", F.round(c, 6).alias("corr"))
 
 
+def _q_forecast_accuracy(spark, sf_dir):
+    """Per-series forecast-accuracy suite (MAE/RMSE/MAPE/sMAPE/MASE,
+    Hyndman & Koehler 2006 conventions) scoring a 3-day moving-average
+    forecast against the filled daily grid — one lag window + one per-key
+    aggregate; the oracle replays forecast construction and every
+    exclusion rule."""
+    from spark_timeseries_spark.stats import forecast_accuracy
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
+    w3 = Window.partitionBy("key").orderBy("loc").rowsBetween(-3, -1)
+    fc = filled.withColumn("_c3", F.count("value").over(w3)).withColumn(
+        "forecast", F.when(F.col("_c3") == 3, F.avg("value").over(w3))
+    )
+    out = forecast_accuracy(fc, "value", "forecast")
+    return out.select(
+        "key",
+        "n",
+        _stable_round(F.col("mae"), 6).alias("mae"),
+        _stable_round(F.col("rmse"), 6).alias("rmse"),
+        _stable_round(F.col("mape"), 6).alias("mape"),
+        _stable_round(F.col("smape"), 6).alias("smape"),
+        _stable_round(F.col("mase"), 6).alias("mase"),
+    )
+
+
 def _q_remove_instants_with_nans(spark, sf_dir):
     grid = _daily_grid(spark, sf_dir).where(F.col("key").isin("1", "2", "3"))
     out = filters.remove_instants_with_nans(grid, rebase_loc=False)
@@ -2319,7 +2345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (``slice`` … ``arima_forecast``) plus the four r4 fill/lag rows
     displaced from the r6 window; (c) the oldest r5-green rows to fill
     the remaining slots. Past the window: everything r6 just proved
-    green (the freshest rows in the file). All 141 are additionally
+    green (the freshest rows in the file). All 142 are additionally
     validated locally by ``tools/check_correctness.py`` (full log
     committed per round — r7 restores the full-log discipline r6
     skipped, verdict item 1)."""
@@ -2329,6 +2355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_suite": _q_fill_suite,
         "roll_skew_kurt": _q_roll_skew_kurt,
         "roll_corr": _q_roll_corr,
+        "forecast_accuracy": _q_forecast_accuracy,
         "simhash_near_dups": _q_simhash_near_dups,
         "containment_pairs": _q_containment_pairs,
         # -- (b) stalest evidence: the r4-era rows -------------------------
@@ -2376,10 +2403,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": _q_lsh_topk,
         "winnowing_fingerprints": _q_winnowing_fingerprints,
         "auto_arima": _q_auto_arima,
-        "garch_fit": _q_garch_fit,
         # ---- driver window (50) ends here ----------------------------------
-        # (egarch_fit/arx_fit displaced past the boundary by the two NEW
-        # rolling rows above; both r5-green, queued for the r8 rotation)
+        # (garch_fit/egarch_fit/arx_fit displaced past the boundary by the
+        # three NEW rows above; all r5-green, queued for the r8 rotation)
+        "garch_fit": _q_garch_fit,
         "egarch_fit": _q_egarch_fit,
         "arx_fit": _q_arx_fit,
         "arimax_forecast": _q_arimax_forecast,
@@ -2874,6 +2901,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT loc, ROUND(CASE WHEN npairs = 7 THEN c END, 6) AS corr
             FROM r WHERE nrows = 7
+        """,
+        "forecast_accuracy": _DAILY_GRID_SQL + _FILLED_SQL
+        + f"""
+            , fc AS (
+                SELECT key, loc, value,
+                       count(value) OVER w3 AS c3,
+                       avg(value) OVER w3 AS ma3,
+                       abs(value - lag(value) OVER wk) AS naive
+                FROM filled
+                WINDOW w3 AS (PARTITION BY key ORDER BY loc
+                              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+                       wk AS (PARTITION BY key ORDER BY loc)
+            ),
+            p AS (
+                SELECT key, value AS y,
+                       CASE WHEN c3 = 3 THEN ma3 END AS f,
+                       naive
+                FROM fc
+            ),
+            aggd AS (
+                SELECT key,
+                       count(CASE WHEN y IS NOT NULL AND f IS NOT NULL
+                             THEN 1 END) AS n,
+                       avg(CASE WHEN y IS NOT NULL AND f IS NOT NULL
+                           THEN abs(y - f) END) AS mae,
+                       sqrt(avg(CASE WHEN y IS NOT NULL AND f IS NOT NULL
+                                THEN (y - f) * (y - f) END)) AS rmse,
+                       avg(CASE WHEN y IS NOT NULL AND f IS NOT NULL
+                               AND y <> 0.0
+                           THEN abs(y - f) / abs(y) END) AS mape,
+                       avg(CASE WHEN y IS NOT NULL AND f IS NOT NULL
+                               AND (abs(y) + abs(f)) <> 0.0
+                           THEN 2.0 * abs(y - f) / (abs(y) + abs(f))
+                           END) AS smape,
+                       avg(naive) AS scale
+                FROM p GROUP BY key
+            )
+            SELECT key, n,
+                   {_sr_sql('mae', 6)} AS mae,
+                   {_sr_sql('rmse', 6)} AS rmse,
+                   {_sr_sql('mape', 6)} AS mape,
+                   {_sr_sql('smape', 6)} AS smape,
+                   {_sr_sql('CASE WHEN scale <> 0.0 THEN mae / scale END', 6)}
+                       AS mase
+            FROM aggd
         """,
         "remove_instants_with_nans": _DAILY_GRID_SQL
         + """

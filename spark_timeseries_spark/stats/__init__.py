@@ -1,4 +1,5 @@
 from .correlogram import acf, conf_bound, pacf
+from .evaluation import forecast_accuracy
 from .easyplot import acf_plot, corr_plot_data, ezplot, local_autocorr, pacf_plot
 from .tests import (
     adf_test,
@@ -22,6 +23,7 @@ __all__ = [
     "pacf_plot",
     "adf_test",
     "autocorr_pearson",
+    "forecast_accuracy",
     "breusch_godfrey",
     "breusch_pagan",
     "durbin_watson",

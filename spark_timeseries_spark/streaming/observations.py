@@ -120,6 +120,108 @@ def streaming_ewma(
     )
 
 
+def streaming_cusum(
+    stream: DataFrame,
+    stats: DataFrame,
+    k: float = 0.5,
+    h: float = 5.0,
+    watermark: str = "2 hours",
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Stateful streaming CUSUM change-point alarms per key via
+    ``applyInPandasWithState`` — the streaming twin of the batch
+    ``operators.cusum`` (Page 1954): s⁺ = max(0, s⁺ + z − k),
+    s⁻ = min(0, s⁻ + z + k) over standardized z = (x − μ)/σ, alarm when
+    |s| crosses ``h``, then RESET that side (repeated-alarm mode).
+
+    ``stats`` is a STATIC per-key baseline snapshot carrying ``center``
+    and ``scale`` (fit offline, refresh by replacing the table — same
+    contract as :func:`streaming_outliers`; the batch operator
+    standardizes in-window, which a stream cannot without leaking the
+    future). State is O(1) per key: (s⁺, s⁻, last folded timestamp).
+    Ordering contract matches :func:`streaming_ewma`: within-batch rows
+    fold in timestamp order; out-of-order-across-batches rows are
+    DROPPED, never folded retroactively (the recursion is
+    order-sensitive). Keys absent from the snapshot emit nothing (no
+    baseline — fix the snapshot, don't guess). Output: one row per
+    folded observation with the running sums and alarm flags."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if stats.isStreaming:
+        raise ValueError("stats must be a STATIC frame")
+    for c in ("center", "scale"):
+        if c not in stats.columns:
+            raise ValueError(f"stats is missing the {c!r} column")
+    base = {
+        r[key_col]: (float(r["center"]), float(r["scale"]))
+        for r in stats.select(key_col, "center", "scale").collect()
+        if r["scale"] is not None and r["scale"] > 0.0
+    }
+    # the snapshot is a per-key pair of scalars — driver-resident and tiny
+    # by construction (same envelope as a broadcast dim); it rides the
+    # closure into every state worker
+
+    def update(key, pdfs, state: GroupState):
+        kb = base.get(key[0])
+        if kb is None:
+            yield pd.DataFrame(
+                {"key": [], "ts": [], "s_hi": [], "s_lo": [],
+                 "alarm_hi": [], "alarm_lo": []}
+            ).astype({"s_hi": float, "s_lo": float,
+                      "alarm_hi": bool, "alarm_lo": bool})
+            return
+        mu, sigma = kb
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        if state.exists:
+            s_hi, s_lo, last_us = state.get
+        else:
+            s_hi, s_lo, last_us = 0.0, 0.0, None
+        out = {"ts": [], "s_hi": [], "s_lo": [], "alarm_hi": [], "alarm_lo": []}
+        for _, row in rows.iterrows():
+            x = row[value_col]
+            if x is None or pd.isna(x):
+                continue
+            ts_us = int(pd.Timestamp(row[ts_col]).value // 1000)
+            if last_us is not None and ts_us < last_us:
+                continue
+            z = (float(x) - mu) / sigma
+            s_hi = max(0.0, s_hi + z - k)
+            s_lo = min(0.0, s_lo + z + k)
+            a_hi, a_lo = s_hi > h, s_lo < -h
+            out["ts"].append(row[ts_col])
+            out["s_hi"].append(s_hi)
+            out["s_lo"].append(s_lo)
+            out["alarm_hi"].append(a_hi)
+            out["alarm_lo"].append(a_lo)
+            if a_hi:
+                s_hi = 0.0
+            if a_lo:
+                s_lo = 0.0
+            last_us = ts_us
+        if last_us is not None:
+            state.update((float(s_hi), float(s_lo), int(last_us)))
+        out["key"] = key[0]
+        yield pd.DataFrame(out)
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "ts timestamp, s_hi double, s_lo double, "
+                "alarm_hi boolean, alarm_lo boolean, key string"
+            ),
+            stateStructType="s_hi double, s_lo double, last_us long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def read_documents_stream(
     spark,
     path: str,
@@ -228,6 +330,110 @@ def streaming_incremental_dedup(
         .dropDuplicates(["_dig"])
     )
     return out.drop("_dig")
+
+
+def near_dedup_gate(
+    existing_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
+    within_batch: bool = True,
+):
+    """Build a NEAR-dup admission gate against a static corpus snapshot:
+    returns ``gate(batch_df) -> DataFrame`` of the batch's documents that
+    are near-duplicates of NOTHING in the corpus (and, with
+    ``within_batch=True``, of no lower-id batchmate).
+
+    This is the streaming complement of :func:`streaming_incremental_dedup`
+    for NEAR duplicates: MinHash+LSH can't run as a stream-stream join
+    (the verify step joins the batch against itself, which Structured
+    Streaming forbids without watermark gymnastics), so the idiomatic
+    shape is ``foreachBatch`` — inside it the micro-batch is a static
+    frame and the whole batch cross-dedup machinery applies unchanged.
+    Use :func:`streaming_near_dedup` to wire it to a stream, or call
+    ``gate`` directly from your own ``foreachBatch``.
+
+    Scale shape: the corpus's shingle-set table is built ONCE here and
+    persisted across micro-batches (the build-once artifact of
+    ``dedup_minhash_cross``); each batch pays its own shingling/banding
+    plus the broadcast-increment band join — O(batch), not O(corpus),
+    per micro-batch. Within-batch pairs drop the HIGHER id of each
+    verified pair (greedy keep-lowest; a chain a~b~c with a<b<c keeps
+    only ``a`` — both b and c pair with a lower id)."""
+    from spark_timeseries_spark.pipeline.dedup import (
+        dedup_minhash_cross,
+        dedup_minhash_lsh,
+        shingle_sets,
+    )
+
+    old_sets = shingle_sets(existing_df, text_col, id_col, shingle_n).persist()
+
+    def gate(batch_df: DataFrame) -> DataFrame:
+        pairs = dedup_minhash_cross(
+            batch_df,
+            existing_df,
+            text_col,
+            id_col,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+            hash_fn=hash_fn,
+            max_bucket_size=max_bucket_size,
+            old_sets=old_sets,
+        )
+        dup = pairs.select(F.col("id_new").alias(id_col)).distinct()
+        out = batch_df.join(dup, id_col, "left_anti")
+        if within_batch:
+            self_pairs = dedup_minhash_lsh(
+                out,
+                text_col=text_col,
+                id_col=id_col,
+                threshold=threshold,
+                num_hashes=num_hashes,
+                bands=bands,
+                shingle_n=shingle_n,
+                hash_fn=hash_fn,
+            )
+            drop = self_pairs.select(
+                F.greatest("id_a", "id_b").alias(id_col)
+            ).distinct()
+            out = out.join(drop, id_col, "left_anti")
+        return out
+
+    return gate
+
+
+def streaming_near_dedup(
+    stream: DataFrame,
+    existing_df: DataFrame,
+    sink,
+    **gate_kwargs,
+):
+    """Wire :func:`near_dedup_gate` to a document stream: returns a
+    ``DataStreamWriter`` whose ``foreachBatch`` passes each micro-batch's
+    admitted (novel) documents to ``sink(novel_df, batch_id)``. The caller
+    owns ``.start()`` / trigger / checkpoint config.
+
+    ``sink`` is where admitted documents go (append to the corpus table,
+    write a parquet shard, ...). NOTE the corpus snapshot is the one
+    captured at gate-build time — documents admitted in earlier
+    micro-batches do NOT gate later ones across batches unless the sink
+    feeds a table ``existing_df`` reads live (the usual lambda-ingest
+    contract; restate the gate to pick up a refreshed snapshot)."""
+    if existing_df.isStreaming:
+        raise ValueError("existing_df must be a STATIC frame")
+    gate = near_dedup_gate(existing_df, **gate_kwargs)
+
+    def process(batch_df: DataFrame, batch_id: int):
+        sink(gate(batch_df), batch_id)
+
+    return stream.writeStream.foreachBatch(process)
 
 
 def streaming_outliers(

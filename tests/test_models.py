@@ -401,3 +401,43 @@ def test_model_name_aliases():
     assert _require("ljungbox", _KNOWN_TESTS) == "ljung_box"
     with pytest.raises(ValueError, match="unknown model"):
         _require("holt-winters", _KNOWN_MODELS)
+
+
+def test_forecast_accuracy_vs_numpy(spark):
+    """MAE/RMSE/MAPE/sMAPE/MASE match a hand-rolled numpy computation on
+    a series with a NULL forecast, a zero actual (MAPE exclusion), and a
+    planted seasonal-naive scale; a constant series yields NULL MASE
+    (zero naive error), never Infinity."""
+    import numpy as np
+
+    from spark_timeseries_spark.stats import forecast_accuracy
+
+    y = [10.0, 12.0, 0.0, 11.0, 14.0, 13.0, 15.0]
+    f = [9.0, None, 1.0, 12.5, 13.0, 13.5, 14.0]
+    rows = [("a", i, y[i], f[i]) for i in range(len(y))]
+    rows += [("c", i, 5.0, 4.0) for i in range(4)]  # constant actuals
+    df = spark.createDataFrame(
+        rows, "key string, loc long, actual double, forecast double"
+    )
+    out = {r.key: r for r in forecast_accuracy(df, m=1).collect()}
+
+    ya, fa = np.array(y), np.array(f, dtype=float)
+    both = ~np.isnan(fa)
+    err = np.abs(ya - fa)[both]
+    assert out["a"].n == both.sum()
+    assert abs(out["a"].mae - err.mean()) < 1e-12
+    assert abs(out["a"].rmse - np.sqrt(((ya - fa)[both] ** 2).mean())) < 1e-12
+    mboth = both & (ya != 0)
+    assert abs(out["a"].mape
+               - (np.abs(ya - fa)[mboth] / np.abs(ya)[mboth]).mean()) < 1e-12
+    sden = (np.abs(ya) + np.abs(fa))[both]
+    assert abs(out["a"].smape
+               - (2 * err / sden).mean()) < 1e-12
+    scale = np.abs(np.diff(ya)).mean()
+    assert abs(out["a"].mase - err.mean() / scale) < 1e-12
+    # constant series: naive scale 0 -> NULL MASE, finite MAE
+    assert out["c"].mase is None and abs(out["c"].mae - 1.0) < 1e-12
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        forecast_accuracy(df, m=0)

@@ -590,3 +590,122 @@ def test_streaming_outliers_against_snapshot(spark, tmp_path):
         streaming_outliers(stream, stream)
     with _pytest.raises(ValueError, match="center"):
         streaming_outliers(stream, stats.select("key", "scale"))
+
+
+def test_streaming_near_dedup_gate(spark, tmp_path):
+    """foreachBatch near-dup gate: batch documents near-duplicating the
+    static corpus are rejected, genuinely novel ones admitted, and
+    within-batch near-pairs keep only the lowest id; the corpus shingle
+    table is built once and reused across micro-batches."""
+    from spark_timeseries_spark.streaming import (
+        near_dedup_gate,
+        read_documents_stream,
+        streaming_near_dedup,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the sly red fox watches from the tall dry grass nearby")
+    novel = ("completely different subject matter entirely about maritime "
+             "navigation charts and coastal lighthouse maintenance schedules")
+    corpus = spark.createDataFrame(
+        [(100, base)], "doc_id long, text string"
+    )
+
+    # direct gate call (batch mode): near-dup of corpus -> rejected;
+    # novel kept; within-batch near-pair (2,3) keeps only 2
+    batch = spark.createDataFrame(
+        [
+            (1, base + " tonight"),          # near-dup of corpus doc 100
+            (2, novel),
+            (3, novel + " today"),           # near-dup of batchmate 2
+        ],
+        "doc_id long, text string",
+    )
+    gate = near_dedup_gate(corpus, threshold=0.5)
+    kept = sorted(r.doc_id for r in gate(batch).collect())
+    assert kept == [2]
+
+    # wired to a stream via foreachBatch
+    src = str(tmp_path / "near_stream")
+    os.makedirs(src)
+    batch.write.parquet(src + "/b1")
+    stream = read_documents_stream(
+        spark, src + "/*", schema="doc_id long, text string"
+    )
+    admitted = []
+
+    def sink(df, batch_id):
+        admitted.extend(r.doc_id for r in df.collect())
+
+    q = (
+        streaming_near_dedup(stream, corpus, sink, threshold=0.5)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "near_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(admitted) == [2]
+
+    # streaming input must be rejected as the corpus side
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="STATIC"):
+        streaming_near_dedup(stream, stream, sink)
+
+
+def test_streaming_cusum_detects_level_shift(spark, tmp_path):
+    """Stateful streaming CUSUM: a planted level shift raises s_hi past h
+    and fires alarm_hi (then resets); the pre-shift segment stays quiet;
+    state carries across micro-batches (the running sum continues, not
+    restarts, in batch 2); keys without a baseline emit nothing."""
+    import datetime as dt
+
+    from spark_timeseries_spark.streaming import (
+        read_observations_stream,
+        streaming_cusum,
+    )
+
+    src = str(tmp_path / "cusum_stream")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1)
+    # baseline mu=0 sigma=1; shift of +2sigma from t=10
+    b1 = [(t0 + dt.timedelta(minutes=i), "a", 0.0 if i < 10 else 2.0)
+          for i in range(14)]
+    b1 += [(t0, "nobase", 9.0)]
+    schema = "ts timestamp, key string, value double"
+    spark.createDataFrame(b1, schema).write.parquet(src + "/b1")
+
+    stats = spark.createDataFrame(
+        [("a", 0.0, 1.0)], "key string, center double, scale double"
+    )
+    stream = read_observations_stream(spark, src + "/*")
+    out = streaming_cusum(stream, stats, k=0.5, h=5.0)
+    # memory sink can't recover a checkpoint; a durable parquet sink is
+    # required to prove state continuity across restarts
+    sink_dir = str(tmp_path / "cs_out")
+    ckpt = str(tmp_path / "cs_ckpt")
+
+    def run_once():
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    r1 = spark.read.parquet(sink_dir).toPandas().sort_values("ts")
+    assert set(r1.key) == {"a"}          # nobase emits nothing
+    assert len(r1) == 14
+    # s_hi grows by z-k = 1.5/step after the shift; alarm at step 4 post-shift
+    assert not r1.alarm_hi.iloc[:13].any()
+    assert r1.alarm_hi.iloc[13] and abs(r1.s_hi.iloc[13] - 6.0) < 1e-9
+
+    # batch 2: continuation — s_hi was reset by the alarm, climbs again
+    b2 = [(t0 + dt.timedelta(minutes=14 + i), "a", 2.0) for i in range(4)]
+    spark.createDataFrame(b2, schema).write.parquet(src + "/b2")
+    run_once()
+    r2 = spark.read.parquet(sink_dir).toPandas().sort_values("ts")
+    assert len(r2) == 18                   # 14 + the new batch's 4
+    assert abs(r2.s_hi.iloc[-1] - 6.0) < 1e-9 and r2.alarm_hi.iloc[-1]
