@@ -257,6 +257,35 @@ def _q_forecast_accuracy(spark, sf_dir):
     )
 
 
+def _q_arch_test(spark, sf_dir):
+    """Engle ARCH-LM(1) per series on raw event values: stat =
+    n_obs·corr(v²_t, v²_{t−1})² — the single-regressor R² identity, so the
+    oracle replays the whole statistic as one squared window correlation.
+    p-value (χ²(1)) stays pytest-covered, like bp_test."""
+    from spark_timeseries_spark.models import test_series
+
+    obs = events_observations(spark, sf_dir)
+    out = test_series(obs, "arch_lm", order_col="ts", max_lag=1)
+    return out.select("key", _stable_round(F.col("stat"), 5).alias("arch_stat"))
+
+
+def _q_granger(spark, sf_dir):
+    """Granger non-causality (p=1) between two users' filled daily series:
+    the F of restricted-vs-unrestricted lag regression, replayed by the
+    oracle through the correlation-algebra closed form
+    R²_u = (r_ya² + r_yb² − 2·r_ya·r_yb·r_ab)/(1 − r_ab²). χ² p-value
+    stays pytest-covered."""
+    from spark_timeseries_spark.models import granger_test
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
+    out = granger_test(filled, "1", "2", max_lag=1)
+    return out.select(
+        "target", "cause", "n",
+        _stable_round(F.col("f_stat"), 5).alias("f_stat"),
+    )
+
+
 def _q_remove_instants_with_nans(spark, sf_dir):
     grid = _daily_grid(spark, sf_dir).where(F.col("key").isin("1", "2", "3"))
     out = filters.remove_instants_with_nans(grid, rebase_loc=False)
@@ -2345,7 +2374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (``slice`` … ``arima_forecast``) plus the four r4 fill/lag rows
     displaced from the r6 window; (c) the oldest r5-green rows to fill
     the remaining slots. Past the window: everything r6 just proved
-    green (the freshest rows in the file). All 142 are additionally
+    green (the freshest rows in the file). All 144 are additionally
     validated locally by ``tools/check_correctness.py`` (full log
     committed per round — r7 restores the full-log discipline r6
     skipped, verdict item 1)."""
@@ -2356,6 +2385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roll_skew_kurt": _q_roll_skew_kurt,
         "roll_corr": _q_roll_corr,
         "forecast_accuracy": _q_forecast_accuracy,
+        "arch_test": _q_arch_test,
+        "granger": _q_granger,
         "simhash_near_dups": _q_simhash_near_dups,
         "containment_pairs": _q_containment_pairs,
         # -- (b) stalest evidence: the r4-era rows -------------------------
@@ -2401,11 +2432,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "lsh_topk": _q_lsh_topk,
+        # ---- driver window (50) ends here ----------------------------------
+        # (winnowing…arx_fit displaced past the boundary by the five NEW
+        # rows above; all r5-green, queued for the r8 rotation)
         "winnowing_fingerprints": _q_winnowing_fingerprints,
         "auto_arima": _q_auto_arima,
-        # ---- driver window (50) ends here ----------------------------------
-        # (garch_fit/egarch_fit/arx_fit displaced past the boundary by the
-        # three NEW rows above; all r5-green, queued for the r8 rotation)
         "garch_fit": _q_garch_fit,
         "egarch_fit": _q_egarch_fit,
         "arx_fit": _q_arx_fit,
@@ -2946,6 +2977,55 @@ def oracle_sql() -> dict[str, str]:
                    {_sr_sql('CASE WHEN scale <> 0.0 THEN mae / scale END', 6)}
                        AS mase
             FROM aggd
+        """,
+        "arch_test": "WITH" + _EVSEQ_SQL + """
+            , l AS (
+                SELECT key, value * value AS e2,
+                       lag(value * value) OVER (
+                           PARTITION BY key ORDER BY t) AS e2l
+                FROM e
+            ),
+            c AS (
+                SELECT key, count(e2l) AS n_obs, corr(e2, e2l) AS r
+                FROM l GROUP BY key
+            )
+            SELECT key,
+                   FLOOR((n_obs * r * r) * 100000 + 0.500001) / 100000
+                       AS arch_stat
+            FROM c
+        """,
+        "granger": _DAILY_GRID_SQL + _FILLED_SQL
+        + f"""
+            , pair AS (
+                SELECT a.loc AS loc, a.value AS y, b.value AS x
+                FROM filled a JOIN filled b USING (loc)
+                WHERE a.key = '1' AND b.key = '2'
+                  AND a.value IS NOT NULL AND b.value IS NOT NULL
+            ),
+            d AS (
+                SELECT loc, y,
+                       lag(y) OVER (ORDER BY loc) AS yl,
+                       lag(x) OVER (ORDER BY loc) AS xl
+                FROM pair
+            ),
+            c AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_obs,
+                       corr(y, yl) AS rya, corr(y, xl) AS ryb,
+                       corr(yl, xl) AS rab
+                FROM d WHERE yl IS NOT NULL AND xl IS NOT NULL
+            ),
+            r2 AS (
+                SELECT n_obs, rya,
+                       (rya*rya + ryb*ryb - 2.0*rya*ryb*rab)
+                           / (1.0 - rab*rab) AS r2u
+                FROM c
+            )
+            SELECT '1' AS target, '2' AS cause,
+                   (SELECT CAST(count(*) AS BIGINT) FROM pair) AS n,
+                   {_sr_sql(
+                       "((1.0 - rya*rya) - (1.0 - r2u))"
+                       " / ((1.0 - r2u) / (n_obs - 3))", 5)} AS f_stat
+            FROM r2
         """,
         "remove_instants_with_nans": _DAILY_GRID_SQL
         + """

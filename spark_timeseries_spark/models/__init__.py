@@ -15,6 +15,7 @@ from .fit import (
     fit_xreg_improvement,
     fit_xreg_models,
     forecast,
+    granger_test,
     residuals,
     test_series,
     variance_forecast,
@@ -43,7 +44,7 @@ __all__ = [
     "fit_regression_arima_cochrane_orcutt",
     "apply_model_effects", "fit_improvement", "fit_models", "fit_xreg_models",
     "fit_xreg_improvement",
-    "forecast", "residuals", "test_series", "variance_forecast",
+    "forecast", "granger_test", "residuals", "test_series", "variance_forecast",
     "ARGARCHModel", "ARModel", "EGARCHModel", "EWMAModel", "GARCHModel",
     "HoltWintersModel", "egarch_start",
     "fit_ar", "fit_ar_garch", "fit_egarch", "fit_ewma", "fit_ewma_grid",

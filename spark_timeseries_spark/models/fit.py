@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from . import arima as arima_mod
 from . import arx as arx_mod
@@ -74,6 +75,7 @@ _FORECASTABLE = ("ar", "ewma", "garch", "holtwinters", "arima")
 _RESIDUAL_MODELS = ("ar", "ewma", "garch", "egarch", "argarch", "arima")
 _KNOWN_TESTS = (
     "adf", "kpss", "dw", "ljung_box", "breusch_godfrey", "breusch_pagan",
+    "arch_lm",
 )
 
 
@@ -559,11 +561,13 @@ def test_series(
     **kwargs,
 ) -> DataFrame:
     """Per-series statistical test → (key, stat, p_value). ``test`` ∈
-    adf | kpss | dw | ljung_box | breusch_godfrey | breusch_pagan; p_value
-    is NaN for tests that return critical values instead (kpss) or none
-    (dw). The BG/BP auxiliary regressions use a linear time trend as the
-    factor matrix (the per-series analog of the reference's caller-supplied
-    ``factors``, ``TimeSeriesStatisticalTests.scala:276-329``)."""
+    adf | kpss | dw | ljung_box | breusch_godfrey | breusch_pagan |
+    arch_lm; p_value is NaN for tests that return critical values instead
+    (kpss) or none (dw). The BG/BP auxiliary regressions use a linear time
+    trend as the factor matrix (the per-series analog of the reference's
+    caller-supplied ``factors``, ``TimeSeriesStatisticalTests.scala:276-329``);
+    ``arch_lm`` (beyond-reference, Engle 1982) treats the series values as
+    the residuals under test — pre-whiten first if they carry structure."""
     from ..stats import tests as st
 
     test = _require(test, _KNOWN_TESTS)
@@ -589,10 +593,69 @@ def test_series(
             elif test == "breusch_pagan":
                 trend = np.arange(len(y), dtype=float)[:, None]
                 stat, p = st.breusch_pagan(y, trend)
+            elif test == "arch_lm":
+                stat, p = st.arch_lm(y, kwargs.get("max_lag", 1))
         except Exception:
             pass  # degenerate series → NaN stat, like fit_models
         return pd.DataFrame({"key": [key], "stat": [stat], "p_value": [p]})
 
     return _spread(df, key_col).groupBy(key_col).applyInPandas(
         _t, schema="key string, stat double, p_value double"
+    )
+
+
+def granger_test(
+    df: DataFrame,
+    target_key: str,
+    cause_key: str,
+    max_lag: int = 1,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Pairwise Granger non-causality: does series ``cause_key`` help
+    forecast series ``target_key`` beyond its own history? →
+    one row (target, cause, n, f_stat, p_value); see
+    :func:`stats.tests.granger_causality` for the statistic (F of
+    restricted-vs-unrestricted lag regression; large-sample χ²(p)
+    p-value). Beyond-reference.
+
+    Plan: the two named series align on ``order_col`` via one inner
+    equi-join (rows where either side is missing drop out — fill first
+    for gap-free designs); the pair then flows as ONE group through a
+    grouped-map kernel, so the OLS runs on an executor, not the driver —
+    the same single-series-in-memory envelope as ``crosscorr``."""
+    a = df.where(F.col(key_col) == target_key).select(
+        F.col(order_col).alias("_o"), F.col(value_col).alias("_y")
+    )
+    b = df.where(F.col(key_col) == cause_key).select(
+        F.col(order_col).alias("_o"), F.col(value_col).alias("_x")
+    )
+    j = a.join(b, "_o").where(
+        F.col("_y").isNotNull() & F.col("_x").isNotNull()
+    )
+
+    def _g(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..stats import tests as st
+
+        pdf = pdf.sort_values("_o")
+        f, p = float("nan"), float("nan")
+        try:
+            f, p = st.granger_causality(
+                pdf["_y"].to_numpy(), pdf["_x"].to_numpy(), max_lag
+            )
+        except Exception:
+            pass  # short/degenerate overlap → NaN, like test_series
+        return pd.DataFrame(
+            {
+                "target": [target_key],
+                "cause": [cause_key],
+                "n": [len(pdf)],
+                "f_stat": [f],
+                "p_value": [p],
+            }
+        )
+
+    return j.withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(
+        _g, schema="target string, cause string, n long, f_stat double, p_value double"
     )

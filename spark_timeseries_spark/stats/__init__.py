@@ -3,10 +3,12 @@ from .evaluation import forecast_accuracy
 from .easyplot import acf_plot, corr_plot_data, ezplot, local_autocorr, pacf_plot
 from .tests import (
     adf_test,
+    arch_lm,
     autocorr_pearson,
     breusch_godfrey,
     breusch_pagan,
     durbin_watson,
+    granger_causality,
     kpss_test,
     ljung_box,
     mackinnon_p,
@@ -22,8 +24,10 @@ __all__ = [
     "pacf",
     "pacf_plot",
     "adf_test",
+    "arch_lm",
     "autocorr_pearson",
     "forecast_accuracy",
+    "granger_causality",
     "breusch_godfrey",
     "breusch_pagan",
     "durbin_watson",

@@ -279,3 +279,58 @@ def breusch_pagan(resid: np.ndarray, factors: np.ndarray):
         factors = factors.T
     stat = len(resid) * _r_squared(factors, resid**2)
     return stat, chi2_sf(stat, factors.shape[1])
+
+
+def arch_lm(resid: np.ndarray, max_lag: int = 1):
+    """Engle's ARCH-LM test (Engle 1982): regress e²_t on its own
+    ``max_lag`` lags; LM = n_obs·R² ~ χ²(max_lag) under the no-ARCH null.
+    Beyond-reference — the natural pre-test for the GARCH family the
+    engine fits (``models/univariate.py``): fit GARCH when this rejects.
+    (stat, χ² p). For ``max_lag=1`` the R² is exactly
+    corr(e²_t, e²_{t−1})² — the identity the SQL oracle replays."""
+    resid = np.asarray(resid, dtype=float)
+    e2 = resid**2
+    n_obs = len(e2) - max_lag
+    if n_obs <= max_lag + 1:
+        raise ValueError("series too short for the requested max_lag")
+    lags = np.column_stack(
+        [e2[max_lag - k : len(e2) - k] for k in range(1, max_lag + 1)]
+    )
+    stat = n_obs * _r_squared(lags, e2[max_lag:])
+    return stat, chi2_sf(stat, max_lag)
+
+
+def granger_causality(y: np.ndarray, x: np.ndarray, max_lag: int = 1):
+    """Granger non-causality test: does x help forecast y beyond y's own
+    history? F-test of the restricted AR(p) y_t ~ (1, y_{t−1..t−p})
+    against the unrestricted y_t ~ (1, y lags, x lags) (Granger 1969).
+    Returns (F, p) with the large-sample χ²(p) p-value of p·F — the
+    asymptotic equivalence, used because the engine carries closed-form
+    normal/χ² tails but no F CDF (documented, same convention class as
+    KPSS's critical-value-only output). Beyond-reference. NaN cells are
+    the CALLER's problem (align/fill first): the design matrices here
+    must be dense."""
+    y = np.asarray(y, dtype=float)
+    x = np.asarray(x, dtype=float)
+    if len(y) != len(x):
+        raise ValueError("series must be conformed to the same length")
+    p = int(max_lag)
+    if p < 1:
+        raise ValueError("max_lag must be >= 1")
+    n_obs = len(y) - p
+    if n_obs <= 2 * p + 1:
+        raise ValueError("series too short for the requested max_lag")
+    yy = y[p:]
+    ylags = np.column_stack([y[p - k : len(y) - k] for k in range(1, p + 1)])
+    xlags = np.column_stack([x[p - k : len(x) - k] for k in range(1, p + 1)])
+    ones = np.ones((n_obs, 1))
+
+    def rss(X):
+        beta, *_ = np.linalg.lstsq(X, yy, rcond=None)
+        r = yy - X @ beta
+        return float(r @ r)
+
+    rss_r = rss(np.hstack([ones, ylags]))
+    rss_u = rss(np.hstack([ones, ylags, xlags]))
+    f = ((rss_r - rss_u) / p) / (rss_u / (n_obs - 2 * p - 1))
+    return f, chi2_sf(p * f, p)

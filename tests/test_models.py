@@ -441,3 +441,101 @@ def test_forecast_accuracy_vs_numpy(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         forecast_accuracy(df, m=0)
+
+
+def test_arch_lm_detects_volatility_clustering():
+    """ARCH-LM rejects on a planted ARCH(1) series, not on white noise;
+    for max_lag=1 the statistic equals n_obs * corr(e2_t, e2_{t-1})^2
+    (the identity the SQL oracle replays)."""
+    import numpy as np
+
+    from spark_timeseries_spark.stats import arch_lm
+
+    rng = np.random.RandomState(11)
+    n = 600
+    e = np.empty(n)
+    sig2 = 1.0
+    z = rng.randn(n)
+    for t in range(n):
+        sig2 = 0.2 + 0.7 * (e[t - 1] ** 2 if t else 1.0)
+        e[t] = np.sqrt(sig2) * z[t]
+    stat_arch, p_arch = arch_lm(e, 1)
+    stat_wn, p_wn = arch_lm(rng.randn(n), 1)
+    assert p_arch < 0.01 and p_wn > 0.05
+
+    e2 = e**2
+    r = np.corrcoef(e2[1:], e2[:-1])[0, 1]
+    assert abs(stat_arch - (n - 1) * r * r) < 1e-8
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        arch_lm(e[:3], 2)
+
+
+def test_granger_causality_direction():
+    """x drives y (y_t = 0.5 y_{t-1} + 0.8 x_{t-1} + eps): the x->y test
+    rejects strongly, the y->x reverse does not; the p=1 F matches the
+    correlation-algebra closed form (the SQL oracle's formulation)."""
+    import numpy as np
+
+    from spark_timeseries_spark.stats import granger_causality
+
+    rng = np.random.RandomState(5)
+    n = 500
+    x = rng.randn(n)
+    y = np.zeros(n)
+    for t in range(1, n):
+        y[t] = 0.5 * y[t - 1] + 0.8 * x[t - 1] + 0.3 * rng.randn()
+    f_xy, p_xy = granger_causality(y, x, 1)
+    f_yx, p_yx = granger_causality(x, y, 1)
+    assert p_xy < 1e-6 and f_xy > 50
+    assert p_yx > 0.01 and f_yx < f_xy / 10
+
+    # closed form via correlations (p=1): R2_u from the 2-regressor
+    # identity, RSS ratios give the same F
+    yy, yl, xl = y[1:], y[:-1], x[:-1]
+    r_ya = np.corrcoef(yy, yl)[0, 1]
+    r_yb = np.corrcoef(yy, xl)[0, 1]
+    r_ab = np.corrcoef(yl, xl)[0, 1]
+    r2_u = (r_ya**2 + r_yb**2 - 2 * r_ya * r_yb * r_ab) / (1 - r_ab**2)
+    r2_r = r_ya**2
+    n_obs = n - 1
+    f_closed = ((1 - r2_r) - (1 - r2_u)) / ((1 - r2_u) / (n_obs - 3))
+    assert abs(f_xy - f_closed) < 1e-6
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        granger_causality(y[:4], x[:4], 1)
+    with _pytest.raises(ValueError):
+        granger_causality(y, x[:10], 1)
+
+
+def test_arch_granger_spark_surface(spark):
+    """test_series('arch_lm') and granger_test run distributed and agree
+    with the numpy kernels on the same data."""
+    import numpy as np
+
+    from spark_timeseries_spark.models import granger_test, test_series
+    from spark_timeseries_spark.stats import arch_lm, granger_causality
+
+    rng = np.random.RandomState(17)
+    n = 120
+    x = rng.randn(n)
+    y = np.zeros(n)
+    for t in range(1, n):
+        y[t] = 0.4 * y[t - 1] + 0.7 * x[t - 1] + 0.5 * rng.randn()
+    rows = [("y", i, float(y[i])) for i in range(n)]
+    rows += [("x", i, float(x[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+
+    got = {r.key: (r.stat, r.p_value)
+           for r in test_series(df, "arch_lm", max_lag=2).collect()}
+    want = arch_lm(y, 2)
+    assert abs(got["y"][0] - want[0]) < 1e-8
+    assert abs(got["y"][1] - want[1]) < 1e-8
+
+    g = granger_test(df, "y", "x", max_lag=2).collect()[0]
+    fw, pw = granger_causality(y, x, 2)
+    assert g.target == "y" and g.cause == "x" and g.n == n
+    assert abs(g.f_stat - fw) < 1e-8 and abs(g.p_value - pw) < 1e-8
+    assert pw < 1e-6
