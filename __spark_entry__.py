@@ -286,6 +286,44 @@ def _q_granger(spark, sf_dir):
     )
 
 
+def _q_lag_suite(spark, sf_dir):
+    """Composed re-proof of the lag family in one window slot: first and
+    second differences, lag-2 quotients, and return rates as four columns
+    off the same (key, ts) sort — one exchange, four window expressions
+    (``TimeSeriesRDD.scala:113-131``, ``UnivariateTimeSeries.scala:47-65``,
+    order-d recursion ``:468-480``)."""
+    obs = events_observations(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy("ts")
+    l1 = F.lag("value", 1).over(w)
+    l2 = F.lag("value", 2).over(w)
+    d1 = F.col("value") - l1
+    return (
+        obs.withColumn("diff1", d1)
+        .withColumn("diff2", F.col("value") - 2.0 * l1 + l2)
+        .withColumn("quot2", F.try_divide("value", l2))
+        .withColumn("ret", F.try_divide("value", l1) - 1.0)
+        .where(F.col("diff1").isNotNull())
+        .select("key", "ts", "diff1", "diff2", "quot2", "ret")
+    )
+
+
+def _q_var_fit(spark, sf_dir):
+    """VAR(1) over two users' filled daily series → the 6-coefficient
+    table (2 equations × [const, lag-1 of each series]). The kernel's
+    equation-by-equation lstsq is replayed by the oracle through the
+    2-regressor normal-equations closed form (covariance algebra —
+    b = Σ⁻¹c with the 2×2 inverse written out)."""
+    from spark_timeseries_spark.models import fit_var
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
+    out = fit_var(filled, ["1", "2"], p=1)
+    return out.select(
+        "target", "regressor", "lag",
+        _stable_round(F.col("coef"), 6).alias("coef"),
+    )
+
+
 def _q_remove_instants_with_nans(spark, sf_dir):
     grid = _daily_grid(spark, sf_dir).where(F.col("key").isin("1", "2", "3"))
     out = filters.remove_instants_with_nans(grid, rebase_loc=False)
@@ -2374,7 +2412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (``slice`` … ``arima_forecast``) plus the four r4 fill/lag rows
     displaced from the r6 window; (c) the oldest r5-green rows to fill
     the remaining slots. Past the window: everything r6 just proved
-    green (the freshest rows in the file). All 144 are additionally
+    green (the freshest rows in the file). All 146 are additionally
     validated locally by ``tools/check_correctness.py`` (full log
     committed per round — r7 restores the full-log discipline r6
     skipped, verdict item 1)."""
@@ -2387,6 +2425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_accuracy": _q_forecast_accuracy,
         "arch_test": _q_arch_test,
         "granger": _q_granger,
+        "lag_suite": _q_lag_suite,
+        "var_fit": _q_var_fit,
         "simhash_near_dups": _q_simhash_near_dups,
         "containment_pairs": _q_containment_pairs,
         # -- (b) stalest evidence: the r4-era rows -------------------------
@@ -2430,11 +2470,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "lang_id": _q_lang_id,
+        # ---- driver window (50) ends here ----------------------------------
+        # (quality_score…arx_fit displaced past the boundary by the seven
+        # NEW rows above; all r5-green, queued for the r8 rotation)
         "quality_score": _q_quality_score,
         "lsh_topk": _q_lsh_topk,
-        # ---- driver window (50) ends here ----------------------------------
-        # (winnowing…arx_fit displaced past the boundary by the five NEW
-        # rows above; all r5-green, queued for the r8 rotation)
         "winnowing_fingerprints": _q_winnowing_fingerprints,
         "auto_arima": _q_auto_arima,
         "garch_fit": _q_garch_fit,
@@ -3026,6 +3066,63 @@ def oracle_sql() -> dict[str, str]:
                        "((1.0 - rya*rya) - (1.0 - r2u))"
                        " / ((1.0 - r2u) / (n_obs - 3))", 5)} AS f_stat
             FROM r2
+        """,
+        "lag_suite": """
+            SELECT key, ts, diff1, diff2, quot2, ret FROM (
+                SELECT CAST(user_id AS VARCHAR) AS key, ts,
+                       value - lag(value, 1) OVER w AS diff1,
+                       value - 2.0 * lag(value, 1) OVER w
+                             + lag(value, 2) OVER w AS diff2,
+                       value / lag(value, 2) OVER w AS quot2,
+                       value / lag(value, 1) OVER w - 1.0 AS ret
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ) WHERE diff1 IS NOT NULL
+        """,
+        "var_fit": _DAILY_GRID_SQL + _FILLED_SQL
+        + f"""
+            , wide AS (
+                SELECT loc,
+                       max(CASE WHEN key = '1' THEN value END) AS s1,
+                       max(CASE WHEN key = '2' THEN value END) AS s2
+                FROM filled GROUP BY loc
+            ),
+            lagd AS (
+                SELECT loc, s1, s2,
+                       lag(s1) OVER (ORDER BY loc) AS a,
+                       lag(s2) OVER (ORDER BY loc) AS b
+                FROM wide
+            ),
+            d AS (
+                SELECT * FROM lagd
+                WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+                  AND a IS NOT NULL AND b IS NOT NULL
+            ),
+            m AS (
+                SELECT covar_samp(s1, a) AS c1a, covar_samp(s1, b) AS c1b,
+                       covar_samp(s2, a) AS c2a, covar_samp(s2, b) AS c2b,
+                       var_samp(a) AS vaa, var_samp(b) AS vbb,
+                       covar_samp(a, b) AS vab,
+                       avg(s1) AS m1, avg(s2) AS m2,
+                       avg(a) AS ma, avg(b) AS mb
+                FROM d
+            ),
+            co AS (
+                SELECT *, vaa * vbb - vab * vab AS det,
+                       (c1a * vbb - c1b * vab) / (vaa * vbb - vab * vab) AS b1a,
+                       (c1b * vaa - c1a * vab) / (vaa * vbb - vab * vab) AS b1b,
+                       (c2a * vbb - c2b * vab) / (vaa * vbb - vab * vab) AS b2a,
+                       (c2b * vaa - c2a * vab) / (vaa * vbb - vab * vab) AS b2b
+                FROM m
+            )
+            SELECT '1' AS target, 'const' AS regressor, 0 AS lag,
+                   {_sr_sql('m1 - b1a * ma - b1b * mb', 6)} AS coef FROM co
+            UNION ALL SELECT '1', '1', 1, {_sr_sql('b1a', 6)} FROM co
+            UNION ALL SELECT '1', '2', 1, {_sr_sql('b1b', 6)} FROM co
+            UNION ALL SELECT '2', 'const', 0,
+                   {_sr_sql('m2 - b2a * ma - b2b * mb', 6)} FROM co
+            UNION ALL SELECT '2', '1', 1, {_sr_sql('b2a', 6)} FROM co
+            UNION ALL SELECT '2', '2', 1, {_sr_sql('b2b', 6)} FROM co
         """,
         "remove_instants_with_nans": _DAILY_GRID_SQL
         + """

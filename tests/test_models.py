@@ -539,3 +539,56 @@ def test_arch_granger_spark_surface(spark):
     assert g.target == "y" and g.cause == "x" and g.n == n
     assert abs(g.f_stat - fw) < 1e-8 and abs(g.p_value - pw) < 1e-8
     assert pw < 1e-6
+
+
+def test_var_fit_recovers_planted_system(spark):
+    """VAR(1) OLS recovers a planted 2-series coefficient matrix within
+    sampling tolerance; forecast_var reproduces the manual recursion from
+    the fitted coefficients exactly."""
+    import numpy as np
+
+    from spark_timeseries_spark.models import fit_var, forecast_var
+
+    rng = np.random.RandomState(23)
+    A = np.array([[0.5, 0.2], [-0.3, 0.4]])
+    c = np.array([1.0, -0.5])
+    n = 800
+    y = np.zeros((n, 2))
+    for t in range(1, n):
+        y[t] = c + A @ y[t - 1] + 0.2 * rng.randn(2)
+    rows = [(k, i, float(y[i, j])) for j, k in enumerate(["a", "b"])
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+
+    coefs = {(r.target, r.regressor, r.lag): r.coef
+             for r in fit_var(df, ["a", "b"], p=1).collect()}
+    assert len(coefs) == 6
+    # exactness: the distributed fit IS the OLS solve on the same design
+    Ym, Xm = y[1:], np.hstack([np.ones((n - 1, 1)), y[:-1]])
+    bm, *_ = np.linalg.lstsq(Xm, Ym, rcond=None)
+    for j, tgt in enumerate(["a", "b"]):
+        assert abs(coefs[(tgt, "const", 0)] - bm[0, j]) < 1e-9
+        # recovery of the planted system within sampling tolerance
+        assert abs(coefs[(tgt, "const", 0)] - c[j]) < 0.15
+        for i, reg in enumerate(["a", "b"]):
+            assert abs(coefs[(tgt, reg, 1)] - bm[1 + i, j]) < 1e-9
+            assert abs(coefs[(tgt, reg, 1)] - A[j, i]) < 0.1
+
+    fc = {(r.key, r.step): r.forecast
+          for r in forecast_var(df, ["a", "b"], p=1, h=3).collect()}
+    assert len(fc) == 6
+    # manual recursion from the FITTED coefficients
+    Ahat = np.array([[coefs[(t, r, 1)] for r in ["a", "b"]]
+                     for t in ["a", "b"]])
+    chat = np.array([coefs[(t, "const", 0)] for t in ["a", "b"]])
+    cur = y[-1]
+    for step in range(1, 4):
+        cur = chat + Ahat @ cur
+        assert abs(fc[("a", step)] - cur[0]) < 1e-9
+        assert abs(fc[("b", step)] - cur[1]) < 1e-9
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        fit_var(df, ["a"], p=1)
+    with _pytest.raises(ValueError):
+        fit_var(df, ["a", "b"], p=0)

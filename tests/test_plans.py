@@ -523,3 +523,47 @@ def test_periodogram_mapside_combine_no_sort(spark):
     # partial_sum of the COS projection proves map-side combine of the
     # exploded frequency rows before their exchange
     assert re.search(r"partial_sum.*COS", p), p
+
+
+def test_partitioned_slice_prunes_partitions(spark, tmp_path):
+    """Time-partitioned layout: slice_partitioned's scan carries a
+    PartitionFilters entry on pdate AND a pushed ts filter, and the data
+    read equals the unpartitioned slice — directory-level pruning at
+    planning time, the 100 TB time-slice story."""
+    from spark_timeseries_spark.sources import (
+        events_observations,
+        load_observations_partitioned,
+        save_observations_partitioned,
+        slice_partitioned,
+    )
+
+    obs = events_observations(spark, SF).select("key", "ts", "value")
+    path = str(tmp_path / "obs_part")
+    save_observations_partitioned(obs, path, granularity="day")
+
+    sliced = slice_partitioned(spark, path, "2024-01-10", "2024-01-12")
+    p = _plan(sliced)
+    assert re.search(r"PartitionFilters: \[.*pdate", p), p
+    assert re.search(r"PushedFilters: \[.*ts", p), p
+
+    want = (
+        obs.where((F.col("ts") >= "2024-01-10")
+                  & (F.col("ts") <= F.lit("2024-01-12").cast("timestamp")))
+        .orderBy("key", "ts").collect()
+    )
+    got = sliced.select("key", "ts", "value").orderBy("key", "ts").collect()
+    assert got == want and len(got) > 0
+
+    # full load round-trips (pdate dropped, all rows back)
+    full = load_observations_partitioned(spark, path)
+    assert full.count() == obs.count()
+    assert set(full.columns) == {"key", "ts", "value"}
+
+    # month granularity also prunes
+    path2 = str(tmp_path / "obs_part_m")
+    save_observations_partitioned(obs, path2, granularity="month")
+    p2 = _plan(slice_partitioned(spark, path2, "2024-01-10", "2024-01-12"))
+    assert re.search(r"PartitionFilters: \[.*pdate", p2), p2
+
+    with pytest.raises(ValueError):
+        save_observations_partitioned(obs, path, granularity="hour")
