@@ -868,10 +868,27 @@ def _q_minhash_lsh_dedup_xx(spark, sf_dir):
     )
 
 
+def _q_minhash_lsh_dedup_oph(spark, sf_dir):
+    """BENCH-ONLY: the one-permutation-hashing signature path
+    (``hash_fn="oph"`` — ONE xxhash64 per shingle with rotation
+    densification instead of 64 seeded hashes), the extreme-scale variant;
+    verified pairs match the xxhash64 path on the test corpus
+    (tests/test_pipeline.py::test_oph_signatures_and_dedup)."""
+    from spark_timeseries_spark.pipeline import dedup as dd
+
+    docs = _docs_spread(spark, sf_dir)
+    return dd.dedup_minhash_lsh(docs, threshold=0.3, hash_fn="oph").select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Extra entries bench.py times but the correctness harness skips
     (non-oracle-replayable variants of already-proven pipelines)."""
-    return {"minhash_lsh_dedup_xx": _q_minhash_lsh_dedup_xx}
+    return {
+        "minhash_lsh_dedup_xx": _q_minhash_lsh_dedup_xx,
+        "minhash_lsh_dedup_oph": _q_minhash_lsh_dedup_oph,
+    }
 
 
 def _q_simhash_near_dups(spark, sf_dir):

@@ -30,8 +30,10 @@ def hash60(col: Column) -> Column:
 
 
 def hashed(col: Column, hash_fn: str = "xxhash64") -> Column:
-    """Dispatch: the fast JVM hash or the cross-engine md5-based hash."""
-    if hash_fn == "xxhash64":
+    """Dispatch: the fast JVM hash or the cross-engine md5-based hash.
+    ``"oph"`` (a signature-stage mode) hashes like xxhash64 here — band
+    hashing has no per-seed cost to save."""
+    if hash_fn in ("xxhash64", "oph"):
         return F.xxhash64(col)
     if hash_fn == "md5_60":
         return hash60(col)

@@ -134,9 +134,14 @@ def minhash_signatures_from_sets(
     the 64 seeded digests per shingle are NOT a bottleneck — ~2 s for 1M
     shingle rows on 32 cores, on par with 64 plain long ops; a Carter-Wegman
     one-digest variant via DECIMAL modular arithmetic benched 5× SLOWER
-    because Spark's >18-digit decimals leave codegen's long fast-path.)"""
+    because Spark's >18-digit decimals leave codegen's long fast-path.)
+    ``hash_fn="oph"`` routes to :func:`minhash_signatures_oph` — ONE hash
+    per shingle with rotation densification, the extreme-scale signature
+    path."""
     from spark_timeseries_spark.functions import hashed_with_seed
 
+    if hash_fn == "oph":
+        return minhash_signatures_oph(sets, id_col, num_hashes, shingle_col)
     sh = sets.select(id_col, F.explode(shingle_col).alias("_s"))
     aggs = [
         F.min(hashed_with_seed(F.col("_s"), i, hash_fn)).alias(f"_m{i}")
@@ -146,6 +151,62 @@ def minhash_signatures_from_sets(
     return sig.select(
         id_col, F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig")
     )
+
+
+def minhash_signatures_oph(
+    sets: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_col: str = "sh",
+) -> DataFrame:
+    """One-Permutation-Hashing MinHash signatures (Li, Owen & Zhang 2012)
+    with rotation densification (Shrivastava & Li 2014): ONE xxhash64 per
+    shingle instead of ``num_hashes`` seeded hashes — the hashing work
+    drops by the signature length (64×), which is the dominant signature
+    cost at corpus scale. Each shingle's single hash lands in bin
+    ``h mod k``; the signature is the per-bin minimum; empty bins borrow
+    the nearest filled bin's value to the cyclic right (implemented as
+    ``element_at(array_compact(slice(doubled, …)), 1)`` — still pure JVM
+    array expressions, no Python).
+
+    Estimator quality: the k-bin OPH estimate has ~the same variance as
+    k independent permutations for sets ≫ k (our shingled documents);
+    the densified bins make short documents band-comparable rather than
+    NULL-filled. The published offset term (c·t per borrow distance) is
+    omitted — its only effect is to decorrelate bands of NEAR-EMPTY
+    signatures, and every candidate this engine emits is verified by
+    exact Jaccard anyway, so spurious collisions cost candidates, never
+    correctness. Drop-in compatible with :func:`_banded` /
+    :func:`minhash_lsh_candidates` (select with ``hash_fn="oph"`` in
+    :func:`minhash_signatures_from_sets`); NOT DuckDB-replayable (the
+    oracle path stays md5_60)."""
+    sh = sets.select(id_col, F.explode(shingle_col).alias("_s"))
+    h = F.xxhash64("_s")
+    k = num_hashes
+    aggs = [
+        F.min(F.when(F.pmod(h, F.lit(k)) == i, h)).alias(f"_m{i}")
+        for i in range(k)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    arr = F.array(*[f"_m{i}" for i in range(k)])
+
+    def densify(a):
+        doubled = F.concat(a, a)
+        return F.array(
+            *[
+                F.coalesce(
+                    F.element_at(a, i + 1),
+                    F.element_at(
+                        F.array_compact(F.slice(doubled, i + 2, k - 1)), 1
+                    ),
+                )
+                for i in range(k)
+            ]
+        )
+
+    from ..functions import let
+
+    return sig.select(id_col, let(arr, densify).alias("sig"))
 
 
 def cap_bucket_size(

@@ -2414,3 +2414,74 @@ def test_dedup_minhash_cross_flags_near_dup_of_existing(spark):
     out = dedup_minhash_cross(new, existing, threshold=0.5).collect()
     assert {(r.id_new, r.id_old) for r in out} == {(100, 1)}
     assert all(r.jaccard >= 0.5 for r in out)
+
+
+def test_oph_signatures_and_dedup(spark):
+    """OPH signatures: per-bin minima with rotation densification match a
+    reference computation from the same xxhash64 values; no NULL cells
+    survive densification; signature agreement approximates Jaccard; the
+    end-to-end hash_fn='oph' pipeline verifies the same planted near-dup
+    pairs as the 64-seeded-hash path (verification is exact Jaccard, so
+    only candidate recall could differ)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from spark_timeseries_spark.pipeline.dedup import (
+        dedup_minhash_lsh,
+        minhash_signatures_oph,
+        shingle_sets,
+    )
+
+    base = ("one two three four five six seven eight nine ten eleven "
+            "twelve thirteen fourteen fifteen sixteen seventeen eighteen")
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " nineteen"),              # near-dup of 1
+            (3, "totally different words about completely other topics "
+                "maritime lighthouse navigation charts coastal schedules"),
+            (4, "three words only"),              # 1 shingle: densification path
+        ],
+        "doc_id long, text string",
+    )
+    sets = shingle_sets(docs)
+    k = 16
+    sig = {r["id"]: r["sig"] for r in
+           minhash_signatures_oph(sets, id_col="id", num_hashes=k).collect()}
+    assert all(len(s) == k for s in sig.values())
+    assert all(v is not None for s in sig.values() for v in s)
+
+    # reference computation from the same xxhash64 values
+    hashed = (sets.select("id", F.explode("sh").alias("s"))
+              .select("id", F.xxhash64("s").alias("h"),
+                      F.pmod(F.xxhash64("s"), F.lit(k)).alias("b"))
+              .collect())
+    import collections
+    bins = collections.defaultdict(dict)
+    for r in hashed:
+        b = bins[r.id]
+        b[r.b] = min(b.get(r.b, r.h), r.h)
+    for did, b in bins.items():
+        want = []
+        for i in range(k):
+            if i in b:
+                want.append(b[i])
+            else:  # nearest filled bin to the cyclic right
+                for d in range(1, k + 1):
+                    j = (i + d) % k
+                    if j in b:
+                        want.append(b[j])
+                        break
+        assert list(sig[did]) == want, did
+
+    # agreement ~ Jaccard for the near-dup pair (loose: k=16)
+    agree = np.mean([a == c for a, c in zip(sig[1], sig[2])])
+    assert agree > 0.5
+
+    pairs_oph = {(r.id_a, r.id_b) for r in dedup_minhash_lsh(
+        docs, threshold=0.5, num_hashes=32, bands=16, hash_fn="oph"
+    ).collect()}
+    pairs_xx = {(r.id_a, r.id_b) for r in dedup_minhash_lsh(
+        docs, threshold=0.5, num_hashes=32, bands=16, hash_fn="xxhash64"
+    ).collect()}
+    assert pairs_oph == pairs_xx == {(1, 2)}
