@@ -324,6 +324,27 @@ def _q_var_fit(spark, sf_dir):
     )
 
 
+def _q_ts_features(spark, sf_dir):
+    """tsfeatures-style per-series catalog over the filled daily grid
+    (tile=10 → three complete tiles of the 31-day grid): acf1,
+    mean-crossings, tiled stability/lumpiness — every feature an exact
+    closed form the oracle replays."""
+    from spark_timeseries_spark.operators.features import ts_features
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
+    out = ts_features(filled, tile=10)
+    return out.select(
+        "key", "n",
+        _stable_round(F.col("mean"), 6).alias("mean"),
+        _stable_round(F.col("variance"), 6).alias("variance"),
+        _stable_round(F.col("acf1"), 6).alias("acf1"),
+        "crossing_points",
+        _stable_round(F.col("stability"), 6).alias("stability"),
+        _stable_round(F.col("lumpiness"), 6).alias("lumpiness"),
+    )
+
+
 def _q_remove_instants_with_nans(spark, sf_dir):
     grid = _daily_grid(spark, sf_dir).where(F.col("key").isin("1", "2", "3"))
     out = filters.remove_instants_with_nans(grid, rebase_loc=False)
@@ -2429,7 +2450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (``slice`` … ``arima_forecast``) plus the four r4 fill/lag rows
     displaced from the r6 window; (c) the oldest r5-green rows to fill
     the remaining slots. Past the window: everything r6 just proved
-    green (the freshest rows in the file). All 146 are additionally
+    green (the freshest rows in the file). All 147 are additionally
     validated locally by ``tools/check_correctness.py`` (full log
     committed per round — r7 restores the full-log discipline r6
     skipped, verdict item 1)."""
@@ -2444,6 +2465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "granger": _q_granger,
         "lag_suite": _q_lag_suite,
         "var_fit": _q_var_fit,
+        "ts_features": _q_ts_features,
         "simhash_near_dups": _q_simhash_near_dups,
         "containment_pairs": _q_containment_pairs,
         # -- (b) stalest evidence: the r4-era rows -------------------------
@@ -2486,10 +2508,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": _q_token_count_bpe,
         "fingerprint": _q_fingerprint,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-        "lang_id": _q_lang_id,
         # ---- driver window (50) ends here ----------------------------------
-        # (quality_score…arx_fit displaced past the boundary by the seven
-        # NEW rows above; all r5-green, queued for the r8 rotation)
+        # (lang_id…arx_fit displaced past the boundary by the eight NEW
+        # rows above; all r5-green, queued for the r8 rotation)
+        "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "lsh_topk": _q_lsh_topk,
         "winnowing_fingerprints": _q_winnowing_fingerprints,
@@ -3140,6 +3162,46 @@ def oracle_sql() -> dict[str, str]:
                    {_sr_sql('m2 - b2a * ma - b2b * mb', 6)} FROM co
             UNION ALL SELECT '2', '1', 1, {_sr_sql('b2a', 6)} FROM co
             UNION ALL SELECT '2', '2', 1, {_sr_sql('b2b', 6)} FROM co
+        """,
+        "ts_features": _DAILY_GRID_SQL + _FILLED_SQL
+        + f"""
+            , nn AS (
+                SELECT key, loc, value,
+                       avg(value) OVER (PARTITION BY key) AS m,
+                       lag(value) OVER (PARTITION BY key ORDER BY loc) AS prev,
+                       row_number() OVER (PARTITION BY key ORDER BY loc) - 1
+                           AS rk
+                FROM filled WHERE value IS NOT NULL
+            ),
+            st AS (
+                SELECT key, count(value) AS n, avg(value) AS mean,
+                       var_samp(value) AS variance,
+                       corr(value, prev) AS acf1,
+                       CAST(coalesce(sum(CASE WHEN prev IS NOT NULL
+                                          AND ((value > m) <> (prev > m))
+                                         THEN 1 END), 0)
+                            AS BIGINT) AS crossing_points
+                FROM nn GROUP BY key
+            ),
+            tl AS (
+                SELECT key, CAST(FLOOR(rk / 10.0) AS INT) AS t,
+                       count(value) AS tn, avg(value) AS tmean,
+                       var_samp(value) AS tvar
+                FROM nn GROUP BY key, CAST(FLOOR(rk / 10.0) AS INT)
+            ),
+            tt AS (
+                SELECT key, var_samp(tmean) AS stability,
+                       var_samp(tvar) AS lumpiness
+                FROM tl WHERE tn = 10 GROUP BY key
+            )
+            SELECT st.key, n,
+                   {_sr_sql('mean', 6)} AS mean,
+                   {_sr_sql('variance', 6)} AS variance,
+                   {_sr_sql('acf1', 6)} AS acf1,
+                   crossing_points,
+                   {_sr_sql('stability', 6)} AS stability,
+                   {_sr_sql('lumpiness', 6)} AS lumpiness
+            FROM st LEFT JOIN tt ON st.key = tt.key
         """,
         "remove_instants_with_nans": _DAILY_GRID_SQL
         + """

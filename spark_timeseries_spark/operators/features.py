@@ -1,0 +1,84 @@
+"""Per-series feature extraction: the tsfeatures-style catalog.
+
+Beyond-reference (the reference's per-series summary stops at
+``seriesStats`` — count/mean/stdev/min/max); this is the feature-vector
+layer a forecasting or clustering pipeline runs over a CORPUS of series
+(Hyndman et al.'s tsfeatures catalog; the subset here is the part with
+exact closed forms — no optimizer, no decomposition dependency):
+
+- ``acf1`` — lag-1 autocorrelation, the engine's per-overlap Pearson
+  convention (same as :func:`operators.rolling.autocorr` at k=1).
+- ``crossing_points`` — number of times the series crosses its own mean
+  (structural-change proxy).
+- ``stability`` / ``lumpiness`` — variance of tiled MEANS / tiled
+  VARIANCES over non-overlapping tiles of ``tile`` points (level shifts
+  inflate stability; variance shifts inflate lumpiness). The trailing
+  partial tile is DROPPED (stated: a 3-point tail tile's variance is
+  noise, and the R reference's tiling conventions differ by version —
+  this engine pins complete-tiles-only).
+
+Plan: everything stacks on the ONE (key, loc) sort every series operator
+shares — whole-series mean/lag ride a partition-wide window, the tile
+aggregates are two small (key, tile) groupBys — all JVM expressions,
+no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["ts_features"]
+
+
+def ts_features(
+    df: DataFrame,
+    tile: int = 10,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """→ (key, n, mean, variance, acf1, crossing_points, stability,
+    lumpiness) per series. ``n`` counts non-null cells; null cells are
+    skipped by every moment and excluded from tiles (tiles are formed
+    over the non-null rank so a hole doesn't shift every later tile
+    boundary by a fraction)."""
+    if tile < 2:
+        raise ValueError(f"tile must be >= 2, got {tile}")
+    v = F.col(value_col)
+    wk = Window.partitionBy(key_col)
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+    base = (
+        df.where(v.isNotNull())
+        .withColumn("_m", F.avg(v).over(wk))
+        .withColumn("_prev", F.lag(v).over(ws))
+        .withColumn("_rk", F.row_number().over(ws) - 1)
+    )
+    cross = F.when(
+        F.col("_prev").isNotNull()
+        & ((v > F.col("_m")) != (F.col("_prev") > F.col("_m"))),
+        1,
+    )
+    stats = base.groupBy(key_col).agg(
+        F.count(v).alias("n"),
+        F.avg(v).alias("mean"),
+        F.var_samp(v).alias("variance"),
+        F.corr(v, "_prev").alias("acf1"),
+        F.coalesce(F.sum(cross), F.lit(0)).alias("crossing_points"),
+    )
+    tiles = (
+        base.withColumn("_tile", (F.col("_rk") / tile).cast("int"))
+        .groupBy(key_col, "_tile")
+        .agg(
+            F.count(v).alias("_tn"),
+            F.avg(v).alias("_tmean"),
+            F.var_samp(v).alias("_tvar"),
+        )
+        .where(F.col("_tn") == tile)  # complete tiles only
+        .groupBy(key_col)
+        .agg(
+            F.var_samp("_tmean").alias("stability"),
+            F.var_samp("_tvar").alias("lumpiness"),
+        )
+    )
+    return stats.join(tiles, key_col, "left")

@@ -242,6 +242,14 @@ class TimeSeriesDataFrame:
     def autocorr(self, max_lag: int) -> DataFrame:
         return rolling.autocorr(self.df, max_lag)
 
+    def ts_features(self, tile: int = 10) -> DataFrame:
+        """Per-series feature catalog (acf1, crossing points, tiled
+        stability/lumpiness) — beyond-reference; see
+        :func:`operators.features.ts_features`."""
+        from .operators.features import ts_features
+
+        return ts_features(self.df, tile)
+
     def seasonal_decompose(self, period: int) -> DataFrame:
         """Classical additive decomposition (trend / seasonal / resid) —
         beyond-reference companion of Holt-Winters; see

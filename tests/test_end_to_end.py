@@ -563,3 +563,47 @@ def test_periodogram_fft_kernel_matches_explode(spark):
              dominant_period(df, method="fft").collect()}
     assert d_exp == d_fft
     assert d_exp["a"][0] == 5 and abs(d_exp["a"][1] - 8.0) < 1e-9
+
+
+def test_ts_features_vs_numpy(spark):
+    """ts_features matches a numpy reference: per-overlap Pearson acf1,
+    mean-crossing count, variance of complete-tile means/variances; a
+    series shorter than one tile gets NULL stability/lumpiness; NULL
+    cells are skipped and tiles form over the non-null rank."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.features import ts_features
+
+    rng = np.random.RandomState(9)
+    vals = list(rng.randn(25) * 3 + 5)
+    rows = [("a", i, float(v)) for i, v in enumerate(vals)]
+    rows += [("short", i, float(i)) for i in range(4)]
+    rows += [("holes", i, None if i in (2, 7) else float(i * i % 11))
+             for i in range(23)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    out = {r.key: r for r in ts_features(df, tile=10).collect()}
+
+    a = np.array(vals)
+    r = out["a"]
+    assert r.n == 25 and abs(r.mean - a.mean()) < 1e-12
+    assert abs(r.variance - a.var(ddof=1)) < 1e-12
+    assert abs(r.acf1 - np.corrcoef(a[1:], a[:-1])[0, 1]) < 1e-12
+    m = a.mean()
+    want_cross = int(((a[1:] > m) != (a[:-1] > m)).sum())
+    assert r.crossing_points == want_cross
+    t1, t2 = a[:10], a[10:20]  # complete tiles only (last 5 dropped)
+    assert abs(r.stability - np.var([t1.mean(), t2.mean()], ddof=1)) < 1e-12
+    assert abs(r.lumpiness
+               - np.var([t1.var(ddof=1), t2.var(ddof=1)], ddof=1)) < 1e-12
+
+    assert out["short"].stability is None and out["short"].lumpiness is None
+
+    h = np.array([float(i * i % 11) for i in range(23) if i not in (2, 7)])
+    rh = out["holes"]
+    assert rh.n == 21
+    th1, th2 = h[:10], h[10:20]  # tiles over the non-null rank
+    assert abs(rh.stability - np.var([th1.mean(), th2.mean()], ddof=1)) < 1e-12
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ts_features(df, tile=1)
