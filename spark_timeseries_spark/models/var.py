@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["fit_var", "forecast_var"]
+__all__ = ["fit_var", "forecast_var", "impulse_response"]
 
 
 def _pivoted(df, keys, key_col, order_col, value_col):
@@ -97,6 +97,60 @@ def fit_var(
 
     return wide.withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(
         _k, schema="target string, regressor string, lag int, coef double"
+    )
+
+
+def impulse_response(
+    df: DataFrame,
+    keys: list[str],
+    p: int = 1,
+    h: int = 10,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Impulse-response functions of the fitted VAR →
+    (shock, response, step, irf): the effect on series ``response`` at
+    horizon ``step`` of a one-unit shock to series ``shock`` at step 0
+    (non-orthogonalized Ψ matrices — Ψ_0 = I, Ψ_s = Σ_{j=1..min(s,p)}
+    A_j·Ψ_{s−j}, Lütkepohl 2005 §2.1.2; orthogonalization needs the
+    residual covariance Cholesky, which callers can apply to these)."""
+    if h < 0:
+        raise ValueError("h must be >= 0")
+    wide = _pivoted(df, keys, key_col, order_col, value_col)
+    k = len(keys)
+
+    def _k(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        mat = pdf[list(keys)].to_numpy(dtype=float)
+        mat = mat[~np.isnan(mat).any(axis=1)]
+        out = {"shock": [], "response": [], "step": [], "irf": []}
+        try:
+            _, beta = _fit_kernel(mat, keys, p)
+            # A_lag: k×k with [i, j] = effect of series j's lag on series i
+            A = [
+                beta[1 + (lag - 1) * k : 1 + lag * k, :].T
+                for lag in range(1, p + 1)
+            ]
+            psi = [np.eye(k)]
+            for s in range(1, h + 1):
+                acc = np.zeros((k, k))
+                for j in range(1, min(s, p) + 1):
+                    acc += A[j - 1] @ psi[s - j]
+                psi.append(acc)
+            for s, m in enumerate(psi):
+                for i, resp in enumerate(keys):
+                    for j, shock in enumerate(keys):
+                        out["shock"].append(shock)
+                        out["response"].append(resp)
+                        out["step"].append(s)
+                        out["irf"].append(float(m[i, j]))
+        except Exception:
+            pass
+        return pd.DataFrame(out)
+
+    return wide.withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(
+        _k, schema="shock string, response string, step int, irf double"
     )
 
 

@@ -592,3 +592,36 @@ def test_var_fit_recovers_planted_system(spark):
         fit_var(df, ["a"], p=1)
     with _pytest.raises(ValueError):
         fit_var(df, ["a", "b"], p=0)
+
+
+def test_var_impulse_response(spark):
+    """IRF of a fitted VAR(1): psi_0 = I, psi_s = A_hat^s (closed form at
+    p=1), checked against the matrix powers of the fitted coefficient
+    matrix; the shock/response orientation matches fit_var's (target,
+    regressor) convention."""
+    import numpy as np
+
+    from spark_timeseries_spark.models import fit_var, impulse_response
+
+    rng = np.random.RandomState(31)
+    A = np.array([[0.6, 0.1], [0.2, 0.3]])
+    n = 600
+    y = np.zeros((n, 2))
+    for t in range(1, n):
+        y[t] = A @ y[t - 1] + 0.3 * rng.randn(2)
+    rows = [(k, i, float(y[i, j])) for j, k in enumerate(["a", "b"])
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+
+    coefs = {(r.target, r.regressor): r.coef
+             for r in fit_var(df, ["a", "b"], p=1).collect() if r.lag == 1}
+    Ahat = np.array([[coefs[(t, r)] for r in ["a", "b"]] for t in ["a", "b"]])
+
+    irf = {(r.shock, r.response, r.step): r.irf
+           for r in impulse_response(df, ["a", "b"], p=1, h=3).collect()}
+    assert len(irf) == 16  # 2x2 x 4 steps
+    for s in range(4):
+        M = np.linalg.matrix_power(Ahat, s)
+        for i, resp in enumerate(["a", "b"]):
+            for j, shock in enumerate(["a", "b"]):
+                assert abs(irf[(shock, resp, s)] - M[i, j]) < 1e-9, (s, i, j)
