@@ -345,6 +345,24 @@ def _q_ts_features(spark, sf_dir):
     )
 
 
+def _q_decomp_strength(spark, sf_dir):
+    """FPP trend/seasonal strength per series over the classical period-7
+    decomposition of the daily grid — one aggregate on top of the
+    seasonal_decompose machinery, oracle replays decomposition AND the
+    variance-ratio features."""
+    from spark_timeseries_spark.operators.decompose import (
+        decomposition_strength,
+    )
+
+    grid = _daily_grid(spark, sf_dir)
+    out = decomposition_strength(grid, 7)
+    return out.select(
+        "key", "n",
+        _stable_round(F.col("trend_strength"), 6).alias("trend_strength"),
+        _stable_round(F.col("seasonal_strength"), 6).alias("seasonal_strength"),
+    )
+
+
 def _q_remove_instants_with_nans(spark, sf_dir):
     grid = _daily_grid(spark, sf_dir).where(F.col("key").isin("1", "2", "3"))
     out = filters.remove_instants_with_nans(grid, rebase_loc=False)
@@ -2450,7 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (``slice`` … ``arima_forecast``) plus the four r4 fill/lag rows
     displaced from the r6 window; (c) the oldest r5-green rows to fill
     the remaining slots. Past the window: everything r6 just proved
-    green (the freshest rows in the file). All 147 are additionally
+    green (the freshest rows in the file). All 148 are additionally
     validated locally by ``tools/check_correctness.py`` (full log
     committed per round — r7 restores the full-log discipline r6
     skipped, verdict item 1)."""
@@ -2466,6 +2484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_suite": _q_lag_suite,
         "var_fit": _q_var_fit,
         "ts_features": _q_ts_features,
+        "decomp_strength": _q_decomp_strength,
         "simhash_near_dups": _q_simhash_near_dups,
         "containment_pairs": _q_containment_pairs,
         # -- (b) stalest evidence: the r4-era rows -------------------------
@@ -2507,10 +2526,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_by_source": _q_token_count_by_source,
         "token_count_bpe": _q_token_count_bpe,
         "fingerprint": _q_fingerprint,
-        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         # ---- driver window (50) ends here ----------------------------------
-        # (lang_id…arx_fit displaced past the boundary by the eight NEW
-        # rows above; all r5-green, queued for the r8 rotation)
+        # (ngram_jaccard_pairs…arx_fit displaced past the boundary by the
+        # nine NEW rows above; all r5-green, queued for the r8 rotation)
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "lsh_topk": _q_lsh_topk,
@@ -6132,6 +6151,48 @@ def oracle_sql() -> dict[str, str]:
                {_sr_sql("sc.seasonal", 6)} AS seasonal,
                {_sr_sql("t.value - t.trend - sc.seasonal", 6)} AS resid
         FROM t LEFT JOIN sc ON sc.key = t.key AND sc.pos = t.pos
+    """
+
+    o["decomp_strength"] = _DAILY_GRID_SQL + f"""
+        , t AS (
+            SELECT key, loc, ts, value,
+                   CASE WHEN count(*) OVER wf = 7
+                             AND count(value) OVER wf = 7
+                        THEN avg(value) OVER wf END AS trend,
+                   loc % 7 AS pos
+            FROM grid
+            WINDOW wf AS (PARTITION BY key ORDER BY loc
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        sm AS (
+            SELECT key, pos, AVG(value - trend) AS sm
+            FROM t GROUP BY 1, 2
+        ),
+        sc AS (
+            SELECT key, pos,
+                   CASE WHEN COUNT(sm) OVER (PARTITION BY key) = 7
+                        THEN sm - AVG(sm) OVER (PARTITION BY key)
+                   END AS seasonal
+            FROM sm
+        ),
+        parts AS (
+            SELECT t.key, t.trend, sc.seasonal,
+                   t.value - t.trend - sc.seasonal AS resid
+            FROM t LEFT JOIN sc ON sc.key = t.key AND sc.pos = t.pos
+            WHERE t.value - t.trend - sc.seasonal IS NOT NULL
+        )
+        SELECT key, count(resid) AS n,
+               {_sr_sql(
+                   "CASE WHEN var_samp(trend + resid) > 0.0 THEN "
+                   "GREATEST(0.0, 1.0 - var_samp(resid)"
+                   " / var_samp(trend + resid)) END", 6)}
+                   AS trend_strength,
+               {_sr_sql(
+                   "CASE WHEN var_samp(seasonal + resid) > 0.0 THEN "
+                   "GREATEST(0.0, 1.0 - var_samp(resid)"
+                   " / var_samp(seasonal + resid)) END", 6)}
+                   AS seasonal_strength
+        FROM parts GROUP BY key
     """
 
     # embedding covariance: covar_samp over exploded coordinate pairs —

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["seasonal_decompose"]
+__all__ = ["seasonal_decompose", "decomposition_strength"]
 
 
 def seasonal_decompose(
@@ -96,4 +96,41 @@ def seasonal_decompose(
             key_col, loc_col, ts_col, value_col,
             "trend", "seasonal", "resid",
         )
+    )
+
+
+def decomposition_strength(
+    df: DataFrame,
+    period: int,
+    key_col: str = "key",
+    loc_col: str = "loc",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """→ (key, n, trend_strength, seasonal_strength) per series — the FPP
+    strength-of-components features (Hyndman & Athanasopoulos, FPP3 §4.3)
+    over the classical decomposition:
+
+        F_T = max(0, 1 − Var(R) / Var(T + R))
+        F_S = max(0, 1 − Var(R) / Var(S + R))
+
+    computed over the rows where all three components exist (the
+    decomposition's NULL edges drop out; ``n`` counts the rows used).
+    A zero-variance denominator yields NULL (undefined, not 0 or 1).
+    One more per-key aggregate on top of :func:`seasonal_decompose` —
+    still no Python."""
+    parts = seasonal_decompose(
+        df, period, key_col, loc_col, ts_col, value_col
+    ).where(F.col("resid").isNotNull())
+    vr = F.var_samp("resid")
+    vtr = F.var_samp(F.col("trend") + F.col("resid"))
+    vsr = F.var_samp(F.col("seasonal") + F.col("resid"))
+    return parts.groupBy(key_col).agg(
+        F.count("resid").alias("n"),
+        F.when(vtr > 0.0, F.greatest(F.lit(0.0), 1.0 - vr / vtr)).alias(
+            "trend_strength"
+        ),
+        F.when(vsr > 0.0, F.greatest(F.lit(0.0), 1.0 - vr / vsr)).alias(
+            "seasonal_strength"
+        ),
     )

@@ -250,6 +250,14 @@ class TimeSeriesDataFrame:
 
         return ts_features(self.df, tile)
 
+    def stl_decompose(self, period: int, robust: bool = False) -> DataFrame:
+        """STL-style decomposition (periodic seasonal, LOESS trend,
+        optional bisquare robustness) — beyond-reference; see
+        :func:`operators.stl.stl_decompose`."""
+        from .operators.stl import stl_decompose
+
+        return stl_decompose(self.df, period, robust=robust)
+
     def seasonal_decompose(self, period: int) -> DataFrame:
         """Classical additive decomposition (trend / seasonal / resid) —
         beyond-reference companion of Holt-Winters; see

@@ -607,3 +607,98 @@ def test_ts_features_vs_numpy(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         ts_features(df, tile=1)
+
+
+def test_decomposition_strength(spark):
+    """FPP strength features: a strongly trending+seasonal series scores
+    both strengths near 1; white noise scores near 0; a constant series
+    yields NULL (zero-variance denominators)."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.decompose import (
+        decomposition_strength,
+    )
+
+    rng = np.random.RandomState(13)
+    n, p = 84, 7
+    t = np.arange(n)
+    strong = 2.0 * t + 15 * np.sin(2 * np.pi * t / p) + 0.3 * rng.randn(n)
+    noise = rng.randn(n)
+    rows = [("s", int(i), pd.Timestamp("2024-01-01").to_pydatetime(),
+             float(strong[i])) for i in t]
+    rows += [("w", int(i), pd.Timestamp("2024-01-01").to_pydatetime(),
+              float(noise[i])) for i in t]
+    rows += [("c", int(i), pd.Timestamp("2024-01-01").to_pydatetime(), 5.0)
+             for i in t]
+    df = spark.createDataFrame(rows, "key string, loc long, ts timestamp, value double")
+    out = {r.key: r for r in decomposition_strength(df, p).collect()}
+
+    assert out["s"].trend_strength > 0.95
+    assert out["s"].seasonal_strength > 0.95
+    assert out["w"].trend_strength < 0.5
+    assert out["w"].seasonal_strength < 0.5
+    assert out["c"].trend_strength is None
+    assert out["c"].seasonal_strength is None
+    assert out["s"].n == n - 2 * (p // 2)  # the decomposition's NULL edges
+
+
+def test_stl_decompose_recovers_and_resists_outliers(spark):
+    """STL (periodic seasonal, LOESS trend): (a) recovers a planted
+    linear-trend + sine-seasonal series including the EDGES the classical
+    MA decomposition NULLs out; (b) agrees with classical decompose on
+    the clean interior; (c) robust=True shrinks the trend distortion from
+    planted spikes vs the non-robust fit; (d) numeric s.window raises
+    NotImplementedError (honest scope)."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.decompose import seasonal_decompose
+    from spark_timeseries_spark.operators.stl import stl_decompose
+
+    rng = np.random.RandomState(21)
+    n, p = 98, 7
+    t = np.arange(n)
+    planted_season = 8 * np.sin(2 * np.pi * t / p)
+    clean = 0.7 * t + planted_season + 0.2 * rng.randn(n)
+    rows = [("a", int(i), pd.Timestamp("2024-01-01").to_pydatetime(),
+             float(clean[i])) for i in t]
+    df = spark.createDataFrame(rows, "key string, loc long, ts timestamp, value double")
+
+    out = (stl_decompose(df, p).toPandas().sort_values("loc")
+           .reset_index(drop=True))
+    assert len(out) == n and out.trend.notna().all()  # edges included
+    np.testing.assert_allclose(
+        out.seasonal.to_numpy(),
+        np.tile(out.seasonal.to_numpy()[:p], n // p),
+        atol=1e-9,
+    )  # periodic: one fixed cycle
+    # seasonal close to planted (centered), trend close to planted line
+    ps = planted_season - planted_season[:p].mean()
+    assert np.abs(out.seasonal.to_numpy() - ps).max() < 0.5
+    assert np.abs(out.resid.to_numpy()).std() < 0.5
+
+    cls = (seasonal_decompose(df, p).toPandas().sort_values("loc")
+           .reset_index(drop=True))
+    inner = cls.trend.notna()
+    np.testing.assert_allclose(
+        out.trend[inner].to_numpy(), cls.trend[inner].to_numpy(), atol=1.0
+    )
+
+    # robustness: spikes distort the non-robust trend more
+    spiked = clean.copy()
+    spiked[[20, 50, 80]] += 60.0
+    rows2 = [("a", int(i), pd.Timestamp("2024-01-01").to_pydatetime(),
+              float(spiked[i])) for i in t]
+    df2 = spark.createDataFrame(rows2, "key string, loc long, ts timestamp, value double")
+    tr_plain = (stl_decompose(df2, p).toPandas().sort_values("loc")
+                .trend.to_numpy())
+    tr_rob = (stl_decompose(df2, p, robust=True).toPandas()
+              .sort_values("loc").trend.to_numpy())
+    true_tr = out.trend.to_numpy()  # fitted trend of the clean series
+    assert (np.abs(tr_rob - true_tr).max()
+            < 0.55 * np.abs(tr_plain - true_tr).max())
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        stl_decompose(df, p, seasonal="11")
+    with _pytest.raises(ValueError):
+        stl_decompose(df, 1)

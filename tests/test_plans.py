@@ -567,3 +567,27 @@ def test_partitioned_slice_prunes_partitions(spark, tmp_path):
 
     with pytest.raises(ValueError):
         save_observations_partitioned(obs, path, granularity="hour")
+
+
+def test_forecast_accuracy_single_exchange(spark, grid):
+    """forecast_accuracy is one lag window + one per-key aggregate — a
+    single hash exchange on key, no Python."""
+    from spark_timeseries_spark.stats import forecast_accuracy
+
+    fc = grid.withColumn("forecast", F.col("value") * 1.1)
+    out = forecast_accuracy(fc, "value", "forecast")
+    shuffles, sorts, p = _counts(out)
+    assert shuffles <= 1, p
+    assert "InPandas" not in p and "PythonUDF" not in p, p
+
+
+def test_ts_features_no_python_bounded_exchanges(spark, grid):
+    """ts_features stays JVM-side: the whole-series window, the stats
+    aggregate, and the two tile aggregates plan with at most the key
+    exchange plus the (key, tile) exchange — and zero Python stages."""
+    from spark_timeseries_spark.operators.features import ts_features
+
+    out = ts_features(grid, tile=10)
+    shuffles, sorts, p = _counts(out)
+    assert "InPandas" not in p and "PythonUDF" not in p, p
+    assert shuffles <= 3, p
