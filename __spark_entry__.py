@@ -363,6 +363,45 @@ def _q_decomp_strength(spark, sf_dir):
     )
 
 
+def _q_baseline_forecast(spark, sf_dir):
+    """naive + snaive(7) + drift baseline forecasts (h=3) off the raw
+    daily grid in one row — per-key aggregates + horizon explode +
+    (snaive) one equi-join; snaive NULLs surface where the one-cycle-back
+    cell is a grid hole."""
+    from spark_timeseries_spark.models import baseline_forecast
+
+    grid = _daily_grid(spark, sf_dir)
+    nv = baseline_forecast(grid, 3, "naive").withColumnRenamed(
+        "forecast", "naive"
+    )
+    sn = baseline_forecast(grid, 3, "snaive", period=7).withColumnRenamed(
+        "forecast", "snaive"
+    )
+    dr = baseline_forecast(grid, 3, "drift").withColumnRenamed(
+        "forecast", "drift"
+    )
+    return (
+        nv.join(sn, ["key", "step"]).join(dr, ["key", "step"])
+        .select("key", "step", "naive", "snaive",
+                F.round("drift", 6).alias("drift"))
+    )
+
+
+def _q_detect_seasonality(spark, sf_dir):
+    """ACF season-length detection over the filled daily grid (lags 2..10,
+    harmonic rule: smallest lag within 0.05 of the max rounded acf) — the
+    time-domain twin of dominant_period; oracle replays the lag
+    correlations AND the pick."""
+    from spark_timeseries_spark.operators.features import detect_seasonality
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
+    out = detect_seasonality(filled, max_period=10, min_acf=0.1)
+    return out.select(
+        "key", "period", _stable_round(F.col("acf"), 6).alias("acf")
+    )
+
+
 def _q_remove_instants_with_nans(spark, sf_dir):
     grid = _daily_grid(spark, sf_dir).where(F.col("key").isin("1", "2", "3"))
     out = filters.remove_instants_with_nans(grid, rebase_loc=False)
@@ -2468,7 +2507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (``slice`` … ``arima_forecast``) plus the four r4 fill/lag rows
     displaced from the r6 window; (c) the oldest r5-green rows to fill
     the remaining slots. Past the window: everything r6 just proved
-    green (the freshest rows in the file). All 148 are additionally
+    green (the freshest rows in the file). All 150 are additionally
     validated locally by ``tools/check_correctness.py`` (full log
     committed per round — r7 restores the full-log discipline r6
     skipped, verdict item 1)."""
@@ -2485,6 +2524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "var_fit": _q_var_fit,
         "ts_features": _q_ts_features,
         "decomp_strength": _q_decomp_strength,
+        "baseline_forecast": _q_baseline_forecast,
+        "detect_seasonality": _q_detect_seasonality,
         "simhash_near_dups": _q_simhash_near_dups,
         "containment_pairs": _q_containment_pairs,
         # -- (b) stalest evidence: the r4-era rows -------------------------
@@ -2524,11 +2565,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "text_quality": _q_text_quality,
         "token_count_by_source": _q_token_count_by_source,
+        # ---- driver window (50) ends here ----------------------------------
+        # (token_count_bpe…arx_fit displaced past the boundary by the
+        # eleven NEW rows above; all r5-green, queued for the r8 rotation)
         "token_count_bpe": _q_token_count_bpe,
         "fingerprint": _q_fingerprint,
-        # ---- driver window (50) ends here ----------------------------------
-        # (ngram_jaccard_pairs…arx_fit displaced past the boundary by the
-        # nine NEW rows above; all r5-green, queued for the r8 rotation)
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
@@ -6151,6 +6192,67 @@ def oracle_sql() -> dict[str, str]:
                {_sr_sql("sc.seasonal", 6)} AS seasonal,
                {_sr_sql("t.value - t.trend - sc.seasonal", 6)} AS resid
         FROM t LEFT JOIN sc ON sc.key = t.key AND sc.pos = t.pos
+    """
+
+    o["baseline_forecast"] = _DAILY_GRID_SQL + f"""
+        , ob AS (SELECT key, loc, value FROM grid WHERE value IS NOT NULL),
+        st AS (
+            SELECT key, max(loc) AS T, min(loc) AS t0,
+                   arg_max(value, loc) AS lastv, arg_min(value, loc) AS firstv
+            FROM ob GROUP BY key
+        ),
+        steps AS (
+            SELECT st.*, s.step
+            FROM st CROSS JOIN (
+                SELECT CAST(unnest(range(1, 4)) AS INT) AS step) s
+        )
+        SELECT steps.key, step,
+               lastv AS naive,
+               g.value AS snaive,
+               {_sr_sql(
+                   "lastv + step * CASE WHEN T > t0 THEN"
+                   " (lastv - firstv) / CAST(T - t0 AS DOUBLE) END", 6)}
+                   AS drift
+        FROM steps LEFT JOIN grid g
+          ON g.key = steps.key
+         AND g.loc = T + step - 7 * CAST(CEIL(step / 7.0) AS BIGINT)
+    """
+
+    _seas_lags = range(2, 11)
+    o["detect_seasonality"] = _DAILY_GRID_SQL + _FILLED_SQL + f"""
+        , l AS (
+            SELECT key, loc, value,
+                   {", ".join(f"lag(value, {k}) OVER w AS l{k}"
+                              for k in _seas_lags)}
+            FROM filled
+            WINDOW w AS (PARTITION BY key ORDER BY loc)
+        ),
+        a AS (
+            SELECT key,
+                   {", ".join(f"corr(value, l{k}) AS c{k}"
+                              for k in _seas_lags)}
+            FROM l GROUP BY key
+        ),
+        cand AS (
+            {" UNION ALL ".join(f"SELECT key, {k} AS lag, c{k} AS acf FROM a"
+                                for k in _seas_lags)}
+        ),
+        cn AS (
+            SELECT key, lag, acf, ROUND(acf, 6) AS r FROM cand
+            WHERE acf IS NOT NULL
+        ),
+        b AS (SELECT key, max(r) AS br FROM cn GROUP BY key),
+        pick AS (
+            SELECT cn.key, cn.lag, cn.acf,
+                   row_number() OVER (PARTITION BY cn.key
+                                      ORDER BY cn.lag) AS rn
+            FROM cn JOIN b ON b.key = cn.key AND cn.r >= b.br - 0.05
+        )
+        SELECT a.key,
+               CASE WHEN p.acf >= 0.1 THEN p.lag END AS period,
+               CASE WHEN p.acf >= 0.1
+                    THEN {_sr_sql('p.acf', 6)} END AS acf
+        FROM a LEFT JOIN pick p ON p.key = a.key AND p.rn = 1
     """
 
     o["decomp_strength"] = _DAILY_GRID_SQL + f"""

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ts_features"]
+__all__ = ["ts_features", "detect_seasonality"]
 
 
 def ts_features(
@@ -82,3 +82,77 @@ def ts_features(
         )
     )
     return stats.join(tiles, key_col, "left")
+
+
+def detect_seasonality(
+    df: DataFrame,
+    max_period: int = 24,
+    min_acf: float = 0.3,
+    harmonic_tol: float = 0.05,
+    tie_digits: int = 6,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """ACF-based season-length detection → (key, period, acf): the lag in
+    2..``max_period`` with the highest autocorrelation (the engine's
+    per-overlap Pearson convention), or NULL period when no lag reaches
+    ``min_acf`` (no seasonality evidence). Lag 1 is excluded — trend
+    dominates it on almost any smooth series. The time-domain
+    complement of :func:`~spark_timeseries_spark.operators.spectral.dominant_period`
+    (spectral argmax): run both and trust agreement.
+
+    Harmonic rule: every MULTIPLE of the true period correlates almost
+    as highly as the period itself (a period-7 series has acf(14) ≈
+    acf(7), and finite-sample noise decides which is a hair larger), so
+    the detector returns the SMALLEST lag whose acf is within
+    ``harmonic_tol`` of the maximum — which also stays correct for a
+    genuine period-14 series, whose acf(7) is strongly NEGATIVE, far
+    outside the tolerance. ``round(acf, tie_digits)`` keeps the max
+    itself engine-deterministic. One window pass + one aggregate per
+    series — all JVM."""
+    if max_period < 2:
+        raise ValueError(f"max_period must be >= 2, got {max_period}")
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    lagged = df
+    for k in range(2, max_period + 1):
+        lagged = lagged.withColumn(f"_l{k}", F.lag(value_col, k).over(w))
+    agg = lagged.groupBy(key_col).agg(
+        *[
+            F.corr(value_col, f"_l{k}").alias(f"_c{k}")
+            for k in range(2, max_period + 1)
+        ]
+    )
+    from ..functions import let
+
+    cands = F.filter(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("lag"),
+                    F.round(F.col(f"_c{k}"), tie_digits).alias("r"),
+                    F.col(f"_c{k}").alias("acf"),
+                )
+                for k in range(2, max_period + 1)
+            ]
+        ),
+        lambda x: x["acf"].isNotNull(),
+    )
+
+    def pick(arr):
+        # max rounded acf, then the SMALLEST lag within harmonic_tol of it
+        best_r = F.array_max(F.transform(arr, lambda x: x["r"]))
+
+        def with_best(br):
+            return F.array_min(
+                F.filter(arr, lambda x: x["r"] >= br - harmonic_tol)
+            )
+
+        return let(best_r, with_best)
+
+    best = pick(cands)
+    return agg.select(
+        key_col,
+        F.when(best["acf"] >= min_acf, best["lag"]).alias("period"),
+        F.when(best["acf"] >= min_acf, best["acf"]).alias("acf"),
+    )

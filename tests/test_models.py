@@ -625,3 +625,76 @@ def test_var_impulse_response(spark):
         for i, resp in enumerate(["a", "b"]):
             for j, shock in enumerate(["a", "b"]):
                 assert abs(irf[(shock, resp, s)] - M[i, j]) < 1e-9, (s, i, j)
+
+
+def test_baseline_forecasts(spark):
+    """naive / snaive / drift match the FPP closed forms on a small
+    series with a hole; snaive reaches one whole cycle back (NULL when
+    the source cell is missing); drift extrapolates the first-to-last
+    line; invalid args raise."""
+    import pytest as _pytest
+
+    from spark_timeseries_spark.models import baseline_forecast
+
+    vals = [3.0, 4.0, 5.0, None, 7.0, 8.0, 9.0, 10.0]
+    rows = [("a", i, vals[i]) for i in range(8)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+
+    nv = {r.step: r.forecast
+          for r in baseline_forecast(df, 3, "naive").collect()}
+    assert nv == {1: 10.0, 2: 10.0, 3: 10.0}
+
+    dr = {r.step: r.forecast
+          for r in baseline_forecast(df, 2, "drift").collect()}
+    # slope = (10-3)/(7-0) = 1.0
+    assert dr == {1: 11.0, 2: 12.0}
+
+    sn = {r.step: r.forecast
+          for r in baseline_forecast(df, 5, "snaive", period=4).collect()}
+    # T=7; h=1..4 -> locs 4,5,6,7 ; h=5 -> loc 4 again
+    assert sn[1] == 7.0 and sn[2] == 8.0 and sn[3] == 9.0 and sn[4] == 10.0
+    assert sn[5] == 7.0
+    sn2 = {r.step: r.forecast
+           for r in baseline_forecast(df, 4, "snaive", period=8).collect()}
+    # one full cycle back: locs 0..3 — loc 3 is the hole -> NULL
+    assert sn2[1] == 3.0 and sn2[4] is None
+
+    with _pytest.raises(ValueError):
+        baseline_forecast(df, 3, "snaive")
+    with _pytest.raises(ValueError):
+        baseline_forecast(df, 0, "naive")
+    with _pytest.raises(ValueError):
+        baseline_forecast(df, 3, "mean")
+
+
+def test_detect_seasonality(spark):
+    """A planted period-7 sine detects period 7 (the round-then-lowest-lag
+    tie rule beats the equally-correlated lag 14); white noise returns
+    NULL; max_period < true period finds nothing above the threshold."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.features import detect_seasonality
+
+    rng = np.random.RandomState(2)
+    n = 140
+    t = np.arange(n)
+    season = np.sin(2 * np.pi * t / 7)
+    rows = [("s", int(i), float(season[i] + 0.05 * rng.randn())) for i in t]
+    rows += [("w", int(i), float(rng.randn())) for i in t]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    out = {r.key: r for r in detect_seasonality(df, max_period=20).collect()}
+    assert out["s"].period == 7 and out["s"].acf > 0.9
+    assert out["w"].period is None and out["w"].acf is None
+
+    # a genuine period-14 series must NOT fall to 7 (acf(7) is strongly
+    # negative there, far outside the harmonic tolerance)
+    s14 = np.sin(2 * np.pi * t / 14)
+    df14 = spark.createDataFrame(
+        [("x", int(i), float(s14[i] + 0.05 * rng.randn())) for i in t],
+        "key string, loc long, value double")
+    o14 = detect_seasonality(df14, max_period=20).collect()[0]
+    assert o14.period == 14
+
+    out2 = {r.key: r for r in
+            detect_seasonality(df, max_period=5, min_acf=0.8).collect()}
+    assert out2["s"].period is None
