@@ -402,6 +402,19 @@ def _q_detect_seasonality(spark, sf_dir):
     )
 
 
+def _q_spectral_entropy(spark, sf_dir):
+    """Normalized spectral entropy per series over the HW-filled grid
+    (same input as the periodogram row, so the oracle reuses its exact
+    cos/sin projection CTE) — the forecastability feature of the
+    tsfeatures catalog."""
+    from spark_timeseries_spark.operators.features import spectral_entropy
+
+    out = spectral_entropy(_hw_filled(spark, sf_dir))
+    return out.select(
+        "key", _stable_round(F.col("entropy"), 6).alias("entropy")
+    )
+
+
 def _q_remove_instants_with_nans(spark, sf_dir):
     grid = _daily_grid(spark, sf_dir).where(F.col("key").isin("1", "2", "3"))
     out = filters.remove_instants_with_nans(grid, rebase_loc=False)
@@ -2507,7 +2520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (``slice`` … ``arima_forecast``) plus the four r4 fill/lag rows
     displaced from the r6 window; (c) the oldest r5-green rows to fill
     the remaining slots. Past the window: everything r6 just proved
-    green (the freshest rows in the file). All 150 are additionally
+    green (the freshest rows in the file). All 151 are additionally
     validated locally by ``tools/check_correctness.py`` (full log
     committed per round — r7 restores the full-log discipline r6
     skipped, verdict item 1)."""
@@ -2526,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decomp_strength": _q_decomp_strength,
         "baseline_forecast": _q_baseline_forecast,
         "detect_seasonality": _q_detect_seasonality,
+        "spectral_entropy": _q_spectral_entropy,
         "simhash_near_dups": _q_simhash_near_dups,
         "containment_pairs": _q_containment_pairs,
         # -- (b) stalest evidence: the r4-era rows -------------------------
@@ -2564,10 +2578,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": _q_video_frames,
         "dedup_exact": _q_dedup_exact,
         "text_quality": _q_text_quality,
-        "token_count_by_source": _q_token_count_by_source,
         # ---- driver window (50) ends here ----------------------------------
-        # (token_count_bpe…arx_fit displaced past the boundary by the
-        # eleven NEW rows above; all r5-green, queued for the r8 rotation)
+        # (token_count_by_source…arx_fit displaced past the boundary by the
+        # twelve NEW rows above; all r5-green, queued for the r8 rotation)
+        "token_count_by_source": _q_token_count_by_source,
         "token_count_bpe": _q_token_count_bpe,
         "fingerprint": _q_fingerprint,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -4956,6 +4970,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT key, CAST(k AS INT) AS k,
                {_sr_sql("(a*a + b*b) * 2 / n", 4)} AS power
         FROM ag
+    """
+    o["spectral_entropy"] = _pgram_base + f"""
+        , pw AS (SELECT key, (a*a + b*b) * 2 / n AS p FROM ag),
+        sagg AS (
+            SELECT key, sum(p) AS S,
+                   sum(CASE WHEN p > 0 THEN p * ln(p) END) AS plp,
+                   count(*) AS m
+            FROM pw GROUP BY key
+        )
+        SELECT key,
+               CASE WHEN S > 0 AND m > 1 THEN
+                   {_sr_sql("(ln(S) - plp / S) / ln(CAST(m AS DOUBLE))", 6)}
+               END AS entropy
+        FROM sagg
     """
     o["dominant_period"] = _pgram_base + f"""
         SELECT key, k, period, power FROM (

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ts_features", "detect_seasonality"]
+__all__ = ["ts_features", "detect_seasonality", "spectral_entropy"]
 
 
 def ts_features(
@@ -155,4 +155,42 @@ def detect_seasonality(
         key_col,
         F.when(best["acf"] >= min_acf, best["lag"]).alias("period"),
         F.when(best["acf"] >= min_acf, best["acf"]).alias("acf"),
+    )
+
+
+def spectral_entropy(
+    df: DataFrame,
+    method: str = "auto",
+    fft_threshold: int | None = None,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Normalized spectral (Shannon) entropy per series → (key, entropy)
+    ∈ [0, 1]: H = −Σ p̂_k ln p̂_k / ln m over the normalized periodogram
+    ordinates (tsfeatures' ``entropy``) — ≈1 for white noise (flat
+    spectrum, hard to forecast), →0 for a pure cycle (all power in one
+    bin, easy). Composes :func:`~spark_timeseries_spark.operators.spectral.periodogram`
+    (inheriting its explode/FFT auto-routing) with one per-key aggregate:
+    Σ p̂ ln p̂ = (ln S − Σ p ln p / S) with S = Σ p, so no second pass.
+    Degenerate series (zero total power, i.e. constant; or a single
+    frequency bin) yield NULL."""
+    from .spectral import _FFT_THRESHOLD, periodogram
+
+    per = periodogram(
+        df, key_col, order_col, value_col, method,
+        fft_threshold if fft_threshold is not None else _FFT_THRESHOLD,
+    )
+    p = F.col("power")
+    agg = per.groupBy(key_col).agg(
+        F.sum(p).alias("_S"),
+        F.sum(F.when(p > 0.0, p * F.log(p))).alias("_plp"),
+        F.count(F.lit(1)).alias("_m"),
+    )
+    h = (F.log("_S") - F.col("_plp") / F.col("_S")) / F.log(
+        F.col("_m").cast("double")
+    )
+    return agg.select(
+        key_col,
+        F.when((F.col("_S") > 0.0) & (F.col("_m") > 1), h).alias("entropy"),
     )

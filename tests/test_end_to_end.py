@@ -702,3 +702,29 @@ def test_stl_decompose_recovers_and_resists_outliers(spark):
         stl_decompose(df, p, seasonal="11")
     with _pytest.raises(ValueError):
         stl_decompose(df, 1)
+
+
+def test_spectral_entropy(spark):
+    """Spectral entropy ≈ 1 for white noise, near 0 for a pure cycle,
+    NULL for a constant series; explode and FFT routes agree."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.features import spectral_entropy
+
+    rng = np.random.RandomState(4)
+    n = 128
+    t = np.arange(n)
+    rows = [("noise", int(i), float(rng.randn())) for i in t]
+    rows += [("cycle", int(i), float(np.sin(2 * np.pi * 8 * i / n))) for i in t]
+    rows += [("flat", int(i), 5.0) for i in t]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+
+    out = {r.key: r.entropy for r in spectral_entropy(df).collect()}
+    assert out["noise"] > 0.85
+    assert out["cycle"] < 0.15
+    assert out["flat"] is None
+
+    fft = {r.key: r.entropy
+           for r in spectral_entropy(df, method="fft").collect()}
+    for k in ("noise", "cycle"):
+        assert abs(out[k] - fft[k]) < 1e-9
