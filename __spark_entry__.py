@@ -2506,6 +2506,69 @@ def _q_stats_suite(spark, sf_dir):
     return out
 
 
+def _q_max_drawdown(spark, sf_dir):
+    """Per-series worst relative drawdown off the daily grid: one window
+    pass (running peak) + one struct-min argmin aggregate. The per-row
+    drawdown value/peak − 1 is a single IEEE division over identical
+    6-decimal inputs, so the argmin (earliest trough on exact ties) is
+    bit-stable across engines without pre-rounding."""
+    from spark_timeseries_spark.operators import cumulative
+
+    grid = _daily_grid(spark, sf_dir)
+    out = cumulative.max_drawdown(grid, "ratio")
+    return out.select(
+        "key",
+        _stable_round(F.col("max_dd"), 6).alias("max_dd"),
+        "trough_loc", "peak_value", "trough_value",
+    )
+
+
+def _q_changepoint(spark, sf_dir):
+    """Single mean-shift changepoint per daily-grid series (binary-
+    segmentation AMOC step). The argmax compares the statistic ROUNDED via
+    the nudged floor (the operator's determinism contract), ties to the
+    smallest split — the oracle replays prefix sums, the rounding, and
+    the (stat DESC, i ASC) pick row-for-row."""
+    from spark_timeseries_spark.operators import changepoint
+
+    grid = _daily_grid(spark, sf_dir)
+    out = changepoint.changepoint_mean(grid, minseg=2)
+    return out.select(
+        "key", "cp_loc", "stat",
+        _stable_round(F.col("mean_left"), 6).alias("mean_left"),
+        _stable_round(F.col("mean_right"), 6).alias("mean_right"),
+    )
+
+
+def _q_hurst(spark, sf_dir):
+    """Hurst exponent per user event-series (R/S over complete blocks of
+    8/16/32, log-log OLS slope). The oracle replays block tiling over the
+    per-key event rank, the cumulative demeaned deviations, and the
+    closed-form regression; 6-decimal rounding absorbs the sub-1e-12
+    summation-order noise of the block means."""
+    from spark_timeseries_spark.operators.features import hurst_rs
+
+    obs = events_observations(spark, sf_dir)
+    out = hurst_rs(obs, (8, 16, 32), order_col="ts")
+    return out.select("key", _stable_round(F.col("hurst"), 6).alias("hurst"))
+
+
+def _q_half_life(spark, sf_dir):
+    """AR(1) mean-reversion half-life per user event-series: closed-form
+    OLS of Δy on y_lag (one lag window + one aggregate). Event values are
+    near-i.i.d. so β sits near −1 — far from the β<0 gate boundary, making
+    the NULL/non-NULL split cross-engine stable."""
+    from spark_timeseries_spark.operators.features import half_life
+
+    obs = events_observations(spark, sf_dir)
+    out = half_life(obs, order_col="ts")
+    return out.select(
+        "key",
+        _stable_round(F.col("beta"), 6).alias("beta"),
+        _stable_round(F.col("half_life"), 6).alias("half_life"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
     the first 50 entries. Window policy (round 7, per the r6 verdict's
@@ -2526,6 +2589,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     skipped, verdict item 1)."""
     return {
         # -- (a) must-prove: new/changed this round + refactor-downstream ----
+        "max_drawdown": _q_max_drawdown,
+        "changepoint": _q_changepoint,
+        "hurst": _q_hurst,
+        "half_life": _q_half_life,
         "roll_quantile": _q_roll_quantile,
         "fill_suite": _q_fill_suite,
         "roll_skew_kurt": _q_roll_skew_kurt,
@@ -2574,13 +2641,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": _q_minhash_lsh_dedup,
         "pack_sequences": _q_pack_sequences,
         "mixture_epochs": _q_mixture_epochs,
+        # ---- driver window (50) ends here ----------------------------------
+        # (remove_dup_spans…text_quality newly displaced by the four
+        # cumulative/changepoint/long-memory rows above; token_count_by_source
+        # …arx_fit displaced earlier this round; all r5-green and covered by
+        # the committed full oracle log, queued for the r8 rotation)
         "remove_dup_spans": _q_remove_dup_spans,
         "video_frames": _q_video_frames,
         "dedup_exact": _q_dedup_exact,
         "text_quality": _q_text_quality,
-        # ---- driver window (50) ends here ----------------------------------
-        # (token_count_by_source…arx_fit displaced past the boundary by the
-        # twelve NEW rows above; all r5-green, queued for the r8 rotation)
         "token_count_by_source": _q_token_count_by_source,
         "token_count_bpe": _q_token_count_bpe,
         "fingerprint": _q_fingerprint,
@@ -2791,6 +2860,53 @@ _EVSEQ_SQL = """
     )
 """
 
+def _hurst_sql(sizes=(8, 16, 32)) -> str:
+    """Full replay of ``operators.features.hurst_rs`` over the per-key
+    event sequence: per block size m — complete tiles over the event rank,
+    cumulative demeaned deviations (running window sum, same sequential
+    order as the engine's sorted-array scan), R/S per block with the
+    S > 0 gate — then size means and the closed-form log-log OLS slope."""
+    parts = ["WITH " + _EVSEQ_SQL]
+    for m in sizes:
+        parts.append(f"""
+    , b{m} AS (
+        SELECT key, CAST(FLOOR(t / {m}.0) AS BIGINT) AS b, t, value,
+               avg(value) OVER wb AS mu,
+               count(*) OVER wb AS c,
+               stddev_pop(value) OVER wb AS sd
+        FROM e
+        WINDOW wb AS (PARTITION BY key, CAST(FLOOR(t / {m}.0) AS BIGINT))
+    ),
+    z{m} AS (
+        SELECT key, b, c, sd,
+               sum(value - mu) OVER (PARTITION BY key, b ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z
+        FROM b{m}
+    ),
+    r{m} AS (
+        SELECT key, CAST({m} AS DOUBLE) AS m,
+               (max(z) - min(z)) / max(sd) AS rs
+        FROM z{m} WHERE c = {m} AND sd > 0
+        GROUP BY key, b
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM r{m}" for m in sizes)
+    parts.append(f"""
+    , allr AS ({union}),
+    mn AS (SELECT key, m, avg(rs) AS rsbar FROM allr GROUP BY 1, 2),
+    reg AS (
+        SELECT key, count(*) AS k,
+               sum(ln(m)) AS sx, sum(ln(rsbar)) AS sy,
+               sum(ln(m) * ln(rsbar)) AS sxy, sum(ln(m) * ln(m)) AS sxx
+        FROM mn WHERE rsbar > 0 GROUP BY 1
+    )
+    SELECT key,
+           CASE WHEN k >= 2 THEN
+               {_sr_sql('(k * sxy - sx * sy) / (k * sxx - sx * sx)', 6)}
+           END AS hurst
+    FROM reg""")
+    return "".join(parts)
+
+
 def _rep_features_sql(ns=(2, 3, 4)) -> str:
     """CTE block replaying ``pipeline.text.repetition_features`` exactly:
     relation ``rep`` with doc_id, n_lines, dup_line_ratio,
@@ -2904,6 +3020,91 @@ _SIMHASH_SIG = "\n                     + ".join(
 
 def oracle_sql() -> dict[str, str]:
     o = {
+        "max_drawdown": _DAILY_GRID_SQL
+        + f"""
+            , dd AS (
+                SELECT key, loc, value,
+                       max(value) OVER (PARTITION BY key ORDER BY loc
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS peak
+                FROM grid
+            ),
+            d2 AS (
+                SELECT key, loc, value / peak - 1.0 AS ddv, peak, value
+                FROM dd WHERE value IS NOT NULL
+            ),
+            rk AS (
+                SELECT key, loc, ddv, peak, value,
+                       row_number() OVER (PARTITION BY key
+                           ORDER BY ddv ASC, loc ASC) AS rn
+                FROM d2
+            )
+            SELECT key, {_sr_sql('ddv', 6)} AS max_dd, loc AS trough_loc,
+                   peak AS peak_value, value AS trough_value
+            FROM rk WHERE rn = 1
+        """,
+        "changepoint": _DAILY_GRID_SQL
+        + f"""
+            , obs AS (
+                SELECT key, loc, value,
+                       count(value) OVER wc AS i, sum(value) OVER wc AS s,
+                       count(value) OVER wk AS n, sum(value) OVER wk AS t
+                FROM grid WHERE value IS NOT NULL
+                WINDOW wc AS (PARTITION BY key ORDER BY loc
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       wk AS (PARTITION BY key)
+            ),
+            st AS (
+                SELECT key, loc, i, s / i AS ml, (t - s) / (n - i) AS mr,
+                       FLOOR(sqrt(i * (n - i) / CAST(n AS DOUBLE))
+                             * abs(s / i - (t - s) / (n - i))
+                             * 1000000 + 0.500001) / 1000000 AS statr
+                FROM obs WHERE i >= 2 AND i <= n - 2 AND n >= 4
+            ),
+            rk AS (
+                SELECT key, loc, statr, ml, mr,
+                       row_number() OVER (PARTITION BY key
+                           ORDER BY statr DESC, i ASC) AS rn
+                FROM st
+            )
+            SELECT key, loc AS cp_loc, statr AS stat,
+                   {_sr_sql('ml', 6)} AS mean_left,
+                   {_sr_sql('mr', 6)} AS mean_right
+            FROM rk WHERE rn = 1
+        """,
+        "hurst": _hurst_sql((8, 16, 32)),
+        "half_life": "WITH "
+        + _EVSEQ_SQL
+        + f"""
+            , pair AS (
+                SELECT key, value - prev AS dy, prev AS x
+                FROM (SELECT key, value,
+                             lag(value) OVER (PARTITION BY key ORDER BY t)
+                                 AS prev
+                      FROM e)
+                WHERE prev IS NOT NULL
+            ),
+            agg AS (
+                SELECT key, count(*) AS n, sum(x) AS sx, sum(dy) AS sy,
+                       sum(x * dy) AS sxy, sum(x * x) AS sxx
+                FROM pair GROUP BY 1
+            ),
+            bet AS (
+                -- one row per key with >=1 pair (matches the Spark groupBy);
+                -- NULLIF keeps degenerate-denominator keys as NULL-beta rows
+                SELECT key, n, n * sxx - sx * sx AS den,
+                       (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)
+                           AS beta
+                FROM agg
+            )
+            SELECT key,
+                   CASE WHEN n >= 3 AND den <> 0
+                        THEN {_sr_sql('beta', 6)} END AS beta,
+                   CASE WHEN n >= 3 AND den <> 0 AND beta < 0 AND beta + 1 > 0
+                        THEN {_sr_sql('ln(0.5) / ln(beta + 1)', 6)}
+                   END AS half_life
+            FROM bet
+        """,
         "series_stats": """
             SELECT CAST(user_id AS VARCHAR) AS key, COUNT(value) AS cnt,
                    ROUND(AVG(value), 6) AS mean,

@@ -1,0 +1,94 @@
+"""Cumulative path statistics: running extrema and drawdown.
+
+Beyond-reference (the reference's per-series summaries stop at
+``seriesStats`` — ``TimeSeriesRDD.scala:472-478``); drawdown is the
+standard path-dependent risk statistic a financial pipeline runs right
+after ``returnRates`` (Magdon-Ismail & Atiya 2004 conventions):
+
+- ``drawdown`` — per-row running peak and drawdown below it, either
+  relative (``value/peak - 1``, the finance convention for positive
+  series) or absolute (``value - peak``, sign-safe for arbitrary series).
+- ``max_drawdown`` — per-series worst drawdown with its trough location
+  and the peak/trough values realizing it.
+
+Plan: ONE window pass over the (key, loc) sort every series operator
+shares (running ``max`` is a rows-unbounded-preceding frame, computed
+map-side after the single exchange), then for ``max_drawdown`` one
+map-side-combined groupBy. NULL cells carry through as NULL drawdowns
+and are ignored by the running peak — identical to SQL ``MAX() OVER``
+semantics, so the DuckDB oracle replays it verbatim. No Python, no
+self-join, no second exchange beyond the final aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["drawdown", "max_drawdown"]
+
+
+def drawdown(
+    df: DataFrame,
+    mode: str = "ratio",
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Running peak + drawdown per row.
+
+    ``mode="ratio"`` → ``value/peak - 1`` (requires positive values to be
+    meaningful); ``mode="abs"`` → ``value - peak``. Rows with NULL values
+    get NULL drawdown; the running peak skips NULLs (MAX ignores them).
+    """
+    if mode not in ("ratio", "abs"):
+        raise ValueError("mode must be 'ratio' or 'abs'")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peak = F.max(value_col).over(w)
+    v = F.col(value_col)
+    dd = (v / peak - 1.0) if mode == "ratio" else (v - peak)
+    return df.withColumn("peak", peak).withColumn(
+        "dd", F.when(v.isNotNull(), dd)
+    )
+
+
+def max_drawdown(
+    df: DataFrame,
+    mode: str = "ratio",
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-series worst drawdown: ``(key, max_dd, trough_loc, peak_value,
+    trough_value)``.
+
+    ``max_dd`` is the MINIMUM of the per-row drawdown (most negative);
+    ``trough_loc`` is the EARLIEST location attaining it (deterministic
+    tie-break: min loc among argmin rows — cross-engine stable because the
+    comparison value is the exact drawdown both engines compute
+    identically from the same peak/value pair). A series with no non-NULL
+    cell yields a NULL row set (filtered out).
+    """
+    per_row = drawdown(df, mode, key_col, order_col, value_col)
+    arg = F.struct(
+        F.col("dd").alias("dd"),
+        F.col(order_col).alias("loc"),
+        F.col("peak").alias("peak"),
+        F.col(value_col).alias("trough"),
+    )
+    return (
+        per_row.where(F.col("dd").isNotNull())
+        .groupBy(key_col)
+        .agg(F.min(arg).alias("_a"))
+        .select(
+            key_col,
+            F.col("_a.dd").alias("max_dd"),
+            F.col("_a.loc").alias("trough_loc"),
+            F.col("_a.peak").alias("peak_value"),
+            F.col("_a.trough").alias("trough_value"),
+        )
+    )

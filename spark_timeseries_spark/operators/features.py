@@ -28,7 +28,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ts_features", "detect_seasonality", "spectral_entropy"]
+__all__ = [
+    "ts_features",
+    "detect_seasonality",
+    "spectral_entropy",
+    "hurst_rs",
+    "half_life",
+]
 
 
 def ts_features(
@@ -193,4 +199,146 @@ def spectral_entropy(
     return agg.select(
         key_col,
         F.when((F.col("_S") > 0.0) & (F.col("_m") > 1), h).alias("entropy"),
+    )
+
+
+def hurst_rs(
+    df: DataFrame,
+    block_sizes: tuple[int, ...] = (8, 16, 32),
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hurst exponent per series by rescaled-range (R/S) analysis
+    (Hurst 1951; Mandelbrot & Wallis 1969) → (key, hurst).
+
+    For each block size m: the non-NULL cells of a series (ordered by
+    ``order_col``, 0-based positions) are tiled into ⌊n/m⌋ COMPLETE
+    blocks (trailing partial tile dropped, same convention as
+    :func:`ts_features`'s stability/lumpiness). Per block: R = range of
+    the cumulative demeaned deviations Z_j = Σ_{i≤j}(x_i − x̄_block),
+    S = population stdev of the block; blocks with S = 0 are skipped.
+    log(mean R/S) is regressed on log(m) over the sizes (closed-form
+    OLS slope) — H ≈ 0.5 for a random walk's increments, > 0.5 for
+    persistent, < 0.5 for mean-reverting series. Series with fewer than
+    two usable sizes yield NULL.
+
+    Plan: ONE (key, loc) exchange shared with every series operator —
+    positions via row_number, then per size a (key, block) window builds
+    the cumulative deviation (map-side, no extra exchange because the
+    block key is a function of the position), one (key, block) groupBy
+    per size, one (key) groupBy for the size means, and the OLS slope is
+    a closed-form per-key aggregate. All JVM expressions; the number of
+    sizes is a small constant so the unioned pass is O(len(sizes) · n)
+    rows.
+    """
+    if len(block_sizes) < 2:
+        raise ValueError("need at least two block sizes for the regression")
+    obs = df.where(F.col(value_col).isNotNull())
+    wpos = Window.partitionBy(key_col).orderBy(order_col)
+    pos = obs.withColumn("_p", F.row_number().over(wpos) - 1).select(
+        key_col, "_p", F.col(value_col).alias("_v")
+    )
+    per_size = []
+    for m in block_sizes:
+        blk = pos.withColumn("_b", (F.col("_p") / m).cast("bigint"))
+        gb = blk.groupBy(key_col, "_b").agg(
+            F.count("_v").alias("_c"),
+            F.avg("_v").alias("_mu"),
+            F.stddev_pop("_v").alias("_sd"),
+            F.collect_list(F.struct("_p", "_v")).alias("_cells"),
+        )
+        # complete blocks only; cumulative demeaned deviations as a
+        # let-bound sorted-array scan (higher-order functions — stays JVM)
+        cells = F.array_sort("_cells")
+        zacc = F.aggregate(
+            cells,
+            F.struct(
+                F.lit(0.0).alias("z"),
+                F.lit(float("-inf")).alias("mx"),
+                F.lit(float("inf")).alias("mn"),
+            ),
+            lambda acc, c: F.struct(
+                (acc["z"] + c["_v"] - F.col("_mu")).alias("z"),
+                F.greatest(acc["mx"], acc["z"] + c["_v"] - F.col("_mu")).alias("mx"),
+                F.least(acc["mn"], acc["z"] + c["_v"] - F.col("_mu")).alias("mn"),
+            ),
+        )
+        rs = (
+            gb.where((F.col("_c") == m) & (F.col("_sd") > 0.0))
+            .withColumn("_z", zacc)
+            .select(
+                key_col,
+                F.lit(float(m)).alias("_m"),
+                ((F.col("_z.mx") - F.col("_z.mn")) / F.col("_sd")).alias("_rs"),
+            )
+        )
+        per_size.append(rs)
+    allsz = per_size[0]
+    for d in per_size[1:]:
+        allsz = allsz.unionByName(d)
+    means = allsz.groupBy(key_col, "_m").agg(F.avg("_rs").alias("_rsbar"))
+    x = F.log("_m")
+    y = F.log("_rsbar")
+    reg = means.where(F.col("_rsbar") > 0.0).groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    k = F.col("_k").cast("double")
+    slope = (k * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
+        k * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    )
+    return reg.select(
+        key_col, F.when(F.col("_k") >= 2, slope).alias("hurst")
+    )
+
+
+def half_life(
+    df: DataFrame,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Mean-reversion half-life per series → (key, beta, half_life):
+    OLS of Δy_t on y_{t−1} (with intercept, over consecutive non-NULL
+    pairs) gives β; an AR(1) y_t = c + φ y_{t−1} + ε has φ = 1 + β, and
+    the half-life of a deviation is ln(½)/ln(φ) steps (the
+    Ornstein-Uhlenbeck discretization used for pairs-trading horizons).
+    Non-mean-reverting fits (β ≥ 0, i.e. φ ≥ 1) or degenerate ones
+    (φ ≤ 0, zero variance, < 3 pairs) yield NULL half_life; β is
+    returned whenever the regression is defined.
+
+    Plan: one lag window on the shared (key, loc) sort + one closed-form
+    per-key aggregate — all JVM expressions, one exchange.
+    """
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    obs = df.where(F.col(value_col).isNotNull())
+    pair = obs.withColumn("_x", F.lag(value_col).over(w)).where(
+        F.col("_x").isNotNull()
+    )
+    dy = F.col(value_col) - F.col("_x")
+    x = F.col("_x")
+    agg = pair.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(dy).alias("_sy"),
+        F.sum(x * dy).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    n = F.col("_n").cast("double")
+    den = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    # try_divide: ANSI-safe on the degenerate (constant-x / single-pair)
+    # series where the normal-equation denominator is exactly 0
+    beta = F.try_divide(n * F.col("_sxy") - F.col("_sx") * F.col("_sy"), den)
+    phi = beta + 1.0
+    hl = F.try_divide(F.log(F.lit(0.5)), F.log(phi))
+    return agg.select(
+        key_col,
+        F.when((F.col("_n") >= 3) & (den != 0.0), beta).alias("beta"),
+        F.when(
+            (F.col("_n") >= 3) & (den != 0.0) & (beta < 0.0) & (phi > 0.0), hl
+        ).alias("half_life"),
     )

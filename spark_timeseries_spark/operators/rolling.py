@@ -387,3 +387,61 @@ def autocorr(
     return agg.select(key_col, F.explode(pairs).alias("_p")).select(
         key_col, F.col("_p.lag").alias("lag"), F.col("_p.acf").alias("acf")
     )
+
+
+def corr_matrix(
+    df: DataFrame,
+    min_overlap: int = 2,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Pairwise Pearson correlation across ALL series of a corpus →
+    (key_a, key_b, n_overlap, corr) for the strict upper triangle
+    (key_a < key_b) — the corpus-wide companion of :func:`crosscorr`
+    (which compares TWO named series at many lags; this compares every
+    pair at lag 0). Beyond-reference: the reference's multivariate surface
+    stops at the instants matrix (``TimeSeriesRDD.scala:526-545``);
+    a clustering/factor pipeline needs the full correlation structure.
+
+    Pairs are formed over the time locations where BOTH series are
+    observed (pairwise-complete convention, R's ``use="pairwise"``);
+    pairs with fewer than ``min_overlap`` overlapping points, or with a
+    zero-variance side over the overlap, yield NULL ``corr`` so
+    downstream filters behave.
+
+    Plan: ONE self-equi-join on the location (both sides shuffle-
+    partitioned by ``order_col`` — co-located, no broadcast needed, no
+    cartesian), then one (key_a, key_b) aggregate with Spark's native
+    ``corr``. Output is inherently O(K²) for K series — that's the
+    result's size, not a plan defect; at corpus scale callers bound K
+    with a key filter first (the operator composes with any upstream
+    ``where``). Skew note: every location row joins K×K — locations are
+    uniform by construction (a time grid), so no salting is needed."""
+    a = df.where(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("key_a"),
+        F.col(order_col).alias("_o"),
+        F.col(value_col).alias("_va"),
+    )
+    b = df.where(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("key_b"),
+        F.col(order_col).alias("_o"),
+        F.col(value_col).alias("_vb"),
+    )
+    j = a.join(b, "_o").where(F.col("key_a") < F.col("key_b"))
+    # Pearson from sample moments with try_divide rather than F.corr:
+    # ANSI mode makes the native corr THROW on a zero-variance side where
+    # this operator's contract (and SQL's corr) is NULL
+    agg = j.groupBy("key_a", "key_b").agg(
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.covar_samp("_va", "_vb").alias("_cov"),
+        F.stddev_samp("_va").alias("_sa"),
+        F.stddev_samp("_vb").alias("_sb"),
+    )
+    c = F.try_divide(F.col("_cov"), F.col("_sa") * F.col("_sb"))
+    return agg.select(
+        "key_a",
+        "key_b",
+        "n_overlap",
+        F.when(F.col("n_overlap") >= min_overlap, c).alias("corr"),
+    )

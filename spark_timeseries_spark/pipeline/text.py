@@ -764,3 +764,54 @@ def compression_ratio(
             F.col("_s.zlib_bytes") / F.col("_s.raw_bytes"),
         ).alias("compression_ratio"),
     )
+
+
+def readability(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease per document → (id, n_sents, n_words,
+    n_syllables, flesch) — the classic quality prior (Flesch 1948;
+    Kincaid et al. 1975 use the same counts) a pretraining filter stacks
+    next to :func:`gopher_quality_filter`'s heuristics.
+
+    Deterministic counting rules (regex-replayable in any RE2/Java
+    engine — no dictionary, no hyphenation):
+
+    - sentences  = runs of terminators ``[.!?]+``, floor 1 (a fragment
+      with no terminator is one sentence);
+    - words      = whitespace tokens (:func:`tokens`, blank text → 0);
+    - syllables  = vowel-group runs ``[aeiouy]+`` over the lowercased
+      text, plus one for every vowel-less word (``"7"``, ``"hmm"`` —
+      every spoken word has at least one syllable).
+
+    ``flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    words)``; NULL for wordless documents. All counts are single-pass
+    JVM regex expressions over the text column — no explode, no shuffle
+    beyond the scan."""
+    text = F.col(text_col)
+    low = F.lower(text)
+    toks = F.filter(tokens(low), lambda t: t != F.lit(""))
+    n_words = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(toks)
+    )
+    n_sents = F.greatest(
+        F.regexp_count(text, F.lit(r"[.!?]+")), F.lit(1)
+    )
+    vowelless = F.size(
+        F.filter(toks, lambda t: t.rlike(r"^[^aeiouy]*$"))
+    )
+    n_syll = F.regexp_count(low, F.lit(r"[aeiouy]+")) + F.greatest(
+        vowelless, F.lit(0)
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sents)
+        - F.lit(84.6) * (n_syll.cast("double") / n_words)
+    )
+    return df.select(
+        F.col(id_col),
+        n_sents.cast("bigint").alias("n_sents"),
+        n_words.cast("bigint").alias("n_words"),
+        n_syll.cast("bigint").alias("n_syllables"),
+        F.when(n_words > 0, flesch).alias("flesch"),
+    )

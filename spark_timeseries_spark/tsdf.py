@@ -232,6 +232,12 @@ class TimeSeriesDataFrame:
         beyond-reference companion of :meth:`autocorr`."""
         return rolling.crosscorr(self.df, key_a, key_b, max_lag)
 
+    def corr_matrix(self, min_overlap: int = 2) -> DataFrame:
+        """Pairwise Pearson correlation across all series (strict upper
+        triangle, pairwise-complete) — beyond-reference; see
+        :func:`operators.rolling.corr_matrix`."""
+        return rolling.corr_matrix(self.df, min_overlap)
+
     def _roll(self, agg: str, n: int, align_: str) -> "TimeSeriesDataFrame":
         out = rolling.roll_agg(self.df, n, agg, align_)
         lo, hi = rolling._frame(n, align_)
@@ -265,6 +271,44 @@ class TimeSeriesDataFrame:
         from .operators.decompose import seasonal_decompose
 
         return seasonal_decompose(self.df, period)
+
+    def drawdown(self, mode: str = "ratio") -> "TimeSeriesDataFrame":
+        """Running peak + drawdown per row — beyond-reference; see
+        :func:`operators.cumulative.drawdown`."""
+        from .operators.cumulative import drawdown
+
+        return TimeSeriesDataFrame(drawdown(self.df, mode), self.index)
+
+    def max_drawdown(self, mode: str = "ratio") -> DataFrame:
+        """Per-series worst drawdown with trough location —
+        beyond-reference; see :func:`operators.cumulative.max_drawdown`."""
+        from .operators.cumulative import max_drawdown
+
+        return max_drawdown(self.df, mode)
+
+    def changepoint_mean(self, minseg: int = 2) -> DataFrame:
+        """Single mean-shift changepoint per series (binary-segmentation
+        step) — beyond-reference; see
+        :func:`operators.changepoint.changepoint_mean`."""
+        from .operators.changepoint import changepoint_mean
+
+        return changepoint_mean(self.df, minseg)
+
+    def hurst_rs(
+        self, block_sizes: tuple[int, ...] = (8, 16, 32)
+    ) -> DataFrame:
+        """Hurst exponent per series (R/S analysis) — beyond-reference;
+        see :func:`operators.features.hurst_rs`."""
+        from .operators.features import hurst_rs
+
+        return hurst_rs(self.df, block_sizes)
+
+    def half_life(self) -> DataFrame:
+        """AR(1) mean-reversion half-life per series — beyond-reference;
+        see :func:`operators.features.half_life`."""
+        from .operators.features import half_life
+
+        return half_life(self.df)
 
     def cusum_changepoints(
         self, k: float = 0.5, h: float = 5.0, standardize: bool = True

@@ -728,3 +728,204 @@ def test_spectral_entropy(spark):
            for r in spectral_entropy(df, method="fft").collect()}
     for k in ("noise", "cycle"):
         assert abs(out[k] - fft[k]) < 1e-9
+
+
+def test_drawdown_and_max_drawdown(spark):
+    """drawdown vs a numpy running-max reference in both modes; NULL cells
+    get NULL dd but do not disturb the running peak; max_drawdown returns
+    the worst dd with the EARLIEST trough on ties."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.cumulative import (
+        drawdown,
+        max_drawdown,
+    )
+
+    vals = [10.0, 12.0, 9.0, None, 11.0, 6.0, 6.0, 8.0, 12.0, 7.0]
+    rows = [("a", i, v) for i, v in enumerate(vals)]
+    rows += [("flat", i, 5.0) for i in range(3)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+
+    got = {r.loc: r for r in drawdown(df, "ratio").where("key='a'").collect()}
+    peak = -np.inf
+    for i, v in enumerate(vals):
+        if v is not None:
+            peak = max(peak, v)
+            assert abs(got[i].dd - (v / peak - 1.0)) < 1e-12
+            assert got[i].peak == peak
+        else:
+            assert got[i].dd is None
+
+    ab = {r.loc: r.dd for r in drawdown(df, "abs").where("key='a'").collect()}
+    assert ab[5] == 6.0 - 12.0 and ab[2] == 9.0 - 12.0
+
+    md = {r.key: r for r in max_drawdown(df, "ratio").collect()}
+    r = md["a"]
+    # worst ratio dd is 6/12-1 = -0.5, attained at loc 5 and 6 -> earliest
+    assert abs(r.max_dd - (-0.5)) < 1e-12
+    assert r.trough_loc == 5 and r.peak_value == 12.0 and r.trough_value == 6.0
+    assert md["flat"].max_dd == 0.0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        drawdown(df, "bogus")
+
+
+def test_changepoint_mean_vs_numpy(spark):
+    """changepoint_mean finds a planted level shift and matches a brute
+    numpy argmax of the two-sample statistic; too-short series produce no
+    row; NULLs are skipped before positioning."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.changepoint import changepoint_mean
+
+    rng = np.random.RandomState(11)
+    a = np.concatenate([rng.randn(20) + 0.0, rng.randn(15) + 4.0])
+    rows = [("a", i, float(v)) for i, v in enumerate(a)]
+    rows += [("tiny", i, float(i)) for i in range(3)]
+    rows += [("holes", i, None if i == 1 else float(v))
+             for i, v in enumerate([0.0, 99.0, 0.1, 0.2, 5.0, 5.1, 5.2, 5.3])]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    out = {r.key: r for r in changepoint_mean(df, minseg=2).collect()}
+
+    def brute(x, minseg=2):
+        n = len(x)
+        best = None
+        for i in range(minseg, n - minseg + 1):
+            ml, mr = x[:i].mean(), x[i:].mean()
+            t = np.sqrt(i * (n - i) / n) * abs(ml - mr)
+            if best is None or t > best[0] + 1e-12:
+                best = (t, i, ml, mr)
+        return best
+
+    t, i, ml, mr = brute(a)
+    r = out["a"]
+    assert r.cp_loc == i - 1 == 19
+    assert abs(r.stat - t) < 1e-6
+    assert abs(r.mean_left - ml) < 1e-12 and abs(r.mean_right - mr) < 1e-12
+
+    assert "tiny" not in out  # 3 obs < 2*minseg
+    h = np.array([0.0, 0.1, 0.2, 5.0, 5.1, 5.2, 5.3])  # null dropped
+    th, ih, _, _ = brute(h)
+    # positions count non-null cells; cp_loc is the LOC of the ih-th
+    # non-null cell — locs [0,2,3,4,5,6,7] (null at loc 1 skipped), so
+    # position 3 lands on loc 3
+    assert out["holes"].cp_loc == [0, 2, 3, 4, 5, 6, 7][ih - 1]
+    assert abs(out["holes"].stat - th) < 1e-6
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        changepoint_mean(df, minseg=0)
+
+
+def test_hurst_rs_vs_numpy(spark):
+    """hurst_rs matches a brute numpy R/S implementation block-for-block
+    and ranks persistent > random > mean-reverting on planted series."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.features import hurst_rs
+
+    rng = np.random.RandomState(7)
+    n = 256
+    wn = rng.randn(n)                        # white noise increments
+    trend = np.cumsum(rng.randn(n)) + 0.5 * np.arange(n)  # persistent
+    mrev = np.sin(np.arange(n) * 2.0) + 0.05 * rng.randn(n)  # anti-persistent
+    rows = [("wn", i, float(v)) for i, v in enumerate(wn)]
+    rows += [("tr", i, float(v)) for i, v in enumerate(trend)]
+    rows += [("mr", i, float(v)) for i, v in enumerate(mrev)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    sizes = (8, 16, 32)
+    out = {r.key: r.hurst for r in hurst_rs(df, sizes).collect()}
+
+    def brute(x):
+        pts = []
+        for m in sizes:
+            rss = []
+            for b in range(len(x) // m):
+                blk = x[b * m:(b + 1) * m]
+                z = np.cumsum(blk - blk.mean())
+                s = blk.std()
+                if s > 0:
+                    rss.append((z.max() - z.min()) / s)
+            pts.append((np.log(m), np.log(np.mean(rss))))
+        xs, ys = np.array([p[0] for p in pts]), np.array([p[1] for p in pts])
+        return np.polyfit(xs, ys, 1)[0]
+
+    for k, x in (("wn", wn), ("tr", trend), ("mr", mrev)):
+        assert abs(out[k] - brute(x)) < 1e-9
+    assert out["tr"] > out["wn"] > out["mr"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hurst_rs(df, (8,))
+
+
+def test_half_life_vs_numpy(spark):
+    """half_life matches the closed-form OLS of dy on y_lag; a strongly
+    mean-reverting AR(1) recovers its phi; a random walk (beta>=0 side)
+    yields NULL half_life but a defined beta."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.features import half_life
+
+    rng = np.random.RandomState(3)
+    n = 400
+    phi_true = 0.8
+    y = np.zeros(n)
+    for i in range(1, n):
+        y[i] = 2.0 + phi_true * y[i - 1] + rng.randn() * 0.1
+    rw = np.cumsum(rng.randn(n))
+    rows = [("ar", i, float(v)) for i, v in enumerate(y)]
+    rows += [("rw", i, float(v)) for i, v in enumerate(rw)]
+    rows += [("tiny", 0, 1.0), ("tiny", 1, 2.0)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    out = {r.key: r for r in half_life(df).collect()}
+
+    x, dy = y[:-1], np.diff(y)
+    beta = np.polyfit(x, dy, 1)[0]
+    assert abs(out["ar"].beta - beta) < 1e-9
+    assert abs(out["ar"].half_life - np.log(0.5) / np.log(1 + beta)) < 1e-9
+    assert abs(np.log(0.5) / np.log(1 + beta)
+               - np.log(0.5) / np.log(phi_true)) < 1.0  # recovers scale
+    assert out["tiny"].half_life is None
+
+
+def test_corr_matrix_vs_numpy(spark):
+    """corr_matrix matches numpy pairwise-complete Pearson on the strict
+    upper triangle; disjoint/short overlaps and zero-variance sides give
+    NULL corr; n_overlap counts both-observed locations."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.rolling import corr_matrix
+
+    rng = np.random.RandomState(5)
+    a = rng.randn(20)
+    b = 2 * a + rng.randn(20) * 0.1          # strongly correlated with a
+    rows = [("a", i, float(v)) for i, v in enumerate(a)]
+    rows += [("b", i, float(v)) for i, v in enumerate(b)]
+    # c overlaps a only on locs 0..9, with holes at 3,4
+    rows += [("c", i, None if i in (3, 4) else float(rng.randn()))
+             for i in range(10)]
+    rows += [("flat", i, 7.0) for i in range(20)]   # zero variance
+    rows += [("lone", 100, 1.0), ("lone", 101, 2.0)]  # disjoint locs
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    out = {(r.key_a, r.key_b): r for r in corr_matrix(df, 3).collect()}
+
+    r = out[("a", "b")]
+    assert r.n_overlap == 20
+    assert abs(r.corr - np.corrcoef(a, b)[0, 1]) < 1e-12
+
+    mask = [i for i in range(10) if i not in (3, 4)]
+    c_vals = np.array([df_v for df_v in
+                       [row[2] for row in rows if row[0] == "c"
+                        and row[2] is not None]])
+    r = out[("a", "c")]
+    assert r.n_overlap == 8
+    assert abs(r.corr - np.corrcoef(a[mask], c_vals)[0, 1]) < 1e-12
+
+    assert out[("a", "flat")].corr is None      # NaN canonicalized
+    assert ("a", "lone") not in out             # no overlapping locs
+    assert ("b", "a") not in out                # strict upper triangle
+    # min_overlap: raise the floor above a-c's 8 -> NULL corr, row kept
+    out2 = {(r.key_a, r.key_b): r for r in corr_matrix(df, 9).collect()}
+    assert out2[("a", "c")].corr is None and out2[("a", "c")].n_overlap == 8

@@ -2485,3 +2485,39 @@ def test_oph_signatures_and_dedup(spark):
         docs, threshold=0.5, num_hashes=32, bands=16, hash_fn="xxhash64"
     ).collect()}
     assert pairs_oph == pairs_xx == {(1, 2)}
+
+
+def test_readability_flesch(spark):
+    """readability counts sentences/words/syllables by the documented
+    regex rules and reproduces hand-computed Flesch scores; blank text
+    yields 0 words and NULL flesch; vowel-less words count one syllable."""
+    from spark_timeseries_spark.pipeline.text import readability
+
+    rows = [
+        (1, "The cat sat. The dog ran!"),
+        (2, "no terminator here"),
+        (3, ""),
+        (4, "7 hmm ok?"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in readability(df).collect()}
+
+    r = out[1]
+    # sentences: ". " and "!" -> 2; words 6; syllables: vowel groups in
+    # "the cat sat the dog ran" = e,a,a,e,o,a -> 6
+    assert (r.n_sents, r.n_words, r.n_syllables) == (2, 6, 6)
+    assert abs(r.flesch - (206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6))) < 1e-9
+
+    r = out[2]  # fragment: floor one sentence; words 3; o,e,i,a,o,e,e ->
+    assert r.n_sents == 1 and r.n_words == 3
+    assert r.n_syllables == len(
+        __import__("re").findall(r"[aeiouy]+", "no terminator here")
+    )
+
+    r = out[3]
+    assert (r.n_sents, r.n_words, r.n_syllables) == (1, 0, 0)
+    assert r.flesch is None
+
+    r = out[4]  # "7" and "hmm" are vowel-less -> +2; "ok" has one group
+    assert r.n_words == 3 and r.n_sents == 1
+    assert r.n_syllables == 1 + 2
