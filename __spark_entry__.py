@@ -2569,6 +2569,105 @@ def _q_half_life(spark, sf_dir):
     )
 
 
+def _q_corr_matrix(spark, sf_dir):
+    """Corpus-wide pairwise Pearson correlation (strict upper triangle,
+    pairwise-complete) over the daily grid — one location equi-join + one
+    per-pair moment aggregate; O(K²) output is the result's size, not a
+    plan defect. The oracle replays covar_samp/(sa·sb) with NULLIF."""
+    from spark_timeseries_spark.operators import rolling as roll_ops
+
+    grid = _daily_grid(spark, sf_dir)
+    out = roll_ops.corr_matrix(grid, min_overlap=5)
+    return out.select(
+        "key_a", "key_b", "n_overlap",
+        _stable_round(F.col("corr"), 6).alias("corr"),
+    )
+
+
+def _q_readability(spark, sf_dir):
+    """Flesch reading ease per document — three regex counts + fixed
+    arithmetic, all row-local JVM expressions (no shuffle beyond the
+    scan); the oracle replays the exact regex counting rules in RE2."""
+    from spark_timeseries_spark.pipeline.text import readability
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = readability(docs)
+    return out.select(
+        "doc_id", "n_sents", "n_words", "n_syllables",
+        _stable_round(F.col("flesch"), 6).alias("flesch"),
+    )
+
+
+def _q_tfidf_topk(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (min_df=2): the existing
+    pipeline.search.tf_idf frame + a per-doc rank window over the
+    ROUNDED score (term ASC tie-break) — sums-free scoring (tf · ln(N/df)
+    is one multiply over exact integers), so rank parity holds at 6
+    decimals."""
+    from spark_timeseries_spark.pipeline.search import tf_idf
+
+    docs = _docs_spread(spark, sf_dir)
+    scored = tf_idf(docs, min_df=2).withColumn(
+        "tfidf_r", _stable_round(F.col("tfidf"), 6)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_r").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df",
+                F.col("tfidf_r").alias("tfidf"))
+    )
+
+
+def _q_sq8_error(spark, sf_dir):
+    """SQ8 per-vector quantization + reconstruction error over the
+    embeddings corpus — row-local array expressions only. Codes are an
+    exact-integer value check (the whole affine grid is a fixed IEEE op
+    sequence both engines replay bit-for-bit); the error stats round 6."""
+    from spark_timeseries_spark.pipeline.embeddings import sq8_quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sq8_quantize(emb)
+    return out.select(
+        "vec_id", "codes",
+        _stable_round(F.col("mse"), 6).alias("mse"),
+        _stable_round(F.col("max_abs_err"), 6).alias("max_abs_err"),
+    )
+
+
+def _q_theta_forecast(spark, sf_dir):
+    """Theta-method 7-step forecast (alpha=0.4) off the filled daily
+    grid; the oracle replays the OLS trend, the theta-2 line, and the
+    closed-form SES level weight-for-weight."""
+    from spark_timeseries_spark.models.baselines import theta_forecast
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
+    out = theta_forecast(filled, 7, alpha=0.4)
+    return out.select(
+        "key", "step", _stable_round(F.col("forecast"), 6).alias("forecast")
+    )
+
+
+def _q_winsorize(spark, sf_dir):
+    """Per-series 10/90 quantile clipping on the daily grid — one exact
+    interpolated-percentile aggregate + one co-keyed join; quantile lerp
+    (a + (b−a)·f) is the proven cross-engine-exact form."""
+    from spark_timeseries_spark.operators.outliers import winsorize
+
+    grid = _daily_grid(spark, sf_dir)
+    out = winsorize(grid, 0.1, 0.9)
+    return out.select(
+        "key", "loc",
+        _stable_round(F.col("q_lo"), 6).alias("q_lo"),
+        _stable_round(F.col("q_hi"), 6).alias("q_hi"),
+        _stable_round(F.col("winsorized"), 6).alias("winsorized"),
+        "clipped",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
     the first 50 entries. Window policy (round 7, per the r6 verdict's
@@ -2593,6 +2692,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint": _q_changepoint,
         "hurst": _q_hurst,
         "half_life": _q_half_life,
+        "corr_matrix": _q_corr_matrix,
+        "readability": _q_readability,
+        "tfidf_topk": _q_tfidf_topk,
+        "sq8_error": _q_sq8_error,
+        "theta_forecast": _q_theta_forecast,
+        "winsorize": _q_winsorize,
         "roll_quantile": _q_roll_quantile,
         "fill_suite": _q_fill_suite,
         "roll_skew_kurt": _q_roll_skew_kurt,
@@ -2635,13 +2740,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall": _q_pq_recall,
         "filter_by_instant": _q_filter_by_instant,
         "ivfpq_topk": _q_ivfpq_topk,
+        # ---- driver window (50) ends here ----------------------------------
         "semantic_dedup": _q_semantic_dedup,
         "kmeans_assign": _q_kmeans_assign,
         "pretrain_clean": _q_pretrain_clean,
         "minhash_lsh_dedup": _q_minhash_lsh_dedup,
         "pack_sequences": _q_pack_sequences,
         "mixture_epochs": _q_mixture_epochs,
-        # ---- driver window (50) ends here ----------------------------------
         # (remove_dup_spans…text_quality newly displaced by the four
         # cumulative/changepoint/long-memory rows above; token_count_by_source
         # …arx_fit displaced earlier this round; all r5-green and covered by
@@ -3071,6 +3176,178 @@ def oracle_sql() -> dict[str, str]:
                    {_sr_sql('ml', 6)} AS mean_left,
                    {_sr_sql('mr', 6)} AS mean_right
             FROM rk WHERE rn = 1
+        """,
+        "sq8_error": f"""
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            q AS (
+                SELECT vec_id, v, list_min(v) AS vmin,
+                       (list_max(v) - list_min(v)) / 255.0 AS scale
+                FROM e
+            ),
+            c AS (
+                SELECT vec_id, v, vmin, scale,
+                       CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+                            ELSE list_transform(v,
+                                x -> CAST(FLOOR((x - vmin) / scale + 0.5)
+                                          AS INT))
+                       END AS codes
+                FROM q
+            ),
+            r AS (
+                SELECT vec_id, codes,
+                       list_transform(range(1, len(v) + 1),
+                           i -> v[i] - (vmin + codes[i] * scale)) AS err
+                FROM c
+            )
+            SELECT vec_id, codes,
+                   {_sr_sql(
+                       "list_aggregate(list_transform(err, x -> x * x),"
+                       " 'sum') / len(err)", 6)} AS mse,
+                   {_sr_sql(
+                       "list_aggregate(list_transform(err, x -> abs(x)),"
+                       " 'max')", 6)} AS max_abs_err
+            FROM r
+        """,
+        "theta_forecast": _DAILY_GRID_SQL + _FILLED_SQL
+        + f"""
+            , pos AS (
+                SELECT key, value AS y,
+                       CAST(row_number() OVER (PARTITION BY key ORDER BY loc)
+                            AS DOUBLE) AS t
+                FROM filled WHERE value IS NOT NULL
+            ),
+            mom AS (
+                SELECT key, CAST(count(*) AS DOUBLE) AS n, sum(t) AS st,
+                       sum(y) AS sy, sum(t * y) AS sty, sum(t * t) AS stt
+                FROM pos GROUP BY 1
+            ),
+            ab AS (
+                SELECT key, n,
+                       (n * sty - st * sy) / NULLIF(n * stt - st * st, 0)
+                           AS b,
+                       (sy - (n * sty - st * sy)
+                             / NULLIF(n * stt - st * st, 0) * st) / n AS a
+                FROM mom
+            ),
+            lvl AS (
+                SELECT p.key,
+                       sum(CASE WHEN p.t = 1
+                                THEN POWER(0.6, m.n - 1)
+                                     * (2 * p.y - (m.a + m.b * p.t))
+                                ELSE 0.4 * POWER(0.6, m.n - p.t)
+                                     * (2 * p.y - (m.a + m.b * p.t))
+                           END) AS l
+                FROM pos p JOIN ab m USING (key) GROUP BY 1
+            )
+            SELECT ab.key, CAST(s.step AS INT) AS step,
+                   CASE WHEN ab.b IS NOT NULL THEN
+                       {_sr_sql(
+                           '0.5 * ((ab.a + ab.b * (ab.n + s.step)) + lvl.l)',
+                           6)}
+                   END AS forecast
+            FROM ab JOIN lvl USING (key),
+                 unnest(range(1, 8)) AS s(step)
+        """,
+        "winsorize": _DAILY_GRID_SQL
+        + f"""
+            , q AS (
+                SELECT key, quantile_cont(value, 0.1) AS ql,
+                       quantile_cont(value, 0.9) AS qh
+                FROM grid WHERE value IS NOT NULL GROUP BY 1
+            )
+            SELECT g.key, g.loc,
+                   {_sr_sql('q.ql', 6)} AS q_lo,
+                   {_sr_sql('q.qh', 6)} AS q_hi,
+                   CASE WHEN g.value IS NOT NULL THEN
+                       {_sr_sql('LEAST(GREATEST(g.value, q.ql), q.qh)', 6)}
+                   END AS winsorized,
+                   CASE WHEN g.value IS NOT NULL
+                        THEN (g.value < q.ql OR g.value > q.qh)
+                   END AS clipped
+            FROM grid g LEFT JOIN q USING (key)
+        """,
+        "corr_matrix": _DAILY_GRID_SQL
+        + f"""
+            , obs AS (SELECT key, loc, value FROM grid
+                      WHERE value IS NOT NULL),
+            pairs AS (
+                SELECT a.key AS key_a, b.key AS key_b,
+                       count(*) AS n_overlap,
+                       covar_samp(a.value, b.value) AS cv,
+                       stddev_samp(a.value) AS sa, stddev_samp(b.value) AS sb
+                FROM obs a JOIN obs b
+                  ON a.loc = b.loc AND a.key < b.key
+                GROUP BY 1, 2
+            )
+            SELECT key_a, key_b, n_overlap,
+                   CASE WHEN n_overlap >= 5 THEN
+                       {_sr_sql('cv / NULLIF(sa * sb, 0)', 6)}
+                   END AS corr
+            FROM pairs
+        """,
+        "readability": f"""
+            WITH t AS (
+                SELECT doc_id, text, lower(text) AS low,
+                       list_filter(regexp_split_to_array(trim(lower(text)),
+                                                         '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id,
+                       greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                           AS n_sents,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(toks) END AS n_words,
+                       len(regexp_extract_all(low, '[aeiouy]+'))
+                       + len(list_filter(toks,
+                             x -> regexp_matches(x, '^[^aeiouy]*$')))
+                           AS n_syll
+                FROM t
+            )
+            SELECT doc_id, CAST(n_sents AS BIGINT) AS n_sents,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_syll AS BIGINT) AS n_syllables,
+                   CASE WHEN n_words > 0 THEN
+                       {_sr_sql(
+                           '206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)'
+                           ' - 84.6 * (CAST(n_syll AS DOUBLE) / n_words)', 6)}
+                   END AS flesch
+            FROM c
+        """,
+        "tfidf_topk": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(lower(text)),
+                                                         '\\s+'),
+                                   x -> x <> '') AS tk
+                FROM documents
+            ),
+            terms AS (
+                SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+                FROM toks, unnest(tk) AS u(t) GROUP BY 1, 2
+            ),
+            dfreq AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS dfv
+                FROM terms GROUP BY 1 HAVING count(*) >= 2
+            ),
+            nn AS (SELECT count(*) AS n FROM documents),
+            sc AS (
+                SELECT doc_id, term, tf, dfv,
+                       {_sr_sql('tf * ln(n / CAST(dfv AS DOUBLE))', 6)}
+                           AS tfidf
+                FROM terms JOIN dfreq USING (term) CROSS JOIN nn
+            ),
+            rk AS (
+                SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+                FROM sc
+            )
+            SELECT doc_id, rank, term, tf, dfv AS df, tfidf
+            FROM rk WHERE rank <= 3
         """,
         "hurst": _hurst_sql((8, 16, 32)),
         "half_life": "WITH "

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["baseline_forecast"]
+__all__ = ["baseline_forecast", "theta_forecast"]
 
 _METHODS = {"naive", "snaive", "drift"}
 
@@ -85,3 +85,84 @@ def baseline_forecast(
             key_col, "step", "forecast"
         )
     return out
+
+
+def theta_forecast(
+    df: DataFrame,
+    h: int,
+    alpha: float = 0.4,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Classical Theta-method forecast (Assimakopoulos & Nikolopoulos
+    2000, the M3 winner), theta lines {0, 2} → (key, step, forecast).
+
+    Over the non-null cells of each series at positions t = 1..T (non-null
+    rank): OLS trend a + b·t; theta-2 line θ_t = 2y_t − (a + b·t); SES on
+    θ with fixed ``alpha`` and l₁ = θ₁, whose level has the closed form
+
+        l_T = (1−α)^{T−1}·θ₁ + Σ_{t=2..T} α(1−α)^{T−t}·θ_t ;
+
+    ŷ_{T+h} = ½[(a + b(T+h)) + l_T] — the theta-0 (trend) and theta-2
+    (SES, flat) forecasts averaged. Series with < 2 observations yield
+    NULL forecasts (degenerate trend).
+
+    Plan: ONE exchange — the OLS moments ride partition-wide windows over
+    the shared (key, loc) sort, each row contributes its closed-form SES
+    weight, one groupBy sums the level, and the horizon explodes from the
+    per-key row. No Python, no iteration, no per-series kernel."""
+    if h < 1:
+        raise ValueError("h must be >= 1")
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    v = F.col(value_col)
+    obs = df.where(v.isNotNull())
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy(key_col)
+    wp = Window.partitionBy(key_col).orderBy(order_col)
+    t = F.row_number().over(wp).cast("double")
+    pre = obs.select(
+        key_col, v.alias("_y"), t.alias("_t"),
+        F.count(F.lit(1)).over(wk).cast("double").alias("_n"),
+    )
+    # partition-wide OLS moments (every row sees the same values)
+    pre = (
+        pre.withColumn("_st", F.sum("_t").over(wk))
+        .withColumn("_sy", F.sum("_y").over(wk))
+        .withColumn("_sty", F.sum(F.col("_t") * F.col("_y")).over(wk))
+        .withColumn("_stt", F.sum(F.col("_t") * F.col("_t")).over(wk))
+    )
+    n, st, sy, sty, stt = (
+        F.col("_n"), F.col("_st"), F.col("_sy"), F.col("_sty"), F.col("_stt")
+    )
+    b = F.try_divide(n * sty - st * sy, n * stt - st * st)
+    a = (sy - b * st) / n
+    theta = 2.0 * F.col("_y") - (a + b * F.col("_t"))
+    w_ses = F.when(
+        F.col("_t") == 1.0, F.pow(F.lit(1.0 - alpha), n - 1.0)
+    ).otherwise(
+        F.lit(alpha) * F.pow(F.lit(1.0 - alpha), n - F.col("_t"))
+    )
+    per_key = (
+        pre.withColumn("_c", w_ses * theta)
+        .groupBy(key_col)
+        .agg(
+            F.sum("_c").alias("_l"),
+            F.first(a).alias("_a"),
+            F.first(b).alias("_b"),
+            F.first(n).alias("_T"),
+        )
+    )
+    steps = per_key.withColumn(
+        "step", F.explode(F.sequence(F.lit(1), F.lit(int(h))))
+    )
+    trend = F.col("_a") + F.col("_b") * (F.col("_T") + F.col("step"))
+    return steps.select(
+        key_col,
+        "step",
+        F.when(
+            F.col("_b").isNotNull(), 0.5 * (trend + F.col("_l"))
+        ).alias("forecast"),
+    )

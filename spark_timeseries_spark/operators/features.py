@@ -34,6 +34,8 @@ __all__ = [
     "spectral_entropy",
     "hurst_rs",
     "half_life",
+    "permutation_entropy",
+    "interarrival_stats",
 ]
 
 
@@ -342,3 +344,105 @@ def half_life(
             (F.col("_n") >= 3) & (den != 0.0) & (beta < 0.0) & (phi > 0.0), hl
         ).alias("half_life"),
     )
+
+
+def permutation_entropy(
+    df: DataFrame,
+    m: int = 3,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Normalized permutation entropy per series (Bandt & Pompe 2002)
+    → (key, n_patterns, perm_entropy) ∈ [0, 1]: Shannon entropy of the
+    distribution of ordinal patterns of ``m`` consecutive non-NULL
+    values, divided by ln(m!) — ≈1 for white noise, →0 for monotone or
+    strongly regular dynamics. The standard model-free complexity
+    measure next to :func:`spectral_entropy` (which sees periodicity;
+    this sees ordinal structure and is immune to monotone transforms).
+
+    Ordinal pattern: element i's rank = #{j : y_j < y_i} +
+    #{j : y_j = y_i, j < i} (ties broken by time, the Bandt-Pompe
+    convention) — pure integer comparisons, so the pattern ids are
+    cross-engine exact. Series with fewer than ``m`` observations (no
+    windows) yield no row; a single repeated pattern gives entropy 0.
+
+    Plan: m−1 lead columns on the shared (key, loc) sort, an integer
+    pattern id per row, one (key, id) count and one per-key entropy
+    aggregate — all JVM expressions, one exchange. Only m ∈ {2, 3} are
+    wired (m! patterns explode combinatorially and m=3 is the
+    literature default)."""
+    if m not in (2, 3):
+        raise ValueError("m must be 2 or 3")
+    import math
+
+    obs = df.where(F.col(value_col).isNotNull())
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    cols = [F.col(value_col)] + [
+        F.lead(value_col, i).over(w) for i in range(1, m)
+    ]
+    win = obs.select(
+        key_col, *[c.alias(f"_y{i}") for i, c in enumerate(cols)]
+    ).where(F.col(f"_y{m-1}").isNotNull())
+
+    def rank(i: int):
+        r = F.lit(0)
+        for j in range(m):
+            if j == i:
+                continue
+            yi, yj = F.col(f"_y{i}"), F.col(f"_y{j}")
+            lt = yj < yi
+            tie = (yj == yi) & (F.lit(j) < F.lit(i))
+            r = r + F.when(lt | tie, 1).otherwise(0)
+        return r
+
+    pid = F.lit(0)
+    for i in range(m):
+        pid = pid * m + rank(i)
+    counts = win.select(key_col, pid.alias("_pid")).groupBy(
+        key_col, "_pid"
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    tot = Window.partitionBy(key_col)
+    probs = counts.withColumn(
+        "_p", F.col("_c") / F.sum("_c").over(tot)
+    )
+    ent = probs.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_patterns"),
+        (-F.sum(F.col("_p") * F.log("_p"))
+         / F.lit(math.log(math.factorial(m)))).alias("perm_entropy"),
+    )
+    return ent
+
+
+def interarrival_stats(
+    df: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key inter-arrival-time statistics over raw (irregular) event
+    stamps → (key, n_gaps, mean_gap, std_gap, min_gap, max_gap,
+    burstiness): gaps in seconds between consecutive events;
+    burstiness = (σ − µ)/(σ + µ) (Goh & Barabási 2008) — −1 for a
+    periodic stream, 0 for Poisson, →1 for extreme bursts. The
+    irregular-stream companion of :func:`ts_features` (which wants an
+    aligned grid); feeds rate-limiting and bot-detection gates.
+
+    Plan: one lag window on (key, ts) + one per-key aggregate; gaps are
+    exact integer microsecond differences scaled once to seconds, so
+    every statistic is replayable. Keys with < 2 events yield no row."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = (us - F.lag(us).over(w)).cast("double") / 1e6
+    g = df.select(key_col, gap.alias("_g")).where(F.col("_g").isNotNull())
+    agg = g.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.avg("_g").alias("mean_gap"),
+        F.stddev_samp("_g").alias("std_gap"),
+        F.min("_g").alias("min_gap"),
+        F.max("_g").alias("max_gap"),
+    )
+    b = F.try_divide(
+        F.col("std_gap") - F.col("mean_gap"),
+        F.col("std_gap") + F.col("mean_gap"),
+    )
+    return agg.withColumn("burstiness", b)

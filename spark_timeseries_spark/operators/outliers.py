@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["outliers", "hampel"]
+__all__ = ["outliers", "hampel", "winsorize"]
 
 _MAD_K = 1.4826022185056018  # 1/Phi^-1(0.75): MAD→sigma under normality
 
@@ -158,4 +158,51 @@ def hampel(
             ),
         )
         .drop("_h")
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    lower: float = 0.1,
+    upper: float = 0.9,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-series winsorization: clip each value to its own series'
+    interpolated [lower, upper] quantiles → all input rows plus
+    ``q_lo``, ``q_hi``, ``winsorized`` (the clipped value; NULL cells
+    stay NULL), ``clipped`` (bool). The robust-scaling companion of
+    :func:`outliers` (which FLAGS tail points; this BOUNDS them —
+    Dixon & Tukey 1968's recommendation for heavy-tailed inputs).
+
+    Quantiles use the linear-interpolation convention (numpy default,
+    SQL ``quantile_cont``): at rank (n−1)·q, v = a + (b − a)·frac —
+    matching :func:`~spark_timeseries_spark.operators.rolling.roll_quantile`'s
+    contract via Spark's native exact ``percentile`` aggregate.
+
+    Plan: one per-key quantile aggregate (map-side partials over the
+    sort Spark's percentile needs) + one co-keyed join back — two
+    exchanges on the key, no Python. The join's right side is one row
+    per key; at corpus scale Spark's AQE broadcasts it."""
+    if not (0.0 <= lower < upper <= 1.0):
+        raise ValueError("need 0 <= lower < upper <= 1")
+    v = F.col(value_col)
+    q = (
+        df.where(v.isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.percentile(v, F.lit(float(lower))).alias("q_lo"),
+            F.percentile(v, F.lit(float(upper))).alias("q_hi"),
+        )
+    )
+    out = df.join(q, key_col, "left")
+    w = F.least(F.greatest(v, F.col("q_lo")), F.col("q_hi"))
+    return out.select(
+        *df.columns,
+        "q_lo",
+        "q_hi",
+        F.when(v.isNotNull(), w).alias("winsorized"),
+        F.when(v.isNotNull(), (v < F.col("q_lo")) | (v > F.col("q_hi")))
+        .alias("clipped"),
     )

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "PCAModel",
+    "sq8_quantize",
     "embedding_covariance",
     "pca_fit",
     "pca_project",
@@ -191,3 +192,50 @@ def pca_project(
 
     out = let(F.zip_with(v, mean, lambda x, m: x - m), build)
     return df.select(F.col(id_col), out.alias(out_col))
+
+
+def sq8_quantize(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector 8-bit scalar quantization (SQ8) with reconstruction
+    error → (id, codes array<int>, vmin, scale, mse, max_abs_err) — the
+    standard 4×-compression trick an ANN index applies before PQ is
+    worth its training cost (FAISS's ``ScalarQuantizer`` convention:
+    per-vector min/max affine grid, 256 levels).
+
+    code_i = ⌊(x_i − vmin)/scale + ½⌋ with scale = (vmax − vmin)/255;
+    recon_i = vmin + code_i·scale. A constant vector (scale 0) codes to
+    all-zeros and reconstructs exactly. Every step is a fixed IEEE
+    double op sequence over the (float→double widened) inputs, so codes
+    are bit-replayable in any engine — the determinism the DuckDB
+    oracle relies on.
+
+    Plan: one scan, all row-local JVM higher-order expressions
+    (transform/aggregate over the array) — no shuffle, no Python, no
+    UDF; at 100 TB this is scan-bound and embarrassingly parallel."""
+    v = F.col(vec_col).cast("array<double>")
+    vmin = F.array_min(v)
+    vmax = F.array_max(v)
+    scale = (vmax - vmin) / F.lit(255.0)
+    codes = F.when(scale == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.floor((x - vmin) / scale + 0.5).cast("int"))
+    )
+    out = df.select(
+        F.col(id_col),
+        v.alias("_v"),
+        vmin.alias("vmin"),
+        scale.alias("scale"),
+        codes.alias("codes"),
+    )
+    recon = F.transform(
+        F.col("codes"), lambda c: F.col("vmin") + c * F.col("scale")
+    )
+    err = F.zip_with(F.col("_v"), recon, lambda a, b: a - b)
+    mse = F.aggregate(
+        err, F.lit(0.0), lambda acc, e: acc + e * e
+    ) / F.size("_v")
+    mae = F.array_max(F.transform(err, lambda e: F.abs(e)))
+    return out.select(
+        id_col, "codes", "vmin", "scale",
+        mse.alias("mse"), mae.alias("max_abs_err"),
+    )

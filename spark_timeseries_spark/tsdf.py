@@ -344,6 +344,22 @@ class TimeSeriesDataFrame:
 
         return _hampel(self.df, half_window, n_sigmas)
 
+    def winsorize(
+        self, lower: float = 0.1, upper: float = 0.9
+    ) -> DataFrame:
+        """Per-series quantile clipping — beyond-reference; see
+        :func:`operators.outliers.winsorize`."""
+        from .operators.outliers import winsorize as _winsorize
+
+        return _winsorize(self.df, lower, upper)
+
+    def theta_forecast(self, h: int, alpha: float = 0.4) -> DataFrame:
+        """Classical Theta-method h-step forecast — beyond-reference; see
+        :func:`models.baselines.theta_forecast`."""
+        from .models.baselines import theta_forecast as _theta
+
+        return _theta(self.df, h, alpha)
+
     def periodogram(self) -> DataFrame:
         """Schuster periodogram at the Fourier frequencies per series —
         beyond-reference; see :func:`operators.spectral.periodogram`."""

@@ -929,3 +929,150 @@ def test_corr_matrix_vs_numpy(spark):
     # min_overlap: raise the floor above a-c's 8 -> NULL corr, row kept
     out2 = {(r.key_a, r.key_b): r for r in corr_matrix(df, 9).collect()}
     assert out2[("a", "c")].corr is None and out2[("a", "c")].n_overlap == 8
+
+
+def test_theta_forecast_vs_recursion(spark):
+    """theta_forecast's closed-form SES level equals the literal
+    recursion l_t = a*th_t + (1-a)*l_{t-1} on the theta-2 line, and the
+    forecast is the average of the trend and SES components; a 1-point
+    series yields NULL forecasts."""
+    import numpy as np
+
+    from spark_timeseries_spark.models.baselines import theta_forecast
+
+    rng = np.random.RandomState(2)
+    y = 10 + 0.7 * np.arange(30) + rng.randn(30)
+    rows = [("a", i, float(v)) for i, v in enumerate(y)]
+    rows += [("one", 5, 3.0)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    alpha, h = 0.4, 4
+    out = {(r.key, r.step): r.forecast
+           for r in theta_forecast(df, h, alpha).collect()}
+
+    T = len(y)
+    t = np.arange(1, T + 1)
+    b, a = np.polyfit(t, y, 1)
+    theta = 2 * y - (a + b * t)
+    l = theta[0]
+    for x in theta[1:]:
+        l = alpha * x + (1 - alpha) * l
+    for step in range(1, h + 1):
+        want = 0.5 * ((a + b * (T + step)) + l)
+        assert abs(out[("a", step)] - want) < 1e-9, step
+    assert out[("one", 1)] is None
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        theta_forecast(df, 0)
+    with _pytest.raises(ValueError):
+        theta_forecast(df, 3, alpha=0.0)
+
+
+def test_winsorize_vs_numpy(spark):
+    """winsorize clips to numpy-convention interpolated quantiles,
+    leaves NULL cells NULL, and flags exactly the out-of-band rows."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.outliers import winsorize
+
+    rng = np.random.RandomState(8)
+    vals = np.concatenate([rng.randn(40), [15.0, -12.0]])  # planted tails
+    rows = [("a", i, float(v)) for i, v in enumerate(vals)]
+    rows.append(("a", 99, None))
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    out = {r.loc: r for r in winsorize(df, 0.1, 0.9).collect()}
+
+    ql, qu = np.percentile(vals, [10, 90])  # numpy linear == Spark percentile
+    assert abs(out[0].q_lo - ql) < 1e-12 and abs(out[0].q_hi - qu) < 1e-12
+    for i, v in enumerate(vals):
+        r = out[i]
+        assert abs(r.winsorized - min(max(v, ql), qu)) < 1e-12
+        assert r.clipped == (v < ql or v > qu)
+    assert out[99].winsorized is None and out[99].clipped is None
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        winsorize(df, 0.5, 0.5)
+
+
+def test_permutation_entropy_vs_numpy(spark):
+    """permutation_entropy matches a brute Bandt-Pompe implementation
+    (ties→time order); monotone series score 0; noise scores near 1;
+    too-short series emit no row."""
+    import math
+
+    import numpy as np
+
+    from spark_timeseries_spark.operators.features import permutation_entropy
+
+    rng = np.random.RandomState(12)
+    noise = rng.randn(300)
+    mono = np.arange(50, dtype=float)
+    saw = np.array([0.0, 1.0, 2.0] * 20)
+    rows = [("noise", i, float(v)) for i, v in enumerate(noise)]
+    rows += [("mono", i, float(v)) for i, v in enumerate(mono)]
+    rows += [("saw", i, float(v)) for i, v in enumerate(saw)]
+    rows += [("tiny", 0, 1.0), ("tiny", 1, 2.0)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    out = {r.key: r for r in permutation_entropy(df, 3).collect()}
+
+    def brute(x, m=3):
+        from collections import Counter
+        pats = Counter()
+        for s in range(len(x) - m + 1):
+            wnd = x[s:s + m]
+            ranks = tuple(
+                sum(1 for j in range(m)
+                    if wnd[j] < wnd[i] or (wnd[j] == wnd[i] and j < i))
+                for i in range(m)
+            )
+            pats[ranks] += 1
+        n = sum(pats.values())
+        return (-sum((c / n) * math.log(c / n) for c in pats.values())
+                / math.log(math.factorial(m)), len(pats))
+
+    for k, x in (("noise", noise), ("mono", mono), ("saw", saw)):
+        want_h, want_np = brute(list(x))
+        assert abs(out[k].perm_entropy - want_h) < 1e-12, k
+        assert out[k].n_patterns == want_np
+    assert out["noise"].perm_entropy > 0.95
+    assert out["mono"].perm_entropy == 0.0
+    assert "tiny" not in out
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        permutation_entropy(df, 5)
+
+
+def test_interarrival_stats(spark):
+    """interarrival_stats computes exact second gaps, sample std, and
+    Goh-Barabási burstiness; a perfectly periodic stream scores -1
+    (zero variance); single-event keys emit no row."""
+    import datetime as dt
+
+    import numpy as np
+
+    from spark_timeseries_spark.operators.features import interarrival_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+    gaps = [10.0, 20.0, 5.0, 65.0]
+    stamps, acc = [t0], 0.0
+    for g in gaps:
+        acc += g
+        stamps.append(t0 + dt.timedelta(seconds=acc))
+    rows = [("a", s) for s in stamps]
+    rows += [("per", t0 + dt.timedelta(seconds=7 * i)) for i in range(5)]
+    rows += [("one", t0)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp")
+    out = {r.key: r for r in interarrival_stats(df).collect()}
+
+    r = out["a"]
+    assert r.n_gaps == 4
+    assert abs(r.mean_gap - np.mean(gaps)) < 1e-9
+    assert abs(r.std_gap - np.std(gaps, ddof=1)) < 1e-9
+    assert r.min_gap == 5.0 and r.max_gap == 65.0
+    s, m = np.std(gaps, ddof=1), np.mean(gaps)
+    assert abs(r.burstiness - (s - m) / (s + m)) < 1e-12
+
+    assert out["per"].std_gap == 0.0 and out["per"].burstiness == -1.0
+    assert "one" not in out

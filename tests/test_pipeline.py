@@ -2521,3 +2521,34 @@ def test_readability_flesch(spark):
     r = out[4]  # "7" and "hmm" are vowel-less -> +2; "ok" has one group
     assert r.n_words == 3 and r.n_sents == 1
     assert r.n_syllables == 1 + 2
+
+
+def test_sq8_quantize_vs_numpy(spark):
+    """sq8_quantize codes match the numpy affine grid bit-for-bit,
+    reconstruction error matches, and constant vectors code to zeros
+    with exact reconstruction."""
+    import numpy as np
+
+    from spark_timeseries_spark.pipeline.embeddings import sq8_quantize
+
+    rng = np.random.RandomState(6)
+    vecs = [rng.randn(16).astype(np.float32) for _ in range(5)]
+    vecs.append(np.full(16, 3.25, dtype=np.float32))  # constant vector
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in sq8_quantize(df).collect()}
+
+    for i, v in enumerate(vecs):
+        v = v.astype(np.float64)
+        r = out[i]
+        vmin, vmax = v.min(), v.max()
+        scale = (vmax - vmin) / 255.0
+        if scale == 0.0:
+            want_codes = np.zeros(len(v), dtype=int)
+        else:
+            want_codes = np.floor((v - vmin) / scale + 0.5).astype(int)
+        assert list(r.codes) == list(want_codes), i
+        recon = vmin + want_codes * scale
+        assert abs(r.mse - float(np.mean((v - recon) ** 2))) < 1e-12
+        assert abs(r.max_abs_err - float(np.max(np.abs(v - recon)))) < 1e-12
+    assert out[5].mse == 0.0 and set(out[5].codes) == {0}
