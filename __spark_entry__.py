@@ -2571,13 +2571,16 @@ def _q_half_life(spark, sf_dir):
 
 def _q_corr_matrix(spark, sf_dir):
     """Corpus-wide pairwise Pearson correlation (strict upper triangle,
-    pairwise-complete) over the daily grid — one location equi-join + one
-    per-pair moment aggregate; O(K²) output is the result's size, not a
-    plan defect. The oracle replays covar_samp/(sa·sb) with NULLIF."""
+    pairwise-complete) over the daily grid, via the COMPACT kernel (one
+    loc-sorted value array per key, broadcast pair join, masked moment
+    fold — K-row shuffle instead of T·K² joined rows; 26→2 s at sf0.1).
+    O(K²) output is the result's size, not a plan defect. The oracle
+    replays the join semantics (covar_samp/(sa·sb), NULLIF) — the two
+    formulations agree to well under the 6-decimal rounding."""
     from spark_timeseries_spark.operators import rolling as roll_ops
 
     grid = _daily_grid(spark, sf_dir)
-    out = roll_ops.corr_matrix(grid, min_overlap=5)
+    out = roll_ops.corr_matrix(grid, min_overlap=5, method="compact")
     return out.select(
         "key_a", "key_b", "n_overlap",
         _stable_round(F.col("corr"), 6).alias("corr"),
@@ -2668,6 +2671,55 @@ def _q_winsorize(spark, sf_dir):
     )
 
 
+def _q_perm_entropy(spark, sf_dir):
+    """Bandt-Pompe permutation entropy (m=3) per daily-grid series —
+    integer ordinal patterns (cross-engine exact) + one entropy
+    aggregate; ln noise absorbed at 6 decimals."""
+    from spark_timeseries_spark.operators.features import permutation_entropy
+
+    grid = _daily_grid(spark, sf_dir)
+    out = permutation_entropy(grid, 3)
+    return out.select(
+        "key", "n_patterns",
+        _stable_round(F.col("perm_entropy"), 6).alias("perm_entropy"),
+    )
+
+
+def _q_interarrival(spark, sf_dir):
+    """Per-user inter-arrival statistics + Goh-Barabási burstiness over
+    the raw event stamps — exact integer microsecond gaps scaled once, so
+    every statistic replays."""
+    from spark_timeseries_spark.operators.features import interarrival_stats
+
+    obs = events_observations(spark, sf_dir)
+    out = interarrival_stats(obs)
+    return out.select(
+        "key", "n_gaps",
+        _stable_round(F.col("mean_gap"), 6).alias("mean_gap"),
+        _stable_round(F.col("std_gap"), 6).alias("std_gap"),
+        _stable_round(F.col("min_gap"), 6).alias("min_gap"),
+        _stable_round(F.col("max_gap"), 6).alias("max_gap"),
+        _stable_round(F.col("burstiness"), 6).alias("burstiness"),
+    )
+
+
+def _q_impulse_response(spark, sf_dir):
+    """VAR(1) impulse responses for two users' filled daily series,
+    horizons 0..5 — upgrades the r7 IRF surface from pytest-only to
+    oracle-backed: the oracle re-derives Φ via the var_fit closed form
+    and takes explicit 2×2 matrix powers (Ψ_s = Φ^s for p=1,
+    Lütkepohl 2005 §2.1.2)."""
+    from spark_timeseries_spark.models import impulse_response
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
+    out = impulse_response(filled, ["1", "2"], p=1, h=5)
+    return out.select(
+        "shock", "response", "step",
+        _stable_round(F.col("irf"), 6).alias("irf"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
     the first 50 entries. Window policy (round 7, per the r6 verdict's
@@ -2698,6 +2750,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_error": _q_sq8_error,
         "theta_forecast": _q_theta_forecast,
         "winsorize": _q_winsorize,
+        "perm_entropy": _q_perm_entropy,
+        "interarrival": _q_interarrival,
+        "impulse_response": _q_impulse_response,
         "roll_quantile": _q_roll_quantile,
         "fill_suite": _q_fill_suite,
         "roll_skew_kurt": _q_roll_skew_kurt,
@@ -2737,10 +2792,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (c) oldest r5-green rows fill the window ----------------------
         "dedup_paragraphs": _q_dedup_paragraphs,
         "url_stats": _q_url_stats,
+        # ---- driver window (50) ends here ----------------------------------
         "pq_recall": _q_pq_recall,
         "filter_by_instant": _q_filter_by_instant,
         "ivfpq_topk": _q_ivfpq_topk,
-        # ---- driver window (50) ends here ----------------------------------
         "semantic_dedup": _q_semantic_dedup,
         "kmeans_assign": _q_kmeans_assign,
         "pretrain_clean": _q_pretrain_clean,
@@ -3176,6 +3231,136 @@ def oracle_sql() -> dict[str, str]:
                    {_sr_sql('ml', 6)} AS mean_left,
                    {_sr_sql('mr', 6)} AS mean_right
             FROM rk WHERE rn = 1
+        """,
+        "perm_entropy": _DAILY_GRID_SQL
+        + f"""
+            , obs AS (SELECT key, loc, value FROM grid
+                      WHERE value IS NOT NULL),
+            wnd AS (
+                SELECT key, value AS y0,
+                       lead(value, 1) OVER w AS y1,
+                       lead(value, 2) OVER w AS y2
+                FROM obs WINDOW w AS (PARTITION BY key ORDER BY loc)
+            ),
+            pat AS (
+                -- rank_i = #{{j: y_j < y_i}} + #{{j: y_j = y_i, j < i}};
+                -- pid = r0*9 + r1*3 + r2 (ties to time order)
+                SELECT key,
+                       ((CASE WHEN y1 < y0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN y2 < y0 THEN 1 ELSE 0 END)) * 9
+                       + ((CASE WHEN y0 < y1 OR y0 = y1 THEN 1 ELSE 0 END)
+                          + (CASE WHEN y2 < y1 THEN 1 ELSE 0 END)) * 3
+                       + ((CASE WHEN y0 < y2 OR y0 = y2 THEN 1 ELSE 0 END)
+                          + (CASE WHEN y1 < y2 OR y1 = y2 THEN 1 ELSE 0 END))
+                           AS pid
+                FROM wnd WHERE y1 IS NOT NULL AND y2 IS NOT NULL
+            ),
+            pc AS (SELECT key, pid, count(*) AS c FROM pat GROUP BY 1, 2),
+            tot AS (
+                SELECT key, c, sum(c) OVER (PARTITION BY key) AS n FROM pc
+            )
+            SELECT key, CAST(count(*) AS BIGINT) AS n_patterns,
+                   {_sr_sql(
+                       '-sum((c / CAST(n AS DOUBLE))'
+                       ' * ln(c / CAST(n AS DOUBLE))) / ln(6)', 6)}
+                       AS perm_entropy
+            FROM tot GROUP BY key
+        """,
+        "interarrival": f"""
+            WITH g AS (
+                SELECT CAST(user_id AS VARCHAR) AS key,
+                       CAST(date_diff('microsecond',
+                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                            ts) AS DOUBLE) / 1e6 AS gap
+                FROM events
+            ),
+            gg AS (SELECT key, gap FROM g WHERE gap IS NOT NULL)
+            SELECT key, CAST(count(*) AS BIGINT) AS n_gaps,
+                   {_sr_sql('avg(gap)', 6)} AS mean_gap,
+                   {_sr_sql('stddev_samp(gap)', 6)} AS std_gap,
+                   {_sr_sql('min(gap)', 6)} AS min_gap,
+                   {_sr_sql('max(gap)', 6)} AS max_gap,
+                   {_sr_sql(
+                       '(stddev_samp(gap) - avg(gap))'
+                       ' / NULLIF(stddev_samp(gap) + avg(gap), 0)', 6)}
+                       AS burstiness
+            FROM gg GROUP BY key
+        """,
+        "impulse_response": _DAILY_GRID_SQL + _FILLED_SQL
+        + f"""
+            , wide AS (
+                SELECT loc,
+                       max(CASE WHEN key = '1' THEN value END) AS s1,
+                       max(CASE WHEN key = '2' THEN value END) AS s2
+                FROM filled GROUP BY loc
+            ),
+            lagd AS (
+                SELECT loc, s1, s2,
+                       lag(s1) OVER (ORDER BY loc) AS a,
+                       lag(s2) OVER (ORDER BY loc) AS b
+                FROM wide
+            ),
+            d AS (
+                SELECT * FROM lagd
+                WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+                  AND a IS NOT NULL AND b IS NOT NULL
+            ),
+            m AS (
+                SELECT covar_samp(s1, a) AS c1a, covar_samp(s1, b) AS c1b,
+                       covar_samp(s2, a) AS c2a, covar_samp(s2, b) AS c2b,
+                       var_samp(a) AS vaa, var_samp(b) AS vbb,
+                       covar_samp(a, b) AS vab
+                FROM d
+            ),
+            p1 AS (
+                -- Φ: [i][j] = effect of series j's lag on series i
+                SELECT (c1a * vbb - c1b * vab) / (vaa * vbb - vab * vab)
+                           AS x11,
+                       (c1b * vaa - c1a * vab) / (vaa * vbb - vab * vab)
+                           AS x12,
+                       (c2a * vbb - c2b * vab) / (vaa * vbb - vab * vab)
+                           AS x21,
+                       (c2b * vaa - c2a * vab) / (vaa * vbb - vab * vab)
+                           AS x22
+                FROM m
+            ),
+            p2 AS (SELECT f.x11 * g.x11 + f.x12 * g.x21 AS x11,
+                          f.x11 * g.x12 + f.x12 * g.x22 AS x12,
+                          f.x21 * g.x11 + f.x22 * g.x21 AS x21,
+                          f.x21 * g.x12 + f.x22 * g.x22 AS x22
+                   FROM p1 f, p1 g),
+            p3 AS (SELECT f.x11 * g.x11 + f.x12 * g.x21 AS x11,
+                          f.x11 * g.x12 + f.x12 * g.x22 AS x12,
+                          f.x21 * g.x11 + f.x22 * g.x21 AS x21,
+                          f.x21 * g.x12 + f.x22 * g.x22 AS x22
+                   FROM p1 f, p2 g),
+            p4 AS (SELECT f.x11 * g.x11 + f.x12 * g.x21 AS x11,
+                          f.x11 * g.x12 + f.x12 * g.x22 AS x12,
+                          f.x21 * g.x11 + f.x22 * g.x21 AS x21,
+                          f.x21 * g.x12 + f.x22 * g.x22 AS x22
+                   FROM p1 f, p3 g),
+            p5 AS (SELECT f.x11 * g.x11 + f.x12 * g.x21 AS x11,
+                          f.x11 * g.x12 + f.x12 * g.x22 AS x12,
+                          f.x21 * g.x11 + f.x22 * g.x21 AS x21,
+                          f.x21 * g.x12 + f.x22 * g.x22 AS x22
+                   FROM p1 f, p4 g),
+            allp AS (
+                SELECT 0 AS step, 1.0 AS x11, 0.0 AS x12, 0.0 AS x21,
+                       1.0 AS x22
+                UNION ALL SELECT 1, x11, x12, x21, x22 FROM p1
+                UNION ALL SELECT 2, x11, x12, x21, x22 FROM p2
+                UNION ALL SELECT 3, x11, x12, x21, x22 FROM p3
+                UNION ALL SELECT 4, x11, x12, x21, x22 FROM p4
+                UNION ALL SELECT 5, x11, x12, x21, x22 FROM p5
+            )
+            SELECT '1' AS shock, '1' AS response, CAST(step AS INT) AS step,
+                   {_sr_sql('x11', 6)} AS irf FROM allp
+            UNION ALL SELECT '2', '1', CAST(step AS INT),
+                   {_sr_sql('x12', 6)} FROM allp
+            UNION ALL SELECT '1', '2', CAST(step AS INT),
+                   {_sr_sql('x21', 6)} FROM allp
+            UNION ALL SELECT '2', '2', CAST(step AS INT),
+                   {_sr_sql('x22', 6)} FROM allp
         """,
         "sq8_error": f"""
             WITH e AS (

@@ -36,6 +36,7 @@ __all__ = [
     "half_life",
     "permutation_entropy",
     "interarrival_stats",
+    "find_peaks",
 ]
 
 
@@ -446,3 +447,53 @@ def interarrival_stats(
         F.col("std_gap") + F.col("mean_gap"),
     )
     return agg.withColumn("burstiness", b)
+
+
+def find_peaks(
+    df: DataFrame,
+    k: int = 1,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Local-maximum detection over each series' non-null run → the peak
+    rows (key, loc, value, depth). A point is a peak iff it is STRICTLY
+    greater than every one of the ``k`` observations on each side —
+    plateaus are never peaks (deterministic; scipy ``find_peaks`` calls
+    the same strict-both-sides rule "no plateau" with
+    ``plateau_size=1``), and boundary points with fewer than ``k``
+    neighbors on either side are never peaks (no one-sided edge peaks).
+    ``depth`` = value − max(both neighborhoods) — the margin by which
+    the peak clears its window, a cheap windowed stand-in for
+    topographic prominence (documented approximation: true prominence
+    walks to the nearest higher peak, which is a path problem, not a
+    window one).
+
+    Plan: ONE window pass on the shared (key, loc) sort — two bounded
+    row-frame max/counts, a filter; no self-join, no Python. Output is
+    the (sparse) peak set, so the operator composes as a filter."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    v = F.col(value_col)
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+    left = ws.rowsBetween(-k, -1)
+    right = ws.rowsBetween(1, k)
+    out = (
+        df.where(v.isNotNull())
+        .withColumn("_ln", F.count(v).over(left))
+        .withColumn("_lm", F.max(v).over(left))
+        .withColumn("_rn", F.count(v).over(right))
+        .withColumn("_rm", F.max(v).over(right))
+        .where(
+            (F.col("_ln") == k)
+            & (F.col("_rn") == k)
+            & (v > F.col("_lm"))
+            & (v > F.col("_rm"))
+        )
+    )
+    return out.select(
+        key_col,
+        order_col,
+        value_col,
+        (v - F.greatest("_lm", "_rm")).alias("depth"),
+    )

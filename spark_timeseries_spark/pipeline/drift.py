@@ -1,0 +1,111 @@
+"""Numeric distribution-drift scoring between two cohorts.
+
+Beyond-reference; the data-quality gate a training pipeline runs when a
+new crawl snapshot (or a new day of telemetry) lands: has the
+distribution of a numeric feature moved against the reference cohort?
+Implements the Population Stability Index (PSI — the standard credit-
+scoring drift metric, e.g. Siddiqi 2006) over equal-width bins:
+
+    PSI = Σ_i (q_i − p_i) · ln(q_i / p_i)
+
+with p from the reference cohort and q from the current one. Rule of
+thumb: < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 investigate.
+
+Equal-width bins (not reference quantiles) are deliberate: bin edges
+are closed-form from (lo, hi, bins), so the binning is exact, engine-
+independent, and oracle-replayable; quantile edges would couple the
+metric to an engine's interpolation. Values outside [lo, hi] clamp to
+the end bins (they count — tail drift is drift). Empty bins are
+smoothed by flooring each proportion at ``eps`` (the standard PSI
+fix — ln(q/p) is undefined on empty cells).
+
+Plan: two single-pass groupBy-bin counts (each output ≤ ``bins``
+rows — KB-scale regardless of input size), one broadcast-sized
+full-outer join on bin id, one fold. When (lo, hi) aren't supplied
+they come from ONE bounded aggregate over the reference (2 scalars to
+the driver — the only materialization, same class as the engine's
+other bounded transfers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["psi_bins", "psi"]
+
+
+def _bin(col: F.Column, lo: float, width: float, bins: int) -> F.Column:
+    raw = F.floor((col - F.lit(lo)) / F.lit(width))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+
+
+def _fractions(
+    df: DataFrame, value_col: str, lo: float, width: float, bins: int,
+    out: str,
+) -> DataFrame:
+    v = F.col(value_col)
+    counts = (
+        df.where(v.isNotNull())
+        .groupBy(_bin(v, lo, width, bins).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    # counts is ≤ `bins` rows — the unpartitioned window is a single
+    # KB-scale task, not a corpus-wide single-partition hazard
+    total = F.sum("_c").over(Window.partitionBy())
+    return counts.select("bin", (F.col("_c") / total).alias(out))
+
+
+def psi_bins(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str = "value",
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+    eps: float = 1e-4,
+) -> DataFrame:
+    """Per-bin PSI decomposition → (bin, p_ref, p_cur, contrib), one row
+    per occupied bin id in either cohort (missing side floored at
+    ``eps``). ``sum(contrib)`` is the PSI; :func:`psi` does that fold.
+    NULL values are excluded from both cohorts (drift in nullness is a
+    different metric)."""
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    if (lo is None) != (hi is None):
+        raise ValueError("supply both lo and hi, or neither")
+    if lo is None:
+        row = ref.where(F.col(value_col).isNotNull()).agg(
+            F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
+        ).collect()[0]
+        lo, hi = float(row["lo"]), float(row["hi"])
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    width = (hi - lo) / bins
+    p = _fractions(ref, value_col, lo, width, bins, "p_ref")
+    q = _fractions(cur, value_col, lo, width, bins, "q_cur")
+    j = p.join(q, "bin", "full").select(
+        "bin",
+        F.coalesce("p_ref", F.lit(0.0)).alias("p_ref"),
+        F.coalesce("q_cur", F.lit(0.0)).alias("p_cur"),
+    )
+    pe = F.greatest(F.col("p_ref"), F.lit(eps))
+    qe = F.greatest(F.col("p_cur"), F.lit(eps))
+    return j.withColumn("contrib", (qe - pe) * F.log(qe / pe))
+
+
+def psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str = "value",
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+    eps: float = 1e-4,
+) -> DataFrame:
+    """Scalar PSI → one row (psi, n_bins). See :func:`psi_bins`."""
+    b = psi_bins(ref, cur, value_col, bins, lo, hi, eps)
+    return b.agg(
+        F.sum("contrib").alias("psi"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )

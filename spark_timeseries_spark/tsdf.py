@@ -235,8 +235,10 @@ class TimeSeriesDataFrame:
     def corr_matrix(self, min_overlap: int = 2) -> DataFrame:
         """Pairwise Pearson correlation across all series (strict upper
         triangle, pairwise-complete) — beyond-reference; see
-        :func:`operators.rolling.corr_matrix`."""
-        return rolling.corr_matrix(self.df, min_overlap)
+        :func:`operators.rolling.corr_matrix`. Uses the compact array
+        kernel: a TimeSeriesDataFrame's dense shared index IS the
+        aligned-grid precondition it needs."""
+        return rolling.corr_matrix(self.df, min_overlap, method="compact")
 
     def _roll(self, agg: str, n: int, align_: str) -> "TimeSeriesDataFrame":
         out = rolling.roll_agg(self.df, n, agg, align_)
@@ -309,6 +311,36 @@ class TimeSeriesDataFrame:
         from .operators.features import half_life
 
         return half_life(self.df)
+
+    def permutation_entropy(self, m: int = 3) -> DataFrame:
+        """Bandt-Pompe ordinal-pattern entropy per series —
+        beyond-reference; see
+        :func:`operators.features.permutation_entropy`."""
+        from .operators.features import permutation_entropy
+
+        return permutation_entropy(self.df, m)
+
+    def interarrival_stats(self) -> DataFrame:
+        """Per-series inter-arrival statistics + burstiness over the raw
+        stamps — beyond-reference; see
+        :func:`operators.features.interarrival_stats`."""
+        from .operators.features import interarrival_stats
+
+        return interarrival_stats(self.df)
+
+    def sax(self, w: int = 8, a: int = 4) -> DataFrame:
+        """SAX symbolic word per series — beyond-reference; see
+        :func:`operators.sax.sax`."""
+        from .operators.sax import sax as _sax
+
+        return _sax(self.df, w, a)
+
+    def find_peaks(self, k: int = 1) -> DataFrame:
+        """Strict local maxima with windowed depth — beyond-reference;
+        see :func:`operators.features.find_peaks`."""
+        from .operators.features import find_peaks
+
+        return find_peaks(self.df, k)
 
     def cusum_changepoints(
         self, k: float = 0.5, h: float = 5.0, standardize: bool = True

@@ -1076,3 +1076,162 @@ def test_interarrival_stats(spark):
 
     assert out["per"].std_gap == 0.0 and out["per"].burstiness == -1.0
     assert "one" not in out
+
+
+def test_corr_matrix_compact_matches_join(spark):
+    """On an aligned dense grid (every key carries the same loc set,
+    NULL holes allowed) the compact array kernel reproduces the join
+    method pair-for-pair — including NULL gates (short overlap,
+    zero-variance side)."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.rolling import corr_matrix
+
+    rng = np.random.RandomState(13)
+    locs = list(range(25))
+    series = {
+        "a": [float(v) for v in rng.randn(25)],
+        "b": [float(v) for v in rng.randn(25) * 2 + 1],
+        "c": [None if i % 3 == 0 else float(rng.randn()) for i in locs],
+        "flat": [7.0] * 25,
+        "sparse": [1.0 if i == 0 else (2.0 if i == 24 else None)
+                   for i in locs],
+    }
+    rows = [(k, i, series[k][i]) for k in series for i in locs]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+
+    jn = {(r.key_a, r.key_b): (r.n_overlap, r.corr)
+          for r in corr_matrix(df, 3, "join").collect()}
+    cp = {(r.key_a, r.key_b): (r.n_overlap, r.corr)
+          for r in corr_matrix(df, 3, "compact").collect()}
+    # join omits never-overlapping pairs entirely; compact emits them
+    # with n_overlap 0 — compare on the union with that normalization
+    assert set(jn) <= set(cp)
+    for k, (n_c, c_c) in cp.items():
+        if k not in jn:
+            assert n_c < 3 and c_c is None
+            continue
+        n_j, c_j = jn[k]
+        assert n_j == n_c, k
+        if c_j is None:
+            assert c_c is None, k
+        else:
+            assert abs(c_j - c_c) < 1e-9, k
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        corr_matrix(df, 3, "banana")
+
+
+def test_paa_and_sax(spark):
+    """PAA segment means and SAX words against a hand/numpy oracle,
+    including the zero-variance NULL-word gate and short-series
+    behavior."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.sax import BREAKPOINTS, paa, sax
+
+    rng = np.random.RandomState(7)
+    vals = [float(v) for v in rng.randn(20) * 3 + 1]
+    rows = (
+        [("s", i, vals[i]) for i in range(20)]
+        + [("flat", i, 5.0) for i in range(10)]
+        + [("short", i, float(i)) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+
+    got = {(r.key, r.seg): (r.seg_n, r.paa) for r in paa(df, 4).collect()}
+    arr = np.array(vals)
+    for s in range(4):
+        seg_vals = [vals[i] for i in range(20) if i * 4 // 20 == s]
+        n_e, m_e = got[("s", s)]
+        assert n_e == len(seg_vals) == 5
+        assert abs(m_e - np.mean(seg_vals)) < 1e-12
+    # short series: one singleton segment per point, ids floor(i*4/3)
+    assert {k[1] for k in got if k[0] == "short"} == {0, 1, 2}
+    assert all(got[("short", s)][0] == 1 for s in (0, 1, 2))
+
+    out = {r.key: r for r in sax(df, w=4, a=4).collect()}
+    z = (arr - arr.mean()) / arr.std()  # population std, SAX convention
+    word = ""
+    for s in range(4):
+        m = np.mean([z[i] for i in range(20) if i * 4 // 20 == s])
+        word += "abcd"[sum(m >= b for b in BREAKPOINTS[4])]
+    assert out["s"].sax == word and out["s"].n == 20
+    assert out["s"].n_segments == 4
+    assert out["flat"].sax is None and out["flat"].n == 10
+    assert out["short"].sax is not None and len(out["short"].sax) == 3
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sax(df, w=4, a=1)
+    with _pytest.raises(ValueError):
+        paa(df, 0)
+
+
+def test_find_peaks(spark):
+    """Strict local maxima: plateaus and boundary rows excluded, depth
+    is the clearance over the wider neighborhood."""
+    from spark_timeseries_spark.operators.features import find_peaks
+
+    vals = [1.0, 5.0, 2.0, 7.0, 7.0, 3.0, 1.0, 4.0, 1.0, 0.5]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)],
+        "key string, loc long, value double",
+    )
+    got = {r.loc: r.depth for r in find_peaks(df, k=1).collect()}
+    # loc 1 (5 > 1, 5 > 2) and loc 7 (4 > 1, 4 > 1); the 7,7 plateau is
+    # NOT a peak under strict-both-sides; loc 0/9 are boundary rows
+    assert set(got) == {1, 7}
+    assert got[1] == 3.0 and got[7] == 3.0
+
+    # k=2 needs 2 full neighbors each side and strict dominance over all
+    got2 = {r.loc for r in find_peaks(df, k=2).collect()}
+    assert got2 == {7}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        find_peaks(df, k=0)
+
+
+def test_psi_drift(spark):
+    """PSI against a numpy replay: identical cohorts → 0, shifted cohort
+    → the closed-form sum; out-of-range values clamp to end bins."""
+    import numpy as np
+
+    from spark_timeseries_spark.pipeline.drift import psi, psi_bins
+
+    rng = np.random.RandomState(11)
+    ref_v = [float(v) for v in rng.uniform(0, 10, 400)]
+    cur_v = [float(v) for v in rng.uniform(2, 14, 300)]  # shifted + wider
+    ref = spark.createDataFrame([(v,) for v in ref_v], "value double")
+    cur = spark.createDataFrame([(v,) for v in cur_v], "value double")
+
+    same = psi(ref, ref, bins=5).collect()[0]
+    assert same.psi == 0.0
+
+    row = psi(ref, cur, bins=5).collect()[0]
+    lo, hi = min(ref_v), max(ref_v)
+    width = (hi - lo) / 5
+    def binned(vals):
+        b = np.clip(((np.array(vals) - lo) // width).astype(int), 0, 4)
+        return np.bincount(b, minlength=5) / len(vals)
+    p, q = binned(ref_v), binned(cur_v)
+    pe, qe = np.maximum(p, 1e-4), np.maximum(q, 1e-4)
+    expect = float(np.sum((qe - pe) * np.log(qe / pe)))
+    assert abs(row.psi - expect) < 1e-9
+    assert row.n_bins == 5
+
+    bins_df = psi_bins(ref, cur, bins=5).orderBy("bin").collect()
+    assert [r.bin for r in bins_df] == [0, 1, 2, 3, 4]
+    for r in bins_df:
+        assert abs(r.p_ref - p[r.bin]) < 1e-12
+        assert abs(r.p_cur - q[r.bin]) < 1e-12
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        psi(ref, cur, bins=1)
+    with _pytest.raises(ValueError):
+        psi(ref, cur, lo=5.0, hi=5.0)
+    with _pytest.raises(ValueError):
+        psi(ref, cur, lo=1.0)
