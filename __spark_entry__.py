@@ -2720,6 +2720,66 @@ def _q_impulse_response(spark, sf_dir):
     )
 
 
+def _q_sax(spark, sf_dir):
+    """SAX symbolic words (w=8, a=4) per daily-grid series — z-normalize
+    (population std, the SAX convention), floor(i·w/n) PAA segments,
+    Lin et al. 2003 two-decimal breakpoints; the oracle replays the whole
+    pipeline with string_agg ordered by segment. Symbols are discretized
+    means, so last-bit fp noise can't flip them off the irrational-ish
+    breakpoint grid."""
+    from spark_timeseries_spark.operators.sax import sax
+
+    grid = _daily_grid(spark, sf_dir)
+    return sax(grid, w=8, a=4).select("key", "n", "n_segments", "sax")
+
+
+def _q_paa(spark, sf_dir):
+    """Piecewise Aggregate Approximation (w=4) segment means per series —
+    the un-normalized compression primitive under SAX, proven on its
+    own because its floor(i·w/n) segment rule is the load-bearing bit."""
+    from spark_timeseries_spark.operators.sax import paa
+
+    grid = _daily_grid(spark, sf_dir)
+    out = paa(grid, 4)
+    return out.select(
+        "key", "seg", "seg_n", _stable_round(F.col("paa"), 6).alias("paa")
+    )
+
+
+def _q_peaks(spark, sf_dir):
+    """Strict local maxima (k=2 full neighborhoods) over each series'
+    non-null daily run, with windowed clearance depth — one window pass,
+    replayed by the oracle with two ROWS-frame max/count windows."""
+    from spark_timeseries_spark.operators.features import find_peaks
+
+    grid = _daily_grid(spark, sf_dir)
+    out = find_peaks(grid, k=2)
+    return out.select(
+        "key", "loc", "value",
+        _stable_round(F.col("depth"), 6).alias("depth"),
+    )
+
+
+def _q_psi_drift(spark, sf_dir):
+    """Population Stability Index of the events value distribution,
+    first half of January (reference cohort) vs the rest (current) —
+    per-bin decomposition over 10 equal-width bins anchored on the
+    reference min/max. Bin edges, proportions, and the clamp are exact
+    IEEE ops on both engines; only ln() needs the stable rounding."""
+    from spark_timeseries_spark.pipeline.drift import psi_bins
+
+    obs = events_observations(spark, sf_dir)
+    ref = obs.where(F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    cur = obs.where(F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+    out = psi_bins(ref, cur, "value", bins=10)
+    return out.select(
+        "bin",
+        _stable_round(F.col("p_ref"), 6).alias("p_ref"),
+        _stable_round(F.col("p_cur"), 6).alias("p_cur"),
+        _stable_round(F.col("contrib"), 6).alias("contrib"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
     the first 50 entries. Window policy (round 7, per the r6 verdict's
@@ -2740,6 +2800,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     skipped, verdict item 1)."""
     return {
         # -- (a) must-prove: new/changed this round + refactor-downstream ----
+        "sax": _q_sax,
+        "paa": _q_paa,
+        "peaks": _q_peaks,
+        "psi_drift": _q_psi_drift,
         "max_drawdown": _q_max_drawdown,
         "changepoint": _q_changepoint,
         "hurst": _q_hurst,
@@ -2787,12 +2851,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arima_forecast": _q_arima_forecast,
         "fill_next": _q_fill_next,
         "fill_nearest": _q_fill_nearest,
+        # ---- driver window (50) ends here ----------------------------------
+        # (fill_zero/lags/dedup_paragraphs/url_stats displaced by the four
+        # sax/paa/peaks/psi_drift rows above; all green in the committed
+        # full oracle log, queued for the r8 rotation)
         "fill_zero": _q_fill_zero,
         "lags": _q_lags,
-        # -- (c) oldest r5-green rows fill the window ----------------------
         "dedup_paragraphs": _q_dedup_paragraphs,
         "url_stats": _q_url_stats,
-        # ---- driver window (50) ends here ----------------------------------
         "pq_recall": _q_pq_recall,
         "filter_by_instant": _q_filter_by_instant,
         "ivfpq_topk": _q_ivfpq_topk,
@@ -3231,6 +3297,116 @@ def oracle_sql() -> dict[str, str]:
                    {_sr_sql('ml', 6)} AS mean_left,
                    {_sr_sql('mr', 6)} AS mean_right
             FROM rk WHERE rn = 1
+        """,
+        "sax": _DAILY_GRID_SQL
+        + """
+            , obs AS (SELECT key, loc, value FROM grid
+                      WHERE value IS NOT NULL),
+            st AS (
+                SELECT key, loc, value,
+                       avg(value) OVER (PARTITION BY key) AS mu,
+                       stddev_pop(value) OVER (PARTITION BY key) AS sd,
+                       row_number() OVER (PARTITION BY key ORDER BY loc) - 1
+                           AS rk,
+                       count(*) OVER (PARTITION BY key) AS n
+                FROM obs
+            ),
+            z AS (
+                SELECT key, sd, n,
+                       CAST(FLOOR(rk * 8 / n) AS BIGINT) AS seg,
+                       CASE WHEN sd > 0 THEN (value - mu) / sd END AS zv
+                FROM st
+            ),
+            segs AS (
+                SELECT key, seg, avg(zv) AS paa, max(sd) AS sd, max(n) AS n
+                FROM z GROUP BY 1, 2
+            ),
+            sym AS (
+                SELECT key, seg, sd, n,
+                       substr('abcd',
+                              1 + (CASE WHEN paa >= -0.67 THEN 1 ELSE 0 END
+                                 + CASE WHEN paa >= 0.0 THEN 1 ELSE 0 END
+                                 + CASE WHEN paa >= 0.67 THEN 1 ELSE 0 END),
+                              1) AS s
+                FROM segs
+            )
+            SELECT key, CAST(max(n) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_segments,
+                   CASE WHEN max(sd) > 0
+                        THEN string_agg(s, '' ORDER BY seg) END AS sax
+            FROM sym GROUP BY key
+        """,
+        "paa": _DAILY_GRID_SQL
+        + f"""
+            , obs AS (SELECT key, loc, value FROM grid
+                      WHERE value IS NOT NULL),
+            st AS (
+                SELECT key, value,
+                       row_number() OVER (PARTITION BY key ORDER BY loc) - 1
+                           AS rk,
+                       count(*) OVER (PARTITION BY key) AS n
+                FROM obs
+            )
+            SELECT key, CAST(FLOOR(rk * 4 / n) AS BIGINT) AS seg,
+                   CAST(count(*) AS BIGINT) AS seg_n,
+                   {_sr_sql('avg(value)', 6)} AS paa
+            FROM st GROUP BY 1, 2
+        """,
+        "peaks": _DAILY_GRID_SQL
+        + f"""
+            , obs AS (SELECT key, loc, value FROM grid
+                      WHERE value IS NOT NULL),
+            w AS (
+                SELECT key, loc, value,
+                       count(value) OVER lw AS ln, max(value) OVER lw AS lm,
+                       count(value) OVER rw AS rn, max(value) OVER rw AS rm
+                FROM obs
+                WINDOW lw AS (PARTITION BY key ORDER BY loc
+                              ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING),
+                       rw AS (PARTITION BY key ORDER BY loc
+                              ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING)
+            )
+            SELECT key, loc, value,
+                   {_sr_sql('value - GREATEST(lm, rm)', 6)} AS depth
+            FROM w
+            WHERE ln = 2 AND rn = 2 AND value > lm AND value > rm
+        """,
+        "psi_drift": f"""
+            WITH r AS (SELECT value FROM events
+                       WHERE ts < TIMESTAMP '2024-01-16'
+                         AND value IS NOT NULL),
+            c AS (SELECT value FROM events
+                  WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL),
+            e AS (SELECT min(value) AS lo,
+                         (max(value) - min(value)) / 10 AS w
+                  FROM r),
+            rb AS (
+                SELECT CAST(LEAST(GREATEST(
+                           FLOOR((value - lo) / w), 0), 9) AS BIGINT) AS bin,
+                       count(*) AS cnt
+                FROM r, e GROUP BY 1
+            ),
+            cb AS (
+                SELECT CAST(LEAST(GREATEST(
+                           FLOOR((value - lo) / w), 0), 9) AS BIGINT) AS bin,
+                       count(*) AS cnt
+                FROM c, e GROUP BY 1
+            ),
+            rp AS (SELECT bin, cnt / (SELECT sum(cnt) FROM rb) AS p FROM rb),
+            cp AS (SELECT bin, cnt / (SELECT sum(cnt) FROM cb) AS p FROM cb),
+            j AS (
+                SELECT COALESCE(rp.bin, cp.bin) AS bin,
+                       COALESCE(rp.p, 0.0) AS p_ref,
+                       COALESCE(cp.p, 0.0) AS p_cur
+                FROM rp FULL OUTER JOIN cp ON rp.bin = cp.bin
+            )
+            SELECT bin, {_sr_sql('p_ref', 6)} AS p_ref,
+                   {_sr_sql('p_cur', 6)} AS p_cur,
+                   {_sr_sql(
+                       '(GREATEST(p_cur, 1e-4) - GREATEST(p_ref, 1e-4))'
+                       ' * ln(GREATEST(p_cur, 1e-4) / GREATEST(p_ref, 1e-4))',
+                       6)} AS contrib
+            FROM j
         """,
         "perm_entropy": _DAILY_GRID_SQL
         + f"""

@@ -15,6 +15,7 @@ from .fit import (
     fit_xreg_improvement,
     fit_xreg_models,
     forecast,
+    cointegration_test,
     granger_test,
     residuals,
     test_series,
@@ -46,7 +47,7 @@ __all__ = [
     "fit_regression_arima_cochrane_orcutt",
     "apply_model_effects", "fit_improvement", "fit_models", "fit_xreg_models",
     "fit_xreg_improvement",
-    "forecast", "granger_test", "residuals", "test_series", "variance_forecast",
+    "forecast", "granger_test", "cointegration_test", "residuals", "test_series", "variance_forecast",
     "baseline_forecast", "fit_var", "forecast_var", "impulse_response",
     "ARGARCHModel", "ARModel", "EGARCHModel", "EWMAModel", "GARCHModel",
     "HoltWintersModel", "egarch_start",

@@ -659,3 +659,66 @@ def granger_test(
     return j.withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(
         _g, schema="target string, cause string, n long, f_stat double, p_value double"
     )
+
+
+def cointegration_test(
+    df: DataFrame,
+    key_a: str,
+    key_b: str,
+    max_lag: int = 0,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Engle-Granger two-step cointegration between two named series →
+    one row (lhs, rhs, n, alpha, beta, adf_stat, cointegrated_5pct);
+    see :func:`stats.tests.engle_granger` for the statistic and
+    :data:`stats.tests.EG_CRITICAL_2V` for the residual-based critical
+    values. Beyond-reference.
+
+    Plan: same shape as :func:`granger_test` — one inner equi-join on
+    ``order_col`` conforms the pair (fill first for gap-free designs),
+    then the pair flows as ONE group through a grouped-map kernel so the
+    two-step OLS runs on an executor inside the engine's standard
+    single-series-in-memory envelope."""
+    from ..stats.tests import EG_CRITICAL_2V, engle_granger
+
+    a = df.where(F.col(key_col) == key_a).select(
+        F.col(order_col).alias("_o"), F.col(value_col).alias("_y")
+    )
+    b = df.where(F.col(key_col) == key_b).select(
+        F.col(order_col).alias("_o"), F.col(value_col).alias("_x")
+    )
+    j = a.join(b, "_o").where(
+        F.col("_y").isNotNull() & F.col("_x").isNotNull()
+    )
+    crit5 = EG_CRITICAL_2V["5%"]
+
+    def _eg(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_o")
+        alpha, beta, stat = float("nan"), float("nan"), float("nan")
+        try:
+            alpha, beta, stat = engle_granger(
+                pdf["_y"].to_numpy(), pdf["_x"].to_numpy(), max_lag
+            )
+        except Exception:
+            pass  # short/degenerate overlap → NaN, like test_series
+        return pd.DataFrame(
+            {
+                "lhs": [key_a],
+                "rhs": [key_b],
+                "n": [len(pdf)],
+                "alpha": [alpha],
+                "beta": [beta],
+                "adf_stat": [stat],
+                "cointegrated_5pct": [bool(stat < crit5)]
+                if stat == stat
+                else [None],
+            }
+        )
+
+    return j.withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(
+        _eg,
+        schema="lhs string, rhs string, n long, alpha double, beta double,"
+        " adf_stat double, cointegrated_5pct boolean",
+    )

@@ -37,6 +37,7 @@ __all__ = [
     "permutation_entropy",
     "interarrival_stats",
     "find_peaks",
+    "threshold_runs",
 ]
 
 
@@ -496,4 +497,51 @@ def find_peaks(
         order_col,
         value_col,
         (v - F.greatest("_lm", "_rm")).alias("depth"),
+    )
+
+
+def threshold_runs(
+    df: DataFrame,
+    threshold: float,
+    min_length: int = 1,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Maximal runs of consecutive above-threshold observations per
+    series (gaps-and-islands) → (key, start_loc, end_loc, length,
+    max_value, sum_excess): streak/episode detection — heatwaves,
+    sustained load, alert episodes — the segment-level complement of the
+    pointwise :func:`~spark_timeseries_spark.operators.outliers.outliers`.
+    "Consecutive" means adjacent in the series' non-null run (a NULL
+    cell breaks a run — an unobserved instant is not evidence the
+    exceedance persisted). ``sum_excess`` integrates value − threshold
+    over the run (episode severity, not just length).
+
+    Plan: the classic two-row-number island id (rank in the series minus
+    rank among its above-threshold rows is constant exactly on each
+    maximal run) — both windows share the one (key, loc) sort, then one
+    (key, island) aggregate. All JVM, one exchange."""
+    if min_length < 1:
+        raise ValueError(f"min_length must be >= 1, got {min_length}")
+    v = F.col(value_col)
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+    # rank over ALL rows (null cells included) so a NULL keeps its slot
+    # and breaks adjacency, per the contract above
+    above = (
+        df.withColumn("_rn", F.row_number().over(ws))
+        .where(v.isNotNull() & (v > threshold))
+        .withColumn("_grp", F.col("_rn") - F.row_number().over(ws))
+    )
+    return (
+        above.groupBy(key_col, "_grp")
+        .agg(
+            F.min(order_col).alias("start_loc"),
+            F.max(order_col).alias("end_loc"),
+            F.count(F.lit(1)).alias("length"),
+            F.max(v).alias("max_value"),
+            F.sum(v - threshold).alias("sum_excess"),
+        )
+        .where(F.col("length") >= min_length)
+        .drop("_grp")
     )

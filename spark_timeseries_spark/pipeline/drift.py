@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["psi_bins", "psi"]
+__all__ = ["psi_bins", "psi", "gini"]
 
 
 def _bin(col: F.Column, lo: float, width: float, bins: int) -> F.Column:
@@ -108,4 +108,48 @@ def psi(
     return b.agg(
         F.sum("contrib").alias("psi"),
         F.count(F.lit(1)).alias("n_bins"),
+    )
+
+
+def gini(
+    df: DataFrame,
+    group_cols: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Gini concentration coefficient of a nonnegative quantity per
+    group → (group…, n, total, gini): 0 = perfectly even, →1 = one row
+    holds everything. The mixture-audit metric for a training corpus —
+    e.g. how concentrated token counts are across sources, or documents
+    across domains (a Zipf-ish corpus scores high; a curated balanced
+    mix low). Uses the rank formula over the ascending sort,
+
+        G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n,
+
+    which is tie-invariant (equal values occupy a fixed rank SET, and
+    the sum over that set doesn't depend on their order — so float-sort
+    nondeterminism can't change the result). NULLs are excluded; a
+    group with Σx = 0 or a negative value yields NULL (Gini is
+    undefined there, and silently clamping would hide a data bug).
+
+    Plan: one rank window + one aggregate per group — a single exchange
+    on the group keys; no driver state, no self-join."""
+    group_cols = group_cols or []
+    v = F.col(value_col)
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    ranked = df.where(v.isNotNull()).withColumn(
+        "_i", F.row_number().over(w).cast("double")
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(v).alias("n"),
+        F.sum(v).alias("total"),
+        F.sum(F.col("_i") * v).alias("_iw"),
+        F.min(v).alias("_lo"),
+    )
+    n = F.col("n").cast("double")
+    g = 2.0 * F.col("_iw") / (n * F.col("total")) - (n + 1.0) / n
+    return agg.select(
+        *group_cols,
+        "n",
+        "total",
+        F.when((F.col("total") > 0) & (F.col("_lo") >= 0), g).alias("gini"),
     )

@@ -334,3 +334,36 @@ def granger_causality(y: np.ndarray, x: np.ndarray, max_lag: int = 1):
     rss_u = rss(np.hstack([ones, ylags, xlags]))
     f = ((rss_r - rss_u) / p) / (rss_u / (n_obs - 2 * p - 1))
     return f, chi2_sf(p * f, p)
+
+
+# Asymptotic Engle-Granger cointegration critical values — two variables,
+# constant-only case (MacKinnon 2010, "Critical Values for Cointegration
+# Tests", Table 1, τ_c N=2, T→∞; quoted here rounded to two decimals).
+# Plain ADF tables do NOT apply to a residual-based test — the first-step
+# OLS biases the residual toward stationarity, so the bar is higher.
+EG_CRITICAL_2V = {"1%": -3.90, "5%": -3.34, "10%": -3.04}
+
+
+def engle_granger(y: np.ndarray, x: np.ndarray, max_lag: int = 0):
+    """Engle-Granger two-step cointegration test (Engle & Granger 1987):
+    OLS ``y = α + β·x`` (step 1), then an ADF regression WITHOUT
+    deterministic terms on the residual (step 2 — the residual is
+    mean-zero by construction, so the "nc" design is the standard
+    choice). Returns (alpha, beta, adf_stat): compare the stat against
+    :data:`EG_CRITICAL_2V` (MORE negative ⇒ reject no-cointegration).
+    Beyond-reference — closes the loop the engine's ADF + VAR surface
+    opens: two unit-root series with a stationary linear combination
+    should be modeled in error-correction form, not differenced
+    separately. NaN cells are the caller's problem (conform/fill
+    first)."""
+    y = np.asarray(y, dtype=float)
+    x = np.asarray(x, dtype=float)
+    if len(y) != len(x):
+        raise ValueError("series must be conformed to the same length")
+    if len(y) < max_lag + 4:
+        raise ValueError("series too short for the requested max_lag")
+    X = np.column_stack([np.ones(len(x)), x])
+    coef, *_ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ coef
+    stat, _ = adf_test(resid, max_lag, "nc")
+    return float(coef[0]), float(coef[1]), float(stat)

@@ -1235,3 +1235,90 @@ def test_psi_drift(spark):
         psi(ref, cur, lo=5.0, hi=5.0)
     with _pytest.raises(ValueError):
         psi(ref, cur, lo=1.0)
+
+
+def test_cointegration_test(spark):
+    """Engle-Granger through the distributed wrapper: a cointegrated
+    pair rejects at 5%, an independent-walk pair doesn't; the stat
+    matches the numpy statistic on the same conformed pair."""
+    import numpy as np
+
+    from spark_timeseries_spark.models import cointegration_test
+    from spark_timeseries_spark.stats.tests import engle_granger
+
+    rng = np.random.RandomState(5)
+    x = np.cumsum(rng.randn(200))
+    y = 1.0 + 0.7 * x + rng.randn(200) * 0.2
+    z = np.cumsum(rng.randn(200))
+    rows = (
+        [("x", i, float(x[i])) for i in range(200)]
+        + [("y", i, float(y[i])) for i in range(200)]
+        + [("z", i, float(z[i])) for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+
+    r = cointegration_test(df, "y", "x").collect()[0]
+    a_e, b_e, s_e = engle_granger(y, x)
+    assert r.n == 200
+    assert abs(r.alpha - a_e) < 1e-9 and abs(r.beta - b_e) < 1e-9
+    assert abs(r.adf_stat - s_e) < 1e-9
+    assert r.cointegrated_5pct is True
+
+    r2 = cointegration_test(df, "y", "z").collect()[0]
+    assert r2.cointegrated_5pct is False
+
+
+def test_threshold_runs(spark):
+    """Gaps-and-islands runs: NULL breaks a run, min_length filters,
+    sum_excess integrates the exceedance."""
+    from spark_timeseries_spark.operators.features import threshold_runs
+
+    vals = [1.0, 5.0, 6.0, 2.0, 7.0, None, 8.0, 9.0, 1.0, 4.0]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)],
+        "key string, loc long, value double",
+    )
+    out = {r.start_loc: r for r in threshold_runs(df, 3.0).collect()}
+    # runs above 3: [1,2] (5,6), [4] (7) — the NULL at 5 breaks it from
+    # [6,7] (8,9) — and [9] (4)
+    assert set(out) == {1, 4, 6, 9}
+    assert (out[1].end_loc, out[1].length, out[1].max_value) == (2, 2, 6.0)
+    assert out[1].sum_excess == 5.0  # (5-3) + (6-3)
+    assert (out[6].end_loc, out[6].length) == (7, 2)
+    assert out[6].sum_excess == 11.0  # (8-3) + (9-3)
+
+    long_only = threshold_runs(df, 3.0, min_length=2).collect()
+    assert {r.start_loc for r in long_only} == {1, 6}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        threshold_runs(df, 3.0, min_length=0)
+
+
+def test_gini(spark):
+    """Gini against closed-form cases: even split → 0, total
+    concentration → (n−1)/n, numpy replay on random data, NULL gates."""
+    import numpy as np
+
+    from spark_timeseries_spark.pipeline.drift import gini
+
+    rng = np.random.RandomState(2)
+    vals = [float(v) for v in rng.exponential(5.0, 50)]
+    rows = (
+        [("even", float(3.0)) for _ in range(10)]
+        + [("one", 0.0)] * 9 + [("one", 10.0)]
+        + [("rand", v) for v in vals]
+        + [("neg", -1.0), ("neg", 5.0)]
+        + [("zero", 0.0), ("zero", 0.0)]
+    )
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = {r.grp: r for r in gini(df, ["grp"], "value").collect()}
+
+    assert abs(out["even"].gini) < 1e-12
+    assert abs(out["one"].gini - 0.9) < 1e-12  # (n-1)/n with n=10
+    x = np.sort(vals)
+    i = np.arange(1, 51)
+    expect = 2 * np.sum(i * x) / (50 * x.sum()) - 51 / 50
+    assert abs(out["rand"].gini - expect) < 1e-12
+    assert out["neg"].gini is None and out["zero"].gini is None
+    assert out["rand"].n == 50
