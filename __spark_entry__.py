@@ -979,7 +979,21 @@ def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "minhash_lsh_dedup_xx": _q_minhash_lsh_dedup_xx,
         "minhash_lsh_dedup_oph": _q_minhash_lsh_dedup_oph,
+        # the join-method corr_matrix, timed against the compact kernel
+        # the oracle row runs — keeps the K-vs-T trade measured per round
+        "corr_matrix_join": _q_corr_matrix_join,
     }
+
+
+def _q_corr_matrix_join(spark, sf_dir):
+    from spark_timeseries_spark.operators import rolling as roll_ops
+
+    grid = _daily_grid(spark, sf_dir)
+    out = roll_ops.corr_matrix(grid, min_overlap=5, method="join")
+    return out.select(
+        "key_a", "key_b", "n_overlap",
+        _stable_round(F.col("corr"), 6).alias("corr"),
+    )
 
 
 def _q_simhash_near_dups(spark, sf_dir):
@@ -2780,6 +2794,155 @@ def _q_psi_drift(spark, sf_dir):
     )
 
 
+def _q_cointegration(spark, sf_dir):
+    """Engle-Granger two-step cointegration between two users' filled
+    daily series (max_lag=0): step-1 OLS α, β and the no-constant DF
+    t-stat on the residual. The oracle re-derives everything in closed
+    form — β from covar/var, γ and its standard error from the residual
+    moment sums (σ² = SSR/(m−1), k=1 regressor). The 5% decision
+    compares against the MacKinnon 2010 τ_c(2) value −3.34."""
+    from spark_timeseries_spark.models import cointegration_test
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
+    out = cointegration_test(filled, "1", "2", max_lag=0)
+    return out.select(
+        "lhs", "rhs", "n",
+        _stable_round(F.col("alpha"), 6).alias("alpha"),
+        _stable_round(F.col("beta"), 6).alias("beta"),
+        _stable_round(F.col("adf_stat"), 5).alias("adf_stat"),
+        "cointegrated_5pct",
+    )
+
+
+def _q_threshold_runs(spark, sf_dir):
+    """Above-60 exceedance episodes per daily-grid series — maximal
+    consecutive runs (a NULL day breaks a run), with episode length,
+    peak, and integrated excess. Oracle replays the two-row-number
+    island id."""
+    from spark_timeseries_spark.operators.features import threshold_runs
+
+    grid = _daily_grid(spark, sf_dir)
+    out = threshold_runs(grid, 60.0)
+    return out.select(
+        "key", "start_loc", "end_loc", "length",
+        "max_value",
+        _stable_round(F.col("sum_excess"), 6).alias("sum_excess"),
+    )
+
+
+def _q_gini_sources(spark, sf_dir):
+    """Gini concentration of document lengths within each source — the
+    corpus-mixture audit (is one source dominated by a few huge docs?).
+    Rank formula over the ascending sort; tie-invariant, so the oracle
+    replays it exactly."""
+    from spark_timeseries_spark.pipeline.drift import gini
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", F.length("text").cast("double").alias("value")
+    )
+    out = gini(d, ["source"], "value")
+    return out.select(
+        "source", "n", "total",
+        _stable_round(F.col("gini"), 6).alias("gini"),
+    )
+
+
+def _q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall nonparametric trend per daily-grid series: pairwise
+    sign sum S (integer-exact), tie-corrected Var(S), continuity-
+    corrected z. The normal-tail p-value stays pytest-covered (the
+    engine's MacKinnon/χ² convention — DuckDB has no erf), so the row
+    proves S/Var/z."""
+    from spark_timeseries_spark.operators.cusum import mann_kendall
+
+    grid = _daily_grid(spark, sf_dir)
+    out = mann_kendall(grid)
+    return out.select(
+        "key", "n", "s",
+        _stable_round(F.col("var_s"), 6).alias("var_s"),
+        _stable_round(F.col("z"), 6).alias("z"),
+    )
+
+
+def _q_ks_drift(spark, sf_dir):
+    """Two-sample KS over the same first-half/second-half events cohorts
+    as ``psi_drift`` — D from integer rank counts (exact), p from the
+    100-term Kolmogorov series (both engines fold the same literal
+    series; only exp() noise needs the stable rounding)."""
+    from spark_timeseries_spark.pipeline.drift import ks_test
+
+    obs = events_observations(spark, sf_dir)
+    ref = obs.where(F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    cur = obs.where(F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+    out = ks_test(ref, cur, "value")
+    return out.select(
+        "n_ref", "n_cur",
+        _stable_round(F.col("d_stat"), 6).alias("d_stat"),
+        _stable_round(F.col("p_value"), 6).alias("p_value"),
+    )
+
+
+def _q_roll_beta(spark, sf_dir):
+    """Rolling 7-day OLS beta/alpha of user 1's filled series on user
+    2's — windowed covar/var closed form, replayed by the oracle with
+    the same ROWS frame."""
+    from spark_timeseries_spark.operators.rolling import roll_beta
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
+    out = roll_beta(filled, "1", "2", 7)
+    return out.select(
+        "loc",
+        _stable_round(F.col("beta"), 6).alias("beta"),
+        _stable_round(F.col("alpha"), 6).alias("alpha"),
+    )
+
+
+def _q_scale_suite(spark, sf_dir):
+    """Composed re-proof of all three per-series scaling methods in one
+    slot — zscore, robust (median/1.4826·MAD, exact interpolated
+    percentiles = DuckDB quantile_cont), minmax — as three columns off
+    the same daily grid."""
+    from spark_timeseries_spark.operators.scale import scale
+
+    grid = _daily_grid(spark, sf_dir)
+    out = scale(
+        scale(
+            scale(grid, "zscore", out_col="z"), "robust", out_col="rz"
+        ),
+        "minmax",
+        out_col="mm",
+    )
+    return out.where(F.col("value").isNotNull()).select(
+        "key", "loc",
+        _stable_round(F.col("z"), 6).alias("z"),
+        _stable_round(F.col("rz"), 6).alias("rz"),
+        _stable_round(F.col("mm"), 6).alias("mm"),
+    )
+
+
+def _q_matrix_profile(spark, sf_dir):
+    """Matrix profile (m=7, exclusion ⌈m/4⌉=2) over each user's filled
+    daily series — z-normalized nearest-neighbor subsequence distances
+    via the blocked-GEMM grouped-map kernel; the oracle replays the
+    moment identity d² = 2m(1 − (⟨a,b⟩ − mμμ)/(mσσ)) with DuckDB list
+    ops over the same sliding windows. The neighbor INDEX stays out of
+    the row (near-tie argmins are not cross-engine stable; the distance
+    is)."""
+    from spark_timeseries_spark.operators.matrixprofile import (
+        matrix_profile,
+    )
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
+    out = matrix_profile(filled, 7)
+    return out.select(
+        "key", "loc", _stable_round(F.col("mp"), 6).alias("mp")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
     the first 50 entries. Window policy (round 7, per the r6 verdict's
@@ -2804,6 +2967,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paa": _q_paa,
         "peaks": _q_peaks,
         "psi_drift": _q_psi_drift,
+        "cointegration": _q_cointegration,
+        "threshold_runs": _q_threshold_runs,
+        "gini_sources": _q_gini_sources,
+        "mann_kendall": _q_mann_kendall,
+        "ks_drift": _q_ks_drift,
+        "roll_beta": _q_roll_beta,
+        "scale_suite": _q_scale_suite,
+        "matrix_profile": _q_matrix_profile,
         "max_drawdown": _q_max_drawdown,
         "changepoint": _q_changepoint,
         "hurst": _q_hurst,
@@ -2843,6 +3014,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serde_roundtrip": _q_serde_roundtrip,
         "row_matrix_norms": _q_row_matrix_norms,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
+        # ---- driver window (50) ends here ----------------------------------
+        # (lsh_recall/ivf_topk/index_union/multimodal_meta/image_features/
+        # arima_forecast/fill_next/fill_nearest/fill_zero/lags/
+        # dedup_paragraphs/url_stats displaced by the twelve new rows
+        # above; all green in the committed full oracle log, queued for r8)
         "lsh_recall": _q_lsh_recall,
         "ivf_topk": _q_ivf_topk,
         "index_union": _q_index_union,
@@ -2851,10 +3027,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arima_forecast": _q_arima_forecast,
         "fill_next": _q_fill_next,
         "fill_nearest": _q_fill_nearest,
-        # ---- driver window (50) ends here ----------------------------------
-        # (fill_zero/lags/dedup_paragraphs/url_stats displaced by the four
-        # sax/paa/peaks/psi_drift rows above; all green in the committed
-        # full oracle log, queued for the r8 rotation)
         "fill_zero": _q_fill_zero,
         "lags": _q_lags,
         "dedup_paragraphs": _q_dedup_paragraphs,
@@ -3407,6 +3579,274 @@ def oracle_sql() -> dict[str, str]:
                        ' * ln(GREATEST(p_cur, 1e-4) / GREATEST(p_ref, 1e-4))',
                        6)} AS contrib
             FROM j
+        """,
+        "cointegration": _DAILY_GRID_SQL + _FILLED_SQL
+        + f"""
+            , pair AS (
+                SELECT a.loc AS loc, a.value AS y, b.value AS x
+                FROM filled a JOIN filled b USING (loc)
+                WHERE a.key = '1' AND b.key = '2'
+                  AND a.value IS NOT NULL AND b.value IS NOT NULL
+            ),
+            ols AS (
+                SELECT covar_samp(y, x) / var_samp(x) AS beta,
+                       avg(y) - covar_samp(y, x) / var_samp(x) * avg(x)
+                           AS alpha,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM pair
+            ),
+            e AS (
+                SELECT loc, y - ols.alpha - ols.beta * x AS ev
+                FROM pair, ols
+            ),
+            d AS (
+                SELECT ev, lag(ev) OVER (ORDER BY loc) AS el FROM e
+            ),
+            dd AS (SELECT ev - el AS de, el FROM d WHERE el IS NOT NULL),
+            g AS (
+                SELECT sum(el * de) / sum(el * el) AS gamma,
+                       count(*) AS m, sum(el * el) AS see
+                FROM dd
+            ),
+            s AS (
+                SELECT g.gamma AS gamma, g.m AS m, g.see AS see,
+                       sum((dd.de - g.gamma * dd.el)
+                           * (dd.de - g.gamma * dd.el)) AS ssr
+                FROM dd, g GROUP BY 1, 2, 3
+            )
+            SELECT '1' AS lhs, '2' AS rhs, ols.n AS n,
+                   {_sr_sql('ols.alpha', 6)} AS alpha,
+                   {_sr_sql('ols.beta', 6)} AS beta,
+                   {_sr_sql(
+                       'gamma / sqrt((ssr / (m - 1)) / see)', 5)} AS adf_stat,
+                   gamma / sqrt((ssr / (m - 1)) / see) < -3.34
+                       AS cointegrated_5pct
+            FROM s, ols
+        """,
+        "threshold_runs": _DAILY_GRID_SQL
+        + f"""
+            , rn AS (
+                SELECT key, loc, value,
+                       row_number() OVER (PARTITION BY key ORDER BY loc)
+                           AS rk
+                FROM grid
+            ),
+            ab AS (
+                SELECT key, loc, value,
+                       rk - row_number()
+                           OVER (PARTITION BY key ORDER BY loc) AS grp
+                FROM rn WHERE value IS NOT NULL AND value > 60.0
+            )
+            SELECT key, min(loc) AS start_loc, max(loc) AS end_loc,
+                   CAST(count(*) AS BIGINT) AS length,
+                   max(value) AS max_value,
+                   {_sr_sql('sum(value - 60.0)', 6)} AS sum_excess
+            FROM ab GROUP BY key, grp
+        """,
+        "gini_sources": f"""
+            WITH d AS (
+                SELECT source, CAST(length(text) AS DOUBLE) AS v
+                FROM documents
+            ),
+            r AS (
+                SELECT source, v,
+                       CAST(row_number()
+                            OVER (PARTITION BY source ORDER BY v)
+                            AS DOUBLE) AS i
+                FROM d
+            ),
+            a AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n,
+                       sum(v) AS total, sum(i * v) AS iw, min(v) AS lo
+                FROM r GROUP BY source
+            )
+            SELECT source, n, total,
+                   CASE WHEN total > 0 AND lo >= 0 THEN
+                       {_sr_sql(
+                           '2.0 * iw / (CAST(n AS DOUBLE) * total)'
+                           ' - (CAST(n AS DOUBLE) + 1.0)'
+                           ' / CAST(n AS DOUBLE)', 6)}
+                   END AS gini
+            FROM a
+        """,
+        "mann_kendall": _DAILY_GRID_SQL
+        + f"""
+            , obs AS (SELECT key, loc, value FROM grid
+                      WHERE value IS NOT NULL),
+            pr AS (
+                SELECT a.key AS key,
+                       CAST(sum(CAST(sign(b.value - a.value) AS BIGINT))
+                            AS BIGINT) AS s
+                FROM obs a JOIN obs b ON a.key = b.key AND a.loc < b.loc
+                GROUP BY 1
+            ),
+            nn AS (SELECT key, CAST(count(*) AS BIGINT) AS n
+                   FROM obs GROUP BY 1),
+            tt AS (
+                SELECT key, sum(t * (t - 1) * (2 * t + 5)) AS tie FROM (
+                    SELECT key, value, CAST(count(*) AS DOUBLE) AS t
+                    FROM obs GROUP BY 1, 2
+                ) GROUP BY 1
+            ),
+            v AS (
+                SELECT nn.key AS key, nn.n AS n, pr.s AS s,
+                       CASE WHEN nn.n >= 3 THEN
+                           (CAST(nn.n AS DOUBLE) * (nn.n - 1)
+                            * (2 * nn.n + 5) - tt.tie) / 18.0
+                       END AS var_s
+                FROM nn LEFT JOIN pr USING (key) LEFT JOIN tt USING (key)
+            )
+            SELECT key, n, s, {_sr_sql('var_s', 6)} AS var_s,
+                   {_sr_sql(
+                       'CASE WHEN var_s IS NULL OR var_s <= 0 THEN NULL'
+                       ' WHEN s > 0 THEN (s - 1) / sqrt(var_s)'
+                       ' WHEN s < 0 THEN (s + 1) / sqrt(var_s)'
+                       ' ELSE 0.0 END', 6)} AS z
+            FROM v
+        """,
+        "ks_drift": f"""
+            WITH r AS (SELECT value AS v FROM events
+                       WHERE ts < TIMESTAMP '2024-01-16'
+                         AND value IS NOT NULL),
+            c AS (SELECT value AS v FROM events
+                  WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL),
+            u AS (
+                SELECT v, sum(nr) AS nr, sum(nc) AS nc FROM (
+                    SELECT v, 1 AS nr, 0 AS nc FROM r
+                    UNION ALL SELECT v, 0 AS nr, 1 AS nc FROM c
+                ) GROUP BY v
+            ),
+            e AS (
+                SELECT sum(nr) OVER wc
+                           / CAST((SELECT count(*) FROM r) AS DOUBLE)
+                     - sum(nc) OVER wc
+                           / CAST((SELECT count(*) FROM c) AS DOUBLE)
+                           AS gap
+                FROM u
+                WINDOW wc AS (ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)
+            ),
+            d AS (
+                SELECT max(abs(gap)) AS d_stat,
+                       (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_ref,
+                       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_cur
+                FROM e
+            ),
+            l AS (
+                SELECT d_stat, n_ref, n_cur,
+                       d_stat * sqrt(CAST(n_ref AS DOUBLE) * n_cur
+                                     / (n_ref + n_cur)) AS lam
+                FROM d
+            ),
+            ser AS (
+                SELECT l.d_stat AS d_stat, l.n_ref AS n_ref,
+                       l.n_cur AS n_cur, l.lam AS lam,
+                       2 * sum(CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END
+                               * exp(-2.0 * k * k * l.lam * l.lam)) AS praw
+                FROM l, generate_series(1, 100) t(k)
+                GROUP BY 1, 2, 3, 4
+            )
+            SELECT n_ref, n_cur, {_sr_sql('d_stat', 6)} AS d_stat,
+                   {_sr_sql(
+                       'CASE WHEN lam <= 0.2 THEN 1.0'
+                       ' ELSE LEAST(GREATEST(praw, 0.0), 1.0) END',
+                       6)} AS p_value
+            FROM ser
+        """,
+        "roll_beta": _DAILY_GRID_SQL + _FILLED_SQL
+        + f"""
+            , pair AS (
+                SELECT a.loc AS loc, a.value AS av, b.value AS bv
+                FROM filled a JOIN filled b USING (loc)
+                WHERE a.key = '1' AND b.key = '2'
+            ),
+            w AS (
+                SELECT loc,
+                       count(*) OVER fr AS rows_,
+                       covar_samp(av, bv) OVER fr AS cab,
+                       var_samp(bv) OVER fr AS vb,
+                       avg(av) OVER fr AS ma, avg(bv) OVER fr AS mb
+                FROM pair
+                WINDOW fr AS (ORDER BY loc
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            )
+            SELECT loc,
+                   {_sr_sql('CASE WHEN vb > 0 THEN cab / vb END', 6)}
+                       AS beta,
+                   {_sr_sql(
+                       'CASE WHEN vb > 0 THEN ma - cab / vb * mb END', 6)}
+                       AS alpha
+            FROM w WHERE rows_ = 7
+        """,
+        "scale_suite": _DAILY_GRID_SQL
+        + f"""
+            , obs AS (SELECT key, loc, value FROM grid
+                      WHERE value IS NOT NULL),
+            zs AS (
+                SELECT key, avg(value) AS mu, stddev_samp(value) AS sd,
+                       min(value) AS lo, max(value) - min(value) AS rng,
+                       quantile_cont(value, 0.5) AS med
+                FROM obs GROUP BY key
+            ),
+            mad AS (
+                SELECT obs.key AS key,
+                       quantile_cont(abs(obs.value - zs.med), 0.5)
+                           * 1.4826 AS spr
+                FROM obs JOIN zs USING (key) GROUP BY 1
+            )
+            SELECT obs.key AS key, obs.loc AS loc,
+                   {_sr_sql(
+                       'CASE WHEN sd > 0 THEN (value - mu) / sd END', 6)}
+                       AS z,
+                   {_sr_sql(
+                       'CASE WHEN spr > 0 THEN (value - med) / spr END',
+                       6)} AS rz,
+                   {_sr_sql(
+                       'CASE WHEN rng > 0 THEN (value - lo) / rng END',
+                       6)} AS mm
+            FROM obs JOIN zs USING (key) JOIN mad USING (key)
+        """,
+        "matrix_profile": _DAILY_GRID_SQL + _FILLED_SQL
+        + f"""
+            , arr AS (
+                SELECT key, list(value ORDER BY loc) AS vs,
+                       list(loc ORDER BY loc) AS ls
+                FROM filled WHERE value IS NOT NULL GROUP BY key
+            ),
+            idx AS (SELECT CAST(g AS INT) AS i
+                    FROM generate_series(1, 10000) t(g)),
+            wins AS (
+                SELECT key, i, ls[i] AS loc,
+                       list_slice(vs, i, i + 6) AS w
+                FROM arr JOIN idx ON i <= len(vs) - 6
+            ),
+            st AS (SELECT key, i, loc, w, list_avg(w) AS mu FROM wins),
+            st2 AS (
+                SELECT key, i, loc, w, mu,
+                       sqrt(list_avg(list_transform(
+                           w, x -> (x - mu) * (x - mu)))) AS sd
+                FROM st
+            ),
+            pr AS (
+                SELECT a.key AS key, a.i AS i, a.loc AS loc,
+                       max(a.sd) AS sda,
+                       min(CASE WHEN a.sd > 0 AND b.sd > 0
+                                 AND abs(a.i - b.i) >= 2
+                            THEN 2.0 * 7 * (1.0
+                                 - (list_dot_product(a.w, b.w)
+                                    - 7.0 * a.mu * b.mu)
+                                   / (7.0 * a.sd * b.sd))
+                       END) AS d2
+                FROM st2 a JOIN st2 b
+                  ON a.key = b.key AND a.i <> b.i
+                GROUP BY 1, 2, 3
+            )
+            SELECT key, loc,
+                   {_sr_sql(
+                       'CASE WHEN sda > 0 AND d2 IS NOT NULL'
+                       ' THEN sqrt(GREATEST(d2, 0.0)) END', 6)} AS mp
+            FROM pr
         """,
         "perm_entropy": _DAILY_GRID_SQL
         + f"""

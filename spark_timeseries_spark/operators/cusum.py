@@ -21,10 +21,12 @@ Beyond-reference: sryza/spark-timeseries has no change-point surface.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cusum", "cusum_changepoints", "theil_sen"]
+__all__ = ["cusum", "cusum_changepoints", "theil_sen", "mann_kendall"]
 
 
 def cusum(
@@ -181,4 +183,79 @@ def theil_sen(
             "intercept",
             F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
         )
+    )
+
+
+def mann_kendall(
+    df: DataFrame,
+    key_col: str = "key",
+    loc_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Mann-Kendall nonparametric trend test per series → (key, n, s,
+    var_s, z, p_value): S = Σ_{i<j} sign(v_j − v_i) over time-ordered
+    pairs, tie-corrected variance Var(S) = [n(n−1)(2n+5) −
+    Σ_t t(t−1)(2t+5)]/18 (Mann 1945, Kendall 1975), and the
+    continuity-corrected normal z ((S∓1)/√Var; 0 when S=0). The
+    distribution-free companion of :func:`theil_sen` — same pairwise
+    self-join, same quadratic-in-SERIES-LENGTH envelope (the reference's
+    one-series-in-memory bound, ``src/site/markdown/index.md:35-40``),
+    keyed per series so the corpus dimension parallelizes. Two-sided
+    p-value from the closed-form normal tail; n < 3 or all-tied series
+    yield NULL z/p. NULL cells are skipped (pairs form over the
+    observed run)."""
+    from ..models._numeric import norm_cdf
+
+    pts = df.where(F.col(value_col).isNotNull()).select(
+        key_col,
+        F.col(loc_col).alias("_l"),
+        F.col(value_col).alias("_v"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    s_agg = (
+        a.join(b, key_col)
+        .where(F.col("a._l") < F.col("b._l"))
+        .groupBy(key_col)
+        .agg(
+            F.sum(
+                F.signum(F.col("b._v") - F.col("a._v")).cast("long")
+            ).alias("s")
+        )
+    )
+    n_agg = pts.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        pts.groupBy(key_col, "_v")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy(key_col)
+        .agg(
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            ).alias("_tie")
+        )
+    )
+    n = F.col("n").cast("double")
+    var_s = (
+        n * (n - 1) * (2 * n + 5) - F.col("_tie").cast("double")
+    ) / 18.0
+    s = F.col("s").cast("double")
+    z = F.when(F.col("var_s") <= 0, None).otherwise(
+        F.when(s > 0, (s - 1) / F.sqrt("var_s"))
+        .when(s < 0, (s + 1) / F.sqrt("var_s"))
+        .otherwise(0.0)
+    )
+    out = (
+        n_agg.join(s_agg, key_col, "left")
+        .join(ties, key_col, "left")
+        .withColumn("var_s", F.when(F.col("n") >= 3, var_s))
+        .withColumn("z", z)
+    )
+
+    @F.pandas_udf("double")
+    def _p(zc: pd.Series) -> pd.Series:
+        return zc.map(
+            lambda v: None if pd.isna(v) else 2.0 * (1.0 - norm_cdf(abs(v)))
+        )
+
+    return out.select(
+        key_col, "n", "s", "var_s", "z", _p(F.col("z")).alias("p_value")
     )

@@ -313,6 +313,56 @@ def roll_corr(
     )
 
 
+def roll_beta(
+    df: DataFrame,
+    key_a: str,
+    key_b: str,
+    n: int,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Rolling OLS regression of series ``key_a`` on series ``key_b`` →
+    (loc, beta, alpha) over right-aligned complete n-windows:
+    β = cov(a,b)/var(b), α = mean(a) − β·mean(b) — the time-varying
+    hedge-ratio / exposure companion of :func:`roll_corr`, same
+    conventions (complete windows only, NULL on a missing cell or a
+    zero-variance regressor window). Beyond-reference. Plan: one
+    equi-join aligns the pair, then ONE window pass — the
+    one-series-in-memory envelope."""
+    if n < 2:
+        raise ValueError(f"roll_beta needs n >= 2, got {n}")
+    a = df.where(F.col(key_col) == key_a).select(
+        F.col(order_col).alias(order_col), F.col(value_col).alias("_a")
+    )
+    b = df.where(F.col(key_col) == key_b).select(
+        F.col(order_col).alias(order_col), F.col(value_col).alias("_b")
+    )
+    j = a.join(b, order_col)
+    w = Window.orderBy(order_col).rowsBetween(-(n - 1), 0)
+    pair = F.when(F.col("_a").isNotNull() & F.col("_b").isNotNull(), 1)
+    # try_divide, not covar/var alone: a zero-variance regressor window
+    # must yield NULL under ANSI mode, same contract as corr_matrix
+    beta = F.try_divide(
+        F.covar_samp("_a", "_b").over(w), F.var_samp("_b").over(w)
+    )
+    full = F.col("_pairs") == n
+    out = (
+        j.withColumn("_rows", F.count(F.lit(1)).over(w))
+        .withColumn("_pairs", F.count(pair).over(w))
+        .withColumn("beta", F.when(full, beta))
+        .withColumn(
+            "alpha",
+            F.when(
+                full,
+                F.avg("_a").over(w) - F.col("beta") * F.avg("_b").over(w),
+            ),
+        )
+        .where(F.col("_rows") == n)
+    )
+    return out.select(order_col, "beta", "alpha")
+
+
 def crosscorr(
     df: DataFrame,
     key_a: str,

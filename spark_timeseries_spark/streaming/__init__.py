@@ -8,6 +8,7 @@ from .observations import (
     streaming_incremental_dedup,
     streaming_near_dedup,
     streaming_outliers,
+    streaming_psi,
     streaming_resample,
     streaming_token_stats,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "streaming_incremental_dedup",
     "streaming_near_dedup",
     "streaming_outliers",
+    "streaming_psi",
     "streaming_resample",
     "streaming_token_stats",
 ]

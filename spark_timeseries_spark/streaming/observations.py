@@ -473,3 +473,72 @@ def streaming_outliers(
         )
         .drop("center", "scale")
     )
+
+
+def streaming_psi(
+    stream: DataFrame,
+    ref_fractions: list[float],
+    lo: float,
+    hi: float,
+    window_duration: str = "10 minutes",
+    watermark: str = "10 minutes",
+    min_count: int = 1,
+    eps: float = 1e-4,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Windowed PSI drift monitor against a STATIC reference histogram:
+    each event-time tumbling window scores its value distribution with
+    the Population Stability Index against ``ref_fractions`` (the
+    per-bin proportions of the offline reference cohort — the list a
+    batch :func:`pipeline.drift.psi_bins` run produces; bin edges are
+    the same equal-width [lo, hi] carve, out-of-range values clamp to
+    the end bins). → (window_start, window_end, n, psi). The streaming
+    half of the batch drift gate: alert when a window's psi crosses the
+    0.1 / 0.25 thresholds.
+
+    Plan: Structured Streaming allows ONE aggregation per query, so the
+    per-bin counts pivot into ``len(ref_fractions)`` conditional-count
+    columns inside a single watermarked window aggregate (the reference
+    side rides along as literals — it's ≤ a few hundred scalars, an
+    offline artifact, not a join). Everything after the agg is
+    row-local fold arithmetic. Windows with fewer than ``min_count``
+    values report NULL psi (a 3-row window's histogram is noise, not
+    drift)."""
+    bins = len(ref_fractions)
+    if bins < 2:
+        raise ValueError(f"need >= 2 reference bins, got {bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    width = (hi - lo) / bins
+    v = F.col(value_col)
+    bin_id = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(bins - 1),
+    )
+    agg = (
+        stream.where(v.isNotNull())
+        .withWatermark(ts_col, watermark)
+        .withColumn("_bin", bin_id)
+        .groupBy(F.window(ts_col, window_duration).alias("_w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.count(F.when(F.col("_bin") == i, 1)).alias(f"_c{i}")
+                for i in range(bins)
+            ],
+        )
+    )
+    n = F.col("n").cast("double")
+    psi = None
+    for i, p_ref in enumerate(ref_fractions):
+        pe = max(float(p_ref), eps)
+        qe = F.greatest(F.col(f"_c{i}") / n, F.lit(eps))
+        term = (qe - F.lit(pe)) * F.log(qe / F.lit(pe))
+        psi = term if psi is None else psi + term
+    return agg.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        "n",
+        F.when(F.col("n") >= min_count, psi).alias("psi"),
+    )

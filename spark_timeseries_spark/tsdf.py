@@ -221,6 +221,19 @@ class TimeSeriesDataFrame:
         companion of :meth:`crosscorr`."""
         return rolling.roll_corr(self.df, key_a, key_b, n)
 
+    def roll_beta(self, key_a: str, key_b: str, n: int) -> DataFrame:
+        """Rolling OLS beta/alpha of one series on another — windowed
+        hedge-ratio companion of :meth:`roll_corr`; see
+        :func:`operators.rolling.roll_beta`."""
+        return rolling.roll_beta(self.df, key_a, key_b, n)
+
+    def scale(self, method: str = "zscore") -> DataFrame:
+        """Per-series scaling (zscore / robust / minmax) —
+        beyond-reference; see :func:`operators.scale.scale`."""
+        from .operators.scale import scale as _scale
+
+        return _scale(self.df, method)
+
     def _roll_via(self, fn, n: int, align_: str) -> "TimeSeriesDataFrame":
         out = fn(self.df, n, align_)
         lo, hi = rolling._frame(n, align_)
@@ -335,6 +348,16 @@ class TimeSeriesDataFrame:
 
         return _sax(self.df, w, a)
 
+    def threshold_runs(
+        self, threshold: float, min_length: int = 1
+    ) -> DataFrame:
+        """Maximal above-threshold exceedance episodes per series —
+        beyond-reference; see
+        :func:`operators.features.threshold_runs`."""
+        from .operators.features import threshold_runs
+
+        return threshold_runs(self.df, threshold, min_length)
+
     def find_peaks(self, k: int = 1) -> DataFrame:
         """Strict local maxima with windowed depth — beyond-reference;
         see :func:`operators.features.find_peaks`."""
@@ -350,6 +373,23 @@ class TimeSeriesDataFrame:
         from .operators.cusum import cusum_changepoints
 
         return cusum_changepoints(self.df, k, h, standardize=standardize)
+
+    def matrix_profile(
+        self, m: int, exclusion: int | None = None
+    ) -> DataFrame:
+        """Per-series matrix profile (motif/discord distances) —
+        beyond-reference; see
+        :func:`operators.matrixprofile.matrix_profile`."""
+        from .operators.matrixprofile import matrix_profile
+
+        return matrix_profile(self.df, m, exclusion)
+
+    def mann_kendall(self) -> DataFrame:
+        """Per-series Mann-Kendall nonparametric trend test —
+        beyond-reference; see :func:`operators.cusum.mann_kendall`."""
+        from .operators.cusum import mann_kendall
+
+        return mann_kendall(self.df)
 
     def theil_sen(self) -> DataFrame:
         """Per-series Theil–Sen robust trend — beyond-reference; see

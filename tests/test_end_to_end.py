@@ -1322,3 +1322,217 @@ def test_gini(spark):
     assert abs(out["rand"].gini - expect) < 1e-12
     assert out["neg"].gini is None and out["zero"].gini is None
     assert out["rand"].n == 50
+
+
+def test_mann_kendall(spark):
+    """MK trend stat against a numpy replay on trending, flat-tied, and
+    short series — including the tie-corrected variance."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.cusum import mann_kendall
+
+    rng = np.random.RandomState(17)
+    up = [float(0.5 * i + v) for i, v in enumerate(rng.randn(30))]
+    tied = [1.0, 2.0, 2.0, 2.0, 3.0, 1.0, 2.0, 3.0]
+    rows = (
+        [("up", i, up[i]) for i in range(30)]
+        + [("tied", i, tied[i]) for i in range(8)]
+        + [("two", 0, 1.0), ("two", 1, 2.0)]
+        + [("flat", i, 4.0) for i in range(6)]
+    )
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    out = {r.key: r for r in mann_kendall(df).collect()}
+
+    def mk(vals):
+        s = sum(
+            np.sign(vals[j] - vals[i])
+            for i in range(len(vals))
+            for j in range(i + 1, len(vals))
+        )
+        n = len(vals)
+        _, counts = np.unique(vals, return_counts=True)
+        tie = sum(t * (t - 1) * (2 * t + 5) for t in counts)
+        var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+        return s, var
+
+    for k, vals in (("up", up), ("tied", tied)):
+        s_e, var_e = mk(vals)
+        r = out[k]
+        assert r.s == s_e and abs(r.var_s - var_e) < 1e-9, k
+        z_e = (s_e - np.sign(s_e)) / np.sqrt(var_e)
+        assert abs(r.z - z_e) < 1e-12
+    assert out["up"].p_value < 1e-6  # strong trend rejects
+    assert out["tied"].p_value > 0.05
+    assert out["two"].var_s is None and out["two"].z is None
+    # all-tied: var_s = 0 after tie correction → NULL z
+    assert out["flat"].var_s == 0.0 and out["flat"].z is None
+
+
+def test_ks_test(spark):
+    """KS D against a numpy ECDF replay; identical cohorts → D=0, p=1;
+    the asymptotic p matches the truncated Kolmogorov series."""
+    import numpy as np
+
+    from spark_timeseries_spark.pipeline.drift import ks_test
+
+    rng = np.random.RandomState(23)
+    rv = [float(v) for v in rng.normal(0, 1, 300)]
+    cv = [float(v) for v in rng.normal(0.5, 1.3, 200)]
+    ref = spark.createDataFrame([(v,) for v in rv], "value double")
+    cur = spark.createDataFrame([(v,) for v in cv], "value double")
+
+    row = ks_test(ref, cur).collect()[0]
+    pooled = np.sort(np.unique(rv + cv))
+    fr = np.searchsorted(np.sort(rv), pooled, side="right") / len(rv)
+    fc = np.searchsorted(np.sort(cv), pooled, side="right") / len(cv)
+    d_e = float(np.max(np.abs(fr - fc)))
+    assert row.n_ref == 300 and row.n_cur == 200
+    assert abs(row.d_stat - d_e) < 1e-12
+    lam = d_e * np.sqrt(300 * 200 / 500)
+    assert lam > 0.2  # the series branch, not the small-lambda gate
+    p_e = 2 * sum(
+        (-1) ** (k - 1) * np.exp(-2 * k * k * lam * lam)
+        for k in range(1, 101)
+    )
+    assert abs(row.p_value - min(max(p_e, 0.0), 1.0)) < 1e-9
+
+    same = ks_test(ref, ref).collect()[0]
+    assert same.d_stat == 0.0 and same.p_value == 1.0
+
+
+def test_roll_beta(spark):
+    """Rolling OLS beta/alpha against a numpy window replay, including
+    the zero-variance-regressor NULL gate."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.rolling import roll_beta
+
+    rng = np.random.RandomState(31)
+    b_vals = [float(v) for v in rng.randn(20)]
+    a_vals = [2.0 * b_vals[i] + 1.0 + float(rng.randn()) * 0.1
+              for i in range(20)]
+    b_vals[12] = b_vals[13] = b_vals[14] = 4.0  # flat regressor window
+    rows = [("a", i, a_vals[i]) for i in range(20)] + [
+        ("b", i, b_vals[i]) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    out = {r.loc: r for r in roll_beta(df, "a", "b", 3).collect()}
+
+    assert set(out) == set(range(2, 20))
+    for loc in range(2, 20):
+        aw = np.array(a_vals[loc - 2 : loc + 1])
+        bw = np.array(b_vals[loc - 2 : loc + 1])
+        if np.var(bw) == 0:
+            assert out[loc].beta is None and out[loc].alpha is None
+            continue
+        beta_e = np.cov(aw, bw, ddof=1)[0, 1] / np.var(bw, ddof=1)
+        alpha_e = aw.mean() - beta_e * bw.mean()
+        assert abs(out[loc].beta - beta_e) < 1e-9, loc
+        assert abs(out[loc].alpha - alpha_e) < 1e-9, loc
+    assert out[14].beta is None  # the flat 4.0,4.0,4.0 window
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        roll_beta(df, "a", "b", 1)
+
+
+def test_scale(spark):
+    """zscore / robust / minmax against numpy replays; constant series
+    and NULL cells gate to NULL."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.scale import scale
+
+    rng = np.random.RandomState(41)
+    vals = [float(v) for v in rng.randn(15) * 5 + 3]
+    rows = (
+        [("s", i, vals[i]) for i in range(15)]
+        + [("s", 15, None)]
+        + [("flat", i, 2.0) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+
+    arr = np.array(vals)
+    z = {r.loc: r.scaled for r in
+         scale(df, "zscore").where("key = 's'").collect()}
+    for i in range(15):
+        e = (vals[i] - arr.mean()) / arr.std(ddof=1)
+        assert abs(z[i] - e) < 1e-12
+    assert z[15] is None
+
+    r_ = {r.loc: r.scaled for r in
+          scale(df, "robust").where("key = 's'").collect()}
+    med = np.percentile(arr, 50)
+    mad = np.percentile(np.abs(arr - med), 50) * 1.4826
+    for i in range(15):
+        assert abs(r_[i] - (vals[i] - med) / mad) < 1e-12
+
+    m = {r.loc: r.scaled for r in
+         scale(df, "minmax").where("key = 's'").collect()}
+    lo, hi = arr.min(), arr.max()
+    for i in range(15):
+        assert abs(m[i] - (vals[i] - lo) / (hi - lo)) < 1e-12
+    assert m[int(np.argmin(arr))] == 0.0 and m[int(np.argmax(arr))] == 1.0
+
+    flat = scale(df, "zscore").where("key = 'flat'").collect()
+    assert all(r.scaled is None for r in flat)
+    flat_mm = scale(df, "minmax").where("key = 'flat'").collect()
+    assert all(r.scaled is None for r in flat_mm)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        scale(df, "banana")
+
+
+def test_matrix_profile(spark):
+    """MP against a brute-force numpy replay: motif pair found, flat
+    windows NULL, exclusion zone respected, discord is the max."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.matrixprofile import matrix_profile
+
+    rng = np.random.RandomState(47)
+    motif = [0.0, 3.0, 0.0, -3.0, 0.0]
+    v = list(rng.randn(40))
+    v[5:10] = motif
+    v[25:30] = motif  # planted repeated shape
+    v[16:21] = [2.0, 2.0, 2.0, 2.0, 2.0]  # flat stretch (one full window)
+    df = spark.createDataFrame(
+        [("k", i, float(x)) for i, x in enumerate(v)],
+        "key string, loc long, value double",
+    )
+    m, excl = 5, 2
+    out = {r.loc: r for r in matrix_profile(df, m, excl).collect()}
+
+    w_cnt = 40 - m + 1
+    win = np.lib.stride_tricks.sliding_window_view(np.array(v), m)
+    mu, sd = win.mean(1), win.std(1)
+
+    def znd(i, j):
+        za = (win[i] - mu[i]) / sd[i]
+        zb = (win[j] - mu[j]) / sd[j]
+        return float(np.sqrt(((za - zb) ** 2).sum()))
+
+    for i in range(w_cnt):
+        r = out[i]
+        if sd[i] == 0:
+            assert r.mp is None and r.mp_idx is None, i
+            continue
+        cands = [
+            (znd(i, j), j)
+            for j in range(w_cnt)
+            if abs(i - j) >= excl and sd[j] > 0
+        ]
+        d_e, j_e = min(cands)
+        assert abs(r.mp - d_e) < 1e-6, i
+        assert r.mp_idx == j_e, i
+
+    # the planted motif pair should be each other's ~0-distance match
+    assert out[5].mp < 1e-6 and out[5].mp_idx == 25
+    assert out[25].mp < 1e-6 and out[25].mp_idx == 5
+    # the all-flat window starting at 16 has no z-shape
+    assert out[16].mp is None
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        matrix_profile(df, 1)

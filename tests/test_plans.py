@@ -591,3 +591,58 @@ def test_ts_features_no_python_bounded_exchanges(spark, grid):
     shuffles, sorts, p = _counts(out)
     assert "InPandas" not in p and "PythonUDF" not in p, p
     assert shuffles <= 3, p
+
+
+def test_corr_matrix_compact_broadcasts_pairs_no_sortmerge(spark, grid):
+    """The compact kernel's contract at scale: the per-key collapsed
+    vector table is tiny (K rows), so the pair join must be a broadcast
+    nested-loop on key_a < key_b — never a sort-merge/shuffled join —
+    and the whole thing adds one exchange (the per-key collapse) plus
+    the final single-partition agg, with zero Python."""
+    out = rolling.corr_matrix(grid, 3, method="compact")
+    shuffles, _, p = _counts(out)
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert shuffles <= 2  # per-key collapse (+ AQE-coalesced agg)
+
+
+def test_threshold_runs_single_exchange_no_python(spark, grid):
+    """Gaps-and-islands rides the one (key, loc) sort: both row_numbers
+    and the island aggregate hash-partition by key, so the plan carries
+    a single key exchange (plus the island groupBy's re-use) and stays
+    JVM-side."""
+    from spark_timeseries_spark.operators.features import threshold_runs
+
+    out = threshold_runs(grid, 50.0, min_length=2)
+    shuffles, sorts, p = _counts(out)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # one exchange for the key windows; the (key, _grp) groupBy may add
+    # one more hash exchange — anything beyond that is a regression
+    assert shuffles <= 2
+    assert sorts <= 2  # the two row_number sorts collapse into one spec
+
+
+def test_sax_two_bounded_exchanges_no_python(spark, grid):
+    """SAX = key window (one exchange) + (key, seg) groupBy + final key
+    groupBy; all JVM expressions. Pin the exchange budget so a future
+    edit can't silently add a corpus-wide sort or a Python eval."""
+    from spark_timeseries_spark.operators.sax import sax
+
+    out = sax(grid, w=4, a=4)
+    shuffles, _, p = _counts(out)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert shuffles <= 3
+    assert "Exchange rangepartitioning" not in p  # no global sort
+
+
+def test_scale_stats_join_is_broadcast(spark, grid):
+    """scale() must broadcast the K-row stats table back onto the
+    observations — the big side is never re-shuffled (a shuffled join
+    here would re-partition the whole corpus to normalize it)."""
+    from spark_timeseries_spark.operators.scale import scale
+
+    for method in ("zscore", "robust", "minmax"):
+        p = _plan(scale(grid, method))
+        assert "BroadcastHashJoin" in p, method
+        assert "SortMergeJoin" not in p, method

@@ -709,3 +709,72 @@ def test_streaming_cusum_detects_level_shift(spark, tmp_path):
     r2 = spark.read.parquet(sink_dir).toPandas().sort_values("ts")
     assert len(r2) == 18                   # 14 + the new batch's 4
     assert abs(r2.s_hi.iloc[-1] - 6.0) < 1e-9 and r2.alarm_hi.iloc[-1]
+
+
+def test_streaming_psi_windowed_drift(spark, tmp_path):
+    """Windowed PSI against a static reference histogram: an in-
+    distribution window scores ~0, a shifted window scores high, a
+    too-small window reports NULL; the value matches the batch psi_bins
+    fold on the same counts."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_timeseries_spark.streaming import (
+        read_observations_stream,
+        streaming_psi,
+    )
+
+    rng = np.random.RandomState(3)
+    # reference: uniform over [0, 10), 5 bins -> fractions ~0.2 each
+    ref = rng.uniform(0, 10, 1000)
+    fr = [float(f) for f in np.bincount(
+        np.clip(((ref - 0.0) // 2.0).astype(int), 0, 4), minlength=5
+    ) / len(ref)]
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    in_dist = [float(v) for v in rng.uniform(0, 10, 400)]
+    shifted = [float(v) for v in rng.uniform(8, 14, 400)]
+    rows = (
+        [(t0.to_pydatetime(), "k", v) for v in in_dist]
+        + [((t0 + pd.Timedelta(minutes=10)).to_pydatetime(), "k", v)
+           for v in shifted]
+        + [((t0 + pd.Timedelta(minutes=20)).to_pydatetime(), "k", 5.0)]
+        # sentinel advances the watermark past every asserted window's
+        # end so append mode flushes them (its own window never emits)
+        + [((t0 + pd.Timedelta(minutes=45)).to_pydatetime(), "k", 5.0)]
+    )
+    src = str(tmp_path / "psi_src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        rows, "ts timestamp, key string, value double"
+    ).write.parquet(src + "/b1")
+
+    stream = read_observations_stream(spark, src + "/*")
+    out = streaming_psi(
+        stream, fr, lo=0.0, hi=10.0, window_duration="10 minutes",
+        min_count=10,
+    )
+    q = (out.writeStream.format("memory").queryName("spsi")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.window_start.minute: r for r in
+           spark.sql("select * from spsi").collect()}
+
+    def psi_of(vals):
+        b = np.clip(((np.array(vals) - 0.0) // 2.0).astype(int), 0, 4)
+        qf = np.bincount(b, minlength=5) / len(vals)
+        pe, qe = np.maximum(fr, 1e-4), np.maximum(qf, 1e-4)
+        return float(np.sum((qe - pe) * np.log(qe / pe)))
+
+    assert got[0].n == 400
+    assert abs(got[0].psi - psi_of(in_dist)) < 1e-9
+    assert got[0].psi < 0.1                      # stable
+    assert abs(got[10].psi - psi_of(shifted)) < 1e-9
+    assert got[10].psi > 0.25                    # drifted
+    assert got[20].n == 1 and got[20].psi is None  # min_count gate
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bins"):
+        streaming_psi(stream, [1.0], 0.0, 10.0)
+    with _pytest.raises(ValueError, match="hi > lo"):
+        streaming_psi(stream, fr, 5.0, 5.0)
