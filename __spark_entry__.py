@@ -2943,24 +2943,64 @@ def _q_matrix_profile(spark, sf_dir):
     )
 
 
+def _q_asof_enrich(spark, sf_dir):
+    """As-of join: every raw event picks up the most recent daily-grid
+    row (its own day's midnight) of the same user — the canonical
+    trade↔quote enrichment, run as the tag-union-window formulation
+    (ONE key exchange, zero join operators — plan-pinned) and replayed
+    by DuckDB's native ASOF LEFT JOIN. Row-level payload semantics:
+    a matched grid row with a NULL average stays NULL (no per-column
+    leak from older rows)."""
+    from spark_timeseries_spark.operators.asof import asof_join
+
+    obs = events_observations(spark, sf_dir)
+    grid = _daily_grid(spark, sf_dir).select(
+        "key", "ts", F.col("value").alias("davg")
+    )
+    out = asof_join(obs, grid, on="ts", by="key")
+    return out.select("key", "ts", "value", "ts_right", "davg")
+
+
+def _q_roll_rank(spark, sf_dir):
+    """Rolling 7-window percentile rank per daily-grid series — the
+    fraction is an exact integer count over n, so the row needs no
+    rounding at all (both engines compute count/7 on identical
+    integers)."""
+    from spark_timeseries_spark.operators.rolling import roll_rank
+
+    grid = _daily_grid(spark, sf_dir)
+    out = roll_rank(grid, 7, out_col="rank")
+    return out.select("key", "loc", "rank")
+
+
+def _q_downsample_minmax(spark, sf_dir):
+    """Extrema-preserving 6-bucket downsample of each daily series —
+    the argmin/argmax row picks replayed by the oracle with the same
+    two deterministic (value, loc) row_number orders."""
+    from spark_timeseries_spark.operators.layout import downsample_minmax
+
+    grid = _daily_grid(spark, sf_dir)
+    return downsample_minmax(grid, 6).select(
+        "key", "bucket", "loc", "value"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
-    the first 50 entries. Window policy (round 7, per the r6 verdict's
-    rotation plan, item 6): (a) must-prove rows — ``roll_quantile``
-    (landed untested in the r6 snapshot commit; now unit-tested,
-    tsdf-wrapped, and oracle-backed — r6 verdict item 2) and
-    ``fill_suite`` (NEW composed row re-proving the six SQL-expressible
-    fill methods in one slot, item 7), plus ``simhash_near_dups`` and
-    ``containment_pairs`` — the two ``_jaccard_join``-downstream rows the
-    r6 refactor touched without in-window proof; (b) the standing
-    rotation queue, oldest evidence first — the fifteen r4-era rows
-    (``slice`` … ``arima_forecast``) plus the four r4 fill/lag rows
-    displaced from the r6 window; (c) the oldest r5-green rows to fill
-    the remaining slots. Past the window: everything r6 just proved
-    green (the freshest rows in the file). All 151 are additionally
-    validated locally by ``tools/check_correctness.py`` (full log
-    committed per round — r7 restores the full-log discipline r6
-    skipped, verdict item 1)."""
+    the first 50 entries. Window policy (round 7): (a) must-prove rows
+    first — everything NEW this round, in landing order: the fifteen
+    late-r7 operators (``sax`` … ``downsample_minmax``) and the
+    early-r7 batch (``roll_quantile``/``fill_suite``/``roll_skew_kurt``
+    … ``spectral_entropy``), plus the two ``_jaccard_join``-downstream
+    rows the r6 refactor touched (``simhash_near_dups``,
+    ``containment_pairs``); (b) the standing rotation queue, oldest
+    evidence first — the remaining r4-era rows. Displaced by the late
+    additions (see the end-of-window comment below): serde_roundtrip …
+    url_stats, all green in the committed full oracle log and queued
+    for the r8 rotation. ALL entries are additionally validated locally
+    by ``tools/check_correctness.py`` — the full log is refreshed in
+    the same commit as every query/semantics change (the r5 lockstep
+    rule; r7 kept it for every batch this round)."""
     return {
         # -- (a) must-prove: new/changed this round + refactor-downstream ----
         "sax": _q_sax,
@@ -2975,6 +3015,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roll_beta": _q_roll_beta,
         "scale_suite": _q_scale_suite,
         "matrix_profile": _q_matrix_profile,
+        "asof_enrich": _q_asof_enrich,
+        "roll_rank": _q_roll_rank,
+        "downsample_minmax": _q_downsample_minmax,
         "max_drawdown": _q_max_drawdown,
         "changepoint": _q_changepoint,
         "hurst": _q_hurst,
@@ -3011,14 +3054,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trim_leading_trailing": _q_trim,
         "min_max_datetimes": _q_min_max_datetimes,
         "calendar_ops": _q_calendar_ops,
+        # ---- driver window (50) ends here ----------------------------------
+        # (serde_roundtrip/row_matrix_norms/cosine_dup_pairs/lsh_recall/
+        # ivf_topk/index_union/multimodal_meta/image_features/
+        # arima_forecast/fill_next/fill_nearest/fill_zero/lags/
+        # dedup_paragraphs/url_stats displaced by the fifteen new rows
+        # above; all green in the committed full oracle log, queued for r8)
         "serde_roundtrip": _q_serde_roundtrip,
         "row_matrix_norms": _q_row_matrix_norms,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
-        # ---- driver window (50) ends here ----------------------------------
-        # (lsh_recall/ivf_topk/index_union/multimodal_meta/image_features/
-        # arima_forecast/fill_next/fill_nearest/fill_zero/lags/
-        # dedup_paragraphs/url_stats displaced by the twelve new rows
-        # above; all green in the committed full oracle log, queued for r8)
         "lsh_recall": _q_lsh_recall,
         "ivf_topk": _q_ivf_topk,
         "index_union": _q_index_union,
@@ -3847,6 +3891,60 @@ def oracle_sql() -> dict[str, str]:
                        'CASE WHEN sda > 0 AND d2 IS NOT NULL'
                        ' THEN sqrt(GREATEST(d2, 0.0)) END', 6)} AS mp
             FROM pr
+        """,
+        "asof_enrich": _DAILY_GRID_SQL
+        + """
+            SELECT CAST(e.user_id AS VARCHAR) AS key, e.ts AS ts,
+                   e.value AS value, g.ts AS ts_right, g.value AS davg
+            FROM events e
+            ASOF LEFT JOIN grid g
+              ON CAST(e.user_id AS VARCHAR) = g.key AND e.ts >= g.ts
+        """,
+        "roll_rank": _DAILY_GRID_SQL
+        + """
+            , w AS (
+                SELECT key, loc, value,
+                       count(*) OVER fr AS rows_,
+                       count(value) OVER fr AS vals_,
+                       list(value) OVER fr AS arr
+                FROM grid
+                WINDOW fr AS (PARTITION BY key ORDER BY loc
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            )
+            SELECT key, loc,
+                   CASE WHEN vals_ = 7 THEN
+                       len(list_filter(arr, x -> x <= value)) / 7.0
+                   END AS rank
+            FROM w WHERE rows_ = 7
+        """,
+        "downsample_minmax": _DAILY_GRID_SQL
+        + """
+            , obs AS (SELECT key, loc, value FROM grid
+                      WHERE value IS NOT NULL),
+            rk AS (
+                SELECT key, loc, value,
+                       row_number() OVER (PARTITION BY key ORDER BY loc)
+                           - 1 AS rk,
+                       count(*) OVER (PARTITION BY key) AS n
+                FROM obs
+            ),
+            bk AS (
+                SELECT key, loc, value,
+                       CAST(FLOOR(rk * 6 / n) AS BIGINT) AS bucket
+                FROM rk
+            ),
+            picked AS (
+                SELECT key, bucket, loc, value,
+                       row_number() OVER (PARTITION BY key, bucket
+                                          ORDER BY value ASC, loc ASC)
+                           AS rmin,
+                       row_number() OVER (PARTITION BY key, bucket
+                                          ORDER BY value DESC, loc ASC)
+                           AS rmax
+                FROM bk
+            )
+            SELECT key, bucket, loc, value FROM picked
+            WHERE rmin = 1 OR rmax = 1
         """,
         "perm_entropy": _DAILY_GRID_SQL
         + f"""

@@ -25,7 +25,7 @@ with these equivalents:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..index import DateTimeIndex
@@ -217,3 +217,49 @@ def to_row_matrix(
 
     rows = _instant_vectors(df, key_col, loc_col, value_col)
     return RowMatrix(rows.rdd.map(lambda r: r[1]))
+
+
+def downsample_minmax(
+    df: DataFrame,
+    buckets: int,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Extrema-preserving downsample for plotting/preview: split each
+    series' non-null run into ``buckets`` near-equal buckets (the same
+    ``floor(i·b/n)`` carve as PAA) and keep each bucket's minimum and
+    maximum observation → (key, bucket, loc, value), ≤ 2·buckets rows
+    per series with every visual spike retained (the property a plain
+    every-k-th-row sample destroys). Ties break to the EARLIEST
+    location on both sides (deterministic); a bucket whose min and max
+    are the same row emits it once.
+
+    Plan: one rank window to form buckets + two row_numbers over the
+    (key, bucket) partition (two sort orders inside one exchange) —
+    no self-join, no Python, output is bounded by 2·K·buckets."""
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    v = F.col(value_col)
+    wk = Window.partitionBy(key_col)
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+    b = (
+        df.where(v.isNotNull())
+        .withColumn("_rk", F.row_number().over(ws) - 1)
+        .withColumn("_n", F.count(v).over(wk))
+        .withColumn(
+            "bucket", F.floor(F.col("_rk") * buckets / F.col("_n"))
+        )
+    )
+    w_min = Window.partitionBy(key_col, "bucket").orderBy(
+        v.asc(), F.col(order_col).asc()
+    )
+    w_max = Window.partitionBy(key_col, "bucket").orderBy(
+        v.desc(), F.col(order_col).asc()
+    )
+    return (
+        b.withColumn("_rmin", F.row_number().over(w_min))
+        .withColumn("_rmax", F.row_number().over(w_max))
+        .where((F.col("_rmin") == 1) | (F.col("_rmax") == 1))
+        .select(key_col, "bucket", order_col, value_col)
+    )

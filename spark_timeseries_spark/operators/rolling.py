@@ -590,3 +590,41 @@ def _corr_matrix_compact(
         n.cast("bigint").alias("n_overlap"),
         F.when(n >= min_overlap, c).alias("corr"),
     )
+
+
+def roll_rank(
+    df: DataFrame,
+    n: int,
+    align: str = "right",
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Rolling percentile RANK of each observation within its own
+    n-window: the fraction of the window's values ≤ the current value
+    (∈ (0, 1]; the current value counts itself, so a running maximum
+    scores 1.0 and a running minimum 1/n). The regime-detection
+    companion of :func:`roll_quantile` — "is today extreme RELATIVE to
+    the recent past" without choosing a threshold first. Same contract
+    as :func:`roll_agg`: windows with a missing cell yield NULL,
+    incomplete boundary windows are trimmed. One window pass, one
+    array-filter expression, no Python."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    lo, hi = _frame(n, align)
+    w = Window.partitionBy(key_col).orderBy(order_col).rowsBetween(lo, hi)
+    out_col = out_col or value_col
+    v = F.col(value_col)
+    arr = F.collect_list(v.cast("double")).over(w)
+    rank = F.size(F.filter(arr, lambda x: x <= v)) / F.lit(float(n))
+    return (
+        df.withColumn("_rows", F.count(F.lit(1)).over(w))
+        .withColumn("_vals", F.count(value_col).over(w))
+        .withColumn(
+            out_col,
+            F.when(F.col("_vals") == n, rank),
+        )
+        .where(F.col("_rows") == n)
+        .drop("_rows", "_vals")
+    )

@@ -205,6 +205,25 @@ class TimeSeriesDataFrame:
         """Exact rolling median (interpolated on even windows)."""
         return self.roll_quantile(n, 0.5, align_)
 
+    def roll_rank(
+        self, n: int, align_: str = "right"
+    ) -> "TimeSeriesDataFrame":
+        """Rolling percentile rank of each value within its own n-window
+        — beyond-reference; see :func:`operators.rolling.roll_rank`."""
+        out = rolling.roll_rank(self.df, n, align_)
+        lo, hi = rolling._frame(n, align_)
+        out = out.withColumn(self.LOC, F.col(self.LOC) + lo)
+        return TimeSeriesDataFrame(
+            out, self.index.islice(-lo, self.index.size - hi)
+        )
+
+    def downsample_minmax(self, buckets: int) -> DataFrame:
+        """Extrema-preserving plot downsample — beyond-reference; see
+        :func:`operators.layout.downsample_minmax`."""
+        from .operators.layout import downsample_minmax
+
+        return downsample_minmax(self.df, buckets)
+
     def roll_skew(self, n: int, align_: str = "right") -> "TimeSeriesDataFrame":
         """Rolling adjusted Fisher–Pearson skewness (pandas
         ``rolling().skew()`` convention); see
@@ -373,6 +392,15 @@ class TimeSeriesDataFrame:
         from .operators.cusum import cusum_changepoints
 
         return cusum_changepoints(self.df, k, h, standardize=standardize)
+
+    def dtw_nearest(
+        self, query_key: str, k: int = 5, band: int | None = None
+    ) -> DataFrame:
+        """k nearest series under Dynamic Time Warping —
+        beyond-reference; see :func:`operators.dtw.dtw_nearest`."""
+        from .operators.dtw import dtw_nearest
+
+        return dtw_nearest(self.df, query_key, k, band)
 
     def matrix_profile(
         self, m: int, exclusion: int | None = None

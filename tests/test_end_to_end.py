@@ -1536,3 +1536,210 @@ def test_matrix_profile(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         matrix_profile(df, 1)
+
+
+def test_asof_join(spark):
+    """As-of join against a pandas merge_asof replay in all three
+    directions, with exact-match, tolerance, missing-key, and
+    NULL-stamp edges."""
+    import pandas as pd
+
+    from spark_timeseries_spark.operators.asof import asof_join
+
+    trades = [
+        ("a", 10, 100.0), ("a", 25, 101.0), ("a", 30, 102.0),
+        ("b", 5, 200.0), ("c", 7, 300.0), ("a", None, 103.0),
+    ]
+    quotes = [
+        ("a", 8, 1.0), ("a", 25, 2.0), ("a", 40, 3.0),
+        ("b", 9, 4.0),
+    ]
+    lt = spark.createDataFrame(trades, "key string, ts long, price double")
+    rt = spark.createDataFrame(quotes, "key string, ts long, quote double")
+
+    def run(direction, tolerance=None):
+        out = asof_join(
+            lt, rt, on="ts", by="key", tolerance=tolerance,
+            direction=direction,
+        )
+        return {
+            (r.key, r.ts): (r.ts_right, r.quote)
+            for r in out.collect()
+        }
+
+    bw = run("backward")
+    assert bw[("a", 10)] == (8, 1.0)
+    assert bw[("a", 25)] == (25, 2.0)   # exact match counts
+    assert bw[("a", 30)] == (25, 2.0)
+    assert bw[("b", 5)] == (None, None)  # quote at 9 is later
+    assert bw[("c", 7)] == (None, None)  # no key
+    assert bw[("a", None)] == (None, None)
+
+    fw = run("forward")
+    assert fw[("a", 10)] == (25, 2.0)
+    assert fw[("a", 25)] == (25, 2.0)
+    assert fw[("a", 30)] == (40, 3.0)
+    assert fw[("b", 5)] == (9, 4.0)
+
+    nr = run("nearest")
+    assert nr[("a", 10)] == (8, 1.0)     # 2 back vs 15 forward
+    assert nr[("a", 30)] == (25, 2.0)    # 5 back vs 10 forward
+    assert nr[("b", 5)] == (9, 4.0)      # only forward exists
+
+    tol = run("backward", tolerance=3.0)
+    assert tol[("a", 10)] == (8, 1.0)    # within 3
+    assert tol[("a", 30)] == (None, None)  # 5 away > 3
+
+    # row-level matching: the payload travels as one struct
+    rt2 = spark.createDataFrame(
+        [("a", 8, 1.0, "x"), ("a", 20, None, "y")],
+        "key string, ts long, quote double, tag string",
+    )
+    out2 = {
+        (r.key, r.ts): (r.ts_right, r.quote, r.tag)
+        for r in asof_join(lt, rt2).collect()
+    }
+    # the matched ROW at ts=20 has a NULL quote; a per-column latest-
+    # non-null implementation would leak 1.0 from ts=8 here
+    assert out2[("a", 25)] == (20, None, "y")
+
+    # name collision takes the suffix
+    rt3 = spark.createDataFrame(
+        [("a", 8, 9.0)], "key string, ts long, price double"
+    )
+    cols = asof_join(lt, rt3).columns
+    assert "price_right" in cols and cols.count("price") == 1
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        asof_join(lt, rt, direction="sideways")
+    with _pytest.raises(ValueError):
+        asof_join(lt, rt, tolerance=-1.0)
+    with _pytest.raises(ValueError):
+        asof_join(lt, rt, value_cols=["nope"])
+
+
+def test_roll_rank(spark):
+    """Rolling percentile rank against a numpy replay; running max →
+    1.0, NULL cell and boundary gates inherited from roll_agg."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.rolling import roll_rank
+
+    vals = [3.0, 1.0, 4.0, 1.5, 9.0, None, 2.0, 6.0, 7.0, 8.0]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)],
+        "key string, loc long, value double",
+    )
+    out = {r.loc: r.value for r in roll_rank(df, 3).collect()}
+    assert set(out) == set(range(2, 10))
+    for loc in range(2, 10):
+        w = vals[loc - 2 : loc + 1]
+        if any(x is None for x in w):
+            assert out[loc] is None, loc
+            continue
+        expect = sum(1 for x in w if x <= w[-1]) / 3
+        assert abs(out[loc] - expect) < 1e-12, loc
+    assert out[4] == 1.0   # 9.0 is the window max
+    assert out[9] == 1.0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        roll_rank(df, 0)
+
+
+def test_downsample_minmax(spark):
+    """Extrema-preserving downsample: every bucket's min and max rows
+    survive, spikes are never lost, output is bounded by 2·buckets."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.layout import downsample_minmax
+
+    rng = np.random.RandomState(53)
+    vals = [float(v) for v in rng.randn(40)]
+    vals[17] = 50.0   # spike a plain stride-sample could miss
+    vals[23] = -50.0
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)],
+        "key string, loc long, value double",
+    )
+    rows = downsample_minmax(df, 8).collect()
+    assert len(rows) <= 16
+    locs = {r.loc for r in rows}
+    assert 17 in locs and 23 in locs  # spikes retained
+    arr = np.array(vals)
+    for b in range(8):
+        seg = [i for i in range(40) if i * 8 // 40 == b]
+        seg_vals = arr[seg]
+        got = sorted(r.loc for r in rows if r.bucket == b)
+        exp_min = seg[int(np.argmin(seg_vals))]
+        exp_max = seg[int(np.argmax(seg_vals))]
+        assert set(got) == {exp_min, exp_max}, b
+
+    # constant bucket: min row == max row -> emitted once
+    flat = spark.createDataFrame(
+        [("f", i, 1.0) for i in range(4)],
+        "key string, loc long, value double",
+    )
+    out = downsample_minmax(flat, 2).collect()
+    assert sorted(r.loc for r in out) == [0, 2]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        downsample_minmax(df, 0)
+
+
+def test_dtw(spark):
+    """DTW against a brute-force full-matrix numpy replay; identical
+    series → 0, time-shifted spike beats Euclidean intuition, band
+    infeasibility and kNN ordering."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.dtw import (
+        dtw_distance,
+        dtw_nearest,
+        dtw_numpy,
+    )
+
+    def brute(a, b):
+        n, m = len(a), len(b)
+        D = np.full((n + 1, m + 1), np.inf)
+        D[0, 0] = 0.0
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                c = (a[i - 1] - b[j - 1]) ** 2
+                D[i, j] = c + min(D[i - 1, j], D[i, j - 1], D[i - 1, j - 1])
+        return float(np.sqrt(D[n, m]))
+
+    rng = np.random.RandomState(59)
+    a = rng.randn(20)
+    b = rng.randn(17)
+    assert abs(dtw_numpy(a, b) - brute(a, b)) < 1e-12
+    assert dtw_numpy(a, a) == 0.0
+    assert abs(dtw_numpy(a, b, band=5) - dtw_numpy(a, b, band=5)) < 1e-12
+    assert not np.isfinite(dtw_numpy(a, b[:10], band=3))  # infeasible
+
+    base = [0.0] * 5 + [5.0] + [0.0] * 5
+    shifted = [0.0] * 7 + [5.0] + [0.0] * 3  # same spike, 2 steps later
+    noisy = [float(v) for v in rng.randn(11)]
+    rows = (
+        [("base", i, float(v)) for i, v in enumerate(base)]
+        + [("shift", i, float(v)) for i, v in enumerate(shifted)]
+        + [("noise", i, v) for i, v in enumerate(noisy)]
+    )
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+
+    r = dtw_distance(df, "base", "shift").collect()[0]
+    assert r.n_a == 11 and r.n_b == 11
+    assert abs(r.dtw - brute(np.array(base), np.array(shifted))) < 1e-12
+    assert r.dtw == 0.0  # warping absorbs a pure shift entirely
+
+    nn = dtw_nearest(df, "base", k=2).orderBy("rank").collect()
+    assert [x.key for x in nn] == ["shift", "noise"]
+    assert nn[0].rank == 1 and nn[0].dtw == 0.0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dtw_nearest(df, "base", k=0)
+    with _pytest.raises(ValueError):
+        dtw_nearest(df, "ghost")

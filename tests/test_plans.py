@@ -646,3 +646,17 @@ def test_scale_stats_join_is_broadcast(spark, grid):
         p = _plan(scale(grid, method))
         assert "BroadcastHashJoin" in p, method
         assert "SortMergeJoin" not in p, method
+
+
+def test_asof_join_is_union_window_no_join(spark, grid):
+    """asof_join's scale contract: NO join operator at all — tag+union
+    then one key-partitioned window. A range/broadcast join appearing
+    here means the formulation regressed to the exploding shape."""
+    from spark_timeseries_spark.operators.asof import asof_join
+
+    right = grid.select("key", "loc", (F.col("value") * 2).alias("v2"))
+    out = asof_join(grid, right, on="loc", by="key")
+    shuffles, _, p = _counts(out)
+    assert "Join" not in p  # no SortMerge/BroadcastHash/NestedLoop at all
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert shuffles <= 2  # union sides co-partitioned by key
