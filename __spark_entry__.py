@@ -979,17 +979,17 @@ def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "minhash_lsh_dedup_xx": _q_minhash_lsh_dedup_xx,
         "minhash_lsh_dedup_oph": _q_minhash_lsh_dedup_oph,
-        # the join-method corr_matrix, timed against the compact kernel
-        # the oracle row runs — keeps the K-vs-T trade measured per round
-        "corr_matrix_join": _q_corr_matrix_join,
+        # the compact (low-shuffle) corr_matrix kernel, timed against the
+        # join-method oracle row — keeps the CPU-vs-shuffle trade measured
+        "corr_matrix_compact": _q_corr_matrix_compact,
     }
 
 
-def _q_corr_matrix_join(spark, sf_dir):
+def _q_corr_matrix_compact(spark, sf_dir):
     from spark_timeseries_spark.operators import rolling as roll_ops
 
     grid = _daily_grid(spark, sf_dir)
-    out = roll_ops.corr_matrix(grid, min_overlap=5, method="join")
+    out = roll_ops.corr_matrix(grid, min_overlap=5, method="compact")
     return out.select(
         "key_a", "key_b", "n_overlap",
         _stable_round(F.col("corr"), 6).alias("corr"),
@@ -2585,16 +2585,16 @@ def _q_half_life(spark, sf_dir):
 
 def _q_corr_matrix(spark, sf_dir):
     """Corpus-wide pairwise Pearson correlation (strict upper triangle,
-    pairwise-complete) over the daily grid, via the COMPACT kernel (one
-    loc-sorted value array per key, broadcast pair join, masked moment
-    fold — K-row shuffle instead of T·K² joined rows; 26→2 s at sf0.1).
-    O(K²) output is the result's size, not a plan defect. The oracle
-    replays the join semantics (covar_samp/(sa·sb), NULLIF) — the two
-    formulations agree to well under the 6-decimal rounding."""
+    pairwise-complete) over the daily grid, via the default JOIN kernel
+    (location equi-join + per-pair native moment aggregate — measured
+    ~1.7× faster than the compact array fold on this CPU-bound box;
+    the compact low-shuffle variant is benched alongside as
+    ``corr_matrix_compact``). O(K²) output is the result's size, not a
+    plan defect. The oracle replays covar_samp/(sa·sb) with NULLIF."""
     from spark_timeseries_spark.operators import rolling as roll_ops
 
     grid = _daily_grid(spark, sf_dir)
-    out = roll_ops.corr_matrix(grid, min_overlap=5, method="compact")
+    out = roll_ops.corr_matrix(grid, min_overlap=5, method="join")
     return out.select(
         "key_a", "key_b", "n_overlap",
         _stable_round(F.col("corr"), 6).alias("corr"),

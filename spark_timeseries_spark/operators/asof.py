@@ -114,7 +114,6 @@ def asof_join(
         .orderBy(F.col(on).desc(), F.col("_is_left").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cols = [F.col("_b"), F.col("_f")]
     u = u.withColumn(
         "_b",
         F.last(F.when(F.col("_is_left") == 0, F.col("_pay")), True).over(wb)

@@ -463,23 +463,28 @@ def corr_matrix(
     that's the result's size, not a plan defect; at corpus scale callers
     bound K with a key filter first.
 
-    Two physical strategies — the K-vs-T trade (measured: compact is
-    13× faster at K=1500, T=31):
+    Two physical strategies — the same O(T·K²) WORK, different
+    bottlenecks (measured at sf0.1, K=1500, T=31, local[32], min-of-2:
+    join ≈ 20 s, compact ≈ 34 s — join is the DEFAULT and the right
+    pick whenever compute is the constraint):
 
-    - ``method="join"`` (general): one self-equi-join on the location +
+    - ``method="join"`` (default): one self-equi-join on the location +
       one (key_a, key_b) moment aggregate. Shuffles O(T·K²) joined rows
-      but parallelizes over T — right when series are LONG and K is
-      modest, or when keys' location sets differ arbitrarily.
-    - ``method="compact"`` (aligned grids): collapse each series to ONE
-      row carrying its loc-sorted value array (grand shuffle volume:
-      K rows), broadcast the K-row table against itself (nested-loop
-      a < b), and fold the masked moments positionally with array
-      expressions. REQUIRES every key to carry the same location set
-      (the :class:`~spark_timeseries_spark.tsdf.TimeSeriesDataFrame`
-      dense-grid guarantee) — positions are matched by sorted order,
-      not by location value. Right when K is large and T is bounded
-      (the corpus-of-series shape); the pair loop is O(T) per pair with
-      no shuffle at all after the per-key collapse.
+      but every flop runs inside whole-stage-codegen'd native
+      aggregates — on a CPU-bound box it beats the array fold ~1.7×.
+    - ``method="compact"`` (aligned grids, shuffle-bound clusters):
+      collapse each series to ONE row carrying its loc-sorted value
+      array (grand shuffle volume: K rows vs T·K² joined rows),
+      broadcast the K-row table against itself (nested-loop a < b),
+      and fold the masked moments positionally with array expressions.
+      REQUIRES every key to carry the same location set — positions
+      are matched by sorted order, not by location value. Its win
+      condition is NETWORK, not CPU: when the T·K² shuffle dominates
+      (long series × many keys on a real cluster), trading it for a
+      K-row broadcast + interpreted fold is the right exchange; on
+      local[32] (no network) the fold's interpreted-expression cost is
+      the whole bill, and join wins. Both are kept measured per round
+      (the ``corr_matrix_join`` bench-only row).
 
     Both compute the identical statistic (sample-moment Pearson via
     try_divide — ANSI mode makes native ``corr`` THROW on zero-variance
