@@ -2985,6 +2985,23 @@ def _q_downsample_minmax(spark, sf_dir):
     )
 
 
+def _q_sax_mindist(spark, sf_dir):
+    """SAX MINDIST lower-bound candidate pairs (w=8, a=4, ≤ 2.0) over
+    the filled daily grid — the cheap shape-similarity prune; the
+    oracle replays the word construction AND the per-position
+    breakpoint-gap CASE table verbatim (both engines chain the same
+    eight exact literal ops, so even the ≤ filter agrees bit-for-bit)."""
+    from spark_timeseries_spark.operators.sax import sax_mindist_pairs
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
+    out = sax_mindist_pairs(filled, 8, 4, max_dist=2.0)
+    return out.select(
+        "key_a", "key_b", "n",
+        _stable_round(F.col("mindist"), 6).alias("mindist"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
     the first 50 entries. Window policy (round 7): (a) must-prove rows
@@ -3018,6 +3035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_enrich": _q_asof_enrich,
         "roll_rank": _q_roll_rank,
         "downsample_minmax": _q_downsample_minmax,
+        "sax_mindist": _q_sax_mindist,
         "max_drawdown": _q_max_drawdown,
         "changepoint": _q_changepoint,
         "hurst": _q_hurst,
@@ -3053,8 +3071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsample": _q_upsample,
         "trim_leading_trailing": _q_trim,
         "min_max_datetimes": _q_min_max_datetimes,
-        "calendar_ops": _q_calendar_ops,
         # ---- driver window (50) ends here ----------------------------------
+        "calendar_ops": _q_calendar_ops,
         # (serde_roundtrip/row_matrix_norms/cosine_dup_pairs/lsh_recall/
         # ivf_topk/index_union/multimodal_meta/image_features/
         # arima_forecast/fill_next/fill_nearest/fill_zero/lags/
@@ -3945,6 +3963,114 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT key, bucket, loc, value FROM picked
             WHERE rmin = 1 OR rmax = 1
+        """,
+        "sax_mindist": _DAILY_GRID_SQL + _FILLED_SQL
+        + f"""
+            , obs AS (SELECT key, loc, value FROM filled
+                      WHERE value IS NOT NULL),
+            st AS (
+                SELECT key, loc, value,
+                       avg(value) OVER (PARTITION BY key) AS mu,
+                       stddev_pop(value) OVER (PARTITION BY key) AS sd,
+                       row_number() OVER (PARTITION BY key ORDER BY loc) - 1
+                           AS rk,
+                       count(*) OVER (PARTITION BY key) AS n
+                FROM obs
+            ),
+            z AS (
+                SELECT key, sd, n,
+                       CAST(FLOOR(rk * 8 / n) AS BIGINT) AS seg,
+                       CASE WHEN sd > 0 THEN (value - mu) / sd END AS zv
+                FROM st
+            ),
+            segs AS (
+                SELECT key, seg, avg(zv) AS paa, max(sd) AS sd, max(n) AS n
+                FROM z GROUP BY 1, 2
+            ),
+            sym AS (
+                SELECT key, seg, sd, n,
+                       substr('abcd',
+                              1 + (CASE WHEN paa >= -0.67 THEN 1 ELSE 0 END
+                                 + CASE WHEN paa >= 0.0 THEN 1 ELSE 0 END
+                                 + CASE WHEN paa >= 0.67 THEN 1 ELSE 0 END),
+                              1) AS s
+                FROM segs
+            ),
+            words AS (
+                SELECT key, CAST(max(n) AS BIGINT) AS n,
+                       count(*) AS nseg, max(sd) AS sd,
+                       string_agg(s, '' ORDER BY seg) AS w8
+                FROM sym GROUP BY key
+            ),
+            ww AS (SELECT key, n, w8 FROM words WHERE sd > 0 AND nseg = 8),
+            pr AS (
+                SELECT a.key AS key_a, b.key AS key_b, a.n AS n,
+                       a.w8 AS wa, b.w8 AS wb
+                FROM ww a JOIN ww b ON a.key < b.key AND a.n = b.n
+            ),
+            md AS (
+                SELECT key_a, key_b, n,
+                       sqrt(CAST(n AS DOUBLE) / 8) * sqrt(
+                 (CASE WHEN GREATEST((ascii(substr(wa, 1, 1)) - 97), (ascii(substr(wb, 1, 1)) - 97)) - LEAST((ascii(substr(wa, 1, 1)) - 97), (ascii(substr(wb, 1, 1)) - 97)) <= 1
+                 THEN 0.0
+                 ELSE [-0.67, 0.0, 0.67][GREATEST((ascii(substr(wa, 1, 1)) - 97), (ascii(substr(wb, 1, 1)) - 97))]
+                      - [-0.67, 0.0, 0.67][LEAST((ascii(substr(wa, 1, 1)) - 97), (ascii(substr(wb, 1, 1)) - 97)) + 1] END) * (CASE WHEN GREATEST((ascii(substr(wa, 1, 1)) - 97), (ascii(substr(wb, 1, 1)) - 97)) - LEAST((ascii(substr(wa, 1, 1)) - 97), (ascii(substr(wb, 1, 1)) - 97)) <= 1
+                 THEN 0.0
+                 ELSE [-0.67, 0.0, 0.67][GREATEST((ascii(substr(wa, 1, 1)) - 97), (ascii(substr(wb, 1, 1)) - 97))]
+                      - [-0.67, 0.0, 0.67][LEAST((ascii(substr(wa, 1, 1)) - 97), (ascii(substr(wb, 1, 1)) - 97)) + 1] END)
+                 + (CASE WHEN GREATEST((ascii(substr(wa, 2, 1)) - 97), (ascii(substr(wb, 2, 1)) - 97)) - LEAST((ascii(substr(wa, 2, 1)) - 97), (ascii(substr(wb, 2, 1)) - 97)) <= 1
+                 THEN 0.0
+                 ELSE [-0.67, 0.0, 0.67][GREATEST((ascii(substr(wa, 2, 1)) - 97), (ascii(substr(wb, 2, 1)) - 97))]
+                      - [-0.67, 0.0, 0.67][LEAST((ascii(substr(wa, 2, 1)) - 97), (ascii(substr(wb, 2, 1)) - 97)) + 1] END) * (CASE WHEN GREATEST((ascii(substr(wa, 2, 1)) - 97), (ascii(substr(wb, 2, 1)) - 97)) - LEAST((ascii(substr(wa, 2, 1)) - 97), (ascii(substr(wb, 2, 1)) - 97)) <= 1
+                 THEN 0.0
+                 ELSE [-0.67, 0.0, 0.67][GREATEST((ascii(substr(wa, 2, 1)) - 97), (ascii(substr(wb, 2, 1)) - 97))]
+                      - [-0.67, 0.0, 0.67][LEAST((ascii(substr(wa, 2, 1)) - 97), (ascii(substr(wb, 2, 1)) - 97)) + 1] END)
+                 + (CASE WHEN GREATEST((ascii(substr(wa, 3, 1)) - 97), (ascii(substr(wb, 3, 1)) - 97)) - LEAST((ascii(substr(wa, 3, 1)) - 97), (ascii(substr(wb, 3, 1)) - 97)) <= 1
+                 THEN 0.0
+                 ELSE [-0.67, 0.0, 0.67][GREATEST((ascii(substr(wa, 3, 1)) - 97), (ascii(substr(wb, 3, 1)) - 97))]
+                      - [-0.67, 0.0, 0.67][LEAST((ascii(substr(wa, 3, 1)) - 97), (ascii(substr(wb, 3, 1)) - 97)) + 1] END) * (CASE WHEN GREATEST((ascii(substr(wa, 3, 1)) - 97), (ascii(substr(wb, 3, 1)) - 97)) - LEAST((ascii(substr(wa, 3, 1)) - 97), (ascii(substr(wb, 3, 1)) - 97)) <= 1
+                 THEN 0.0
+                 ELSE [-0.67, 0.0, 0.67][GREATEST((ascii(substr(wa, 3, 1)) - 97), (ascii(substr(wb, 3, 1)) - 97))]
+                      - [-0.67, 0.0, 0.67][LEAST((ascii(substr(wa, 3, 1)) - 97), (ascii(substr(wb, 3, 1)) - 97)) + 1] END)
+                 + (CASE WHEN GREATEST((ascii(substr(wa, 4, 1)) - 97), (ascii(substr(wb, 4, 1)) - 97)) - LEAST((ascii(substr(wa, 4, 1)) - 97), (ascii(substr(wb, 4, 1)) - 97)) <= 1
+                 THEN 0.0
+                 ELSE [-0.67, 0.0, 0.67][GREATEST((ascii(substr(wa, 4, 1)) - 97), (ascii(substr(wb, 4, 1)) - 97))]
+                      - [-0.67, 0.0, 0.67][LEAST((ascii(substr(wa, 4, 1)) - 97), (ascii(substr(wb, 4, 1)) - 97)) + 1] END) * (CASE WHEN GREATEST((ascii(substr(wa, 4, 1)) - 97), (ascii(substr(wb, 4, 1)) - 97)) - LEAST((ascii(substr(wa, 4, 1)) - 97), (ascii(substr(wb, 4, 1)) - 97)) <= 1
+                 THEN 0.0
+                 ELSE [-0.67, 0.0, 0.67][GREATEST((ascii(substr(wa, 4, 1)) - 97), (ascii(substr(wb, 4, 1)) - 97))]
+                      - [-0.67, 0.0, 0.67][LEAST((ascii(substr(wa, 4, 1)) - 97), (ascii(substr(wb, 4, 1)) - 97)) + 1] END)
+                 + (CASE WHEN GREATEST((ascii(substr(wa, 5, 1)) - 97), (ascii(substr(wb, 5, 1)) - 97)) - LEAST((ascii(substr(wa, 5, 1)) - 97), (ascii(substr(wb, 5, 1)) - 97)) <= 1
+                 THEN 0.0
+                 ELSE [-0.67, 0.0, 0.67][GREATEST((ascii(substr(wa, 5, 1)) - 97), (ascii(substr(wb, 5, 1)) - 97))]
+                      - [-0.67, 0.0, 0.67][LEAST((ascii(substr(wa, 5, 1)) - 97), (ascii(substr(wb, 5, 1)) - 97)) + 1] END) * (CASE WHEN GREATEST((ascii(substr(wa, 5, 1)) - 97), (ascii(substr(wb, 5, 1)) - 97)) - LEAST((ascii(substr(wa, 5, 1)) - 97), (ascii(substr(wb, 5, 1)) - 97)) <= 1
+                 THEN 0.0
+                 ELSE [-0.67, 0.0, 0.67][GREATEST((ascii(substr(wa, 5, 1)) - 97), (ascii(substr(wb, 5, 1)) - 97))]
+                      - [-0.67, 0.0, 0.67][LEAST((ascii(substr(wa, 5, 1)) - 97), (ascii(substr(wb, 5, 1)) - 97)) + 1] END)
+                 + (CASE WHEN GREATEST((ascii(substr(wa, 6, 1)) - 97), (ascii(substr(wb, 6, 1)) - 97)) - LEAST((ascii(substr(wa, 6, 1)) - 97), (ascii(substr(wb, 6, 1)) - 97)) <= 1
+                 THEN 0.0
+                 ELSE [-0.67, 0.0, 0.67][GREATEST((ascii(substr(wa, 6, 1)) - 97), (ascii(substr(wb, 6, 1)) - 97))]
+                      - [-0.67, 0.0, 0.67][LEAST((ascii(substr(wa, 6, 1)) - 97), (ascii(substr(wb, 6, 1)) - 97)) + 1] END) * (CASE WHEN GREATEST((ascii(substr(wa, 6, 1)) - 97), (ascii(substr(wb, 6, 1)) - 97)) - LEAST((ascii(substr(wa, 6, 1)) - 97), (ascii(substr(wb, 6, 1)) - 97)) <= 1
+                 THEN 0.0
+                 ELSE [-0.67, 0.0, 0.67][GREATEST((ascii(substr(wa, 6, 1)) - 97), (ascii(substr(wb, 6, 1)) - 97))]
+                      - [-0.67, 0.0, 0.67][LEAST((ascii(substr(wa, 6, 1)) - 97), (ascii(substr(wb, 6, 1)) - 97)) + 1] END)
+                 + (CASE WHEN GREATEST((ascii(substr(wa, 7, 1)) - 97), (ascii(substr(wb, 7, 1)) - 97)) - LEAST((ascii(substr(wa, 7, 1)) - 97), (ascii(substr(wb, 7, 1)) - 97)) <= 1
+                 THEN 0.0
+                 ELSE [-0.67, 0.0, 0.67][GREATEST((ascii(substr(wa, 7, 1)) - 97), (ascii(substr(wb, 7, 1)) - 97))]
+                      - [-0.67, 0.0, 0.67][LEAST((ascii(substr(wa, 7, 1)) - 97), (ascii(substr(wb, 7, 1)) - 97)) + 1] END) * (CASE WHEN GREATEST((ascii(substr(wa, 7, 1)) - 97), (ascii(substr(wb, 7, 1)) - 97)) - LEAST((ascii(substr(wa, 7, 1)) - 97), (ascii(substr(wb, 7, 1)) - 97)) <= 1
+                 THEN 0.0
+                 ELSE [-0.67, 0.0, 0.67][GREATEST((ascii(substr(wa, 7, 1)) - 97), (ascii(substr(wb, 7, 1)) - 97))]
+                      - [-0.67, 0.0, 0.67][LEAST((ascii(substr(wa, 7, 1)) - 97), (ascii(substr(wb, 7, 1)) - 97)) + 1] END)
+                 + (CASE WHEN GREATEST((ascii(substr(wa, 8, 1)) - 97), (ascii(substr(wb, 8, 1)) - 97)) - LEAST((ascii(substr(wa, 8, 1)) - 97), (ascii(substr(wb, 8, 1)) - 97)) <= 1
+                 THEN 0.0
+                 ELSE [-0.67, 0.0, 0.67][GREATEST((ascii(substr(wa, 8, 1)) - 97), (ascii(substr(wb, 8, 1)) - 97))]
+                      - [-0.67, 0.0, 0.67][LEAST((ascii(substr(wa, 8, 1)) - 97), (ascii(substr(wb, 8, 1)) - 97)) + 1] END) * (CASE WHEN GREATEST((ascii(substr(wa, 8, 1)) - 97), (ascii(substr(wb, 8, 1)) - 97)) - LEAST((ascii(substr(wa, 8, 1)) - 97), (ascii(substr(wb, 8, 1)) - 97)) <= 1
+                 THEN 0.0
+                 ELSE [-0.67, 0.0, 0.67][GREATEST((ascii(substr(wa, 8, 1)) - 97), (ascii(substr(wb, 8, 1)) - 97))]
+                      - [-0.67, 0.0, 0.67][LEAST((ascii(substr(wa, 8, 1)) - 97), (ascii(substr(wb, 8, 1)) - 97)) + 1] END)) AS mindist
+                FROM pr
+            )
+            SELECT key_a, key_b, n, {_sr_sql('mindist', 6)} AS mindist
+            FROM md WHERE mindist <= 2.0
         """,
         "perm_entropy": _DAILY_GRID_SQL
         + f"""

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["BREAKPOINTS", "paa", "sax"]
+__all__ = ["BREAKPOINTS", "paa", "sax", "sax_mindist_pairs"]
 
 # Gaussian equiprobable breakpoints, alphabet 2..10 (Lin et al. 2003,
 # Table 3 — public constants, quoted at two decimals by the paper).
@@ -146,3 +146,70 @@ def sax(
             ).alias("sax"),
         )
     )
+
+
+def sax_mindist_pairs(
+    df: DataFrame,
+    w: int = 8,
+    a: int = 4,
+    max_dist: float | None = None,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Lower-bounding shape-similarity candidates from SAX words →
+    (key_a, key_b, n, mindist) for every pair of equal-length series
+    with full-length words (strict upper triangle). MINDIST (Lin et al.
+    2003, eq. 6) = √(n/w)·√(Σᵢ cell(qᵢ,cᵢ)²), where adjacent-or-equal
+    symbols cost 0 and distant symbols cost the breakpoint gap — it
+    provably LOWER-BOUNDS the true z-normalized Euclidean distance, so
+    filtering on ``max_dist`` never drops a true match (the classic
+    cheap-prune before an exact pass such as
+    :func:`~spark_timeseries_spark.operators.matrixprofile.matrix_profile`
+    or DTW). Pairs with different lengths or a NULL word (flat series)
+    are excluded — MINDIST is undefined there.
+
+    Plan: the K-row word table self-joins (a < b) — the pair table is
+    O(K²) like :func:`~spark_timeseries_spark.operators.rolling.corr_matrix`,
+    but each pair costs w CASE evaluations on an 8-char string instead
+    of a T-cell fold; at corpus scale, bucket by the word itself first
+    (identical words are distance-0 candidates for free)."""
+    if a not in BREAKPOINTS:
+        raise ValueError(f"a must be in {sorted(BREAKPOINTS)}, got {a}")
+    bps = BREAKPOINTS[a]
+    words = sax(df, w, a, key_col, order_col, value_col).where(
+        F.col("sax").isNotNull() & (F.col("n_segments") == w)
+    )
+    lhs = words.select(
+        F.col(key_col).alias("key_a"),
+        F.col("n").alias("_na"),
+        F.col("sax").alias("_wa"),
+    )
+    rhs = words.select(
+        F.col(key_col).alias("key_b"),
+        F.col("n").alias("_nb"),
+        F.col("sax").alias("_wb"),
+    )
+    pairs = lhs.join(
+        rhs,
+        (F.col("key_a") < F.col("key_b")) & (F.col("_na") == F.col("_nb")),
+    )
+    bp_arr = F.array(*[F.lit(b) for b in bps])
+    total = F.lit(0.0)
+    for i in range(1, w + 1):
+        ia = F.ascii(F.substring("_wa", i, 1)) - 97  # 0-based symbol idx
+        ib = F.ascii(F.substring("_wb", i, 1)) - 97
+        lo, hi = F.least(ia, ib), F.greatest(ia, ib)
+        cell = F.when(
+            hi - lo <= 1, F.lit(0.0)
+        ).otherwise(
+            F.element_at(bp_arr, hi) - F.element_at(bp_arr, lo + 1)
+        )
+        total = total + cell * cell
+    mind = F.sqrt(F.col("_na").cast("double") / w) * F.sqrt(total)
+    out = pairs.select(
+        "key_a", "key_b", F.col("_na").alias("n"), mind.alias("mindist")
+    )
+    if max_dist is not None:
+        out = out.where(F.col("mindist") <= float(max_dist))
+    return out

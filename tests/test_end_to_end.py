@@ -1743,3 +1743,62 @@ def test_dtw(spark):
         dtw_nearest(df, "base", k=0)
     with _pytest.raises(ValueError):
         dtw_nearest(df, "ghost")
+
+
+def test_sax_mindist_pairs(spark):
+    """MINDIST against a literal-table numpy replay AND its lower-bound
+    guarantee vs the true z-normalized Euclidean distance."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.sax import (
+        BREAKPOINTS,
+        sax_mindist_pairs,
+    )
+
+    rng = np.random.RandomState(61)
+    series = {
+        "a": rng.randn(24),
+        "b": rng.randn(24) * 2 + 3,
+        "c": np.sin(np.arange(24) / 3.0),
+        "short": rng.randn(12),  # different n -> excluded from pairs
+    }
+    rows = [
+        (k, i, float(v)) for k, vs in series.items()
+        for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    w, a = 8, 4
+    got = {(r.key_a, r.key_b): r for r in
+           sax_mindist_pairs(df, w, a).collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+    bps = BREAKPOINTS[a]
+
+    def word(vs):
+        z = (vs - vs.mean()) / vs.std()
+        return [
+            sum(np.mean([z[i] for i in range(len(z))
+                         if i * w // len(z) == s]) >= b for b in bps)
+            for s in range(w)
+        ]
+
+    def mindist(va, vb):
+        qa, qb = word(va), word(vb)
+        tot = 0.0
+        for x, y in zip(qa, qb):
+            lo, hi = min(x, y), max(x, y)
+            if hi - lo > 1:
+                tot += (bps[hi - 1] - bps[lo]) ** 2
+        return float(np.sqrt(len(va) / w) * np.sqrt(tot))
+
+    for (ka, kb), r in got.items():
+        e = mindist(series[ka], series[kb])
+        assert abs(r.mindist - e) < 1e-9, (ka, kb)
+        # the lower-bound property vs true z-normalized Euclidean
+        za = (series[ka] - series[ka].mean()) / series[ka].std()
+        zb = (series[kb] - series[kb].mean()) / series[kb].std()
+        true_d = float(np.sqrt(((za - zb) ** 2).sum()))
+        assert r.mindist <= true_d + 1e-9, (ka, kb)
+
+    only_close = sax_mindist_pairs(df, w, a, max_dist=1.0).collect()
+    assert all(r.mindist <= 1.0 for r in only_close)
