@@ -3002,11 +3002,30 @@ def _q_sax_mindist(spark, sf_dir):
     )
 
 
+def _q_embedding_drift(spark, sf_dir):
+    """Embedding drift between the even- and odd-id halves of the
+    embeddings table: centroid cosine + L2-norm PSI. Norms fold
+    left-to-right with double-cast elements on BOTH engines (Spark
+    F.aggregate / DuckDB list_reduce), so the PSI bin decisions replay
+    bit-for-bit; only the final cosine/ln need the stable rounding."""
+    from spark_timeseries_spark.pipeline.drift import embedding_drift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ref = emb.where(F.col("vec_id") % 2 == 0)
+    cur = emb.where(F.col("vec_id") % 2 == 1)
+    out = embedding_drift(ref, cur, "embedding", bins=10)
+    return out.select(
+        "n_ref", "n_cur",
+        _stable_round(F.col("centroid_cosine"), 6).alias("centroid_cosine"),
+        _stable_round(F.col("norm_psi"), 6).alias("norm_psi"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
     the first 50 entries. Window policy (round 7): (a) must-prove rows
-    first — everything NEW this round, in landing order: the fifteen
-    late-r7 operators (``sax`` … ``downsample_minmax``) and the
+    first — everything NEW this round, in landing order: the seventeen
+    late-r7 operators (``sax`` … ``embedding_drift``) and the
     early-r7 batch (``roll_quantile``/``fill_suite``/``roll_skew_kurt``
     … ``spectral_entropy``), plus the two ``_jaccard_join``-downstream
     rows the r6 refactor touched (``simhash_near_dups``,
@@ -3036,6 +3055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roll_rank": _q_roll_rank,
         "downsample_minmax": _q_downsample_minmax,
         "sax_mindist": _q_sax_mindist,
+        "embedding_drift": _q_embedding_drift,
         "max_drawdown": _q_max_drawdown,
         "changepoint": _q_changepoint,
         "hurst": _q_hurst,
@@ -3070,8 +3090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quotients": _q_quotients,
         "upsample": _q_upsample,
         "trim_leading_trailing": _q_trim,
-        "min_max_datetimes": _q_min_max_datetimes,
         # ---- driver window (50) ends here ----------------------------------
+        "min_max_datetimes": _q_min_max_datetimes,
         "calendar_ops": _q_calendar_ops,
         # (serde_roundtrip/row_matrix_norms/cosine_dup_pairs/lsh_recall/
         # ivf_topk/index_union/multimodal_meta/image_features/
@@ -4071,6 +4091,58 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT key_a, key_b, n, {_sr_sql('mindist', 6)} AS mindist
             FROM md WHERE mindist <= 2.0
+        """,
+        "embedding_drift": f"""
+            WITH r AS (SELECT embedding AS v FROM embeddings
+                       WHERE vec_id % 2 = 0 AND embedding IS NOT NULL),
+            c AS (SELECT embedding AS v FROM embeddings
+                  WHERE vec_id % 2 = 1 AND embedding IS NOT NULL),
+            idx AS (SELECT CAST(g AS INT) AS i
+                    FROM generate_series(1, 64) t(g)),
+            mr AS (SELECT i, avg(CAST(v[i] AS DOUBLE)) AS m
+                   FROM r, idx GROUP BY i),
+            mc AS (SELECT i, avg(CAST(v[i] AS DOUBLE)) AS m
+                   FROM c, idx GROUP BY i),
+            cosv AS (
+                SELECT sum(mr.m * mc.m)
+                       / (sqrt(sum(mr.m * mr.m))
+                          * sqrt(sum(mc.m * mc.m))) AS cosd
+                FROM mr JOIN mc USING (i)
+            ),
+            nr AS (SELECT sqrt(list_reduce(list_transform(
+                       v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                       (a, b) -> a + b)) AS nm FROM r),
+            nc AS (SELECT sqrt(list_reduce(list_transform(
+                       v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                       (a, b) -> a + b)) AS nm FROM c),
+            e AS (SELECT min(nm) AS lo, (max(nm) - min(nm)) / 10 AS w
+                  FROM nr),
+            rb AS (SELECT CAST(LEAST(GREATEST(FLOOR((nm - lo) / w), 0), 9)
+                              AS BIGINT) AS bin, count(*) AS cnt
+                   FROM nr, e GROUP BY 1),
+            cb AS (SELECT CAST(LEAST(GREATEST(FLOOR((nm - lo) / w), 0), 9)
+                              AS BIGINT) AS bin, count(*) AS cnt
+                   FROM nc, e GROUP BY 1),
+            rp AS (SELECT bin, cnt / (SELECT sum(cnt) FROM rb) AS p
+                   FROM rb),
+            cp AS (SELECT bin, cnt / (SELECT sum(cnt) FROM cb) AS p
+                   FROM cb),
+            j AS (
+                SELECT COALESCE(rp.p, 0.0) AS p_ref,
+                       COALESCE(cp.p, 0.0) AS p_cur
+                FROM rp FULL OUTER JOIN cp ON rp.bin = cp.bin
+            ),
+            ps AS (
+                SELECT sum((GREATEST(p_cur, 1e-4) - GREATEST(p_ref, 1e-4))
+                           * ln(GREATEST(p_cur, 1e-4)
+                                / GREATEST(p_ref, 1e-4))) AS psi
+                FROM j
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_ref,
+                   (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_cur,
+                   {_sr_sql('(SELECT cosd FROM cosv)', 6)}
+                       AS centroid_cosine,
+                   {_sr_sql('(SELECT psi FROM ps)', 6)} AS norm_psi
         """,
         "perm_entropy": _DAILY_GRID_SQL
         + f"""

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["psi_bins", "psi", "gini", "ks_test"]
+__all__ = ["psi_bins", "psi", "gini", "ks_test", "embedding_drift"]
 
 
 def _bin(col: F.Column, lo: float, width: float, bins: int) -> F.Column:
@@ -222,3 +222,70 @@ def ks_test(
         F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0))
     )
     return agg.select("n_ref", "n_cur", "d_stat", p.alias("p_value"))
+
+
+def embedding_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str = "embedding",
+    bins: int = 10,
+    eps: float = 1e-4,
+) -> DataFrame:
+    """Embedding-space drift between two snapshots → one row (n_ref,
+    n_cur, centroid_cosine, norm_psi): has a re-embedded (or newly
+    crawled) corpus MOVED in vector space? ``centroid_cosine`` is the
+    cosine between the two per-dimension mean vectors (1 = same
+    direction; semantic drift pulls it down); ``norm_psi`` is the
+    :func:`psi` of the L2-norm distributions (catches scale/calibration
+    shifts — a re-trained encoder often changes norms before it changes
+    directions). Elements are cast to double BEFORE any arithmetic so
+    float32 storage cannot produce engine-dependent promotion.
+
+    Plan: per-dimension means via posexplode + a d-group aggregate
+    (map-side combined — n·d exploded rows collapse to d per cohort),
+    the cosine via one d-row join; norms are row-local folds feeding the
+    bounded PSI pipeline. No driver state beyond PSI's two scalars."""
+    d_ref = _dim_means(ref, vec_col, "m_ref")
+    d_cur = _dim_means(cur, vec_col, "m_cur")
+    cos = (
+        d_ref.join(d_cur, "_pos")
+        .agg(
+            F.sum(F.col("m_ref") * F.col("m_cur")).alias("_dot"),
+            F.sum(F.col("m_ref") * F.col("m_ref")).alias("_na"),
+            F.sum(F.col("m_cur") * F.col("m_cur")).alias("_nb"),
+        )
+        .select(
+            F.try_divide(
+                F.col("_dot"), F.sqrt(F.col("_na")) * F.sqrt(F.col("_nb"))
+            ).alias("centroid_cosine")
+        )
+    )
+    norms_ref = _norms(ref, vec_col)
+    norms_cur = _norms(cur, vec_col)
+    counts = norms_ref.agg(
+        F.count(F.lit(1)).alias("n_ref")
+    ).crossJoin(norms_cur.agg(F.count(F.lit(1)).alias("n_cur")))
+    p = psi(norms_ref, norms_cur, "value", bins, eps=eps).select(
+        F.col("psi").alias("norm_psi")
+    )
+    return counts.crossJoin(cos).crossJoin(p)
+
+
+def _dim_means(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    v = F.col(vec_col)
+    return (
+        df.where(v.isNotNull())
+        .select(F.posexplode(v).alias("_pos", "_x"))
+        .groupBy("_pos")
+        .agg(F.avg(F.col("_x").cast("double")).alias(out))
+    )
+
+
+def _norms(df: DataFrame, vec_col: str) -> DataFrame:
+    v = F.col(vec_col)
+    sq = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return df.where(v.isNotNull()).select(F.sqrt(sq).alias("value"))

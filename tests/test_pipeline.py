@@ -2552,3 +2552,49 @@ def test_sq8_quantize_vs_numpy(spark):
         assert abs(r.mse - float(np.mean((v - recon) ** 2))) < 1e-12
         assert abs(r.max_abs_err - float(np.max(np.abs(v - recon)))) < 1e-12
     assert out[5].mse == 0.0 and set(out[5].codes) == {0}
+
+
+def test_embedding_drift(spark):
+    """Centroid cosine + norm PSI against numpy replays: identical
+    snapshots → cosine 1 / psi 0; rotated+scaled snapshot moves both."""
+    import numpy as np
+
+    from spark_timeseries_spark.pipeline.drift import embedding_drift
+
+    rng = np.random.RandomState(67)
+    base = rng.randn(200, 8) + np.array([3.0] * 8)  # offset so the
+    # centroid is far from 0 and cosine is well-conditioned
+    moved = base * 1.7 + np.array([0.0, 4.0] * 4)
+    ref = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    cur = spark.createDataFrame(
+        [(i, [float(x) for x in moved[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+
+    same = embedding_drift(ref, ref, bins=5).collect()[0]
+    assert abs(same.centroid_cosine - 1.0) < 1e-12
+    assert same.norm_psi == 0.0
+    assert same.n_ref == same.n_cur == 200
+
+    row = embedding_drift(ref, cur, bins=5).collect()[0]
+    # numpy replay on the FLOAT32-rounded values the engine actually saw
+    b32 = base.astype(np.float32).astype(float)
+    m32 = moved.astype(np.float32).astype(float)
+    ma, mb = b32.mean(0), m32.mean(0)
+    cos_e = float(ma @ mb / (np.linalg.norm(ma) * np.linalg.norm(mb)))
+    assert abs(row.centroid_cosine - cos_e) < 1e-9
+    na = np.sqrt((b32**2).sum(1))
+    nb = np.sqrt((m32**2).sum(1))
+    lo, hi = na.min(), na.max()
+    w = (hi - lo) / 5
+    pb = np.bincount(np.clip(((na - lo) // w).astype(int), 0, 4),
+                     minlength=5) / 200
+    qb = np.bincount(np.clip(((nb - lo) // w).astype(int), 0, 4),
+                     minlength=5) / 200
+    pe, qe = np.maximum(pb, 1e-4), np.maximum(qb, 1e-4)
+    psi_e = float(np.sum((qe - pe) * np.log(qe / pe)))
+    assert abs(row.norm_psi - psi_e) < 1e-9
+    assert row.norm_psi > 0.25  # 1.7x scale is definitely drift
