@@ -14,7 +14,7 @@ O(1) state per key (the running smoothed value).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -541,4 +541,57 @@ def streaming_psi(
         F.col("_w.end").alias("window_end"),
         "n",
         F.when(F.col("n") >= min_count, psi).alias("psi"),
+    )
+
+
+def streaming_asof_static(
+    stream: DataFrame,
+    snapshot: DataFrame,
+    on: str = "ts",
+    by: str = "key",
+    value_cols: list[str] | None = None,
+    suffix: str = "_snap",
+) -> DataFrame:
+    """Streaming as-of enrichment against a STATIC versioned snapshot:
+    each arriving event picks up the snapshot row of its key that was
+    current AT its event time (largest snapshot ``on`` ≤ event ``on``)
+    — quotes, configs, model versions. The streaming half of
+    :func:`operators.asof.asof_join` (whose union-window formulation
+    needs the whole series and can't run on an unbounded stream).
+
+    Plan — no state store, no watermark, no aggregation: the static
+    side is rewritten ONCE into SCD-2 validity intervals
+    (``valid_from`` = its stamp, ``valid_to`` = the key's next stamp
+    via one lag window), so the stream-static join condition
+    ``event.ts ∈ [valid_from, valid_to)`` matches EXACTLY ONE snapshot
+    row per event — a row-local join, refreshable by swapping the
+    snapshot. Events before their key's first version (or with no key
+    in the snapshot) keep NULL enrichment via the left join."""
+    if snapshot.isStreaming:
+        raise ValueError("snapshot must be a STATIC frame")
+    if value_cols is None:
+        value_cols = [c for c in snapshot.columns if c not in (on, by)]
+    missing = [c for c in value_cols if c not in snapshot.columns]
+    if missing:
+        raise ValueError(f"snapshot is missing value_cols {missing}")
+    w = Window.partitionBy(by).orderBy(on)
+    out_names = {
+        c: (c + suffix if c in stream.columns else c) for c in value_cols
+    }
+    snap = snapshot.select(
+        F.col(by).alias("_sby"),
+        F.col(on).alias(on + suffix),
+        F.lead(on).over(w).alias("_valid_to"),
+        *[F.col(c).alias(out_names[c]) for c in value_cols],
+    )
+    cond = (
+        (F.col(by) == F.col("_sby"))
+        & (F.col(on) >= F.col(on + suffix))
+        & (
+            F.col("_valid_to").isNull()
+            | (F.col(on) < F.col("_valid_to"))
+        )
+    )
+    return stream.join(F.broadcast(snap), cond, "left").drop(
+        "_sby", "_valid_to"
     )

@@ -778,3 +778,56 @@ def test_streaming_psi_windowed_drift(spark, tmp_path):
         streaming_psi(stream, [1.0], 0.0, 10.0)
     with _pytest.raises(ValueError, match="hi > lo"):
         streaming_psi(stream, fr, 5.0, 5.0)
+
+
+def test_streaming_asof_static_versions(spark, tmp_path):
+    """SCD-2 stream-static as-of: each event matches the snapshot
+    version current at ITS event time; pre-first-version events and
+    unknown keys stay NULL; exact-stamp matches count."""
+    import pandas as pd
+
+    from spark_timeseries_spark.streaming import (
+        read_observations_stream,
+        streaming_asof_static,
+    )
+
+    t = lambda m: pd.Timestamp(f"2024-01-01 00:{m:02d}:00").to_pydatetime()
+    snapshot = spark.createDataFrame(
+        [("a", t(10), 1.0), ("a", t(30), 2.0), ("b", t(0), 9.0)],
+        "key string, ts timestamp, quote double",
+    )
+    rows = [
+        (t(5), "a", 100.0),   # before a's first version -> NULL
+        (t(10), "a", 101.0),  # exact stamp -> v1
+        (t(29), "a", 102.0),  # -> v1
+        (t(30), "a", 103.0),  # -> v2
+        (t(45), "a", 104.0),  # -> v2 (open interval)
+        (t(5), "q", 105.0),   # unknown key -> NULL
+    ]
+    src = str(tmp_path / "asof_src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        rows, "ts timestamp, key string, value double"
+    ).write.parquet(src + "/b1")
+
+    stream = read_observations_stream(spark, src + "/*")
+    out = streaming_asof_static(stream, snapshot)
+    q = (out.writeStream.format("memory").queryName("sasof")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.key, r.value): (r.ts_snap, r.quote)
+           for r in spark.sql("select * from sasof").collect()}
+
+    assert got[("a", 100.0)] == (None, None)
+    assert got[("a", 101.0)] == (t(10), 1.0)
+    assert got[("a", 102.0)] == (t(10), 1.0)
+    assert got[("a", 103.0)] == (t(30), 2.0)
+    assert got[("a", 104.0)] == (t(30), 2.0)
+    assert got[("q", 105.0)] == (None, None)
+    assert len(got) == 6  # exactly one output row per event
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="STATIC"):
+        streaming_asof_static(stream, stream)
+    with _pytest.raises(ValueError, match="value_cols"):
+        streaming_asof_static(stream, snapshot, value_cols=["nope"])
