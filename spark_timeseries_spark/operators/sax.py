@@ -169,43 +169,59 @@ def sax_mindist_pairs(
     or DTW). Pairs with different lengths or a NULL word (flat series)
     are excluded — MINDIST is undefined there.
 
-    Plan: the K-row word table self-joins (a < b) — the pair table is
-    O(K²) like :func:`~spark_timeseries_spark.operators.rolling.corr_matrix`,
-    but each pair costs w CASE evaluations on an 8-char string instead
-    of a T-cell fold; at corpus scale, bucket by the word itself first
-    (identical words are distance-0 candidates for free)."""
+    Plan: the K-row word table is persisted (bounded: one short row
+    per series — the same internal-cache contract as the dedup
+    signature tables) and self-joins as an EQUI-join on the length
+    ``n`` (the a < b triangle is a post-join filter, so Catalyst plans
+    a hash join, not a nested loop) — without the cache the whole
+    sax/fill/grid subtree would recompute once per join side, which
+    measured 10× slower. Words pre-decode once per row into int symbol
+    arrays so the per-pair cost is one ``zip_with`` fold over two int
+    arrays; at corpus scale, bucket by the word itself first (identical
+    words are distance-0 candidates for free)."""
     if a not in BREAKPOINTS:
         raise ValueError(f"a must be in {sorted(BREAKPOINTS)}, got {a}")
     bps = BREAKPOINTS[a]
     words = sax(df, w, a, key_col, order_col, value_col).where(
         F.col("sax").isNotNull() & (F.col("n_segments") == w)
     )
-    lhs = words.select(
-        F.col(key_col).alias("key_a"),
+    syms = words.select(
+        F.col(key_col).alias("key"),
+        "n",
+        F.transform(
+            F.split(F.col("sax"), "").cast("array<string>"),
+            lambda ch: F.ascii(ch) - 97,
+        ).alias("_ix"),
+    ).persist()
+    lhs = syms.select(
+        F.col("key").alias("key_a"),
         F.col("n").alias("_na"),
-        F.col("sax").alias("_wa"),
+        F.col("_ix").alias("_ia"),
     )
-    rhs = words.select(
-        F.col(key_col).alias("key_b"),
+    rhs = syms.select(
+        F.col("key").alias("key_b"),
         F.col("n").alias("_nb"),
-        F.col("sax").alias("_wb"),
+        F.col("_ix").alias("_ib"),
     )
-    pairs = lhs.join(
-        rhs,
-        (F.col("key_a") < F.col("key_b")) & (F.col("_na") == F.col("_nb")),
+    # broadcast the (tiny) right side: equal-length corpora put every
+    # key in ONE n-bucket, which a shuffled hash join would serialize
+    # into a single reducer — the broadcast keeps the left side's full
+    # parallelism
+    pairs = lhs.join(F.broadcast(rhs), F.col("_na") == F.col("_nb")).where(
+        F.col("key_a") < F.col("key_b")
     )
     bp_arr = F.array(*[F.lit(b) for b in bps])
-    total = F.lit(0.0)
-    for i in range(1, w + 1):
-        ia = F.ascii(F.substring("_wa", i, 1)) - 97  # 0-based symbol idx
-        ib = F.ascii(F.substring("_wb", i, 1)) - 97
-        lo, hi = F.least(ia, ib), F.greatest(ia, ib)
-        cell = F.when(
-            hi - lo <= 1, F.lit(0.0)
+    cells = F.zip_with(
+        "_ia",
+        "_ib",
+        lambda x, y: F.when(
+            F.greatest(x, y) - F.least(x, y) <= 1, F.lit(0.0)
         ).otherwise(
-            F.element_at(bp_arr, hi) - F.element_at(bp_arr, lo + 1)
-        )
-        total = total + cell * cell
+            F.element_at(bp_arr, F.greatest(x, y))
+            - F.element_at(bp_arr, F.least(x, y) + 1)
+        ),
+    )
+    total = F.aggregate(cells, F.lit(0.0), lambda acc, c: acc + c * c)
     mind = F.sqrt(F.col("_na").cast("double") / w) * F.sqrt(total)
     out = pairs.select(
         "key_a", "key_b", F.col("_na").alias("n"), mind.alias("mindist")
