@@ -3021,6 +3021,20 @@ def _q_embedding_drift(spark, sf_dir):
     )
 
 
+def _q_pettitt(spark, sf_dir):
+    """Pettitt rank changepoint per daily-grid series — the integer
+    statistic and argmax position replay exactly (signs and prefix sums
+    are integer arithmetic); only the closed-form p needs rounding."""
+    from spark_timeseries_spark.operators.changepoint import pettitt
+
+    grid = _daily_grid(spark, sf_dir)
+    out = pettitt(grid)
+    return out.select(
+        "key", "n", "k_stat", "cp_loc",
+        _stable_round(F.col("p_value"), 6).alias("p_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
     the first 50 entries. Window policy (round 7): (a) must-prove rows
@@ -3056,6 +3070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "downsample_minmax": _q_downsample_minmax,
         "sax_mindist": _q_sax_mindist,
         "embedding_drift": _q_embedding_drift,
+        "pettitt": _q_pettitt,
         "max_drawdown": _q_max_drawdown,
         "changepoint": _q_changepoint,
         "hurst": _q_hurst,
@@ -3089,8 +3104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slice": _q_slice,
         "quotients": _q_quotients,
         "upsample": _q_upsample,
-        "trim_leading_trailing": _q_trim,
         # ---- driver window (50) ends here ----------------------------------
+        "trim_leading_trailing": _q_trim,
         "min_max_datetimes": _q_min_max_datetimes,
         "calendar_ops": _q_calendar_ops,
         # (serde_roundtrip/row_matrix_norms/cosine_dup_pairs/lsh_recall/
@@ -4143,6 +4158,54 @@ def oracle_sql() -> dict[str, str]:
                    {_sr_sql('(SELECT cosd FROM cosv)', 6)}
                        AS centroid_cosine,
                    {_sr_sql('(SELECT psi FROM ps)', 6)} AS norm_psi
+        """,
+        "pettitt": _DAILY_GRID_SQL
+        + f"""
+            , obs AS (SELECT key, loc, value FROM grid
+                      WHERE value IS NOT NULL),
+            rk AS (
+                SELECT key, loc, value,
+                       row_number() OVER (PARTITION BY key ORDER BY loc)
+                           AS rk,
+                       count(*) OVER (PARTITION BY key) AS n
+                FROM obs
+            ),
+            pr AS (
+                SELECT a.key AS key, a.rk AS i, b.rk AS j,
+                       CAST(sign(b.value - a.value) AS BIGINT) AS s
+                FROM rk a JOIN rk b ON a.key = b.key AND a.rk < b.rk
+            ),
+            d AS (
+                SELECT key, pos, CAST(sum(dd) AS BIGINT) AS dd FROM (
+                    SELECT key, i AS pos, CAST(sum(s) AS BIGINT) AS dd
+                    FROM pr GROUP BY 1, 2
+                    UNION ALL
+                    SELECT key, j AS pos, CAST(-sum(s) AS BIGINT) AS dd
+                    FROM pr GROUP BY 1, 2
+                ) GROUP BY 1, 2
+            ),
+            u AS (
+                SELECT key, pos,
+                       CAST(sum(dd) OVER (PARTITION BY key ORDER BY pos)
+                            AS BIGINT) AS uv
+                FROM d
+            ),
+            ut AS (
+                SELECT u.key AS key, u.pos AS pos, abs(u.uv) AS k,
+                       rk.loc AS loc, rk.n AS n,
+                       row_number() OVER (PARTITION BY u.key
+                                          ORDER BY abs(u.uv) DESC,
+                                                   u.pos ASC) AS pick
+                FROM u JOIN rk ON rk.key = u.key AND rk.rk = u.pos
+                WHERE u.pos < rk.n
+            )
+            SELECT key, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_stat,
+                   loc AS cp_loc,
+                   {_sr_sql(
+                       'LEAST(1.0, 2.0 * exp(-6.0 * k * k'
+                       ' / (CAST(n AS DOUBLE) * n * n'
+                       ' + CAST(n AS DOUBLE) * n)))', 6)} AS p_value
+            FROM ut WHERE pick = 1
         """,
         "perm_entropy": _DAILY_GRID_SQL
         + f"""

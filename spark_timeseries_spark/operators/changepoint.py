@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["changepoint_mean"]
+__all__ = ["changepoint_mean", "pettitt"]
 
 
 def changepoint_mean(
@@ -95,4 +95,90 @@ def changepoint_mean(
             F.col("_a.ml").alias("mean_left"),
             F.col("_a.mr").alias("mean_right"),
         )
+    )
+
+
+def pettitt(
+    df: DataFrame,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Pettitt (1979) nonparametric single-changepoint test per series →
+    (key, n, k_stat, cp_loc, p_value): the rank-based companion of
+    :func:`changepoint_mean` — no normality assumption, robust to
+    outliers. U_t = Σ_{i≤t} Σ_{j>t} sgn(x_j − x_i); K = max_t |U_t|;
+    the changepoint is the argmax t (``cp_loc`` = the ``loc`` of the
+    last point of the first segment; ties → smallest t); the
+    approximate significance is Pettitt's closed form
+    p ≈ 2·exp(−6K²/(n³ + n²)) (capped at 1 — exact for one-sided K,
+    conservative at tiny K; a closed form, so fully oracle-replayable).
+    Series with n < 2 yield no row.
+
+    Plan: the naive statistic is O(n²) per t — this implementation
+    uses the difference-array identity instead: pair (i < j)
+    contributes sgn(x_j − x_i) to U_t exactly for t ∈ [i, j−1], so
+    accumulating +sgn at position i and −sgn at position j and taking
+    ONE prefix sum yields every U_t. The pairwise self-join (same
+    quadratic-in-series-length envelope as :func:`~spark_timeseries_spark.operators.cusum.theil_sen`,
+    keyed per series so the corpus axis parallelizes) collapses
+    map-side into TWO per-position aggregates; everything after is a
+    window prefix sum and one struct-min argmax — all JVM."""
+    pts = df.where(F.col(value_col).isNotNull()).select(
+        key_col,
+        F.col(order_col).alias("_l"),
+        F.col(value_col).alias("_v"),
+    )
+    ws = Window.partitionBy(key_col).orderBy("_l")
+    ranked = pts.withColumn("_rk", F.row_number().over(ws))
+    a, b = ranked.alias("a"), ranked.alias("b")
+    sgn = F.signum(F.col("b._v") - F.col("a._v")).cast("long")
+    pairs = a.join(b, key_col).where(F.col("a._rk") < F.col("b._rk"))
+    starts = pairs.groupBy(
+        key_col, F.col("a._rk").alias("_pos")
+    ).agg(F.sum(sgn).alias("_d"))
+    ends = pairs.groupBy(
+        key_col, F.col("b._rk").alias("_pos")
+    ).agg((-F.sum(sgn)).alias("_d"))
+    diffs = (
+        starts.unionByName(ends)
+        .groupBy(key_col, "_pos")
+        .agg(F.sum("_d").alias("_d"))
+    )
+    wp = Window.partitionBy(key_col).orderBy("_pos")
+    u = diffs.withColumn("_u", F.sum("_d").over(wp))
+    # join back the loc of each rank + per-key n; drop t = n (U_n = 0
+    # by construction, not an admissible split)
+    locs = ranked.select(
+        key_col, F.col("_rk").alias("_pos"), "_l",
+        F.count(F.lit(1)).over(Window.partitionBy(key_col)).alias("_n"),
+    )
+    ut = u.join(locs, [key_col, "_pos"]).where(
+        F.col("_pos") < F.col("_n")
+    )
+    best = (
+        ut.groupBy(key_col)
+        .agg(
+            F.max("_n").alias("n"),
+            F.min(
+                F.struct(
+                    (-F.abs(F.col("_u"))).alias("_negk"),
+                    F.col("_pos").alias("_pos"),
+                    F.col("_l").alias("_loc"),
+                    F.abs(F.col("_u")).alias("_k"),
+                )
+            ).alias("_b"),
+        )
+    )
+    n = F.col("n").cast("double")
+    k = F.col("_b._k").cast("double")
+    p = F.least(
+        F.lit(1.0), 2.0 * F.exp(-6.0 * k * k / (n * n * n + n * n))
+    )
+    return best.select(
+        key_col,
+        "n",
+        F.col("_b._k").alias("k_stat"),
+        F.col("_b._loc").alias("cp_loc"),
+        p.alias("p_value"),
     )

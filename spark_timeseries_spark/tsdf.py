@@ -415,6 +415,14 @@ class TimeSeriesDataFrame:
 
         return matrix_profile(self.df, m, exclusion)
 
+    def pettitt(self) -> DataFrame:
+        """Pettitt rank-based single-changepoint test per series —
+        beyond-reference; see
+        :func:`operators.changepoint.pettitt`."""
+        from .operators.changepoint import pettitt
+
+        return pettitt(self.df)
+
     def mann_kendall(self) -> DataFrame:
         """Per-series Mann-Kendall nonparametric trend test —
         beyond-reference; see :func:`operators.cusum.mann_kendall`."""

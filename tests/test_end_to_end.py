@@ -1802,3 +1802,49 @@ def test_sax_mindist_pairs(spark):
 
     only_close = sax_mindist_pairs(df, w, a, max_dist=1.0).collect()
     assert all(r.mindist <= 1.0 for r in only_close)
+
+
+def test_pettitt(spark):
+    """Pettitt statistic against the O(n²·n) brute-force definition; a
+    planted level shift localizes; flat series K=0, p=1."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.changepoint import pettitt
+
+    rng = np.random.RandomState(71)
+    shifted = list(rng.randn(20)) + list(rng.randn(15) + 4.0)
+    noise = list(rng.randn(25))
+    rows = (
+        [("shift", i, float(v)) for i, v in enumerate(shifted)]
+        + [("noise", i, float(v)) for i, v in enumerate(noise)]
+        + [("flat", i, 2.0) for i in range(8)]
+    )
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    out = {r.key: r for r in pettitt(df).collect()}
+
+    def brute(vals):
+        n = len(vals)
+        us = []
+        for t in range(1, n):  # t = size of the left segment
+            u = sum(
+                np.sign(vals[j] - vals[i])
+                for i in range(t)
+                for j in range(t, n)
+            )
+            us.append((abs(u), t))
+        k, t = max(us, key=lambda x: (x[0], -x[1]))
+        # smallest t on ties
+        t = min(tt for kk, tt in us if kk == k)
+        p = min(1.0, 2 * np.exp(-6 * k * k / (n**3 + n**2)))
+        return k, t, p
+
+    for key, vals in (("shift", shifted), ("noise", noise)):
+        k_e, t_e, p_e = brute(vals)
+        r = out[key]
+        assert r.k_stat == k_e, key
+        assert r.cp_loc == t_e - 1, key  # loc of the LAST left point
+        assert abs(r.p_value - p_e) < 1e-12, key
+    assert out["shift"].cp_loc == 19    # the planted boundary
+    assert out["shift"].p_value < 0.01
+    assert out["noise"].p_value > 0.05
+    assert out["flat"].k_stat == 0 and out["flat"].p_value == 1.0
