@@ -3035,11 +3035,49 @@ def _q_pettitt(spark, sf_dir):
     )
 
 
+def _q_croston(spark, sf_dir):
+    """Croston intermittent-demand estimate per user over a derived
+    spike-demand series (daily totals above 60, zero elsewhere — mostly
+    zeros, the regime Croston exists for). The closed-form power-weight
+    sums replay in SQL; pow() noise is absorbed at 6 decimals."""
+    from spark_timeseries_spark.models import croston
+
+    grid = _daily_grid(spark, sf_dir)
+    demand = grid.select(
+        "key", "loc",
+        F.when(F.coalesce(F.col("value"), F.lit(0.0)) > 60.0,
+               F.col("value")).otherwise(F.lit(0.0)).alias("value"),
+    )
+    out = croston(demand, alpha=0.2)
+    return out.select(
+        "key", "n", "n_demands",
+        _stable_round(F.col("size_hat"), 6).alias("size_hat"),
+        _stable_round(F.col("interval_hat"), 6).alias("interval_hat"),
+        _stable_round(F.col("forecast"), 6).alias("forecast"),
+    )
+
+
+def _q_seasonal_mk(spark, sf_dir):
+    """Seasonal (weekly, period 7) Mann-Kendall per daily-grid series —
+    per-season integer S and tie-corrected Var summed across the seven
+    weekday groups; p stays pytest-covered (no erf in DuckDB, the MK
+    convention)."""
+    from spark_timeseries_spark.operators.cusum import seasonal_mann_kendall
+
+    grid = _daily_grid(spark, sf_dir)
+    out = seasonal_mann_kendall(grid, 7)
+    return out.select(
+        "key", "n", "s",
+        _stable_round(F.col("var_s"), 6).alias("var_s"),
+        _stable_round(F.col("z"), 6).alias("z"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
     the first 50 entries. Window policy (round 7): (a) must-prove rows
-    first — everything NEW this round, in landing order: the seventeen
-    late-r7 operators (``sax`` … ``embedding_drift``) and the
+    first — everything NEW this round, in landing order: the twenty-one
+    late-r7 operators (``sax`` … ``seasonal_mk``) and the
     early-r7 batch (``roll_quantile``/``fill_suite``/``roll_skew_kurt``
     … ``spectral_entropy``), plus the two ``_jaccard_join``-downstream
     rows the r6 refactor touched (``simhash_near_dups``,
@@ -3071,6 +3109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_mindist": _q_sax_mindist,
         "embedding_drift": _q_embedding_drift,
         "pettitt": _q_pettitt,
+        "croston": _q_croston,
+        "seasonal_mk": _q_seasonal_mk,
         "max_drawdown": _q_max_drawdown,
         "changepoint": _q_changepoint,
         "hurst": _q_hurst,
@@ -3102,9 +3142,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment_pairs,
         # -- (b) stalest evidence: the r4-era rows -------------------------
         "slice": _q_slice,
+        # ---- driver window (50) ends here ----------------------------------
         "quotients": _q_quotients,
         "upsample": _q_upsample,
-        # ---- driver window (50) ends here ----------------------------------
         "trim_leading_trailing": _q_trim,
         "min_max_datetimes": _q_min_max_datetimes,
         "calendar_ops": _q_calendar_ops,
@@ -4158,6 +4198,84 @@ def oracle_sql() -> dict[str, str]:
                    {_sr_sql('(SELECT cosd FROM cosv)', 6)}
                        AS centroid_cosine,
                    {_sr_sql('(SELECT psi FROM ps)', 6)} AS norm_psi
+        """,
+        "seasonal_mk": _DAILY_GRID_SQL
+        + f"""
+            , obs AS (SELECT key, loc, value, loc % 7 AS g FROM grid
+                      WHERE value IS NOT NULL),
+            pr AS (
+                SELECT a.key AS key,
+                       CAST(sum(CAST(sign(b.value - a.value) AS BIGINT))
+                            AS BIGINT) AS s
+                FROM obs a JOIN obs b
+                  ON a.key = b.key AND a.g = b.g AND a.loc < b.loc
+                GROUP BY 1
+            ),
+            ns AS (SELECT key, g, count(*) AS ng FROM obs GROUP BY 1, 2),
+            tt AS (
+                SELECT key, g, sum(t * (t - 1) * (2 * t + 5)) AS tie
+                FROM (
+                    SELECT key, g, value, CAST(count(*) AS DOUBLE) AS t
+                    FROM obs GROUP BY 1, 2, 3
+                ) GROUP BY 1, 2
+            ),
+            vv AS (
+                SELECT ns.key AS key, CAST(sum(ns.ng) AS BIGINT) AS n,
+                       sum(CASE WHEN ns.ng >= 2 THEN
+                           (CAST(ns.ng AS DOUBLE) * (ns.ng - 1)
+                            * (2 * ns.ng + 5) - tt.tie) / 18.0
+                           ELSE 0.0 END) AS var_s
+                FROM ns JOIN tt USING (key, g) GROUP BY 1
+            )
+            SELECT vv.key AS key, vv.n AS n,
+                   COALESCE(pr.s, 0) AS s,
+                   {_sr_sql('vv.var_s', 6)} AS var_s,
+                   {_sr_sql(
+                       'CASE WHEN vv.var_s <= 0 THEN NULL'
+                       ' WHEN pr.s > 0 THEN (pr.s - 1) / sqrt(vv.var_s)'
+                       ' WHEN pr.s < 0 THEN (pr.s + 1) / sqrt(vv.var_s)'
+                       ' ELSE 0.0 END', 6)} AS z
+            FROM vv LEFT JOIN pr USING (key)
+        """,
+        "croston": _DAILY_GRID_SQL
+        + f"""
+            , dem AS (
+                SELECT key, loc,
+                       CASE WHEN COALESCE(value, 0.0) > 60.0 THEN value
+                            ELSE 0.0 END AS v
+                FROM grid
+            ),
+            tot AS (SELECT key, CAST(count(*) AS BIGINT) AS n
+                    FROM dem GROUP BY key),
+            nz AS (
+                SELECT key, loc, v,
+                       row_number() OVER (PARTITION BY key ORDER BY loc)
+                           AS k,
+                       count(*) OVER (PARTITION BY key) AS m,
+                       CAST(loc - lag(loc)
+                            OVER (PARTITION BY key ORDER BY loc)
+                            AS DOUBLE) AS gap
+                FROM dem WHERE v <> 0
+            ),
+            est AS (
+                SELECT key, CAST(max(m) AS BIGINT) AS n_demands,
+                       sum((CASE WHEN k = 1 THEN pow(0.8, m - 1)
+                                 ELSE 0.2 * pow(0.8, m - k) END) * v)
+                           AS size_hat,
+                       sum(CASE WHEN k >= 2 THEN
+                               (CASE WHEN k = 2 THEN pow(0.8, m - 2)
+                                     ELSE 0.2 * pow(0.8, m - k) END) * gap
+                           END) AS interval_hat
+                FROM nz GROUP BY key
+            )
+            SELECT tot.key AS key, tot.n AS n,
+                   COALESCE(est.n_demands, 0) AS n_demands,
+                   {_sr_sql('est.size_hat', 6)} AS size_hat,
+                   {_sr_sql('est.interval_hat', 6)} AS interval_hat,
+                   {_sr_sql(
+                       'est.size_hat / NULLIF(est.interval_hat, 0)', 6)}
+                       AS forecast
+            FROM tot LEFT JOIN est USING (key)
         """,
         "pettitt": _DAILY_GRID_SQL
         + f"""

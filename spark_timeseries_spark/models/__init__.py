@@ -21,7 +21,7 @@ from .fit import (
     test_series,
     variance_forecast,
 )
-from .baselines import baseline_forecast
+from .baselines import croston, baseline_forecast
 from .var import fit_var, forecast_var, impulse_response
 from .univariate import (
     ARGARCHModel,
@@ -48,7 +48,7 @@ __all__ = [
     "apply_model_effects", "fit_improvement", "fit_models", "fit_xreg_models",
     "fit_xreg_improvement",
     "forecast", "granger_test", "cointegration_test", "residuals", "test_series", "variance_forecast",
-    "baseline_forecast", "fit_var", "forecast_var", "impulse_response",
+    "baseline_forecast", "croston", "fit_var", "forecast_var", "impulse_response",
     "ARGARCHModel", "ARModel", "EGARCHModel", "EWMAModel", "GARCHModel",
     "HoltWintersModel", "egarch_start",
     "fit_ar", "fit_ar_garch", "fit_egarch", "fit_ewma", "fit_ewma_grid",

@@ -20,10 +20,10 @@ job. Conventions (Hyndman & Athanasopoulos, FPP3 §5.2):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["baseline_forecast", "theta_forecast"]
+__all__ = ["baseline_forecast", "theta_forecast", "croston"]
 
 _METHODS = {"naive", "snaive", "drift"}
 
@@ -165,4 +165,86 @@ def theta_forecast(
         F.when(
             F.col("_b").isNotNull(), 0.5 * (trend + F.col("_l"))
         ).alias("forecast"),
+    )
+
+
+def croston(
+    df: DataFrame,
+    alpha: float = 0.1,
+    variant: str = "classic",
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (Croston 1972) →
+    (key, n, n_demands, size_hat, interval_hat, forecast) per series:
+    the standard baseline when most periods are zero (spare parts,
+    rare-event rates — a regime where naive/drift are useless and SES
+    biases toward zero). Two exponential smoothers run over the
+    NON-ZERO subsequence only: one on the demand sizes z_k, one on the
+    inter-demand intervals p_k (gaps in ``order_col`` units between
+    consecutive non-zero points); the demand-rate forecast is ẑ/p̂ —
+    or ``variant="sba"`` for the Syntetos-Boyd approximation
+    (1 − α/2)·ẑ/p̂, which corrects Croston's documented positive bias.
+
+    Both smoothers initialize at their first observation, so each
+    estimate is the closed-form weighted sum
+    ẑ = (1−α)^{m−1} z_1 + α·Σ_{k≥2} (1−α)^{m−k} z_k — a per-key
+    aggregate over power weights, NOT a sequential recursion, which is
+    what makes the method run on a million series as one job (and lets
+    a SQL oracle replay it term-for-term). Series with no non-zero
+    demand yield NULLs; with a single demand, ``interval_hat`` (and the
+    forecast) is NULL — one point defines no interval. NULL cells are
+    skipped entirely (unobserved ≠ zero demand)."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if variant not in ("classic", "sba"):
+        raise ValueError(f"variant must be classic|sba, got {variant!r}")
+    v = F.col(value_col)
+    obs = df.where(v.isNotNull())
+    wk = Window.partitionBy(key_col)
+    totals = obs.groupBy(key_col).agg(F.count(v).alias("n"))
+    nz = obs.where(v != 0)
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+    d = (
+        nz.withColumn("_k", F.row_number().over(ws))
+        .withColumn("_m", F.count(F.lit(1)).over(wk))
+        .withColumn(
+            "_gap",
+            (F.col(order_col) - F.lag(order_col).over(ws)).cast("double"),
+        )
+    )
+    beta = 1.0 - alpha
+    # weight of the k-th of m terms: (1-a)^(m-1) for k=1 (the init),
+    # a*(1-a)^(m-k) for k>1 — identical for the interval smoother over
+    # its m-1 gaps (k=2..m, init at the first gap)
+    wz = F.when(
+        F.col("_k") == 1, F.pow(F.lit(beta), F.col("_m") - 1)
+    ).otherwise(
+        alpha * F.pow(F.lit(beta), (F.col("_m") - F.col("_k")).cast("double"))
+    )
+    wp = F.when(
+        F.col("_k") == 2, F.pow(F.lit(beta), F.col("_m") - 2)
+    ).otherwise(
+        alpha * F.pow(F.lit(beta), (F.col("_m") - F.col("_k")).cast("double"))
+    )
+    est = d.groupBy(key_col).agg(
+        F.max("_m").alias("n_demands"),
+        F.sum(wz * v).alias("size_hat"),
+        F.sum(F.when(F.col("_k") >= 2, wp * F.col("_gap"))).alias(
+            "interval_hat"
+        ),
+    )
+    factor = (1.0 - alpha / 2.0) if variant == "sba" else 1.0
+    fc = factor * F.try_divide(F.col("size_hat"), F.col("interval_hat"))
+    return (
+        totals.join(est, key_col, "left")
+        .withColumn(
+            "n_demands", F.coalesce(F.col("n_demands"), F.lit(0))
+        )
+        .withColumn("forecast", fc)
+        .select(
+            key_col, "n", "n_demands", "size_hat", "interval_hat",
+            "forecast",
+        )
     )

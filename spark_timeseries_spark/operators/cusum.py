@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cusum", "cusum_changepoints", "theil_sen", "mann_kendall"]
+__all__ = ["cusum", "cusum_changepoints", "theil_sen", "mann_kendall", "seasonal_mann_kendall"]
 
 
 def cusum(
@@ -247,6 +247,100 @@ def mann_kendall(
         n_agg.join(s_agg, key_col, "left")
         .join(ties, key_col, "left")
         .withColumn("var_s", F.when(F.col("n") >= 3, var_s))
+        .withColumn("z", z)
+    )
+
+    @F.pandas_udf("double")
+    def _p(zc: pd.Series) -> pd.Series:
+        return zc.map(
+            lambda v: None if pd.isna(v) else 2.0 * (1.0 - norm_cdf(abs(v)))
+        )
+
+    return out.select(
+        key_col, "n", "s", "var_s", "z", _p(F.col("z")).alias("p_value")
+    )
+
+
+def seasonal_mann_kendall(
+    df: DataFrame,
+    period: int,
+    key_col: str = "key",
+    loc_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Seasonal Mann-Kendall trend test (Hirsch, Slack & Smith 1982) →
+    (key, n, s, var_s, z, p_value): the :func:`mann_kendall` statistic
+    computed WITHIN each season (``loc mod period`` — January-vs-January,
+    Monday-vs-Monday) and summed across seasons, so a strong seasonal
+    cycle can't masquerade as (or mask) a monotone trend. S = Σ_g S_g,
+    Var = Σ_g Var_g (tie-corrected per season; the seasons-independent
+    form — the serial-correlation covariance correction is out of
+    scope and documented as such), continuity-corrected z, closed-form
+    two-sided normal p. Same pairwise-per-season envelope as
+    :func:`mann_kendall` — the self-join is quadratic in SERIES LENGTH
+    divided by the period, keyed per (series, season) so everything
+    parallelizes."""
+    from ..models._numeric import norm_cdf
+
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    pts = df.where(F.col(value_col).isNotNull()).select(
+        key_col,
+        F.col(loc_col).alias("_l"),
+        F.pmod(F.col(loc_col), F.lit(period)).alias("_g"),
+        F.col(value_col).alias("_v"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    s_agg = (
+        a.join(b, [key_col])
+        .where(
+            (F.col("a._g") == F.col("b._g"))
+            & (F.col("a._l") < F.col("b._l"))
+        )
+        .groupBy(key_col)
+        .agg(
+            F.sum(
+                F.signum(F.col("b._v") - F.col("a._v")).cast("long")
+            ).alias("s")
+        )
+    )
+    per_season = pts.groupBy(key_col, "_g").agg(
+        F.count(F.lit(1)).alias("_ng")
+    )
+    ties = (
+        pts.groupBy(key_col, "_g", "_v")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy(key_col, "_g")
+        .agg(
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            ).alias("_tie")
+        )
+    )
+    ng = F.col("_ng").cast("double")
+    var_g = F.when(
+        F.col("_ng") >= 2,
+        (ng * (ng - 1) * (2 * ng + 5) - F.col("_tie").cast("double"))
+        / 18.0,
+    ).otherwise(0.0)
+    vars_ = (
+        per_season.join(ties, [key_col, "_g"])
+        .withColumn("_vg", var_g)
+        .groupBy(key_col)
+        .agg(
+            F.sum("_ng").alias("n"),
+            F.sum("_vg").alias("var_s"),
+        )
+    )
+    s = F.col("s").cast("double")
+    z = F.when(F.col("var_s") <= 0, None).otherwise(
+        F.when(s > 0, (s - 1) / F.sqrt("var_s"))
+        .when(s < 0, (s + 1) / F.sqrt("var_s"))
+        .otherwise(0.0)
+    )
+    out = (
+        vars_.join(s_agg, key_col, "left")
+        .withColumn("s", F.coalesce(F.col("s"), F.lit(0)))
         .withColumn("z", z)
     )
 

@@ -430,6 +430,14 @@ class TimeSeriesDataFrame:
 
         return mann_kendall(self.df)
 
+    def seasonal_mann_kendall(self, period: int) -> DataFrame:
+        """Seasonal Mann-Kendall trend test per series —
+        beyond-reference; see
+        :func:`operators.cusum.seasonal_mann_kendall`."""
+        from .operators.cusum import seasonal_mann_kendall
+
+        return seasonal_mann_kendall(self.df, period)
+
     def theil_sen(self) -> DataFrame:
         """Per-series Theil–Sen robust trend — beyond-reference; see
         :func:`operators.cusum.theil_sen`."""

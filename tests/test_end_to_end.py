@@ -1848,3 +1848,55 @@ def test_pettitt(spark):
     assert out["shift"].p_value < 0.01
     assert out["noise"].p_value > 0.05
     assert out["flat"].k_stat == 0 and out["flat"].p_value == 1.0
+
+
+def test_seasonal_mann_kendall(spark):
+    """Seasonal MK against a per-season numpy replay: a trend hidden
+    under a strong weekly cycle is found seasonally; plain vs seasonal
+    behavior on a pure cycle."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.cusum import (
+        mann_kendall,
+        seasonal_mann_kendall,
+    )
+
+    rng = np.random.RandomState(73)
+    m = 7
+    # strong cycle + weak trend + noise
+    trendy = [10.0 * (i % m) + 0.1 * i + float(rng.randn()) * 0.3
+              for i in range(56)]
+    cycle = [10.0 * (i % m) + float(rng.randn()) * 0.3 for i in range(56)]
+    rows = (
+        [("trendy", i, trendy[i]) for i in range(56)]
+        + [("cycle", i, cycle[i]) for i in range(56)]
+    )
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    out = {r.key: r for r in seasonal_mann_kendall(df, m).collect()}
+
+    def smk(vals):
+        s_tot, var_tot = 0, 0.0
+        for g in range(m):
+            sub = [vals[i] for i in range(len(vals)) if i % m == g]
+            n = len(sub)
+            s_tot += sum(
+                np.sign(sub[j] - sub[i])
+                for i in range(n)
+                for j in range(i + 1, n)
+            )
+            _, counts = np.unique(sub, return_counts=True)
+            tie = sum(t * (t - 1) * (2 * t + 5) for t in counts)
+            var_tot += (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+        return s_tot, var_tot
+
+    for key, vals in (("trendy", trendy), ("cycle", cycle)):
+        s_e, v_e = smk(vals)
+        r = out[key]
+        assert r.s == s_e and abs(r.var_s - v_e) < 1e-9, key
+        assert r.n == 56
+    assert out["trendy"].p_value < 1e-4   # the hidden trend is found
+    assert out["cycle"].p_value > 0.05    # a pure cycle is not a trend
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        seasonal_mann_kendall(df, 1)

@@ -698,3 +698,50 @@ def test_detect_seasonality(spark):
     out2 = {r.key: r for r in
             detect_seasonality(df, max_period=5, min_acf=0.8).collect()}
     assert out2["s"].period is None
+
+
+def test_croston(spark):
+    """Croston / SBA against a sequential-recursion numpy replay on an
+    intermittent series; zero-demand and single-demand gates."""
+    import numpy as np
+
+    from spark_timeseries_spark.models import croston
+
+    alpha = 0.2
+    vals = [0.0, 3.0, 0.0, 0.0, 6.0, 0.0, 2.0, 0.0, 0.0, 0.0, 5.0, 0.0]
+    rows = (
+        [("a", i, v) for i, v in enumerate(vals)]
+        + [("zero", i, 0.0) for i in range(5)]
+        + [("one", i, v) for i, v in enumerate([0.0, 4.0, 0.0])]
+    )
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    out = {r.key: r for r in croston(df, alpha).collect()}
+
+    # sequential recursion replay
+    nz = [(i, v) for i, v in enumerate(vals) if v != 0]
+    z = nz[0][1]
+    gaps = [nz[k][0] - nz[k - 1][0] for k in range(1, len(nz))]
+    p = gaps[0]
+    for _, v in nz[1:]:
+        z = alpha * v + (1 - alpha) * z
+    for g in gaps[1:]:
+        p = alpha * g + (1 - alpha) * p
+    r = out["a"]
+    assert r.n == 12 and r.n_demands == 4
+    assert abs(r.size_hat - z) < 1e-12
+    assert abs(r.interval_hat - p) < 1e-12
+    assert abs(r.forecast - z / p) < 1e-12
+
+    sba = {x.key: x for x in croston(df, alpha, "sba").collect()}["a"]
+    assert abs(sba.forecast - 0.9 * z / p) < 1e-12
+
+    assert out["zero"].n_demands == 0 and out["zero"].forecast is None
+    assert out["one"].n_demands == 1
+    assert abs(out["one"].size_hat - 4.0) < 1e-12
+    assert out["one"].interval_hat is None and out["one"].forecast is None
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        croston(df, 0.0)
+    with _pytest.raises(ValueError):
+        croston(df, 0.2, "banana")
