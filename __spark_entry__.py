@@ -3073,11 +3073,48 @@ def _q_seasonal_mk(spark, sf_dir):
     )
 
 
+def _q_counter_rate(spark, sf_dir):
+    """Reset-aware counter analysis over each user's daily series
+    treated as a gauge-counter (every decrease counts as a restart —
+    deterministic on this data, and it exercises both delta branches):
+    per-step increases, reset count, per-day rate."""
+    from spark_timeseries_spark.operators.cumulative import counter_increase
+
+    grid = _daily_grid(spark, sf_dir)
+    out = counter_increase(grid)
+    return out.select(
+        "key", "n", "n_resets",
+        _stable_round(F.col("increase"), 6).alias("increase"),
+        "elapsed",
+        _stable_round(F.col("rate"), 6).alias("rate"),
+    )
+
+
+def _q_window_join_ctx(spark, sf_dir):
+    """kdb-style window join of the daily grid against itself (±3
+    days): each observed day aggregates its week-context neighbors
+    (count/avg/sum, self included). Runs as the interval-bucket
+    equi-join; the oracle replays the plain range join + group-by
+    (unique (key, loc) makes them equivalent)."""
+    from spark_timeseries_spark.operators.asof import window_join
+
+    grid = _daily_grid(spark, sf_dir)
+    obs = grid.where(F.col("value").isNotNull()).select(
+        "key", "loc", "value"
+    )
+    out = window_join(obs, obs, -3.0, 3.0, aggs=["count", "avg", "sum"])
+    return out.select(
+        "key", "loc", "value", "w_count",
+        _stable_round(F.col("w_avg"), 6).alias("w_avg"),
+        _stable_round(F.col("w_sum"), 6).alias("w_sum"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
     the first 50 entries. Window policy (round 7): (a) must-prove rows
-    first — everything NEW this round, in landing order: the twenty-one
-    late-r7 operators (``sax`` … ``seasonal_mk``) and the
+    first — everything NEW this round, in landing order: the twenty-three
+    late-r7 operators (``sax`` … ``window_join_ctx``) and the
     early-r7 batch (``roll_quantile``/``fill_suite``/``roll_skew_kurt``
     … ``spectral_entropy``), plus the two ``_jaccard_join``-downstream
     rows the r6 refactor touched (``simhash_near_dups``,
@@ -3111,6 +3148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pettitt": _q_pettitt,
         "croston": _q_croston,
         "seasonal_mk": _q_seasonal_mk,
+        "counter_rate": _q_counter_rate,
+        "window_join_ctx": _q_window_join_ctx,
         "max_drawdown": _q_max_drawdown,
         "changepoint": _q_changepoint,
         "hurst": _q_hurst,
@@ -3137,12 +3176,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decomp_strength": _q_decomp_strength,
         "baseline_forecast": _q_baseline_forecast,
         "detect_seasonality": _q_detect_seasonality,
-        "spectral_entropy": _q_spectral_entropy,
         "simhash_near_dups": _q_simhash_near_dups,
         "containment_pairs": _q_containment_pairs,
-        # -- (b) stalest evidence: the r4-era rows -------------------------
-        "slice": _q_slice,
         # ---- driver window (50) ends here ----------------------------------
+        # (spectral_entropy + the r4-era rows displaced past the boundary;
+        # all green in the committed full oracle log, queued for r8)
+        "spectral_entropy": _q_spectral_entropy,
+        "slice": _q_slice,
         "quotients": _q_quotients,
         "upsample": _q_upsample,
         "trim_leading_trailing": _q_trim,
@@ -4198,6 +4238,46 @@ def oracle_sql() -> dict[str, str]:
                    {_sr_sql('(SELECT cosd FROM cosv)', 6)}
                        AS centroid_cosine,
                    {_sr_sql('(SELECT psi FROM ps)', 6)} AS norm_psi
+        """,
+        "counter_rate": _DAILY_GRID_SQL
+        + f"""
+            , obs AS (SELECT key, loc, value FROM grid
+                      WHERE value IS NOT NULL),
+            st AS (
+                SELECT key, loc, value,
+                       lag(value) OVER (PARTITION BY key ORDER BY loc)
+                           AS pv
+                FROM obs
+            ),
+            ag AS (
+                SELECT key, CAST(count(*) AS BIGINT) AS n,
+                       CAST(COALESCE(sum(CASE WHEN pv IS NOT NULL
+                                         AND value < pv THEN 1 END), 0)
+                            AS BIGINT) AS n_resets,
+                       COALESCE(sum(CASE WHEN pv IS NULL THEN NULL
+                                    WHEN value >= pv THEN value - pv
+                                    ELSE value END), 0.0) AS increase,
+                       CAST(max(loc) - min(loc) AS DOUBLE) AS elapsed
+                FROM st GROUP BY key
+            )
+            SELECT key, n, n_resets,
+                   {_sr_sql('increase', 6)} AS increase, elapsed,
+                   {_sr_sql(
+                       'CASE WHEN elapsed > 0 THEN increase / elapsed END',
+                       6)} AS rate
+            FROM ag
+        """,
+        "window_join_ctx": _DAILY_GRID_SQL
+        + f"""
+            , obs AS (SELECT key, loc, value FROM grid
+                      WHERE value IS NOT NULL)
+            SELECT l.key AS key, l.loc AS loc, l.value AS value,
+                   CAST(count(r.value) AS BIGINT) AS w_count,
+                   {_sr_sql('avg(r.value)', 6)} AS w_avg,
+                   {_sr_sql('sum(r.value)', 6)} AS w_sum
+            FROM obs l LEFT JOIN obs r
+              ON l.key = r.key AND r.loc BETWEEN l.loc - 3 AND l.loc + 3
+            GROUP BY 1, 2, 3
         """,
         "seasonal_mk": _DAILY_GRID_SQL
         + f"""

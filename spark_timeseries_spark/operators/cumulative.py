@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["drawdown", "max_drawdown"]
+__all__ = ["drawdown", "max_drawdown", "counter_increase"]
 
 
 def drawdown(
@@ -91,4 +91,63 @@ def max_drawdown(
             F.col("_a.peak").alias("peak_value"),
             F.col("_a.trough").alias("trough_value"),
         )
+    )
+
+
+def counter_increase(
+    df: DataFrame,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Reset-aware monotonic-counter analysis per series → one row
+    (key, n, n_resets, increase, elapsed, rate): the Prometheus
+    ``increase()``/``rate()`` semantics for cumulative counters that
+    occasionally RESET to ~0 (process restarts, rollovers) — naive
+    last−first under-counts by the pre-reset total every time.
+    Per-step delta = v_t − v_{t−1}; a negative delta marks a reset and
+    contributes v_t (the counter restarted from zero, so everything
+    since the reset is new increase — the Prometheus extrapolation-free
+    convention). ``elapsed`` is in ``order_col`` units, or seconds when
+    ``ts_col`` names a timestamp column; ``rate`` = increase/elapsed
+    (NULL for single-point series). NULL cells are skipped (a missed
+    scrape is not a reset).
+
+    Plan: ONE lag window on the shared (key, loc) sort + one per-key
+    aggregate — all JVM, same shuffle budget as a fill."""
+    v = F.col(value_col)
+    obs = df.where(v.isNotNull())
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+    prev = F.lag(v).over(ws)
+    delta = v - prev
+    step = F.when(prev.isNull(), None).otherwise(
+        F.when(delta >= 0, delta).otherwise(v)
+    )
+    reset = F.when(prev.isNotNull() & (delta < 0), 1)
+    if ts_col is not None:
+        span_lo = F.min(F.unix_micros(F.col(ts_col)))
+        span_hi = F.max(F.unix_micros(F.col(ts_col)))
+        elapsed = (span_hi - span_lo).cast("double") / 1e6
+    else:
+        elapsed = (
+            F.max(order_col) - F.min(order_col)
+        ).cast("double")
+    agg = (
+        obs.withColumn("_step", step)
+        .withColumn("_reset", reset)
+        .groupBy(key_col)
+        .agg(
+            F.count(v).alias("n"),
+            F.coalesce(F.sum("_reset"), F.lit(0)).alias("n_resets"),
+            F.coalesce(F.sum("_step"), F.lit(0.0)).alias("increase"),
+            elapsed.alias("elapsed"),
+        )
+    )
+    return agg.withColumn(
+        "rate",
+        F.when(
+            F.col("elapsed") > 0,
+            F.col("increase") / F.col("elapsed"),
+        ),
     )

@@ -1900,3 +1900,73 @@ def test_seasonal_mann_kendall(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         seasonal_mann_kendall(df, 1)
+
+
+def test_counter_increase(spark):
+    """Reset-aware counter semantics: resets detected, increase counts
+    the restarted counter's value, naive last-first would under-count."""
+    from spark_timeseries_spark.operators.cumulative import counter_increase
+
+    vals = [10.0, 25.0, 40.0, 3.0, 9.0, None, 12.0, 1.0, 6.0]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)]
+        + [("single", 0, 5.0)],
+        "key string, loc long, value double",
+    )
+    out = {r.key: r for r in counter_increase(df).collect()}
+    r = out["k"]
+    # steps: +15 +15 reset(+3) +6 (+3 across the null) reset(+1) +5
+    assert r.n == 8 and r.n_resets == 2
+    assert r.increase == 15 + 15 + 3 + 6 + 3 + 1 + 5
+    assert r.elapsed == 8.0
+    assert abs(r.rate - r.increase / 8.0) < 1e-12
+    s = out["single"]
+    assert s.n == 1 and s.n_resets == 0 and s.increase == 0.0
+    assert s.rate is None
+
+
+def test_window_join(spark):
+    """Interval-bucketed window join against a brute-force replay:
+    inclusive bounds, unmatched rows kept with count 0, asymmetric
+    windows, bucket boundaries."""
+    from spark_timeseries_spark.operators.asof import window_join
+
+    left_rows = [("a", 10), ("a", 20), ("a", 0), ("b", 5), ("c", 7)]
+    right_rows = [
+        ("a", 7, 1.0), ("a", 10, 2.0), ("a", 13, 3.0), ("a", 24, 4.0),
+        ("b", 9, 5.0),
+    ]
+    lt = spark.createDataFrame(left_rows, "key string, loc long")
+    rt = spark.createDataFrame(right_rows, "key string, loc long, value double")
+
+    def brute(lo, hi):
+        out = {}
+        for k, l in left_rows:
+            vs = [v for rk, rl, v in right_rows
+                  if rk == k and l + lo <= rl <= l + hi]
+            out[(k, l)] = (len(vs), sum(vs) / len(vs) if vs else None)
+        return out
+
+    for lo, hi in ((-3.0, 3.0), (0.0, 5.0), (-10.0, -1.0)):
+        got = {(r.key, r.loc): (r.w_count, r.w_avg)
+               for r in window_join(lt, rt, lo, hi).collect()}
+        exp = brute(lo, hi)
+        assert set(got) == set(exp), (lo, hi)
+        for k in exp:
+            assert got[k][0] == exp[k][0], (k, lo, hi)
+            if exp[k][1] is None:
+                assert got[k][1] is None, (k, lo, hi)
+            else:
+                assert abs(got[k][1] - exp[k][1]) < 1e-12, (k, lo, hi)
+
+    full = window_join(
+        lt, rt, -3.0, 3.0, aggs=["count", "sum", "min", "max"]
+    )
+    r = {(x.key, x.loc): x for x in full.collect()}[("a", 10)]
+    assert (r.w_count, r.w_sum, r.w_min, r.w_max) == (3, 6.0, 1.0, 3.0)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        window_join(lt, rt, 3.0, 3.0)
+    with _pytest.raises(ValueError):
+        window_join(lt, rt, -1.0, 1.0, aggs=["median"])

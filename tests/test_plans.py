@@ -660,3 +660,19 @@ def test_asof_join_is_union_window_no_join(spark, grid):
     assert "Join" not in p  # no SortMerge/BroadcastHash/NestedLoop at all
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert shuffles <= 2  # union sides co-partitioned by key
+
+
+def test_window_join_is_equi_bucket_no_nested_loop(spark, grid):
+    """window_join's scale contract: the range predicate must run as a
+    post-filter on an EQUI hash join over (key, bucket) — never as a
+    nested-loop range join."""
+    from spark_timeseries_spark.operators.asof import window_join
+
+    obs = grid.select("key", "loc", "value")
+    out = window_join(obs, obs, -3.0, 3.0)
+    p = _plan(out)
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or (
+        "ShuffledHashJoin" in p
+    )
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
