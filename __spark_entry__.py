@@ -220,15 +220,13 @@ def _q_roll_skew_kurt(spark, sf_dir):
 
 def _q_roll_corr(spark, sf_dir):
     """Rolling 7-day Pearson correlation between two user series off the
-    daily grid — windowed companion of crosscorr. NaN (zero-variance
-    window, Spark's corr convention) is canonicalized to NULL to match
-    DuckDB's."""
+    daily grid — windowed companion of crosscorr. The operator itself
+    holds the NULL contract on zero-variance windows now (r8: try_divide
+    moments replaced native F.corr, whose NaN the r7 harness had to
+    canonicalize here)."""
     grid = _daily_grid(spark, sf_dir)
     out = rolling.roll_corr(grid, "1", "2", 7)
-    c = F.when(F.isnan("corr"), F.lit(None).cast("double")).otherwise(
-        F.col("corr")
-    )
-    return out.select("loc", F.round(c, 6).alias("corr"))
+    return out.select("loc", F.round(F.col("corr"), 6).alias("corr"))
 
 
 def _q_forecast_accuracy(spark, sf_dir):
@@ -327,8 +325,11 @@ def _q_var_fit(spark, sf_dir):
 def _q_ts_features(spark, sf_dir):
     """tsfeatures-style per-series catalog over the filled daily grid
     (tile=10 → three complete tiles of the 31-day grid): acf1,
-    mean-crossings, tiled stability/lumpiness — every feature an exact
-    closed form the oracle replays."""
+    mean-crossings, tiled stability/lumpiness over the Z-SCORED series
+    (bounds both to O(1) magnitude so 6-decimal rounding is inside
+    cross-engine double reproducibility — the unscaled r7 form rounded a
+    4.6e6-magnitude variance and lost the last digit) — every feature an
+    exact closed form the oracle replays."""
     from spark_timeseries_spark.operators.features import ts_features
 
     grid = _daily_grid(spark, sf_dir)
@@ -2647,8 +2648,13 @@ def _q_sq8_error(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     out = sq8_quantize(emb)
+    # Codes are emitted as a comma-joined STRING (not an array column):
+    # the driver's pandas canonicalizer sorts raw cells and cannot hash
+    # list values. Value semantics unchanged — still an exact-integer
+    # comparison, just serialized.
     return out.select(
-        "vec_id", "codes",
+        "vec_id",
+        F.concat_ws(",", F.col("codes").cast("array<string>")).alias("codes"),
         _stable_round(F.col("mse"), 6).alias("mse"),
         _stable_round(F.col("max_abs_err"), 6).alias("max_abs_err"),
     )
@@ -3112,75 +3118,34 @@ def _q_window_join_ctx(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
-    the first 50 entries. Window policy (round 7): (a) must-prove rows
-    first — everything NEW this round, in landing order: the twenty-three
-    late-r7 operators (``sax`` … ``window_join_ctx``) and the
-    early-r7 batch (``roll_quantile``/``fill_suite``/``roll_skew_kurt``
-    … ``spectral_entropy``), plus the two ``_jaccard_join``-downstream
-    rows the r6 refactor touched (``simhash_near_dups``,
-    ``containment_pairs``); (b) the standing rotation queue, oldest
-    evidence first — the remaining r4-era rows. Displaced by the late
-    additions (see the end-of-window comment below): serde_roundtrip …
-    url_stats, all green in the committed full oracle log and queued
-    for the r8 rotation. ALL entries are additionally validated locally
-    by ``tools/check_correctness.py`` — the full log is refreshed in
-    the same commit as every query/semantics change (the r5 lockstep
-    rule; r7 kept it for every batch this round)."""
+    the first 50 entries. Window policy (round 8, per the r7 verdict's
+    rotation prescription): (a) must-prove rows first — every query whose
+    SEMANTICS this round touched: the two r7 driver-red rows fixed
+    (``sq8_error`` array→string serialization, ``ts_features`` z-scored
+    tiling), the de-quadratic family (``pettitt`` midrank identity,
+    ``mann_kendall``/``seasonal_mk`` dual-plan S kernel, ``theil_sen``
+    in-core slope kernel), and the two ADVICE contracts (``roll_corr``
+    NULL-not-NaN, ``forecast_accuracy`` MASE over the observed
+    subsequence) — plus any new r8 queries, inserted directly after;
+    (b) the standing rotation queue, STALEST driver evidence first: the
+    r4-era rows (driver-green last in r4, ``serde_roundtrip`` …
+    ``url_stats``) then the r5-green block. Everything displaced is
+    green in the committed strict-mode full oracle log
+    (``tools/check_correctness_r08_full.log`` — exact-representation
+    compare, no array columns, the r7 tolerant-checker gap closed) which
+    is refreshed in the same commit as every query/semantics change (the
+    r5 lockstep rule)."""
     return {
-        # -- (a) must-prove: new/changed this round + refactor-downstream ----
-        "sax": _q_sax,
-        "paa": _q_paa,
-        "peaks": _q_peaks,
-        "psi_drift": _q_psi_drift,
-        "cointegration": _q_cointegration,
-        "threshold_runs": _q_threshold_runs,
-        "gini_sources": _q_gini_sources,
-        "mann_kendall": _q_mann_kendall,
-        "ks_drift": _q_ks_drift,
-        "roll_beta": _q_roll_beta,
-        "scale_suite": _q_scale_suite,
-        "matrix_profile": _q_matrix_profile,
-        "asof_enrich": _q_asof_enrich,
-        "roll_rank": _q_roll_rank,
-        "downsample_minmax": _q_downsample_minmax,
-        "sax_mindist": _q_sax_mindist,
-        "embedding_drift": _q_embedding_drift,
-        "pettitt": _q_pettitt,
-        "croston": _q_croston,
-        "seasonal_mk": _q_seasonal_mk,
-        "counter_rate": _q_counter_rate,
-        "window_join_ctx": _q_window_join_ctx,
-        "max_drawdown": _q_max_drawdown,
-        "changepoint": _q_changepoint,
-        "hurst": _q_hurst,
-        "half_life": _q_half_life,
-        "corr_matrix": _q_corr_matrix,
-        "readability": _q_readability,
-        "tfidf_topk": _q_tfidf_topk,
+        # -- (a) must-prove: semantics touched in r8 -------------------------
         "sq8_error": _q_sq8_error,
-        "theta_forecast": _q_theta_forecast,
-        "winsorize": _q_winsorize,
-        "perm_entropy": _q_perm_entropy,
-        "interarrival": _q_interarrival,
-        "impulse_response": _q_impulse_response,
-        "roll_quantile": _q_roll_quantile,
-        "fill_suite": _q_fill_suite,
-        "roll_skew_kurt": _q_roll_skew_kurt,
+        "ts_features": _q_ts_features,
+        "pettitt": _q_pettitt,
+        "mann_kendall": _q_mann_kendall,
+        "seasonal_mk": _q_seasonal_mk,
         "roll_corr": _q_roll_corr,
         "forecast_accuracy": _q_forecast_accuracy,
-        "arch_test": _q_arch_test,
-        "granger": _q_granger,
-        "lag_suite": _q_lag_suite,
-        "var_fit": _q_var_fit,
-        "ts_features": _q_ts_features,
-        "decomp_strength": _q_decomp_strength,
-        "baseline_forecast": _q_baseline_forecast,
-        "detect_seasonality": _q_detect_seasonality,
-        "simhash_near_dups": _q_simhash_near_dups,
-        "containment_pairs": _q_containment_pairs,
-        # ---- driver window (50) ends here ----------------------------------
-        # (spectral_entropy + the r4-era rows displaced past the boundary;
-        # all green in the committed full oracle log, queued for r8)
+        "theil_sen": _q_theil_sen,
+        # -- (b) rotation queue, stalest driver evidence first ---------------
         "spectral_entropy": _q_spectral_entropy,
         "slice": _q_slice,
         "quotients": _q_quotients,
@@ -3188,11 +3153,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trim_leading_trailing": _q_trim,
         "min_max_datetimes": _q_min_max_datetimes,
         "calendar_ops": _q_calendar_ops,
-        # (serde_roundtrip/row_matrix_norms/cosine_dup_pairs/lsh_recall/
-        # ivf_topk/index_union/multimodal_meta/image_features/
-        # arima_forecast/fill_next/fill_nearest/fill_zero/lags/
-        # dedup_paragraphs/url_stats displaced by the fifteen new rows
-        # above; all green in the committed full oracle log, queued for r8)
         "serde_roundtrip": _q_serde_roundtrip,
         "row_matrix_norms": _q_row_matrix_norms,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
@@ -3217,10 +3177,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": _q_minhash_lsh_dedup,
         "pack_sequences": _q_pack_sequences,
         "mixture_epochs": _q_mixture_epochs,
-        # (remove_dup_spans…text_quality newly displaced by the four
-        # cumulative/changepoint/long-memory rows above; token_count_by_source
-        # …arx_fit displaced earlier this round; all r5-green and covered by
-        # the committed full oracle log, queued for the r8 rotation)
         "remove_dup_spans": _q_remove_dup_spans,
         "video_frames": _q_video_frames,
         "dedup_exact": _q_dedup_exact,
@@ -3232,6 +3188,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "lsh_topk": _q_lsh_topk,
+        # ---- driver window (50) ends here ----------------------------------
+        # (everything below is green in the committed strict-mode full
+        # oracle log; the r7 window rows moved to the tail — their driver
+        # evidence is the freshest in the file)
         "winnowing_fingerprints": _q_winnowing_fingerprints,
         "auto_arima": _q_auto_arima,
         "garch_fit": _q_garch_fit,
@@ -3249,7 +3209,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose": _q_seasonal_decompose,
         "pmi_pairs": _q_pmi_pairs,
         "outliers": _q_outliers,
-        "theil_sen": _q_theil_sen,
         "token_entropy": _q_token_entropy,
         "token_divergence": _q_token_divergence,
         "repetition_features": _q_repetition_features,
@@ -3327,6 +3286,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebase_irregular": _q_rebase_irregular,
         "diff_by_frequency": _q_diff_by_frequency,
         "ewma_smooth": _q_ewma_smooth,
+        # r7-window rows (driver-green in r7 — the freshest evidence)
+        "sax": _q_sax,
+        "paa": _q_paa,
+        "peaks": _q_peaks,
+        "psi_drift": _q_psi_drift,
+        "cointegration": _q_cointegration,
+        "threshold_runs": _q_threshold_runs,
+        "gini_sources": _q_gini_sources,
+        "ks_drift": _q_ks_drift,
+        "roll_beta": _q_roll_beta,
+        "scale_suite": _q_scale_suite,
+        "matrix_profile": _q_matrix_profile,
+        "asof_enrich": _q_asof_enrich,
+        "roll_rank": _q_roll_rank,
+        "downsample_minmax": _q_downsample_minmax,
+        "sax_mindist": _q_sax_mindist,
+        "embedding_drift": _q_embedding_drift,
+        "croston": _q_croston,
+        "counter_rate": _q_counter_rate,
+        "window_join_ctx": _q_window_join_ctx,
+        "max_drawdown": _q_max_drawdown,
+        "changepoint": _q_changepoint,
+        "hurst": _q_hurst,
+        "half_life": _q_half_life,
+        "corr_matrix": _q_corr_matrix,
+        "readability": _q_readability,
+        "tfidf_topk": _q_tfidf_topk,
+        "theta_forecast": _q_theta_forecast,
+        "winsorize": _q_winsorize,
+        "perm_entropy": _q_perm_entropy,
+        "interarrival": _q_interarrival,
+        "impulse_response": _q_impulse_response,
+        "roll_quantile": _q_roll_quantile,
+        "fill_suite": _q_fill_suite,
+        "roll_skew_kurt": _q_roll_skew_kurt,
+        "arch_test": _q_arch_test,
+        "granger": _q_granger,
+        "lag_suite": _q_lag_suite,
+        "var_fit": _q_var_fit,
+        "decomp_strength": _q_decomp_strength,
+        "baseline_forecast": _q_baseline_forecast,
+        "detect_seasonality": _q_detect_seasonality,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "containment_pairs": _q_containment_pairs,
     }
 
 
@@ -4560,7 +4563,7 @@ def oracle_sql() -> dict[str, str]:
                            i -> v[i] - (vmin + codes[i] * scale)) AS err
                 FROM c
             )
-            SELECT vec_id, codes,
+            SELECT vec_id, array_to_string(codes, ',') AS codes,
                    {_sr_sql(
                        "list_aggregate(list_transform(err, x -> x * x),"
                        " 'sum') / len(err)", 6)} AS mse,
@@ -5078,6 +5081,7 @@ def oracle_sql() -> dict[str, str]:
             , nn AS (
                 SELECT key, loc, value,
                        avg(value) OVER (PARTITION BY key) AS m,
+                       stddev_samp(value) OVER (PARTITION BY key) AS sd,
                        lag(value) OVER (PARTITION BY key ORDER BY loc) AS prev,
                        row_number() OVER (PARTITION BY key ORDER BY loc) - 1
                            AS rk
@@ -5095,8 +5099,11 @@ def oracle_sql() -> dict[str, str]:
             ),
             tl AS (
                 SELECT key, CAST(FLOOR(rk / 10.0) AS INT) AS t,
-                       count(value) AS tn, avg(value) AS tmean,
-                       var_samp(value) AS tvar
+                       count(value) AS tn,
+                       avg(CASE WHEN sd > 0 THEN (value - m) / sd
+                                ELSE 0.0 END) AS tmean,
+                       var_samp(CASE WHEN sd > 0 THEN (value - m) / sd
+                                     ELSE 0.0 END) AS tvar
                 FROM nn GROUP BY key, CAST(FLOOR(rk / 10.0) AS INT)
             ),
             tt AS (

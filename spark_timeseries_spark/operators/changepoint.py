@@ -115,47 +115,42 @@ def pettitt(
     conservative at tiny K; a closed form, so fully oracle-replayable).
     Series with n < 2 yield no row.
 
-    Plan: the naive statistic is O(n²) per t — this implementation
-    uses the difference-array identity instead: pair (i < j)
-    contributes sgn(x_j − x_i) to U_t exactly for t ∈ [i, j−1], so
-    accumulating +sgn at position i and −sgn at position j and taking
-    ONE prefix sum yields every U_t. The pairwise self-join (same
-    quadratic-in-series-length envelope as :func:`~spark_timeseries_spark.operators.cusum.theil_sen`,
-    keyed per series so the corpus axis parallelizes) collapses
-    map-side into TWO per-position aggregates; everything after is a
-    window prefix sum and one struct-min argmax — all JVM."""
+    Plan: the naive statistic is O(n²) per t; this implementation is
+    JOIN-FREE via the midrank identity U_t = t·(n+1) − 2·Σ_{i≤t} r_i,
+    where r_i is the MIDRANK of x_i within its series (2·r_i = 2·rank +
+    ties − 1 — an INTEGER, so the whole computation is exact long
+    arithmetic with zero float drift). Proof sketch: Σ_{j≠i}
+    sgn(x_i − x_j) = 2r_i − (n+1); summing over i ≤ t cancels the
+    within-prefix pairs (antisymmetry) and leaves −U_t. Physical plan:
+    one value-ordered rank window + one tie-count window + one
+    time-ordered prefix sum + one struct-min argmax — O(n) rows per
+    series end to end, ZERO joins (plan-pinned in
+    ``tests/test_plans.py::test_pettitt_no_join``), so the operator
+    scales in BOTH the corpus axis and the series-length axis (the r7
+    pairwise form shuffled ~n²/2 rows per series — 9.6M at n=4400)."""
     pts = df.where(F.col(value_col).isNotNull()).select(
         key_col,
         F.col(order_col).alias("_l"),
         F.col(value_col).alias("_v"),
     )
-    ws = Window.partitionBy(key_col).orderBy("_l")
-    ranked = pts.withColumn("_rk", F.row_number().over(ws))
-    a, b = ranked.alias("a"), ranked.alias("b")
-    sgn = F.signum(F.col("b._v") - F.col("a._v")).cast("long")
-    pairs = a.join(b, key_col).where(F.col("a._rk") < F.col("b._rk"))
-    starts = pairs.groupBy(
-        key_col, F.col("a._rk").alias("_pos")
-    ).agg(F.sum(sgn).alias("_d"))
-    ends = pairs.groupBy(
-        key_col, F.col("b._rk").alias("_pos")
-    ).agg((-F.sum(sgn)).alias("_d"))
-    diffs = (
-        starts.unionByName(ends)
-        .groupBy(key_col, "_pos")
-        .agg(F.sum("_d").alias("_d"))
+    wv = Window.partitionBy(key_col).orderBy("_v")
+    wtie = Window.partitionBy(key_col, "_v")
+    wk = Window.partitionBy(key_col)
+    wt = Window.partitionBy(key_col).orderBy("_l")
+    wpre = wt.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = (
+        pts.withColumn(
+            "_2r",
+            2 * F.rank().over(wv) + F.count(F.lit(1)).over(wtie) - 1,
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(wk))
+        .withColumn("_t", F.row_number().over(wt))
+        .withColumn("_sum2r", F.sum("_2r").over(wpre))
     )
-    wp = Window.partitionBy(key_col).orderBy("_pos")
-    u = diffs.withColumn("_u", F.sum("_d").over(wp))
-    # join back the loc of each rank + per-key n; drop t = n (U_n = 0
-    # by construction, not an admissible split)
-    locs = ranked.select(
-        key_col, F.col("_rk").alias("_pos"), "_l",
-        F.count(F.lit(1)).over(Window.partitionBy(key_col)).alias("_n"),
-    )
-    ut = u.join(locs, [key_col, "_pos"]).where(
-        F.col("_pos") < F.col("_n")
-    )
+    # 2·midrank = 2·minrank + (ties − 1); minrank = rank(). U_t over
+    # admissible splits t < n (U_n = 0 by construction, not admissible).
+    u_col = F.col("_t") * (F.col("_n") + 1) - F.col("_sum2r")
+    ut = ranked.withColumn("_u", u_col).where(F.col("_t") < F.col("_n"))
     best = (
         ut.groupBy(key_col)
         .agg(
@@ -163,7 +158,7 @@ def pettitt(
             F.min(
                 F.struct(
                     (-F.abs(F.col("_u"))).alias("_negk"),
-                    F.col("_pos").alias("_pos"),
+                    F.col("_t").alias("_pos"),
                     F.col("_l").alias("_loc"),
                     F.abs(F.col("_u")).alias("_k"),
                 )

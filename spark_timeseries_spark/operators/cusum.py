@@ -126,52 +126,121 @@ def theil_sen(
     key_col: str = "key",
     loc_col: str = "loc",
     value_col: str = "value",
+    method: str = "auto",
+    kernel_threshold: int = 1000,
 ) -> DataFrame:
     """Theil–Sen robust trend per series → (key, slope, intercept,
     n_pairs): slope = median of all pairwise slopes (29% breakdown
     point — a few spikes cannot bend it, unlike OLS), intercept =
-    median of ``y − slope·loc``. The pairwise self-join is quadratic in
-    SERIES LENGTH — the reference's own one-series-in-memory envelope
-    (``src/site/markdown/index.md:35-40``), keyed per series so the
-    corpus dimension parallelizes; medians are exact interpolated
-    percentiles (per-series cardinality, not corpus-scale). Series with
-    <2 observations yield NULLs.
+    median of ``y − slope·loc``. Medians are exact interpolated
+    percentiles (a + (b − a)·0.5 on even counts — the cross-engine-exact
+    lerp). Series with <2 observations yield NULLs.
+
+    Exact Theil–Sen is O(n²) pairs anywhere; what matters at scale is
+    WHERE the quadratic lives. ``method``: "auto" (default) routes each
+    series by length — for n ≤ ``kernel_threshold`` the pairwise
+    self-join (the SQL-oracle-replayable form; O(n²) SHUFFLED rows per
+    series, fine inside the reference's one-series-in-memory envelope,
+    ``src/site/markdown/index.md:35-40``); above it a grouped-map numpy
+    kernel forms the slope pairs IN-CORE (blocked outer differences —
+    zero pair shuffle; n²/2 doubles of executor memory, so ~n ≤ 50k —
+    beyond that exact TS is impractical on any engine; sample or use
+    Siegel's repeated median, out of scope). "join"/"kernel" force one
+    strategy.
 
     The input lineage feeds several consumers (both self-join sides, the
     residual join, the key anchor); on an EXPENSIVE upstream plan,
     persist the input grid before calling — the lazy builder cannot own
     a cache lifetime (the ``pretrain_clean`` caller-owns-the-cache
     rule)."""
+    if method not in ("auto", "join", "kernel"):
+        raise ValueError(f"method must be auto|join|kernel, got {method}")
     pts = df.where(F.col(value_col).isNotNull()).select(
         key_col,
         F.col(loc_col).alias("_l"),
         F.col(value_col).alias("_v"),
     )
-    a, b = pts.alias("a"), pts.alias("b")
-    pairs = (
-        a.join(b, key_col)
-        .where(F.col("a._l") < F.col("b._l"))
-        .select(
-            key_col,
-            (
-                (F.col("b._v") - F.col("a._v"))
-                / (F.col("b._l") - F.col("a._l"))
-            ).alias("_s"),
+
+    def _join_plan(src):
+        a, b = src.alias("a"), src.alias("b")
+        pairs = (
+            a.join(b, key_col)
+            .where(F.col("a._l") < F.col("b._l"))
+            .select(
+                key_col,
+                (
+                    (F.col("b._v") - F.col("a._v"))
+                    / (F.col("b._l") - F.col("a._l"))
+                ).alias("_s"),
+            )
         )
-    )
-    slopes = pairs.groupBy(key_col).agg(
-        F.percentile("_s", F.lit(0.5)).alias("slope"),
-        F.count("*").alias("n_pairs"),
-    )
-    resid = pts.join(slopes, key_col).select(
-        key_col,
-        "slope",
-        "n_pairs",
-        (F.col("_v") - F.col("slope") * F.col("_l")).alias("_r"),
-    )
-    out = resid.groupBy(key_col, "slope", "n_pairs").agg(
-        F.percentile("_r", F.lit(0.5)).alias("intercept")
-    )
+        slopes = pairs.groupBy(key_col).agg(
+            F.percentile("_s", F.lit(0.5)).alias("slope"),
+            F.count("*").alias("n_pairs"),
+        )
+        resid = src.join(slopes, key_col).select(
+            key_col,
+            "slope",
+            "n_pairs",
+            (F.col("_v") - F.col("slope") * F.col("_l")).alias("_r"),
+        )
+        return (
+            resid.groupBy(key_col, "slope", "n_pairs")
+            .agg(F.percentile("_r", F.lit(0.5)).alias("intercept"))
+            .select(key_col, "slope", "intercept", "n_pairs")
+        )
+
+    def _kernel_plan(src):
+        kt = src.schema[key_col].dataType.simpleString()
+
+        def kern(pdf):
+            import numpy as np
+
+            pdf = pdf.sort_values("_l")
+            ls = pdf["_l"].to_numpy(dtype=float)
+            vs = pdf["_v"].to_numpy(dtype=float)
+            n = ls.size
+            if n < 2:
+                return pd.DataFrame(
+                    {key_col: [pdf[key_col].iloc[0]], "slope": [None],
+                     "intercept": [None], "n_pairs": [0]}
+                )
+            # blocked pairwise slopes: n²/2 doubles total, formed in
+            # row-blocks so the peak transient stays bounded
+            chunks = []
+            for s0 in range(0, n - 1, 512):
+                hi = min(s0 + 512, n - 1)
+                for i in range(s0, hi):
+                    chunks.append((vs[i + 1:] - vs[i]) / (ls[i + 1:] - ls[i]))
+            sl = np.concatenate(chunks)
+            # np.percentile's 'linear' is a + (b−a)·f — the same lerp as
+            # F.percentile, so join/kernel agree to the last bit
+            slope = float(np.percentile(sl, 50.0))
+            inter = float(np.percentile(vs - slope * ls, 50.0))
+            return pd.DataFrame(
+                {key_col: [pdf[key_col].iloc[0]], "slope": [slope],
+                 "intercept": [inter], "n_pairs": [int(sl.size)]}
+            )
+
+        return src.groupBy(key_col).applyInPandas(
+            kern,
+            f"`{key_col}` {kt}, slope double, intercept double, n_pairs long",
+        )
+
+    if method == "join":
+        out = _join_plan(pts)
+    elif method == "kernel":
+        out = _kernel_plan(pts)
+    else:
+        wn = Window.partitionBy(key_col)
+        ptsn = pts.withColumn("_gn", F.count(F.lit(1)).over(wn))
+        out = _join_plan(
+            ptsn.where(F.col("_gn") <= kernel_threshold).drop("_gn")
+        ).unionByName(
+            _kernel_plan(
+                ptsn.where(F.col("_gn") > kernel_threshold).drop("_gn")
+            ).where(F.col("slope").isNotNull())
+        )
     # anchor on every input series so <2-point series report NULLs
     return (
         df.select(key_col)
@@ -186,24 +255,128 @@ def theil_sen(
     )
 
 
+_MK_KERNEL_THRESHOLD = 1000
+
+
+def _inversion_counts(v):
+    """→ (concordant, discordant) pair counts over the time-ordered value
+    array ``v`` (pairs tied in value excluded from both), via bottom-up
+    merge counting with vectorized ``searchsorted`` — O(n log² n) numpy,
+    no Python-level pair loop. S = concordant − discordant."""
+    import numpy as np
+
+    n = v.size
+    conc = 0
+    disc = 0
+    arr = v.copy()
+    width = 1
+    while width < n:
+        for s in range(0, n, 2 * width):
+            mid = s + width
+            if mid >= n:
+                break
+            end = min(s + 2 * width, n)
+            left = arr[s:mid]          # sorted by induction
+            right = arr[mid:end]       # sorted by induction
+            lo = np.searchsorted(left, right, side="left")
+            hi = np.searchsorted(left, right, side="right")
+            conc += int(lo.sum())                    # left < right pairs
+            disc += int((left.size - hi).sum())      # left > right pairs
+            arr[s:end] = np.sort(arr[s:end], kind="mergesort")
+        width *= 2
+    return conc, disc
+
+
+def _mk_s_groups(
+    pts: DataFrame, key_col: str, group_cols: list[str],
+    method: str, threshold: int,
+) -> DataFrame:
+    """S = Σ sign(v_j − v_i) over time-ordered (i < j) pairs WITHIN each
+    ``group_cols`` group → one row per group with column ``s``.
+
+    Dual physical plan, selected PER GROUP by length inside one lazy
+    plan (the ``periodogram`` precedent — ``operators/spectral.py``):
+
+    - **join** (short groups, and the SQL-oracle-replayable form): the
+      pairwise self-join — O(n²) shuffled rows per group, fine inside
+      the reference's one-series-in-memory envelope;
+    - **kernel** (long groups): a grouped-map merge-count — the Kendall
+      S is concordant-minus-discordant, an inversion count, O(n log² n)
+      in-core with ZERO pair shuffle (at n = 440k the join form would
+      shuffle ~10¹¹ pair rows per series; the kernel moves n rows).
+    """
+    if method not in ("auto", "join", "kernel"):
+        raise ValueError(f"s_method must be auto|join|kernel, got {method}")
+    wn = Window.partitionBy(*group_cols)
+    ptsn = pts.withColumn("_gn", F.count(F.lit(1)).over(wn))
+
+    def _join_plan(src):
+        a, b = src.alias("a"), src.alias("b")
+        cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in group_cols]
+        return (
+            a.join(b, cond)
+            .where(F.col("a._l") < F.col("b._l"))
+            .groupBy(*[F.col(f"a.{c}").alias(c) for c in group_cols])
+            .agg(
+                F.sum(
+                    F.signum(F.col("b._v") - F.col("a._v")).cast("long")
+                ).alias("s")
+            )
+        )
+
+    def _kernel_plan(src):
+        fields = ", ".join(
+            f"`{c}` {src.schema[c].dataType.simpleString()}"
+            for c in group_cols
+        )
+
+        def kern(pdf):
+            pdf = pdf.sort_values("_l")
+            out = {c_: [pdf[c_].iloc[0]] for c_ in group_cols}
+            if len(pdf) < 2:
+                # no pairs: NULL, matching the join form (which emits no
+                # row for the group) so both plans agree post-assembly
+                out["s"] = [None]
+            else:
+                c, d = _inversion_counts(pdf["_v"].to_numpy(dtype=float))
+                out["s"] = [c - d]
+            return pd.DataFrame(out)
+
+        return src.groupBy(*group_cols).applyInPandas(
+            kern, f"{fields}, s long"
+        )
+
+    if method == "join":
+        return _join_plan(ptsn)
+    if method == "kernel":
+        return _kernel_plan(ptsn)
+    short = _join_plan(ptsn.where(F.col("_gn") <= threshold))
+    long_ = _kernel_plan(ptsn.where(F.col("_gn") > threshold))
+    return short.unionByName(long_)
+
+
 def mann_kendall(
     df: DataFrame,
     key_col: str = "key",
     loc_col: str = "loc",
     value_col: str = "value",
+    s_method: str = "auto",
+    kernel_threshold: int = _MK_KERNEL_THRESHOLD,
 ) -> DataFrame:
     """Mann-Kendall nonparametric trend test per series → (key, n, s,
     var_s, z, p_value): S = Σ_{i<j} sign(v_j − v_i) over time-ordered
     pairs, tie-corrected variance Var(S) = [n(n−1)(2n+5) −
     Σ_t t(t−1)(2t+5)]/18 (Mann 1945, Kendall 1975), and the
     continuity-corrected normal z ((S∓1)/√Var; 0 when S=0). The
-    distribution-free companion of :func:`theil_sen` — same pairwise
-    self-join, same quadratic-in-SERIES-LENGTH envelope (the reference's
-    one-series-in-memory bound, ``src/site/markdown/index.md:35-40``),
-    keyed per series so the corpus dimension parallelizes. Two-sided
-    p-value from the closed-form normal tail; n < 3 or all-tied series
-    yield NULL z/p. NULL cells are skipped (pairs form over the
-    observed run)."""
+    distribution-free companion of :func:`theil_sen`. ``s_method``:
+    "auto" (default) routes each series by length — pairwise self-join
+    for n ≤ ``kernel_threshold`` (the SQL-oracle-replayable form),
+    grouped-map merge-count kernel above it (O(n log² n) in-core, zero
+    pair shuffle — see :func:`_mk_s_groups`); "join"/"kernel" force one
+    strategy. Two-sided p-value from the closed-form normal tail; n < 3
+    or all-tied (Var(S) = 0) series yield NULL z AND NULL p (degenerate
+    evidence, not certainty). NULL cells are skipped (pairs form over
+    the observed run)."""
     from ..models._numeric import norm_cdf
 
     pts = df.where(F.col(value_col).isNotNull()).select(
@@ -211,17 +384,7 @@ def mann_kendall(
         F.col(loc_col).alias("_l"),
         F.col(value_col).alias("_v"),
     )
-    a, b = pts.alias("a"), pts.alias("b")
-    s_agg = (
-        a.join(b, key_col)
-        .where(F.col("a._l") < F.col("b._l"))
-        .groupBy(key_col)
-        .agg(
-            F.sum(
-                F.signum(F.col("b._v") - F.col("a._v")).cast("long")
-            ).alias("s")
-        )
-    )
+    s_agg = _mk_s_groups(pts, key_col, [key_col], s_method, kernel_threshold)
     n_agg = pts.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
     ties = (
         pts.groupBy(key_col, "_v")
@@ -238,10 +401,17 @@ def mann_kendall(
         n * (n - 1) * (2 * n + 5) - F.col("_tie").cast("double")
     ) / 18.0
     s = F.col("s").cast("double")
-    z = F.when(F.col("var_s") <= 0, None).otherwise(
+    # z gated on var_s NOT NULL and > 0 AND s NOT NULL: a NULL var_s
+    # (n < 3) or NULL s (single-point series — no pairs) must yield NULL
+    # z/p as documented, not fall through a null condition into the
+    # otherwise() branch (z=0, p=1 — false certainty).
+    z = F.when(
+        F.col("var_s").isNotNull()
+        & (F.col("var_s") > 0)
+        & F.col("s").isNotNull(),
         F.when(s > 0, (s - 1) / F.sqrt("var_s"))
         .when(s < 0, (s + 1) / F.sqrt("var_s"))
-        .otherwise(0.0)
+        .otherwise(0.0),
     )
     out = (
         n_agg.join(s_agg, key_col, "left")
@@ -267,6 +437,8 @@ def seasonal_mann_kendall(
     key_col: str = "key",
     loc_col: str = "loc",
     value_col: str = "value",
+    s_method: str = "auto",
+    kernel_threshold: int = _MK_KERNEL_THRESHOLD,
 ) -> DataFrame:
     """Seasonal Mann-Kendall trend test (Hirsch, Slack & Smith 1982) →
     (key, n, s, var_s, z, p_value): the :func:`mann_kendall` statistic
@@ -276,10 +448,11 @@ def seasonal_mann_kendall(
     Var = Σ_g Var_g (tie-corrected per season; the seasons-independent
     form — the serial-correlation covariance correction is out of
     scope and documented as such), continuity-corrected z, closed-form
-    two-sided normal p. Same pairwise-per-season envelope as
-    :func:`mann_kendall` — the self-join is quadratic in SERIES LENGTH
-    divided by the period, keyed per (series, season) so everything
-    parallelizes."""
+    two-sided normal p. Per-season S routes through the same dual plan
+    as :func:`mann_kendall` (``s_method``/``kernel_threshold``, length
+    measured PER (series, season) group — the pairwise form is quadratic
+    in series length divided by the period; the merge-count kernel
+    takes over above the threshold with zero pair shuffle)."""
     from ..models._numeric import norm_cdf
 
     if period < 2:
@@ -290,19 +463,10 @@ def seasonal_mann_kendall(
         F.pmod(F.col(loc_col), F.lit(period)).alias("_g"),
         F.col(value_col).alias("_v"),
     )
-    a, b = pts.alias("a"), pts.alias("b")
     s_agg = (
-        a.join(b, [key_col])
-        .where(
-            (F.col("a._g") == F.col("b._g"))
-            & (F.col("a._l") < F.col("b._l"))
-        )
+        _mk_s_groups(pts, key_col, [key_col, "_g"], s_method, kernel_threshold)
         .groupBy(key_col)
-        .agg(
-            F.sum(
-                F.signum(F.col("b._v") - F.col("a._v")).cast("long")
-            ).alias("s")
-        )
+        .agg(F.sum("s").alias("s"))
     )
     per_season = pts.groupBy(key_col, "_g").agg(
         F.count(F.lit(1)).alias("_ng")
@@ -333,10 +497,13 @@ def seasonal_mann_kendall(
         )
     )
     s = F.col("s").cast("double")
-    z = F.when(F.col("var_s") <= 0, None).otherwise(
+    # same degenerate-evidence gate as mann_kendall: NULL/zero Var(S)
+    # yields NULL z/p, never a spurious z=0/p=1
+    z = F.when(
+        F.col("var_s").isNotNull() & (F.col("var_s") > 0),
         F.when(s > 0, (s - 1) / F.sqrt("var_s"))
         .when(s < 0, (s + 1) / F.sqrt("var_s"))
-        .otherwise(0.0)
+        .otherwise(0.0),
     )
     out = (
         vars_.join(s_agg, key_col, "left")

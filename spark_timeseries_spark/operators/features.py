@@ -12,10 +12,18 @@ exact closed forms — no optimizer, no decomposition dependency):
   (structural-change proxy).
 - ``stability`` / ``lumpiness`` — variance of tiled MEANS / tiled
   VARIANCES over non-overlapping tiles of ``tile`` points (level shifts
-  inflate stability; variance shifts inflate lumpiness). The trailing
-  partial tile is DROPPED (stated: a 3-point tail tile's variance is
-  noise, and the R reference's tiling conventions differ by version —
-  this engine pins complete-tiles-only).
+  inflate stability; variance shifts inflate lumpiness), computed over
+  the Z-SCORED series — (x − mean)/sd per series — exactly as Hyndman's
+  tsfeatures specifies (``lumpiness``/``stability`` scale the series
+  first). Besides parity, the scaling bounds both outputs to O(1)
+  magnitude, which is what makes a fixed-decimal cross-engine value
+  check meaningful (the unscaled variance-of-variances of a large-level
+  series reaches 1e6+, where 6 absolute decimals exceed double
+  reproducibility across aggregation orders). The trailing partial tile
+  is DROPPED (stated: a 3-point tail tile's variance is noise, and the
+  R reference's tiling conventions differ by version — this engine pins
+  complete-tiles-only). A constant series (sd = 0) z-scores to all
+  zeros, so both features are exactly 0.
 
 Plan: everything stacks on the ONE (key, loc) sort every series operator
 shares — whole-series mean/lag ride a partition-wide window, the tile
@@ -52,7 +60,8 @@ def ts_features(
     lumpiness) per series. ``n`` counts non-null cells; null cells are
     skipped by every moment and excluded from tiles (tiles are formed
     over the non-null rank so a hole doesn't shift every later tile
-    boundary by a fraction)."""
+    boundary by a fraction). Stability/lumpiness tile the z-scored
+    values (tsfeatures convention — see module docstring)."""
     if tile < 2:
         raise ValueError(f"tile must be >= 2, got {tile}")
     v = F.col(value_col)
@@ -61,6 +70,12 @@ def ts_features(
     base = (
         df.where(v.isNotNull())
         .withColumn("_m", F.avg(v).over(wk))
+        .withColumn("_sd", F.stddev_samp(v).over(wk))
+        .withColumn(
+            "_z",
+            F.when(F.col("_sd") > 0, (v - F.col("_m")) / F.col("_sd"))
+            .otherwise(F.lit(0.0)),
+        )
         .withColumn("_prev", F.lag(v).over(ws))
         .withColumn("_rk", F.row_number().over(ws) - 1)
     )
@@ -69,11 +84,20 @@ def ts_features(
         & ((v > F.col("_m")) != (F.col("_prev") > F.col("_m"))),
         1,
     )
+    # acf1 via explicit moments + try_divide rather than F.corr: ANSI mode
+    # makes corr's final division THROW on a zero-variance (constant)
+    # series; try_divide yields NULL there (DuckDB corr's convention too).
+    # _pv masks v to the overlap rows so all three moments see exactly the
+    # pairs corr would.
+    pv = F.when(F.col("_prev").isNotNull(), v)
     stats = base.groupBy(key_col).agg(
         F.count(v).alias("n"),
         F.avg(v).alias("mean"),
         F.var_samp(v).alias("variance"),
-        F.corr(v, "_prev").alias("acf1"),
+        F.try_divide(
+            F.covar_samp(pv, F.col("_prev")),
+            F.stddev_samp(pv) * F.stddev_samp("_prev"),
+        ).alias("acf1"),
         F.coalesce(F.sum(cross), F.lit(0)).alias("crossing_points"),
     )
     tiles = (
@@ -81,8 +105,8 @@ def ts_features(
         .groupBy(key_col, "_tile")
         .agg(
             F.count(v).alias("_tn"),
-            F.avg(v).alias("_tmean"),
-            F.var_samp(v).alias("_tvar"),
+            F.avg("_z").alias("_tmean"),
+            F.var_samp("_z").alias("_tvar"),
         )
         .where(F.col("_tn") == tile)  # complete tiles only
         .groupBy(key_col)

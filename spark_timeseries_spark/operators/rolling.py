@@ -287,8 +287,10 @@ def roll_corr(
     (loc, corr) over right-aligned complete n-windows of the overlap —
     the windowed companion of :func:`crosscorr` (which aggregates the
     whole overlap at once). Beyond-reference. Windows where either
-    series has a missing cell yield NULL; constant windows yield NULL
-    (0/0). Plan: one equi-join aligns the pair, then ONE window pass on
+    series has a missing cell yield NULL; constant windows yield NULL —
+    genuinely NULL, not NaN (try_divide over explicit moments; native
+    F.corr emits NaN there, which survives isNotNull filters). Plan: one
+    equi-join aligns the pair, then ONE window pass on
     the single joined series — same one-series-in-memory envelope as
     :func:`crosscorr`."""
     if n < 2:
@@ -302,12 +304,20 @@ def roll_corr(
     j = a.join(b, order_col)
     w = Window.orderBy(order_col).rowsBetween(-(n - 1), 0)
     pair = F.when(F.col("_a").isNotNull() & F.col("_b").isNotNull(), 1)
+    # corr via moments + try_divide rather than native F.corr: a
+    # zero-variance (constant) window makes F.corr return NaN, breaking
+    # the documented NULL contract (downstream isNotNull filters keep
+    # NaN rows, and the oracle side canonicalizes to NULL) — the
+    # roll_beta formulation. covar_samp/stddev_samp normalizations
+    # cancel, so values where both are defined are identical.
+    corr = F.try_divide(
+        F.covar_samp("_a", "_b").over(w),
+        F.stddev_samp("_a").over(w) * F.stddev_samp("_b").over(w),
+    )
     return (
         j.withColumn("_rows", F.count(F.lit(1)).over(w))
         .withColumn("_pairs", F.count(pair).over(w))
-        .withColumn(
-            "corr", F.when(F.col("_pairs") == n, F.corr("_a", "_b").over(w))
-        )
+        .withColumn("corr", F.when(F.col("_pairs") == n, corr))
         .where(F.col("_rows") == n)
         .select(order_col, "corr")
     )

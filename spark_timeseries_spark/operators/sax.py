@@ -156,6 +156,7 @@ def sax_mindist_pairs(
     key_col: str = "key",
     order_col: str = "loc",
     value_col: str = "value",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Lower-bounding shape-similarity candidates from SAX words →
     (key_a, key_b, n, mindist) for every pair of equal-length series
@@ -171,7 +172,10 @@ def sax_mindist_pairs(
 
     Plan: the K-row word table is persisted (bounded: one short row
     per series — the same internal-cache contract as the dedup
-    signature tables) and self-joins as an EQUI-join on the length
+    signature tables; LOOPING callers pass ``cache_registry`` to collect
+    the handle and unpersist after materializing, else each call leaks
+    one session-lifetime cached table) and self-joins as an EQUI-join on
+    the length
     ``n`` (the a < b triangle is a post-join filter, so Catalyst plans
     a hash join, not a nested loop) — without the cache the whole
     sax/fill/grid subtree would recompute once per join side, which
@@ -193,6 +197,8 @@ def sax_mindist_pairs(
             lambda ch: F.ascii(ch) - 97,
         ).alias("_ix"),
     ).persist()
+    if cache_registry is not None:
+        cache_registry.append(syms)
     lhs = syms.select(
         F.col("key").alias("key_a"),
         F.col("n").alias("_na"),

@@ -373,6 +373,7 @@ def dedup_minhash_lsh(
     bands: int = 16,
     shingle_n: int = 3,
     hash_fn: str = "xxhash64",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """End-to-end near-dup pair detection: signatures → LSH candidates →
     exact verification. The shingle-set table is computed once and persisted;
@@ -381,7 +382,12 @@ def dedup_minhash_lsh(
     Persist lifetime: the shingle-set cache lives until the session drops it
     — the CALLER owns it. Long-lived sessions issuing many dedup calls should
     ``spark.catalog.clearCache()`` between pipelines (bench.py does exactly
-    that), or materialize the result and unpersist explicitly."""
+    that), or materialize the result and unpersist explicitly. Looping
+    callers (micro-batch gates, ingest loops) pass ``cache_registry`` — a
+    list this function APPENDS every internally-persisted frame to, so the
+    loop can ``unpersist()`` them once the batch result is materialized
+    (without it, each call leaks one cached sets + sig table for the
+    session's lifetime — unbounded executor storage on a stream)."""
     sets = shingle_sets(df, text_col, id_col, shingle_n).persist()
     # the signature table feeds BOTH sides of the banded self-join in
     # minhash_lsh_candidates — without a persist Spark evaluates the whole
@@ -391,6 +397,8 @@ def dedup_minhash_lsh(
     sig = minhash_signatures_from_sets(
         sets.withColumnRenamed("id", id_col), id_col, num_hashes, hash_fn=hash_fn
     ).persist()
+    if cache_registry is not None:
+        cache_registry += [sets, sig]
     if bands < 1 or num_hashes < bands:
         raise ValueError(f"need 1 <= bands ({bands}) <= num_hashes ({num_hashes})")
     cand = minhash_lsh_candidates(
@@ -1225,6 +1233,7 @@ def dedup_minhash_cross(
     broadcast_new: bool = True,
     new_sets: DataFrame | None = None,
     old_sets: DataFrame | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Incremental-ingest NEAR-dup: verified ``(id_new, id_old, jaccard)``
     pairs between a fresh batch and the existing corpus — the MinHash
@@ -1250,12 +1259,17 @@ def dedup_minhash_cross(
     old side's is a build-once artifact like the banded table) to own
     their lifecycle yourself; when omitted, this function persists two
     session-lifetime cached tables per call — repeated ingest loops
-    should pass their own or ``spark.catalog.clearCache()`` between
-    increments."""
+    should pass their own, collect handles via ``cache_registry`` (every
+    internally-persisted frame is appended for the caller to unpersist),
+    or ``spark.catalog.clearCache()`` between increments."""
     if new_sets is None:
         new_sets = shingle_sets(new_df, text_col, id_col, shingle_n).persist()
+        if cache_registry is not None:
+            cache_registry.append(new_sets)
     if old_sets is None:
         old_sets = shingle_sets(existing_df, text_col, id_col, shingle_n).persist()
+        if cache_registry is not None:
+            cache_registry.append(old_sets)
     sig_new = minhash_signatures_from_sets(
         new_sets.withColumnRenamed("id", id_col), id_col, num_hashes,
         hash_fn=hash_fn,

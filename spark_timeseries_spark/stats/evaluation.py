@@ -46,8 +46,14 @@ def forecast_accuracy(
 
     ``n`` counts the rows where BOTH actual and forecast are present (the
     MAE/RMSE population). MASE's denominator is the mean |y_t − y_{t−m}|
-    over consecutive in-sample actual pairs; a constant series (zero
-    naive error) yields NULL MASE rather than ±Infinity."""
+    over consecutive in-sample actual pairs ON THE NON-NULL-ACTUAL
+    SUBSEQUENCE (``lag … IGNORE NULLS`` — a plain physical-row lag would
+    pair non-adjacent observations across holes/forecast-only rows and
+    silently drop terms, skewing the denominator vs Hyndman-Koehler);
+    a constant series (zero naive error) yields NULL MASE rather than
+    ±Infinity. Note that with ``m`` > 1 the seasonal pairing is by
+    POSITION in the observed subsequence, so a gappy seasonal grid
+    should be filled first (same contract as the resample family)."""
     if m < 1:
         raise ValueError(f"m must be >= 1, got {m}")
     y = F.col(actual_col)
@@ -61,7 +67,14 @@ def forecast_accuracy(
         y.isNotNull() & f_.isNotNull() & (sden != 0.0),
         2.0 * F.abs(y - f_) / sden,
     )
-    naive = F.abs(y - F.lag(y, m).over(w))
+    # the m-th previous NON-NULL actual (pyspark's F.lag has no
+    # ignoreNulls parameter — SQL-expression window instead); gating on
+    # the current y keeps the pair fully inside the observed subsequence
+    prev = F.expr(
+        f"lag(`{actual_col}`, {int(m)}) IGNORE NULLS OVER "
+        f"(PARTITION BY `{key_col}` ORDER BY `{order_col}`)"
+    )
+    naive = F.when(y.isNotNull(), F.abs(y - prev))
     return (
         df.withColumn("_naive", naive)
         .groupBy(key_col)

@@ -364,7 +364,15 @@ def near_dedup_gate(
     plus the broadcast-increment band join — O(batch), not O(corpus),
     per micro-batch. Within-batch pairs drop the HIGHER id of each
     verified pair (greedy keep-lowest; a chain a~b~c with a<b<c keeps
-    only ``a`` — both b and c pair with a lower id)."""
+    only ``a`` — both b and c pair with a lower id).
+
+    Cache lifecycle (the r7 leak): each batch's own shingle-set/signature
+    caches are tracked in a closure registry and unpersisted at the START
+    of the NEXT gate call — deferred one batch because the returned frame
+    is lazy (the sink materializes it after ``gate`` returns), so
+    executor storage is bounded at ONE batch's caches plus the permanent
+    corpus artifact, instead of growing by two tables per micro-batch for
+    the stream's lifetime."""
     from spark_timeseries_spark.pipeline.dedup import (
         dedup_minhash_cross,
         dedup_minhash_lsh,
@@ -372,8 +380,18 @@ def near_dedup_gate(
     )
 
     old_sets = shingle_sets(existing_df, text_col, id_col, shingle_n).persist()
+    batch_caches: list = []
 
     def gate(batch_df: DataFrame) -> DataFrame:
+        # previous batch's result is materialized by now (foreachBatch is
+        # sequential) — release its caches before building this batch's
+        for c in batch_caches:
+            c.unpersist()
+        batch_caches.clear()
+        new_sets = shingle_sets(
+            batch_df, text_col, id_col, shingle_n
+        ).persist()
+        batch_caches.append(new_sets)
         pairs = dedup_minhash_cross(
             batch_df,
             existing_df,
@@ -385,6 +403,7 @@ def near_dedup_gate(
             shingle_n=shingle_n,
             hash_fn=hash_fn,
             max_bucket_size=max_bucket_size,
+            new_sets=new_sets,
             old_sets=old_sets,
         )
         dup = pairs.select(F.col("id_new").alias(id_col)).distinct()
@@ -399,6 +418,7 @@ def near_dedup_gate(
                 bands=bands,
                 shingle_n=shingle_n,
                 hash_fn=hash_fn,
+                cache_registry=batch_caches,
             )
             drop = self_pairs.select(
                 F.greatest("id_a", "id_b").alias(id_col)

@@ -567,9 +567,10 @@ def test_periodogram_fft_kernel_matches_explode(spark):
 
 def test_ts_features_vs_numpy(spark):
     """ts_features matches a numpy reference: per-overlap Pearson acf1,
-    mean-crossing count, variance of complete-tile means/variances; a
-    series shorter than one tile gets NULL stability/lumpiness; NULL
-    cells are skipped and tiles form over the non-null rank."""
+    mean-crossing count, variance of complete-tile means/variances over
+    the Z-SCORED series (tsfeatures convention); a series shorter than
+    one tile gets NULL stability/lumpiness; NULL cells are skipped and
+    tiles form over the non-null rank; a constant series scores 0."""
     import numpy as np
 
     from spark_timeseries_spark.operators.features import ts_features
@@ -580,6 +581,7 @@ def test_ts_features_vs_numpy(spark):
     rows += [("short", i, float(i)) for i in range(4)]
     rows += [("holes", i, None if i in (2, 7) else float(i * i % 11))
              for i in range(23)]
+    rows += [("const", i, 7.0) for i in range(20)]
     df = spark.createDataFrame(rows, "key string, loc long, value double")
     out = {r.key: r for r in ts_features(df, tile=10).collect()}
 
@@ -591,17 +593,22 @@ def test_ts_features_vs_numpy(spark):
     m = a.mean()
     want_cross = int(((a[1:] > m) != (a[:-1] > m)).sum())
     assert r.crossing_points == want_cross
-    t1, t2 = a[:10], a[10:20]  # complete tiles only (last 5 dropped)
+    z = (a - a.mean()) / a.std(ddof=1)
+    t1, t2 = z[:10], z[10:20]  # complete tiles only (last 5 dropped)
     assert abs(r.stability - np.var([t1.mean(), t2.mean()], ddof=1)) < 1e-12
     assert abs(r.lumpiness
                - np.var([t1.var(ddof=1), t2.var(ddof=1)], ddof=1)) < 1e-12
 
     assert out["short"].stability is None and out["short"].lumpiness is None
 
+    # constant series: sd = 0 → z-scores to all zeros → both features 0
+    assert out["const"].stability == 0.0 and out["const"].lumpiness == 0.0
+
     h = np.array([float(i * i % 11) for i in range(23) if i not in (2, 7)])
     rh = out["holes"]
     assert rh.n == 21
-    th1, th2 = h[:10], h[10:20]  # tiles over the non-null rank
+    hz = (h - h.mean()) / h.std(ddof=1)
+    th1, th2 = hz[:10], hz[10:20]  # tiles over the non-null rank
     assert abs(rh.stability - np.var([th1.mean(), th2.mean()], ddof=1)) < 1e-12
 
     import pytest as _pytest
@@ -1970,3 +1977,108 @@ def test_window_join(spark):
         window_join(lt, rt, 3.0, 3.0)
     with _pytest.raises(ValueError):
         window_join(lt, rt, -1.0, 1.0, aggs=["median"])
+
+
+def test_mann_kendall_kernel_join_parity(spark):
+    """The merge-count kernel and the pairwise-join S stage agree exactly
+    (S is integer), including ties and across the auto threshold; the
+    seasonal variant agrees per (key, season); degenerate series (n<3,
+    all-tied) yield NULL z AND NULL p under every method."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.cusum import (
+        mann_kendall,
+        seasonal_mann_kendall,
+    )
+
+    rng = np.random.RandomState(17)
+    rows = []
+    for k, n in (("a", 40), ("b", 7), ("c", 25)):
+        vals = np.round(rng.randn(n) * 2, 1)  # rounding forces value ties
+        rows += [(k, i, float(v)) for i, v in enumerate(vals)]
+    rows += [("one", 0, 5.0)]                      # n=1: s NULL
+    rows += [("two_tied", 0, 3.0), ("two_tied", 1, 3.0)]  # n=2, s=0
+    rows += [("flat", i, 1.0) for i in range(12)]  # var_s = 0
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+
+    def snap(out):
+        return {
+            r.key: (r.n, r.s, r.var_s, r.z, r.p_value) for r in out.collect()
+        }
+
+    j = snap(mann_kendall(df, s_method="join"))
+    k_ = snap(mann_kendall(df, s_method="kernel"))
+    auto = snap(mann_kendall(df, kernel_threshold=20))  # splits the keys
+    for key in j:
+        assert j[key][:2] == k_[key][:2] == auto[key][:2], key
+        for a, b in ((j[key], k_[key]), (j[key], auto[key])):
+            for x, y in zip(a[2:], b[2:]):
+                assert (x is None and y is None) or abs(x - y) < 1e-12, key
+
+    # degenerate-evidence contract (the r7 ADVICE bug: z=0/p=1 leaked)
+    for key in ("one", "two_tied", "flat"):
+        assert j[key][3] is None and j[key][4] is None, key
+
+    sj = snap(seasonal_mann_kendall(df, 4, s_method="join"))
+    sk = snap(seasonal_mann_kendall(df, 4, s_method="kernel"))
+    sa = snap(seasonal_mann_kendall(df, 4, kernel_threshold=8))
+    for key in sj:
+        assert sj[key][:2] == sk[key][:2] == sa[key][:2], key
+
+
+def test_theil_sen_kernel_join_parity(spark):
+    """The in-core slope kernel and the pairwise-join plan agree on
+    slope/intercept/n_pairs (same lerp median on both paths), including
+    across the auto threshold; degenerate series stay NULL."""
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    rows = []
+    for k, n in (("a", 30), ("b", 9), ("c", 17)):
+        vals = rng.randn(n) + 0.3 * np.arange(n)
+        rows += [(k, i * 2, float(v)) for i, v in enumerate(vals)]
+    rows += [("one", 0, 4.0)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+
+    from spark_timeseries_spark.operators.cusum import theil_sen
+
+    def snap(out):
+        return {r.key: (r.slope, r.intercept, r.n_pairs)
+                for r in out.collect()}
+
+    j = snap(theil_sen(df, method="join"))
+    k_ = snap(theil_sen(df, method="kernel"))
+    auto = snap(theil_sen(df, kernel_threshold=12))
+    for key in j:
+        for x, y, z in zip(j[key], k_[key], auto[key]):
+            if x is None:
+                assert y is None and z is None, key
+            else:
+                assert abs(x - y) < 1e-12 and abs(x - z) < 1e-12, key
+    assert j["one"] == (None, None, 0)
+
+
+def test_forecast_accuracy_mase_skips_holes(spark):
+    """MASE's naive scale pairs consecutive OBSERVED actuals: rows with
+    NULL actuals (forecast-only horizon rows) must neither pair with
+    non-adjacent observations nor drop scale terms (the r7 ADVICE bug:
+    a physical-row lag across holes skewed the denominator)."""
+    from spark_timeseries_spark.stats import forecast_accuracy
+
+    # actuals 1,2,4,8 with a hole (loc=2) and a forecast-only tail row
+    rows = [
+        ("a", 0, 1.0, 1.5),
+        ("a", 1, 2.0, 2.5),
+        ("a", 2, None, 3.0),
+        ("a", 3, 4.0, 4.5),
+        ("a", 4, 8.0, 8.5),
+        ("a", 5, None, 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, loc long, actual double, forecast double"
+    )
+    r = forecast_accuracy(df).collect()[0]
+    # naive pairs over the observed subsequence: |2-1|, |4-2|, |8-4|
+    scale = (1.0 + 2.0 + 4.0) / 3.0
+    assert abs(r.mae - 0.5) < 1e-12
+    assert abs(r.mase - 0.5 / scale) < 1e-12

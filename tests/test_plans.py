@@ -676,3 +676,31 @@ def test_window_join_is_equi_bucket_no_nested_loop(spark, grid):
         "ShuffledHashJoin" in p
     )
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_pettitt_no_join(spark, grid):
+    """pettitt's r8 scale contract: the midrank identity replaces the
+    pairwise self-join — the physical plan must contain NO join operator
+    of any kind (the r7 form shuffled ~n²/2 pair rows per series)."""
+    from spark_timeseries_spark.operators.changepoint import pettitt
+
+    out = pettitt(grid)
+    shuffles, _, p = _counts(out)
+    assert "Join" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert shuffles <= 3, p  # value-rank, tie-count, time windows share key
+
+
+def test_mann_kendall_kernel_no_pair_join(spark, grid):
+    """Forced-kernel Mann-Kendall must plan the S stage as a grouped-map
+    (FlatMapGroupsInPandas) with no pairwise self-join on the S path;
+    var/ties stay JVM aggregates."""
+    from spark_timeseries_spark.operators.cusum import mann_kendall
+
+    out = mann_kendall(grid, s_method="kernel")
+    p = _plan(out)
+    assert "FlatMapGroupsInPandas" in p, p
+    # the only joins permitted are the K-row assembly joins of n/s/tie
+    # frames — no join may sit BELOW the grouped-map (pair explosion)
+    below = p.split("FlatMapGroupsInPandas")[-1]
+    assert "Join" not in below, below
