@@ -3116,6 +3116,196 @@ def _q_window_join_ctx(spark, sf_dir):
     )
 
 
+# -- round-8 additions -------------------------------------------------------
+
+def _q_bollinger(spark, sf_dir):
+    """Bollinger(7, 2) bands over the filled daily grid — one rolling
+    window pass (mean/std/complete-count), all JVM; the oracle replays
+    the same frame in DuckDB windows (the roll_mean/roll_std precedent
+    proves in-order frame accumulation matches cross-engine)."""
+    from spark_timeseries_spark.operators.indicators import bollinger
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
+    out = bollinger(filled, n=7, k=2.0)
+    return out.select(
+        "key", "loc",
+        _stable_round(F.col("mid"), 6).alias("mid"),
+        _stable_round(F.col("upper"), 6).alias("upper"),
+        _stable_round(F.col("lower"), 6).alias("lower"),
+        _stable_round(F.col("pct_b"), 6).alias("pct_b"),
+    )
+
+
+def _q_rsi(spark, sf_dir):
+    """RSI(14, ewm variant) over the filled daily grid. The operator's
+    closed-form EMA (q^rk·(v0 + α·Σ v_i/q^i)) is replayed op-for-op in
+    the oracle — same literals, same prefix order — so raw doubles agree
+    to the last bit before the 6-dp rounding."""
+    from spark_timeseries_spark.operators.indicators import rsi
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
+    out = rsi(filled, 14)
+    return out.select(
+        "key", "loc",
+        _stable_round(F.col("avg_gain"), 6).alias("avg_gain"),
+        _stable_round(F.col("avg_loss"), 6).alias("avg_loss"),
+        _stable_round(F.col("rsi"), 6).alias("rsi"),
+    )
+
+
+def _q_macd(spark, sf_dir):
+    """MACD(12, 26, 9) over the filled daily grid — three chained
+    closed-form EMAs in one lazy plan; the oracle stacks the same three
+    prefix forms as CTE layers."""
+    from spark_timeseries_spark.operators.indicators import macd
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
+    out = macd(filled)
+    return out.select(
+        "key", "loc",
+        _stable_round(F.col("macd"), 6).alias("macd"),
+        _stable_round(F.col("signal"), 6).alias("signal"),
+        _stable_round(F.col("histogram"), 6).alias("histogram"),
+    )
+
+
+def _q_ohlc_bars(spark, sf_dir):
+    """Daily OHLC bars per user over raw events — ONE map-side-combined
+    groupBy of struct-min/max positional aggregates (no window, no
+    sort); open/close tie-break by value on duplicate timestamps is
+    deterministic on both engines."""
+    from spark_timeseries_spark.operators.resample import ohlc
+
+    obs = events_observations(spark, sf_dir)
+    return ohlc(obs, "day").select(
+        "key", "bar_ts", "open", "high", "low", "close", "n"
+    )
+
+
+def _q_sample_entropy(spark, sf_dir):
+    """SampEn(m=2, r=0.2σ) per series off the filled daily grid — the
+    join plan at T=31 (the oracle-replayable side of the dual plan; the
+    merge kernel takes over past 512 points)."""
+    from spark_timeseries_spark.operators.features import sample_entropy
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
+    out = sample_entropy(filled, m=2, r_frac=0.2)
+    return out.select(
+        "key", "n", "b", "a",
+        _stable_round(F.col("sampen"), 6).alias("sampen"),
+    )
+
+
+def _q_turning_points(spark, sf_dir):
+    """Kendall turning-points randomness test per series on the daily
+    grid (NULL cells skipped) — one window pass + one aggregate."""
+    from spark_timeseries_spark.operators.features import turning_points
+
+    grid = _daily_grid(spark, sf_dir)
+    out = turning_points(grid)
+    return out.select(
+        "key", "n", "tp",
+        _stable_round(F.col("expected"), 6).alias("expected"),
+        _stable_round(F.col("z"), 6).alias("z"),
+    )
+
+
+def _q_page_hinkley(spark, sf_dir):
+    """Page-Hinkley drift statistics per point over the filled grid —
+    running mean + prefix sum + running extremum, the cusum closed-form
+    family; fully window-replayable."""
+    from spark_timeseries_spark.operators.cusum import page_hinkley
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
+    out = page_hinkley(filled, delta=0.1, lam=5.0)
+    return out.select(
+        "key", "loc",
+        _stable_round(F.col("ph_pos"), 6).alias("ph_pos"),
+        _stable_round(F.col("ph_neg"), 6).alias("ph_neg"),
+    )
+
+
+def _q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test about the median per series on the daily
+    grid; z only (the normal-tail p needs erf, which DuckDB lacks — the
+    mann_kendall precedent)."""
+    from spark_timeseries_spark.stats import runs_test
+
+    grid = _daily_grid(spark, sf_dir)
+    out = runs_test(grid)
+    return out.select(
+        "key", "n1", "n2", "runs",
+        _stable_round(F.col("z"), 6).alias("z"),
+    )
+
+
+def _q_variance_ratio(spark, sf_dir):
+    """Lo-MacKinlay VR(4) per series over the filled grid — closed-form
+    overlapping estimators, z included (no erf needed)."""
+    from spark_timeseries_spark.stats import variance_ratio
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
+    out = variance_ratio(filled, q=4)
+    return out.select(
+        "key", "n",
+        _stable_round(F.col("vr"), 6).alias("vr"),
+        _stable_round(F.col("z"), 6).alias("z"),
+    )
+
+
+def _q_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension distribution profile of the embeddings corpus —
+    posexplode into one groupBy(dim) with exact percentiles."""
+    from spark_timeseries_spark.pipeline.embeddings import embedding_dim_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_dim_stats(emb)
+    return out.select(
+        "dim", "n",
+        _stable_round(F.col("mean"), 6).alias("mean"),
+        _stable_round(F.col("std"), 6).alias("std"),
+        _stable_round(F.col("q_05"), 6).alias("q_05"),
+        _stable_round(F.col("q_50"), 6).alias("q_50"),
+        _stable_round(F.col("q_95"), 6).alias("q_95"),
+    )
+
+
+def _q_srp_buckets(spark, sf_dir):
+    """SRP-LSH bucket histogram (8 arithmetic ±1 hyperplanes) over the
+    embeddings corpus — the projections are exact ordered folds
+    (F.aggregate = DuckDB list_reduce, the embedding_drift precedent),
+    so the sign bits and bucket ids match bit-for-bit."""
+    from spark_timeseries_spark.pipeline.embeddings import srp_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = srp_lsh(emb, planes=8)
+    return out.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def _q_ngram_novelty(spark, sf_dir):
+    """3-gram novelty of odd-id documents vs the even-id reference half
+    — explode + vocabulary anti-membership + per-doc aggregate; the
+    continuous companion of the decontaminate flag."""
+    from spark_timeseries_spark.pipeline.dedup import ngram_novelty
+
+    docs = _docs_spread(spark, sf_dir)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    out = ngram_novelty(new, ref)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_shingles", "n_novel",
+        _stable_round(F.col("novelty"), 6).alias("novelty"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
     the first 50 entries. Window policy (round 8, per the r7 verdict's
@@ -3145,6 +3335,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roll_corr": _q_roll_corr,
         "forecast_accuracy": _q_forecast_accuracy,
         "theil_sen": _q_theil_sen,
+        # -- (a') new in r8 ---------------------------------------------------
+        "bollinger": _q_bollinger,
+        "rsi": _q_rsi,
+        "macd": _q_macd,
+        "ohlc_bars": _q_ohlc_bars,
+        "sample_entropy": _q_sample_entropy,
+        "turning_points": _q_turning_points,
+        "page_hinkley": _q_page_hinkley,
+        "runs_test": _q_runs_test,
+        "variance_ratio": _q_variance_ratio,
+        "embedding_dim_stats": _q_embedding_dim_stats,
+        "srp_buckets": _q_srp_buckets,
+        "ngram_novelty": _q_ngram_novelty,
         # -- (b) rotation queue, stalest driver evidence first ---------------
         "spectral_entropy": _q_spectral_entropy,
         "slice": _q_slice,
@@ -3176,6 +3379,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pretrain_clean": _q_pretrain_clean,
         "minhash_lsh_dedup": _q_minhash_lsh_dedup,
         "pack_sequences": _q_pack_sequences,
+        # ---- driver window (50) ends here ----------------------------------
+        # (everything below is green in the committed strict-mode full
+        # oracle log; the r7 window rows moved to the tail — their driver
+        # evidence is the freshest in the file. mixture_epochs…lsh_topk
+        # displaced by the twelve r8 additions, queued next)
         "mixture_epochs": _q_mixture_epochs,
         "remove_dup_spans": _q_remove_dup_spans,
         "video_frames": _q_video_frames,
@@ -3188,10 +3396,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "lsh_topk": _q_lsh_topk,
-        # ---- driver window (50) ends here ----------------------------------
-        # (everything below is green in the committed strict-mode full
-        # oracle log; the r7 window rows moved to the tail — their driver
-        # evidence is the freshest in the file)
         "winnowing_fingerprints": _q_winnowing_fingerprints,
         "auto_arima": _q_auto_arima,
         "garch_fit": _q_garch_fit,
@@ -8419,5 +8623,383 @@ def oracle_sql() -> dict[str, str]:
                {_sr_sql(_ls_score, 6)} AS score,
                ({_ls_score}) >= 0.5 AS keep
         FROM documents d LEFT JOIN m USING (doc_id)
+    """
+
+    # -- round-8 additions ---------------------------------------------------
+    o["bollinger"] = _DAILY_GRID_SQL + _FILLED_SQL + f"""
+        , b AS (
+            SELECT key, loc, value,
+                   CASE WHEN count(value) OVER w = 7
+                        THEN avg(value) OVER w END AS mid,
+                   CASE WHEN count(value) OVER w = 7
+                        THEN stddev_samp(value) OVER w END AS sd
+            FROM filled
+            WINDOW w AS (PARTITION BY key ORDER BY loc
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        SELECT key, loc,
+               {_sr_sql("mid", 6)} AS mid,
+               {_sr_sql("mid + 2.0 * sd", 6)} AS upper,
+               {_sr_sql("mid - 2.0 * sd", 6)} AS lower,
+               {_sr_sql(
+                   "CASE WHEN (mid + 2.0 * sd) - (mid - 2.0 * sd) <> 0 "
+                   "THEN (value - (mid - 2.0 * sd)) / "
+                   "((mid + 2.0 * sd) - (mid - 2.0 * sd)) END", 6)} AS pct_b
+        FROM b
+    """
+
+    _rq = repr(1.0 - 1.0 / 14)   # Wilder q, exactly the operator's literal
+    _ra = repr(1.0 / 14)
+    o["rsi"] = _DAILY_GRID_SQL + _FILLED_SQL + f"""
+        , dif AS (
+            SELECT key, loc,
+                   value - lag(value) OVER (PARTITION BY key ORDER BY loc)
+                       AS d
+            FROM filled
+        ),
+        gl AS (
+            SELECT key, loc,
+                   CAST(row_number() OVER (PARTITION BY key ORDER BY loc) - 1
+                        AS BIGINT) AS j,
+                   greatest(d, 0) AS g, greatest(-d, 0) AS l
+            FROM dif WHERE d IS NOT NULL
+        ),
+        pre AS (
+            SELECT key, loc, j,
+                   first_value(g) OVER wk AS g0,
+                   first_value(l) OVER wk AS l0,
+                   SUM(CASE WHEN j >= 1 THEN g / power({_rq}, j) END)
+                       OVER wp AS sg,
+                   SUM(CASE WHEN j >= 1 THEN l / power({_rq}, j) END)
+                       OVER wp AS sl
+            FROM gl
+            WINDOW wk AS (PARTITION BY key ORDER BY j),
+                   wp AS (PARTITION BY key ORDER BY j
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        ema AS (
+            SELECT key, loc,
+                   power({_rq}, j) * (g0 + {_ra} * coalesce(sg, 0.0)) AS ag,
+                   power({_rq}, j) * (l0 + {_ra} * coalesce(sl, 0.0)) AS al
+            FROM pre
+        )
+        SELECT key, loc,
+               {_sr_sql("ag", 6)} AS avg_gain,
+               {_sr_sql("al", 6)} AS avg_loss,
+               {_sr_sql(
+                   "CASE WHEN ag + al <> 0 THEN 100.0 * ag / (ag + al) END",
+                   6)} AS rsi
+        FROM ema
+    """
+
+    _qf, _af = repr(1.0 - 2.0 / 13), repr(2.0 / 13)
+    _qs, _as = repr(1.0 - 2.0 / 27), repr(2.0 / 27)
+    _qg, _ag = repr(1.0 - 2.0 / 10), repr(2.0 / 10)
+    o["macd"] = _DAILY_GRID_SQL + _FILLED_SQL + f"""
+        , base AS (
+            SELECT key, loc, value,
+                   CAST(row_number() OVER (PARTITION BY key ORDER BY loc) - 1
+                        AS BIGINT) AS j
+            FROM filled
+        ),
+        pre1 AS (
+            SELECT key, loc, j,
+                   first_value(value) OVER wk AS v0,
+                   SUM(CASE WHEN j >= 1 THEN value / power({_qf}, j) END)
+                       OVER wp AS sf,
+                   SUM(CASE WHEN j >= 1 THEN value / power({_qs}, j) END)
+                       OVER wp AS ss
+            FROM base
+            WINDOW wk AS (PARTITION BY key ORDER BY j),
+                   wp AS (PARTITION BY key ORDER BY j
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        line AS (
+            SELECT key, loc, j,
+                   power({_qf}, j) * (v0 + {_af} * coalesce(sf, 0.0))
+                   - power({_qs}, j) * (v0 + {_as} * coalesce(ss, 0.0))
+                       AS macd
+            FROM pre1
+        ),
+        pre2 AS (
+            SELECT key, loc, j, macd,
+                   first_value(macd) OVER wk AS m0,
+                   SUM(CASE WHEN j >= 1 THEN macd / power({_qg}, j) END)
+                       OVER wp AS sm
+            FROM line
+            WINDOW wk AS (PARTITION BY key ORDER BY j),
+                   wp AS (PARTITION BY key ORDER BY j
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        sig AS (
+            SELECT key, loc, macd,
+                   power({_qg}, j) * (m0 + {_ag} * coalesce(sm, 0.0)) AS s
+            FROM pre2
+        )
+        SELECT key, loc,
+               {_sr_sql("macd", 6)} AS macd,
+               {_sr_sql("s", 6)} AS signal,
+               {_sr_sql("macd - s", 6)} AS histogram
+        FROM sig
+    """
+
+    o["ohlc_bars"] = """
+        SELECT CAST(user_id AS VARCHAR) AS key,
+               date_trunc('day', ts) AS bar_ts,
+               first(value ORDER BY ts, value) AS open,
+               max(value) AS high, min(value) AS low,
+               last(value ORDER BY ts, value) AS close,
+               CAST(count(value) AS BIGINT) AS n
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    """
+
+    o["sample_entropy"] = _DAILY_GRID_SQL + _FILLED_SQL + f"""
+        , pts AS (
+            SELECT key, loc, value,
+                   row_number() OVER w AS i,
+                   lead(value, 1) OVER w AS v1,
+                   lead(value, 2) OVER w AS v2,
+                   0.2 * stddev_samp(value) OVER (PARTITION BY key) AS r,
+                   count(*) OVER (PARTITION BY key) AS n
+            FROM filled WHERE value IS NOT NULL
+            WINDOW w AS (PARTITION BY key ORDER BY loc)
+        ),
+        tmpl AS (SELECT * FROM pts WHERE v1 IS NOT NULL),
+        res8 AS (
+            SELECT a.key,
+                   CAST(max(a.n) AS BIGINT) AS n,
+                   CAST(coalesce(SUM(CASE WHEN abs(a.value - b.value) <= a.r
+                                 AND abs(a.v1 - b.v1) <= a.r
+                                THEN 1 END), 0) AS BIGINT) AS b,
+                   CAST(coalesce(SUM(CASE WHEN abs(a.value - b.value) <= a.r
+                                 AND abs(a.v1 - b.v1) <= a.r
+                                 AND a.v2 IS NOT NULL AND b.v2 IS NOT NULL
+                                 AND abs(a.v2 - b.v2) <= a.r
+                                THEN 1 END), 0) AS BIGINT) AS a
+            FROM tmpl a JOIN tmpl b ON a.key = b.key AND a.i < b.i
+            GROUP BY a.key
+        )
+        SELECT key, n, b, a,
+               {_sr_sql(
+                   "CASE WHEN a > 0 AND b > 0 "
+                   "THEN -ln(CAST(a AS DOUBLE) / CAST(b AS DOUBLE)) END",
+                   6)} AS sampen
+        FROM res8
+    """
+
+    o["turning_points"] = _DAILY_GRID_SQL + f"""
+        , pts AS (
+            SELECT key, loc, value FROM grid WHERE value IS NOT NULL
+        ),
+        t AS (
+            SELECT key, value,
+                   CASE WHEN (value - lag(value) OVER w)
+                             * (lead(value) OVER w - value) < 0
+                        THEN 1 END AS turn
+            FROM pts WINDOW w AS (PARTITION BY key ORDER BY loc)
+        ),
+        res8 AS (
+            SELECT key, CAST(count(value) AS BIGINT) AS n,
+                   CAST(coalesce(SUM(turn), 0) AS BIGINT) AS tp
+            FROM t GROUP BY key
+        )
+        SELECT key, n, tp,
+               {_sr_sql(
+                   "CASE WHEN n >= 3 THEN 2.0 * (CAST(n AS DOUBLE) - 2.0) "
+                   "/ 3.0 END", 6)} AS expected,
+               {_sr_sql(
+                   "CASE WHEN n >= 3 THEN (CAST(tp AS DOUBLE) "
+                   "- 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0) "
+                   "/ sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0) END",
+                   6)} AS z
+        FROM res8
+    """
+
+    o["page_hinkley"] = _DAILY_GRID_SQL + _FILLED_SQL + f"""
+        , rm AS (
+            SELECT key, loc, value,
+                   avg(value) OVER wp AS m
+            FROM filled WHERE value IS NOT NULL
+            WINDOW wp AS (PARTITION BY key ORDER BY loc
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        dev AS (
+            SELECT key, loc,
+                   SUM(value - m - 0.1) OVER wp AS mp,
+                   SUM(value - m + 0.1) OVER wp AS mn
+            FROM rm
+            WINDOW wp AS (PARTITION BY key ORDER BY loc
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        ph AS (
+            SELECT key, loc,
+                   mp - least(min(mp) OVER wp, 0.0) AS ph_pos,
+                   greatest(max(mn) OVER wp, 0.0) - mn AS ph_neg
+            FROM dev
+            WINDOW wp AS (PARTITION BY key ORDER BY loc
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT key, loc,
+               {_sr_sql("ph_pos", 6)} AS ph_pos,
+               {_sr_sql("ph_neg", 6)} AS ph_neg
+        FROM ph
+    """
+
+    o["runs_test"] = _DAILY_GRID_SQL + f"""
+        , pts AS (
+            SELECT key, loc, value FROM grid WHERE value IS NOT NULL
+        ),
+        med AS (
+            SELECT key, quantile_cont(value, 0.5) AS med
+            FROM pts GROUP BY key
+        ),
+        kept AS (
+            SELECT p.key, loc,
+                   CASE WHEN value > med THEN 1 ELSE 0 END AS up
+            FROM pts p JOIN med USING (key) WHERE value <> med
+        ),
+        chg AS (
+            SELECT key, up,
+                   CASE WHEN up <> lag(up) OVER (PARTITION BY key
+                                                 ORDER BY loc)
+                        THEN 1 ELSE 0 END AS c
+            FROM kept
+        ),
+        res8 AS (
+            SELECT key, CAST(SUM(up) AS BIGINT) AS n1,
+                   CAST(SUM(1 - up) AS BIGINT) AS n2,
+                   CAST(SUM(c) + 1 AS BIGINT) AS runs
+            FROM chg GROUP BY key
+        ),
+        anch AS (
+            SELECT k.key,
+                   CAST(coalesce(n1, 0) AS BIGINT) AS n1,
+                   CAST(coalesce(n2, 0) AS BIGINT) AS n2,
+                   CAST(coalesce(runs, 0) AS BIGINT) AS runs
+            FROM (SELECT DISTINCT key FROM pts) k LEFT JOIN res8 USING (key)
+        )
+        SELECT key, n1, n2, runs,
+               {_sr_sql(
+                   "CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 >= 2 AND "
+                   "2.0*n1*n2 * (2.0*n1*n2 - (n1+n2)) "
+                   "/ (CAST(n1+n2 AS DOUBLE)*(n1+n2)*((n1+n2) - 1.0)) > 0 "
+                   "THEN (CAST(runs AS DOUBLE) "
+                   "- (1.0 + 2.0 * n1 * n2 / (CAST(n1 AS DOUBLE) + n2))) "
+                   "/ sqrt(2.0*n1*n2 * (2.0*n1*n2 - (n1+n2)) "
+                   "/ (CAST(n1+n2 AS DOUBLE)*(n1+n2)*((n1+n2) - 1.0))) END",
+                   6)} AS z
+        FROM anch
+    """
+
+    o["variance_ratio"] = _DAILY_GRID_SQL + _FILLED_SQL + f"""
+        , pts AS (
+            SELECT key, loc, value FROM filled WHERE value IS NOT NULL
+        ),
+        d AS (
+            SELECT key, loc, value,
+                   value - lag(value, 1) OVER w AS d1,
+                   value - lag(value, 4) OVER w AS dq,
+                   first_value(value) OVER w AS f,
+                   last_value(value) OVER (PARTITION BY key ORDER BY loc
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING) AS lst,
+                   count(value) OVER (PARTITION BY key) AS cnt
+            FROM pts WINDOW w AS (PARTITION BY key ORDER BY loc)
+        ),
+        m AS (
+            SELECT key, loc, d1, dq, cnt,
+                   (lst - f) / CAST(cnt - 1 AS DOUBLE) AS mu
+            FROM d
+        ),
+        res8 AS (
+            SELECT key, CAST(max(cnt) - 1 AS BIGINT) AS n,
+                   SUM((d1 - mu) * (d1 - mu)) AS s1,
+                   SUM((dq - 4 * mu) * (dq - 4 * mu)) AS sq
+            FROM m GROUP BY key
+        ),
+        vr AS (
+            SELECT key, n, s1, sq, CAST(n AS DOUBLE) AS nd,
+                   s1 / (CAST(n AS DOUBLE) - 1.0) AS var1,
+                   sq / (4 * (CAST(n AS DOUBLE) - 4 + 1.0)
+                         * (1.0 - 4 / CAST(n AS DOUBLE))) AS varq
+            FROM res8
+        )
+        SELECT key, n,
+               {_sr_sql(
+                   "CASE WHEN n > 4 AND var1 <> 0 THEN varq / var1 END",
+                   6)} AS vr,
+               {_sr_sql(
+                   "CASE WHEN n > 4 AND var1 <> 0 THEN "
+                   "(varq / var1 - 1.0) "
+                   "/ sqrt(2.0 * (2.0 * 4 - 1.0) * (4 - 1.0) "
+                   "/ (3.0 * 4 * nd)) END", 6)} AS z
+        FROM vr
+    """
+
+    o["embedding_dim_stats"] = f"""
+        WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        idx AS (SELECT CAST(range AS INT) AS dim FROM range(0, 8192)),
+        x AS (
+            SELECT dim, v[dim + 1] AS x FROM e JOIN idx ON dim < len(v)
+        )
+        SELECT dim, CAST(count(x) AS BIGINT) AS n,
+               {_sr_sql("avg(x)", 6)} AS mean,
+               {_sr_sql("stddev_samp(x)", 6)} AS std,
+               {_sr_sql("quantile_cont(x, 0.05)", 6)} AS q_05,
+               {_sr_sql("quantile_cont(x, 0.5)", 6)} AS q_50,
+               {_sr_sql("quantile_cont(x, 0.95)", 6)} AS q_95
+        FROM x GROUP BY dim
+    """
+
+    _srp_projs = ", ".join(
+        "list_reduce(list_transform(range(1, len(v) + 1), "
+        f"i -> v[i] * CAST(1 - 2 * (((i * 48271 + {(p + 1) * 16807}) "
+        "% 2147483647) % 2) AS DOUBLE)), (acc, x) -> acc + x) "
+        f"AS pr{p}"
+        for p in range(8)
+    )
+    _srp_bucket = " + ".join(
+        f"(CASE WHEN pr{p} >= 0 THEN {1 << p} ELSE 0 END)" for p in range(8)
+    )
+    o["srp_buckets"] = f"""
+        WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        pr AS (SELECT {_srp_projs} FROM e),
+        b AS (SELECT CAST({_srp_bucket} AS BIGINT) AS bucket FROM pr)
+        SELECT bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM b GROUP BY bucket
+    """
+
+    o["ngram_novelty"] = """
+        WITH words AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(w) - 2),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                       )) AS sh
+                FROM words
+            )
+        ),
+        ref AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 2 = 0),
+        new_sh AS (SELECT doc_id, sh FROM sh WHERE doc_id % 2 = 1),
+        cnt AS (
+            SELECT n.doc_id, CAST(count(*) AS BIGINT) AS ns,
+                   CAST(SUM(CASE WHEN r.sh IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nv
+            FROM new_sh n LEFT JOIN ref r USING (sh) GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(ns, 0) AS BIGINT) AS n_shingles,
+               CAST(coalesce(nv, 0) AS BIGINT) AS n_novel,
+               FLOOR((CASE WHEN coalesce(ns, 0) > 0
+                      THEN CAST(nv AS DOUBLE) / ns END) * 1000000
+                     + 0.500001) / 1000000 AS novelty
+        FROM documents d LEFT JOIN cnt USING (doc_id)
+        WHERE d.doc_id % 2 = 1
     """
     return o

@@ -26,7 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cusum", "cusum_changepoints", "theil_sen", "mann_kendall", "seasonal_mann_kendall"]
+__all__ = ["cusum", "cusum_changepoints", "theil_sen", "mann_kendall",
+           "seasonal_mann_kendall", "page_hinkley"]
 
 
 def cusum(
@@ -520,3 +521,54 @@ def seasonal_mann_kendall(
     return out.select(
         key_col, "n", "s", "var_s", "z", _p(F.col("z")).alias("p_value")
     )
+
+
+def page_hinkley(
+    df: DataFrame,
+    delta: float = 0.005,
+    lam: float = 50.0,
+    key_col: str = "key",
+    loc_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Page-Hinkley drift test (Page 1954; the streaming-drift form in
+    Gama et al. 2014) per point: input non-null rows + ``ph_pos`` /
+    ``ph_neg`` (the increase/decrease statistics) + ``alarm`` (either
+    side above ``lam``). m_t = Σ_{i≤t} (x_i − x̄_i ∓ δ) with x̄_i the
+    RUNNING mean up to i; PH_t = m_t − min_{i≤t} m_i (increase side;
+    max for the decrease side, sign-flipped so both are ≥ 0 and compare
+    against the same λ). δ is the magnitude tolerance in VALUE units
+    (unlike :func:`cusum`, PH is classically run unstandardized — the
+    running mean IS the baseline estimate).
+
+    Plan: the recursive-looking statistic is three stacked frames over
+    the ONE (key, loc) sort — running mean, prefix sum of the deviation
+    column, running min — identical shape to :func:`cusum`'s closed
+    form; all JVM, O(n) rows per series."""
+    pts = df.where(F.col(value_col).isNotNull())
+    wc = (
+        Window.partitionBy(key_col)
+        .orderBy(loc_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    v = F.col(value_col)
+    d = (
+        pts.withColumn("_rm", F.avg(value_col).over(wc))
+        .withColumn("_dp", v - F.col("_rm") - F.lit(float(delta)))
+        .withColumn("_dn", v - F.col("_rm") + F.lit(float(delta)))
+        .withColumn("_mp", F.sum("_dp").over(wc))
+        .withColumn("_mn", F.sum("_dn").over(wc))
+        .withColumn(
+            "ph_pos",
+            F.col("_mp") - F.least(F.min("_mp").over(wc), F.lit(0.0)),
+        )
+        .withColumn(
+            "ph_neg",
+            F.greatest(F.max("_mn").over(wc), F.lit(0.0)) - F.col("_mn"),
+        )
+        .withColumn(
+            "alarm",
+            (F.col("ph_pos") > float(lam)) | (F.col("ph_neg") > float(lam)),
+        )
+    )
+    return d.drop("_rm", "_dp", "_dn", "_mp", "_mn")

@@ -46,6 +46,8 @@ __all__ = [
     "interarrival_stats",
     "find_peaks",
     "threshold_runs",
+    "turning_points",
+    "sample_entropy",
 ]
 
 
@@ -568,4 +570,171 @@ def threshold_runs(
         )
         .where(F.col("length") >= min_length)
         .drop("_grp")
+    )
+
+
+def turning_points(
+    df: DataFrame,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Turning-points randomness test per series → (key, n, tp, expected,
+    z): ``tp`` counts interior local extrema (strict peaks/troughs:
+    (x_t − x_{t−1})·(x_{t+1} − x_t) < 0 — a flat step is NOT a turning
+    point, the standard convention for the test), E[T] = 2(n−2)/3,
+    Var[T] = (16n − 29)/90 under i.i.d., z = (T − E)/√Var (Kendall's
+    classic randomness diagnostic: |z| large → too few turns (trend) or
+    too many (oscillation)). NULL cells are skipped; series with n < 3
+    yield NULL expected/z. One (key, loc) window pass + one aggregate —
+    all JVM, O(n) per series."""
+    v = F.col(value_col)
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+    pts = df.where(v.isNotNull())
+    turn = F.when(
+        ((v - F.lag(v).over(ws)) * (F.lead(v).over(ws) - v)) < 0, 1
+    )
+    agg = pts.withColumn("_t", turn).groupBy(key_col).agg(
+        F.count(v).alias("n"),
+        F.coalesce(F.sum("_t"), F.lit(0)).alias("tp"),
+    )
+    n = F.col("n").cast("double")
+    exp = F.when(F.col("n") >= 3, 2.0 * (n - 2.0) / 3.0)
+    var = (16.0 * n - 29.0) / 90.0
+    return agg.select(
+        key_col,
+        "n",
+        "tp",
+        exp.alias("expected"),
+        F.when(
+            F.col("n") >= 3,
+            (F.col("tp").cast("double") - exp) / F.sqrt(var),
+        ).alias("z"),
+    )
+
+
+def sample_entropy(
+    df: DataFrame,
+    m: int = 2,
+    r_frac: float = 0.2,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+    method: str = "auto",
+    kernel_threshold: int = 512,
+) -> DataFrame:
+    """Sample entropy (Richman & Moorman 2000) per series → (key, n, b,
+    a, sampen): B = #template pairs (i < j) of length ``m`` within
+    Chebyshev distance r, A = same at length m+1, SampEn = −ln(A/B) —
+    lower = more regular/self-similar. r = ``r_frac`` · the series'
+    sample std (the universal convention). Pairs use i < j (no
+    self-matches, each unordered pair once — Richman-Moorman's
+    convention up to the constant factor, which cancels in A/B). NULL
+    cells are dropped first (templates form over the observed
+    subsequence; stated, since a hole otherwise poisons m+1 windows).
+    A = 0 or B = 0 → NULL sampen (undefined, the standard outcome on
+    short/irregular series).
+
+    Dual plan (the periodogram/MK precedent): template self-join below
+    ``kernel_threshold`` points (SQL-oracle-replayable; O(n²) shuffled
+    pair rows per series), grouped-map numpy kernel above it (blocked
+    O(n²) Chebyshev comparisons IN-CORE — the quadratic stays as BLAS-
+    style flops, zero pair shuffle)."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    if method not in ("auto", "join", "kernel"):
+        raise ValueError(f"method must be auto|join|kernel, got {method}")
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull()).select(
+        key_col, F.col(order_col).alias("_l"), v.alias("_v")
+    )
+    wk = Window.partitionBy(key_col)
+    ws = Window.partitionBy(key_col).orderBy("_l")
+    base = (
+        pts.withColumn("_r", r_frac * F.stddev_samp("_v").over(wk))
+        .withColumn("_n", F.count(F.lit(1)).over(wk))
+        .withColumn("_i", F.row_number().over(ws))
+    )
+    for k in range(1, m + 1):
+        base = base.withColumn(f"_v{k}", F.lead("_v", k).over(ws))
+
+    def _join_plan(src):
+        # an m-template at i needs x_i..x_{i+m-1} (leads 1..m-1 non-null;
+        # m = 1 templates are single points, always valid); the m+1
+        # extension check happens per pair inside amatch
+        tmpl = src if m == 1 else src.where(F.col(f"_v{m-1}").isNotNull())
+        a_, b_ = tmpl.alias("a"), tmpl.alias("b")
+        mmatch = F.lit(True)
+        for k in range(m):
+            ca = F.col("a._v") if k == 0 else F.col(f"a._v{k}")
+            cb = F.col("b._v") if k == 0 else F.col(f"b._v{k}")
+            mmatch = mmatch & (F.abs(ca - cb) <= F.col("a._r"))
+        amatch = (
+            mmatch
+            & F.col(f"a._v{m}").isNotNull()
+            & F.col(f"b._v{m}").isNotNull()
+            & (F.abs(F.col(f"a._v{m}") - F.col(f"b._v{m}")) <= F.col("a._r"))
+        )
+        pairs = a_.join(b_, key_col).where(F.col("a._i") < F.col("b._i"))
+        return pairs.groupBy(key_col).agg(
+            F.max("a._n").alias("n"),
+            F.sum(mmatch.cast("long")).alias("b"),
+            F.sum(amatch.cast("long")).alias("a"),
+        )
+
+    def _kernel_plan(src):
+        kt = src.schema[key_col].dataType.simpleString()
+
+        def kern(pdf):
+            import numpy as np
+            import pandas as pd
+
+            pdf = pdf.sort_values("_l")
+            x = pdf["_v"].to_numpy(dtype=float)
+            n = x.size
+            rr = pdf["_r"].iloc[0]
+            if n < m + 1 or rr is None or not np.isfinite(rr):
+                return pd.DataFrame(
+                    {key_col: [pdf[key_col].iloc[0]], "n": [n],
+                     "b": [0], "a": [0]}
+                )
+            # n-m+1 m-templates (ALL valid ones — same population as the
+            # join plan), n-m (m+1)-templates
+            nt = n - m + 1
+            close = np.abs(x[:, None] - x[None, :]) <= rr
+            mm = np.ones((nt, nt), dtype=bool)
+            for k in range(m):
+                mm &= close[k : k + nt, k : k + nt]
+            bcnt = int(mm[np.triu_indices(nt, 1)].sum())
+            acnt = 0
+            nt1 = n - m
+            if nt1 >= 2:
+                aa = mm[:nt1, :nt1] & close[m : m + nt1, m : m + nt1]
+                acnt = int(aa[np.triu_indices(nt1, 1)].sum())
+            return pd.DataFrame(
+                {key_col: [pdf[key_col].iloc[0]], "n": [n],
+                 "b": [bcnt], "a": [acnt]}
+            )
+
+        return src.groupBy(key_col).applyInPandas(
+            kern, f"`{key_col}` {kt}, n long, b long, a long"
+        )
+
+    if method == "join":
+        counts = _join_plan(base)
+    elif method == "kernel":
+        counts = _kernel_plan(base)
+    else:
+        counts = _join_plan(
+            base.where(F.col("_n") <= kernel_threshold)
+        ).unionByName(_kernel_plan(base.where(F.col("_n") > kernel_threshold)))
+    return counts.select(
+        key_col,
+        "n",
+        "b",
+        "a",
+        F.when(
+            (F.col("a") > 0) & (F.col("b") > 0),
+            -F.log(F.col("a").cast("double") / F.col("b").cast("double")),
+        ).alias("sampen"),
     )

@@ -1,0 +1,242 @@
+"""Technical indicators: EMA, MACD, RSI, Bollinger bands.
+
+Beyond-reference (sryza/spark-timeseries ships EWMA as a MODEL —
+``models/EWMA.scala`` — but no indicator surface); these are the
+standard finance/monitoring companions of the rolling family, each the
+textbook definition with the convention pinned in its docstring.
+
+EMA is the load-bearing primitive. The recursion
+``e_t = α·v_t + (1−α)·e_{t−1}`` (adjust=False, seeded ``e_0 = v_0``)
+has the closed prefix form
+
+    e_t = q^t · (v_0 + α·Σ_{i=1..t} v_i / q^i),      q = 1 − α
+
+— one row_number + one prefix-sum window, all JVM. The ``/ q^i`` term
+grows geometrically, so the closed form is only finite for series
+shorter than ``≈ 250 / −log10(q)`` points (α = 0.3 → ~1900 points;
+α = 2/27 (EMA-26) → ~7400). Above that per-series length the ``auto``
+method routes the series to a grouped-map numpy kernel running the
+plain O(n) recursion in-core — the periodogram dual-plan precedent:
+SQL-oracle-replayable closed form for short series, zero-pair-shuffle
+kernel for long ones, selected lazily per series.
+
+NULL cells are skipped everywhere: the EMA/indicator advances over the
+observed subsequence (output rows = input non-null rows).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["ema", "macd", "rsi", "bollinger"]
+
+
+def _ema_safe_len(alpha: float) -> int:
+    """Max series length for which the closed form's q^-i stays finite
+    with ~50 orders of magnitude of headroom for the values."""
+    q = 1.0 - alpha
+    if q <= 0.0:
+        return 1 << 30  # alpha = 1: e_t = v_t, no growth at all
+    return max(2, int(250.0 / -math.log10(q)))
+
+
+def _ema_closed(df, alpha, key_col, order_col, value_col, out_col):
+    """Closed-form EMA column over pre-filtered non-null rows."""
+    q = 1.0 - alpha
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+    wpre = ws.rowsBetween(Window.unboundedPreceding, 0)
+    d = (
+        df.withColumn("_rk", F.row_number().over(ws) - 1)
+        .withColumn("_v0", F.first(value_col).over(ws))
+        .withColumn(
+            "_w",
+            F.when(
+                F.col("_rk") >= 1,
+                F.col(value_col) / F.pow(F.lit(q), F.col("_rk")),
+            ),
+        )
+        .withColumn("_s", F.sum("_w").over(wpre))
+    )
+    e = F.pow(F.lit(q), F.col("_rk")) * (
+        F.col("_v0") + alpha * F.coalesce(F.col("_s"), F.lit(0.0))
+    )
+    return d.withColumn(out_col, e).drop("_rk", "_v0", "_w", "_s")
+
+
+def _ema_kernel(df, alpha, key_col, order_col, value_col, out_col):
+    """Grouped-map O(n) recursion — same seed/skip conventions."""
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).copy()
+        v = pdf[value_col].to_numpy(dtype=float)
+        e = v.copy()
+        for i in range(1, len(e)):
+            e[i] = alpha * v[i] + (1.0 - alpha) * e[i - 1]
+        pdf[out_col] = e
+        return pdf
+
+    return df.groupBy(key_col).applyInPandas(
+        kern, f"{fields}, `{out_col}` double"
+    )
+
+
+def _ema_col(
+    df: DataFrame,
+    alpha: float,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    method: str,
+) -> DataFrame:
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if method not in ("auto", "closed", "kernel"):
+        raise ValueError(f"method must be auto|closed|kernel, got {method}")
+    pts = df.where(F.col(value_col).isNotNull())
+    if method == "closed":
+        return _ema_closed(pts, alpha, key_col, order_col, value_col, out_col)
+    if method == "kernel":
+        return _ema_kernel(pts, alpha, key_col, order_col, value_col, out_col)
+    cap = _ema_safe_len(alpha)
+    wn = Window.partitionBy(key_col)
+    ptsn = pts.withColumn("_gn", F.count(F.lit(1)).over(wn))
+    short = _ema_closed(
+        ptsn.where(F.col("_gn") <= cap).drop("_gn"),
+        alpha, key_col, order_col, value_col, out_col,
+    )
+    long_ = _ema_kernel(
+        ptsn.where(F.col("_gn") > cap).drop("_gn"),
+        alpha, key_col, order_col, value_col, out_col,
+    )
+    return short.unionByName(long_)
+
+
+def ema(
+    df: DataFrame,
+    alpha: float,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+    method: str = "auto",
+) -> DataFrame:
+    """Input rows (non-null cells) + ``ema`` — the adjust=False
+    exponential moving average seeded at the series' first observation.
+    ``method``: "auto" routes per series by length (closed window form
+    within its numeric envelope, grouped-map recursion beyond — see
+    module docstring); "closed"/"kernel" force one."""
+    return _ema_col(df, alpha, key_col, order_col, value_col, "ema", method)
+
+
+def macd(
+    df: DataFrame,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+    method: str = "auto",
+) -> DataFrame:
+    """MACD (Appel): input rows + ``macd`` (EMA_fast − EMA_slow, span
+    αs = 2/(n+1)), ``signal`` (EMA of the macd line), ``histogram``
+    (macd − signal). Three chained EMA passes in ONE lazy plan — the
+    signal EMA consumes the macd column like any other value column, so
+    every pass shares the same (key, order) sort."""
+    if not 1 <= fast < slow:
+        raise ValueError(f"need 1 <= fast < slow, got {fast}, {slow}")
+    a_fast, a_slow = 2.0 / (fast + 1), 2.0 / (slow + 1)
+    a_sig = 2.0 / (signal + 1)
+    d = _ema_col(df, a_fast, key_col, order_col, value_col, "_ef", method)
+    d = _ema_col(d, a_slow, key_col, order_col, value_col, "_es", method)
+    d = d.withColumn("macd", F.col("_ef") - F.col("_es")).drop("_ef", "_es")
+    d = _ema_col(d, a_sig, key_col, order_col, "macd", "signal", method)
+    return d.withColumn("histogram", F.col("macd") - F.col("signal"))
+
+
+def rsi(
+    df: DataFrame,
+    n: int = 14,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+    method: str = "auto",
+) -> DataFrame:
+    """Relative Strength Index → per non-first observation:
+    ``gain``/``loss`` (positive/negative part of the one-step change),
+    their Wilder-smoothed averages (EMA with α = 1/n, adjust=False,
+    seeded at the FIRST change — the ewm variant; Wilder's original
+    SMA-seed and Cutler's SMA variant differ only in the burn-in and
+    converge to this recursion), and ``rsi`` = 100·ag/(ag+al) —
+    algebraically 100 − 100/(1+RS) but defined at al = 0 (→ 100) and
+    NULL only when BOTH smoothed averages are 0 (a perfectly flat
+    prefix: no evidence either way)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+    pts = df.where(F.col(value_col).isNotNull())
+    diff = F.col(value_col) - F.lag(value_col).over(ws)
+    d = (
+        pts.withColumn("_d", diff)
+        .where(F.col("_d").isNotNull())
+        .withColumn("gain", F.greatest(F.col("_d"), F.lit(0.0)))
+        .withColumn("loss", F.greatest(-F.col("_d"), F.lit(0.0)))
+        .drop("_d")
+    )
+    alpha = 1.0 / n
+    d = _ema_col(d, alpha, key_col, order_col, "gain", "avg_gain", method)
+    d = _ema_col(d, alpha, key_col, order_col, "loss", "avg_loss", method)
+    return d.withColumn(
+        "rsi",
+        100.0
+        * F.try_divide(
+            F.col("avg_gain"), F.col("avg_gain") + F.col("avg_loss")
+        ),
+    )
+
+
+def bollinger(
+    df: DataFrame,
+    n: int = 20,
+    k: float = 2.0,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Bollinger bands over right-aligned COMPLETE n-windows of the
+    observed subsequence: ``mid`` (rolling mean), ``upper``/``lower``
+    (± k sample standard deviations), ``pct_b`` ((v − lower)/(upper −
+    lower), NULL on a zero-width band), ``bandwidth`` ((upper −
+    lower)/mid, NULL at mid = 0). Incomplete leading windows emit NULL
+    bands (same contract as the rolling family). One window pass, all
+    JVM."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+    w = ws.rowsBetween(-(n - 1), 0)
+    pts = df.where(F.col(value_col).isNotNull())
+    complete = F.count(value_col).over(w) == n
+    mid = F.when(complete, F.avg(value_col).over(w))
+    sd = F.when(complete, F.stddev_samp(value_col).over(w))
+    d = (
+        pts.withColumn("mid", mid)
+        .withColumn("upper", F.col("mid") + k * sd)
+        .withColumn("lower", F.col("mid") - k * sd)
+    )
+    return d.withColumn(
+        "pct_b",
+        F.try_divide(
+            F.col(value_col) - F.col("lower"), F.col("upper") - F.col("lower")
+        ),
+    ).withColumn(
+        "bandwidth",
+        F.try_divide(F.col("upper") - F.col("lower"), F.col("mid")),
+    )

@@ -191,3 +191,61 @@ def upsample(
         .otherwise(F.lit(0.0) if use_zero else F.lit(None))
         .alias(value_col),
     ).select(key_col, order_col, value_col)
+
+
+def ohlc(
+    df: DataFrame,
+    unit: str = "day",
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    volume_col: str | None = None,
+) -> DataFrame:
+    """OHLC bars per (key, ``date_trunc(unit)`` bucket) → (key, bar_ts,
+    open, high, low, close, n[, vwap]): the canonical tick→bar
+    downsample every market-data / metrics pipeline runs. Beyond-
+    reference (the reference's resample takes ONE aggregate per call;
+    bars need four positional ones).
+
+    ``open``/``close`` are the values at the bucket's first/last
+    timestamp, tie-broken by SMALLEST/LARGEST value on duplicate
+    timestamps (stated: a deterministic pick, so two engines and two
+    runs agree — min/max over a (ts, value) struct, which Spark
+    aggregates WITHOUT a sort window). ``vwap`` = Σ v·vol / Σ vol when
+    ``volume_col`` is given (NULL on zero total volume). NULL values are
+    skipped; empty buckets emit no row (join a calendar for dense bars —
+    the ``resample(dense=True)`` pattern).
+
+    Plan: ONE map-side-combinable groupBy over (key, bucket) — min/max
+    of structs and sums; no window, no second exchange."""
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    bar = F.date_trunc(unit, F.col(ts_col)).alias("bar_ts")
+    aggs = [
+        F.min(F.struct(F.col(ts_col), v)).alias("_o"),
+        F.max(v).alias("high"),
+        F.min(v).alias("low"),
+        F.max(F.struct(F.col(ts_col), v)).alias("_c"),
+        F.count(v).alias("n"),
+    ]
+    if volume_col is not None:
+        aggs += [
+            F.sum(v * F.col(volume_col)).alias("_pv"),
+            F.sum(volume_col).alias("_vol"),
+        ]
+    out = pts.groupBy(key_col, bar).agg(*aggs)
+    out = out.select(
+        key_col,
+        "bar_ts",
+        F.col("_o")[value_col].alias("open"),
+        "high",
+        "low",
+        F.col("_c")[value_col].alias("close"),
+        "n",
+        *(
+            [F.try_divide(F.col("_pv"), F.col("_vol")).alias("vwap")]
+            if volume_col is not None
+            else []
+        ),
+    )
+    return out

@@ -1336,3 +1336,55 @@ def ngram_containment_pairs(
         )
         .select("id_a", "id_b", "containment_a", "containment_b", "jaccard")
     )
+
+
+def ngram_novelty(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty vs a reference corpus → (id,
+    n_shingles, n_novel, novelty): the fraction of a document's DISTINCT
+    word n-grams that appear NOWHERE in the reference — the standard
+    "how much new text does this crawl snapshot add" score (the
+    continuous companion of :func:`decontaminate_exact`'s binary flag,
+    and of :func:`dedup_minhash_cross`'s pair view). Documents with no
+    shingles (shorter than n words) emit NULL novelty.
+
+    Plan: explode the new side's distinct-shingle sets, LEFT join the
+    reference's DISTINCT shingle vocabulary on the shingle hash (one
+    shuffle each side — vocabulary-scale, not corpus-scale, after the
+    distinct), one per-doc aggregate. No pairs anywhere, so it scales in
+    both corpus axes; the reference vocabulary is reusable — persist it
+    across increments like the banded dedup artifact."""
+    new_sh = (
+        shingle_sets(new_df, text_col, id_col, shingle_n)
+        .select("id", F.explode_outer("sh").alias("_sh"))
+    )
+    ref_vocab = (
+        shingle_sets(ref_df, text_col, id_col, shingle_n)
+        .select(F.explode("sh").alias("_sh"))
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    joined = new_sh.join(ref_vocab, "_sh", "left")
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.count("_sh").alias("n_shingles"),
+            F.coalesce(
+                F.sum(F.when(F.col("_seen").isNull()
+                             & F.col("_sh").isNotNull(), 1)),
+                F.lit(0),
+            ).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.try_divide(
+                F.col("n_novel").cast("double"),
+                F.col("n_shingles").cast("double"),
+            ),
+        )
+    )

@@ -38,6 +38,9 @@ __all__ = [
     "embedding_covariance",
     "pca_fit",
     "pca_project",
+    "embedding_dim_stats",
+    "srp_lsh",
+    "srp_candidates",
 ]
 
 
@@ -238,4 +241,112 @@ def sq8_quantize(
     return out.select(
         id_col, "codes", "vmin", "scale",
         mse.alias("mse"), mae.alias("max_abs_err"),
+    )
+
+
+def embedding_dim_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    quantiles: tuple[float, ...] = (0.05, 0.5, 0.95),
+) -> DataFrame:
+    """Per-DIMENSION distribution profile of an embedding corpus →
+    (dim, n, mean, std, q_05, q_50, q_95, ...): the drift/QA companion
+    of :func:`embedding_covariance` — per-coordinate quantiles catch
+    scale/clipping regressions between embedding-model versions that a
+    centroid-cosine drift check (``pipeline.drift.embedding_drift``)
+    averages away.
+
+    Plan: one ``posexplode`` (rows × dim — the same fan-out every
+    per-dimension pass costs) into ONE map-side-combinable groupBy(dim)
+    with exact interpolated percentiles; d output rows. At 100 TB run it
+    on a sample or mergeable sketches — exact per-dimension percentiles
+    over the full corpus shuffle rows×dim values; stated so nobody
+    mistakes the exact pass for the sketch pass."""
+    exploded = df.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "_x")
+    ).withColumn("_x", F.col("_x").cast("double"))
+    aggs = [
+        F.count("_x").alias("n"),
+        F.avg("_x").alias("mean"),
+        F.stddev_samp("_x").alias("std"),
+    ]
+    for qq in quantiles:
+        name = f"q_{str(qq).replace('0.', '').ljust(2, '0')}"
+        aggs.append(F.percentile("_x", F.lit(float(qq))).alias(name))
+    return exploded.groupBy("dim").agg(*aggs)
+
+
+def srp_lsh(
+    df: DataFrame,
+    planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Signed-random-projection LSH (Charikar 2002) → (id, bucket): bit
+    p of the bucket is the SIGN of the vector's projection onto pseudo-
+    random hyperplane p, so two vectors share a bucket with probability
+    (1 − θ/π)^planes — the cosine-similarity analog of MinHash banding,
+    and the scale path for near-neighbor candidate generation over
+    embeddings (equi-join on bucket; no all-pairs anywhere).
+
+    The hyperplanes are DERIVED, not stored: weight(p, d) = ±1 by the
+    parity of a Lehmer-style mix ((d+1)·48271 + (p+1)·16807) mod
+    2147483647 — exact integer arithmetic both engines replay bit-for-
+    bit (the reason this is not ``rand()``: a seeded Gaussian matrix
+    would make the oracle non-replayable; ±1 hyperplanes are the
+    standard cheap SRP variant). Projection = one ``aggregate`` fold per
+    plane over the vector — row-local, zero shuffle, zero Python.
+    """
+    if not 1 <= planes <= 62:
+        raise ValueError(f"planes must be in [1, 62], got {planes}")
+    v = F.col(vec_col)
+    bits = []
+    for p in range(planes):
+        # weight_d = 1 - 2*parity -> +1/-1
+        proj = F.aggregate(
+            F.zip_with(
+                v.cast("array<double>"),
+                F.sequence(F.lit(1), F.size(v)),
+                lambda x, d: x
+                * (
+                    1
+                    - 2
+                    * (
+                        ((d * 48271 + F.lit((p + 1) * 16807)) % 2147483647)
+                        % 2
+                    )
+                ).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (1 << p))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return df.select(F.col(id_col).alias("id"), bucket.cast("long").alias("bucket"))
+
+
+def srp_candidates(
+    df: DataFrame,
+    planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Same-bucket candidate pairs (id_a < id_b) from :func:`srp_lsh` —
+    the equi-join-on-bucket shape that keeps SRP near-neighbor search
+    linear in the corpus (pairs explode only WITHIN buckets; at 16
+    planes a random pair collides with p ≈ (1−θ/π)^16, so buckets stay
+    small unless the data genuinely clusters — cap with a bucket-size
+    guard upstream if it does)."""
+    b = srp_lsh(df, planes, id_col, vec_col)
+    a_, b_ = b.alias("a"), b.alias("b")
+    return (
+        a_.join(b_, "bucket")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            "bucket",
+        )
     )

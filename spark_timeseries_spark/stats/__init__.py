@@ -1,5 +1,6 @@
 from .correlogram import acf, conf_bound, pacf
 from .evaluation import forecast_accuracy
+from .nonparametric import runs_test, variance_ratio
 from .easyplot import acf_plot, corr_plot_data, ezplot, local_autocorr, pacf_plot
 from .tests import (
     adf_test,
@@ -34,4 +35,6 @@ __all__ = [
     "kpss_test",
     "ljung_box",
     "mackinnon_p",
+    "runs_test",
+    "variance_ratio",
 ]

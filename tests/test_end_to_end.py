@@ -2082,3 +2082,326 @@ def test_forecast_accuracy_mase_skips_holes(spark):
     scale = (1.0 + 2.0 + 4.0) / 3.0
     assert abs(r.mae - 0.5) < 1e-12
     assert abs(r.mase - 0.5 / scale) < 1e-12
+
+
+def test_indicators_vs_pandas(spark):
+    """EMA closed form == kernel == pandas ewm(adjust=False); MACD/RSI/
+    Bollinger match a pandas replay; RSI flat prefix is NULL; Bollinger
+    incomplete windows NULL."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_timeseries_spark.operators.indicators import (
+        bollinger,
+        ema,
+        macd,
+        rsi,
+    )
+
+    rng = np.random.RandomState(31)
+    vals = list(np.round(50 + rng.randn(40).cumsum(), 3))
+    rows = [("a", i, float(v)) for i, v in enumerate(vals)]
+    rows += [("flat", i, 5.0) for i in range(6)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    s = pd.Series(vals)
+
+    for method in ("closed", "kernel", "auto"):
+        got = (
+            ema(df, 0.3, method=method)
+            .where(F.col("key") == "a")
+            .orderBy("loc")
+            .collect()
+        )
+        want = s.ewm(alpha=0.3, adjust=False).mean()
+        for r, w in zip(got, want):
+            assert abs(r.ema - w) < 1e-9, (method, r.loc)
+
+    m = {r.loc: r for r in macd(df).where(F.col("key") == "a").collect()}
+    ef = s.ewm(span=12, adjust=False).mean()
+    es = s.ewm(span=26, adjust=False).mean()
+    line = ef - es
+    sig = line.ewm(span=9, adjust=False).mean()
+    for i in range(40):
+        assert abs(m[i].macd - line[i]) < 1e-9
+        assert abs(m[i].signal - sig[i]) < 1e-9
+        assert abs(m[i].histogram - (line[i] - sig[i])) < 1e-9
+
+    r_ = {r.loc: r for r in rsi(df, 14).where(F.col("key") == "a").collect()}
+    d = s.diff().dropna()
+    ag = d.clip(lower=0).ewm(alpha=1 / 14, adjust=False).mean()
+    al = (-d).clip(lower=0).ewm(alpha=1 / 14, adjust=False).mean()
+    want_rsi = 100 * ag / (ag + al)
+    for i in range(1, 40):
+        assert abs(r_[i].rsi - want_rsi[i]) < 1e-9, i
+    flat = rsi(df, 14).where(F.col("key") == "flat").collect()
+    assert all(r.rsi is None for r in flat)  # no movement, no evidence
+
+    b = {r.loc: r for r in bollinger(df, 10).where(F.col("key") == "a").collect()}
+    assert b[5].mid is None and b[5].pct_b is None  # incomplete window
+    mid9 = s[:10].mean()
+    sd9 = s[:10].std(ddof=1)
+    assert abs(b[9].mid - mid9) < 1e-9
+    assert abs(b[9].upper - (mid9 + 2 * sd9)) < 1e-9
+    assert abs(b[9].pct_b - ((s[9] - (mid9 - 2 * sd9)) / (4 * sd9))) < 1e-9
+
+
+def test_ohlc_bars(spark):
+    """OHLC/VWAP bars vs a pandas replay, including duplicate-timestamp
+    tie-breaks (open = smallest value at earliest ts, close = largest at
+    latest) and NULL-skip."""
+    import datetime as dt
+
+    from spark_timeseries_spark.operators.resample import ohlc
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+    rows = [
+        ("a", t0, 10.0, 5.0),
+        ("a", t0 + dt.timedelta(minutes=1), 12.0, 2.0),
+        ("a", t0 + dt.timedelta(minutes=2), 8.0, 3.0),
+        ("a", t0 + dt.timedelta(minutes=2), 9.0, 1.0),   # dup ts -> close=9
+        ("a", t0 + dt.timedelta(days=1), 20.0, 4.0),
+        ("a", t0 + dt.timedelta(days=1, minutes=1), None, 7.0),  # skipped
+        ("b", t0, 1.0, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, ts timestamp, value double, vol double"
+    )
+    out = {(r.key, r.bar_ts.day): r
+           for r in ohlc(df, "day", volume_col="vol").collect()}
+    d1 = out[("a", 1)]
+    assert (d1.open, d1.high, d1.low, d1.close, d1.n) == (10.0, 12.0, 8.0, 9.0, 4)
+    vwap = (10 * 5 + 12 * 2 + 8 * 3 + 9 * 1) / 11
+    assert abs(d1.vwap - vwap) < 1e-12
+    d2 = out[("a", 2)]
+    assert (d2.open, d2.close, d2.n) == (20.0, 20.0, 1)
+    assert out[("b", 1)].n == 1
+
+
+def test_sample_entropy_join_kernel_parity(spark):
+    """SampEn join and kernel plans agree exactly on (b, a) counts and
+    match a brute-force numpy replay; regular series scores lower than
+    noise; degenerate series NULL."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.features import sample_entropy
+
+    rng = np.random.RandomState(5)
+    regular = [float(np.sin(i / 3.0)) for i in range(40)]
+    noise = list(rng.randn(40))
+    rows = [("reg", i, v) for i, v in enumerate(regular)]
+    rows += [("noise", i, float(v)) for i, v in enumerate(noise)]
+    rows += [("tiny", i, float(i)) for i in range(3)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+
+    def brute(x, m=2, rf=0.2):
+        x = np.asarray(x)
+        r = rf * x.std(ddof=1)
+        nt, nt1 = len(x) - m + 1, len(x) - m
+        b = a = 0
+        for i in range(nt):
+            for j in range(i + 1, nt):
+                if max(abs(x[i + k] - x[j + k]) for k in range(m)) <= r:
+                    b += 1
+                    if (
+                        i < nt1 and j < nt1
+                        and abs(x[i + m] - x[j + m]) <= r
+                    ):
+                        a += 1
+        return b, a
+
+    j = {r.key: r for r in sample_entropy(df, method="join").collect()}
+    k = {r.key: r for r in sample_entropy(df, method="kernel").collect()}
+    auto = {r.key: r for r in
+            sample_entropy(df, kernel_threshold=35).collect()}
+    for key, vals in (("reg", regular), ("noise", noise)):
+        eb, ea = brute(vals)
+        for out in (j, k, auto):
+            assert (out[key].b, out[key].a) == (eb, ea), (key, out[key])
+        import math
+        if ea > 0 and eb > 0:
+            assert abs(j[key].sampen - (-math.log(ea / eb))) < 1e-12
+        else:
+            assert j[key].sampen is None
+    if j["noise"].sampen is not None:
+        assert j["reg"].sampen < j["noise"].sampen
+    assert j["tiny"].sampen is None and k["tiny"].sampen is None
+
+
+def test_turning_points(spark):
+    """Turning points vs numpy; monotone series z << 0; alternating
+    series z >> 0; short series NULL."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.features import turning_points
+
+    rng = np.random.RandomState(11)
+    noise = list(rng.randn(30))
+    rows = [("n", i, float(v)) for i, v in enumerate(noise)]
+    rows += [("mono", i, float(i)) for i in range(20)]
+    rows += [("alt", i, float((-1) ** i)) for i in range(20)]
+    rows += [("two", i, float(i)) for i in range(2)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    out = {r.key: r for r in turning_points(df).collect()}
+
+    x = np.array(noise)
+    want = int((((x[1:-1] - x[:-2]) * (x[2:] - x[1:-1])) < 0).sum())
+    r = out["n"]
+    assert r.tp == want
+    assert abs(r.expected - 2 * 28 / 3) < 1e-12
+    assert abs(r.z - (want - 2 * 28 / 3) / np.sqrt((16 * 30 - 29) / 90)) < 1e-12
+    assert out["mono"].tp == 0 and out["mono"].z < -3
+    assert out["alt"].tp == 18 and out["alt"].z > 3
+    assert out["two"].z is None and out["two"].expected is None
+
+
+def test_page_hinkley(spark):
+    """PH statistics vs a python replay; a planted level shift alarms on
+    the increase side, its negation on the decrease side, noise doesn't."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.cusum import page_hinkley
+
+    rng = np.random.RandomState(13)
+    up = list(rng.randn(30)) + list(rng.randn(30) + 5.0)
+    rows = [("up", i, float(v)) for i, v in enumerate(up)]
+    rows += [("down", i, float(-v)) for i, v in enumerate(up)]
+    rows += [("flatish", i, float(v)) for i, v in enumerate(rng.randn(60))]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    out = page_hinkley(df, delta=0.1, lam=15.0)
+    got = {r.key: r for r in
+           out.groupBy("key").agg(
+               F.max("ph_pos").alias("mp"), F.max("ph_neg").alias("mn"),
+               F.max(F.col("alarm").cast("int")).alias("any_alarm"),
+           ).collect()}
+    assert got["up"].mp > 15 and got["up"].any_alarm == 1
+    assert got["down"].mn > 15 and got["down"].any_alarm == 1
+    assert got["flatish"].any_alarm == 0
+
+    # exact replay of one series
+    vals = np.array(up)
+    means = np.cumsum(vals) / np.arange(1, len(vals) + 1)
+    dp = vals - means - 0.1
+    mp = np.cumsum(dp)
+    ph = mp - np.minimum.accumulate(np.minimum(mp, 0.0))
+    rows_up = {r.loc: r.ph_pos for r in out.where(F.col("key") == "up").collect()}
+    for i in range(len(vals)):
+        assert abs(rows_up[i] - ph[i]) < 1e-9, i
+
+
+def test_runs_and_variance_ratio(spark):
+    """Runs test vs a python replay (median drop rule, run count, z);
+    variance ratio ~1 on a random walk, <1 on mean-reverting noise, with
+    the Lo-MacKinlay estimators replayed exactly."""
+    import numpy as np
+
+    from spark_timeseries_spark.stats import runs_test, variance_ratio
+
+    rng = np.random.RandomState(7)
+    walk = list(np.cumsum(rng.randn(200)))
+    noise = list(rng.randn(200))
+    rows = [("walk", i, float(v)) for i, v in enumerate(walk)]
+    rows += [("noise", i, float(v)) for i, v in enumerate(noise)]
+    rows += [("const", i, 2.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+
+    rt = {r.key: r for r in runs_test(df).collect()}
+    x = np.array(noise)
+    med = np.median(x)
+    kept = x[x != med]
+    signs = kept > med
+    runs = 1 + int((signs[1:] != signs[:-1]).sum())
+    n1, n2 = int(signs.sum()), int((~signs).sum())
+    nn = n1 + n2
+    mu = 1 + 2 * n1 * n2 / nn
+    var = 2 * n1 * n2 * (2 * n1 * n2 - nn) / (nn**2 * (nn - 1))
+    r = rt["noise"]
+    assert (r.n1, r.n2, r.runs) == (n1, n2, runs)
+    assert abs(r.z - (runs - mu) / np.sqrt(var)) < 1e-12
+    assert abs(r.p_value - 2 * (1 - 0.5 * (1 + __import__("math").erf(
+        abs(r.z) / np.sqrt(2))))) < 1e-9
+    assert rt["const"].z is None  # everything equals the median -> dropped
+
+    vr = {r.key: r for r in variance_ratio(df, q=4).collect()}
+    xs = np.array(walk)
+    n = len(xs) - 1
+    muh = (xs[-1] - xs[0]) / n
+    d1 = np.diff(xs)
+    s1 = ((d1 - muh) ** 2).sum() / (n - 1)
+    dq = xs[4:] - xs[:-4]
+    m = 4 * (n - 4 + 1) * (1 - 4 / n)
+    sq = ((dq - 4 * muh) ** 2).sum() / m
+    want_vr = sq / s1
+    assert abs(vr["walk"].vr - want_vr) < 1e-9
+    assert abs(vr["walk"].vr - 1.0) < 0.5      # random walk: VR near 1
+    assert vr["noise"].vr < 0.6                # mean reversion: VR << 1
+    se = np.sqrt(2 * (2 * 4 - 1) * (4 - 1) / (3 * 4 * n))
+    assert abs(vr["walk"].z - (want_vr - 1) / se) < 1e-9
+    assert vr["const"].vr is None
+
+
+def test_embedding_dim_stats_and_srp(spark, sf_dir):
+    """Per-dimension stats match a pandas replay on the real embeddings
+    table; SRP buckets are deterministic, in range, and same-bucket
+    pairs have higher mean cosine than random pairs."""
+    import numpy as np
+
+    from spark_timeseries_spark.pipeline.embeddings import (
+        embedding_dim_stats,
+        srp_candidates,
+        srp_lsh,
+    )
+    from spark_timeseries_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = {r.dim: r for r in embedding_dim_stats(emb).collect()}
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    mat = np.array([np.asarray(v, dtype=float) for v in pdf.embedding])
+    d = mat.shape[1]
+    assert set(stats) == set(range(d))
+    for dim in (0, d // 2, d - 1):
+        col = mat[:, dim]
+        assert stats[dim].n == len(col)
+        assert abs(stats[dim].mean - col.mean()) < 1e-9
+        assert abs(stats[dim].q_50 - np.percentile(col, 50)) < 1e-9
+
+    b1 = {r.id: r.bucket for r in srp_lsh(emb, planes=8).collect()}
+    b2 = {r.id: r.bucket for r in srp_lsh(emb, planes=8).collect()}
+    assert b1 == b2  # deterministic planes
+    assert all(0 <= b < 256 for b in b1.values())
+    ids = list(pdf.vec_id)
+    vecs = {i: mat[k] / np.linalg.norm(mat[k]) for k, i in enumerate(ids)}
+    pairs = srp_candidates(emb, planes=8).collect()
+    if len(pairs) >= 5:
+        same = np.mean([float(vecs[p.id_a] @ vecs[p.id_b]) for p in pairs[:200]])
+        rng = np.random.RandomState(3)
+        rand = np.mean([
+            float(vecs[ids[i]] @ vecs[ids[j]])
+            for i, j in zip(rng.randint(0, len(ids), 200),
+                            rng.randint(0, len(ids), 200)) if ids[i] != ids[j]
+        ])
+        assert same > rand
+
+
+def test_ngram_novelty(spark):
+    """Novelty fractions against hand-computed shingle sets; short docs
+    NULL; fully-seen docs 0; disjoint docs 1."""
+    from spark_timeseries_spark.pipeline.dedup import ngram_novelty
+
+    ref = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps"),          # all seen -> 0
+            (11, "completely novel text here today"),   # none seen -> 1
+            (12, "the quick brown cat sleeps now"),     # 1 of 4 seen
+            (13, "too short"),                          # no shingles -> NULL
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in ngram_novelty(new, ref).collect()}
+    assert out[10].novelty == 0.0
+    assert out[11].novelty == 1.0
+    assert out[12].n_shingles == 4 and out[12].n_novel == 3
+    assert out[13].novelty is None

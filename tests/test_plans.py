@@ -704,3 +704,60 @@ def test_mann_kendall_kernel_no_pair_join(spark, grid):
     # frames — no join may sit BELOW the grouped-map (pair explosion)
     below = p.split("FlatMapGroupsInPandas")[-1]
     assert "Join" not in below, below
+
+
+def test_bollinger_single_window_no_python(spark, grid):
+    """Bollinger is ONE window pass over the (key, loc) sort — one
+    exchange, no Python, no join."""
+    from spark_timeseries_spark.operators.indicators import bollinger
+
+    out = bollinger(grid, 7)
+    shuffles, _, p = _counts(out)
+    assert "Join" not in p and "InPandas" not in p and "PythonUDF" not in p, p
+    assert shuffles <= 1, p
+
+
+def test_page_hinkley_windows_only(spark, grid):
+    """Page-Hinkley is stacked window frames on one sort — no join, no
+    Python, one exchange."""
+    from spark_timeseries_spark.operators.cusum import page_hinkley
+
+    out = page_hinkley(grid)
+    shuffles, _, p = _counts(out)
+    assert "Join" not in p and "InPandas" not in p and "PythonUDF" not in p, p
+    assert shuffles <= 1, p
+
+
+def test_ema_closed_form_no_python(spark, grid):
+    """The closed-form EMA (and MACD's three chained EMAs) stay fully
+    JVM — no grouped-map below the auto threshold at this length."""
+    from spark_timeseries_spark.operators.indicators import ema, macd
+
+    p = _plan(ema(grid, 0.3, method="closed"))
+    assert "InPandas" not in p and "PythonUDF" not in p, p
+    p2 = _plan(macd(grid, method="closed"))
+    assert "InPandas" not in p2 and "PythonUDF" not in p2, p2
+
+
+def test_srp_lsh_row_local(spark):
+    """SRP bucket assignment is row-local column arithmetic — zero
+    exchanges, zero Python before the caller's groupBy."""
+    from spark_timeseries_spark.pipeline.embeddings import srp_lsh
+    from spark_timeseries_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    out = srp_lsh(emb, planes=8)
+    shuffles, _, p = _counts(out)
+    assert shuffles == 0, p
+    assert "InPandas" not in p and "PythonUDF" not in p and "Join" not in p, p
+
+
+def test_sample_entropy_kernel_no_pair_join(spark, grid):
+    """Forced-kernel SampEn plans the pair stage as a grouped-map with
+    no join below it (the quadratic stays in-core)."""
+    from spark_timeseries_spark.operators.features import sample_entropy
+
+    p = _plan(sample_entropy(grid, method="kernel"))
+    assert "FlatMapGroupsInPandas" in p, p
+    below = p.split("FlatMapGroupsInPandas")[-1]
+    assert "Join" not in below, below
