@@ -8768,7 +8768,6 @@ def oracle_sql() -> dict[str, str]:
         tmpl AS (SELECT * FROM pts WHERE v1 IS NOT NULL),
         res8 AS (
             SELECT a.key,
-                   CAST(max(a.n) AS BIGINT) AS n,
                    CAST(coalesce(SUM(CASE WHEN abs(a.value - b.value) <= a.r
                                  AND abs(a.v1 - b.v1) <= a.r
                                 THEN 1 END), 0) AS BIGINT) AS b,
@@ -8779,13 +8778,22 @@ def oracle_sql() -> dict[str, str]:
                                 THEN 1 END), 0) AS BIGINT) AS a
             FROM tmpl a JOIN tmpl b ON a.key = b.key AND a.i < b.i
             GROUP BY a.key
+        ),
+        -- anchor on every series with >=1 valid point (mirrors the
+        -- Spark-side theil_sen anchor: row presence must not depend on
+        -- template-count or plan routing)
+        anch8 AS (
+            SELECT key, CAST(count(*) AS BIGINT) AS n
+            FROM pts GROUP BY key
         )
-        SELECT key, n, b, a,
+        SELECT anch8.key, anch8.n,
+               coalesce(res8.b, 0) AS b,
+               coalesce(res8.a, 0) AS a,
                {_sr_sql(
-                   "CASE WHEN a > 0 AND b > 0 "
-                   "THEN -ln(CAST(a AS DOUBLE) / CAST(b AS DOUBLE)) END",
+                   "CASE WHEN res8.a > 0 AND res8.b > 0 "
+                   "THEN -ln(CAST(res8.a AS DOUBLE) / CAST(res8.b AS DOUBLE)) END",
                    6)} AS sampen
-        FROM res8
+        FROM anch8 LEFT JOIN res8 ON anch8.key = res8.key
     """
 
     o["turning_points"] = _DAILY_GRID_SQL + f"""
@@ -8952,10 +8960,14 @@ def oracle_sql() -> dict[str, str]:
         FROM x GROUP BY dim
     """
 
+    # two-round mix mirrors srp_lsh: h = i*2654435761 + (p+1)*40503;
+    # bit = ((xor(h, h>>13) % 2^30) * 3266489917 >> 29) % 2
     _srp_projs = ", ".join(
         "list_reduce(list_transform(range(1, len(v) + 1), "
-        f"i -> v[i] * CAST(1 - 2 * (((i * 48271 + {(p + 1) * 16807}) "
-        "% 2147483647) % 2) AS DOUBLE)), (acc, x) -> acc + x) "
+        f"i -> v[i] * CAST(1 - 2 * ((("
+        f"xor(i * 2654435761 + {(p + 1) * 40503}, "
+        f"(i * 2654435761 + {(p + 1) * 40503}) >> 13) % 1073741824) "
+        "* 3266489917 >> 29) % 2) AS DOUBLE)), (acc, x) -> acc + x) "
         f"AS pr{p}"
         for p in range(8)
     )

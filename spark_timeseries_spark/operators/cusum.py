@@ -207,13 +207,26 @@ def theil_sen(
                      "intercept": [None], "n_pairs": [0]}
                 )
             # blocked pairwise slopes: n²/2 doubles total, formed in
-            # row-blocks so the peak transient stays bounded
+            # row-blocks so the peak transient stays bounded. Equal-loc
+            # pairs (dl == 0 after sort) are EXCLUDED, matching the join
+            # plan's strict a._l < b._l — otherwise duplicate timestamps
+            # inject ±inf/nan into the median and the two auto-routed
+            # plans disagree.
             chunks = []
             for s0 in range(0, n - 1, 512):
                 hi = min(s0 + 512, n - 1)
                 for i in range(s0, hi):
-                    chunks.append((vs[i + 1:] - vs[i]) / (ls[i + 1:] - ls[i]))
+                    dl = ls[i + 1:] - ls[i]
+                    dv = vs[i + 1:] - vs[i]
+                    m = dl > 0
+                    chunks.append(dv[m] / dl[m])
             sl = np.concatenate(chunks)
+            if sl.size == 0:
+                # every loc equal: no orderable pairs on either plan
+                return pd.DataFrame(
+                    {key_col: [pdf[key_col].iloc[0]], "slope": [None],
+                     "intercept": [None], "n_pairs": [0]}
+                )
             # np.percentile's 'linear' is a + (b−a)·f — the same lerp as
             # F.percentile, so join/kernel agree to the last bit
             slope = float(np.percentile(sl, 50.0))

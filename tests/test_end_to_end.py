@@ -2405,3 +2405,127 @@ def test_ngram_novelty(spark):
     assert out[11].novelty == 1.0
     assert out[12].n_shingles == 4 and out[12].n_novel == 3
     assert out[13].novelty is None
+
+
+def test_srp_planes_diverse(spark):
+    """The SRP mixer yields genuinely independent hyperplanes: the
+    distinct-bucket count GROWS with planes (the r8 single-round parity
+    mix collapsed every plane onto one alternating vector — at most 3
+    buckets regardless of planes), and the Spark bits match a numpy
+    replay of the two-round integer mix bit-for-bit."""
+    import numpy as np
+
+    from spark_timeseries_spark.pipeline.embeddings import srp_lsh
+
+    rng = np.random.RandomState(7)
+    d = 16
+    mat = rng.randn(400, d)
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def np_bucket(planes):
+        dims = np.arange(1, d + 1, dtype=np.int64)
+        bits = []
+        for p in range(planes):
+            h = dims * 2654435761 + (p + 1) * 40503
+            h = (h ^ (h >> 13)) % 1073741824
+            w = 1 - 2 * ((h * 3266489917 >> 29) % 2)
+            bits.append((mat @ w >= 0).astype(np.int64) << p)
+        return np.sum(bits, axis=0)
+
+    distinct = {}
+    for planes in (2, 4, 8, 16):
+        got = {r.id: r.bucket for r in srp_lsh(df, planes=planes).collect()}
+        exp = np_bucket(planes)
+        assert got == {i: int(exp[i]) for i in range(400)}, planes
+        distinct[planes] = len(set(got.values()))
+    assert distinct[2] < distinct[4] < distinct[8] < distinct[16]
+    assert distinct[8] > 50  # single-effective-plane collapse gives <= 3
+
+
+def test_ema_alpha_one_and_rsi_n1(spark):
+    """alpha = 1 degenerates to e_t = v_t exactly on every method (the
+    closed form would DIVIDE_BY_ZERO on pow(0, rk) under ANSI — r8
+    ADVICE); rsi(n=1) reaches the same path via alpha = 1/n."""
+    from spark_timeseries_spark.operators.indicators import ema, rsi
+
+    rows = [("a", i, float(v)) for i, v in enumerate([3.0, 1.0, 4.0, 1.5])]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    for method in ("auto", "closed", "kernel"):
+        out = {r.loc: r.ema for r in ema(df, 1.0, method=method).collect()}
+        assert out == {0: 3.0, 1: 1.0, 2: 4.0, 3: 1.5}, method
+    r = {x.loc: x.rsi for x in rsi(df, n=1).collect()}
+    # n=1 Wilder: avg_gain/loss ARE the per-step gain/loss
+    assert r[1] == 0.0 and r[2] == 100.0 and r[3] == 0.0
+
+
+def test_theil_sen_duplicate_locs(spark):
+    """Duplicate timestamps: both plans exclude equal-loc pairs (the
+    join's strict a._l < b._l), so slope/intercept/n_pairs agree — the
+    r8 kernel divided by zero and disagreed. An all-equal-loc series
+    reports NULLs on both plans."""
+    from spark_timeseries_spark.operators.cusum import theil_sen
+
+    rows = [("a", 0, 1.0), ("a", 1, 2.0), ("a", 1, 5.0), ("a", 2, 3.0),
+            ("a", 3, 4.0)]
+    rows += [("flat", 7, 1.0), ("flat", 7, 2.0), ("flat", 7, 3.0)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    j = {r.key: r for r in theil_sen(df, method="join").collect()}
+    k = {r.key: r for r in theil_sen(df, method="kernel").collect()}
+    assert j["a"].n_pairs == k["a"].n_pairs == 9  # 10 pairs - 1 equal-loc
+    assert abs(j["a"].slope - k["a"].slope) < 1e-12
+    assert abs(j["a"].intercept - k["a"].intercept) < 1e-12
+    import math
+    for out in (j, k):
+        assert out["flat"].slope is None and out["flat"].n_pairs == 0
+        assert out["flat"].intercept is None
+        if out["a"].slope is not None:
+            assert math.isfinite(out["a"].slope)
+
+
+def test_sample_entropy_row_anchor(spark):
+    """Row presence must not depend on plan routing: a series with <2
+    valid m-templates gets an anchored (key, n, 0, 0, NULL) row on BOTH
+    plans (the r8 join plan emitted nothing — r8 ADVICE)."""
+    from spark_timeseries_spark.operators.features import sample_entropy
+
+    rows = [("two", 0, 1.0), ("two", 1, 2.0)]          # n=2 < m+2
+    rows += [("one", 5, 3.0)]                          # single point
+    rows += [("ok", i, float(i % 3)) for i in range(10)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    for method in ("join", "kernel"):
+        out = {r.key: r for r in
+               sample_entropy(df, m=2, method=method).collect()}
+        assert set(out) == {"two", "one", "ok"}, method
+        assert (out["two"].n, out["two"].b, out["two"].a) == (2, 0, 0)
+        assert out["two"].sampen is None and out["one"].sampen is None
+        assert out["one"].n == 1
+
+
+def test_ema_closed_envelope_extreme_values(spark):
+    """The closed form's numeric envelope holds with ~30 orders of
+    magnitude of value spread at lengths just under the routing cap:
+    closed ≡ kernel to 1e-9 relative (the _ema_safe_len headroom claim,
+    made evidence — r8 VERDICT item 7)."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.indicators import (
+        _ema_safe_len,
+        ema,
+    )
+
+    alpha = 0.5
+    cap = _ema_safe_len(alpha)
+    n = cap - 5
+    rng = np.random.RandomState(13)
+    vals = 10.0 ** rng.uniform(-30, 30, size=n) * np.where(
+        rng.rand(n) < 0.5, -1.0, 1.0
+    )
+    rows = [("x", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    c = {r.loc: r.ema for r in ema(df, alpha, method="closed").collect()}
+    k = {r.loc: r.ema for r in ema(df, alpha, method="kernel").collect()}
+    assert set(c) == set(k) == set(range(n))
+    for i in range(n):
+        denom = max(abs(c[i]), abs(k[i]), 1e-300)
+        assert np.isfinite(c[i]) and abs(c[i] - k[i]) / denom < 1e-9, i
