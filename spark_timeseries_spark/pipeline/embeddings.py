@@ -248,6 +248,8 @@ def embedding_dim_stats(
     df: DataFrame,
     vec_col: str = "embedding",
     quantiles: tuple[float, ...] = (0.05, 0.5, 0.95),
+    exact: bool = True,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Per-DIMENSION distribution profile of an embedding corpus →
     (dim, n, mean, std, q_05, q_50, q_95, ...): the drift/QA companion
@@ -257,11 +259,15 @@ def embedding_dim_stats(
     averages away.
 
     Plan: one ``posexplode`` (rows × dim — the same fan-out every
-    per-dimension pass costs) into ONE map-side-combinable groupBy(dim)
-    with exact interpolated percentiles; d output rows. At 100 TB run it
-    on a sample or mergeable sketches — exact per-dimension percentiles
-    over the full corpus shuffle rows×dim values; stated so nobody
-    mistakes the exact pass for the sketch pass."""
+    per-dimension pass costs) into ONE map-side-combinable groupBy(dim);
+    d output rows. ``exact=True`` (default — the oracle-replayable form)
+    uses exact interpolated percentiles, which buffer every group value
+    in executor memory: correct for profiling samples and oracle checks,
+    an OOM at corpus scale where a group = the whole corpus per
+    dimension. ``exact=False`` is the 100 TB path: mergeable
+    ``approx_percentile`` (KLL-style) sketches with bounded memory per
+    group regardless of corpus size; ``accuracy`` trades sketch memory
+    for error (~1/accuracy relative rank error)."""
     exploded = df.select(
         F.posexplode(F.col(vec_col)).alias("dim", "_x")
     ).withColumn("_x", F.col("_x").cast("double"))
@@ -272,7 +278,14 @@ def embedding_dim_stats(
     ]
     for qq in quantiles:
         name = f"q_{str(qq).replace('0.', '').ljust(2, '0')}"
-        aggs.append(F.percentile("_x", F.lit(float(qq))).alias(name))
+        if exact:
+            aggs.append(F.percentile("_x", F.lit(float(qq))).alias(name))
+        else:
+            aggs.append(
+                F.approx_percentile(
+                    "_x", F.lit(float(qq)), F.lit(accuracy)
+                ).alias(name)
+            )
     return exploded.groupBy("dim").agg(*aggs)
 
 
