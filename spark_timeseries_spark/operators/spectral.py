@@ -43,10 +43,10 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["periodogram", "dominant_period"]
+__all__ = ["periodogram", "dominant_period", "coherence"]
 
 _FFT_THRESHOLD = 512
 
@@ -241,4 +241,110 @@ def dominant_period(
         (-F.col("_best.nk")).alias("k"),
         (F.col("_n").cast("double") / (-F.col("_best.nk"))).alias("period"),
         F.col("_best.p").alias("power"),
+    )
+
+
+def coherence(
+    df: DataFrame,
+    key_a: str,
+    key_b: str,
+    smooth: int = 1,
+    key_col: str = "key",
+    loc_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Magnitude-squared coherence between two named series over their
+    non-null overlap → (k, freq, sxx, syy, coh, phase): the frequency-
+    domain analog of :func:`~spark_timeseries_spark.operators.rolling
+    .crosscorr` — coh(k) ∈ [0, 1] measures how linearly related the two
+    series are at each frequency, phase(k) their lead/lag angle there.
+    Beyond-reference.
+
+    Definition (Priestley 1981 §9.5): demeaned DFT sums a/b per series
+    at Fourier frequencies k = 1..⌊T/2⌋ over the overlap's observation
+    index t = 0..T−1 (row position, so gaps don't bend the angles);
+    periodogram terms Pxx = (ax²+bx²)/T, cross-spectrum real/imag
+    c = (ax·ay + bx·by)/T, q = (bx·ay − ax·by)/T; then DANIELL-smoothed
+    over 2·``smooth``+1 adjacent frequencies (partial windows at the
+    edges — the standard modified-Daniell fallback):
+    coh = (c̄² + q̄²)/(S̄xx·S̄yy), phase = atan2(q̄, c̄). Raw (smooth=0)
+    coherence is identically 1 — smoothing is what makes the statistic
+    informative; NULL coh where either smoothed spectrum is 0 (constant
+    overlap).
+
+    Plan: overlap equi-join on loc, ONE global row_number + avg window
+    (bounded by construction — a two-named-series overlap, the
+    ``roll_corr`` precedent), T/2-way explode, one groupBy(k), one
+    k-ordered smoothing window. All JVM."""
+    if smooth < 0:
+        raise ValueError(f"smooth must be >= 0, got {smooth}")
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    a = pts.where(F.col(key_col) == key_a).select(
+        F.col(loc_col).alias("_l"), v.alias("_x")
+    )
+    b = pts.where(F.col(key_col) == key_b).select(
+        F.col(loc_col).alias("_l"), v.alias("_y")
+    )
+    j = a.join(b, "_l")
+    wall = Window.partitionBy(F.lit(1))
+    ws = Window.partitionBy(F.lit(1)).orderBy("_l")
+    base = (
+        j.withColumn("_n", F.count(F.lit(1)).over(wall))
+        .withColumn("_mx", F.avg("_x").over(wall))
+        .withColumn("_my", F.avg("_y").over(wall))
+        .withColumn("_t", F.row_number().over(ws) - 1)
+        .where(F.col("_n") >= 2)
+    )
+    two_pi = 2.0 * math.pi
+    freq = base.withColumn(
+        "k", F.explode(F.sequence(F.lit(1), (F.col("_n") / 2).cast("int")))
+    )
+    ang = (
+        F.lit(two_pi)
+        * F.col("k").cast("double")
+        * F.col("_t").cast("double")
+        / F.col("_n").cast("double")
+    )
+    dx = F.col("_x") - F.col("_mx")
+    dy = F.col("_y") - F.col("_my")
+    per_k = freq.groupBy("k").agg(
+        F.sum(dx * F.cos(ang)).alias("_ax"),
+        F.sum(dx * F.sin(ang)).alias("_bx"),
+        F.sum(dy * F.cos(ang)).alias("_ay"),
+        F.sum(dy * F.sin(ang)).alias("_by"),
+        F.first("_n").alias("_n"),
+    )
+    n = F.col("_n").cast("double")
+    spec = per_k.select(
+        "k",
+        "_n",
+        ((F.col("_ax") ** 2 + F.col("_bx") ** 2) / n).alias("_pxx"),
+        ((F.col("_ay") ** 2 + F.col("_by") ** 2) / n).alias("_pyy"),
+        (
+            (F.col("_ax") * F.col("_ay") + F.col("_bx") * F.col("_by")) / n
+        ).alias("_c"),
+        (
+            (F.col("_bx") * F.col("_ay") - F.col("_ax") * F.col("_by")) / n
+        ).alias("_q"),
+    )
+    wd = Window.orderBy("k").rowsBetween(-smooth, smooth)
+    sm = spec.select(
+        "k",
+        "_n",
+        F.avg("_pxx").over(wd).alias("sxx"),
+        F.avg("_pyy").over(wd).alias("syy"),
+        F.avg("_c").over(wd).alias("_sc"),
+        F.avg("_q").over(wd).alias("_sq"),
+    )
+    return sm.select(
+        "k",
+        (F.col("k").cast("double") / F.col("_n").cast("double")).alias("freq"),
+        "sxx",
+        "syy",
+        F.try_divide(
+            F.col("_sc") ** 2 + F.col("_sq") ** 2,
+            F.col("sxx") * F.col("syy"),
+        ).alias("coh"),
+        F.atan2(F.col("_sq"), F.col("_sc")).alias("phase"),
     )

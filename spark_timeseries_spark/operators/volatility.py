@@ -1,0 +1,96 @@
+"""Realized / range volatility estimators over irregular observations.
+
+Beyond-reference (sryza/spark-timeseries models conditional variance —
+``models/GARCH.scala`` — but has no nonparametric realized-measure
+surface); these are the standard high-frequency companions of
+:func:`~spark_timeseries_spark.operators.resample.ohlc`:
+
+- **realized variance** (Andersen & Bollerslev 1998): RV over a bucket
+  = Σ r_t² of intra-bucket log returns — the canonical model-free
+  volatility proxy;
+- **Parkinson (1980) range estimator**: σ̂² = mean(ln(H/L)²) / (4·ln 2)
+  per key over its OHLC bars — ~5× more efficient than close-to-close
+  on diffusive data, and computable from bars alone.
+
+Both are one window pass + one map-side-combinable aggregate, all JVM —
+a word-count at 100 TB.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["realized_vol", "parkinson_vol"]
+
+
+def realized_vol(
+    df: DataFrame,
+    unit: str = "day",
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per (key, ``date_trunc(unit)`` bucket): ``n_ret`` (count of
+    intra-bucket log returns), ``rv`` (realized variance = Σ r²),
+    ``realized_vol`` (√rv). Returns are over CONSECUTIVE positive
+    observations within the bucket ordered by timestamp (ties broken by
+    value — deterministic); non-positive or NULL values break the
+    chain (log undefined), and the bucket's first observation seeds
+    only. Buckets with zero returns emit (0, 0.0, 0.0) — an observed-
+    but-flat bucket is a zero-vol fact, not a hole.
+
+    Plan: one (key, bucket)-partitioned lag window + one groupBy —
+    the window partition equals the aggregation key, so AQE plans a
+    single exchange."""
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull() & (v > 0))
+    bar = F.date_trunc(unit, F.col(ts_col))
+    w = Window.partitionBy(key_col, "_bar").orderBy(ts_col, value_col)
+    d = (
+        pts.withColumn("_bar", bar)
+        .withColumn("_prev", F.lag(value_col).over(w))
+        .withColumn(
+            "_r2",
+            F.when(
+                F.col("_prev").isNotNull(),
+                F.pow(F.log(v / F.col("_prev")), F.lit(2.0)),
+            ),
+        )
+    )
+    return d.groupBy(key_col, F.col("_bar").alias("bar_ts")).agg(
+        F.count("_r2").alias("n_ret"),
+        F.coalesce(F.sum("_r2"), F.lit(0.0)).alias("rv"),
+        F.sqrt(F.coalesce(F.sum("_r2"), F.lit(0.0))).alias("realized_vol"),
+    )
+
+
+def parkinson_vol(
+    bars: DataFrame,
+    key_col: str = "key",
+    high_col: str = "high",
+    low_col: str = "low",
+) -> DataFrame:
+    """Per key over its OHLC bars: ``n_bars`` (bars with H ≥ L > 0),
+    ``parkinson_var`` (mean(ln(H/L)²) / (4·ln 2)), ``parkinson_vol``
+    (its square root). Bars with non-positive low or H < L (corrupt
+    rows) are excluded from the mean; a key with zero usable bars
+    reports NULLs. Input is :func:`~spark_timeseries_spark.operators
+    .resample.ohlc` output or any (key, high, low) frame. One
+    aggregate."""
+    h, l = F.col(high_col), F.col(low_col)
+    usable = (l > 0) & (h >= l)
+    r2 = F.when(usable, F.pow(F.log(h / l), F.lit(2.0)))
+    agg = bars.groupBy(key_col).agg(
+        F.count(r2).alias("n_bars"),
+        F.avg(r2).alias("_m"),
+    )
+    pvar = F.col("_m") / F.lit(4.0 * math.log(2.0))
+    return agg.select(
+        key_col,
+        "n_bars",
+        pvar.alias("parkinson_var"),
+        F.sqrt(pvar).alias("parkinson_vol"),
+    )

@@ -10,7 +10,7 @@ SQL by the DuckDB oracle (``hash_fn="md5_60"``).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from spark_timeseries_spark.functions import hashed_with_seed
@@ -118,3 +118,109 @@ def stratified_sample(
             F.col(stratum_col) == name, int(round(rate * _MOD))
         ).otherwise(thr)
     return df.where(_bucket(F.col(id_col), seed, hash_fn) < thr)
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    buckets: int = 8192,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    NeurIPS) feature-space importance weights → (id, n_features, logw):
+    score every raw-corpus document by how target-like its hashed
+    n-gram profile is; downstream, sample ∝ exp(logw) (Gumbel top-k or
+    :func:`deterministic_sample` on an exp(logw)-derived rate) to tilt
+    a 100 TB crawl toward a quality target corpus.
+
+    Model: unigrams + bigrams of whitespace tokens, feature-hashed into
+    ``buckets`` buckets; bag-of-buckets multinomials p̂_target / p̂_raw
+    with add-one smoothing; logw(doc) = Σ_g log(p̂_t(b(g)) / p̂_r(b(g)))
+    over the doc's n-gram OCCURRENCES (the paper's log importance
+    ratio under hashed n-gram multinomials). Docs with zero tokens get
+    n_features = 0, logw = 0 (no evidence).
+
+    Plan: both corpus profiles are ONE explode + groupBy(bucket) each
+    (≤ ``buckets`` rows — vocabulary-scale, not corpus-scale); the
+    per-bucket log-ratio table BROADCASTS into one equi-join against
+    the raw corpus' exploded n-grams, then one groupBy(id). No pairs,
+    no windows; the raw corpus is scanned once. ``hash_fn="md5_60"``
+    is the DuckDB-replayable mode (the minhash precedent)."""
+    from spark_timeseries_spark.functions import hashed
+
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+
+    def grams(frame, *cols):
+        w = F.split(F.trim(F.col(text_col)), r"\s+")
+        base = frame.where(
+            F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
+        ).select(*cols, w.alias("_w"))
+        uni = F.col("_w")
+        bi = F.when(
+            F.size("_w") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w") - 1),
+                lambda i: F.concat(
+                    F.element_at("_w", i), F.lit(" "), F.element_at("_w", i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return base.select(
+            *cols, F.explode(F.concat(uni, bi)).alias("_g")
+        ).select(
+            *cols, F.pmod(hashed(F.col("_g"), hash_fn), F.lit(buckets)).alias("_b")
+        )
+
+    def profile(frame):
+        return grams(frame).groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+
+    tp = profile(target).select("_b", F.col("_c").alias("_ct"))
+    rp = profile(df).select("_b", F.col("_c").alias("_cr"))
+    # dense bucket table (every bucket present — smoothing needs the
+    # zero-count buckets) via a buckets-row range, still broadcast-size
+    rng = df.sparkSession.range(buckets).select(F.col("id").alias("_b"))
+    ratio = (
+        rng.join(tp, "_b", "left")
+        .join(rp, "_b", "left")
+        .select(
+            "_b",
+            (
+                F.log(
+                    (F.coalesce("_ct", F.lit(0)) + 1).cast("double")
+                    / (
+                        F.sum(F.coalesce("_ct", F.lit(0))).over(
+                            Window.partitionBy(F.lit(1))
+                        )
+                        + buckets
+                    ).cast("double")
+                )
+                - F.log(
+                    (F.coalesce("_cr", F.lit(0)) + 1).cast("double")
+                    / (
+                        F.sum(F.coalesce("_cr", F.lit(0))).over(
+                            Window.partitionBy(F.lit(1))
+                        )
+                        + buckets
+                    ).cast("double")
+                )
+            ).alias("_lr"),
+        )
+    )
+    docs = grams(df, id_col)
+    scored = docs.join(F.broadcast(ratio), "_b").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_features"),
+        F.sum("_lr").alias("logw"),
+    )
+    anchor = df.select(F.col(id_col).alias("id")).distinct()
+    return anchor.join(
+        scored.select(F.col(id_col).alias("id"), "n_features", "logw"),
+        "id",
+        "left",
+    ).select(
+        "id",
+        F.coalesce("n_features", F.lit(0)).alias("n_features"),
+        F.coalesce("logw", F.lit(0.0)).alias("logw"),
+    )

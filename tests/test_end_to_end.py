@@ -2574,3 +2574,218 @@ def test_percentile_sketch_paths(spark, sf_dir):
             # integer-valued counts: sketch picks a data value within a
             # hair of the interpolated exact one on the fixture corpus
             assert abs(e - a) <= max(2.0, 0.05 * abs(e)), (k, f, e, a)
+
+
+def test_realized_and_parkinson_vol(spark, sf_dir):
+    """Realized variance per (key, day) matches a pandas replay of
+    intra-day consecutive log returns on the real events table;
+    Parkinson vol from OHLC bars matches the closed form; corrupt/flat
+    cases behave per contract."""
+    import math
+
+    import numpy as np
+
+    from spark_timeseries_spark.operators.resample import ohlc
+    from spark_timeseries_spark.operators.volatility import (
+        parkinson_vol,
+        realized_vol,
+    )
+    from spark_timeseries_spark.sources import events_observations
+
+    obs = events_observations(spark, sf_dir)
+    rv = realized_vol(obs)
+    got = {(r.key, r.bar_ts): r for r in rv.collect()}
+    pdf = obs.select("key", "ts", "value").toPandas()
+    pdf = pdf[pdf.value > 0]
+    pdf["bar"] = pdf.ts.dt.floor("D")
+    import pandas as pd
+    for (k, bar), g in list(pdf.groupby(["key", "bar"]))[:40]:
+        g = g.sort_values(["ts", "value"])
+        v = g.value.to_numpy(dtype=float)
+        r2 = np.log(v[1:] / v[:-1]) ** 2 if len(v) > 1 else np.array([])
+        row = got[(k, bar.to_pydatetime())]
+        assert row.n_ret == len(r2)
+        assert abs(row.rv - float(r2.sum())) < 1e-9
+        assert abs(row.realized_vol - math.sqrt(float(r2.sum()))) < 1e-9
+
+    bars = ohlc(obs, "day")
+    pv = {r.key: r for r in parkinson_vol(bars).collect()}
+    bpdf = bars.select("key", "high", "low").toPandas()
+    for k, g in list(bpdf.groupby("key"))[:20]:
+        m = (g.low > 0) & (g.high >= g.low)
+        r2 = np.log(g.high[m] / g.low[m]) ** 2
+        exp_var = float(r2.mean()) / (4 * math.log(2))
+        assert pv[k].n_bars == int(m.sum())
+        assert abs(pv[k].parkinson_var - exp_var) < 1e-12
+
+    # corrupt bar excluded; all-corrupt key NULL
+    bad = spark.createDataFrame(
+        [("x", 2.0, 1.0), ("x", 3.0, 0.0), ("y", 1.0, 2.0)],
+        "key string, high double, low double",
+    )
+    out = {r.key: r for r in parkinson_vol(bad).collect()}
+    assert out["x"].n_bars == 1
+    assert out["y"].parkinson_var is None and out["y"].n_bars == 0
+
+
+def test_coherence(spark):
+    """Coherence of y = x shifted/scaled + independent noise: near 1 at
+    the driven frequency, lower elsewhere; phase matches the imposed
+    lag; self-coherence with smooth=0 is exactly 1; numpy cross-replay
+    agrees."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.spectral import coherence
+
+    T = 64
+    t = np.arange(T)
+    rng = np.random.RandomState(2)
+    # broadband noise on BOTH series: off-peak spectra must be real
+    # power, not float dust, for the cross-engine replay to be stable
+    x = np.sin(2 * np.pi * 8 * t / T) + 0.05 * rng.randn(T)
+    lag = 2
+    y = 0.7 * np.sin(2 * np.pi * 8 * (t - lag) / T) + 0.05 * rng.randn(T)
+    rows = [("a", int(i), float(x[i])) for i in range(T)]
+    rows += [("b", int(i), float(y[i])) for i in range(T)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+
+    out = {r.k: r for r in coherence(df, "a", "b", smooth=2).collect()}
+    assert set(out) == set(range(1, T // 2 + 1))
+    assert out[8].coh > 0.99
+    far = [out[k].coh for k in (20, 25, 30) if out[k].coh is not None]
+    assert all(c < out[8].coh for c in far)
+    # imposed phase at k=8: 2*pi*8*lag/T
+    expected_phase = -2 * np.pi * 8 * lag / T
+    d = (out[8].phase - expected_phase + np.pi) % (2 * np.pi) - np.pi
+    assert abs(d) < 0.15
+
+    # numpy replay of the full pipeline at every k (smooth=2)
+    def dft(v):
+        dv = v - v.mean()
+        ks = np.arange(1, T // 2 + 1)
+        ang = 2 * np.pi * np.outer(ks, t) / T
+        return (dv * np.cos(ang)).sum(1), (dv * np.sin(ang)).sum(1)
+
+    ax, bx = dft(x)
+    ay, by = dft(y)
+    pxx, pyy = (ax**2 + bx**2) / T, (ay**2 + by**2) / T
+    c = (ax * ay + bx * by) / T
+    q = (bx * ay - ax * by) / T
+
+    def daniell(v, L=2):
+        return np.array([
+            v[max(0, i - L): i + L + 1].mean() for i in range(len(v))
+        ])
+
+    sxx, syy = daniell(pxx), daniell(pyy)
+    sc, sq_ = daniell(c), daniell(q)
+    coh = (sc**2 + sq_**2) / (sxx * syy)
+    for i, k in enumerate(range(1, T // 2 + 1)):
+        if out[k].coh is not None:
+            assert abs(out[k].coh - coh[i]) < 1e-6, k
+
+    # self-coherence, raw: identically 1
+    s = {r.k: r.coh for r in coherence(df, "a", "a", smooth=0).collect()}
+    assert all(v is None or abs(v - 1.0) < 1e-9 for v in s.values())
+
+
+def test_intervention_analysis(spark):
+    """Segmented OLS recovers a constructed level+slope break exactly;
+    short/degenerate segments yield NULLs; numpy polyfit agrees on
+    noisy data."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.changepoint import (
+        intervention_analysis,
+    )
+
+    # exact: pre y = 1 + 0.5 t (t<10); post y = 8 + 2 t
+    rows = [("a", t, 1.0 + 0.5 * t) for t in range(10)]
+    rows += [("a", t, 8.0 + 2.0 * t) for t in range(10, 20)]
+    rows += [("short", 0, 5.0), ("short", 12, 7.0)]  # 1 pt per side
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    out = {r.key: r for r in intervention_analysis(df, 10).collect()}
+    a = out["a"]
+    assert (a.n_pre, a.n_post) == (10, 10)
+    assert abs(a.slope_pre - 0.5) < 1e-9 and abs(a.slope_post - 2.0) < 1e-9
+    assert abs(a.slope_change - 1.5) < 1e-9
+    # level at t0=10: pre line 1+5=6, post line 8+20=28 -> +22
+    assert abs(a.level_change - 22.0) < 1e-9
+    s = out["short"]
+    assert s.slope_pre is None and s.slope_change is None
+    assert s.level_change is None and (s.n_pre, s.n_post) == (1, 1)
+
+    rng = np.random.RandomState(4)
+    t = np.arange(40, dtype=float)
+    y = np.where(t < 15, 2 + 0.3 * t, -1 + 0.9 * t) + rng.randn(40) * 0.1
+    df2 = spark.createDataFrame(
+        [("n", int(i), float(y[i])) for i in range(40)],
+        "key string, loc long, value double",
+    )
+    r = intervention_analysis(df2, 15).collect()[0]
+    bp = np.polyfit(t[:15], y[:15], 1)
+    bq = np.polyfit(t[15:], y[15:], 1)
+    assert abs(r.slope_pre - bp[0]) < 1e-9
+    assert abs(r.slope_post - bq[0]) < 1e-9
+    exp_level = (bq[1] + bq[0] * 15) - (bp[1] + bp[0] * 15)
+    assert abs(r.level_change - exp_level) < 1e-9
+
+
+def test_dsir_weights(spark):
+    """DSIR logw ranks target-like docs above off-target ones; a brute
+    python replay of the hashed-multinomial log ratio matches exactly;
+    empty/zero-token docs anchor at (0, 0.0)."""
+    from spark_timeseries_spark.pipeline.sampling import dsir_weights
+
+    target = spark.createDataFrame(
+        [(i, "alpha beta gamma delta alpha beta") for i in range(4)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta"),
+            (2, "zeta eta theta iota kappa"),
+            (3, "alpha zeta beta eta"),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    B = 64
+    out = {r.id: r for r in
+           dsir_weights(raw, target, buckets=B, hash_fn="md5_60").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].logw > out[3].logw > out[2].logw
+    assert out[4].n_features == 0 and out[4].logw == 0.0
+
+    # brute replay with the same md5-based hash
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def feats(text):
+        ws = text.split()
+        return [h60(w) % B for w in ws] + [
+            h60(f"{a} {b}") % B for a, b in zip(ws, ws[1:])
+        ]
+
+    import math
+    from collections import Counter
+
+    tcnt = Counter()
+    for _ in range(4):
+        tcnt.update(feats("alpha beta gamma delta alpha beta"))
+    rtexts = {1: "alpha beta gamma alpha beta",
+              2: "zeta eta theta iota kappa", 3: "alpha zeta beta eta"}
+    rcnt = Counter()
+    for s in rtexts.values():
+        rcnt.update(feats(s))
+    tt, rt = sum(tcnt.values()), sum(rcnt.values())
+    for i, s in rtexts.items():
+        lw = sum(
+            math.log((tcnt[b] + 1) / (tt + B))
+            - math.log((rcnt[b] + 1) / (rt + B))
+            for b in feats(s)
+        )
+        assert abs(out[i].logw - lw) < 1e-9, i
+        assert out[i].n_features == len(feats(s))

@@ -761,3 +761,43 @@ def test_sample_entropy_kernel_no_pair_join(spark, grid):
     assert "FlatMapGroupsInPandas" in p, p
     below = p.split("FlatMapGroupsInPandas")[-1]
     assert "Join" not in below, below
+
+
+def test_intervention_analysis_single_aggregate(spark, grid):
+    """ITS segmented regression is ONE map-side-combinable groupBy —
+    no windows, no joins, exactly one exchange."""
+    from spark_timeseries_spark.operators.changepoint import (
+        intervention_analysis,
+    )
+
+    shuffles, sorts, p = _counts(intervention_analysis(grid, 10))
+    assert shuffles == 1, p
+    assert "Window" not in p and "Join" not in p, p
+    assert "partial" in p.lower() or "HashAggregate" in p, p
+
+
+def test_realized_vol_one_exchange(spark):
+    """The intra-bucket lag window partitions on the same (key, bucket)
+    key the aggregate groups by — one exchange total, no join."""
+    from spark_timeseries_spark.operators.volatility import realized_vol
+    from spark_timeseries_spark.sources import events_observations
+
+    obs = events_observations(spark, SF)
+    shuffles, sorts, p = _counts(realized_vol(obs))
+    assert shuffles == 1, p
+    assert "Join" not in p, p
+
+
+def test_dsir_ratio_broadcasts(spark):
+    """The per-bucket log-ratio table broadcasts into the corpus-side
+    join (vocabulary-scale vs corpus-scale); no sort-merge join against
+    the exploded n-grams."""
+    from spark_timeseries_spark.pipeline.sampling import dsir_weights
+    from spark_timeseries_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    tgt = docs.where(F.col("doc_id") % 2 == 0)
+    out = dsir_weights(docs, tgt, buckets=256)
+    p = _plan(out)
+    assert "BroadcastHashJoin" in p, p
+    assert "PythonUDF" not in p and "InPandas" not in p, p
