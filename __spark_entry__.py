@@ -3308,82 +3308,32 @@ def _q_ngram_novelty(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
-    the first 50 entries. Window policy (round 8, per the r7 verdict's
+    the first 50 entries. Window policy (round 9, per the r8 verdict's
     rotation prescription): (a) must-prove rows first — every query whose
-    SEMANTICS this round touched: the two r7 driver-red rows fixed
-    (``sq8_error`` array→string serialization, ``ts_features`` z-scored
-    tiling), the de-quadratic family (``pettitt`` midrank identity,
-    ``mann_kendall``/``seasonal_mk`` dual-plan S kernel, ``theil_sen``
-    in-core slope kernel), and the two ADVICE contracts (``roll_corr``
-    NULL-not-NaN, ``forecast_accuracy`` MASE over the observed
-    subsequence) — plus any new r8 queries, inserted directly after;
-    (b) the standing rotation queue, STALEST driver evidence first: the
-    r4-era rows (driver-green last in r4, ``serde_roundtrip`` …
-    ``url_stats``) then the r5-green block. Everything displaced is
-    green in the committed strict-mode full oracle log
-    (``tools/check_correctness_r08_full.log`` — exact-representation
-    compare, no array columns, the r7 tolerant-checker gap closed) which
-    is refreshed in the same commit as every query/semantics change (the
-    r5 lockstep rule)."""
+    SEMANTICS this round touched: ``srp_buckets`` (the degenerate parity
+    hash replaced by the two-round mix, oracle mirrored),
+    ``sample_entropy`` (row-blocked kernel + distinct-key anchor, oracle
+    anchored), ``theil_sen`` (equal-loc pairs masked in the kernel),
+    ``macd``/``rsi`` (the alpha≥1 EMA short-circuit), ``bollinger``
+    (strict-rechecked alongside), ``embedding_dim_stats`` (the
+    ``exact=False`` sketch path, exact default unchanged); (b) the
+    standing rotation queue, STALEST driver evidence first: the r5-era
+    block (``mixture_epochs`` … ``resample_closed_right`` — 43 rows,
+    covering the whole r8-verdict-named stale range). Everything
+    displaced is green in the committed strict-mode full oracle log
+    (``tools/check_correctness_r09_full.log`` — exact-representation
+    compare, no array columns) which is refreshed in the same commit as
+    every query/semantics change (the r5 lockstep rule)."""
     return {
-        # -- (a) must-prove: semantics touched in r8 -------------------------
-        "sq8_error": _q_sq8_error,
-        "ts_features": _q_ts_features,
-        "pettitt": _q_pettitt,
-        "mann_kendall": _q_mann_kendall,
-        "seasonal_mk": _q_seasonal_mk,
-        "roll_corr": _q_roll_corr,
-        "forecast_accuracy": _q_forecast_accuracy,
-        "theil_sen": _q_theil_sen,
-        # -- (a') new in r8 ---------------------------------------------------
-        "bollinger": _q_bollinger,
-        "rsi": _q_rsi,
-        "macd": _q_macd,
-        "ohlc_bars": _q_ohlc_bars,
-        "sample_entropy": _q_sample_entropy,
-        "turning_points": _q_turning_points,
-        "page_hinkley": _q_page_hinkley,
-        "runs_test": _q_runs_test,
-        "variance_ratio": _q_variance_ratio,
-        "embedding_dim_stats": _q_embedding_dim_stats,
+        # -- (a) must-prove: semantics touched in r9 -------------------------
         "srp_buckets": _q_srp_buckets,
-        "ngram_novelty": _q_ngram_novelty,
-        # -- (b) rotation queue, stalest driver evidence first ---------------
-        "spectral_entropy": _q_spectral_entropy,
-        "slice": _q_slice,
-        "quotients": _q_quotients,
-        "upsample": _q_upsample,
-        "trim_leading_trailing": _q_trim,
-        "min_max_datetimes": _q_min_max_datetimes,
-        "calendar_ops": _q_calendar_ops,
-        "serde_roundtrip": _q_serde_roundtrip,
-        "row_matrix_norms": _q_row_matrix_norms,
-        "cosine_dup_pairs": _q_cosine_dup_pairs,
-        "lsh_recall": _q_lsh_recall,
-        "ivf_topk": _q_ivf_topk,
-        "index_union": _q_index_union,
-        "multimodal_meta": _q_multimodal_meta,
-        "image_features": _q_image_features,
-        "arima_forecast": _q_arima_forecast,
-        "fill_next": _q_fill_next,
-        "fill_nearest": _q_fill_nearest,
-        "fill_zero": _q_fill_zero,
-        "lags": _q_lags,
-        "dedup_paragraphs": _q_dedup_paragraphs,
-        "url_stats": _q_url_stats,
-        "pq_recall": _q_pq_recall,
-        "filter_by_instant": _q_filter_by_instant,
-        "ivfpq_topk": _q_ivfpq_topk,
-        "semantic_dedup": _q_semantic_dedup,
-        "kmeans_assign": _q_kmeans_assign,
-        "pretrain_clean": _q_pretrain_clean,
-        "minhash_lsh_dedup": _q_minhash_lsh_dedup,
-        "pack_sequences": _q_pack_sequences,
-        # ---- driver window (50) ends here ----------------------------------
-        # (everything below is green in the committed strict-mode full
-        # oracle log; the r7 window rows moved to the tail — their driver
-        # evidence is the freshest in the file. mixture_epochs…lsh_topk
-        # displaced by the twelve r8 additions, queued next)
+        "sample_entropy": _q_sample_entropy,
+        "theil_sen": _q_theil_sen,
+        "macd": _q_macd,
+        "rsi": _q_rsi,
+        "bollinger": _q_bollinger,
+        "embedding_dim_stats": _q_embedding_dim_stats,
+        # -- (b) rotation queue, stalest driver evidence first (r5-era) ----
         "mixture_epochs": _q_mixture_epochs,
         "remove_dup_spans": _q_remove_dup_spans,
         "video_frames": _q_video_frames,
@@ -3427,6 +3377,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "resample_stamp_right": _q_resample_stamp_right,
         "resample_closed_right": _q_resample_closed_right,
+        # ---- driver window (50) ends here ----------------------------------
+        # (everything below is green in the committed strict-mode full
+        # oracle log; the r8 window rows moved to the tail — their driver
+        # evidence is the freshest in the file)
         "split_dataset": _q_split_dataset,
         "normalize_text": _q_normalize_text,
         "remove_boilerplate": _q_remove_boilerplate,
@@ -3439,7 +3393,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_persist": _q_ivf_persist,
         "pq_adc": _q_pq_adc,
         "blocklist_flag": _q_blocklist_flag,
-        # r6-green rows (the freshest evidence in the file) — rotated out
         "dup_spans": _q_dup_spans,
         "embedding_covariance": _q_embedding_covariance,
         "cusum": _q_cusum,
@@ -3490,7 +3443,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebase_irregular": _q_rebase_irregular,
         "diff_by_frequency": _q_diff_by_frequency,
         "ewma_smooth": _q_ewma_smooth,
-        # r7-window rows (driver-green in r7 — the freshest evidence)
         "sax": _q_sax,
         "paa": _q_paa,
         "peaks": _q_peaks,
@@ -3534,6 +3486,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_seasonality": _q_detect_seasonality,
         "simhash_near_dups": _q_simhash_near_dups,
         "containment_pairs": _q_containment_pairs,
+        # r8-window rows (driver-green in r8 — the freshest evidence)
+        "sq8_error": _q_sq8_error,
+        "ts_features": _q_ts_features,
+        "pettitt": _q_pettitt,
+        "mann_kendall": _q_mann_kendall,
+        "seasonal_mk": _q_seasonal_mk,
+        "roll_corr": _q_roll_corr,
+        "forecast_accuracy": _q_forecast_accuracy,
+        "ohlc_bars": _q_ohlc_bars,
+        "turning_points": _q_turning_points,
+        "page_hinkley": _q_page_hinkley,
+        "runs_test": _q_runs_test,
+        "variance_ratio": _q_variance_ratio,
+        "ngram_novelty": _q_ngram_novelty,
+        "spectral_entropy": _q_spectral_entropy,
+        "slice": _q_slice,
+        "quotients": _q_quotients,
+        "upsample": _q_upsample,
+        "trim_leading_trailing": _q_trim,
+        "min_max_datetimes": _q_min_max_datetimes,
+        "calendar_ops": _q_calendar_ops,
+        "serde_roundtrip": _q_serde_roundtrip,
+        "row_matrix_norms": _q_row_matrix_norms,
+        "cosine_dup_pairs": _q_cosine_dup_pairs,
+        "lsh_recall": _q_lsh_recall,
+        "ivf_topk": _q_ivf_topk,
+        "index_union": _q_index_union,
+        "multimodal_meta": _q_multimodal_meta,
+        "image_features": _q_image_features,
+        "arima_forecast": _q_arima_forecast,
+        "fill_next": _q_fill_next,
+        "fill_nearest": _q_fill_nearest,
+        "fill_zero": _q_fill_zero,
+        "lags": _q_lags,
+        "dedup_paragraphs": _q_dedup_paragraphs,
+        "url_stats": _q_url_stats,
+        "pq_recall": _q_pq_recall,
+        "filter_by_instant": _q_filter_by_instant,
+        "ivfpq_topk": _q_ivfpq_topk,
+        "semantic_dedup": _q_semantic_dedup,
+        "kmeans_assign": _q_kmeans_assign,
+        "pretrain_clean": _q_pretrain_clean,
+        "minhash_lsh_dedup": _q_minhash_lsh_dedup,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
