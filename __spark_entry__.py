@@ -3306,6 +3306,94 @@ def _q_ngram_novelty(spark, sf_dir):
     )
 
 
+def _q_realized_vol(spark, sf_dir):
+    """Daily realized variance per user from intra-day consecutive log
+    returns over the raw irregular events — one (key, day) lag window +
+    one aggregate on the same partition key (single exchange,
+    plan-pinned)."""
+    from spark_timeseries_spark.operators.volatility import realized_vol
+
+    obs = events_observations(spark, sf_dir)
+    out = realized_vol(obs, "day")
+    return out.select(
+        "key", "bar_ts", "n_ret",
+        _stable_round(F.col("rv"), 6).alias("rv"),
+        _stable_round(F.col("realized_vol"), 6).alias("realized_vol"),
+    )
+
+
+def _q_parkinson_vol(spark, sf_dir):
+    """Parkinson (1980) range volatility per user over its daily OHLC
+    bars — the ohlc→parkinson chain, two map-side-combinable
+    aggregates."""
+    from spark_timeseries_spark.operators.resample import ohlc
+    from spark_timeseries_spark.operators.volatility import parkinson_vol
+
+    obs = events_observations(spark, sf_dir)
+    out = parkinson_vol(ohlc(obs, "day"))
+    return out.select(
+        "key", "n_bars",
+        _stable_round(F.col("parkinson_var"), 6).alias("parkinson_var"),
+        _stable_round(F.col("parkinson_vol"), 6).alias("parkinson_vol"),
+    )
+
+
+def _q_coherence(spark, sf_dir):
+    """Daniell-smoothed magnitude-squared coherence + phase between two
+    user series off the filled daily grid (smooth=2) — the frequency-
+    domain companion of crosscorr/roll_corr; spectra rounded 4 (the
+    periodogram power precedent), bounded ratios rounded 6."""
+    from spark_timeseries_spark.operators.spectral import coherence
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
+    out = coherence(filled, "1", "2", smooth=2)
+    return out.select(
+        "k",
+        _stable_round(F.col("freq"), 6).alias("freq"),
+        _stable_round(F.col("sxx"), 4).alias("sxx"),
+        _stable_round(F.col("syy"), 4).alias("syy"),
+        _stable_round(F.col("coh"), 6).alias("coh"),
+        _stable_round(F.col("phase"), 6).alias("phase"),
+    )
+
+
+def _q_intervention(spark, sf_dir):
+    """ITS segmented regression around loc=15 on the daily grid — one
+    conditional-sums groupBy per series; slope/level effects of a
+    mid-month 'intervention'."""
+    from spark_timeseries_spark.operators.changepoint import (
+        intervention_analysis,
+    )
+
+    grid = _daily_grid(spark, sf_dir)
+    out = intervention_analysis(grid, 15)
+    return out.select(
+        "key", "n_pre", "n_post",
+        _stable_round(F.col("slope_pre"), 6).alias("slope_pre"),
+        _stable_round(F.col("slope_post"), 6).alias("slope_post"),
+        _stable_round(F.col("slope_change"), 6).alias("slope_change"),
+        _stable_round(F.col("level_change"), 6).alias("level_change"),
+    )
+
+
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR hashed n-gram importance weights of odd-id documents toward
+    the even-id half as target (md5_60 hash — the oracle-replayable
+    mode; 1024 buckets) — the importance-resampling companion of the
+    mixture/sampling family."""
+    from spark_timeseries_spark.pipeline.sampling import dsir_weights
+
+    docs = _docs_spread(spark, sf_dir)
+    raw = docs.where(F.col("doc_id") % 2 == 1)
+    target = docs.where(F.col("doc_id") % 2 == 0)
+    out = dsir_weights(raw, target, buckets=1024, hash_fn="md5_60")
+    return out.select(
+        "id", "n_features",
+        _stable_round(F.col("logw"), 6).alias("logw"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
     the first 50 entries. Window policy (round 9, per the r8 verdict's
@@ -3333,6 +3421,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rsi": _q_rsi,
         "bollinger": _q_bollinger,
         "embedding_dim_stats": _q_embedding_dim_stats,
+        # -- (a') new in r9 ---------------------------------------------------
+        "realized_vol": _q_realized_vol,
+        "parkinson_vol": _q_parkinson_vol,
+        "coherence": _q_coherence,
+        "intervention": _q_intervention,
+        "dsir_weights": _q_dsir_weights,
         # -- (b) rotation queue, stalest driver evidence first (r5-era) ----
         "mixture_epochs": _q_mixture_epochs,
         "remove_dup_spans": _q_remove_dup_spans,
@@ -3372,12 +3466,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": _q_session_stats,
         "stratified_sample": _q_stratified_sample,
         "token_percentiles": _q_token_percentiles,
+        # ---- driver window (50) ends here ----------------------------------
         "scrub_pii": _q_scrub_pii,
         "dedup_components": _q_dedup_components,
         "decontaminate": _q_decontaminate,
         "resample_stamp_right": _q_resample_stamp_right,
         "resample_closed_right": _q_resample_closed_right,
-        # ---- driver window (50) ends here ----------------------------------
         # (everything below is green in the committed strict-mode full
         # oracle log; the r8 window rows moved to the tail — their driver
         # evidence is the freshest in the file)
@@ -9009,5 +9103,197 @@ def oracle_sql() -> dict[str, str]:
                      + 0.500001) / 1000000 AS novelty
         FROM documents d LEFT JOIN cnt USING (doc_id)
         WHERE d.doc_id % 2 = 1
+    """
+
+    o["realized_vol"] = f"""
+        WITH pts AS (
+            SELECT CAST(user_id AS VARCHAR) AS key,
+                   date_trunc('day', ts) AS bar, ts, value
+            FROM events WHERE value IS NOT NULL AND value > 0
+        ),
+        l AS (
+            SELECT key, bar, value,
+                   lag(value) OVER (PARTITION BY key, bar
+                                    ORDER BY ts, value) AS pv
+            FROM pts
+        ),
+        r2s AS (
+            SELECT key, bar,
+                   CASE WHEN pv IS NOT NULL
+                        THEN pow(ln(value / pv), 2) END AS r2
+            FROM l
+        )
+        SELECT key, bar AS bar_ts,
+               CAST(count(r2) AS BIGINT) AS n_ret,
+               {_sr_sql("coalesce(sum(r2), 0.0)", 6)} AS rv,
+               {_sr_sql("sqrt(coalesce(sum(r2), 0.0))", 6)} AS realized_vol
+        FROM r2s GROUP BY key, bar
+    """
+
+    o["parkinson_vol"] = f"""
+        WITH pts AS (
+            SELECT CAST(user_id AS VARCHAR) AS key,
+                   date_trunc('day', ts) AS bar, value
+            FROM events WHERE value IS NOT NULL
+        ),
+        b AS (
+            SELECT key, bar, max(value) AS h, min(value) AS l
+            FROM pts GROUP BY 1, 2
+        ),
+        u AS (
+            SELECT key,
+                   CASE WHEN l > 0 AND h >= l
+                        THEN pow(ln(h / l), 2) END AS r2
+            FROM b
+        )
+        SELECT key, CAST(count(r2) AS BIGINT) AS n_bars,
+               {_sr_sql("avg(r2) / (4 * ln(2))", 6)} AS parkinson_var,
+               {_sr_sql("sqrt(avg(r2) / (4 * ln(2)))", 6)} AS parkinson_vol
+        FROM u GROUP BY key
+    """
+
+    o["coherence"] = _DAILY_GRID_SQL + _FILLED_SQL + f"""
+        , xa AS (SELECT loc, value AS x FROM filled
+                 WHERE key = '1' AND value IS NOT NULL),
+        xb AS (SELECT loc, value AS y FROM filled
+               WHERE key = '2' AND value IS NOT NULL),
+        jv AS (SELECT xa.loc, x, y FROM xa JOIN xb USING (loc)),
+        st9 AS (SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my FROM jv),
+        tt AS (SELECT row_number() OVER (ORDER BY loc) - 1 AS t, x, y
+               FROM jv),
+        pk AS (
+            SELECT t, x, y, n, mx, my,
+                   unnest(generate_series(1, CAST(n // 2 AS INT))) AS k
+            FROM tt CROSS JOIN st9
+        ),
+        ag AS (
+            SELECT k,
+                   SUM((x - mx) * cos(2 * pi() * k * t / n)) AS ax,
+                   SUM((x - mx) * sin(2 * pi() * k * t / n)) AS bx,
+                   SUM((y - my) * cos(2 * pi() * k * t / n)) AS ay,
+                   SUM((y - my) * sin(2 * pi() * k * t / n)) AS by_,
+                   MAX(n) AS n
+            FROM pk GROUP BY k
+        ),
+        sp AS (
+            SELECT k, n,
+                   (ax * ax + bx * bx) / n AS pxx,
+                   (ay * ay + by_ * by_) / n AS pyy,
+                   (ax * ay + bx * by_) / n AS c,
+                   (bx * ay - ax * by_) / n AS q
+            FROM ag
+        ),
+        sm AS (
+            SELECT k, n,
+                   avg(pxx) OVER wd AS sxx, avg(pyy) OVER wd AS syy,
+                   avg(c) OVER wd AS sc, avg(q) OVER wd AS sq
+            FROM sp
+            WINDOW wd AS (ORDER BY k
+                          ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        )
+        SELECT CAST(k AS INT) AS k,
+               {_sr_sql("CAST(k AS DOUBLE) / n", 6)} AS freq,
+               {_sr_sql("sxx", 4)} AS sxx,
+               {_sr_sql("syy", 4)} AS syy,
+               {_sr_sql(
+                   "CASE WHEN sxx * syy != 0 "
+                   "THEN (sc * sc + sq * sq) / (sxx * syy) END", 6)} AS coh,
+               {_sr_sql("atan2(sq, sc)", 6)} AS phase
+        FROM sm
+    """
+
+    o["intervention"] = _DAILY_GRID_SQL + f"""
+        , pts AS (
+            SELECT key, CAST(loc AS DOUBLE) AS t, value
+            FROM grid WHERE value IS NOT NULL
+        ),
+        agg9 AS (
+            SELECT key,
+                   count(CASE WHEN t < 15 THEN value END) AS np,
+                   sum(CASE WHEN t < 15 THEN t END) AS stp,
+                   sum(CASE WHEN t < 15 THEN t * t END) AS st2p,
+                   sum(CASE WHEN t < 15 THEN value END) AS syp,
+                   sum(CASE WHEN t < 15 THEN t * value END) AS styp,
+                   count(CASE WHEN t >= 15 THEN value END) AS nq,
+                   sum(CASE WHEN t >= 15 THEN t END) AS stq,
+                   sum(CASE WHEN t >= 15 THEN t * t END) AS st2q,
+                   sum(CASE WHEN t >= 15 THEN value END) AS syq,
+                   sum(CASE WHEN t >= 15 THEN t * value END) AS styq
+            FROM pts GROUP BY key
+        ),
+        fit AS (
+            SELECT key, np, nq,
+                   CASE WHEN np * st2p - stp * stp != 0
+                        THEN (np * styp - stp * syp)
+                             / (np * st2p - stp * stp) END AS bp,
+                   CASE WHEN nq * st2q - stq * stq != 0
+                        THEN (nq * styq - stq * syq)
+                             / (nq * st2q - stq * stq) END AS bq,
+                   stp, syp, stq, syq
+            FROM agg9
+        ),
+        eff AS (
+            SELECT key, np, nq, bp, bq,
+                   CASE WHEN np != 0
+                        THEN (syp - bp * stp) / np END AS ap,
+                   CASE WHEN nq != 0
+                        THEN (syq - bq * stq) / nq END AS aq
+            FROM fit
+        )
+        SELECT key,
+               CAST(np AS BIGINT) AS n_pre, CAST(nq AS BIGINT) AS n_post,
+               {_sr_sql("bp", 6)} AS slope_pre,
+               {_sr_sql("bq", 6)} AS slope_post,
+               {_sr_sql("bq - bp", 6)} AS slope_change,
+               {_sr_sql("(aq + bq * 15) - (ap + bp * 15)", 6)}
+                   AS level_change
+        FROM eff
+    """
+
+    o["dsir_weights"] = f"""
+        WITH words AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents
+            WHERE text IS NOT NULL AND length(trim(text)) > 0
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_concat(
+                       w,
+                       CASE WHEN len(w) >= 2 THEN list_transform(
+                           generate_series(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i + 1])
+                       ELSE CAST([] AS VARCHAR[]) END)) AS g
+            FROM words
+        ),
+        bk AS (SELECT doc_id, {_h60('g')} % 1024 AS bkt FROM grams),
+        tcnt AS (SELECT bkt, count(*) AS c FROM bk
+                 WHERE doc_id % 2 = 0 GROUP BY 1),
+        rcnt AS (SELECT bkt, count(*) AS c FROM bk
+                 WHERE doc_id % 2 = 1 GROUP BY 1),
+        tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM tcnt) AS tt,
+                       (SELECT coalesce(sum(c), 0) FROM rcnt) AS rt),
+        ratio AS (
+            SELECT r.range AS bkt,
+                   ln((coalesce(tcnt.c, 0) + 1)
+                      / CAST(tt + 1024 AS DOUBLE))
+                   - ln((coalesce(rcnt.c, 0) + 1)
+                        / CAST(rt + 1024 AS DOUBLE)) AS lr
+            FROM range(1024) r CROSS JOIN tot
+            LEFT JOIN tcnt ON tcnt.bkt = r.range
+            LEFT JOIN rcnt ON rcnt.bkt = r.range
+        ),
+        scored AS (
+            SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS nf,
+                   sum(ratio.lr) AS lw
+            FROM bk JOIN ratio ON ratio.bkt = bk.bkt
+            WHERE bk.doc_id % 2 = 1
+            GROUP BY 1
+        )
+        SELECT d.doc_id AS id,
+               CAST(coalesce(nf, 0) AS BIGINT) AS n_features,
+               {_sr_sql("coalesce(lw, 0.0)", 6)} AS logw
+        FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        LEFT JOIN scored ON scored.doc_id = d.doc_id
     """
     return o
