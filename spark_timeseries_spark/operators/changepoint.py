@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["changepoint_mean", "pettitt", "intervention_analysis"]
+__all__ = ["changepoint_mean", "pettitt", "intervention_analysis", "bocpd"]
 
 
 def changepoint_mean(
@@ -244,4 +244,143 @@ def intervention_analysis(
         sq.alias("slope_post"),
         (sq - sp).alias("slope_change"),
         ((iq + sq * t0) - (ip + sp * t0)).alias("level_change"),
+    )
+
+
+def bocpd(
+    df: DataFrame,
+    hazard: float = 1.0 / 100.0,
+    mu0: float = 0.0,
+    kappa0: float = 1.0,
+    alpha0: float = 1.0,
+    beta0: float = 1.0,
+    trunc: float = 1e-6,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Bayesian online changepoint detection (Adams & MacKay 2007) per
+    series → one row per non-null observation: (key, loc, p_cp — the
+    posterior probability that a new regime STARTS at this point;
+    run_map — the MAP run length, counted as points-since-segment-start
+    minus one). The online/probabilistic complement of :func:`pettitt`
+    (single retrospective break) and :func:`changepoint_mean` — BOCPD
+    emits a full posterior as data arrives and handles any number of
+    breaks.
+
+    Model: constant hazard H (geometric segment lengths, E[len] = 1/H);
+    Gaussian observations with Normal-Gamma conjugate prior
+    (μ₀, κ₀, α₀, β₀) → Student-t predictives, computed in log space.
+    Convention: r_t = 0 means x_t is the FIRST point of a new segment,
+    so the changepoint path scores x_t under the PRIOR predictive and
+    the growth paths under each run's posterior predictive (the
+    Fearnhead 2006 exact-filtering form). Under AM07's original
+    x_t-under-old-run convention, constant hazard makes P(r_t = 0)
+    identically H — a useless detector; this form makes p_cp spike
+    exactly when the prior explains x_t better than every active run.
+    Run-length mass below ``trunc`` is pruned then renormalized — the
+    standard truncation that keeps the per-step state O(effective run
+    lengths), so a T-point series costs O(T·R) not O(T²), bounded
+    memory.
+
+    Plan: sequential posterior recursion — inherently order-dependent,
+    so a grouped-map numpy kernel (the DTW/STL precedent; no SQL oracle
+    exists for a filtered posterior). One shuffle on key; each series
+    in-core."""
+    if not 0.0 < hazard < 1.0:
+        raise ValueError(f"hazard must be in (0, 1), got {hazard}")
+    import pandas as pd  # noqa: F811
+
+    kt = df.schema[key_col].dataType.simpleString()
+    lt = df.schema[order_col].dataType.simpleString()
+
+    # the Student-t predictive log-pdf is written out explicitly via
+    # lgamma (math.lgamma vectorized through numpy) — no scipy here
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        import numpy as np
+
+        pdf = pdf[pdf[value_col].notna()].sort_values(order_col)
+        x = pdf[value_col].to_numpy(dtype=float)
+        locs = pdf[order_col].to_numpy()
+        n = x.size
+        if n == 0:
+            return pd.DataFrame(
+                {key_col: [], order_col: [], "p_cp": [], "run_map": []}
+            )
+        key = pdf[key_col].iloc[0]
+        lgamma = np.vectorize(math.lgamma, otypes=[float])
+        logH, log1mH = math.log(hazard), math.log(1.0 - hazard)
+
+        def student_logpdf(xi, mu_, kap_, al_, be_):
+            df_t = 2.0 * al_
+            scale2 = be_ * (kap_ + 1.0) / (al_ * kap_)
+            z2 = (xi - mu_) ** 2 / scale2
+            return (
+                lgamma((df_t + 1.0) / 2.0)
+                - lgamma(df_t / 2.0)
+                - 0.5 * np.log(np.pi * df_t * scale2)
+                - (df_t + 1.0) / 2.0 * np.log1p(z2 / df_t)
+            )
+
+        def posterior(xi, mu_, kap_, al_, be_):
+            return (
+                (kap_ * mu_ + xi) / (kap_ + 1.0),
+                kap_ + 1.0,
+                al_ + 0.5,
+                be_ + kap_ * (xi - mu_) ** 2 / (2.0 * (kap_ + 1.0)),
+            )
+
+        p_cp = np.empty(n)
+        run_map = np.empty(n, dtype=np.int64)
+        prior = (
+            np.array([mu0]), np.array([kappa0]),
+            np.array([alpha0]), np.array([beta0]),
+        )
+        # x_0 necessarily starts the first segment
+        mu, kap, al, be = posterior(x[0], *prior)
+        logp = np.array([0.0])
+        runs = np.array([0], dtype=np.int64)
+        p_cp[0] = 1.0
+        run_map[0] = 0
+        for i in range(1, n):
+            # growth: x_i under each active run's posterior predictive
+            grow = logp + student_logpdf(x[i], mu, kap, al, be) + log1mH
+            # changepoint: x_i is the FIRST point of a new segment —
+            # scored under the prior predictive; prior mass sums to 1
+            cp_mass = float(student_logpdf(x[i], *prior)[0]) + logH
+            new_logp = np.concatenate(([cp_mass], grow))
+            norm = new_logp.max() + math.log(
+                np.exp(new_logp - new_logp.max()).sum()
+            )
+            new_logp -= norm
+            # posterior params: every path absorbs x_i (the r = 0
+            # component is the prior updated with x_i alone)
+            m0, k0_, a0_, b0_ = posterior(x[i], *prior)
+            mg, kg, ag, bg = posterior(x[i], mu, kap, al, be)
+            mu_new = np.concatenate((m0, mg))
+            kap_new = np.concatenate((k0_, kg))
+            al_new = np.concatenate((a0_, ag))
+            be_new = np.concatenate((b0_, bg))
+            runs_new = np.concatenate(([0], runs + 1))
+            # truncate tiny mass, renormalize
+            keep = new_logp >= math.log(trunc)
+            keep[0] = True
+            mu, kap, al, be = (
+                mu_new[keep], kap_new[keep], al_new[keep], be_new[keep]
+            )
+            runs = runs_new[keep]
+            logp = new_logp[keep]
+            logp -= logp.max() + math.log(np.exp(logp - logp.max()).sum())
+            p_cp[i] = math.exp(logp[0])
+            run_map[i] = runs[np.argmax(logp)]
+        return pd.DataFrame(
+            {key_col: key, order_col: locs, "p_cp": p_cp,
+             "run_map": run_map}
+        )
+
+    return df.groupBy(key_col).applyInPandas(
+        kern,
+        f"`{key_col}` {kt}, `{order_col}` {lt}, p_cp double, run_map long",
     )

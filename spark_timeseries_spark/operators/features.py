@@ -48,6 +48,8 @@ __all__ = [
     "threshold_runs",
     "turning_points",
     "sample_entropy",
+    "hjorth_params",
+    "nonlinearity_features",
 ]
 
 
@@ -760,4 +762,139 @@ def sample_entropy(
             (F.col("a") > 0) & (F.col("b") > 0),
             -F.log(F.col("a").cast("double") / F.col("b").cast("double")),
         ).alias("sampen"),
+    )
+
+
+def hjorth_params(
+    df: DataFrame,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hjorth (1970) descriptors per series → (key, n, activity,
+    mobility, complexity): activity = population variance of the
+    signal; mobility = √(var(Δx)/var(x)) — a normalized dominant-
+    frequency proxy; complexity = mobility(Δx)/mobility(x) — bandwidth
+    (1 for a pure sine). The EEG-era triple that survives as a cheap
+    spectral summary wherever a full periodogram is overkill.
+
+    Variances are population (÷n) over the observed subsequence —
+    computed from explicit deviations (two passes folded into one
+    window + one aggregate), NOT E[x²]−μ², so constant series gate
+    identically cross-engine. NULL mobility/complexity where the
+    denominator variance is 0 (try_divide). One (key)-ordered lag
+    window + one aggregate — all JVM, one exchange."""
+    v = F.col(value_col)
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+    wk = Window.partitionBy(key_col)
+    pts = (
+        df.where(v.isNotNull())
+        .withColumn("_d1", v - F.lag(value_col).over(ws))
+        .withColumn("_d2", F.col("_d1") - F.lag("_d1").over(ws))
+        .withColumn("_mu", F.avg(value_col).over(wk))
+        .withColumn("_mu1", F.avg("_d1").over(wk))
+        .withColumn("_mu2", F.avg("_d2").over(wk))
+    )
+    dx = v - F.col("_mu")
+    d1 = F.col("_d1") - F.col("_mu1")
+    d2 = F.col("_d2") - F.col("_mu2")
+    agg = pts.groupBy(key_col).agg(
+        F.count(v).alias("n"),
+        F.avg(dx * dx).alias("_v0"),
+        F.avg(d1 * d1).alias("_v1"),
+        F.avg(d2 * d2).alias("_v2"),
+    )
+    mob = F.sqrt(F.try_divide(F.col("_v1"), F.col("_v0")))
+    mob1 = F.sqrt(F.try_divide(F.col("_v2"), F.col("_v1")))
+    return agg.select(
+        key_col,
+        "n",
+        F.col("_v0").alias("activity"),
+        mob.alias("mobility"),
+        F.try_divide(mob1, mob).alias("complexity"),
+    )
+
+
+def nonlinearity_features(
+    df: DataFrame,
+    lag: int = 1,
+    bins: int = 10,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """tsfresh-convention scalar features per series → (key, n, c3,
+    cid_ce, mean_abs_change, n_crossings, binned_entropy):
+
+    - ``c3`` (Schreiber & Schmitz 1997 nonlinearity): mean of
+      x_t·x_{t+lag}·x_{t+2lag} over the t where all three exist;
+    - ``cid_ce`` (Batista 2014 complexity-invariant distance, no
+      normalization): √Σ(x_{t+1} − x_t)²;
+    - ``mean_abs_change``: mean |x_{t+1} − x_t|;
+    - ``n_crossings``: crossings of the series MEAN (sign changes of
+      x − x̄ between consecutive observations, zeros counted on the
+      negative side — the tsfresh ``number_crossing_m`` convention);
+    - ``binned_entropy``: Shannon entropy (nats) of the ``bins``-bin
+      equal-width histogram over [min, max]; a constant series (zero
+      range) has entropy 0 by convention.
+
+    One ordered lag window + per-key min/max/mean window + TWO
+    aggregates (the histogram needs its own groupBy over (key, bin),
+    map-side combinable) — all JVM. NULL c3 when no complete triple."""
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    v = F.col(value_col)
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+    wk = Window.partitionBy(key_col)
+    pts = (
+        df.where(v.isNotNull())
+        .withColumn("_l1", F.lead(value_col, lag).over(ws))
+        .withColumn("_l2", F.lead(value_col, 2 * lag).over(ws))
+        .withColumn("_nx", F.lead(value_col, 1).over(ws))
+        .withColumn("_mu", F.avg(value_col).over(wk))
+        .withColumn("_mn", F.min(value_col).over(wk))
+        .withColumn("_mx", F.max(value_col).over(wk))
+    )
+    dev = v - F.col("_mu")
+    ndev = F.col("_nx") - F.col("_mu")
+    crossing = F.when(
+        F.col("_nx").isNotNull()
+        & (((dev > 0) & (ndev <= 0)) | ((dev <= 0) & (ndev > 0))),
+        1,
+    )
+    diff = F.col("_nx") - v
+    base = pts.groupBy(key_col).agg(
+        F.count(v).alias("n"),
+        F.avg(v * F.col("_l1") * F.col("_l2")).alias("c3"),
+        F.sqrt(F.coalesce(F.sum(diff * diff), F.lit(0.0))).alias("cid_ce"),
+        F.avg(F.abs(diff)).alias("mean_abs_change"),
+        F.coalesce(F.sum(crossing), F.lit(0)).alias("n_crossings"),
+    )
+    # equal-width histogram entropy; top edge closes into the last bin
+    rng = F.col("_mx") - F.col("_mn")
+    bin_ = F.when(rng > 0, F.least(
+        F.floor((v - F.col("_mn")) / rng * bins).cast("int"),
+        F.lit(bins - 1),
+    )).otherwise(F.lit(0))
+    hist = (
+        pts.select(key_col, bin_.alias("_bin"))
+        .groupBy(key_col, "_bin")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wkh = Window.partitionBy(key_col)
+    ent = (
+        hist.withColumn("_tot", F.sum("_c").over(wkh))
+        .withColumn(
+            "_plp",
+            (F.col("_c") / F.col("_tot"))
+            * F.log(F.col("_c").cast("double") / F.col("_tot")),
+        )
+        .groupBy(key_col)
+        .agg((-F.sum("_plp")).alias("binned_entropy"))
+    )
+    return base.join(ent, key_col, "left").select(
+        key_col, "n", "c3", "cid_ce", "mean_abs_change", "n_crossings",
+        F.coalesce("binned_entropy", F.lit(0.0)).alias("binned_entropy"),
     )

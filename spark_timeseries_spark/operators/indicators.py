@@ -99,6 +99,7 @@ def _ema_col(
     value_col: str,
     out_col: str,
     method: str,
+    max_len: int | None = None,
 ) -> DataFrame:
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
@@ -115,6 +116,11 @@ def _ema_col(
     if method == "kernel":
         return _ema_kernel(pts, alpha, key_col, order_col, value_col, out_col)
     cap = _ema_safe_len(alpha)
+    if max_len is not None and max_len <= cap:
+        # caller vouches every series fits the closed form's envelope:
+        # skip the routing count window entirely (it costs a full extra
+        # window pass even when every series is short)
+        return _ema_closed(pts, alpha, key_col, order_col, value_col, out_col)
     wn = Window.partitionBy(key_col)
     ptsn = pts.withColumn("_gn", F.count(F.lit(1)).over(wn))
     short = _ema_closed(
@@ -135,13 +141,19 @@ def ema(
     order_col: str = "loc",
     value_col: str = "value",
     method: str = "auto",
+    max_len: int | None = None,
 ) -> DataFrame:
     """Input rows (non-null cells) + ``ema`` — the adjust=False
     exponential moving average seeded at the series' first observation.
     ``method``: "auto" routes per series by length (closed window form
     within its numeric envelope, grouped-map recursion beyond — see
-    module docstring); "closed"/"kernel" force one."""
-    return _ema_col(df, alpha, key_col, order_col, value_col, "ema", method)
+    module docstring); "closed"/"kernel" force one. ``max_len``: a
+    caller guarantee that no series exceeds it — when it fits the
+    closed form's envelope, auto skips the per-series routing count
+    window (one whole window pass saved on short-series corpora)."""
+    return _ema_col(
+        df, alpha, key_col, order_col, value_col, "ema", method, max_len
+    )
 
 
 def macd(
@@ -153,6 +165,7 @@ def macd(
     order_col: str = "loc",
     value_col: str = "value",
     method: str = "auto",
+    max_len: int | None = None,
 ) -> DataFrame:
     """MACD (Appel): input rows + ``macd`` (EMA_fast − EMA_slow, span
     αs = 2/(n+1)), ``signal`` (EMA of the macd line), ``histogram``
@@ -163,10 +176,10 @@ def macd(
         raise ValueError(f"need 1 <= fast < slow, got {fast}, {slow}")
     a_fast, a_slow = 2.0 / (fast + 1), 2.0 / (slow + 1)
     a_sig = 2.0 / (signal + 1)
-    d = _ema_col(df, a_fast, key_col, order_col, value_col, "_ef", method)
-    d = _ema_col(d, a_slow, key_col, order_col, value_col, "_es", method)
+    d = _ema_col(df, a_fast, key_col, order_col, value_col, "_ef", method, max_len)
+    d = _ema_col(d, a_slow, key_col, order_col, value_col, "_es", method, max_len)
     d = d.withColumn("macd", F.col("_ef") - F.col("_es")).drop("_ef", "_es")
-    d = _ema_col(d, a_sig, key_col, order_col, "macd", "signal", method)
+    d = _ema_col(d, a_sig, key_col, order_col, "macd", "signal", method, max_len)
     return d.withColumn("histogram", F.col("macd") - F.col("signal"))
 
 
@@ -177,6 +190,7 @@ def rsi(
     order_col: str = "loc",
     value_col: str = "value",
     method: str = "auto",
+    max_len: int | None = None,
 ) -> DataFrame:
     """Relative Strength Index → per non-first observation:
     ``gain``/``loss`` (positive/negative part of the one-step change),
@@ -200,8 +214,8 @@ def rsi(
         .drop("_d")
     )
     alpha = 1.0 / n
-    d = _ema_col(d, alpha, key_col, order_col, "gain", "avg_gain", method)
-    d = _ema_col(d, alpha, key_col, order_col, "loss", "avg_loss", method)
+    d = _ema_col(d, alpha, key_col, order_col, "gain", "avg_gain", method, max_len)
+    d = _ema_col(d, alpha, key_col, order_col, "loss", "avg_loss", method, max_len)
     return d.withColumn(
         "rsi",
         100.0

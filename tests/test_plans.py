@@ -801,3 +801,16 @@ def test_dsir_ratio_broadcasts(spark):
     p = _plan(out)
     assert "BroadcastHashJoin" in p, p
     assert "PythonUDF" not in p and "InPandas" not in p, p
+
+
+def test_ema_max_len_hint_skips_routing(spark, grid):
+    """auto + a max_len hint inside the closed-form envelope plans the
+    closed form directly: no grouped-map branch, no union, and one
+    fewer window pass than unhinted auto."""
+    from spark_timeseries_spark.operators.indicators import ema
+
+    hinted = _plan(ema(grid, 0.3, max_len=31))
+    assert "InPandas" not in hinted and "Union" not in hinted, hinted
+    unhinted = _plan(ema(grid, 0.3))
+    assert "Union" in unhinted  # routing keeps both branches
+    assert hinted.count("Window") < unhinted.count("Window")
