@@ -3377,6 +3377,42 @@ def _q_intervention(spark, sf_dir):
     )
 
 
+def _q_hjorth(spark, sf_dir):
+    """Hjorth activity/mobility/complexity per series on the daily grid
+    — population variances of x, Δx, Δ²x via explicit deviations; one
+    lag window + one aggregate."""
+    from spark_timeseries_spark.operators.features import hjorth_params
+
+    grid = _daily_grid(spark, sf_dir)
+    out = hjorth_params(grid)
+    return out.select(
+        "key", "n",
+        _stable_round(F.col("activity"), 6).alias("activity"),
+        _stable_round(F.col("mobility"), 6).alias("mobility"),
+        _stable_round(F.col("complexity"), 6).alias("complexity"),
+    )
+
+
+def _q_nonlinearity(spark, sf_dir):
+    """tsfresh nonlinearity scalars (c3, cid_ce, mean_abs_change,
+    mean-crossings, 10-bin entropy) per series on the daily grid — one
+    lag window + two map-side aggregates."""
+    from spark_timeseries_spark.operators.features import (
+        nonlinearity_features,
+    )
+
+    grid = _daily_grid(spark, sf_dir)
+    out = nonlinearity_features(grid, lag=1, bins=10)
+    return out.select(
+        "key", "n",
+        _stable_round(F.col("c3"), 4).alias("c3"),
+        _stable_round(F.col("cid_ce"), 6).alias("cid_ce"),
+        _stable_round(F.col("mean_abs_change"), 6).alias("mean_abs_change"),
+        "n_crossings",
+        _stable_round(F.col("binned_entropy"), 6).alias("binned_entropy"),
+    )
+
+
 def _q_dsir_weights(spark, sf_dir):
     """DSIR hashed n-gram importance weights of odd-id documents toward
     the even-id half as target (md5_60 hash — the oracle-replayable
@@ -3427,6 +3463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coherence": _q_coherence,
         "intervention": _q_intervention,
         "dsir_weights": _q_dsir_weights,
+        "hjorth": _q_hjorth,
+        "nonlinearity": _q_nonlinearity,
         # -- (b) rotation queue, stalest driver evidence first (r5-era) ----
         "mixture_epochs": _q_mixture_epochs,
         "remove_dup_spans": _q_remove_dup_spans,
@@ -3464,9 +3502,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "sessionize": _q_sessionize,
         "session_stats": _q_session_stats,
+        # ---- driver window (50) ends here ----------------------------------
         "stratified_sample": _q_stratified_sample,
         "token_percentiles": _q_token_percentiles,
-        # ---- driver window (50) ends here ----------------------------------
         "scrub_pii": _q_scrub_pii,
         "dedup_components": _q_dedup_components,
         "decontaminate": _q_decontaminate,
@@ -9248,6 +9286,99 @@ def oracle_sql() -> dict[str, str]:
                {_sr_sql("(aq + bq * 15) - (ap + bp * 15)", 6)}
                    AS level_change
         FROM eff
+    """
+
+    o["hjorth"] = _DAILY_GRID_SQL + f"""
+        , pts AS (
+            SELECT key, loc, value FROM grid WHERE value IS NOT NULL
+        ),
+        d0 AS (
+            SELECT key, loc, value,
+                   value - lag(value) OVER w AS d1
+            FROM pts WINDOW w AS (PARTITION BY key ORDER BY loc)
+        ),
+        d1t AS (
+            SELECT key, loc, value, d1,
+                   d1 - lag(d1) OVER w AS d2
+            FROM d0 WINDOW w AS (PARTITION BY key ORDER BY loc)
+        ),
+        m AS (
+            SELECT key, value, d1, d2,
+                   avg(value) OVER wk AS mu,
+                   avg(d1) OVER wk AS mu1,
+                   avg(d2) OVER wk AS mu2
+            FROM d1t WINDOW wk AS (PARTITION BY key)
+        ),
+        a AS (
+            SELECT key, CAST(count(value) AS BIGINT) AS n,
+                   avg((value - mu) * (value - mu)) AS v0,
+                   avg((d1 - mu1) * (d1 - mu1)) AS v1,
+                   avg((d2 - mu2) * (d2 - mu2)) AS v2
+            FROM m GROUP BY key
+        )
+        SELECT key, n,
+               {_sr_sql("v0", 6)} AS activity,
+               {_sr_sql("CASE WHEN v0 != 0 THEN sqrt(v1 / v0) END", 6)}
+                   AS mobility,
+               {_sr_sql(
+                   "CASE WHEN v0 != 0 AND v1 != 0 "
+                   "THEN sqrt(v2 / v1) / sqrt(v1 / v0) END", 6)}
+                   AS complexity
+        FROM a
+    """
+
+    o["nonlinearity"] = _DAILY_GRID_SQL + f"""
+        , pts AS (
+            SELECT key, loc, value FROM grid WHERE value IS NOT NULL
+        ),
+        w1 AS (
+            SELECT key, value,
+                   lead(value, 1) OVER w AS l1,
+                   lead(value, 2) OVER w AS l2,
+                   lead(value, 1) OVER w AS nx,
+                   avg(value) OVER wk AS mu,
+                   min(value) OVER wk AS mn,
+                   max(value) OVER wk AS mx
+            FROM pts
+            WINDOW w AS (PARTITION BY key ORDER BY loc),
+                   wk AS (PARTITION BY key)
+        ),
+        base9 AS (
+            SELECT key, CAST(count(value) AS BIGINT) AS n,
+                   avg(value * l1 * l2) AS c3,
+                   sqrt(coalesce(
+                       sum((nx - value) * (nx - value)), 0.0)) AS cid_ce,
+                   avg(abs(nx - value)) AS mean_abs_change,
+                   CAST(coalesce(sum(CASE WHEN nx IS NOT NULL AND
+                       (((value - mu) > 0 AND (nx - mu) <= 0) OR
+                        ((value - mu) <= 0 AND (nx - mu) > 0))
+                       THEN 1 END), 0) AS BIGINT) AS n_crossings
+            FROM w1 GROUP BY key
+        ),
+        binsx AS (
+            SELECT key,
+                   CASE WHEN mx - mn > 0 THEN least(
+                       CAST(floor((value - mn) / (mx - mn) * 10) AS INT), 9)
+                   ELSE 0 END AS b
+            FROM w1
+        ),
+        hist AS (SELECT key, b, count(*) AS c FROM binsx GROUP BY 1, 2),
+        entx AS (
+            SELECT key,
+                   -sum((CAST(c AS DOUBLE) / tot)
+                        * ln(CAST(c AS DOUBLE) / tot)) AS e
+            FROM (SELECT key, c,
+                         sum(c) OVER (PARTITION BY key) AS tot
+                  FROM hist)
+            GROUP BY key
+        )
+        SELECT base9.key, n,
+               {_sr_sql("c3", 4)} AS c3,
+               {_sr_sql("cid_ce", 6)} AS cid_ce,
+               {_sr_sql("mean_abs_change", 6)} AS mean_abs_change,
+               n_crossings,
+               {_sr_sql("coalesce(e, 0.0)", 6)} AS binned_entropy
+        FROM base9 LEFT JOIN entx ON base9.key = entx.key
     """
 
     o["dsir_weights"] = f"""

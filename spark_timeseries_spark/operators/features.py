@@ -50,6 +50,7 @@ __all__ = [
     "sample_entropy",
     "hjorth_params",
     "nonlinearity_features",
+    "fano_factor",
 ]
 
 
@@ -898,3 +899,49 @@ def nonlinearity_features(
         key_col, "n", "c3", "cid_ce", "mean_abs_change", "n_crossings",
         F.coalesce("binned_entropy", F.lit(0.0)).alias("binned_entropy"),
     )
+
+
+def fano_factor(
+    df: DataFrame,
+    unit: str = "hour",
+    key_col: str = "key",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Counts-based overdispersion per key → (key, n_buckets, mean_rate,
+    fano): events are bucketed by ``date_trunc(unit)`` over the key's
+    OWN observation span (EMPTY buckets count 0 — omitting them biases
+    every sparse stream toward Poisson), then fano = var(count)/
+    mean(count) (sample variance): 1 for Poisson, > 1 bursty, < 1
+    regular. The fixed-window complement of
+    :func:`interarrival_stats`'s gap-based burstiness — the two
+    disagree exactly when bursts cluster WITHIN windows.
+
+    Plan: one (key, bucket) count groupBy + one per-key min/max span
+    aggregate exploded into the dense bucket calendar + one left join +
+    one aggregate. The explode is span/unit rows per key — bounded by
+    wall-clock span, not event count, so a 100 TB stream with a 1-year
+    span is ≤ 8784 hourly rows per key. NULL fano for single-bucket
+    spans (sample variance undefined)."""
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    counts = df.groupBy(
+        F.col(key_col).alias("_k"), bucket.alias("_b")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    span = counts.groupBy("_k").agg(
+        F.min("_b").alias("_h0"), F.max("_b").alias("_h1")
+    )
+    cal = span.select(
+        "_k",
+        F.explode(
+            F.sequence(
+                F.col("_h0"), F.col("_h1"), F.expr(f"interval 1 {unit}")
+            )
+        ).alias("_b"),
+    )
+    dense = cal.join(counts, ["_k", "_b"], "left").select(
+        "_k", F.coalesce("_c", F.lit(0)).alias("_c")
+    )
+    return dense.groupBy("_k").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.avg("_c").alias("mean_rate"),
+        F.try_divide(F.var_samp("_c"), F.avg("_c")).alias("fano"),
+    ).withColumnRenamed("_k", key_col)

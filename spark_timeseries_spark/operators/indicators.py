@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ema", "macd", "rsi", "bollinger"]
+__all__ = ["ema", "macd", "rsi", "bollinger", "adx"]
 
 
 def _ema_safe_len(alpha: float) -> int:
@@ -262,3 +262,83 @@ def bollinger(
         "bandwidth",
         F.try_divide(F.col("upper") - F.col("lower"), F.col("mid")),
     )
+
+
+def adx(
+    df: DataFrame,
+    n: int = 14,
+    key_col: str = "key",
+    order_col: str = "bar_ts",
+    high_col: str = "high",
+    low_col: str = "low",
+    close_col: str = "close",
+    method: str = "auto",
+    max_len: int | None = None,
+) -> DataFrame:
+    """Wilder's Average Directional Index over OHLC bars → one row per
+    bar from the SECOND onward (the first has no previous bar):
+    ``tr`` (true range), ``plus_di``/``minus_di`` (100·smoothed
+    ±DM / smoothed TR), ``dx`` (100·|+DI − −DI|/(+DI + −DI)), ``adx``
+    (Wilder-smoothed DX) — the standard trend-STRENGTH gauge (the DIs
+    give direction, ADX > ~25 says the trend is real). Consumes
+    :func:`~spark_timeseries_spark.operators.resample.ohlc` output or
+    any (key, order, high, low, close) frame.
+
+    Conventions: ±DM by Wilder's exclusive rule (+DM = up-move iff it
+    exceeds the down-move AND is positive, else 0); all four smoothings
+    are the engine's adjust=False EMA with α = 1/n seeded at the first
+    value (the ewm variant — Wilder's original SMA burn-in converges to
+    this recursion; the :func:`rsi` precedent). Bars where smoothed TR
+    is 0 (a flat bar run from the very start) yield NULL DIs and are
+    DROPPED from the ADX recursion (the observed-subsequence convention
+    every EMA in this module uses).
+
+    Plan: one lag window + four chained closed-form EMA passes sharing
+    the same (key, order) sort — all JVM below the auto threshold, the
+    same dual-plan routing as :func:`ema` beyond it."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    h, l, c = F.col(high_col), F.col(low_col), F.col(close_col)
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+    pts = df.where(h.isNotNull() & l.isNotNull() & c.isNotNull())
+    d = (
+        pts.withColumn("_ph", F.lag(high_col).over(ws))
+        .withColumn("_pl", F.lag(low_col).over(ws))
+        .withColumn("_pc", F.lag(close_col).over(ws))
+        .where(F.col("_ph").isNotNull())
+    )
+    up = h - F.col("_ph")
+    dn = F.col("_pl") - l
+    d = (
+        d.withColumn(
+            "_pdm", F.when((up > dn) & (up > 0), up).otherwise(F.lit(0.0))
+        )
+        .withColumn(
+            "_mdm", F.when((dn > up) & (dn > 0), dn).otherwise(F.lit(0.0))
+        )
+        .withColumn(
+            "tr",
+            F.greatest(h - l, F.abs(h - F.col("_pc")), F.abs(l - F.col("_pc"))),
+        )
+        .drop("_ph", "_pl", "_pc")
+    )
+    alpha = 1.0 / n
+    d = _ema_col(d, alpha, key_col, order_col, "_pdm", "_spdm", method, max_len)
+    d = _ema_col(d, alpha, key_col, order_col, "_mdm", "_smdm", method, max_len)
+    d = _ema_col(d, alpha, key_col, order_col, "tr", "_str", method, max_len)
+    plus_di = 100.0 * F.try_divide(F.col("_spdm"), F.col("_str"))
+    minus_di = 100.0 * F.try_divide(F.col("_smdm"), F.col("_str"))
+    d = (
+        d.withColumn("plus_di", plus_di)
+        .withColumn("minus_di", minus_di)
+        .withColumn(
+            "dx",
+            100.0
+            * F.try_divide(
+                F.abs(F.col("plus_di") - F.col("minus_di")),
+                F.col("plus_di") + F.col("minus_di"),
+            ),
+        )
+        .drop("_pdm", "_mdm", "_spdm", "_smdm", "_str")
+    )
+    return _ema_col(d, alpha, key_col, order_col, "dx", "adx", method, max_len)

@@ -815,3 +815,35 @@ def readability(
         n_syll.cast("bigint").alias("n_syllables"),
         F.when(n_words > 0, flesch).alias("flesch"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum tokenizer efficiency profile → (stratum, n_docs,
+    words, tokens, chars, fertility, chars_per_token): fertility =
+    BPE-ish tokens per whitespace word (the multilingual-tokenizer
+    budget metric — a stratum with fertility 2× the corpus mean pays 2×
+    the sequence length for the same text), chars_per_token = the
+    compression ratio (chars per token ≈ bytes per token on mostly-
+    ASCII corpora). NULL ratios on empty strata (try_divide). ONE
+    map-side-combinable aggregate over one scan — a word-count at
+    100 TB."""
+    t = F.col(text_col)
+    agg = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(t, bpe=False).cast("long")).alias("words"),
+        F.sum(token_count(t, bpe=True).cast("long")).alias("tokens"),
+        F.sum(F.length(t).cast("long")).alias("chars"),
+    )
+    return agg.select(
+        stratum_col, "n_docs", "words", "tokens", "chars",
+        F.try_divide(
+            F.col("tokens").cast("double"), F.col("words").cast("double")
+        ).alias("fertility"),
+        F.try_divide(
+            F.col("chars").cast("double"), F.col("tokens").cast("double")
+        ).alias("chars_per_token"),
+    )

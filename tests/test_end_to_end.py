@@ -2900,3 +2900,107 @@ def test_bocpd(spark):
     for t in out:
         assert out[t].p_cp == out2[t].p_cp
         assert out[t].run_map == out2[t].run_map
+
+
+def test_fano_factor(spark):
+    """Fano factor with EMPTY buckets counted: a periodic 1-per-hour
+    stream has fano 0; a bursty stream (all events in one hour of a
+    long span) has fano >> 1; pandas replay on constructed data."""
+    import datetime as dt
+
+    import numpy as np
+
+    from spark_timeseries_spark.operators.features import fano_factor
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("per", t0 + dt.timedelta(hours=h, minutes=30)) for h in range(24)]
+    rows += [("burst", t0 + dt.timedelta(minutes=m)) for m in range(0, 50, 5)]
+    rows += [("burst", t0 + dt.timedelta(hours=23))]  # span anchor
+    df = spark.createDataFrame(rows, "key string, ts timestamp")
+    out = {r.key: r for r in fano_factor(df, "hour").collect()}
+    assert out["per"].n_buckets == 24 and out["per"].fano == 0.0
+    assert out["per"].mean_rate == 1.0
+    # burst: 10 events in hour 0, 1 in hour 23, 22 empty buckets
+    b = out["burst"]
+    assert b.n_buckets == 24
+    counts = np.array([10] + [0] * 22 + [1])
+    assert abs(b.fano - counts.var(ddof=1) / counts.mean()) < 1e-9
+    assert b.fano > 5
+
+
+def test_tokenizer_fertility(spark, sf_dir):
+    """Fertility/compression per lang matches a pandas replay using the
+    engine's own token counters on the real documents table."""
+    from spark_timeseries_spark.pipeline.text import (
+        token_count,
+        tokenizer_fertility,
+    )
+    from spark_timeseries_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = {r[0]: r for r in tokenizer_fertility(docs).collect()}
+    chk = docs.select(
+        "lang",
+        token_count(F.col("text")).alias("w"),
+        token_count(F.col("text"), bpe=True).alias("t"),
+        F.length("text").alias("c"),
+    ).toPandas()
+    for lang, g in chk.groupby("lang"):
+        r = out[lang]
+        assert r.n_docs == len(g)
+        assert r.words == g.w.sum() and r.tokens == g.t.sum()
+        assert r.chars == g.c.sum()
+        assert abs(r.fertility - g.t.sum() / g.w.sum()) < 1e-12
+        assert abs(r.chars_per_token - g.c.sum() / g.t.sum()) < 1e-12
+
+
+def test_adx(spark):
+    """ADX against a pandas replay of Wilder's recursion (ewm-seeded);
+    a strong monotone trend drives ADX high with +DI >> -DI; flat bars
+    drop per contract."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_timeseries_spark.operators.indicators import adx
+
+    rng = np.random.RandomState(31)
+    T = 50
+    close = np.cumsum(rng.randn(T) * 0.5 + 1.0) + 100  # up-trend
+    high = close + np.abs(rng.randn(T)) * 0.5
+    low = close - np.abs(rng.randn(T)) * 0.5
+    rows = [("a", i, float(high[i]), float(low[i]), float(close[i]))
+            for i in range(T)]
+    df = spark.createDataFrame(
+        rows, "key string, bar_ts long, high double, low double, close double"
+    )
+    out = {r.bar_ts: r for r in adx(df, n=14).collect()}
+    assert set(out) == set(range(1, T))
+
+    def wilder(x):
+        e = np.empty(len(x))
+        e[0] = x[0]
+        a = 1.0 / 14
+        for i in range(1, len(x)):
+            e[i] = a * x[i] + (1 - a) * e[i - 1]
+        return e
+
+    up = high[1:] - high[:-1]
+    dn = low[:-1] - low[1:]
+    pdm = np.where((up > dn) & (up > 0), up, 0.0)
+    mdm = np.where((dn > up) & (dn > 0), dn, 0.0)
+    tr = np.maximum.reduce([
+        high[1:] - low[1:],
+        np.abs(high[1:] - close[:-1]),
+        np.abs(low[1:] - close[:-1]),
+    ])
+    spdm, smdm, strr = wilder(pdm), wilder(mdm), wilder(tr)
+    pdi, mdi = 100 * spdm / strr, 100 * smdm / strr
+    dx = 100 * np.abs(pdi - mdi) / (pdi + mdi)
+    adx_ = wilder(dx)
+    for i in range(1, T):
+        r = out[i]
+        assert abs(r.tr - tr[i - 1]) < 1e-9
+        assert abs(r.plus_di - pdi[i - 1]) < 1e-7
+        assert abs(r.minus_di - mdi[i - 1]) < 1e-7
+        assert abs(r.adx - adx_[i - 1]) < 1e-7
+    assert out[T - 1].adx > 25 and out[T - 1].plus_di > out[T - 1].minus_di
