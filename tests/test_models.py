@@ -745,3 +745,49 @@ def test_croston(spark):
         croston(df, 0.0)
     with _pytest.raises(ValueError):
         croston(df, 0.2, "banana")
+
+
+def test_kalman_local_level(spark):
+    """On a simulated local-level series (known Q/R): q-MLE lands
+    within an order of magnitude, the smoothed path beats the raw
+    observations at recovering the true level (MSE), the filter
+    matches a scalar python replay at fixed q, and variance columns
+    scale with R-hat."""
+    import numpy as np
+
+    from spark_timeseries_spark.models.kalman import kalman_local_level
+
+    rng = np.random.RandomState(7)
+    T = 200
+    true_q = 0.1  # Q/R
+    level = np.cumsum(rng.randn(T) * np.sqrt(true_q)) + 50
+    y = level + rng.randn(T)
+    rows = [("a", i, float(y[i])) for i in range(T)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+
+    out = kalman_local_level(df).orderBy("loc").collect()
+    assert len(out) == T
+    qh = out[0].q_hat
+    assert 0.01 < qh < 1.0  # order of magnitude around 0.1
+    sm = np.array([r.smoothed for r in out])
+    assert ((sm - level) ** 2).mean() < ((y - level) ** 2).mean() * 0.6
+
+    # fixed-q filter parity vs scalar replay
+    fixed = {r.loc: r for r in
+             kalman_local_level(df, q=0.1).orderBy("loc").collect()}
+    mu, p = y[0], 1e12
+    for t in range(T):
+        if t > 0:
+            p += 0.1
+        f = p + 1.0
+        k = p / f
+        mu = mu + k * (y[t] - mu)
+        p = p * (1.0 - k)
+        assert abs(fixed[t].level - mu) < 1e-6 * max(1, abs(mu))
+    # short series pass-through
+    tiny = spark.createDataFrame(
+        [("t", 0, 1.0), ("t", 1, 2.0)], "key string, loc long, value double"
+    )
+    rt = kalman_local_level(tiny).orderBy("loc").collect()
+    assert [r.level for r in rt] == [1.0, 2.0]
+    assert rt[0].level_var is None or np.isnan(rt[0].level_var)
