@@ -3413,6 +3413,133 @@ def _q_nonlinearity(spark, sf_dir):
     )
 
 
+def _q_fano(spark, sf_dir):
+    """Hourly Fano factor per user with empty buckets counted — the
+    counts-window complement of interarrival burstiness."""
+    from spark_timeseries_spark.operators.features import fano_factor
+
+    obs = events_observations(spark, sf_dir)
+    out = fano_factor(obs, "hour")
+    return out.select(
+        "key", "n_buckets",
+        _stable_round(F.col("mean_rate"), 6).alias("mean_rate"),
+        _stable_round(F.col("fano"), 6).alias("fano"),
+    )
+
+
+def _q_fertility(spark, sf_dir):
+    """Tokenizer fertility (BPE tokens per word) and chars-per-token by
+    language — one aggregate over one documents scan."""
+    from spark_timeseries_spark.pipeline.text import tokenizer_fertility
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tokenizer_fertility(docs, "lang")
+    return out.select(
+        F.col("lang").alias("stratum"), "n_docs", "words", "tokens", "chars",
+        _stable_round(F.col("fertility"), 6).alias("fertility"),
+        _stable_round(F.col("chars_per_token"), 6).alias("chars_per_token"),
+    )
+
+
+def _q_adx(spark, sf_dir):
+    """Wilder ADX(14) over each user's daily OHLC bars — the
+    ohlc→lag→4-chained-closed-EMA pipeline, all JVM at this bar
+    count."""
+    from spark_timeseries_spark.operators.indicators import adx
+    from spark_timeseries_spark.operators.resample import ohlc
+
+    obs = events_observations(spark, sf_dir)
+    out = adx(ohlc(obs, "day"), n=14)
+    return out.select(
+        "key", "bar_ts",
+        _stable_round(F.col("tr"), 6).alias("tr"),
+        _stable_round(F.col("plus_di"), 6).alias("plus_di"),
+        _stable_round(F.col("minus_di"), 6).alias("minus_di"),
+        _stable_round(F.col("dx"), 6).alias("dx"),
+        _stable_round(F.col("adx"), 6).alias("adx"),
+    )
+
+
+def _q_vwap_bars(spark, sf_dir):
+    """Daily OHLC+VWAP bars with volume parsed out of the events JSON
+    props — the volume-weighted variant of ohlc_bars (one regexp
+    extract + the same single groupBy)."""
+    from spark_timeseries_spark.operators.resample import ohlc
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        "ts",
+        "value",
+        F.regexp_extract("props", r'"k":\s*(\d+)', 1).try_cast("long").alias("vol"),
+    )
+    out = ohlc(obs, "day", volume_col="vol")
+    return out.select(
+        "key", "bar_ts",
+        _stable_round(F.col("open"), 6).alias("open"),
+        _stable_round(F.col("high"), 6).alias("high"),
+        _stable_round(F.col("low"), 6).alias("low"),
+        _stable_round(F.col("close"), 6).alias("close"),
+        "n",
+        _stable_round(F.col("vwap"), 6).alias("vwap"),
+    )
+
+
+def _q_demand_class(spark, sf_dir):
+    """SBC demand-pattern quadrants over per-user daily ERROR-event
+    counts on the fixed January calendar (zero days are zero demand —
+    the intermittency this classifier exists for)."""
+    from spark_timeseries_spark.models.baselines import demand_classification
+
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.select(
+        F.col("user_id").cast("string").alias("key")
+    ).distinct()
+    cal = spark.range(31).select(F.col("id").alias("loc"))
+    cnt = (
+        ev.where(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").cast("string").alias("key"),
+            F.datediff(
+                F.date_trunc("day", F.col("ts")),
+                F.lit("2024-01-01").cast("timestamp"),
+            ).cast("long").alias("loc"),
+        )
+        .groupBy("key", "loc")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    grid = (
+        keys.crossJoin(cal)
+        .join(cnt, ["key", "loc"], "left")
+        .select(
+            "key", "loc",
+            F.coalesce("_c", F.lit(0)).cast("double").alias("value"),
+        )
+    )
+    out = demand_classification(grid)
+    return out.select(
+        "key", "n", "n_demands",
+        _stable_round(F.col("adi"), 6).alias("adi"),
+        _stable_round(F.col("cv2"), 6).alias("cv2"),
+        "pattern",
+    )
+
+
+def _q_var_es(spark, sf_dir):
+    """Historical VaR(90)/ES per user over daily log returns off the
+    filled grid — percentile + conditional tail mean."""
+    from spark_timeseries_spark.operators.volatility import var_es
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
+    out = var_es(filled, alpha=0.9)
+    return out.select(
+        "key", "n_ret",
+        _stable_round(F.col("var"), 6).alias("var"),
+        _stable_round(F.col("es"), 6).alias("es"),
+    )
+
+
 def _q_dsir_weights(spark, sf_dir):
     """DSIR hashed n-gram importance weights of odd-id documents toward
     the even-id half as target (md5_60 hash — the oracle-replayable
@@ -3440,10 +3567,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     anchored), ``theil_sen`` (equal-loc pairs masked in the kernel),
     ``macd``/``rsi`` (the alpha≥1 EMA short-circuit), ``bollinger``
     (strict-rechecked alongside), ``embedding_dim_stats`` (the
-    ``exact=False`` sketch path, exact default unchanged); (b) the
-    standing rotation queue, STALEST driver evidence first: the r5-era
-    block (``mixture_epochs`` … ``resample_closed_right`` — 43 rows,
-    covering the whole r8-verdict-named stale range). Everything
+    ``exact=False`` sketch path, exact default unchanged); (a') the
+    13 queries NEW in r9 (volatility family, coherence, intervention,
+    DSIR, hjorth/nonlinearity, fano, fertility, adx, vwap, demand
+    classification, VaR/ES); (b) the standing rotation queue, STALEST
+    driver evidence first: the r5-era block (``mixture_epochs`` …
+    ``token_entropy`` — 30 rows of the r8-verdict-named stale range;
+    the remainder of that block queues for r10). Everything
     displaced is green in the committed strict-mode full oracle log
     (``tools/check_correctness_r09_full.log`` — exact-representation
     compare, no array columns) which is refreshed in the same commit as
@@ -3465,6 +3595,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "hjorth": _q_hjorth,
         "nonlinearity": _q_nonlinearity,
+        "fano": _q_fano,
+        "fertility": _q_fertility,
+        "adx": _q_adx,
+        "vwap_bars": _q_vwap_bars,
+        "demand_class": _q_demand_class,
+        "var_es": _q_var_es,
         # -- (b) rotation queue, stalest driver evidence first (r5-era) ----
         "mixture_epochs": _q_mixture_epochs,
         "remove_dup_spans": _q_remove_dup_spans,
@@ -3496,13 +3632,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_pairs": _q_pmi_pairs,
         "outliers": _q_outliers,
         "token_entropy": _q_token_entropy,
+        # ---- driver window (50) ends here ----------------------------------
         "token_divergence": _q_token_divergence,
         "repetition_features": _q_repetition_features,
         "gopher_repetition": _q_gopher_repetition,
         "gopher_quality": _q_gopher_quality,
         "sessionize": _q_sessionize,
         "session_stats": _q_session_stats,
-        # ---- driver window (50) ends here ----------------------------------
         "stratified_sample": _q_stratified_sample,
         "token_percentiles": _q_token_percentiles,
         "scrub_pii": _q_scrub_pii,
@@ -9286,6 +9422,243 @@ def oracle_sql() -> dict[str, str]:
                {_sr_sql("(aq + bq * 15) - (ap + bp * 15)", 6)}
                    AS level_change
         FROM eff
+    """
+
+    o["demand_class"] = f"""
+        WITH keys AS (
+            SELECT DISTINCT CAST(user_id AS VARCHAR) AS key FROM events
+        ),
+        cal AS (
+            SELECT CAST(r.range AS BIGINT) AS loc FROM range(31) r
+        ),
+        cnt AS (
+            SELECT CAST(user_id AS VARCHAR) AS key,
+                   CAST(date_diff('day', TIMESTAMP '2024-01-01',
+                        date_trunc('day', ts)) AS BIGINT) AS loc,
+                   count(*) AS c
+            FROM events WHERE event_type = 'error' GROUP BY 1, 2
+        ),
+        g AS (
+            SELECT keys.key, cal.loc,
+                   CAST(coalesce(cnt.c, 0) AS DOUBLE) AS v
+            FROM keys CROSS JOIN cal
+            LEFT JOIN cnt ON cnt.key = keys.key AND cnt.loc = cal.loc
+        ),
+        a AS (
+            SELECT key, CAST(count(v) AS BIGINT) AS n,
+                   CAST(count(CASE WHEN v != 0 THEN v END) AS BIGINT)
+                       AS n_demands,
+                   min(loc) AS l0, max(loc) AS l1,
+                   avg(CASE WHEN v != 0 THEN v END) AS mu,
+                   stddev_samp(CASE WHEN v != 0 THEN v END) AS sd
+            FROM g GROUP BY key
+        ),
+        m AS (
+            SELECT key, n, n_demands,
+                   CASE WHEN n_demands != 0 THEN
+                       CAST(l1 - l0 + 1 AS DOUBLE) / n_demands END AS adi,
+                   CASE WHEN mu != 0 THEN pow(sd / mu, 2) END AS cv2
+            FROM a
+        )
+        SELECT key, n, n_demands,
+               {_sr_sql("adi", 6)} AS adi,
+               {_sr_sql("cv2", 6)} AS cv2,
+               CASE WHEN cv2 IS NULL OR adi IS NULL THEN NULL
+                    WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth'
+                    WHEN adi >= 1.32 AND cv2 < 0.49 THEN 'intermittent'
+                    WHEN adi < 1.32 AND cv2 >= 0.49 THEN 'erratic'
+                    ELSE 'lumpy' END AS pattern
+        FROM m
+    """
+
+    o["var_es"] = _DAILY_GRID_SQL + _FILLED_SQL + f"""
+        , ptsv AS (
+            SELECT key, loc, value FROM filled
+            WHERE value IS NOT NULL AND value > 0
+        ),
+        r0 AS (
+            SELECT key, value, lag(value) OVER w AS pv
+            FROM ptsv WINDOW w AS (PARTITION BY key ORDER BY loc)
+        ),
+        rr AS (SELECT key, ln(value / pv) AS r FROM r0 WHERE pv IS NOT NULL),
+        q AS (
+            SELECT key, CAST(count(*) AS BIGINT) AS n_ret,
+                   quantile_cont(r, 0.09999999999999998) AS v
+            FROM rr GROUP BY key
+        ),
+        tl AS (
+            SELECT rr.key, avg(r) AS es
+            FROM rr JOIN q ON q.key = rr.key AND rr.r <= q.v
+            GROUP BY rr.key
+        )
+        SELECT q.key, n_ret,
+               {_sr_sql("CASE WHEN n_ret >= 2 THEN v END", 6)} AS var,
+               {_sr_sql("CASE WHEN n_ret >= 2 THEN es END", 6)} AS es
+        FROM q LEFT JOIN tl ON tl.key = q.key
+    """
+
+    o["fano"] = """
+        WITH pts AS (
+            SELECT CAST(user_id AS VARCHAR) AS key,
+                   date_trunc('hour', ts) AS b
+            FROM events
+        ),
+        counts AS (SELECT key, b, count(*) AS c FROM pts GROUP BY 1, 2),
+        span AS (SELECT key, min(b) AS h0, max(b) AS h1
+                 FROM counts GROUP BY key),
+        cal AS (
+            SELECT key, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS b
+            FROM span
+        ),
+        dense AS (
+            SELECT cal.key, coalesce(counts.c, 0) AS c
+            FROM cal LEFT JOIN counts
+            ON counts.key = cal.key AND counts.b = cal.b
+        )
+        SELECT key, CAST(count(*) AS BIGINT) AS n_buckets,
+               {mr} AS mean_rate,
+               {ff} AS fano
+        FROM dense GROUP BY key
+    """.format(
+        mr=_sr_sql("avg(c)", 6),
+        ff=_sr_sql("CASE WHEN avg(c) != 0 THEN var_samp(c) / avg(c) END", 6),
+    )
+
+    o["fertility"] = f"""
+        WITH a AS (
+            SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                        END) AS BIGINT) AS words,
+                   CAST(SUM(len(regexp_extract_all(text,
+                        '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')))
+                       AS BIGINT) AS tokens,
+                   CAST(SUM(length(text)) AS BIGINT) AS chars
+            FROM documents GROUP BY 1
+        )
+        SELECT stratum, n_docs, words, tokens, chars,
+               {_sr_sql(
+                   "CASE WHEN words != 0 THEN CAST(tokens AS DOUBLE) "
+                   "/ CAST(words AS DOUBLE) END", 6)} AS fertility,
+               {_sr_sql(
+                   "CASE WHEN tokens != 0 THEN CAST(chars AS DOUBLE) "
+                   "/ CAST(tokens AS DOUBLE) END", 6)} AS chars_per_token
+        FROM a
+    """
+
+    _adx_q = repr(1.0 - 1.0 / 14.0)
+    _adx_a = repr(1.0 / 14.0)
+    o["adx"] = f"""
+        WITH bars AS (
+            SELECT CAST(user_id AS VARCHAR) AS key,
+                   date_trunc('day', ts) AS bar_ts,
+                   max(value) AS high, min(value) AS low,
+                   last(value ORDER BY ts, value) AS close
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        b2 AS (
+            SELECT key, bar_ts, high, low, close,
+                   lag(high) OVER w AS ph, lag(low) OVER w AS pl,
+                   lag(close) OVER w AS pc
+            FROM bars WINDOW w AS (PARTITION BY key ORDER BY bar_ts)
+        ),
+        d AS (
+            SELECT key, bar_ts,
+                   CASE WHEN (high - ph) > (pl - low) AND (high - ph) > 0
+                        THEN high - ph ELSE 0.0 END AS pdm,
+                   CASE WHEN (pl - low) > (high - ph) AND (pl - low) > 0
+                        THEN pl - low ELSE 0.0 END AS mdm,
+                   greatest(high - low, abs(high - pc), abs(low - pc)) AS tr
+            FROM b2 WHERE ph IS NOT NULL
+        ),
+        e AS (
+            SELECT *, CAST(row_number() OVER
+                (PARTITION BY key ORDER BY bar_ts) - 1 AS BIGINT) AS j
+            FROM d
+        ),
+        p1 AS (
+            SELECT key, bar_ts, j, tr,
+                   first_value(pdm) OVER wk AS pdm0,
+                   first_value(mdm) OVER wk AS mdm0,
+                   first_value(tr) OVER wk AS tr0,
+                   SUM(CASE WHEN j >= 1 THEN pdm / power({_adx_q}, j) END)
+                       OVER wp AS spdm,
+                   SUM(CASE WHEN j >= 1 THEN mdm / power({_adx_q}, j) END)
+                       OVER wp AS smdm,
+                   SUM(CASE WHEN j >= 1 THEN tr / power({_adx_q}, j) END)
+                       OVER wp AS strr
+            FROM e
+            WINDOW wk AS (PARTITION BY key ORDER BY j),
+                   wp AS (PARTITION BY key ORDER BY j
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        di AS (
+            SELECT key, bar_ts, tr,
+                   power({_adx_q}, j) * (pdm0 + {_adx_a} * coalesce(spdm, 0.0))
+                       AS espdm,
+                   power({_adx_q}, j) * (mdm0 + {_adx_a} * coalesce(smdm, 0.0))
+                       AS esmdm,
+                   power({_adx_q}, j) * (tr0 + {_adx_a} * coalesce(strr, 0.0))
+                       AS estr
+            FROM p1
+        ),
+        dx0 AS (
+            SELECT key, bar_ts, tr,
+                   CASE WHEN estr != 0 THEN 100 * espdm / estr END AS pdi,
+                   CASE WHEN estr != 0 THEN 100 * esmdm / estr END AS mdi
+            FROM di
+        ),
+        dx1 AS (
+            SELECT key, bar_ts, tr, pdi, mdi,
+                   CASE WHEN pdi + mdi != 0
+                        THEN 100 * abs(pdi - mdi) / (pdi + mdi) END AS dx
+            FROM dx0
+        ),
+        dx2 AS (
+            SELECT *, CAST(row_number() OVER
+                (PARTITION BY key ORDER BY bar_ts) - 1 AS BIGINT) AS j2
+            FROM dx1 WHERE dx IS NOT NULL
+        ),
+        p2 AS (
+            SELECT key, bar_ts, tr, pdi, mdi, dx, j2,
+                   first_value(dx) OVER wk2 AS dxf,
+                   SUM(CASE WHEN j2 >= 1 THEN dx / power({_adx_q}, j2) END)
+                       OVER wp2 AS sdx
+            FROM dx2
+            WINDOW wk2 AS (PARTITION BY key ORDER BY j2),
+                   wp2 AS (PARTITION BY key ORDER BY j2
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT key, bar_ts,
+               {_sr_sql("tr", 6)} AS tr,
+               {_sr_sql("pdi", 6)} AS plus_di,
+               {_sr_sql("mdi", 6)} AS minus_di,
+               {_sr_sql("dx", 6)} AS dx,
+               {_sr_sql(
+                   f"power({_adx_q}, j2) * (dxf + {_adx_a} "
+                   "* coalesce(sdx, 0.0))", 6)} AS adx
+        FROM p2
+    """
+
+    o["vwap_bars"] = f"""
+        WITH pts AS (
+            SELECT CAST(user_id AS VARCHAR) AS key,
+                   date_trunc('day', ts) AS bar_ts, ts, value,
+                   TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1)
+                        AS BIGINT) AS vol
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT key, bar_ts,
+               {_sr_sql("first(value ORDER BY ts, value)", 6)} AS open,
+               {_sr_sql("max(value)", 6)} AS high,
+               {_sr_sql("min(value)", 6)} AS low,
+               {_sr_sql("last(value ORDER BY ts, value)", 6)} AS close,
+               CAST(count(value) AS BIGINT) AS n,
+               {_sr_sql(
+                   "CASE WHEN sum(vol) != 0 "
+                   "THEN sum(value * vol) / sum(vol) END", 6)} AS vwap
+        FROM pts GROUP BY 1, 2
     """
 
     o["hjorth"] = _DAILY_GRID_SQL + f"""
