@@ -23,7 +23,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["realized_vol", "parkinson_vol"]
+__all__ = ["realized_vol", "parkinson_vol", "var_es"]
 
 
 def realized_vol(
@@ -93,4 +93,49 @@ def parkinson_vol(
         "n_bars",
         pvar.alias("parkinson_var"),
         F.sqrt(pvar).alias("parkinson_vol"),
+    )
+
+
+def var_es(
+    df: DataFrame,
+    alpha: float = 0.95,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Historical Value-at-Risk and Expected Shortfall per series →
+    (key, n_ret, var, es): one-step log returns over consecutive
+    positive observations; VaR = the (1−α) exact interpolated quantile
+    of the return distribution (a LOSS threshold, reported as the
+    return value: negative in a loss tail), ES = mean of returns at or
+    below VaR (the coherent tail measure Basel moved to; ES ≤ VaR by
+    construction). NULL where fewer than 2 returns. One lag window +
+    one percentile aggregate + one conditional re-aggregate (the
+    percentile must land before the tail mean can filter — two passes
+    over the per-key returns, both map-side combinable)."""
+    if not 0.5 <= alpha < 1.0:
+        raise ValueError(f"alpha must be in [0.5, 1), got {alpha}")
+    v = F.col(value_col)
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+    pts = df.where(v.isNotNull() & (v > 0))
+    r = (
+        pts.withColumn("_prev", F.lag(value_col).over(ws))
+        .where(F.col("_prev").isNotNull())
+        .select(key_col, F.log(v / F.col("_prev")).alias("_r"))
+    )
+    q = r.groupBy(key_col).agg(
+        F.count("_r").alias("n_ret"),
+        F.percentile("_r", F.lit(1.0 - alpha)).alias("var"),
+    )
+    tail = (
+        r.join(q.select(key_col, "var"), key_col)
+        .where(F.col("_r") <= F.col("var"))
+        .groupBy(key_col)
+        .agg(F.avg("_r").alias("es"))
+    )
+    return q.join(tail, key_col, "left").select(
+        key_col,
+        "n_ret",
+        F.when(F.col("n_ret") >= 2, F.col("var")).alias("var"),
+        F.when(F.col("n_ret") >= 2, F.col("es")).alias("es"),
     )

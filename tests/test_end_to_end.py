@@ -3004,3 +3004,54 @@ def test_adx(spark):
         assert abs(r.minus_di - mdi[i - 1]) < 1e-7
         assert abs(r.adx - adx_[i - 1]) < 1e-7
     assert out[T - 1].adx > 25 and out[T - 1].plus_di > out[T - 1].minus_di
+
+
+def test_demand_classification(spark):
+    """SBC quadrants on constructed demand patterns; ADI counts the
+    series span; degenerate series NULL."""
+    rows = []
+    # smooth: demand every period, steady sizes
+    rows += [("s", i, 10.0 + (i % 2)) for i in range(20)]
+    # intermittent: demand every 4th period, steady sizes
+    rows += [("i", i, 10.0 if i % 4 == 0 else 0.0) for i in range(20)]
+    # erratic: every period, wildly varying sizes
+    rows += [("e", i, [1.0, 100.0, 2.0, 80.0][i % 4]) for i in range(20)]
+    # lumpy: sparse AND wild
+    rows += [("l", i, [100.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0][i % 8])
+             for i in range(24)]
+    rows += [("one", 0, 5.0)]       # single demand -> NULL cv2
+    rows += [("zero", 0, 0.0)]      # no demand -> NULL adi
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+
+    from spark_timeseries_spark.models.baselines import demand_classification
+
+    out = {r.key: r for r in demand_classification(df).collect()}
+    assert out["s"].pattern == "smooth"
+    assert out["i"].pattern == "intermittent"
+    assert out["e"].pattern == "erratic"
+    assert out["l"].pattern == "lumpy"
+    assert abs(out["i"].adi - 20 / 5) < 1e-12  # span 20, 5 demands
+    assert out["one"].pattern is None and out["zero"].pattern is None
+
+
+def test_var_es(spark):
+    """Historical VaR/ES against a numpy replay (same lerp quantile);
+    ES <= VaR; short series NULL."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.volatility import var_es
+
+    rng = np.random.RandomState(41)
+    px = 100 * np.exp(np.cumsum(rng.randn(100) * 0.02))
+    rows = [("a", i, float(px[i])) for i in range(100)]
+    rows += [("tiny", 0, 5.0), ("tiny", 1, 6.0)]  # 1 return
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    out = {r.key: r for r in var_es(df, alpha=0.95).collect()}
+    r = np.log(px[1:] / px[:-1])
+    v = np.percentile(r, 5.0)  # numpy lerp == F.percentile
+    es = r[r <= v].mean()
+    a = out["a"]
+    assert a.n_ret == 99
+    assert abs(a.var - v) < 1e-12 and abs(a.es - es) < 1e-12
+    assert a.es <= a.var
+    assert out["tiny"].var is None and out["tiny"].es is None
