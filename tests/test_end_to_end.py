@@ -3055,3 +3055,78 @@ def test_var_es(spark):
     assert abs(a.var - v) < 1e-12 and abs(a.es - es) < 1e-12
     assert a.es <= a.var
     assert out["tiny"].var is None and out["tiny"].es is None
+
+
+def test_cross_rank_zscore(spark):
+    """Cross-sectional rank/pct/zscore per instant against numpy; ties
+    share rank; single-series instants gate correctly."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.crosssection import (
+        cross_rank,
+        cross_zscore,
+    )
+
+    rows = [("a", 0, 3.0), ("b", 0, 1.0), ("c", 0, 2.0),
+            ("a", 1, 5.0), ("b", 1, 5.0), ("c", 1, 1.0),
+            ("a", 2, 7.0)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    r = {(x.key, x.loc): x for x in cross_rank(df).collect()}
+    assert r[("a", 0)].rank == 1 and r[("c", 0)].rank == 2
+    assert r[("b", 0)].rank == 3 and r[("b", 0)].pct == 1.0
+    assert r[("a", 1)].rank == 1 and r[("b", 1)].rank == 1  # tie
+    assert r[("c", 1)].rank == 3
+    assert r[("a", 2)].n_keys == 1 and r[("a", 2)].pct == 0.0
+    z = {(x.key, x.loc): x.zscore for x in cross_zscore(df).collect()}
+    col = np.array([3.0, 1.0, 2.0])
+    assert abs(z[("a", 0)] - (3 - col.mean()) / col.std(ddof=1)) < 1e-12
+    assert z[("a", 2)] is None  # single series -> no dispersion
+
+
+def test_funnel(spark):
+    """Strict-order funnel: steps must occur in sequence; out-of-order
+    completions don't count; entities missing step 1 emit no row."""
+    import datetime as dt
+
+    from spark_timeseries_spark.operators.funnel import funnel
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        ("u1", t(0), "view"), ("u1", t(1), "click"), ("u1", t(2), "buy"),
+        ("u2", t(0), "view"), ("u2", t(1), "click"),
+        ("u3", t(1), "click"), ("u3", t(2), "view"),   # click BEFORE view
+        ("u4", t(0), "click"), ("u4", t(1), "buy"),    # never viewed
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, event_type string")
+    out = {r.key: r for r in funnel(df, ["view", "click", "buy"]).collect()}
+    assert set(out) == {"u1", "u2", "u3"}
+    assert out["u1"].steps_completed == 3 and out["u1"].ts_3 == t(2)
+    assert out["u2"].steps_completed == 2 and out["u2"].ts_3 is None
+    # u3's click at t1 precedes its view at t2 -> chain breaks at step 1
+    assert out["u3"].steps_completed == 1 and out["u3"].ts_2 is None
+
+
+def test_retention_cohorts(spark):
+    """Weekly cohort triangle on constructed activity; offset-0
+    retention is 1.0; later offsets count distinct returners."""
+    import datetime as dt
+
+    from spark_timeseries_spark.operators.funnel import retention_cohorts
+
+    d = lambda day: dt.datetime(2024, 1, day)
+    # week of Jan 1 (Mon): u1, u2; week of Jan 8: u3
+    rows = [("u1", d(2)), ("u2", d(3)),        # cohort w0
+            ("u1", d(9)), ("u1", d(10)),       # u1 active w1 (twice)
+            ("u2", d(16)),                     # u2 active w2
+            ("u3", d(9)),                      # cohort w1
+            ("u3", d(16))]                     # u3 active w1+1
+    df = spark.createDataFrame(rows, "key string, ts timestamp")
+    out = {(r.cohort.day, r.offset): r
+           for r in retention_cohorts(df, "week").collect()}
+    w0, w1 = 1, 8  # date_trunc week -> Mon Jan 1 / Mon Jan 8
+    assert out[(w0, 0)].cohort_size == 2 and out[(w0, 0)].retention == 1.0
+    assert out[(w0, 1)].n_active == 1          # only u1 returned in w1
+    assert out[(w0, 2)].n_active == 1          # only u2 in w2
+    assert out[(w1, 0)].cohort_size == 1
+    assert out[(w1, 1)].n_active == 1          # u3 returned
+    assert (w0, 3) not in out                  # no activity -> no row
