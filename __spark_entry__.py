@@ -3557,6 +3557,63 @@ def _q_dsir_weights(spark, sf_dir):
     )
 
 
+def _q_funnel(spark, sf_dir):
+    """Strict-order view→click→purchase funnel over the raw events —
+    k conditional-min join rounds, one first-completion timestamp per
+    entity per step (timestamps exact; no floats anywhere)."""
+    from spark_timeseries_spark.operators.funnel import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        F.col("user_id").cast("string").alias("key"), "ts", "event_type"
+    )
+    return funnel(obs, ["view", "click", "purchase"])
+
+
+def _q_retention_cohorts(spark, sf_dir):
+    """Daily retention triangle over the events — first-activity
+    cohort via window-min (zero joins, no entity broadcast — the r9
+    defect fix), calendar datediff offsets (DST-immune)."""
+    from spark_timeseries_spark.operators.funnel import retention_cohorts
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(F.col("user_id").cast("string").alias("key"), "ts")
+    out = retention_cohorts(obs, "day")
+    return out.select(
+        "cohort", "offset", "n_active", "cohort_size",
+        _stable_round(F.col("retention"), 6).alias("retention"),
+    )
+
+
+def _q_cross_rank(spark, sf_dir):
+    """Per-instant cross-sectional rank/count/percentile of every user
+    on the daily grid — one loc-partitioned window pass (the
+    leaderboard shape; shuffle key is the instant, K values per
+    partition)."""
+    from spark_timeseries_spark.operators.crosssection import cross_rank
+
+    grid = _daily_grid(spark, sf_dir)
+    out = cross_rank(grid)
+    return out.select(
+        "key", "loc", "value", "rank", "n_keys",
+        _stable_round(F.col("pct"), 6).alias("pct"),
+    )
+
+
+def _q_cross_zscore(spark, sf_dir):
+    """Per-instant cross-sectional z-score (demean/scale across users
+    at each day) on the daily grid — the neutralization step before
+    signal blending; one loc-partitioned window pass."""
+    from spark_timeseries_spark.operators.crosssection import cross_zscore
+
+    grid = _daily_grid(spark, sf_dir)
+    out = cross_zscore(grid)
+    return out.select(
+        "key", "loc", "value",
+        _stable_round(F.col("zscore"), 6).alias("zscore"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
     the first 50 entries. Window policy (round 9, per the r8 verdict's
@@ -3579,7 +3636,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     compare, no array columns) which is refreshed in the same commit as
     every query/semantics change (the r5 lockstep rule)."""
     return {
-        # -- (a) must-prove: semantics touched in r9 -------------------------
+        # -- (a) must-prove: r10-touched / r10-new ---------------------------
+        "retention_cohorts": _q_retention_cohorts,
+        "funnel": _q_funnel,
+        "cross_rank": _q_cross_rank,
+        "cross_zscore": _q_cross_zscore,
+        # -- (a cont.) r9 window rows (temporary position; rotated below) ----
         "srp_buckets": _q_srp_buckets,
         "sample_entropy": _q_sample_entropy,
         "theil_sen": _q_theil_sen,
@@ -9799,5 +9861,86 @@ def oracle_sql() -> dict[str, str]:
                {_sr_sql("coalesce(lw, 0.0)", 6)} AS logw
         FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 1) d
         LEFT JOIN scored ON scored.doc_id = d.doc_id
+    """
+
+    o["funnel"] = """
+        WITH base AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, ts, event_type
+            FROM events
+        ),
+        s1 AS (
+            SELECT key, min(ts) AS ts_1 FROM base
+            WHERE event_type = 'view' GROUP BY key
+        ),
+        s2 AS (
+            SELECT b.key, min(b.ts) AS ts_2
+            FROM base b JOIN s1 USING (key)
+            WHERE b.event_type = 'click' AND b.ts > s1.ts_1
+            GROUP BY b.key
+        ),
+        s3 AS (
+            SELECT b.key, min(b.ts) AS ts_3
+            FROM base b JOIN s2 USING (key)
+            WHERE b.event_type = 'purchase' AND b.ts > s2.ts_2
+            GROUP BY b.key
+        )
+        SELECT s1.key, ts_1, ts_2, ts_3,
+               CAST(1 + (ts_2 IS NOT NULL)::INT + (ts_3 IS NOT NULL)::INT
+                    AS INT) AS steps_completed
+        FROM s1 LEFT JOIN s2 USING (key) LEFT JOIN s3 USING (key)
+    """
+
+    o["retention_cohorts"] = f"""
+        WITH acts AS (
+            SELECT DISTINCT CAST(user_id AS VARCHAR) AS _k,
+                   date_trunc('day', ts) AS _b
+            FROM events
+        ),
+        fa AS (
+            SELECT _k, _b, min(_b) OVER (PARTITION BY _k) AS _cohort
+            FROM acts
+        ),
+        j AS (
+            SELECT _k, _cohort,
+                   CAST(date_diff('day', _cohort, _b) AS BIGINT) AS _off
+            FROM fa
+        ),
+        ret AS (
+            SELECT _cohort AS cohort, _off AS "offset",
+                   CAST(count(DISTINCT _k) AS BIGINT) AS n_active
+            FROM j GROUP BY 1, 2
+        ),
+        sz AS (
+            SELECT cohort, "offset", n_active,
+                   CAST(max(CASE WHEN "offset" = 0 THEN n_active END)
+                        OVER (PARTITION BY cohort) AS BIGINT) AS cohort_size
+            FROM ret
+        )
+        SELECT cohort, "offset", n_active, cohort_size,
+               {_sr_sql(
+                   "CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE)", 6
+               )} AS retention
+        FROM sz
+    """
+
+    o["cross_rank"] = _DAILY_GRID_SQL + f"""
+        , nn AS (SELECT key, loc, value FROM grid WHERE value IS NOT NULL)
+        SELECT key, loc, value,
+               CAST(rank() OVER wr AS INT) AS rank,
+               CAST(count(*) OVER (PARTITION BY loc) AS BIGINT) AS n_keys,
+               {_sr_sql("percent_rank() OVER wr", 6)} AS pct
+        FROM nn
+        WINDOW wr AS (PARTITION BY loc ORDER BY value DESC)
+    """
+
+    o["cross_zscore"] = _DAILY_GRID_SQL + f"""
+        , nn AS (SELECT key, loc, value FROM grid WHERE value IS NOT NULL)
+        SELECT key, loc, value,
+               {_sr_sql(
+                   "(value - avg(value) OVER wn) / stddev_samp(value) OVER wn",
+                   6,
+               )} AS zscore
+        FROM nn
+        WINDOW wn AS (PARTITION BY loc)
     """
     return o

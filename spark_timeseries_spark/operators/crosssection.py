@@ -29,8 +29,8 @@ def cross_rank(
     value_col: str = "value",
 ) -> DataFrame:
     """Input non-null rows + per-instant cross-sectional position:
-    ``rank`` (1 = largest value at that instant; ties share the rank,
-    dense over distinct values — SQL RANK on value DESC), ``n_keys``
+    ``rank`` (1 = largest value at that instant; ties share the rank
+    and leave gaps after it — SQL RANK on value DESC), ``n_keys``
     (series observed at the instant), ``pct`` (percent_rank ∈ [0, 1],
     0 = largest; 0 for a single-series instant by SQL convention).
     One loc-partitioned window pass."""

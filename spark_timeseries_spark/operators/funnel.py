@@ -23,7 +23,7 @@ windows over the raw stream, no self-joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["funnel", "retention_cohorts"]
@@ -89,37 +89,50 @@ def retention_cohorts(
     the entity's first-activity ``date_trunc(unit)`` bucket; a cohort
     member is ``n_active`` at ``offset`` k if it has ANY event in
     cohort + k buckets (offset 0 is the cohort itself — retention 1.0
-    by construction). Offsets are exact bucket-index differences
-    (months are NOT fixed-width — use week/day/hour units; stated).
+    by construction). Offsets are CALENDAR bucket differences —
+    ``datediff`` for day, ``datediff/7`` for week (exact: both ends are
+    week-truncated), elapsed epoch hours for hour — so a DST-shortened
+    week (601200 s) still counts as one offset; month units are not
+    supported (variable width).
 
-    Plan: one groupBy(key) for first-activity, broadcast back onto the
-    per-(key, bucket) distinct activity, one groupBy(cohort, offset) +
-    one cohort-size join — all map-side-combinable, no windows."""
+    Plan: ZERO joins. The per-entity first-activity bucket is a
+    ``min() OVER (PARTITION BY key)`` on the distinct (key, bucket)
+    activity — one exchange on the entity key, never a broadcast of the
+    entity table (entity cardinality is unbounded at scale: forcing it
+    into a broadcast OOMs a 1000-executor job; the window keeps it a
+    plain hash exchange). Cohort sizes come from the offset-0 row of the
+    SAME aggregate via a cohort-partitioned window (cohorts = time
+    buckets, trivially bounded)."""
+    if unit not in ("day", "week", "hour"):
+        raise ValueError(
+            f"unit must be one of ['day', 'hour', 'week'], got {unit}"
+        )
     bucket = F.date_trunc(unit, F.col(ts_col))
     acts = df.select(
         F.col(key_col).alias("_k"), bucket.alias("_b")
     ).distinct()
-    first = acts.groupBy("_k").agg(F.min("_b").alias("_cohort"))
-    secs = {"day": 86400, "week": 604800, "hour": 3600}
-    if unit not in secs:
-        raise ValueError(
-            f"unit must be one of {sorted(secs)} (fixed-width), got {unit}"
-        )
-    step = secs[unit]
-    joined = acts.join(F.broadcast(first), "_k").select(
-        "_k",
-        "_cohort",
-        (
-            (F.unix_timestamp("_b") - F.unix_timestamp("_cohort")) / step
-        ).cast("long").alias("_off"),
+    wk = Window.partitionBy("_k")
+    if unit == "day":
+        off = F.datediff(F.col("_b"), F.col("_cohort"))
+    elif unit == "week":
+        off = F.floor(F.datediff(F.col("_b"), F.col("_cohort")) / 7)
+    else:  # hour — fixed 3600 s epoch buckets
+        off = (
+            F.unix_timestamp("_b") - F.unix_timestamp("_cohort")
+        ) / 3600
+    joined = acts.withColumn("_cohort", F.min("_b").over(wk)).select(
+        "_k", "_cohort", off.cast("long").alias("_off")
     )
     ret = joined.groupBy(
         F.col("_cohort").alias("cohort"), F.col("_off").alias("offset")
     ).agg(F.count_distinct("_k").alias("n_active"))
-    sizes = first.groupBy(F.col("_cohort").alias("cohort")).agg(
-        F.count(F.lit(1)).alias("cohort_size")
-    )
-    return ret.join(sizes, "cohort").select(
+    wc = Window.partitionBy("cohort")
+    return ret.withColumn(
+        "cohort_size",
+        F.max(
+            F.when(F.col("offset") == 0, F.col("n_active"))
+        ).over(wc),
+    ).select(
         "cohort", "offset", "n_active", "cohort_size",
         F.try_divide(
             F.col("n_active").cast("double"),

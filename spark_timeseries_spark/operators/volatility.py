@@ -37,10 +37,12 @@ def realized_vol(
     intra-bucket log returns), ``rv`` (realized variance = Σ r²),
     ``realized_vol`` (√rv). Returns are over CONSECUTIVE positive
     observations within the bucket ordered by timestamp (ties broken by
-    value — deterministic); non-positive or NULL values break the
-    chain (log undefined), and the bucket's first observation seeds
-    only. Buckets with zero returns emit (0, 0.0, 0.0) — an observed-
-    but-flat bucket is a zero-vol fact, not a hole.
+    value — deterministic); non-positive or NULL observations are
+    SKIPPED (log undefined on them) and the return bridges across them
+    — [100, -5, 110] yields one return, log(110/100). The bucket's
+    first usable observation seeds only. Buckets with zero returns emit
+    (0, 0.0, 0.0) — an observed-but-flat bucket is a zero-vol fact, not
+    a hole.
 
     Plan: one (key, bucket)-partitioned lag window + one groupBy —
     the window partition equals the aggregation key, so AQE plans a

@@ -803,6 +803,22 @@ def test_dsir_ratio_broadcasts(spark):
     assert "PythonUDF" not in p and "InPandas" not in p, p
 
 
+def test_retention_no_entity_broadcast(spark):
+    """retention_cohorts derives the per-entity first-activity bucket
+    with a key-partitioned window-min, never a join: the entity table
+    is unbounded at scale, so a (forced) broadcast of it is an OOM —
+    the plan must contain NO join of any kind and no broadcast
+    exchange (inverse of test_dsir_ratio_broadcasts: there the
+    broadcast side is vocabulary-bounded and wanted)."""
+    from spark_timeseries_spark.operators.funnel import retention_cohorts
+    from spark_timeseries_spark.sources import events_observations
+
+    obs = events_observations(spark, SF)
+    p = _plan(retention_cohorts(obs.select("key", "ts"), "week"))
+    assert "Join" not in p, p
+    assert "BroadcastExchange" not in p, p
+
+
 def test_ema_max_len_hint_skips_routing(spark, grid):
     """auto + a max_len hint inside the closed-form envelope plans the
     closed form directly: no grouped-map branch, no union, and one
