@@ -3614,87 +3614,86 @@ def _q_cross_zscore(spark, sf_dir):
     )
 
 
+def _evseq_df(spark, sf_dir):
+    """Per-key 0-based event sequence (key, loc, value) — the Spark twin
+    of the oracle's ``_EVSEQ_SQL`` (events have no duplicate (user_id,
+    ts), so the rank is deterministic)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return ev.where(F.col("value").isNotNull()).select(
+        F.col("user_id").cast("string").alias("key"),
+        (F.row_number().over(w) - 1).cast("long").alias("loc"),
+        "value",
+    )
+
+
+def _q_kalman_level(spark, sf_dir):
+    """Fixed-q local-level Kalman filter + RTS smoother over each
+    user's event sequence. The oracle replays the EXACT scalar
+    recursion with two DuckDB recursive CTEs (forward filter, backward
+    smoother) — pure +-*/ arithmetic in the kernel's operation order,
+    bit-identical across engines (verified; rounding is belt-and-
+    braces). The concentrated-MLE q path (golden-section — not SQL)
+    stays pytest-verified."""
+    from spark_timeseries_spark.models.kalman import kalman_local_level
+
+    out = kalman_local_level(_evseq_df(spark, sf_dir), q=0.5)
+    return out.select(
+        "key", "loc", "value",
+        _stable_round(F.col("level"), 6).alias("level"),
+        _stable_round(F.col("smoothed"), 6).alias("smoothed"),
+    )
+
+
+def _q_bocpd_runs(spark, sf_dir):
+    """BOCPD (Adams-MacKay) changepoint posterior over each user's
+    event sequence. The oracle replays the full run-length recursion —
+    Student-t predictives, log-space normalization, truncation pruning
+    — with a DuckDB recursive CTE carrying LIST-typed state columns;
+    transcendental (ln/exp/lgamma) 1-ulp engine differences leave
+    |Δp_cp| ~ 1e-15 (measured 7e-15 max at sf0.01), absorbed by the
+    6-decimal rounding; run_map is integral and exact."""
+    from spark_timeseries_spark.operators.changepoint import bocpd
+
+    out = bocpd(_evseq_df(spark, sf_dir), hazard=0.02, trunc=1e-8)
+    return out.select(
+        "key", "loc",
+        _stable_round(F.col("p_cp"), 6).alias("p_cp"),
+        "run_map",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
-    the first 50 entries. Window policy (round 9, per the r8 verdict's
-    rotation prescription): (a) must-prove rows first — every query whose
-    SEMANTICS this round touched: ``srp_buckets`` (the degenerate parity
-    hash replaced by the two-round mix, oracle mirrored),
-    ``sample_entropy`` (row-blocked kernel + distinct-key anchor, oracle
-    anchored), ``theil_sen`` (equal-loc pairs masked in the kernel),
-    ``macd``/``rsi`` (the alpha≥1 EMA short-circuit), ``bollinger``
-    (strict-rechecked alongside), ``embedding_dim_stats`` (the
-    ``exact=False`` sketch path, exact default unchanged); (a') the
-    13 queries NEW in r9 (volatility family, coherence, intervention,
-    DSIR, hjorth/nonlinearity, fano, fertility, adx, vwap, demand
-    classification, VaR/ES); (b) the standing rotation queue, STALEST
-    driver evidence first: the r5-era block (``mixture_epochs`` …
-    ``token_entropy`` — 30 rows of the r8-verdict-named stale range;
-    the remainder of that block queues for r10). Everything
-    displaced is green in the committed strict-mode full oracle log
-    (``tools/check_correctness_r09_full.log`` — exact-representation
-    compare, no array columns) which is refreshed in the same commit as
-    every query/semantics change (the r5 lockstep rule)."""
+    the first 50 entries. Window policy (round 10, per the r9 verdict's
+    rotation prescription): (a) must-prove rows first — every query
+    touched or NEW this round: ``retention_cohorts`` (the r9 defect —
+    forced entity broadcast replaced by a window-min, DST-safe calendar
+    offsets), ``funnel``/``cross_rank``/``cross_zscore`` (the r9
+    pytest-only orphans, now oracle-backed), ``kalman_level`` (fixed-q
+    filter+smoother vs a bit-exact DuckDB recursive-CTE replay) and
+    ``bocpd_runs`` (full Adams-MacKay posterior vs a LIST-state
+    recursive-CTE replay — the two "no SQL oracle exists" operators,
+    closed); (b) the standing rotation queue, STALEST driver evidence
+    first: the late-r5/r6 block the r9 verdict named
+    (``token_divergence`` … ``to_series_digest`` — 44 rows, positions
+    51-100 of the r9 ordering). The displaced r9 window rows move to
+    the tail (their driver evidence is the freshest on file).
+    Everything displaced is green in the committed strict-mode full
+    oracle log (``tools/check_correctness_r10_full.log`` —
+    exact-representation compare, no array columns) which is refreshed
+    in the same commit as every query/semantics change (the r5
+    lockstep rule)."""
     return {
         # -- (a) must-prove: r10-touched / r10-new ---------------------------
         "retention_cohorts": _q_retention_cohorts,
         "funnel": _q_funnel,
         "cross_rank": _q_cross_rank,
         "cross_zscore": _q_cross_zscore,
-        # -- (a cont.) r9 window rows (temporary position; rotated below) ----
-        "srp_buckets": _q_srp_buckets,
-        "sample_entropy": _q_sample_entropy,
-        "theil_sen": _q_theil_sen,
-        "macd": _q_macd,
-        "rsi": _q_rsi,
-        "bollinger": _q_bollinger,
-        "embedding_dim_stats": _q_embedding_dim_stats,
-        # -- (a') new in r9 ---------------------------------------------------
-        "realized_vol": _q_realized_vol,
-        "parkinson_vol": _q_parkinson_vol,
-        "coherence": _q_coherence,
-        "intervention": _q_intervention,
-        "dsir_weights": _q_dsir_weights,
-        "hjorth": _q_hjorth,
-        "nonlinearity": _q_nonlinearity,
-        "fano": _q_fano,
-        "fertility": _q_fertility,
-        "adx": _q_adx,
-        "vwap_bars": _q_vwap_bars,
-        "demand_class": _q_demand_class,
-        "var_es": _q_var_es,
-        # -- (b) rotation queue, stalest driver evidence first (r5-era) ----
-        "mixture_epochs": _q_mixture_epochs,
-        "remove_dup_spans": _q_remove_dup_spans,
-        "video_frames": _q_video_frames,
-        "dedup_exact": _q_dedup_exact,
-        "text_quality": _q_text_quality,
-        "token_count_by_source": _q_token_count_by_source,
-        "token_count_bpe": _q_token_count_bpe,
-        "fingerprint": _q_fingerprint,
-        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-        "lang_id": _q_lang_id,
-        "quality_score": _q_quality_score,
-        "lsh_topk": _q_lsh_topk,
-        "winnowing_fingerprints": _q_winnowing_fingerprints,
-        "auto_arima": _q_auto_arima,
-        "garch_fit": _q_garch_fit,
-        "egarch_fit": _q_egarch_fit,
-        "arx_fit": _q_arx_fit,
-        "arimax_forecast": _q_arimax_forecast,
-        "regression_arima": _q_regression_arima,
-        "holt_winters_fit": _q_holt_winters_fit,
-        "dedup_lines": _q_dedup_lines,
-        "incremental_dedup": _q_incremental_dedup,
-        "roll_std": _q_roll_std,
-        "crosscorr": _q_crosscorr,
-        "lm3_perplexity": _q_lm3_perplexity,
-        "corpus_stats": _q_corpus_stats,
-        "seasonal_decompose": _q_seasonal_decompose,
-        "pmi_pairs": _q_pmi_pairs,
-        "outliers": _q_outliers,
-        "token_entropy": _q_token_entropy,
-        # ---- driver window (50) ends here ----------------------------------
+        "kalman_level": _q_kalman_level,
+        "bocpd_runs": _q_bocpd_runs,
+        # -- (b) rotation queue, stalest driver evidence first (the
+        # late-r5/r6 block the r9 verdict named) -----------------------------
         "token_divergence": _q_token_divergence,
         "repetition_features": _q_repetition_features,
         "gopher_repetition": _q_gopher_repetition,
@@ -3742,6 +3741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "argarch_fit": _q_argarch_fit,
         "fill_spline": _q_fill_spline,
         "to_series_digest": _q_to_series_digest,
+        # ---- driver window (50) ends here ----------------------------------
         "to_observations": _q_to_observations,
         "roll_sum_center": _q_roll_sum_center,
         "bg_test": _q_bg_test,
@@ -3860,6 +3860,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pretrain_clean": _q_pretrain_clean,
         "minhash_lsh_dedup": _q_minhash_lsh_dedup,
         "pack_sequences": _q_pack_sequences,
+        # r9-window rows (driver-green in r9 — the freshest evidence)
+        "srp_buckets": _q_srp_buckets,
+        "sample_entropy": _q_sample_entropy,
+        "theil_sen": _q_theil_sen,
+        "macd": _q_macd,
+        "rsi": _q_rsi,
+        "bollinger": _q_bollinger,
+        "embedding_dim_stats": _q_embedding_dim_stats,
+        "realized_vol": _q_realized_vol,
+        "parkinson_vol": _q_parkinson_vol,
+        "coherence": _q_coherence,
+        "intervention": _q_intervention,
+        "dsir_weights": _q_dsir_weights,
+        "hjorth": _q_hjorth,
+        "nonlinearity": _q_nonlinearity,
+        "fano": _q_fano,
+        "fertility": _q_fertility,
+        "adx": _q_adx,
+        "vwap_bars": _q_vwap_bars,
+        "demand_class": _q_demand_class,
+        "var_es": _q_var_es,
+        "mixture_epochs": _q_mixture_epochs,
+        "remove_dup_spans": _q_remove_dup_spans,
+        "video_frames": _q_video_frames,
+        "dedup_exact": _q_dedup_exact,
+        "text_quality": _q_text_quality,
+        "token_count_by_source": _q_token_count_by_source,
+        "token_count_bpe": _q_token_count_bpe,
+        "fingerprint": _q_fingerprint,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        "lsh_topk": _q_lsh_topk,
+        "winnowing_fingerprints": _q_winnowing_fingerprints,
+        "auto_arima": _q_auto_arima,
+        "garch_fit": _q_garch_fit,
+        "egarch_fit": _q_egarch_fit,
+        "arx_fit": _q_arx_fit,
+        "arimax_forecast": _q_arimax_forecast,
+        "regression_arima": _q_regression_arima,
+        "holt_winters_fit": _q_holt_winters_fit,
+        "dedup_lines": _q_dedup_lines,
+        "incremental_dedup": _q_incremental_dedup,
+        "roll_std": _q_roll_std,
+        "crosscorr": _q_crosscorr,
+        "lm3_perplexity": _q_lm3_perplexity,
+        "corpus_stats": _q_corpus_stats,
+        "seasonal_decompose": _q_seasonal_decompose,
+        "pmi_pairs": _q_pmi_pairs,
+        "outliers": _q_outliers,
+        "token_entropy": _q_token_entropy,
     }
 
 
@@ -9931,6 +9982,166 @@ def oracle_sql() -> dict[str, str]:
                {_sr_sql("percent_rank() OVER wr", 6)} AS pct
         FROM nn
         WINDOW wr AS (PARTITION BY loc ORDER BY value DESC)
+    """
+
+    # local-level Kalman at fixed q: the filter/smoother is a pure
+    # scalar +-*/ recursion, replayed bit-exactly by two recursive CTEs
+    # (forward filter, then RTS backward from each key's last t) — the
+    # SQL mirrors models/kalman.py:_filter_pass operation for operation
+    _KQ = "0.5"
+    o["kalman_level"] = f"""
+    WITH RECURSIVE e AS (
+        SELECT CAST(user_id AS VARCHAR) AS key, value,
+               CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1
+                    AS BIGINT) AS t
+        FROM events WHERE value IS NOT NULL
+    ),
+    fwd AS (
+        SELECT key, t, value,
+               value AS mu_pred, 1e12 AS p_pred,
+               value AS mu_f,
+               1e12 * (1.0 - (1e12 / (1e12 + 1.0))) AS p_f
+        FROM e WHERE t = 0
+        UNION ALL
+        SELECT e.key, e.t, e.value,
+               fwd.mu_f AS mu_pred,
+               fwd.p_f + {_KQ} AS p_pred,
+               fwd.mu_f + ((fwd.p_f + {_KQ}) / ((fwd.p_f + {_KQ}) + 1.0))
+                          * (e.value - fwd.mu_f) AS mu_f,
+               (fwd.p_f + {_KQ})
+                 * (1.0 - ((fwd.p_f + {_KQ}) / ((fwd.p_f + {_KQ}) + 1.0)))
+                 AS p_f
+        FROM fwd JOIN e ON e.key = fwd.key AND e.t = fwd.t + 1
+    ),
+    -- materialized: the backward recursion scans the forward result
+    -- every iteration; left as a plain CTE DuckDB re-runs the WHOLE
+    -- forward recursion per step (O(n^2) — measured 74 s vs 0.7 s)
+    fwdm AS MATERIALIZED (SELECT * FROM fwd),
+    mx AS (SELECT key, max(t) AS tn FROM fwdm GROUP BY key),
+    bwd AS (
+        SELECT f.key, f.t, f.mu_f AS mu_s
+        FROM fwdm f JOIN mx ON mx.key = f.key AND f.t = mx.tn
+        UNION ALL
+        SELECT f.key, f.t,
+               f.mu_f + (f.p_f / n.p_pred) * (bwd.mu_s - n.mu_pred) AS mu_s
+        FROM bwd
+        JOIN fwdm f ON f.key = bwd.key AND f.t = bwd.t - 1
+        JOIN fwdm n ON n.key = bwd.key AND n.t = bwd.t
+    )
+    SELECT fwd.key, fwd.t AS loc, fwd.value,
+           {_sr_sql("fwd.mu_f", 6)} AS level,
+           {_sr_sql("bwd.mu_s", 6)} AS smoothed
+    FROM fwdm AS fwd JOIN bwd ON bwd.key = fwd.key AND bwd.t = fwd.t
+    """
+
+    # BOCPD: full Adams-MacKay run-length recursion as a recursive CTE
+    # with LIST-typed state (posterior params, log weights, run lengths
+    # per active run). Student-t predictive written out via lgamma;
+    # transcendental 1-ulp engine differences keep |Δp_cp| ~ 1e-15
+    # (absorbed by round-6); run_map integral/exact.
+    _BH, _BTR = "0.02", "1e-8"  # hazard, truncation
+
+    def _stud(xi: str, mu: str, kap: str, al: str, be: str) -> str:
+        df = f"(2.0 * {al})"
+        s2 = f"({be} * ({kap} + 1.0) / ({al} * {kap}))"
+        z2 = f"((({xi}) - ({mu})) * (({xi}) - ({mu})) / {s2})"
+        return (
+            f"(lgamma(({df} + 1.0) / 2.0) - lgamma({df} / 2.0)"
+            f" - 0.5 * ln(pi() * {df} * {s2})"
+            f" - ({df} + 1.0) / 2.0 * ln(1.0 + {z2} / {df}))"
+        )
+
+    _sp = _stud("x", "0.0", "1.0", "1.0", "1.0")  # prior predictive
+    _sg = _stud("x", "mu[i]", "kap[i]", "al[i]", "be[i]")
+    o["bocpd_runs"] = f"""
+        WITH RECURSIVE e AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, value AS x,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts) - 1 AS BIGINT) AS t
+            FROM events WHERE value IS NOT NULL
+        ),
+        bo AS (
+            SELECT key, t, CAST(1.0 AS DOUBLE) AS p_cp,
+                   CAST(0 AS BIGINT) AS run_map,
+                   [CAST((1.0 * 0.0 + x) / (1.0 + 1.0) AS DOUBLE)] AS mu,
+                   [CAST(1.0 + 1.0 AS DOUBLE)] AS kap,
+                   [CAST(1.0 + 0.5 AS DOUBLE)] AS al,
+                   [CAST(1.0 + 1.0 * (x - 0.0) * (x - 0.0)
+                         / (2.0 * (1.0 + 1.0)) AS DOUBLE)] AS be,
+                   [CAST(0.0 AS DOUBLE)] AS logp,
+                   [CAST(0 AS BIGINT)] AS runs
+            FROM e WHERE t = 0
+            UNION ALL
+            SELECT key, t,
+                   exp(logp2[1]) AS p_cp,
+                   runs2[list_indexof(logp2, list_max(logp2))] AS run_map,
+                   mu2, kap2, al2, be2, logp2, runs2
+            FROM (
+                SELECT key, t,
+                       list_transform(kidx, j -> nl[j] - (list_max(
+                           list_transform(kidx, j2 -> nl[j2]))
+                           + ln(list_sum(list_transform(kidx,
+                               j3 -> exp(nl[j3] - list_max(
+                                   list_transform(kidx, j4 -> nl[j4])))))))
+                       ) AS logp2,
+                       list_transform(kidx, j -> mun[j])  AS mu2,
+                       list_transform(kidx, j -> kapn[j]) AS kap2,
+                       list_transform(kidx, j -> aln[j])  AS al2,
+                       list_transform(kidx, j -> ben[j])  AS be2,
+                       list_transform(kidx, j -> runsn[j]) AS runs2
+                FROM (
+                    SELECT key, t, nl, mun, kapn, aln, ben, runsn,
+                           list_filter(range(1, len(nl) + 1),
+                               j -> j = 1 OR nl[j] >= ln({_BTR})) AS kidx
+                    FROM (
+                        SELECT key, t,
+                               list_transform(nlr, v -> v - (list_max(nlr)
+                                   + ln(list_sum(list_transform(nlr,
+                                       w -> exp(w - list_max(nlr)))))))
+                               AS nl,
+                               list_concat(
+                                   [(1.0 * 0.0 + x) / (1.0 + 1.0)],
+                                   list_transform(range(1, n0 + 1),
+                                       i -> (kap[i] * mu[i] + x)
+                                            / (kap[i] + 1.0))) AS mun,
+                               list_concat([1.0 + 1.0],
+                                   list_transform(range(1, n0 + 1),
+                                       i -> kap[i] + 1.0)) AS kapn,
+                               list_concat([1.0 + 0.5],
+                                   list_transform(range(1, n0 + 1),
+                                       i -> al[i] + 0.5)) AS aln,
+                               list_concat(
+                                   [1.0 + 1.0 * (x - 0.0) * (x - 0.0)
+                                        / (2.0 * (1.0 + 1.0))],
+                                   list_transform(range(1, n0 + 1),
+                                       i -> be[i] + kap[i] * (x - mu[i])
+                                            * (x - mu[i])
+                                            / (2.0 * (kap[i] + 1.0))))
+                               AS ben,
+                               list_concat([CAST(0 AS BIGINT)],
+                                   list_transform(runs, r -> r + 1))
+                               AS runsn
+                        FROM (
+                            SELECT e.key, e.t, e.x,
+                                   len(bo.logp) AS n0,
+                                   bo.mu AS mu, bo.kap AS kap,
+                                   bo.al AS al, bo.be AS be,
+                                   bo.runs AS runs,
+                                   list_concat(
+                                       [{_sp} + ln({_BH})],
+                                       list_transform(
+                                           range(1, len(bo.logp) + 1),
+                                           i -> bo.logp[i] + {_sg}
+                                                + ln(1.0 - {_BH}))) AS nlr
+                            FROM bo
+                            JOIN e ON e.key = bo.key AND e.t = bo.t + 1
+                        )
+                    )
+                )
+            )
+        )
+        SELECT key, t AS loc, {_sr_sql("p_cp", 6)} AS p_cp, run_map
+        FROM bo
     """
 
     o["cross_zscore"] = _DAILY_GRID_SQL + f"""

@@ -244,58 +244,10 @@ def dominant_period(
     )
 
 
-def coherence(
-    df: DataFrame,
-    key_a: str,
-    key_b: str,
-    smooth: int = 1,
-    key_col: str = "key",
-    loc_col: str = "loc",
-    value_col: str = "value",
-) -> DataFrame:
-    """Magnitude-squared coherence between two named series over their
-    non-null overlap → (k, freq, sxx, syy, coh, phase): the frequency-
-    domain analog of :func:`~spark_timeseries_spark.operators.rolling
-    .crosscorr` — coh(k) ∈ [0, 1] measures how linearly related the two
-    series are at each frequency, phase(k) their lead/lag angle there.
-    Beyond-reference.
-
-    Definition (Priestley 1981 §9.5): demeaned DFT sums a/b per series
-    at Fourier frequencies k = 1..⌊T/2⌋ over the overlap's observation
-    index t = 0..T−1 (row position, so gaps don't bend the angles);
-    periodogram terms Pxx = (ax²+bx²)/T, cross-spectrum real/imag
-    c = (ax·ay + bx·by)/T, q = (bx·ay − ax·by)/T; then DANIELL-smoothed
-    over 2·``smooth``+1 adjacent frequencies (partial windows at the
-    edges — the standard modified-Daniell fallback):
-    coh = (c̄² + q̄²)/(S̄xx·S̄yy), phase = atan2(q̄, c̄). Raw (smooth=0)
-    coherence is identically 1 — smoothing is what makes the statistic
-    informative; NULL coh where either smoothed spectrum is 0 (constant
-    overlap).
-
-    Plan: overlap equi-join on loc, ONE global row_number + avg window
-    (bounded by construction — a two-named-series overlap, the
-    ``roll_corr`` precedent), T/2-way explode, one groupBy(k), one
-    k-ordered smoothing window. All JVM."""
-    if smooth < 0:
-        raise ValueError(f"smooth must be >= 0, got {smooth}")
-    v = F.col(value_col)
-    pts = df.where(v.isNotNull())
-    a = pts.where(F.col(key_col) == key_a).select(
-        F.col(loc_col).alias("_l"), v.alias("_x")
-    )
-    b = pts.where(F.col(key_col) == key_b).select(
-        F.col(loc_col).alias("_l"), v.alias("_y")
-    )
-    j = a.join(b, "_l")
-    wall = Window.partitionBy(F.lit(1))
-    ws = Window.partitionBy(F.lit(1)).orderBy("_l")
-    base = (
-        j.withColumn("_n", F.count(F.lit(1)).over(wall))
-        .withColumn("_mx", F.avg("_x").over(wall))
-        .withColumn("_my", F.avg("_y").over(wall))
-        .withColumn("_t", F.row_number().over(ws) - 1)
-        .where(F.col("_n") >= 2)
-    )
+def _coherence_explode(base: DataFrame) -> DataFrame:
+    """SQL-exact explode plan over the joined overlap (columns _t, _x,
+    _y, _mx, _my, _n) → per-frequency raw spectra (k, _n, _pxx, _pyy,
+    _c, _q). O(T²/2) shuffle rows — the short-overlap branch."""
     two_pi = 2.0 * math.pi
     freq = base.withColumn(
         "k", F.explode(F.sequence(F.lit(1), (F.col("_n") / 2).cast("int")))
@@ -316,7 +268,7 @@ def coherence(
         F.first("_n").alias("_n"),
     )
     n = F.col("_n").cast("double")
-    spec = per_k.select(
+    return per_k.select(
         "k",
         "_n",
         ((F.col("_ax") ** 2 + F.col("_bx") ** 2) / n).alias("_pxx"),
@@ -328,6 +280,119 @@ def coherence(
             (F.col("_bx") * F.col("_ay") - F.col("_ax") * F.col("_by")) / n
         ).alias("_q"),
     )
+
+
+def _coherence_fft(base: DataFrame) -> DataFrame:
+    """Grouped-map rfft kernel over the SAME joined overlap → identical
+    (k, _n, _pxx, _pyy, _c, _q) in O(T log T): with the projection
+    convention a = Re X, b = −Im X, the cross-spectrum is
+    c = Re(X_x·conj(X_y))/T and q = −Im(X_x·conj(X_y))/T. The ``_t``
+    index is contiguous by construction (row_number), so the rfft
+    needs no gap handling; one group = the one named-pair overlap
+    (bounded by construction)."""
+    import pandas as pd
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("_t")
+        n = len(pdf)
+        half = n // 2
+        if half < 1:
+            return pd.DataFrame(
+                columns=["k", "_n", "_pxx", "_pyy", "_c", "_q"]
+            )
+        dx = pdf["_x"].to_numpy(dtype=float) - pdf["_mx"].iloc[0]
+        dy = pdf["_y"].to_numpy(dtype=float) - pdf["_my"].iloc[0]
+        xx = np.fft.rfft(dx)[1 : half + 1]
+        xy = np.fft.rfft(dy)[1 : half + 1]
+        cross = xx * np.conj(xy)
+        return pd.DataFrame({
+            "k": np.arange(1, half + 1, dtype=np.int32),
+            "_n": np.int64(n),
+            "_pxx": (xx.real**2 + xx.imag**2) / n,
+            "_pyy": (xy.real**2 + xy.imag**2) / n,
+            "_c": cross.real / n,
+            "_q": -cross.imag / n,
+        })
+
+    return base.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        kern,
+        "k int, _n long, _pxx double, _pyy double, _c double, _q double",
+    )
+
+
+def coherence(
+    df: DataFrame,
+    key_a: str,
+    key_b: str,
+    smooth: int = 1,
+    key_col: str = "key",
+    loc_col: str = "loc",
+    value_col: str = "value",
+    method: str = "auto",
+    fft_threshold: int = _FFT_THRESHOLD,
+) -> DataFrame:
+    """Magnitude-squared coherence between two named series over their
+    non-null overlap → (k, freq, sxx, syy, coh, phase): the frequency-
+    domain analog of :func:`~spark_timeseries_spark.operators.rolling
+    .crosscorr` — coh(k) ∈ [0, 1] measures how linearly related the two
+    series are at each frequency, phase(k) their lead/lag angle there.
+    Beyond-reference.
+
+    Definition (Priestley 1981 §9.5): demeaned DFT sums a/b per series
+    at Fourier frequencies k = 1..⌊T/2⌋ over the overlap's observation
+    index t = 0..T−1 (row position, so gaps don't bend the angles);
+    periodogram terms Pxx = (ax²+bx²)/T, cross-spectrum real/imag
+    c = (ax·ay + bx·by)/T, q = (bx·ay − ax·by)/T; then DANIELL-smoothed
+    over 2·``smooth``+1 adjacent frequencies (partial windows at the
+    edges — the standard modified-Daniell fallback):
+    coh = (c̄² + q̄²)/(S̄xx·S̄yy), phase = atan2(q̄, c̄). Raw (smooth=0)
+    coherence is identically 1 — smoothing is what makes the statistic
+    informative; NULL coh where either smoothed spectrum is 0 (constant
+    overlap).
+
+    Plan (``method="auto"``, the :func:`periodogram` dual-plan
+    precedent): short overlaps (T ≤ ``fft_threshold``) take the
+    SQL-exact T/2-way explode + one groupBy(k) — all JVM, oracle-
+    replayable; long overlaps route to a grouped-map numpy ``rfft``
+    kernel computing the SAME cross-spectrum from X_x·conj(X_y) in
+    O(T log T) — the O(T²) explode never ships at long-series scale.
+    Both branches live in one lazy plan (a per-length filter + union;
+    no driver-side probe); either way the overlap equi-join on loc,
+    ONE global row_number + avg window, and the k-ordered smoothing
+    window are shared (bounded by construction — a two-named-series
+    overlap, the ``roll_corr`` precedent)."""
+    if smooth < 0:
+        raise ValueError(f"smooth must be >= 0, got {smooth}")
+    if method not in ("auto", "explode", "fft"):
+        raise ValueError(f"method must be auto|explode|fft, got {method}")
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    a = pts.where(F.col(key_col) == key_a).select(
+        F.col(loc_col).alias("_l"), v.alias("_x")
+    )
+    b = pts.where(F.col(key_col) == key_b).select(
+        F.col(loc_col).alias("_l"), v.alias("_y")
+    )
+    j = a.join(b, "_l")
+    wall = Window.partitionBy(F.lit(1))
+    ws = Window.partitionBy(F.lit(1)).orderBy("_l")
+    base = (
+        j.withColumn("_n", F.count(F.lit(1)).over(wall))
+        .withColumn("_mx", F.avg("_x").over(wall))
+        .withColumn("_my", F.avg("_y").over(wall))
+        .withColumn("_t", F.row_number().over(ws) - 1)
+        .where(F.col("_n") >= 2)
+    )
+    if method == "explode":
+        spec = _coherence_explode(base)
+    elif method == "fft":
+        spec = _coherence_fft(base)
+    else:
+        spec = _coherence_explode(
+            base.where(F.col("_n") <= fft_threshold)
+        ).unionByName(_coherence_fft(base.where(F.col("_n") > fft_threshold)))
     wd = Window.orderBy("k").rowsBetween(-smooth, smooth)
     sm = spec.select(
         "k",

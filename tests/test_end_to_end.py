@@ -2689,6 +2689,47 @@ def test_coherence(spark):
     assert all(v is None or abs(v - 1.0) < 1e-9 for v in s.values())
 
 
+def test_coherence_fft_kernel_parity(spark):
+    """The long-overlap rfft kernel and the SQL-exact explode branch
+    produce the same spectra/coherence/phase at the threshold boundary
+    (auto routes by overlap length; forcing either method agrees to
+    1e-9), and auto with a tiny threshold actually takes the kernel
+    (plan shows InPandas, no explode rows)."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.spectral import coherence
+
+    T = 96
+    t = np.arange(T)
+    rng = np.random.RandomState(11)
+    x = np.sin(2 * np.pi * 6 * t / T) + 0.1 * rng.randn(T)
+    y = 0.5 * np.cos(2 * np.pi * 6 * t / T) + 0.1 * rng.randn(T)
+    rows = [("a", int(i), float(x[i])) for i in range(T)]
+    rows += [("b", int(i), float(y[i])) for i in range(T)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+
+    ex = {r.k: r for r in
+          coherence(df, "a", "b", smooth=2, method="explode").collect()}
+    ff = {r.k: r for r in
+          coherence(df, "a", "b", smooth=2, method="fft").collect()}
+    assert set(ex) == set(ff) == set(range(1, T // 2 + 1))
+    for k in ex:
+        for col in ("sxx", "syy", "coh", "phase"):
+            a, b = getattr(ex[k], col), getattr(ff[k], col)
+            assert (a is None) == (b is None), (k, col)
+            if a is not None:
+                assert abs(a - b) < 1e-9 * max(1.0, abs(a)), (k, col, a, b)
+
+    # auto + tiny threshold routes to the kernel branch
+    au = coherence(df, "a", "b", smooth=2, fft_threshold=8)
+    p = au._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" in p
+    got = {r.k: r.coh for r in au.collect()}
+    for k in ex:
+        if ex[k].coh is not None:
+            assert abs(got[k] - ex[k].coh) < 1e-9
+
+
 def test_intervention_analysis(spark):
     """Segmented OLS recovers a constructed level+slope break exactly;
     short/degenerate segments yield NULLs; numpy polyfit agrees on
@@ -2900,6 +2941,81 @@ def test_bocpd(spark):
     for t in out:
         assert out[t].p_cp == out2[t].p_cp
         assert out[t].run_map == out2[t].run_map
+
+
+def test_bocpd_textbook_recursion_pinned(spark):
+    """Full posterior parity against an independent scalar replay of
+    the Adams-MacKay recursion (Student-t predictives from the
+    Normal-Gamma conjugate updates, constant hazard, truncation
+    pruning) on a deterministic fixture — p_cp to 1e-9, run_map
+    exact."""
+    import math
+
+    import numpy as np
+
+    from spark_timeseries_spark.operators.changepoint import bocpd
+
+    HAZ, TRUNC = 0.02, 1e-8
+    MU0, KAP0, AL0, BE0 = 0.0, 1.0, 1.0, 1.0
+    logH, log1mH = math.log(HAZ), math.log(1.0 - HAZ)
+
+    def stud(xi, mu, kap, al, be):
+        dof = 2.0 * al
+        scale2 = be * (kap + 1.0) / (al * kap)
+        z2 = (xi - mu) ** 2 / scale2
+        return (math.lgamma((dof + 1.0) / 2.0) - math.lgamma(dof / 2.0)
+                - 0.5 * math.log(math.pi * dof * scale2)
+                - (dof + 1.0) / 2.0 * math.log1p(z2 / dof))
+
+    def post(xi, mu, kap, al, be):
+        return ((kap * mu + xi) / (kap + 1.0), kap + 1.0, al + 0.5,
+                be + kap * (xi - mu) ** 2 / (2.0 * (kap + 1.0)))
+
+    rng = np.random.RandomState(5)
+    x = np.round(np.concatenate(
+        [rng.randn(25), 4.0 + rng.randn(20), rng.randn(15) - 3.0]
+    ), 3)
+    n = x.size
+    m0 = post(x[0], MU0, KAP0, AL0, BE0)
+    mu, kap, al, be = [m0[0]], [m0[1]], [m0[2]], [m0[3]]
+    logp, runs = [0.0], [0]
+    exp_pcp, exp_run = [1.0], [0]
+    for i in range(1, n):
+        grow = [logp[j] + stud(x[i], mu[j], kap[j], al[j], be[j]) + log1mH
+                for j in range(len(logp))]
+        nl = [stud(x[i], MU0, KAP0, AL0, BE0) + logH] + grow
+        mx = max(nl)
+        norm = mx + math.log(sum(math.exp(u - mx) for u in nl))
+        nl = [u - norm for u in nl]
+        newp = [post(x[i], MU0, KAP0, AL0, BE0)] + [
+            post(x[i], mu[j], kap[j], al[j], be[j])
+            for j in range(len(mu))
+        ]
+        runs_n = [0] + [r + 1 for r in runs]
+        keep = [j == 0 or nl[j] >= math.log(TRUNC) for j in range(len(nl))]
+        mu = [newp[j][0] for j in range(len(nl)) if keep[j]]
+        kap = [newp[j][1] for j in range(len(nl)) if keep[j]]
+        al = [newp[j][2] for j in range(len(nl)) if keep[j]]
+        be = [newp[j][3] for j in range(len(nl)) if keep[j]]
+        runs = [runs_n[j] for j in range(len(nl)) if keep[j]]
+        logp = [nl[j] for j in range(len(nl)) if keep[j]]
+        mx = max(logp)
+        norm = mx + math.log(sum(math.exp(u - mx) for u in logp))
+        logp = [u - norm for u in logp]
+        exp_pcp.append(math.exp(logp[0]))
+        exp_run.append(runs[logp.index(max(logp))])
+
+    df = spark.createDataFrame(
+        [("a", i, float(x[i])) for i in range(n)],
+        "key string, loc long, value double",
+    )
+    out = {r.loc: r for r in bocpd(df, hazard=HAZ, trunc=TRUNC).collect()}
+    assert len(out) == n
+    for t in range(n):
+        assert math.isclose(
+            out[t].p_cp, exp_pcp[t], rel_tol=0, abs_tol=1e-9
+        ), (t, out[t].p_cp, exp_pcp[t])
+        assert out[t].run_map == exp_run[t], (t, out[t].run_map, exp_run[t])
 
 
 def test_fano_factor(spark):

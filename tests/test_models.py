@@ -791,3 +791,58 @@ def test_kalman_local_level(spark):
     rt = kalman_local_level(tiny).orderBy("loc").collect()
     assert [r.level for r in rt] == [1.0, 2.0]
     assert rt[0].level_var is None or np.isnan(rt[0].level_var)
+
+
+def test_kalman_textbook_recursion_pinned(spark):
+    """Full filter AND RTS-smoother parity against an independent
+    scalar replay of the Durbin-Koopman recursion at fixed q, on a
+    deterministic fixture, asserted to 1e-9 — plus the variance
+    columns against the concentrated R-hat."""
+    import math
+
+    import numpy as np
+
+    from spark_timeseries_spark.models.kalman import kalman_local_level
+
+    rng = np.random.RandomState(42)
+    y = np.round(np.cumsum(rng.randn(40)) + 10.0, 3)
+    df = spark.createDataFrame(
+        [("a", i, float(y[i])) for i in range(40)],
+        "key string, loc long, value double",
+    )
+    q = 0.7
+    out = {r.loc: r for r in kalman_local_level(df, q=q).collect()}
+
+    # forward filter (textbook: predict, gain, update)
+    n = 40
+    mu_pred = np.empty(n); p_pred = np.empty(n)
+    mu_f = np.empty(n); p_f = np.empty(n)
+    v = np.empty(n); f = np.empty(n)
+    mu, p = y[0], 1e12
+    for t in range(n):
+        if t > 0:
+            p += q
+        mu_pred[t], p_pred[t] = mu, p
+        f[t] = p + 1.0
+        v[t] = y[t] - mu
+        k = p / f[t]
+        mu += k * v[t]
+        p *= 1.0 - k
+        mu_f[t], p_f[t] = mu, p
+    r_hat = float(np.mean(v[1:] ** 2 / f[1:]))
+    # RTS smoother backward
+    mu_s = mu_f.copy(); p_s = p_f.copy()
+    for t in range(n - 2, -1, -1):
+        j = p_f[t] / p_pred[t + 1]
+        mu_s[t] = mu_f[t] + j * (mu_s[t + 1] - mu_pred[t + 1])
+        p_s[t] = p_f[t] + j * j * (p_s[t + 1] - p_pred[t + 1])
+    for t in range(n):
+        assert math.isclose(out[t].level, mu_f[t], rel_tol=0, abs_tol=1e-9)
+        assert math.isclose(out[t].smoothed, mu_s[t], rel_tol=0, abs_tol=1e-9)
+        assert math.isclose(
+            out[t].level_var, p_f[t] * r_hat, rel_tol=1e-9, abs_tol=1e-12
+        )
+        assert math.isclose(
+            out[t].smoothed_var, p_s[t] * r_hat, rel_tol=1e-9, abs_tol=1e-12
+        )
+        assert out[t].r_hat == r_hat and out[t].q_hat == q
