@@ -19,7 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cross_rank", "cross_zscore"]
+__all__ = [
+    "cross_rank", "cross_zscore", "information_coefficient", "turnover",
+]
 
 
 def cross_rank(
@@ -67,4 +69,82 @@ def cross_zscore(
                 F.stddev_samp(value_col).over(wn),
             ),
         )
+    )
+
+
+def information_coefficient(
+    df: DataFrame,
+    horizon: int = 1,
+    key_col: str = "key",
+    loc_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-instant information coefficient → (loc, n_keys, ic): the
+    cross-sectional Pearson correlation between each series' value (the
+    SIGNAL) and its own FORWARD return over ``horizon`` instants — the
+    standard daily health metric of a ranking signal (mean IC ≈ its
+    predictive power; the companion of :func:`cross_rank`). Forward
+    return = lead(value, horizon)/value − 1 per key; rows where it is
+    undefined (series end, zero/NULL value) drop out of that instant's
+    correlation; instants with < 2 usable series or zero dispersion
+    yield NULL ic (SQL corr convention).
+
+    Plan: one key-partitioned lead window + one map-side-combinable
+    groupBy(loc) with a corr aggregate — two exchanges total, no joins,
+    all JVM."""
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1, got {horizon}")
+    v = F.col(value_col)
+    wk = Window.partitionBy(key_col).orderBy(loc_col)
+    d = (
+        df.where(v.isNotNull())
+        .withColumn("_nx", F.lead(value_col, horizon).over(wk))
+        .withColumn("_fr", F.try_divide(F.col("_nx"), v) - 1.0)
+        .where(F.col("_fr").isNotNull())
+    )
+    # sample-moment corr with try_divide, not F.corr — ANSI mode makes
+    # corr() raise DIVIDE_BY_ZERO on a zero-dispersion instant
+    return d.groupBy(loc_col).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.try_divide(
+            F.covar_samp(value_col, "_fr"),
+            F.stddev_samp(value_col) * F.stddev_samp("_fr"),
+        ).alias("ic"),
+    )
+
+
+def turnover(
+    df: DataFrame,
+    key_col: str = "key",
+    loc_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-instant rank autocorrelation → (loc, n_keys, rank_autocorr,
+    turnover): the cross-sectional Pearson correlation between each
+    key's rank at the instant and its rank one observation earlier
+    (per key), and ``turnover`` = (1 − that)/2 — the standard proxy for
+    how much a rank-driven portfolio churns between rebalances (0 =
+    frozen ranks, 1 = fully shuffled). Keys missing either rank drop
+    out of that instant; instants with < 2 comparable keys yield NULLs.
+
+    Plan: one loc-partitioned rank window, one key-partitioned lag,
+    one groupBy(loc) corr — no joins, all JVM."""
+    v = F.col(value_col)
+    wr = Window.partitionBy(loc_col).orderBy(F.desc(value_col), key_col)
+    wk = Window.partitionBy(key_col).orderBy(loc_col)
+    d = (
+        df.where(v.isNotNull())
+        .withColumn("_r", F.row_number().over(wr).cast("double"))
+        .withColumn("_pr", F.lag("_r").over(wk))
+        .where(F.col("_pr").isNotNull())
+    )
+    g = d.groupBy(loc_col).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.try_divide(
+            F.covar_samp("_r", "_pr"),
+            F.stddev_samp("_r") * F.stddev_samp("_pr"),
+        ).alias("rank_autocorr"),
+    )
+    return g.withColumn(
+        "turnover", (1.0 - F.col("rank_autocorr")) / 2.0
     )

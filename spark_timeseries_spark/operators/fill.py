@@ -77,6 +77,36 @@ def fill_value(
     return df.withColumn(value_col, F.coalesce(F.col(value_col), F.lit(float(value))))
 
 
+def fill_previous_limit(
+    df: DataFrame,
+    limit: int,
+    key_col="key",
+    order_col="loc",
+    value_col="value",
+) -> DataFrame:
+    """Gap-limited LOCF (beyond-reference; the pandas ``ffill(limit=)``
+    convention): carry the last non-null value forward at most
+    ``limit`` POSITIONS — a hole farther than that from its source
+    stays NULL. The honest fill for operational gauges where a stale
+    reading is only trustworthy for so long; unlimited
+    :func:`fill_previous` is the ``limit → ∞`` case.
+
+    Plan: the same single (key, loc)-ordered window pass as
+    :func:`fill_previous` plus one position column — one exchange, all
+    JVM."""
+    if limit < 1:
+        raise ValueError(f"limit must be >= 1, got {limit}")
+    w = _w(key_col, order_col).rowsBetween(Window.unboundedPreceding, 0)
+    pos_if_val = F.when(F.col(value_col).isNotNull(), F.col(order_col))
+    d = df.withColumn(
+        "_pv", F.last(value_col, ignorenulls=True).over(w)
+    ).withColumn("_pi", F.last(pos_if_val, ignorenulls=True).over(w))
+    filled = F.when(F.col(value_col).isNotNull(), F.col(value_col)).when(
+        F.col(order_col) - F.col("_pi") <= limit, F.col("_pv")
+    )
+    return d.withColumn(value_col, filled).drop("_pv", "_pi")
+
+
 def _prev_next_cols(df, key_col, order_col, value_col):
     """Attach prev/next non-null value and their positions."""
     wp = _w(key_col, order_col).rowsBetween(Window.unboundedPreceding, 0)

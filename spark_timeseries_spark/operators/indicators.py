@@ -33,7 +33,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ema", "macd", "rsi", "bollinger", "adx"]
+__all__ = [
+    "ema", "macd", "rsi", "bollinger", "adx",
+    "stochastic", "obv", "ewm_var",
+]
 
 
 def _ema_safe_len(alpha: float) -> int:
@@ -342,3 +345,109 @@ def adx(
         .drop("_pdm", "_mdm", "_spdm", "_smdm", "_str")
     )
     return _ema_col(d, alpha, key_col, order_col, "dx", "adx", method, max_len)
+
+
+def stochastic(
+    df: DataFrame,
+    n: int = 14,
+    d: int = 3,
+    key_col: str = "key",
+    order_col: str = "bar_ts",
+    high_col: str = "high",
+    low_col: str = "low",
+    close_col: str = "close",
+) -> DataFrame:
+    """Stochastic oscillator (Lane) over OHLC bars → input rows +
+    ``pct_k`` (100·(close − LL_n)/(HH_n − LL_n) over the highest high /
+    lowest low of the last ``n`` bars) and ``pct_d`` (the ``d``-bar
+    simple moving average of %K — Lane's original smoothing, not an
+    EMA). %K is NULL until a full ``n``-bar window exists (the classic
+    burn-in) and NULL on a flat window (HH = LL — try_divide); %D
+    averages the non-null %K values in its window.
+
+    Plan: two rolling extrema + one count + one average, all on the
+    same (key, order) sort — ONE exchange, zero joins, all JVM."""
+    if n < 1 or d < 1:
+        raise ValueError(f"need n >= 1 and d >= 1, got {n}, {d}")
+    wn = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-(n - 1), 0)
+    )
+    wd = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-(d - 1), 0)
+    )
+    hh = F.max(high_col).over(wn)
+    ll = F.min(low_col).over(wn)
+    full = F.count(F.lit(1)).over(wn) >= n
+    k = F.when(
+        full, 100.0 * F.try_divide(F.col(close_col) - ll, hh - ll)
+    )
+    return df.withColumn("pct_k", k).withColumn(
+        "pct_d", F.avg("pct_k").over(wd)
+    )
+
+
+def obv(
+    df: DataFrame,
+    key_col: str = "key",
+    order_col: str = "bar_ts",
+    close_col: str = "close",
+    volume_col: str = "vol",
+) -> DataFrame:
+    """On-balance volume (Granville) over bars with volume → input rows
+    + ``obv`` = running Σ sign(close_t − close_{t−1})·vol_t; the first
+    bar and flat closes contribute 0, NULL volume counts as 0 (stated —
+    a missing volume is no evidence either way). The classic
+    volume-flow confirmation line for :func:`macd`/:func:`adx` signals.
+
+    Plan: one lag + one running sum on the same (key, order) sort —
+    ONE exchange, all JVM."""
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+    wpre = ws.rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag(close_col).over(ws)
+    step = F.when(
+        prev.isNotNull(),
+        F.signum(F.col(close_col) - prev)
+        * F.coalesce(F.col(volume_col).cast("double"), F.lit(0.0)),
+    ).otherwise(F.lit(0.0))
+    return df.withColumn("_st", step).withColumn(
+        "obv", F.sum("_st").over(wpre)
+    ).drop("_st")
+
+
+def ewm_var(
+    df: DataFrame,
+    alpha: float,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+    method: str = "auto",
+    max_len: int | None = None,
+) -> DataFrame:
+    """Input rows (non-null cells) + ``ewm_mean``, ``ewm_var``,
+    ``ewm_std`` — the exponentially-weighted variance under the SAME
+    adjust=False weight distribution as :func:`ema`:
+    var_t = E_w[x²]_t − (E_w[x]_t)², the (biased) variance of the
+    weight measure (pandas ``ewm(adjust=False).var(bias=True)``; with
+    a demeaned series this is the RiskMetrics σ² recursion with
+    λ = 1 − α). Floored at 0 before the sqrt — the subtraction can go
+    ~1e-16 negative on constant runs.
+
+    Plan: two chained EMA passes (x and x²) sharing ONE (key, order)
+    sort — the :func:`macd` chaining precedent; all JVM inside the
+    closed form's envelope, dual-plan routed beyond it."""
+    v = F.col(value_col)
+    d = df.where(v.isNotNull()).withColumn("_x2", v * v)
+    d = _ema_col(d, alpha, key_col, order_col, value_col, "ewm_mean", method, max_len)
+    d = _ema_col(d, alpha, key_col, order_col, "_x2", "_e2", method, max_len)
+    var = F.greatest(
+        F.lit(0.0), F.col("_e2") - F.col("ewm_mean") * F.col("ewm_mean")
+    )
+    return (
+        d.withColumn("ewm_var", var)
+        .withColumn("ewm_std", F.sqrt(F.col("ewm_var")))
+        .drop("_x2", "_e2")
+    )

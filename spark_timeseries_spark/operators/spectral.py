@@ -46,7 +46,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["periodogram", "dominant_period", "coherence"]
+__all__ = ["periodogram", "dominant_period", "coherence", "lomb_scargle"]
 
 _FFT_THRESHOLD = 512
 
@@ -413,3 +413,75 @@ def coherence(
         ).alias("coh"),
         F.atan2(F.col("_sq"), F.col("_sc")).alias("phase"),
     )
+
+
+def lomb_scargle(
+    df: DataFrame,
+    freqs: list[float],
+    key_col: str = "key",
+    time_col: str = "t",
+    value_col: str = "value",
+) -> DataFrame:
+    """Lomb-Scargle normalized periodogram per series at the given
+    frequencies (cycles per ``time_col`` unit) → (key, freq, n, power).
+    THE spectral estimator for IRREGULAR sampling (Lomb 1976, Scargle
+    1982) — unlike :func:`periodogram` it needs no fill/grid: the
+    time-shift τ (tan 2ωτ = Σsin 2ωt / Σcos 2ωt) makes the estimate
+    invariant to the origin and exact for uneven t. power is the
+    classic (1/2σ²)-normalized ordinate (σ² the sample variance), so
+    under white noise power ~ Exp(1); NULL when the series is constant
+    or has < 3 points.
+
+    Every per-frequency quantity reduces to SUFFICIENT SUMS over the
+    raw rows — Σx, Σx², Σx·cos ωt, Σx·sin ωt, Σcos ωt, Σsin ωt,
+    Σcos 2ωt, Σsin 2ωt — because demeaning and the τ-rotation expand
+    algebraically (angle-addition); so the whole estimator is ONE
+    explode (|freqs| rows per observation) + ONE map-side-combinable
+    groupBy(key, freq) + closed-form arithmetic. No window, no Python,
+    no second scan; shuffle volume = keys × |freqs|, independent of
+    series length."""
+    if not freqs:
+        raise ValueError("freqs must be non-empty")
+    if any(f <= 0 for f in freqs):
+        raise ValueError("frequencies must be positive")
+    two_pi = 2.0 * math.pi
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull() & F.col(time_col).isNotNull())
+    fx = pts.withColumn(
+        "freq", F.explode(F.array(*[F.lit(float(f)) for f in freqs]))
+    )
+    ang = F.lit(two_pi) * F.col("freq") * F.col(time_col).cast("double")
+    g = fx.groupBy(key_col, "freq").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("_sx"),
+        F.sum(v * v).alias("_sxx"),
+        F.sum(v * F.cos(ang)).alias("_sxc"),
+        F.sum(v * F.sin(ang)).alias("_sxs"),
+        F.sum(F.cos(ang)).alias("_sc"),
+        F.sum(F.sin(ang)).alias("_ss"),
+        F.sum(F.cos(2.0 * ang)).alias("_sc2"),
+        F.sum(F.sin(2.0 * ang)).alias("_ss2"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("_sx") / n
+    var = (F.col("_sxx") - n * mean * mean) / (n - 1.0)
+    # tan(2wt0) = Ss2/Sc2 ; we only ever need cos/sin of w*tau via
+    # half-angle on atan2 — compute 2wtau once, then its halves
+    wtau = F.atan2(F.col("_ss2"), F.col("_sc2")) / 2.0
+    cwt, swt = F.cos(wtau), F.sin(wtau)
+    cbig = F.col("_sxc") - mean * F.col("_sc")   # sum dx cos wt
+    sbig = F.col("_sxs") - mean * F.col("_ss")   # sum dx sin wt
+    ct = cbig * cwt + sbig * swt                 # sum dx cos w(t-tau)
+    st = sbig * cwt - cbig * swt                 # sum dx sin w(t-tau)
+    cc = n / 2.0 + (
+        F.cos(2.0 * wtau) * F.col("_sc2") + F.sin(2.0 * wtau) * F.col("_ss2")
+    ) / 2.0
+    ss = n - cc
+    power = F.when(
+        F.col("n") >= 3,
+        F.try_divide(
+            F.try_divide(ct * ct, cc) + F.try_divide(st * st, ss),
+            2.0 * var,
+        ),
+    )
+    return g.select(key_col, "freq", "n", power.alias("power"))

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["psi_bins", "psi", "gini", "ks_test", "embedding_drift"]
+__all__ = ["psi_bins", "psi", "gini", "ks_test", "embedding_drift", "benford"]
 
 
 def _bin(col: F.Column, lo: float, width: float, bins: int) -> F.Column:
@@ -289,3 +289,65 @@ def _norms(df: DataFrame, vec_col: str) -> DataFrame:
         lambda acc, x: acc + x.cast("double") * x.cast("double"),
     )
     return df.where(v.isNotNull()).select(F.sqrt(sq).alias("value"))
+
+
+def benford(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """First-significant-digit profile vs Benford's law per group →
+    (group, digit 1-9, n_digit, observed, expected) + the group-level
+    conformance stats repeated on each row: ``mad`` (mean absolute
+    deviation of the nine frequencies — Nigrini's gauge: < 0.006 close,
+    > 0.015 nonconformity) and ``chi2`` (n·Σ(obs−exp)²/exp, 8 df). The
+    classic anomaly screen for invented numbers (fabricated amounts,
+    default-filled gauges, unit mix-ups) over any positive measure
+    column; zero/negative/NULL values are excluded (no first digit).
+
+    First digit via floor(v / 10^floor(log10 v)) — pure arithmetic, no
+    string casts, so both engines agree bit-for-bit on the digit.
+
+    Plan: one map-side-combinable groupBy(group, digit) + one
+    group-partitioned window for the totals/MAD — scales like a word
+    count."""
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull() & (v > 0))
+    g = F.col(group_col) if group_col else F.lit("all")
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
+    cnt = (
+        base.select(g.alias("group"), digit.alias("digit"))
+        .groupBy("group", "digit")
+        .agg(F.count(F.lit(1)).alias("n_digit"))
+    )
+    wg = Window.partitionBy("group")
+    exp = F.log10(1.0 + 1.0 / F.col("digit").cast("double"))
+    d = (
+        cnt.withColumn("_n", F.sum("n_digit").over(wg))
+        .withColumn(
+            "observed", F.col("n_digit").cast("double") / F.col("_n")
+        )
+        .withColumn("expected", exp)
+    )
+    # groups can MISS digits entirely; their |0 - exp| must still count
+    # toward MAD/chi2, so fold the absent-digit mass in closed form:
+    # sum over missing d of exp_d = 1 - sum over present d of exp_d
+    dev = F.abs(F.col("observed") - F.col("expected"))
+    mad = (
+        F.sum(dev).over(wg)
+        + (1.0 - F.sum(F.col("expected")).over(wg))
+    ) / 9.0
+    chi2_present = F.sum(
+        F.pow(F.col("observed") - F.col("expected"), F.lit(2.0))
+        / F.col("expected")
+    ).over(wg)
+    chi2_missing = 1.0 - F.sum(F.col("expected")).over(wg)
+    chi2 = F.col("_n") * (chi2_present + chi2_missing)
+    return (
+        d.withColumn("mad", mad)
+        .withColumn("chi2", chi2)
+        .select(
+            "group", "digit", "n_digit", "observed", "expected",
+            "mad", "chi2",
+        )
+    )

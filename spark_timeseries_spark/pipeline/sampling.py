@@ -224,3 +224,38 @@ def dsir_weights(
         F.coalesce("n_features", F.lit(0)).alias("n_features"),
         F.coalesce("logw", F.lit(0.0)).alias("logw"),
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """EXACT-k deterministic sample per stratum — the bottom-k /
+    priority-sampling companion of the rate-based samplers: each row's
+    priority is its seeded id hash, and the k smallest per stratum
+    survive (ties beyond the hash — astronomically unlikely but
+    engine-divergence poison — break by id). Rows gain ``sample_rank``
+    (1-based priority order). Same guarantees as
+    :func:`deterministic_sample`: identical output on every run,
+    engine, and cluster size; changing ``seed`` redraws. Strata with
+    ≤ k rows pass through whole.
+
+    Scale: one hash-partitioned window per stratum (a single exchange
+    keyed on the stratum) + a rank filter. For corpora where one
+    stratum dominates, the classic refinement is a pre-filter on the
+    hash value (keep only priorities below a generous threshold) before
+    the window — noted, not needed at the exact-k contract here."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pri = hashed_with_seed(F.col(id_col).cast("string"), seed, hash_fn)
+    w = Window.partitionBy(stratum_col).orderBy(
+        pri.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )

@@ -3246,3 +3246,230 @@ def test_retention_cohorts(spark):
     assert out[(w1, 0)].cohort_size == 1
     assert out[(w1, 1)].n_active == 1          # u3 returned
     assert (w0, 3) not in out                  # no activity -> no row
+
+
+def test_lomb_scargle(spark):
+    """Irregularly-sampled sinusoid: power peaks at the true frequency;
+    a numpy replay of the textbook Lomb-Scargle formula agrees to 1e-9;
+    constant series and n < 3 yield NULL power."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.spectral import lomb_scargle
+
+    rng = np.random.RandomState(3)
+    t = np.sort(rng.uniform(0, 30, 120))       # irregular times, 30 "days"
+    f_true = 0.35                              # cycles per day
+    x = np.sin(2 * np.pi * f_true * t) + 0.2 * rng.randn(120)
+    freqs = [round(0.05 * k, 3) for k in range(1, 11)]  # 0.05 .. 0.5
+    rows = [("a", float(t[i]), float(x[i])) for i in range(120)]
+    rows += [("c", float(i), 5.0) for i in range(10)]   # constant series
+    rows += [("s", 0.0, 1.0), ("s", 1.0, 2.0)]          # too short
+    df = spark.createDataFrame(rows, "key string, t double, value double")
+
+    out = {(r.key, r.freq): r for r in lomb_scargle(df, freqs).collect()}
+    peak = max(freqs, key=lambda f: out[("a", f)].power)
+    assert peak == 0.35
+    assert all(out[("c", f)].power is None for f in freqs)
+    assert all(out[("s", f)].power is None for f in freqs)
+
+    # textbook replay (Scargle 1982 eq. 10) at every frequency
+    xm = x.mean()
+    var = x.var(ddof=1)
+    for f in freqs:
+        w = 2 * np.pi * f
+        tau = np.arctan2(np.sum(np.sin(2 * w * t)),
+                         np.sum(np.cos(2 * w * t))) / (2 * w)
+        c = np.cos(w * (t - tau))
+        s = np.sin(w * (t - tau))
+        p = (np.sum((x - xm) * c) ** 2 / np.sum(c * c)
+             + np.sum((x - xm) * s) ** 2 / np.sum(s * s)) / (2 * var)
+        assert abs(out[("a", f)].power - p) < 1e-9 * max(1.0, abs(p)), f
+
+
+def test_spearman_kendall(spark):
+    """Rank correlations on a monotone-nonlinear coupling with ties:
+    both match pandas' spearman/kendall (tie-corrected) exactly;
+    Spearman sees the monotone link as ~1 where Pearson would not."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_timeseries_spark.operators.rankcorr import (
+        kendall_tau,
+        spearman_corr,
+    )
+
+    rng = np.random.RandomState(9)
+    x = np.round(rng.randn(60), 1)             # rounding forces ties
+    y = np.round(np.exp(x) + 0.05 * rng.randn(60), 1)
+    rows = [("a", i, float(x[i])) for i in range(60)]
+    rows += [("b", i, float(y[i])) for i in range(60)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+
+    sp = spearman_corr(df, "a", "b").collect()[0]
+    kd = kendall_tau(df, "a", "b").collect()[0]
+    # independent references without scipy: mid-ranks + Pearson for
+    # Spearman; brute-force tau-b pair counting for Kendall
+    ps = pd.Series(x).rank().corr(pd.Series(y).rank())
+    nc = nd = tx = ty = 0
+    for i in range(60):
+        for j in range(i + 1, 60):
+            sx = np.sign(x[j] - x[i])
+            sy = np.sign(y[j] - y[i])
+            if sx == 0:
+                tx += 1
+            if sy == 0:
+                ty += 1
+            if sx * sy > 0:
+                nc += 1
+            elif sx * sy < 0:
+                nd += 1
+    n0 = 60 * 59 // 2
+    pk = (nc - nd) / np.sqrt((n0 - tx) * (n0 - ty))
+    assert sp.n == 60 and kd.n == 60
+    assert abs(sp.rho - ps) < 1e-9
+    assert abs(kd.tau - pk) < 1e-9
+    assert kd.n_concordant == nc and kd.n_discordant == nd
+    assert sp.rho > 0.9
+    # perfect anti-monotone: rho = tau = -1
+    rows2 = [("a", i, float(i)) for i in range(10)]
+    rows2 += [("b", i, float(-i)) for i in range(10)]
+    df2 = spark.createDataFrame(rows2, "key string, loc long, value double")
+    assert abs(spearman_corr(df2, "a", "b").collect()[0].rho + 1) < 1e-12
+    assert abs(kendall_tau(df2, "a", "b").collect()[0].tau + 1) < 1e-12
+    # constant side: NULL
+    rows3 = [("a", i, 1.0) for i in range(5)]
+    rows3 += [("b", i, float(i)) for i in range(5)]
+    df3 = spark.createDataFrame(rows3, "key string, loc long, value double")
+    assert spearman_corr(df3, "a", "b").collect()[0].rho is None
+    assert kendall_tau(df3, "a", "b").collect()[0].tau is None
+
+
+def test_information_coefficient_turnover(spark):
+    """IC: a signal equal to the forward return is IC=1, its negative
+    -1; pandas per-instant replay agrees. Turnover: frozen ranks give
+    rank_autocorr 1 / turnover 0, a full reversal gives -1 / 1."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_timeseries_spark.operators.crosssection import (
+        information_coefficient,
+        turnover,
+    )
+
+    rng = np.random.RandomState(4)
+    vals = {k: 10.0 + np.abs(rng.randn(8)) + 0.1 for k in "abcdef"}
+    rows = [(k, i, float(v[i])) for k, v in vals.items() for i in range(8)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    out = {r.loc: r for r in information_coefficient(df).collect()}
+    pdf = pd.DataFrame(vals)
+    for loc in range(7):
+        sig = pdf.iloc[loc]
+        fr = pdf.iloc[loc + 1] / pdf.iloc[loc] - 1.0
+        expect = sig.corr(fr)
+        assert abs(out[loc].ic - expect) < 1e-9, loc
+        assert out[loc].n_keys == 6
+    assert 7 not in out  # no forward return at the last instant
+
+    # frozen cross-sectional order -> turnover 0
+    rows2 = [(k, i, float(r)) for r, k in enumerate("abcd")
+             for i in range(5)]
+    df2 = spark.createDataFrame(rows2, "key string, loc long, value double")
+    t2 = {r.loc: r for r in turnover(df2).collect()}
+    for loc in range(1, 5):
+        assert abs(t2[loc].rank_autocorr - 1.0) < 1e-12
+        assert abs(t2[loc].turnover) < 1e-12
+    # full reversal at loc 1
+    rows3 = [("a", 0, 3.0), ("b", 0, 2.0), ("c", 0, 1.0),
+             ("a", 1, 1.0), ("b", 1, 2.0), ("c", 1, 3.0)]
+    df3 = spark.createDataFrame(rows3, "key string, loc long, value double")
+    t3 = {r.loc: r for r in turnover(df3).collect()}
+    assert abs(t3[1].rank_autocorr + 1.0) < 1e-12
+    assert abs(t3[1].turnover - 1.0) < 1e-12
+
+
+def test_stochastic_obv_ewm_var(spark):
+    """Stochastic %K/%D vs a pandas rolling replay (burn-in NULLs, flat
+    window NULL); OBV vs a hand cumsum; ewm_var vs pandas
+    ewm(adjust=False).var(bias=True)."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_timeseries_spark.operators.indicators import (
+        ewm_var,
+        obv,
+        stochastic,
+    )
+
+    rng = np.random.RandomState(6)
+    n = 30
+    close = 100 + np.cumsum(rng.randn(n))
+    high = close + np.abs(rng.randn(n))
+    low = close - np.abs(rng.randn(n))
+    vol = rng.randint(1, 100, n).astype(float)
+    rows = [("a", i, float(high[i]), float(low[i]), float(close[i]),
+             float(vol[i])) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "key string, bar_ts long, high double, low double, "
+              "close double, vol double"
+    )
+
+    st = {r.bar_ts: r for r in stochastic(df, n=5, d=3).collect()}
+    hh = pd.Series(high).rolling(5).max()
+    ll = pd.Series(low).rolling(5).min()
+    k_exp = 100 * (pd.Series(close) - ll) / (hh - ll)
+    d_exp = k_exp.rolling(3, min_periods=1).mean()
+    for i in range(n):
+        if i < 4:
+            assert st[i].pct_k is None
+        else:
+            assert abs(st[i].pct_k - k_exp[i]) < 1e-9
+            assert abs(st[i].pct_d - d_exp[i]) < 1e-9
+
+    ob = {r.bar_ts: r.obv for r in obv(df).collect()}
+    run = 0.0
+    for i in range(n):
+        if i > 0:
+            run += np.sign(close[i] - close[i - 1]) * vol[i]
+        assert abs(ob[i] - run) < 1e-9
+
+    ev = {r.bar_ts: r for r in
+          ewm_var(df, 0.3, order_col="bar_ts", value_col="close").collect()}
+    s = pd.Series(close)
+    m_exp = s.ewm(alpha=0.3, adjust=False).mean()
+    v_exp = s.ewm(alpha=0.3, adjust=False).var(bias=True)
+    for i in range(n):
+        assert abs(ev[i].ewm_mean - m_exp[i]) < 1e-9
+        assert abs(ev[i].ewm_var - v_exp[i]) < 1e-7 * max(1, abs(v_exp[i]))
+        assert abs(ev[i].ewm_std - np.sqrt(max(v_exp[i], 0.0))) < 1e-7
+
+    # flat stochastic window -> NULL %K
+    flat = spark.createDataFrame(
+        [("f", i, 5.0, 5.0, 5.0, 1.0) for i in range(8)],
+        "key string, bar_ts long, high double, low double, close double, "
+        "vol double",
+    )
+    assert all(r.pct_k is None for r in stochastic(flat, n=3).collect())
+
+
+def test_fill_previous_limit(spark):
+    """Gaps within the limit carry forward, longer gaps stay NULL, a
+    huge limit reproduces fill_previous, leading NULLs never fill."""
+    from spark_timeseries_spark.operators.fill import (
+        fill_previous,
+        fill_previous_limit,
+    )
+
+    rows = [("a", 0, None), ("a", 1, 1.0), ("a", 2, None), ("a", 3, None),
+            ("a", 4, None), ("a", 5, 2.0), ("a", 6, None)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    out = {r.loc: r.value for r in fill_previous_limit(df, 2).collect()}
+    assert out[0] is None                    # nothing before
+    assert out[2] == 1.0 and out[3] == 1.0   # within 2 of loc 1
+    assert out[4] is None                    # 3 past the source
+    assert out[6] == 2.0
+    big = {r.loc: r.value for r in fill_previous_limit(df, 99).collect()}
+    ref = {r.loc: r.value for r in fill_previous(df).collect()}
+    assert big == ref
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        fill_previous_limit(df, 0)

@@ -2598,3 +2598,103 @@ def test_embedding_drift(spark):
     psi_e = float(np.sum((qe - pe) * np.log(qe / pe)))
     assert abs(row.norm_psi - psi_e) < 1e-9
     assert row.norm_psi > 0.25  # 1.7x scale is definitely drift
+
+
+def test_priority_sample(spark):
+    """Exact k per stratum, deterministic across calls, smaller strata
+    pass through whole, rank order matches hash priority, and a
+    different seed draws a (generally) different set."""
+    from pyspark.sql import functions as F
+
+    from spark_timeseries_spark.pipeline.sampling import priority_sample
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "tiny")
+                                               for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = priority_sample(df, 10, seed=1).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.source, []).append(r)
+    assert len(by["big"]) == 10
+    assert len(by["tiny"]) == 3            # <= k passes through whole
+    assert sorted(r.sample_rank for r in by["big"]) == list(range(1, 11))
+    # deterministic: identical second run
+    again = priority_sample(df, 10, seed=1).collect()
+    assert {(r.doc_id, r.sample_rank) for r in again} == {
+        (r.doc_id, r.sample_rank) for r in out
+    }
+    # rank order = ascending hash priority
+    pri = {
+        r.doc_id: r.h
+        for r in df.select(
+            "doc_id", F.xxhash64(F.col("doc_id").cast("string"),
+                                 F.lit(1)).alias("h")
+        ).collect()
+    }
+    big_sorted = sorted(by["big"], key=lambda r: r.sample_rank)
+    assert all(
+        pri[a.doc_id] <= pri[b.doc_id]
+        for a, b in zip(big_sorted, big_sorted[1:])
+    )
+    # top-10 = the 10 globally smallest priorities in the stratum
+    want = set(sorted((i for i in range(100)), key=lambda i: pri[i])[:10])
+    assert {r.doc_id for r in by["big"]} == want
+    # another seed: a different draw (overwhelmingly likely)
+    other = {r.doc_id for r in priority_sample(df, 10, seed=2).collect()
+             if r.source == "big"}
+    assert other != {r.doc_id for r in by["big"]}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        priority_sample(df, 0)
+
+
+def test_benford(spark):
+    """A geometric series is Benford-conforming (tiny MAD); a
+    constant-leading-digit column is flagrantly non-conforming; the
+    per-digit fractions and the missing-digit MAD/chi2 folding match a
+    hand replay."""
+    import numpy as np
+
+    from spark_timeseries_spark.pipeline.drift import benford
+
+    geo = [1.07 ** k for k in range(300)]          # classic Benford source
+    ones = [1.0 + 0.0001 * k for k in range(300)]  # always digit 1
+    rows = [("geo", float(v)) for v in geo] + [("one", float(v))
+                                               for v in ones]
+    df = spark.createDataFrame(rows, "src string, amount double")
+    out = benford(df, "amount", "src").collect()
+    g = {r.digit: r for r in out if r.group == "geo"}
+    o = {r.digit: r for r in out if r.group == "one"}
+    assert set(g) == set(range(1, 10))
+    assert set(o) == {1}
+
+    # hand replay for the geo group
+    digs = np.array([int(str(v).lstrip("0.").replace(".", "")[0])
+                     for v in geo])
+    exp = np.log10(1 + 1 / np.arange(1, 10))
+    obs = np.array([(digs == d).mean() for d in range(1, 10)])
+    mad = np.abs(obs - exp).mean()
+    chi2 = 300 * float(np.sum((obs - exp) ** 2 / exp))
+    for d in range(1, 10):
+        assert g[d].n_digit == int((digs == d).sum())
+        assert abs(g[d].observed - obs[d - 1]) < 1e-12
+        assert abs(g[d].expected - exp[d - 1]) < 1e-12
+        assert abs(g[d].mad - mad) < 1e-12
+        assert abs(g[d].chi2 - chi2) < 1e-7
+    assert g[1].mad < 0.01            # conforming
+
+    # the all-ones group: observed(1)=1; 8 digits missing entirely;
+    # MAD = (|1-exp1| + sum of the 8 missing exps)/9
+    mad1 = (abs(1 - exp[0]) + exp[1:].sum()) / 9.0
+    chi1 = 300 * ((1 - exp[0]) ** 2 / exp[0] + exp[1:].sum())
+    assert abs(o[1].mad - mad1) < 1e-12
+    assert abs(o[1].chi2 - chi1) < 1e-7
+    assert o[1].mad > 0.1             # flagrant
+
+    # zero/negative/NULL excluded
+    df2 = spark.createDataFrame(
+        [("a", -5.0), ("a", 0.0), ("a", None), ("a", 42.0)],
+        "src string, amount double",
+    )
+    r2 = benford(df2, "amount", "src").collect()
+    assert len(r2) == 1 and r2[0].digit == 4 and r2[0].n_digit == 1
