@@ -3663,6 +3663,172 @@ def _q_bocpd_runs(spark, sf_dir):
     )
 
 
+#: Lomb-Scargle driver-query frequency grid (cycles/day over the
+#: 31-day January span) — the SAME Python floats feed the Spark array
+#: literal and (via repr) the oracle's VALUES list
+_LS_FREQS = [k / 31.0 for k in range(1, 11)]
+
+
+def _q_lomb_scargle(spark, sf_dir):
+    """Lomb-Scargle periodogram per user over the RAW irregular events
+    (no fill, no grid — the estimator's whole point); t in exact days
+    from epoch micros so both engines derive the identical double."""
+    from spark_timeseries_spark.operators.spectral import lomb_scargle
+
+    ev = load_table(spark, sf_dir, "events")
+    t0 = F.unix_micros(F.lit("2024-01-01").cast("timestamp"))
+    obs = ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        ((F.unix_micros(F.col("ts")) - t0) / 86400000000.0).alias("t"),
+        "value",
+    )
+    out = lomb_scargle(obs, _LS_FREQS, time_col="t")
+    return out.select(
+        "key",
+        _stable_round(F.col("freq"), 6).alias("freq"),
+        "n",
+        _stable_round(F.col("power"), 4).alias("power"),
+    )
+
+
+def _q_spearman(spark, sf_dir):
+    """Spearman rho between daily-grid users 1 and 2 over their
+    non-null overlap — mid-rank tie convention, one row."""
+    from spark_timeseries_spark.operators.rankcorr import spearman_corr
+
+    grid = _daily_grid(spark, sf_dir)
+    out = spearman_corr(grid, "1", "2")
+    return out.select(
+        "key_a", "key_b", "n",
+        _stable_round(F.col("rho"), 6).alias("rho"),
+    )
+
+
+def _q_kendall(spark, sf_dir):
+    """Kendall tau-b between daily-grid users 1 and 2 — the bounded
+    O(T^2/2) pair self-join over a ~30-row overlap."""
+    from spark_timeseries_spark.operators.rankcorr import kendall_tau
+
+    grid = _daily_grid(spark, sf_dir)
+    out = kendall_tau(grid, "1", "2")
+    return out.select(
+        "key_a", "key_b", "n", "n_concordant", "n_discordant",
+        _stable_round(F.col("tau"), 6).alias("tau"),
+    )
+
+
+def _q_information_coefficient(spark, sf_dir):
+    """Per-day cross-sectional IC of the daily-grid value against its
+    own 1-day forward return — lead window + per-instant corr."""
+    from spark_timeseries_spark.operators.crosssection import (
+        information_coefficient,
+    )
+
+    grid = _daily_grid(spark, sf_dir)
+    out = information_coefficient(grid, horizon=1)
+    return out.select(
+        "loc", "n_keys",
+        _stable_round(F.col("ic"), 6).alias("ic"),
+    )
+
+
+def _q_turnover(spark, sf_dir):
+    """Per-day rank autocorrelation / turnover of the daily-grid
+    cross-section — rank window + per-key lag + per-instant corr."""
+    from spark_timeseries_spark.operators.crosssection import turnover
+
+    grid = _daily_grid(spark, sf_dir)
+    out = turnover(grid)
+    return out.select(
+        "loc", "n_keys",
+        _stable_round(F.col("rank_autocorr"), 6).alias("rank_autocorr"),
+        _stable_round(F.col("turnover"), 6).alias("turnover"),
+    )
+
+
+def _q_stochastic(spark, sf_dir):
+    """Stochastic %K(5)/%D(3) over each user's daily OHLC bars — two
+    rolling extrema + SMA on one sort; burn-in and flat-window NULLs."""
+    from spark_timeseries_spark.operators.indicators import stochastic
+    from spark_timeseries_spark.operators.resample import ohlc
+
+    obs = events_observations(spark, sf_dir)
+    out = stochastic(ohlc(obs, "day"), n=5, d=3)
+    return out.select(
+        "key", "bar_ts",
+        _stable_round(F.col("pct_k"), 6).alias("pct_k"),
+        _stable_round(F.col("pct_d"), 6).alias("pct_d"),
+    )
+
+
+def _q_obv(spark, sf_dir):
+    """On-balance volume over daily bars with the bar's event count as
+    volume — signed integer-valued running sum, exact in both
+    engines (no rounding)."""
+    from spark_timeseries_spark.operators.indicators import obv
+    from spark_timeseries_spark.operators.resample import ohlc
+
+    obs = events_observations(spark, sf_dir)
+    out = obv(ohlc(obs, "day"), volume_col="n")
+    return out.select("key", "bar_ts", "obv")
+
+
+def _q_ewm_var(spark, sf_dir):
+    """EWM mean/variance/std (alpha=0.25, adjust=False, biased) over
+    the filled daily grid — two chained closed-form EMA passes, oracle
+    replays the same closed form on x and x^2."""
+    from spark_timeseries_spark.operators.indicators import ewm_var
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
+    out = ewm_var(filled, 0.25, max_len=31)
+    return out.select(
+        "key", "loc",
+        _stable_round(F.col("ewm_mean"), 6).alias("ewm_mean"),
+        _stable_round(F.col("ewm_var"), 6).alias("ewm_var"),
+        _stable_round(F.col("ewm_std"), 6).alias("ewm_std"),
+    )
+
+
+def _q_fill_previous_limit(spark, sf_dir):
+    """Gap-limited LOCF (limit=2 grid steps) on the raw daily grid —
+    values are copies of grid cells, exact in both engines."""
+    from spark_timeseries_spark.operators.fill import fill_previous_limit
+
+    grid = _daily_grid(spark, sf_dir)
+    return fill_previous_limit(grid, 2).select("key", "loc", "value")
+
+
+def _q_benford(spark, sf_dir):
+    """Benford first-digit conformance of order totals by order
+    priority — digit via pure floor/log10 arithmetic, missing-digit
+    MAD/chi2 folding in closed form."""
+    from spark_timeseries_spark.pipeline.drift import benford
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = benford(orders, "o_totalprice", "o_orderpriority")
+    return out.select(
+        "group", "digit", "n_digit",
+        _stable_round(F.col("observed"), 6).alias("observed"),
+        _stable_round(F.col("expected"), 6).alias("expected"),
+        _stable_round(F.col("mad"), 6).alias("mad"),
+        _stable_round(F.col("chi2"), 4).alias("chi2"),
+    )
+
+
+def _q_priority_sample(spark, sf_dir):
+    """Exact-20 deterministic bottom-k sample per document source —
+    md5_60 seeded priorities (the oracle-replayable hash mode)."""
+    from spark_timeseries_spark.pipeline.sampling import priority_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = priority_sample(
+        docs, 20, stratum_col="source", id_col="doc_id",
+        seed=3, hash_fn="md5_60",
+    )
+    return out.select("doc_id", "source", "sample_rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
     the first 50 entries. Window policy (round 10, per the r9 verdict's
@@ -3674,11 +3840,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     filter+smoother vs a bit-exact DuckDB recursive-CTE replay) and
     ``bocpd_runs`` (full Adams-MacKay posterior vs a LIST-state
     recursive-CTE replay — the two "no SQL oracle exists" operators,
-    closed); (b) the standing rotation queue, STALEST driver evidence
-    first: the late-r5/r6 block the r9 verdict named
-    (``token_divergence`` … ``to_series_digest`` — 44 rows, positions
-    51-100 of the r9 ordering). The displaced r9 window rows move to
-    the tail (their driver evidence is the freshest on file).
+    closed), and the 11 operators NEW in r10 (``lomb_scargle``,
+    ``spearman``/``kendall``, ``information_coefficient``/``turnover``,
+    ``stochastic``/``obv``/``ewm_var``, ``fill_previous_limit``,
+    ``benford``, ``priority_sample``) — 17 rows; (b) the standing
+    rotation queue, STALEST driver evidence first: the late-r5/r6
+    block the r9 verdict named (``token_divergence`` …
+    ``union_series`` — 33 rows ≥ the prescribed 25; the block's last
+    11 rows queue for r11). The displaced r9 window rows move to the
+    tail (their driver evidence is the freshest on file).
     Everything displaced is green in the committed strict-mode full
     oracle log (``tools/check_correctness_r10_full.log`` —
     exact-representation compare, no array columns) which is refreshed
@@ -3692,6 +3862,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_zscore": _q_cross_zscore,
         "kalman_level": _q_kalman_level,
         "bocpd_runs": _q_bocpd_runs,
+        "lomb_scargle": _q_lomb_scargle,
+        "spearman": _q_spearman,
+        "kendall": _q_kendall,
+        "information_coefficient": _q_information_coefficient,
+        "turnover": _q_turnover,
+        "stochastic": _q_stochastic,
+        "obv": _q_obv,
+        "ewm_var": _q_ewm_var,
+        "fill_previous_limit": _q_fill_previous_limit,
+        "benford": _q_benford,
+        "priority_sample": _q_priority_sample,
         # -- (b) rotation queue, stalest driver evidence first (the
         # late-r5/r6 block the r9 verdict named) -----------------------------
         "token_divergence": _q_token_divergence,
@@ -3730,6 +3911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segment": _q_bpe_segment,
         "rebase_hybrid": _q_rebase_hybrid,
         "union_series": _q_union_series,
+        # ---- driver window (50) ends here ----------------------------------
         "lags_custom": _q_lags_custom,
         "stats_suite": _q_stats_suite,
         "hampel": _q_hampel,
@@ -3741,7 +3923,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "argarch_fit": _q_argarch_fit,
         "fill_spline": _q_fill_spline,
         "to_series_digest": _q_to_series_digest,
-        # ---- driver window (50) ends here ----------------------------------
         "to_observations": _q_to_observations,
         "roll_sum_center": _q_roll_sum_center,
         "bg_test": _q_bg_test,
@@ -10142,6 +10323,300 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT key, t AS loc, {_sr_sql("p_cp", 6)} AS p_cp, run_map
         FROM bo
+    """
+
+    _LSF = ", ".join(f"(CAST({f!r} AS DOUBLE))" for f in _LS_FREQS)
+    o["lomb_scargle"] = f"""
+        WITH pts AS (
+            SELECT CAST(user_id AS VARCHAR) AS key,
+                   (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                       / 86400000000.0 AS t,
+                   value AS v
+            FROM events WHERE value IS NOT NULL
+        ),
+        fr AS (SELECT * FROM (VALUES {_LSF}) AS t(freq)),
+        x AS (
+            SELECT key, freq, (6.283185307179586 * freq) * t AS ang, v
+            FROM pts CROSS JOIN fr
+        ),
+        g AS (
+            SELECT key, freq, CAST(count(*) AS BIGINT) AS n,
+                   sum(v) AS sx, sum(v * v) AS sxx,
+                   sum(v * cos(ang)) AS sxc, sum(v * sin(ang)) AS sxs,
+                   sum(cos(ang)) AS sc, sum(sin(ang)) AS ss,
+                   sum(cos(2.0 * ang)) AS sc2, sum(sin(2.0 * ang)) AS ss2
+            FROM x GROUP BY 1, 2
+        ),
+        cmb AS (
+            SELECT key, freq, n,
+                   CAST(n AS DOUBLE) AS nd, sx / CAST(n AS DOUBLE) AS mean,
+                   atan2(ss2, sc2) / 2.0 AS wtau,
+                   sxc, sxs, sc, ss, sc2, ss2, sxx
+            FROM g
+        ),
+        parts AS (
+            SELECT key, freq, n, nd,
+                   (sxx - nd * mean * mean) / (nd - 1.0) AS var,
+                   (sxc - mean * sc) * cos(wtau)
+                       + (sxs - mean * ss) * sin(wtau) AS ct,
+                   (sxs - mean * ss) * cos(wtau)
+                       - (sxc - mean * sc) * sin(wtau) AS st,
+                   nd / 2.0 + (cos(2.0 * wtau) * sc2
+                       + sin(2.0 * wtau) * ss2) / 2.0 AS cc
+            FROM cmb
+        )
+        SELECT key, {_sr_sql("freq", 6)} AS freq, n,
+               {_sr_sql(
+                   "CASE WHEN n >= 3 THEN "
+                   "((ct * ct) / cc + (st * st) / (nd - cc)) / (2.0 * var) "
+                   "END", 4
+               )} AS power
+        FROM parts
+    """
+
+    _RANK_OVERLAP = _DAILY_GRID_SQL + """
+        , xa AS (SELECT loc, value AS x FROM grid
+                 WHERE key = '1' AND value IS NOT NULL),
+        xb AS (SELECT loc, value AS y FROM grid
+               WHERE key = '2' AND value IS NOT NULL),
+        jv AS (SELECT xa.loc, x, y FROM xa JOIN xb USING (loc))
+    """
+    o["spearman"] = _RANK_OVERLAP + f"""
+        , r AS (
+            SELECT rank() OVER (ORDER BY x)
+                       + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+                   rank() OVER (ORDER BY y)
+                       + (count(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+            FROM jv
+        )
+        SELECT '1' AS key_a, '2' AS key_b,
+               CAST(count(*) AS BIGINT) AS n,
+               {_sr_sql(
+                   "covar_samp(rx, ry)"
+                   " / (stddev_samp(rx) * stddev_samp(ry))", 6
+               )} AS rho
+        FROM r
+    """
+
+    o["kendall"] = _RANK_OVERLAP + f"""
+        , p AS (
+            SELECT sign(b.x - a.x) AS sx, sign(b.y - a.y) AS sy
+            FROM jv a JOIN jv b ON a.loc < b.loc
+        ),
+        kag AS (
+            SELECT CAST(count(*) AS BIGINT) AS n0,
+                   CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nc,
+                   CAST(sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nd,
+                   CAST(sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS tx,
+                   CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ty
+            FROM p
+        ),
+        knn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM jv)
+        SELECT '1' AS key_a, '2' AS key_b, n,
+               nc AS n_concordant, nd AS n_discordant,
+               {_sr_sql(
+                   "CAST(nc - nd AS DOUBLE) / sqrt("
+                   "CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE))", 6
+               )} AS tau
+        FROM kag CROSS JOIN knn
+    """
+
+    o["information_coefficient"] = _DAILY_GRID_SQL + f"""
+        , nn AS (SELECT key, loc, value FROM grid WHERE value IS NOT NULL),
+        ld AS (
+            SELECT key, loc, value,
+                   lead(value) OVER (PARTITION BY key ORDER BY loc) AS nx
+            FROM nn
+        ),
+        fr AS (
+            SELECT loc, value, nx / value - 1.0 AS f
+            FROM ld
+        )
+        SELECT loc, CAST(count(*) AS BIGINT) AS n_keys,
+               {_sr_sql(
+                   "covar_samp(value, f)"
+                   " / (stddev_samp(value) * stddev_samp(f))", 6
+               )} AS ic
+        FROM fr WHERE f IS NOT NULL GROUP BY loc
+    """
+
+    o["turnover"] = _DAILY_GRID_SQL + f"""
+        , nn AS (SELECT key, loc, value FROM grid WHERE value IS NOT NULL),
+        rk AS (
+            SELECT key, loc,
+                   CAST(row_number() OVER (PARTITION BY loc
+                        ORDER BY value DESC, key) AS DOUBLE) AS r
+            FROM nn
+        ),
+        lg AS (
+            SELECT loc, r,
+                   lag(r) OVER (PARTITION BY key ORDER BY loc) AS pr
+            FROM rk
+        ),
+        ac AS (
+            SELECT loc, CAST(count(*) AS BIGINT) AS n_keys,
+                   covar_samp(r, pr)
+                       / (stddev_samp(r) * stddev_samp(pr)) AS rac
+            FROM lg WHERE pr IS NOT NULL GROUP BY loc
+        )
+        SELECT loc, n_keys,
+               {_sr_sql("rac", 6)} AS rank_autocorr,
+               {_sr_sql("(1.0 - rac) / 2.0", 6)} AS turnover
+        FROM ac
+    """
+
+    _BARS_SQL = """
+        WITH bars AS (
+            SELECT CAST(user_id AS VARCHAR) AS key,
+                   date_trunc('day', ts) AS bar_ts,
+                   max(value) AS high, min(value) AS low,
+                   last(value ORDER BY ts, value) AS close,
+                   CAST(count(value) AS BIGINT) AS n
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        )
+    """
+    o["stochastic"] = _BARS_SQL + f"""
+        , st AS (
+            SELECT key, bar_ts,
+                   CASE WHEN count(*) OVER wn >= 5 THEN
+                       100.0 * ((close - min(low) OVER wn)
+                                / (max(high) OVER wn - min(low) OVER wn))
+                   END AS k
+            FROM bars
+            WINDOW wn AS (PARTITION BY key ORDER BY bar_ts
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        )
+        SELECT key, bar_ts,
+               {_sr_sql("k", 6)} AS pct_k,
+               {_sr_sql("avg(k) OVER wd", 6)} AS pct_d
+        FROM st
+        WINDOW wd AS (PARTITION BY key ORDER BY bar_ts
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """
+
+    o["obv"] = _BARS_SQL + """
+        , stp AS (
+            SELECT key, bar_ts,
+                   CASE WHEN lag(close) OVER w IS NOT NULL THEN
+                       sign(close - lag(close) OVER w)
+                       * CAST(n AS DOUBLE)
+                   ELSE 0.0 END AS st
+            FROM bars
+            WINDOW w AS (PARTITION BY key ORDER BY bar_ts)
+        )
+        SELECT key, bar_ts,
+               SUM(st) OVER (PARTITION BY key ORDER BY bar_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS obv
+        FROM stp
+    """
+
+    # ewm_var: closed-form adjust=False EMA replay on x and x^2
+    # (q = 0.75, alpha = 0.25 — the macd oracle's technique)
+    o["ewm_var"] = _DAILY_GRID_SQL + _FILLED_SQL + f"""
+        , base AS (
+            SELECT key, loc, value,
+                   CAST(row_number() OVER (PARTITION BY key ORDER BY loc) - 1
+                        AS BIGINT) AS j
+            FROM filled WHERE value IS NOT NULL
+        ),
+        pre AS (
+            SELECT key, loc, j,
+                   first_value(value) OVER wk AS v0,
+                   first_value(value * value) OVER wk AS w0,
+                   SUM(CASE WHEN j >= 1 THEN value / power(0.75, j) END)
+                       OVER wp AS s1,
+                   SUM(CASE WHEN j >= 1
+                        THEN (value * value) / power(0.75, j) END)
+                       OVER wp AS s2
+            FROM base
+            WINDOW wk AS (PARTITION BY key ORDER BY j),
+                   wp AS (PARTITION BY key ORDER BY j
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        e AS (
+            SELECT key, loc,
+                   power(0.75, j) * (v0 + 0.25 * coalesce(s1, 0.0)) AS e1,
+                   power(0.75, j) * (w0 + 0.25 * coalesce(s2, 0.0)) AS e2
+            FROM pre
+        )
+        SELECT key, loc,
+               {_sr_sql("e1", 6)} AS ewm_mean,
+               {_sr_sql("greatest(0.0, e2 - e1 * e1)", 6)} AS ewm_var,
+               {_sr_sql("sqrt(greatest(0.0, e2 - e1 * e1))", 6)} AS ewm_std
+        FROM e
+    """
+
+    o["fill_previous_limit"] = _DAILY_GRID_SQL + """
+        , fl AS (
+            SELECT key, loc, value,
+                   last_value(value IGNORE NULLS) OVER wb AS pv,
+                   last_value(CASE WHEN value IS NOT NULL THEN loc END
+                       IGNORE NULLS) OVER wb AS pi
+            FROM grid
+            WINDOW wb AS (PARTITION BY key ORDER BY loc
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT key, loc,
+               CASE WHEN value IS NOT NULL THEN value
+                    WHEN loc - pi <= 2 THEN pv END AS value
+        FROM fl
+    """
+
+    o["benford"] = f"""
+        WITH pos AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(o_totalprice AS DOUBLE) AS v
+            FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+        ),
+        dg AS (
+            SELECT grp,
+                   CAST(floor(v / power(10.0, floor(log10(v)))) AS INT)
+                       AS digit
+            FROM pos
+        ),
+        cnt AS (
+            SELECT grp AS "group", digit,
+                   CAST(count(*) AS BIGINT) AS n_digit
+            FROM dg GROUP BY 1, 2
+        ),
+        w AS (
+            SELECT "group", digit, n_digit,
+                   CAST(n_digit AS DOUBLE)
+                       / CAST(sum(n_digit) OVER wg AS DOUBLE) AS observed,
+                   log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS expected,
+                   CAST(sum(n_digit) OVER wg AS DOUBLE) AS nd
+            FROM cnt
+            WINDOW wg AS (PARTITION BY "group")
+        )
+        SELECT "group", digit, n_digit,
+               {_sr_sql("observed", 6)} AS observed,
+               {_sr_sql("expected", 6)} AS expected,
+               {_sr_sql(
+                   "(sum(abs(observed - expected)) OVER wg"
+                   " + (1.0 - sum(expected) OVER wg)) / 9.0", 6
+               )} AS mad,
+               {_sr_sql(
+                   "nd * (sum(pow(observed - expected, 2.0) / expected)"
+                   " OVER wg + (1.0 - sum(expected) OVER wg))", 4
+               )} AS chi2
+        FROM w
+        WINDOW wg AS (PARTITION BY "group")
+    """
+
+    o["priority_sample"] = f"""
+        SELECT doc_id, source, sample_rank FROM (
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY {_h60(
+                            "CAST(doc_id AS VARCHAR) || chr(1) || '3'"
+                        )} ASC, doc_id ASC) AS INT) AS sample_rank
+            FROM documents
+        ) WHERE sample_rank <= 20
     """
 
     o["cross_zscore"] = _DAILY_GRID_SQL + f"""
