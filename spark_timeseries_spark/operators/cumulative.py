@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["drawdown", "max_drawdown", "counter_increase"]
+__all__ = ["drawdown", "max_drawdown", "counter_increase", "underwater"]
 
 
 def drawdown(
@@ -150,4 +150,78 @@ def counter_increase(
             F.col("elapsed") > 0,
             F.col("increase") / F.col("elapsed"),
         ),
+    )
+
+
+def underwater(
+    df: DataFrame,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Drawdown-SPELL summary per series → (key, n, n_underwater,
+    underwater_frac, n_spells, longest_spell, max_dd): how long the
+    series spends below its running peak, how many distinct underwater
+    spells it had, the longest one (in observations), and the depth —
+    the duration companion of :func:`max_drawdown` (a strategy with
+    the same max-dd but 10× the longest spell is a different risk).
+    A spell is a maximal run of consecutive observations with
+    dd < 0; NULL values are skipped (they neither extend nor break a
+    spell, matching the running peak's NULL-skip).
+
+    Plan: running-peak window → spell ids by the classic
+    gaps-and-islands double-cumsum (a spell starts where dd < 0 follows
+    dd ≥ 0) → one groupBy(key, spell) → one groupBy(key). Three
+    exchanges on aggregated data, no joins, all JVM."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+    v = F.col(value_col)
+    d = (
+        df.where(v.isNotNull())
+        .withColumn("_peak", F.max(value_col).over(w))
+        .withColumn("_dd", v / F.col("_peak") - 1.0)
+        .withColumn("_uw", (F.col("_dd") < 0).cast("int"))
+        .withColumn(
+            "_start",
+            F.when(
+                (F.col("_uw") == 1)
+                & (F.coalesce(F.lag("_uw").over(ws), F.lit(0)) == 0),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_spell",
+            F.sum("_start").over(
+                ws.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    spells = (
+        d.where(F.col("_uw") == 1)
+        .groupBy(key_col, "_spell")
+        .agg(F.count(F.lit(1)).alias("_len"), F.min("_dd").alias("_dep"))
+    )
+    per_key = d.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_uw").alias("n_underwater"),
+    )
+    sp_key = spells.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_spells"),
+        F.max("_len").alias("longest_spell"),
+        F.min("_dep").alias("max_dd"),
+    )
+    return per_key.join(sp_key, key_col, "left").select(
+        key_col,
+        "n",
+        "n_underwater",
+        F.try_divide(
+            F.col("n_underwater").cast("double"), F.col("n").cast("double")
+        ).alias("underwater_frac"),
+        F.coalesce("n_spells", F.lit(0)).alias("n_spells"),
+        F.coalesce("longest_spell", F.lit(0)).alias("longest_spell"),
+        F.col("max_dd"),
     )

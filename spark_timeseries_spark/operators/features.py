@@ -51,6 +51,7 @@ __all__ = [
     "hjorth_params",
     "nonlinearity_features",
     "fano_factor",
+    "tod_profile",
 ]
 
 
@@ -945,3 +946,62 @@ def fano_factor(
         F.avg("_c").alias("mean_rate"),
         F.try_divide(F.var_samp("_c"), F.avg("_c")).alias("fano"),
     ).withColumnRenamed("_k", key_col)
+
+
+def tod_profile(
+    df: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-of-day profile per series → (key, hod 0-23, n, mean, std,
+    strength): the hour-of-day mean/sample-std of the raw (irregular)
+    observations, plus the key-level diurnal-seasonality ``strength`` —
+    the count-weighted between-hour share of total population variance,
+    Σ n_h(m_h − m̄)²/N ÷ (SS/N − m̄²) ∈ [0, 1] (the eta-squared of the
+    hour factor: 0 = hour explains nothing, 1 = value is a pure
+    function of the hour). The calendar-seasonality diagnostic that
+    needs no grid and no fill; hours with no observations emit no row.
+
+    Plan: ONE map-side-combinable groupBy(key, hod) collecting
+    sufficient sums + one key-partitioned window to fold them into the
+    variance decomposition — no joins, no second scan, all JVM."""
+    v = F.col(value_col)
+    d = df.where(v.isNotNull()).select(
+        key_col, F.hour(F.col(ts_col)).alias("hod"), value_col
+    )
+    g = d.groupBy(key_col, "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("_s"),
+        F.sum(v * v).alias("_ss"),
+    )
+    wk = Window.partitionBy(key_col)
+    nh = F.col("n").cast("double")
+    tot_n = F.sum("n").over(wk).cast("double")
+    tot_s = F.sum("_s").over(wk)
+    tot_ss = F.sum("_ss").over(wk)
+    mean_h = F.col("_s") / nh
+    grand = tot_s / tot_n
+    between = F.sum(
+        F.col("n").cast("double")
+        * (F.col("_s") / F.col("n").cast("double") - tot_s / tot_n)
+        * (F.col("_s") / F.col("n").cast("double") - tot_s / tot_n)
+    ).over(wk) / tot_n
+    total_var = tot_ss / tot_n - grand * grand
+    std_h = F.when(
+        F.col("n") >= 2,
+        F.sqrt(
+            F.greatest(
+                F.lit(0.0),
+                (F.col("_ss") - nh * mean_h * mean_h) / (nh - 1.0),
+            )
+        ),
+    )
+    return g.select(
+        key_col,
+        "hod",
+        "n",
+        mean_h.alias("mean"),
+        std_h.alias("std"),
+        F.try_divide(between, total_var).alias("strength"),
+    )

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "ema", "macd", "rsi", "bollinger", "adx",
-    "stochastic", "obv", "ewm_var",
+    "stochastic", "obv", "ewm_var", "atr", "pivot_points",
 ]
 
 
@@ -450,4 +450,69 @@ def ewm_var(
         d.withColumn("ewm_var", var)
         .withColumn("ewm_std", F.sqrt(F.col("ewm_var")))
         .drop("_x2", "_e2")
+    )
+
+
+def atr(
+    df: DataFrame,
+    n: int = 14,
+    key_col: str = "key",
+    order_col: str = "bar_ts",
+    high_col: str = "high",
+    low_col: str = "low",
+    close_col: str = "close",
+    method: str = "auto",
+    max_len: int | None = None,
+) -> DataFrame:
+    """Average True Range (Wilder) over OHLC bars → one row per bar
+    from the SECOND onward: ``tr`` (max of H−L, |H−prevC|, |L−prevC|)
+    and ``atr`` (its α = 1/n Wilder EMA, the :func:`adx` smoothing
+    convention) — the standalone volatility gauge the stop-loss /
+    position-sizing rules consume (:func:`adx` embeds the same TR but
+    only exposes it smoothed into the DIs).
+
+    Plan: one lag window + one chained closed-form EMA pass on the same
+    (key, order) sort — all JVM inside the EMA envelope."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+    h, l = F.col(high_col), F.col(low_col)
+    d = (
+        df.withColumn("_pc", F.lag(close_col).over(ws))
+        .where(F.col("_pc").isNotNull())
+        .withColumn(
+            "tr",
+            F.greatest(
+                h - l, F.abs(h - F.col("_pc")), F.abs(l - F.col("_pc"))
+            ),
+        )
+        .drop("_pc")
+    )
+    return _ema_col(d, 1.0 / n, key_col, order_col, "tr", "atr", method, max_len)
+
+
+def pivot_points(
+    df: DataFrame,
+    key_col: str = "key",
+    order_col: str = "bar_ts",
+    high_col: str = "high",
+    low_col: str = "low",
+    close_col: str = "close",
+) -> DataFrame:
+    """Classic floor-trader pivot levels for each bar from its
+    PREVIOUS bar's range → input rows + pivot (P = (H+L+C)/3 of the
+    prior bar), r1 (2P − prevL), s1 (2P − prevH), r2 (P + (prevH −
+    prevL)), s2 (P − (prevH − prevL)); the first bar has no prior bar
+    and gets NULLs. Pure lag arithmetic — one window, all JVM."""
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+    ph = F.lag(high_col).over(ws)
+    pl = F.lag(low_col).over(ws)
+    pc = F.lag(close_col).over(ws)
+    p = (ph + pl + pc) / 3.0
+    return (
+        df.withColumn("pivot", p)
+        .withColumn("r1", 2.0 * p - pl)
+        .withColumn("s1", 2.0 * p - ph)
+        .withColumn("r2", p + (ph - pl))
+        .withColumn("s2", p - (ph - pl))
     )

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import dedup_exact
@@ -188,3 +188,68 @@ def pretrain_clean(
             df=out, cached=scored, cached_survivors=cached_survivors
         )
     return out
+
+
+def filter_audit(
+    df: DataFrame,
+    flags: dict[str, Column],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cleaning-cascade observability → one row per rule: (rule,
+    n_fail, n_unique_fail, fail_rate, unique_fail_rate, n_docs,
+    n_killed, kill_rate). ``flags`` maps rule name → BOOLEAN column
+    (True = the rule REJECTS the document, each evaluated independently
+    — not sequentially, so overlap is visible). ``n_unique_fail``
+    counts documents failing ONLY that rule — the rule's marginal
+    contribution: a rule with high n_fail but zero unique kills is
+    redundant with the rest of the cascade; the corpus-level
+    n_killed/kill_rate (docs failing ≥ 1 rule) repeat on every row.
+
+    Plan: ONE map-side-combinable aggregate over one scan (2·R+2
+    conditional sums), then a driver-free explode of the R-row result —
+    no joins, no second scan; scales like a word count regardless of
+    rule count."""
+    if not flags:
+        raise ValueError("flags must be non-empty")
+    names = sorted(flags)
+    d = df.select(
+        *[flags[n].cast("int").alias(f"_f_{i}") for i, n in enumerate(names)]
+    )
+    tot = sum(F.col(f"_f_{i}") for i in range(len(names)))
+    d = d.withColumn("_tot", tot)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    aggs.append(F.sum(F.when(F.col("_tot") > 0, 1).otherwise(0)).alias("_k"))
+    for i in range(len(names)):
+        aggs.append(F.sum(F.col(f"_f_{i}")).alias(f"_fail_{i}"))
+        aggs.append(
+            F.sum(
+                F.when((F.col(f"_f_{i}") == 1) & (F.col("_tot") == 1), 1)
+                .otherwise(0)
+            ).alias(f"_uniq_{i}")
+        )
+    g = d.agg(*aggs)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("rule"),
+                    F.col(f"_fail_{i}").alias("n_fail"),
+                    F.col(f"_uniq_{i}").alias("n_unique_fail"),
+                )
+                for i, n in enumerate(names)
+            ]
+        )
+    )
+    nd = F.col("_n").cast("double")
+    return g.select(rows.alias("_r"), "_n", "_k").select(
+        F.col("_r.rule").alias("rule"),
+        F.col("_r.n_fail").alias("n_fail"),
+        F.col("_r.n_unique_fail").alias("n_unique_fail"),
+        (F.col("_r.n_fail").cast("double") / nd).alias("fail_rate"),
+        (F.col("_r.n_unique_fail").cast("double") / nd).alias(
+            "unique_fail_rate"
+        ),
+        F.col("_n").alias("n_docs"),
+        F.col("_k").alias("n_killed"),
+        (F.col("_k").cast("double") / nd).alias("kill_rate"),
+    )

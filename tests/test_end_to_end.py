@@ -3473,3 +3473,110 @@ def test_fill_previous_limit(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         fill_previous_limit(df, 0)
+
+
+def test_underwater(spark):
+    """Spell accounting on a constructed path: counts, longest spell,
+    depth; recovery to exactly the peak ENDS a spell (dd = 0); an
+    all-rising series has zero spells; NULLs are skipped."""
+    from spark_timeseries_spark.operators.cumulative import underwater
+
+    vals = [10.0, 12.0, 11.0, 11.5, 12.0, 13.0, 12.0, None, 14.0]
+    rows = [("a", i, v) for i, v in enumerate(vals)]
+    rows += [("up", i, float(i + 1)) for i in range(5)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    out = {r.key: r for r in underwater(df).collect()}
+    a = out["a"]
+    assert a.n == 8                       # the NULL row is skipped
+    assert a.n_underwater == 3            # locs 2,3 and 6
+    assert a.n_spells == 2
+    assert a.longest_spell == 2
+    assert abs(a.max_dd - (11.0 / 12.0 - 1.0)) < 1e-12
+    assert abs(a.underwater_frac - 3.0 / 8.0) < 1e-12
+    up = out["up"]
+    assert up.n_spells == 0 and up.longest_spell == 0
+    assert up.max_dd is None and up.n_underwater == 0
+
+
+def test_atr_pivot_points(spark):
+    """ATR equals a hand Wilder-EMA of the true range; pivot levels
+    equal the classic prior-bar arithmetic; first bar yields no ATR
+    row / NULL pivots."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.indicators import atr, pivot_points
+
+    rng = np.random.RandomState(8)
+    n = 20
+    close = 50 + np.cumsum(rng.randn(n))
+    high = close + np.abs(rng.randn(n))
+    low = close - np.abs(rng.randn(n))
+    rows = [("a", i, float(high[i]), float(low[i]), float(close[i]))
+            for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "key string, bar_ts long, high double, low double, close double"
+    )
+    out = {r.bar_ts: r for r in atr(df, n=5).collect()}
+    assert 0 not in out and len(out) == n - 1
+    alpha = 1.0 / 5
+    e = None
+    for i in range(1, n):
+        tr = max(high[i] - low[i], abs(high[i] - close[i - 1]),
+                 abs(low[i] - close[i - 1]))
+        e = tr if e is None else alpha * tr + (1 - alpha) * e
+        assert abs(out[i].tr - tr) < 1e-9
+        assert abs(out[i].atr - e) < 1e-9
+
+    pv = {r.bar_ts: r for r in pivot_points(df).collect()}
+    assert pv[0].pivot is None and pv[0].r2 is None
+    for i in range(1, n):
+        p = (high[i - 1] + low[i - 1] + close[i - 1]) / 3.0
+        assert abs(pv[i].pivot - p) < 1e-12
+        assert abs(pv[i].r1 - (2 * p - low[i - 1])) < 1e-12
+        assert abs(pv[i].s1 - (2 * p - high[i - 1])) < 1e-12
+        assert abs(pv[i].r2 - (p + (high[i - 1] - low[i - 1]))) < 1e-12
+        assert abs(pv[i].s2 - (p - (high[i - 1] - low[i - 1]))) < 1e-12
+
+
+def test_tod_profile(spark):
+    """Hour-of-day profile: a value that is a pure function of the
+    hour has strength 1; a constant series has NULL strength (zero
+    total variance); the eta-squared decomposition matches a numpy
+    replay on mixed data."""
+    import datetime as dt
+
+    import numpy as np
+
+    from spark_timeseries_spark.operators.features import tod_profile
+
+    ts = lambda d, h, m: dt.datetime(2024, 1, d, h, m)
+    rows = []
+    for d in range(1, 6):
+        for h in (3, 9, 15):
+            rows.append(("pure", ts(d, h, 7), float(h * 10)))
+            rows.append(("const", ts(d, h, 7), 5.0))
+    rng = np.random.RandomState(12)
+    mixed = [("m", ts(1 + i % 5, (i * 5) % 24, i % 60,),
+              float(((i * 5) % 24) + rng.randn())) for i in range(200)]
+    rows += mixed
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    out = {(r.key, r.hod): r for r in tod_profile(df).collect()}
+
+    assert abs(out[("pure", 9)].mean - 90.0) < 1e-12
+    assert out[("pure", 9)].n == 5
+    assert abs(out[("pure", 9)].strength - 1.0) < 1e-12
+    assert out[("const", 3)].strength is None
+
+    # numpy eta-squared replay for the mixed key
+    hod = np.array([(i * 5) % 24 for i in range(200)])
+    val = np.array([r[2] for r in mixed])
+    grand = val.mean()
+    total = (val ** 2).mean() - grand ** 2
+    between = sum(
+        (hod == h).sum() * (val[hod == h].mean() - grand) ** 2
+        for h in np.unique(hod)
+    ) / len(val)
+    some_h = int(hod[0])
+    assert abs(out[("m", some_h)].strength - between / total) < 1e-9
+    assert abs(out[("m", some_h)].mean - val[hod == some_h].mean()) < 1e-9
+    assert abs(out[("m", some_h)].std - val[hod == some_h].std(ddof=1)) < 1e-9

@@ -2698,3 +2698,38 @@ def test_benford(spark):
     )
     r2 = benford(df2, "amount", "src").collect()
     assert len(r2) == 1 and r2[0].digit == 4 and r2[0].n_digit == 1
+
+
+def test_filter_audit(spark):
+    """Per-rule kill counts, unique-kill attribution, and corpus kill
+    rate on a constructed flag matrix."""
+    from pyspark.sql import functions as F
+
+    from spark_timeseries_spark.pipeline.clean import filter_audit
+
+    rows = [
+        (1, "en", 500, 0.01),   # survives everything
+        (2, "fr", 500, 0.01),   # fails lang only
+        (3, "en", 50, 0.01),    # fails length only
+        (4, "fr", 50, 0.01),    # fails lang AND length
+        (5, "en", 500, 0.90),   # fails digits only
+        (6, "en", 40, 0.95),    # fails length AND digits
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, nchars long, digit_frac double")
+    out = {r.rule: r for r in filter_audit(df, {
+        "lang": F.col("lang") != "en",
+        "short": F.col("nchars") < 100,
+        "digits": F.col("digit_frac") > 0.5,
+    }).collect()}
+    assert set(out) == {"lang", "short", "digits"}
+    assert out["lang"].n_fail == 2 and out["lang"].n_unique_fail == 1
+    assert out["short"].n_fail == 3 and out["short"].n_unique_fail == 1
+    assert out["digits"].n_fail == 2 and out["digits"].n_unique_fail == 1
+    for r in out.values():
+        assert r.n_docs == 6 and r.n_killed == 5
+        assert abs(r.kill_rate - 5 / 6) < 1e-12
+    assert abs(out["short"].fail_rate - 0.5) < 1e-12
+    assert abs(out["short"].unique_fail_rate - 1 / 6) < 1e-12
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        filter_audit(df, {})
