@@ -35,7 +35,7 @@ empty windows as NULL (matching the reference's NaN).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..frequencies import DayFrequency, DurationFrequency, WeekFrequency
@@ -249,3 +249,79 @@ def ohlc(
         ),
     )
     return out
+
+
+def twa(
+    df: DataFrame,
+    unit: str = "day",
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """TIME-weighted average per (key, ``date_trunc(unit)`` bucket) →
+    (key, bar_ts, n, span_seconds, twa): each observation weighted by
+    the seconds it "holds" — until the NEXT observation in the same
+    bucket, or until the bucket's end for the bucket's last one (the
+    LOCF-to-bucket-end convention every metering/billing pipeline
+    uses). THE correct average for irregular gauges: a plain AVG counts
+    a value sampled 100× in one minute 100× — twa counts it by its one
+    minute. No carry ACROSS bucket boundaries (a bucket with no
+    observations emits no row; its would-be carry value is a fill
+    concern, stated). NULL values are skipped; weights are exact
+    microsecond differences (both engines derive identical doubles).
+
+    Plan: one (key, bucket)-partitioned lead window + one groupBy on
+    the same key — the realized_vol single-exchange shape, all JVM."""
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    bar = F.date_trunc(unit, F.col(ts_col))
+    d = pts.withColumn("_bar", bar)
+    w = Window.partitionBy(key_col, "_bar").orderBy(ts_col, value_col)
+    bar_end = F.col("_bar") + F.expr(f"INTERVAL 1 {unit}")
+    nxt = F.coalesce(F.lead(ts_col).over(w), bar_end)
+    wt = (
+        F.unix_micros(nxt) - F.unix_micros(F.col(ts_col))
+    ).cast("double") / 1e6
+    d = d.withColumn("_w", wt)
+    return d.groupBy(key_col, F.col("_bar").alias("bar_ts")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_w").alias("span_seconds"),
+        F.try_divide(F.sum(v * F.col("_w")), F.sum("_w")).alias("twa"),
+    )
+
+
+def count_bars(
+    df: DataFrame,
+    n: int = 50,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Event-clock OHLC: bars of exactly ``n`` EVENTS each (the last
+    bar per key may be partial) → (key, bar, start_ts, end_ts, open,
+    high, low, close, n_events). The market-microstructure alternative
+    to wall-clock bars — activity time instead of calendar time, so
+    busy periods get more bars and quiet ones fewer, which stabilizes
+    per-bar statistics. Bars are numbered 0.. per key in event order
+    (ties broken by value — the :func:`ohlc` determinism convention).
+
+    Plan: one (key, ts)-ordered row_number window + ONE map-side-
+    combinable groupBy(key, bar) of struct extrema — two exchanges,
+    no joins, all JVM."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    w = Window.partitionBy(key_col).orderBy(ts_col, value_col)
+    d = pts.withColumn(
+        "bar", F.floor((F.row_number().over(w) - 1) / n)
+    )
+    return d.groupBy(key_col, "bar").agg(
+        F.min(ts_col).alias("start_ts"),
+        F.max(ts_col).alias("end_ts"),
+        F.min(F.struct(F.col(ts_col), v)).getField(value_col).alias("open"),
+        F.max(v).alias("high"),
+        F.min(v).alias("low"),
+        F.max(F.struct(F.col(ts_col), v)).getField(value_col).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

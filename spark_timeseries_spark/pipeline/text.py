@@ -847,3 +847,68 @@ def tokenizer_fertility(
             F.col("chars").cast("double"), F.col("tokens").cast("double")
         ).alias("chars_per_token"),
     )
+
+
+def stylometric_delta(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    group_col: str = "source",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Burrows' Delta between every pair of corpus groups → (group_a,
+    group_b, n_words, delta) for group_a < group_b: the mean absolute
+    difference of the groups' z-scored relative frequencies over the
+    corpus's ``k`` most frequent words (Burrows 2002, the standard
+    stylometric / register distance) — a cheap "are these sources the
+    same kind of text?" matrix for mixture design; the pairwise
+    companion of the per-group profile operators. Conventions: words by
+    corpus-total frequency, ties broken alphabetically; a group missing
+    a top-k word contributes frequency 0; z-scores use the SAMPLE std
+    across groups (words with zero dispersion drop out of the mean —
+    try_divide NULLs, stated).
+
+    Plan: one token-stream groupBy(group, word) (word-count shape),
+    a k-row broadcast-sized top-k list densified by group × word cross
+    join, then the pair join over GROUPS — bounded by the group count
+    (a mixture has tens of sources, not millions; the named-pair
+    precedent). No second corpus scan."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    toks = df.select(
+        F.col(group_col).alias("grp"), F.explode(tokens(t)).alias("w")
+    ).where(F.col("w") != "")
+    gw = toks.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("c"))
+    gtot = gw.groupBy("grp").agg(F.sum("c").alias("gt"))
+    topk = (
+        gw.groupBy("w").agg(F.sum("c").alias("ct"))
+        .orderBy(F.desc("ct"), F.asc("w"))
+        .limit(k)
+        .select("w")
+    )
+    dense = (
+        gtot.crossJoin(F.broadcast(topk))
+        .join(gw, ["grp", "w"], "left")
+        .select(
+            "grp", "w",
+            (F.coalesce("c", F.lit(0)).cast("double")
+             / F.col("gt").cast("double")).alias("f"),
+        )
+    )
+    ww = Window.partitionBy("w")
+    z = dense.select(
+        "grp", "w",
+        F.try_divide(
+            F.col("f") - F.avg("f").over(ww), F.stddev_samp("f").over(ww)
+        ).alias("z"),
+    )
+    a = z.select(F.col("grp").alias("group_a"), "w", F.col("z").alias("za"))
+    b = z.select(F.col("grp").alias("group_b"), "w", F.col("z").alias("zb"))
+    pairs = a.join(b, "w").where(F.col("group_a") < F.col("group_b"))
+    return pairs.groupBy("group_a", "group_b").agg(
+        F.count(F.when(F.col("za").isNotNull(), 1)).alias("n_words"),
+        F.avg(F.abs(F.col("za") - F.col("zb"))).alias("delta"),
+    )

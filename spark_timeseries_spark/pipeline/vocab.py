@@ -344,3 +344,88 @@ def token_divergence(
         F.first("_nb").alias("n_b"),
     )
     return out
+
+
+def heaps_law(
+    df: DataFrame,
+    points: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve + fitted exponent →
+    ``points`` rows (point 1..points, n_docs, n_tokens, n_distinct,
+    beta): scanning the corpus in ``id_col`` order, after the first
+    k/points-th of the documents, how many token occurrences and how
+    many DISTINCT tokens have been seen. Heaps: V ≈ K·N^β — β (the
+    same value on every row) is the closed-form log-log OLS slope over
+    the curve's points; sub-linear β (~0.4-0.6 for natural text) is
+    the expected regime, β → 1 flags id-like/garbage token streams.
+
+    Plan: the heavy lifting is two word-count-shaped aggregates —
+    per-doc token totals and per-TOKEN first-occurrence doc — then the
+    curve is windows/joins over the DOC-level table (one row per
+    document; the bounded-by-construction envelope is "doc count fits
+    a sort", i.e. always — it's the same cardinality every groupBy(doc)
+    in this package already produces). No second corpus scan."""
+    if points < 2:
+        raise ValueError(f"points must be >= 2, got {points}")
+    toks = _token_stream(df, text_col, id_col, bpe=False, lowercase=lowercase)
+    per_doc = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nt"))
+    wolo = Window.orderBy(id_col)
+    wpre = wolo.rowsBetween(Window.unboundedPreceding, 0)
+    docs = (
+        per_doc.withColumn("_rank", F.row_number().over(wolo))
+        .withColumn("_cum_toks", F.sum("_nt").over(wpre))
+    )
+    n_docs = docs.agg(F.max("_rank").alias("_d"))
+    # per-token first occurrence, as the doc RANK it appeared at
+    first = (
+        toks.groupBy("token")
+        .agg(F.min(id_col).alias("_fd"))
+        .join(docs.select(F.col(id_col).alias("_fd"), "_rank"), "_fd")
+        .groupBy("_rank")
+        .agg(F.count(F.lit(1)).alias("_new"))
+    )
+    curve = (
+        docs.join(first, "_rank", "left")
+        .withColumn(
+            "_cum_v",
+            F.sum(F.coalesce("_new", F.lit(0))).over(
+                Window.orderBy("_rank").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+    )
+    # the `points` thresholds: rank ceil(D*k/points); take the row AT
+    # each threshold rank
+    marks = curve.crossJoin(n_docs).select(
+        F.explode(
+            F.sequence(F.lit(1), F.lit(points))
+        ).alias("point"),
+        "_rank", "_cum_toks", "_cum_v", "_d",
+    ).where(
+        F.col("_rank")
+        == F.ceil(
+            F.col("_d").cast("double") * F.col("point") / points
+        ).cast("long")
+    ).select(
+        "point",
+        F.col("_rank").alias("n_docs"),
+        F.col("_cum_toks").alias("n_tokens"),
+        F.col("_cum_v").alias("n_distinct"),
+    )
+    # closed-form OLS of log V on log N over the curve points
+    ols = marks.agg(
+        F.try_divide(
+            F.count(F.lit(1)) * F.sum(F.log("n_tokens") * F.log("n_distinct"))
+            - F.sum(F.log("n_tokens")) * F.sum(F.log("n_distinct")),
+            F.count(F.lit(1))
+            * F.sum(F.log("n_tokens") * F.log("n_tokens"))
+            - F.sum(F.log("n_tokens")) * F.sum(F.log("n_tokens")),
+        ).alias("beta")
+    )
+    return marks.crossJoin(ols).select(
+        "point", "n_docs", "n_tokens", "n_distinct", "beta"
+    )

@@ -3580,3 +3580,124 @@ def test_tod_profile(spark):
     assert abs(out[("m", some_h)].strength - between / total) < 1e-9
     assert abs(out[("m", some_h)].mean - val[hod == some_h].mean()) < 1e-9
     assert abs(out[("m", some_h)].std - val[hod == some_h].std(ddof=1)) < 1e-9
+
+
+def test_twa_count_bars(spark):
+    """TWA weights each observation by its holding time to the next
+    observation (or bucket end) — hand-checked against a constructed
+    bucket; a plain AVG would differ. count_bars cuts exact-n event
+    bars with OHLC extrema and a partial last bar."""
+    import datetime as dt
+
+    from spark_timeseries_spark.operators.resample import count_bars, twa
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    # value 10 held 0:00->0:30, 20 held 0:30->23:00, 5 held 23:00->24:00
+    rows = [("a", t(0, 0), 10.0), ("a", t(0, 30), 20.0),
+            ("a", t(23, 0), 5.0)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    out = twa(df, "day").collect()[0]
+    w1, w2, w3 = 30 * 60, 22.5 * 3600, 3600.0
+    expect = (10 * w1 + 20 * w2 + 5 * w3) / (w1 + w2 + w3)
+    assert out.n == 3
+    assert abs(out.span_seconds - 24 * 3600) < 1e-9
+    assert abs(out.twa - expect) < 1e-9
+    assert abs(out.twa - 35.0 / 3) > 1.0   # far from the naive mean
+
+    rows2 = [("a", dt.datetime(2024, 1, 1, 0, i), float(v))
+             for i, v in enumerate([3, 1, 4, 1, 5, 9, 2])]
+    df2 = spark.createDataFrame(rows2, "key string, ts timestamp, value double")
+    bars = {r.bar: r for r in count_bars(df2, n=3).collect()}
+    assert len(bars) == 3
+    assert bars[0].open == 3.0 and bars[0].close == 4.0
+    assert bars[0].high == 4.0 and bars[0].low == 1.0
+    assert bars[1].open == 1.0 and bars[1].close == 9.0
+    assert bars[2].n_events == 1 and bars[2].open == bars[2].close == 2.0
+
+
+def test_heaps_law(spark):
+    """Vocabulary growth: curve points match a hand scan in doc order;
+    an id-like corpus (every token new) fits beta ~ 1; a repetitive
+    corpus fits beta ~ 0."""
+    import numpy as np
+
+    from spark_timeseries_spark.pipeline.vocab import heaps_law
+
+    # id-like: every doc contributes 5 brand-new tokens
+    rows = [(i, " ".join(f"tok{i}_{j}" for j in range(5)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.point: r for r in heaps_law(df, points=4).collect()}
+    assert out[1].n_docs == 10 and out[4].n_docs == 40
+    assert out[2].n_tokens == 100 and out[2].n_distinct == 100
+    assert abs(out[4].beta - 1.0) < 1e-9
+
+    # repetitive: the same 3 words forever -> flat V, beta ~ 0
+    rows2 = [(i, "the cat sat") for i in range(40)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    out2 = heaps_law(df2, points=4).collect()
+    assert all(r.n_distinct == 3 for r in out2)
+    assert abs(out2[0].beta) < 1e-9
+
+    # mixed replay: exact distinct counts at the thresholds
+    rng = np.random.RandomState(5)
+    vocab = [f"w{j}" for j in range(60)]
+    docs3 = [(i, " ".join(vocab[x] for x in rng.zipf(1.6, 12) % 60))
+             for i in range(30)]
+    df3 = spark.createDataFrame(docs3, "doc_id long, text string")
+    out3 = {r.point: r for r in heaps_law(df3, points=3).collect()}
+    seen, tot = set(), 0
+    marks = {}
+    for i, (_, text) in enumerate(sorted(docs3)):
+        ws = text.split()
+        tot += len(ws)
+        seen.update(ws)
+        marks[i + 1] = (tot, len(seen))
+    for p, r in out3.items():
+        nd = r.n_docs
+        assert (r.n_tokens, r.n_distinct) == marks[nd], p
+
+
+def test_stylometric_delta(spark):
+    """Burrows' Delta: two groups sharing a register score near each
+    other, a divergent register scores farther; z-scores and the
+    top-k selection match a pandas replay."""
+    import numpy as np
+
+    from spark_timeseries_spark.pipeline.text import stylometric_delta
+
+    # a and b: same word distribution; c: skewed to different words
+    rows = []
+    for i in range(30):
+        rows.append((f"a{i}", "a", "the cat sat on the mat " * 3))
+        rows.append((f"b{i}", "b", "the cat sat on the mat and the dog " * 2))
+        rows.append((f"c{i}", "c", "zeta omega psi chi phi " * 4))
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    out = {(r.group_a, r.group_b): r.delta
+           for r in stylometric_delta(df, k=10).collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert out[("a", "b")] < out[("a", "c")]
+    assert out[("a", "b")] < out[("b", "c")]
+
+    # replay on a tiny deterministic corpus
+    corpus = {"x": "aa aa bb", "y": "aa bb bb", "z": "aa aa aa bb"}
+    df2 = spark.createDataFrame(
+        [(g, g, t) for g, t in corpus.items()],
+        "doc_id string, source string, text string",
+    )
+    got = {(r.group_a, r.group_b): r
+           for r in stylometric_delta(df2, k=2).collect()}
+    freqs = {g: {"aa": t.split().count("aa") / len(t.split()),
+                 "bb": t.split().count("bb") / len(t.split())}
+             for g, t in corpus.items()}
+    import statistics
+    z = {}
+    for w in ("aa", "bb"):
+        fs = [freqs[g][w] for g in ("x", "y", "z")]
+        m, s = statistics.mean(fs), statistics.stdev(fs)
+        for g in ("x", "y", "z"):
+            z[(g, w)] = (freqs[g][w] - m) / s
+    for a, b in (("x", "y"), ("x", "z"), ("y", "z")):
+        exp = np.mean([abs(z[(a, w)] - z[(b, w)]) for w in ("aa", "bb")])
+        assert abs(got[(a, b)].delta - exp) < 1e-9
+        assert got[(a, b)].n_words == 2
