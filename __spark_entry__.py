@@ -3829,6 +3829,151 @@ def _q_priority_sample(spark, sf_dir):
     return out.select("doc_id", "source", "sample_rank")
 
 
+def _q_underwater(spark, sf_dir):
+    """Drawdown-spell summary per daily-grid series — running peak →
+    gaps-and-islands spell ids → two aggregates."""
+    from spark_timeseries_spark.operators.cumulative import underwater
+
+    grid = _daily_grid(spark, sf_dir)
+    out = underwater(grid)
+    return out.select(
+        "key", "n", "n_underwater",
+        _stable_round(F.col("underwater_frac"), 6).alias("underwater_frac"),
+        "n_spells", "longest_spell",
+        _stable_round(F.col("max_dd"), 6).alias("max_dd"),
+    )
+
+
+def _q_atr(spark, sf_dir):
+    """Wilder ATR(14) over each user's daily OHLC bars — one lag + one
+    closed-form EMA pass."""
+    from spark_timeseries_spark.operators.indicators import atr
+    from spark_timeseries_spark.operators.resample import ohlc
+
+    obs = events_observations(spark, sf_dir)
+    out = atr(ohlc(obs, "day"), n=14)
+    return out.select(
+        "key", "bar_ts",
+        _stable_round(F.col("tr"), 6).alias("tr"),
+        _stable_round(F.col("atr"), 6).alias("atr"),
+    )
+
+
+def _q_pivot_points(spark, sf_dir):
+    """Floor-trader pivot levels from each prior daily bar — pure lag
+    arithmetic."""
+    from spark_timeseries_spark.operators.indicators import pivot_points
+    from spark_timeseries_spark.operators.resample import ohlc
+
+    obs = events_observations(spark, sf_dir)
+    out = pivot_points(ohlc(obs, "day"))
+    return out.select(
+        "key", "bar_ts",
+        _stable_round(F.col("pivot"), 6).alias("pivot"),
+        _stable_round(F.col("r1"), 6).alias("r1"),
+        _stable_round(F.col("s1"), 6).alias("s1"),
+        _stable_round(F.col("r2"), 6).alias("r2"),
+        _stable_round(F.col("s2"), 6).alias("s2"),
+    )
+
+
+def _q_tod_profile(spark, sf_dir):
+    """Hour-of-day profile + eta-squared diurnal strength per user over
+    the raw irregular events — one sufficient-sums groupBy + one key
+    window."""
+    from spark_timeseries_spark.operators.features import tod_profile
+
+    obs = events_observations(spark, sf_dir)
+    out = tod_profile(obs)
+    return out.select(
+        "key", "hod", "n",
+        _stable_round(F.col("mean"), 6).alias("mean"),
+        _stable_round(F.col("std"), 6).alias("std"),
+        _stable_round(F.col("strength"), 6).alias("strength"),
+    )
+
+
+def _q_filter_audit(spark, sf_dir):
+    """Kill-count audit of a 3-rule cleaning cascade over documents
+    (non-English, short, digit-heavy) — one conditional-sums aggregate,
+    per-rule marginal attribution."""
+    from spark_timeseries_spark.pipeline.clean import filter_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.col("text")
+    digit_frac = F.try_divide(
+        (F.length(txt) - F.length(F.regexp_replace(txt, "[0-9]", "")))
+        .cast("double"),
+        F.length(txt).cast("double"),
+    )
+    out = filter_audit(docs, {
+        "nonenglish": F.col("lang") != "en",
+        "short": F.length(txt) < 200,
+        "digits": digit_frac > 0.02,
+    })
+    return out.select(
+        "rule", "n_fail", "n_unique_fail",
+        _stable_round(F.col("fail_rate"), 6).alias("fail_rate"),
+        _stable_round(F.col("unique_fail_rate"), 6).alias("unique_fail_rate"),
+        "n_docs", "n_killed",
+        _stable_round(F.col("kill_rate"), 6).alias("kill_rate"),
+    )
+
+
+def _q_twa(spark, sf_dir):
+    """Time-weighted daily average per user over the raw irregular
+    events — LOCF-to-bucket-end holding weights from exact epoch
+    micros; one lead window + one same-key groupBy."""
+    from spark_timeseries_spark.operators.resample import twa
+
+    obs = events_observations(spark, sf_dir)
+    out = twa(obs, "day")
+    return out.select(
+        "key", "bar_ts", "n",
+        _stable_round(F.col("span_seconds"), 6).alias("span_seconds"),
+        _stable_round(F.col("twa"), 6).alias("twa"),
+    )
+
+
+def _q_count_bars(spark, sf_dir):
+    """50-event event-clock OHLC bars per user — row_number bucketing +
+    one struct-extrema groupBy; every output column exact (no float
+    arithmetic)."""
+    from spark_timeseries_spark.operators.resample import count_bars
+
+    obs = events_observations(spark, sf_dir)
+    return count_bars(obs, n=50).select(
+        "key", "bar", "start_ts", "end_ts",
+        "open", "high", "low", "close", "n_events",
+    )
+
+
+def _q_heaps_law(spark, sf_dir):
+    """Vocabulary-growth curve over documents in doc_id order (10
+    points) + the closed-form Heaps exponent."""
+    from spark_timeseries_spark.pipeline.vocab import heaps_law
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = heaps_law(docs, points=10)
+    return out.select(
+        "point", "n_docs", "n_tokens", "n_distinct",
+        _stable_round(F.col("beta"), 6).alias("beta"),
+    )
+
+
+def _q_stylometric_delta(spark, sf_dir):
+    """Burrows' Delta between every source pair over the corpus top-20
+    words — z-scored relative frequencies, bounded pair join."""
+    from spark_timeseries_spark.pipeline.text import stylometric_delta
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stylometric_delta(docs, k=20)
+    return out.select(
+        "group_a", "group_b", "n_words",
+        _stable_round(F.col("delta"), 6).alias("delta"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
     the first 50 entries. Window policy (round 10, per the r9 verdict's
@@ -3843,11 +3988,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     closed), and the 11 operators NEW in r10 (``lomb_scargle``,
     ``spearman``/``kendall``, ``information_coefficient``/``turnover``,
     ``stochastic``/``obv``/``ewm_var``, ``fill_previous_limit``,
-    ``benford``, ``priority_sample``) — 17 rows; (b) the standing
+    ``benford``, ``priority_sample``, ``underwater``/``atr``/
+    ``pivot_points``/``tod_profile``/``filter_audit``, ``twa``/
+    ``count_bars``/``heaps_law``) — 25 rows (``stylometric_delta``,
+    also r10-new, yields its slot to the stale quota and sits at
+    position 51 with full-strict-log evidence); (b) the standing
     rotation queue, STALEST driver evidence first: the late-r5/r6
     block the r9 verdict named (``token_divergence`` …
-    ``union_series`` — 33 rows ≥ the prescribed 25; the block's last
-    11 rows queue for r11). The displaced r9 window rows move to the
+    ``blocklist_flag`` — 25 rows = the prescribed minimum; the
+    block's remainder queues for r11). The displaced r9 window rows move to the
     tail (their driver evidence is the freshest on file).
     Everything displaced is green in the committed strict-mode full
     oracle log (``tools/check_correctness_r10_full.log`` —
@@ -3873,6 +4022,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_previous_limit": _q_fill_previous_limit,
         "benford": _q_benford,
         "priority_sample": _q_priority_sample,
+        "underwater": _q_underwater,
+        "atr": _q_atr,
+        "pivot_points": _q_pivot_points,
+        "tod_profile": _q_tod_profile,
+        "filter_audit": _q_filter_audit,
+        "twa": _q_twa,
+        "count_bars": _q_count_bars,
+        "heaps_law": _q_heaps_law,
         # -- (b) rotation queue, stalest driver evidence first (the
         # late-r5/r6 block the r9 verdict named) -----------------------------
         "token_divergence": _q_token_divergence,
@@ -3903,6 +4060,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_persist": _q_ivf_persist,
         "pq_adc": _q_pq_adc,
         "blocklist_flag": _q_blocklist_flag,
+        # ---- driver window (50) ends here ----------------------------------
+        # stylometric_delta is r10-new but yields the window slot to the
+        # stale rotation (>= 25 stale rows per the r9 prescription); its
+        # evidence is the committed full strict log until the r11 window
+        "stylometric_delta": _q_stylometric_delta,
         "dup_spans": _q_dup_spans,
         "embedding_covariance": _q_embedding_covariance,
         "cusum": _q_cusum,
@@ -3911,7 +4073,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segment": _q_bpe_segment,
         "rebase_hybrid": _q_rebase_hybrid,
         "union_series": _q_union_series,
-        # ---- driver window (50) ends here ----------------------------------
         "lags_custom": _q_lags_custom,
         "stats_suite": _q_stats_suite,
         "hampel": _q_hampel,
@@ -10617,6 +10778,355 @@ def oracle_sql() -> dict[str, str]:
                         )} ASC, doc_id ASC) AS INT) AS sample_rank
             FROM documents
         ) WHERE sample_rank <= 20
+    """
+
+    o["underwater"] = _DAILY_GRID_SQL + f"""
+        , nn AS (SELECT key, loc, value FROM grid WHERE value IS NOT NULL),
+        dd AS (
+            SELECT key, loc, value,
+                   value / max(value) OVER (PARTITION BY key ORDER BY loc
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - 1.0 AS d
+            FROM nn
+        ),
+        uw AS (
+            SELECT key, loc, d,
+                   CASE WHEN d < 0 THEN 1 ELSE 0 END AS u,
+                   CASE WHEN d < 0 AND coalesce(lag(
+                       CASE WHEN d < 0 THEN 1 ELSE 0 END) OVER
+                       (PARTITION BY key ORDER BY loc), 0) = 0
+                   THEN 1 ELSE 0 END AS st
+            FROM dd
+        ),
+        sp AS (
+            SELECT key, loc, d, u,
+                   SUM(st) OVER (PARTITION BY key ORDER BY loc
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS spell
+            FROM uw
+        ),
+        spl AS (
+            SELECT key, spell, CAST(count(*) AS BIGINT) AS len,
+                   min(d) AS dep
+            FROM sp WHERE u = 1 GROUP BY 1, 2
+        ),
+        pk AS (
+            SELECT key, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(u) AS BIGINT) AS n_underwater
+            FROM sp GROUP BY key
+        ),
+        sk AS (
+            SELECT key, CAST(count(*) AS BIGINT) AS n_spells,
+                   max(len) AS longest_spell, min(dep) AS dep
+            FROM spl GROUP BY key
+        )
+        SELECT pk.key, n, n_underwater,
+               {_sr_sql(
+                   "CAST(n_underwater AS DOUBLE) / CAST(n AS DOUBLE)", 6
+               )} AS underwater_frac,
+               CAST(coalesce(n_spells, 0) AS BIGINT) AS n_spells,
+               CAST(coalesce(longest_spell, 0) AS BIGINT) AS longest_spell,
+               {_sr_sql("dep", 6)} AS max_dd
+        FROM pk LEFT JOIN sk ON sk.key = pk.key
+    """
+
+    # atr: TR from the bar lag, then the closed-form Wilder EMA
+    # (alpha = 1/14 — the macd/ewm_var oracle technique)
+    o["atr"] = _BARS_SQL + f"""
+        , pcb AS (
+            SELECT key, bar_ts, high, low,
+                   lag(close) OVER (PARTITION BY key ORDER BY bar_ts) AS pc
+            FROM bars
+        ),
+        trb AS (
+            -- explicit pc filter: DuckDB greatest() IGNORES NULL args,
+            -- so the first bar would get tr = high-low instead of
+            -- dropping like the engine's where(_pc not null)
+            SELECT key, bar_ts,
+                   greatest(high - low, abs(high - pc), abs(low - pc)) AS tr
+            FROM pcb WHERE pc IS NOT NULL
+        ),
+        tr2 AS (
+            SELECT key, bar_ts, tr,
+                   CAST(row_number() OVER (PARTITION BY key
+                        ORDER BY bar_ts) - 1 AS BIGINT) AS j
+            FROM trb
+        ),
+        pre AS (
+            SELECT key, bar_ts, tr, j,
+                   first_value(tr) OVER wk AS t0,
+                   SUM(CASE WHEN j >= 1
+                        THEN tr / power({1.0 - 1.0 / 14!r}, j) END)
+                       OVER wp AS s1
+            FROM tr2
+            WINDOW wk AS (PARTITION BY key ORDER BY j),
+                   wp AS (PARTITION BY key ORDER BY j
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT key, bar_ts, {_sr_sql("tr", 6)} AS tr,
+               {_sr_sql(
+                   f"power({1.0 - 1.0 / 14!r}, j)"
+                   f" * (t0 + {1.0 / 14!r} * coalesce(s1, 0.0))", 6
+               )} AS atr
+        FROM pre
+    """
+
+    o["pivot_points"] = """
+        WITH bars AS (
+            SELECT CAST(user_id AS VARCHAR) AS key,
+                   date_trunc('day', ts) AS bar_ts,
+                   max(value) AS high, min(value) AS low,
+                   last(value ORDER BY ts, value) AS close
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        lg AS (
+            SELECT key, bar_ts,
+                   lag(high) OVER w AS ph, lag(low) OVER w AS pl,
+                   lag(close) OVER w AS pc
+            FROM bars
+            WINDOW w AS (PARTITION BY key ORDER BY bar_ts)
+        ),
+        pv AS (SELECT key, bar_ts, ph, pl, (ph + pl + pc) / 3.0 AS p FROM lg)
+    """ + f"""
+        SELECT key, bar_ts,
+               {_sr_sql("p", 6)} AS pivot,
+               {_sr_sql("2.0 * p - pl", 6)} AS r1,
+               {_sr_sql("2.0 * p - ph", 6)} AS s1,
+               {_sr_sql("p + (ph - pl)", 6)} AS r2,
+               {_sr_sql("p - (ph - pl)", 6)} AS s2
+        FROM pv
+    """
+
+    o["tod_profile"] = f"""
+        WITH pts AS (
+            SELECT CAST(user_id AS VARCHAR) AS key,
+                   CAST(hour(ts) AS INT) AS hod, value AS v
+            FROM events WHERE value IS NOT NULL
+        ),
+        g AS (
+            SELECT key, hod, CAST(count(*) AS BIGINT) AS n,
+                   sum(v) AS s, sum(v * v) AS ss
+            FROM pts GROUP BY 1, 2
+        ),
+        w0 AS (
+            -- two layers: DuckDB rejects nested window calls, so the
+            -- per-key totals materialize first and the between-hour
+            -- sum windows over them
+            SELECT key, hod, n, s, ss,
+                   CAST(n AS DOUBLE) AS nh,
+                   CAST(sum(n) OVER wk AS DOUBLE) AS tn,
+                   sum(s) OVER wk AS ts_, sum(ss) OVER wk AS tss
+            FROM g
+            WINDOW wk AS (PARTITION BY key)
+        ),
+        w AS (
+            SELECT key, hod, n, s, ss, nh, tn, ts_, tss,
+                   sum(nh * (s / nh - ts_ / tn)
+                          * (s / nh - ts_ / tn)) OVER wk AS btw
+            FROM w0
+            WINDOW wk AS (PARTITION BY key)
+        )
+        SELECT key, hod, n,
+               {_sr_sql("s / nh", 6)} AS mean,
+               {_sr_sql(
+                   "CASE WHEN n >= 2 THEN sqrt(greatest(0.0,"
+                   " (ss - nh * (s / nh) * (s / nh)) / (nh - 1.0))) END", 6
+               )} AS std,
+               {_sr_sql(
+                   "(btw / tn) / ((tss / tn)"
+                   " - (ts_ / tn) * (ts_ / tn))", 6
+               )} AS strength
+        FROM w
+    """
+
+    o["filter_audit"] = f"""
+        WITH fl AS (
+            SELECT
+                CASE WHEN lang <> 'en' THEN 1 ELSE 0 END AS f_lang,
+                CASE WHEN length(text) < 200 THEN 1 ELSE 0 END AS f_short,
+                CASE WHEN (length(text) - length(
+                         regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                         / length(text)::DOUBLE > 0.02
+                     THEN 1 ELSE 0 END AS f_dig
+            FROM documents
+        ),
+        t AS (SELECT f_lang, f_short, f_dig,
+                     f_lang + f_short + f_dig AS tot FROM fl),
+        ag AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN tot > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS k,
+                   CAST(sum(f_lang) AS BIGINT) AS lf,
+                   CAST(sum(CASE WHEN f_lang = 1 AND tot = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS lu,
+                   CAST(sum(f_short) AS BIGINT) AS sf,
+                   CAST(sum(CASE WHEN f_short = 1 AND tot = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS su,
+                   CAST(sum(f_dig) AS BIGINT) AS df_,
+                   CAST(sum(CASE WHEN f_dig = 1 AND tot = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS du
+            FROM t
+        ),
+        m AS (
+            SELECT 'nonenglish' AS rule, lf AS n_fail,
+                   lu AS n_unique_fail, n, k FROM ag
+            UNION ALL
+            SELECT 'short', sf, su, n, k FROM ag
+            UNION ALL
+            SELECT 'digits', df_, du, n, k FROM ag
+        )
+        SELECT rule, n_fail, n_unique_fail,
+               {_sr_sql("CAST(n_fail AS DOUBLE) / CAST(n AS DOUBLE)", 6)}
+                   AS fail_rate,
+               {_sr_sql(
+                   "CAST(n_unique_fail AS DOUBLE) / CAST(n AS DOUBLE)", 6
+               )} AS unique_fail_rate,
+               n AS n_docs, k AS n_killed,
+               {_sr_sql("CAST(k AS DOUBLE) / CAST(n AS DOUBLE)", 6)}
+                   AS kill_rate
+        FROM m
+    """
+
+    o["twa"] = f"""
+        WITH pts AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, ts, value,
+                   date_trunc('day', ts) AS bar
+            FROM events WHERE value IS NOT NULL
+        ),
+        ld AS (
+            SELECT key, bar, value,
+                   CAST(epoch_us(coalesce(
+                       lead(ts) OVER (PARTITION BY key, bar
+                                      ORDER BY ts, value),
+                       bar + INTERVAL 1 DAY)) - epoch_us(ts) AS DOUBLE)
+                       / 1e6 AS w
+            FROM pts
+        )
+        SELECT key, bar AS bar_ts, CAST(count(*) AS BIGINT) AS n,
+               {_sr_sql("sum(w)", 6)} AS span_seconds,
+               {_sr_sql("sum(value * w) / sum(w)", 6)} AS twa
+        FROM ld GROUP BY key, bar
+    """
+
+    o["count_bars"] = """
+        WITH pts AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, ts, value
+            FROM events WHERE value IS NOT NULL
+        ),
+        d AS (
+            SELECT key, ts, value,
+                   CAST(floor((row_number() OVER (PARTITION BY key
+                        ORDER BY ts, value) - 1) / 50.0) AS BIGINT) AS bar
+            FROM pts
+        )
+        SELECT key, bar, min(ts) AS start_ts, max(ts) AS end_ts,
+               first(value ORDER BY ts, value) AS open,
+               max(value) AS high, min(value) AS low,
+               last(value ORDER BY ts, value) AS close,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM d GROUP BY key, bar
+    """
+
+    o["heaps_law"] = f"""
+        WITH toks AS (
+            SELECT doc_id, t.token
+            FROM (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+                FROM documents
+            ), unnest(a) AS t(token)
+            WHERE t.token <> ''
+        ),
+        per_doc AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS nt
+            FROM toks GROUP BY doc_id
+        ),
+        docs AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY doc_id) AS INT) AS rk,
+                   SUM(nt) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_toks
+            FROM per_doc
+        ),
+        nd AS (SELECT CAST(max(rk) AS BIGINT) AS d FROM docs),
+        firsts AS (
+            SELECT rk, CAST(count(*) AS BIGINT) AS new_toks
+            FROM (SELECT token, min(doc_id) AS fd FROM toks GROUP BY token)
+            JOIN docs ON docs.doc_id = fd
+            GROUP BY rk
+        ),
+        curve AS (
+            SELECT docs.rk, docs.cum_toks,
+                   SUM(coalesce(new_toks, 0)) OVER (ORDER BY docs.rk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_v
+            FROM docs LEFT JOIN firsts ON firsts.rk = docs.rk
+        ),
+        marks AS (
+            SELECT p.point, curve.rk AS n_docs,
+                   CAST(curve.cum_toks AS BIGINT) AS n_tokens,
+                   CAST(curve.cum_v AS BIGINT) AS n_distinct
+            FROM curve
+            CROSS JOIN nd
+            JOIN (SELECT CAST(unnest(generate_series(1, 10)) AS INT)
+                      AS point) p
+              ON curve.rk = CAST(ceil(CAST(nd.d AS DOUBLE)
+                                      * p.point / 10) AS BIGINT)
+        ),
+        ols AS (
+            SELECT (count(*) * sum(ln(n_tokens) * ln(n_distinct))
+                    - sum(ln(n_tokens)) * sum(ln(n_distinct)))
+                   / (count(*) * sum(ln(n_tokens) * ln(n_tokens))
+                      - sum(ln(n_tokens)) * sum(ln(n_tokens))) AS beta
+            FROM marks
+        )
+        SELECT point, n_docs, n_tokens, n_distinct,
+               {_sr_sql("beta", 6)} AS beta
+        FROM marks CROSS JOIN ols
+    """
+
+    o["stylometric_delta"] = f"""
+        WITH toks AS (
+            SELECT source AS grp, t.w
+            FROM (
+                SELECT source,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+                FROM documents
+            ), unnest(a) AS t(w)
+            WHERE t.w <> ''
+        ),
+        gw AS (
+            SELECT grp, w, CAST(count(*) AS BIGINT) AS c
+            FROM toks GROUP BY 1, 2
+        ),
+        gt AS (SELECT grp, CAST(sum(c) AS BIGINT) AS gtot FROM gw GROUP BY 1),
+        topk AS (
+            SELECT w FROM (
+                SELECT w, sum(c) AS ct FROM gw GROUP BY w
+                ORDER BY ct DESC, w ASC LIMIT 20
+            )
+        ),
+        dense AS (
+            SELECT gt.grp, topk.w,
+                   CAST(coalesce(gw.c, 0) AS DOUBLE)
+                       / CAST(gt.gtot AS DOUBLE) AS f
+            FROM gt CROSS JOIN topk
+            LEFT JOIN gw ON gw.grp = gt.grp AND gw.w = topk.w
+        ),
+        z AS (
+            SELECT grp, w,
+                   (f - avg(f) OVER ww) / stddev_samp(f) OVER ww AS z
+            FROM dense
+            WINDOW ww AS (PARTITION BY w)
+        )
+        SELECT a.grp AS group_a, b.grp AS group_b,
+               CAST(count(CASE WHEN a.z IS NOT NULL THEN 1 END)
+                    AS BIGINT) AS n_words,
+               {_sr_sql("avg(abs(a.z - b.z))", 6)} AS delta
+        FROM z a JOIN z b ON a.w = b.w AND a.grp < b.grp
+        GROUP BY 1, 2
     """
 
     o["cross_zscore"] = _DAILY_GRID_SQL + f"""

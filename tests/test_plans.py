@@ -830,3 +830,58 @@ def test_ema_max_len_hint_skips_routing(spark, grid):
     unhinted = _plan(ema(grid, 0.3))
     assert "Union" in unhinted  # routing keeps both branches
     assert hinted.count("Window") < unhinted.count("Window")
+
+
+def test_twa_one_exchange(spark):
+    """twa's lead window partitions on the same (key, bucket) the
+    aggregate groups by — one exchange, no join, no Python."""
+    from spark_timeseries_spark.operators.resample import twa
+    from spark_timeseries_spark.sources import events_observations
+
+    obs = events_observations(spark, SF)
+    shuffles, sorts, p = _counts(twa(obs, "day"))
+    assert shuffles == 1, p
+    assert "Join" not in p and "InPandas" not in p, p
+
+
+def test_lomb_scargle_plan(spark):
+    """Lomb-Scargle is one explode + ONE map-side-combinable groupBy:
+    a single exchange, no window, no Python, partial aggregation
+    present."""
+    from spark_timeseries_spark.operators.spectral import lomb_scargle
+    from spark_timeseries_spark.sources import events_observations
+
+    obs = events_observations(spark, SF).select(
+        "key", (F.unix_micros("ts") / 86400e6).alias("t"), "value"
+    )
+    shuffles, sorts, p = _counts(lomb_scargle(obs, [0.1, 0.2, 0.3]))
+    assert shuffles == 1, p
+    assert "Window" not in p and "InPandas" not in p and "Join" not in p, p
+    assert "partial" in p.lower() or "HashAggregate" in p, p
+
+
+def test_priority_sample_one_exchange(spark):
+    """priority_sample is one stratum-partitioned window + a rank
+    filter — a single exchange keyed on the stratum, no join."""
+    from spark_timeseries_spark.pipeline.sampling import priority_sample
+    from spark_timeseries_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    shuffles, sorts, p = _counts(
+        priority_sample(docs, 5, stratum_col="source", id_col="doc_id")
+    )
+    assert shuffles == 1, p
+    assert "Join" not in p, p
+
+
+def test_stylometric_topk_broadcasts(spark):
+    """The k-row top-word list broadcasts into the densifying cross
+    join (vocabulary-scale vs corpus-scale — the dsir precedent); the
+    z/pair stages stay join-shaped on the BOUNDED group axis."""
+    from spark_timeseries_spark.pipeline.text import stylometric_delta
+    from spark_timeseries_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    p = _plan(stylometric_delta(docs, k=10))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "InPandas" not in p, p
