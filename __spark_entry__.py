@@ -3974,6 +3974,78 @@ def _q_stylometric_delta(spark, sf_dir):
     )
 
 
+def _q_keltner(spark, sf_dir):
+    """Keltner channels (n=20, 2×ATR) over daily OHLC bars — typical-
+    price EMA + Wilder TR EMA on one sort."""
+    from spark_timeseries_spark.operators.indicators import keltner_channels
+    from spark_timeseries_spark.operators.resample import ohlc
+
+    obs = events_observations(spark, sf_dir)
+    out = keltner_channels(ohlc(obs, "day"), n=20, mult=2.0)
+    return out.select(
+        "key", "bar_ts",
+        _stable_round(F.col("typical"), 6).alias("typical"),
+        _stable_round(F.col("kc_mid"), 6).alias("kc_mid"),
+        _stable_round(F.col("kc_upper"), 6).alias("kc_upper"),
+        _stable_round(F.col("kc_lower"), 6).alias("kc_lower"),
+    )
+
+
+def _q_donchian(spark, sf_dir):
+    """Donchian channels (n=7) over daily bars — rolling extrema,
+    burn-in NULLs; outputs are exact copies/midpoints of input values
+    (no rounding needed)."""
+    from spark_timeseries_spark.operators.indicators import donchian_channels
+    from spark_timeseries_spark.operators.resample import ohlc
+
+    obs = events_observations(spark, sf_dir)
+    out = donchian_channels(ohlc(obs, "day"), n=7)
+    return out.select("key", "bar_ts", "dc_upper", "dc_lower", "dc_mid")
+
+
+def _q_ulcer(spark, sf_dir):
+    """Ulcer index (n=7) over the filled daily grid — RMS percent
+    drawdown from the rolling high."""
+    from spark_timeseries_spark.operators.indicators import ulcer_index
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
+    out = ulcer_index(filled, n=7)
+    return out.select(
+        "key", "loc",
+        _stable_round(F.col("pct_dd"), 6).alias("pct_dd"),
+        _stable_round(F.col("ulcer"), 6).alias("ulcer"),
+    )
+
+
+def _q_rolling_sharpe(spark, sf_dir):
+    """Rolling Sharpe (n=10) of daily simple returns off the filled
+    grid — one lag + mean/std windows."""
+    from spark_timeseries_spark.operators.indicators import rolling_sharpe
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
+    out = rolling_sharpe(filled, n=10)
+    return out.select(
+        "key", "loc",
+        _stable_round(F.col("ret"), 6).alias("ret"),
+        _stable_round(F.col("sharpe"), 6).alias("sharpe"),
+    )
+
+
+def _q_funnel_gap(spark, sf_dir):
+    """Time-boxed funnel: each hop must land within 24 h of the
+    previous completion — the conversion-window variant of the
+    unbounded ``funnel`` row."""
+    from spark_timeseries_spark.operators.funnel import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        F.col("user_id").cast("string").alias("key"), "ts", "event_type"
+    )
+    return funnel(obs, ["view", "click", "purchase"], max_gap=86400.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
     the first 50 entries. Window policy (round 10, per the r9 verdict's
@@ -3992,7 +4064,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``pivot_points``/``tod_profile``/``filter_audit``, ``twa``/
     ``count_bars``/``heaps_law``) — 25 rows (``stylometric_delta``,
     also r10-new, yields its slot to the stale quota and sits at
-    position 51 with full-strict-log evidence); (b) the standing
+    position 51 with full-strict-log evidence, as do the late-r10
+    additions ``keltner``/``donchian``/``ulcer``/``rolling_sharpe``/
+    ``funnel_gap`` right behind it); (b) the standing
     rotation queue, STALEST driver evidence first: the late-r5/r6
     block the r9 verdict named (``token_divergence`` …
     ``blocklist_flag`` — 25 rows = the prescribed minimum; the
@@ -4061,10 +4135,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc": _q_pq_adc,
         "blocklist_flag": _q_blocklist_flag,
         # ---- driver window (50) ends here ----------------------------------
-        # stylometric_delta is r10-new but yields the window slot to the
-        # stale rotation (>= 25 stale rows per the r9 prescription); its
+        # r10-new rows below yield their window slots to the stale
+        # rotation (>= 25 stale rows per the r9 prescription); their
         # evidence is the committed full strict log until the r11 window
         "stylometric_delta": _q_stylometric_delta,
+        "keltner": _q_keltner,
+        "donchian": _q_donchian,
+        "ulcer": _q_ulcer,
+        "rolling_sharpe": _q_rolling_sharpe,
+        "funnel_gap": _q_funnel_gap,
         "dup_spans": _q_dup_spans,
         "embedding_covariance": _q_embedding_covariance,
         "cusum": _q_cusum,
@@ -11127,6 +11206,136 @@ def oracle_sql() -> dict[str, str]:
                {_sr_sql("avg(abs(a.z - b.z))", 6)} AS delta
         FROM z a JOIN z b ON a.w = b.w AND a.grp < b.grp
         GROUP BY 1, 2
+    """
+
+    # keltner: typical/TR from the lag-filtered bars, then two
+    # closed-form EMA replays (span-20 alpha = 2/21, Wilder alpha = 1/20)
+    _KQ1, _KA1 = repr(1.0 - 2.0 / 21), repr(2.0 / 21)
+    _KQ2, _KA2 = repr(1.0 - 1.0 / 20), repr(1.0 / 20)
+    o["keltner"] = _BARS_SQL + f"""
+        , pcb AS (
+            SELECT key, bar_ts, high, low, close,
+                   lag(close) OVER (PARTITION BY key ORDER BY bar_ts) AS pc
+            FROM bars
+        ),
+        tb AS (
+            SELECT key, bar_ts,
+                   (high + low + close) / 3.0 AS typical,
+                   greatest(high - low, abs(high - pc), abs(low - pc)) AS tr,
+                   CAST(row_number() OVER (PARTITION BY key
+                        ORDER BY bar_ts) - 1 AS BIGINT) AS j
+            FROM pcb WHERE pc IS NOT NULL
+        ),
+        pre AS (
+            SELECT key, bar_ts, typical, j,
+                   first_value(typical) OVER wk AS t0,
+                   first_value(tr) OVER wk AS r0,
+                   SUM(CASE WHEN j >= 1
+                        THEN typical / power({_KQ1}, j) END) OVER wp AS s1,
+                   SUM(CASE WHEN j >= 1
+                        THEN tr / power({_KQ2}, j) END) OVER wp AS s2
+            FROM tb
+            WINDOW wk AS (PARTITION BY key ORDER BY j),
+                   wp AS (PARTITION BY key ORDER BY j
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        e AS (
+            SELECT key, bar_ts, typical,
+                   power({_KQ1}, j) * (t0 + {_KA1} * coalesce(s1, 0.0))
+                       AS mid,
+                   power({_KQ2}, j) * (r0 + {_KA2} * coalesce(s2, 0.0))
+                       AS a
+            FROM pre
+        )
+        SELECT key, bar_ts,
+               {_sr_sql("typical", 6)} AS typical,
+               {_sr_sql("mid", 6)} AS kc_mid,
+               {_sr_sql("mid + 2.0 * a", 6)} AS kc_upper,
+               {_sr_sql("mid - 2.0 * a", 6)} AS kc_lower
+        FROM e
+    """
+
+    o["donchian"] = _BARS_SQL + """
+        SELECT key, bar_ts,
+               CASE WHEN count(*) OVER wn >= 7
+                    THEN max(high) OVER wn END AS dc_upper,
+               CASE WHEN count(*) OVER wn >= 7
+                    THEN min(low) OVER wn END AS dc_lower,
+               (CASE WHEN count(*) OVER wn >= 7
+                     THEN max(high) OVER wn END
+                + CASE WHEN count(*) OVER wn >= 7
+                       THEN min(low) OVER wn END) / 2.0 AS dc_mid
+        FROM bars
+        WINDOW wn AS (PARTITION BY key ORDER BY bar_ts
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """
+
+    o["ulcer"] = _DAILY_GRID_SQL + _FILLED_SQL + f"""
+        , nn AS (SELECT key, loc, value FROM filled WHERE value IS NOT NULL),
+        pdd AS (
+            SELECT key, loc,
+                   CASE WHEN count(*) OVER wn >= 7 THEN
+                       100.0 * (value / max(value) OVER wn - 1.0)
+                   END AS pct_dd
+            FROM nn
+            WINDOW wn AS (PARTITION BY key ORDER BY loc
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        SELECT key, loc,
+               {_sr_sql("pct_dd", 6)} AS pct_dd,
+               {_sr_sql("sqrt(avg(pct_dd * pct_dd) OVER wn)", 6)} AS ulcer
+        FROM pdd
+        WINDOW wn AS (PARTITION BY key ORDER BY loc
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """
+
+    o["rolling_sharpe"] = _DAILY_GRID_SQL + _FILLED_SQL + f"""
+        , nn AS (SELECT key, loc, value FROM filled WHERE value IS NOT NULL),
+        rt AS (
+            SELECT key, loc,
+                   value / lag(value) OVER (PARTITION BY key ORDER BY loc)
+                   - 1.0 AS ret
+            FROM nn
+        ),
+        rr AS (SELECT key, loc, ret FROM rt WHERE ret IS NOT NULL)
+        SELECT key, loc,
+               {_sr_sql("ret", 6)} AS ret,
+               {_sr_sql(
+                   "CASE WHEN count(*) OVER wn >= 10 THEN "
+                   "avg(ret) OVER wn / stddev_samp(ret) OVER wn END", 6
+               )} AS sharpe
+        FROM rr
+        WINDOW wn AS (PARTITION BY key ORDER BY loc
+                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """
+
+    o["funnel_gap"] = """
+        WITH base AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, ts, event_type
+            FROM events
+        ),
+        s1 AS (
+            SELECT key, min(ts) AS ts_1 FROM base
+            WHERE event_type = 'view' GROUP BY key
+        ),
+        s2 AS (
+            SELECT b.key, min(b.ts) AS ts_2
+            FROM base b JOIN s1 USING (key)
+            WHERE b.event_type = 'click' AND b.ts > s1.ts_1
+              AND epoch_us(b.ts) - epoch_us(s1.ts_1) <= 86400000000
+            GROUP BY b.key
+        ),
+        s3 AS (
+            SELECT b.key, min(b.ts) AS ts_3
+            FROM base b JOIN s2 USING (key)
+            WHERE b.event_type = 'purchase' AND b.ts > s2.ts_2
+              AND epoch_us(b.ts) - epoch_us(s2.ts_2) <= 86400000000
+            GROUP BY b.key
+        )
+        SELECT s1.key, ts_1, ts_2, ts_3,
+               CAST(1 + (ts_2 IS NOT NULL)::INT + (ts_3 IS NOT NULL)::INT
+                    AS INT) AS steps_completed
+        FROM s1 LEFT JOIN s2 USING (key) LEFT JOIN s3 USING (key)
     """
 
     o["cross_zscore"] = _DAILY_GRID_SQL + f"""

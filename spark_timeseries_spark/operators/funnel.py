@@ -35,13 +35,17 @@ def funnel(
     key_col: str = "key",
     ts_col: str = "ts",
     step_col: str = "event_type",
+    max_gap: float | None = None,
 ) -> DataFrame:
     """→ one row per entity that performed step 1: (key, ts_1..ts_k —
     first strictly-ordered completion time of each step, NULL once the
     chain breaks — and ``steps_completed``). Step k's time is the
     MINIMUM timestamp of a step-k event STRICTLY AFTER step k−1's
     completion time; an entity that did step 2 only before step 1
-    does not count as reaching step 2.
+    does not count as reaching step 2. ``max_gap`` (seconds) bounds
+    each hop: a step-k event counts only within ``max_gap`` seconds of
+    the step-(k−1) completion — the time-boxed conversion window every
+    product funnel report uses (None = unbounded, the default).
 
     Plan: k rounds of (filter step-k events) ⋈ (entities with step k−1
     time) → conditional min — every round a key-partitioned equi-join +
@@ -53,6 +57,8 @@ def funnel(
     scan prunes to one step's events)."""
     if not steps:
         raise ValueError("steps must be non-empty")
+    if max_gap is not None and max_gap <= 0:
+        raise ValueError(f"max_gap must be positive seconds, got {max_gap}")
     base = df.select(key_col, ts_col, step_col)
     cur = (
         base.where(F.col(step_col) == steps[0])
@@ -60,10 +66,17 @@ def funnel(
         .agg(F.min(ts_col).alias("ts_1"))
     )
     for i in range(1, len(steps)):
+        within = F.col(ts_col) > F.col(f"ts_{i}")
+        if max_gap is not None:
+            within = within & (
+                F.unix_micros(F.col(ts_col))
+                - F.unix_micros(F.col(f"ts_{i}"))
+                <= int(max_gap * 1_000_000)
+            )
         nxt = (
             base.where(F.col(step_col) == steps[i])
             .join(cur.select(key_col, f"ts_{i}"), key_col)
-            .where(F.col(ts_col) > F.col(f"ts_{i}"))
+            .where(within)
             .groupBy(key_col)
             .agg(F.min(ts_col).alias(f"ts_{i + 1}"))
         )

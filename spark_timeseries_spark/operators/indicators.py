@@ -36,6 +36,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "ema", "macd", "rsi", "bollinger", "adx",
     "stochastic", "obv", "ewm_var", "atr", "pivot_points",
+    "keltner_channels", "donchian_channels", "ulcer_index",
+    "rolling_sharpe",
 ]
 
 
@@ -516,3 +518,151 @@ def pivot_points(
         .withColumn("r2", p + (ph - pl))
         .withColumn("s2", p - (ph - pl))
     )
+
+
+def keltner_channels(
+    df: DataFrame,
+    n: int = 20,
+    mult: float = 2.0,
+    key_col: str = "key",
+    order_col: str = "bar_ts",
+    high_col: str = "high",
+    low_col: str = "low",
+    close_col: str = "close",
+    method: str = "auto",
+    max_len: int | None = None,
+) -> DataFrame:
+    """Keltner channels over OHLC bars → one row per bar from the
+    SECOND onward (the first has no true range): ``typical``
+    ((H+L+C)/3), ``kc_mid`` (its span-n EMA, α = 2/(n+1)), ``kc_upper``
+    / ``kc_lower`` (mid ± mult·ATR(n), Wilder α = 1/n) — the
+    volatility-adaptive band pair next to :func:`bollinger`'s
+    stddev-based one. Two chained closed-form EMA passes (typical
+    price, TR) sharing ONE (key, order) sort — all JVM inside the EMA
+    envelope."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+    h, l, c = F.col(high_col), F.col(low_col), F.col(close_col)
+    d = (
+        df.withColumn("_pc", F.lag(close_col).over(ws))
+        .where(F.col("_pc").isNotNull())
+        .withColumn("typical", (h + l + c) / 3.0)
+        .withColumn(
+            "tr",
+            F.greatest(h - l, F.abs(h - F.col("_pc")), F.abs(l - F.col("_pc"))),
+        )
+        .drop("_pc")
+    )
+    d = _ema_col(d, 2.0 / (n + 1), key_col, order_col, "typical", "kc_mid",
+                 method, max_len)
+    d = _ema_col(d, 1.0 / n, key_col, order_col, "tr", "_atr", method, max_len)
+    return (
+        d.withColumn("kc_upper", F.col("kc_mid") + mult * F.col("_atr"))
+        .withColumn("kc_lower", F.col("kc_mid") - mult * F.col("_atr"))
+        .drop("_atr")
+    )
+
+
+def donchian_channels(
+    df: DataFrame,
+    n: int = 20,
+    key_col: str = "key",
+    order_col: str = "bar_ts",
+    high_col: str = "high",
+    low_col: str = "low",
+) -> DataFrame:
+    """Donchian breakout channels → input rows + ``dc_upper`` (highest
+    high of the last n bars), ``dc_lower`` (lowest low), ``dc_mid``
+    (their midpoint); NULL until a full n-bar window exists (the
+    :func:`stochastic` burn-in convention). Two rolling extrema on one
+    sort — one exchange, all JVM."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-(n - 1), 0)
+    )
+    full = F.count(F.lit(1)).over(w) >= n
+    up = F.when(full, F.max(high_col).over(w))
+    lo = F.when(full, F.min(low_col).over(w))
+    return (
+        df.withColumn("dc_upper", up)
+        .withColumn("dc_lower", lo)
+        .withColumn("dc_mid", (F.col("dc_upper") + F.col("dc_lower")) / 2.0)
+    )
+
+
+def ulcer_index(
+    df: DataFrame,
+    n: int = 14,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Ulcer index (Martin & McCann) → input non-null rows + ``pct_dd``
+    (percent drawdown from the rolling n-observation high, ≤ 0) and
+    ``ulcer`` (√ of the n-window mean of pct_dd² — RMS drawdown depth,
+    the downside-only volatility gauge); NULL until a full window. Two
+    stacked windows on one sort — one exchange, all JVM."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-(n - 1), 0)
+    )
+    full = F.count(F.lit(1)).over(w) >= n
+    pdd = F.when(
+        full, 100.0 * (F.try_divide(v, F.max(value_col).over(w)) - 1.0)
+    )
+    d = pts.withColumn("pct_dd", pdd)
+    return d.withColumn(
+        "ulcer",
+        F.sqrt(F.avg(F.col("pct_dd") * F.col("pct_dd")).over(w)),
+    )
+
+
+def rolling_sharpe(
+    df: DataFrame,
+    n: int = 20,
+    rf: float = 0.0,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Rolling Sharpe ratio → one row per non-null observation from the
+    second onward: ``ret`` (simple 1-step return, NULL-bridging like
+    :func:`~spark_timeseries_spark.operators.volatility.realized_vol`),
+    ``sharpe`` ((mean(ret) − rf)/sample-std(ret) over the last n
+    returns; NULL until n returns exist or on zero dispersion). One lag
+    + two windows on one sort — one exchange, all JVM; annualize by
+    multiplying with √periods-per-year downstream (stated, not baked
+    in)."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+    d = (
+        pts.withColumn("_pv", F.lag(value_col).over(ws))
+        .withColumn("ret", F.try_divide(v, F.col("_pv")) - 1.0)
+        .where(F.col("ret").isNotNull())
+        .drop("_pv")
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-(n - 1), 0)
+    )
+    full = F.count(F.lit(1)).over(w) >= n
+    sharpe = F.when(
+        full,
+        F.try_divide(
+            F.avg("ret").over(w) - rf, F.stddev_samp("ret").over(w)
+        ),
+    )
+    return d.withColumn("sharpe", sharpe)

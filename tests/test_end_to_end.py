@@ -3701,3 +3701,111 @@ def test_stylometric_delta(spark):
         exp = np.mean([abs(z[(a, w)] - z[(b, w)]) for w in ("aa", "bb")])
         assert abs(got[(a, b)].delta - exp) < 1e-9
         assert got[(a, b)].n_words == 2
+
+
+def test_keltner_donchian_ulcer_sharpe(spark):
+    """Channel/risk indicators vs pandas/hand replays: Keltner mid is
+    the EMA of typical price with ATR bands; Donchian = rolling
+    extrema with burn-in NULLs; ulcer = RMS percent drawdown; rolling
+    Sharpe = windowed mean/std of simple returns."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_timeseries_spark.operators.indicators import (
+        donchian_channels,
+        keltner_channels,
+        rolling_sharpe,
+        ulcer_index,
+    )
+
+    rng = np.random.RandomState(14)
+    n = 40
+    close = 100 + np.cumsum(rng.randn(n))
+    high = close + np.abs(rng.randn(n))
+    low = close - np.abs(rng.randn(n))
+    rows = [("a", i, float(high[i]), float(low[i]), float(close[i]))
+            for i in range(n)]
+    bars = spark.createDataFrame(
+        rows, "key string, bar_ts long, high double, low double, close double"
+    )
+
+    kc = {r.bar_ts: r for r in keltner_channels(bars, n=10, mult=2.0).collect()}
+    assert 0 not in kc
+    typ = (high + low + close) / 3.0
+    tr = np.maximum(high[1:] - low[1:], np.maximum(
+        np.abs(high[1:] - close[:-1]), np.abs(low[1:] - close[:-1])))
+    em = pd.Series(typ[1:]).ewm(alpha=2.0 / 11, adjust=False).mean().to_numpy()
+    ea = pd.Series(tr).ewm(alpha=0.1, adjust=False).mean().to_numpy()
+    for i in range(1, n):
+        assert abs(kc[i].kc_mid - em[i - 1]) < 1e-9
+        assert abs(kc[i].kc_upper - (em[i - 1] + 2 * ea[i - 1])) < 1e-9
+        assert abs(kc[i].kc_lower - (em[i - 1] - 2 * ea[i - 1])) < 1e-9
+
+    dc = {r.bar_ts: r for r in donchian_channels(bars, n=10).collect()}
+    for i in range(n):
+        if i < 9:
+            assert dc[i].dc_upper is None and dc[i].dc_mid is None
+        else:
+            u, l = high[i - 9: i + 1].max(), low[i - 9: i + 1].min()
+            assert abs(dc[i].dc_upper - u) < 1e-12
+            assert abs(dc[i].dc_lower - l) < 1e-12
+            assert abs(dc[i].dc_mid - (u + l) / 2) < 1e-12
+
+    series = spark.createDataFrame(
+        [("a", i, float(close[i])) for i in range(n)],
+        "key string, loc long, value double",
+    )
+    ui = {r.loc: r for r in ulcer_index(series, n=8).collect()}
+    pdd = np.full(n, np.nan)
+    for i in range(7, n):
+        pdd[i] = 100.0 * (close[i] / close[i - 7: i + 1].max() - 1.0)
+    for i in range(n):
+        if i < 7:
+            assert ui[i].pct_dd is None
+        else:
+            assert abs(ui[i].pct_dd - pdd[i]) < 1e-9
+            if i >= 14:
+                exp = np.sqrt(np.mean(pdd[i - 7: i + 1] ** 2))
+                assert abs(ui[i].ulcer - exp) < 1e-9
+
+    sh = {r.loc: r for r in rolling_sharpe(series, n=10).collect()}
+    rets = close[1:] / close[:-1] - 1.0
+    assert 0 not in sh
+    for i in range(1, n):
+        r_i = rets[i - 1]
+        assert abs(sh[i].ret - r_i) < 1e-12
+        if i >= 10:
+            wnd = rets[i - 10: i]
+            exp = wnd.mean() / wnd.std(ddof=1)
+            assert abs(sh[i].sharpe - exp) < 1e-9
+        else:
+            assert sh[i].sharpe is None
+
+
+def test_funnel_max_gap(spark):
+    """Time-boxed funnel: a step landing outside max_gap seconds of the
+    previous completion does not count, even though a later in-window
+    event of the same step would have under the unbounded funnel."""
+    import datetime as dt
+
+    from spark_timeseries_spark.operators.funnel import funnel
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        ("u1", t(0), "view"), ("u1", t(5), "click"),      # within 10 min
+        ("u2", t(0), "view"), ("u2", t(30), "click"),     # outside 10 min
+        ("u3", t(0), "view"), ("u3", t(8), "click"), ("u3", t(25), "buy"),
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, event_type string")
+    out = {r.key: r for r in
+           funnel(df, ["view", "click", "buy"], max_gap=600).collect()}
+    assert out["u1"].steps_completed == 2
+    assert out["u2"].steps_completed == 1      # click too late
+    # u3: click at +8min ok; buy at +17min after click -> outside 10min
+    assert out["u3"].steps_completed == 2
+    # unbounded still counts everything
+    ub = {r.key: r for r in funnel(df, ["view", "click", "buy"]).collect()}
+    assert ub["u2"].steps_completed == 2 and ub["u3"].steps_completed == 3
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        funnel(df, ["view"], max_gap=0)
