@@ -3655,7 +3655,7 @@ def _q_bocpd_runs(spark, sf_dir):
     6-decimal rounding; run_map is integral and exact."""
     from spark_timeseries_spark.operators.changepoint import bocpd
 
-    out = bocpd(_evseq_df(spark, sf_dir), hazard=0.02, trunc=1e-8)
+    out = bocpd(_evseq_df(spark, sf_dir), hazard=0.05, trunc=1e-6)
     return out.select(
         "key", "loc",
         _stable_round(F.col("p_cp"), 6).alias("p_cp"),
@@ -10460,7 +10460,7 @@ def oracle_sql() -> dict[str, str]:
     # per active run). Student-t predictive written out via lgamma;
     # transcendental 1-ulp engine differences keep |Δp_cp| ~ 1e-15
     # (absorbed by round-6); run_map integral/exact.
-    _BH, _BTR = "0.02", "1e-8"  # hazard, truncation
+    _BH, _BTR = "0.05", "1e-6"  # hazard, truncation
 
     def _stud(xi: str, mu: str, kap: str, al: str, be: str) -> str:
         df = f"(2.0 * {al})"

@@ -310,16 +310,34 @@ def bocpd(
                 {key_col: [], order_col: [], "p_cp": [], "run_map": []}
             )
         key = pdf[key_col].iloc[0]
-        lgamma = np.vectorize(math.lgamma, otypes=[float])
         logH, log1mH = math.log(hazard), math.log(1.0 - hazard)
 
-        def student_logpdf(xi, mu_, kap_, al_, be_):
+        # every path's alpha is alpha0 + 0.5 x (points absorbed), and a
+        # path at run length r has absorbed exactly r + 1 points — so the
+        # two lgamma terms only ever take n distinct values. Precompute
+        # them ONCE by the SAME repeated +0.5 additions the posterior
+        # update performs (bit-identical alphas), replacing the
+        # np.vectorize(math.lgamma) path that cost two python-level calls
+        # per active run per step (the sf0.1 bench's 16 s hotspot).
+        al_tab = np.empty(n + 1)
+        al_tab[0] = alpha0
+        for j in range(1, n + 1):
+            al_tab[j] = al_tab[j - 1] + 0.5
+        lg_num = np.array(
+            [math.lgamma((2.0 * a + 1.0) / 2.0) for a in al_tab]
+        )
+        lg_den = np.array([math.lgamma((2.0 * a) / 2.0) for a in al_tab])
+
+        def student_logpdf(xi, mu_, kap_, al_, be_, jidx):
+            """jidx = points absorbed per path (indexes the lgamma
+            tables); al_ still carries the exact alpha values for the
+            scale arithmetic."""
             df_t = 2.0 * al_
             scale2 = be_ * (kap_ + 1.0) / (al_ * kap_)
             z2 = (xi - mu_) ** 2 / scale2
             return (
-                lgamma((df_t + 1.0) / 2.0)
-                - lgamma(df_t / 2.0)
+                lg_num[jidx]
+                - lg_den[jidx]
                 - 0.5 * np.log(np.pi * df_t * scale2)
                 - (df_t + 1.0) / 2.0 * np.log1p(z2 / df_t)
             )
@@ -346,10 +364,16 @@ def bocpd(
         run_map[0] = 0
         for i in range(1, n):
             # growth: x_i under each active run's posterior predictive
-            grow = logp + student_logpdf(x[i], mu, kap, al, be) + log1mH
+            grow = (
+                logp
+                + student_logpdf(x[i], mu, kap, al, be, runs + 1)
+                + log1mH
+            )
             # changepoint: x_i is the FIRST point of a new segment —
             # scored under the prior predictive; prior mass sums to 1
-            cp_mass = float(student_logpdf(x[i], *prior)[0]) + logH
+            cp_mass = float(
+                student_logpdf(x[i], *prior, np.array([0]))[0]
+            ) + logH
             new_logp = np.concatenate(([cp_mass], grow))
             norm = new_logp.max() + math.log(
                 np.exp(new_logp - new_logp.max()).sum()
