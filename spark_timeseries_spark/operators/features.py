@@ -52,6 +52,7 @@ __all__ = [
     "nonlinearity_features",
     "fano_factor",
     "tod_profile",
+    "newey_west",
 ]
 
 
@@ -1004,4 +1005,60 @@ def tod_profile(
         mean_h.alias("mean"),
         std_h.alias("std"),
         F.try_divide(between, total_var).alias("strength"),
+    )
+
+
+def newey_west(
+    df: DataFrame,
+    lags: int = 5,
+    key_col: str = "key",
+    loc_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Autocorrelation-robust mean inference per series → (key, n,
+    mean, nw_var, nw_se, t_stat): the Newey-West (1987) HAC long-run
+    variance S = γ₀ + 2·Σ_{j=1..L} (1 − j/(L+1))·γ_j with
+    γ_j = (1/n)Σ(x_t − x̄)(x_{t−j} − x̄), se = √(S/n), t = mean/se —
+    the CORRECT uncertainty for a serially-correlated series mean,
+    where the naive se = σ/√n is (badly) overconfident exactly when
+    time series need it most. NULL se on a constant series or n ≤ L
+    (try_divide / gated).
+
+    Plan: one key window for the mean, one lag window fanning out L
+    lag columns on the same sort, ONE map-side-combinable groupBy —
+    no joins, all JVM; L is a small constant so the fan-out is L
+    narrow column expressions, not L passes."""
+    if lags < 1:
+        raise ValueError(f"lags must be >= 1, got {lags}")
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    wk = Window.partitionBy(key_col)
+    ws = Window.partitionBy(key_col).orderBy(loc_col)
+    d = pts.withColumn("_mu", F.avg(value_col).over(wk)).withColumn(
+        "_dx", v - F.col("_mu")
+    )
+    for j in range(1, lags + 1):
+        d = d.withColumn(f"_dxl{j}", F.lag("_dx", j).over(ws))
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.first("_mu").alias("mean"),
+        F.sum(F.col("_dx") * F.col("_dx")).alias("_g0"),
+    ]
+    for j in range(1, lags + 1):
+        aggs.append(
+            F.sum(F.col("_dx") * F.col(f"_dxl{j}")).alias(f"_g{j}")
+        )
+    g = d.groupBy(key_col).agg(*aggs)
+    n = F.col("n").cast("double")
+    s = F.col("_g0") / n
+    for j in range(1, lags + 1):
+        w_j = 1.0 - j / (lags + 1.0)
+        s = s + 2.0 * w_j * (F.coalesce(F.col(f"_g{j}"), F.lit(0.0)) / n)
+    nw_var = F.when(F.col("n") > lags, F.greatest(F.lit(0.0), s))
+    nw_se = F.sqrt(F.try_divide(nw_var, n))
+    return g.select(
+        key_col, "n", "mean",
+        nw_var.alias("nw_var"),
+        nw_se.alias("nw_se"),
+        F.try_divide(F.col("mean"), nw_se).alias("t_stat"),
     )

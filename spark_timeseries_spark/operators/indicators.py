@@ -37,7 +37,7 @@ __all__ = [
     "ema", "macd", "rsi", "bollinger", "adx",
     "stochastic", "obv", "ewm_var", "atr", "pivot_points",
     "keltner_channels", "donchian_channels", "ulcer_index",
-    "rolling_sharpe",
+    "rolling_sharpe", "ewma_chart",
 ]
 
 
@@ -666,3 +666,66 @@ def rolling_sharpe(
         ),
     )
     return d.withColumn("sharpe", sharpe)
+
+
+def ewma_chart(
+    df: DataFrame,
+    alpha: float = 0.2,
+    limit: float = 3.0,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+    method: str = "auto",
+    max_len: int | None = None,
+) -> DataFrame:
+    """EWMA control chart (Roberts 1959 / Lucas-Saccucci) per series →
+    input non-null rows + ``ema``, ``center`` (the series mean — the
+    phase-I target estimated from the series itself, stated), ``ucl``/
+    ``lcl`` (center ± limit·σ̂·√(q^{2t} + α/(2−α)·(1 − q^{2t})), q =
+    1−α, t the 0-based observation index — the EXACT time-varying
+    variance of an EWMA SEEDED AT x₀, the library's adjust=False
+    convention: Var = σ̂² at the first observation, relaxing to the
+    textbook α/(2−α) asymptote; the classic μ₀-seeded formula starts
+    narrow instead and false-alarms on the seed), and ``alarm`` (ema
+    outside the limits) — the SPC drift alarm that beats Shewhart
+    charts on small persistent shifts. NULL limits/alarm on a constant
+    series (σ̂ = 0 ⇒ collapsed limits + EMA float dust = guaranteed
+    false alarm).
+
+    Plan: one key window for center/σ̂ + the closed-form EMA pass on
+    the same sort — no joins, all JVM inside the EMA envelope."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    if limit <= 0:
+        raise ValueError(f"limit must be positive, got {limit}")
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    wk = Window.partitionBy(key_col)
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+    d = _ema_col(pts, alpha, key_col, order_col, value_col, "ema",
+                 method, max_len)
+    d = (
+        d.withColumn("center", F.avg(value_col).over(wk))
+        .withColumn("_sd", F.stddev_samp(value_col).over(wk))
+        .withColumn(
+            "_t", (F.row_number().over(ws) - 1).cast("double")
+        )
+    )
+    q = 1.0 - alpha
+    qt = F.pow(F.lit(q), 2.0 * F.col("_t"))
+    spread = F.col("_sd") * F.sqrt(
+        qt + (alpha / (2.0 - alpha)) * (1.0 - qt)
+    )
+    # zero-dispersion gate: on a constant series the limits collapse
+    # onto the center while the closed-form EMA carries ~1-ulp float
+    # dust — a guaranteed false alarm; NULL limits/alarm instead
+    ok = F.col("_sd") > 0
+    d = (
+        d.withColumn("ucl", F.when(ok, F.col("center") + limit * spread))
+        .withColumn("lcl", F.when(ok, F.col("center") - limit * spread))
+    )
+    alarm = F.when(
+        F.col("ucl").isNotNull(),
+        (F.col("ema") > F.col("ucl")) | (F.col("ema") < F.col("lcl")),
+    )
+    return d.withColumn("alarm", alarm).drop("_sd", "_t")

@@ -360,3 +360,63 @@ def ivf_probe(
         .distinct()
     )
     return _ranked(scored, k)
+
+
+def prefix_dim_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: list[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka-style truncation quality → one row per prefix
+    dimension: (dim, n_queries, recall) — the fraction of each query's
+    FULL-dimension exact top-k that survives when both sides are
+    truncated to the first ``dim`` coordinates (averaged over queries).
+    THE go/no-go table for serving shorter vectors: if recall@k at
+    dim=32 is 0.95, the index can store a quarter of the floats.
+    Cosine over prefixes, ties by id (the :func:`brute_force_topk`
+    determinism convention).
+
+    Plan: |dims|+1 broadcast-queries × corpus scored passes (each the
+    brute_force_topk shape — the small side broadcast, rank window per
+    query), one equi-join per dim on (qid, vec_id) against the
+    full-dim top-k, one aggregate per dim, one union of |dims|
+    single-row results. Corpus is scanned |dims|+1 times — at real
+    scale cache/checkpoint the normalized corpus once (stated)."""
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    if any(d < 1 for d in dims):
+        raise ValueError(f"dims must be positive, got {dims}")
+    full = brute_force_topk(
+        corpus, queries, k=k, vec_col=vec_col,
+        id_col=id_col, query_id_col=query_id_col,
+    ).select("qid", "vec_id")
+    outs = []
+    for d in sorted(dims):
+        ctrunc = corpus.withColumn("_pv", F.slice(F.col(vec_col), 1, d))
+        qtrunc = queries.withColumn("_pv", F.slice(F.col(vec_col), 1, d))
+        got = brute_force_topk(
+            ctrunc, qtrunc, k=k, vec_col="_pv",
+            id_col=id_col, query_id_col=query_id_col,
+        ).select("qid", "vec_id")
+        hit = got.join(full, ["qid", "vec_id"]).groupBy("qid").agg(
+            F.count(F.lit(1)).alias("_h")
+        )
+        nq = queries.select(F.col(query_id_col).alias("qid")).distinct()
+        per_q = nq.join(hit, "qid", "left").select(
+            F.coalesce("_h", F.lit(0)).alias("_h")
+        )
+        outs.append(
+            per_q.agg(
+                F.lit(d).alias("dim"),
+                F.count(F.lit(1)).alias("n_queries"),
+                (F.avg(F.col("_h").cast("double")) / k).alias("recall"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

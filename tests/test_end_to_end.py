@@ -3809,3 +3809,151 @@ def test_funnel_max_gap(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         funnel(df, ["view"], max_gap=0)
+
+
+def test_newey_west(spark):
+    """HAC variance on an AR(1) series: matches a numpy Bartlett-weight
+    replay to 1e-9; the NW se EXCEEDS the naive iid se under positive
+    autocorrelation; constant series yields NULLs."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.features import newey_west
+
+    rng = np.random.RandomState(17)
+    n = 200
+    x = np.empty(n)
+    x[0] = 0.0
+    for t in range(1, n):
+        x[t] = 0.6 * x[t - 1] + rng.randn()
+    x += 5.0
+    rows = [("a", i, float(x[i])) for i in range(n)]
+    rows += [("c", i, 2.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    out = {r.key: r for r in newey_west(df, lags=5).collect()}
+
+    a = out["a"]
+    dx = x - x.mean()
+    s = (dx * dx).sum() / n
+    for j in range(1, 6):
+        g = (dx[j:] * dx[:-j]).sum() / n
+        s += 2 * (1 - j / 6.0) * g
+    assert a.n == n
+    assert abs(a.mean - x.mean()) < 1e-9
+    assert abs(a.nw_var - s) < 1e-9
+    assert abs(a.nw_se - np.sqrt(s / n)) < 1e-9
+    assert abs(a.t_stat - x.mean() / np.sqrt(s / n)) < 1e-9
+    assert a.nw_se > x.std(ddof=1) / np.sqrt(n)   # iid se is overconfident
+    c = out["c"]
+    assert c.nw_var == 0.0 and c.t_stat is None   # 0/0 -> NULL
+
+
+def test_ewma_chart(spark):
+    """Control chart on a stable series with an injected shift: no
+    alarms pre-shift, alarm after; the time-varying limit matches the
+    exact EWMA-variance formula; constant series has NULL limits."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_timeseries_spark.operators.indicators import ewma_chart
+
+    rng = np.random.RandomState(23)
+    x = np.concatenate([10 + 0.5 * rng.randn(60), 13 + 0.5 * rng.randn(20)])
+    df = spark.createDataFrame(
+        [("a", i, float(x[i])) for i in range(80)],
+        "key string, loc long, value double",
+    )
+    out = {r.loc: r for r in ewma_chart(df, alpha=0.2, limit=3.0).collect()}
+    em = pd.Series(x).ewm(alpha=0.2, adjust=False).mean().to_numpy()
+    mu, sd = x.mean(), x.std(ddof=1)
+    for t in range(80):
+        # x0-seeded EWMA variance: q^{2t} + a/(2-a) (1 - q^{2t}), 0-based t
+        v = 0.8 ** (2 * t) + 0.2 / 1.8 * (1 - 0.8 ** (2 * t))
+        spread = 3.0 * sd * np.sqrt(v)
+        assert abs(out[t].ema - em[t]) < 1e-9
+        assert abs(out[t].center - mu) < 1e-9
+        assert abs(out[t].ucl - (mu + spread)) < 1e-9
+        assert abs(out[t].lcl - (mu - spread)) < 1e-9
+    # first observation: full-sigma limits (x0-seeded), no seed alarm
+    assert abs(out[0].ucl - (mu + 3 * sd)) < 1e-9
+    assert not out[0].alarm
+    assert not any(out[t].alarm for t in range(5, 55))
+    assert any(out[t].alarm for t in range(62, 80))
+    flat = spark.createDataFrame(
+        [("f", i, 1.0) for i in range(5)], "key string, loc long, value double"
+    )
+    fo = ewma_chart(flat).collect()
+    # sigma = 0: limits and alarm are NULL (a collapsed limit plus
+    # closed-form float dust would otherwise false-alarm)
+    assert all(r.ucl is None and r.alarm is None for r in fo)
+
+
+def test_error_burn(spark):
+    """Multiwindow burn rate on a constructed incident: quiet hours do
+    not alarm, a short blip trips only the short window, a sustained
+    burst trips both (= alarm)."""
+    import datetime as dt
+
+    from spark_timeseries_spark.operators.slo import error_burn
+
+    rows = []
+    # hours 0-5: 100 events/h, 1 error (2% < 5% slo)
+    # hour 6: 50 errors of 100 (short blip inside a quiet long window?
+    # long covers h1-6 -> frac_long = 55/600 ~ 9% -> both > 1 -> alarm)
+    for h in range(7):
+        n_err = 50 if h == 6 else 1
+        for i in range(100):
+            et = "error" if i < n_err else "view"
+            rows.append(("a", dt.datetime(2024, 1, 1, h, i % 60, i // 60), et))
+    df = spark.createDataFrame(rows, "key string, ts timestamp, event_type string")
+    out = {r.bucket.hour: r for r in
+           error_burn(df, slo=0.05, short=1, long=6).collect()}
+    assert out[3].n == 100 and out[3].n_err == 1
+    assert not out[3].alarm                      # 1% burn 0.2
+    assert abs(out[6].frac_short - 0.5) < 1e-12
+    assert abs(out[6].frac_long - 55.0 / 600.0) < 1e-12
+    assert out[6].alarm                          # 10x short, 1.83x long
+    # short blip that the long window dilutes below budget: no alarm
+    rows2 = [("b", dt.datetime(2024, 1, 1, h, i % 60, i // 60),
+              "error" if (h == 6 and i < 20) else "view")
+             for h in range(7) for i in range(100)]
+    df2 = spark.createDataFrame(rows2, "key string, ts timestamp, event_type string")
+    o2 = {r.bucket.hour: r for r in
+          error_burn(df2, slo=0.05, short=1, long=6).collect()}
+    assert o2[6].burn_short > 1.0 and o2[6].burn_long < 1.0
+    assert not o2[6].alarm
+
+
+def test_prefix_dim_recall(spark):
+    """Truncation recall: at the full dimension recall is exactly 1;
+    recall is monotone-ish in dim on random data and strictly below 1
+    at a tiny prefix; numpy replay agrees at one dim."""
+    import numpy as np
+
+    from spark_timeseries_spark.pipeline.similarity import prefix_dim_recall
+
+    rng = np.random.RandomState(31)
+    D, N = 16, 80
+    vecs = rng.randn(N, D).astype(float)
+    rows = [(i, [float(v) for v in vecs[i]]) for i in range(N)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.where(F.col("vec_id") < 8)
+    out = {r.dim: r for r in
+           prefix_dim_recall(corpus, queries, dims=[2, 8, 16], k=5).collect()}
+    assert out[16].recall == 1.0
+    assert out[2].recall < 1.0
+    assert all(out[d].n_queries == 8 for d in (2, 8, 16))
+
+    # numpy replay at dim=8
+    def topk(mat, qmat, k):
+        mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+        sims = qn @ mn.T
+        res = {}
+        for qi in range(8):
+            order = sorted(range(N), key=lambda j: (-sims[qi, j], j))
+            res[qi] = [j for j in order if j != qi][:k]
+        return res
+    full = topk(vecs, vecs[:8], 5)
+    pre = topk(vecs[:, :8], vecs[:8, :8], 5)
+    exp = np.mean([len(set(full[q]) & set(pre[q])) / 5 for q in range(8)])
+    assert abs(out[8].recall - exp) < 1e-12
