@@ -4046,6 +4046,76 @@ def _q_funnel_gap(spark, sf_dir):
     return funnel(obs, ["view", "click", "purchase"], max_gap=86400.0)
 
 
+def _q_newey_west(spark, sf_dir):
+    """Newey-West HAC mean inference (L=5) per raw daily-grid series —
+    one mean window + 5 lag columns on one sort + one aggregate."""
+    from spark_timeseries_spark.operators.features import newey_west
+
+    grid = _daily_grid(spark, sf_dir)
+    out = newey_west(grid, lags=5)
+    return out.select(
+        "key", "n",
+        _stable_round(F.col("mean"), 6).alias("mean"),
+        _stable_round(F.col("nw_var"), 6).alias("nw_var"),
+        _stable_round(F.col("nw_se"), 6).alias("nw_se"),
+        _stable_round(F.col("t_stat"), 6).alias("t_stat"),
+    )
+
+
+def _q_ewma_chart(spark, sf_dir):
+    """EWMA control chart (alpha=0.2, 3-sigma) over the filled daily
+    grid — x0-seeded exact time-varying limits."""
+    from spark_timeseries_spark.operators.indicators import ewma_chart
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
+    out = ewma_chart(filled, alpha=0.2, limit=3.0, max_len=31)
+    return out.select(
+        "key", "loc",
+        _stable_round(F.col("ema"), 6).alias("ema"),
+        _stable_round(F.col("center"), 6).alias("center"),
+        _stable_round(F.col("ucl"), 6).alias("ucl"),
+        _stable_round(F.col("lcl"), 6).alias("lcl"),
+        "alarm",
+    )
+
+
+def _q_error_burn(spark, sf_dir):
+    """Multiwindow SLO burn rate per user per hour over the raw events
+    (slo=0.25, 1h/6h windows) — integer-exact fractions, all windows
+    on the bucket-level aggregate."""
+    from spark_timeseries_spark.operators.slo import error_burn
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        F.col("user_id").cast("string").alias("key"), "ts", "event_type"
+    )
+    out = error_burn(obs, slo=0.25, short=1, long=6)
+    return out.select(
+        "key", "bucket", "n", "n_err",
+        _stable_round(F.col("frac_short"), 6).alias("frac_short"),
+        _stable_round(F.col("frac_long"), 6).alias("frac_long"),
+        _stable_round(F.col("burn_short"), 6).alias("burn_short"),
+        _stable_round(F.col("burn_long"), 6).alias("burn_long"),
+        "alarm",
+    )
+
+
+def _q_prefix_dim_recall(spark, sf_dir):
+    """Matryoshka truncation-recall table (dims 8/16/32/64, k=10, 16
+    query vectors) — prefix-cosine exact top-k vs the full-dimension
+    ground truth."""
+    from spark_timeseries_spark.pipeline.similarity import prefix_dim_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 16)
+    out = prefix_dim_recall(emb, q, dims=[8, 16, 32, 64], k=10)
+    return out.select(
+        "dim", "n_queries",
+        _stable_round(F.col("recall"), 6).alias("recall"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
     the first 50 entries. Window policy (round 10, per the r9 verdict's
@@ -4144,6 +4214,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ulcer": _q_ulcer,
         "rolling_sharpe": _q_rolling_sharpe,
         "funnel_gap": _q_funnel_gap,
+        "newey_west": _q_newey_west,
+        "ewma_chart": _q_ewma_chart,
+        "error_burn": _q_error_burn,
+        "prefix_dim_recall": _q_prefix_dim_recall,
         "dup_spans": _q_dup_spans,
         "embedding_covariance": _q_embedding_covariance,
         "cusum": _q_cusum,
@@ -11337,6 +11411,192 @@ def oracle_sql() -> dict[str, str]:
                     AS INT) AS steps_completed
         FROM s1 LEFT JOIN s2 USING (key) LEFT JOIN s3 USING (key)
     """
+
+    # newey_west: mirror the engine's left-assoc HAC sum s = g0/n +
+    # 2 w1 (g1/n) + ... with Bartlett weights as repr literals
+    _NW = "g0 / nd"
+    for _j in range(1, 6):
+        _NW = (f"({_NW} + 2.0 * {1.0 - _j / 6.0!r}"
+               f" * (coalesce(g{_j}, 0.0) / nd))")
+    o["newey_west"] = _DAILY_GRID_SQL + f"""
+        , nn AS (SELECT key, loc, value FROM grid WHERE value IS NOT NULL),
+        dm AS (
+            SELECT key, loc, value,
+                   avg(value) OVER (PARTITION BY key) AS mu
+            FROM nn
+        ),
+        dx AS (
+            SELECT key, loc, mu, value - mu AS d,
+                   lag(value - mu, 1) OVER w AS d1,
+                   lag(value - mu, 2) OVER w AS d2,
+                   lag(value - mu, 3) OVER w AS d3,
+                   lag(value - mu, 4) OVER w AS d4,
+                   lag(value - mu, 5) OVER w AS d5
+            FROM dm
+            WINDOW w AS (PARTITION BY key ORDER BY loc)
+        ),
+        g AS (
+            SELECT key, CAST(count(*) AS BIGINT) AS n,
+                   first(mu) AS mean,
+                   CAST(count(*) AS DOUBLE) AS nd,
+                   sum(d * d) AS g0,
+                   sum(d * d1) AS g1, sum(d * d2) AS g2,
+                   sum(d * d3) AS g3, sum(d * d4) AS g4,
+                   sum(d * d5) AS g5
+            FROM dx GROUP BY key
+        ),
+        fin AS (
+            SELECT key, n, mean,
+                   CASE WHEN n > 5
+                        THEN greatest(0.0, {_NW}) END AS nw_var,
+                   nd
+            FROM g
+        )
+        SELECT key, n, {_sr_sql("mean", 6)} AS mean,
+               {_sr_sql("nw_var", 6)} AS nw_var,
+               {_sr_sql("sqrt(nw_var / nd)", 6)} AS nw_se,
+               {_sr_sql("mean / sqrt(nw_var / nd)", 6)} AS t_stat
+        FROM fin
+    """
+
+    # ewma_chart: closed-form EMA replay + the x0-seeded variance
+    # envelope (alpha = 0.2, q = 0.8, alpha/(2-alpha) as repr literal)
+    _ECA = repr(0.2 / 1.8)
+    o["ewma_chart"] = _DAILY_GRID_SQL + _FILLED_SQL + f"""
+        , base AS (
+            SELECT key, loc, value,
+                   CAST(row_number() OVER (PARTITION BY key ORDER BY loc) - 1
+                        AS BIGINT) AS j
+            FROM filled WHERE value IS NOT NULL
+        ),
+        pre AS (
+            SELECT key, loc, j, value,
+                   first_value(value) OVER wk AS v0,
+                   SUM(CASE WHEN j >= 1 THEN value / power(0.8, j) END)
+                       OVER wp AS s1,
+                   avg(value) OVER (PARTITION BY key) AS center,
+                   stddev_samp(value) OVER (PARTITION BY key) AS sd
+            FROM base
+            WINDOW wk AS (PARTITION BY key ORDER BY j),
+                   wp AS (PARTITION BY key ORDER BY j
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        e AS (
+            SELECT key, loc, center, sd,
+                   power(0.8, j) * (v0 + 0.2 * coalesce(s1, 0.0)) AS ema,
+                   CAST(j AS DOUBLE) AS t0
+            FROM pre
+        ),
+        lim AS (
+            SELECT key, loc, ema, center,
+                   CASE WHEN sd > 0 THEN center
+                        + 3.0 * (sd * sqrt(power(0.8, 2.0 * t0)
+                          + {_ECA} * (1.0 - power(0.8, 2.0 * t0))))
+                   END AS ucl,
+                   CASE WHEN sd > 0 THEN center
+                        - 3.0 * (sd * sqrt(power(0.8, 2.0 * t0)
+                          + {_ECA} * (1.0 - power(0.8, 2.0 * t0))))
+                   END AS lcl
+            FROM e
+        )
+        SELECT key, loc, {_sr_sql("ema", 6)} AS ema,
+               {_sr_sql("center", 6)} AS center,
+               {_sr_sql("ucl", 6)} AS ucl,
+               {_sr_sql("lcl", 6)} AS lcl,
+               CASE WHEN ucl IS NOT NULL
+                    THEN (ema > ucl OR ema < lcl) END AS alarm
+        FROM lim
+    """
+
+    o["error_burn"] = f"""
+        WITH g AS (
+            SELECT CAST(user_id AS VARCHAR) AS key,
+                   date_trunc('hour', ts) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN event_type = 'error'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+            FROM events GROUP BY 1, 2
+        ),
+        w AS (
+            SELECT key, bucket, n, n_err,
+                   CAST(sum(n_err) OVER ws AS DOUBLE)
+                       / CAST(sum(n) OVER ws AS DOUBLE) AS fs,
+                   CAST(sum(n_err) OVER wl AS DOUBLE)
+                       / CAST(sum(n) OVER wl AS DOUBLE) AS fl
+            FROM g
+            WINDOW ws AS (PARTITION BY key ORDER BY bucket
+                          ROWS BETWEEN 0 PRECEDING AND CURRENT ROW),
+                   wl AS (PARTITION BY key ORDER BY bucket
+                          ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+        )
+        SELECT key, bucket, n, n_err,
+               {_sr_sql("fs", 6)} AS frac_short,
+               {_sr_sql("fl", 6)} AS frac_long,
+               {_sr_sql("fs / 0.25", 6)} AS burn_short,
+               {_sr_sql("fl / 0.25", 6)} AS burn_long,
+               (fs / 0.25 > 1.0 AND fl / 0.25 > 1.0) AS alarm
+        FROM w
+    """
+
+    _PDR_PARTS = []
+    for _d in (8, 16, 32, 64):
+        _PDR_PARTS.append(f"""
+        SELECT {_d} AS dim, CAST(count(*) AS BIGINT) AS n_queries,
+               {_sr_sql("avg(CAST(h AS DOUBLE)) / 10", 6)} AS recall
+        FROM (
+            SELECT q.qid, coalesce(hit.h, 0) AS h
+            FROM (SELECT DISTINCT vec_id AS qid FROM embeddings
+                  WHERE vec_id < 16) q
+            LEFT JOIN (
+                SELECT t.qid, CAST(count(*) AS BIGINT) AS h
+                FROM (
+                    SELECT qid, vec_id FROM (
+                        SELECT qid, vec_id,
+                               row_number() OVER (PARTITION BY qid
+                                   ORDER BY sim DESC, vec_id) AS rk
+                        FROM (
+                            SELECT q2.qid, e2.vec_id,
+                                   list_dot_product(q2.qv, e2.v)
+                                   / (sqrt(list_dot_product(q2.qv, q2.qv))
+                                      * sqrt(list_dot_product(e2.v, e2.v)))
+                                   AS sim
+                            FROM (SELECT vec_id AS qid,
+                                         (CAST(embedding AS DOUBLE[]))[1:{_d}]
+                                             AS qv
+                                  FROM embeddings WHERE vec_id < 16) q2
+                            CROSS JOIN (SELECT vec_id,
+                                         (CAST(embedding AS DOUBLE[]))[1:{_d}]
+                                             AS v
+                                        FROM embeddings) e2
+                            WHERE q2.qid != e2.vec_id
+                        )
+                    ) WHERE rk <= 10
+                ) t
+                JOIN (
+                    SELECT qid, vec_id FROM (
+                        SELECT qid, vec_id,
+                               row_number() OVER (PARTITION BY qid
+                                   ORDER BY sim DESC, vec_id) AS rk
+                        FROM (
+                            SELECT q3.qid, e3.vec_id,
+                                   list_dot_product(q3.qv, e3.v)
+                                   / (sqrt(list_dot_product(q3.qv, q3.qv))
+                                      * sqrt(list_dot_product(e3.v, e3.v)))
+                                   AS sim
+                            FROM (SELECT vec_id AS qid,
+                                         CAST(embedding AS DOUBLE[]) AS qv
+                                  FROM embeddings WHERE vec_id < 16) q3
+                            CROSS JOIN (SELECT vec_id,
+                                         CAST(embedding AS DOUBLE[]) AS v
+                                        FROM embeddings) e3
+                            WHERE q3.qid != e3.vec_id
+                        )
+                    ) WHERE rk <= 10
+                ) f ON f.qid = t.qid AND f.vec_id = t.vec_id
+                GROUP BY t.qid
+            ) hit ON hit.qid = q.qid
+        )""")
+    o["prefix_dim_recall"] = " UNION ALL ".join(_PDR_PARTS)
 
     o["cross_zscore"] = _DAILY_GRID_SQL + f"""
         , nn AS (SELECT key, loc, value FROM grid WHERE value IS NOT NULL)
