@@ -4116,6 +4116,50 @@ def _q_prefix_dim_recall(spark, sf_dir):
     )
 
 
+def _q_dow_profile(spark, sf_dir):
+    """Day-of-week profile + eta-squared weekly strength per user over
+    the raw events — the weekly twin of tod_profile."""
+    from spark_timeseries_spark.operators.features import dow_profile
+
+    obs = events_observations(spark, sf_dir)
+    out = dow_profile(obs)
+    return out.select(
+        "key", "dow", "n",
+        _stable_round(F.col("mean"), 6).alias("mean"),
+        _stable_round(F.col("std"), 6).alias("std"),
+        _stable_round(F.col("strength"), 6).alias("strength"),
+    )
+
+
+def _q_robust_location(spark, sf_dir):
+    """Trimmed/winsorized means (10%) per raw daily-grid series — one
+    exact-percentile aggregate, interpolated bounds."""
+    from spark_timeseries_spark.operators.features import robust_location
+
+    grid = _daily_grid(spark, sf_dir)
+    out = robust_location(grid, trim=0.1)
+    return out.select(
+        "key", "n",
+        _stable_round(F.col("mean"), 6).alias("mean"),
+        _stable_round(F.col("median"), 6).alias("median"),
+        _stable_round(F.col("trimmed_mean"), 6).alias("trimmed_mean"),
+        _stable_round(F.col("winsorized_mean"), 6).alias("winsorized_mean"),
+    )
+
+
+def _q_rank_autocorr(spark, sf_dir):
+    """Spearman lag-1 autocorrelation per raw daily-grid series —
+    mid-ranks once, lagged, one corr aggregate."""
+    from spark_timeseries_spark.operators.features import rank_autocorr
+
+    grid = _daily_grid(spark, sf_dir)
+    out = rank_autocorr(grid, lag=1)
+    return out.select(
+        "key", "n_pairs",
+        _stable_round(F.col("rho"), 6).alias("rho"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness harness records exactly
     the first 50 entries. Window policy (round 10, per the r9 verdict's
@@ -4218,6 +4262,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_chart": _q_ewma_chart,
         "error_burn": _q_error_burn,
         "prefix_dim_recall": _q_prefix_dim_recall,
+        "dow_profile": _q_dow_profile,
+        "robust_location": _q_robust_location,
+        "rank_autocorr": _q_rank_autocorr,
         "dup_spans": _q_dup_spans,
         "embedding_covariance": _q_embedding_covariance,
         "cusum": _q_cusum,
@@ -11597,6 +11644,92 @@ def oracle_sql() -> dict[str, str]:
             ) hit ON hit.qid = q.qid
         )""")
     o["prefix_dim_recall"] = " UNION ALL ".join(_PDR_PARTS)
+
+    o["dow_profile"] = f"""
+        WITH pts AS (
+            SELECT CAST(user_id AS VARCHAR) AS key,
+                   CAST(dayofweek(ts) + 1 AS INT) AS dow, value AS v
+            FROM events WHERE value IS NOT NULL
+        ),
+        g AS (
+            SELECT key, dow, CAST(count(*) AS BIGINT) AS n,
+                   sum(v) AS s, sum(v * v) AS ss
+            FROM pts GROUP BY 1, 2
+        ),
+        w0 AS (
+            SELECT key, dow, n, s, ss,
+                   CAST(n AS DOUBLE) AS nh,
+                   CAST(sum(n) OVER wk AS DOUBLE) AS tn,
+                   sum(s) OVER wk AS ts_, sum(ss) OVER wk AS tss
+            FROM g
+            WINDOW wk AS (PARTITION BY key)
+        ),
+        w AS (
+            SELECT key, dow, n, s, ss, nh, tn, ts_, tss,
+                   sum(nh * (s / nh - ts_ / tn)
+                          * (s / nh - ts_ / tn)) OVER wk AS btw
+            FROM w0
+            WINDOW wk AS (PARTITION BY key)
+        )
+        SELECT key, dow, n,
+               {_sr_sql("s / nh", 6)} AS mean,
+               {_sr_sql(
+                   "CASE WHEN n >= 2 THEN sqrt(greatest(0.0,"
+                   " (ss - nh * (s / nh) * (s / nh)) / (nh - 1.0))) END", 6
+               )} AS std,
+               {_sr_sql(
+                   "(btw / tn) / ((tss / tn)"
+                   " - (ts_ / tn) * (ts_ / tn))", 6
+               )} AS strength
+        FROM w
+    """
+
+    o["robust_location"] = _DAILY_GRID_SQL + f"""
+        , nn AS (SELECT key, value FROM grid WHERE value IS NOT NULL),
+        b AS (
+            SELECT key, CAST(count(*) AS BIGINT) AS n,
+                   avg(value) AS mean,
+                   quantile_cont(value, 0.5) AS median,
+                   quantile_cont(value, 0.1) AS lo,
+                   quantile_cont(value, 0.9) AS hi
+            FROM nn GROUP BY key
+        ),
+        t AS (
+            SELECT nn.key,
+                   avg(CASE WHEN value >= lo AND value <= hi
+                        THEN value END) AS tmean,
+                   avg(greatest(lo, least(hi, value))) AS wmean
+            FROM nn JOIN b ON b.key = nn.key
+            GROUP BY nn.key
+        )
+        SELECT b.key, n, {_sr_sql("mean", 6)} AS mean,
+               {_sr_sql("median", 6)} AS median,
+               {_sr_sql("tmean", 6)} AS trimmed_mean,
+               {_sr_sql("wmean", 6)} AS winsorized_mean
+        FROM b JOIN t ON t.key = b.key
+    """
+
+    o["rank_autocorr"] = _DAILY_GRID_SQL + f"""
+        , nn AS (SELECT key, loc, value FROM grid WHERE value IS NOT NULL),
+        rk AS (
+            SELECT key, loc,
+                   rank() OVER (PARTITION BY key ORDER BY value)
+                       + (count(*) OVER (PARTITION BY key, value) - 1)
+                         / 2.0 AS r
+            FROM nn
+        ),
+        lg AS (
+            SELECT key, r,
+                   lag(r, 1) OVER (PARTITION BY key ORDER BY loc) AS pr
+            FROM rk
+        )
+        SELECT key, CAST(count(*) AS BIGINT) AS n_pairs,
+               {_sr_sql(
+                   "covar_samp(r, pr)"
+                   " / (stddev_samp(r) * stddev_samp(pr))", 6
+               )} AS rho
+        FROM lg WHERE pr IS NOT NULL GROUP BY key
+    """
 
     o["cross_zscore"] = _DAILY_GRID_SQL + f"""
         , nn AS (SELECT key, loc, value FROM grid WHERE value IS NOT NULL)

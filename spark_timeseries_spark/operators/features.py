@@ -53,6 +53,9 @@ __all__ = [
     "fano_factor",
     "tod_profile",
     "newey_west",
+    "dow_profile",
+    "robust_location",
+    "rank_autocorr",
 ]
 
 
@@ -1061,4 +1064,150 @@ def newey_west(
         nw_var.alias("nw_var"),
         nw_se.alias("nw_se"),
         F.try_divide(F.col("mean"), nw_se).alias("t_stat"),
+    )
+
+
+def dow_profile(
+    df: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Day-of-week profile per series → (key, dow 1-7 Sunday-first —
+    Spark's ``dayofweek`` convention — n, mean, std, strength): the
+    weekly companion of :func:`tod_profile`, same count-weighted
+    eta-squared decomposition (how much of the variance the weekday
+    explains). Same single-groupBy + one-key-window plan."""
+    v = F.col(value_col)
+    d = df.where(v.isNotNull()).select(
+        key_col, F.dayofweek(F.col(ts_col)).alias("dow"), value_col
+    )
+    g = d.groupBy(key_col, "dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("_s"),
+        F.sum(v * v).alias("_ss"),
+    )
+    wk = Window.partitionBy(key_col)
+    nh = F.col("n").cast("double")
+    tot_n = F.sum("n").over(wk).cast("double")
+    tot_s = F.sum("_s").over(wk)
+    tot_ss = F.sum("_ss").over(wk)
+    mean_h = F.col("_s") / nh
+    grand = tot_s / tot_n
+    between = F.sum(
+        F.col("n").cast("double")
+        * (F.col("_s") / F.col("n").cast("double") - tot_s / tot_n)
+        * (F.col("_s") / F.col("n").cast("double") - tot_s / tot_n)
+    ).over(wk) / tot_n
+    total_var = tot_ss / tot_n - grand * grand
+    std_h = F.when(
+        F.col("n") >= 2,
+        F.sqrt(
+            F.greatest(
+                F.lit(0.0),
+                (F.col("_ss") - nh * mean_h * mean_h) / (nh - 1.0),
+            )
+        ),
+    )
+    return g.select(
+        key_col, "dow", "n",
+        mean_h.alias("mean"),
+        std_h.alias("std"),
+        F.try_divide(between, total_var).alias("strength"),
+    )
+
+
+def robust_location(
+    df: DataFrame,
+    trim: float = 0.1,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Robust location estimates per series → (key, n, mean, median,
+    trimmed_mean, winsorized_mean): the ``trim``-fraction symmetric
+    trimmed mean (drop values outside the [trim, 1−trim] interpolated
+    quantiles) and winsorized mean (CLAMP to those quantiles instead)
+    — the outlier-resistant levels every reporting pipeline wants next
+    to the raw mean. Quantile bounds use the linear-interpolation
+    convention (SQL percentile_cont); values exactly AT a bound count
+    as inside (≥/≤, stated).
+
+    Plan: ONE groupBy computing the bounds + conditional sums in the
+    same aggregate (exact percentile + map-side-combinable sums) —
+    no window, no join, no second scan."""
+    if not 0.0 < trim < 0.5:
+        raise ValueError(f"trim must be in (0, 0.5), got {trim}")
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    lo = F.expr(f"percentile({value_col}, {trim!r})")
+    hi = F.expr(f"percentile({value_col}, {1.0 - trim!r})")
+    g = pts.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(v).alias("mean"),
+        F.expr(f"percentile({value_col}, 0.5)").alias("median"),
+        lo.alias("_lo"),
+        hi.alias("_hi"),
+        F.collect_list(v).alias("_vals"),
+    )
+    # trimmed / winsorized from the bounds — computed over the SAME
+    # aggregate's value list (bounded: one series in one aggregation
+    # buffer is the reference's own in-core envelope; the
+    # percentile() aggregate above already holds it)
+    inside = F.filter(
+        F.col("_vals"), lambda x: (x >= F.col("_lo")) & (x <= F.col("_hi"))
+    )
+    clamped = F.transform(
+        F.col("_vals"),
+        lambda x: F.greatest(F.col("_lo"), F.least(F.col("_hi"), x)),
+    )
+    tmean = F.try_divide(
+        F.aggregate(inside, F.lit(0.0), lambda a, x: a + x),
+        F.size(inside).cast("double"),
+    )
+    wmean = F.try_divide(
+        F.aggregate(clamped, F.lit(0.0), lambda a, x: a + x),
+        F.size(clamped).cast("double"),
+    )
+    return g.select(
+        key_col, "n", "mean", "median",
+        tmean.alias("trimmed_mean"),
+        wmean.alias("winsorized_mean"),
+    )
+
+
+def rank_autocorr(
+    df: DataFrame,
+    lag: int = 1,
+    key_col: str = "key",
+    loc_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Series-wise Spearman autocorrelation at the given lag → (key,
+    n_pairs, rho): Pearson correlation between each observation's
+    mid-rank (computed once over the whole series) and the mid-rank
+    ``lag`` observations earlier — the outlier-robust companion of
+    :func:`~spark_timeseries_spark.operators.rolling.autocorr`
+    (a monotone trend scores near 1 regardless of spikes). NULL on
+    constant series or < 2 pairs.
+
+    Plan: one rank window + one tie-count window + one lag on the same
+    key sort, one aggregate — one exchange, all JVM."""
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    wr = Window.partitionBy(key_col).orderBy(value_col)
+    wt = Window.partitionBy(key_col, value_col)
+    ws = Window.partitionBy(key_col).orderBy(loc_col)
+    d = pts.withColumn(
+        "_r",
+        F.rank().over(wr) + (F.count(F.lit(1)).over(wt) - 1) / 2.0,
+    ).withColumn("_pr", F.lag("_r", lag).over(ws))
+    d = d.where(F.col("_pr").isNotNull())
+    return d.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.try_divide(
+            F.covar_samp("_r", "_pr"),
+            F.stddev_samp("_r") * F.stddev_samp("_pr"),
+        ).alias("rho"),
     )

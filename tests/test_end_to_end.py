@@ -3957,3 +3957,59 @@ def test_prefix_dim_recall(spark):
     pre = topk(vecs[:, :8], vecs[:8, :8], 5)
     exp = np.mean([len(set(full[q]) & set(pre[q])) / 5 for q in range(8)])
     assert abs(out[8].recall - exp) < 1e-12
+
+
+def test_dow_robust_rankautocorr(spark):
+    """dow_profile: pure-weekday function has strength 1; 
+    robust_location: trimmed/winsorized means match numpy replays and
+    shrug off an injected outlier; rank_autocorr: monotone trend with
+    a spike still scores ~1, iid noise ~0, numpy mid-rank replay
+    agrees."""
+    import datetime as dt
+
+    import numpy as np
+
+    from spark_timeseries_spark.operators.features import (
+        dow_profile,
+        rank_autocorr,
+        robust_location,
+    )
+
+    rows = []
+    for d in range(1, 29):                      # 4 full weeks of Jan 2024
+        ts = dt.datetime(2024, 1, d, 12)
+        rows.append(("w", ts, float(ts.isoweekday() * 10)))
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    out = {r.dow: r for r in dow_profile(df).collect()}
+    assert len(out) == 7 and all(r.n == 4 for r in out.values())
+    assert abs(out[1].strength - 1.0) < 1e-12   # value = f(weekday)
+
+    rng = np.random.RandomState(19)
+    x = np.concatenate([rng.randn(99), [1000.0]])   # one wild outlier
+    df2 = spark.createDataFrame(
+        [("a", float(v)) for v in x], "key string, value double"
+    )
+    r = robust_location(df2, trim=0.1).collect()[0]
+    lo, hi = np.percentile(x, 10), np.percentile(x, 90)
+    inside = x[(x >= lo) & (x <= hi)]
+    assert abs(r.median - np.percentile(x, 50)) < 1e-9
+    assert abs(r.trimmed_mean - inside.mean()) < 1e-9
+    assert abs(r.winsorized_mean - np.clip(x, lo, hi).mean()) < 1e-9
+    assert abs(r.trimmed_mean) < 1.0 and r.mean > 5.0  # outlier removed
+
+    n = 60
+    trend = np.arange(n, dtype=float)
+    trend[30] = 500.0                            # spike
+    noise = rng.randn(n)
+    rows3 = [("t", i, float(trend[i])) for i in range(n)]
+    rows3 += [("z", i, float(noise[i])) for i in range(n)]
+    df3 = spark.createDataFrame(rows3, "key string, loc long, value double")
+    ra = {r.key: r for r in rank_autocorr(df3, lag=1).collect()}
+    assert ra["t"].rho > 0.9                     # robust to the spike
+    assert abs(ra["z"].rho) < 0.35
+    # numpy replay for the noise series (no ties in randn)
+    rk = np.argsort(np.argsort(noise)) + 1.0
+    a, b = rk[1:], rk[:-1]
+    exp = np.corrcoef(a, b)[0, 1]
+    assert abs(ra["z"].rho - exp) < 1e-9
+    assert ra["z"].n_pairs == n - 1
