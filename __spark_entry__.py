@@ -11404,7 +11404,10 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT key, loc,
                {_sr_sql("pct_dd", 6)} AS pct_dd,
-               {_sr_sql("sqrt(avg(pct_dd * pct_dd) OVER wn)", 6)} AS ulcer
+               {_sr_sql(
+                   "CASE WHEN count(pct_dd) OVER wn >= 7 THEN "
+                   "sqrt(avg(pct_dd * pct_dd) OVER wn) END", 6
+               )} AS ulcer
         FROM pdd
         WINDOW wn AS (PARTITION BY key ORDER BY loc
                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)

@@ -81,7 +81,11 @@ def information_coefficient(
 ) -> DataFrame:
     """Per-instant information coefficient → (loc, n_keys, ic): the
     cross-sectional Pearson correlation between each series' value (the
-    SIGNAL) and its own FORWARD return over ``horizon`` instants — the
+    SIGNAL) and its own FORWARD return over the next ``horizon``
+    OBSERVATIONS of that key (lead over the key's own observation
+    sequence — on series with missing instants the elapsed wall-clock
+    horizon therefore differs per key at the same loc; densify/fill
+    first if strict same-instant semantics are required) — the
     standard daily health metric of a ranking signal (mean IC ≈ its
     predictive power; the companion of :func:`cross_rank`). Forward
     return = lead(value, horizon)/value − 1 per key; rows where it is

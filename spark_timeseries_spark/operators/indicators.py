@@ -602,10 +602,12 @@ def ulcer_index(
     value_col: str = "value",
 ) -> DataFrame:
     """Ulcer index (Martin & McCann) → input non-null rows + ``pct_dd``
-    (percent drawdown from the rolling n-observation high, ≤ 0) and
-    ``ulcer`` (√ of the n-window mean of pct_dd² — RMS drawdown depth,
-    the downside-only volatility gauge); NULL until a full window. Two
-    stacked windows on one sort — one exchange, all JVM."""
+    (percent drawdown from the rolling n-observation high, ≤ 0; NULL
+    until a full n-observation window) and ``ulcer`` (√ of the mean of
+    the last n pct_dd² — RMS drawdown depth, the downside-only
+    volatility gauge; NULL until a full window of n pct_dd values
+    exists, i.e. row 2n−2 of the series — no partial-window ramp-in).
+    Two stacked windows on one sort — one exchange, all JVM."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     v = F.col(value_col)
@@ -620,9 +622,15 @@ def ulcer_index(
         full, 100.0 * (F.try_divide(v, F.max(value_col).over(w)) - 1.0)
     )
     d = pts.withColumn("pct_dd", pdd)
+    # count() skips NULLs, so this gates on n FULL pct_dd values — the
+    # ramp-in rows (n-1 .. 2n-3) that used to average < n squared
+    # drawdowns now yield NULL, matching the standard definition
     return d.withColumn(
         "ulcer",
-        F.sqrt(F.avg(F.col("pct_dd") * F.col("pct_dd")).over(w)),
+        F.when(
+            F.count("pct_dd").over(w) >= n,
+            F.sqrt(F.avg(F.col("pct_dd") * F.col("pct_dd")).over(w)),
+        ),
     )
 
 

@@ -193,7 +193,6 @@ def pretrain_clean(
 def filter_audit(
     df: DataFrame,
     flags: dict[str, Column],
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Cleaning-cascade observability → one row per rule: (rule,
     n_fail, n_unique_fail, fail_rate, unique_fail_rate, n_docs,
@@ -204,6 +203,9 @@ def filter_audit(
     contribution: a rule with high n_fail but zero unique kills is
     redundant with the rest of the cascade; the corpus-level
     n_killed/kill_rate (docs failing ≥ 1 rule) repeat on every row.
+    All counts are per-ROW: callers with duplicated document rows must
+    dedupe upstream (the former ``id_col`` parameter was never used —
+    dropped in r11 rather than left misleading).
 
     Plan: ONE map-side-combinable aggregate over one scan (2·R+2
     conditional sums), then a driver-free explode of the R-row result —

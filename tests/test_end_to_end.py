@@ -3344,6 +3344,65 @@ def test_spearman_kendall(spark):
     assert kendall_tau(df3, "a", "b").collect()[0].tau is None
 
 
+def test_kendall_dual_plan_parity(spark):
+    """The merge-sort inversion kernel and the pair-join plan produce
+    IDENTICAL integer counters and tau at the auto-routing threshold
+    boundary (n <= threshold -> join, n > threshold -> kernel), on
+    tie-heavy data; the inversion counter itself matches an O(n^2)
+    brute force across seed-block and merge boundaries."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.rankcorr import (
+        _count_inversions,
+        kendall_tau,
+    )
+
+    rng = np.random.RandomState(23)
+    # brute-force check of the numpy inversion kernel: sizes straddle
+    # the 64-wide seed blocks and several merge levels, heavy ties
+    for n in (1, 2, 63, 64, 65, 129, 300):
+        a = rng.randint(0, 8, size=n).astype(float)
+        brute = sum(
+            1 for i in range(n) for j in range(i + 1, n) if a[i] > a[j]
+        )
+        assert _count_inversions(a) == brute, n
+
+    n = 200
+    x = np.round(rng.randn(n), 1)          # ties in x
+    y = np.round(np.sin(x) + 0.3 * rng.randn(n), 1)  # ties in y
+    rows = [("a", i, float(x[i])) for i in range(n)]
+    rows += [("b", i, float(y[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+
+    jo = kendall_tau(df, "a", "b", method="join").collect()[0]
+    me = kendall_tau(df, "a", "b", method="mergesort").collect()[0]
+    assert (jo.n, jo.n_concordant, jo.n_discordant) == (
+        me.n, me.n_concordant, me.n_discordant
+    )
+    assert abs(jo.tau - me.tau) < 1e-12
+
+    # auto routing at the exact boundary: threshold = n stays on the
+    # join plan, threshold = n - 1 routes to the kernel — same row
+    at_thr = kendall_tau(df, "a", "b", pair_threshold=n).collect()[0]
+    over_thr = kendall_tau(df, "a", "b", pair_threshold=n - 1).collect()[0]
+    for r in (at_thr, over_thr):
+        assert (r.n, r.n_concordant, r.n_discordant) == (
+            jo.n, jo.n_concordant, jo.n_discordant
+        )
+        assert abs(r.tau - jo.tau) < 1e-12
+
+    # kernel degeneracy: a fully-tied side is NULL tau on both plans
+    rows3 = [("a", i, 1.0) for i in range(5)]
+    rows3 += [("b", i, float(i)) for i in range(5)]
+    df3 = spark.createDataFrame(rows3, "key string, loc long, value double")
+    assert kendall_tau(df3, "a", "b", method="mergesort").collect()[0].tau is None
+
+    with pytest.raises(ValueError):
+        kendall_tau(df, "a", "b", method="bogus")
+    with pytest.raises(ValueError):
+        kendall_tau(df, "a", "b", pair_threshold=0)
+
+
 def test_information_coefficient_turnover(spark):
     """IC: a signal equal to the forward return is IC=1, its negative
     -1; pandas per-instant replay agrees. Turnover: frozen ranks give
@@ -3762,11 +3821,16 @@ def test_keltner_donchian_ulcer_sharpe(spark):
     for i in range(n):
         if i < 7:
             assert ui[i].pct_dd is None
+            assert ui[i].ulcer is None
         else:
             assert abs(ui[i].pct_dd - pdd[i]) < 1e-9
             if i >= 14:
                 exp = np.sqrt(np.mean(pdd[i - 7: i + 1] ** 2))
                 assert abs(ui[i].ulcer - exp) < 1e-9
+            else:
+                # ramp-in rows (7..13) average < n pct_dd values — the
+                # r10 ADVICE fix gates them to NULL, no partial window
+                assert ui[i].ulcer is None
 
     sh = {r.loc: r for r in rolling_sharpe(series, n=10).collect()}
     rets = close[1:] / close[:-1] - 1.0
