@@ -3585,6 +3585,22 @@ def _q_retention_cohorts(spark, sf_dir):
     )
 
 
+def _q_retention_month(spark, sf_dir):
+    """Monthly retention triangle over the events (r10 verdict item 5:
+    unit='month' via months_between on date_trunc'd month firsts —
+    exact integers, no variable-width hazard). Same zero-join
+    window-min plan as the daily row."""
+    from spark_timeseries_spark.operators.funnel import retention_cohorts
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(F.col("user_id").cast("string").alias("key"), "ts")
+    out = retention_cohorts(obs, "month")
+    return out.select(
+        "cohort", "offset", "n_active", "cohort_size",
+        _stable_round(F.col("retention"), 6).alias("retention"),
+    )
+
+
 def _q_cross_rank(spark, sf_dir):
     """Per-instant cross-sectional rank/count/percentile of every user
     on the daily grid — one loc-partitioned window pass (the
@@ -4194,6 +4210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (a) must-prove: r10-touched / r10-new ---------------------------
         "retention_cohorts": _q_retention_cohorts,
+        "retention_month": _q_retention_month,
         "funnel": _q_funnel,
         "cross_rank": _q_cross_rank,
         "cross_zscore": _q_cross_zscore,
@@ -10496,6 +10513,39 @@ def oracle_sql() -> dict[str, str]:
         j AS (
             SELECT _k, _cohort,
                    CAST(date_diff('day', _cohort, _b) AS BIGINT) AS _off
+            FROM fa
+        ),
+        ret AS (
+            SELECT _cohort AS cohort, _off AS "offset",
+                   CAST(count(DISTINCT _k) AS BIGINT) AS n_active
+            FROM j GROUP BY 1, 2
+        ),
+        sz AS (
+            SELECT cohort, "offset", n_active,
+                   CAST(max(CASE WHEN "offset" = 0 THEN n_active END)
+                        OVER (PARTITION BY cohort) AS BIGINT) AS cohort_size
+            FROM ret
+        )
+        SELECT cohort, "offset", n_active, cohort_size,
+               {_sr_sql(
+                   "CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE)", 6
+               )} AS retention
+        FROM sz
+    """
+
+    o["retention_month"] = f"""
+        WITH acts AS (
+            SELECT DISTINCT CAST(user_id AS VARCHAR) AS _k,
+                   date_trunc('month', ts) AS _b
+            FROM events
+        ),
+        fa AS (
+            SELECT _k, _b, min(_b) OVER (PARTITION BY _k) AS _cohort
+            FROM acts
+        ),
+        j AS (
+            SELECT _k, _cohort,
+                   CAST(date_diff('month', _cohort, _b) AS BIGINT) AS _off
             FROM fa
         ),
         ret AS (

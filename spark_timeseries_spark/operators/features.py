@@ -1122,23 +1122,63 @@ def robust_location(
     trim: float = 0.1,
     key_col: str = "key",
     value_col: str = "value",
+    exact: bool = True,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Robust location estimates per series → (key, n, mean, median,
     trimmed_mean, winsorized_mean): the ``trim``-fraction symmetric
-    trimmed mean (drop values outside the [trim, 1−trim] interpolated
-    quantiles) and winsorized mean (CLAMP to those quantiles instead)
-    — the outlier-resistant levels every reporting pipeline wants next
-    to the raw mean. Quantile bounds use the linear-interpolation
-    convention (SQL percentile_cont); values exactly AT a bound count
-    as inside (≥/≤, stated).
+    trimmed mean (drop values outside the [trim, 1−trim] quantiles)
+    and winsorized mean (CLAMP to those quantiles instead) — the
+    outlier-resistant levels every reporting pipeline wants next to
+    the raw mean. Values exactly AT a bound count as inside (≥/≤,
+    stated).
 
-    Plan: ONE groupBy computing the bounds + conditional sums in the
-    same aggregate (exact percentile + map-side-combinable sums) —
-    no window, no join, no second scan."""
+    Plans (the ``embedding_dim_stats`` exact/sketch precedent):
+
+    - ``exact=True`` (default — the oracle-replayable form): ONE
+      groupBy computing interpolated-percentile bounds (SQL
+      percentile_cont convention) + the trimmed/winsorized folds over
+      the aggregate's own value list. The list is bounded by the same
+      per-series buffer the exact ``percentile`` aggregate already
+      holds (the reference's in-core-series envelope) — correct for
+      diagnostics and oracle checks, a buffer hazard on a giant single
+      series.
+    - ``exact=False`` — the 100 TB path: bounds from mergeable
+      ``approx_percentile`` (KLL-style, ~1/``accuracy`` relative rank
+      error, bounded memory), then conditional sums against the
+      joined-back bounds — two map-side-combinable aggregates + one
+      co-partitioned self-join on the key, NO value buffer anywhere.
+      Bound values are actual data values (sketch convention), so the
+      means differ from exact by at most the mass within the rank-
+      error band at each tail (error-envelope-tested)."""
     if not 0.0 < trim < 0.5:
         raise ValueError(f"trim must be in (0, 0.5), got {trim}")
     v = F.col(value_col)
     pts = df.where(v.isNotNull())
+    if not exact:
+        acc = F.lit(int(accuracy))
+        bounds = pts.groupBy(key_col).agg(
+            F.approx_percentile(v, F.lit(float(trim)), acc).alias("_lo"),
+            F.approx_percentile(
+                v, F.lit(1.0 - float(trim)), acc
+            ).alias("_hi"),
+            F.approx_percentile(v, F.lit(0.5), acc).alias("_med"),
+        )
+        d = pts.join(bounds, key_col)
+        inside = (v >= F.col("_lo")) & (v <= F.col("_hi"))
+        clamped = F.greatest(
+            F.col("_lo"), F.least(F.col("_hi"), v)
+        )
+        return d.groupBy(key_col).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(v).alias("mean"),
+            F.min("_med").alias("median"),
+            F.try_divide(
+                F.sum(F.when(inside, v)),
+                F.sum(F.when(inside, 1).otherwise(0)).cast("double"),
+            ).alias("trimmed_mean"),
+            F.avg(clamped).alias("winsorized_mean"),
+        )
     lo = F.expr(f"percentile({value_col}, {trim!r})")
     hi = F.expr(f"percentile({value_col}, {1.0 - trim!r})")
     g = pts.groupBy(key_col).agg(

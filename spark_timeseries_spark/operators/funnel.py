@@ -104,9 +104,10 @@ def retention_cohorts(
     cohort + k buckets (offset 0 is the cohort itself — retention 1.0
     by construction). Offsets are CALENDAR bucket differences —
     ``datediff`` for day, ``datediff/7`` for week (exact: both ends are
-    week-truncated), elapsed epoch hours for hour — so a DST-shortened
-    week (601200 s) still counts as one offset; month units are not
-    supported (variable width).
+    week-truncated), elapsed epoch hours for hour, ``months_between``
+    for month (exact integers: both ends are month-truncated firsts,
+    so variable month width and leap days never produce a fraction) —
+    so a DST-shortened week (601200 s) still counts as one offset.
 
     Plan: ZERO joins. The per-entity first-activity bucket is a
     ``min() OVER (PARTITION BY key)`` on the distinct (key, bucket)
@@ -116,9 +117,10 @@ def retention_cohorts(
     plain hash exchange). Cohort sizes come from the offset-0 row of the
     SAME aggregate via a cohort-partitioned window (cohorts = time
     buckets, trivially bounded)."""
-    if unit not in ("day", "week", "hour"):
+    if unit not in ("day", "week", "hour", "month"):
         raise ValueError(
-            f"unit must be one of ['day', 'hour', 'week'], got {unit}"
+            f"unit must be one of ['day', 'hour', 'month', 'week'],"
+            f" got {unit}"
         )
     bucket = F.date_trunc(unit, F.col(ts_col))
     acts = df.select(
@@ -129,6 +131,11 @@ def retention_cohorts(
         off = F.datediff(F.col("_b"), F.col("_cohort"))
     elif unit == "week":
         off = F.floor(F.datediff(F.col("_b"), F.col("_cohort")) / 7)
+    elif unit == "month":
+        # both ends are date_trunc('month') firsts-at-midnight, so
+        # months_between is an exact integer (31-day month, February,
+        # leap day — no fractional component to round)
+        off = F.months_between(F.col("_b"), F.col("_cohort"))
     else:  # hour — fixed 3600 s epoch buckets
         off = (
             F.unix_timestamp("_b") - F.unix_timestamp("_cohort")

@@ -3248,6 +3248,44 @@ def test_retention_cohorts(spark):
     assert (w0, 3) not in out                  # no activity -> no row
 
 
+def test_retention_cohorts_month(spark):
+    """Monthly cohorts (r10 verdict item 5): months_between on
+    truncated month-firsts is exact across variable widths, the leap
+    day, and a year boundary — Jan 31 -> Feb 29 -> Mar 1 of a leap
+    year land in consecutive offsets, and Dec -> Jan increments."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from spark_timeseries_spark.operators.funnel import retention_cohorts
+
+    rows = [
+        ("u1", dt.datetime(2024, 1, 31, 23)),   # cohort 2024-01
+        ("u1", dt.datetime(2024, 2, 29, 1)),    # leap day -> offset 1
+        ("u1", dt.datetime(2024, 3, 1, 0)),     # offset 2 (28/29-day Feb)
+        ("u2", dt.datetime(2024, 1, 1)),        # cohort 2024-01
+        ("u2", dt.datetime(2024, 12, 31)),      # offset 11
+        ("u2", dt.datetime(2025, 1, 1)),        # year boundary -> 12
+        ("u3", dt.datetime(2024, 2, 15)),       # cohort 2024-02
+        ("u3", dt.datetime(2024, 4, 30)),       # offset 2
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp")
+    out = {((r.cohort.year, r.cohort.month), r.offset): r
+           for r in retention_cohorts(df, "month").collect()}
+    jan, feb = (2024, 1), (2024, 2)
+    assert out[(jan, 0)].cohort_size == 2
+    assert out[(jan, 0)].retention == 1.0
+    assert out[(jan, 1)].n_active == 1          # u1 on the leap day
+    assert out[(jan, 2)].n_active == 1          # u1 in March
+    assert out[(jan, 11)].n_active == 1         # u2 in December
+    assert out[(jan, 12)].n_active == 1         # u2 across the year end
+    assert out[(feb, 0)].cohort_size == 1
+    assert out[(feb, 2)].n_active == 1          # u3 Feb -> Apr
+    assert all(r.cohort.day == 1 for r in out.values())
+    with _pytest.raises(ValueError):
+        retention_cohorts(df, "quarter")
+
+
 def test_lomb_scargle(spark):
     """Irregularly-sampled sinusoid: power peaks at the true frequency;
     a numpy replay of the textbook Lomb-Scargle formula agrees to 1e-9;
@@ -4060,6 +4098,32 @@ def test_dow_robust_rankautocorr(spark):
     assert abs(r.trimmed_mean - inside.mean()) < 1e-9
     assert abs(r.winsorized_mean - np.clip(x, lo, hi).mean()) < 1e-9
     assert abs(r.trimmed_mean) < 1.0 and r.mean > 5.0  # outlier removed
+
+    # sketch path (exact=False, the 100 TB no-value-buffer plan): the
+    # approx_percentile bounds are actual data values whose RANK sits
+    # within ~N/accuracy + 1 of the target, so each robust mean can
+    # differ from exact by at most the tail mass inside that band —
+    # bound it by recomputing the means from the worst-case band edges
+    # (the test_percentile_sketch_paths envelope convention)
+    rs = robust_location(df2, trim=0.1, exact=False).collect()[0]
+    assert rs.n == r.n and abs(rs.mean - r.mean) < 1e-12
+    xs = np.sort(x)
+    tol_rank = int(np.ceil(len(x) / 10000.0 + 1))
+    cands = []
+    for dlo in range(-tol_rank, tol_rank + 1):
+        for dhi in range(-tol_rank, tol_rank + 1):
+            lo_i = int(np.clip(round(0.1 * (len(x) - 1)) + dlo, 0, len(x) - 1))
+            hi_i = int(np.clip(round(0.9 * (len(x) - 1)) + dhi, 0, len(x) - 1))
+            blo, bhi = xs[lo_i], xs[hi_i]
+            ins = x[(x >= blo) & (x <= bhi)]
+            cands.append((ins.mean(), np.clip(x, blo, bhi).mean()))
+    tms = [c[0] for c in cands]
+    wms = [c[1] for c in cands]
+    assert min(tms) - 1e-9 <= rs.trimmed_mean <= max(tms) + 1e-9
+    assert min(wms) - 1e-9 <= rs.winsorized_mean <= max(wms) + 1e-9
+    # median: the sketch value's rank must sit near the true median
+    med_rank = np.searchsorted(xs, rs.median, side="left")
+    assert abs(med_rank - 0.5 * (len(x) - 1)) <= tol_rank + 1
 
     n = 60
     trend = np.arange(n, dtype=float)
