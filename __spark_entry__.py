@@ -976,14 +976,22 @@ def _q_minhash_lsh_dedup_oph(spark, sf_dir):
 
 def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Extra entries bench.py times but the correctness harness skips
-    (non-oracle-replayable variants of already-proven pipelines)."""
-    return {
+    (non-oracle-replayable variants of already-proven pipelines).
+
+    ``corr_matrix_compact`` is OCCASIONAL-cadence (r10 verdict item 6:
+    it was 11% of bench wall-clock measuring an already-adjudicated
+    CPU-vs-shuffle reversal, documented with measured numbers at
+    ``operators/rolling.py``): set ``SPARK_GRAFT_BENCH_EXTRA=1`` to
+    re-measure it — PERFORMANCE.md records the cadence."""
+    import os as _os
+
+    qs = {
         "minhash_lsh_dedup_xx": _q_minhash_lsh_dedup_xx,
         "minhash_lsh_dedup_oph": _q_minhash_lsh_dedup_oph,
-        # the compact (low-shuffle) corr_matrix kernel, timed against the
-        # join-method oracle row — keeps the CPU-vs-shuffle trade measured
-        "corr_matrix_compact": _q_corr_matrix_compact,
     }
+    if _os.environ.get("SPARK_GRAFT_BENCH_EXTRA"):
+        qs["corr_matrix_compact"] = _q_corr_matrix_compact
+    return qs
 
 
 def _q_corr_matrix_compact(spark, sf_dir):
