@@ -4184,301 +4184,626 @@ def _q_rank_autocorr(spark, sf_dir):
     )
 
 
+# -- r11 additions ---------------------------------------------------------
+
+
+def _q_williams_r(spark, sf_dir):
+    """Williams %R(5) over each user's daily OHLC bars — two rolling
+    extrema on one sort (the inverted stochastic %K)."""
+    from spark_timeseries_spark.operators.indicators import williams_r
+    from spark_timeseries_spark.operators.resample import ohlc
+
+    obs = events_observations(spark, sf_dir)
+    out = williams_r(ohlc(obs, "day"), n=5)
+    return out.select(
+        "key", "bar_ts",
+        _stable_round(F.col("pct_r"), 6).alias("pct_r"),
+    )
+
+
+def _q_cci(spark, sf_dir):
+    """CCI(7) over daily OHLC bars — window-local mean absolute
+    deviation via bounded collect_list + HOF fold, all JVM."""
+    from spark_timeseries_spark.operators.indicators import cci
+    from spark_timeseries_spark.operators.resample import ohlc
+
+    obs = events_observations(spark, sf_dir)
+    out = cci(ohlc(obs, "day"), n=7)
+    return out.select(
+        "key", "bar_ts",
+        _stable_round(F.col("tp"), 6).alias("tp"),
+        _stable_round(F.col("cci"), 6).alias("cci"),
+    )
+
+
+def _q_cmo(spark, sf_dir):
+    """Chande Momentum (9) on the filled daily grid — one lag + two
+    window sums."""
+    from spark_timeseries_spark.operators.indicators import cmo
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
+    out = cmo(filled, n=9)
+    return out.select(
+        "key", "loc",
+        _stable_round(F.col("gain"), 6).alias("gain"),
+        _stable_round(F.col("loss"), 6).alias("loss"),
+        _stable_round(F.col("cmo"), 6).alias("cmo"),
+    )
+
+
+def _q_trix(spark, sf_dir):
+    """TRIX(8) on the filled daily grid — three chained closed-form
+    EMA passes + one lag on a single sort."""
+    from spark_timeseries_spark.operators.indicators import trix
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
+    out = trix(filled, n=8)
+    return out.select(
+        "key", "loc",
+        _stable_round(F.col("ema3"), 6).alias("ema3"),
+        _stable_round(F.col("trix"), 6).alias("trix"),
+    )
+
+
+def _q_aroon(spark, sf_dir):
+    """Aroon(7) over daily OHLC bars — struct-extrema windows with
+    most-recent tie-break, burn-in NULLs."""
+    from spark_timeseries_spark.operators.indicators import aroon
+    from spark_timeseries_spark.operators.resample import ohlc
+
+    obs = events_observations(spark, sf_dir)
+    out = aroon(ohlc(obs, "day"), n=7)
+    return out.select(
+        "key", "bar_ts",
+        _stable_round(F.col("aroon_up"), 6).alias("aroon_up"),
+        _stable_round(F.col("aroon_down"), 6).alias("aroon_down"),
+        _stable_round(F.col("aroon_osc"), 6).alias("aroon_osc"),
+    )
+
+
+def _q_capture_ratios(spark, sf_dir):
+    """Up/down capture of daily-grid user 1 vs benchmark user 2 —
+    aligned overlap returns + one conditional-sum aggregate."""
+    from spark_timeseries_spark.operators.portfolio import capture_ratios
+
+    grid = _daily_grid(spark, sf_dir)
+    out = capture_ratios(grid, "1", "2")
+    return out.select(
+        "key_a", "key_b", "n_periods", "n_up", "n_down",
+        _stable_round(F.col("up_capture"), 6).alias("up_capture"),
+        _stable_round(F.col("down_capture"), 6).alias("down_capture"),
+    )
+
+
+def _q_active_stats(spark, sf_dir):
+    """Tracking error / information ratio of daily-grid user 1 vs
+    user 2 — aligned overlap returns + one aggregate."""
+    from spark_timeseries_spark.operators.portfolio import active_stats
+
+    grid = _daily_grid(spark, sf_dir)
+    out = active_stats(grid, "1", "2")
+    return out.select(
+        "key_a", "key_b", "n_periods",
+        _stable_round(F.col("mean_active"), 6).alias("mean_active"),
+        _stable_round(F.col("tracking_error"), 6).alias("tracking_error"),
+        _stable_round(F.col("information_ratio"), 6).alias(
+            "information_ratio"
+        ),
+    )
+
+
+def _q_robust_scale(spark, sf_dir):
+    """MAD/IQR/range per raw daily-grid series — two exact-percentile
+    aggregates joined on the key."""
+    from spark_timeseries_spark.operators.features import robust_scale
+
+    grid = _daily_grid(spark, sf_dir)
+    out = robust_scale(grid)
+    return out.select(
+        "key", "n",
+        _stable_round(F.col("median"), 6).alias("median"),
+        _stable_round(F.col("mad"), 6).alias("mad"),
+        _stable_round(F.col("iqr"), 6).alias("iqr"),
+        _stable_round(F.col("vrange"), 6).alias("vrange"),
+    )
+
+
+def _q_gap_outages(spark, sf_dir):
+    """Per-user outage profile over raw event stamps — gaps vs 3x the
+    key's own median gap (scale-free feed-stop detector)."""
+    from spark_timeseries_spark.operators.features import gap_outages
+
+    obs = events_observations(spark, sf_dir)
+    out = gap_outages(obs, mult=3.0)
+    return out.select(
+        "key", "n_gaps",
+        _stable_round(F.col("median_gap"), 6).alias("median_gap"),
+        _stable_round(F.col("p95_gap"), 6).alias("p95_gap"),
+        _stable_round(F.col("max_gap"), 6).alias("max_gap"),
+        "n_outages",
+        _stable_round(F.col("outage_seconds"), 6).alias("outage_seconds"),
+    )
+
+
+def _q_rfm(spark, sf_dir):
+    """RFM quintile segmentation over the events stream — one stream
+    aggregate + ntile windows over the entity table."""
+    from spark_timeseries_spark.operators.funnel import rfm_scores
+
+    obs = events_observations(spark, sf_dir)
+    out = rfm_scores(obs, buckets=5)
+    return out.select(
+        "key", "recency_days", "frequency",
+        _stable_round(F.col("monetary"), 6).alias("monetary"),
+        "r_score", "f_score", "m_score", "rfm",
+    )
+
+
+def _q_transition_matrix(spark, sf_dir):
+    """Event-type Markov transition counts/probabilities — one lag on
+    the (user, ts, event_id) sort + one groupBy."""
+    from spark_timeseries_spark.operators.funnel import transition_matrix
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("key"),
+        "ts", "event_type", "event_id",
+    )
+    out = transition_matrix(ev, tiebreak_col="event_id")
+    return out.select(
+        "from_type", "to_type", "n",
+        _stable_round(F.col("prob"), 6).alias("prob"),
+    )
+
+
+def _q_tod_percentiles(spark, sf_dir):
+    """Hour-of-day quartile envelope per user over raw events — one
+    (key, hour) exact-percentile aggregate."""
+    from spark_timeseries_spark.operators.features import tod_percentiles
+
+    obs = events_observations(spark, sf_dir)
+    out = tod_percentiles(obs)
+    return out.select(
+        "key", "hour", "n",
+        _stable_round(F.col("p25"), 6).alias("p25"),
+        _stable_round(F.col("p50"), 6).alias("p50"),
+        _stable_round(F.col("p75"), 6).alias("p75"),
+    )
+
+
+def _q_kruskal_dow(spark, sf_dir):
+    """Kruskal-Wallis day-of-week test per user over raw events —
+    mid-ranks + tie-corrected H, all window/aggregate JVM."""
+    from spark_timeseries_spark.operators.features import kruskal_dow
+
+    obs = events_observations(spark, sf_dir)
+    out = kruskal_dow(obs)
+    return out.select(
+        "key", "n", "n_groups",
+        _stable_round(F.col("h"), 6).alias("h"),
+        _stable_round(F.col("h_adj"), 6).alias("h_adj"),
+    )
+
+
+def _q_acf_features(spark, sf_dir):
+    """tsfeatures acf summary (lags 1..10) per raw daily-grid series —
+    lag windows on one sort, array fold for the derived features."""
+    from spark_timeseries_spark.operators.features import acf_features
+
+    grid = _daily_grid(spark, sf_dir)
+    out = acf_features(grid, max_lag=10)
+    return out.select(
+        "key", "n",
+        _stable_round(F.col("acf1"), 6).alias("acf1"),
+        _stable_round(F.col("sum_sq_acf"), 6).alias("sum_sq_acf"),
+        "first_neg_lag",
+    )
+
+
+def _q_roll_entropy(spark, sf_dir):
+    """Rolling Shannon entropy (7-obs window, 4 bins on the series'
+    own range) over the filled daily grid — bounded list window +
+    HOF fold."""
+    from spark_timeseries_spark.operators.rolling import roll_entropy
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
+    out = roll_entropy(filled, n=7, bins=4)
+    return out.select(
+        "key", "loc", "bin",
+        _stable_round(F.col("entropy"), 6).alias("entropy"),
+    )
+
+
+def _q_bucket_cardinality(spark, sf_dir):
+    """Daily events + distinct active users (exact COUNT DISTINCT —
+    the oracle form; exact=False is the HLL sketch path)."""
+    from spark_timeseries_spark.operators.resample import bucket_cardinality
+
+    obs = events_observations(spark, sf_dir)
+    out = bucket_cardinality(obs, "day")
+    return out.select("bucket", "n_events", "n_unique")
+
+
+def _q_max_concurrency(spark, sf_dir):
+    """Peak simultaneous 30-minute sessions across the whole corpus —
+    gap-sessionized intervals swept +1/-1 with inclusive-end overlap."""
+    from spark_timeseries_spark.operators.sessionize import (
+        max_concurrency,
+        session_stats,
+    )
+
+    obs = events_observations(spark, sf_dir)
+    sess = session_stats(obs, gap_seconds=1800.0, value_col=None)
+    out = max_concurrency(sess)
+    return out.select("n_sessions", "max_concurrent", "peak_ts")
+
+
+
+_ALL_QUERIES = {
+    # -- (a) must-prove: r10-touched / r10-new ---------------------------
+    "retention_cohorts": _q_retention_cohorts,
+    "retention_month": _q_retention_month,
+    "funnel": _q_funnel,
+    "cross_rank": _q_cross_rank,
+    "cross_zscore": _q_cross_zscore,
+    "kalman_level": _q_kalman_level,
+    "bocpd_runs": _q_bocpd_runs,
+    "lomb_scargle": _q_lomb_scargle,
+    "spearman": _q_spearman,
+    "kendall": _q_kendall,
+    "information_coefficient": _q_information_coefficient,
+    "turnover": _q_turnover,
+    "stochastic": _q_stochastic,
+    "obv": _q_obv,
+    "ewm_var": _q_ewm_var,
+    "fill_previous_limit": _q_fill_previous_limit,
+    "benford": _q_benford,
+    "priority_sample": _q_priority_sample,
+    "underwater": _q_underwater,
+    "atr": _q_atr,
+    "pivot_points": _q_pivot_points,
+    "tod_profile": _q_tod_profile,
+    "filter_audit": _q_filter_audit,
+    "twa": _q_twa,
+    "count_bars": _q_count_bars,
+    "heaps_law": _q_heaps_law,
+    # -- (b) rotation queue, stalest driver evidence first (the
+    # late-r5/r6 block the r9 verdict named) -----------------------------
+    "token_divergence": _q_token_divergence,
+    "repetition_features": _q_repetition_features,
+    "gopher_repetition": _q_gopher_repetition,
+    "gopher_quality": _q_gopher_quality,
+    "sessionize": _q_sessionize,
+    "session_stats": _q_session_stats,
+    "stratified_sample": _q_stratified_sample,
+    "token_percentiles": _q_token_percentiles,
+    "scrub_pii": _q_scrub_pii,
+    "dedup_components": _q_dedup_components,
+    "decontaminate": _q_decontaminate,
+    "resample_stamp_right": _q_resample_stamp_right,
+    "resample_closed_right": _q_resample_closed_right,
+    # (everything below is green in the committed strict-mode full
+    # oracle log; the r8 window rows moved to the tail — their driver
+    # evidence is the freshest in the file)
+    "split_dataset": _q_split_dataset,
+    "normalize_text": _q_normalize_text,
+    "remove_boilerplate": _q_remove_boilerplate,
+    "chunk_documents": _q_chunk_documents,
+    "lm_perplexity": _q_lm_perplexity,
+    "bm25_search": _q_bm25_search,
+    "vocab_topk": _q_vocab_topk,
+    "oov_rate": _q_oov_rate,
+    "linear_score": _q_linear_score,
+    "ivf_persist": _q_ivf_persist,
+    "pq_adc": _q_pq_adc,
+    "blocklist_flag": _q_blocklist_flag,
+    # ---- driver window (50) ends here ----------------------------------
+    # r10-new rows below yield their window slots to the stale
+    # rotation (>= 25 stale rows per the r9 prescription); their
+    # evidence is the committed full strict log until the r11 window
+    "stylometric_delta": _q_stylometric_delta,
+    "keltner": _q_keltner,
+    "donchian": _q_donchian,
+    "ulcer": _q_ulcer,
+    "rolling_sharpe": _q_rolling_sharpe,
+    "funnel_gap": _q_funnel_gap,
+    "newey_west": _q_newey_west,
+    "ewma_chart": _q_ewma_chart,
+    "error_burn": _q_error_burn,
+    "prefix_dim_recall": _q_prefix_dim_recall,
+    "dow_profile": _q_dow_profile,
+    "robust_location": _q_robust_location,
+    "rank_autocorr": _q_rank_autocorr,
+    # -- r11 ---------------------------------------------------------------
+    "williams_r": _q_williams_r,
+    "cci": _q_cci,
+    "cmo": _q_cmo,
+    "trix": _q_trix,
+    "aroon": _q_aroon,
+    "capture_ratios": _q_capture_ratios,
+    "active_stats": _q_active_stats,
+    "robust_scale": _q_robust_scale,
+    "gap_outages": _q_gap_outages,
+    "rfm": _q_rfm,
+    "transition_matrix": _q_transition_matrix,
+    "tod_percentiles": _q_tod_percentiles,
+    "kruskal_dow": _q_kruskal_dow,
+    "acf_features": _q_acf_features,
+    "roll_entropy": _q_roll_entropy,
+    "bucket_cardinality": _q_bucket_cardinality,
+    "max_concurrency": _q_max_concurrency,
+    "dup_spans": _q_dup_spans,
+    "embedding_covariance": _q_embedding_covariance,
+    "cusum": _q_cusum,
+    "zipf_slope": _q_zipf_slope,
+    "bpe_merges": _q_bpe_merges,
+    "bpe_segment": _q_bpe_segment,
+    "rebase_hybrid": _q_rebase_hybrid,
+    "union_series": _q_union_series,
+    "lags_custom": _q_lags_custom,
+    "stats_suite": _q_stats_suite,
+    "hampel": _q_hampel,
+    "periodogram": _q_periodogram,
+    "dominant_period": _q_dominant_period,
+    "incremental_near_dedup": _q_incremental_near_dedup,
+    "knn_cosine": _q_knn_cosine,
+    "ewma_fit": _q_ewma_fit,
+    "argarch_fit": _q_argarch_fit,
+    "fill_spline": _q_fill_spline,
+    "to_series_digest": _q_to_series_digest,
+    "to_observations": _q_to_observations,
+    "roll_sum_center": _q_roll_sum_center,
+    "bg_test": _q_bg_test,
+    "bp_test": _q_bp_test,
+    "lb_test": _q_lb_test,
+    "business_days": _q_business_days,
+    "series_stats": _q_series_stats,
+    "resample_daily_avg": _q_resample_daily_avg,
+    "fill_previous": _q_fill_previous,
+    "fill_linear": _q_fill_linear,
+    "differences": _q_differences,
+    "return_rates": _q_return_rates,
+    "roll_mean": _q_roll_mean,
+    "arima_filter": _q_arima_filter,
+    "garch_filter": _q_garch_filter,
+    "remove_instants_with_nans": _q_remove_instants_with_nans,
+    "filter_starting_before": _q_filter_starting_before,
+    "filter_ending_after": _q_filter_ending_after,
+    "to_instants_pivot": _q_to_instants_pivot,
+    "autocorr": _q_autocorr,
+    "dw_test": _q_dw_test,
+    "pacf": _q_pacf,
+    "ar_forecast": _q_ar_forecast,
+    "adf_test": _q_adf_test,
+    "kpss_test": _q_kpss_test,
+    "holt_winters_forecast": _q_holt_winters_forecast,
+    "downsample": _q_downsample,
+    "rebase_uniform": _q_rebase_uniform,
+    "rebase_irregular": _q_rebase_irregular,
+    "diff_by_frequency": _q_diff_by_frequency,
+    "ewma_smooth": _q_ewma_smooth,
+    "sax": _q_sax,
+    "paa": _q_paa,
+    "peaks": _q_peaks,
+    "psi_drift": _q_psi_drift,
+    "cointegration": _q_cointegration,
+    "threshold_runs": _q_threshold_runs,
+    "gini_sources": _q_gini_sources,
+    "ks_drift": _q_ks_drift,
+    "roll_beta": _q_roll_beta,
+    "scale_suite": _q_scale_suite,
+    "matrix_profile": _q_matrix_profile,
+    "asof_enrich": _q_asof_enrich,
+    "roll_rank": _q_roll_rank,
+    "downsample_minmax": _q_downsample_minmax,
+    "sax_mindist": _q_sax_mindist,
+    "embedding_drift": _q_embedding_drift,
+    "croston": _q_croston,
+    "counter_rate": _q_counter_rate,
+    "window_join_ctx": _q_window_join_ctx,
+    "max_drawdown": _q_max_drawdown,
+    "changepoint": _q_changepoint,
+    "hurst": _q_hurst,
+    "half_life": _q_half_life,
+    "corr_matrix": _q_corr_matrix,
+    "readability": _q_readability,
+    "tfidf_topk": _q_tfidf_topk,
+    "theta_forecast": _q_theta_forecast,
+    "winsorize": _q_winsorize,
+    "perm_entropy": _q_perm_entropy,
+    "interarrival": _q_interarrival,
+    "impulse_response": _q_impulse_response,
+    "roll_quantile": _q_roll_quantile,
+    "fill_suite": _q_fill_suite,
+    "roll_skew_kurt": _q_roll_skew_kurt,
+    "arch_test": _q_arch_test,
+    "granger": _q_granger,
+    "lag_suite": _q_lag_suite,
+    "var_fit": _q_var_fit,
+    "decomp_strength": _q_decomp_strength,
+    "baseline_forecast": _q_baseline_forecast,
+    "detect_seasonality": _q_detect_seasonality,
+    "simhash_near_dups": _q_simhash_near_dups,
+    "containment_pairs": _q_containment_pairs,
+    # r8-window rows (driver-green in r8 — the freshest evidence)
+    "sq8_error": _q_sq8_error,
+    "ts_features": _q_ts_features,
+    "pettitt": _q_pettitt,
+    "mann_kendall": _q_mann_kendall,
+    "seasonal_mk": _q_seasonal_mk,
+    "roll_corr": _q_roll_corr,
+    "forecast_accuracy": _q_forecast_accuracy,
+    "ohlc_bars": _q_ohlc_bars,
+    "turning_points": _q_turning_points,
+    "page_hinkley": _q_page_hinkley,
+    "runs_test": _q_runs_test,
+    "variance_ratio": _q_variance_ratio,
+    "ngram_novelty": _q_ngram_novelty,
+    "spectral_entropy": _q_spectral_entropy,
+    "slice": _q_slice,
+    "quotients": _q_quotients,
+    "upsample": _q_upsample,
+    "trim_leading_trailing": _q_trim,
+    "min_max_datetimes": _q_min_max_datetimes,
+    "calendar_ops": _q_calendar_ops,
+    "serde_roundtrip": _q_serde_roundtrip,
+    "row_matrix_norms": _q_row_matrix_norms,
+    "cosine_dup_pairs": _q_cosine_dup_pairs,
+    "lsh_recall": _q_lsh_recall,
+    "ivf_topk": _q_ivf_topk,
+    "index_union": _q_index_union,
+    "multimodal_meta": _q_multimodal_meta,
+    "image_features": _q_image_features,
+    "arima_forecast": _q_arima_forecast,
+    "fill_next": _q_fill_next,
+    "fill_nearest": _q_fill_nearest,
+    "fill_zero": _q_fill_zero,
+    "lags": _q_lags,
+    "dedup_paragraphs": _q_dedup_paragraphs,
+    "url_stats": _q_url_stats,
+    "pq_recall": _q_pq_recall,
+    "filter_by_instant": _q_filter_by_instant,
+    "ivfpq_topk": _q_ivfpq_topk,
+    "semantic_dedup": _q_semantic_dedup,
+    "kmeans_assign": _q_kmeans_assign,
+    "pretrain_clean": _q_pretrain_clean,
+    "minhash_lsh_dedup": _q_minhash_lsh_dedup,
+    "pack_sequences": _q_pack_sequences,
+    # r9-window rows (driver-green in r9 — the freshest evidence)
+    "srp_buckets": _q_srp_buckets,
+    "sample_entropy": _q_sample_entropy,
+    "theil_sen": _q_theil_sen,
+    "macd": _q_macd,
+    "rsi": _q_rsi,
+    "bollinger": _q_bollinger,
+    "embedding_dim_stats": _q_embedding_dim_stats,
+    "realized_vol": _q_realized_vol,
+    "parkinson_vol": _q_parkinson_vol,
+    "coherence": _q_coherence,
+    "intervention": _q_intervention,
+    "dsir_weights": _q_dsir_weights,
+    "hjorth": _q_hjorth,
+    "nonlinearity": _q_nonlinearity,
+    "fano": _q_fano,
+    "fertility": _q_fertility,
+    "adx": _q_adx,
+    "vwap_bars": _q_vwap_bars,
+    "demand_class": _q_demand_class,
+    "var_es": _q_var_es,
+    "mixture_epochs": _q_mixture_epochs,
+    "remove_dup_spans": _q_remove_dup_spans,
+    "video_frames": _q_video_frames,
+    "dedup_exact": _q_dedup_exact,
+    "text_quality": _q_text_quality,
+    "token_count_by_source": _q_token_count_by_source,
+    "token_count_bpe": _q_token_count_bpe,
+    "fingerprint": _q_fingerprint,
+    "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+    "lang_id": _q_lang_id,
+    "quality_score": _q_quality_score,
+    "lsh_topk": _q_lsh_topk,
+    "winnowing_fingerprints": _q_winnowing_fingerprints,
+    "auto_arima": _q_auto_arima,
+    "garch_fit": _q_garch_fit,
+    "egarch_fit": _q_egarch_fit,
+    "arx_fit": _q_arx_fit,
+    "arimax_forecast": _q_arimax_forecast,
+    "regression_arima": _q_regression_arima,
+    "holt_winters_fit": _q_holt_winters_fit,
+    "dedup_lines": _q_dedup_lines,
+    "incremental_dedup": _q_incremental_dedup,
+    "roll_std": _q_roll_std,
+    "crosscorr": _q_crosscorr,
+    "lm3_perplexity": _q_lm3_perplexity,
+    "corpus_stats": _q_corpus_stats,
+    "seasonal_decompose": _q_seasonal_decompose,
+    "pmi_pairs": _q_pmi_pairs,
+    "outliers": _q_outliers,
+    "token_entropy": _q_token_entropy,
+}
+
+# Driver window: the correctness harness records exactly the FIRST 50
+# entries of queries(). Round-11 policy (the r10 verdict's rotation
+# prescription, executed): (a) every query touched or NEW this round —
+# ``retention_month`` (the unit="month" cohort extension), ``kendall``
+# (merge-sort inversion-count dual plan), ``ulcer`` (full-window gating
+# fix — the r10 ADVICE item), ``robust_location`` (exact=False sketch
+# path added; the exported exact path re-proves), and the 11 r11-new
+# operators (williams_r/cci/cmo/trix/aroon, capture_ratios/active_stats,
+# robust_scale/gap_outages, rfm/transition_matrix); (b) the 13
+# r10-late rows the r10 verdict ordered promoted first (ulcer and
+# robust_location already count under (a)); (c) the stalest r5/r6
+# rotation queue (dup_spans .. lb_test — 24 rows). Everything displaced
+# retains full-strict-log evidence (tools/check_correctness log,
+# refreshed in the same commit as every query/semantics change — the
+# r5 lockstep rule).
+_WINDOW_R11 = [
+    "retention_month",
+    "kendall",
+    "ulcer",
+    "robust_location",
+    "williams_r",
+    "cci",
+    "cmo",
+    "trix",
+    "aroon",
+    "capture_ratios",
+    "active_stats",
+    "robust_scale",
+    "gap_outages",
+    "rfm",
+    "transition_matrix", "tod_percentiles", "kruskal_dow",
+    "acf_features", "roll_entropy", "bucket_cardinality",
+    "max_concurrency",
+    "stylometric_delta",
+    "keltner",
+    "donchian",
+    "rolling_sharpe",
+    "funnel_gap",
+    "newey_west",
+    "ewma_chart",
+    "error_burn",
+    "prefix_dim_recall",
+    "dow_profile",
+    "rank_autocorr",
+    "dup_spans",
+    "embedding_covariance",
+    "cusum",
+    "zipf_slope",
+    "bpe_merges",
+    "bpe_segment",
+    "rebase_hybrid",
+    "union_series",
+    "lags_custom",
+    "stats_suite",
+    "hampel",
+    "periodogram",
+    "dominant_period",
+    "incremental_near_dedup",
+    "knn_cosine",
+    "ewma_fit",
+    "argarch_fit",
+    "fill_spline",
+    "to_series_digest",
+    "to_observations",
+    "roll_sum_center",
+    "bg_test",
+    "bp_test",
+    "lb_test",
+]
+
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Dict ORDER matters: the driver's correctness harness records exactly
-    the first 50 entries. Window policy (round 10, per the r9 verdict's
-    rotation prescription): (a) must-prove rows first — every query
-    touched or NEW this round: ``retention_cohorts`` (the r9 defect —
-    forced entity broadcast replaced by a window-min, DST-safe calendar
-    offsets), ``funnel``/``cross_rank``/``cross_zscore`` (the r9
-    pytest-only orphans, now oracle-backed), ``kalman_level`` (fixed-q
-    filter+smoother vs a bit-exact DuckDB recursive-CTE replay) and
-    ``bocpd_runs`` (full Adams-MacKay posterior vs a LIST-state
-    recursive-CTE replay — the two "no SQL oracle exists" operators,
-    closed), and the 11 operators NEW in r10 (``lomb_scargle``,
-    ``spearman``/``kendall``, ``information_coefficient``/``turnover``,
-    ``stochastic``/``obv``/``ewm_var``, ``fill_previous_limit``,
-    ``benford``, ``priority_sample``, ``underwater``/``atr``/
-    ``pivot_points``/``tod_profile``/``filter_audit``, ``twa``/
-    ``count_bars``/``heaps_law``) — 25 rows (``stylometric_delta``,
-    also r10-new, yields its slot to the stale quota and sits at
-    position 51 with full-strict-log evidence, as do the late-r10
-    additions ``keltner``/``donchian``/``ulcer``/``rolling_sharpe``/
-    ``funnel_gap`` right behind it); (b) the standing
-    rotation queue, STALEST driver evidence first: the late-r5/r6
-    block the r9 verdict named (``token_divergence`` …
-    ``blocklist_flag`` — 25 rows = the prescribed minimum; the
-    block's remainder queues for r11). The displaced r9 window rows move to the
-    tail (their driver evidence is the freshest on file).
-    Everything displaced is green in the committed strict-mode full
-    oracle log (``tools/check_correctness_r10_full.log`` —
-    exact-representation compare, no array columns) which is refreshed
-    in the same commit as every query/semantics change (the r5
-    lockstep rule)."""
-    return {
-        # -- (a) must-prove: r10-touched / r10-new ---------------------------
-        "retention_cohorts": _q_retention_cohorts,
-        "retention_month": _q_retention_month,
-        "funnel": _q_funnel,
-        "cross_rank": _q_cross_rank,
-        "cross_zscore": _q_cross_zscore,
-        "kalman_level": _q_kalman_level,
-        "bocpd_runs": _q_bocpd_runs,
-        "lomb_scargle": _q_lomb_scargle,
-        "spearman": _q_spearman,
-        "kendall": _q_kendall,
-        "information_coefficient": _q_information_coefficient,
-        "turnover": _q_turnover,
-        "stochastic": _q_stochastic,
-        "obv": _q_obv,
-        "ewm_var": _q_ewm_var,
-        "fill_previous_limit": _q_fill_previous_limit,
-        "benford": _q_benford,
-        "priority_sample": _q_priority_sample,
-        "underwater": _q_underwater,
-        "atr": _q_atr,
-        "pivot_points": _q_pivot_points,
-        "tod_profile": _q_tod_profile,
-        "filter_audit": _q_filter_audit,
-        "twa": _q_twa,
-        "count_bars": _q_count_bars,
-        "heaps_law": _q_heaps_law,
-        # -- (b) rotation queue, stalest driver evidence first (the
-        # late-r5/r6 block the r9 verdict named) -----------------------------
-        "token_divergence": _q_token_divergence,
-        "repetition_features": _q_repetition_features,
-        "gopher_repetition": _q_gopher_repetition,
-        "gopher_quality": _q_gopher_quality,
-        "sessionize": _q_sessionize,
-        "session_stats": _q_session_stats,
-        "stratified_sample": _q_stratified_sample,
-        "token_percentiles": _q_token_percentiles,
-        "scrub_pii": _q_scrub_pii,
-        "dedup_components": _q_dedup_components,
-        "decontaminate": _q_decontaminate,
-        "resample_stamp_right": _q_resample_stamp_right,
-        "resample_closed_right": _q_resample_closed_right,
-        # (everything below is green in the committed strict-mode full
-        # oracle log; the r8 window rows moved to the tail — their driver
-        # evidence is the freshest in the file)
-        "split_dataset": _q_split_dataset,
-        "normalize_text": _q_normalize_text,
-        "remove_boilerplate": _q_remove_boilerplate,
-        "chunk_documents": _q_chunk_documents,
-        "lm_perplexity": _q_lm_perplexity,
-        "bm25_search": _q_bm25_search,
-        "vocab_topk": _q_vocab_topk,
-        "oov_rate": _q_oov_rate,
-        "linear_score": _q_linear_score,
-        "ivf_persist": _q_ivf_persist,
-        "pq_adc": _q_pq_adc,
-        "blocklist_flag": _q_blocklist_flag,
-        # ---- driver window (50) ends here ----------------------------------
-        # r10-new rows below yield their window slots to the stale
-        # rotation (>= 25 stale rows per the r9 prescription); their
-        # evidence is the committed full strict log until the r11 window
-        "stylometric_delta": _q_stylometric_delta,
-        "keltner": _q_keltner,
-        "donchian": _q_donchian,
-        "ulcer": _q_ulcer,
-        "rolling_sharpe": _q_rolling_sharpe,
-        "funnel_gap": _q_funnel_gap,
-        "newey_west": _q_newey_west,
-        "ewma_chart": _q_ewma_chart,
-        "error_burn": _q_error_burn,
-        "prefix_dim_recall": _q_prefix_dim_recall,
-        "dow_profile": _q_dow_profile,
-        "robust_location": _q_robust_location,
-        "rank_autocorr": _q_rank_autocorr,
-        "dup_spans": _q_dup_spans,
-        "embedding_covariance": _q_embedding_covariance,
-        "cusum": _q_cusum,
-        "zipf_slope": _q_zipf_slope,
-        "bpe_merges": _q_bpe_merges,
-        "bpe_segment": _q_bpe_segment,
-        "rebase_hybrid": _q_rebase_hybrid,
-        "union_series": _q_union_series,
-        "lags_custom": _q_lags_custom,
-        "stats_suite": _q_stats_suite,
-        "hampel": _q_hampel,
-        "periodogram": _q_periodogram,
-        "dominant_period": _q_dominant_period,
-        "incremental_near_dedup": _q_incremental_near_dedup,
-        "knn_cosine": _q_knn_cosine,
-        "ewma_fit": _q_ewma_fit,
-        "argarch_fit": _q_argarch_fit,
-        "fill_spline": _q_fill_spline,
-        "to_series_digest": _q_to_series_digest,
-        "to_observations": _q_to_observations,
-        "roll_sum_center": _q_roll_sum_center,
-        "bg_test": _q_bg_test,
-        "bp_test": _q_bp_test,
-        "lb_test": _q_lb_test,
-        "business_days": _q_business_days,
-        "series_stats": _q_series_stats,
-        "resample_daily_avg": _q_resample_daily_avg,
-        "fill_previous": _q_fill_previous,
-        "fill_linear": _q_fill_linear,
-        "differences": _q_differences,
-        "return_rates": _q_return_rates,
-        "roll_mean": _q_roll_mean,
-        "arima_filter": _q_arima_filter,
-        "garch_filter": _q_garch_filter,
-        "remove_instants_with_nans": _q_remove_instants_with_nans,
-        "filter_starting_before": _q_filter_starting_before,
-        "filter_ending_after": _q_filter_ending_after,
-        "to_instants_pivot": _q_to_instants_pivot,
-        "autocorr": _q_autocorr,
-        "dw_test": _q_dw_test,
-        "pacf": _q_pacf,
-        "ar_forecast": _q_ar_forecast,
-        "adf_test": _q_adf_test,
-        "kpss_test": _q_kpss_test,
-        "holt_winters_forecast": _q_holt_winters_forecast,
-        "downsample": _q_downsample,
-        "rebase_uniform": _q_rebase_uniform,
-        "rebase_irregular": _q_rebase_irregular,
-        "diff_by_frequency": _q_diff_by_frequency,
-        "ewma_smooth": _q_ewma_smooth,
-        "sax": _q_sax,
-        "paa": _q_paa,
-        "peaks": _q_peaks,
-        "psi_drift": _q_psi_drift,
-        "cointegration": _q_cointegration,
-        "threshold_runs": _q_threshold_runs,
-        "gini_sources": _q_gini_sources,
-        "ks_drift": _q_ks_drift,
-        "roll_beta": _q_roll_beta,
-        "scale_suite": _q_scale_suite,
-        "matrix_profile": _q_matrix_profile,
-        "asof_enrich": _q_asof_enrich,
-        "roll_rank": _q_roll_rank,
-        "downsample_minmax": _q_downsample_minmax,
-        "sax_mindist": _q_sax_mindist,
-        "embedding_drift": _q_embedding_drift,
-        "croston": _q_croston,
-        "counter_rate": _q_counter_rate,
-        "window_join_ctx": _q_window_join_ctx,
-        "max_drawdown": _q_max_drawdown,
-        "changepoint": _q_changepoint,
-        "hurst": _q_hurst,
-        "half_life": _q_half_life,
-        "corr_matrix": _q_corr_matrix,
-        "readability": _q_readability,
-        "tfidf_topk": _q_tfidf_topk,
-        "theta_forecast": _q_theta_forecast,
-        "winsorize": _q_winsorize,
-        "perm_entropy": _q_perm_entropy,
-        "interarrival": _q_interarrival,
-        "impulse_response": _q_impulse_response,
-        "roll_quantile": _q_roll_quantile,
-        "fill_suite": _q_fill_suite,
-        "roll_skew_kurt": _q_roll_skew_kurt,
-        "arch_test": _q_arch_test,
-        "granger": _q_granger,
-        "lag_suite": _q_lag_suite,
-        "var_fit": _q_var_fit,
-        "decomp_strength": _q_decomp_strength,
-        "baseline_forecast": _q_baseline_forecast,
-        "detect_seasonality": _q_detect_seasonality,
-        "simhash_near_dups": _q_simhash_near_dups,
-        "containment_pairs": _q_containment_pairs,
-        # r8-window rows (driver-green in r8 — the freshest evidence)
-        "sq8_error": _q_sq8_error,
-        "ts_features": _q_ts_features,
-        "pettitt": _q_pettitt,
-        "mann_kendall": _q_mann_kendall,
-        "seasonal_mk": _q_seasonal_mk,
-        "roll_corr": _q_roll_corr,
-        "forecast_accuracy": _q_forecast_accuracy,
-        "ohlc_bars": _q_ohlc_bars,
-        "turning_points": _q_turning_points,
-        "page_hinkley": _q_page_hinkley,
-        "runs_test": _q_runs_test,
-        "variance_ratio": _q_variance_ratio,
-        "ngram_novelty": _q_ngram_novelty,
-        "spectral_entropy": _q_spectral_entropy,
-        "slice": _q_slice,
-        "quotients": _q_quotients,
-        "upsample": _q_upsample,
-        "trim_leading_trailing": _q_trim,
-        "min_max_datetimes": _q_min_max_datetimes,
-        "calendar_ops": _q_calendar_ops,
-        "serde_roundtrip": _q_serde_roundtrip,
-        "row_matrix_norms": _q_row_matrix_norms,
-        "cosine_dup_pairs": _q_cosine_dup_pairs,
-        "lsh_recall": _q_lsh_recall,
-        "ivf_topk": _q_ivf_topk,
-        "index_union": _q_index_union,
-        "multimodal_meta": _q_multimodal_meta,
-        "image_features": _q_image_features,
-        "arima_forecast": _q_arima_forecast,
-        "fill_next": _q_fill_next,
-        "fill_nearest": _q_fill_nearest,
-        "fill_zero": _q_fill_zero,
-        "lags": _q_lags,
-        "dedup_paragraphs": _q_dedup_paragraphs,
-        "url_stats": _q_url_stats,
-        "pq_recall": _q_pq_recall,
-        "filter_by_instant": _q_filter_by_instant,
-        "ivfpq_topk": _q_ivfpq_topk,
-        "semantic_dedup": _q_semantic_dedup,
-        "kmeans_assign": _q_kmeans_assign,
-        "pretrain_clean": _q_pretrain_clean,
-        "minhash_lsh_dedup": _q_minhash_lsh_dedup,
-        "pack_sequences": _q_pack_sequences,
-        # r9-window rows (driver-green in r9 — the freshest evidence)
-        "srp_buckets": _q_srp_buckets,
-        "sample_entropy": _q_sample_entropy,
-        "theil_sen": _q_theil_sen,
-        "macd": _q_macd,
-        "rsi": _q_rsi,
-        "bollinger": _q_bollinger,
-        "embedding_dim_stats": _q_embedding_dim_stats,
-        "realized_vol": _q_realized_vol,
-        "parkinson_vol": _q_parkinson_vol,
-        "coherence": _q_coherence,
-        "intervention": _q_intervention,
-        "dsir_weights": _q_dsir_weights,
-        "hjorth": _q_hjorth,
-        "nonlinearity": _q_nonlinearity,
-        "fano": _q_fano,
-        "fertility": _q_fertility,
-        "adx": _q_adx,
-        "vwap_bars": _q_vwap_bars,
-        "demand_class": _q_demand_class,
-        "var_es": _q_var_es,
-        "mixture_epochs": _q_mixture_epochs,
-        "remove_dup_spans": _q_remove_dup_spans,
-        "video_frames": _q_video_frames,
-        "dedup_exact": _q_dedup_exact,
-        "text_quality": _q_text_quality,
-        "token_count_by_source": _q_token_count_by_source,
-        "token_count_bpe": _q_token_count_bpe,
-        "fingerprint": _q_fingerprint,
-        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-        "lang_id": _q_lang_id,
-        "quality_score": _q_quality_score,
-        "lsh_topk": _q_lsh_topk,
-        "winnowing_fingerprints": _q_winnowing_fingerprints,
-        "auto_arima": _q_auto_arima,
-        "garch_fit": _q_garch_fit,
-        "egarch_fit": _q_egarch_fit,
-        "arx_fit": _q_arx_fit,
-        "arimax_forecast": _q_arimax_forecast,
-        "regression_arima": _q_regression_arima,
-        "holt_winters_fit": _q_holt_winters_fit,
-        "dedup_lines": _q_dedup_lines,
-        "incremental_dedup": _q_incremental_dedup,
-        "roll_std": _q_roll_std,
-        "crosscorr": _q_crosscorr,
-        "lm3_perplexity": _q_lm3_perplexity,
-        "corpus_stats": _q_corpus_stats,
-        "seasonal_decompose": _q_seasonal_decompose,
-        "pmi_pairs": _q_pmi_pairs,
-        "outliers": _q_outliers,
-        "token_entropy": _q_token_entropy,
-    }
+    """Dict ORDER matters (driver window = first 50): the window list
+    above leads, the remaining corpus follows in registry order."""
+    win = set(_WINDOW_R11)
+    out = {k: _ALL_QUERIES[k] for k in _WINDOW_R11}
+    out.update({k: v for k, v in _ALL_QUERIES.items() if k not in win})
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -11801,5 +12126,493 @@ def oracle_sql() -> dict[str, str]:
                )} AS zscore
         FROM nn
         WINDOW wn AS (PARTITION BY loc)
+    """
+
+    # -- r11 additions -----------------------------------------------------
+
+    o["williams_r"] = _BARS_SQL + f"""
+        , wr AS (
+            SELECT key, bar_ts,
+                   CASE WHEN count(*) OVER wn >= 5 THEN
+                       -100.0 * (max(high) OVER wn - close)
+                       / (max(high) OVER wn - min(low) OVER wn)
+                   END AS pr
+            FROM bars
+            WINDOW wn AS (PARTITION BY key ORDER BY bar_ts
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        )
+        SELECT key, bar_ts, {_sr_sql("pr", 6)} AS pct_r FROM wr
+    """
+
+    o["cci"] = _BARS_SQL + f"""
+        , tpb AS (
+            SELECT key, bar_ts, (high + low + close) / 3.0 AS tp
+            FROM bars
+        ),
+        wn_ AS (
+            SELECT key, bar_ts, tp,
+                   count(*) OVER wn AS c,
+                   avg(tp) OVER wn AS sma,
+                   list(tp) OVER wn AS l
+            FROM tpb
+            WINDOW wn AS (PARTITION BY key ORDER BY bar_ts
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ),
+        md_ AS (
+            SELECT key, bar_ts, tp, c, sma,
+                   list_aggregate(list_transform(l, x -> abs(x - sma)),
+                                  'sum') / len(l) AS md
+            FROM wn_
+        )
+        SELECT key, bar_ts, {_sr_sql("tp", 6)} AS tp,
+               {_sr_sql(
+                   "CASE WHEN c >= 7 THEN (tp - sma) / (0.015 * md) END", 6
+               )} AS cci
+        FROM md_
+    """
+
+    o["cmo"] = _DAILY_GRID_SQL + _FILLED_SQL + f"""
+        , nn AS (SELECT key, loc, value FROM filled WHERE value IS NOT NULL),
+        df_ AS (
+            SELECT key, loc,
+                   value - lag(value) OVER (PARTITION BY key ORDER BY loc)
+                       AS d
+            FROM nn
+        ),
+        gl AS (
+            SELECT key, loc,
+                   greatest(d, 0.0) AS gain, greatest(-d, 0.0) AS loss
+            FROM df_ WHERE d IS NOT NULL
+        )
+        SELECT key, loc,
+               {_sr_sql("gain", 6)} AS gain,
+               {_sr_sql("loss", 6)} AS loss,
+               {_sr_sql(
+                   "CASE WHEN count(*) OVER wn >= 9 THEN "
+                   "100.0 * (sum(gain) OVER wn - sum(loss) OVER wn)"
+                   " / (sum(gain) OVER wn + sum(loss) OVER wn) END", 6
+               )} AS cmo
+        FROM gl
+        WINDOW wn AS (PARTITION BY key ORDER BY loc
+                      ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+    """
+
+    # trix: three chained adjust=False EMAs replayed by the closed
+    # prefix form e_j = q^j (x0 + a*sum_{i>=1} x_i/q^i) — the macd
+    # signal-EMA chaining precedent; q/a as repr literals
+    _qt, _at = repr(1.0 - 2.0 / 9), repr(2.0 / 9)
+    o["trix"] = _DAILY_GRID_SQL + _FILLED_SQL + f"""
+        , base AS (
+            SELECT key, loc, value,
+                   CAST(row_number() OVER (PARTITION BY key ORDER BY loc) - 1
+                        AS BIGINT) AS j
+            FROM filled
+        ),
+        p1 AS (
+            SELECT key, loc, j, first_value(value) OVER wk AS v0,
+                   SUM(CASE WHEN j >= 1 THEN value / power({_qt}, j) END)
+                       OVER wp AS s1
+            FROM base
+            WINDOW wk AS (PARTITION BY key ORDER BY j),
+                   wp AS (PARTITION BY key ORDER BY j
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        e1_ AS (
+            SELECT key, loc, j,
+                   power({_qt}, j) * (v0 + {_at} * coalesce(s1, 0.0)) AS e1
+            FROM p1
+        ),
+        p2 AS (
+            SELECT key, loc, j, first_value(e1) OVER wk AS e10,
+                   SUM(CASE WHEN j >= 1 THEN e1 / power({_qt}, j) END)
+                       OVER wp AS s2
+            FROM e1_
+            WINDOW wk AS (PARTITION BY key ORDER BY j),
+                   wp AS (PARTITION BY key ORDER BY j
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        e2_ AS (
+            SELECT key, loc, j,
+                   power({_qt}, j) * (e10 + {_at} * coalesce(s2, 0.0)) AS e2
+            FROM p2
+        ),
+        p3 AS (
+            SELECT key, loc, j, first_value(e2) OVER wk AS e20,
+                   SUM(CASE WHEN j >= 1 THEN e2 / power({_qt}, j) END)
+                       OVER wp AS s3
+            FROM e2_
+            WINDOW wk AS (PARTITION BY key ORDER BY j),
+                   wp AS (PARTITION BY key ORDER BY j
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        e3_ AS (
+            SELECT key, loc,
+                   power({_qt}, j) * (e20 + {_at} * coalesce(s3, 0.0)) AS e3
+            FROM p3
+        )
+        SELECT key, loc, {_sr_sql("e3", 6)} AS ema3,
+               {_sr_sql(
+                   "100.0 * (e3 / lag(e3) OVER "
+                   "(PARTITION BY key ORDER BY loc) - 1.0)", 6
+               )} AS trix
+        FROM e3_
+    """
+
+    o["aroon"] = _BARS_SQL + f"""
+        , rb AS (
+            SELECT key, bar_ts, high, low,
+                   CAST(row_number() OVER (PARTITION BY key ORDER BY bar_ts)
+                        AS BIGINT) AS rn
+            FROM bars
+        ),
+        ext AS (
+            SELECT key, bar_ts, rn,
+                   count(*) OVER wn AS c,
+                   (max({{'v': high, 'r': rn}}) OVER wn).r AS hh_rn,
+                   (min({{'v': low, 'r': -rn}}) OVER wn).r AS ll_rn
+            FROM rb
+            WINDOW wn AS (PARTITION BY key ORDER BY bar_ts
+                          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+        )
+        SELECT key, bar_ts,
+               {_sr_sql(
+                   "CASE WHEN c >= 8 THEN "
+                   "100.0 * (7 - (rn - hh_rn)) / 7.0 END", 6
+               )} AS aroon_up,
+               {_sr_sql(
+                   "CASE WHEN c >= 8 THEN "
+                   "100.0 * (7 - (rn + ll_rn)) / 7.0 END", 6
+               )} AS aroon_down,
+               {_sr_sql(
+                   "CASE WHEN c >= 8 THEN "
+                   "100.0 * (7 - (rn - hh_rn)) / 7.0 "
+                   "- 100.0 * (7 - (rn + ll_rn)) / 7.0 END", 6
+               )} AS aroon_osc
+        FROM ext
+    """
+
+    _PAIR_RETS_SQL = _DAILY_GRID_SQL + """
+        , nn AS (SELECT key, loc, value FROM grid WHERE value IS NOT NULL),
+        pa AS (SELECT loc AS l, value AS va FROM nn WHERE key = '1'),
+        pb AS (SELECT loc AS l, value AS vb FROM nn WHERE key = '2'),
+        jj AS (SELECT pa.l, va, vb FROM pa JOIN pb ON pa.l = pb.l),
+        rr AS (
+            SELECT va / lag(va) OVER (ORDER BY l) - 1.0 AS ra,
+                   vb / lag(vb) OVER (ORDER BY l) - 1.0 AS rb
+            FROM jj
+        ),
+        rts AS (SELECT ra, rb FROM rr
+                WHERE ra IS NOT NULL AND rb IS NOT NULL)
+    """
+    o["capture_ratios"] = _PAIR_RETS_SQL + f"""
+        SELECT '1' AS key_a, '2' AS key_b,
+               CAST(count(*) AS BIGINT) AS n_periods,
+               CAST(coalesce(sum(CASE WHEN rb > 0 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_up,
+               CAST(coalesce(sum(CASE WHEN rb < 0 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_down,
+               {_sr_sql(
+                   "avg(CASE WHEN rb > 0 THEN ra END)"
+                   " / avg(CASE WHEN rb > 0 THEN rb END)", 6
+               )} AS up_capture,
+               {_sr_sql(
+                   "avg(CASE WHEN rb < 0 THEN ra END)"
+                   " / avg(CASE WHEN rb < 0 THEN rb END)", 6
+               )} AS down_capture
+        FROM rts
+    """
+
+    o["active_stats"] = _PAIR_RETS_SQL + f"""
+        SELECT '1' AS key_a, '2' AS key_b,
+               CAST(count(*) AS BIGINT) AS n_periods,
+               {_sr_sql("avg(ra - rb)", 6)} AS mean_active,
+               {_sr_sql("stddev_samp(ra - rb)", 6)} AS tracking_error,
+               {_sr_sql(
+                   "avg(ra - rb) / stddev_samp(ra - rb)", 6
+               )} AS information_ratio
+        FROM rts
+    """
+
+    o["robust_scale"] = _DAILY_GRID_SQL + f"""
+        , nn AS (SELECT key, value FROM grid WHERE value IS NOT NULL),
+        b AS (
+            SELECT key, CAST(count(*) AS BIGINT) AS n,
+                   quantile_cont(value, 0.5) AS median,
+                   quantile_cont(value, 0.75)
+                       - quantile_cont(value, 0.25) AS iqr,
+                   max(value) - min(value) AS vrange
+            FROM nn GROUP BY key
+        ),
+        m AS (
+            SELECT nn.key,
+                   quantile_cont(abs(value - median), 0.5) AS mad
+            FROM nn JOIN b ON b.key = nn.key
+            GROUP BY nn.key
+        )
+        SELECT b.key, n, {_sr_sql("median", 6)} AS median,
+               {_sr_sql("mad", 6)} AS mad,
+               {_sr_sql("iqr", 6)} AS iqr,
+               {_sr_sql("vrange", 6)} AS vrange
+        FROM b JOIN m ON m.key = b.key
+    """
+
+    o["gap_outages"] = f"""
+        WITH ev AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, ts FROM events
+        ),
+        g0 AS (
+            SELECT key,
+                   (epoch_us(ts) - epoch_us(lag(ts) OVER
+                        (PARTITION BY key ORDER BY ts))) / 1e6 AS g
+            FROM ev
+        ),
+        gg AS (SELECT key, g FROM g0 WHERE g IS NOT NULL),
+        b AS (
+            SELECT key, CAST(count(*) AS BIGINT) AS n_gaps,
+                   quantile_cont(g, 0.5) AS median_gap,
+                   quantile_cont(g, 0.95) AS p95_gap,
+                   max(g) AS max_gap
+            FROM gg GROUP BY key
+        ),
+        oo AS (
+            SELECT gg.key,
+                   CAST(coalesce(sum(CASE WHEN g > 3.0 * median_gap
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_outages,
+                   coalesce(sum(CASE WHEN g > 3.0 * median_gap
+                                     THEN g - median_gap END), 0.0)
+                       AS outage_seconds
+            FROM gg JOIN b ON b.key = gg.key
+            GROUP BY gg.key
+        )
+        SELECT b.key, n_gaps, {_sr_sql("median_gap", 6)} AS median_gap,
+               {_sr_sql("p95_gap", 6)} AS p95_gap,
+               {_sr_sql("max_gap", 6)} AS max_gap,
+               n_outages,
+               {_sr_sql("outage_seconds", 6)} AS outage_seconds
+        FROM b JOIN oo ON oo.key = b.key
+    """
+
+    o["rfm"] = f"""
+        WITH per AS (
+            SELECT CAST(user_id AS VARCHAR) AS key,
+                   max(ts) AS last_, CAST(count(*) AS BIGINT) AS frequency,
+                   coalesce(sum(value), 0.0) AS monetary
+            FROM events GROUP BY 1
+        ),
+        anc AS (SELECT max(ts) AS anchor FROM events),
+        d AS (
+            SELECT key,
+                   CAST(floor((epoch_us(anchor) - epoch_us(last_))
+                              / 86400000000.0) AS BIGINT) AS recency_days,
+                   frequency, monetary
+            FROM per CROSS JOIN anc
+        ),
+        s AS (
+            SELECT key, recency_days, frequency, monetary,
+                   CAST(ntile(5) OVER (ORDER BY recency_days DESC, key)
+                        AS INT) AS r_score,
+                   CAST(ntile(5) OVER (ORDER BY frequency ASC, key)
+                        AS INT) AS f_score,
+                   CAST(ntile(5) OVER (ORDER BY monetary ASC, key)
+                        AS INT) AS m_score
+            FROM d
+        )
+        SELECT key, recency_days, frequency,
+               {_sr_sql("monetary", 6)} AS monetary,
+               r_score, f_score, m_score,
+               CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm
+        FROM s
+    """
+
+    o["transition_matrix"] = f"""
+        WITH ev AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, ts, event_type, event_id
+            FROM events
+        ),
+        lg AS (
+            SELECT key, event_type,
+                   lag(event_type) OVER
+                       (PARTITION BY key ORDER BY ts, event_id) AS prev
+            FROM ev
+        ),
+        c AS (
+            SELECT prev AS from_type, event_type AS to_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lg WHERE prev IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n,
+               {_sr_sql(
+                   "CAST(n AS DOUBLE) / CAST(sum(n) OVER "
+                   "(PARTITION BY from_type) AS DOUBLE)", 6
+               )} AS prob
+        FROM c
+    """
+
+    o["tod_percentiles"] = f"""
+        WITH obs AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, ts, value
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT key, CAST(hour(ts) AS INT) AS hour,
+               CAST(count(*) AS BIGINT) AS n,
+               {_sr_sql("quantile_cont(value, 0.25)", 6)} AS p25,
+               {_sr_sql("quantile_cont(value, 0.5)", 6)} AS p50,
+               {_sr_sql("quantile_cont(value, 0.75)", 6)} AS p75
+        FROM obs GROUP BY 1, 2
+    """
+
+    # weekday labels differ across engines (Spark dayofweek is 1=Sun,
+    # DuckDB 0=Sun) but H only partitions by group IDENTITY, so any
+    # consistent labeling replays the identical statistic
+    o["kruskal_dow"] = f"""
+        WITH obs AS (
+            SELECT CAST(user_id AS VARCHAR) AS k, ts, value
+            FROM events WHERE value IS NOT NULL
+        ),
+        rk AS (
+            SELECT k, dayofweek(ts) AS dow,
+                   rank() OVER (PARTITION BY k ORDER BY value)
+                       + (count(*) OVER (PARTITION BY k, value) - 1) / 2.0
+                       AS r,
+                   count(*) OVER (PARTITION BY k, value) AS t
+            FROM obs
+        ),
+        g AS (
+            SELECT k, dow, CAST(count(*) AS BIGINT) AS ni, sum(r) AS sr,
+                   CAST(sum(t * t - 1) AS BIGINT) AS tc
+            FROM rk GROUP BY 1, 2
+        ),
+        a AS (
+            SELECT k, CAST(sum(ni) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   sum(sr * sr / CAST(ni AS DOUBLE)) AS s2,
+                   CAST(sum(tc) AS DOUBLE) AS tsum
+            FROM g GROUP BY k
+        )
+        SELECT k AS key, n, n_groups,
+               {_sr_sql(
+                   "12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))"
+                   " * s2 - 3.0 * (CAST(n AS DOUBLE) + 1.0)", 6
+               )} AS h,
+               {_sr_sql(
+                   "(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))"
+                   " * s2 - 3.0 * (CAST(n AS DOUBLE) + 1.0))"
+                   " / (1.0 - tsum / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+                   " * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))", 6
+               )} AS h_adj
+        FROM a
+    """
+
+    _acf_lags = ", ".join(
+        f"lag(value, {k}) OVER (PARTITION BY key ORDER BY loc) AS l{k}"
+        for k in range(1, 11)
+    )
+    _acf_cs = ", ".join(
+        f"covar_samp(CASE WHEN l{k} IS NOT NULL THEN value END, l{k})"
+        f" / (stddev_samp(CASE WHEN l{k} IS NOT NULL THEN value END)"
+        f" * stddev_samp(l{k})) AS c{k}"
+        for k in range(1, 11)
+    )
+    _acf_ssq = " + ".join(f"coalesce(c{k} * c{k}, 0.0)" for k in range(1, 11))
+    # DuckDB least() IGNORES NULL args (oracle gotcha 12) — exactly the
+    # first-defined-negative-lag semantics needed here
+    _acf_neg = "least(" + ", ".join(
+        f"CASE WHEN c{k} < 0 THEN {k} END" for k in range(1, 11)
+    ) + ")"
+    o["acf_features"] = _DAILY_GRID_SQL + f"""
+        , nn AS (SELECT key, loc, value FROM grid WHERE value IS NOT NULL),
+        lg AS (SELECT key, value, {_acf_lags} FROM nn),
+        a AS (
+            SELECT key, CAST(count(value) AS BIGINT) AS n, {_acf_cs}
+            FROM lg GROUP BY key
+        )
+        SELECT key, n, {_sr_sql("c1", 6)} AS acf1,
+               {_sr_sql(_acf_ssq, 6)} AS sum_sq_acf,
+               CAST({_acf_neg} AS INT) AS first_neg_lag
+        FROM a
+    """
+
+    o["roll_entropy"] = _DAILY_GRID_SQL + _FILLED_SQL + f"""
+        , nn AS (SELECT key, loc, value FROM filled WHERE value IS NOT NULL),
+        rng AS (
+            SELECT key, loc, value,
+                   min(value) OVER wk AS lo, max(value) OVER wk AS hi
+            FROM nn
+            WINDOW wk AS (PARTITION BY key)
+        ),
+        bb AS (
+            SELECT key, loc,
+                   CASE WHEN hi > lo THEN
+                       least(CAST(floor((value - lo) / (hi - lo) * 4)
+                                  AS INT), 3)
+                   ELSE 0 END AS bin
+            FROM rng
+        ),
+        wl AS (
+            SELECT key, loc, bin,
+                   count(*) OVER wn AS c, list(bin) OVER wn AS l
+            FROM bb
+            WINDOW wn AS (PARTITION BY key ORDER BY loc
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        SELECT key, loc, bin,
+               {_sr_sql(
+                   "CASE WHEN c >= 7 THEN "
+                   "-list_aggregate(list_transform(list_distinct(l), "
+                   "b -> (len(list_filter(l, x -> x = b))"
+                   " / CAST(len(l) AS DOUBLE))"
+                   " * ln(len(list_filter(l, x -> x = b))"
+                   " / CAST(len(l) AS DOUBLE))), 'sum') END", 6
+               )} AS entropy
+        FROM wl
+    """
+
+    o["bucket_cardinality"] = """
+        SELECT date_trunc('day', ts) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_unique
+        FROM events GROUP BY 1
+    """
+
+    o["max_concurrency"] = """
+        WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k, ts FROM events),
+        lg AS (
+            SELECT k, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > 1800000000
+                        THEN 1 ELSE 0 END AS st
+            FROM ev
+            WINDOW w AS (PARTITION BY k ORDER BY ts)
+        ),
+        sid AS (
+            SELECT k, ts,
+                   sum(st) OVER (PARTITION BY k ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sid
+            FROM lg
+        ),
+        sess AS (
+            SELECT k, sid, min(ts) AS s, max(ts) AS e
+            FROM sid GROUP BY 1, 2
+        ),
+        d AS (
+            SELECT s AS ts, 1 AS dd FROM sess
+            UNION ALL
+            SELECT e AS ts, -1 AS dd FROM sess
+        ),
+        run AS (
+            SELECT ts, dd,
+                   CAST(sum(dd) OVER (ORDER BY ts, dd DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS r
+            FROM d
+        ),
+        m AS (SELECT max(r) AS mx FROM run)
+        SELECT CAST((SELECT count(*) FROM sess) AS BIGINT) AS n_sessions,
+               mx AS max_concurrent,
+               (SELECT min(ts) FROM run WHERE r = mx) AS peak_ts
+        FROM m
     """
     return o

@@ -55,7 +55,12 @@ __all__ = [
     "newey_west",
     "dow_profile",
     "robust_location",
+    "robust_scale",
     "rank_autocorr",
+    "gap_outages",
+    "tod_percentiles",
+    "kruskal_dow",
+    "acf_features",
 ]
 
 
@@ -1250,4 +1255,239 @@ def rank_autocorr(
             F.covar_samp("_r", "_pr"),
             F.stddev_samp("_r") * F.stddev_samp("_pr"),
         ).alias("rho"),
+    )
+
+
+def robust_scale(
+    df: DataFrame,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Robust scale estimates per series → (key, n, median, mad, iqr,
+    vrange): the dispersion companion of :func:`robust_location` —
+    ``mad`` (median absolute deviation from the median, the 50%-
+    breakdown scale; multiply by 1.4826 for the Gaussian-consistent σ̂,
+    left to the caller), ``iqr`` (q75 − q25) and ``vrange`` (max −
+    min, the 0%-breakdown reference point). All quantiles use the
+    linear-interpolation convention (SQL percentile_cont). NULL mad/
+    iqr degeneracies don't arise (percentile of ≥ 1 value is defined);
+    a 1-point series yields mad = iqr = vrange = 0.
+
+    Plan: the MAD needs the median BEFORE the deviation pass — two
+    map-side-combinable groupBys + one co-partitioned join on the key
+    (the ``robust_location`` sketch-path shape); no window, no value
+    buffer beyond the exact-percentile aggregate's own."""
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    base = pts.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"percentile({value_col}, 0.5)").alias("median"),
+        (
+            F.expr(f"percentile({value_col}, 0.75)")
+            - F.expr(f"percentile({value_col}, 0.25)")
+        ).alias("iqr"),
+        (F.max(v) - F.min(v)).alias("vrange"),
+    )
+    d = pts.join(base.select(key_col, "median"), key_col)
+    mad = d.groupBy(key_col).agg(
+        F.expr(f"percentile(abs({value_col} - median), 0.5)").alias("mad")
+    )
+    return base.join(mad, key_col).select(
+        key_col, "n", "median", "mad", "iqr", "vrange"
+    )
+
+
+def gap_outages(
+    df: DataFrame,
+    mult: float = 5.0,
+    key_col: str = "key",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key data-outage profile over raw event stamps → (key,
+    n_gaps, median_gap, p95_gap, max_gap, n_outages, outage_seconds):
+    gaps in seconds between consecutive events (the
+    :func:`interarrival_stats` convention — exact integer microsecond
+    differences scaled once); an OUTAGE is a gap exceeding ``mult`` ×
+    the key's own median gap — the scale-free "did the feed stop"
+    detector (a fixed threshold can't serve both a 1 Hz and a daily
+    stream). ``outage_seconds`` totals the outage gaps' excess over
+    the median (time unexplained by normal cadence). Keys with < 2
+    events yield no row.
+
+    Plan: one lag window + one quantile aggregate, join the per-key
+    median back (co-partitioned on the key), one conditional-sum
+    aggregate — the :func:`robust_scale` two-pass shape; no value
+    buffer beyond the exact percentile's own."""
+    if mult <= 1.0:
+        raise ValueError(f"mult must be > 1, got {mult}")
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = (us - F.lag(us).over(w)).cast("double") / 1e6
+    g = df.select(key_col, gap.alias("_g")).where(F.col("_g").isNotNull())
+    base = g.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.expr("percentile(_g, 0.5)").alias("median_gap"),
+        F.expr("percentile(_g, 0.95)").alias("p95_gap"),
+        F.max("_g").alias("max_gap"),
+    )
+    d = g.join(base.select(key_col, "median_gap"), key_col)
+    is_out = F.col("_g") > mult * F.col("median_gap")
+    outs = d.groupBy(key_col).agg(
+        F.sum(is_out.cast("long")).alias("n_outages"),
+        F.coalesce(
+            F.sum(F.when(is_out, F.col("_g") - F.col("median_gap"))),
+            F.lit(0.0),
+        ).alias("outage_seconds"),
+    )
+    return base.join(outs, key_col).select(
+        key_col, "n_gaps", "median_gap", "p95_gap", "max_gap",
+        "n_outages", "outage_seconds",
+    )
+
+
+def tod_percentiles(
+    df: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-of-day percentile envelope per series → (key, hour, n, p25,
+    p50, p75): the seasonal band every "is now normal for 3 AM?"
+    monitoring check draws — the quantile companion of
+    :func:`tod_profile` (which summarizes mean/σ and diurnal strength;
+    quartiles survive the heavy-tailed metrics that inflate a mean
+    band). Interpolated percentiles (SQL percentile_cont convention);
+    NULL values skipped; hours with no observations emit no row.
+
+    Plan: ONE map-side-combinable groupBy(key, hour) with exact
+    percentile aggregates — 24 rows per key out, no window, no join."""
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    return (
+        pts.withColumn("hour", F.hour(ts_col).cast("int"))
+        .groupBy(key_col, "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"percentile({value_col}, 0.25)").alias("p25"),
+            F.expr(f"percentile({value_col}, 0.5)").alias("p50"),
+            F.expr(f"percentile({value_col}, 0.75)").alias("p75"),
+        )
+    )
+
+
+def kruskal_dow(
+    df: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Kruskal-Wallis day-of-week test per series → (key, n, n_groups,
+    h, h_adj): does the value's DISTRIBUTION differ across weekdays?
+    The rank-based (outlier-proof) companion of :func:`dow_profile`'s
+    eta²: H = 12/(N(N+1))·Σ nᵢ·r̄ᵢ² − 3(N+1) over mid-ranks of the
+    whole series, ``h_adj`` = H / (1 − Σ(t³−t)/(N³−N)) the tie-
+    corrected statistic (Kruskal & Wallis 1952; compare to χ² with
+    n_groups − 1 df downstream). NULL h_adj when every value is tied
+    (the correction denominator hits 0 — no ordering information).
+
+    Plan: one rank window + one tie-count window over the key
+    partition, one (key, dow) aggregate, one key aggregate — all JVM,
+    no Python, no join."""
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    wr = Window.partitionBy(key_col).orderBy(value_col)
+    wt = Window.partitionBy(key_col, value_col)
+    d = pts.select(
+        F.col(key_col).alias("_k"),
+        F.dayofweek(ts_col).alias("_dow"),
+        (
+            F.rank().over(wr)
+            + (F.count(F.lit(1)).over(wt) - 1) / 2.0
+        ).alias("_r"),
+        F.count(F.lit(1)).over(wt).alias("_t"),
+    )
+    g = d.groupBy("_k", "_dow").agg(
+        F.count(F.lit(1)).alias("_ni"),
+        F.sum("_r").alias("_sr"),
+        # tie sizes repeat on every member row: summing t^2 - 1 over
+        # rows equals sum over tie-groups of t*(t^2 - 1) = t^3 - t
+        F.sum(F.col("_t") * F.col("_t") - 1).alias("_tc"),
+    )
+    nn = F.col("n").cast("double")
+    agg = g.groupBy(F.col("_k").alias(key_col)).agg(
+        F.sum("_ni").alias("n"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(
+            F.col("_sr") * F.col("_sr") / F.col("_ni").cast("double")
+        ).alias("_s2"),
+        F.sum("_tc").alias("_tsum"),
+    )
+    h = 12.0 / (nn * (nn + 1.0)) * F.col("_s2") - 3.0 * (nn + 1.0)
+    corr = 1.0 - F.col("_tsum").cast("double") / (nn * nn * nn - nn)
+    return agg.select(
+        key_col, "n", "n_groups",
+        h.alias("h"),
+        F.try_divide(h, corr).alias("h_adj"),
+    )
+
+
+def acf_features(
+    df: DataFrame,
+    max_lag: int = 10,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """ACF summary features per series (Hyndman tsfeatures'
+    ``acf_features`` members with exact closed forms) → (key, n, acf1,
+    sum_sq_acf, first_neg_lag): lag-k autocorrelations for k =
+    1..``max_lag`` under the engine's per-overlap Pearson convention
+    (the :func:`detect_seasonality` lag block), ``sum_sq_acf`` = Σ
+    acf_k² over the defined lags (total short-memory strength),
+    ``first_neg_lag`` = the smallest lag with acf < 0 (the classic
+    cycle-length / differencing heuristic; NULL when no lag goes
+    negative within ``max_lag``). NULL-acf lags (constant overlap,
+    overlap < 2) drop out of the sum and the scan.
+
+    Plan: ``max_lag`` lag columns on ONE (key, order) sort, one
+    aggregate, array ops on the k-element result — all JVM."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    lagged = pts
+    for k in range(1, max_lag + 1):
+        lagged = lagged.withColumn(f"_l{k}", F.lag(value_col, k).over(w))
+    aggs = [F.count(v).alias("n")]
+    for k in range(1, max_lag + 1):
+        pv = F.when(F.col(f"_l{k}").isNotNull(), v)
+        aggs.append(
+            F.try_divide(
+                F.covar_samp(pv, F.col(f"_l{k}")),
+                F.stddev_samp(pv) * F.stddev_samp(f"_l{k}"),
+            ).alias(f"_c{k}")
+        )
+    agg = lagged.groupBy(key_col).agg(*aggs)
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("lag"), F.col(f"_c{k}").alias("acf")
+            )
+            for k in range(1, max_lag + 1)
+        ]
+    )
+    defined = F.filter(arr, lambda x: x["acf"].isNotNull())
+    ssq = F.aggregate(
+        defined, F.lit(0.0), lambda a, x: a + x["acf"] * x["acf"]
+    )
+    neg = F.filter(defined, lambda x: x["acf"] < 0)
+    first_neg = F.when(
+        F.size(neg) > 0, F.element_at(neg, 1)["lag"]
+    ).cast("int")
+    return agg.select(
+        key_col, "n",
+        F.col("_c1").alias("acf1"),
+        ssq.alias("sum_sq_acf"),
+        first_neg.alias("first_neg_lag"),
     )

@@ -38,6 +38,7 @@ __all__ = [
     "stochastic", "obv", "ewm_var", "atr", "pivot_points",
     "keltner_channels", "donchian_channels", "ulcer_index",
     "rolling_sharpe", "ewma_chart",
+    "williams_r", "cci", "cmo", "trix", "aroon",
 ]
 
 
@@ -737,3 +738,198 @@ def ewma_chart(
         (F.col("ema") > F.col("ucl")) | (F.col("ema") < F.col("lcl")),
     )
     return d.withColumn("alarm", alarm).drop("_sd", "_t")
+
+
+def williams_r(
+    df: DataFrame,
+    n: int = 14,
+    key_col: str = "key",
+    order_col: str = "bar_ts",
+    high_col: str = "high",
+    low_col: str = "low",
+    close_col: str = "close",
+) -> DataFrame:
+    """Williams %R (Larry Williams) → input rows + ``pct_r`` =
+    −100·(HH − close)/(HH − LL) over the last n bars — the inverted
+    twin of :func:`stochastic`'s %K (−100 = close at the window low,
+    0 = at the high); NULL until a full n-bar window exists or on a
+    flat window (HH = LL, the %K convention). Two rolling extrema on
+    one sort — one exchange, all JVM."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-(n - 1), 0)
+    )
+    full = F.count(F.lit(1)).over(w) >= n
+    hh = F.when(full, F.max(high_col).over(w))
+    ll = F.when(full, F.min(low_col).over(w))
+    return df.withColumn(
+        "pct_r",
+        -100.0 * F.try_divide(hh - F.col(close_col), hh - ll),
+    )
+
+
+def cci(
+    df: DataFrame,
+    n: int = 20,
+    key_col: str = "key",
+    order_col: str = "bar_ts",
+    high_col: str = "high",
+    low_col: str = "low",
+    close_col: str = "close",
+) -> DataFrame:
+    """Commodity Channel Index (Lambert 1980) → input rows + ``tp``
+    (typical price (H+L+C)/3) and ``cci`` = (tp − SMA_n(tp)) /
+    (0.015 · MD) where MD is the MEAN ABSOLUTE DEVIATION of the
+    window's tp values from the window's OWN SMA (the textbook
+    definition — each window element deviates from the current
+    window's mean, not its own window's); NULL until a full n-bar
+    window or when MD = 0 (flat window). NULL-valued bars are not
+    expected from :func:`~spark_timeseries_spark.operators.resample.ohlc`
+    (empty buckets emit no row), so no null gating beyond the burn-in.
+
+    Plan: the per-window deviation needs every window element against
+    the window's own mean — an n-element ``collect_list`` over the
+    SAME bounded ROWS frame the SMA uses (n values per row, the
+    rolling-quantile buffer envelope), folded JVM-side with
+    higher-order functions. One sort, one exchange, no Python, no
+    self-join."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-(n - 1), 0)
+    )
+    tp = (F.col(high_col) + F.col(low_col) + F.col(close_col)) / 3.0
+    d = df.withColumn("tp", tp)
+    full = F.count(F.lit(1)).over(w) >= n
+    sma = F.avg("tp").over(w)
+    lst = F.collect_list("tp").over(w)
+    md = F.try_divide(
+        F.aggregate(
+            F.transform(lst, lambda x: F.abs(x - sma)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        F.size(lst).cast("double"),
+    )
+    return d.withColumn(
+        "cci",
+        F.when(full, F.try_divide(F.col("tp") - sma, 0.015 * md)),
+    )
+
+
+def cmo(
+    df: DataFrame,
+    n: int = 14,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Chande Momentum Oscillator → one row per non-null observation
+    from the second onward: ``gain``/``loss`` (positive/negative part
+    of the one-step change, the :func:`rsi` convention) and ``cmo`` =
+    100·(Σgain − Σloss)/(Σgain + Σloss) over the last n changes — RSI
+    without the Wilder smoothing, bounded ±100, 0-centered; NULL until
+    n changes exist or on a fully flat window (both sums 0). One lag +
+    two window sums on one sort — one exchange, all JVM."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+    pts = df.where(F.col(value_col).isNotNull())
+    diff = F.col(value_col) - F.lag(value_col).over(ws)
+    d = (
+        pts.withColumn("_d", diff)
+        .where(F.col("_d").isNotNull())
+        .withColumn("gain", F.greatest(F.col("_d"), F.lit(0.0)))
+        .withColumn("loss", F.greatest(-F.col("_d"), F.lit(0.0)))
+        .drop("_d")
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-(n - 1), 0)
+    )
+    full = F.count(F.lit(1)).over(w) >= n
+    su = F.sum("gain").over(w)
+    sd = F.sum("loss").over(w)
+    return d.withColumn(
+        "cmo", F.when(full, 100.0 * F.try_divide(su - sd, su + sd))
+    )
+
+
+def trix(
+    df: DataFrame,
+    n: int = 15,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+    method: str = "auto",
+    max_len: int | None = None,
+) -> DataFrame:
+    """TRIX (Hutson 1983) → input non-null rows + ``ema3`` (the
+    triple-smoothed EMA, span α = 2/(n+1), adjust=False — three
+    chained :func:`ema` passes, each seeded at its input's first
+    value) and ``trix`` = 100·(ema3/ema3_prev − 1), the 1-step percent
+    rate of change of the triple EMA (NULL on the first row and at
+    ema3_prev = 0). Triple smoothing suppresses cycles shorter than
+    the span — the classic zero-line momentum filter. Three closed-
+    form EMA passes + one lag share ONE (key, order) sort — one
+    exchange, all JVM inside the EMA envelope (module docstring)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    alpha = 2.0 / (n + 1)
+    pts = df.where(F.col(value_col).isNotNull())
+    d = _ema_col(pts, alpha, key_col, order_col, value_col, "_e1",
+                 method, max_len)
+    d = _ema_col(d, alpha, key_col, order_col, "_e1", "_e2",
+                 method, max_len)
+    d = _ema_col(d, alpha, key_col, order_col, "_e2", "ema3",
+                 method, max_len)
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+    prev = F.lag("ema3").over(ws)
+    return (
+        d.withColumn("trix", 100.0 * (F.try_divide(F.col("ema3"), prev) - 1.0))
+        .drop("_e1", "_e2")
+    )
+
+
+def aroon(
+    df: DataFrame,
+    n: int = 25,
+    key_col: str = "key",
+    order_col: str = "bar_ts",
+    high_col: str = "high",
+    low_col: str = "low",
+) -> DataFrame:
+    """Aroon indicator (Chande 1995) → input rows + ``aroon_up`` =
+    100·(n − bars since the (n+1)-bar window's highest high)/n,
+    ``aroon_down`` (same on the lowest low), ``aroon_osc`` (their
+    difference, ±100 bounds); NULL until a full n+1-bar window. Ties
+    resolve to the MOST RECENT extreme bar (stated: the max/min of a
+    (value, position) struct — deterministic, and the convention that
+    makes a fresh retest read as strength). Two struct-extrema windows
+    on one sort — one exchange, all JVM, no self-join."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+    w = ws.rowsBetween(-n, 0)
+    d = df.withColumn("_rn", F.row_number().over(ws).cast("long"))
+    full = F.count(F.lit(1)).over(w) >= n + 1
+    hh_rn = F.max(F.struct(F.col(high_col).alias("v"),
+                           F.col("_rn").alias("r"))).over(w)["r"]
+    ll_rn = F.min(F.struct(F.col(low_col).alias("v"),
+                           (-F.col("_rn")).alias("r"))).over(w)["r"]
+    up = F.when(full, 100.0 * (n - (F.col("_rn") - hh_rn)) / float(n))
+    # min-struct tie-break: negate the position so equal lows pick the
+    # LARGEST (most recent) bar, mirroring the max side
+    dn = F.when(full, 100.0 * (n - (F.col("_rn") + ll_rn)) / float(n))
+    return (
+        d.withColumn("aroon_up", up)
+        .withColumn("aroon_down", dn)
+        .withColumn("aroon_osc", F.col("aroon_up") - F.col("aroon_down"))
+        .drop("_rn")
+    )

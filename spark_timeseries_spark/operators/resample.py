@@ -325,3 +325,40 @@ def count_bars(
         F.max(F.struct(F.col(ts_col), v)).getField(value_col).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def bucket_cardinality(
+    df: DataFrame,
+    unit: str = "day",
+    key_col: str = "key",
+    ts_col: str = "ts",
+    exact: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Per-time-bucket activity cardinality → (bucket, n_events,
+    n_unique): events and DISTINCT entities per ``date_trunc(unit)``
+    bucket — the DAU/WAU-style audience counter.
+
+    ``exact=True`` (the oracle-replayable form) uses COUNT(DISTINCT):
+    correct, but Spark plans it as an expand + second shuffle keyed on
+    (bucket, key) — fine while buckets × entities fits a shuffle.
+    ``exact=False`` is the 100 TB path: ``approx_count_distinct``
+    (HyperLogLog++, relative error ``rsd``) — a mergeable fixed-size
+    sketch, ONE map-side-combinable aggregate, no expand, no second
+    shuffle (the ``robust_location``/``embedding_dim_stats`` sketch
+    convention; error-envelope-tested)."""
+    if unit not in ("hour", "day", "week", "month"):
+        raise ValueError(
+            f"unit must be one of ['day', 'hour', 'month', 'week'],"
+            f" got {unit}"
+        )
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    uniq = (
+        F.count_distinct(F.col(key_col))
+        if exact
+        else F.approx_count_distinct(key_col, rsd)
+    )
+    return df.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        uniq.alias("n_unique"),
+    )

@@ -643,3 +643,62 @@ def roll_rank(
         .where(F.col("_rows") == n)
         .drop("_rows", "_vals")
     )
+
+
+def roll_entropy(
+    df: DataFrame,
+    n: int = 20,
+    bins: int = 8,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Rolling Shannon entropy (nats) of the last n observations,
+    bucketed into ``bins`` equal-width bins over the SERIES' OWN
+    [min, max] (stated: per-series global bounds, so the bin grid is
+    stable across the whole series and two windows are comparable; the
+    max value clips into the top bin). Output = non-null input rows +
+    ``bin`` (0-based) + ``entropy`` (NULL until a full n-window; 0 for
+    a constant series — every value lands in bin 0 of a zero-width
+    range). Low entropy flags regime-locked/flatlined stretches, high
+    entropy noise storms — the distributional companion of
+    :func:`roll_std`.
+
+    Plan: two key-partition extrema windows + ONE bounded n-element
+    ``collect_list`` rolling window folded with higher-order functions
+    (the cci window-local buffer envelope) — one sort, one exchange,
+    all JVM."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    wk = Window.partitionBy(key_col)
+    lo = F.min(v).over(wk)
+    hi = F.max(v).over(wk)
+    # zero-width range (constant series) -> everything in bin 0
+    raw = F.when(
+        hi > lo,
+        F.floor((v - lo) / (hi - lo) * bins).cast("int"),
+    ).otherwise(F.lit(0))
+    b = F.least(raw, F.lit(bins - 1))  # v = max clips into the top bin
+    d = pts.withColumn("bin", b)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-(n - 1), 0)
+    )
+    lst = F.collect_list("bin").over(w)
+    cnt = F.size(lst).cast("double")
+    ent = -F.aggregate(
+        F.transform(
+            F.array_distinct(lst),
+            lambda bb: F.size(F.filter(lst, lambda x: x == bb)) / cnt,
+        ),
+        F.lit(0.0),
+        lambda a, p: a + p * F.log(p),
+    )
+    return d.withColumn(
+        "entropy", F.when(F.count(F.lit(1)).over(w) >= n, ent)
+    )

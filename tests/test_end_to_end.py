@@ -4141,3 +4141,465 @@ def test_dow_robust_rankautocorr(spark):
     exp = np.corrcoef(a, b)[0, 1]
     assert abs(ra["z"].rho - exp) < 1e-9
     assert ra["z"].n_pairs == n - 1
+
+
+def test_williams_cci_cmo_aroon(spark):
+    """r11 indicator batch vs numpy replays: %R is the inverted %K;
+    CCI deviates from the window's own SMA (Lambert's mean absolute
+    deviation); CMO is unsmoothed RSI re-centered to +-100; aroon
+    counts bars since the window extreme with most-recent tie-break."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.indicators import (
+        aroon,
+        cci,
+        cmo,
+        williams_r,
+    )
+
+    rng = np.random.RandomState(31)
+    n = 40
+    close = 100 + np.cumsum(rng.randn(n))
+    high = close + np.abs(rng.randn(n))
+    low = close - np.abs(rng.randn(n))
+    rows = [("a", i, float(high[i]), float(low[i]), float(close[i]))
+            for i in range(n)]
+    bars = spark.createDataFrame(
+        rows, "key string, bar_ts long, high double, low double, close double"
+    )
+
+    wr = {r.bar_ts: r for r in williams_r(bars, n=10).collect()}
+    for i in range(n):
+        if i < 9:
+            assert wr[i].pct_r is None
+        else:
+            hh, ll = high[i - 9: i + 1].max(), low[i - 9: i + 1].min()
+            exp = -100.0 * (hh - close[i]) / (hh - ll)
+            assert abs(wr[i].pct_r - exp) < 1e-9
+
+    cc = {r.bar_ts: r for r in cci(bars, n=10).collect()}
+    tp = (high + low + close) / 3.0
+    for i in range(n):
+        assert abs(cc[i].tp - tp[i]) < 1e-12
+        if i < 9:
+            assert cc[i].cci is None
+        else:
+            w = tp[i - 9: i + 1]
+            sma = w.mean()
+            md = np.abs(w - sma).mean()
+            assert abs(cc[i].cci - (tp[i] - sma) / (0.015 * md)) < 1e-9
+
+    series = spark.createDataFrame(
+        [("a", i, float(close[i])) for i in range(n)],
+        "key string, loc long, value double",
+    )
+    cm = {r.loc: r for r in cmo(series, n=9).collect()}
+    d = np.diff(close)
+    assert 0 not in cm
+    for i in range(1, n):
+        j = i - 1                        # change index
+        if j < 8:
+            assert cm[i].cmo is None
+        else:
+            w = d[j - 8: j + 1]
+            su, sd = w[w > 0].sum(), -w[w < 0].sum()
+            assert abs(cm[i].cmo - 100.0 * (su - sd) / (su + sd)) < 1e-9
+
+    ar = {r.bar_ts: r for r in aroon(bars, n=10).collect()}
+    for i in range(n):
+        if i < 10:
+            assert ar[i].aroon_up is None and ar[i].aroon_osc is None
+        else:
+            w_h = high[i - 10: i + 1]
+            w_l = low[i - 10: i + 1]
+            # most-recent tie-break = last argmax/argmin
+            since_h = 10 - np.flatnonzero(w_h == w_h.max())[-1]
+            since_l = 10 - np.flatnonzero(w_l == w_l.min())[-1]
+            assert abs(ar[i].aroon_up - 100.0 * (10 - since_h) / 10) < 1e-9
+            assert abs(ar[i].aroon_down - 100.0 * (10 - since_l) / 10) < 1e-9
+            assert abs(
+                ar[i].aroon_osc - (ar[i].aroon_up - ar[i].aroon_down)
+            ) < 1e-12
+
+    # aroon tie: a flat-high plateau picks the most recent bar
+    flat = spark.createDataFrame(
+        [("a", i, 5.0, 1.0) for i in range(6)],
+        "key string, bar_ts long, high double, low double",
+    )
+    af = {r.bar_ts: r for r in aroon(flat, n=3).collect()}
+    assert af[5].aroon_up == 100.0 and af[5].aroon_down == 100.0
+
+
+def test_trix(spark):
+    """TRIX matches a pandas triple-ewm replay (adjust=False, each
+    stage seeded at its input's first value); first row NULL."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_timeseries_spark.operators.indicators import trix
+
+    rng = np.random.RandomState(37)
+    n = 50
+    v = 100 + np.cumsum(rng.randn(n))
+    df = spark.createDataFrame(
+        [("a", i, float(v[i])) for i in range(n)],
+        "key string, loc long, value double",
+    )
+    out = {r.loc: r for r in trix(df, n=8).collect()}
+    a = 2.0 / 9
+    e1 = pd.Series(v).ewm(alpha=a, adjust=False).mean()
+    e2 = e1.ewm(alpha=a, adjust=False).mean()
+    e3 = e2.ewm(alpha=a, adjust=False).mean().to_numpy()
+    assert out[0].trix is None
+    for i in range(n):
+        assert abs(out[i].ema3 - e3[i]) < 1e-9
+        if i >= 1:
+            exp = 100.0 * (e3[i] / e3[i - 1] - 1.0)
+            assert abs(out[i].trix - exp) < 1e-9
+
+
+def test_capture_active(spark):
+    """Capture ratios / tracking error / information ratio vs numpy
+    replays on an aligned overlap with a hole (the period drops from
+    BOTH sides); identical series give TE 0 and NULL IR; up/down
+    conditioning follows the benchmark's sign."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.portfolio import (
+        active_stats,
+        capture_ratios,
+    )
+
+    rng = np.random.RandomState(41)
+    n = 60
+    rb = 0.01 * rng.randn(n)
+    ra = 1.3 * rb + 0.002 * rng.randn(n)
+    pb = 100 * np.cumprod(1 + rb)
+    pa = 100 * np.cumprod(1 + ra)
+    rows = [("a", i, float(pa[i])) for i in range(n) if i != 20]
+    rows += [("b", i, float(pb[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+
+    # replay: overlap = all locs except 20; returns over consecutive
+    # OVERLAP rows for both series
+    locs = [i for i in range(n) if i != 20]
+    va = pa[locs]
+    vb = pb[locs]
+    rra = va[1:] / va[:-1] - 1.0
+    rrb = vb[1:] / vb[:-1] - 1.0
+
+    cr = capture_ratios(df, "a", "b").collect()[0]
+    up, dn = rrb > 0, rrb < 0
+    assert cr.n_periods == len(rra)
+    assert cr.n_up == int(up.sum()) and cr.n_down == int(dn.sum())
+    assert abs(cr.up_capture - rra[up].mean() / rrb[up].mean()) < 1e-9
+    assert abs(cr.down_capture - rra[dn].mean() / rrb[dn].mean()) < 1e-9
+
+    st = active_stats(df, "a", "b").collect()[0]
+    act = rra - rrb
+    assert st.n_periods == len(act)
+    assert abs(st.mean_active - act.mean()) < 1e-12
+    assert abs(st.tracking_error - act.std(ddof=1)) < 1e-12
+    assert abs(
+        st.information_ratio - act.mean() / act.std(ddof=1)
+    ) < 1e-9
+
+    # identical series: zero TE -> NULL IR, captures exactly 1
+    rows2 = [(k, i, float(pb[i])) for k in ("a", "b") for i in range(10)]
+    df2 = spark.createDataFrame(rows2, "key string, loc long, value double")
+    st2 = active_stats(df2, "a", "b").collect()[0]
+    assert st2.tracking_error == 0.0 and st2.information_ratio is None
+    cr2 = capture_ratios(df2, "a", "b").collect()[0]
+    assert abs(cr2.up_capture - 1.0) < 1e-12
+    assert abs(cr2.down_capture - 1.0) < 1e-12
+
+
+def test_robust_scale_gap_outages(spark):
+    """robust_scale: MAD/IQR/range match numpy (interpolated
+    percentiles); 1-point series all zeros. gap_outages: constructed
+    outages are found via the scale-free mult x median-gap rule."""
+    import datetime as dt
+
+    import numpy as np
+
+    from spark_timeseries_spark.operators.features import (
+        gap_outages,
+        robust_scale,
+    )
+
+    rng = np.random.RandomState(43)
+    x = np.concatenate([rng.randn(60), [50.0, -40.0]])
+    rows = [("a", float(v)) for v in x] + [("solo", 7.0)]
+    df = spark.createDataFrame(rows, "key string, value double")
+    out = {r.key: r for r in robust_scale(df).collect()}
+    med = np.percentile(x, 50)
+    assert out["a"].n == len(x)
+    assert abs(out["a"].median - med) < 1e-12
+    assert abs(out["a"].mad - np.percentile(np.abs(x - med), 50)) < 1e-12
+    assert abs(
+        out["a"].iqr - (np.percentile(x, 75) - np.percentile(x, 25))
+    ) < 1e-12
+    assert abs(out["a"].vrange - (x.max() - x.min())) < 1e-12
+    assert (out["solo"].mad, out["solo"].iqr, out["solo"].vrange) == (
+        0.0, 0.0, 0.0
+    )
+
+    # 1-minute cadence with two outages (60 min and 11 min)
+    t0 = dt.datetime(2024, 3, 1)
+    mins = [0, 1, 2, 3, 4, 64, 65, 66, 77, 78]
+    rows2 = [("k", t0 + dt.timedelta(minutes=m)) for m in mins]
+    df2 = spark.createDataFrame(rows2, "key string, ts timestamp")
+    g = gap_outages(df2, mult=5.0).collect()[0]
+    gaps = np.diff(mins) * 60.0
+    med_g = np.percentile(gaps, 50)
+    assert g.n_gaps == len(gaps)
+    assert abs(g.median_gap - med_g) < 1e-12
+    assert abs(g.p95_gap - np.percentile(gaps, 95)) < 1e-9
+    assert g.max_gap == 3600.0
+    outs = gaps[gaps > 5.0 * med_g]
+    assert g.n_outages == len(outs) == 2
+    assert abs(g.outage_seconds - (outs - med_g).sum()) < 1e-9
+    with pytest.raises(ValueError):
+        gap_outages(df2, mult=1.0)
+
+
+def test_rfm_transition(spark):
+    """RFM: recency anchored at the corpus max ts, quintile scores
+    oriented higher-is-better with deterministic key tie-break;
+    transition_matrix: bigram counts within entity only, probs
+    normalize per from_type, tie-broken by the id column."""
+    import datetime as dt
+
+    from spark_timeseries_spark.operators.funnel import (
+        rfm_scores,
+        transition_matrix,
+    )
+
+    t0 = dt.datetime(2024, 5, 1)
+    day = dt.timedelta(days=1)
+    rows = []
+    # u1: 6 events, recent, high spend; u2: 2 events, stale, low spend;
+    # u3: middling; u4/u5 fill the quantile grid
+    spec = {
+        "u1": [(9, 10.0), (8, 10.0), (7, 10.0), (6, 10.0), (5, 10.0), (9, 5.0)],
+        "u2": [(0, 1.0), (1, 1.0)],
+        "u3": [(4, 3.0), (5, 3.0), (6, 3.0)],
+        "u4": [(2, 2.0), (3, 2.0), (9, 0.5)],
+        "u5": [(7, 4.0), (8, 4.0), (1, 4.0), (2, 4.0)],
+    }
+    for k, evs in spec.items():
+        for (d, v) in evs:
+            rows.append((k, t0 + d * day, v))
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    out = {r.key: r for r in rfm_scores(df, buckets=5).collect()}
+    assert len(out) == 5
+    # anchor = max ts = day 9; u2's last event day 1 -> recency 8
+    assert out["u2"].recency_days == 8 and out["u1"].recency_days == 0
+    assert out["u1"].frequency == 6 and out["u1"].monetary == 55.0
+    # 5 entities, 5 buckets -> scores are a permutation of 1..5
+    assert sorted(r.r_score for r in out.values()) == [1, 2, 3, 4, 5]
+    assert sorted(r.f_score for r in out.values()) == [1, 2, 3, 4, 5]
+    assert out["u1"].f_score == 5 and out["u1"].m_score == 5
+    assert out["u2"].r_score == 1 and out["u2"].f_score == 1
+    assert out["u1"].rfm == out["u1"].r_score * 100 + 55
+
+    ev = [
+        ("u1", 1, "view"), ("u1", 2, "click"), ("u1", 3, "view"),
+        ("u1", 4, "click"), ("u2", 5, "view"), ("u2", 6, "buy"),
+        ("u3", 7, "view"),                      # single event: no pair
+    ]
+    df2 = spark.createDataFrame(
+        [(k, t0 + s * dt.timedelta(seconds=1), t) for k, s, t in ev],
+        "key string, ts timestamp, event_type string",
+    )
+    tm = {(r.from_type, r.to_type): r for r in transition_matrix(df2).collect()}
+    assert tm[("view", "click")].n == 2
+    assert tm[("click", "view")].n == 1
+    assert tm[("view", "buy")].n == 1
+    assert abs(tm[("view", "click")].prob - 2 / 3) < 1e-12
+    assert abs(tm[("view", "buy")].prob - 1 / 3) < 1e-12
+    assert abs(tm[("click", "view")].prob - 1.0) < 1e-12
+    assert ("buy", "view") not in tm               # cross-entity never pairs
+
+    # same-ts duplicate resolved deterministically by the tiebreak col
+    dup = [
+        ("u1", t0, 1, "a"), ("u1", t0, 2, "b"), ("u1", t0, 3, "c"),
+    ]
+    df3 = spark.createDataFrame(
+        dup, "key string, ts timestamp, eid long, event_type string"
+    )
+    tm3 = {(r.from_type, r.to_type): r.n
+           for r in transition_matrix(df3, tiebreak_col="eid").collect()}
+    assert tm3 == {("a", "b"): 1, ("b", "c"): 1}
+
+
+def test_tod_percentiles_kruskal(spark):
+    """tod_percentiles: quartiles per (key, hour) match numpy
+    interpolated percentiles. kruskal_dow: H matches a hand replay
+    with mid-ranks + tie correction; a pure weekday effect scores
+    much higher than iid noise."""
+    import datetime as dt
+
+    import numpy as np
+
+    from spark_timeseries_spark.operators.features import (
+        kruskal_dow,
+        tod_percentiles,
+    )
+
+    rng = np.random.RandomState(47)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    vals_by_hour = {}
+    for i in range(240):
+        ts = t0 + dt.timedelta(hours=i)
+        v = float(np.round(rng.randn() + (ts.hour % 4), 1))
+        rows.append(("a", ts, v))
+        vals_by_hour.setdefault(ts.hour, []).append(v)
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    out = {r.hour: r for r in tod_percentiles(df).collect()}
+    assert set(out) == set(range(24))
+    for h in (0, 7, 23):
+        arr = np.array(vals_by_hour[h])
+        assert out[h].n == len(arr)
+        for q, f in ((25, "p25"), (50, "p50"), (75, "p75")):
+            assert abs(getattr(out[h], f) - np.percentile(arr, q)) < 1e-12
+
+    # kruskal: replay with mid-ranks over the whole series
+    days = 84
+    rows2 = []
+    for i in range(days):
+        ts = t0 + dt.timedelta(days=i)
+        dow = ts.isoweekday()
+        rows2.append(("eff", ts, float(np.round(dow + 0.1 * rng.randn(), 1))))
+        rows2.append(("iid", ts, float(np.round(rng.randn(), 1))))
+    df2 = spark.createDataFrame(rows2, "key string, ts timestamp, value double")
+    out2 = {r.key: r for r in kruskal_dow(df2).collect()}
+
+    def replay(vals, groups):
+        import pandas as pd
+        r = pd.Series(vals).rank().to_numpy()   # mid-ranks
+        N = len(vals)
+        s2 = 0.0
+        for gset in set(groups):
+            m = np.array([g == gset for g in groups])
+            s2 += r[m].sum() ** 2 / m.sum()
+        h = 12.0 / (N * (N + 1)) * s2 - 3 * (N + 1)
+        _, t = np.unique(vals, return_counts=True)
+        corr = 1.0 - (t ** 3 - t).sum() / (N ** 3 - N)
+        return h, h / corr
+
+    for k in ("eff", "iid"):
+        vals = [v for kk, ts, v in rows2 if kk == k]
+        grps = [(t0 + dt.timedelta(days=i)).isoweekday() for i in range(days)]
+        h, ha = replay(vals, grps)
+        assert abs(out2[k].h - h) < 1e-9, k
+        assert abs(out2[k].h_adj - ha) < 1e-9, k
+        assert out2[k].n == days and out2[k].n_groups == 7
+    assert out2["eff"].h_adj > 60 and out2["iid"].h_adj < 20
+
+
+def test_acf_features(spark):
+    """acf_features: per-overlap Pearson ACF at lags 1..10 replayed in
+    numpy; sum of squares over defined lags; first negative lag found
+    (period-8 sine goes negative by lag 3); NULL when none negative."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.features import acf_features
+
+    n = 120
+    t = np.arange(n)
+    sine = np.sin(2 * np.pi * t / 8.0)
+    trend = t.astype(float)                     # acf stays positive
+    rows = [("s", int(i), float(sine[i])) for i in range(n)]
+    rows += [("t", int(i), float(trend[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    out = {r.key: r for r in acf_features(df, max_lag=10).collect()}
+
+    def acf(v, k):
+        a, b = v[k:], v[:-k]
+        return np.corrcoef(a, b)[0, 1]
+
+    for key, v in (("s", sine), ("t", trend)):
+        accs = [acf(v, k) for k in range(1, 11)]
+        assert abs(out[key].acf1 - accs[0]) < 1e-9
+        assert abs(out[key].sum_sq_acf - sum(a * a for a in accs)) < 1e-9
+    negs = [k for k in range(1, 11) if acf(sine, k) < 0]
+    assert out["s"].first_neg_lag == negs[0]
+    assert out["t"].first_neg_lag is None
+
+
+def test_roll_entropy(spark):
+    """roll_entropy: bin grid from the series' own min/max (max clips
+    into the top bin); entropy replayed in numpy; constant series give
+    exactly 0; burn-in NULL."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.rolling import roll_entropy
+
+    rng = np.random.RandomState(53)
+    n = 60
+    v = rng.uniform(0, 10, n)
+    rows = [("a", i, float(v[i])) for i in range(n)]
+    rows += [("flat", i, 3.0) for i in range(12)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    out = {(r.key, r.loc): r for r in roll_entropy(df, n=10, bins=4).collect()}
+
+    lo, hi = v.min(), v.max()
+    bins = np.minimum((v - lo) / (hi - lo) * 4, 3.999).astype(int)
+    for i in range(n):
+        assert out[("a", i)].bin == bins[i]
+        if i < 9:
+            assert out[("a", i)].entropy is None
+        else:
+            w = bins[i - 9: i + 1]
+            _, c = np.unique(w, return_counts=True)
+            p = c / 10.0
+            exp = -(p * np.log(p)).sum()
+            assert abs(out[("a", i)].entropy - exp) < 1e-12
+    assert out[("flat", 11)].entropy == 0.0 and out[("flat", 11)].bin == 0
+
+
+def test_bucket_cardinality_max_concurrency(spark):
+    """bucket_cardinality: exact path = COUNT DISTINCT per bucket;
+    sketch path within the HLL error envelope. max_concurrency:
+    sweep-line peak on constructed sessions with an exact-touch
+    overlap (inclusive ends) and a deterministic earliest peak_ts."""
+    import datetime as dt
+
+    from spark_timeseries_spark.operators.resample import bucket_cardinality
+    from spark_timeseries_spark.operators.sessionize import max_concurrency
+
+    t0 = dt.datetime(2024, 6, 1)
+    rows = []
+    for d in range(3):
+        for u in range(10 * (d + 1)):
+            rows.append((f"u{u}", t0 + dt.timedelta(days=d, minutes=u)))
+            rows.append((f"u{u}", t0 + dt.timedelta(days=d, minutes=u + 1)))
+    df = spark.createDataFrame(rows, "key string, ts timestamp")
+    ex = {r.bucket.day: r for r in bucket_cardinality(df, "day").collect()}
+    for d in range(3):
+        assert ex[d + 1].n_unique == 10 * (d + 1)
+        assert ex[d + 1].n_events == 20 * (d + 1)
+    ap = {r.bucket.day: r for r in
+          bucket_cardinality(df, "day", exact=False).collect()}
+    for d in range(3):
+        true = 10 * (d + 1)
+        assert abs(ap[d + 1].n_unique - true) <= max(2, 0.2 * true)
+    with pytest.raises(ValueError):
+        bucket_cardinality(df, "minute")
+
+    s = lambda m: t0 + dt.timedelta(minutes=m)
+    sess = [
+        (s(0), s(10)),    # A
+        (s(5), s(15)),    # B overlaps A -> 2
+        (s(10), s(20)),   # C starts exactly at A's end: inclusive -> 3
+        (s(30), s(40)),   # D isolated
+    ]
+    sdf = spark.createDataFrame(
+        sess, "session_start timestamp, session_end_ts timestamp"
+    )
+    out = max_concurrency(sdf).collect()[0]
+    assert out.n_sessions == 4
+    assert out.max_concurrent == 3
+    assert out.peak_ts == s(10)      # earliest instant reaching the peak
