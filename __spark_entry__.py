@@ -4239,7 +4239,7 @@ def _q_trix(spark, sf_dir):
 
     grid = _daily_grid(spark, sf_dir)
     filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
-    out = trix(filled, n=8)
+    out = trix(filled, n=8, max_len=31)
     return out.select(
         "key", "loc",
         _stable_round(F.col("ema3"), 6).alias("ema3"),
