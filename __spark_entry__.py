@@ -4441,6 +4441,82 @@ def _q_max_concurrency(spark, sf_dir):
 
 
 
+def _q_missingness(spark, sf_dir):
+    """Missing-data audit (count/fraction/run shape) per raw daily-grid
+    series — gaps-and-islands over the NULL indicator."""
+    from spark_timeseries_spark.operators.fill import missingness_profile
+
+    grid = _daily_grid(spark, sf_dir)
+    out = missingness_profile(grid)
+    return out.select(
+        "key", "n_rows", "n_missing",
+        _stable_round(F.col("missing_frac"), 6).alias("missing_frac"),
+        "n_null_runs", "longest_null_run",
+    )
+
+
+def _q_seasonal_zscore(spark, sf_dir):
+    """Hour-of-day peer-group z-score per raw event — one (key, hour)
+    window pass, |z| > 2 anomaly flag."""
+    from spark_timeseries_spark.operators.features import seasonal_zscore
+
+    obs = events_observations(spark, sf_dir)
+    out = seasonal_zscore(obs, unit="hour", thresh=2.0)
+    return out.select(
+        "key", "ts", "value", "pos",
+        _stable_round(F.col("z"), 6).alias("z"),
+        "anomaly",
+    )
+
+
+def _q_top_drawdowns(spark, sf_dir):
+    """Three deepest drawdown spells per filled daily-grid series —
+    islands + one rank window over the spell table."""
+    from spark_timeseries_spark.operators.cumulative import top_drawdowns
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
+    out = top_drawdowns(filled, k=3)
+    return out.select(
+        "key", "spell_rank", "start_loc", "end_loc", "n_obs",
+        _stable_round(F.col("depth"), 6).alias("depth"),
+    )
+
+
+def _q_stickiness(spark, sf_dir):
+    """DAU / trailing-7-day MAU per day — contribution explode of the
+    distinct (user, day) table, no rolling count-distinct."""
+    from spark_timeseries_spark.operators.resample import stickiness
+
+    obs = events_observations(spark, sf_dir)
+    out = stickiness(obs, window_days=7)
+    return out.select(
+        "bucket", "dau", "mau",
+        _stable_round(F.col("stickiness"), 6).alias("stickiness"),
+    )
+
+
+def _q_cohort_values(spark, sf_dir):
+    """Daily cohort LTV triangle (value sums, cumulative, per-member)
+    over the events — the retention plan plus one value aggregate."""
+    from spark_timeseries_spark.operators.funnel import cohort_values
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        F.col("user_id").cast("string").alias("key"), "ts", "value"
+    )
+    out = cohort_values(obs, "day")
+    return out.select(
+        "cohort", "offset", "n_active",
+        _stable_round(F.col("value_sum"), 6).alias("value_sum"),
+        _stable_round(F.col("cum_value"), 6).alias("cum_value"),
+        "cohort_size",
+        _stable_round(F.col("cum_value_per_member"), 6).alias(
+            "cum_value_per_member"
+        ),
+    )
+
+
 _ALL_QUERIES = {
     # -- (a) must-prove: r10-touched / r10-new ---------------------------
     "retention_cohorts": _q_retention_cohorts,
@@ -4534,6 +4610,11 @@ _ALL_QUERIES = {
     "roll_entropy": _q_roll_entropy,
     "bucket_cardinality": _q_bucket_cardinality,
     "max_concurrency": _q_max_concurrency,
+    "missingness": _q_missingness,
+    "seasonal_zscore": _q_seasonal_zscore,
+    "top_drawdowns": _q_top_drawdowns,
+    "stickiness": _q_stickiness,
+    "cohort_values": _q_cohort_values,
     "dup_spans": _q_dup_spans,
     "embedding_covariance": _q_embedding_covariance,
     "cusum": _q_cusum,
@@ -4732,13 +4813,17 @@ _ALL_QUERIES = {
 # fix — the r10 ADVICE item), ``robust_location`` (exact=False sketch
 # path added; the exported exact path re-proves), and the 11 r11-new
 # operators (williams_r/cci/cmo/trix/aroon, capture_ratios/active_stats,
-# robust_scale/gap_outages, rfm/transition_matrix); (b) the 13
+# robust_scale/gap_outages, rfm/transition_matrix,
+# tod_percentiles/kruskal_dow/acf_features/roll_entropy/
+# bucket_cardinality/max_concurrency, missingness/seasonal_zscore/
+# top_drawdowns/stickiness/cohort_values — 22 rows); (b) the 13
 # r10-late rows the r10 verdict ordered promoted first (ulcer and
-# robust_location already count under (a)); (c) the stalest r5/r6
-# rotation queue (dup_spans .. lb_test — 24 rows). Everything displaced
-# retains full-strict-log evidence (tools/check_correctness log,
-# refreshed in the same commit as every query/semantics change — the
-# r5 lockstep rule).
+# robust_location already count under (a) — 11 rows); (c) the stalest
+# r5/r6 rotation queue (dup_spans .. dominant_period — 13 rows; the
+# block's remainder queues for r12). Everything displaced retains
+# full-strict-log evidence (tools/check_correctness log, refreshed in
+# the same commit as every query/semantics change — the r5 lockstep
+# rule).
 _WINDOW_R11 = [
     "retention_month",
     "kendall",
@@ -4756,7 +4841,8 @@ _WINDOW_R11 = [
     "rfm",
     "transition_matrix", "tod_percentiles", "kruskal_dow",
     "acf_features", "roll_entropy", "bucket_cardinality",
-    "max_concurrency",
+    "max_concurrency", "missingness", "seasonal_zscore",
+    "top_drawdowns", "stickiness", "cohort_values",
     "stylometric_delta",
     "keltner",
     "donchian",
@@ -4781,17 +4867,6 @@ _WINDOW_R11 = [
     "hampel",
     "periodogram",
     "dominant_period",
-    "incremental_near_dedup",
-    "knn_cosine",
-    "ewma_fit",
-    "argarch_fit",
-    "fill_spline",
-    "to_series_digest",
-    "to_observations",
-    "roll_sum_center",
-    "bg_test",
-    "bp_test",
-    "lb_test",
 ]
 
 
@@ -12614,5 +12689,173 @@ def oracle_sql() -> dict[str, str]:
                mx AS max_concurrent,
                (SELECT min(ts) FROM run WHERE r = mx) AS peak_ts
         FROM m
+    """
+
+    o["missingness"] = _DAILY_GRID_SQL + f"""
+        , fl AS (
+            SELECT key, loc,
+                   CASE WHEN value IS NULL THEN 1 ELSE 0 END AS m,
+                   CASE WHEN value IS NULL
+                             AND coalesce(lag(CASE WHEN value IS NULL
+                                               THEN 1 ELSE 0 END)
+                                 OVER (PARTITION BY key ORDER BY loc), 0)
+                                 = 0
+                        THEN 1 ELSE 0 END AS st
+            FROM grid
+        ),
+        b AS (
+            SELECT key, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(m) AS BIGINT) AS n_missing
+            FROM fl GROUP BY key
+        ),
+        rid AS (
+            SELECT key, m,
+                   sum(st) OVER (PARTITION BY key ORDER BY loc
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS run
+            FROM fl
+        ),
+        runs AS (
+            SELECT key, run, CAST(count(*) AS BIGINT) AS len
+            FROM rid WHERE m = 1 GROUP BY 1, 2
+        ),
+        rs AS (
+            SELECT key, CAST(count(*) AS BIGINT) AS n_null_runs,
+                   max(len) AS longest_null_run
+            FROM runs GROUP BY key
+        )
+        SELECT b.key, n_rows, n_missing,
+               {_sr_sql(
+                   "CAST(n_missing AS DOUBLE) / CAST(n_rows AS DOUBLE)", 6
+               )} AS missing_frac,
+               coalesce(n_null_runs, 0) AS n_null_runs,
+               coalesce(longest_null_run, 0) AS longest_null_run
+        FROM b LEFT JOIN rs ON rs.key = b.key
+    """
+
+    o["seasonal_zscore"] = f"""
+        WITH obs AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, ts, value
+            FROM events WHERE value IS NOT NULL
+        ),
+        zz AS (
+            SELECT key, ts, value, CAST(hour(ts) AS INT) AS pos,
+                   (value - avg(value) OVER wn)
+                       / stddev_samp(value) OVER wn AS z
+            FROM obs
+            WINDOW wn AS (PARTITION BY key, hour(ts))
+        )
+        SELECT key, ts, value, pos, {_sr_sql("z", 6)} AS z,
+               CASE WHEN z IS NOT NULL THEN abs(z) > 2.0 END AS anomaly
+        FROM zz
+    """
+
+    o["top_drawdowns"] = _DAILY_GRID_SQL + _FILLED_SQL + f"""
+        , nn AS (SELECT key, loc, value FROM filled WHERE value IS NOT NULL),
+        dd AS (
+            SELECT key, loc,
+                   value / max(value) OVER (PARTITION BY key ORDER BY loc
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - 1.0 AS d
+            FROM nn
+        ),
+        uw AS (
+            SELECT key, loc, d, CASE WHEN d < 0 THEN 1 ELSE 0 END AS u
+            FROM dd
+        ),
+        st AS (
+            SELECT key, loc, d, u,
+                   CASE WHEN u = 1 AND coalesce(lag(u) OVER
+                        (PARTITION BY key ORDER BY loc), 0) = 0
+                        THEN 1 ELSE 0 END AS s
+            FROM uw
+        ),
+        sid AS (
+            SELECT key, loc, d, u,
+                   sum(s) OVER (PARTITION BY key ORDER BY loc
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS spell
+            FROM st
+        ),
+        spells AS (
+            SELECT key, spell, min(loc) AS start_loc, max(loc) AS end_loc,
+                   CAST(count(*) AS BIGINT) AS n_obs, min(d) AS depth
+            FROM sid WHERE u = 1 GROUP BY 1, 2
+        )
+        SELECT key,
+               CAST(row_number() OVER (PARTITION BY key
+                    ORDER BY depth ASC, start_loc ASC) AS INT)
+                   AS spell_rank,
+               start_loc, end_loc, n_obs, {_sr_sql("depth", 6)} AS depth
+        FROM spells
+        QUALIFY spell_rank <= 3
+    """
+
+    o["stickiness"] = f"""
+        WITH acts AS (
+            SELECT DISTINCT CAST(user_id AS VARCHAR) AS k,
+                   CAST(date_trunc('day', ts) AS DATE) AS d
+            FROM events
+        ),
+        dau AS (
+            SELECT d AS bucket, CAST(count(DISTINCT k) AS BIGINT) AS dau
+            FROM acts GROUP BY 1
+        ),
+        fan AS (
+            SELECT k, d + CAST(o.off AS INT) AS bucket
+            FROM acts, unnest(generate_series(0, 6)) AS o(off)
+        ),
+        mau AS (
+            SELECT bucket, CAST(count(DISTINCT k) AS BIGINT) AS mau
+            FROM fan GROUP BY 1
+        )
+        SELECT CAST(dau.bucket AS TIMESTAMP) AS bucket, dau, mau,
+               {_sr_sql(
+                   "CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE)", 6
+               )} AS stickiness
+        FROM dau JOIN mau ON mau.bucket = dau.bucket
+    """
+
+    o["cohort_values"] = f"""
+        WITH acts AS (
+            SELECT CAST(user_id AS VARCHAR) AS _k,
+                   date_trunc('day', ts) AS _b,
+                   coalesce(sum(value), 0.0) AS _s
+            FROM events GROUP BY 1, 2
+        ),
+        fa AS (
+            SELECT _k, _b, _s, min(_b) OVER (PARTITION BY _k) AS _cohort
+            FROM acts
+        ),
+        j AS (
+            SELECT _k, _cohort,
+                   CAST(date_diff('day', _cohort, _b) AS BIGINT) AS _off,
+                   _s
+            FROM fa
+        ),
+        tri AS (
+            SELECT _cohort AS cohort, _off AS "offset",
+                   CAST(count(DISTINCT _k) AS BIGINT) AS n_active,
+                   sum(_s) AS value_sum
+            FROM j GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT cohort, "offset", n_active, value_sum,
+                   sum(value_sum) OVER (PARTITION BY cohort ORDER BY "offset"
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_value,
+                   CAST(max(CASE WHEN "offset" = 0 THEN n_active END)
+                        OVER (PARTITION BY cohort) AS BIGINT)
+                       AS cohort_size
+            FROM tri
+        )
+        SELECT cohort, "offset", n_active,
+               {_sr_sql("value_sum", 6)} AS value_sum,
+               {_sr_sql("cum_value", 6)} AS cum_value,
+               cohort_size,
+               {_sr_sql(
+                   "cum_value / CAST(cohort_size AS DOUBLE)", 6
+               )} AS cum_value_per_member
+        FROM cum
     """
     return o

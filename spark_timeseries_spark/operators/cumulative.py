@@ -25,7 +25,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["drawdown", "max_drawdown", "counter_increase", "underwater"]
+__all__ = [
+    "drawdown", "max_drawdown", "counter_increase", "underwater",
+    "top_drawdowns",
+]
 
 
 def drawdown(
@@ -224,4 +227,61 @@ def underwater(
         F.coalesce("n_spells", F.lit(0)).alias("n_spells"),
         F.coalesce("longest_spell", F.lit(0)).alias("longest_spell"),
         F.col("max_dd"),
+    )
+
+
+def top_drawdowns(
+    df: DataFrame,
+    k: int = 3,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """The k DEEPEST drawdown spells per series → (key, spell_rank,
+    start_loc, end_loc, n_obs, depth): each spell is a maximal run of
+    consecutive observations below the running peak (the
+    :func:`underwater` gaps-and-islands definition), ``depth`` its most
+    negative peak-relative drawdown, ranked deepest-first
+    (``spell_rank`` 1 = worst; ties broken by earliest start — stated,
+    deterministic). The episode TABLE behind :func:`underwater`'s
+    summary — risk reports want the dates, not just the count.
+
+    Plan: running-peak window → double-cumsum spell ids → ONE
+    groupBy(key, spell) → one rank window over the (small) spell table
+    — no joins, all JVM."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+    v = F.col(value_col)
+    d = (
+        df.where(v.isNotNull())
+        .withColumn("_peak", F.max(value_col).over(w))
+        .withColumn("_dd", v / F.col("_peak") - 1.0)
+        .withColumn("_uw", (F.col("_dd") < 0).cast("int"))
+    )
+    start = (
+        (F.col("_uw") == 1)
+        & (F.coalesce(F.lag("_uw").over(ws), F.lit(0)) == 0)
+    ).cast("int")
+    d = d.withColumn("_spell", F.sum(start).over(ws)).where(F.col("_uw") == 1)
+    spells = d.groupBy(key_col, "_spell").agg(
+        F.min(order_col).alias("start_loc"),
+        F.max(order_col).alias("end_loc"),
+        F.count(F.lit(1)).alias("n_obs"),
+        F.min("_dd").alias("depth"),
+    )
+    wr = Window.partitionBy(key_col).orderBy(
+        F.col("depth").asc(), F.col("start_loc").asc()
+    )
+    return (
+        spells.withColumn("spell_rank", F.row_number().over(wr))
+        .where(F.col("spell_rank") <= k)
+        .select(
+            key_col, "spell_rank", "start_loc", "end_loc", "n_obs", "depth"
+        )
     )

@@ -61,6 +61,7 @@ __all__ = [
     "tod_percentiles",
     "kruskal_dow",
     "acf_features",
+    "seasonal_zscore",
 ]
 
 
@@ -1490,4 +1491,46 @@ def acf_features(
         F.col("_c1").alias("acf1"),
         ssq.alias("sum_sq_acf"),
         first_neg.alias("first_neg_lag"),
+    )
+
+
+def seasonal_zscore(
+    df: DataFrame,
+    unit: str = "hour",
+    thresh: float = 3.0,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Seasonality-adjusted anomaly score per observation → input
+    non-null rows + ``pos`` (the seasonal position: hour-of-day or
+    ISO weekday), ``z`` ((value − that position's own mean) / its own
+    sample σ — each observation scored against its SEASONAL PEER GROUP
+    within the same key, so a 3 AM spike is judged against 3 AMs, not
+    the whole day), and ``anomaly`` (|z| > ``thresh``; NULL z/anomaly
+    when the peer group is constant or a singleton — try_divide). The
+    per-point companion of :func:`tod_profile`/:func:`tod_percentiles`
+    (which profile the groups; this flags the points).
+
+    Plan: ONE (key, pos)-partitioned window pass — no joins, no
+    second scan, all JVM."""
+    if unit not in ("hour", "dow"):
+        raise ValueError(f"unit must be hour|dow, got {unit}")
+    if thresh <= 0:
+        raise ValueError(f"thresh must be positive, got {thresh}")
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    pos = (
+        F.hour(ts_col) if unit == "hour" else F.dayofweek(ts_col)
+    ).cast("int")
+    d = pts.withColumn("pos", pos)
+    wn = Window.partitionBy(key_col, "pos")
+    z = F.try_divide(
+        v - F.avg(value_col).over(wn),
+        F.stddev_samp(value_col).over(wn),
+    )
+    d = d.withColumn("z", z)
+    return d.withColumn(
+        "anomaly",
+        F.when(F.col("z").isNotNull(), F.abs(F.col("z")) > thresh),
     )

@@ -235,3 +235,58 @@ def fill_spline(
         return pdf
 
     return df.groupBy(key_col).applyInPandas(_fill, schema=df.schema)
+
+
+def missingness_profile(
+    df: DataFrame,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Missing-data audit per series → (key, n_rows, n_missing,
+    missing_frac, n_null_runs, longest_null_run): how much is missing
+    and in what SHAPE — 30 scattered holes interpolate fine, one
+    30-point blackout does not, so every fill decision should read
+    this first (the diagnostic companion of the fill family; run
+    before choosing a method/limit). A null RUN is a maximal stretch
+    of consecutive NULL values in grid order; series with no nulls
+    report 0/0.
+
+    Plan: one lag window on the (key, order) sort (null-run starts by
+    the gaps-and-islands flag), one groupBy(key, run) over the null
+    rows only, one groupBy(key), joined back to the per-key row counts
+    — aggregates all the way, no Python."""
+    v = F.col(value_col)
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+    flag = v.isNull().cast("int")
+    d = df.withColumn("_m", flag).withColumn(
+        "_start",
+        (
+            (F.col("_m") == 1)
+            & (F.coalesce(F.lag("_m").over(ws), F.lit(0)) == 0)
+        ).cast("int"),
+    )
+    base = d.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_m").alias("n_missing"),
+    )
+    runs = (
+        d.withColumn("_run", F.sum("_start").over(ws))
+        .where(F.col("_m") == 1)
+        .groupBy(key_col, "_run")
+        .agg(F.count(F.lit(1)).alias("_len"))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_null_runs"),
+            F.max("_len").alias("longest_null_run"),
+        )
+    )
+    return base.join(runs, key_col, "left").select(
+        key_col, "n_rows", "n_missing",
+        (
+            F.col("n_missing").cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("missing_frac"),
+        F.coalesce("n_null_runs", F.lit(0)).alias("n_null_runs"),
+        F.coalesce("longest_null_run", F.lit(0)).alias("longest_null_run"),
+    )

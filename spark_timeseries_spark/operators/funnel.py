@@ -26,7 +26,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "retention_cohorts", "rfm_scores", "transition_matrix"]
+__all__ = [
+    "funnel", "retention_cohorts", "cohort_values", "rfm_scores",
+    "transition_matrix",
+]
 
 
 def funnel(
@@ -258,4 +261,84 @@ def transition_matrix(
     return d.withColumn(
         "prob",
         F.col("n").cast("double") / F.sum("n").over(wf).cast("double"),
+    )
+
+
+def cohort_values(
+    df: DataFrame,
+    unit: str = "week",
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Cohort VALUE (LTV) triangle → (cohort, offset, n_active,
+    value_sum, cum_value, cohort_size, cum_value_per_member): the
+    revenue companion of :func:`retention_cohorts` — per first-
+    activity cohort and calendar offset (same ``unit`` conventions,
+    incl. exact month arithmetic), the period's Σ ``value_col`` over
+    the cohort's events, its running cumulative, and the classic
+    LTV-curve normalization cum_value / cohort_size (members counted
+    at offset 0, the cohort definition). NULL values add 0 (SUM
+    skips them; a period with only-NULL values still counts its
+    actives).
+
+    Plan: the retention plan plus one value sum — per-entity cohort
+    via ``min() OVER (PARTITION BY key)`` on the (key, bucket)
+    aggregate (ZERO joins, no entity broadcast — the r9 adjudication),
+    one (cohort, offset) aggregate, two cohort-partitioned windows
+    (cumulative + size) over the triangle table (tiny)."""
+    if unit not in ("day", "week", "hour", "month"):
+        raise ValueError(
+            f"unit must be one of ['day', 'hour', 'month', 'week'],"
+            f" got {unit}"
+        )
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    acts = df.select(
+        F.col(key_col).alias("_k"), bucket.alias("_b"),
+        F.col(value_col).alias("_v"),
+    ).groupBy("_k", "_b").agg(
+        F.coalesce(F.sum("_v"), F.lit(0.0)).alias("_s")
+    )
+    wk = Window.partitionBy("_k")
+    if unit == "day":
+        off = F.datediff(F.col("_b"), F.col("_cohort"))
+    elif unit == "week":
+        off = F.floor(F.datediff(F.col("_b"), F.col("_cohort")) / 7)
+    elif unit == "month":
+        off = F.months_between(F.col("_b"), F.col("_cohort"))
+    else:  # hour
+        off = (
+            F.unix_timestamp("_b") - F.unix_timestamp("_cohort")
+        ) / 3600
+    joined = acts.withColumn("_cohort", F.min("_b").over(wk)).select(
+        "_k", "_cohort", off.cast("long").alias("_off"), "_s"
+    )
+    tri = joined.groupBy(
+        F.col("_cohort").alias("cohort"), F.col("_off").alias("offset")
+    ).agg(
+        F.count_distinct("_k").alias("n_active"),
+        F.sum("_s").alias("value_sum"),
+    )
+    wc = Window.partitionBy("cohort")
+    wcum = (
+        Window.partitionBy("cohort")
+        .orderBy("offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tri.withColumn("cum_value", F.sum("value_sum").over(wcum))
+        .withColumn(
+            "cohort_size",
+            F.max(
+                F.when(F.col("offset") == 0, F.col("n_active"))
+            ).over(wc),
+        )
+        .select(
+            "cohort", "offset", "n_active", "value_sum", "cum_value",
+            "cohort_size",
+            F.try_divide(
+                F.col("cum_value"),
+                F.col("cohort_size").cast("double"),
+            ).alias("cum_value_per_member"),
+        )
     )

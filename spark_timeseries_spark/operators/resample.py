@@ -362,3 +362,54 @@ def bucket_cardinality(
         F.count(F.lit(1)).alias("n_events"),
         uniq.alias("n_unique"),
     )
+
+
+def stickiness(
+    df: DataFrame,
+    window_days: int = 28,
+    key_col: str = "key",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """DAU/MAU engagement ratio per day → (bucket, dau, mau,
+    stickiness): ``dau`` = distinct entities active that day, ``mau``
+    = distinct entities active in the TRAILING ``window_days``-day
+    window ending that day (inclusive), stickiness = dau/mau — the
+    standard product-engagement gauge (≈ how many days of the window
+    the average active user shows up). Only days with ≥ 1 event emit a
+    row (stated: the trailing window is still counted over the full
+    calendar, so a gap day inside the window contributes its users to
+    later MAUs regardless).
+
+    Plan: rolling COUNT(DISTINCT) has no window form, so the classic
+    contribution explode: the DISTINCT (entity, day) activity table
+    fans each row out to the ``window_days`` target days it supports
+    (one Generate, bounded ×28), then ONE count_distinct aggregate per
+    target day — two exchanges over the (entities × days) table, never
+    over raw events; no self-join, no per-day re-scan."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    day = F.date_trunc("day", F.col(ts_col))
+    acts = df.select(
+        F.col(key_col).alias("_k"), day.cast("date").alias("_d")
+    ).distinct()
+    dau = acts.groupBy(F.col("_d").alias("bucket")).agg(
+        F.count_distinct("_k").alias("dau")
+    )
+    fan = acts.select(
+        "_k",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(window_days - 1))
+        ).alias("_off"),
+        "_d",
+    ).select("_k", F.date_add(F.col("_d"), F.col("_off")).alias("bucket"))
+    mau = fan.groupBy("bucket").agg(F.count_distinct("_k").alias("mau"))
+    return (
+        dau.join(mau, "bucket")
+        .select(
+            F.col("bucket").cast("timestamp").alias("bucket"),
+            "dau", "mau",
+            F.try_divide(
+                F.col("dau").cast("double"), F.col("mau").cast("double")
+            ).alias("stickiness"),
+        )
+    )

@@ -4603,3 +4603,112 @@ def test_bucket_cardinality_max_concurrency(spark):
     assert out.n_sessions == 4
     assert out.max_concurrent == 3
     assert out.peak_ts == s(10)      # earliest instant reaching the peak
+
+
+def test_missingness_seasonal_zscore(spark):
+    """missingness_profile: run counting on a constructed null
+    pattern, no-null series report 0/0. seasonal_zscore: z replayed
+    against the (key, hour) peer group; singleton/constant groups
+    yield NULL."""
+    import datetime as dt
+
+    import numpy as np
+
+    from spark_timeseries_spark.operators.features import seasonal_zscore
+    from spark_timeseries_spark.operators.fill import missingness_profile
+
+    pat = [1.0, None, None, 3.0, None, 5.0, None, None, None, 9.0]
+    rows = [("a", i, pat[i]) for i in range(len(pat))]
+    rows += [("full", i, float(i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    out = {r.key: r for r in missingness_profile(df).collect()}
+    assert out["a"].n_rows == 10 and out["a"].n_missing == 6
+    assert abs(out["a"].missing_frac - 0.6) < 1e-12
+    assert out["a"].n_null_runs == 3 and out["a"].longest_null_run == 3
+    assert out["full"].n_null_runs == 0 and out["full"].longest_null_run == 0
+
+    rng = np.random.RandomState(59)
+    t0 = dt.datetime(2024, 1, 1)
+    rows2, by_hour = [], {}
+    for i in range(24 * 8):
+        ts = t0 + dt.timedelta(hours=i)
+        v = float(np.round(rng.randn() * (1 + ts.hour % 3), 2))
+        rows2.append(("k", ts, v))
+        by_hour.setdefault(ts.hour, []).append(v)
+    # one singleton-group key
+    rows2.append(("solo", t0, 5.0))
+    df2 = spark.createDataFrame(rows2, "key string, ts timestamp, value double")
+    out2 = {(r.key, r.ts): r for r in seasonal_zscore(df2, thresh=2.0).collect()}
+    for i in (0, 50, 100):
+        ts = t0 + dt.timedelta(hours=i)
+        grp = np.array(by_hour[ts.hour])
+        exp = (rows2[i][2] - grp.mean()) / grp.std(ddof=1)
+        r = out2[("k", ts)]
+        assert abs(r.z - exp) < 1e-9 and r.pos == ts.hour
+        assert r.anomaly == (abs(exp) > 2.0)
+    assert out2[("solo", t0)].z is None and out2[("solo", t0)].anomaly is None
+
+
+def test_top_drawdowns(spark):
+    """top_drawdowns lists the deepest spells with exact bounds/depth:
+    constructed series with three spells of known depths, ranked
+    deepest-first, k truncation."""
+    from spark_timeseries_spark.operators.cumulative import top_drawdowns
+
+    # peak 10; spells: locs 1-2 (min 8 -> -0.2), 4-6 (min 5 -> -0.5),
+    # 8 (-0.1); recoveries at 3, 7, 9
+    v = [10.0, 9.0, 8.0, 11.0, 9.0, 5.0, 7.0, 12.0, 10.8, 12.5]
+    df = spark.createDataFrame(
+        [("a", i, v[i]) for i in range(len(v))],
+        "key string, loc long, value double",
+    )
+    out = top_drawdowns(df, k=2).collect()
+    out = sorted(out, key=lambda r: r.spell_rank)
+    assert len(out) == 2
+    assert (out[0].start_loc, out[0].end_loc, out[0].n_obs) == (4, 6, 3)
+    assert abs(out[0].depth - (5.0 / 11.0 - 1.0)) < 1e-12
+    assert (out[1].start_loc, out[1].end_loc) == (1, 2)
+    assert abs(out[1].depth - (8.0 / 10.0 - 1.0)) < 1e-12
+    all3 = top_drawdowns(df, k=10).collect()
+    assert len(all3) == 3
+
+
+def test_stickiness_cohort_values(spark):
+    """stickiness: trailing-window MAU via the contribution explode —
+    hand-checked DAU/MAU on a 3-user calendar; cohort_values: LTV
+    triangle sums, cumulative, and per-member normalization."""
+    import datetime as dt
+
+    from spark_timeseries_spark.operators.funnel import cohort_values
+    from spark_timeseries_spark.operators.resample import stickiness
+
+    t0 = dt.datetime(2024, 2, 1)
+    d = lambda k: t0 + dt.timedelta(days=k)
+    ev = [("u1", d(0)), ("u2", d(0)), ("u1", d(1)), ("u3", d(3)),
+          ("u1", d(3)), ("u2", d(4))]
+    df = spark.createDataFrame(ev, "key string, ts timestamp")
+    out = {r.bucket.day: r for r in stickiness(df, window_days=3).collect()}
+    # day1: dau 2, mau(window days -1..1 => days 0,1) users u1,u2 -> 2
+    assert out[1].dau == 2 and out[1].mau == 2
+    assert out[2].dau == 1 and out[2].mau == 2       # day2: u1; window 0-2
+    # day4: u1,u3 active; window days 2..4 sees u1 (d2,d4), u3 (d4)
+    assert out[4].dau == 2 and out[4].mau == 2
+    assert abs(out[4].stickiness - 1.0) < 1e-12
+    # day5: u2 active; window days 3..5 sees u1, u3 (d4) + u2 (d5)
+    assert out[5].dau == 1 and out[5].mau == 3
+    assert abs(out[5].stickiness - 1 / 3) < 1e-12
+    assert 3 not in out                              # no events on day3
+
+    ev2 = [("u1", d(0), 10.0), ("u2", d(0), 20.0),
+           ("u1", d(1), 5.0), ("u2", d(2), None),
+           ("u3", d(1), 7.0)]
+    df2 = spark.createDataFrame(ev2, "key string, ts timestamp, value double")
+    cv = {(r.cohort.day, r.offset): r
+          for r in cohort_values(df2, "day").collect()}
+    c0 = (1, 0)   # cohort Feb 1
+    assert cv[c0].n_active == 2 and cv[c0].value_sum == 30.0
+    assert cv[c0].cohort_size == 2
+    assert cv[(1, 1)].value_sum == 5.0 and cv[(1, 1)].cum_value == 35.0
+    assert cv[(1, 2)].value_sum == 0.0 and cv[(1, 2)].n_active == 1
+    assert abs(cv[(1, 2)].cum_value_per_member - 17.5) < 1e-12
+    assert cv[(2, 0)].n_active == 1 and cv[(2, 0)].value_sum == 7.0
