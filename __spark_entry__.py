@@ -156,6 +156,7 @@ def _q_return_rates(spark, sf_dir):
 def _q_roll_mean(spark, sf_dir):
     grid = _daily_grid(spark, sf_dir)
     out = rolling.roll_mean(grid, 7, "right")
+
     return out.select("key", "loc", "ts", F.round("value", 6).alias("value"))
 
 
@@ -4517,6 +4518,56 @@ def _q_cohort_values(spark, sf_dir):
     )
 
 
+def _q_attribution(spark, sf_dir):
+    """First/last-touch attribution of purchases to view/click touches
+    within a 3-day lookback — one range-frame window pass."""
+    from spark_timeseries_spark.operators.funnel import attribution
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("key"), "ts", "event_type"
+    )
+    out = attribution(
+        ev, "purchase", ["view", "click"], lookback=3 * 86400.0
+    )
+    return out.select(
+        "key", "conv_ts", "n_touches",
+        "first_touch_ts", "first_touch_type",
+        "last_touch_ts", "last_touch_type",
+    )
+
+
+def _q_heikin_ashi(spark, sf_dir):
+    """Heikin-Ashi candles over each user's daily OHLC bars — the
+    alpha=1/2 EMA splice on one sort."""
+    from spark_timeseries_spark.operators.indicators import heikin_ashi
+    from spark_timeseries_spark.operators.resample import ohlc
+
+    obs = events_observations(spark, sf_dir)
+    out = heikin_ashi(ohlc(obs, "day"), max_len=31)
+    return out.select(
+        "key", "bar_ts",
+        _stable_round(F.col("ha_open"), 6).alias("ha_open"),
+        _stable_round(F.col("ha_close"), 6).alias("ha_close"),
+        _stable_round(F.col("ha_high"), 6).alias("ha_high"),
+        _stable_round(F.col("ha_low"), 6).alias("ha_low"),
+    )
+
+
+def _q_embedding_outliers(spark, sf_dir):
+    """Norm / centroid-cosine / outlier flag per embedding — centroid
+    via one per-dimension aggregate, 1-row threshold broadcast."""
+    from spark_timeseries_spark.pipeline.embeddings import embedding_outliers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_outliers(emb, z=2.0)
+    return out.select(
+        "vec_id",
+        _stable_round(F.col("norm"), 6).alias("norm"),
+        _stable_round(F.col("cos_centroid"), 6).alias("cos_centroid"),
+        "is_outlier",
+    )
+
+
 _ALL_QUERIES = {
     # -- (a) must-prove: r10-touched / r10-new ---------------------------
     "retention_cohorts": _q_retention_cohorts,
@@ -4615,6 +4666,9 @@ _ALL_QUERIES = {
     "top_drawdowns": _q_top_drawdowns,
     "stickiness": _q_stickiness,
     "cohort_values": _q_cohort_values,
+    "attribution": _q_attribution,
+    "heikin_ashi": _q_heikin_ashi,
+    "embedding_outliers": _q_embedding_outliers,
     "dup_spans": _q_dup_spans,
     "embedding_covariance": _q_embedding_covariance,
     "cusum": _q_cusum,
@@ -4842,7 +4896,8 @@ _WINDOW_R11 = [
     "transition_matrix", "tod_percentiles", "kruskal_dow",
     "acf_features", "roll_entropy", "bucket_cardinality",
     "max_concurrency", "missingness", "seasonal_zscore",
-    "top_drawdowns", "stickiness", "cohort_values",
+    "top_drawdowns", "stickiness", "cohort_values", "attribution",
+    "heikin_ashi", "embedding_outliers",
     "stylometric_delta",
     "keltner",
     "donchian",
@@ -4864,9 +4919,6 @@ _WINDOW_R11 = [
     "union_series",
     "lags_custom",
     "stats_suite",
-    "hampel",
-    "periodogram",
-    "dominant_period",
 ]
 
 
@@ -12857,5 +12909,122 @@ def oracle_sql() -> dict[str, str]:
                    "cum_value / CAST(cohort_size AS DOUBLE)", 6
                )} AS cum_value_per_member
         FROM cum
+    """
+
+    o["attribution"] = """
+        WITH ev AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, ts, event_type,
+                   epoch_us(ts) AS us
+            FROM events WHERE event_type IN ('purchase', 'view', 'click')
+        ),
+        wd AS (
+            SELECT key, ts, event_type, us,
+                   min(CASE WHEN event_type IN ('view', 'click')
+                            THEN {'u': us, 't': event_type} END) OVER w
+                       AS fst,
+                   max(CASE WHEN event_type IN ('view', 'click')
+                            THEN {'u': us, 't': event_type} END) OVER w
+                       AS lst,
+                   coalesce(sum(CASE WHEN event_type IN ('view', 'click')
+                                     THEN 1 ELSE 0 END) OVER w, 0) AS n
+            FROM ev
+            WINDOW w AS (PARTITION BY key ORDER BY us
+                         RANGE BETWEEN 259200000000 PRECEDING
+                               AND 1 PRECEDING)
+        )
+        SELECT key, ts AS conv_ts, CAST(n AS BIGINT) AS n_touches,
+               make_timestamp((fst).u) AS first_touch_ts,
+               (fst).t AS first_touch_type,
+               make_timestamp((lst).u) AS last_touch_ts,
+               (lst).t AS last_touch_type
+        FROM wd WHERE event_type = 'purchase'
+    """
+
+    # heikin-ashi: ha_open = alpha=1/2 adjust=False EMA of the seed-
+    # spliced lagged ha_close, replayed by the closed prefix form
+    # (the trix/macd chain precedent; q = a = 0.5 exact binary literals)
+    o["heikin_ashi"] = """
+        WITH bars AS (
+            SELECT CAST(user_id AS VARCHAR) AS key,
+                   date_trunc('day', ts) AS bar_ts,
+                   first(value ORDER BY ts, value) AS open,
+                   max(value) AS high, min(value) AS low,
+                   last(value ORDER BY ts, value) AS close
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        hc AS (
+            SELECT key, bar_ts, open, high, low, close,
+                   (open + high + low + close) / 4.0 AS ha_close
+            FROM bars
+        ),
+        w_ AS (
+            SELECT key, bar_ts, high, low, ha_close,
+                   coalesce(lag(ha_close) OVER wk,
+                            (open + close) / 2.0) AS w,
+                   CAST(row_number() OVER wk - 1 AS BIGINT) AS j
+            FROM hc
+            WINDOW wk AS (PARTITION BY key ORDER BY bar_ts)
+        ),
+        pre AS (
+            SELECT key, bar_ts, high, low, ha_close, j,
+                   first_value(w) OVER wk AS w0,
+                   SUM(CASE WHEN j >= 1 THEN w / power(0.5, j) END)
+                       OVER wp AS s
+            FROM w_
+            WINDOW wk AS (PARTITION BY key ORDER BY j),
+                   wp AS (PARTITION BY key ORDER BY j
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        ha AS (
+            SELECT key, bar_ts, high, low, ha_close,
+                   power(0.5, j) * (w0 + 0.5 * coalesce(s, 0.0)) AS ha_open
+            FROM pre
+        )
+        SELECT key, bar_ts,
+               __SR_HA_OPEN__ AS ha_open,
+               __SR_HA_CLOSE__ AS ha_close,
+               __SR_HA_HIGH__ AS ha_high,
+               __SR_HA_LOW__ AS ha_low
+        FROM ha
+    """
+    o["heikin_ashi"] = (
+        o["heikin_ashi"]
+        .replace("__SR_HA_OPEN__", _sr_sql("ha_open", 6))
+        .replace("__SR_HA_CLOSE__", _sr_sql("ha_close", 6))
+        .replace("__SR_HA_HIGH__", _sr_sql(
+            "greatest(high, ha_open, ha_close)", 6))
+        .replace("__SR_HA_LOW__", _sr_sql(
+            "least(low, ha_open, ha_close)", 6))
+    )
+
+    o["embedding_outliers"] = f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        idx AS (SELECT CAST(range AS INT) AS dim FROM range(0, 8192)),
+        x AS (
+            SELECT vec_id, dim, v[dim + 1] AS x
+            FROM e JOIN idx ON dim < len(v)
+        ),
+        c AS (SELECT dim, avg(x) AS c FROM x GROUP BY dim),
+        per AS (
+            SELECT vec_id, sqrt(sum(x.x * x.x)) AS norm,
+                   sum(x.x * c.c) AS dot,
+                   sqrt(sum(c.c * c.c)) AS cn
+            FROM x JOIN c ON c.dim = x.dim
+            GROUP BY vec_id
+        ),
+        sc AS (
+            SELECT vec_id, norm, dot / (norm * cn) AS cos FROM per
+        ),
+        thr AS (
+            SELECT avg(cos) - 2.0 * stddev_samp(cos) AS t FROM sc
+        )
+        SELECT vec_id, {_sr_sql("norm", 6)} AS norm,
+               {_sr_sql("cos", 6)} AS cos_centroid,
+               CASE WHEN cos IS NOT NULL THEN cos < t END AS is_outlier
+        FROM sc, thr
     """
     return o

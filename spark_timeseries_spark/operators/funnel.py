@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "funnel", "retention_cohorts", "cohort_values", "rfm_scores",
-    "transition_matrix",
+    "transition_matrix", "attribution",
 ]
 
 
@@ -341,4 +341,66 @@ def cohort_values(
                 F.col("cohort_size").cast("double"),
             ).alias("cum_value_per_member"),
         )
+    )
+
+
+def attribution(
+    df: DataFrame,
+    conversion: str,
+    touches: list[str],
+    lookback: float = 7 * 86400.0,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First/last-touch marketing attribution → one row per CONVERSION
+    event: (key, conv_ts, n_touches, first_touch_ts, first_touch_type,
+    last_touch_ts, last_touch_type): the touch events (types in
+    ``touches``) of the same entity STRICTLY BEFORE the conversion and
+    within ``lookback`` seconds of it. No touch in the window → NULL
+    touch columns (an "organic" conversion, n_touches 0). Two touches
+    at the same microsecond tie-break by event type (struct ordering —
+    stated, deterministic).
+
+    Plan: ONE range-frame window pass over the (key, epoch-µs) sort —
+    the first/last touch are min/max of a (ts, type) struct over
+    ``RANGE [conv − lookback µs, conv − 1 µs]``, so no self-join, no
+    per-conversion re-scan; scales like any keyed window."""
+    if lookback <= 0:
+        raise ValueError(f"lookback must be positive seconds, got {lookback}")
+    if not touches:
+        raise ValueError("touches must be non-empty")
+    if conversion in touches:
+        raise ValueError("conversion must not be one of the touches")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    lb_us = int(round(lookback * 1_000_000))
+    d = df.where(F.col(type_col).isin([conversion, *touches])).select(
+        key_col, ts_col, type_col, us.alias("_us")
+    )
+    is_touch = F.col(type_col).isin(list(touches))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_us")
+        .rangeBetween(-lb_us, -1)
+    )
+    tstruct = F.when(
+        is_touch, F.struct(F.col("_us").alias("u"), F.col(type_col).alias("t"))
+    )
+    d = (
+        d.withColumn("_first", F.min(tstruct).over(w))
+        .withColumn("_last", F.max(tstruct).over(w))
+        .withColumn(
+            "_n", F.coalesce(F.sum(is_touch.cast("long")).over(w), F.lit(0))
+        )
+    )
+    conv = d.where(F.col(type_col) == conversion)
+    to_ts = lambda c: F.timestamp_micros(c.cast("long"))
+    return conv.select(
+        key_col,
+        F.col(ts_col).alias("conv_ts"),
+        F.col("_n").alias("n_touches"),
+        to_ts(F.col("_first")["u"]).alias("first_touch_ts"),
+        F.col("_first")["t"].alias("first_touch_type"),
+        to_ts(F.col("_last")["u"]).alias("last_touch_ts"),
+        F.col("_last")["t"].alias("last_touch_type"),
     )

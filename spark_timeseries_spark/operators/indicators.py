@@ -38,7 +38,7 @@ __all__ = [
     "stochastic", "obv", "ewm_var", "atr", "pivot_points",
     "keltner_channels", "donchian_channels", "ulcer_index",
     "rolling_sharpe", "ewma_chart",
-    "williams_r", "cci", "cmo", "trix", "aroon",
+    "williams_r", "cci", "cmo", "trix", "aroon", "heikin_ashi",
 ]
 
 
@@ -932,4 +932,55 @@ def aroon(
         .withColumn("aroon_down", dn)
         .withColumn("aroon_osc", F.col("aroon_up") - F.col("aroon_down"))
         .drop("_rn")
+    )
+
+
+def heikin_ashi(
+    df: DataFrame,
+    key_col: str = "key",
+    order_col: str = "bar_ts",
+    open_col: str = "open",
+    high_col: str = "high",
+    low_col: str = "low",
+    close_col: str = "close",
+    method: str = "auto",
+    max_len: int | None = None,
+) -> DataFrame:
+    """Heikin-Ashi smoothed candles → input rows + ``ha_open``,
+    ``ha_close``, ``ha_high``, ``ha_low``: ha_close = (O+H+L+C)/4;
+    ha_open follows the textbook recursion ha_open_t =
+    (ha_open_{t−1} + ha_close_{t−1})/2 seeded at (O₁+C₁)/2; ha_high/
+    ha_low = the bar's extremes extended to the HA body. The trend-
+    smoothing candle transform — runs of one HA color read as one
+    trend leg.
+
+    Plan: the ha_open recursion IS an α = ½ adjust=False EMA of the
+    LAGGED ha_close with the seed spliced into the input's first slot
+    (e_t = ½·w_t + ½·e_{t−1} with w₁ = (O₁+C₁)/2, w_t = ha_close_{t−1}
+    — expand the recursion to see it reproduce ha_open exactly), so it
+    rides the shared closed-form/kernel EMA dual plan
+    (:func:`ema` — SQL-replayable inside the envelope). One lag + one
+    EMA pass on one sort, all JVM."""
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+    hc = (
+        F.col(open_col) + F.col(high_col) + F.col(low_col)
+        + F.col(close_col)
+    ) / 4.0
+    d = df.withColumn("ha_close", hc)
+    seed = (F.col(open_col) + F.col(close_col)) / 2.0
+    w_in = F.coalesce(F.lag("ha_close").over(ws), seed)
+    # "_ha_w", not "_w": the closed-form EMA pass uses "_w" internally
+    d = d.withColumn("_ha_w", w_in)
+    d = _ema_col(d, 0.5, key_col, order_col, "_ha_w", "ha_open",
+                 method, max_len)
+    return (
+        d.withColumn(
+            "ha_high",
+            F.greatest(F.col(high_col), F.col("ha_open"), F.col("ha_close")),
+        )
+        .withColumn(
+            "ha_low",
+            F.least(F.col(low_col), F.col("ha_open"), F.col("ha_close")),
+        )
+        .drop("_ha_w")
     )

@@ -372,3 +372,61 @@ def srp_candidates(
             "bucket",
         )
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    z: float = 3.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus-level embedding sanity scores → one row per vector:
+    (id, norm, cos_centroid, is_outlier): L2 norm, cosine similarity
+    to the CORPUS CENTROID (the per-dimension mean vector), and a flag
+    for vectors whose centroid-cosine sits more than ``z`` sample
+    standard deviations below the corpus mean cosine — the cheap
+    "wrong model / corrupted batch / off-manifold" detector run before
+    any ANN index build (an off-distribution shard drags recall for
+    every query; catch it at ingest). Zero-norm vectors get NULL
+    cos_centroid and a NULL flag (try_divide).
+
+    Plan: centroid via ONE posexplode + groupBy(dim) (d rows),
+    joined back on dim and re-aggregated per vector (two exchanges
+    over rows × d — the per-dimension fan-out every embedding profile
+    pass costs), then a 1-row corpus threshold broadcast. No driver
+    collect, no d × d work, no pairwise anything."""
+    if z <= 0:
+        raise ValueError(f"z must be positive, got {z}")
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "_x"),
+    ).withColumn("_x", F.col("_x").cast("double"))
+    centroid = exploded.groupBy("dim").agg(F.avg("_x").alias("_c"))
+    per = (
+        exploded.join(centroid, "dim")
+        .groupBy("_id")
+        .agg(
+            F.sqrt(F.sum(F.col("_x") * F.col("_x"))).alias("norm"),
+            F.sum(F.col("_x") * F.col("_c")).alias("_dot"),
+            F.sqrt(F.sum(F.col("_c") * F.col("_c"))).alias("_cn"),
+        )
+    )
+    scored = per.select(
+        F.col("_id").alias(id_col),
+        "norm",
+        F.try_divide(
+            F.col("_dot"), F.col("norm") * F.col("_cn")
+        ).alias("cos_centroid"),
+    )
+    thr = scored.agg(
+        (
+            F.avg("cos_centroid") - z * F.stddev_samp("cos_centroid")
+        ).alias("_thr")
+    )
+    return scored.join(F.broadcast(thr)).select(
+        id_col, "norm", "cos_centroid",
+        F.when(
+            F.col("cos_centroid").isNotNull(),
+            F.col("cos_centroid") < F.col("_thr"),
+        ).alias("is_outlier"),
+    )

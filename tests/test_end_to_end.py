@@ -4712,3 +4712,102 @@ def test_stickiness_cohort_values(spark):
     assert cv[(1, 2)].value_sum == 0.0 and cv[(1, 2)].n_active == 1
     assert abs(cv[(1, 2)].cum_value_per_member - 17.5) < 1e-12
     assert cv[(2, 0)].n_active == 1 and cv[(2, 0)].value_sum == 7.0
+
+
+def test_attribution(spark):
+    """First/last-touch attribution: strictly-before + lookback window
+    semantics, organic conversions get NULLs, same-microsecond touch
+    excluded, tie-break by type documented."""
+    import datetime as dt
+
+    from spark_timeseries_spark.operators.funnel import attribution
+
+    t0 = dt.datetime(2024, 7, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    ev = [
+        ("u1", s(0), "view"), ("u1", s(10), "click"), ("u1", s(20), "purchase"),
+        ("u1", s(100), "purchase"),                    # outside 60 s lookback
+        ("u2", s(0), "purchase"),                      # organic
+        ("u3", s(5), "view"), ("u3", s(5), "purchase"),  # same ts: excluded
+        ("u4", s(1), "view"), ("u4", s(1), "click"), ("u4", s(2), "purchase"),
+    ]
+    df = spark.createDataFrame(ev, "key string, ts timestamp, event_type string")
+    out = {(r.key, r.conv_ts): r for r in attribution(
+        df, "purchase", ["view", "click"], lookback=60.0
+    ).collect()}
+    r1 = out[("u1", s(20))]
+    assert r1.n_touches == 2
+    assert r1.first_touch_ts == s(0) and r1.first_touch_type == "view"
+    assert r1.last_touch_ts == s(10) and r1.last_touch_type == "click"
+    r1b = out[("u1", s(100))]                          # only s(40..99) window
+    assert r1b.n_touches == 0 and r1b.first_touch_ts is None
+    r2 = out[("u2", s(0))]
+    assert r2.n_touches == 0 and r2.last_touch_type is None
+    r3 = out[("u3", s(5))]                             # same-us touch excluded
+    assert r3.n_touches == 0
+    r4 = out[("u4", s(2))]                             # same-us tie: struct order
+    assert r4.n_touches == 2
+    assert r4.first_touch_type == "click" and r4.last_touch_type == "view"
+    with pytest.raises(ValueError):
+        attribution(df, "purchase", ["purchase"])
+
+
+def test_heikin_ashi(spark):
+    """Heikin-Ashi candles vs the textbook per-bar recursion replay:
+    ha_open follows (prev_open + prev_close)/2 from the (O1+C1)/2
+    seed; extremes extend to the HA body."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.indicators import heikin_ashi
+
+    rng = np.random.RandomState(61)
+    n = 30
+    close = 100 + np.cumsum(rng.randn(n))
+    openv = np.concatenate([[100.0], close[:-1]]) + 0.1 * rng.randn(n)
+    high = np.maximum(openv, close) + np.abs(rng.randn(n))
+    low = np.minimum(openv, close) - np.abs(rng.randn(n))
+    rows = [("a", i, float(openv[i]), float(high[i]), float(low[i]),
+             float(close[i])) for i in range(n)]
+    df = spark.createDataFrame(
+        rows,
+        "key string, bar_ts long, open double, high double, low double,"
+        " close double",
+    )
+    out = {r.bar_ts: r for r in heikin_ashi(df).collect()}
+    hc = (openv + high + low + close) / 4.0
+    ho = np.empty(n)
+    ho[0] = (openv[0] + close[0]) / 2.0
+    for i in range(1, n):
+        ho[i] = (ho[i - 1] + hc[i - 1]) / 2.0
+    for i in range(n):
+        assert abs(out[i].ha_close - hc[i]) < 1e-12
+        assert abs(out[i].ha_open - ho[i]) < 1e-9
+        assert abs(out[i].ha_high - max(high[i], ho[i], hc[i])) < 1e-9
+        assert abs(out[i].ha_low - min(low[i], ho[i], hc[i])) < 1e-9
+
+
+def test_embedding_outliers(spark):
+    """embedding_outliers: norm/cos-to-centroid replayed in numpy; an
+    injected anti-centroid vector is flagged, the bulk is not;
+    zero-norm vector gets NULLs."""
+    import numpy as np
+
+    from spark_timeseries_spark.pipeline.embeddings import embedding_outliers
+
+    rng = np.random.RandomState(67)
+    base = rng.randn(40, 8) * 0.1 + np.ones(8)     # tight cluster
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    rows.append((100, [float(-x) for x in np.ones(8)]))   # anti-centroid
+    rows.append((101, [0.0] * 8))                          # zero vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in embedding_outliers(df, z=3.0).collect()}
+    mat = np.array([r[1] for r in rows])
+    cen = mat.mean(axis=0)
+    for i in (0, 17, 39, 100):
+        v = mat[[i if i < 40 else 40]][0]
+        assert abs(out[i].norm - np.linalg.norm(v)) < 1e-9
+        exp = v @ cen / (np.linalg.norm(v) * np.linalg.norm(cen))
+        assert abs(out[i].cos_centroid - exp) < 1e-9
+    assert out[100].is_outlier is True
+    assert sum(1 for i in range(40) if out[i].is_outlier) == 0
+    assert out[101].cos_centroid is None and out[101].is_outlier is None
