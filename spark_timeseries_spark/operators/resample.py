@@ -340,13 +340,14 @@ def bucket_cardinality(
     bucket — the DAU/WAU-style audience counter.
 
     ``exact=True`` (the oracle-replayable form) uses COUNT(DISTINCT):
-    correct, but Spark plans it as an expand + second shuffle keyed on
-    (bucket, key) — fine while buckets × entities fits a shuffle.
-    ``exact=False`` is the 100 TB path: ``approx_count_distinct``
-    (HyperLogLog++, relative error ``rsd``) — a mergeable fixed-size
-    sketch, ONE map-side-combinable aggregate, no expand, no second
-    shuffle (the ``robust_location``/``embedding_dim_stats`` sketch
-    convention; error-envelope-tested)."""
+    correct, but Spark plans it as a two-level aggregate with a SECOND
+    shuffle keyed on (bucket, key) — fine while buckets × entities
+    fits a shuffle. ``exact=False`` is the 100 TB path:
+    ``approx_count_distinct`` (HyperLogLog++, relative error ``rsd``)
+    — a mergeable fixed-size sketch, ONE map-side-combinable
+    aggregate, no second shuffle (the ``robust_location``/
+    ``embedding_dim_stats`` sketch convention; error-envelope-tested
+    and plan-pinned)."""
     if unit not in ("hour", "day", "week", "month"):
         raise ValueError(
             f"unit must be one of ['day', 'hour', 'month', 'week'],"

@@ -885,3 +885,67 @@ def test_stylometric_topk_broadcasts(spark):
     p = _plan(stylometric_delta(docs, k=10))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
     assert "InPandas" not in p, p
+
+
+def test_attribution_no_self_join(spark):
+    """attribution resolves first/last touch with ONE range-frame
+    window over the (key, epoch) sort — never a conversions x touches
+    self-join (at scale that join is |conv| x |touches| per key) and
+    no Python."""
+    from spark_timeseries_spark.operators.funnel import attribution
+    from spark_timeseries_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events").select(
+        F.col("user_id").cast("string").alias("key"), "ts", "event_type"
+    )
+    p = _plan(attribution(ev, "purchase", ["view", "click"]))
+    assert "Join" not in p, p
+    assert "PythonUDF" not in p and "InPandas" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_stickiness_no_rolling_distinct_join(spark):
+    """stickiness computes the trailing-window MAU by EXPLODING the
+    distinct (entity, day) table into its contribution days — one
+    Generate — never a day-range self-join of the activity table (the
+    O(days x activity) shape), and never any Python."""
+    from spark_timeseries_spark.operators.resample import stickiness
+    from spark_timeseries_spark.sources import events_observations
+
+    obs = events_observations(spark, SF)
+    p = _plan(stickiness(obs, window_days=7))
+    assert "Generate explode" in p, p
+    # the only join is dau x mau on the 31-row day table
+    assert p.count("Join") <= 1, p
+    assert "PythonUDF" not in p and "InPandas" not in p, p
+
+
+def test_kendall_auto_reuses_cached_overlap(spark, grid):
+    """kendall's auto routing persists the bounded two-series overlap:
+    the count window and both branches read the InMemoryRelation
+    instead of re-running the series scan/join three times; forcing a
+    single method plans no cache and no union."""
+    from spark_timeseries_spark.operators.rankcorr import kendall_tau
+
+    auto = _plan(kendall_tau(grid, "1", "2"))
+    assert "InMemoryTableScan" in auto, auto
+    assert "Union" in auto, auto
+    forced = _plan(kendall_tau(grid, "1", "2", method="join"))
+    assert "InMemoryTableScan" not in forced, forced
+    spark.catalog.clearCache()
+
+
+def test_bucket_cardinality_sketch_one_exchange(spark):
+    """exact=True plans COUNT DISTINCT as the two-level aggregate with
+    a SECOND shuffle keyed on (bucket, entity); exact=False plans the
+    mergeable HLL sketch: ONE exchange, map-side partial sketches —
+    the 100 TB path."""
+    from spark_timeseries_spark.operators.resample import bucket_cardinality
+    from spark_timeseries_spark.sources import events_observations
+
+    obs = events_observations(spark, SF)
+    exact = _plan(bucket_cardinality(obs, "day", exact=True))
+    sketch = _plan(bucket_cardinality(obs, "day", exact=False))
+    assert exact.count("Exchange hashpartitioning") == 2, exact
+    assert sketch.count("Exchange hashpartitioning") == 1, sketch
+    assert "approx_count_distinct" in sketch, sketch
