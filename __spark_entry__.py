@@ -4568,6 +4568,22 @@ def _q_embedding_outliers(spark, sf_dir):
     )
 
 
+def _q_bursts(spark, sf_dir):
+    """Kleinberg two-state burst labels per user event gap — grouped-map
+    Viterbi under the quantized-cost determinism contract; the oracle
+    replays the recursion with forward/backward recursive CTEs (the
+    kalman/bocpd technique)."""
+    from spark_timeseries_spark.operators.bursts import kleinberg_bursts
+
+    obs = events_observations(spark, sf_dir)
+    out = kleinberg_bursts(obs.select("key", "ts"), s=2.0, gamma=1.0)
+    return out.select(
+        "key", "ts",
+        _stable_round(F.col("gap_seconds"), 6).alias("gap_seconds"),
+        "state",
+    )
+
+
 _ALL_QUERIES = {
     # -- (a) must-prove: r10-touched / r10-new ---------------------------
     "retention_cohorts": _q_retention_cohorts,
@@ -4669,6 +4685,7 @@ _ALL_QUERIES = {
     "attribution": _q_attribution,
     "heikin_ashi": _q_heikin_ashi,
     "embedding_outliers": _q_embedding_outliers,
+    "bursts": _q_bursts,
     "dup_spans": _q_dup_spans,
     "embedding_covariance": _q_embedding_covariance,
     "cusum": _q_cusum,
@@ -4897,7 +4914,7 @@ _WINDOW_R11 = [
     "acf_features", "roll_entropy", "bucket_cardinality",
     "max_concurrency", "missingness", "seasonal_zscore",
     "top_drawdowns", "stickiness", "cohort_values", "attribution",
-    "heikin_ashi", "embedding_outliers",
+    "heikin_ashi", "embedding_outliers", "bursts",
     "stylometric_delta",
     "keltner",
     "donchian",
@@ -4918,7 +4935,6 @@ _WINDOW_R11 = [
     "rebase_hybrid",
     "union_series",
     "lags_custom",
-    "stats_suite",
 ]
 
 
@@ -13027,4 +13043,75 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN cos IS NOT NULL THEN cos < t END AS is_outlier
         FROM sc, thr
     """
+
+    # kleinberg bursts: forward Viterbi costs+parents and the backward
+    # path walk as two recursive CTEs (the kalman RTS technique —
+    # MATERIALIZED forward pass). Every cost is quantized with the same
+    # half-up floor form the kernel uses, so the branchy argmin path
+    # replays engine-exactly (operators/bursts.py module docstring).
+    o["bursts"] = """
+        WITH RECURSIVE ev AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, ts, epoch_us(ts) AS us
+            FROM events
+        ),
+        g0 AS (
+            SELECT key, ts, us,
+                   us - lag(us) OVER (PARTITION BY key ORDER BY ts) AS gus
+            FROM ev
+        ),
+        g1 AS (SELECT key, ts, us, gus FROM g0 WHERE gus IS NOT NULL),
+        km AS (
+            SELECT key, CAST(count(*) AS BIGINT) AS m,
+                   CAST(sum(gus) AS BIGINT) AS tus
+            FROM g1 GROUP BY key
+        ),
+        gp AS (
+            SELECT g1.key, g1.ts, g1.gus, km.m,
+                   (km.m * 1e6) / km.tus AS lam0,
+                   2.0 * ((km.m * 1e6) / km.tus) AS lam1,
+                   1.0 * ln(CAST(km.m AS DOUBLE)) AS tau,
+                   CAST(row_number() OVER (PARTITION BY g1.key
+                        ORDER BY g1.us) AS BIGINT) AS t
+            FROM g1 JOIN km ON km.key = g1.key
+            WHERE km.tus > 0
+        ),
+        fwd(key, t, c0, c1, p0, p1) AS (
+            SELECT gp.key, gp.t,
+                   floor((-ln(gp.lam0) + gp.lam0 * (gp.gus / 1e6)) * 1000000.0 + 0.5) / 1000000.0,
+                   floor((floor((gp.tau) * 1000000.0 + 0.5) / 1000000.0 + (floor((-ln(gp.lam1) + gp.lam1 * (gp.gus / 1e6)) * 1000000.0 + 0.5) / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0,
+                   0, 0
+            FROM gp WHERE gp.t = 1
+            UNION ALL
+            SELECT gp.key, gp.t,
+                   CASE WHEN f.c0 <= f.c1
+                        THEN floor((f.c0 + (floor((-ln(gp.lam0) + gp.lam0 * (gp.gus / 1e6)) * 1000000.0 + 0.5) / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0
+                        ELSE floor((f.c1 + (floor((-ln(gp.lam0) + gp.lam0 * (gp.gus / 1e6)) * 1000000.0 + 0.5) / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0
+                   END,
+                   CASE WHEN floor((floor((f.c0 + (floor((gp.tau) * 1000000.0 + 0.5) / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0 + (floor((-ln(gp.lam1) + gp.lam1 * (gp.gus / 1e6)) * 1000000.0 + 0.5) / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0 <= floor((f.c1 + (floor((-ln(gp.lam1) + gp.lam1 * (gp.gus / 1e6)) * 1000000.0 + 0.5) / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0
+                        THEN floor((floor((f.c0 + (floor((gp.tau) * 1000000.0 + 0.5) / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0 + (floor((-ln(gp.lam1) + gp.lam1 * (gp.gus / 1e6)) * 1000000.0 + 0.5) / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0 ELSE floor((f.c1 + (floor((-ln(gp.lam1) + gp.lam1 * (gp.gus / 1e6)) * 1000000.0 + 0.5) / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0
+                   END,
+                   CASE WHEN f.c0 <= f.c1 THEN 0 ELSE 1 END,
+                   CASE WHEN floor((floor((f.c0 + (floor((gp.tau) * 1000000.0 + 0.5) / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0 + (floor((-ln(gp.lam1) + gp.lam1 * (gp.gus / 1e6)) * 1000000.0 + 0.5) / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0 <= floor((f.c1 + (floor((-ln(gp.lam1) + gp.lam1 * (gp.gus / 1e6)) * 1000000.0 + 0.5) / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0 THEN 0 ELSE 1 END
+            FROM fwd f JOIN gp ON gp.key = f.key AND gp.t = f.t + 1
+        ),
+        fwdm AS MATERIALIZED (SELECT * FROM fwd),
+        bwd(key, t, s) AS (
+            SELECT f.key, f.t,
+                   CASE WHEN f.c0 <= f.c1 THEN 0 ELSE 1 END
+            FROM fwdm f
+            JOIN (SELECT key, max(t) AS mt FROM fwdm GROUP BY key) mx
+              ON mx.key = f.key AND mx.mt = f.t
+            UNION ALL
+            SELECT b.key, b.t - 1,
+                   CASE WHEN b.s = 0 THEN f2.p0 ELSE f2.p1 END
+            FROM bwd b
+            JOIN fwdm f2 ON f2.key = b.key AND f2.t = b.t
+            WHERE b.t > 1
+        )
+        SELECT gp.key, gp.ts,
+               __SR_GAP__ AS gap_seconds,
+               CAST(b.s AS INT) AS state
+        FROM gp JOIN bwd b ON b.key = gp.key AND b.t = gp.t
+    """
+    o["bursts"] = o["bursts"].replace("__SR_GAP__", _sr_sql("gp.gus / 1e6", 6))
     return o

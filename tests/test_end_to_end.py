@@ -4811,3 +4811,92 @@ def test_embedding_outliers(spark):
     assert out[100].is_outlier is True
     assert sum(1 for i in range(40) if out[i].is_outlier) == 0
     assert out[101].cos_centroid is None and out[101].is_outlier is None
+
+
+def test_kleinberg_bursts(spark):
+    """Kleinberg 2-state burst detection: an injected dense stretch in
+    a Poisson-ish stream is labeled state 1 and recovered as one
+    episode; a pure-python Viterbi replay (same quantized-cost
+    contract) matches every gap's state exactly; single-event and
+    zero-span keys emit nothing."""
+    import datetime as dt
+    import math
+
+    import numpy as np
+
+    from spark_timeseries_spark.operators.bursts import (
+        burst_episodes,
+        kleinberg_bursts,
+    )
+
+    rng = np.random.RandomState(71)
+    t0 = dt.datetime(2024, 8, 1)
+    # background ~100 s gaps, burst of 40 events at ~2 s gaps
+    gaps = list(rng.exponential(100.0, 60)) + \
+        list(rng.exponential(2.0, 40)) + \
+        list(rng.exponential(100.0, 30))
+    gaps = [max(0.5, g) for g in gaps]
+    ts, cur = [], 0.0
+    for g in gaps:
+        cur += g
+        ts.append(t0 + dt.timedelta(seconds=round(cur, 3)))
+    rows = [("a", t) for t in ts] + [("a", t0)]
+    rows += [("solo", t0)]                            # 1 event: no rows
+    rows += [("flat", t0), ("flat", t0)]              # zero span: no rows
+    df = spark.createDataFrame(rows, "key string, ts timestamp")
+
+    out = kleinberg_bursts(df, s=2.0, gamma=1.0).collect()
+    assert all(r.key == "a" for r in out)
+    assert len(out) == len(gaps)                  # one gap per event after t0
+    by_ts = sorted(out, key=lambda r: r.ts)
+
+    # independent replay with the same exact-integer/quantized contract
+    us = sorted(int(round((t - t0).total_seconds() * 1e6))
+                for t, in [(r,) for r in [t0] + ts])
+    gus = np.diff(np.array(us, dtype=np.int64))
+    m, tus = len(gus), int(gus.sum())
+    lam0 = (m * 1e6) / tus
+    lam1 = 2.0 * lam0
+    q = 10.0 ** 6
+    rnd = lambda x: math.floor(x * q + 0.5) / q
+    tau = 1.0 * math.log(m)
+    ln0, ln1 = math.log(lam0), math.log(lam1)
+    g = gus / 1e6
+    c0 = [rnd(-ln0 + lam0 * g[0])]
+    c1 = [rnd(rnd(tau) + rnd(-ln1 + lam1 * g[0]))]
+    p0, p1 = [0], [0]
+    for t in range(1, m):
+        e0, e1 = rnd(-ln0 + lam0 * g[t]), rnd(-ln1 + lam1 * g[t])
+        if c0[-1] <= c1[-1]:
+            c0.append(rnd(c0[-1] + e0)); p0.append(0)
+        else:
+            c0.append(rnd(c1[-1] + e0)); p0.append(1)
+        up, stay = rnd(rnd(c0[t - 1] + rnd(tau)) + e1), rnd(c1[t - 1] + e1)
+        if up <= stay:
+            c1.append(up); p1.append(0)
+        else:
+            c1.append(stay); p1.append(1)
+    st = [0] * m
+    st[m - 1] = 0 if c0[m - 1] <= c1[m - 1] else 1
+    for t in range(m - 1, 0, -1):
+        st[t - 1] = p0[t] if st[t] == 0 else p1[t]
+    for i, r in enumerate(by_ts):
+        assert r.state == st[i], i
+        assert abs(r.gap_seconds - g[i]) < 1e-12
+
+    # the dense stretch is detected as burst, the background is not
+    burst_zone = st[61:100]                  # gaps inside the injection
+    assert sum(burst_zone) > 30
+    assert sum(st[:55]) == 0
+
+    ep = burst_episodes(df, s=2.0, gamma=1.0).collect()
+    assert len(ep) >= 1
+    main = max(ep, key=lambda r: r.n_gaps)
+    assert main.n_gaps >= 30 and main.key == "a"
+    total_state1 = sum(st)
+    assert sum(r.n_gaps for r in ep) == total_state1
+
+    with pytest.raises(ValueError):
+        kleinberg_bursts(df, s=1.0)
+    with pytest.raises(ValueError):
+        kleinberg_bursts(df, gamma=0.0)
