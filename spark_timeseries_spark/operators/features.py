@@ -1503,8 +1503,9 @@ def seasonal_zscore(
     value_col: str = "value",
 ) -> DataFrame:
     """Seasonality-adjusted anomaly score per observation → input
-    non-null rows + ``pos`` (the seasonal position: hour-of-day or
-    ISO weekday), ``z`` ((value − that position's own mean) / its own
+    non-null rows + ``pos`` (the seasonal position: hour-of-day 0-23,
+    or weekday in the SQL ``dayofweek`` convention — 1 = Sunday .. 7 =
+    Saturday, not ISO), ``z`` ((value − that position's own mean) / its own
     sample σ — each observation scored against its SEASONAL PEER GROUP
     within the same key, so a 3 AM spike is judged against 3 AMs, not
     the whole day), and ``anomaly`` (|z| > ``thresh``; NULL z/anomaly

@@ -182,7 +182,9 @@ def rfm_scores(
     ``ntile(buckets)`` ranks, ordered so HIGHER = better (most recent /
     most frequent / highest spend = ``buckets``), tie-broken by the
     key for cross-engine determinism; ``rfm`` concatenates them
-    (r·100 + f·10 + m for the default 5 buckets' classic 3-digit code).
+    (r·100 + f·10 + m — the classic 3-digit code; NOTE the digit
+    positions overlap for ``buckets`` > 9, so read the individual
+    score columns there).
 
     Plan: ONE map-side-combinable groupBy over the raw stream (the
     expensive pass — scales like a word count), then three ntile
