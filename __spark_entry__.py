@@ -4584,6 +4584,76 @@ def _q_bursts(spark, sf_dir):
     )
 
 
+def _q_wma(spark, sf_dir):
+    """Linearly-weighted moving average (7) on the filled daily grid —
+    indexed-HOF fold over the bounded window buffer."""
+    from spark_timeseries_spark.operators.indicators import wma
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
+    out = wma(filled, n=7)
+    return out.select(
+        "key", "loc",
+        _stable_round(F.col("wma"), 6).alias("wma"),
+    )
+
+
+def _q_mix_drift(spark, sf_dir):
+    """Daily event-type-mix chi-square vs the corpus mix — one
+    (bucket, cat) aggregate + a broadcast share table."""
+    from spark_timeseries_spark.pipeline.drift import mix_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    out = mix_drift(ev, "day")
+    return out.select(
+        "bucket", "n", "n_cats",
+        _stable_round(F.col("chi2"), 6).alias("chi2"),
+    )
+
+
+def _q_dup_cluster_stats(spark, sf_dir):
+    """Corpus dedup health report over the 3-gram-Jaccard components —
+    byte-identical pipeline to ``dedup_components``, then the one-row
+    cluster summary."""
+    from spark_timeseries_spark.pipeline import dedup as dd
+    from spark_timeseries_spark.pipeline.dedup import dup_cluster_stats
+
+    docs = _docs_spread(spark, sf_dir)
+    sigs = docs.select(
+        "doc_id",
+        F.transform(
+            dd.shingles(F.col("text"), 3), lambda s: F.xxhash64(s)
+        ).alias("hs"),
+    ).persist()
+    sh = sigs.select("doc_id", F.explode("hs").alias("sh"))
+    sizes = sigs.select("doc_id", F.size("hs").alias("n"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+        .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .where(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")) >= 0.2)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    sigs.unpersist()
+    comps = dd.connected_components(pairs)
+    out = dup_cluster_stats(
+        docs, comps.withColumnRenamed("id", "doc_id")
+    )
+    return out.select(
+        "n_docs", "n_clustered", "n_clusters", "n_removable",
+        _stable_round(F.col("dup_frac"), 6).alias("dup_frac"),
+        "max_cluster",
+        _stable_round(F.col("mean_cluster"), 6).alias("mean_cluster"),
+    )
+
+
 _ALL_QUERIES = {
     # -- (a) must-prove: r10-touched / r10-new ---------------------------
     "retention_cohorts": _q_retention_cohorts,
@@ -4686,6 +4756,9 @@ _ALL_QUERIES = {
     "heikin_ashi": _q_heikin_ashi,
     "embedding_outliers": _q_embedding_outliers,
     "bursts": _q_bursts,
+    "wma": _q_wma,
+    "mix_drift": _q_mix_drift,
+    "dup_cluster_stats": _q_dup_cluster_stats,
     "dup_spans": _q_dup_spans,
     "embedding_covariance": _q_embedding_covariance,
     "cusum": _q_cusum,
@@ -4914,7 +4987,8 @@ _WINDOW_R11 = [
     "acf_features", "roll_entropy", "bucket_cardinality",
     "max_concurrency", "missingness", "seasonal_zscore",
     "top_drawdowns", "stickiness", "cohort_values", "attribution",
-    "heikin_ashi", "embedding_outliers", "bursts",
+    "heikin_ashi", "embedding_outliers", "bursts", "wma",
+    "mix_drift", "dup_cluster_stats",
     "stylometric_delta",
     "keltner",
     "donchian",
@@ -4932,9 +5006,6 @@ _WINDOW_R11 = [
     "zipf_slope",
     "bpe_merges",
     "bpe_segment",
-    "rebase_hybrid",
-    "union_series",
-    "lags_custom",
 ]
 
 
@@ -13114,4 +13185,78 @@ def oracle_sql() -> dict[str, str]:
         FROM gp JOIN bwd b ON b.key = gp.key AND b.t = gp.t
     """
     o["bursts"] = o["bursts"].replace("__SR_GAP__", _sr_sql("gp.gus / 1e6", 6))
+
+    o["wma"] = _DAILY_GRID_SQL + _FILLED_SQL + f"""
+        , nn AS (SELECT key, loc, value FROM filled WHERE value IS NOT NULL),
+        wl AS (
+            SELECT key, loc, count(*) OVER wn AS c,
+                   list(value) OVER wn AS l
+            FROM nn
+            WINDOW wn AS (PARTITION BY key ORDER BY loc
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        SELECT key, loc,
+               {_sr_sql(
+                   "CASE WHEN c >= 7 THEN "
+                   "list_aggregate(list_transform(l, "
+                   "(x, i) -> x * CAST(i AS DOUBLE)), 'sum') / 28.0 END", 6
+               )} AS wma
+        FROM wl
+    """
+
+    o["mix_drift"] = f"""
+        WITH bc AS (
+            SELECT date_trunc('day', ts) AS bucket, event_type AS c,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        corpus AS (
+            SELECT event_type AS c,
+                   CAST(count(*) AS DOUBLE)
+                       / (SELECT count(*) FROM events) AS p
+            FROM events GROUP BY 1
+        ),
+        btot AS (
+            SELECT bucket, CAST(sum(n) AS BIGINT) AS bt,
+                   CAST(count(*) AS BIGINT) AS n_cats
+            FROM bc GROUP BY bucket
+        ),
+        cells AS (
+            SELECT btot.bucket, btot.bt, btot.n_cats,
+                   CAST(coalesce(bc.n, 0) AS DOUBLE) AS o,
+                   CAST(btot.bt AS DOUBLE) * corpus.p AS e
+            FROM btot CROSS JOIN corpus
+            LEFT JOIN bc ON bc.bucket = btot.bucket AND bc.c = corpus.c
+        )
+        SELECT bucket, min(bt) AS n, min(n_cats) AS n_cats,
+               {_sr_sql("sum((o - e) * (o - e) / e)", 6)} AS chi2
+        FROM cells GROUP BY bucket
+    """
+
+    # dup_cluster_stats: the dedup_components transitive closure (the
+    # same recursive CTE, verbatim) wrapped in a one-row summary
+    o["dup_cluster_stats"] = f"""
+        WITH comp AS ({o["dedup_components"]}),
+        sizes AS (
+            SELECT component, CAST(count(*) AS BIGINT) AS sz
+            FROM comp GROUP BY 1
+        ),
+        a AS (
+            SELECT CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_clustered,
+                   CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(coalesce(max(sz), 0) AS BIGINT) AS max_cluster,
+                   avg(sz) AS mean_cluster
+            FROM sizes
+        ),
+        tot AS (SELECT CAST(count(doc_id) AS BIGINT) AS n_docs FROM documents)
+        SELECT n_docs, n_clustered, n_clusters,
+               n_clustered - n_clusters AS n_removable,
+               {_sr_sql(
+                   "CAST(n_clustered - n_clusters AS DOUBLE)"
+                   " / CAST(n_docs AS DOUBLE)", 6
+               )} AS dup_frac,
+               max_cluster,
+               {_sr_sql("mean_cluster", 6)} AS mean_cluster
+        FROM a, tot
+    """
     return o

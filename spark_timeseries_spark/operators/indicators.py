@@ -38,7 +38,7 @@ __all__ = [
     "stochastic", "obv", "ewm_var", "atr", "pivot_points",
     "keltner_channels", "donchian_channels", "ulcer_index",
     "rolling_sharpe", "ewma_chart",
-    "williams_r", "cci", "cmo", "trix", "aroon", "heikin_ashi",
+    "williams_r", "cci", "cmo", "trix", "aroon", "heikin_ashi", "wma",
 ]
 
 
@@ -983,4 +983,43 @@ def heikin_ashi(
             F.least(F.col(low_col), F.col("ha_open"), F.col("ha_close")),
         )
         .drop("_ha_w")
+    )
+
+
+def wma(
+    df: DataFrame,
+    n: int = 10,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Linearly-weighted moving average → input non-null rows +
+    ``wma`` = Σ i·xᵢ / Σ i over the last n observations with weights
+    1..n, NEWEST heaviest (the classic LWMA — between the SMA's flat
+    memory and the EMA's infinite tail); NULL until a full n-window.
+
+    Plan: one bounded n-element ``collect_list`` rolling window folded
+    with an INDEXED higher-order transform (list is frame-ordered, so
+    position = age) — the cci window-buffer envelope; one sort, one
+    exchange, all JVM."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-(n - 1), 0)
+    )
+    lst = F.collect_list(value_col).over(w)
+    num = F.aggregate(
+        # Spark transform index is 0-based; weight = i + 1
+        F.transform(lst, lambda x, i: x * (i + 1).cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    den = F.lit(float(n * (n + 1) // 2))
+    return pts.withColumn(
+        "wma",
+        F.when(F.count(F.lit(1)).over(w) >= n, num / den),
     )

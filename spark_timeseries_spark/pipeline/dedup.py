@@ -1388,3 +1388,43 @@ def ngram_novelty(
             ),
         )
     )
+
+
+def dup_cluster_stats(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    component_col: str = "component",
+) -> DataFrame:
+    """Corpus-level duplicate-cluster report → ONE row (n_docs,
+    n_clustered, n_clusters, n_removable, dup_frac, max_cluster,
+    mean_cluster): how much of the corpus sits in near-dup clusters
+    (``components`` = :func:`connected_components` output, which holds
+    only docs that appeared in a pair — singletons are implicitly
+    clean), how many docs a keep-one-per-cluster dedup would REMOVE
+    (n_clustered − n_clusters), that as a fraction of the corpus, and
+    the cluster-size extremes. The one-line health number every dedup
+    run should log before anyone ships the survivor set.
+
+    Plan: one groupBy(component) over the (small) components table +
+    one global aggregate + a 1-row corpus-count broadcast — the raw
+    corpus is scanned once, for its count only."""
+    sizes = components.groupBy(component_col).agg(
+        F.count(F.lit(1)).alias("_sz")
+    )
+    agg = sizes.agg(
+        F.coalesce(F.sum("_sz"), F.lit(0)).alias("n_clustered"),
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.coalesce(F.max("_sz"), F.lit(0)).alias("max_cluster"),
+        F.avg("_sz").alias("mean_cluster"),
+    )
+    total = docs.agg(F.count(id_col).alias("n_docs"))
+    return agg.join(F.broadcast(total)).select(
+        "n_docs", "n_clustered", "n_clusters",
+        (F.col("n_clustered") - F.col("n_clusters")).alias("n_removable"),
+        F.try_divide(
+            (F.col("n_clustered") - F.col("n_clusters")).cast("double"),
+            F.col("n_docs").cast("double"),
+        ).alias("dup_frac"),
+        "max_cluster", "mean_cluster",
+    )

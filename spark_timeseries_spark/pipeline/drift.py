@@ -351,3 +351,55 @@ def benford(
             "mad", "chi2",
         )
     )
+
+
+def mix_drift(
+    df: DataFrame,
+    bucket_unit: str = "day",
+    ts_col: str = "ts",
+    cat_col: str = "event_type",
+) -> DataFrame:
+    """Per-bucket categorical-mix drift → (bucket, n, n_cats, chi2):
+    the χ² statistic of each time bucket's category counts against the
+    CORPUS-WIDE mix (expected count = bucket total × corpus share) —
+    the "did the event-type mix shift today" alarm (compare χ² to the
+    n_cats_corpus − 1 df quantile downstream; a category absent from a
+    bucket still contributes its expected mass, which is why the
+    per-bucket join is on the corpus category table, LEFT from it).
+    ``n_cats`` counts categories OBSERVED in the bucket.
+
+    Plan: one (bucket, cat) aggregate + a broadcast of the (tiny)
+    corpus category-share table joined against the per-bucket totals —
+    scales like a word count, no windows over raw events."""
+    bucket = F.date_trunc(bucket_unit, F.col(ts_col)).alias("bucket")
+    bc = df.groupBy(bucket, F.col(cat_col).alias("_c")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    corpus = df.groupBy(F.col(cat_col).alias("_c")).agg(
+        F.count(F.lit(1)).alias("_cn")
+    )
+    tot = df.agg(F.count(F.lit(1)).alias("_tot"))
+    share = F.broadcast(
+        corpus.join(F.broadcast(tot)).select(
+            "_c", (F.col("_cn").cast("double") / F.col("_tot")).alias("_p")
+        )
+    )
+    btot = bc.groupBy("bucket").agg(
+        F.sum("_n").alias("_bt"),
+        F.count(F.lit(1)).alias("n_cats"),
+    )
+    # every (bucket, corpus category) cell — absent observed = 0
+    grid = btot.crossJoin(share)
+    cells = grid.join(bc, ["bucket", "_c"], "left").select(
+        "bucket", "_bt", "n_cats",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("double").alias("_o"),
+        (F.col("_bt").cast("double") * F.col("_p")).alias("_e"),
+    )
+    return cells.groupBy("bucket").agg(
+        F.min("_bt").alias("n"),
+        F.min("n_cats").alias("n_cats"),
+        F.sum(
+            (F.col("_o") - F.col("_e")) * (F.col("_o") - F.col("_e"))
+            / F.col("_e")
+        ).alias("chi2"),
+    )

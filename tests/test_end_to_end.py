@@ -4900,3 +4900,66 @@ def test_kleinberg_bursts(spark):
         kleinberg_bursts(df, s=1.0)
     with pytest.raises(ValueError):
         kleinberg_bursts(df, gamma=0.0)
+
+
+def test_wma_mixdrift_clusterstats(spark):
+    """wma matches the numpy weighted replay (newest heaviest, burn-in
+    NULL); mix_drift chi2 matches a hand replay incl. the absent-
+    category expected mass; dup_cluster_stats summarizes components
+    correctly with singleton docs outside."""
+    import datetime as dt
+
+    import numpy as np
+
+    from spark_timeseries_spark.operators.indicators import wma
+    from spark_timeseries_spark.pipeline.dedup import dup_cluster_stats
+    from spark_timeseries_spark.pipeline.drift import mix_drift
+
+    rng = np.random.RandomState(73)
+    n = 30
+    v = rng.randn(n).round(2)
+    df = spark.createDataFrame(
+        [("a", i, float(v[i])) for i in range(n)],
+        "key string, loc long, value double",
+    )
+    out = {r.loc: r for r in wma(df, n=5).collect()}
+    wts = np.arange(1, 6, dtype=float)
+    for i in range(n):
+        if i < 4:
+            assert out[i].wma is None
+        else:
+            exp = (v[i - 4: i + 1] * wts).sum() / wts.sum()
+            assert abs(out[i].wma - exp) < 1e-12
+
+    t0 = dt.datetime(2024, 9, 1)
+    ev = []
+    # day 1: 8 A, 2 B; day 2: 5 A, 5 B; corpus: 13 A, 7 B
+    for i in range(8):
+        ev.append((t0 + dt.timedelta(minutes=i), "A"))
+    for i in range(2):
+        ev.append((t0 + dt.timedelta(minutes=30 + i), "B"))
+    for i in range(5):
+        ev.append((t0 + dt.timedelta(days=1, minutes=i), "A"))
+        ev.append((t0 + dt.timedelta(days=1, minutes=30 + i), "B"))
+    df2 = spark.createDataFrame(ev, "ts timestamp, event_type string")
+    md = {r.bucket.day: r for r in mix_drift(df2).collect()}
+    pa, pb = 13 / 20, 7 / 20
+    for day, (oa, ob) in ((1, (8, 2)), (2, (5, 5))):
+        tot = oa + ob
+        exp = ((oa - tot * pa) ** 2 / (tot * pa)
+               + (ob - tot * pb) ** 2 / (tot * pb))
+        assert abs(md[day].chi2 - exp) < 1e-12
+        assert md[day].n == tot and md[day].n_cats == 2
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(10)], "doc_id long"
+    )
+    comps = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (5, 5), (6, 5)],
+        "doc_id long, component long",
+    )
+    st = dup_cluster_stats(docs, comps).collect()[0]
+    assert st.n_docs == 10 and st.n_clustered == 5
+    assert st.n_clusters == 2 and st.n_removable == 3
+    assert abs(st.dup_frac - 0.3) < 1e-12
+    assert st.max_cluster == 3 and abs(st.mean_cluster - 2.5) < 1e-12
