@@ -4956,18 +4956,19 @@ _ALL_QUERIES = {
 # (merge-sort inversion-count dual plan), ``ulcer`` (full-window gating
 # fix — the r10 ADVICE item), ``robust_location`` (exact=False sketch
 # path added; the exported exact path re-proves), and the 11 r11-new
-# operators (williams_r/cci/cmo/trix/aroon, capture_ratios/active_stats,
-# robust_scale/gap_outages, rfm/transition_matrix,
-# tod_percentiles/kruskal_dow/acf_features/roll_entropy/
-# bucket_cardinality/max_concurrency, missingness/seasonal_zscore/
-# top_drawdowns/stickiness/cohort_values — 22 rows); (b) the 13
-# r10-late rows the r10 verdict ordered promoted first (ulcer and
-# robust_location already count under (a) — 11 rows); (c) the stalest
-# r5/r6 rotation queue (dup_spans .. dominant_period — 13 rows; the
-# block's remainder queues for r12). Everything displaced retains
-# full-strict-log evidence (tools/check_correctness log, refreshed in
-# the same commit as every query/semantics change — the r5 lockstep
-# rule).
+# operators (williams_r/cci/cmo/trix/aroon/heikin_ashi/wma,
+# capture_ratios/active_stats, robust_scale/gap_outages,
+# rfm/transition_matrix/attribution, tod_percentiles/kruskal_dow/
+# acf_features/roll_entropy/bucket_cardinality/max_concurrency,
+# missingness/seasonal_zscore/top_drawdowns/stickiness/cohort_values,
+# bursts/mix_drift, embedding_outliers/dup_cluster_stats — 29 rows);
+# (b) the 13 r10-late rows the r10 verdict ordered promoted first
+# (ulcer and robust_location already count under (a) — 11 rows);
+# (c) the stalest r5/r6 rotation queue (dup_spans .. bpe_segment —
+# 6 rows; the block's remainder queues for r12, named in the memory
+# file). Everything displaced retains full-strict-log evidence
+# (tools/check_correctness log, refreshed in the same commit as every
+# query/semantics change — the r5 lockstep rule).
 _WINDOW_R11 = [
     "retention_month",
     "kendall",
