@@ -4654,6 +4654,89 @@ def _q_dup_cluster_stats(spark, sf_dir):
     )
 
 
+def _q_jarque_bera(spark, sf_dir):
+    """Jarque-Bera normality test per user over raw events — one mean
+    window + one centered-power-sum aggregate, closed-form χ²₂ p."""
+    from spark_timeseries_spark.operators.hypothesis import jarque_bera
+
+    obs = events_observations(spark, sf_dir)
+    out = jarque_bera(obs)
+    return out.select(
+        "key", "n",
+        _stable_round(F.col("skew"), 6).alias("skew"),
+        _stable_round(F.col("kurt"), 6).alias("kurt"),
+        _stable_round(F.col("jb"), 6).alias("jb"),
+        _stable_round(F.col("p_value"), 6).alias("p_value"),
+    )
+
+
+def _q_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U first-half-vs-second-half location test per user
+    — pooled mid-ranks, tie-corrected continuity-corrected z."""
+    from spark_timeseries_spark.operators.hypothesis import (
+        mann_whitney_halves,
+    )
+
+    obs = events_observations(spark, sf_dir)
+    out = mann_whitney_halves(obs)
+    return out.select(
+        "key", "n1", "n2",
+        _stable_round(F.col("u1"), 6).alias("u1"),
+        _stable_round(F.col("z"), 6).alias("z"),
+    )
+
+
+def _q_brown_forsythe(spark, sf_dir):
+    """Brown-Forsythe day-of-week variance-homogeneity F per user —
+    exact group-median window + two aggregates."""
+    from spark_timeseries_spark.operators.hypothesis import (
+        brown_forsythe_dow,
+    )
+
+    obs = events_observations(spark, sf_dir)
+    out = brown_forsythe_dow(obs)
+    return out.select(
+        "key", "n", "n_groups", "df1", "df2",
+        _stable_round(F.col("f_stat"), 6).alias("f_stat"),
+    )
+
+
+def _q_downside_stats(spark, sf_dir):
+    """Sortino / Omega / win-rate per daily-grid series — one lag
+    window + one conditional-sum aggregate."""
+    from spark_timeseries_spark.operators.portfolio import downside_stats
+
+    grid = _daily_grid(spark, sf_dir)
+    out = downside_stats(grid)
+    return out.select(
+        "key", "n",
+        _stable_round(F.col("mean_ret"), 6).alias("mean_ret"),
+        _stable_round(F.col("downside_dev"), 6).alias("downside_dev"),
+        _stable_round(F.col("sortino"), 6).alias("sortino"),
+        _stable_round(F.col("omega"), 6).alias("omega"),
+        _stable_round(F.col("win_rate"), 6).alias("win_rate"),
+    )
+
+
+def _q_roll_slope(spark, sf_dir):
+    """Rolling 7-day OLS trend (slope/intercept/r²) per filled daily
+    series — one window pass, covar/var share the frame."""
+    from spark_timeseries_spark.operators import fill as fill_ops
+    from spark_timeseries_spark.operators.rolling import roll_slope
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(
+        fill_ops.fill_previous(fill_ops.fill_linear(grid))
+    )
+    out = roll_slope(filled, 7)
+    return out.select(
+        "key", "loc",
+        _stable_round(F.col("slope"), 6).alias("slope"),
+        _stable_round(F.col("intercept"), 6).alias("intercept"),
+        _stable_round(F.col("r2"), 6).alias("r2"),
+    )
+
+
 _ALL_QUERIES = {
     # -- (a) must-prove: r10-touched / r10-new ---------------------------
     "retention_cohorts": _q_retention_cohorts,
@@ -4759,6 +4842,11 @@ _ALL_QUERIES = {
     "wma": _q_wma,
     "mix_drift": _q_mix_drift,
     "dup_cluster_stats": _q_dup_cluster_stats,
+    "jarque_bera": _q_jarque_bera,
+    "mann_whitney": _q_mann_whitney,
+    "brown_forsythe": _q_brown_forsythe,
+    "downside_stats": _q_downside_stats,
+    "roll_slope": _q_roll_slope,
     "dup_spans": _q_dup_spans,
     "embedding_covariance": _q_embedding_covariance,
     "cusum": _q_cusum,
@@ -13259,5 +13347,173 @@ def oracle_sql() -> dict[str, str]:
                max_cluster,
                {_sr_sql("mean_cluster", 6)} AS mean_cluster
         FROM a, tot
+    """
+
+    o["jarque_bera"] = f"""
+        WITH obs AS (
+            SELECT CAST(user_id AS VARCHAR) AS k, value
+            FROM events WHERE value IS NOT NULL
+        ),
+        c AS (
+            SELECT k, value - avg(value) OVER (PARTITION BY k) AS c
+            FROM obs
+        ),
+        a AS (
+            SELECT k, CAST(count(*) AS BIGINT) AS n,
+                   avg(c * c) AS m2, avg(c * c * c) AS m3,
+                   avg(c * c * c * c) AS m4
+            FROM c GROUP BY k
+        ),
+        s AS (
+            SELECT k, n,
+                   m3 / sqrt(m2 * m2 * m2) AS g1,
+                   m4 / (m2 * m2) - 3.0 AS g2
+            FROM a WHERE n >= 2
+        ),
+        j AS (
+            SELECT k, n, g1, g2,
+                   CAST(n AS DOUBLE) / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
+                       AS jb
+            FROM s
+        )
+        SELECT k AS key, n,
+               {_sr_sql("g1", 6)} AS skew,
+               {_sr_sql("g2", 6)} AS kurt,
+               {_sr_sql("jb", 6)} AS jb,
+               {_sr_sql("exp(-jb / 2.0)", 6)} AS p_value
+        FROM j
+    """
+
+    o["mann_whitney"] = f"""
+        WITH obs AS (
+            SELECT CAST(user_id AS VARCHAR) AS k, ts, value
+            FROM events WHERE value IS NOT NULL
+        ),
+        rk AS (
+            SELECT k,
+                   row_number() OVER (PARTITION BY k ORDER BY ts)
+                       <= ceil(count(*) OVER (PARTITION BY k) / 2.0)
+                       AS g1,
+                   rank() OVER (PARTITION BY k ORDER BY value)
+                       + (count(*) OVER (PARTITION BY k, value) - 1) / 2.0
+                       AS r,
+                   count(*) OVER (PARTITION BY k, value) AS t
+            FROM obs
+        ),
+        a AS (
+            SELECT k,
+                   CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n1,
+                   CAST(sum(CASE WHEN g1 THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n2,
+                   sum(CASE WHEN g1 THEN r END) AS r1,
+                   sum(t * t - 1) AS tsum
+            FROM rk GROUP BY k
+        ),
+        s AS (
+            SELECT k, n1, n2,
+                   r1 - n1 * (n1 + 1.0) / 2.0 AS u1,
+                   CAST(n1 AS DOUBLE) * n2 / 2.0 AS mu,
+                   sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                        * ((n1 + n2 + 1.0)
+                           - CAST(tsum AS DOUBLE)
+                             / (CAST(n1 + n2 AS DOUBLE)
+                                * (n1 + n2 - 1.0)))) AS sig
+            FROM a
+        )
+        SELECT k AS key, n1, n2,
+               {_sr_sql("u1", 6)} AS u1,
+               {_sr_sql(
+                   "sign(u1 - mu)"
+                   " * greatest(abs(u1 - mu) - 0.5, 0.0)"
+                   " / nullif(sig, 0)", 6
+               )} AS z
+        FROM s
+    """
+
+    o["brown_forsythe"] = f"""
+        WITH obs AS (
+            SELECT CAST(user_id AS VARCHAR) AS k, dayofweek(ts) AS dow,
+                   value
+            FROM events WHERE value IS NOT NULL
+        ),
+        z AS (
+            SELECT k, dow,
+                   abs(value - quantile_cont(value, 0.5)
+                       OVER (PARTITION BY k, dow)) AS z
+            FROM obs
+        ),
+        g AS (
+            SELECT k, dow, CAST(count(*) AS BIGINT) AS ni,
+                   avg(z) AS zi, sum(z * z) AS zz
+            FROM z GROUP BY 1, 2
+        ),
+        a AS (
+            SELECT k, CAST(sum(ni) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS ng,
+                   sum(ni * zi) AS sz,
+                   sum(CAST(ni AS DOUBLE) * zi * zi) AS bsq,
+                   sum(zz - CAST(ni AS DOUBLE) * zi * zi) AS within
+            FROM g GROUP BY k
+        )
+        SELECT k AS key, n, ng AS n_groups,
+               ng - 1 AS df1, n - ng AS df2,
+               {_sr_sql(
+                   "(CAST(n AS DOUBLE) - ng) / (ng - 1.0)"
+                   " * (bsq - CAST(n AS DOUBLE)"
+                   "   * (sz / CAST(n AS DOUBLE))"
+                   "   * (sz / CAST(n AS DOUBLE)))"
+                   " / nullif(within, 0)", 6
+               )} AS f_stat
+        FROM a WHERE ng >= 2
+    """
+
+    o["downside_stats"] = _DAILY_GRID_SQL + f"""
+        , nn AS (SELECT key, loc, value FROM grid WHERE value IS NOT NULL),
+        r0 AS (
+            SELECT key,
+                   value / lag(value) OVER (PARTITION BY key ORDER BY loc)
+                       - 1.0 AS r
+            FROM nn
+        ),
+        r AS (SELECT key, r FROM r0 WHERE r IS NOT NULL),
+        a AS (
+            SELECT key, CAST(count(*) AS BIGINT) AS n,
+                   avg(r) AS mean_ret,
+                   sqrt(avg((CASE WHEN r < 0 THEN -r ELSE 0.0 END)
+                            * (CASE WHEN r < 0 THEN -r ELSE 0.0 END)))
+                       AS ddev,
+                   sum(CASE WHEN r > 0 THEN r ELSE 0.0 END) AS gain,
+                   sum(CASE WHEN r < 0 THEN -r ELSE 0.0 END) AS loss,
+                   avg(CASE WHEN r > 0 THEN 1.0 ELSE 0.0 END) AS win_rate
+            FROM r GROUP BY key
+        )
+        SELECT key, n,
+               {_sr_sql("mean_ret", 6)} AS mean_ret,
+               {_sr_sql("ddev", 6)} AS downside_dev,
+               {_sr_sql("mean_ret / nullif(ddev, 0)", 6)} AS sortino,
+               {_sr_sql("gain / nullif(loss, 0)", 6)} AS omega,
+               {_sr_sql("win_rate", 6)} AS win_rate
+        FROM a
+    """
+
+    o["roll_slope"] = _DAILY_GRID_SQL + _FILLED_SQL + f"""
+        , wd AS (
+            SELECT key, loc,
+                   count(*) OVER w AS rows_,
+                   covar_samp(CAST(loc AS DOUBLE), value) OVER w AS cov,
+                   var_samp(CAST(loc AS DOUBLE)) OVER w AS vx,
+                   var_samp(value) OVER w AS vy,
+                   avg(value) OVER w AS my,
+                   avg(CAST(loc AS DOUBLE)) OVER w AS mx
+            FROM filled
+            WINDOW w AS (PARTITION BY key ORDER BY loc
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        SELECT key, loc,
+               {_sr_sql("cov / vx", 6)} AS slope,
+               {_sr_sql("my - (cov / vx) * mx", 6)} AS intercept,
+               {_sr_sql("cov * cov / (vx * nullif(vy, 0))", 6)} AS r2
+        FROM wd WHERE rows_ = 7
     """
     return o

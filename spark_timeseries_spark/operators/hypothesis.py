@@ -1,0 +1,235 @@
+"""Distribution-shape hypothesis tests per series: Jarque-Bera
+normality, Mann-Whitney half-split location shift, Brown-Forsythe
+variance homogeneity across calendar groups.
+
+Beyond-reference (sryza/spark-timeseries's test surface is the
+residual-diagnostic suite — ADF/KPSS/DW/BG/LB/BP in
+``src/main/scala/com/cloudera/sparkts/stats/TimeSeriesStatisticalTests.scala``);
+these are the complementary DISTRIBUTION tests a data-quality pass
+asks of the raw series: is it Gaussian (Jarque & Bera 1987), did its
+location shift between the first and second half (Mann & Whitney
+1947), is its spread stable across weekdays (Brown & Forsythe 1974)?
+
+Conventions shared by all three:
+
+- NULL values are dropped before testing (the ``kruskal_dow``
+  convention).
+- Mid-ranks for ties (rank() + (tie_size − 1)/2 — the standard
+  average-rank treatment), tie corrections applied where the test
+  defines one.
+- p-values are emitted only where the reference distribution has a
+  closed form (χ²₂ survival = exp(−x/2) for Jarque-Bera). The
+  Mann-Whitney z and Brown-Forsythe F are returned as statistics with
+  their degrees of freedom; compare downstream (normal / F tables) —
+  the engine ships no special-function library and an erf
+  approximation would break bit-parity with the SQL oracle.
+
+Plan shapes (all JVM, no Python, no joins):
+
+- ``jarque_bera``: one per-key mean window + ONE map-side-combinable
+  aggregate of centered power sums.
+- ``mann_whitney_halves``: two windows (value mid-rank, time
+  row-number) on the same key partition + ONE aggregate.
+- ``brown_forsythe_dow``: one per-(key, group) median window + one
+  per-(key, group) aggregate + one per-key aggregate.
+
+All scale linearly in rows and parallelize across keys — at 100 TB
+the only exchange is the hash partition on the key (and Catalyst
+reuses one sort for windows sharing a partition/order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["jarque_bera", "mann_whitney_halves", "brown_forsythe_dow"]
+
+
+def jarque_bera(
+    df: DataFrame,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Jarque-Bera normality test per series → (key, n, skew, kurt,
+    jb, p_value): skew g₁ = m₃/m₂^1.5 and excess kurtosis g₂ =
+    m₄/m₂² − 3 over BIASED central moments mₖ = Σ(x−x̄)ᵏ/n (the
+    classical JB moments, not the sample-adjusted b-coefficients),
+    JB = n/6·(g₁² + g₂²/4), p = exp(−JB/2) — the exact χ²₂ survival
+    function (closed form, so the p-value ships). NULL statistics
+    when the series is constant (m₂ = 0 → try_divide) or n < 2.
+
+    Centering is explicit (per-key mean window, then one aggregate of
+    (x−x̄)ᵏ sums) rather than raw-moment algebra — raw fourth moments
+    of large-magnitude values lose the ~10 significant digits the
+    6-digit oracle round requires; centered powers do not."""
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    wk = Window.partitionBy(key_col)
+    c = pts.select(
+        F.col(key_col).alias("_k"),
+        (v - F.avg(v).over(wk)).alias("_c"),
+    )
+    d = F.col("_c")
+    agg = c.groupBy(F.col("_k").alias(key_col)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(d * d).alias("_m2"),
+        F.avg(d * d * d).alias("_m3"),
+        F.avg(d * d * d * d).alias("_m4"),
+    )
+    m2, m3, m4 = F.col("_m2"), F.col("_m3"), F.col("_m4")
+    skew = F.try_divide(m3, F.sqrt(m2 * m2 * m2))
+    kurt = F.try_divide(m4, m2 * m2) - 3.0
+    jb = (
+        F.col("n").cast("double")
+        / 6.0
+        * (skew * skew + kurt * kurt / 4.0)
+    )
+    return agg.where(F.col("n") >= 2).select(
+        key_col,
+        "n",
+        skew.alias("skew"),
+        kurt.alias("kurt"),
+        jb.alias("jb"),
+        F.exp(-jb / 2.0).alias("p_value"),
+    )
+
+
+def mann_whitney_halves(
+    df: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Mann-Whitney U location-shift test per series, first half vs
+    second half in time order → (key, n1, n2, u1, z): did the
+    distribution's location move? The rank-based companion of a
+    mean-shift t-test (outlier-proof, no normality assumption) and
+    the two-sample sibling of :func:`~.changepoint` detectors — here
+    the split point is FIXED at the series midpoint (first
+    ⌈n/2⌉ observations = group 1), not searched.
+
+    U₁ = R₁ − n₁(n₁+1)/2 over mid-ranks of the pooled series; z is
+    the tie-corrected normal approximation with a ±0.5 continuity
+    correction toward the null, σ² = n₁n₂/12·((N+1) −
+    Σ(t³−t)/(N(N−1))) (Mann & Whitney 1947; Lehmann 1975 tie form).
+    NULL z when every value is tied (σ = 0) or a half is empty.
+    Compare |z| to the normal table downstream (module docstring).
+
+    Plan: a time row-number window and a value mid-rank window on the
+    same key partition, then ONE aggregate — no join, no Python."""
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    wt = Window.partitionBy(key_col).orderBy(ts_col)
+    wr = Window.partitionBy(key_col).orderBy(value_col)
+    wtie = Window.partitionBy(key_col, value_col)
+    wn = Window.partitionBy(key_col)
+    d = pts.select(
+        F.col(key_col).alias("_k"),
+        (
+            F.row_number().over(wt)
+            <= F.ceil(F.count(F.lit(1)).over(wn) / 2.0)
+        ).alias("_g1"),
+        (
+            F.rank().over(wr)
+            + (F.count(F.lit(1)).over(wtie) - 1) / 2.0
+        ).alias("_r"),
+        F.count(F.lit(1)).over(wtie).alias("_t"),
+    )
+    agg = d.groupBy(F.col("_k").alias(key_col)).agg(
+        F.sum(F.col("_g1").cast("long")).alias("n1"),
+        F.sum((~F.col("_g1")).cast("long")).alias("n2"),
+        F.sum(F.when(F.col("_g1"), F.col("_r"))).alias("_r1"),
+        # t² − 1 summed over member rows = Σ over tie groups of t³ − t
+        F.sum(F.col("_t") * F.col("_t") - 1).alias("_tsum"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    nn = n1 + n2
+    u1 = F.col("_r1") - n1 * (n1 + 1.0) / 2.0
+    mu = n1 * n2 / 2.0
+    sigma = F.sqrt(
+        n1
+        * n2
+        / 12.0
+        * ((nn + 1.0) - F.col("_tsum").cast("double") / (nn * (nn - 1.0)))
+    )
+    dev = u1 - mu
+    # continuity correction shrinks |dev| by 0.5, never across zero
+    corrected = F.signum(dev) * F.greatest(
+        F.abs(dev) - 0.5, F.lit(0.0)
+    )
+    return agg.select(
+        key_col,
+        "n1",
+        "n2",
+        u1.alias("u1"),
+        F.try_divide(corrected, sigma).alias("z"),
+    )
+
+
+def brown_forsythe_dow(
+    df: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test per series across
+    day-of-week groups → (key, n, n_groups, df1, df2, f_stat): is the
+    SPREAD stable across weekdays? The median-centered Levene variant
+    (Brown & Forsythe 1974 — robust to non-normality, unlike Bartlett)
+    and the scale companion of :func:`~.features.kruskal_dow`'s
+    location test: one-way ANOVA F on zᵢⱼ = |xᵢⱼ − median(group i)|,
+    F = [(N−k)/(k−1)] · Σnᵢ(z̄ᵢ−z̄)² / ΣΣ(zᵢⱼ−z̄ᵢ)², df = (k−1, N−k).
+    Group medians are EXACT (``percentile`` — the ``robust_scale``
+    parity convention). NULL f_stat when the within-group sum is 0
+    (all |deviations| equal) or k < 2. Compare to the F table
+    downstream (module docstring).
+
+    Plan: one per-(key, dow) exact-percentile window, one (key, dow)
+    aggregate, one key aggregate — no join, no Python. Day-of-week
+    grouping only (the calendar axis the engine's seasonal operators
+    share); generalize by pre-computing a group column upstream."""
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    wg = Window.partitionBy(key_col, F.dayofweek(ts_col))
+    z = pts.select(
+        F.col(key_col).alias("_k"),
+        F.dayofweek(ts_col).alias("_dow"),
+        F.abs(
+            v - F.expr(f"percentile({value_col}, 0.5)").over(wg)
+        ).alias("_z"),
+    )
+    g = z.groupBy("_k", "_dow").agg(
+        F.count(F.lit(1)).alias("_ni"),
+        F.avg("_z").alias("_zi"),
+        F.sum(F.col("_z") * F.col("_z")).alias("_zz"),
+    )
+    # within-group Σ(z−z̄ᵢ)² = Σz² − nᵢ·z̄ᵢ² (exact on these scales; z ≥ 0)
+    agg = g.groupBy(F.col("_k").alias(key_col)).agg(
+        F.sum("_ni").alias("n"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.col("_ni") * F.col("_zi")).alias("_sz"),
+        F.sum(
+            F.col("_ni").cast("double") * F.col("_zi") * F.col("_zi")
+        ).alias("_bsq"),
+        F.sum(
+            F.col("_zz")
+            - F.col("_ni").cast("double") * F.col("_zi") * F.col("_zi")
+        ).alias("_within"),
+    )
+    nn = F.col("n").cast("double")
+    k = F.col("n_groups").cast("double")
+    zbar = F.col("_sz") / nn
+    between = F.col("_bsq") - nn * zbar * zbar
+    f_stat = F.try_divide(
+        (nn - k) / (k - 1.0) * between, F.col("_within")
+    )
+    return agg.where(F.col("n_groups") >= 2).select(
+        key_col,
+        "n",
+        "n_groups",
+        (F.col("n_groups") - 1).alias("df1"),
+        (F.col("n") - F.col("n_groups")).alias("df2"),
+        f_stat.alias("f_stat"),
+    )

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["capture_ratios", "active_stats"]
+__all__ = ["capture_ratios", "active_stats", "downside_stats"]
 
 
 def _overlap_returns(
@@ -97,6 +97,59 @@ def capture_ratios(
             F.avg(F.when(dn, F.col("_ra"))),
             F.avg(F.when(dn, F.col("_rb"))),
         ).alias("down_capture"),
+    )
+
+
+def downside_stats(
+    df: DataFrame,
+    key_col: str = "key",
+    loc_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Downside-risk summary PER SERIES (every key at once, unlike the
+    two-series functions above) → one row per key: (key, n, mean_ret,
+    downside_dev, sortino, omega, win_rate). Per-period simple returns
+    come from CONSECUTIVE non-null observations per key (a hole skips
+    to the next value — the ``realized_vol`` bridge convention);
+    target return θ = 0 throughout (state a different θ by shifting
+    returns upstream). downside_dev = √(Σ min(r,0)² / n) — the
+    FULL-moment form (denominator counts all n periods, Sortino &
+    Price 1994), not the below-target-only variant; sortino =
+    mean_ret / downside_dev; omega = Σ max(r,0) / Σ max(−r,0) (Keating
+    & Shadwick 2002 at θ = 0); win_rate = #(r > 0)/n. NULLs via
+    try_divide when a series never loses (omega) or never moves
+    (sortino). Per-period values; annualize downstream (module
+    docstring). Plan: one lag window + ONE map-side-combinable
+    aggregate per key — all JVM, linear, no join."""
+    from pyspark.sql import Window as _W
+
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    wk = _W.partitionBy(key_col).orderBy(loc_col)
+    r = pts.withColumn(
+        "_r", F.try_divide(v, F.lag(value_col).over(wk)) - 1.0
+    ).where(F.col("_r").isNotNull())
+    rr = F.col("_r")
+    neg = F.when(rr < 0, -rr).otherwise(F.lit(0.0))
+    pos = F.when(rr > 0, rr).otherwise(F.lit(0.0))
+    agg = r.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(rr).alias("mean_ret"),
+        F.sqrt(F.avg(neg * neg)).alias("downside_dev"),
+        F.sum(pos).alias("_gain"),
+        F.sum(neg).alias("_loss"),
+        F.avg((rr > 0).cast("double")).alias("win_rate"),
+    )
+    return agg.select(
+        key_col,
+        "n",
+        "mean_ret",
+        "downside_dev",
+        F.try_divide(F.col("mean_ret"), F.col("downside_dev")).alias(
+            "sortino"
+        ),
+        F.try_divide(F.col("_gain"), F.col("_loss")).alias("omega"),
+        "win_rate",
     )
 
 

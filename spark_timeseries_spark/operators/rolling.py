@@ -607,6 +607,63 @@ def _corr_matrix_compact(
     )
 
 
+def roll_slope(
+    df: DataFrame,
+    n: int,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Rolling OLS trend per series → adds (slope, intercept, r2) over
+    right-aligned complete n-windows, regressing the value on
+    ``order_col`` itself: slope = cov(x, v)/var(x) in value-units per
+    loc-unit, intercept at x = 0, r² = cov²/(var(x)·var(v)) the
+    window's linear-fit quality. The local-trend companion of
+    :func:`roll_beta` (which regresses on ANOTHER series) and the
+    parametric sibling of the Theil-Sen operator (one global robust
+    slope there, a per-window LS slope here). Same contract as
+    :func:`roll_agg`: windows containing a NULL value yield NULL
+    statistics, incomplete boundary windows are trimmed; r² is NULL
+    for a constant-value window (zero variance — try_divide).
+
+    Plan: ONE window pass per key (covar/var/avg share the frame and
+    one sort) — all JVM, linear, no join; irregular spacing is honored
+    because x is the actual ``order_col`` value, not the row number."""
+    if n < 2:
+        raise ValueError(f"roll_slope needs n >= 2, got {n}")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-(n - 1), 0)
+    )
+    x = F.col(order_col).cast("double")
+    v = F.col(value_col)
+    cov = F.covar_samp(x, v).over(w)
+    slope = F.try_divide(cov, F.var_samp(x).over(w))
+    full = F.col("_vals") == n
+    out = (
+        df.withColumn("_rows", F.count(F.lit(1)).over(w))
+        .withColumn("_vals", F.count(value_col).over(w))
+        .withColumn("slope", F.when(full, slope))
+        .withColumn(
+            "intercept",
+            F.when(full, F.avg(v).over(w) - F.col("slope") * F.avg(x).over(w)),
+        )
+        .withColumn(
+            "r2",
+            F.when(
+                full,
+                F.try_divide(
+                    cov * cov, F.var_samp(x).over(w) * F.var_samp(v).over(w)
+                ),
+            ),
+        )
+        .where(F.col("_rows") == n)
+        .drop("_rows", "_vals")
+    )
+    return out
+
+
 def roll_rank(
     df: DataFrame,
     n: int,

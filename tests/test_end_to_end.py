@@ -4963,3 +4963,168 @@ def test_wma_mixdrift_clusterstats(spark):
     assert st.n_clusters == 2 and st.n_removable == 3
     assert abs(st.dup_frac - 0.3) < 1e-12
     assert st.max_cluster == 3 and abs(st.mean_cluster - 2.5) < 1e-12
+
+
+def test_hypothesis_tests(spark):
+    """jarque_bera: moments/JB/p match a numpy replay and a standard
+    normal sample scores low JB; mann_whitney_halves: a clean level
+    shift between halves gives extreme U and large |z|, identical
+    halves give z near 0; brown_forsythe_dow: equal-spread groups give
+    F near 1, one high-variance weekday inflates F."""
+    import datetime as dt
+
+    import numpy as np
+
+    from spark_timeseries_spark.operators.hypothesis import (
+        brown_forsythe_dow,
+        jarque_bera,
+        mann_whitney_halves,
+    )
+
+    rng = np.random.RandomState(7)
+    base = dt.datetime(2024, 1, 1)
+
+    # --- jarque_bera: numpy replay + a skewed series scores higher
+    x = rng.randn(400)
+    y = np.exp(rng.randn(400))  # lognormal: heavy skew/kurtosis
+    rows = [("g", base + dt.timedelta(hours=i), float(x[i])) for i in range(400)]
+    rows += [("s", base + dt.timedelta(hours=i), float(y[i])) for i in range(400)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    jb = {r.key: r for r in jarque_bera(df).collect()}
+    c = x - x.mean()
+    m2, m3, m4 = (c**2).mean(), (c**3).mean(), (c**4).mean()
+    g1, g2 = m3 / m2**1.5, m4 / m2**2 - 3.0
+    ref = 400 / 6.0 * (g1**2 + g2**2 / 4.0)
+    assert jb["g"].n == 400
+    assert abs(jb["g"].skew - g1) < 1e-9
+    assert abs(jb["g"].kurt - g2) < 1e-9
+    assert abs(jb["g"].jb - ref) < 1e-7
+    assert abs(jb["g"].p_value - np.exp(-ref / 2.0)) < 1e-9
+    assert jb["s"].jb > 50 * jb["g"].jb  # lognormal is decisively non-normal
+
+    # constant series: m2 = 0 -> NULL statistics, row still emitted
+    dfc = spark.createDataFrame(
+        [("c", base + dt.timedelta(hours=i), 5.0) for i in range(10)],
+        "key string, ts timestamp, value double",
+    )
+    rc = jarque_bera(dfc).collect()[0]
+    assert rc.n == 10 and rc.skew is None and rc.jb is None
+
+    # --- mann_whitney_halves: shift vs no shift
+    lo = rng.randn(50)
+    hi = rng.randn(50) + 10.0  # clean separation
+    rows = [("shift", base + dt.timedelta(hours=i), float(v))
+            for i, v in enumerate(np.concatenate([lo, hi]))]
+    rows += [("flat", base + dt.timedelta(hours=i), float(lo[i % 50]))
+             for i in range(100)]
+    df2 = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    mw = {r.key: r for r in mann_whitney_halves(df2).collect()}
+    # every first-half value below every second-half value -> U1 = 0
+    assert mw["shift"].n1 == 50 and mw["shift"].n2 == 50
+    assert mw["shift"].u1 == 0.0
+    assert mw["shift"].z < -5.0
+    # identical halves: U1 = n1*n2/2 exactly (each value ties its twin)
+    assert mw["flat"].u1 == 50 * 50 / 2.0
+    assert mw["flat"].z == 0.0
+
+    # --- brown_forsythe_dow: one noisy weekday inflates F
+    n = 7 * 40
+    ts = [base + dt.timedelta(days=i) for i in range(n)]
+    calm = rng.randn(n)
+    noisy = calm.copy()
+    wd = np.array([t.weekday() for t in ts])
+    noisy[wd == 2] = 25.0 * rng.randn((wd == 2).sum())
+    rows = [("calm", ts[i], float(calm[i])) for i in range(n)]
+    rows += [("noisy", ts[i], float(noisy[i])) for i in range(n)]
+    df3 = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    bf = {r.key: r for r in brown_forsythe_dow(df3).collect()}
+    assert bf["calm"].n_groups == 7 and bf["calm"].df1 == 6
+    assert bf["calm"].df2 == n - 7
+    assert bf["calm"].f_stat < 3.0
+    assert bf["noisy"].f_stat > 20.0
+
+
+def test_downside_stats(spark):
+    """Sortino/Omega numpy replay on a constructed price path with a
+    hole (the return bridges it); an all-gains series yields NULL
+    omega (no losses) and NULL sortino only when dd = 0."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.portfolio import downside_stats
+
+    rng = np.random.RandomState(11)
+    r = 0.01 * rng.randn(40)
+    p = 100 * np.cumprod(1 + r)
+    rows = [("a", i, float(p[i])) for i in range(40) if i != 15]
+    rows += [("up", i, float(100 * 1.01**i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    out = {x.key: x for x in downside_stats(df).collect()}
+
+    keep = [i for i in range(40) if i != 15]
+    v = p[keep]
+    rr = v[1:] / v[:-1] - 1.0
+    neg = np.where(rr < 0, -rr, 0.0)
+    pos = np.where(rr > 0, rr, 0.0)
+    a = out["a"]
+    assert a.n == len(rr)
+    assert abs(a.mean_ret - rr.mean()) < 1e-12
+    assert abs(a.downside_dev - np.sqrt((neg**2).mean())) < 1e-12
+    assert abs(a.sortino - rr.mean() / np.sqrt((neg**2).mean())) < 1e-9
+    assert abs(a.omega - pos.sum() / neg.sum()) < 1e-9
+    assert abs(a.win_rate - (rr > 0).mean()) < 1e-12
+
+    u = out["up"]  # strictly rising: no losses
+    assert u.omega is None and u.sortino is None and u.win_rate == 1.0
+
+
+def test_roll_slope(spark):
+    """Exact linear series recovers its slope/intercept with r2 = 1 in
+    every full window; a NULL cell voids exactly the windows covering
+    it; constant windows give NULL r2; boundary rows trimmed."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.rolling import roll_slope
+
+    rows = [("lin", i, 3.0 + 2.0 * i) for i in range(12)]
+    rows += [("hole", i, float(i) if i != 5 else None) for i in range(12)]
+    rows += [("flat", i, 7.0) for i in range(12)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    out = roll_slope(df, 4).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.key, {})[r.loc] = r
+
+    assert set(by["lin"]) == set(range(3, 12))  # boundary trimmed
+    for loc, r in by["lin"].items():
+        assert abs(r.slope - 2.0) < 1e-12
+        assert abs(r.intercept - 3.0) < 1e-12
+        assert abs(r.r2 - 1.0) < 1e-12
+
+    # windows ending at loc 5..8 cover the NULL -> NULL stats
+    for loc in range(3, 12):
+        r = by["hole"][loc]
+        if 5 <= loc <= 8:
+            assert r.slope is None and r.r2 is None
+        else:
+            assert abs(r.slope - 1.0) < 1e-12
+
+    for r in by["flat"].values():
+        assert abs(r.slope - 0.0) < 1e-12
+        assert r.r2 is None  # zero value variance
+
+    # numpy replay on irregular spacing: x is the loc VALUE
+    rng = np.random.RandomState(3)
+    locs = np.cumsum(rng.randint(1, 5, size=20)).astype(int)
+    vals = rng.randn(20)
+    df2 = spark.createDataFrame(
+        [("r", int(l), float(v)) for l, v in zip(locs, vals)],
+        "key string, loc long, value double",
+    )
+    got = {r.loc: r for r in roll_slope(df2, 6).collect()}
+    for e in range(5, 20):
+        xs = locs[e - 5 : e + 1].astype(float)
+        ys = vals[e - 5 : e + 1]
+        s, b = np.polyfit(xs, ys, 1)
+        g = got[int(locs[e])]
+        assert abs(g.slope - s) < 1e-9
+        assert abs(g.intercept - b) < 1e-9
