@@ -4737,6 +4737,45 @@ def _q_roll_slope(spark, sf_dir):
     )
 
 
+def _q_spc_rules(spark, sf_dir):
+    """Western Electric run-rule alarms per user over raw events —
+    phase-I center/σ̂, three counting frames on one sort; only rows
+    where at least one rule fires are returned."""
+    from spark_timeseries_spark.operators.indicators import spc_rules
+
+    obs = events_observations(spark, sf_dir)
+    out = spc_rules(obs, order_col="ts")
+    fired = (
+        F.coalesce(F.col("rule1"), F.lit(False))
+        | F.coalesce(F.col("rule2"), F.lit(False))
+        | F.coalesce(F.col("rule3"), F.lit(False))
+        | F.coalesce(F.col("rule4"), F.lit(False))
+    )
+    return out.where(fired).select(
+        "key", "ts",
+        _stable_round(F.col("z"), 6).alias("z"),
+        F.col("rule1").cast("int").alias("rule1"),
+        F.col("rule2").cast("int").alias("rule2"),
+        F.col("rule3").cast("int").alias("rule3"),
+        F.col("rule4").cast("int").alias("rule4"),
+    )
+
+
+def _q_edit_dist_pairs(spark, sf_dir):
+    """Levenshtein verification of the 3-gram-Jaccard candidate pairs —
+    the character-level near-dup score next to the set-level one."""
+    from spark_timeseries_spark.pipeline import dedup as dd
+    from spark_timeseries_spark.pipeline.dedup import edit_verify
+
+    docs = _docs_spread(spark, sf_dir)
+    pairs = _q_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    out = edit_verify(docs, pairs)
+    return out.select(
+        "id_a", "id_b", "lev",
+        _stable_round(F.col("edit_sim"), 6).alias("edit_sim"),
+    )
+
+
 _ALL_QUERIES = {
     # -- (a) must-prove: r10-touched / r10-new ---------------------------
     "retention_cohorts": _q_retention_cohorts,
@@ -4847,6 +4886,8 @@ _ALL_QUERIES = {
     "brown_forsythe": _q_brown_forsythe,
     "downside_stats": _q_downside_stats,
     "roll_slope": _q_roll_slope,
+    "spc_rules": _q_spc_rules,
+    "edit_dist_pairs": _q_edit_dist_pairs,
     "dup_spans": _q_dup_spans,
     "embedding_covariance": _q_embedding_covariance,
     "cusum": _q_cusum,
@@ -13515,5 +13556,66 @@ def oracle_sql() -> dict[str, str]:
                {_sr_sql("my - (cov / vx) * mx", 6)} AS intercept,
                {_sr_sql("cov * cov / (vx * nullif(vy, 0))", 6)} AS r2
         FROM wd WHERE rows_ = 7
+    """
+
+    o["spc_rules"] = f"""
+        WITH obs AS (
+            SELECT CAST(user_id AS VARCHAR) AS k, ts, value
+            FROM events WHERE value IS NOT NULL
+        ),
+        zz AS (
+            SELECT k, ts,
+                   (value - avg(value) OVER (PARTITION BY k))
+                       / stddev_samp(value) OVER (PARTITION BY k) AS z
+            FROM obs
+        ),
+        rr AS (
+            SELECT k, ts, z,
+                   abs(z) > 3.0 AS rule1,
+                   CASE WHEN count(*) OVER w3 >= 3 THEN
+                       sum(CASE WHEN z > 2.0 THEN 1 ELSE 0 END) OVER w3 >= 2
+                       OR sum(CASE WHEN z < -2.0 THEN 1 ELSE 0 END)
+                          OVER w3 >= 2
+                   END AS rule2,
+                   CASE WHEN count(*) OVER w5 >= 5 THEN
+                       sum(CASE WHEN z > 1.0 THEN 1 ELSE 0 END) OVER w5 >= 4
+                       OR sum(CASE WHEN z < -1.0 THEN 1 ELSE 0 END)
+                          OVER w5 >= 4
+                   END AS rule3,
+                   CASE WHEN count(*) OVER w8 >= 8 THEN
+                       sum(CASE WHEN z > 0.0 THEN 1 ELSE 0 END) OVER w8 >= 8
+                       OR sum(CASE WHEN z < 0.0 THEN 1 ELSE 0 END)
+                          OVER w8 >= 8
+                   END AS rule4
+            FROM zz
+            WINDOW w3 AS (PARTITION BY k ORDER BY ts
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                   w5 AS (PARTITION BY k ORDER BY ts
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                   w8 AS (PARTITION BY k ORDER BY ts
+                          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+        )
+        SELECT k AS key, ts,
+               {_sr_sql("z", 6)} AS z,
+               CAST(rule1 AS INT) AS rule1,
+               CAST(rule2 AS INT) AS rule2,
+               CAST(rule3 AS INT) AS rule3,
+               CAST(rule4 AS INT) AS rule4
+        FROM rr
+        WHERE coalesce(rule1, FALSE) OR coalesce(rule2, FALSE)
+           OR coalesce(rule3, FALSE) OR coalesce(rule4, FALSE)
+    """
+
+    o["edit_dist_pairs"] = f"""
+        WITH p AS ({o["ngram_jaccard_pairs"]})
+        SELECT p.id_a, p.id_b,
+               CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+               {_sr_sql(
+                   "1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)"
+                   " / greatest(length(da.text), length(db.text))", 6
+               )} AS edit_sim
+        FROM p
+        JOIN documents da ON da.doc_id = p.id_a
+        JOIN documents db ON db.doc_id = p.id_b
     """
     return o

@@ -39,6 +39,7 @@ __all__ = [
     "keltner_channels", "donchian_channels", "ulcer_index",
     "rolling_sharpe", "ewma_chart",
     "williams_r", "cci", "cmo", "trix", "aroon", "heikin_ashi", "wma",
+    "spc_rules",
 ]
 
 
@@ -1022,4 +1023,59 @@ def wma(
     return pts.withColumn(
         "wma",
         F.when(F.count(F.lit(1)).over(w) >= n, num / den),
+    )
+
+
+def spc_rules(
+    df: DataFrame,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Western Electric run rules (WECO handbook 1956) per series →
+    non-null input rows + ``z`` and four rule flags, the Shewhart-chart
+    companion of :func:`ewma_chart` (that chart catches small
+    persistent drifts; these rules catch spikes, runs and oscillation
+    onset on the raw points):
+
+    - ``rule1``: |z| > 3 — the point itself is beyond 3σ.
+    - ``rule2``: ≥ 2 of the last 3 points beyond 2σ on the SAME side.
+    - ``rule3``: ≥ 4 of the last 5 points beyond 1σ on the same side.
+    - ``rule4``: all of the last 8 points on the same side of center
+      (a point exactly AT center breaks both runs, stated).
+
+    Conventions (stated): center/σ̂ are the series' own mean and
+    sample stdev (phase-I, the ``ewma_chart`` convention); run rules
+    count windows of the last k OBSERVED points and are NULL until k
+    points exist (a partial window can't satisfy "m of k"); z and all
+    four flags are NULL on a constant series (σ̂ = 0 → try_divide →
+    NULL z propagates through every rule's conditional count).
+
+    Plan: one key window for center/σ̂ + three counting frames on the
+    SAME (key, order) sort — Catalyst reuses one exchange and one
+    sort; no joins, no Python, linear in rows."""
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    wk = Window.partitionBy(key_col)
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+
+    def frame(k):
+        return ws.rowsBetween(-(k - 1), 0)
+
+    z = F.try_divide(
+        v - F.avg(value_col).over(wk), F.stddev_samp(value_col).over(wk)
+    )
+    d = pts.withColumn("z", z)
+    zc = F.col("z")
+
+    def m_of_k(m, k, thresh):
+        hi = F.sum((zc > thresh).cast("int")).over(frame(k)) >= m
+        lo = F.sum((zc < -thresh).cast("int")).over(frame(k)) >= m
+        return F.when(F.count(F.lit(1)).over(frame(k)) >= k, hi | lo)
+
+    return (
+        d.withColumn("rule1", F.when(zc.isNotNull(), F.abs(zc) > 3.0))
+        .withColumn("rule2", m_of_k(2, 3, 2.0))
+        .withColumn("rule3", m_of_k(4, 5, 1.0))
+        .withColumn("rule4", m_of_k(8, 8, 0.0))
     )

@@ -1141,6 +1141,59 @@ def containment_verify(
     return out
 
 
+def edit_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_chars: int | None = None,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact Levenshtein verification on candidate pairs → (id_a, id_b,
+    lev, edit_sim): lev is the character edit distance between the two
+    texts, edit_sim = 1 − lev/max(len_a, len_b) ∈ [0, 1] (1 =
+    identical; lengths are of the COMPARED strings — see max_chars).
+    The character-level near-dup verifier, complementing the set-based
+    :func:`jaccard_verify` (shingle Jaccard is order-insensitive and
+    misses small in-place edits scattered through a doc; edit distance
+    counts every one). ``threshold`` keeps pairs with edit_sim ≥ it;
+    NULL edit_sim (two empty texts) is dropped by any threshold > 0.
+
+    ``max_chars`` caps the comparison at each text's first max_chars
+    characters — Levenshtein is O(len²) PER PAIR, so at corpus scale
+    set a cap (or rely on the candidate generator's length blocking):
+    the pair list must already be LSH/shingle-bounded upstream; this
+    function never generates pairs.
+
+    Plan: two equi-joins of the (bounded) pair table against the text
+    table, then one JVM ``levenshtein`` expression per pair — no
+    Python, no blow-up beyond |candidates|."""
+    t = F.col(text_col)
+    if max_chars is not None:
+        if max_chars < 1:
+            raise ValueError(f"max_chars must be >= 1, got {max_chars}")
+        t = F.substring(t, 1, max_chars)
+    texts = df.select(F.col(id_col).alias("_id"), t.alias("_t"))
+    out = (
+        candidates.select("id_a", "id_b")
+        .join(texts.withColumnsRenamed({"_id": "id_a", "_t": "_ta"}), "id_a")
+        .join(texts.withColumnsRenamed({"_id": "id_b", "_t": "_tb"}), "id_b")
+        .withColumn("lev", F.levenshtein("_ta", "_tb").cast("long"))
+        .withColumn(
+            "edit_sim",
+            1.0
+            - F.try_divide(
+                F.col("lev").cast("double"),
+                F.greatest(F.length("_ta"), F.length("_tb")).cast("double"),
+            ),
+        )
+        .select("id_a", "id_b", "lev", "edit_sim")
+    )
+    if threshold > 0.0:
+        out = out.where(F.col("edit_sim") >= threshold)
+    return out
+
+
 def dedup_exact_incremental(
     new_df: DataFrame,
     existing_df: DataFrame,

@@ -5128,3 +5128,106 @@ def test_roll_slope(spark):
         g = got[int(locs[e])]
         assert abs(g.slope - s) < 1e-9
         assert abs(g.intercept - b) < 1e-9
+
+
+def test_spc_rules(spark):
+    """Full numpy replay of all four Western Electric rules over a
+    series with injected violations (flags must match row-for-row,
+    including warm-up NULLs), plus designed firings: a 4sigma spike
+    (rule1), a pair of consecutive high points (rule2), 4-of-5 beyond
+    1sigma (rule3), an 8-point same-side run (rule4); a constant
+    series yields all-NULL flags."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.indicators import spc_rules
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(200) * 0.1
+    x[50] = 10.0
+    x[80], x[81] = 3.0, 3.0
+    x[120:124] = 1.2
+    x[160:168] = 2.0
+    df = spark.createDataFrame(
+        [("a", i, float(v)) for i, v in enumerate(x)],
+        "key string, loc long, value double",
+    )
+    out = {r.loc: r for r in spc_rules(df).collect()}
+    assert len(out) == 200
+
+    mu, sd = x.mean(), x.std(ddof=1)
+    z = (x - mu) / sd
+
+    def m_of_k(m, k, t):
+        exp = [None] * len(x)
+        for i in range(k - 1, len(x)):
+            w = z[i - k + 1 : i + 1]
+            exp[i] = bool((w > t).sum() >= m or (w < -t).sum() >= m)
+        return exp
+
+    e2, e3, e4 = m_of_k(2, 3, 2.0), m_of_k(4, 5, 1.0), m_of_k(8, 8, 0.0)
+    for i in range(200):
+        r = out[i]
+        assert abs(r.z - z[i]) < 1e-12
+        assert r.rule1 == (abs(z[i]) > 3.0)
+        assert r.rule2 == e2[i] and r.rule3 == e3[i] and r.rule4 == e4[i]
+
+    # the designed violations actually fire their rules
+    assert out[50].rule1
+    assert out[81].rule2
+    assert out[123].rule3
+    assert out[167].rule4 and not out[166].rule4  # run completes at 8
+    # warm-up rows are NULL, first complete window is not
+    assert out[0].rule2 is None and out[1].rule2 is None
+    assert out[3].rule3 is None and out[6].rule4 is None
+    assert out[2].rule2 is not None
+
+    # constant series: sigma 0 -> z and every flag NULL
+    dfc = spark.createDataFrame(
+        [("c", i, 1.0) for i in range(20)],
+        "key string, loc long, value double",
+    )
+    rows = spc_rules(dfc).collect()
+    assert all(r.z is None and r.rule1 is None and r.rule4 is None
+               for r in rows)
+
+
+def test_edit_verify(spark):
+    """Levenshtein pairs: known distances on constructed texts, the
+    max_chars cap compares prefixes only, empty-vs-empty gives NULL
+    sim, and the threshold filter keeps only close pairs."""
+    from spark_timeseries_spark.pipeline.dedup import edit_verify
+
+    docs = spark.createDataFrame(
+        [
+            (1, "kitten"),
+            (2, "sitting"),
+            (3, "kitten"),
+            (4, ""),
+            (5, ""),
+            (6, "aaaaaaaaaaXXXXX"),
+            (7, "aaaaaaaaaaYYYYY"),
+        ],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5), (6, 7)], "id_a long, id_b long"
+    )
+    out = {(r.id_a, r.id_b): r for r in edit_verify(docs, cand).collect()}
+    assert out[(1, 2)].lev == 3  # the textbook kitten/sitting distance
+    assert abs(out[(1, 2)].edit_sim - (1 - 3 / 7)) < 1e-12
+    assert out[(1, 3)].lev == 0 and out[(1, 3)].edit_sim == 1.0
+    assert out[(4, 5)].lev == 0 and out[(4, 5)].edit_sim is None
+    assert out[(6, 7)].lev == 5
+
+    # prefix cap: within the first 10 chars the last pair is identical
+    capped = {
+        (r.id_a, r.id_b): r
+        for r in edit_verify(docs, cand, max_chars=10).collect()
+    }
+    assert capped[(6, 7)].lev == 0 and capped[(6, 7)].edit_sim == 1.0
+
+    kept = edit_verify(docs, cand, threshold=0.9).collect()
+    assert {(r.id_a, r.id_b) for r in kept} == {(1, 3), (6, 7)} or \
+        {(r.id_a, r.id_b) for r in kept} == {(1, 3)}
+    # (6,7): sim = 1 - 5/15 = 2/3 < 0.9 -> only the exact pair survives
+    assert {(r.id_a, r.id_b) for r in kept} == {(1, 3)}
