@@ -4776,6 +4776,37 @@ def _q_edit_dist_pairs(spark, sf_dir):
     )
 
 
+def _q_code_detect(spark, sf_dir):
+    """Structural code-vs-prose detector over documents — one
+    row-local projection, no shuffle."""
+    from spark_timeseries_spark.pipeline.text import code_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = code_features(docs)
+    return out.select(
+        "doc_id", "n_lines",
+        _stable_round(F.col("indent_ratio"), 6).alias("indent_ratio"),
+        _stable_round(F.col("eol_ratio"), 6).alias("eol_ratio"),
+        _stable_round(F.col("symbol_ratio"), 6).alias("symbol_ratio"),
+        "kw_hits",
+        _stable_round(F.col("code_score"), 6).alias("code_score"),
+        F.col("is_code").cast("int").alias("is_code"),
+    )
+
+
+def _q_esd_outliers(spark, sf_dir):
+    """Generalized ESD (k=5) per user over raw events — grouped-map
+    masking-proof removal loop, recursive-CTE oracle."""
+    from spark_timeseries_spark.operators.outliers import esd_outliers
+
+    obs = events_observations(spark, sf_dir)
+    out = esd_outliers(obs, k=5)
+    return out.select(
+        "key", "iter", "ts", "value",
+        _stable_round(F.col("r_stat"), 6).alias("r_stat"),
+    )
+
+
 _ALL_QUERIES = {
     # -- (a) must-prove: r10-touched / r10-new ---------------------------
     "retention_cohorts": _q_retention_cohorts,
@@ -4888,6 +4919,8 @@ _ALL_QUERIES = {
     "roll_slope": _q_roll_slope,
     "spc_rules": _q_spc_rules,
     "edit_dist_pairs": _q_edit_dist_pairs,
+    "code_detect": _q_code_detect,
+    "esd_outliers": _q_esd_outliers,
     "dup_spans": _q_dup_spans,
     "embedding_covariance": _q_embedding_covariance,
     "cusum": _q_cusum,
@@ -13617,5 +13650,96 @@ def oracle_sql() -> dict[str, str]:
         FROM p
         JOIN documents da ON da.doc_id = p.id_a
         JOIN documents db ON db.doc_id = p.id_b
+    """
+
+    o["code_detect"] = f"""
+        WITH f AS (
+            SELECT doc_id,
+                   string_split(text, chr(10)) AS lines,
+                   length(text) AS lt,
+                   length(text) - length(regexp_replace(
+                       text, '[{{}}\[\]();=<>]', '', 'g')) AS n_sym,
+                   (CASE WHEN contains(text, 'def ') THEN 1 ELSE 0 END
+                    + CASE WHEN contains(text, 'return') THEN 1 ELSE 0 END
+                    + CASE WHEN contains(text, 'import ') THEN 1 ELSE 0 END
+                    + CASE WHEN contains(text, 'function') THEN 1 ELSE 0 END
+                    + CASE WHEN contains(text, 'class ') THEN 1 ELSE 0 END
+                    + CASE WHEN contains(text, 'void ') THEN 1 ELSE 0 END
+                    + CASE WHEN contains(text, '#include') THEN 1 ELSE 0 END
+                    + CASE WHEN contains(text, 'const ') THEN 1 ELSE 0 END
+                   ) AS kw
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   CAST(len(lines) AS INT) AS n_lines,
+                   len(list_filter(lines,
+                       l -> regexp_matches(l, '^(    |\t)'))) AS ind,
+                   len(list_filter(lines,
+                       l -> regexp_matches(l, '[;{{}}]\s*$'))) AS eol,
+                   n_sym, lt, kw
+            FROM f
+        ),
+        h AS (
+            SELECT doc_id, n_lines,
+                   ind / CAST(n_lines AS DOUBLE) AS indent_ratio,
+                   eol / CAST(n_lines AS DOUBLE) AS eol_ratio,
+                   CAST(n_sym AS DOUBLE) / nullif(lt, 0) AS symbol_ratio,
+                   kw,
+                   ind / CAST(n_lines AS DOUBLE)
+                   + eol / CAST(n_lines AS DOUBLE)
+                   + least(5.0 * coalesce(
+                         CAST(n_sym AS DOUBLE) / nullif(lt, 0), 0.0), 1.0)
+                   + least(kw / 4.0, 1.0) AS score
+            FROM g
+        )
+        SELECT doc_id, n_lines,
+               {_sr_sql("indent_ratio", 6)} AS indent_ratio,
+               {_sr_sql("eol_ratio", 6)} AS eol_ratio,
+               {_sr_sql("symbol_ratio", 6)} AS symbol_ratio,
+               CAST(kw AS INT) AS kw_hits,
+               {_sr_sql("score", 6)} AS code_score,
+               CAST(score >= 1.0 AS INT) AS is_code
+        FROM h
+    """
+
+    o["esd_outliers"] = f"""
+        WITH RECURSIVE e AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, ts, value
+            FROM events WHERE value IS NOT NULL
+        ),
+        esd AS (
+            SELECT key, CAST(0 AS INT) AS iter,
+                   CAST(NULL AS TIMESTAMP) AS ts_rm,
+                   CAST(NULL AS DOUBLE) AS x_rm,
+                   CAST(NULL AS DOUBLE) AS r_stat,
+                   list(value ORDER BY ts) AS vals,
+                   list(ts ORDER BY ts) AS locs
+            FROM e GROUP BY key
+            UNION ALL
+            SELECT key, iter + 1, locs[pos], vals[pos], maxd / sd,
+                   vals[1:pos-1] || vals[pos+1:],
+                   locs[1:pos-1] || locs[pos+1:]
+            FROM (
+                SELECT key, iter, vals, locs, sd,
+                       list_max(devs) AS maxd,
+                       list_indexof(devs, list_max(devs)) AS pos
+                FROM (
+                    SELECT key, iter, vals, locs,
+                           sqrt(list_sum(list_transform(vals,
+                                v -> (v - m) * (v - m))) / (n - 1)) AS sd,
+                           list_transform(vals, v -> abs(v - m)) AS devs
+                    FROM (
+                        SELECT key, iter, vals, locs,
+                               len(vals) AS n,
+                               list_sum(vals) / len(vals) AS m
+                        FROM esd WHERE iter < 5 AND len(vals) >= 3
+                    )
+                ) WHERE sd > 0
+            )
+        )
+        SELECT key, iter, ts_rm AS ts, x_rm AS value,
+               {_sr_sql("r_stat", 6)} AS r_stat
+        FROM esd WHERE iter >= 1
     """
     return o

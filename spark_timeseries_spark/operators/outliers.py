@@ -19,10 +19,12 @@ two exchanges total, no Python.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["outliers", "hampel", "winsorize"]
+__all__ = ["outliers", "hampel", "winsorize", "esd_outliers"]
 
 _MAD_K = 1.4826022185056018  # 1/Phi^-1(0.75): MAD→sigma under normality
 
@@ -205,4 +207,76 @@ def winsorize(
         F.when(v.isNotNull(), w).alias("winsorized"),
         F.when(v.isNotNull(), (v < F.col("q_lo")) | (v > F.col("q_hi")))
         .alias("clipped"),
+    )
+
+
+def esd_outliers(
+    df: DataFrame,
+    k: int = 5,
+    key_col: str = "key",
+    order_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Generalized ESD outlier extraction (Rosner 1983) per series →
+    one row per REMOVAL iteration: (key, iter 1..k, <order_col> of the
+    removed point, value, r_stat). Each iteration studentizes the
+    remaining points against their OWN mean/sd (sample, n−1), removes
+    the single point with the largest |x − x̄| (ties: the earliest in
+    ``order_col`` order, stated), and records Rᵢ = max|x − x̄|/s.
+    Unlike single-pass z-scoring (:func:`outliers`), re-estimating
+    after every removal defeats masking — a second outlier no longer
+    hides behind the first's inflated sd. Stops early when fewer than
+    3 points remain or the remainder is constant (s = 0). Critical
+    values λᵢ need Student-t quantiles — compare downstream (the
+    engine ships no special-function library; the
+    ``mann_whitney_halves`` convention), or threshold on Rᵢ directly.
+
+    Plan: grouped-map kernel, O(k·n) per series inside the
+    one-series-in-memory envelope; embarrassingly parallel across
+    keys. The recursion (each iteration's statistics depend on the
+    previous removal) rules out a window formulation — the
+    ``kalman_level`` class; the DuckDB oracle replays it exactly with
+    a recursive CTE carrying the remaining-values list."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    kt = df.schema[key_col].dataType.simpleString()
+    lt = df.schema[order_col].dataType.simpleString()
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf[value_col].notna()].sort_values(order_col)
+        vals = pdf[value_col].to_numpy(dtype=float)
+        locs = pdf[order_col].to_numpy()
+        key = pdf[key_col].iloc[0] if len(pdf) else None
+        out_i, out_l, out_v, out_r = [], [], [], []
+        for i in range(1, k + 1):
+            n = vals.size
+            if n < 3:
+                break
+            m = vals.sum() / n
+            dev = vals - m
+            sd = float(np.sqrt((dev * dev).sum() / (n - 1)))
+            if sd <= 0.0:
+                break
+            devs = np.abs(dev)
+            pos = int(np.argmax(devs))  # first occurrence on exact ties
+            out_i.append(i)
+            out_l.append(locs[pos])
+            out_v.append(vals[pos])
+            out_r.append(devs[pos] / sd)
+            vals = np.delete(vals, pos)
+            locs = np.delete(locs, pos)
+        return pd.DataFrame({
+            key_col: key, "iter": out_i, order_col: out_l,
+            "value": out_v, "r_stat": out_r,
+        })
+
+    # pre-filter JVM-side: null values never reach the Arrow transfer
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(key_col)
+        .applyInPandas(
+            kern,
+            f"`{key_col}` {kt}, iter int, `{order_col}` {lt}, "
+            "value double, r_stat double",
+        )
     )

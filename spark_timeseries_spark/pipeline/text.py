@@ -912,3 +912,68 @@ def stylometric_delta(
         F.count(F.when(F.col("za").isNotNull(), 1)).alias("n_words"),
         F.avg(F.abs(F.col("za") - F.col("zb"))).alias("delta"),
     )
+
+
+CODE_KEYWORDS = (
+    "def ", "return", "import ", "function", "class ",
+    "void ", "#include", "const ",
+)
+
+
+def code_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Code-vs-prose detection per document → (id, n_lines,
+    indent_ratio, eol_ratio, symbol_ratio, kw_hits, code_score,
+    is_code). A training-data mixer needs to KNOW which documents are
+    source code (to route them to a code bucket or a code-specific
+    cleaning cascade); this is the cheap structural detector:
+
+    - ``indent_ratio``: lines starting with 4 spaces or a tab (block
+      structure) / n_lines.
+    - ``eol_ratio``: lines whose last non-space character is ``;``,
+      ``{`` or ``}`` (statement/brace endings) / n_lines.
+    - ``symbol_ratio``: density of ``{}[]();=<>`` characters over all
+      characters (NULL for empty text — try_divide).
+    - ``kw_hits``: how many of the eight :data:`CODE_KEYWORDS` appear
+      as LITERAL substrings (deterministic across engines — no regex
+      word boundaries; "classic" matching "class " is excluded by the
+      trailing space, "returned" matching "return" is accepted, a
+      stated trade for exact cross-engine parity).
+    - ``code_score`` = indent_ratio + eol_ratio + min(5·symbol_ratio,
+      1) + min(kw_hits/4, 1) — four [0, 1] components, so ∈ [0, 4];
+      ``is_code`` = score ≥ 1.0 (one maxed component or a broad mix).
+      Weights are a stated heuristic, not fitted; tune on a labeled
+      sample downstream.
+
+    Plan: one row-local projection — no shuffle, no Python, whole-stage
+    codegen; the split/filter lambdas run per line, linear in text
+    size."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    indent = F.size(F.filter(lines, lambda l: l.rlike(r"^(    |\t)")))
+    eol = F.size(F.filter(lines, lambda l: l.rlike(r"[;{}]\s*$")))
+    n_sym = F.length(t) - F.length(
+        F.regexp_replace(t, r"[{}\[\]();=<>]", "")
+    )
+    kw = sum(
+        (F.contains(t, F.lit(k))).cast("int") for k in CODE_KEYWORDS
+    )
+    score = (
+        indent / n_lines
+        + eol / n_lines
+        + F.least(5.0 * F.coalesce(F.try_divide(n_sym, F.length(t)),
+                                   F.lit(0.0)), F.lit(1.0))
+        + F.least(kw / 4.0, F.lit(1.0))
+    )
+    return df.select(
+        id_col,
+        n_lines.alias("n_lines"),
+        (indent / n_lines).alias("indent_ratio"),
+        (eol / n_lines).alias("eol_ratio"),
+        F.try_divide(n_sym, F.length(t)).alias("symbol_ratio"),
+        kw.alias("kw_hits"),
+        score.alias("code_score"),
+        (score >= 1.0).alias("is_code"),
+    )

@@ -5231,3 +5231,93 @@ def test_edit_verify(spark):
         {(r.id_a, r.id_b) for r in kept} == {(1, 3)}
     # (6,7): sim = 1 - 5/15 = 2/3 < 0.9 -> only the exact pair survives
     assert {(r.id_a, r.id_b) for r in kept} == {(1, 3)}
+
+
+def test_code_features(spark):
+    """Python and C snippets score is_code, prose does not; component
+    features match hand counts; empty text gives NULL symbol_ratio and
+    still scores 0."""
+    from spark_timeseries_spark.pipeline.text import code_features
+
+    docs = spark.createDataFrame(
+        [
+            (1, "def f(x):\n    return x + 1\n\nclass A:\n    pass"),
+            (2, "The quick brown fox jumps over the lazy dog today."),
+            (3, 'int main() {\n    printf("hi");\n    return 0;\n}'),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in code_features(docs).collect()}
+
+    py = out[1]
+    assert py.n_lines == 5
+    assert abs(py.indent_ratio - 2 / 5) < 1e-12  # two 4-space lines
+    assert py.kw_hits == 3  # 'def ', 'return', 'class '
+    assert py.is_code
+
+    prose = out[2]
+    assert prose.kw_hits == 0 and prose.indent_ratio == 0.0
+    assert not prose.is_code
+
+    c = out[3]
+    assert c.n_lines == 4
+    assert c.eol_ratio == 1.0  # every line ends in { ; ; }
+    assert c.is_code
+
+    empty = out[4]
+    assert empty.n_lines == 1 and empty.symbol_ratio is None
+    assert empty.code_score == 0.0 and not empty.is_code
+
+
+def test_esd_outliers(spark):
+    """Masking demo: two big outliers are both extracted even though a
+    single-pass z-score hides the second behind the first's inflated
+    sd; the full removal sequence matches a numpy replay; constant and
+    tiny series emit nothing."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.outliers import esd_outliers
+
+    rng = np.random.RandomState(9)
+    x = rng.randn(100)
+    x[10] = 50.0
+    x[60] = -45.0
+    df = spark.createDataFrame(
+        [("a", i, float(v)) for i, v in enumerate(x)],
+        "key string, loc long, value double",
+    )
+    got = sorted(
+        esd_outliers(df, k=4, order_col="loc").collect(),
+        key=lambda r: r.iter,
+    )
+
+    vals, locs = x.copy(), np.arange(100)
+    exp = []
+    for i in range(1, 5):
+        n = vals.size
+        m = vals.sum() / n
+        dev = vals - m
+        sd = np.sqrt((dev * dev).sum() / (n - 1))
+        pos = int(np.argmax(np.abs(dev)))
+        exp.append((i, int(locs[pos]), vals[pos], abs(dev[pos]) / sd))
+        vals = np.delete(vals, pos)
+        locs = np.delete(locs, pos)
+
+    assert len(got) == 4
+    for r, (i, loc, v, rstat) in zip(got, exp):
+        assert r.iter == i and r.loc == loc
+        assert abs(r.value - v) < 1e-15
+        assert abs(r.r_stat - rstat) < 1e-10
+    # the two injected points are the first two removals
+    assert {got[0].loc, got[1].loc} == {10, 60}
+    # and re-estimation matters: iteration 2's R exceeds the naive
+    # z-score of the second outlier under the contaminated sd
+    z_naive = abs(x[60] - x.mean()) / x.std(ddof=1)
+    assert got[1].r_stat > z_naive
+
+    dfc = spark.createDataFrame(
+        [("c", i, 2.5) for i in range(30)] + [("t", 0, 1.0), ("t", 1, 9.9)],
+        "key string, loc long, value double",
+    )
+    assert esd_outliers(dfc, k=3, order_col="loc").count() == 0
