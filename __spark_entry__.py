@@ -4807,6 +4807,20 @@ def _q_esd_outliers(spark, sf_dir):
     )
 
 
+def _q_dtw_pair(spark, sf_dir):
+    """DTW distance between daily-grid users 1 and 2 (unbanded) — the
+    bounded two-series grouped-map kernel; the oracle replays the DP
+    cell-per-step in a recursive CTE (carrying the last m+2 cells)."""
+    from spark_timeseries_spark.operators.dtw import dtw_distance
+
+    grid = _daily_grid(spark, sf_dir)
+    out = dtw_distance(grid, "1", "2")
+    return out.select(
+        "key_a", "key_b", "n_a", "n_b",
+        _stable_round(F.col("dtw"), 6).alias("dtw"),
+    )
+
+
 _ALL_QUERIES = {
     # -- (a) must-prove: r10-touched / r10-new ---------------------------
     "retention_cohorts": _q_retention_cohorts,
@@ -4921,6 +4935,7 @@ _ALL_QUERIES = {
     "edit_dist_pairs": _q_edit_dist_pairs,
     "code_detect": _q_code_detect,
     "esd_outliers": _q_esd_outliers,
+    "dtw_pair": _q_dtw_pair,
     "dup_spans": _q_dup_spans,
     "embedding_covariance": _q_embedding_covariance,
     "cusum": _q_cusum,
@@ -13741,5 +13756,51 @@ def oracle_sql() -> dict[str, str]:
         SELECT key, iter, ts_rm AS ts, x_rm AS value,
                {_sr_sql("r_stat", 6)} AS r_stat
         FROM esd WHERE iter >= 1
+    """
+
+    # cell-per-step replay of the DTW DP: flat index f walks the
+    # (n+1)x(m+1) grid row-major; the state list s carries the last
+    # w+1 = m+2 cells, so up-left / up / left are s[1] / s[2] / s[w+1]
+    o["dtw_pair"] = _DAILY_GRID_SQL.replace(
+        "WITH keys", "WITH RECURSIVE keys", 1
+    ) + f"""
+        , sa AS (
+            SELECT list(value ORDER BY loc) AS a FROM grid
+            WHERE key = '1' AND value IS NOT NULL
+        ),
+        sb AS (
+            SELECT list(value ORDER BY loc) AS b FROM grid
+            WHERE key = '2' AND value IS NOT NULL
+        ),
+        init AS (
+            SELECT a, b, CAST(len(a) AS BIGINT) AS n,
+                   CAST(len(b) AS BIGINT) AS m,
+                   CAST(len(b) + 1 AS BIGINT) AS w
+            FROM sa, sb
+        ),
+        dp AS (
+            SELECT a, b, n, m, w, w AS f,
+                   list_concat(
+                       [CAST('infinity' AS DOUBLE), CAST(0.0 AS DOUBLE)],
+                       list_transform(range(1, CAST(m AS INT) + 1),
+                                      i -> CAST('infinity' AS DOUBLE))
+                   ) AS s
+            FROM init
+            UNION ALL
+            SELECT a, b, n, m, w, f + 1,
+                   s[2:CAST(w AS INT) + 1] || [
+                       CASE WHEN f % w = 0
+                            THEN CAST('infinity' AS DOUBLE)
+                            ELSE (a[CAST(f // w AS INT)]
+                                  - b[CAST(f % w AS INT)])
+                                 * (a[CAST(f // w AS INT)]
+                                    - b[CAST(f % w AS INT)])
+                                 + least(s[1], s[2], s[CAST(w AS INT) + 1])
+                       END]
+            FROM dp WHERE f <= (n + 1) * w - 1
+        )
+        SELECT '1' AS key_a, '2' AS key_b, n AS n_a, m AS n_b,
+               {_sr_sql("sqrt(s[CAST(w AS INT) + 1])", 6)} AS dtw
+        FROM dp WHERE f = (n + 1) * w
     """
     return o

@@ -6,11 +6,15 @@ Euclidean/correlation measures see nothing. Complements the engine's
 shape tooling: :mod:`operators.matrixprofile` finds repeated shapes
 WITHIN a series, DTW compares shapes ACROSS series.
 
-NOT oracle-replayable: the DP recurrence D[i,j] = cost + min(D[i−1,j],
-D[i,j−1], D[i−1,j−1]) is inherently sequential along anti-diagonals —
-no closed form a SQL engine can replay (the same class as the STL
-LOESS fit, which this repo also keeps pytest-only). Correctness is
-pinned by a brute-force numpy replay in tests instead.
+Oracle-replayable for a BOUNDED pair despite the sequential DP: the
+driver's ``dtw_pair`` oracle walks the (n+1)×(m+1) grid cell-per-step
+in a recursive CTE, carrying the trailing m+2 cells as a list — the
+recurrence D[i,j] = cost + min(D[i−1,j], D[i,j−1], D[i−1,j−1]) only
+ever looks that far back, and the arithmetic DAG per cell is identical
+IEEE, so the replay is bit-exact. That is O(n·m) recursion steps —
+fine for one diagnostic pair, not for :func:`dtw_nearest`'s corpus
+fan-out, whose correctness stays pinned by the brute-force numpy
+replay in tests.
 
 Plan: the corpus dimension parallelizes per key through one grouped-map
 kernel; the query series is a bounded driver transfer (one series —
