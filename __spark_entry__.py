@@ -4821,6 +4821,77 @@ def _q_dtw_pair(spark, sf_dir):
     )
 
 
+def _q_pairs_spread(spark, sf_dir):
+    """OLS hedge-ratio spread + z-score of daily-grid users 1 vs 2 —
+    one equi-join + full-overlap windows (bounded pair envelope)."""
+    from spark_timeseries_spark.operators.portfolio import pairs_spread
+
+    grid = _daily_grid(spark, sf_dir)
+    out = pairs_spread(grid, "1", "2")
+    return out.select(
+        "key_a", "key_b", "loc",
+        _stable_round(F.col("beta"), 6).alias("beta"),
+        _stable_round(F.col("spread"), 6).alias("spread"),
+        _stable_round(F.col("z"), 6).alias("z"),
+    )
+
+
+def _q_tail_dependence(spark, sf_dir):
+    """Empirical upper-tail dependence (q=0.8) of daily-grid users 1
+    vs 2 — exact percentiles + one conditional count."""
+    from spark_timeseries_spark.operators.portfolio import tail_dependence
+
+    grid = _daily_grid(spark, sf_dir)
+    out = tail_dependence(grid, "1", "2", q=0.8)
+    return out.select(
+        "key_a", "key_b", "q", "n",
+        _stable_round(F.col("thresh_a"), 6).alias("thresh_a"),
+        _stable_round(F.col("thresh_b"), 6).alias("thresh_b"),
+        "n_joint",
+        _stable_round(F.col("lambda_u"), 6).alias("lambda_u"),
+        _stable_round(F.col("lift"), 6).alias("lift"),
+    )
+
+
+def _q_transition_entropy(spark, sf_dir):
+    """First-order entropy rate of 4-bin discretized events per user —
+    rank+lag windows, three-level counting aggregate, all JVM."""
+    from spark_timeseries_spark.operators.features import (
+        transition_entropy,
+    )
+
+    obs = events_observations(spark, sf_dir)
+    out = transition_entropy(obs, bins=4, loc_col="ts")
+    return out.select(
+        "key", "bins", "n_trans",
+        _stable_round(F.col("h_marginal"), 6).alias("h_marginal"),
+        _stable_round(F.col("h_cond"), 6).alias("h_cond"),
+        _stable_round(F.col("predictability"), 6).alias("predictability"),
+    )
+
+
+def _q_reliability(spark, sf_dir):
+    """Calibration audit of the heuristic quality score against the
+    is-English label — decile reliability bins + ECE."""
+    from spark_timeseries_spark.pipeline.classifier import reliability_bins
+    from spark_timeseries_spark.pipeline.text import quality_score_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        quality_score_col(F.col("text")).alias("score"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    out = reliability_bins(scored, "score", "is_en", bins=10)
+    return out.select(
+        "bin", "n",
+        _stable_round(F.col("w"), 6).alias("w"),
+        _stable_round(F.col("mean_score"), 6).alias("mean_score"),
+        _stable_round(F.col("pos_rate"), 6).alias("pos_rate"),
+        _stable_round(F.col("gap"), 6).alias("gap"),
+        _stable_round(F.col("ece"), 6).alias("ece"),
+    )
+
+
 _ALL_QUERIES = {
     # -- (a) must-prove: r10-touched / r10-new ---------------------------
     "retention_cohorts": _q_retention_cohorts,
@@ -4936,6 +5007,10 @@ _ALL_QUERIES = {
     "code_detect": _q_code_detect,
     "esd_outliers": _q_esd_outliers,
     "dtw_pair": _q_dtw_pair,
+    "pairs_spread": _q_pairs_spread,
+    "tail_dependence": _q_tail_dependence,
+    "transition_entropy": _q_transition_entropy,
+    "reliability": _q_reliability,
     "dup_spans": _q_dup_spans,
     "embedding_covariance": _q_embedding_covariance,
     "cusum": _q_cusum,
@@ -5222,6 +5297,13 @@ _AUG_SQL = """
 
 # linear → previous → next fill chain (dense, non-null everywhere a key has
 # any data) — mirrors the Spark-side prep of the EWMA/Holt-Winters queries
+_PAIR_LEVELS_SQL = _DAILY_GRID_SQL + """
+    , nn AS (SELECT key, loc, value FROM grid WHERE value IS NOT NULL),
+    pa AS (SELECT loc AS l, value AS va FROM nn WHERE key = '1'),
+    pb AS (SELECT loc AS l, value AS vb FROM nn WHERE key = '2'),
+    jj AS (SELECT pa.l, va, vb FROM pa JOIN pb ON pa.l = pb.l)
+"""
+
 _FILLED_SQL = _AUG_SQL + """
     , lin AS (
         -- parenthesized exactly like the engine (frac computed first):
@@ -13802,5 +13884,137 @@ def oracle_sql() -> dict[str, str]:
         SELECT '1' AS key_a, '2' AS key_b, n AS n_a, m AS n_b,
                {_sr_sql("sqrt(s[CAST(w AS INT) + 1])", 6)} AS dtw
         FROM dp WHERE f = (n + 1) * w
+    """
+
+    o["pairs_spread"] = _PAIR_LEVELS_SQL + f"""
+        , st AS (
+            SELECT covar_samp(va, vb) / var_samp(vb) AS beta,
+                   avg(va) AS ma, avg(vb) AS mb
+            FROM jj
+        ),
+        sp AS (
+            SELECT jj.l AS loc, beta,
+                   va - ((ma - beta * mb) + beta * vb) AS spread
+            FROM jj, st
+        ),
+        zz AS (
+            SELECT loc, beta, spread,
+                   avg(spread) OVER () AS msp,
+                   stddev_samp(spread) OVER () AS ssp
+            FROM sp
+        )
+        SELECT '1' AS key_a, '2' AS key_b, loc,
+               {_sr_sql("beta", 6)} AS beta,
+               {_sr_sql("spread", 6)} AS spread,
+               {_sr_sql("(spread - msp) / nullif(ssp, 0)", 6)} AS z
+        FROM zz
+    """
+
+    o["tail_dependence"] = _PAIR_LEVELS_SQL + f"""
+        , th AS (
+            SELECT quantile_cont(va, 0.8) AS ta,
+                   quantile_cont(vb, 0.8) AS tb,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM jj
+        ),
+        ag AS (
+            SELECT th.n, th.ta, th.tb,
+                   CAST(coalesce(sum(CASE WHEN va > ta AND vb > tb
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS nj
+            FROM jj, th GROUP BY th.n, th.ta, th.tb
+        )
+        SELECT '1' AS key_a, '2' AS key_b, 0.8 AS q, n,
+               {_sr_sql("ta", 6)} AS thresh_a,
+               {_sr_sql("tb", 6)} AS thresh_b,
+               nj AS n_joint,
+               {_sr_sql(
+                   "(CAST(nj AS DOUBLE) / CAST(n AS DOUBLE))"
+                   " / 0.19999999999999996", 6
+               )} AS lambda_u,
+               {_sr_sql(
+                   "(CAST(nj AS DOUBLE) / CAST(n AS DOUBLE))"
+                   " / 0.19999999999999996 / 0.19999999999999996", 6
+               )} AS lift
+        FROM ag
+    """
+
+    o["transition_entropy"] = f"""
+        WITH obs AS (
+            SELECT CAST(user_id AS VARCHAR) AS k, ts, value
+            FROM events WHERE value IS NOT NULL
+        ),
+        sy AS (
+            SELECT k, ts,
+                   ntile(4) OVER (PARTITION BY k ORDER BY value, ts) AS s
+            FROM obs
+        ),
+        pr AS (
+            SELECT k, s,
+                   lag(s) OVER (PARTITION BY k ORDER BY ts) AS p
+            FROM sy
+        ),
+        d AS (SELECT k, p, s FROM pr WHERE p IS NOT NULL),
+        g AS (
+            SELECT k, p, s, CAST(count(*) AS DOUBLE) AS c
+            FROM d GROUP BY 1, 2, 3
+        ),
+        g2 AS (
+            SELECT k, c,
+                   sum(c) OVER (PARTITION BY k) AS n,
+                   sum(c) OVER (PARTITION BY k, p) AS ni
+            FROM g
+        ),
+        a AS (
+            SELECT k, CAST(max(n) AS BIGINT) AS n_trans,
+                   -sum(c * (ln(c) - ln(ni))) / max(n)
+                       / 0.6931471805599453 AS h_cond,
+                   -sum(c * (ln(ni) - ln(n))) / max(n)
+                       / 0.6931471805599453 AS h_marginal
+            FROM g2 GROUP BY k
+        )
+        SELECT k AS key, 4 AS bins, n_trans,
+               {_sr_sql("h_marginal", 6)} AS h_marginal,
+               {_sr_sql("h_cond", 6)} AS h_cond,
+               {_sr_sql(
+                   "1.0 - h_cond / nullif(h_marginal, 0)", 6
+               )} AS predictability
+        FROM a
+    """
+
+    o["reliability"] = f"""
+        WITH q AS ({o["quality_score"]}),
+        lab AS (
+            SELECT q.quality AS s,
+                   CASE WHEN d.lang IS NULL THEN NULL
+                        WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+            FROM q JOIN documents d ON d.doc_id = q.doc_id
+        ),
+        lv AS (SELECT s, y FROM lab
+               WHERE s IS NOT NULL AND y IS NOT NULL),
+        g AS (
+            SELECT CAST(least(floor(s * 10), 9) AS INT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   avg(s) AS ms, avg(y) AS pr
+            FROM lv GROUP BY 1
+        ),
+        ww AS (
+            SELECT bin, n,
+                   CAST(n AS DOUBLE) / sum(n) OVER () AS w,
+                   ms, pr, pr - ms AS gap
+            FROM g
+        ),
+        ee AS (
+            SELECT bin, n, w, ms, pr, gap,
+                   sum(w * abs(gap)) OVER () AS ece
+            FROM ww
+        )
+        SELECT bin, n,
+               {_sr_sql("w", 6)} AS w,
+               {_sr_sql("ms", 6)} AS mean_score,
+               {_sr_sql("pr", 6)} AS pos_rate,
+               {_sr_sql("gap", 6)} AS gap,
+               {_sr_sql("ece", 6)} AS ece
+        FROM ee
     """
     return o

@@ -1535,3 +1535,76 @@ def seasonal_zscore(
         "anomaly",
         F.when(F.col("z").isNotNull(), F.abs(F.col("z")) > thresh),
     )
+
+
+def transition_entropy(
+    df: DataFrame,
+    bins: int = 4,
+    key_col: str = "key",
+    loc_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """First-order predictability of a series' discretized dynamics →
+    one row per key: (key, bins, n_trans, h_marginal, h_cond,
+    predictability). Values are equal-frequency binned into ``bins``
+    symbols (ntile over (value, loc) order — the loc tie-break makes
+    the binning deterministic; ties CAN split across adjacent bins,
+    the standard ntile trade), consecutive symbol pairs counted, and
+
+    - ``h_marginal`` = H(Xₜ) of the FROM-state distribution (bits),
+    - ``h_cond`` = H(Xₜ₊₁ | Xₜ) — the empirical first-order entropy
+      rate (Shannon 1948; Cover & Thomas ch. 4),
+    - ``predictability`` = 1 − h_cond/h_marginal ∈ [0, 1] — 0 for an
+      i.i.d. sequence (knowing today tells nothing), → 1 for
+      deterministic cycling; NULL when h_marginal = 0 (every
+      transition starts in one bin — try_divide).
+
+    The distribution-free companion of :func:`~.rolling.autocorr`
+    (linear memory) and :func:`permutation_entropy` (ordinal
+    complexity): this one measures MARKOV memory on the value levels.
+
+    Plan: one rank window + one lag window on the same key sort, one
+    (key, from, to) count, two partition sums, one key aggregate —
+    all JVM, no join, no Python."""
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    wb = Window.partitionBy(key_col).orderBy(value_col, loc_col)
+    ws = Window.partitionBy(key_col).orderBy(loc_col)
+    d = pts.select(
+        F.col(key_col).alias("_k"),
+        F.col(loc_col).alias("_l"),
+        F.ntile(bins).over(wb).alias("_s"),
+    ).select(
+        "_k", F.col("_s"), F.lag("_s").over(
+            Window.partitionBy("_k").orderBy("_l")
+        ).alias("_p"),
+    ).where(F.col("_p").isNotNull())
+    g = d.groupBy("_k", "_p", "_s").agg(F.count(F.lit(1)).alias("_c"))
+    wk = Window.partitionBy("_k")
+    wi = Window.partitionBy("_k", "_p")
+    g = g.withColumn("_n", F.sum("_c").over(wk)).withColumn(
+        "_ni", F.sum("_c").over(wi)
+    )
+    ln2 = 0.6931471805599453
+    c = F.col("_c").cast("double")
+    ni = F.col("_ni").cast("double")
+    n = F.col("_n").cast("double")
+    agg = g.groupBy(F.col("_k").alias(key_col)).agg(
+        F.max("_n").alias("n_trans"),
+        (-F.sum(c * (F.log(c) - F.log(ni)))
+         / F.max("_n").cast("double") / ln2).alias("h_cond"),
+        (-F.sum(c * (F.log(ni) - F.log(n)))
+         / F.max("_n").cast("double") / ln2).alias("h_marginal"),
+    )
+    return agg.select(
+        key_col,
+        F.lit(bins).alias("bins"),
+        "n_trans",
+        "h_marginal",
+        "h_cond",
+        (1.0 - F.try_divide(F.col("h_cond"), F.col("h_marginal"))).alias(
+            "predictability"
+        ),
+    )

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -188,3 +188,47 @@ def train_logreg(
         return LogRegModel(weights=w, bias=b, n_iter=max_iter)
     finally:
         feats.unpersist()
+
+
+def reliability_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Calibration audit of a [0, 1] quality/filter score against a
+    binary outcome → one row per equal-WIDTH score bin: (bin, n, w,
+    mean_score, pos_rate, gap, ece). ``bin`` = ⌊score·bins⌋ clamped so
+    score = 1.0 lands in the top bin; ``w`` = the bin's share of all
+    scored rows; ``gap`` = pos_rate − mean_score (positive = the model
+    UNDER-claims); ``ece`` = Σ w·|gap| — the expected calibration
+    error (Naeini et al. 2015), repeated on every row so one result
+    set carries both the reliability diagram and its summary. Empty
+    bins are absent (their w is 0). A filter threshold chosen on an
+    uncalibrated score keeps a different fraction than intended —
+    run this BEFORE trusting :func:`linear_score` cutoffs.
+
+    Precondition: score ∈ [0, 1] (raise upstream sigmoid/min-max),
+    label ∈ {0, 1}/boolean, both non-null (null rows are dropped,
+    counted out of w).
+
+    Plan: one map-side-combinable groupBy(bin) + one tiny
+    all-bins window for w/ece — ≤ bins rows ever shuffle."""
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    sc = F.col(score_col).cast("double")
+    lb = F.col(label_col).cast("double")
+    pts = df.where(sc.isNotNull() & lb.isNotNull())
+    b = F.least(F.floor(sc * bins), F.lit(bins - 1)).cast("int")
+    g = pts.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(sc).alias("mean_score"),
+        F.avg(lb).alias("pos_rate"),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    g = g.withColumn(
+        "w", F.col("n").cast("double") / F.sum("n").over(w_all)
+    ).withColumn("gap", F.col("pos_rate") - F.col("mean_score"))
+    return g.withColumn(
+        "ece", F.sum(F.col("w") * F.abs(F.col("gap"))).over(w_all)
+    ).select("bin", "n", "w", "mean_score", "pos_rate", "gap", "ece")

@@ -5321,3 +5321,119 @@ def test_esd_outliers(spark):
         "key string, loc long, value double",
     )
     assert esd_outliers(dfc, k=3, order_col="loc").count() == 0
+
+
+def test_pairs_spread_tail_dependence(spark):
+    """pairs_spread: a constructed cointegrated pair recovers its hedge
+    ratio, the spread is mean-zero with |z| spiking exactly at the
+    injected dislocation; tail_dependence: comonotone series score
+    lambda near 1, antithetic series score 0."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.portfolio import (
+        pairs_spread,
+        tail_dependence,
+    )
+
+    rng = np.random.RandomState(21)
+    n = 80
+    vb = 50 + np.cumsum(rng.randn(n))
+    noise = 0.2 * rng.randn(n)
+    va = 3.0 + 1.5 * vb + noise
+    va[40] += 25.0  # dislocation
+    rows = [("a", i, float(va[i])) for i in range(n)]
+    rows += [("b", i, float(vb[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+
+    out = {r.loc: r for r in pairs_spread(df, "a", "b").collect()}
+    assert len(out) == n
+    beta = out[0].beta
+    # numpy replay of the OLS
+    cov = np.cov(va, vb, ddof=1)
+    assert abs(beta - cov[0, 1] / cov[1, 1]) < 1e-9
+    spreads = np.array([out[i].spread for i in range(n)])
+    assert abs(spreads.mean()) < 1e-9  # OLS-with-intercept residual mean
+    zmax = max(range(n), key=lambda i: abs(out[i].z))
+    assert zmax == 40 and abs(out[40].z) > 5.0
+
+    # tails: identical series always co-exceed; negated never do
+    rows2 = [("a", i, float(v)) for i, v in enumerate(vb)]
+    rows2 += [("b", i, float(v)) for i, v in enumerate(vb)]
+    rows2 += [("c", i, float(-v)) for i, v in enumerate(vb)]
+    df2 = spark.createDataFrame(rows2, "key string, loc long, value double")
+    td = tail_dependence(df2, "a", "b", q=0.9).collect()[0]
+    exc = int((vb > np.percentile(vb, 90, method="linear")).sum())
+    assert td.n == n and td.n_joint == exc
+    assert abs(td.lambda_u - (exc / n) / 0.1) < 1e-9
+    td2 = tail_dependence(df2, "a", "c", q=0.9).collect()[0]
+    assert td2.n_joint == 0 and td2.lambda_u == 0.0
+
+
+def test_transition_entropy(spark):
+    """A deterministic cycle has zero conditional entropy and
+    predictability 1; an i.i.d. sequence keeps h_cond near h_marginal
+    (predictability near 0); counts replayed in numpy match."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.features import (
+        transition_entropy,
+    )
+
+    cyc = [float(v) for v in [1, 2, 3, 4] * 50]
+    rng = np.random.RandomState(2)
+    iid = rng.randn(400)
+    rows = [("cyc", i, v) for i, v in enumerate(cyc)]
+    rows += [("iid", i, float(v)) for i, v in enumerate(iid)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    out = {r.key: r for r in transition_entropy(df, bins=4).collect()}
+
+    c = out["cyc"]
+    assert c.n_trans == 199
+    assert abs(c.h_cond) < 1e-9  # next symbol fully determined
+    assert abs(c.h_marginal - 2.0) < 0.01  # ~uniform over 4 symbols
+    assert abs(c.predictability - 1.0) < 1e-9
+
+    i = out["iid"]
+    assert i.h_marginal > 1.9  # equal-frequency bins -> ~2 bits
+    assert i.predictability < 0.1  # today tells ~nothing
+
+
+def test_reliability_bins(spark):
+    """A perfectly calibrated score has ~zero gaps; a constant-rate
+    outcome under a spread score shows the gap structure; w sums to 1
+    and ECE equals the weighted gap sum."""
+    import numpy as np
+
+    from spark_timeseries_spark.pipeline.classifier import (
+        reliability_bins,
+    )
+
+    rng = np.random.RandomState(13)
+    s = rng.uniform(0, 1, 5000)
+    y_cal = (rng.uniform(0, 1, 5000) < s).astype(float)  # calibrated
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(s, y_cal)],
+        "score double, label double",
+    )
+    out = reliability_bins(df, "score", "label", bins=10).collect()
+    assert len(out) == 10
+    assert abs(sum(r.w for r in out) - 1.0) < 1e-12
+    ece = sum(r.w * abs(r.gap) for r in out)
+    assert abs(out[0].ece - ece) < 1e-12
+    assert out[0].ece < 0.05  # calibrated -> small
+
+    # numpy replay of one bin
+    b3 = [r for r in out if r.bin == 3][0]
+    m = (np.floor(s * 10).clip(max=9)) == 3
+    assert b3.n == int(m.sum())
+    assert abs(b3.mean_score - s[m].mean()) < 1e-9
+    assert abs(b3.pos_rate - y_cal[m].mean()) < 1e-9
+
+    # constant 30% outcome: gap = 0.3 - mean_score per bin, large ECE
+    y_flat = (rng.uniform(0, 1, 5000) < 0.3).astype(float)
+    df2 = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(s, y_flat)],
+        "score double, label double",
+    )
+    out2 = reliability_bins(df2, "score", "label", bins=10).collect()
+    assert out2[0].ece > 0.15
