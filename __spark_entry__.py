@@ -4892,6 +4892,74 @@ def _q_reliability(spark, sf_dir):
     )
 
 
+def _q_spectral_residual(spark, sf_dir):
+    """Ren-et-al spectral-residual saliency over the filled daily grid
+    (q=3) — two DFT explodes + one k-window, exactly SQL-replayable."""
+    from spark_timeseries_spark.operators import fill as fill_ops
+    from spark_timeseries_spark.operators.spectral import spectral_residual
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(
+        fill_ops.fill_previous(fill_ops.fill_linear(grid))
+    )
+    out = spectral_residual(filled, q=3)
+    return out.select(
+        "key", "loc",
+        _stable_round(F.col("saliency"), 6).alias("saliency"),
+        _stable_round(F.col("sal_z"), 6).alias("sal_z"),
+    )
+
+
+def _q_kendall_w(spark, sf_dir):
+    """Kendall's W concordance of all filled daily series — one
+    completeness pass, per-series mid-ranks, two aggregates."""
+    from spark_timeseries_spark.operators.crosssection import kendall_w
+    from spark_timeseries_spark.operators import fill as fill_ops
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(
+        fill_ops.fill_previous(fill_ops.fill_linear(grid))
+    )
+    out = kendall_w(filled)
+    return out.select(
+        "k", "n", _stable_round(F.col("w"), 6).alias("w")
+    )
+
+
+def _q_cronbach_alpha(spark, sf_dir):
+    """Cronbach's alpha of the filled daily panel — per-series
+    variances vs the summed series' variance, two tiny aggregates."""
+    from spark_timeseries_spark.operators.crosssection import (
+        cronbach_alpha,
+    )
+    from spark_timeseries_spark.operators import fill as fill_ops
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(
+        fill_ops.fill_previous(fill_ops.fill_linear(grid))
+    )
+    out = cronbach_alpha(filled)
+    return out.select(
+        "k", "n", _stable_round(F.col("alpha"), 6).alias("alpha")
+    )
+
+
+def _q_powerlaw_alpha(spark, sf_dir):
+    """CSN power-law tail MLE per user over positive event values
+    (top-quartile tail) — one exact-percentile window + one aggregate."""
+    from spark_timeseries_spark.operators.features import powerlaw_alpha
+
+    obs = events_observations(spark, sf_dir)
+    out = powerlaw_alpha(obs, tail_frac=0.25)
+    return out.select(
+        "key",
+        _stable_round(F.col("xmin"), 6).alias("xmin"),
+        "n_tail",
+        _stable_round(F.col("alpha"), 6).alias("alpha"),
+        _stable_round(F.col("se"), 6).alias("se"),
+    )
+
+
 _ALL_QUERIES = {
     # -- (a) must-prove: r10-touched / r10-new ---------------------------
     "retention_cohorts": _q_retention_cohorts,
@@ -5011,6 +5079,10 @@ _ALL_QUERIES = {
     "tail_dependence": _q_tail_dependence,
     "transition_entropy": _q_transition_entropy,
     "reliability": _q_reliability,
+    "spectral_residual": _q_spectral_residual,
+    "kendall_w": _q_kendall_w,
+    "cronbach_alpha": _q_cronbach_alpha,
+    "powerlaw_alpha": _q_powerlaw_alpha,
     "dup_spans": _q_dup_spans,
     "embedding_covariance": _q_embedding_covariance,
     "cusum": _q_cusum,
@@ -14016,5 +14088,174 @@ def oracle_sql() -> dict[str, str]:
                {_sr_sql("gap", 6)} AS gap,
                {_sr_sql("ece", 6)} AS ece
         FROM ee
+    """
+
+    _TWO_PI = "6.283185307179586"
+    o["spectral_residual"] = _DAILY_GRID_SQL + _FILLED_SQL + f"""
+        , sbase AS (
+            SELECT key, loc, value,
+                   count(*) OVER (PARTITION BY key) AS n
+            FROM filled
+        ),
+        sfr AS (
+            SELECT key, loc, value, n,
+                   unnest(range(0, n)) AS k
+            FROM sbase
+        ),
+        sspec AS (
+            SELECT key, k,
+                   sum(value * cos({_TWO_PI} * CAST(k AS DOUBLE)
+                       * CAST(loc AS DOUBLE) / CAST(n AS DOUBLE))) AS a,
+                   sum(-value * sin({_TWO_PI} * CAST(k AS DOUBLE)
+                       * CAST(loc AS DOUBLE) / CAST(n AS DOUBLE))) AS b,
+                   max(n) AS n
+            FROM sfr GROUP BY key, k
+        ),
+        ssp2 AS (
+            SELECT key, k, a, b, n,
+                   ln(greatest(sqrt(a * a + b * b), 1e-300)) AS l
+            FROM sspec
+        ),
+        ssp3 AS (
+            SELECT key, k, a, b, n,
+                   exp(-avg(l) OVER (PARTITION BY key ORDER BY k
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS g
+            FROM ssp2
+        ),
+        sbk AS (
+            SELECT key, k, a, b, n, g, unnest(range(0, n)) AS t
+            FROM ssp3
+        ),
+        ssal AS (
+            SELECT key, t,
+                   sum(g * (a * cos({_TWO_PI} * CAST(k AS DOUBLE)
+                       * CAST(t AS DOUBLE) / CAST(n AS DOUBLE))
+                       - b * sin({_TWO_PI} * CAST(k AS DOUBLE)
+                       * CAST(t AS DOUBLE) / CAST(n AS DOUBLE)))) AS re,
+                   sum(g * (a * sin({_TWO_PI} * CAST(k AS DOUBLE)
+                       * CAST(t AS DOUBLE) / CAST(n AS DOUBLE))
+                       + b * cos({_TWO_PI} * CAST(k AS DOUBLE)
+                       * CAST(t AS DOUBLE) / CAST(n AS DOUBLE)))) AS im,
+                   max(n) AS n2
+            FROM sbk GROUP BY key, t
+        ),
+        ss2 AS (
+            SELECT key, t,
+                   sqrt(re * re + im * im) / CAST(n2 AS DOUBLE)
+                       AS saliency
+            FROM ssal
+        ),
+        sz AS (
+            SELECT key, t, saliency,
+                   avg(saliency) OVER (PARTITION BY key) AS ms,
+                   stddev_samp(saliency) OVER (PARTITION BY key) AS ss
+            FROM ss2
+        )
+        SELECT key, CAST(t AS BIGINT) AS loc,
+               {_sr_sql("saliency", 6)} AS saliency,
+               {_sr_sql("(saliency - ms) / nullif(ss, 0)", 6)} AS sal_z
+        FROM sz
+    """
+
+    _COMPLETE_PANEL_SQL = _DAILY_GRID_SQL + _FILLED_SQL + """
+        , cp AS (SELECT key, loc, value FROM filled
+                 WHERE value IS NOT NULL)
+    """
+
+    o["kendall_w"] = _COMPLETE_PANEL_SQL + f"""
+        , ka AS (SELECT CAST(count(DISTINCT key) AS BIGINT) AS k_all
+                 FROM cp),
+        cpl AS (
+            SELECT cp.key, cp.loc, cp.value FROM cp, ka
+            WHERE (SELECT count(*) FROM cp c2 WHERE c2.loc = cp.loc)
+                  = ka.k_all
+        ),
+        rk AS (
+            SELECT loc,
+                   rank() OVER (PARTITION BY key ORDER BY value)
+                       + (count(*) OVER (PARTITION BY key, value) - 1)
+                         / 2.0 AS r,
+                   count(*) OVER (PARTITION BY key, value)
+                       * count(*) OVER (PARTITION BY key, value) - 1
+                       AS tt
+            FROM cpl
+        ),
+        g AS (
+            SELECT loc, sum(r) AS rsum, sum(tt) AS t1,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM rk GROUP BY loc
+        ),
+        a AS (
+            SELECT max(k) AS k, CAST(count(*) AS BIGINT) AS n,
+                   sum(rsum * rsum)
+                       - sum(rsum) * sum(rsum) / count(*) AS s,
+                   CAST(sum(t1) AS DOUBLE) AS tsum
+            FROM g
+        )
+        SELECT k, n,
+               {_sr_sql(
+                   "12.0 * s / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)"
+                   " * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+                   "    * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))"
+                   " - CAST(k AS DOUBLE) * tsum)", 6
+               )} AS w
+        FROM a
+    """
+
+    o["cronbach_alpha"] = _COMPLETE_PANEL_SQL + f"""
+        , ka AS (SELECT CAST(count(DISTINCT key) AS BIGINT) AS k_all
+                 FROM cp),
+        cpl AS (
+            SELECT cp.key, cp.loc, cp.value FROM cp, ka
+            WHERE (SELECT count(*) FROM cp c2 WHERE c2.loc = cp.loc)
+                  = ka.k_all
+        ),
+        pv AS (
+            SELECT CAST(count(*) AS BIGINT) AS k, sum(v) AS vsum
+            FROM (SELECT key, var_samp(value) AS v FROM cpl
+                  GROUP BY key)
+        ),
+        tv AS (
+            SELECT CAST(count(*) AS BIGINT) AS n, var_samp(s) AS vt
+            FROM (SELECT loc, sum(value) AS s FROM cpl GROUP BY loc)
+        )
+        SELECT k, n,
+               {_sr_sql(
+                   "CAST(k AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0)"
+                   " * (1.0 - vsum / nullif(vt, 0))", 6
+               )} AS alpha
+        FROM pv, tv
+    """
+
+    o["powerlaw_alpha"] = f"""
+        WITH obs AS (
+            SELECT CAST(user_id AS VARCHAR) AS k, value
+            FROM events WHERE value IS NOT NULL AND value > 0
+        ),
+        x AS (
+            SELECT k, value,
+                   quantile_cont(value, 0.75)
+                       OVER (PARTITION BY k) AS xmin
+            FROM obs
+        ),
+        a AS (
+            SELECT k, max(xmin) AS xmin,
+                   CAST(sum(CASE WHEN value >= xmin THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tail,
+                   sum(CASE WHEN value >= xmin
+                            THEN ln(value / xmin) END) AS lsum
+            FROM x GROUP BY k
+        )
+        SELECT k AS key,
+               {_sr_sql("xmin", 6)} AS xmin,
+               n_tail,
+               {_sr_sql(
+                   "1.0 + CAST(n_tail AS DOUBLE) / nullif(lsum, 0)", 6
+               )} AS alpha,
+               {_sr_sql(
+                   "(1.0 + CAST(n_tail AS DOUBLE) / nullif(lsum, 0)"
+                   " - 1.0) / sqrt(CAST(n_tail AS DOUBLE))", 6
+               )} AS se
+        FROM a
     """
     return o

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "cross_rank", "cross_zscore", "information_coefficient", "turnover",
+    "kendall_w", "cronbach_alpha",
 ]
 
 
@@ -151,4 +152,121 @@ def turnover(
     )
     return g.withColumn(
         "turnover", (1.0 - F.col("rank_autocorr")) / 2.0
+    )
+
+
+def _complete_panel(df, key_col, loc_col, value_col):
+    """Non-null rows restricted to instants observed by EVERY key →
+    (key, loc, value) plus the panel dimensions. The agreement
+    statistics below are only defined on a complete k×n panel;
+    incomplete instants are dropped (stated) rather than imputed."""
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull()).select(key_col, loc_col, value_col)
+    # one-row distinct-key count, broadcast — NOT a global window (which
+    # would serialize the panel through a single task at corpus scale)
+    kcount = pts.agg(F.countDistinct(key_col).alias("_k_all"))
+    wloc = Window.partitionBy(loc_col)
+    d = pts.crossJoin(F.broadcast(kcount)).withColumn(
+        "_k_loc", F.count(F.lit(1)).over(wloc)
+    )
+    return d.where(F.col("_k_loc") == F.col("_k_all")).drop("_k_loc")
+
+
+def kendall_w(
+    df: DataFrame,
+    key_col: str = "key",
+    loc_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Kendall's coefficient of concordance ACROSS the whole panel →
+    one row (k, n, w): do the k series agree on WHICH instants are
+    high? Each series ranks the n complete-panel instants by its own
+    values (mid-ranks for ties); W = 12·S / (k²(n³−n) − k·ΣTᵢ), S the
+    variance-sum of the per-instant rank totals, Tᵢ = Σ(t³−t) the
+    per-series tie correction (Kendall & Babington Smith 1939). W = 1
+    when every series produces the same ordering, ≈ 0 when orderings
+    are unrelated; NULL when every series is constant (the corrected
+    denominator hits 0 — try_divide). The panel-wide complement of
+    the pairwise :mod:`~.rankcorr` operators (W is an affine map of
+    the MEAN pairwise Spearman: ρ̄ = (kW − 1)/(k − 1)).
+
+    Only instants observed by EVERY series count (see
+    :func:`_complete_panel`). Plan: one completeness window, one
+    per-series rank window, one loc aggregate + one global aggregate
+    — all JVM, no join beyond the window passes."""
+    d = _complete_panel(df, key_col, loc_col, value_col)
+    wr = Window.partitionBy(key_col).orderBy(value_col)
+    wt = Window.partitionBy(key_col, value_col)
+    r = d.select(
+        F.col(loc_col).alias("_l"),
+        F.col("_k_all"),
+        (
+            F.rank().over(wr)
+            + (F.count(F.lit(1)).over(wt) - 1) / 2.0
+        ).alias("_r"),
+        (
+            F.count(F.lit(1)).over(wt) * F.count(F.lit(1)).over(wt) - 1
+        ).alias("_tt"),
+    )
+    g = r.groupBy("_l").agg(
+        F.first("_k_all").alias("_k"),
+        F.sum("_r").alias("_rsum"),
+        F.sum("_tt").alias("_t1"),
+    )
+    kk = F.col("k").cast("double")
+    nn = F.col("n").cast("double")
+    agg = g.agg(
+        F.first("_k").alias("k"),
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("_rsum") * F.col("_rsum"))
+            - F.sum("_rsum") * F.sum("_rsum") / F.count(F.lit(1))
+        ).alias("_s"),
+        F.sum("_t1").alias("_tsum"),
+    )
+    denom = kk * kk * (nn * nn * nn - nn) - kk * F.col(
+        "_tsum"
+    ).cast("double")
+    return agg.select(
+        "k", "n",
+        F.try_divide(12.0 * F.col("_s"), denom).alias("w"),
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    key_col: str = "key",
+    loc_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Cronbach's α of the panel → one row (k, n, alpha): internal
+    consistency of the k series as parallel measurements of one
+    signal, α = k/(k−1) · (1 − Σᵢvar(seriesᵢ)/var(Σ per-instant sum))
+    (Cronbach 1951; sample variances, n−1). α → 1 when the series
+    co-move (the panel is "one signal measured k ways"), ≤ 0 when
+    they cancel; NULL when the summed series is constant
+    (try_divide). The variance-based sibling of :func:`kendall_w`'s
+    rank agreement. Complete instants only (:func:`_complete_panel`).
+
+    Plan: one completeness window, one per-key variance aggregate,
+    one per-loc sum + its variance — two small aggregates, no join."""
+    d = _complete_panel(df, key_col, loc_col, value_col)
+    pv = d.groupBy(key_col).agg(
+        F.var_samp(value_col).alias("_v")
+    ).agg(
+        F.count(F.lit(1)).alias("k"), F.sum("_v").alias("_vsum")
+    )
+    tv = d.groupBy(loc_col).agg(
+        F.sum(value_col).alias("_s")
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.var_samp("_s").alias("_vt")
+    )
+    j = pv.crossJoin(tv)
+    kk = F.col("k").cast("double")
+    return j.select(
+        "k", "n",
+        (
+            kk / (kk - 1.0)
+            * (1.0 - F.try_divide(F.col("_vsum"), F.col("_vt")))
+        ).alias("alpha"),
     )

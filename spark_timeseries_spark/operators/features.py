@@ -1608,3 +1608,53 @@ def transition_entropy(
             "predictability"
         ),
     )
+
+
+def powerlaw_alpha(
+    df: DataFrame,
+    tail_frac: float = 0.1,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Continuous power-law tail exponent per series → one row per key
+    (key, xmin, n_tail, alpha, se): the Clauset-Shalizi-Newman (2009)
+    MLE α̂ = 1 + n/Σ ln(xᵢ/x_min) over the tail xᵢ ≥ x_min, with
+    x_min set empirically at the (1 − tail_frac) EXACT percentile of
+    the series' POSITIVE values (the estimator needs ln x; zeros and
+    negatives are excluded, stated — CSN's own xmin-scan is a model-
+    selection loop out of scope here) and se = (α̂ − 1)/√n the
+    asymptotic standard error. Heavy tails (session lengths, document
+    sizes, user activity) are the regime where mean/stddev thinking
+    fails; α ≤ 2 means the MEAN itself diverges, α ≤ 3 the variance.
+    NULL alpha when the whole tail sits exactly at x_min (Σ ln = 0 —
+    try_divide).
+
+    Plan: one exact-percentile window per key + ONE conditional-sum
+    aggregate — all JVM, no join, linear."""
+    if not 0.0 < tail_frac < 1.0:
+        raise ValueError(f"tail_frac must be in (0, 1), got {tail_frac}")
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull() & (v > 0))
+    wk = Window.partitionBy(key_col)
+    q = 1.0 - tail_frac
+    d = pts.withColumn(
+        "_xmin", F.expr(f"percentile({value_col}, {q!r})").over(wk)
+    )
+    tail = v >= F.col("_xmin")
+    agg = d.groupBy(key_col).agg(
+        F.first("_xmin").alias("xmin"),
+        F.sum(tail.cast("long")).alias("n_tail"),
+        F.sum(F.when(tail, F.log(v / F.col("_xmin")))).alias("_lsum"),
+    )
+    alpha = 1.0 + F.try_divide(
+        F.col("n_tail").cast("double"), F.col("_lsum")
+    )
+    return agg.select(
+        key_col,
+        "xmin",
+        "n_tail",
+        alpha.alias("alpha"),
+        ((alpha - 1.0) / F.sqrt(F.col("n_tail").cast("double"))).alias(
+            "se"
+        ),
+    )

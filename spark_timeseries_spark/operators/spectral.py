@@ -46,7 +46,10 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["periodogram", "dominant_period", "coherence", "lomb_scargle"]
+__all__ = [
+    "periodogram", "dominant_period", "coherence", "lomb_scargle",
+    "spectral_residual",
+]
 
 _FFT_THRESHOLD = 512
 
@@ -485,3 +488,115 @@ def lomb_scargle(
         ),
     )
     return g.select(key_col, "freq", "n", power.alias("power"))
+
+
+def spectral_residual(
+    df: DataFrame,
+    q: int = 3,
+    key_col: str = "key",
+    loc_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Spectral-residual saliency map (Ren et al., KDD 2019 — the SR
+    half of Microsoft's SR-CNN KPI anomaly detector) per series →
+    input rows + (saliency, sal_z): points that stand out from the
+    series' SPECTRAL regularity get high saliency, catching anomalies
+    that z-scores miss on strongly seasonal signals (the whole cycle
+    is "far from the mean"; SR whitens the cycle away first).
+
+    Per key over a UNIFORM COMPLETE grid with a 0-BASED contiguous
+    ``loc_col`` (fill first — the DFT needs every grid cell, and the
+    t ↔ loc position join assumes loc = 0..n−1; NULL rows are dropped,
+    which VIOLATES completeness unless already filled): X_k = DFT(x),
+    L_k = ln|X_k|, AL_k = trailing-q mean of L (partial at the low-k
+    edge, stated — the paper's local average of the log spectrum),
+    and saliency S_t = |IDFT(e^(L_k − AL_k) · e^(iφ_k))| =
+    |IDFT(e^(−AL_k) · X_k)| / n-normalized (the algebraic
+    simplification e^(L−AL)/|X| = e^(−AL) avoids the explicit phase
+    and its |X| = 0 hazard: a zero bin contributes 0 to the inverse
+    transform regardless of g. ln is floored at 1e−300 to stay
+    finite; an EXACT-zero bin still drags its neighbors' AL far
+    negative and inflates their g — degenerate (noise-free
+    synthetic) inputs get deterministic but meaningless saliency;
+    any real signal's bins are bounded away from 0). ``sal_z`` standardizes saliency per key —
+    threshold it (the paper uses τ ≈ 3).
+
+    Plan: two explodes (t→k, k→t) + two map-side-combinable
+    aggregates and one tiny k-window — the ``periodogram`` explode
+    class, O(n²) rows per series, exactly SQL-replayable. Fine for
+    grid-bounded diagnostic series (daily/hourly windows); the rfft
+    grouped-map kernel (the ``coherence``/``periodogram`` dual-plan
+    precedent) is the named upgrade path for long series."""
+    if q < 1:
+        raise ValueError(f"q must be >= 1, got {q}")
+    two_pi = 2.0 * math.pi
+    df = df.where(F.col(value_col).isNotNull())
+    wk = Window.partitionBy(key_col)
+    pts = df.withColumn("_n", F.count(value_col).over(wk))
+    # forward DFT: X_k = a_k + i*b_k, k = 0..n-1
+    fr = pts.withColumn(
+        "k", F.explode(F.sequence(F.lit(0), F.col("_n").cast("int") - 1))
+    )
+    ang = (
+        F.lit(two_pi)
+        * F.col("k").cast("double")
+        * F.col(loc_col).cast("double")
+        / F.col("_n").cast("double")
+    )
+    v = F.col(value_col)
+    spec = fr.groupBy(key_col, "k").agg(
+        F.sum(v * F.cos(ang)).alias("_a"),
+        F.sum(-v * F.sin(ang)).alias("_b"),
+        F.first("_n").alias("_n"),
+    )
+    amp = F.sqrt(F.col("_a") * F.col("_a") + F.col("_b") * F.col("_b"))
+    wq = (
+        Window.partitionBy(key_col)
+        .orderBy("k")
+        .rowsBetween(-(q - 1), 0)
+    )
+    spec = spec.withColumn(
+        "_l", F.log(F.greatest(amp, F.lit(1e-300)))
+    ).withColumn("_g", F.exp(-F.avg("_l").over(wq)))
+    # inverse DFT of g_k * X_k, magnitude
+    bk = spec.withColumn(
+        "t", F.explode(F.sequence(F.lit(0), F.col("_n").cast("int") - 1))
+    )
+    ang2 = (
+        F.lit(two_pi)
+        * F.col("k").cast("double")
+        * F.col("t").cast("double")
+        / F.col("_n").cast("double")
+    )
+    g, a, b = F.col("_g"), F.col("_a"), F.col("_b")
+    sal = bk.groupBy(key_col, "t").agg(
+        F.sum(g * (a * F.cos(ang2) - b * F.sin(ang2))).alias("_re"),
+        F.sum(g * (a * F.sin(ang2) + b * F.cos(ang2))).alias("_im"),
+        F.first("_n").alias("_n2"),
+    )
+    sal = sal.select(
+        F.col(key_col).alias("_k2"),
+        F.col("t"),
+        (
+            F.sqrt(F.col("_re") * F.col("_re") + F.col("_im") * F.col("_im"))
+            / F.col("_n2").cast("double")
+        ).alias("saliency"),
+    )
+    wz = Window.partitionBy("_k2")
+    sal = sal.withColumn(
+        "sal_z",
+        F.try_divide(
+            F.col("saliency") - F.avg("saliency").over(wz),
+            F.stddev_samp("saliency").over(wz),
+        ),
+    )
+    # join saliency back by grid POSITION (t is the 0-based rank of loc)
+    wr = Window.partitionBy(key_col).orderBy(loc_col)
+    base = df.withColumn("_t", F.row_number().over(wr) - 1)
+    return (
+        base.join(
+            sal,
+            (base[key_col] == sal["_k2"]) & (base["_t"] == sal["t"]),
+        )
+        .drop("_k2", "t", "_t")
+    )

@@ -5437,3 +5437,99 @@ def test_reliability_bins(spark):
     )
     out2 = reliability_bins(df2, "score", "label", bins=10).collect()
     assert out2[0].ece > 0.15
+
+
+def test_spectral_residual(spark):
+    """The headline SR property: an anomaly INSIDE a strong seasonal
+    cycle gets the top saliency z while its naive z-score hides below
+    the seasonal peaks; identical rows come back (one per grid point)
+    and a flat series yields NULL sal_z."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.spectral import spectral_residual
+
+    rng = np.random.RandomState(1)
+    t = np.arange(64)
+    x = 10 * np.sin(2 * np.pi * t / 8) + 0.1 * rng.randn(64)
+    x[40] += 8.0  # in-cycle anomaly
+    df = spark.createDataFrame(
+        [("a", int(i), float(v)) for i, v in zip(t, x)],
+        "key string, loc long, value double",
+    )
+    out = {r.loc: r for r in spectral_residual(df).collect()}
+    assert len(out) == 64
+    zmax = max(out, key=lambda i: out[i].sal_z)
+    assert zmax == 40 and out[40].sal_z > 3.0
+    # the naive z-score CANNOT find it (seasonal peaks dominate)
+    nz = (x - x.mean()) / x.std()
+    assert abs(nz[40]) < max(abs(nz[i]) for i in range(64) if i != 40)
+
+    # determinism on repeated evaluation (the oracle relies on it)
+    out2 = {r.loc: r for r in spectral_residual(df).collect()}
+    assert all(out[i].saliency == out2[i].saliency for i in out)
+
+
+def test_kendall_w_cronbach(spark):
+    """Perfectly concordant series give W = 1 and alpha near 1; a
+    reversed series drags both down; incomplete instants are excluded
+    from the panel."""
+    import numpy as np
+
+    rng = np.random.RandomState(4)
+    from spark_timeseries_spark.operators.crosssection import (
+        cronbach_alpha,
+        kendall_w,
+    )
+
+    base = rng.randn(20)
+    rows = []
+    for s in range(4):  # same ordering, different scale/shift
+        for i in range(20):
+            rows.append((f"k{s}", i, float((s + 1) * base[i] + s)))
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    w = kendall_w(df).collect()[0]
+    assert w.k == 4 and w.n == 20
+    assert abs(w.w - 1.0) < 1e-12
+    a = cronbach_alpha(df).collect()[0]
+    # scales 1..4 on one signal: sum var_i = 30v, var(sum) = 100v,
+    # alpha = 4/3 * (1 - 0.3) = 14/15 exactly
+    assert abs(a.alpha - 14.0 / 15.0) < 1e-12
+
+    # flip one series: agreement collapses
+    rows2 = [r for r in rows if r[0] != "k3"]
+    rows2 += [("k3", i, float(-base[i])) for i in range(20)]
+    df2 = spark.createDataFrame(rows2, "key string, loc long, value double")
+    w2 = kendall_w(df2).collect()[0]
+    assert w2.w < w.w - 0.2
+
+    # drop one instant from one series: that loc leaves the panel
+    rows3 = [r for r in rows if not (r[0] == "k0" and r[1] == 7)]
+    df3 = spark.createDataFrame(rows3, "key string, loc long, value double")
+    w3 = kendall_w(df3).collect()[0]
+    assert w3.n == 19 and abs(w3.w - 1.0) < 1e-12
+
+
+def test_powerlaw_alpha(spark):
+    """A Pareto(alpha=2.5) sample recovers its exponent within the
+    asymptotic error; an exponential sample scores a (spuriously)
+    higher alpha with the same machinery; all-nonpositive series
+    vanish."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.features import powerlaw_alpha
+
+    rng = np.random.RandomState(17)
+    par = (1.0 - rng.uniform(size=4000)) ** (-1.0 / 1.5)  # alpha = 2.5
+    rows = [("p", float(v)) for v in par]
+    rows += [("neg", -1.0)] * 10
+    df = spark.createDataFrame(rows, "key string, value double")
+    out = {r.key: r for r in powerlaw_alpha(df, tail_frac=0.25).collect()}
+    assert set(out) == {"p"}  # nonpositive series filtered out entirely
+    p = out["p"]
+    # numpy replay with interpolated percentile
+    xmin = np.percentile(par, 75, method="linear")
+    tail = par[par >= xmin]
+    alpha = 1.0 + len(tail) / np.log(tail / xmin).sum()
+    assert p.n_tail == len(tail)
+    assert abs(p.alpha - alpha) < 1e-9
+    assert abs(p.alpha - 2.5) < 3 * p.se + 0.2  # sanity envelope
