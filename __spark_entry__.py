@@ -4960,6 +4960,51 @@ def _q_powerlaw_alpha(spark, sf_dir):
     )
 
 
+def _q_wasserstein(spark, sf_dir):
+    """Exact W1 distance between each user's first/second event halves
+    — value-ordered cumulative CDF windows, no binning."""
+    from spark_timeseries_spark.pipeline.drift import wasserstein_halves
+
+    obs = events_observations(spark, sf_dir)
+    out = wasserstein_halves(obs)
+    return out.select(
+        "key", "n1", "n2",
+        _stable_round(F.col("w1"), 6).alias("w1"),
+        _stable_round(F.col("w1_norm"), 6).alias("w1_norm"),
+    )
+
+
+def _q_dedup_sweep(spark, sf_dir):
+    """Dedup threshold-sweep curve over the 3-gram-Jaccard candidate
+    pairs — explode x thresholds, one groupBy."""
+    from spark_timeseries_spark.pipeline.dedup import dedup_sweep
+
+    pairs = _q_ngram_jaccard_pairs(spark, sf_dir)
+    ndocs = load_table(spark, sf_dir, "documents").agg(
+        F.count("doc_id").alias("n")
+    )
+    out = dedup_sweep(pairs, ndocs)
+    return out.select(
+        "threshold", "n_pairs", "n_docs_flagged",
+        _stable_round(F.col("flagged_frac"), 6).alias("flagged_frac"),
+    )
+
+
+def _q_quality_token_curve(spark, sf_dir):
+    """Token-budget curve by quality decile — one global (score, id)
+    sort + cumulative token window."""
+    from spark_timeseries_spark.pipeline.text import quality_token_curve
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = quality_token_curve(docs)
+    return out.select(
+        "decile", "n_docs",
+        _stable_round(F.col("score_floor"), 6).alias("score_floor"),
+        "cum_tokens",
+        _stable_round(F.col("token_frac"), 6).alias("token_frac"),
+    )
+
+
 _ALL_QUERIES = {
     # -- (a) must-prove: r10-touched / r10-new ---------------------------
     "retention_cohorts": _q_retention_cohorts,
@@ -5083,6 +5128,9 @@ _ALL_QUERIES = {
     "kendall_w": _q_kendall_w,
     "cronbach_alpha": _q_cronbach_alpha,
     "powerlaw_alpha": _q_powerlaw_alpha,
+    "wasserstein": _q_wasserstein,
+    "dedup_sweep": _q_dedup_sweep,
+    "quality_token_curve": _q_quality_token_curve,
     "dup_spans": _q_dup_spans,
     "embedding_covariance": _q_embedding_covariance,
     "cusum": _q_cusum,
@@ -14257,5 +14305,106 @@ def oracle_sql() -> dict[str, str]:
                    " - 1.0) / sqrt(CAST(n_tail AS DOUBLE))", 6
                )} AS se
         FROM a
+    """
+
+    o["wasserstein"] = f"""
+        WITH obs AS (
+            SELECT CAST(user_id AS VARCHAR) AS k, ts, value AS v
+            FROM events WHERE value IS NOT NULL
+        ),
+        d AS (
+            SELECT k, v, ts,
+                   row_number() OVER (PARTITION BY k ORDER BY ts)
+                       <= ceil(count(*) OVER (PARTITION BY k) / 2.0)
+                       AS g1
+            FROM obs
+        ),
+        c AS (
+            SELECT k, v,
+                   sum(CASE WHEN g1 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY k) AS n1,
+                   sum(CASE WHEN g1 THEN 0 ELSE 1 END)
+                       OVER (PARTITION BY k) AS n2,
+                   sum(CASE WHEN g1 THEN 1 ELSE 0 END) OVER wv AS c1,
+                   sum(CASE WHEN g1 THEN 0 ELSE 1 END) OVER wv AS c2,
+                   lead(v) OVER wv AS nx
+            FROM d
+            WINDOW wv AS (PARTITION BY k ORDER BY v, ts)
+        ),
+        a AS (
+            SELECT k, CAST(max(n1) AS BIGINT) AS n1,
+                   CAST(max(n2) AS BIGINT) AS n2,
+                   sum(CASE WHEN nx IS NOT NULL THEN
+                       abs(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                           - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                       * (nx - v) ELSE 0.0 END) AS w1,
+                   max(v) - min(v) AS vrange
+            FROM c GROUP BY k
+        )
+        SELECT k AS key, n1, n2,
+               {_sr_sql("w1", 6)} AS w1,
+               {_sr_sql("w1 / nullif(vrange, 0)", 6)} AS w1_norm
+        FROM a
+    """
+
+    o["dedup_sweep"] = f"""
+        WITH p AS ({o["ngram_jaccard_pairs"]}),
+        t AS (SELECT unnest([0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                  AS threshold),
+        e AS (
+            SELECT p.id_a, p.id_b, t.threshold
+            FROM p, t WHERE p.jaccard >= t.threshold
+        ),
+        g AS (
+            SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(count(DISTINCT id_b) AS BIGINT)
+                       AS n_docs_flagged
+            FROM e GROUP BY 1
+        ),
+        nd AS (SELECT CAST(count(doc_id) AS BIGINT) AS ndocs
+               FROM documents)
+        SELECT threshold, n_pairs, n_docs_flagged,
+               {_sr_sql(
+                   "CAST(n_docs_flagged AS DOUBLE)"
+                   " / CAST(ndocs AS DOUBLE)", 6
+               )} AS flagged_frac
+        FROM g, nd
+    """
+
+    o["quality_token_curve"] = f"""
+        WITH q AS ({o["quality_score"]}),
+        tk AS (
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END AS t
+            FROM documents
+        ),
+        s AS (
+            SELECT q.doc_id AS id, q.quality AS qq, tk.t
+            FROM q JOIN tk USING (doc_id)
+            WHERE q.quality IS NOT NULL
+        ),
+        d AS (
+            SELECT id, qq, t,
+                   CAST(ntile(10) OVER wo AS INT) AS decile,
+                   sum(t) OVER wo AS cum,
+                   sum(t) OVER () AS tot
+            FROM s
+            WINDOW wo AS (ORDER BY qq DESC, id ASC)
+        ),
+        g AS (
+            SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+                   min(qq) AS score_floor,
+                   CAST(max(cum) AS BIGINT) AS cum_tokens,
+                   CAST(max(tot) AS DOUBLE) AS tot
+            FROM d GROUP BY 1
+        )
+        SELECT decile, n_docs,
+               {_sr_sql("score_floor", 6)} AS score_floor,
+               cum_tokens,
+               {_sr_sql("CAST(cum_tokens AS DOUBLE) / tot", 6)}
+                   AS token_frac
+        FROM g
     """
     return o

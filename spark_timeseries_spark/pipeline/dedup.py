@@ -1481,3 +1481,52 @@ def dup_cluster_stats(
         ).alias("dup_frac"),
         "max_cluster", "mean_cluster",
     )
+
+
+def dedup_sweep(
+    pairs: DataFrame,
+    n_docs: int | DataFrame,
+    thresholds: list[float] = (0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+    sim_col: str = "jaccard",
+) -> DataFrame:
+    """Threshold-sweep planning curve over a scored candidate-pair
+    table → one row per threshold τ: (threshold, n_pairs,
+    n_docs_flagged, flagged_frac). Before COMMITTING to a dedup
+    threshold, a pipeline owner wants "how much would each τ remove"
+    in one pass — this computes, for every τ, the surviving pair count
+    and the documents a keep-first greedy would drop (every doc that
+    appears as the LARGER id in some pair with sim ≥ τ — the
+    :func:`keep_cluster_representatives` min-id convention applied
+    pairwise; an upper bound on transitive-closure removal is the
+    pair count, a lower bound this greedy count, stated).
+
+    ``pairs`` must already be candidate-bounded (LSH/shingle-banded —
+    this function NEVER generates pairs); ``n_docs`` is the corpus
+    size (an int, or a 1-column 1-row DataFrame to keep it lazy).
+
+    Plan: one |thresholds|-way explode of the bounded pair table +
+    one groupBy(threshold) with a distinct-count — tiny."""
+    ths = sorted(set(float(t) for t in thresholds))
+    if not ths:
+        raise ValueError("thresholds must be non-empty")
+    e = pairs.select(
+        F.col("id_a"), F.col("id_b"), F.col(sim_col).alias("_s")
+    ).withColumn(
+        "threshold", F.explode(F.array(*[F.lit(t) for t in ths]))
+    ).where(F.col("_s") >= F.col("threshold"))
+    g = e.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("id_b").alias("n_docs_flagged"),
+    )
+    if isinstance(n_docs, DataFrame):
+        nd = n_docs.toDF("_nd")
+        g = g.crossJoin(F.broadcast(nd))
+    else:
+        g = g.withColumn("_nd", F.lit(int(n_docs)))
+    return g.select(
+        "threshold", "n_pairs", "n_docs_flagged",
+        (
+            F.col("n_docs_flagged").cast("double")
+            / F.col("_nd").cast("double")
+        ).alias("flagged_frac"),
+    )

@@ -403,3 +403,70 @@ def mix_drift(
             / F.col("_e")
         ).alias("chi2"),
     )
+
+
+def wasserstein_halves(
+    df: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """1-Wasserstein (earth-mover) distance between each series' first
+    and second half in time order → one row per key: (key, n1, n2, w1,
+    w1_norm). W₁ = ∫|F₁(x) − F₂(x)|dx over the merged support — the
+    METRIC companion of :func:`ks_test`'s sup-norm (KS sees only the
+    single worst gap; W₁ integrates every gap, so a small-but-everywhere
+    drift that KS shrugs off still scores) and of
+    :func:`~..operators.hypothesis.mann_whitney_halves`' rank test
+    (which gives a p-value but no magnitude in value units). w1_norm
+    divides by the merged value range (scale-free, NULL for a constant
+    series — try_divide). The half split is the fixed midpoint
+    (⌈n/2⌉ first — the mann_whitney convention).
+
+    Exact, not binned: both empirical CDFs are step functions, so the
+    integral is Σᵢ |F₁(xᵢ) − F₂(xᵢ)|·(xᵢ₊₁ − xᵢ) over the merged
+    sorted points — tie order inside equal values cannot matter
+    (their Δx is 0).
+
+    Plan: one time row-number window + one value-ordered cumulative
+    window + ONE aggregate per key — all JVM, no join, no binning
+    error."""
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    wt = Window.partitionBy(key_col).orderBy(ts_col)
+    wn = Window.partitionBy(key_col)
+    d = pts.select(
+        F.col(key_col).alias("_k"),
+        v.alias("_v"),
+        F.col(ts_col).alias("_ts"),
+        (
+            F.row_number().over(wt)
+            <= F.ceil(F.count(F.lit(1)).over(wn) / 2.0)
+        ).alias("_g1"),
+    )
+    wv = Window.partitionBy("_k").orderBy("_v", "_ts")
+    wk = Window.partitionBy("_k")
+    c = (
+        d.withColumn("_n1", F.sum(F.col("_g1").cast("long")).over(wk))
+        .withColumn("_n2", F.sum((~F.col("_g1")).cast("long")).over(wk))
+        .withColumn("_c1", F.sum(F.col("_g1").cast("long")).over(wv))
+        .withColumn("_c2", F.sum((~F.col("_g1")).cast("long")).over(wv))
+        .withColumn("_nx", F.lead("_v").over(wv))
+    )
+    gap = F.abs(
+        F.col("_c1").cast("double") / F.col("_n1").cast("double")
+        - F.col("_c2").cast("double") / F.col("_n2").cast("double")
+    )
+    seg = F.when(
+        F.col("_nx").isNotNull(), gap * (F.col("_nx") - F.col("_v"))
+    ).otherwise(F.lit(0.0))
+    agg = c.groupBy(F.col("_k").alias(key_col)).agg(
+        F.first("_n1").alias("n1"),
+        F.first("_n2").alias("n2"),
+        F.sum(seg).alias("w1"),
+        (F.max("_v") - F.min("_v")).alias("_range"),
+    )
+    return agg.select(
+        key_col, "n1", "n2", "w1",
+        F.try_divide(F.col("w1"), F.col("_range")).alias("w1_norm"),
+    )

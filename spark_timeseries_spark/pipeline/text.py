@@ -977,3 +977,57 @@ def code_features(
         score.alias("code_score"),
         (score >= 1.0).alias("is_code"),
     )
+
+
+def quality_token_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    deciles: int = 10,
+) -> DataFrame:
+    """Token-budget planning curve → one row per quality decile d =
+    1..``deciles`` (1 = best): (decile, n_docs, score_floor,
+    cum_tokens, token_frac). Documents are ranked by
+    :func:`quality_score_col` DESC (ties broken by ``id_col`` ASC —
+    deterministic), cut into equal-count deciles, and the running
+    token total reported at each decile's end: "keep the top-d
+    deciles by quality → this many tokens". The data-mixing question
+    every budgeted pretraining run asks, answered in one pass;
+    ``score_floor`` is the decile's minimum score (the threshold that
+    realizes the cut).
+
+    Plan: one scoring projection + one ntile/cumsum window on a
+    single (score, id) sort + one decile aggregate — no join, no
+    Python. The single-task global sort is the stated trade for exact
+    deciles at diagnostic scale; at corpus scale swap the ntile for
+    approx_percentile score cuts (the ``embedding_dim_stats``
+    sketch-path precedent)."""
+    if deciles < 2:
+        raise ValueError(f"deciles must be >= 2, got {deciles}")
+    scored = df.select(
+        F.col(id_col).alias("_id"),
+        quality_score_col(F.col(text_col)).alias("_q"),
+        token_count(F.col(text_col)).alias("_t"),
+    ).where(F.col("_q").isNotNull())
+    wo = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("_q"), F.asc("_id")
+    )
+    wall = Window.partitionBy(F.lit(1))
+    d = (
+        scored.withColumn("decile", F.ntile(deciles).over(wo))
+        .withColumn("_cum", F.sum("_t").over(wo))
+        .withColumn("_tot", F.sum("_t").over(wall))
+    )
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("_q").alias("score_floor"),
+        F.max("_cum").alias("cum_tokens"),
+        F.first("_tot").alias("_tot"),
+    )
+    return g.select(
+        "decile", "n_docs", "score_floor", "cum_tokens",
+        F.try_divide(
+            F.col("cum_tokens").cast("double"),
+            F.col("_tot").cast("double"),
+        ).alias("token_frac"),
+    )

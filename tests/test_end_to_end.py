@@ -5533,3 +5533,76 @@ def test_powerlaw_alpha(spark):
     assert p.n_tail == len(tail)
     assert abs(p.alpha - alpha) < 1e-9
     assert abs(p.alpha - 2.5) < 3 * p.se + 0.2  # sanity envelope
+
+
+def test_wasserstein_halves(spark):
+    """W1 on a constructed level shift equals the shift size; the same
+    distribution in both halves scores near 0; scipy-free numpy replay
+    over the step-function integral matches."""
+    import numpy as np
+
+    from spark_timeseries_spark.pipeline.drift import wasserstein_halves
+
+    rng = np.random.RandomState(31)
+    a = rng.uniform(0, 1, 100)
+    shifted = np.concatenate([a, a + 5.0])  # identical shape, +5 shift
+    same = np.concatenate([a, a])           # identical halves
+    rows = [("shift", i, float(v)) for i, v in enumerate(shifted)]
+    rows += [("same", i, float(v)) for i, v in enumerate(same)]
+    df = spark.createDataFrame(rows, "key string, ts long, value double")
+    out = {r.key: r for r in wasserstein_halves(df, ts_col="ts").collect()}
+
+    # W1 between X and X+5 is exactly 5
+    assert out["shift"].n1 == 100 and out["shift"].n2 == 100
+    assert abs(out["shift"].w1 - 5.0) < 1e-9
+    assert abs(out["same"].w1) < 1e-12
+
+    # replay on random halves
+    x = rng.randn(60)
+    df2 = spark.createDataFrame(
+        [("r", i, float(v)) for i, v in enumerate(x)],
+        "key string, ts long, value double",
+    )
+    got = wasserstein_halves(df2, ts_col="ts").collect()[0]
+    h1, h2 = np.sort(x[:30]), np.sort(x[30:])
+    xs = np.sort(x)
+    f1 = np.searchsorted(h1, xs, side="right") / 30
+    f2 = np.searchsorted(h2, xs, side="right") / 30
+    w1 = float(np.sum(np.abs(f1[:-1] - f2[:-1]) * np.diff(xs)))
+    assert abs(got.w1 - w1) < 1e-9
+
+
+def test_dedup_sweep_quality_curve(spark):
+    """dedup_sweep: hand-built pair table yields the exact per-threshold
+    pair/flag counts; quality_token_curve: deciles partition the docs,
+    cum_tokens is monotone, the last decile's token_frac is 1, and the
+    ordering is by score descending."""
+    from spark_timeseries_spark.pipeline.dedup import dedup_sweep
+    from spark_timeseries_spark.pipeline.text import quality_token_curve
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.95), (1, 3, 0.55), (4, 5, 0.35), (6, 2, 0.35)],
+        "id_a long, id_b long, jaccard double",
+    )
+    out = {r.threshold: r for r in
+           dedup_sweep(pairs, 100, thresholds=[0.3, 0.5, 0.9]).collect()}
+    # id_b values at 0.3: {2, 3, 5} (pair (6,2) repeats doc 2)
+    assert out[0.3].n_pairs == 4 and out[0.3].n_docs_flagged == 3
+    assert out[0.5].n_pairs == 2 and out[0.5].n_docs_flagged == 2
+    assert out[0.9].n_pairs == 1 and out[0.9].n_docs_flagged == 1
+    assert abs(out[0.3].flagged_frac - 0.03) < 1e-12
+
+    texts = []
+    for i in range(40):
+        # longer docs score higher (length sweet-spot heuristic)
+        texts.append((i, "the and that with " * (2 + i)))
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    cur = sorted(quality_token_curve(docs).collect(),
+                 key=lambda r: r.decile)
+    assert [r.decile for r in cur] == list(range(1, 11))
+    assert sum(r.n_docs for r in cur) == 40
+    toks = [r.cum_tokens for r in cur]
+    assert toks == sorted(toks)  # monotone cumulative
+    assert abs(cur[-1].token_frac - 1.0) < 1e-12
+    floors = [r.score_floor for r in cur]
+    assert floors == sorted(floors, reverse=True)  # best decile first
