@@ -66,12 +66,14 @@ def jarque_bera(
     v = F.col(value_col)
     pts = df.where(v.isNotNull())
     wk = Window.partitionBy(key_col)
+    # keep key_col UN-aliased: the aggregate then groups on the exact
+    # column the window partitioned by, and Catalyst reuses one exchange
     c = pts.select(
-        F.col(key_col).alias("_k"),
+        F.col(key_col),
         (v - F.avg(v).over(wk)).alias("_c"),
     )
     d = F.col("_c")
-    agg = c.groupBy(F.col("_k").alias(key_col)).agg(
+    agg = c.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n"),
         F.avg(d * d).alias("_m2"),
         F.avg(d * d * d).alias("_m3"),
@@ -124,8 +126,9 @@ def mann_whitney_halves(
     wr = Window.partitionBy(key_col).orderBy(value_col)
     wtie = Window.partitionBy(key_col, value_col)
     wn = Window.partitionBy(key_col)
+    # un-aliased key_col: one exchange shared by every window + the agg
     d = pts.select(
-        F.col(key_col).alias("_k"),
+        F.col(key_col),
         (
             F.row_number().over(wt)
             <= F.ceil(F.count(F.lit(1)).over(wn) / 2.0)
@@ -136,7 +139,7 @@ def mann_whitney_halves(
         ).alias("_r"),
         F.count(F.lit(1)).over(wtie).alias("_t"),
     )
-    agg = d.groupBy(F.col("_k").alias(key_col)).agg(
+    agg = d.groupBy(key_col).agg(
         F.sum(F.col("_g1").cast("long")).alias("n1"),
         F.sum((~F.col("_g1")).cast("long")).alias("n2"),
         F.sum(F.when(F.col("_g1"), F.col("_r"))).alias("_r1"),

@@ -949,3 +949,80 @@ def test_bucket_cardinality_sketch_one_exchange(spark):
     assert exact.count("Exchange hashpartitioning") == 2, exact
     assert sketch.count("Exchange hashpartitioning") == 1, sketch
     assert "approx_count_distinct" in sketch, sketch
+
+
+def test_spc_rules_one_exchange_no_join(spark):
+    """spc_rules' phase-I stats window and the three counting frames
+    all share the key partition — one hash exchange, no join, no
+    Python anywhere in the plan."""
+    from spark_timeseries_spark.operators.indicators import spc_rules
+    from spark_timeseries_spark.sources import events_observations
+
+    obs = events_observations(spark, SF)
+    shuffles, _, p = _counts(spc_rules(obs, order_col="ts"))
+    assert shuffles == 1, p
+    assert "Join" not in p and "InPandas" not in p, p
+
+
+def test_hypothesis_tests_one_exchange(spark):
+    """jarque_bera / mann_whitney_halves: one key exchange, no join —
+    the mean/rank windows and the final aggregate share the key
+    partitioning."""
+    from spark_timeseries_spark.operators.hypothesis import (
+        jarque_bera,
+        mann_whitney_halves,
+    )
+    from spark_timeseries_spark.sources import events_observations
+
+    obs = events_observations(spark, SF)
+    sh1, _, p1 = _counts(jarque_bera(obs))
+    assert sh1 == 1 and "Join" not in p1, p1
+    sh2, _, p2 = _counts(mann_whitney_halves(obs))
+    assert sh2 == 1 and "Join" not in p2, p2
+
+
+def test_complete_panel_broadcasts_key_count(spark):
+    """kendall_w's completeness gate broadcasts the ONE-ROW distinct-key
+    count (never a global window, which would serialize the panel
+    through a single task): the plan must show a broadcast join and no
+    single-partition window over the raw points."""
+    from spark_timeseries_spark.operators.crosssection import kendall_w
+    from spark_timeseries_spark.sources import events_observations
+
+    obs = events_observations(spark, SF)
+    p = _plan(kendall_w(obs, loc_col="ts"))
+    assert "BroadcastExchange" in p, p
+    # exactly TWO single-partition exchanges, both scalar-result
+    # aggregates (the 1-row distinct-key count and the final 1-row W
+    # aggregate — each funnels partial-aggregated rows, not points);
+    # the rank windows themselves must partition on the key
+    assert p.count("Exchange SinglePartition") == 2, p
+    assert "windowspecdefinition(key" in p, p
+
+
+def test_transition_entropy_no_join_no_python(spark):
+    """transition_entropy is windows + counting aggregates only."""
+    from spark_timeseries_spark.operators.features import (
+        transition_entropy,
+    )
+    from spark_timeseries_spark.sources import events_observations
+
+    obs = events_observations(spark, SF)
+    p = _plan(transition_entropy(obs, loc_col="ts"))
+    assert "Join" not in p and "InPandas" not in p, p
+
+
+def test_spectral_residual_two_explodes_no_python(spark):
+    """spectral_residual stays JVM: two generator explodes, no pandas
+    kernel; the final position join is the only join and the grid side
+    is the bounded one."""
+    from spark_timeseries_spark.operators.spectral import spectral_residual
+    from spark_timeseries_spark.sources import events_observations
+    from spark_timeseries_spark.operators import resample as r
+    import spark_timeseries_spark as sts
+
+    obs = events_observations(spark, SF)
+    grid = r.resample(obs, sts.uniform("2024-01-01", 31, sts.DayFrequency(1)), "avg")
+    p = _plan(spectral_residual(grid.where("value is not null")))
+    assert "InPandas" not in p, p
+    assert p.count("Generate") == 2, p
