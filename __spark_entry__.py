@@ -5005,6 +5005,42 @@ def _q_quality_token_curve(spark, sf_dir):
     )
 
 
+def _q_source_rank_gap(spark, sf_dir):
+    """Rank-sum z of each source's quality scores vs the rest of the
+    corpus — the distribution-free 'which source drags quality'."""
+    from spark_timeseries_spark.pipeline.drift import group_rank_gap
+    from spark_timeseries_spark.pipeline.text import quality_score_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source", quality_score_col(F.col("text")).alias("q")
+    )
+    out = group_rank_gap(scored, "q")
+    return out.select(
+        "source", "n",
+        _stable_round(F.col("mean_value"), 6).alias("mean_value"),
+        _stable_round(F.col("u1"), 6).alias("u1"),
+        _stable_round(F.col("z"), 6).alias("z"),
+    )
+
+
+def _q_record_stats(spark, sf_dir):
+    """Running-record counts vs the i.i.d. 1/k law per user — one
+    window pass, H_n as a sum of reciprocal row numbers."""
+    from spark_timeseries_spark.operators.features import record_stats
+
+    obs = events_observations(spark, sf_dir)
+    out = record_stats(obs, loc_col="ts")
+    return out.select(
+        "key", "n", "n_records",
+        _stable_round(F.col("expected_records"), 6).alias(
+            "expected_records"
+        ),
+        _stable_round(F.col("record_ratio"), 6).alias("record_ratio"),
+        F.col("last_record_loc").alias("last_record_ts"),
+    )
+
+
 _ALL_QUERIES = {
     # -- (a) must-prove: r10-touched / r10-new ---------------------------
     "retention_cohorts": _q_retention_cohorts,
@@ -5131,6 +5167,8 @@ _ALL_QUERIES = {
     "wasserstein": _q_wasserstein,
     "dedup_sweep": _q_dedup_sweep,
     "quality_token_curve": _q_quality_token_curve,
+    "source_rank_gap": _q_source_rank_gap,
+    "record_stats": _q_record_stats,
     "dup_spans": _q_dup_spans,
     "embedding_covariance": _q_embedding_covariance,
     "cusum": _q_cusum,
@@ -14406,5 +14444,86 @@ def oracle_sql() -> dict[str, str]:
                {_sr_sql("CAST(cum_tokens AS DOUBLE) / tot", 6)}
                    AS token_frac
         FROM g
+    """
+
+    o["source_rank_gap"] = f"""
+        WITH q AS ({o["quality_score"]}),
+        sv AS (
+            SELECT d.source AS grp, q.quality AS v
+            FROM q JOIN documents d USING (doc_id)
+            WHERE q.quality IS NOT NULL AND d.source IS NOT NULL
+        ),
+        r1 AS (
+            SELECT grp, v,
+                   rank() OVER (ORDER BY v)
+                       + (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS r,
+                   count(*) OVER (PARTITION BY v) AS t,
+                   count(*) OVER () AS nn
+            FROM sv
+        ),
+        r2 AS (
+            SELECT *, sum(t * t - 1) OVER () AS tsall FROM r1
+        ),
+        g AS (
+            SELECT grp, CAST(count(*) AS BIGINT) AS n, avg(v) AS mv,
+                   sum(r) AS r1s, max(nn) AS nn, max(tsall) AS ts
+            FROM r2 GROUP BY grp
+        ),
+        st AS (
+            SELECT grp, n, mv,
+                   r1s - n * (n + 1.0) / 2.0 AS u1,
+                   CAST(n AS DOUBLE) * (nn - n) / 2.0 AS mu,
+                   sqrt(CAST(n AS DOUBLE) * (nn - n) / 12.0
+                        * ((nn + 1.0) - CAST(ts AS DOUBLE)
+                           / (CAST(nn AS DOUBLE) * (nn - 1.0)))) AS sig
+            FROM g
+        )
+        SELECT grp AS source, n,
+               {_sr_sql("mv", 6)} AS mean_value,
+               {_sr_sql("u1", 6)} AS u1,
+               {_sr_sql(
+                   "sign(u1 - mu)"
+                   " * greatest(abs(u1 - mu) - 0.5, 0.0)"
+                   " / nullif(sig, 0)", 6
+               )} AS z
+        FROM st
+    """
+
+    o["record_stats"] = f"""
+        WITH obs AS (
+            SELECT CAST(user_id AS VARCHAR) AS k, ts, value
+            FROM events WHERE value IS NOT NULL
+        ),
+        d AS (
+            SELECT k, ts,
+                   max(value) OVER (PARTITION BY k ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS pm,
+                   value,
+                   1.0 / CAST(row_number() OVER (PARTITION BY k
+                       ORDER BY ts) AS DOUBLE) AS h
+            FROM obs
+        ),
+        e AS (
+            SELECT k, ts, h,
+                   (pm IS NULL OR value > pm) AS rec
+            FROM d
+        ),
+        a AS (
+            SELECT k, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN rec THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_records,
+                   sum(h) AS expected_records,
+                   max(CASE WHEN rec THEN ts END) AS last_ts
+            FROM e GROUP BY k
+        )
+        SELECT k AS key, n, n_records,
+               {_sr_sql("expected_records", 6)} AS expected_records,
+               {_sr_sql(
+                   "CAST(n_records AS DOUBLE)"
+                   " / nullif(expected_records, 0)", 6
+               )} AS record_ratio,
+               last_ts AS last_record_ts
+        FROM a
     """
     return o

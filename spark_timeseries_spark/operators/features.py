@@ -1658,3 +1658,59 @@ def powerlaw_alpha(
             "se"
         ),
     )
+
+
+def record_stats(
+    df: DataFrame,
+    key_col: str = "key",
+    loc_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Running-record analysis per series → one row per key: (key, n,
+    n_records, expected_records, record_ratio, last_record_loc). A
+    RECORD is an observation strictly above every earlier one (the
+    first observation counts). For an i.i.d. exchangeable series the
+    k-th observation is a record with probability exactly 1/k, so
+    E[#records] = H_n (the harmonic number) ≈ ln n — record_ratio =
+    n_records/H_n ≫ 1 exposes trending series and ≪ 1 front-loaded
+    ones, a distribution-free trend diagnostic (Glick 1978, "Breaking
+    records and breaking boards") complementing :func:`mann_kendall`
+    (which scores ALL pairs, not just maxima). Ties do NOT break a
+    record (strictly greater required, stated).
+
+    H_n needs no closed form or explode: Σ 1/rowindex over the key's
+    own rows IS H_n — one extra term in the same aggregate.
+
+    Plan: one (key, loc) window pass (running max + row number share
+    the sort) + ONE aggregate — all JVM, no join, linear."""
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    ws = Window.partitionBy(key_col).orderBy(loc_col)
+    prev_max = F.max(value_col).over(
+        ws.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rec = prev_max.isNull() | (v > prev_max)
+    d = pts.select(
+        F.col(key_col),
+        F.col(loc_col).alias("_l"),
+        rec.alias("_rec"),
+        (1.0 / F.row_number().over(ws).cast("double")).alias("_h"),
+    )
+    agg = d.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_rec").cast("long")).alias("n_records"),
+        F.sum("_h").alias("expected_records"),
+        F.max(F.when(F.col("_rec"), F.col("_l"))).alias(
+            "last_record_loc"
+        ),
+    )
+    return agg.select(
+        key_col,
+        "n",
+        "n_records",
+        "expected_records",
+        F.try_divide(
+            F.col("n_records").cast("double"), F.col("expected_records")
+        ).alias("record_ratio"),
+        "last_record_loc",
+    )

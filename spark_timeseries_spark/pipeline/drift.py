@@ -470,3 +470,72 @@ def wasserstein_halves(
         key_col, "n1", "n2", "w1",
         F.try_divide(F.col("w1"), F.col("_range")).alias("w1_norm"),
     )
+
+
+def group_rank_gap(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "source",
+) -> DataFrame:
+    """Which group drags the metric? Rank-sum comparison of EACH group
+    against all other rows → one row per group: (group, n, mean_value,
+    u1, z). z is the tie-corrected Mann-Whitney normal approximation
+    (the :func:`~..operators.hypothesis.mann_whitney_halves` machinery
+    with group-vs-rest instead of half-vs-half, same ±0.5 continuity
+    correction): strongly negative z = the group's values rank LOW
+    against the rest of the corpus — the "which source is dragging
+    quality" question answered distribution-free, immune to the heavy
+    tails that make per-source means lie. NULL z when every value is
+    tied or the group is the whole corpus.
+
+    Plan: ONE global mid-rank window over (value, group) + one group
+    aggregate. The global rank is a single-task sort — the stated
+    diagnostic-scale trade (the ``quality_token_curve`` precedent);
+    at corpus scale pre-bucket values (approx_percentile cuts) and
+    rank within buckets."""
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull() & F.col(group_col).isNotNull())
+    wo = Window.partitionBy(F.lit(1)).orderBy(value_col)
+    wt = Window.partitionBy(value_col)
+    wall = Window.partitionBy(F.lit(1))
+    d = pts.select(
+        F.col(group_col),
+        v.alias("_v"),
+        (
+            F.rank().over(wo)
+            + (F.count(F.lit(1)).over(wt) - 1) / 2.0
+        ).alias("_r"),
+        F.count(F.lit(1)).over(wt).alias("_t"),
+        F.count(F.lit(1)).over(wall).alias("_nn"),
+    ).withColumn(
+        # two stages: window functions cannot nest in one expression
+        "_tsum_all",
+        F.sum(F.col("_t") * F.col("_t") - 1).over(wall),
+    )
+    g = d.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("_v").alias("mean_value"),
+        F.sum("_r").alias("_r1"),
+        F.first("_nn").alias("_nn"),
+        F.first("_tsum_all").alias("_ts"),
+    )
+    n1 = F.col("n").cast("double")
+    nn = F.col("_nn").cast("double")
+    n2 = nn - n1
+    u1 = F.col("_r1") - n1 * (n1 + 1.0) / 2.0
+    mu = n1 * n2 / 2.0
+    sigma = F.sqrt(
+        n1
+        * n2
+        / 12.0
+        * ((nn + 1.0) - F.col("_ts").cast("double") / (nn * (nn - 1.0)))
+    )
+    dev = u1 - mu
+    corrected = F.signum(dev) * F.greatest(F.abs(dev) - 0.5, F.lit(0.0))
+    return g.select(
+        group_col,
+        "n",
+        "mean_value",
+        u1.alias("u1"),
+        F.try_divide(corrected, sigma).alias("z"),
+    )

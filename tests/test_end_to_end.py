@@ -5606,3 +5606,43 @@ def test_dedup_sweep_quality_curve(spark):
     assert abs(cur[-1].token_frac - 1.0) < 1e-12
     floors = [r.score_floor for r in cur]
     assert floors == sorted(floors, reverse=True)  # best decile first
+
+
+def test_group_rank_gap_record_stats(spark):
+    """group_rank_gap: a clearly-low source scores strongly negative z,
+    a clearly-high one positive, and U values replay in numpy;
+    record_stats: a monotone series is all records (ratio >> 1), an
+    i.i.d. series tracks H_n, ties do not break records."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.features import record_stats
+    from spark_timeseries_spark.pipeline.drift import group_rank_gap
+
+    rng = np.random.RandomState(3)
+    lo = rng.uniform(0.0, 0.4, 80)
+    hi = rng.uniform(0.6, 1.0, 80)
+    rows = [("low", float(v)) for v in lo]
+    rows += [("high", float(v)) for v in hi]
+    df = spark.createDataFrame(rows, "source string, q double")
+    out = {r.source: r for r in group_rank_gap(df, "q").collect()}
+    assert out["low"].z < -8 and out["high"].z > 8
+    # disjoint supports: low occupies exactly the bottom 80 ranks
+    assert out["low"].u1 == 0.0
+    assert out["high"].u1 == 80.0 * 80.0
+
+    n = 120
+    mono = [("up", i, float(i)) for i in range(n)]
+    iid = [("iid", i, float(v)) for i, v in enumerate(rng.randn(n))]
+    tied = [("tied", 0, 1.0), ("tied", 1, 1.0), ("tied", 2, 2.0)]
+    df2 = spark.createDataFrame(
+        mono + iid + tied, "key string, loc long, value double"
+    )
+    rs = {r.key: r for r in record_stats(df2).collect()}
+    hn = float(sum(1.0 / k for k in range(1, n + 1)))
+    assert rs["up"].n_records == n
+    assert abs(rs["up"].expected_records - hn) < 1e-9
+    assert rs["up"].record_ratio > 15
+    assert rs["iid"].n_records < 15  # ~H_120 ≈ 5.4, generous cap
+    assert rs["iid"].last_record_loc < n
+    # the repeat of 1.0 is NOT a record; 2.0 is
+    assert rs["tied"].n_records == 2 and rs["tied"].last_record_loc == 2
