@@ -5041,6 +5041,37 @@ def _q_record_stats(spark, sf_dir):
     )
 
 
+def _q_lead_lag(spark, sf_dir):
+    """Best lead-lag alignment of daily-grid users 1 vs 2 over
+    lags [-7, 7] — two crosscorr passes + one struct-max."""
+    from spark_timeseries_spark.operators.rolling import lead_lag
+
+    grid = _daily_grid(spark, sf_dir)
+    out = lead_lag(grid, "1", "2", 7, tie_digits=6)
+    return out.select(
+        "key_a", "key_b", "best_lag",
+        _stable_round(F.col("ccf"), 6).alias("ccf"),
+    )
+
+
+def _q_allan_variance(spark, sf_dir):
+    """Allan variance at scales 2/4/8 days over the filled daily grid —
+    explode x taus, block aggregate, adjacency-checked lag."""
+    from spark_timeseries_spark.operators import fill as fill_ops
+    from spark_timeseries_spark.operators.features import allan_variance
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(
+        fill_ops.fill_previous(fill_ops.fill_linear(grid))
+    )
+    out = allan_variance(filled)
+    return out.select(
+        "key", "tau", "n_blocks", "n_pairs",
+        _stable_round(F.col("avar"), 6).alias("avar"),
+        _stable_round(F.col("adev"), 6).alias("adev"),
+    )
+
+
 _ALL_QUERIES = {
     # -- (a) must-prove: r10-touched / r10-new ---------------------------
     "retention_cohorts": _q_retention_cohorts,
@@ -5169,6 +5200,8 @@ _ALL_QUERIES = {
     "quality_token_curve": _q_quality_token_curve,
     "source_rank_gap": _q_source_rank_gap,
     "record_stats": _q_record_stats,
+    "lead_lag": _q_lead_lag,
+    "allan_variance": _q_allan_variance,
     "dup_spans": _q_dup_spans,
     "embedding_covariance": _q_embedding_covariance,
     "cusum": _q_cusum,
@@ -14525,5 +14558,65 @@ def oracle_sql() -> dict[str, str]:
                )} AS record_ratio,
                last_ts AS last_record_ts
         FROM a
+    """
+
+    o["lead_lag"] = _DAILY_GRID_SQL + f"""
+        , a AS (SELECT loc, value FROM grid WHERE key = '1'),
+        b AS (SELECT loc, value FROM grid WHERE key = '2'),
+        j AS (
+            SELECT a.loc, a.value AS av, b.value AS bv
+            FROM a JOIN b USING (loc)
+        ),
+        lagged AS (
+            SELECT loc, av, bv, lag(bv, 1) OVER (ORDER BY loc) AS bv1, lag(av, 1) OVER (ORDER BY loc) AS av1, lag(bv, 2) OVER (ORDER BY loc) AS bv2, lag(av, 2) OVER (ORDER BY loc) AS av2, lag(bv, 3) OVER (ORDER BY loc) AS bv3, lag(av, 3) OVER (ORDER BY loc) AS av3, lag(bv, 4) OVER (ORDER BY loc) AS bv4, lag(av, 4) OVER (ORDER BY loc) AS av4, lag(bv, 5) OVER (ORDER BY loc) AS bv5, lag(av, 5) OVER (ORDER BY loc) AS av5, lag(bv, 6) OVER (ORDER BY loc) AS bv6, lag(av, 6) OVER (ORDER BY loc) AS av6, lag(bv, 7) OVER (ORDER BY loc) AS bv7, lag(av, 7) OVER (ORDER BY loc) AS av7
+            FROM j
+        ),
+        m AS (
+            SELECT corr(av, bv) AS c0, corr(av, bv1) AS cp1, corr(bv, av1) AS cm1, corr(av, bv2) AS cp2, corr(bv, av2) AS cm2, corr(av, bv3) AS cp3, corr(bv, av3) AS cm3, corr(av, bv4) AS cp4, corr(bv, av4) AS cm4, corr(av, bv5) AS cp5, corr(bv, av5) AS cm5, corr(av, bv6) AS cp6, corr(bv, av6) AS cm6, corr(av, bv7) AS cp7, corr(bv, av7) AS cm7
+            FROM lagged
+        ),
+        allr AS (SELECT 0 AS lag, c0 AS ccf FROM m UNION ALL SELECT 1, cp1 FROM m UNION ALL SELECT -1, cm1 FROM m UNION ALL SELECT 2, cp2 FROM m UNION ALL SELECT -2, cm2 FROM m UNION ALL SELECT 3, cp3 FROM m UNION ALL SELECT -3, cm3 FROM m UNION ALL SELECT 4, cp4 FROM m UNION ALL SELECT -4, cm4 FROM m UNION ALL SELECT 5, cp5 FROM m UNION ALL SELECT -5, cm5 FROM m UNION ALL SELECT 6, cp6 FROM m UNION ALL SELECT -6, cm6 FROM m UNION ALL SELECT 7, cp7 FROM m UNION ALL SELECT -7, cm7 FROM m),
+        pick AS (
+            SELECT lag, ccf FROM allr WHERE ccf IS NOT NULL
+            ORDER BY round(abs(ccf), 6) DESC, abs(lag) ASC, lag DESC
+            LIMIT 1
+        )
+        SELECT '1' AS key_a, '2' AS key_b,
+               CAST(lag AS INT) AS best_lag,
+               {_sr_sql("ccf", 6)} AS ccf
+        FROM pick
+    """
+
+    o["allan_variance"] = _DAILY_GRID_SQL + _FILLED_SQL + f"""
+        , av_e AS (
+            SELECT key, loc, value, unnest([2, 4, 8]) AS tau
+            FROM filled
+        ),
+        av_g AS (
+            SELECT key, tau,
+                   CAST(floor(CAST(loc AS DOUBLE) / tau) AS BIGINT)
+                       AS blk,
+                   count(*) AS c, avg(value) AS m
+            FROM av_e GROUP BY 1, 2, 3
+        ),
+        av_c AS (SELECT * FROM av_g WHERE c = tau),
+        av_d AS (
+            SELECT key, tau, blk, m,
+                   lag(m) OVER w AS pm, lag(blk) OVER w AS pb
+            FROM av_c
+            WINDOW w AS (PARTITION BY key, tau ORDER BY blk)
+        ),
+        av_a AS (
+            SELECT key, tau, CAST(count(*) AS BIGINT) AS n_blocks,
+                   CAST(count(CASE WHEN pb = blk - 1 THEN 1 END)
+                        AS BIGINT) AS n_pairs,
+                   avg(CASE WHEN pb = blk - 1
+                            THEN (m - pm) * (m - pm) END) / 2.0 AS avar
+            FROM av_d GROUP BY 1, 2
+        )
+        SELECT key, tau, n_blocks, n_pairs,
+               {_sr_sql("avar", 6)} AS avar,
+               {_sr_sql("sqrt(avar)", 6)} AS adev
+        FROM av_a
     """
     return o

@@ -1714,3 +1714,57 @@ def record_stats(
         ).alias("record_ratio"),
         "last_record_loc",
     )
+
+
+def allan_variance(
+    df: DataFrame,
+    taus: tuple[int, ...] = (2, 4, 8),
+    key_col: str = "key",
+    loc_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Allan variance per series and averaging scale → one row per
+    (key, tau): (key, tau, n_blocks, n_pairs, avar, adev). The series
+    is cut into non-overlapping blocks of tau consecutive grid steps
+    (block = ⌊loc/tau⌋ — a UNIFORM integer grid is assumed, fill
+    first); only COMPLETE blocks count (tau values present, stated);
+    σ²_A(τ) = ½·mean((m̄ᵢ₊₁ − m̄ᵢ)²) over ADJACENT complete blocks
+    (a gap breaks adjacency and drops the pair, not the blocks). The
+    clock-stability workhorse (Allan 1966): white noise falls as 1/τ,
+    random walk RISES with τ, flicker floors — reading avar across
+    taus classifies the noise regime where a single variance number
+    can't. NULL avar when no adjacent pair exists.
+
+    Plan: one |taus|-way explode + one (key, tau, block) aggregate +
+    one lag window + one (key, tau) aggregate — all JVM, map-side
+    combinable, no join."""
+    ts = sorted(set(int(t) for t in taus))
+    if not ts or ts[0] < 2:
+        raise ValueError(f"taus must all be >= 2, got {taus}")
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    e = pts.withColumn(
+        "tau", F.explode(F.array(*[F.lit(t) for t in ts]))
+    ).withColumn(
+        "_blk", F.floor(F.col(loc_col) / F.col("tau"))
+    )
+    g = e.groupBy(key_col, "tau", "_blk").agg(
+        F.count(F.lit(1)).alias("_c"), F.avg(value_col).alias("_m")
+    ).where(F.col("_c") == F.col("tau"))
+    ws = Window.partitionBy(key_col, "tau").orderBy("_blk")
+    d = g.withColumn("_pm", F.lag("_m").over(ws)).withColumn(
+        "_pb", F.lag("_blk").over(ws)
+    )
+    adj = F.col("_pb") == F.col("_blk") - 1
+    diff2 = F.when(
+        adj, (F.col("_m") - F.col("_pm")) * (F.col("_m") - F.col("_pm"))
+    )
+    agg = d.groupBy(key_col, "tau").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.count(diff2).alias("n_pairs"),
+        (F.avg(diff2) / 2.0).alias("avar"),
+    )
+    return agg.select(
+        key_col, "tau", "n_blocks", "n_pairs", "avar",
+        F.sqrt(F.col("avar")).alias("adev"),
+    )

@@ -759,3 +759,58 @@ def roll_entropy(
     return d.withColumn(
         "entropy", F.when(F.count(F.lit(1)).over(w) >= n, ent)
     )
+
+
+def lead_lag(
+    df: DataFrame,
+    key_a: str,
+    key_b: str,
+    max_lag: int,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+    tie_digits: int | None = None,
+) -> DataFrame:
+    """Best lead-lag alignment of two conformed series → one row
+    (key_a, key_b, best_lag, ccf): the lag in [−max_lag, +max_lag]
+    maximizing |ccf| over :func:`crosscorr`'s per-overlap Pearson
+    convention. POSITIVE best_lag means ``key_a`` LAGS ``key_b`` (B
+    leads — B's moves show up in A best_lag steps later); negative
+    means A leads. Ties go to the SMALLEST |lag|, then the positive
+    sign (deterministic); ``tie_digits`` ranks on round(|ccf|,
+    tie_digits) so near-ties below fp noise resolve by the lag rule on
+    every engine (the ``dominant_period`` convention). NULL-ccf lags
+    (constant overlap slices) drop out; no row if every lag is NULL.
+
+    Plan: two :func:`crosscorr` passes (one per direction) over the
+    same bounded pair + one struct-max aggregate — the two-named-series
+    envelope."""
+    ab = crosscorr(
+        df, key_a, key_b, max_lag, key_col, order_col, value_col
+    )
+    ba = (
+        crosscorr(df, key_b, key_a, max_lag, key_col, order_col, value_col)
+        .where(F.col("lag") > 0)
+        .select((-F.col("lag")).alias("lag"), "ccf")
+    )
+    u = ab.select("lag", "ccf").unionByName(ba).where(
+        F.col("ccf").isNotNull()
+    )
+    mag = F.abs(F.col("ccf"))
+    rank_c = F.round(mag, tie_digits) if tie_digits is not None else mag
+    best = u.agg(
+        F.max(
+            F.struct(
+                rank_c.alias("rc"),
+                (-F.abs(F.col("lag"))).alias("nal"),
+                F.col("lag").alias("lag"),
+                F.col("ccf").alias("ccf"),
+            )
+        ).alias("_b")
+    )
+    return best.where(F.col("_b").isNotNull()).select(
+        F.lit(key_a).alias("key_a"),
+        F.lit(key_b).alias("key_b"),
+        F.col("_b.lag").cast("int").alias("best_lag"),
+        F.col("_b.ccf").alias("ccf"),
+    )

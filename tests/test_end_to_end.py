@@ -5646,3 +5646,53 @@ def test_group_rank_gap_record_stats(spark):
     assert rs["iid"].last_record_loc < n
     # the repeat of 1.0 is NOT a record; 2.0 is
     assert rs["tied"].n_records == 2 and rs["tied"].last_record_loc == 2
+
+
+def test_lead_lag_allan(spark):
+    """lead_lag: a constructed 3-step shifted pair recovers lag +3 and
+    the sign flips when the roles swap; allan_variance: white noise
+    halves avar per tau doubling, a random walk grows it, incomplete
+    blocks and gap-broken adjacencies drop out."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.features import allan_variance
+    from spark_timeseries_spark.operators.rolling import lead_lag
+
+    rng = np.random.RandomState(8)
+    b = np.cumsum(rng.randn(120))
+    a = np.roll(b, 3)  # a_t = b_{t-3}: a LAGS b by 3
+    rows = [("a", i, float(a[i])) for i in range(3, 120)]
+    rows += [("b", i, float(b[i])) for i in range(3, 120)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    r = lead_lag(df, "a", "b", 7, tie_digits=6).collect()[0]
+    assert r.best_lag == 3 and r.ccf > 0.99
+    r2 = lead_lag(df, "b", "a", 7, tie_digits=6).collect()[0]
+    assert r2.best_lag == -3 and r2.ccf > 0.99
+
+    n = 512
+    white = rng.randn(n)
+    walk = np.cumsum(rng.randn(n))
+    rows = [("w", i, float(white[i])) for i in range(n)]
+    rows += [("rw", i, float(walk[i])) for i in range(n)]
+    df2 = spark.createDataFrame(rows, "key string, loc long, value double")
+    av = {(r.key, r.tau): r for r in
+          allan_variance(df2, taus=(2, 4, 8, 16)).collect()}
+    # white noise: avar(tau) = sigma^2/tau -> each doubling halves it
+    for t in (2, 4, 8):
+        ratio = av[("w", 2 * t)].avar / av[("w", t)].avar
+        assert 0.3 < ratio < 0.8, (t, ratio)
+    # random walk: avar RISES with tau
+    assert av[("rw", 16)].avar > av[("rw", 2)].avar
+    # numpy replay at tau=4
+    m = white[: n - n % 4].reshape(-1, 4).mean(axis=1)
+    expect = 0.5 * np.mean(np.diff(m) ** 2)
+    assert abs(av[("w", 4)].avar - expect) < 1e-9
+    assert av[("w", 4)].n_blocks == n // 4
+    assert av[("w", 4)].n_pairs == n // 4 - 1
+
+    # a hole drops its block and breaks adjacency exactly once
+    rows3 = [("h", i, float(white[i])) for i in range(64) if i != 10]
+    df3 = spark.createDataFrame(rows3, "key string, loc long, value double")
+    h = {r.tau: r for r in allan_variance(df3, taus=(4,)).collect()}
+    assert h[4].n_blocks == 15  # block 2 incomplete
+    assert h[4].n_pairs == 13   # pairs (1,2) and (2,3) both gone
