@@ -5072,6 +5072,42 @@ def _q_allan_variance(spark, sf_dir):
     )
 
 
+def _q_ma_cross(spark, sf_dir):
+    """Golden/death-cross events (SMA 3/7) over the filled daily grid
+    — two frames + one lag on a single sort, events-only output."""
+    from spark_timeseries_spark.operators import fill as fill_ops
+    from spark_timeseries_spark.operators.indicators import ma_cross
+
+    grid = _daily_grid(spark, sf_dir)
+    filled = fill_ops.fill_next(
+        fill_ops.fill_previous(fill_ops.fill_linear(grid))
+    )
+    out = ma_cross(filled, fast=3, slow=7)
+    return out.select(
+        "key", "loc",
+        _stable_round(F.col("value"), 6).alias("value"),
+        _stable_round(F.col("fast_ma"), 6).alias("fast_ma"),
+        _stable_round(F.col("slow_ma"), 6).alias("slow_ma"),
+        "signal",
+    )
+
+
+def _q_circadian_stats(spark, sf_dir):
+    """Circular time-of-day statistics per user — trig aggregate +
+    hour-histogram struct-max, midnight-wrap-proof mean hour."""
+    from spark_timeseries_spark.operators.features import circadian_stats
+
+    obs = events_observations(spark, sf_dir)
+    out = circadian_stats(obs)
+    return out.select(
+        "key", "n",
+        _stable_round(F.col("mean_hour"), 6).alias("mean_hour"),
+        _stable_round(F.col("resultant"), 6).alias("resultant"),
+        _stable_round(F.col("circ_var"), 6).alias("circ_var"),
+        _stable_round(F.col("peak_ratio"), 6).alias("peak_ratio"),
+    )
+
+
 _ALL_QUERIES = {
     # -- (a) must-prove: r10-touched / r10-new ---------------------------
     "retention_cohorts": _q_retention_cohorts,
@@ -5202,6 +5238,8 @@ _ALL_QUERIES = {
     "record_stats": _q_record_stats,
     "lead_lag": _q_lead_lag,
     "allan_variance": _q_allan_variance,
+    "ma_cross": _q_ma_cross,
+    "circadian_stats": _q_circadian_stats,
     "dup_spans": _q_dup_spans,
     "embedding_covariance": _q_embedding_covariance,
     "cusum": _q_cusum,
@@ -14618,5 +14656,75 @@ def oracle_sql() -> dict[str, str]:
                {_sr_sql("avar", 6)} AS avar,
                {_sr_sql("sqrt(avar)", 6)} AS adev
         FROM av_a
+    """
+
+    o["ma_cross"] = _DAILY_GRID_SQL + _FILLED_SQL + f"""
+        , mc AS (
+            SELECT key, loc, value,
+                   CASE WHEN count(*) OVER wf >= 3
+                        THEN avg(value) OVER wf END AS fast_ma,
+                   CASE WHEN count(*) OVER wl >= 7
+                        THEN avg(value) OVER wl END AS slow_ma
+            FROM filled
+            WINDOW wf AS (PARTITION BY key ORDER BY loc
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                   wl AS (PARTITION BY key ORDER BY loc
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ),
+        sg AS (
+            SELECT key, loc, value, fast_ma, slow_ma,
+                   sign(fast_ma - slow_ma) AS sgn,
+                   lag(sign(fast_ma - slow_ma)) OVER
+                       (PARTITION BY key ORDER BY loc) AS psgn
+            FROM mc
+        )
+        SELECT key, loc,
+               {_sr_sql("value", 6)} AS value,
+               {_sr_sql("fast_ma", 6)} AS fast_ma,
+               {_sr_sql("slow_ma", 6)} AS slow_ma,
+               CAST(sgn AS INT) AS signal
+        FROM sg
+        WHERE sgn IS NOT NULL AND psgn IS NOT NULL
+          AND sgn <> psgn AND sgn <> 0
+    """
+
+    o["circadian_stats"] = f"""
+        WITH ev AS (
+            SELECT CAST(user_id AS VARCHAR) AS k, ts
+            FROM events WHERE ts IS NOT NULL
+        ),
+        th AS (
+            SELECT k, hour(ts) AS h,
+                   6.283185307179586
+                       * CAST(hour(ts) * 3600 + minute(ts) * 60
+                              + second(ts) AS DOUBLE) / 86400.0 AS theta
+            FROM ev
+        ),
+        g AS (
+            SELECT k, h, CAST(count(*) AS BIGINT) AS c,
+                   sum(sin(theta)) AS s, sum(cos(theta)) AS co
+            FROM th GROUP BY 1, 2
+        ),
+        a AS (
+            SELECT k, CAST(sum(c) AS BIGINT) AS n,
+                   sum(s) AS ss, sum(co) AS cc,
+                   max({{'c': c, 'h': h}}) AS pk
+            FROM g GROUP BY k
+        )
+        SELECT k AS key, n,
+               {_sr_sql(
+                   "(atan2(ss, cc) / 6.283185307179586 * 24.0 + 24.0)"
+                   " % 24.0", 6
+               )} AS mean_hour,
+               {_sr_sql(
+                   "sqrt(ss * ss + cc * cc) / CAST(n AS DOUBLE)", 6
+               )} AS resultant,
+               {_sr_sql(
+                   "1.0 - sqrt(ss * ss + cc * cc) / CAST(n AS DOUBLE)", 6
+               )} AS circ_var,
+               {_sr_sql(
+                   "CAST(pk.c AS DOUBLE) / CAST(n AS DOUBLE) * 24.0", 6
+               )} AS peak_ratio
+        FROM a
     """
     return o

@@ -1768,3 +1768,62 @@ def allan_variance(
         key_col, "tau", "n_blocks", "n_pairs", "avar",
         F.sqrt(F.col("avar")).alias("adev"),
     )
+
+
+def circadian_stats(
+    df: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Circular statistics of WHEN a series' events happen → one row
+    per key: (key, n, mean_hour, resultant, circ_var, peak_ratio).
+    Each event's clock time maps to an angle θ = 2π·(sec of day)/86400;
+    mean_hour is the CIRCULAR mean direction in hours [0, 24) —
+    atan2(Σsin θ, Σcos θ), immune to the midnight wrap that breaks a
+    plain avg(hour) (events at 23:00 and 01:00 average to midnight,
+    not noon); resultant R = |Σe^(iθ)|/n ∈ [0, 1] measures
+    concentration (0 = activity uniform around the clock, 1 = all at
+    one instant — Fisher 1993 circular statistics), circ_var = 1 − R;
+    peak_ratio = the busiest hour-of-day's share of events × 24 (1 =
+    flat, 24 = everything in one hour) as the coarse histogram
+    companion. The circular complement of :func:`tod_profile`'s
+    per-hour table: one row answers "how diurnal is this key".
+
+    Plan: one trig aggregate + one (key, hour) count + one struct-max
+    — all JVM, two map-side-combinable exchanges, no join with the
+    hour table (it rides the same groupBy)."""
+    two_pi = 6.283185307179586
+    sec = (
+        F.hour(ts_col) * 3600 + F.minute(ts_col) * 60 + F.second(ts_col)
+    ).cast("double")
+    theta = F.lit(two_pi) * sec / F.lit(86400.0)
+    g = df.where(F.col(ts_col).isNotNull()).groupBy(
+        key_col, F.hour(ts_col).alias("_h")
+    ).agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.sum(F.sin(theta)).alias("_s"),
+        F.sum(F.cos(theta)).alias("_co"),
+    )
+    agg = g.groupBy(key_col).agg(
+        F.sum("_c").alias("n"),
+        F.sum("_s").alias("_ss"),
+        F.sum("_co").alias("_cc"),
+        F.max(F.struct(F.col("_c").alias("c"), F.col("_h").alias("h"))).alias(
+            "_peak"
+        ),
+    )
+    nn = F.col("n").cast("double")
+    r = F.sqrt(F.col("_ss") * F.col("_ss") + F.col("_cc") * F.col("_cc")) / nn
+    mean_hour = (
+        F.atan2(F.col("_ss"), F.col("_cc")) / F.lit(two_pi) * 24.0 + 24.0
+    ) % 24.0
+    return agg.select(
+        key_col,
+        "n",
+        mean_hour.alias("mean_hour"),
+        r.alias("resultant"),
+        (1.0 - r).alias("circ_var"),
+        (
+            F.col("_peak.c").cast("double") / nn * 24.0
+        ).alias("peak_ratio"),
+    )

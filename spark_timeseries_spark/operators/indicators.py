@@ -39,7 +39,7 @@ __all__ = [
     "keltner_channels", "donchian_channels", "ulcer_index",
     "rolling_sharpe", "ewma_chart",
     "williams_r", "cci", "cmo", "trix", "aroon", "heikin_ashi", "wma",
-    "spc_rules",
+    "spc_rules", "ma_cross",
 ]
 
 
@@ -1078,4 +1078,69 @@ def spc_rules(
         .withColumn("rule2", m_of_k(2, 3, 2.0))
         .withColumn("rule3", m_of_k(4, 5, 1.0))
         .withColumn("rule4", m_of_k(8, 8, 0.0))
+    )
+
+
+def ma_cross(
+    df: DataFrame,
+    fast: int = 5,
+    slow: int = 20,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Moving-average crossover signals per series → one row per CROSS
+    event: (key, <order_col>, value, fast_ma, slow_ma, signal) with
+    signal = +1 when the fast SMA crosses ABOVE the slow (the "golden
+    cross") and −1 when it crosses below. A cross fires on the first
+    row whose sign(fast − slow) differs from the previous row's;
+    rows where the difference is exactly 0 carry sign 0 and fire on
+    leaving it (stated — the knife-edge case). Both SMAs require FULL
+    windows (NULL during warm-up; no signal can fire until ``slow``
+    observations exist) over non-null values.
+
+    Simple (unweighted) moving averages, deliberately: the EMA family
+    lives in :func:`ema`/:func:`macd` (MACD line crossings are this
+    operator's exponential sibling); SMA crosses are the
+    chart-convention default.
+
+    Plan: two frames + one lag on ONE (key, order) sort — one
+    exchange, no join, no Python; output is events-only (bounded by
+    the cross count, not the series length)."""
+    if not 1 <= fast < slow:
+        raise ValueError(
+            f"need 1 <= fast < slow, got fast={fast}, slow={slow}"
+        )
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+    wf = ws.rowsBetween(-(fast - 1), 0)
+    wl = ws.rowsBetween(-(slow - 1), 0)
+    d = (
+        pts.withColumn(
+            "fast_ma",
+            F.when(F.count(F.lit(1)).over(wf) >= fast, F.avg(v).over(wf)),
+        )
+        .withColumn(
+            "slow_ma",
+            F.when(F.count(F.lit(1)).over(wl) >= slow, F.avg(v).over(wl)),
+        )
+        .withColumn(
+            "_sgn", F.signum(F.col("fast_ma") - F.col("slow_ma"))
+        )
+        .withColumn("_psgn", F.lag("_sgn").over(ws))
+    )
+    fired = (
+        F.col("_sgn").isNotNull()
+        & F.col("_psgn").isNotNull()
+        & (F.col("_sgn") != F.col("_psgn"))
+        & (F.col("_sgn") != 0.0)
+    )
+    return d.where(fired).select(
+        key_col,
+        order_col,
+        value_col,
+        "fast_ma",
+        "slow_ma",
+        F.col("_sgn").cast("int").alias("signal"),
     )

@@ -5696,3 +5696,62 @@ def test_lead_lag_allan(spark):
     h = {r.tau: r for r in allan_variance(df3, taus=(4,)).collect()}
     assert h[4].n_blocks == 15  # block 2 incomplete
     assert h[4].n_pairs == 13   # pairs (1,2) and (2,3) both gone
+
+
+def test_ma_cross_circadian(spark):
+    """ma_cross: a constructed V-shaped series fires exactly one death
+    cross on the way down and one golden cross after the turn, with
+    warm-up rows silent; circadian_stats: a midnight-straddling cluster
+    gets mean_hour near 0 (not 12), concentrated events score high
+    resultant, uniform events score near 0."""
+    import datetime as dt
+
+    import numpy as np
+
+    from spark_timeseries_spark.operators.features import circadian_stats
+    from spark_timeseries_spark.operators.indicators import ma_cross
+
+    down = list(np.linspace(100, 50, 30))
+    up = list(np.linspace(50, 100, 30))
+    x = down + up
+    df = spark.createDataFrame(
+        [("v", i, float(v)) for i, v in enumerate(x)],
+        "key string, loc long, value double",
+    )
+    ev = sorted(ma_cross(df, fast=3, slow=7).collect(),
+                key=lambda r: r.loc)
+    # strictly monotone down: fast < slow everywhere after warm-up, so
+    # the only crosses happen around the turn at loc 30
+    assert len(ev) == 1
+    assert ev[0].signal == 1 and 30 <= ev[0].loc <= 40
+
+    # a series that turns down then up fires both signals
+    x2 = up + down + up
+    df2 = spark.createDataFrame(
+        [("w", i, float(v)) for i, v in enumerate(x2)],
+        "key string, loc long, value double",
+    )
+    ev2 = sorted(ma_cross(df2, fast=3, slow=7).collect(),
+                 key=lambda r: r.loc)
+    assert [e.signal for e in ev2] == [-1, 1]
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # "night": events 23:30 and 00:30 on alternating days
+    for d in range(30):
+        rows.append(("night", base + dt.timedelta(days=d, hours=23,
+                                                  minutes=30)))
+        rows.append(("night", base + dt.timedelta(days=d, minutes=30)))
+    # "uniform": one event every hour of one day, for days
+    for d in range(5):
+        for h in range(24):
+            rows.append(("unif", base + dt.timedelta(days=d, hours=h)))
+    df3 = spark.createDataFrame(rows, "key string, ts timestamp")
+    out = {r.key: r for r in circadian_stats(df3).collect()}
+    night = out["night"]
+    # circular mean of 23:30/00:30 is midnight, NOT noon
+    assert night.mean_hour < 1.0 or night.mean_hour > 23.0
+    assert night.resultant > 0.9
+    unif = out["unif"]
+    assert unif.resultant < 0.05
+    assert abs(unif.peak_ratio - 1.0) < 1e-9  # flat histogram
