@@ -5108,6 +5108,24 @@ def _q_circadian_stats(spark, sf_dir):
     )
 
 
+def _q_conformal_interval(spark, sf_dir):
+    """Split-conformal naive-forecast interval per user (alpha=0.1) —
+    distribution-free coverage, order-statistic quantile."""
+    from spark_timeseries_spark.models.baselines import conformal_interval
+
+    obs = events_observations(spark, sf_dir)
+    out = conformal_interval(obs, alpha=0.1, period=1, loc_col="ts")
+    return out.select(
+        "key", "n_cal",
+        _stable_round(F.col("pred"), 6).alias("pred"),
+        _stable_round(F.col("actual"), 6).alias("actual"),
+        _stable_round(F.col("qhat"), 6).alias("qhat"),
+        _stable_round(F.col("lo"), 6).alias("lo"),
+        _stable_round(F.col("hi"), 6).alias("hi"),
+        F.col("covered").cast("int").alias("covered"),
+    )
+
+
 _ALL_QUERIES = {
     # -- (a) must-prove: r10-touched / r10-new ---------------------------
     "retention_cohorts": _q_retention_cohorts,
@@ -5240,6 +5258,7 @@ _ALL_QUERIES = {
     "allan_variance": _q_allan_variance,
     "ma_cross": _q_ma_cross,
     "circadian_stats": _q_circadian_stats,
+    "conformal_interval": _q_conformal_interval,
     "dup_spans": _q_dup_spans,
     "embedding_covariance": _q_embedding_covariance,
     "cusum": _q_cusum,
@@ -14726,5 +14745,54 @@ def oracle_sql() -> dict[str, str]:
                    "CAST(pk.c AS DOUBLE) / CAST(n AS DOUBLE) * 24.0", 6
                )} AS peak_ratio
         FROM a
+    """
+
+    o["conformal_interval"] = f"""
+        WITH obs AS (
+            SELECT CAST(user_id AS VARCHAR) AS k, ts, value
+            FROM events WHERE value IS NOT NULL
+        ),
+        d0 AS (
+            SELECT k, ts, value,
+                   lag(value, 1) OVER (PARTITION BY k ORDER BY ts)
+                       AS pred
+            FROM obs
+        ),
+        d AS (
+            SELECT k, ts, value, pred,
+                   max(ts) OVER (PARTITION BY k) AS maxts
+            FROM d0 WHERE pred IS NOT NULL
+        ),
+        a AS (
+            SELECT k,
+                   CAST(count(CASE WHEN ts < maxts THEN 1 END)
+                        AS BIGINT) AS n_cal,
+                   list_sort(list(CASE WHEN ts < maxts
+                                       THEN abs(value - pred) END))
+                       AS scores,
+                   arg_max(pred, ts) AS pred,
+                   arg_max(value, ts) AS actual
+            FROM d GROUP BY k
+        ),
+        q AS (
+            SELECT k, n_cal, pred, actual,
+                   CASE WHEN n_cal >= 1
+                             AND CAST(ceil((n_cal + 1) * 0.9) AS INT)
+                                 <= n_cal
+                        THEN scores[CAST(ceil((n_cal + 1) * 0.9)
+                                         AS INT)]
+                   END AS qhat
+            FROM a WHERE n_cal >= 1
+        )
+        SELECT k AS key, n_cal,
+               {_sr_sql("pred", 6)} AS pred,
+               {_sr_sql("actual", 6)} AS actual,
+               {_sr_sql("qhat", 6)} AS qhat,
+               {_sr_sql("pred - qhat", 6)} AS lo,
+               {_sr_sql("pred + qhat", 6)} AS hi,
+               CASE WHEN qhat IS NULL THEN NULL
+                    WHEN actual >= pred - qhat AND actual <= pred + qhat
+                    THEN 1 ELSE 0 END AS covered
+        FROM q
     """
     return o

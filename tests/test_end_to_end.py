@@ -5755,3 +5755,44 @@ def test_ma_cross_circadian(spark):
     unif = out["unif"]
     assert unif.resultant < 0.05
     assert abs(unif.peak_ratio - 1.0) < 1e-9  # flat histogram
+
+
+def test_conformal_interval(spark):
+    """Finite-sample conformal coverage: across many i.i.d.-increment
+    series the last point falls inside the interval at >= 1-alpha rate
+    (up to binomial noise); the quantile index replays in numpy; a
+    too-short calibration set yields NULL qhat."""
+    import numpy as np
+
+    from spark_timeseries_spark.models.baselines import conformal_interval
+
+    rng = np.random.RandomState(6)
+    rows = []
+    for s in range(200):
+        x = np.cumsum(rng.randn(60))
+        rows += [(f"s{s}", i, float(v)) for i, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    out = conformal_interval(df, alpha=0.2, period=1).collect()
+    assert len(out) == 200
+    cov = np.mean([bool(r.covered) for r in out])
+    assert cov >= 0.8 - 0.08  # 1-alpha minus ~2 binomial sigmas
+
+    # replay one series' quantile pick
+    r0 = [r for r in out if r.key == "s0"][0]
+    x = None
+    for s in range(1):
+        rng2 = np.random.RandomState(6)
+        x = np.cumsum(rng2.randn(60))
+    scores = np.sort(np.abs(np.diff(x))[:-1])  # calibration: all but last
+    k = int(np.ceil((len(scores) + 1) * 0.8))
+    assert r0.n_cal == len(scores)
+    assert abs(r0.qhat - scores[k - 1]) < 1e-12
+    assert abs(r0.pred - x[-2]) < 1e-12 and abs(r0.actual - x[-1]) < 1e-12
+
+    # alpha so small the guarantee needs an infinite interval -> NULLs
+    tiny = spark.createDataFrame(
+        [("t", i, float(i)) for i in range(4)],
+        "key string, loc long, value double",
+    )
+    rt = conformal_interval(tiny, alpha=0.01, period=1).collect()[0]
+    assert rt.qhat is None and rt.covered is None
