@@ -1554,10 +1554,13 @@ def transition_entropy(
     - ``h_marginal`` = H(Xₜ) of the FROM-state distribution (bits),
     - ``h_cond`` = H(Xₜ₊₁ | Xₜ) — the empirical first-order entropy
       rate (Shannon 1948; Cover & Thomas ch. 4),
-    - ``predictability`` = 1 − h_cond/h_marginal ∈ [0, 1] — 0 for an
-      i.i.d. sequence (knowing today tells nothing), → 1 for
-      deterministic cycling; NULL when h_marginal = 0 (every
-      transition starts in one bin — try_divide).
+    - ``predictability`` = 1 − h_cond/h_marginal — ≈ 0 for an i.i.d.
+      sequence (knowing today tells nothing), → 1 for deterministic
+      cycling; NULL when h_marginal = 0 (every transition starts in
+      one bin — try_divide). Slightly negative values are possible:
+      the entropy inequality bounds h_cond by H(Xₜ₊₁), while the
+      denominator is the FROM-state entropy H(Xₜ) — the two marginals
+      differ by one boundary sample.
 
     The distribution-free companion of :func:`~.rolling.autocorr`
     (linear memory) and :func:`permutation_entropy` (ordinal
@@ -1785,7 +1788,8 @@ def circadian_stats(
     concentration (0 = activity uniform around the clock, 1 = all at
     one instant — Fisher 1993 circular statistics), circ_var = 1 − R;
     peak_ratio = the busiest hour-of-day's share of events × 24 (1 =
-    flat, 24 = everything in one hour) as the coarse histogram
+    flat, 24 = everything in one hour; count ties resolve to the
+    LATEST hour — struct-max, deterministic) as the coarse histogram
     companion. The circular complement of :func:`tod_profile`'s
     per-hour table: one row answers "how diurnal is this key".
 

@@ -57,7 +57,8 @@ def jarque_bera(
     classical JB moments, not the sample-adjusted b-coefficients),
     JB = n/6·(g₁² + g₂²/4), p = exp(−JB/2) — the exact χ²₂ survival
     function (closed form, so the p-value ships). NULL statistics
-    when the series is constant (m₂ = 0 → try_divide) or n < 2.
+    when the series is constant (m₂ = 0 → try_divide); single-point
+    series (n < 2) are dropped, not NULLed.
 
     Centering is explicit (per-key mean window, then one aggregate of
     (x−x̄)ᵏ sums) rather than raw-moment algebra — raw fourth moments

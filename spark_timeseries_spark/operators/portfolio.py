@@ -120,8 +120,8 @@ def downside_stats(
     Price 1994), not the below-target-only variant; sortino =
     mean_ret / downside_dev; omega = Σ max(r,0) / Σ max(−r,0) (Keating
     & Shadwick 2002 at θ = 0); win_rate = #(r > 0)/n. NULLs via
-    try_divide when a series never loses (omega) or never moves
-    (sortino). Per-period values; annualize downstream (module
+    try_divide: omega when a series never loses, sortino when the
+    downside deviation is 0 (never loses OR never moves). Per-period values; annualize downstream (module
     docstring). Plan: one lag window + ONE map-side-combinable
     aggregate per key — all JVM, linear, no join."""
     from pyspark.sql import Window as _W
@@ -262,8 +262,8 @@ def tail_dependence(
     ``robust_scale`` parity convention), n_joint counts instants where
     BOTH strictly exceed their threshold, λ̂_u = P(both exceed)/(1−q)
     (the empirical estimator of the tail-dependence coefficient
-    lim P(A > qₐ | B > q_b); 0 under independence-in-the-tails ≈
-    (1−q), 1 under comonotone tails), lift = λ̂_u/(1−q) = observed
+    lim P(A > qₐ | B > q_b); ≈ (1−q) under tail independence, → 1
+    under comonotone tails, → 0 as q → 1 when the tails decouple), lift = λ̂_u/(1−q) = observed
     joint exceedance over the independence expectation. Linear
     correlation misses exactly this (Embrechts, McNeil & Straumann
     2002) — two series can be ρ ≈ 0 yet always crash together.
