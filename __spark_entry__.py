@@ -5126,6 +5126,156 @@ def _q_conformal_interval(spark, sf_dir):
     )
 
 
+def _q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival of signup→purchase conversion time (hour
+    grid, horizon-censored) — groupBy + bounded global duration-grid
+    windows."""
+    from spark_timeseries_spark.operators.survival import (
+        kaplan_meier,
+        time_to_event,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    tte = time_to_event(ev, "signup", "purchase", unit_seconds=3600.0)
+    binned = tte.select(
+        F.ceil(F.col("duration")).cast("long").alias("duration"), "event"
+    )
+    out = kaplan_meier(binned)
+    return out.select(
+        "duration", "n_risk", "n_events", "n_censored",
+        _stable_round(F.col("survival"), 6).alias("survival"),
+    )
+
+
+def _q_weibull_fit(spark, sf_dir):
+    """Weibull median-rank-regression fit of inter-purchase gap hours
+    per user — rank window + one OLS aggregate per key."""
+    from spark_timeseries_spark.operators.survival import weibull_mrr
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    wk = Window.partitionBy("key").orderBy("ts")
+    us = F.unix_micros(F.col("ts"))
+    gaps = (
+        ev.select(F.col("user_id").cast("string").alias("key"), "ts")
+        .withColumn(
+            "_gap",
+            (us - F.lag(us).over(wk)).cast("double") / 3600000000.0,
+        )
+        .where(F.col("_gap").isNotNull())
+    )
+    out = weibull_mrr(gaps, duration_col="_gap", group_col="key")
+    return out.select(
+        "key", "n",
+        _stable_round(F.col("shape"), 6).alias("shape"),
+        _stable_round(F.col("scale"), 6).alias("scale"),
+        _stable_round(F.col("r2"), 6).alias("r2"),
+    )
+
+
+def _q_interevent_stats(spark, sf_dir):
+    """Goh-Barabási burstiness + memory of inter-event gaps per user —
+    two lags on one sort + one combinable aggregate."""
+    from spark_timeseries_spark.operators.sessionize import interevent_stats
+
+    obs = events_observations(spark, sf_dir)
+    out = interevent_stats(obs)
+    return out.select(
+        "key", "n_gaps",
+        _stable_round(F.col("mean_gap_s"), 6).alias("mean_gap_s"),
+        _stable_round(F.col("sd_gap_s"), 6).alias("sd_gap_s"),
+        _stable_round(F.col("cv"), 6).alias("cv"),
+        _stable_round(F.col("burstiness"), 6).alias("burstiness"),
+        _stable_round(F.col("memory"), 6).alias("memory"),
+    )
+
+
+def _q_engagement_hist(spark, sf_dir):
+    """Weekly L-ness curve (users by active-day count per week) —
+    distinct + two combinable groupBys + a bucket window."""
+    from spark_timeseries_spark.operators.sessionize import (
+        engagement_histogram,
+    )
+
+    obs = events_observations(spark, sf_dir)
+    out = engagement_histogram(obs, unit="week")
+    return out.select(
+        "bucket", "active_days", "n_keys",
+        _stable_round(F.col("share"), 6).alias("share"),
+    )
+
+
+def _q_type_diversity(spark, sf_dir):
+    """Shannon/Simpson behavioral-mix diversity per user — two
+    combinable groupBys sharing one key exchange."""
+    from spark_timeseries_spark.operators.sessionize import type_diversity
+
+    ev = load_table(spark, sf_dir, "events")
+    out = type_diversity(
+        ev.select(
+            F.col("user_id").cast("string").alias("key"), "event_type"
+        )
+    )
+    return out.select(
+        "key", "n_events", "n_types",
+        _stable_round(F.col("shannon"), 6).alias("shannon"),
+        _stable_round(F.col("simpson"), 6).alias("simpson"),
+        _stable_round(F.col("effective_types"), 6).alias("effective_types"),
+    )
+
+
+def _q_capm(spark, sf_dir):
+    """Equal-weight market-model alpha/beta/r2 per user over the filled
+    daily grid — lag + loc-window market mean + one OLS aggregate."""
+    from spark_timeseries_spark.operators.crosssection import capm_cross
+
+    out = capm_cross(_hw_filled(spark, sf_dir))
+    return out.select(
+        "key", "n",
+        _stable_round(F.col("alpha"), 6).alias("alpha"),
+        _stable_round(F.col("beta"), 6).alias("beta"),
+        _stable_round(F.col("r2"), 6).alias("r2"),
+    )
+
+
+def _q_microstructure(spark, sf_dir):
+    """Amihud illiquidity + Roll implied spread per user from daily
+    close/volume bars — two lags on one sort + one aggregate."""
+    from spark_timeseries_spark.operators.indicators import microstructure
+
+    ev = load_table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        F.col("user_id").cast("string").alias("key"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(
+        F.max_by("value", "ts").alias("close"),
+        F.sum(F.abs("value")).alias("volume"),
+    )
+    out = microstructure(bars, order_col="day")
+    return out.select(
+        "key", "n_bars",
+        _stable_round(F.col("amihud"), 9).alias("amihud"),
+        _stable_round(F.col("roll_cov"), 6).alias("roll_cov"),
+        _stable_round(F.col("roll_spread"), 6).alias("roll_spread"),
+    )
+
+
+def _q_white_noise(spark, sf_dir):
+    """Bartlett cumulative-periodogram whiteness test per user over the
+    filled daily grid — periodogram plan + two key windows."""
+    from spark_timeseries_spark.operators.spectral import white_noise_test
+
+    out = white_noise_test(_hw_filled(spark, sf_dir))
+    return out.select(
+        "key", "m",
+        _stable_round(F.col("ks_stat"), 6).alias("ks_stat"),
+        _stable_round(F.col("crit_05"), 6).alias("crit_05"),
+        _stable_round(F.col("crit_01"), 6).alias("crit_01"),
+        F.col("white_noise_05").cast("int").alias("white_noise_05"),
+    )
+
+
 _ALL_QUERIES = {
     # -- (a) must-prove: r10-touched / r10-new ---------------------------
     "retention_cohorts": _q_retention_cohorts,
@@ -5447,6 +5597,15 @@ _ALL_QUERIES = {
     "pmi_pairs": _q_pmi_pairs,
     "outliers": _q_outliers,
     "token_entropy": _q_token_entropy,
+    # -- r11-late: survival + event-cadence analytics ---------------------
+    "kaplan_meier": _q_kaplan_meier,
+    "weibull_fit": _q_weibull_fit,
+    "interevent_stats": _q_interevent_stats,
+    "engagement_hist": _q_engagement_hist,
+    "type_diversity": _q_type_diversity,
+    "capm": _q_capm,
+    "microstructure": _q_microstructure,
+    "white_noise": _q_white_noise,
 }
 
 # Driver window: the correctness harness records exactly the FIRST 50
@@ -14794,5 +14953,260 @@ def oracle_sql() -> dict[str, str]:
                     WHEN actual >= pred - qhat AND actual <= pred + qhat
                     THEN 1 ELSE 0 END AS covered
         FROM q
+    """
+
+    o["kaplan_meier"] = f"""
+        WITH s AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'signup'
+                            THEN epoch_us(ts) END) AS st
+            FROM events GROUP BY 1
+        ),
+        h AS (SELECT max(epoch_us(ts)) AS hor FROM events),
+        e AS (
+            SELECT ev.user_id, min(epoch_us(ev.ts)) AS en
+            FROM events ev JOIN s ON s.user_id = ev.user_id
+            WHERE ev.event_type = 'purchase' AND epoch_us(ev.ts) >= s.st
+            GROUP BY 1
+        ),
+        t AS (
+            SELECT CAST(ceil(CAST(coalesce(en, hor) - st AS DOUBLE)
+                             / 3600000000.0) AS BIGINT) AS duration,
+                   CASE WHEN en IS NOT NULL THEN 1 ELSE 0 END AS ev
+            FROM s CROSS JOIN h LEFT JOIN e ON e.user_id = s.user_id
+            WHERE st IS NOT NULL
+        ),
+        g AS (
+            SELECT duration, CAST(sum(ev) AS BIGINT) AS n_events,
+                   CAST(sum(1 - ev) AS BIGINT) AS n_censored
+            FROM t GROUP BY 1
+        ),
+        k AS (
+            SELECT duration, n_events, n_censored,
+                   CAST(sum(n_events + n_censored) OVER ()
+                        - coalesce(sum(n_events + n_censored) OVER (
+                              ORDER BY duration ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS n_risk
+            FROM g
+        ),
+        f AS (
+            SELECT duration, n_risk, n_events, n_censored,
+                   1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                       AS fac
+            FROM k
+        )
+        SELECT duration, n_risk, n_events, n_censored,
+               {_sr_sql(
+                   "CASE WHEN min(fac) OVER cum <= 0.0 THEN 0.0"
+                   " ELSE exp(sum(ln(CASE WHEN fac > 0.0 THEN fac"
+                   " ELSE 1.0 END)) OVER cum) END", 6
+               )} AS survival
+        FROM f
+        WINDOW cum AS (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)
+    """
+
+    o["weibull_fit"] = f"""
+        WITH p AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, epoch_us(ts) AS us
+            FROM events WHERE event_type = 'purchase'
+        ),
+        g AS (
+            SELECT key,
+                   CAST(us - lag(us) OVER (PARTITION BY key ORDER BY us)
+                        AS DOUBLE) / 3600000000.0 AS d
+            FROM p
+        ),
+        r AS (
+            SELECT key, ln(d) AS x,
+                   CAST(row_number() OVER (PARTITION BY key ORDER BY d)
+                        AS DOUBLE) AS i,
+                   CAST(count(*) OVER (PARTITION BY key) AS DOUBLE) AS n
+            FROM g WHERE d IS NOT NULL AND d > 0
+        ),
+        y AS (
+            SELECT key, x, ln(-ln(1.0 - (i - 0.3) / (n + 0.4))) AS y
+            FROM r
+        ),
+        a AS (
+            SELECT key, CAST(count(*) AS BIGINT) AS n,
+                   covar_pop(x, y) / nullif(var_pop(x), 0) AS k,
+                   avg(x) AS mx, avg(y) AS my,
+                   (covar_pop(x, y) * covar_pop(x, y))
+                       / nullif(var_pop(x) * var_pop(y), 0) AS r2
+            FROM y GROUP BY key
+        )
+        SELECT key, n,
+               {_sr_sql("k", 6)} AS shape,
+               {_sr_sql("exp(mx - my / k)", 6)} AS scale,
+               {_sr_sql("r2", 6)} AS r2
+        FROM a
+    """
+
+    o["interevent_stats"] = f"""
+        WITH e AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, epoch_us(ts) AS us
+            FROM events
+        ),
+        g AS (
+            SELECT key, us,
+                   CAST(us - lag(us) OVER w AS DOUBLE) / 1000000.0 AS gap
+            FROM e
+            WINDOW w AS (PARTITION BY key ORDER BY us)
+        ),
+        g2 AS (
+            SELECT key, gap,
+                   lag(gap) OVER (PARTITION BY key ORDER BY us) AS prev
+            FROM g
+        ),
+        f AS (SELECT * FROM g2 WHERE gap IS NOT NULL)
+        SELECT key, CAST(count(gap) AS BIGINT) AS n_gaps,
+               {_sr_sql("avg(gap)", 6)} AS mean_gap_s,
+               {_sr_sql("stddev_pop(gap)", 6)} AS sd_gap_s,
+               {_sr_sql("stddev_pop(gap) / nullif(avg(gap), 0)", 6)} AS cv,
+               {_sr_sql(
+                   "(stddev_pop(gap) - avg(gap))"
+                   " / nullif(stddev_pop(gap) + avg(gap), 0)", 6
+               )} AS burstiness,
+               {_sr_sql(
+                   "covar_pop(CASE WHEN prev IS NOT NULL THEN gap END, prev)"
+                   " / nullif(stddev_pop(CASE WHEN prev IS NOT NULL"
+                   " THEN gap END) * stddev_pop(prev), 0)", 6
+               )} AS memory
+        FROM f GROUP BY key
+    """
+
+    o["engagement_hist"] = f"""
+        WITH acts AS (
+            SELECT DISTINCT CAST(user_id AS VARCHAR) AS k,
+                   CAST(date_trunc('week', ts) AS TIMESTAMP) AS b,
+                   date_trunc('day', ts) AS d
+            FROM events
+        ),
+        pk AS (
+            SELECT b, k, CAST(count(*) AS BIGINT) AS days
+            FROM acts GROUP BY 1, 2
+        ),
+        h AS (
+            SELECT b AS bucket, days AS active_days,
+                   CAST(count(*) AS BIGINT) AS n_keys
+            FROM pk GROUP BY 1, 2
+        )
+        SELECT bucket, active_days, n_keys,
+               {_sr_sql(
+                   "CAST(n_keys AS DOUBLE) / CAST(sum(n_keys)"
+                   " OVER (PARTITION BY bucket) AS DOUBLE)", 6
+               )} AS share
+        FROM h
+    """
+
+    o["type_diversity"] = f"""
+        WITH c AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, event_type AS t,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        p AS (
+            SELECT key, c,
+                   CAST(c AS DOUBLE)
+                       / CAST(sum(c) OVER (PARTITION BY key) AS DOUBLE) AS p
+            FROM c
+        )
+        SELECT key, CAST(sum(c) AS BIGINT) AS n_events,
+               CAST(count(*) AS BIGINT) AS n_types,
+               {_sr_sql("-sum(p * ln(p))", 6)} AS shannon,
+               {_sr_sql("1.0 - sum(p * p)", 6)} AS simpson,
+               {_sr_sql("exp(-sum(p * ln(p)))", 6)} AS effective_types
+        FROM p GROUP BY key
+    """
+
+    o["capm"] = _DAILY_GRID_SQL + _FILLED_SQL + f"""
+        , rr AS (
+            SELECT key, loc,
+                   value / nullif(lag(value) OVER (
+                       PARTITION BY key ORDER BY loc), 0) - 1.0 AS ret
+            FROM filled WHERE value IS NOT NULL
+        ),
+        rx AS (SELECT key, loc, ret FROM rr WHERE ret IS NOT NULL),
+        mk AS (
+            SELECT key, ret, avg(ret) OVER (PARTITION BY loc) AS mkt
+            FROM rx
+        )
+        SELECT key, CAST(count(*) AS BIGINT) AS n,
+               {_sr_sql(
+                   "avg(ret) - covar_pop(ret, mkt)"
+                   " / nullif(var_pop(mkt), 0) * avg(mkt)", 6
+               )} AS alpha,
+               {_sr_sql(
+                   "covar_pop(ret, mkt) / nullif(var_pop(mkt), 0)", 6
+               )} AS beta,
+               {_sr_sql(
+                   "(covar_pop(ret, mkt) * covar_pop(ret, mkt))"
+                   " / nullif(var_pop(ret) * var_pop(mkt), 0)", 6
+               )} AS r2
+        FROM mk GROUP BY key
+    """
+
+    o["microstructure"] = f"""
+        WITH bars AS (
+            SELECT CAST(user_id AS VARCHAR) AS key,
+                   date_trunc('day', ts) AS day,
+                   arg_max(value, ts) AS close,
+                   sum(abs(value)) AS volume
+            FROM events GROUP BY 1, 2
+        ),
+        d0 AS (
+            SELECT key, day, volume,
+                   close / nullif(lag(close) OVER w, 0) - 1.0 AS ret,
+                   close - lag(close) OVER w AS dp
+            FROM bars
+            WINDOW w AS (PARTITION BY key ORDER BY day)
+        ),
+        d AS (
+            SELECT key, volume, ret, dp,
+                   lag(dp) OVER (PARTITION BY key ORDER BY day) AS dp_prev
+            FROM d0
+        )
+        SELECT key, CAST(count(*) AS BIGINT) AS n_bars,
+               {_sr_sql(
+                   "avg(CASE WHEN volume > 0 THEN abs(ret) / volume END)", 9
+               )} AS amihud,
+               {_sr_sql(
+                   "covar_pop(CASE WHEN dp_prev IS NOT NULL THEN dp END,"
+                   " dp_prev)", 6
+               )} AS roll_cov,
+               {_sr_sql(
+                   "CASE WHEN covar_pop(CASE WHEN dp_prev IS NOT NULL"
+                   " THEN dp END, dp_prev) < 0 THEN"
+                   " 2.0 * sqrt(-covar_pop(CASE WHEN dp_prev IS NOT NULL"
+                   " THEN dp END, dp_prev)) END", 6
+               )} AS roll_spread
+        FROM d GROUP BY key
+    """
+
+    o["white_noise"] = _pgram_base + f"""
+        , pw AS (SELECT key, k, (a*a + b*b) * 2 / n AS p FROM ag),
+        cu AS (
+            SELECT key, k, p,
+                   sum(p) OVER (PARTITION BY key ORDER BY k
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cp,
+                   sum(p) OVER (PARTITION BY key) AS tot,
+                   count(*) OVER (PARTITION BY key) AS m
+            FROM pw
+        ),
+        ks AS (
+            SELECT key, CAST(max(m) AS BIGINT) AS m,
+                   max(abs(cp / tot - CAST(k AS DOUBLE) / m)) AS d
+            FROM cu GROUP BY key
+        )
+        SELECT key, m,
+               {_sr_sql("d", 6)} AS ks_stat,
+               {_sr_sql("1.36 / sqrt(m)", 6)} AS crit_05,
+               {_sr_sql("1.63 / sqrt(m)", 6)} AS crit_01,
+               CASE WHEN d < 1.36 / sqrt(m) THEN 1 ELSE 0 END
+                   AS white_noise_05
+        FROM ks
     """
     return o

@@ -270,3 +270,53 @@ def cronbach_alpha(
             * (1.0 - F.try_divide(F.col("_vsum"), F.col("_vt")))
         ).alias("alpha"),
     )
+
+
+def capm_cross(
+    df: DataFrame,
+    key_col: str = "key",
+    loc_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Market-model (CAPM) regression of every series against the
+    EQUAL-WEIGHT cross-sectional market → one row per key: (key, n,
+    alpha, beta, r2). Per instant, the market return is the mean of the
+    per-key simple returns of every series observable at that instant
+    (the standard equal-weight index when no cap weights exist); each
+    key's excess behavior is then the OLS of its return on the market
+    return — beta = cov/var, alpha = ȳ − β·x̄, r2 = corr². Instants
+    where a key's return is undefined (series start, zero/NULL previous
+    value) drop from that key's regression only. NULL beta/r2 when the
+    market variance is zero over a key's rows (try_divide convention).
+
+    Plan: one key-partitioned lag window (returns), one loc-partitioned
+    window (the market mean — instants are bounded, this is the
+    cross_zscore exchange), one groupBy(key) of OLS moments — three
+    exchanges, no joins, all JVM. The market mean excludes nothing: a
+    key regresses against an index that INCLUDES itself (the standard
+    index convention; with K keys the self-weight is 1/K and vanishes
+    at scale)."""
+    v = F.col(value_col)
+    wk = Window.partitionBy(key_col).orderBy(loc_col)
+    d = (
+        df.where(v.isNotNull())
+        .withColumn("_ret", F.try_divide(v, F.lag(value_col).over(wk)) - 1.0)
+        .where(F.col("_ret").isNotNull())
+    )
+    wl = Window.partitionBy(loc_col)
+    d = d.withColumn("_mkt", F.avg("_ret").over(wl))
+    return d.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.try_divide(
+            F.covar_pop("_ret", "_mkt"), F.var_pop("_mkt")
+        ).alias("beta"),
+        (
+            F.avg("_ret")
+            - F.try_divide(F.covar_pop("_ret", "_mkt"), F.var_pop("_mkt"))
+            * F.avg("_mkt")
+        ).alias("alpha"),
+        F.try_divide(
+            F.covar_pop("_ret", "_mkt") * F.covar_pop("_ret", "_mkt"),
+            F.var_pop("_ret") * F.var_pop("_mkt"),
+        ).alias("r2"),
+    )

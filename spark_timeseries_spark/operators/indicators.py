@@ -1144,3 +1144,47 @@ def ma_cross(
         "slow_ma",
         F.col("_sgn").cast("int").alias("signal"),
     )
+
+
+def microstructure(
+    df: DataFrame,
+    key_col: str = "key",
+    order_col: str = "loc",
+    close_col: str = "close",
+    volume_col: str = "volume",
+) -> DataFrame:
+    """Classic liquidity estimators from bar data → one row per key:
+    (key, n_bars, amihud, roll_cov, roll_spread). ``amihud`` is the
+    Amihud (2002) illiquidity ratio avg(|ret| / volume) over bars with
+    positive volume and a defined simple return (multiply by 1e6
+    yourself for the conventional per-million scaling — the raw ratio
+    keeps the statistic unit-agnostic); ``roll_spread`` is Roll's (1984)
+    implied effective spread 2·√(−cov(Δp_t, Δp_{t−1})) from the serial
+    covariance of price CHANGES — NULL when the covariance is
+    non-negative (the estimator is undefined there; ``roll_cov`` is
+    always reported so callers can see how close the sign was).
+
+    Plan: two lag windows on ONE (key, order) sort + one
+    map-side-combinable groupBy(key) — a single exchange, all JVM."""
+    wk = Window.partitionBy(key_col).orderBy(order_col)
+    c = F.col(close_col)
+    ret = F.try_divide(c, F.lag(close_col).over(wk)) - 1.0
+    dp = c - F.lag(close_col).over(wk)
+    d = (
+        df.withColumn("_ret", ret)
+        .withColumn("_dp", dp)
+        .withColumn("_dp_prev", F.lag("_dp").over(wk))
+    )
+    illiq = F.when(
+        F.col(volume_col) > 0,
+        F.abs(F.col("_ret")) / F.col(volume_col),
+    )
+    cov = F.covar_pop(
+        F.when(F.col("_dp_prev").isNotNull(), F.col("_dp")), "_dp_prev"
+    )
+    return d.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_bars"),
+        F.avg(illiq).alias("amihud"),
+        cov.alias("roll_cov"),
+        F.when(cov < 0, 2.0 * F.sqrt(-cov)).alias("roll_spread"),
+    )

@@ -128,3 +128,118 @@ def max_concurrency(
             "peak_ts"
         ),
     ).drop("_g")
+
+
+def interevent_stats(
+    df: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Inter-event time statistics per key → (key, n_gaps, mean_gap_s,
+    sd_gap_s, cv, burstiness, memory): the Goh-Barabási (EPL 2008)
+    burstiness parameter B = (σ−µ)/(σ+µ) of the inter-event gaps (−1 =
+    perfectly regular, 0 = Poisson, →1 = extremely bursty) and the
+    memory coefficient M = corr(Δt_i, Δt_{i+1}) (positive: long gaps
+    follow long gaps). Population moments (deterministic at n_gaps = 1,
+    where sample σ is undefined); M is NULL when fewer than 2
+    consecutive gap pairs exist or either side has zero dispersion
+    (SQL corr convention, via try_divide).
+
+    Plan: two lag windows over ONE (key, ts) sort + one
+    map-side-combinable groupBy(key) on the same key — a single
+    exchange, all JVM."""
+    wk = Window.partitionBy("key").orderBy("_ts")
+    us = F.unix_micros(F.col("_ts"))
+    gap = (us - F.lag(us).over(wk)).cast("double") / 1e6
+    d = df.select(
+        F.col(key_col).alias("key"), F.col(ts_col).alias("_ts")
+    ).withColumn("_gap", gap)
+    d = d.withColumn("_prev", F.lag("_gap").over(wk)).where(
+        F.col("_gap").isNotNull()
+    )
+    mu = F.avg("_gap")
+    sd = F.stddev_pop("_gap")
+    pair = F.when(
+        F.col("_prev").isNotNull(), F.col("_gap")
+    )
+    return d.groupBy("key").agg(
+        F.count("_gap").alias("n_gaps"),
+        mu.alias("mean_gap_s"),
+        sd.alias("sd_gap_s"),
+        F.try_divide(sd, mu).alias("cv"),
+        F.try_divide(sd - mu, sd + mu).alias("burstiness"),
+        F.try_divide(
+            F.covar_pop(pair, F.col("_prev")),
+            F.stddev_pop(pair) * F.stddev_pop("_prev"),
+        ).alias("memory"),
+    )
+
+
+def engagement_histogram(
+    df: DataFrame,
+    unit: str = "week",
+    key_col: str = "key",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Activity-frequency histogram (the product-analytics "L-ness"
+    curve, e.g. L7/L28) → one row per (bucket, active_days): how many
+    entities were active on exactly that many distinct days inside each
+    ``date_trunc(unit)`` bucket, with ``share`` = n_keys / entities
+    active in the bucket at all. The histogram's shape (smile vs decay)
+    is the standard engagement-depth read.
+
+    Plan: distinct → two map-side-combinable groupBys (the second on a
+    strict subset of the first's keys — no extra exchange beyond the
+    rollup) + one bucket-partitioned window for the share (buckets =
+    time units, trivially bounded)."""
+    acts = df.select(
+        F.col(key_col).alias("_k"),
+        F.date_trunc(unit, F.col(ts_col)).alias("_b"),
+        F.date_trunc("day", F.col(ts_col)).alias("_d"),
+    ).distinct()
+    per_key = acts.groupBy("_b", "_k").agg(
+        F.count(F.lit(1)).alias("_days")
+    )
+    hist = per_key.groupBy(
+        F.col("_b").alias("bucket"), F.col("_days").alias("active_days")
+    ).agg(F.count(F.lit(1)).alias("n_keys"))
+    wb = Window.partitionBy("bucket")
+    return hist.withColumn(
+        "share",
+        F.try_divide(
+            F.col("n_keys").cast("double"),
+            F.sum("n_keys").over(wb).cast("double"),
+        ),
+    )
+
+
+def type_diversity(
+    df: DataFrame,
+    key_col: str = "key",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Behavioral-mix diversity per key → (key, n_events, n_types,
+    shannon, simpson, effective_types): Shannon entropy H = −Σ p ln p
+    (nats), the Gini-Simpson index 1 − Σ p², and Hill number
+    exp(H) — the "effective number of equally-common types". The
+    standard read on whether an entity's activity is concentrated in
+    one behavior or spread across the catalog.
+
+    Plan: groupBy(key, type) → key-partitioned window for the totals →
+    groupBy(key); the window and the second aggregate reuse the first
+    shuffle's key prefix. All JVM."""
+    cnt = df.groupBy(
+        F.col(key_col).alias("key"), F.col(type_col).alias("_t")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    wk = Window.partitionBy("key")
+    p = F.col("_c").cast("double") / F.sum("_c").over(wk).cast("double")
+    d = cnt.withColumn("_p", p)
+    return d.groupBy("key").agg(
+        F.sum("_c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        (-F.sum(F.col("_p") * F.log("_p"))).alias("shannon"),
+        (F.lit(1.0) - F.sum(F.col("_p") * F.col("_p"))).alias("simpson"),
+        F.exp(-F.sum(F.col("_p") * F.log("_p"))).alias(
+            "effective_types"
+        ),
+    )

@@ -600,3 +600,58 @@ def spectral_residual(
         )
         .drop("_k2", "t", "_t")
     )
+
+
+def white_noise_test(
+    df: DataFrame,
+    key_col: str = "key",
+    loc_col: str = "loc",
+    value_col: str = "value",
+    method: str = "auto",
+    fft_threshold: int = _FFT_THRESHOLD,
+) -> DataFrame:
+    """Bartlett's cumulative-periodogram white-noise test → one row per
+    key: (key, m, ks_stat, crit_05, crit_01, white_noise_05). The
+    standardized cumulative periodogram C_k = Σ_{j≤k} I_j / Σ_j I_j
+    climbs the diagonal k/m under white noise (the spectrum is flat);
+    ``ks_stat`` = max_k |C_k − k/m| over all m = ⌊n/2⌋ ordinates, with
+    the asymptotic Kolmogorov-Smirnov thresholds 1.36/√m (5%) and
+    1.63/√m (1%). A trend or any periodicity bulges C above/below the
+    diagonal long before the peak itself is significant — the standard
+    residual-whiteness companion to Ljung-Box (which tests the ACF side
+    of the same coin).
+
+    Plan: rides :func:`periodogram`'s one-explode/one-groupBy plan, then
+    two key-partitioned windows (total + running sum) and one final
+    combinable groupBy(key) — no joins, all JVM either route."""
+    per = _periodogram_with_n(
+        df, key_col, loc_col, value_col, method, fft_threshold
+    )
+    wk = Window.partitionBy(key_col)
+    wcum = (
+        Window.partitionBy(key_col)
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = (
+        per.withColumn("_tot", F.sum("power").over(wk))
+        .withColumn("_m", F.count(F.lit(1)).over(wk))
+        .withColumn(
+            "_dev",
+            F.abs(
+                F.try_divide(F.sum("power").over(wcum), F.col("_tot"))
+                - F.col("k").cast("double") / F.col("_m").cast("double")
+            ),
+        )
+    )
+    agg = d.groupBy(F.col(key_col).alias("key")).agg(
+        F.first("_m").alias("m"),
+        F.max("_dev").alias("ks_stat"),
+    )
+    rm = F.sqrt(F.col("m").cast("double"))
+    return agg.select(
+        "key", "m", "ks_stat",
+        (F.lit(1.36) / rm).alias("crit_05"),
+        (F.lit(1.63) / rm).alias("crit_01"),
+        (F.col("ks_stat") < F.lit(1.36) / rm).alias("white_noise_05"),
+    )

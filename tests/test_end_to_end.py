@@ -5796,3 +5796,234 @@ def test_conformal_interval(spark):
     )
     rt = conformal_interval(tiny, alpha=0.01, period=1).collect()[0]
     assert rt.qhat is None and rt.covered is None
+
+
+def test_kaplan_meier_time_to_event(spark):
+    """kaplan_meier: the textbook 5-subject example (d=[6,6,6,7,10],
+    e=[1,0,1,1,0]) reproduces S = 1·(1−2/5) = 0.6 at t=6, 0.6·(1−1/2)
+    = 0.3 at t=7, flat through the censor-only t=10, and an
+    everyone-dies cohort reaches exactly 0; time_to_event: start→end
+    extraction with at-or-after matching, horizon censoring, and
+    not-at-risk exclusion."""
+    from spark_timeseries_spark.operators.survival import (
+        kaplan_meier,
+        time_to_event,
+    )
+
+    df = spark.createDataFrame(
+        [(6.0, 1), (6.0, 0), (6.0, 1), (7.0, 1), (10.0, 0)],
+        "duration double, event int",
+    )
+    km = {r.duration: r for r in kaplan_meier(df).collect()}
+    assert km[6.0].n_risk == 5 and km[6.0].n_events == 2
+    assert km[6.0].n_censored == 1
+    assert abs(km[6.0].survival - 0.6) < 1e-12
+    assert km[7.0].n_risk == 2 and abs(km[7.0].survival - 0.3) < 1e-12
+    assert km[10.0].n_risk == 1 and km[10.0].n_events == 0
+    assert abs(km[10.0].survival - 0.3) < 1e-12
+
+    all_die = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1)], "duration double, event int"
+    )
+    last = {r.duration: r for r in kaplan_meier(all_die).collect()}
+    assert last[2.0].survival == 0.0 and abs(last[1.0].survival - 0.5) < 1e-12
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    h = pd.Timedelta(hours=1)
+    ev = [
+        # A: signup at 0h, purchase at 2h -> duration 2, event 1
+        ("A", t0, "signup"), ("A", t0 + 2 * h, "purchase"),
+        # B: signup at 1h, never purchases -> censored at horizon (10h)
+        ("B", t0 + h, "signup"),
+        # C: purchase BEFORE its signup only -> censored too
+        ("C", t0, "purchase"), ("C", t0 + 3 * h, "signup"),
+        # D: no signup -> not at risk, absent
+        ("D", t0 + 10 * h, "purchase"),
+    ]
+    evdf = spark.createDataFrame(
+        [(k, ts.to_pydatetime(), ty) for k, ts, ty in ev],
+        "user_id string, ts timestamp, event_type string",
+    )
+    tte = {r.key: r for r in
+           time_to_event(evdf, "signup", "purchase").collect()}
+    assert set(tte) == {"A", "B", "C"}
+    assert tte["A"].event == 1 and abs(tte["A"].duration - 2.0) < 1e-9
+    assert tte["B"].event == 0 and abs(tte["B"].duration - 9.0) < 1e-9
+    assert tte["C"].event == 0 and abs(tte["C"].duration - 7.0) < 1e-9
+
+
+def test_weibull_mrr(spark):
+    """weibull_mrr: recovers the generating (shape, scale) of a numpy
+    Weibull sample to ~10% and matches an exact numpy replay of the
+    Bernard-rank OLS to 1e-9; censored rows excluded when event_col is
+    given; per-group fit keyed correctly."""
+    from spark_timeseries_spark.operators.survival import weibull_mrr
+
+    rng = np.random.RandomState(11)
+    k_true, lam_true = 2.0, 3.0
+    d = lam_true * rng.weibull(k_true, 400)
+    df = spark.createDataFrame(
+        [(float(x),) for x in d], "duration double"
+    )
+    r = weibull_mrr(df).collect()[0]
+    assert abs(r.shape - k_true) / k_true < 0.10
+    assert abs(r.scale - lam_true) / lam_true < 0.10
+    # exact replay: Bernard ranks over the sorted sample, population OLS
+    s = np.sort(d)
+    n = s.size
+    fi = (np.arange(1, n + 1) - 0.3) / (n + 0.4)
+    x, y = np.log(s), np.log(-np.log(1.0 - fi))
+    kk = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    ll = np.exp(x.mean() - y.mean() / kk)
+    r2 = np.corrcoef(x, y)[0, 1] ** 2
+    assert abs(r.shape - kk) < 1e-9
+    assert abs(r.scale - ll) < 1e-9
+    assert abs(r.r2 - r2) < 1e-9 and r.n == n
+
+    # censoring + groups
+    gdf = spark.createDataFrame(
+        [("g1", float(x), 1) for x in d[:200]]
+        + [("g1", 99.0, 0)]  # censored row must not move the fit
+        + [("g2", float(x), 1) for x in 2.0 * d[200:]],
+        "grp string, duration double, event int",
+    )
+    fits = {r.grp: r for r in
+            weibull_mrr(gdf, group_col="grp", event_col="event").collect()}
+    assert fits["g1"].n == 200 and fits["g2"].n == 200
+    # g2's durations are exactly 2x a weibull draw -> scale doubles
+    assert fits["g2"].scale / fits["g1"].scale > 1.5
+
+
+def test_interevent_engagement_diversity(spark):
+    """interevent_stats: perfectly regular gaps give B = −1 / cv = 0 /
+    NULL memory; alternating 1s/9s gaps match the numpy replay
+    (B = −1/9, memory ≈ −1); engagement_histogram: a 3-day user and a
+    1-day user split the week's shares 50/50; type_diversity: a uniform
+    2-type user scores H = ln 2, simpson = 0.5, 2 effective types."""
+    from spark_timeseries_spark.operators.sessionize import (
+        engagement_histogram,
+        interevent_stats,
+        type_diversity,
+    )
+
+    t0 = pd.Timestamp("2024-01-01")
+    reg = [("r", (t0 + pd.Timedelta(seconds=5 * i)).to_pydatetime())
+           for i in range(10)]
+    gaps = [1, 9] * 6
+    times, acc = [], 0.0
+    for g in gaps:
+        acc += g
+        times.append(acc)
+    alt = [("a", t0.to_pydatetime())] + [
+        ("a", (t0 + pd.Timedelta(seconds=s)).to_pydatetime())
+        for s in times
+    ]
+    df = spark.createDataFrame(reg + alt, "key string, ts timestamp")
+    st = {r.key: r for r in interevent_stats(df).collect()}
+    assert st["r"].n_gaps == 9 and st["r"].cv == 0.0
+    assert st["r"].burstiness == -1.0 and st["r"].memory is None
+    g = np.array(gaps, dtype=float)
+    mu, sd = g.mean(), g.std()
+    assert abs(st["a"].burstiness - (sd - mu) / (sd + mu)) < 1e-9
+    m = np.corrcoef(g[1:], g[:-1])[0, 1]
+    assert abs(st["a"].memory - m) < 1e-9
+
+    ew = [("u1", (t0 + pd.Timedelta(days=d, hours=hr)).to_pydatetime())
+          for d in (0, 1, 2) for hr in (1, 2)] + [
+          ("u2", (t0 + pd.Timedelta(days=1)).to_pydatetime())]
+    edf = spark.createDataFrame(ew, "key string, ts timestamp")
+    hist = {r.active_days: r for r in engagement_histogram(edf).collect()}
+    assert hist[3].n_keys == 1 and abs(hist[3].share - 0.5) < 1e-12
+    assert hist[1].n_keys == 1 and abs(hist[1].share - 0.5) < 1e-12
+
+    tdf = spark.createDataFrame(
+        [("u1", "click"), ("u1", "view"), ("u1", "click"), ("u1", "view"),
+         ("u2", "click")],
+        "key string, event_type string",
+    )
+    div = {r.key: r for r in type_diversity(tdf).collect()}
+    assert div["u1"].n_types == 2
+    assert abs(div["u1"].shannon - np.log(2)) < 1e-12
+    assert abs(div["u1"].simpson - 0.5) < 1e-12
+    assert abs(div["u1"].effective_types - 2.0) < 1e-12
+    assert div["u2"].shannon == 0.0 and div["u2"].simpson == 0.0
+
+
+def test_capm_microstructure_whitenoise(spark):
+    """capm_cross: exact numpy replay of the equal-weight market-model
+    OLS on 3 random-walk keys, plus beta ≈ 1 / r2 = 1 when every key IS
+    the market; microstructure: Amihud on hand values and Roll spread
+    on an iid bid-ask bounce vs the numpy pairwise covariance;
+    white_noise_test: white noise passes, a strong sinusoid fails, and
+    the KS statistic matches a replay over the operator's own
+    periodogram."""
+    from spark_timeseries_spark.operators.crosssection import capm_cross
+    from spark_timeseries_spark.operators.indicators import microstructure
+    from spark_timeseries_spark.operators.spectral import white_noise_test
+
+    rng = np.random.RandomState(21)
+    n, keys = 60, ["a", "b", "c"]
+    px = {k: 100.0 + np.cumsum(rng.randn(n)) for k in keys}
+    rows = [(k, i, float(px[k][i])) for k in keys for i in range(n)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    got = {r.key: r for r in capm_cross(df).collect()}
+    rets = {k: px[k][1:] / px[k][:-1] - 1.0 for k in keys}
+    mkt = np.mean([rets[k] for k in keys], axis=0)
+    for k in keys:
+        beta = np.cov(rets[k], mkt, bias=True)[0, 1] / np.var(mkt)
+        alpha = rets[k].mean() - beta * mkt.mean()
+        r2 = np.corrcoef(rets[k], mkt)[0, 1] ** 2
+        assert got[k].n == n - 1
+        assert abs(got[k].beta - beta) < 1e-9
+        assert abs(got[k].alpha - alpha) < 1e-9
+        assert abs(got[k].r2 - r2) < 1e-9
+    same = [(k, i, float(px["a"][i])) for k in keys for i in range(n)]
+    ident = capm_cross(
+        spark.createDataFrame(same, "key string, loc long, value double")
+    ).collect()
+    for r in ident:
+        assert abs(r.beta - 1.0) < 1e-12 and abs(r.r2 - 1.0) < 1e-12
+
+    # Roll: iid +/- half-spread bounce around a flat mid
+    q = rng.choice([-1.0, 1.0], 300)
+    p = 50.0 + q * 0.5  # half-spread c = 0.5 -> true spread 1.0
+    bars = [("r", i, float(p[i]), 10.0) for i in range(300)]
+    bdf = spark.createDataFrame(
+        bars, "key string, loc long, close double, volume double"
+    )
+    m = microstructure(bdf).collect()[0]
+    dp = np.diff(p)
+    cov = np.cov(dp[1:], dp[:-1], bias=True)[0, 1]
+    assert abs(m.roll_cov - cov) < 1e-9
+    assert abs(m.roll_spread - 2.0 * np.sqrt(-cov)) < 1e-9
+    assert 0.5 < m.roll_spread < 1.5  # ~ the true spread 1.0
+    rr = np.abs(p[1:] / p[:-1] - 1.0) / 10.0
+    assert abs(m.amihud - rr.mean()) < 1e-12
+    # trending prices -> positive serial cov -> NULL spread
+    tr = [("t", i, float(i), 1.0) for i in range(50)]
+    t = microstructure(
+        spark.createDataFrame(
+            tr, "key string, loc long, close double, volume double"
+        )
+    ).collect()[0]
+    assert t.roll_spread is None and t.roll_cov == 0.0
+
+    wn = rng.randn(128)
+    sig = np.sin(2 * np.pi * 8 * np.arange(128) / 128.0)
+    rows2 = [("wn", i, float(wn[i])) for i in range(128)]
+    rows2 += [("sig", i, float(sig[i])) for i in range(128)]
+    df2 = spark.createDataFrame(rows2, "key string, loc long, value double")
+    wt = {r.key: r for r in white_noise_test(df2).collect()}
+    assert wt["wn"].m == 64 and wt["wn"].white_noise_05
+    assert not wt["sig"].white_noise_05
+    assert abs(wt["sig"].crit_05 - 1.36 / np.sqrt(64)) < 1e-12
+    # replay the KS stat over the operator's own periodogram
+    from spark_timeseries_spark.operators.spectral import periodogram
+
+    pw = np.array([
+        r.power for r in periodogram(df2).where(F.col("key") == "wn")
+        .orderBy("k").collect()
+    ])
+    c = np.cumsum(pw) / pw.sum()
+    d = np.abs(c - np.arange(1, 65) / 64.0).max()
+    assert abs(wt["wn"].ks_stat - d) < 1e-9

@@ -1026,3 +1026,44 @@ def test_spectral_residual_two_explodes_no_python(spark):
     p = _plan(spectral_residual(grid.where("value is not null")))
     assert "InPandas" not in p, p
     assert p.count("Generate") == 2, p
+
+
+def test_interevent_single_exchange_no_join(spark):
+    """interevent_stats: two lags + the final aggregate all ride ONE
+    hash exchange on the entity key — no joins, no broadcast (entity
+    cardinality is unbounded at scale, the retention_cohorts rule)."""
+    from spark_timeseries_spark.operators.sessionize import interevent_stats
+    from spark_timeseries_spark.sources import events_observations
+
+    obs = events_observations(spark, SF)
+    shuffles, sorts, p = _counts(interevent_stats(obs.select("key", "ts")))
+    assert "Join" not in p, p
+    assert "BroadcastExchange" not in p, p
+    assert shuffles <= 1, p
+    assert sorts <= 1, p
+
+
+def test_capm_no_join_three_exchanges(spark, grid):
+    """capm_cross: returns window (key), market window (loc), OLS
+    aggregate (key) — three hash exchanges at most and NO join of any
+    kind (the market index is a loc-partitioned window over the same
+    rows, never a joined-back aggregate)."""
+    from spark_timeseries_spark.operators.crosssection import capm_cross
+
+    shuffles, sorts, p = _counts(capm_cross(grid))
+    assert "Join" not in p, p
+    assert shuffles <= 3, p
+
+
+def test_time_to_event_horizon_broadcast_only(spark):
+    """time_to_event: the only join is the single-row global-horizon
+    broadcast; the per-entity start is a key window, and the groupBy
+    reuses its exchange — at most one hash exchange on the entity key."""
+    from spark_timeseries_spark.operators.survival import time_to_event
+    from spark_timeseries_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    shuffles, sorts, p = _counts(time_to_event(ev, "signup", "purchase"))
+    assert p.count("BroadcastExchange") == 1, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    assert shuffles <= 1, p
