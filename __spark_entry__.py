@@ -5276,6 +5276,38 @@ def _q_white_noise(spark, sf_dir):
     )
 
 
+def _q_intrinsic_dim(spark, sf_dir):
+    """Participation-ratio intrinsic dimensionality of the embedding
+    table — one Arrow moment pass, trace identities, no eig."""
+    from spark_timeseries_spark.pipeline.embeddings import (
+        intrinsic_dimension,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = intrinsic_dimension(emb)
+    return out.select(
+        "n", "dim",
+        _stable_round(F.col("total_var"), 6).alias("total_var"),
+        _stable_round(F.col("pr"), 6).alias("pr"),
+        _stable_round(F.col("pr_ratio"), 6).alias("pr_ratio"),
+    )
+
+
+def _q_pinball(spark, sf_dir):
+    """Pinball loss of the empirical-quantile baseline per (user, tau)
+    — one exchange: rank window, percentile window, explode, groupBy."""
+    from spark_timeseries_spark.models.baselines import pinball_loss
+
+    obs = events_observations(spark, sf_dir)
+    out = pinball_loss(obs, taus=(0.1, 0.5, 0.9), loc_col="ts")
+    return out.select(
+        "key", "tau",
+        _stable_round(F.col("q_hat"), 6).alias("q_hat"),
+        "n_test",
+        _stable_round(F.col("pinball"), 6).alias("pinball"),
+    )
+
+
 _ALL_QUERIES = {
     # -- (a) must-prove: r10-touched / r10-new ---------------------------
     "retention_cohorts": _q_retention_cohorts,
@@ -5606,6 +5638,8 @@ _ALL_QUERIES = {
     "capm": _q_capm,
     "microstructure": _q_microstructure,
     "white_noise": _q_white_noise,
+    "intrinsic_dim": _q_intrinsic_dim,
+    "pinball": _q_pinball,
 }
 
 # Driver window: the correctness harness records exactly the FIRST 50
@@ -15208,5 +15242,77 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN d < 1.36 / sqrt(m) THEN 1 ELSE 0 END
                    AS white_noise_05
         FROM ks
+    """
+
+    o["intrinsic_dim"] = f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        x AS (
+            SELECT vec_id, CAST(i - 1 AS INT) AS i, v[i] AS xi
+            FROM e, unnest(range(1, len(v) + 1)) AS r(i)
+        ),
+        c AS (
+            SELECT a.i, b.i AS j, covar_samp(a.xi, b.xi) AS cov
+            FROM x a JOIN x b USING (vec_id)
+            GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT CAST(max(i) + 1 AS INT) AS dim,
+                   sum(CASE WHEN i = j THEN cov END) AS tr,
+                   sum(cov * cov) AS tr2
+            FROM c
+        ),
+        cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e)
+        SELECT cnt.n, agg.dim,
+               {_sr_sql("tr", 6)} AS total_var,
+               {_sr_sql("tr * tr / tr2", 6)} AS pr,
+               {_sr_sql("tr * tr / tr2 / dim", 6)} AS pr_ratio
+        FROM cnt CROSS JOIN agg
+    """
+
+    o["pinball"] = f"""
+        WITH e AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, value, ts
+            FROM events WHERE value IS NOT NULL
+        ),
+        r AS (
+            SELECT key, value,
+                   row_number() OVER (PARTITION BY key ORDER BY ts) AS rn,
+                   count(*) OVER (PARTITION BY key) AS n
+            FROM e
+        ),
+        c AS (
+            SELECT key, value,
+                   rn <= floor(CAST(0.8 AS DOUBLE) * n) AS cal
+            FROM r
+        ),
+        q AS (
+            SELECT key,
+                   quantile_cont(value, 0.1) FILTER (WHERE cal) AS q1,
+                   quantile_cont(value, 0.5) FILTER (WHERE cal) AS q5,
+                   quantile_cont(value, 0.9) FILTER (WHERE cal) AS q9
+            FROM c GROUP BY key
+        ),
+        t AS (
+            SELECT c.key, c.value, q.q1, q.q5, q.q9
+            FROM c JOIN q USING (key) WHERE NOT cal
+        ),
+        l AS (
+            SELECT key, CAST(0.1 AS DOUBLE) AS tau, q1 AS q_hat, value
+            FROM t
+            UNION ALL
+            SELECT key, CAST(0.5 AS DOUBLE), q5, value FROM t
+            UNION ALL
+            SELECT key, CAST(0.9 AS DOUBLE), q9, value FROM t
+        )
+        SELECT key, tau,
+               {_sr_sql("q_hat", 6)} AS q_hat,
+               CAST(count(*) AS BIGINT) AS n_test,
+               {_sr_sql(
+                   "avg(greatest(tau * (value - q_hat),"
+                   " (tau - 1.0) * (value - q_hat)))", 6
+               )} AS pinball
+        FROM l GROUP BY key, tau, q_hat
     """
     return o

@@ -23,7 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["baseline_forecast", "theta_forecast", "croston", "conformal_interval"]
+__all__ = [
+    "baseline_forecast",
+    "theta_forecast",
+    "croston",
+    "conformal_interval",
+    "pinball_loss",
+]
 
 _METHODS = {"naive", "snaive", "drift"}
 
@@ -382,4 +388,77 @@ def conformal_interval(
             (F.col("actual") >= F.col("pred") - F.col("qhat"))
             & (F.col("actual") <= F.col("pred") + F.col("qhat")),
         ).alias("covered"),
+    )
+
+
+def pinball_loss(
+    df: DataFrame,
+    taus: tuple[float, ...] = (0.1, 0.5, 0.9),
+    cal_frac: float = 0.8,
+    key_col: str = "key",
+    loc_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Quantile-forecast evaluation with the pinball (quantile) loss →
+    one row per (key, tau): (key, tau, q_hat, n_test, pinball). Per key,
+    the first ``cal_frac`` of observations (time order) calibrate an
+    EMPIRICAL-QUANTILE forecast q̂_τ = exact linear-interpolation
+    percentile of the calibration values (the constant-quantile
+    baseline — the "climatological" forecast every probabilistic model
+    must beat); the remaining holdout scores it with the proper scoring
+    rule L_τ(y, q) = max(τ·(y−q), (τ−1)·(y−q)). Keys whose holdout is
+    empty (fewer than 2 observations) drop out.
+
+    Plan: a row-number window and one full-frame key window computing
+    ALL |taus| percentiles over the calibration rows in a single pass
+    (percentile ignores the holdout NULLs), then one explode to |taus|
+    rows and one combinable groupBy(key, tau) — a single exchange on
+    the entity key, no joins, all JVM. The per-key exact percentile
+    holds the same per-series buffer envelope as ``robust_location``'s
+    exact path."""
+    if not taus or any(not (0.0 < t < 1.0) for t in taus):
+        raise ValueError(f"taus must be in (0, 1), got {taus}")
+    if not (0.0 < cal_frac < 1.0):
+        raise ValueError(f"cal_frac must be in (0, 1), got {cal_frac}")
+    v = F.col(value_col)
+    wk = Window.partitionBy(key_col).orderBy(loc_col)
+    wfull = Window.partitionBy(key_col)
+    d = (
+        df.where(v.isNotNull())
+        .withColumn("_rn", F.row_number().over(wk))
+        .withColumn("_n", F.count(F.lit(1)).over(wfull))
+        .withColumn(
+            "_cal",
+            F.col("_rn") <= F.floor(F.lit(cal_frac) * F.col("_n")),
+        )
+    )
+    cal_v = F.when(F.col("_cal"), v)
+    # window aggregates must be materialized BEFORE the explode (Spark
+    # rejects window expressions nested inside generator projections)
+    for i, t in enumerate(taus):
+        d = d.withColumn(
+            f"_p{i}", F.percentile(cal_v, F.lit(float(t))).over(wfull)
+        )
+    qs = F.array(*[
+        F.struct(
+            F.lit(float(t)).alias("tau"), F.col(f"_p{i}").alias("q")
+        )
+        for i, t in enumerate(taus)
+    ])
+    test = (
+        d.where(~F.col("_cal"))
+        .withColumn("_q", F.explode(qs))
+        .select(
+            F.col(key_col).alias("key"),
+            F.col("_q.tau").alias("tau"),
+            F.col("_q.q").alias("q_hat"),
+            v.alias("_y"),
+        )
+    )
+    err = F.col("_y") - F.col("q_hat")
+    loss = F.greatest(F.col("tau") * err, (F.col("tau") - 1.0) * err)
+    return test.groupBy("key", "tau").agg(
+        F.first("q_hat").alias("q_hat"),
+        F.count(F.lit(1)).alias("n_test"),
+        F.avg(loss).alias("pinball"),
     )

@@ -430,3 +430,31 @@ def embedding_outliers(
             F.col("cos_centroid") < F.col("_thr"),
         ).alias("is_outlier"),
     )
+
+
+def intrinsic_dimension(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Participation-ratio intrinsic dimensionality of an embedding
+    table → ONE row: (n, dim, total_var, pr, pr_ratio). PR =
+    (Σλ)² / Σλ² = tr(Σ)² / tr(Σ²) — the effective number of directions
+    the variance actually occupies (Gao et al. 2017's neural-dimension
+    estimator; equals ``dim`` for isotropic data, → 1 when one
+    direction dominates). Trace identities make it eig-free: tr(Σ) is
+    the sum of per-dimension variances, tr(Σ²) the sum of SQUARED
+    covariance entries — so the whole statistic reduces to the same
+    (n, Σx, XᵀX) moment partials :func:`embedding_covariance` already
+    aggregates (one Arrow pass, d² scalars to the driver; nothing else
+    leaves the cluster). Sample (n−1) normalization throughout.
+
+    ``pr_ratio`` = pr / dim (1 = isotropic, → 0 = collapsed): the
+    standard one-number read on embedding-collapse during training."""
+    n, s, gram = _moments(df, vec_col)
+    cov = _covariance(n, s, gram)
+    tr = float(np.trace(cov))
+    tr2 = float(np.sum(cov * cov))  # tr(Σ²) for symmetric Σ
+    d = cov.shape[0]
+    pr = tr * tr / tr2 if tr2 > 0 else float("nan")
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(n, d, tr, pr, pr / d)],
+        "n long, dim int, total_var double, pr double, pr_ratio double",
+    )

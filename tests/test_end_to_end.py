@@ -6027,3 +6027,54 @@ def test_capm_microstructure_whitenoise(spark):
     c = np.cumsum(pw) / pw.sum()
     d = np.abs(c - np.arange(1, 65) / 64.0).max()
     assert abs(wt["wn"].ks_stat - d) < 1e-9
+
+
+def test_intrinsic_dimension_pinball(spark):
+    """intrinsic_dimension: matches the numpy trace-identity replay on
+    anisotropic data, ≈ dim on isotropic data, → ~1 when one direction
+    dominates; pinball_loss: exact replay of the empirical-quantile
+    forecast + pinball loss per (key, tau), and the tau=0.5 row equals
+    half the MAE to the calibration median."""
+    from spark_timeseries_spark.models.baselines import pinball_loss
+    from spark_timeseries_spark.pipeline.embeddings import (
+        intrinsic_dimension,
+    )
+
+    rng = np.random.RandomState(31)
+    X = rng.randn(400, 3) * np.array([3.0, 1.0, 0.2])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    r = intrinsic_dimension(df).collect()[0]
+    cov = np.cov(X.T)
+    pr = np.trace(cov) ** 2 / np.sum(cov * cov)
+    assert r.n == 400 and r.dim == 3
+    assert abs(r.total_var - np.trace(cov)) < 1e-9
+    assert abs(r.pr - pr) < 1e-9
+    assert 1.0 < r.pr < 2.0  # one dominant direction
+    iso = rng.randn(500, 4)
+    df2 = spark.createDataFrame(
+        [(i, [float(v) for v in iso[i]]) for i in range(500)],
+        "vec_id long, embedding array<double>",
+    )
+    r2 = intrinsic_dimension(df2).collect()[0]
+    assert 3.5 < r2.pr < 4.0 and abs(r2.pr_ratio - r2.pr / 4) < 1e-12
+
+    y = rng.randn(40).cumsum() + 10.0
+    pdf = spark.createDataFrame(
+        [("k", i, float(y[i])) for i in range(40)],
+        "key string, loc long, value double",
+    )
+    got = {round(r.tau, 2): r for r in
+           pinball_loss(pdf, taus=(0.1, 0.5, 0.9)).collect()}
+    cal, test = y[:32], y[32:]
+    for t in (0.1, 0.5, 0.9):
+        q = np.percentile(cal, 100 * t)  # linear interpolation
+        e = test - q
+        loss = np.maximum(t * e, (t - 1) * e).mean()
+        assert abs(got[t].q_hat - q) < 1e-9, t
+        assert got[t].n_test == 8
+        assert abs(got[t].pinball - loss) < 1e-9, t
+    med = np.percentile(cal, 50)
+    assert abs(got[0.5].pinball - 0.5 * np.abs(test - med).mean()) < 1e-9
