@@ -5308,6 +5308,35 @@ def _q_pinball(spark, sf_dir):
     )
 
 
+def _q_cluster_separation(spark, sf_dir):
+    """Calinski-Harabasz separation of the labeled embedding table —
+    one explode + bounded (label, dim) aggregate, scatter identities."""
+    from spark_timeseries_spark.pipeline.embeddings import (
+        cluster_separation,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cluster_separation(emb)
+    return out.select(
+        "n", "k",
+        _stable_round(F.col("within"), 3).alias("within"),
+        _stable_round(F.col("between"), 3).alias("between"),
+        _stable_round(F.col("ch_index"), 4).alias("ch_index"),
+    )
+
+
+def _q_spectral_flatness(spark, sf_dir):
+    """Wiener spectral flatness per user over the filled daily grid —
+    periodogram plan + one combinable aggregate."""
+    from spark_timeseries_spark.operators.spectral import spectral_flatness
+
+    out = spectral_flatness(_hw_filled(spark, sf_dir))
+    return out.select(
+        "key", "m",
+        _stable_round(F.col("flatness"), 6).alias("flatness"),
+    )
+
+
 _ALL_QUERIES = {
     # -- (a) must-prove: r10-touched / r10-new ---------------------------
     "retention_cohorts": _q_retention_cohorts,
@@ -5640,6 +5669,8 @@ _ALL_QUERIES = {
     "white_noise": _q_white_noise,
     "intrinsic_dim": _q_intrinsic_dim,
     "pinball": _q_pinball,
+    "cluster_separation": _q_cluster_separation,
+    "spectral_flatness": _q_spectral_flatness,
 }
 
 # Driver window: the correctness harness records exactly the FIRST 50
@@ -15314,5 +15345,52 @@ def oracle_sql() -> dict[str, str]:
                    " (tau - 1.0) * (value - q_hat)))", 6
                )} AS pinball
         FROM l GROUP BY key, tau, q_hat
+    """
+
+    o["cluster_separation"] = f"""
+        WITH e AS (
+            SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        x AS (
+            SELECT label, CAST(i - 1 AS INT) AS i, v[i] AS xi
+            FROM e, unnest(range(1, len(v) + 1)) AS r(i)
+        ),
+        per AS (
+            SELECT label, i, sum(xi) AS s,
+                   CAST(count(*) AS BIGINT) AS n, sum(xi * xi) AS ss
+            FROM x GROUP BY 1, 2
+        ),
+        main AS (
+            SELECT sum(ss) AS sumsq, sum(s * s / n) AS expl,
+                   CAST(sum(CASE WHEN i = 0 THEN n END) AS BIGINT) AS ntot,
+                   CAST(count(DISTINCT label) AS INT) AS k
+            FROM per
+        ),
+        g AS (
+            SELECT sum(si * si / ni) AS gm2
+            FROM (
+                SELECT i, sum(s) AS si, sum(n) AS ni FROM per GROUP BY i
+            )
+        )
+        SELECT ntot AS n, k,
+               {_sr_sql("sumsq - expl", 3)} AS within,
+               {_sr_sql("expl - gm2", 3)} AS between,
+               {_sr_sql(
+                   "((expl - gm2) / (k - 1.0))"
+                   " / ((sumsq - expl) / (ntot - CAST(k AS DOUBLE)))", 4
+               )} AS ch_index
+        FROM main CROSS JOIN g
+    """
+
+    o["spectral_flatness"] = _pgram_base + f"""
+        , pw AS (SELECT key, (a*a + b*b) * 2 / n AS p FROM ag)
+        SELECT key, CAST(count(*) AS BIGINT) AS m,
+               {_sr_sql(
+                   "CASE WHEN sum(CASE WHEN p <= 0 THEN 1 ELSE 0 END) > 0"
+                   " THEN 0.0 ELSE"
+                   " exp(avg(CASE WHEN p > 0 THEN ln(p) END)) / avg(p)"
+                   " END", 6
+               )} AS flatness
+        FROM pw GROUP BY key
     """
     return o

@@ -655,3 +655,35 @@ def white_noise_test(
         (F.lit(1.63) / rm).alias("crit_01"),
         (F.col("ks_stat") < F.lit(1.36) / rm).alias("white_noise_05"),
     )
+
+
+def spectral_flatness(
+    df: DataFrame,
+    key_col: str = "key",
+    loc_col: str = "loc",
+    value_col: str = "value",
+    method: str = "auto",
+    fft_threshold: int = _FFT_THRESHOLD,
+) -> DataFrame:
+    """Wiener spectral flatness per key → (key, m, flatness): geometric
+    mean / arithmetic mean of the periodogram ordinates — 1 for a flat
+    (white-noise) spectrum, → 0 as power concentrates in few
+    frequencies (the audio-DSP "tonality" measure; the multiplicative
+    companion of :func:`spectral_entropy`). Strict convention: any
+    exactly-zero ordinate makes the geometric mean — and so the
+    flatness — exactly 0; NULL only when the arithmetic mean itself is
+    0 (a constant series).
+
+    Plan: rides :func:`periodogram`'s plan + one combinable
+    groupBy(key). All JVM either route."""
+    per = _periodogram_with_n(
+        df, key_col, loc_col, value_col, method, fft_threshold
+    )
+    n_zero = F.sum(F.when(F.col("power") <= 0, 1).otherwise(0))
+    gm = F.exp(F.avg(F.when(F.col("power") > 0, F.log("power"))))
+    return per.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("m"),
+        F.when(n_zero > 0, F.lit(0.0))
+        .otherwise(F.try_divide(gm, F.avg("power")))
+        .alias("flatness"),
+    )

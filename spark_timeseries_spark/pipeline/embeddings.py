@@ -458,3 +458,64 @@ def intrinsic_dimension(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         [(n, d, tr, pr, pr / d)],
         "n long, dim int, total_var double, pr double, pr_ratio double",
     )
+
+def cluster_separation(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Calinski-Harabasz (variance-ratio) separation of a labeled /
+    clustered embedding table → ONE row: (n, k, within, between,
+    ch_index). Scatter identities keep it one-pass: total scatter
+    T = Σ‖x − µ‖² = Σ‖x‖² − Σ_i (Σ_c s_ci)²/n, within W = Σ‖x‖² −
+    Σ_c n_c‖µ_c‖², between B = T − W, and CH = (B/(k−1)) / (W/(n−k)) —
+    higher = tighter, better-separated clusters (Calinski & Harabasz
+    1974; the standard k-selection and label-quality diagnostic, e.g.
+    over ``kmeans_assign`` output). NULL ch_index when k = 1 or k = n.
+
+    Plan: one explode → ONE map-side-combinable groupBy(label, i)
+    (k·d groups — bounded), then two one-row aggregates over that tiny
+    table joined broadcast-trivially. No unbounded joins, nothing but
+    the final row leaves the cluster, all JVM."""
+    d = df.select(
+        F.col(label_col).alias("_c"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "_i", "_x"
+        ),
+    )
+    per = d.groupBy("_c", "_i").agg(
+        F.sum("_x").alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_ss"),
+    )
+    main = per.groupBy(F.lit(1).alias("_g")).agg(
+        F.sum("_ss").alias("_sumsq"),
+        F.sum(F.col("_s") * F.col("_s") / F.col("_n")).alias("_expl"),
+        F.sum(F.when(F.col("_i") == 0, F.col("_n"))).alias("_ntot"),
+        F.count_distinct("_c").alias("_k"),
+    )
+    # grand-mean term Σ_i (Σ_c s_ci)² / n needs a per-dimension rollup
+    gterm = (
+        per.groupBy("_i")
+        .agg(F.sum("_s").alias("_si"), F.sum("_n").alias("_ni"))
+        .groupBy(F.lit(1).alias("_g"))
+        .agg(
+            F.sum(F.col("_si") * F.col("_si") / F.col("_ni")).alias("_gm2")
+        )
+    )
+    j = main.join(gterm, "_g")
+    w = F.col("_sumsq") - F.col("_expl")
+    b = F.col("_expl") - F.col("_gm2")
+    n = F.col("_ntot")
+    k = F.col("_k")
+    ch = F.try_divide(
+        F.try_divide(b, (k - F.lit(1)).cast("double")),
+        F.try_divide(w, (n - k).cast("double")),
+    )
+    return j.select(
+        n.alias("n"),
+        k.cast("int").alias("k"),
+        w.alias("within"),
+        b.alias("between"),
+        ch.alias("ch_index"),
+    )

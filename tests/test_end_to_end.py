@@ -6078,3 +6078,59 @@ def test_intrinsic_dimension_pinball(spark):
         assert abs(got[t].pinball - loss) < 1e-9, t
     med = np.percentile(cal, 50)
     assert abs(got[0.5].pinball - 0.5 * np.abs(test - med).mean()) < 1e-9
+
+
+def test_cluster_separation_flatness(spark):
+    """cluster_separation: exact numpy scatter replay on 3 labeled
+    gaussian blobs, CH far above a random relabeling of the same
+    points, NULL at k=1; spectral_flatness: near 1 on white noise,
+    near 0 on a pure sinusoid, exact replay from the operator's own
+    periodogram."""
+    from spark_timeseries_spark.operators.spectral import spectral_flatness
+    from spark_timeseries_spark.pipeline.embeddings import (
+        cluster_separation,
+    )
+
+    rng = np.random.RandomState(41)
+    centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    X = np.vstack([c + rng.randn(50, 2) for c in centers])
+    labels = np.repeat([0, 1, 2], 50)
+    rows = [(int(labels[i]), [float(v) for v in X[i]]) for i in range(150)]
+    df = spark.createDataFrame(rows, "label int, embedding array<double>")
+    r = cluster_separation(df).collect()[0]
+    mu = X.mean(axis=0)
+    W = sum(((X[labels == c] - X[labels == c].mean(axis=0)) ** 2).sum()
+            for c in range(3))
+    B = sum(50 * ((X[labels == c].mean(axis=0) - mu) ** 2).sum()
+            for c in range(3))
+    assert r.n == 150 and r.k == 3
+    assert abs(r.within - W) < 1e-8
+    assert abs(r.between - B) < 1e-8
+    assert abs(r.ch_index - (B / 2) / (W / 147)) < 1e-8
+    shuf = spark.createDataFrame(
+        [(int(labels[(i * 37) % 150]), [float(v) for v in X[i]])
+         for i in range(150)],
+        "label int, embedding array<double>",
+    )
+    assert cluster_separation(shuf).collect()[0].ch_index < r.ch_index / 10
+    one = spark.createDataFrame(
+        [(0, [float(v) for v in X[i]]) for i in range(150)],
+        "label int, embedding array<double>",
+    )
+    assert cluster_separation(one).collect()[0].ch_index is None
+
+    n = 256
+    wn = rng.randn(n)
+    sig = np.sin(2 * np.pi * 16 * np.arange(n) / n)
+    rows2 = [("wn", i, float(wn[i])) for i in range(n)]
+    rows2 += [("sig", i, float(sig[i])) for i in range(n)]
+    df2 = spark.createDataFrame(rows2, "key string, loc long, value double")
+    fl = {r.key: r for r in spectral_flatness(df2).collect()}
+    assert fl["wn"].flatness > 0.5
+    assert fl["sig"].flatness < 0.01
+    from spark_timeseries_spark.operators.spectral import periodogram
+
+    pw = np.array([r.power for r in periodogram(df2)
+                   .where(F.col("key") == "wn").orderBy("k").collect()])
+    expect = np.exp(np.mean(np.log(pw))) / pw.mean()
+    assert abs(fl["wn"].flatness - expect) < 1e-9
