@@ -5337,6 +5337,59 @@ def _q_spectral_flatness(spark, sf_dir):
     )
 
 
+def _q_fdr(spark, sf_dir):
+    """Benjamini-Hochberg FDR over the per-user Jarque-Bera p-values —
+    two windows on one sort of the tiny test-result table."""
+    from spark_timeseries_spark.operators.hypothesis import (
+        fdr_bh,
+        jarque_bera,
+    )
+
+    obs = events_observations(spark, sf_dir)
+    jb = jarque_bera(obs)
+    out = fdr_bh(jb.select("key", F.col("p_value").alias("p")), alpha=0.05)
+    return out.select(
+        "key",
+        _stable_round(F.col("p"), 6).alias("p"),
+        _stable_round(F.col("q"), 6).alias("q"),
+        F.col("reject").cast("int").alias("reject"),
+    )
+
+
+def _q_cuped(spark, sf_dir):
+    """CUPED variance reduction with the first half-month as the
+    pre-period — one key aggregate + a one-row broadcast."""
+    from spark_timeseries_spark.operators.experiment import cuped
+
+    obs = events_observations(spark, sf_dir)
+    out = cuped(
+        obs, F.col("ts") < F.to_timestamp(F.lit("2024-01-16"))
+    )
+    return out.select(
+        "key",
+        _stable_round(F.col("pre"), 6).alias("pre"),
+        _stable_round(F.col("post"), 6).alias("post"),
+        _stable_round(F.col("post_cuped"), 6).alias("post_cuped"),
+        _stable_round(F.col("theta"), 6).alias("theta"),
+        _stable_round(F.col("var_reduction"), 6).alias("var_reduction"),
+    )
+
+
+def _q_srm(spark, sf_dir):
+    """Sample-ratio-mismatch chi-square over a user_id % 3 assignment
+    of event volume — bounded variant aggregate + one-row reduce."""
+    from spark_timeseries_spark.operators.experiment import srm_check
+
+    ev = load_table(spark, sf_dir, "events")
+    out = srm_check(ev.withColumn("variant", F.col("user_id") % 3))
+    return out.select(
+        "n", "k",
+        _stable_round(F.col("chi2"), 6).alias("chi2"),
+        _stable_round(F.col("crit_05"), 6).alias("crit_05"),
+        F.col("srm_detected").cast("int").alias("srm_detected"),
+    )
+
+
 _ALL_QUERIES = {
     # -- (a) must-prove: r10-touched / r10-new ---------------------------
     "retention_cohorts": _q_retention_cohorts,
@@ -5671,6 +5724,9 @@ _ALL_QUERIES = {
     "pinball": _q_pinball,
     "cluster_separation": _q_cluster_separation,
     "spectral_flatness": _q_spectral_flatness,
+    "fdr": _q_fdr,
+    "cuped": _q_cuped,
+    "srm": _q_srm,
 }
 
 # Driver window: the correctness harness records exactly the FIRST 50
@@ -15392,5 +15448,111 @@ def oracle_sql() -> dict[str, str]:
                    " END", 6
                )} AS flatness
         FROM pw GROUP BY key
+    """
+
+    o["fdr"] = f"""
+        WITH obs AS (
+            SELECT CAST(user_id AS VARCHAR) AS k, value
+            FROM events WHERE value IS NOT NULL
+        ),
+        c AS (
+            SELECT k, value - avg(value) OVER (PARTITION BY k) AS c
+            FROM obs
+        ),
+        a AS (
+            SELECT k, CAST(count(*) AS BIGINT) AS n,
+                   avg(c * c) AS m2, avg(c * c * c) AS m3,
+                   avg(c * c * c * c) AS m4
+            FROM c GROUP BY k
+        ),
+        j AS (
+            SELECT k,
+                   CAST(n AS DOUBLE) / 6.0
+                       * ((m3 / sqrt(m2 * m2 * m2))
+                              * (m3 / sqrt(m2 * m2 * m2))
+                          + (m4 / (m2 * m2) - 3.0)
+                              * (m4 / (m2 * m2) - 3.0) / 4.0) AS jb
+            FROM a WHERE n >= 2
+        ),
+        pv AS (SELECT k, exp(-jb / 2.0) AS p FROM j),
+        rk AS (
+            SELECT k, p,
+                   CAST(row_number() OVER (ORDER BY p) AS DOUBLE) AS i,
+                   CAST(count(*) OVER () AS DOUBLE) AS m
+            FROM pv
+        ),
+        qq AS (
+            SELECT k, p,
+                   least(min(p * m / i) OVER (
+                       ORDER BY p ROWS BETWEEN CURRENT ROW
+                       AND UNBOUNDED FOLLOWING), 1.0) AS q
+            FROM rk
+        )
+        SELECT k AS key,
+               {_sr_sql("p", 6)} AS p,
+               {_sr_sql("q", 6)} AS q,
+               CASE WHEN q <= 0.05 THEN 1 ELSE 0 END AS reject
+        FROM qq
+    """
+
+    o["cuped"] = f"""
+        WITH e AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, value,
+                   ts < TIMESTAMP '2024-01-16' AS is_pre
+            FROM events WHERE value IS NOT NULL
+        ),
+        per AS (
+            SELECT key,
+                   avg(value) FILTER (WHERE is_pre) AS pre,
+                   avg(value) FILTER (WHERE NOT is_pre) AS post
+            FROM e GROUP BY key
+        ),
+        pp AS (
+            SELECT * FROM per
+            WHERE pre IS NOT NULL AND post IS NOT NULL
+        ),
+        s AS (
+            SELECT covar_pop(pre, post) / nullif(var_pop(pre), 0)
+                       AS theta,
+                   avg(pre) AS mx, var_pop(post) AS vy,
+                   var_pop(post)
+                       - covar_pop(pre, post) * covar_pop(pre, post)
+                           / nullif(var_pop(pre), 0) AS vadj
+            FROM pp
+        )
+        SELECT key,
+               {_sr_sql("pre", 6)} AS pre,
+               {_sr_sql("post", 6)} AS post,
+               {_sr_sql("post - theta * (pre - mx)", 6)} AS post_cuped,
+               {_sr_sql("theta", 6)} AS theta,
+               {_sr_sql("1.0 - vadj / vy", 6)} AS var_reduction
+        FROM pp CROSS JOIN s
+    """
+
+    o["srm"] = f"""
+        WITH cnt AS (
+            SELECT user_id % 3 AS v, CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(*) AS INT) AS k
+            FROM cnt
+        ),
+        chi AS (
+            SELECT n, k,
+                   sum((CAST(c AS DOUBLE) - CAST(n AS DOUBLE) / k)
+                       * (CAST(c AS DOUBLE) - CAST(n AS DOUBLE) / k)
+                       / (CAST(n AS DOUBLE) / k)) AS chi2
+            FROM cnt CROSS JOIN tot GROUP BY n, k
+        )
+        SELECT n, k,
+               {_sr_sql("chi2", 6)} AS chi2,
+               {_sr_sql("CASE k - 1 WHEN 1 THEN 3.841 WHEN 2 THEN 5.991"
+                        " WHEN 3 THEN 7.815 END", 6)} AS crit_05,
+               CASE WHEN chi2 > (CASE k - 1 WHEN 1 THEN 3.841
+                                 WHEN 2 THEN 5.991 WHEN 3 THEN 7.815 END)
+                    THEN 1 ELSE 0 END AS srm_detected
+        FROM chi
     """
     return o

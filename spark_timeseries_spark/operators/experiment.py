@@ -1,0 +1,146 @@
+"""Experimentation analytics: CUPED variance reduction and
+sample-ratio-mismatch detection.
+
+Beyond-reference: the two workhorse checks of any event-log A/B
+platform. Both are pure aggregate plans (no joins beyond a one-row
+broadcast, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# upper-tail 5% chi-square critical values, df = 1..10 (standard table)
+_CHI2_CRIT_05 = {
+    1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070,
+    6: 12.592, 7: 14.067, 8: 15.507, 9: 16.919, 10: 18.307,
+}
+
+
+def cuped(
+    df: DataFrame,
+    split: Column,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """CUPED (Controlled experiments Using Pre-Experiment Data, Deng
+    et al. 2013) → one row per entity: (key, pre, post, post_cuped,
+    theta, var_reduction). ``split`` is a boolean Column — True marks
+    PRE-period rows. Per entity, pre/post are the period means of
+    ``value_col``; θ = cov(pre, post)/var(pre) across entities, and
+    post_cuped = post − θ·(pre − mean(pre)) — same expectation as post,
+    variance shrunk by the squared pre/post correlation.
+    ``var_reduction`` = 1 − var(post_cuped)/var(post) (population
+    moments; it equals ρ² up to fp) and θ repeat on every row — they
+    are the experiment-level certificate. Entities missing either
+    period drop out (CUPED is defined on the paired sample).
+
+    Plan: one groupBy(key) of conditional means, one single-row moment
+    aggregate broadcast back — two exchanges + a broadcast, no entity
+    joins, all JVM."""
+    per = (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.avg(F.when(split, F.col(value_col))).alias("pre"),
+            F.avg(F.when(~split, F.col(value_col))).alias("post"),
+        )
+        .where(F.col("pre").isNotNull() & F.col("post").isNotNull())
+    )
+    theta = F.try_divide(F.covar_pop("pre", "post"), F.var_pop("pre"))
+    stats = F.broadcast(
+        per.groupBy(F.lit(1).alias("_g")).agg(
+            theta.alias("theta"),
+            F.avg("pre").alias("_mx"),
+            F.var_pop("post").alias("_vy"),
+            (
+                F.var_pop("post")
+                - F.try_divide(
+                    F.covar_pop("pre", "post") * F.covar_pop("pre", "post"),
+                    F.var_pop("pre"),
+                )
+            ).alias("_vadj"),
+        )
+    )
+    adj = F.col("post") - F.col("theta") * (F.col("pre") - F.col("_mx"))
+    return per.crossJoin(stats).select(
+        "key", "pre", "post",
+        adj.alias("post_cuped"),
+        "theta",
+        (F.lit(1.0) - F.try_divide(F.col("_vadj"), F.col("_vy"))).alias(
+            "var_reduction"
+        ),
+    )
+
+
+def srm_check(
+    df: DataFrame,
+    variant_col: str = "variant",
+    expected: dict[str, float] | None = None,
+) -> DataFrame:
+    """Sample-ratio-mismatch chi-square screen → ONE row: (n, k, chi2,
+    crit_05, srm_detected). ``expected`` maps variant → intended share
+    (defaults to equal shares); χ² = Σ (obs − exp)²/exp over the
+    variant counts, compared against the df = k−1 upper-5% critical
+    value (closed-form p-values are only available for special df, so
+    the screen reports the standard stat-vs-critical decision — the
+    universal SRM practice). An SRM firing means the assignment is
+    broken and every downstream metric is suspect.
+
+    Plan: one combinable groupBy(variant) (k groups — bounded) + one
+    one-row reduce. All JVM."""
+    cnt = df.groupBy(F.col(variant_col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    if expected is not None:
+        tot_w = sum(expected.values())
+        share = F.element_at(
+            F.create_map(
+                *[
+                    x
+                    for k_, v_ in expected.items()
+                    for x in (F.lit(k_), F.lit(float(v_) / tot_w))
+                ]
+            ),
+            F.col("_v"),
+        )
+    else:
+        share = None
+    # the per-variant expected count needs the total first: a one-row
+    # broadcast back onto the k-row count table (k bounded)
+    tot = F.broadcast(
+        cnt.groupBy(F.lit(1).alias("_g")).agg(
+            F.sum("_c").alias("n"), F.count(F.lit(1)).alias("_k")
+        ).drop("_g")
+    )
+    ex = (
+        F.col("n").cast("double") * share
+        if share is not None
+        else F.col("n").cast("double") / F.col("_k").cast("double")
+    )
+    chi = cnt.crossJoin(tot).select(
+        "n", "_k",
+        (
+            (F.col("_c").cast("double") - ex)
+            * (F.col("_c").cast("double") - ex)
+            / ex
+        ).alias("_t"),
+    )
+    crit = F.element_at(
+        F.create_map(
+            *[
+                x
+                for d_, c_ in _CHI2_CRIT_05.items()
+                for x in (F.lit(d_), F.lit(c_))
+            ]
+        ),
+        (F.col("k") - 1).cast("int"),
+    )
+    out = chi.groupBy("n", F.col("_k").alias("k")).agg(
+        F.sum("_t").alias("chi2")
+    )
+    return out.select(
+        "n", F.col("k").cast("int").alias("k"), "chi2",
+        crit.alias("crit_05"),
+        (F.col("chi2") > crit).alias("srm_detected"),
+    )

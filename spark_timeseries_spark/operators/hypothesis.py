@@ -43,7 +43,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["jarque_bera", "mann_whitney_halves", "brown_forsythe_dow"]
+__all__ = [
+    "jarque_bera",
+    "mann_whitney_halves",
+    "brown_forsythe_dow",
+    "fdr_bh",
+]
 
 
 def jarque_bera(
@@ -237,3 +242,49 @@ def brown_forsythe_dow(
         (F.col("n") - F.col("n_groups")).alias("df2"),
         f_stat.alias("f_stat"),
     )
+
+
+def fdr_bh(
+    df: DataFrame,
+    p_col: str = "p",
+    alpha: float = 0.05,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate correction → the input
+    rows plus (q, reject): q_i = min_{j ≥ i}(p_(j) · m / j) clamped to
+    1 (the BH adjusted p-value), reject = q ≤ alpha. The mandatory
+    companion of any per-series test fanned out over thousands of keys
+    (``jarque_bera``, ``stats_suite``, …) — controlling FDR instead of
+    per-test α. Tied p-values receive identical q regardless of their
+    ordering among themselves (the backward running-min absorbs the
+    tie block), so the output is deterministic without a tie-break
+    column. NULL p rows are excluded from m and pass through with NULL
+    q / NULL reject.
+
+    Plan: two windows (ascending rank + backward running min) on ONE
+    sort over the p table — a table of test RESULTS (one row per
+    series/test), orders of magnitude smaller than the data; with
+    ``group_col`` (one test family per group) both windows partition
+    by it."""
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    gcols = [group_col] if group_col is not None else []
+    w_rank = Window.partitionBy(*gcols).orderBy(F.col(p_col).asc())
+    w_part = Window.partitionBy(*gcols)
+    w_back = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.col(p_col).asc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    ok = df.where(F.col(p_col).isNotNull())
+    i = F.row_number().over(w_rank).cast("double")
+    m = F.count(F.lit(1)).over(w_part).cast("double")
+    d = ok.withColumn("_raw", F.col(p_col) * m / i)
+    d = d.withColumn(
+        "q", F.least(F.min("_raw").over(w_back), F.lit(1.0))
+    ).drop("_raw")
+    d = d.withColumn("reject", F.col("q") <= F.lit(float(alpha)))
+    bad = df.where(F.col(p_col).isNull()).withColumn(
+        "q", F.lit(None).cast("double")
+    ).withColumn("reject", F.lit(None).cast("boolean"))
+    return d.unionByName(bad)

@@ -6134,3 +6134,74 @@ def test_cluster_separation_flatness(spark):
                    .where(F.col("key") == "wn").orderBy("k").collect()])
     expect = np.exp(np.mean(np.log(pw))) / pw.mean()
     assert abs(fl["wn"].flatness - expect) < 1e-9
+
+
+def test_fdr_cuped_srm(spark):
+    """fdr_bh: matches the statsmodels-convention BH q-values computed
+    in numpy (backward running min), tie rows share q, NULL p passes
+    through; cuped: exact replay of theta and the adjusted metric,
+    variance reduction ≈ ρ²; srm_check: a fair 50/50 split passes, a
+    rigged 60/40 split on 10k rows fires, expected-share override
+    accepts an intentional 90/10."""
+    from spark_timeseries_spark.operators.experiment import (
+        cuped,
+        srm_check,
+    )
+    from spark_timeseries_spark.operators.hypothesis import fdr_bh
+
+    p = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205,
+         0.205, 0.569, 0.64, 0.781, 0.9, None]
+    df = spark.createDataFrame(
+        [(f"t{i}", v) for i, v in enumerate(p)], "test string, p double"
+    )
+    got = {r.test: r for r in fdr_bh(df, alpha=0.05).collect()}
+    ps = np.array([v for v in p if v is not None])
+    m = ps.size
+    order = np.argsort(ps, kind="stable")
+    raw = ps[order] * m / np.arange(1, m + 1)
+    q = np.minimum.accumulate(raw[::-1])[::-1]
+    q = np.minimum(q, 1.0)
+    expect = np.empty(m)
+    expect[order] = q
+    for i, v in enumerate(p):
+        if v is None:
+            assert got[f"t{i}"].q is None and got[f"t{i}"].reject is None
+        else:
+            assert abs(got[f"t{i}"].q - expect[i]) < 1e-12, (i, v)
+            assert got[f"t{i}"].reject == (expect[i] <= 0.05)
+    assert abs(got["t7"].q - got["t8"].q) < 1e-15  # tied p -> same q
+
+    rng = np.random.RandomState(51)
+    pre = rng.randn(200) * 2 + 10
+    post = 0.8 * pre + rng.randn(200) * 0.5
+    rows = [(f"u{i}", True, float(pre[i])) for i in range(200)]
+    rows += [(f"u{i}", False, float(post[i])) for i in range(200)]
+    cdf = spark.createDataFrame(rows, "key string, is_pre boolean, value double")
+    got2 = {r.key: r for r in cuped(cdf, F.col("is_pre")).collect()}
+    th = np.cov(pre, post, bias=True)[0, 1] / np.var(pre)
+    adj = post - th * (pre - pre.mean())
+    vr = 1.0 - np.var(adj) / np.var(post)
+    r0 = got2["u0"]
+    assert abs(r0.theta - th) < 1e-9
+    assert abs(r0.var_reduction - vr) < 1e-9
+    assert abs(r0.post_cuped - adj[0]) < 1e-9
+    rho2 = np.corrcoef(pre, post)[0, 1] ** 2
+    assert abs(vr - rho2) < 1e-12
+
+    fair = spark.createDataFrame(
+        [("A",)] * 5000 + [("B",)] * 5050, "variant string"
+    )
+    assert not srm_check(fair).collect()[0].srm_detected
+    rig = spark.createDataFrame(
+        [("A",)] * 6000 + [("B",)] * 4000, "variant string"
+    )
+    r = srm_check(rig).collect()[0]
+    assert r.srm_detected and r.k == 2 and abs(r.crit_05 - 3.841) < 1e-12
+    assert abs(r.chi2 - 400.0) < 1e-9  # (1000^2/5000)*2
+    ninety = spark.createDataFrame(
+        [("A",)] * 9000 + [("B",)] * 1010, "variant string"
+    )
+    assert srm_check(ninety).collect()[0].srm_detected
+    assert not srm_check(
+        ninety, expected={"A": 0.9, "B": 0.1}
+    ).collect()[0].srm_detected
