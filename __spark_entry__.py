@@ -5390,6 +5390,47 @@ def _q_srm(spark, sf_dir):
     )
 
 
+def _q_ab_conv(spark, sf_dir):
+    """Two-proportion purchase-conversion readout over a user_id %% 2
+    assignment — entity dedup, 2-row aggregate, one-row broadcast."""
+    from spark_timeseries_spark.operators.experiment import ab_conversion
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.col("user_id").cast("string").alias("key"),
+        (F.col("user_id") % 2).cast("string").alias("variant"),
+    ).agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int")) >= 15
+        ).alias("conv")
+    )
+    out = ab_conversion(d, F.col("conv"))
+    return out.select(
+        "variant", "n", "conv",
+        _stable_round(F.col("rate"), 6).alias("rate"),
+        _stable_round(F.col("wilson_lo"), 6).alias("wilson_lo"),
+        _stable_round(F.col("wilson_hi"), 6).alias("wilson_hi"),
+        _stable_round(F.col("z"), 6).alias("z"),
+        F.col("significant_05").cast("int").alias("significant_05"),
+    )
+
+
+def _q_gpd(spark, sf_dir):
+    """Peaks-over-threshold GPD tail fit per user (PWM closed form) —
+    percentile window + rank window + one aggregate on one exchange."""
+    from spark_timeseries_spark.operators.volatility import gpd_tail
+
+    obs = events_observations(spark, sf_dir)
+    out = gpd_tail(obs, threshold_q=0.95, var_p=0.99, value_col="value")
+    return out.select(
+        "key", "n", "n_exc",
+        _stable_round(F.col("threshold"), 6).alias("threshold"),
+        _stable_round(F.col("xi"), 6).alias("xi"),
+        _stable_round(F.col("beta"), 6).alias("beta"),
+        _stable_round(F.col("var_p"), 6).alias("var_p"),
+    )
+
+
 _ALL_QUERIES = {
     # -- (a) must-prove: r10-touched / r10-new ---------------------------
     "retention_cohorts": _q_retention_cohorts,
@@ -5727,6 +5768,8 @@ _ALL_QUERIES = {
     "fdr": _q_fdr,
     "cuped": _q_cuped,
     "srm": _q_srm,
+    "ab_conv": _q_ab_conv,
+    "gpd": _q_gpd,
 }
 
 # Driver window: the correctness harness records exactly the FIRST 50
@@ -15554,5 +15597,103 @@ def oracle_sql() -> dict[str, str]:
                                  WHEN 2 THEN 5.991 WHEN 3 THEN 7.815 END)
                     THEN 1 ELSE 0 END AS srm_detected
         FROM chi
+    """
+
+    _Z975 = "1.959963984540054"
+    o["ab_conv"] = f"""
+        WITH per AS (
+            SELECT CAST(user_id AS VARCHAR) AS k,
+                   CAST(user_id % 2 AS VARCHAR) AS variant,
+                   CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) >= 15
+                        THEN 1 ELSE 0 END AS c
+            FROM events GROUP BY 1, 2
+        ),
+        v AS (
+            SELECT variant, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS conv
+            FROM per GROUP BY 1
+        ),
+        w AS (
+            SELECT variant, n, conv,
+                   CAST(conv AS DOUBLE) / n AS p,
+                   CAST(n AS DOUBLE) AS nd,
+                   {_Z975} * {_Z975} AS z2
+            FROM v
+        ),
+        wi AS (
+            SELECT variant, n, conv, p,
+                   (p + z2 / (2 * nd)) / (1 + z2 / nd) AS center,
+                   {_Z975} * sqrt(p * (1 - p) / nd
+                                  + z2 / (4 * nd * nd))
+                       / (1 + z2 / nd) AS half
+            FROM w
+        ),
+        pool AS (
+            SELECT CAST(sum(n) AS DOUBLE) AS ntot,
+                   CAST(sum(conv) AS DOUBLE) AS ctot,
+                   min(p) AS pmin, max(p) AS pmax,
+                   CAST(min(n) AS DOUBLE) AS n1,
+                   CAST(max(n) AS DOUBLE) AS n2
+            FROM w
+        )
+        SELECT variant, n, conv,
+               {_sr_sql("p", 6)} AS rate,
+               {_sr_sql("center - half", 6)} AS wilson_lo,
+               {_sr_sql("center + half", 6)} AS wilson_hi,
+               {_sr_sql(
+                   "(pmax - pmin) / sqrt((ctot / ntot) * (1 - ctot / ntot)"
+                   " * (1.0 / n1 + 1.0 / n2))", 6
+               )} AS z,
+               CASE WHEN (pmax - pmin)
+                        / sqrt((ctot / ntot) * (1 - ctot / ntot)
+                               * (1.0 / n1 + 1.0 / n2)) > {_Z975}
+                    THEN 1 ELSE 0 END AS significant_05
+        FROM wi CROSS JOIN pool
+    """
+
+    o["gpd"] = f"""
+        WITH e AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, value
+            FROM events WHERE value IS NOT NULL
+        ),
+        u AS (
+            SELECT key, quantile_cont(value, 0.95) AS u,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM e GROUP BY key
+        ),
+        exc AS (
+            SELECT e.key, e.value - u.u AS y, u.u, u.n
+            FROM e JOIN u USING (key) WHERE e.value > u.u
+        ),
+        r AS (
+            SELECT key, y, u, n,
+                   CAST(row_number() OVER (PARTITION BY key ORDER BY y)
+                        AS DOUBLE) AS i,
+                   CAST(count(*) OVER (PARTITION BY key) AS DOUBLE) AS m
+            FROM exc
+        ),
+        a AS (
+            SELECT key, max(n) AS n, CAST(count(*) AS BIGINT) AS n_exc,
+                   max(u) AS threshold, avg(y) AS b0,
+                   sum(y * (m - i) / nullif(m - 1.0, 0)) / max(m) AS a1
+            FROM r GROUP BY key
+        ),
+        f AS (
+            SELECT key, n, n_exc, threshold, b0, a1,
+                   nullif(b0 - 2 * a1, 0) AS den,
+                   CAST(n_exc AS DOUBLE) / n AS zeta
+            FROM a
+        )
+        SELECT key, n, n_exc,
+               {_sr_sql("threshold", 6)} AS threshold,
+               {_sr_sql("2.0 - b0 / den", 6)} AS xi,
+               {_sr_sql("2.0 * b0 * a1 / den", 6)} AS beta,
+               {_sr_sql(
+                   "threshold + (2.0 * b0 * a1 / den)"
+                   " / (2.0 - b0 / den)"
+                   " * (pow(zeta / 0.01, 2.0 - b0 / den) - 1.0)", 6
+               )} AS var_p
+        FROM f
     """
     return o

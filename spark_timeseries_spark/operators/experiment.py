@@ -144,3 +144,83 @@ def srm_check(
         crit.alias("crit_05"),
         (F.col("chi2") > crit).alias("srm_detected"),
     )
+
+
+def ab_conversion(
+    df: DataFrame,
+    converted: Column,
+    variant_col: str = "variant",
+    key_col: str = "key",
+) -> DataFrame:
+    """Two-variant conversion readout → ONE row per variant PAIR is
+    overkill for k = 2, so: one row per variant (variant, n, conv,
+    rate, wilson_lo, wilson_hi) plus the pooled two-proportion z-stat
+    and |z| > 1.96 decision REPEATED on both rows (they are
+    experiment-level). ``converted`` is a boolean Column evaluated per
+    entity row — callers pass e.g. "did this user ever purchase".
+    Wilson 95% score intervals (the interval that behaves at small n
+    and extreme rates, unlike Wald); z from the pooled-proportion
+    standard error — NULL (with NULL decision) when the pooled rate is
+    exactly 0 or 1, where the z-test is undefined. Exactly 2 variants required — the k-variant
+    omnibus is :func:`srm_check`'s chi-square shape applied to
+    conversions (not provided; pairwise comparisons after an omnibus
+    need multiplicity control — see ``hypothesis.fdr_bh``).
+
+    Plan: one groupBy(key, variant) (entity-grain dedup of
+    ``converted``), one groupBy(variant) (2 groups), one two-row
+    reduce broadcast back. All JVM, no entity joins."""
+    per = df.groupBy(
+        F.col(key_col).alias("_k"), F.col(variant_col).alias("variant")
+    ).agg(F.max(converted.cast("int")).alias("_c"))
+    v = per.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_c").alias("conv"),
+    )
+    z169 = 1.959963984540054  # Phi^{-1}(0.975)
+    n = F.col("n").cast("double")
+    p = F.col("conv").cast("double") / n
+    z2 = F.lit(z169 * z169)
+    center = (p + z2 / (2 * n)) / (1 + z2 / n)
+    half = (
+        F.lit(z169)
+        * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+        / (1 + z2 / n)
+    )
+    v = v.select(
+        "variant", "n", "conv",
+        p.alias("rate"),
+        (center - half).alias("wilson_lo"),
+        (center + half).alias("wilson_hi"),
+    )
+    pooled = F.broadcast(
+        v.groupBy(F.lit(1).alias("_g")).agg(
+            F.count(F.lit(1)).alias("_nv"),
+            F.sum("n").alias("_ntot"),
+            F.sum("conv").alias("_ctot"),
+            F.min("rate").alias("_pmin"),
+            F.max("rate").alias("_pmax"),
+            F.min("n").alias("_n1"),
+            F.max("n").alias("_n2"),
+        )
+    )
+    j = v.crossJoin(pooled)
+    pp = F.col("_ctot").cast("double") / F.col("_ntot").cast("double")
+    se = F.sqrt(
+        pp
+        * (1 - pp)
+        * (
+            1.0 / F.col("_n1").cast("double")
+            + 1.0 / F.col("_n2").cast("double")
+        )
+    )
+    z = F.try_divide(F.col("_pmax") - F.col("_pmin"), se)
+    return j.withColumn(
+        "_zcheck",
+        F.when(F.col("_nv") != 2, F.raise_error(F.lit(
+            "ab_conversion requires exactly 2 variants"
+        ))).otherwise(F.lit(0)),
+    ).select(
+        "variant", "n", "conv", "rate", "wilson_lo", "wilson_hi",
+        z.alias("z"),
+        (z > F.lit(z169)).alias("significant_05"),
+    )

@@ -6205,3 +6205,65 @@ def test_fdr_cuped_srm(spark):
     assert not srm_check(
         ninety, expected={"A": 0.9, "B": 0.1}
     ).collect()[0].srm_detected
+
+
+def test_ab_conversion_gpd_tail(spark):
+    """ab_conversion: exact numpy replay of Wilson bounds + pooled z on
+    a 10%-vs-15% conversion split (significant), tiny-sample CI stays
+    inside [0,1]; gpd_tail: exact PWM replay against numpy on a GPD
+    sample and ξ̂ recovers the generating shape to ±0.15."""
+    from spark_timeseries_spark.operators.experiment import ab_conversion
+    from spark_timeseries_spark.operators.volatility import gpd_tail
+
+    rows = [(f"a{i}", "A", i < 100) for i in range(1000)]
+    rows += [(f"b{i}", "B", i < 150) for i in range(1000)]
+    df = spark.createDataFrame(rows, "key string, variant string, conv boolean")
+    got = {r.variant: r for r in
+           ab_conversion(df, F.col("conv")).collect()}
+    z975 = 1.959963984540054
+    for var, n, c in (("A", 1000, 100), ("B", 1000, 150)):
+        p = c / n
+        z2 = z975 * z975
+        center = (p + z2 / (2 * n)) / (1 + z2 / n)
+        half = z975 * np.sqrt(p * (1 - p) / n + z2 / (4 * n * n)) / (1 + z2 / n)
+        r = got[var]
+        assert r.n == n and r.conv == c and abs(r.rate - p) < 1e-12
+        assert abs(r.wilson_lo - (center - half)) < 1e-12
+        assert abs(r.wilson_hi - (center + half)) < 1e-12
+    pp = 250 / 2000
+    se = np.sqrt(pp * (1 - pp) * (2 / 1000))
+    zstat = (0.15 - 0.10) / se
+    assert abs(got["A"].z - zstat) < 1e-12
+    assert got["A"].significant_05 and got["B"].significant_05
+
+    tiny = spark.createDataFrame(
+        [("u1", "A", True), ("u2", "A", True), ("u3", "B", False)],
+        "key string, variant string, conv boolean",
+    )
+    t = {r.variant: r for r in ab_conversion(tiny, F.col("conv")).collect()}
+    assert 0.0 <= t["A"].wilson_lo and t["A"].wilson_hi <= 1.0
+    assert t["B"].rate == 0.0 and t["B"].wilson_lo == 0.0
+
+    rng = np.random.RandomState(61)
+    xi_true, beta_true = 0.2, 1.0
+    u01 = rng.rand(5000)
+    x = beta_true / xi_true * (u01 ** (-xi_true) - 1.0)  # GPD(xi, beta)
+    gdf = spark.createDataFrame(
+        [("k", float(v)) for v in x], "key string, value double"
+    )
+    r = gpd_tail(gdf, threshold_q=0.95, var_p=0.99).collect()[0]
+    u = np.percentile(x, 95.0)
+    y = np.sort(x[x > u] - u)
+    m = y.size
+    b0 = y.mean()
+    a1 = (y * (m - np.arange(1, m + 1)) / (m - 1)).sum() / m
+    xi = 2.0 - b0 / (b0 - 2 * a1)
+    beta = 2.0 * b0 * a1 / (b0 - 2 * a1)
+    zeta = m / 5000.0
+    var99 = u + beta / xi * ((zeta / 0.01) ** xi - 1.0)
+    assert r.n == 5000 and r.n_exc == m
+    assert abs(r.threshold - u) < 1e-9
+    assert abs(r.xi - xi) < 1e-9
+    assert abs(r.beta - beta) < 1e-9
+    assert abs(r.var_p - var99) < 1e-9
+    assert abs(r.xi - xi_true) < 0.15  # PWM recovers the shape
