@@ -1067,3 +1067,56 @@ def test_time_to_event_horizon_broadcast_only(spark):
     assert p.count("BroadcastExchange") == 1, p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
     assert shuffles <= 1, p
+
+
+def test_pinball_single_exchange_no_join(spark):
+    """pinball_loss: rank window, percentile windows, explode, and the
+    final aggregate all ride ONE hash exchange on the entity key — no
+    joins (the quantile forecast is a key window, never joined back)."""
+    from spark_timeseries_spark.models.baselines import pinball_loss
+    from spark_timeseries_spark.sources import events_observations
+
+    obs = events_observations(spark, SF)
+    shuffles, sorts, p = _counts(pinball_loss(obs, loc_col="ts"))
+    assert "Join" not in p, p
+    assert shuffles <= 1, p
+
+
+def test_gpd_single_exchange_no_join(spark):
+    """gpd_tail: percentile window, exceedance rank window, and the PWM
+    aggregate share one key exchange; no joins of any kind."""
+    from spark_timeseries_spark.operators.volatility import gpd_tail
+    from spark_timeseries_spark.sources import events_observations
+
+    obs = events_observations(spark, SF)
+    shuffles, sorts, p = _counts(gpd_tail(obs))
+    assert "Join" not in p, p
+    assert shuffles <= 1, p
+
+
+def test_cluster_separation_bounded_aggregates(spark):
+    """cluster_separation: one explode feeding a (label, dim)-bounded
+    aggregate; the only joins merge ONE-ROW aggregate frames (broadcast
+    or AQE-trivial) — never a data-sized side. No Python anywhere."""
+    from spark_timeseries_spark.pipeline.embeddings import (
+        cluster_separation,
+    )
+    from spark_timeseries_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    _, _, p = _counts(cluster_separation(emb))
+    assert "InPandas" not in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_cuped_one_row_broadcast(spark):
+    """cuped: per-entity aggregate + exactly one broadcast (the one-row
+    theta/moment frame) — the entity table itself is never broadcast."""
+    from spark_timeseries_spark.operators.experiment import cuped
+    from spark_timeseries_spark.sources import events_observations
+
+    obs = events_observations(spark, SF)
+    split = F.col("ts") < F.to_timestamp(F.lit("2024-01-16"))
+    shuffles, sorts, p = _counts(cuped(obs, split))
+    assert p.count("BroadcastExchange") == 1, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
