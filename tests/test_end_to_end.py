@@ -6267,3 +6267,25 @@ def test_ab_conversion_gpd_tail(spark):
     assert abs(r.beta - beta) < 1e-9
     assert abs(r.var_p - var99) < 1e-9
     assert abs(r.xi - xi_true) < 0.15  # PWM recovers the shape
+
+
+def test_fdr_bh_grouped(spark):
+    """fdr_bh with group_col: each test family gets its own m and its
+    own BH ladder — a p that rejects inside a small family must not be
+    influenced by a large family's p's in the same frame."""
+    from spark_timeseries_spark.operators.hypothesis import fdr_bh
+
+    rows = [("fam_a", f"a{i}", 0.001 * (i + 1)) for i in range(3)]
+    rows += [("fam_b", f"b{i}", 0.5 + 0.001 * i) for i in range(20)]
+    df = spark.createDataFrame(rows, "fam string, test string, p double")
+    got = {r.test: r for r in
+           fdr_bh(df, alpha=0.05, group_col="fam").collect()}
+    # family a alone: q = [min(.001*3/1, .002*3/2, .003*3/3)=.003...]
+    assert abs(got["a0"].q - 0.003) < 1e-12 and got["a0"].reject
+    assert abs(got["a2"].q - 0.003) < 1e-12
+    # family b: all ~0.5 with m=20 -> none reject
+    assert not got["b0"].reject
+    assert got["b0"].q > 0.5
+    # pooled (no group) would give a0 q = .001*23/1 ... different
+    pooled = {r.test: r for r in fdr_bh(df, alpha=0.05).collect()}
+    assert abs(pooled["a0"].q - got["a0"].q) > 1e-6
