@@ -6289,3 +6289,33 @@ def test_fdr_bh_grouped(spark):
     # pooled (no group) would give a0 q = .001*23/1 ... different
     pooled = {r.test: r for r in fdr_bh(df, alpha=0.05).collect()}
     assert abs(pooled["a0"].q - got["a0"].q) > 1e-6
+
+
+def test_kaplan_meier_invariants(spark):
+    """KM invariants on a randomized (duration, event) table: survival
+    is non-increasing in duration, lies in [0, 1], the at-risk ledger
+    conserves (n_risk at t = subjects with duration ≥ t), and the curve
+    hits exactly 0 iff the largest duration has zero censored and all
+    remaining at-risk die there."""
+    from spark_timeseries_spark.operators.survival import kaplan_meier
+
+    rng = np.random.RandomState(71)
+    d = np.ceil(rng.exponential(5.0, 300)).astype(int)
+    e = (rng.rand(300) < 0.7).astype(int)
+    df = spark.createDataFrame(
+        [(float(d[i]), int(e[i])) for i in range(300)],
+        "duration double, event int",
+    )
+    rows = sorted(kaplan_meier(df).collect(), key=lambda r: r.duration)
+    prev = 1.0
+    for r in rows:
+        assert 0.0 <= r.survival <= prev + 1e-12, r
+        prev = r.survival
+        at_risk = int((d >= r.duration).sum())
+        assert r.n_risk == at_risk, (r.duration, r.n_risk, at_risk)
+        dd = int(((d == r.duration) & (e == 1)).sum())
+        cc = int(((d == r.duration) & (e == 0)).sum())
+        assert r.n_events == dd and r.n_censored == cc
+    last = rows[-1]
+    hits_zero = last.survival == 0.0
+    assert hits_zero == (last.n_events == last.n_risk)
