@@ -406,8 +406,10 @@ def pinball_loss(
     percentile of the calibration values (the constant-quantile
     baseline — the "climatological" forecast every probabilistic model
     must beat); the remaining holdout scores it with the proper scoring
-    rule L_τ(y, q) = max(τ·(y−q), (τ−1)·(y−q)). Keys whose holdout is
-    empty (fewer than 2 observations) drop out.
+    rule L_τ(y, q) = max(τ·(y−q), (τ−1)·(y−q)). Keys where either side
+    is empty drop out: an empty holdout (every row calibrates) has
+    nothing to score, and an empty calibration set (⌊cal_frac·n⌋ < 1,
+    e.g. a single-observation key) has no q̂ to score with.
 
     Plan: a row-number window and one full-frame key window computing
     ALL |taus| percentiles over the calibration rows in a single pass
@@ -431,6 +433,10 @@ def pinball_loss(
             "_cal",
             F.col("_rn") <= F.floor(F.lit(cal_frac) * F.col("_n")),
         )
+        # drop keys with an empty calibration set (⌊cal_frac·n⌋ = 0, the
+        # single-observation case): they would otherwise surface as NULL
+        # q_hat/pinball rows, breaking the drop-out contract (r11 ADVICE)
+        .where(F.floor(F.lit(cal_frac) * F.col("_n")) >= 1)
     )
     cal_v = F.when(F.col("_cal"), v)
     # window aggregates must be materialized BEFORE the explode (Spark

@@ -82,10 +82,18 @@ def srm_check(
     crit_05, srm_detected). ``expected`` maps variant → intended share
     (defaults to equal shares); χ² = Σ (obs − exp)²/exp over the
     variant counts, compared against the df = k−1 upper-5% critical
-    value (closed-form p-values are only available for special df, so
+    value (exact table for df ≤ 10, Wilson-Hilferty cube approximation
+    beyond — closed-form p-values are only available for special df, so
     the screen reports the standard stat-vs-critical decision — the
     universal SRM practice). An SRM firing means the assignment is
     broken and every downstream metric is suspect.
+
+    With ``expected``, the variant UNIVERSE is the expected dict: a
+    variant with zero observed traffic (the worst SRM) still
+    contributes its (0 − exp)²/exp term and counts toward k/df (outer
+    join against the k expected rows — r11 ADVICE), and an observed
+    variant absent from ``expected`` raises instead of silently
+    vanishing from the sum.
 
     Plan: one combinable groupBy(variant) (k groups — bounded) + one
     one-row reduce. All JVM."""
@@ -94,16 +102,32 @@ def srm_check(
     )
     if expected is not None:
         tot_w = sum(expected.values())
-        share = F.element_at(
-            F.create_map(
-                *[
-                    x
-                    for k_, v_ in expected.items()
-                    for x in (F.lit(k_), F.lit(float(v_) / tot_w))
-                ]
-            ),
-            F.col("_v"),
+        exp_df = df.sparkSession.createDataFrame(
+            [(k_, float(v_) / tot_w) for k_, v_ in expected.items()],
+            ["_v", "_share"],
         )
+        # full outer: expected-but-unobserved variants keep a zero count
+        # (and their chi-square term); observed-but-unexpected raise —
+        # the raise lives in the emitted _share column so pruning can't
+        # drop it (it feeds the chi-square term)
+        cnt = exp_df.join(cnt, "_v", "full_outer").select(
+            "_v",
+            F.coalesce(F.col("_c"), F.lit(0)).alias("_c"),
+            F.when(
+                F.col("_share").isNotNull(), F.col("_share")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "srm_check: observed variant missing from"
+                            " `expected`: "
+                        ),
+                        F.col("_v").cast("string"),
+                    )
+                )
+            ).alias("_share"),
+        )
+        share = F.col("_share")
     else:
         share = None
     # the per-variant expected count needs the total first: a one-row
@@ -126,15 +150,29 @@ def srm_check(
             / ex
         ).alias("_t"),
     )
-    crit = F.element_at(
-        F.create_map(
-            *[
-                x
-                for d_, c_ in _CHI2_CRIT_05.items()
-                for x in (F.lit(d_), F.lit(c_))
-            ]
+    # exact table for df ≤ 10; Wilson-Hilferty (1931) cube approximation
+    # beyond (χ²_q ≈ df·(1 − 2/(9df) + z_q·√(2/(9df)))³, z_.95 — accurate
+    # to <0.1% at df > 10) instead of a silent NULL (r11 ADVICE)
+    _dfree = (F.col("k") - 1).cast("double")
+    _z95 = 1.6448536269514722  # Phi^{-1}(0.95)
+    _wh = _dfree * F.pow(
+        1.0
+        - 2.0 / (9.0 * _dfree)
+        + F.lit(_z95) * F.sqrt(2.0 / (9.0 * _dfree)),
+        F.lit(3.0),
+    )
+    crit = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[
+                    x
+                    for d_, c_ in _CHI2_CRIT_05.items()
+                    for x in (F.lit(d_), F.lit(c_))
+                ]
+            ),
+            (F.col("k") - 1).cast("int"),
         ),
-        (F.col("k") - 1).cast("int"),
+        _wh,
     )
     out = chi.groupBy("n", F.col("_k").alias("k")).agg(
         F.sum("_t").alias("chi2")
@@ -214,12 +252,13 @@ def ab_conversion(
         )
     )
     z = F.try_divide(F.col("_pmax") - F.col("_pmin"), se)
-    return j.withColumn(
-        "_zcheck",
-        F.when(F.col("_nv") != 2, F.raise_error(F.lit(
-            "ab_conversion requires exactly 2 variants"
-        ))).otherwise(F.lit(0)),
-    ).select(
+    # the guard must live INSIDE an emitted column: a helper column that
+    # the final select drops is eliminated by Catalyst column pruning and
+    # the raise never fires (r11 ADVICE — reproduced with 3 variants)
+    z = F.when(F.col("_nv") == 2, z).otherwise(
+        F.raise_error(F.lit("ab_conversion requires exactly 2 variants"))
+    )
+    return j.select(
         "variant", "n", "conv", "rate", "wilson_lo", "wilson_hi",
         z.alias("z"),
         (z > F.lit(z169)).alias("significant_05"),

@@ -157,11 +157,19 @@ def mann_whitney_halves(
     nn = n1 + n2
     u1 = F.col("_r1") - n1 * (n1 + 1.0) / 2.0
     mu = n1 * n2 / 2.0
+    # try_divide: a key with a single non-null row has N(N−1) = 0, which
+    # under ANSI mode would abort the job instead of honoring the
+    # documented NULL-z contract (the module-wide try_divide convention)
     sigma = F.sqrt(
         n1
         * n2
         / 12.0
-        * ((nn + 1.0) - F.col("_tsum").cast("double") / (nn * (nn - 1.0)))
+        * (
+            (nn + 1.0)
+            - F.try_divide(
+                F.col("_tsum").cast("double"), nn * (nn - 1.0)
+            )
+        )
     )
     dev = u1 - mu
     # continuity correction shrinks |dev| by 0.5, never across zero

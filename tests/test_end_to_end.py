@@ -6319,3 +6319,82 @@ def test_kaplan_meier_invariants(spark):
     last = rows[-1]
     hits_zero = last.survival == 0.0
     assert hits_zero == (last.n_events == last.n_risk)
+
+
+def test_r11_advice_regressions(spark):
+    """The five r11 ADVICE defects stay fixed.
+
+    1. mann_whitney_halves: a key with a single non-null observation
+       must emit a NULL-z row (the documented contract), not abort with
+       DIVIDE_BY_ZERO under Spark 4 ANSI mode (N(N−1) = 0).
+    2. ab_conversion: 3+ variants must RAISE — the guard lives in the
+       emitted z column so Catalyst column pruning can't drop it.
+    3. srm_check(expected=…): the variant universe is the expected
+       dict — a zero-traffic variant contributes its (0−exp)²/exp term
+       and counts in k; an observed variant absent from expected raises.
+    4. srm_check: df > 10 falls back to Wilson-Hilferty instead of a
+       silent NULL crit_05.
+    5. pinball_loss: a single-observation key (empty calibration set)
+       drops out instead of emitting NULL q_hat/pinball rows.
+    """
+    import pytest as _pt
+
+    from spark_timeseries_spark.models.baselines import pinball_loss
+    from spark_timeseries_spark.operators.experiment import (
+        ab_conversion,
+        srm_check,
+    )
+    from spark_timeseries_spark.operators.hypothesis import (
+        mann_whitney_halves,
+    )
+
+    # 1 — single-observation key alongside a healthy key
+    rows = [("solo", 0, 5.0)]
+    rows += [("full", i, float(v)) for i, v in
+             enumerate([1, 2, 3, 4, 10, 11, 12, 13])]
+    df = spark.createDataFrame(rows, "key string, ts int, value double")
+    got = {r.key: r for r in mann_whitney_halves(df).collect()}
+    assert got["solo"].z is None and got["solo"].n1 == 1
+    assert got["full"].z is not None  # healthy key unaffected
+
+    # 2 — three variants: the raise must survive column pruning
+    three = spark.createDataFrame(
+        [("u1", "A", True), ("u2", "B", False), ("u3", "C", True)],
+        "key string, variant string, conv boolean",
+    )
+    with _pt.raises(Exception, match="exactly 2 variants"):
+        ab_conversion(three, F.col("conv")).collect()
+
+    # 3 — zero-traffic expected variant counts toward chi2 and k
+    obs = spark.createDataFrame(
+        [("A",)] * 50 + [("B",)] * 50, "variant string"
+    )
+    r = srm_check(
+        obs, expected={"A": 1 / 3, "B": 1 / 3, "C": 1 / 3}
+    ).collect()[0]
+    exp = 100.0 / 3.0
+    want = 2 * (50.0 - exp) ** 2 / exp + exp  # C contributes (0-exp)^2/exp
+    assert r.k == 3 and r.n == 100
+    assert abs(r.chi2 - want) < 1e-9
+    assert r.srm_detected  # chi2 = 50 >> crit(df=2) = 5.991
+    with _pt.raises(Exception, match="missing from `expected`"):
+        srm_check(obs, expected={"A": 1.0}).collect()
+
+    # 4 — df = 11: Wilson-Hilferty fallback, chi2.ppf(.95, 11) = 19.675
+    many = spark.createDataFrame(
+        [(f"v{i}",) for i in range(12) for _ in range(100)],
+        "variant string",
+    )
+    r = srm_check(many).collect()[0]
+    assert r.k == 12 and r.crit_05 is not None
+    assert abs(r.crit_05 - 19.675) < 0.05
+    assert r.chi2 == 0.0 and not r.srm_detected
+
+    # 5 — single-observation key drops out of pinball_loss entirely
+    prows = [("solo", 0, 7.0)]
+    prows += [("full", i, float(i)) for i in range(10)]
+    pdf = spark.createDataFrame(prows, "key string, loc int, value double")
+    out = pinball_loss(pdf, taus=(0.5,)).collect()
+    keys = {r.key for r in out}
+    assert keys == {"full"}
+    assert all(r.q_hat is not None and r.pinball is not None for r in out)
