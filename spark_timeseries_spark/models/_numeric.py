@@ -87,6 +87,157 @@ def chi2_sf(x: float, df: float) -> float:
     return gammainc_upper(df / 2.0, x / 2.0)
 
 
+def _beta_cf(a: float, b: float, x: float) -> float:
+    """Modified-Lentz continued fraction for the incomplete beta
+    (Lentz 1976; the standard even/odd-term recurrence)."""
+    tiny = 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < tiny:
+        d = tiny
+    d = 1.0 / d
+    h = d
+    for m in range(1, 500):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-15:
+            break
+    return h
+
+
+def betainc_reg(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b), by the continued fraction
+    on whichever side converges fast (split at x = (a+1)/(a+b+2))."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_front = (
+        math.lgamma(a + b)
+        - math.lgamma(a)
+        - math.lgamma(b)
+        + a * math.log(x)
+        + b * math.log1p(-x)
+    )
+    front = math.exp(ln_front)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _beta_cf(a, b, x) / a
+    return 1.0 - front * _beta_cf(b, a, 1.0 - x) / b
+
+
+def t_sf(t: float, df: float) -> float:
+    """Survival function of Student's t: P(T > t), via
+    I_{ν/(ν+t²)}(ν/2, ½)."""
+    if df <= 0:
+        raise ValueError(f"df must be > 0, got {df}")
+    p = 0.5 * betainc_reg(df / 2.0, 0.5, df / (df + t * t))
+    return p if t >= 0 else 1.0 - p
+
+
+def norm_ppf(p: float) -> float:
+    """Standard-normal quantile: Acklam's rational approximation
+    (~1e-9) plus one Halley refinement against erf → machine precision."""
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    a = (-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00)
+    b = (-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01)
+    c = (-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00)
+    dd = (7.784695709041462e-03, 3.224671290700398e-01,
+          2.445134137142996e+00, 3.754408661907416e+00)
+    plow, phigh = 0.02425, 1 - 0.02425
+    if p < plow:
+        q = math.sqrt(-2.0 * math.log(p))
+        x = ((((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4])
+              * q + c[5])
+             / ((((dd[0] * q + dd[1]) * q + dd[2]) * q + dd[3]) * q + 1.0))
+    elif p <= phigh:
+        q = p - 0.5
+        r = q * q
+        x = ((((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4])
+              * r + a[5]) * q
+             / (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4])
+                * r + 1.0))
+    else:
+        q = math.sqrt(-2.0 * math.log1p(-p))
+        x = -((((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4])
+               * q + c[5])
+              / ((((dd[0] * q + dd[1]) * q + dd[2]) * q + dd[3]) * q + 1.0))
+    # one Halley step: e = Phi(x) - p, u = e / phi(x)
+    e = 0.5 * math.erfc(-x / math.sqrt(2.0)) - p
+    u = e * math.sqrt(2.0 * math.pi) * math.exp(x * x / 2.0)
+    return x - u / (1.0 + x * u / 2.0)
+
+
+def _t_logpdf(t: float, df: float) -> float:
+    return (
+        math.lgamma((df + 1.0) / 2.0)
+        - math.lgamma(df / 2.0)
+        - 0.5 * math.log(df * math.pi)
+        - (df + 1.0) / 2.0 * math.log1p(t * t / df)
+    )
+
+
+def t_ppf(p: float, df: float) -> float:
+    """Student-t quantile: Newton on the exact CDF (``t_sf``) from a
+    normal-quantile start, bisection-safeguarded. Converges to machine
+    precision in a handful of steps for any df ≥ 1."""
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    if df <= 0:
+        raise ValueError(f"df must be > 0, got {df}")
+    if p == 0.5:
+        return 0.0
+    if p < 0.5:
+        return -t_ppf(1.0 - p, df)
+    sf_target = 1.0 - p
+    # bracket [lo, hi] with t_sf(hi) <= sf_target <= t_sf(lo)
+    lo, hi = 0.0, max(2.0, abs(norm_ppf(p)) * 2.0)
+    while t_sf(hi, df) > sf_target:
+        lo, hi = hi, hi * 4.0
+        if hi > 1e12:  # pragma: no cover — p astronomically close to 1
+            break
+    x = min(max(norm_ppf(p), lo), hi)
+    for _ in range(60):
+        fx = t_sf(x, df) - sf_target
+        step = fx / math.exp(_t_logpdf(x, df))  # sf' = -pdf
+        x_new = x + step
+        if not lo < x_new < hi:  # safeguard: bisect
+            if fx > 0.0:
+                lo = x
+            else:
+                hi = x
+            x_new = 0.5 * (lo + hi)
+        if abs(x_new - x) <= 1e-14 * max(1.0, abs(x)):
+            return x_new
+        x = x_new
+    return x
+
+
 # ---------------------------------------------------------------------------
 # optimizers
 # ---------------------------------------------------------------------------

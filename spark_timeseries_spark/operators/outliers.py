@@ -213,41 +213,66 @@ def winsorize(
 def esd_outliers(
     df: DataFrame,
     k: int = 5,
+    alpha: float = 0.05,
     key_col: str = "key",
     order_col: str = "ts",
     value_col: str = "value",
 ) -> DataFrame:
     """Generalized ESD outlier extraction (Rosner 1983) per series →
     one row per REMOVAL iteration: (key, iter 1..k, <order_col> of the
-    removed point, value, r_stat). Each iteration studentizes the
-    remaining points against their OWN mean/sd (sample, n−1), removes
-    the single point with the largest |x − x̄| (ties: the earliest in
-    ``order_col`` order, stated), and records Rᵢ = max|x − x̄|/s.
-    Unlike single-pass z-scoring (:func:`outliers`), re-estimating
-    after every removal defeats masking — a second outlier no longer
-    hides behind the first's inflated sd. Stops early when fewer than
-    3 points remain or the remainder is constant (s = 0). Critical
-    values λᵢ need Student-t quantiles — compare downstream (the
-    engine ships no special-function library; the
-    ``mann_whitney_halves`` convention), or threshold on Rᵢ directly.
+    removed point, value, r_stat, lambda_crit, is_outlier). Each
+    iteration studentizes the remaining points against their OWN
+    mean/sd (sample, n−1), removes the single point with the largest
+    |x − x̄| (ties: the earliest in ``order_col`` order, stated), and
+    records Rᵢ = max|x − x̄|/s. Unlike single-pass z-scoring
+    (:func:`outliers`), re-estimating after every removal defeats
+    masking — a second outlier no longer hides behind the first's
+    inflated sd. Stops early when fewer than 3 points remain or the
+    remainder is constant (s = 0).
+
+    ``lambda_crit`` is Rosner's critical value at level ``alpha``,
+    λᵢ = (n−i)·t_{p,ν} / √((ν + t²)(n−i+1)) with ν = n−i−1 and
+    p = 1 − α/(2(n−i+1)) (Rosner 1983 eq. 4; Student-t quantiles from
+    the pure-numpy ``models._numeric.t_ppf``, exact-CDF Newton).
+    ``is_outlier`` applies the ESD decision rule: the outlier count is
+    the LARGEST i with Rᵢ > λᵢ, and every iteration up to it is an
+    outlier — a later exceedance retroactively confirms earlier
+    removals (the rule that makes ESD masking-proof, not a per-row
+    Rᵢ > λᵢ compare).
 
     Plan: grouped-map kernel, O(k·n) per series inside the
     one-series-in-memory envelope; embarrassingly parallel across
-    keys. The recursion (each iteration's statistics depend on the
-    previous removal) rules out a window formulation — the
-    ``kalman_level`` class; the DuckDB oracle replays it exactly with
-    a recursive CTE carrying the remaining-values list."""
+    keys; λᵢ is k cached scalars per series ((n, i) memoized — series
+    of equal length share). The recursion (each iteration's statistics
+    depend on the previous removal) rules out a window formulation —
+    the ``kalman_level`` class; the DuckDB oracle replays the
+    removal loop exactly with a recursive CTE carrying the
+    remaining-values list (λᵢ/is_outlier are pytest-parity: SQL has no
+    Student-t inverse)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
     kt = df.schema[key_col].dataType.simpleString()
     lt = df.schema[order_col].dataType.simpleString()
 
     def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        from functools import lru_cache
+
+        from ..models._numeric import t_ppf
+
+        @lru_cache(maxsize=None)
+        def lam(n0: int, i: int) -> float:
+            nu = n0 - i - 1.0
+            t = t_ppf(1.0 - alpha / (2.0 * (n0 - i + 1.0)), nu)
+            return (n0 - i) * t / np.sqrt((nu + t * t) * (n0 - i + 1.0))
+
         pdf = pdf[pdf[value_col].notna()].sort_values(order_col)
         vals = pdf[value_col].to_numpy(dtype=float)
         locs = pdf[order_col].to_numpy()
         key = pdf[key_col].iloc[0] if len(pdf) else None
-        out_i, out_l, out_v, out_r = [], [], [], []
+        n0 = int(vals.size)
+        out_i, out_l, out_v, out_r, out_lam = [], [], [], [], []
         for i in range(1, k + 1):
             n = vals.size
             if n < 3:
@@ -263,11 +288,18 @@ def esd_outliers(
             out_l.append(locs[pos])
             out_v.append(vals[pos])
             out_r.append(devs[pos] / sd)
+            out_lam.append(lam(n0, i))
             vals = np.delete(vals, pos)
             locs = np.delete(locs, pos)
+        # ESD rule: largest i with R_i > lambda_i; all iters <= it flag
+        n_out = 0
+        for i, (r, lm) in enumerate(zip(out_r, out_lam), start=1):
+            if r > lm:
+                n_out = i
         return pd.DataFrame({
             key_col: key, "iter": out_i, order_col: out_l,
-            "value": out_v, "r_stat": out_r,
+            "value": out_v, "r_stat": out_r, "lambda_crit": out_lam,
+            "is_outlier": [i <= n_out for i in out_i],
         })
 
     # pre-filter JVM-side: null values never reach the Arrow transfer
@@ -277,6 +309,7 @@ def esd_outliers(
         .applyInPandas(
             kern,
             f"`{key_col}` {kt}, iter int, `{order_col}` {lt}, "
-            "value double, r_stat double",
+            "value double, r_stat double, lambda_crit double, "
+            "is_outlier boolean",
         )
     )

@@ -5322,6 +5322,58 @@ def test_esd_outliers(spark):
     )
     assert esd_outliers(dfc, k=3, order_col="loc").count() == 0
 
+    # critical values: lambda_i matches the published Rosner/NIST
+    # table for n = 54, alpha = 0.05 (e-Handbook of Statistical
+    # Methods §1.3.5.17.3) and the decision rule flags exactly the
+    # two planted outliers (a later exceedance confirms earlier iters)
+    nist = {1: 3.158, 2: 3.151, 3: 3.144, 4: 3.136, 5: 3.128,
+            6: 3.120, 7: 3.111, 8: 3.103, 9: 3.094, 10: 3.085}
+    y = rng.randn(54)
+    y[5] = 30.0
+    y[40] = -28.0
+    df54 = spark.createDataFrame(
+        [("a", i, float(v)) for i, v in enumerate(y)],
+        "key string, loc long, value double",
+    )
+    rows = sorted(
+        esd_outliers(df54, k=10, order_col="loc").collect(),
+        key=lambda r: r.iter,
+    )
+    assert len(rows) == 10
+    for r in rows:
+        assert abs(r.lambda_crit - nist[r.iter]) < 2e-3, (
+            r.iter, r.lambda_crit)
+        assert r.is_outlier == (r.iter <= 2)
+    assert {rows[0].loc, rows[1].loc} == {5, 40}
+    assert rows[0].r_stat > rows[0].lambda_crit
+    assert rows[2].r_stat < rows[2].lambda_crit
+
+
+def test_t_ppf_special_functions():
+    """Pure-numpy Student-t quantile matches published t-tables to
+    their 5-digit precision, round-trips through the exact CDF, and
+    is antisymmetric; norm_ppf hits Phi^{-1}(0.975)."""
+    from spark_timeseries_spark.models._numeric import (
+        norm_ppf,
+        t_ppf,
+        t_sf,
+    )
+
+    # standard published two-sided critical values
+    table = [
+        (0.975, 1, 12.7062), (0.975, 2, 4.30265), (0.975, 5, 2.57058),
+        (0.975, 10, 2.22814), (0.95, 10, 1.81246), (0.975, 30, 2.04227),
+        (0.975, 100, 1.98397), (0.99, 5, 3.36493), (0.95, 1, 6.31375),
+        (0.999, 20, 3.55181),
+    ]
+    for p, df, want in table:
+        assert abs(t_ppf(p, df) - want) < 5e-5, (p, df)
+    for p, df in [(0.9876, 7), (0.6, 3), (0.9999, 2), (0.51, 200)]:
+        assert abs(t_sf(t_ppf(p, df), df) - (1.0 - p)) < 1e-12
+    assert t_ppf(0.025, 10) == -t_ppf(0.975, 10)
+    assert t_ppf(0.5, 8) == 0.0
+    assert abs(norm_ppf(0.975) - 1.959963984540054) < 1e-12
+
 
 def test_pairs_spread_tail_dependence(spark):
     """pairs_spread: a constructed cointegrated pair recovers its hedge
