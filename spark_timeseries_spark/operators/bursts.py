@@ -25,12 +25,19 @@ Determinism contract (the cross-engine oracle story):
   engine-independent. Ties on quantized costs prefer the NON-burst
   state (stated).
 
-Scale: the per-key Viterbi is a grouped-map numpy kernel — O(m) time,
-scalar state, embarrassingly parallel across keys (the
-kalman/bocpd sequential-posterior precedent); everything before it is
-one lag window. The oracle replays the recursion with two recursive
-CTEs (forward costs+parents MATERIALIZED, backward path walk) — the
-kalman RTS-smoother technique.
+Scale: ONE exchange (hash repartition on key) + one partition-local
+sort feed a ``mapInPandas`` pass that computes gaps, rates, and the
+per-key Viterbi itself — no window passes, no per-group Arrow framing
+(a whole partition streams as ~`maxRecordsPerBatch` batches; a key
+split across batches is carried over inside the generator). Emission
+costs are quantized VECTORIZED (numpy elementwise — the identical
+IEEE multiply/add/floor sequence as scalar math); only the two-cost
+recurrence itself runs as a plain-float scalar loop (it is a true
+sequential min-plus recursion — the kalman/bocpd class), O(m) per key
+and embarrassingly parallel across keys. The oracle replays the
+recursion with two recursive CTEs (forward costs+parents
+MATERIALIZED, backward path walk) — the kalman RTS-smoother
+technique.
 """
 
 from __future__ import annotations
@@ -57,88 +64,135 @@ def kleinberg_bursts(
     """Per-gap burst labels → (key, ts, gap_seconds, state): one row
     per inter-arrival gap (ts = the gap-CLOSING event's timestamp),
     ``state`` 1 while the minimum-cost Kleinberg path is in the burst
-    state. Keys with < 2 events, or whose events all share one
-    microsecond (zero span — no rate is defined), emit no rows.
+    state. Rows with a NULL timestamp are dropped; keys with < 2
+    remaining events, or whose events all share one microsecond (zero
+    span — no rate is defined), emit no rows.
 
     Emission cost −ln λ_j + λ_j·g, burst entry cost γ·ln(m), exit
     free; the path starts in the base state (Kleinberg's convention).
     See the module docstring for the quantized-cost determinism
-    contract."""
+    contract and the single-exchange mapInPandas plan."""
     if s <= 1.0:
         raise ValueError(f"s must be > 1, got {s}")
     if gamma <= 0:
         raise ValueError(f"gamma must be positive, got {gamma}")
-    w = Window.partitionBy(key_col).orderBy(ts_col)
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    q = 10.0 ** digits
+    floor = math.floor
+
     d = (
         df.select(F.col(key_col).alias("key"), F.col(ts_col).alias("ts"))
-        .withColumn("_us", us)
-        .withColumn("_gus", F.col("_us") - F.lag("_us").over(w))
-        .where(F.col("_gus").isNotNull())
+        .where(F.col(ts_col).isNotNull())
+        .withColumn("_us", F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .repartition("key")
+        .sortWithinPartitions("key", "_us")
     )
-    wk = Window.partitionBy("key")
-    d = (
-        d.withColumn("_m", F.count(F.lit(1)).over(wk))
-        .withColumn("_tus", F.sum("_gus").over(wk))
-        .where(F.col("_tus") > 0)
-    )
-    q = 10.0 ** digits
 
-    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_us").reset_index(drop=True)
-        gus = pdf["_gus"].to_numpy(dtype=np.int64)
-        m = int(pdf["_m"].iloc[0])
-        tus = int(pdf["_tus"].iloc[0])
+    def _labels(us: np.ndarray):
+        """Viterbi labels for ONE key's sorted event micros; None when
+        no rate is defined (< 2 events or zero span)."""
+        n = us.size
+        if n < 2:
+            return None
+        m = n - 1
+        tus = int(us[-1]) - int(us[0])
+        if tus <= 0:
+            return None
         lam0 = (m * 1e6) / tus
         lam1 = s * lam0
-        tau_up = gamma * math.log(m)
         ln0, ln1 = math.log(lam0), math.log(lam1)
-
-        def rnd(x: float) -> float:
-            # half-up via exact floor — engine-identical (module docstring)
-            return math.floor(x * q + 0.5) / q
-
-        g = gus / 1e6
-        c0 = np.empty(m)
-        c1 = np.empty(m)
-        p0 = np.empty(m, dtype=np.int8)
-        p1 = np.empty(m, dtype=np.int8)
-        c0[0] = rnd(-ln0 + lam0 * g[0])
-        c1[0] = rnd(rnd(tau_up) + rnd(-ln1 + lam1 * g[0]))
-        p0[0] = 0
-        p1[0] = 0
+        g = np.diff(us) / 1e6
+        # quantized emission costs, vectorized: numpy elementwise
+        # multiply/add/floor are the same IEEE-double ops in the same
+        # order as the scalar form — bit-identical, loop-free
+        e0 = np.floor((-ln0 + lam0 * g) * q + 0.5) / q
+        e1 = np.floor((-ln1 + lam1 * g) * q + 0.5) / q
+        rtau = floor(gamma * math.log(m) * q + 0.5) / q
+        e0l = e0.tolist()
+        e1l = e1.tolist()
+        # two running quantized costs as plain Python floats — the
+        # recurrence is sequential by definition; plain floats dodge
+        # numpy scalar boxing in the hot loop
+        c0p = e0l[0]
+        c1p = floor((rtau + e1l[0]) * q + 0.5) / q
+        p0 = [0]
+        p1 = [0]
+        ap0 = p0.append
+        ap1 = p1.append
         for t in range(1, m):
-            e0 = rnd(-ln0 + lam0 * g[t])
-            e1 = rnd(-ln1 + lam1 * g[t])
+            e0t = e0l[t]
+            e1t = e1l[t]
             # into state 0: exit is free from either state
-            if c0[t - 1] <= c1[t - 1]:
-                c0[t], p0[t] = rnd(c0[t - 1] + e0), 0
+            if c0p <= c1p:
+                c0n = floor((c0p + e0t) * q + 0.5) / q
+                ap0(0)
             else:
-                c0[t], p0[t] = rnd(c1[t - 1] + e0), 1
+                c0n = floor((c1p + e0t) * q + 0.5) / q
+                ap0(1)
             # into state 1: entering from 0 pays the barrier
-            up = rnd(rnd(c0[t - 1] + rnd(tau_up)) + e1)
-            stay = rnd(c1[t - 1] + e1)
+            up = floor(
+                (floor((c0p + rtau) * q + 0.5) / q + e1t) * q + 0.5
+            ) / q
+            stay = floor((c1p + e1t) * q + 0.5) / q
             if up <= stay:
-                c1[t], p1[t] = up, 0
+                c1n = up
+                ap1(0)
             else:
-                c1[t], p1[t] = stay, 1
+                c1n = stay
+                ap1(1)
+            c0p, c1p = c0n, c1n
         state = np.empty(m, dtype=np.int32)
-        state[m - 1] = 0 if c0[m - 1] <= c1[m - 1] else 1
+        st = 0 if c0p <= c1p else 1
+        state[m - 1] = st
         for t in range(m - 1, 0, -1):
-            state[t - 1] = (
-                p0[t] if state[t] == 0 else p1[t]
-            )
-        return pd.DataFrame(
-            {
-                "key": pdf["key"],
-                "ts": pdf["ts"],
-                "gap_seconds": g,
-                "state": state,
-            }
-        )
+            st = p0[t] if st == 0 else p1[t]
+            state[t - 1] = st
+        return g, state
 
-    return d.groupBy("key").applyInPandas(
-        kern, "key string, ts timestamp, gap_seconds double, state int"
+    def _process(pdf: pd.DataFrame) -> pd.DataFrame | None:
+        ks, tss, gs, sts = [], [], [], []
+        for key, grp in pdf.groupby("key", sort=False):
+            res = _labels(grp["_us"].to_numpy(dtype=np.int64))
+            if res is None:
+                continue
+            g, state = res
+            ks.append(np.full(g.size, key, dtype=object))
+            tss.append(grp["ts"].to_numpy()[1:])
+            gs.append(g)
+            sts.append(state)
+        if not ks:
+            return None
+        return pd.DataFrame({
+            "key": np.concatenate(ks),
+            "ts": np.concatenate(tss),
+            "gap_seconds": np.concatenate(gs),
+            "state": np.concatenate(sts),
+        })
+
+    def run(it):
+        # rows arrive sorted by (key, _us); a key may split across
+        # Arrow batches — carry the trailing key until it completes
+        buf = None
+        for pdf in it:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+            if not len(pdf):
+                buf = None
+                continue
+            kv = pdf["key"].to_numpy()
+            tail = int((kv == kv[-1]).sum())
+            head = pdf.iloc[: len(pdf) - tail]
+            buf = pdf.iloc[len(pdf) - tail:]
+            if len(head):
+                out = _process(head)
+                if out is not None:
+                    yield out
+        if buf is not None and len(buf):
+            out = _process(buf)
+            if out is not None:
+                yield out
+
+    return d.mapInPandas(
+        run, "key string, ts timestamp, gap_seconds double, state int"
     )
 
 

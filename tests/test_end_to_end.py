@@ -4901,6 +4901,20 @@ def test_kleinberg_bursts(spark):
     with pytest.raises(ValueError):
         kleinberg_bursts(df, gamma=0.0)
 
+    # batch-split carry-over: with a 7-row Arrow batch cap every key
+    # straddles batch boundaries inside mapInPandas; output must be
+    # identical to the uncapped run (the generator's buffering path)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "7")
+        tiny = kleinberg_bursts(df, s=2.0, gamma=1.0).collect()
+    finally:
+        spark.conf.set(key, old)
+    as_tuples = lambda rs: sorted(
+        (r.key, r.ts, r.gap_seconds, r.state) for r in rs)
+    assert as_tuples(tiny) == as_tuples(out)
+
 
 def test_wma_mixdrift_clusterstats(spark):
     """wma matches the numpy weighted replay (newest heaviest, burn-in

@@ -1120,3 +1120,22 @@ def test_cuped_one_row_broadcast(spark):
     shuffles, sorts, p = _counts(cuped(obs, split))
     assert p.count("BroadcastExchange") == 1, p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+
+
+def test_bursts_single_exchange_no_window(spark):
+    """kleinberg_bursts r12 plan: ONE hash exchange on key + one
+    partition-local sort feeding mapInPandas — the former lag/count/sum
+    window passes are gone (gaps, rates, and the Viterbi all live in
+    the kernel), and there is no join and no per-group Arrow framing
+    (MapInPandas, not FlatMapGroupsInPandas)."""
+    from spark_timeseries_spark.operators.bursts import kleinberg_bursts
+    from spark_timeseries_spark.sources import events_observations
+
+    obs = events_observations(spark, SF).select("key", "ts")
+    shuffles, sorts, p = _counts(kleinberg_bursts(obs))
+    assert "Join" not in p, p
+    assert "Window" not in p, p
+    assert "FlatMapGroupsInPandas" not in p, p
+    assert "MapInPandas" in p, p
+    assert shuffles == 1, p
+    assert sorts == 1, p
