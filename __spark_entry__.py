@@ -5147,6 +5147,57 @@ def _q_kaplan_meier(spark, sf_dir):
     )
 
 
+def _q_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard of signup->purchase conversion
+    time (hour grid, horizon-censored) — the additive dual of the
+    kaplan_meier row, same groupBy + bounded duration-grid windows."""
+    from spark_timeseries_spark.operators.survival import (
+        nelson_aalen,
+        time_to_event,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    tte = time_to_event(ev, "signup", "purchase", unit_seconds=3600.0)
+    binned = tte.select(
+        F.ceil(F.col("duration")).cast("long").alias("duration"), "event"
+    )
+    out = nelson_aalen(binned)
+    return out.select(
+        "duration", "n_risk", "n_events", "n_censored",
+        _stable_round(F.col("cum_hazard"), 6).alias("cum_hazard"),
+        _stable_round(F.col("hazard_var"), 8).alias("hazard_var"),
+        _stable_round(F.col("survival_fh"), 6).alias("survival_fh"),
+    )
+
+
+def _q_log_rank(spark, sf_dir):
+    """Log-rank test of signup->purchase survival between the two
+    user_id-parity cohorts (hour grid) — one full-data pass, then a
+    bounded (2 x duration-grid) ledger; k-group approximate chi2 plus
+    the exact-variance 2-group statistic."""
+    from spark_timeseries_spark.operators.survival import (
+        log_rank,
+        time_to_event,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    tte = time_to_event(ev, "signup", "purchase", unit_seconds=3600.0)
+    binned = tte.select(
+        F.ceil(F.col("duration")).cast("long").alias("duration"),
+        "event",
+        F.pmod(F.col("key"), F.lit(2)).cast("int").alias("grp"),
+    )
+    out = log_rank(binned, group_col="grp")
+    return out.select(
+        "k", "n",
+        _stable_round(F.col("chi2"), 6).alias("chi2"),
+        "df",
+        _stable_round(F.col("crit_05"), 6).alias("crit_05"),
+        "reject_05",
+        _stable_round(F.col("chi2_exact2"), 6).alias("chi2_exact2"),
+    )
+
+
 def _q_weibull_fit(spark, sf_dir):
     """Weibull median-rank-regression fit of inter-purchase gap hours
     per user — rank window + one OLS aggregate per key."""
@@ -5770,6 +5821,8 @@ _ALL_QUERIES = {
     "srm": _q_srm,
     "ab_conv": _q_ab_conv,
     "gpd": _q_gpd,
+    "nelson_aalen": _q_nelson_aalen,
+    "log_rank": _q_log_rank,
 }
 
 # Driver window: the correctness harness records exactly the FIRST 50
@@ -15175,6 +15228,157 @@ def oracle_sql() -> dict[str, str]:
         FROM f
         WINDOW cum AS (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
                        AND CURRENT ROW)
+    """
+
+    o["nelson_aalen"] = f"""
+        WITH s AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'signup'
+                            THEN epoch_us(ts) END) AS st
+            FROM events GROUP BY 1
+        ),
+        h AS (SELECT max(epoch_us(ts)) AS hor FROM events),
+        e AS (
+            SELECT ev.user_id, min(epoch_us(ev.ts)) AS en
+            FROM events ev JOIN s ON s.user_id = ev.user_id
+            WHERE ev.event_type = 'purchase' AND epoch_us(ev.ts) >= s.st
+            GROUP BY 1
+        ),
+        t AS (
+            SELECT s.user_id,
+                   CAST(ceil(CAST(coalesce(en, hor) - st AS DOUBLE)
+                             / 3600000000.0) AS BIGINT) AS duration,
+                   CASE WHEN en IS NOT NULL THEN 1 ELSE 0 END AS ev
+            FROM s CROSS JOIN h LEFT JOIN e ON e.user_id = s.user_id
+            WHERE st IS NOT NULL
+        ),
+        g AS (
+            SELECT duration, CAST(sum(ev) AS BIGINT) AS n_events,
+                   CAST(sum(1 - ev) AS BIGINT) AS n_censored
+            FROM t GROUP BY 1
+        ),
+        k AS (
+            SELECT duration, n_events, n_censored,
+                   CAST(sum(n_events + n_censored) OVER ()
+                        - coalesce(sum(n_events + n_censored) OVER (
+                              ORDER BY duration ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS n_risk
+            FROM g
+        ),
+        f AS (
+            SELECT duration, n_risk, n_events, n_censored,
+                   CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE) AS dn,
+                   CAST(n_events AS DOUBLE)
+                       / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE))
+                       AS dn2
+            FROM k
+        )
+        SELECT duration, n_risk, n_events, n_censored,
+               {_sr_sql("sum(dn) OVER cum", 6)} AS cum_hazard,
+               {_sr_sql("sum(dn2) OVER cum", 8)} AS hazard_var,
+               {_sr_sql("exp(-sum(dn) OVER cum)", 6)} AS survival_fh
+        FROM f
+        WINDOW cum AS (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)
+    """
+
+    o["log_rank"] = f"""
+        WITH s AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'signup'
+                            THEN epoch_us(ts) END) AS st
+            FROM events GROUP BY 1
+        ),
+        h AS (SELECT max(epoch_us(ts)) AS hor FROM events),
+        e AS (
+            SELECT ev.user_id, min(epoch_us(ev.ts)) AS en
+            FROM events ev JOIN s ON s.user_id = ev.user_id
+            WHERE ev.event_type = 'purchase' AND epoch_us(ev.ts) >= s.st
+            GROUP BY 1
+        ),
+        t AS (
+            SELECT s.user_id,
+                   CAST(ceil(CAST(coalesce(en, hor) - st AS DOUBLE)
+                             / 3600000000.0) AS BIGINT) AS duration,
+                   CASE WHEN en IS NOT NULL THEN 1 ELSE 0 END AS ev
+            FROM s CROSS JOIN h LEFT JOIN e ON e.user_id = s.user_id
+            WHERE st IS NOT NULL
+        ),
+        tg AS (
+            SELECT CAST(user_id % 2 AS INT) AS g, duration, ev FROM t
+        ),
+        per AS (
+            SELECT g, duration AS tt, CAST(sum(ev) AS BIGINT) AS d,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM tg GROUP BY 1, 2
+        ),
+        grid AS (SELECT DISTINCT tt FROM per),
+        gtot AS (SELECT g, CAST(sum(x) AS BIGINT) AS tot FROM per GROUP BY 1),
+        fl AS (
+            SELECT gt.g, gr.tt, gt.tot,
+                   coalesce(p.d, 0) AS d, coalesce(p.x, 0) AS x
+            FROM grid gr CROSS JOIN gtot gt
+            LEFT JOIN per p ON p.g = gt.g AND p.tt = gr.tt
+        ),
+        fr AS (
+            SELECT *, tot - coalesce(sum(x) OVER (PARTITION BY g
+                       ORDER BY tt ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS nrisk
+            FROM fl
+        ),
+        ft AS (
+            SELECT *, sum(nrisk) OVER (PARTITION BY tt) AS nt,
+                   sum(d) OVER (PARTITION BY tt) AS dt,
+                   min(g) OVER () AS g1
+            FROM fr
+        ),
+        eg AS (
+            SELECT *, CAST(dt AS DOUBLE) * CAST(nrisk AS DOUBLE)
+                       / CAST(nt AS DOUBLE) AS e
+            FROM ft
+        ),
+        pg AS (
+            SELECT g, sum(CAST(d AS DOUBLE)) AS o_g, sum(e) AS e_g
+            FROM eg GROUP BY 1
+        ),
+        two AS (
+            SELECT sum(CAST(d AS DOUBLE) - e) AS num,
+                   sum(CAST(dt AS DOUBLE)
+                       * (CAST(nrisk AS DOUBLE) / CAST(nt AS DOUBLE))
+                       * (1.0 - CAST(nrisk AS DOUBLE) / CAST(nt AS DOUBLE))
+                       * CASE WHEN nt > 1 THEN
+                             (CAST(nt AS DOUBLE) - CAST(dt AS DOUBLE))
+                             / (CAST(nt AS DOUBLE) - 1.0) END) AS den
+            FROM eg WHERE g = g1
+        ),
+        ch AS (
+            SELECT CAST(count(*) AS INT) AS k,
+                   sum((o_g - e_g) * (o_g - e_g) / nullif(e_g, 0)) AS chi2
+            FROM pg
+        ),
+        nn AS (SELECT CAST(sum(tot) AS BIGINT) AS n FROM gtot),
+        cr AS (
+            SELECT k, n, chi2, CAST(k - 1 AS INT) AS df,
+                   CASE k - 1
+                       WHEN 1 THEN 3.841 WHEN 2 THEN 5.991
+                       WHEN 3 THEN 7.815 WHEN 4 THEN 9.488
+                       WHEN 5 THEN 11.070 WHEN 6 THEN 12.592
+                       WHEN 7 THEN 14.067 WHEN 8 THEN 15.507
+                       WHEN 9 THEN 16.919 WHEN 10 THEN 18.307
+                       ELSE (k - 1) * pow(1.0 - 2.0 / (9.0 * (k - 1))
+                            + 1.6448536269514722
+                              * sqrt(2.0 / (9.0 * (k - 1))), 3.0)
+                   END AS crit
+            FROM ch CROSS JOIN nn
+        )
+        SELECT k, n, {_sr_sql("chi2", 6)} AS chi2, df,
+               {_sr_sql("crit", 6)} AS crit_05,
+               chi2 > crit AS reject_05,
+               {_sr_sql(
+                   "CASE WHEN k = 2 THEN num * num / nullif(den, 0) END", 6
+               )} AS chi2_exact2
+        FROM cr CROSS JOIN two
     """
 
     o["weibull_fit"] = f"""

@@ -18,6 +18,31 @@ _CHI2_CRIT_05 = {
 }
 
 
+def chi2_crit_05(dfree: Column) -> Column:
+    """Upper-5% chi-square critical value as a Column: the exact table
+    for df ≤ 10, the Wilson-Hilferty (1931) cube approximation beyond
+    (χ²_q ≈ df·(1 − 2/(9df) + z_q·√(2/(9df)))³, accurate to <0.1% at
+    df > 10). Shared by :func:`srm_check`, the survival log-rank test,
+    and any k-group chi-square readout."""
+    d = dfree.cast("double")
+    z95 = 1.6448536269514722  # Phi^{-1}(0.95)
+    wh = d * F.pow(
+        1.0 - 2.0 / (9.0 * d) + F.lit(z95) * F.sqrt(2.0 / (9.0 * d)),
+        F.lit(3.0),
+    )
+    table = F.element_at(
+        F.create_map(
+            *[
+                x
+                for d_, c_ in _CHI2_CRIT_05.items()
+                for x in (F.lit(d_), F.lit(c_))
+            ]
+        ),
+        dfree.cast("int"),
+    )
+    return F.coalesce(table, wh)
+
+
 def cuped(
     df: DataFrame,
     split: Column,
@@ -150,30 +175,9 @@ def srm_check(
             / ex
         ).alias("_t"),
     )
-    # exact table for df ≤ 10; Wilson-Hilferty (1931) cube approximation
-    # beyond (χ²_q ≈ df·(1 − 2/(9df) + z_q·√(2/(9df)))³, z_.95 — accurate
-    # to <0.1% at df > 10) instead of a silent NULL (r11 ADVICE)
-    _dfree = (F.col("k") - 1).cast("double")
-    _z95 = 1.6448536269514722  # Phi^{-1}(0.95)
-    _wh = _dfree * F.pow(
-        1.0
-        - 2.0 / (9.0 * _dfree)
-        + F.lit(_z95) * F.sqrt(2.0 / (9.0 * _dfree)),
-        F.lit(3.0),
-    )
-    crit = F.coalesce(
-        F.element_at(
-            F.create_map(
-                *[
-                    x
-                    for d_, c_ in _CHI2_CRIT_05.items()
-                    for x in (F.lit(d_), F.lit(c_))
-                ]
-            ),
-            (F.col("k") - 1).cast("int"),
-        ),
-        _wh,
-    )
+    # exact table for df ≤ 10; Wilson-Hilferty fallback beyond instead
+    # of a silent NULL (r11 ADVICE)
+    crit = chi2_crit_05(F.col("k") - 1)
     out = chi.groupBy("n", F.col("_k").alias("k")).agg(
         F.sum("_t").alias("chi2")
     )

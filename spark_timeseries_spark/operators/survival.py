@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .experiment import chi2_crit_05
+
 
 def time_to_event(
     df: DataFrame,
@@ -210,3 +212,178 @@ def weibull_mrr(
     if group_col is None:
         return out.drop("_grp")
     return out.withColumnRenamed("_grp", group_col)
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator → one row per distinct
+    duration: (duration, n_risk, n_events, n_censored, cum_hazard,
+    hazard_var, survival_fh). H(t) = Σ_{t'≤t} d_{t'}/n_{t'} (Nelson
+    1972; Aalen 1978) with the standard variance estimate
+    σ̂²(t) = Σ_{t'≤t} d_{t'}/n_{t'}² and the Fleming-Harrington
+    survival exp(−H(t)) — the estimator that behaves better than
+    Kaplan-Meier in small risk sets and is the additive dual of
+    :func:`kaplan_meier` (censor-at-t convention and the at-risk
+    ledger are identical; censor-only times contribute 0 hazard but
+    appear so the table is complete). Unlike KM there is no zero
+    factor to guard: d/n ≤ 1 always and no logarithm is taken.
+
+    Plan: identical shape to :func:`kaplan_meier` — one
+    groupBy(duration) full-data pass, then windows over the GLOBAL
+    duration grid (a single-partition sort bounded by DISTINCT
+    durations — bin durations at scale, same caveat as KM)."""
+    g = df.groupBy(F.col(duration_col).alias("duration")).agg(
+        F.sum(F.col(event_col).cast("long")).alias("n_events"),
+        F.sum(
+            (F.lit(1) - F.col(event_col).cast("long"))
+        ).alias("n_censored"),
+    )
+    w_tot = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    exits = F.col("n_events") + F.col("n_censored")
+    n_risk = (
+        F.sum(exits).over(w_tot)
+        - F.coalesce(F.sum(exits).over(w_prev), F.lit(0))
+    )
+    d = g.withColumn("n_risk", n_risk)
+    dn = F.try_divide(
+        F.col("n_events").cast("double"), F.col("n_risk").cast("double")
+    )
+    dn2 = F.try_divide(
+        F.col("n_events").cast("double"),
+        F.col("n_risk").cast("double") * F.col("n_risk").cast("double"),
+    )
+    d = d.withColumn("_h", dn).withColumn("_v", dn2)
+    haz = F.sum("_h").over(w_cum)
+    return d.select(
+        "duration", "n_risk", "n_events", "n_censored",
+        haz.alias("cum_hazard"),
+        F.sum("_v").over(w_cum).alias("hazard_var"),
+        F.exp(-haz).alias("survival_fh"),
+    )
+
+
+def log_rank(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    group_col: str = "group",
+) -> DataFrame:
+    """Log-rank (Mantel-Cox) test of survival-curve equality across k
+    groups → ONE row: (k, n, chi2, df, crit_05, reject_05,
+    chi2_exact2). At every distinct duration t, each group's observed
+    events d_{g,t} are compared with the expectation under the null
+    E_{g,t} = d_t·n_{g,t}/n_t (hypergeometric mean given the shared
+    risk set); ``chi2`` is the k-group approximation
+    Σ_g (O_g − E_g)²/E_g on k−1 df (the textbook screen — conservative
+    vs the full covariance form), compared against the shared
+    :func:`~.experiment.chi2_crit_05` 5% critical value.
+    ``chi2_exact2`` is the EXACT-variance two-group statistic
+    (Σ_t (d_{1,t} − E_{1,t}))² / Σ_t V_t with the hypergeometric
+    variance V_t = d_t·(n₁/n)·(1 − n₁/n)·(n−d)/(n−1) — NULL unless
+    k = 2 (group 1 = the lexicographically smallest group value,
+    stated; the statistic is symmetric in the choice). Censor-at-t
+    convention matches :func:`kaplan_meier`: subjects censored AT t
+    are still at risk for the events at t.
+
+    Plan: ONE full-data pass (groupBy(group, duration)); everything
+    after runs on the (k × distinct-durations) grid — a grid×groups
+    crossJoin of two aggregate outputs (both bounded), per-group
+    running-exit windows for the at-risk ledger, per-duration windows
+    for the shared totals, and two one-row reduces. Bin durations at
+    scale (the KM caveat)."""
+    per = df.groupBy(
+        F.col(group_col).alias("_g"),
+        F.col(duration_col).alias("_t"),
+    ).agg(
+        F.sum(F.col(event_col).cast("long")).alias("_d"),
+        F.count(F.lit(1)).alias("_x"),
+    )
+    grid = per.select(F.col("_t")).distinct()
+    gtot = per.groupBy("_g").agg(F.sum("_x").alias("_tot"))
+    # (k × T) scaffold: every group observed on every event time
+    full = (
+        grid.crossJoin(F.broadcast(gtot))
+        .join(per, ["_g", "_t"], "left")
+        .select(
+            "_g", "_t", "_tot",
+            F.coalesce(F.col("_d"), F.lit(0)).alias("_d"),
+            F.coalesce(F.col("_x"), F.lit(0)).alias("_x"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("_g")
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    full = full.withColumn(
+        "_nrisk",
+        F.col("_tot") - F.coalesce(F.sum("_x").over(w_prev), F.lit(0)),
+    )
+    wt = Window.partitionBy("_t")
+    wall = Window.partitionBy(F.lit(1))
+    g1 = F.min("_g").over(wall)
+    full = (
+        full.withColumn("_nt", F.sum("_nrisk").over(wt))
+        .withColumn("_dt", F.sum("_d").over(wt))
+        .withColumn("_is1", (F.col("_g") == g1).cast("int"))
+    )
+    e_gt = F.col("_dt").cast("double") * F.try_divide(
+        F.col("_nrisk").cast("double"), F.col("_nt").cast("double")
+    )
+    per_group = full.groupBy("_g").agg(
+        F.sum(F.col("_d").cast("double")).alias("_O"),
+        F.sum(e_gt).alias("_E"),
+    )
+    # exact-variance 2-group pieces, one term per duration (computed on
+    # the group-1 rows so each t contributes exactly once)
+    nt = F.col("_nt").cast("double")
+    dt = F.col("_dt").cast("double")
+    p1 = F.try_divide(F.col("_nrisk").cast("double"), nt)
+    v_t = dt * p1 * (1.0 - p1) * F.try_divide(nt - dt, nt - 1.0)
+    two = full.where(F.col("_is1") == 1).groupBy(F.lit(1).alias("_j")).agg(
+        F.sum(F.col("_d").cast("double") - e_gt).alias("_num"),
+        F.sum(v_t).alias("_den"),
+    )
+    out = per_group.groupBy(F.lit(1).alias("_j")).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            F.try_divide(
+                (F.col("_O") - F.col("_E")) * (F.col("_O") - F.col("_E")),
+                F.col("_E"),
+            )
+        ).alias("chi2"),
+    )
+    n_tot = gtot.groupBy(F.lit(1).alias("_j")).agg(
+        F.sum("_tot").alias("n")
+    )
+    j = (
+        out.join(F.broadcast(n_tot), "_j")
+        .join(F.broadcast(two), "_j")
+    )
+    dfree = (F.col("k") - 1).cast("int")
+    crit = chi2_crit_05(dfree)
+    return j.select(
+        F.col("k").cast("int").alias("k"),
+        "n",
+        "chi2",
+        dfree.alias("df"),
+        crit.alias("crit_05"),
+        (F.col("chi2") > crit).alias("reject_05"),
+        F.when(
+            F.col("k") == 2,
+            F.try_divide(
+                F.col("_num") * F.col("_num"), F.col("_den")
+            ),
+        ).alias("chi2_exact2"),
+    )

@@ -6464,3 +6464,89 @@ def test_r11_advice_regressions(spark):
     keys = {r.key for r in out}
     assert keys == {"full"}
     assert all(r.q_hat is not None and r.pinball is not None for r in out)
+
+
+def test_nelson_aalen_log_rank(spark):
+    """nelson_aalen: exact numpy replay of H, its variance, and
+    exp(-H) on a censored sample, plus the H >= -ln(KM) dominance
+    invariant; log_rank: the exact-variance 2-group statistic matches
+    an independent numpy replay on a textbook-style two-arm sample and
+    the k-group approximation agrees in direction; identical groups
+    yield chi2 ~ 0."""
+    from spark_timeseries_spark.operators.survival import (
+        kaplan_meier,
+        log_rank,
+        nelson_aalen,
+    )
+
+    durs = [1, 2, 2, 3, 4, 4, 4, 6, 7, 9, 9, 12]
+    evs = [1, 1, 0, 1, 1, 1, 0, 0, 1, 1, 1, 0]
+    df = spark.createDataFrame(
+        list(zip(durs, evs)), "duration long, event int"
+    )
+    rows = {r.duration: r for r in nelson_aalen(df).collect()}
+    # numpy replay
+    import collections
+    tab = collections.OrderedDict()
+    for d, e in sorted(zip(durs, evs)):
+        de, dc = tab.get(d, (0, 0))
+        tab[d] = (de + e, dc + (1 - e))
+    at_risk = len(durs)
+    H = V = 0.0
+    for d, (de, dc) in tab.items():
+        H += de / at_risk
+        V += de / at_risk ** 2
+        r = rows[d]
+        assert r.n_risk == at_risk and r.n_events == de
+        assert abs(r.cum_hazard - H) < 1e-12
+        assert abs(r.hazard_var - V) < 1e-12
+        assert abs(r.survival_fh - np.exp(-H)) < 1e-12
+        at_risk -= de + dc
+    # dominance: exp(-H) >= KM survival everywhere (strict when d>1
+    # factors accrue), both start below 1 after the first event
+    km = {r.duration: r.survival for r in kaplan_meier(df).collect()}
+    for d, r in rows.items():
+        assert r.survival_fh >= km[d] - 1e-12
+
+    # two-arm sample with a real separation
+    a = [(d, e, 0) for d, e in zip([1, 3, 4, 5, 7, 8, 10, 12],
+                                   [1, 1, 1, 1, 1, 0, 1, 0])]
+    b = [(d, e, 1) for d, e in zip([4, 6, 8, 9, 11, 12, 13, 15],
+                                   [1, 0, 1, 1, 1, 0, 1, 1])]
+    gdf = spark.createDataFrame(
+        a + b, "duration long, event int, grp int"
+    )
+    r = log_rank(gdf, group_col="grp").collect()[0]
+    assert r.k == 2 and r.n == 16 and r.df == 1
+    assert abs(r.crit_05 - 3.841) < 1e-12
+
+    # independent replay of both statistics
+    import numpy as _np
+    alld = sorted({d for d, e, g in a + b if True})
+    num = den = 0.0
+    O = {0: 0.0, 1: 0.0}
+    E = {0: 0.0, 1: 0.0}
+    for t in alld:
+        n_g = {g: sum(1 for d, e, gg in a + b if gg == g and d >= t)
+               for g in (0, 1)}
+        d_g = {g: sum(e for d, e, gg in a + b if gg == g and d == t)
+               for g in (0, 1)}
+        nt, dt = n_g[0] + n_g[1], d_g[0] + d_g[1]
+        for g in (0, 1):
+            O[g] += d_g[g]
+            E[g] += dt * n_g[g] / nt
+        num += d_g[0] - dt * n_g[0] / nt
+        if nt > 1:
+            p1 = n_g[0] / nt
+            den += dt * p1 * (1 - p1) * (nt - dt) / (nt - 1)
+    chi2_approx = sum((O[g] - E[g]) ** 2 / E[g] for g in (0, 1))
+    assert abs(r.chi2 - chi2_approx) < 1e-12
+    assert abs(r.chi2_exact2 - num * num / den) < 1e-12
+
+    # identical arms: statistic collapses to ~0
+    same = [(d, e, g) for d, e, _ in a for g in (0, 1)]
+    sdf = spark.createDataFrame(
+        same, "duration long, event int, grp int"
+    )
+    r0 = log_rank(sdf, group_col="grp").collect()[0]
+    assert r0.chi2 < 1e-24 and not r0.reject_05

@@ -1139,3 +1139,25 @@ def test_bursts_single_exchange_no_window(spark):
     assert "MapInPandas" in p, p
     assert shuffles == 1, p
     assert sorts == 1, p
+
+
+def test_log_rank_grid_bounded(spark):
+    """log_rank: exactly ONE full-data pass (the groupBy(group,
+    duration) aggregate); everything downstream operates on the
+    (k x duration-grid) scaffold with the group-totals side broadcast."""
+    from spark_timeseries_spark.operators.survival import (
+        log_rank,
+        time_to_event,
+    )
+    from spark_timeseries_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    tte = time_to_event(ev, "signup", "purchase", unit_seconds=3600.0)
+    binned = tte.select(
+        F.ceil(F.col("duration")).cast("long").alias("duration"),
+        "event",
+        F.pmod(F.col("key"), F.lit(2)).cast("int").alias("grp"),
+    )
+    _, _, p = _counts(log_rank(binned, group_col="grp"))
+    assert "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p
