@@ -5147,6 +5147,98 @@ def _q_kaplan_meier(spark, sf_dir):
     )
 
 
+def _q_msprt(spark, sf_dir):
+    """Always-valid mSPRT over each user's event-value stream (running
+    sample variance, tau2 = 25, null mean 30) — cumulative windows on
+    one (key, ts) sort, no joins."""
+    from spark_timeseries_spark.operators.experiment import msprt
+
+    obs = events_observations(spark, sf_dir)
+    out = msprt(obs, tau2=25.0, mu0=30.0)
+    return out.select(
+        "key", "ts", "n",
+        _stable_round(F.col("mean"), 6).alias("mean"),
+        _stable_round(F.col("log_lambda"), 6).alias("log_lambda"),
+        _stable_round(F.col("p_always"), 6).alias("p_always"),
+        "reject_05",
+    )
+
+
+def _q_ab_power(spark, sf_dir):
+    """Two-proportion MDE readout over the user_id %% 2 purchase
+    assignment (the ab_conv cohort) — entity dedup, 2-row aggregate,
+    one-row reduce."""
+    from spark_timeseries_spark.operators.experiment import ab_power
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.col("user_id").cast("string").alias("key"),
+        (F.col("user_id") % 2).cast("string").alias("variant"),
+    ).agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int")) >= 15
+        ).alias("conv")
+    )
+    out = ab_power(d, F.col("conv"))
+    return out.select(
+        "n_a", "n_b",
+        _stable_round(F.col("rate_a"), 6).alias("rate_a"),
+        _stable_round(F.col("rate_b"), 6).alias("rate_b"),
+        _stable_round(F.col("diff"), 6).alias("diff"),
+        _stable_round(F.col("se"), 6).alias("se"),
+        _stable_round(F.col("z"), 6).alias("z"),
+        _stable_round(F.col("mde_abs_80"), 6).alias("mde_abs_80"),
+        _stable_round(F.col("mde_rel_80"), 6).alias("mde_rel_80"),
+    )
+
+
+def _q_eb_shrinkage(spark, sf_dir):
+    """Empirical-Bayes beta-binomial shrinkage of per-user purchase
+    rates — one groupBy(user), one-row method-of-moments prior
+    broadcast back, no key joins."""
+    from spark_timeseries_spark.operators.experiment import eb_shrinkage
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("user_id").cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("trials"),
+        F.sum(
+            (F.col("event_type") == "purchase").cast("long")
+        ).alias("successes"),
+    )
+    out = eb_shrinkage(d)
+    return out.select(
+        "key", "trials", "successes",
+        _stable_round(F.col("rate"), 6).alias("rate"),
+        _stable_round(F.col("alpha"), 6).alias("alpha"),
+        _stable_round(F.col("beta"), 6).alias("beta"),
+        _stable_round(F.col("rate_eb"), 6).alias("rate_eb"),
+    )
+
+
+def _q_did(spark, sf_dir):
+    """Diff-in-differences of event values: treated = odd user_id,
+    post = day-of-month > 15 — entity-cell means, 4-row reduce."""
+    from spark_timeseries_spark.operators.experiment import diff_in_diff
+
+    ev = load_table(spark, sf_dir, "events")
+    out = diff_in_diff(
+        ev.where(F.col("value").isNotNull()),
+        treated=(F.col("user_id") % 2) == 1,
+        post=F.dayofmonth(F.col("ts")) > 15,
+        key_col="user_id",
+    )
+    return out.select(
+        "n",
+        _stable_round(F.col("mean_c_pre"), 6).alias("mean_c_pre"),
+        _stable_round(F.col("mean_c_post"), 6).alias("mean_c_post"),
+        _stable_round(F.col("mean_t_pre"), 6).alias("mean_t_pre"),
+        _stable_round(F.col("mean_t_post"), 6).alias("mean_t_post"),
+        _stable_round(F.col("did"), 6).alias("did"),
+        _stable_round(F.col("se"), 6).alias("se"),
+        _stable_round(F.col("z"), 6).alias("z"),
+    )
+
+
 def _q_nelson_aalen(spark, sf_dir):
     """Nelson-Aalen cumulative hazard of signup->purchase conversion
     time (hour grid, horizon-censored) — the additive dual of the
@@ -5823,6 +5915,10 @@ _ALL_QUERIES = {
     "gpd": _q_gpd,
     "nelson_aalen": _q_nelson_aalen,
     "log_rank": _q_log_rank,
+    "msprt": _q_msprt,
+    "ab_power": _q_ab_power,
+    "eb_shrinkage": _q_eb_shrinkage,
+    "did": _q_did,
 }
 
 # Driver window: the correctness harness records exactly the FIRST 50
@@ -15228,6 +15324,187 @@ def oracle_sql() -> dict[str, str]:
         FROM f
         WINDOW cum AS (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
                        AND CURRENT ROW)
+    """
+
+    o["msprt"] = f"""
+        WITH e AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, ts, value
+            FROM events WHERE value IS NOT NULL
+        ),
+        c AS (
+            SELECT key, ts,
+                   CAST(count(*) OVER cum AS BIGINT) AS n,
+                   avg(value) OVER cum AS mean,
+                   var_samp(value) OVER cum AS s2
+            FROM e
+            WINDOW cum AS (PARTITION BY key ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        l AS (
+            SELECT key, ts, n, mean,
+                   CASE WHEN s2 > 0 THEN
+                       0.5 * ln(s2 / (s2 + n * CAST(25.0 AS DOUBLE)))
+                       + (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                          * CAST(25.0 AS DOUBLE)
+                          * (mean - CAST(30.0 AS DOUBLE))
+                          * (mean - CAST(30.0 AS DOUBLE)))
+                         / (2.0 * s2 * (s2 + n * CAST(25.0 AS DOUBLE)))
+                   END AS log_lambda
+            FROM c
+        ),
+        pp AS (
+            SELECT key, ts, n, mean, log_lambda,
+                   coalesce(least(CAST(1.0 AS DOUBLE),
+                       exp(-max(log_lambda) OVER cum)),
+                       CAST(1.0 AS DOUBLE)) AS p
+            FROM l
+            WINDOW cum AS (PARTITION BY key ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT key, ts, n,
+               {_sr_sql("mean", 6)} AS mean,
+               {_sr_sql("log_lambda", 6)} AS log_lambda,
+               {_sr_sql("p", 6)} AS p_always,
+               p <= 0.05 AS reject_05
+        FROM pp
+    """
+
+    o["ab_power"] = f"""
+        WITH per AS (
+            SELECT CAST(user_id AS VARCHAR) AS k,
+                   CAST(user_id % 2 AS VARCHAR) AS variant,
+                   CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) >= 15
+                        THEN 1 ELSE 0 END AS c
+            FROM events GROUP BY 1, 2
+        ),
+        v AS (
+            SELECT variant, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS conv
+            FROM per GROUP BY 1
+        ),
+        ab AS (
+            SELECT min(variant) AS va, max(variant) AS vb,
+                   CAST(sum(CASE WHEN variant = (SELECT min(variant) FROM v)
+                            THEN n END) AS BIGINT) AS n_a,
+                   CAST(sum(CASE WHEN variant = (SELECT max(variant) FROM v)
+                            THEN n END) AS BIGINT) AS n_b,
+                   sum(CASE WHEN variant = (SELECT min(variant) FROM v)
+                            THEN conv END) AS c_a,
+                   sum(CASE WHEN variant = (SELECT max(variant) FROM v)
+                            THEN conv END) AS c_b
+            FROM v
+        ),
+        r AS (
+            SELECT n_a, n_b,
+                   CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+                   CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb
+            FROM ab
+        ),
+        f AS (
+            SELECT n_a, n_b, pa, pb,
+                   sqrt(pa * (1 - pa) / CAST(n_a AS DOUBLE)
+                        + pb * (1 - pb) / CAST(n_b AS DOUBLE)) AS se
+            FROM r
+        )
+        SELECT n_a, n_b,
+               {_sr_sql("pa", 6)} AS rate_a,
+               {_sr_sql("pb", 6)} AS rate_b,
+               {_sr_sql("pb - pa", 6)} AS diff,
+               {_sr_sql("se", 6)} AS se,
+               {_sr_sql("(pb - pa) / nullif(se, 0)", 6)} AS z,
+               {_sr_sql(
+                   "(CAST(1.959963984540054 AS DOUBLE)"
+                   " + CAST(0.8416212335729143 AS DOUBLE)) * se", 6
+               )} AS mde_abs_80,
+               {_sr_sql(
+                   "(CAST(1.959963984540054 AS DOUBLE)"
+                   " + CAST(0.8416212335729143 AS DOUBLE)) * se"
+                   " / nullif(pa, 0)", 6
+               )} AS mde_rel_80
+        FROM f
+    """
+
+    o["eb_shrinkage"] = f"""
+        WITH base AS (
+            SELECT CAST(user_id AS VARCHAR) AS key,
+                   CAST(count(*) AS BIGINT) AS trials,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS successes
+            FROM events GROUP BY 1
+        ),
+        rt AS (
+            SELECT key, trials, successes,
+                   CAST(successes AS DOUBLE) / nullif(CAST(trials AS DOUBLE),
+                                                      0) AS rate
+            FROM base
+        ),
+        pr AS (
+            SELECT CASE WHEN avg(rate) * (1 - avg(rate))
+                             / nullif(var_pop(rate), 0) - 1.0 > 0
+                        THEN avg(rate) * (avg(rate) * (1 - avg(rate))
+                             / nullif(var_pop(rate), 0) - 1.0) END AS alpha,
+                   CASE WHEN avg(rate) * (1 - avg(rate))
+                             / nullif(var_pop(rate), 0) - 1.0 > 0
+                        THEN (1 - avg(rate)) * (avg(rate) * (1 - avg(rate))
+                             / nullif(var_pop(rate), 0) - 1.0) END AS beta
+            FROM rt WHERE rate IS NOT NULL
+        )
+        SELECT key, trials, successes,
+               {_sr_sql("rate", 6)} AS rate,
+               {_sr_sql("alpha", 6)} AS alpha,
+               {_sr_sql("beta", 6)} AS beta,
+               {_sr_sql(
+                   "(CAST(successes AS DOUBLE) + alpha)"
+                   " / nullif(CAST(trials AS DOUBLE) + alpha + beta, 0)", 6
+               )} AS rate_eb
+        FROM rt CROSS JOIN pr
+    """
+
+    o["did"] = f"""
+        WITH cells AS (
+            SELECT user_id,
+                   CAST(user_id % 2 AS INT) AS t,
+                   CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END AS p,
+                   avg(value) AS y
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2, 3
+        ),
+        g AS (
+            SELECT t, p, CAST(count(*) AS BIGINT) AS n, avg(y) AS m,
+                   var_samp(y) AS v
+            FROM cells GROUP BY 1, 2
+        ),
+        one AS (
+            SELECT CAST(sum(n) AS BIGINT) AS n,
+                   max(CASE WHEN t = 0 AND p = 0 THEN m END) AS m00,
+                   max(CASE WHEN t = 0 AND p = 1 THEN m END) AS m01,
+                   max(CASE WHEN t = 1 AND p = 0 THEN m END) AS m10,
+                   max(CASE WHEN t = 1 AND p = 1 THEN m END) AS m11,
+                   sum(CASE WHEN t = 0 AND p = 0
+                            THEN v / CAST(n AS DOUBLE) END)
+                   + sum(CASE WHEN t = 0 AND p = 1
+                              THEN v / CAST(n AS DOUBLE) END)
+                   + sum(CASE WHEN t = 1 AND p = 0
+                              THEN v / CAST(n AS DOUBLE) END)
+                   + sum(CASE WHEN t = 1 AND p = 1
+                              THEN v / CAST(n AS DOUBLE) END) AS vsum
+            FROM g
+        ),
+        r AS (
+            SELECT n, m00, m01, m10, m11,
+                   (m11 - m10) - (m01 - m00) AS did, sqrt(vsum) AS se
+            FROM one
+        )
+        SELECT n,
+               {_sr_sql("m00", 6)} AS mean_c_pre,
+               {_sr_sql("m01", 6)} AS mean_c_post,
+               {_sr_sql("m10", 6)} AS mean_t_pre,
+               {_sr_sql("m11", 6)} AS mean_t_post,
+               {_sr_sql("did", 6)} AS did,
+               {_sr_sql("se", 6)} AS se,
+               {_sr_sql("did / nullif(se, 0)", 6)} AS z
+        FROM r
     """
 
     o["nelson_aalen"] = f"""

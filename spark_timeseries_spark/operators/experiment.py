@@ -8,7 +8,7 @@ broadcast, no Python).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # upper-tail 5% chi-square critical values, df = 1..10 (standard table)
@@ -266,4 +266,258 @@ def ab_conversion(
         "variant", "n", "conv", "rate", "wilson_lo", "wilson_hi",
         z.alias("z"),
         (z > F.lit(z169)).alias("significant_05"),
+    )
+
+
+def msprt(
+    df: DataFrame,
+    tau2: float = 1.0,
+    mu0: float = 0.0,
+    sigma2: float | None = None,
+    key_col: str = "key",
+    order_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Mixture sequential probability ratio test (mSPRT) per metric
+    stream → one row per observation: (key, <order_col>, n, mean,
+    lambda, p_always, reject_05). The always-valid inference of
+    Johari, Koomen, Pekelis & Walsh (KDD 2017): under H₀ μ = ``mu0``
+    with a N(0, ``tau2``) mixing prior over the alternative,
+
+        ln Λ_n = ½·ln(σ²/(σ² + nτ²)) + n²τ²(x̄−μ₀)² / (2σ²(σ² + nτ²))
+
+    and p_n = min(1, exp(−max_{i≤n} ln Λ_i)) is an always-valid
+    p-value — monotone non-increasing, immune to continuous peeking
+    (the failure mode of applying :func:`ab_conversion`'s
+    fixed-horizon z at every refresh). Λ is emitted in LOG space
+    (``log_lambda``) — the raw likelihood ratio overflows a double as
+    soon as the effect is obvious; exp(−max ln Λ) underflows to an
+    exact 0 instead. ``sigma2`` NULL-able plug-in: pass a known
+    variance, or None to use the RUNNING sample variance (ln Λ is
+    NULL until it exists, i.e. n ≥ 2, and p stays 1 there — the
+    estimated-variance mSPRT variant, stated).
+
+    Plan: cumulative count/mean/variance windows and a running-min
+    window on one (key, order) sort — a single exchange, no joins, all
+    JVM."""
+    if tau2 <= 0:
+        raise ValueError(f"tau2 must be > 0, got {tau2}")
+    if sigma2 is not None and sigma2 <= 0:
+        raise ValueError(f"sigma2 must be > 0, got {sigma2}")
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    wc = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n = F.count(F.lit(1)).over(wc).cast("double")
+    mean = F.avg(v).over(wc)
+    s2 = (
+        F.lit(float(sigma2))
+        if sigma2 is not None
+        else F.var_samp(v).over(wc)
+    )
+    dev = mean - F.lit(float(mu0))
+    denom = s2 + n * F.lit(float(tau2))
+    # s2 = 0 (a constant prefix) leaves ln(0) undefined — NULL ln-lambda,
+    # p carries 1, matching the n=1 running-variance convention
+    loglam = F.when(
+        s2 > 0,
+        0.5 * F.log(F.try_divide(s2, denom))
+        + F.try_divide(
+            n * n * F.lit(float(tau2)) * dev * dev, 2.0 * s2 * denom
+        ),
+    )
+    d = pts.select(
+        F.col(key_col),
+        F.col(order_col),
+        n.cast("long").alias("n"),
+        mean.alias("mean"),
+        loglam.alias("log_lambda"),
+    )
+    p = F.coalesce(
+        F.least(
+            F.lit(1.0), F.exp(-F.max(F.col("log_lambda")).over(wc))
+        ),
+        F.lit(1.0),
+    )
+    return d.select(
+        key_col, order_col, "n", "mean", "log_lambda",
+        p.alias("p_always"),
+        (p <= 0.05).alias("reject_05"),
+    )
+
+
+def ab_power(
+    df: DataFrame,
+    converted: Column,
+    variant_col: str = "variant",
+    key_col: str = "key",
+) -> DataFrame:
+    """Two-proportion sensitivity readout → ONE row: (n_a, n_b,
+    rate_a, rate_b, diff, se, z, mde_abs_80, mde_rel_80). The standard
+    "could this experiment have seen anything?" companion of
+    :func:`ab_conversion`: the minimum detectable effect at α = .05
+    two-sided / 80% power is MDE = (z_{.975} + z_{.80})·SE with the
+    unpooled standard error SE = √(p̂ₐ(1−p̂ₐ)/nₐ + p̂ᵦ(1−p̂ᵦ)/nᵦ);
+    ``mde_rel_80`` divides by the baseline rate of variant a (the
+    lexicographically smaller label, stated). z uses the same unpooled
+    SE (NULL when both rates are degenerate). Exactly 2 variants
+    required — the guard lives in emitted columns (the
+    :func:`ab_conversion` pruning lesson).
+
+    Plan: groupBy(key, variant) entity dedup, groupBy(variant)
+    (2 rows), one two-row reduce. All JVM."""
+    per = df.groupBy(
+        F.col(key_col).alias("_k"), F.col(variant_col).alias("variant")
+    ).agg(F.max(converted.cast("int")).alias("_c"))
+    v = per.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_c").alias("conv")
+    )
+    one = v.groupBy(F.lit(1).alias("_j")).agg(
+        F.count(F.lit(1)).alias("_nv"),
+        F.min_by(F.struct("n", "conv"), "variant").alias("_a"),
+        F.max_by(F.struct("n", "conv"), "variant").alias("_b"),
+    )
+    z975 = 1.959963984540054
+    z80 = 0.8416212335729143  # Phi^{-1}(0.80)
+    na = F.col("_a.n").cast("double")
+    nb = F.col("_b.n").cast("double")
+    pa = F.col("_a.conv").cast("double") / na
+    pb = F.col("_b.conv").cast("double") / nb
+    se = F.sqrt(pa * (1 - pa) / na + pb * (1 - pb) / nb)
+    guard = F.when(
+        F.col("_nv") == 2, F.lit(1.0)
+    ).otherwise(
+        F.raise_error(F.lit("ab_power requires exactly 2 variants"))
+    )
+    mde = guard * F.lit(z975 + z80) * se
+    return one.select(
+        F.col("_a.n").alias("n_a"),
+        F.col("_b.n").alias("n_b"),
+        pa.alias("rate_a"),
+        pb.alias("rate_b"),
+        (pb - pa).alias("diff"),
+        se.alias("se"),
+        F.try_divide(pb - pa, se).alias("z"),
+        mde.alias("mde_abs_80"),
+        F.try_divide(mde, pa).alias("mde_rel_80"),
+    )
+
+
+def eb_shrinkage(
+    df: DataFrame,
+    key_col: str = "key",
+    trials_col: str = "trials",
+    successes_col: str = "successes",
+) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-key rates → one
+    row per key: (key, trials, successes, rate, alpha, beta, rate_eb).
+    The cure for small-sample league tables (a 1/1 key outranking a
+    970/1000 key): fit a Beta(α, β) prior to the OBSERVED rate
+    distribution by method of moments — with m and v the mean and
+    population variance of the per-key rates, c = m(1−m)/v − 1,
+    α = mc, β = (1−m)c — then shrink every key toward the prior mean:
+    rate_eb = (s + α)/(t + α + β) (Robbins 1956 empirical Bayes;
+    Efron & Morris 1975). When the rates are (near-)constant or
+    over-dispersed past the beta envelope (v = 0 or c ≤ 0) the prior
+    is undefined: α/β/rate_eb are NULL (documented — callers fall back
+    to the raw rate). Zero-trial keys pass through with NULL rate and
+    rate_eb = prior mean α/(α+β) (the no-data posterior).
+
+    Plan: one groupBy(key) (or none if pre-aggregated), ONE one-row
+    moment aggregate over the rates broadcast back — no key joins."""
+    t = F.col(trials_col).cast("double")
+    s = F.col(successes_col).cast("double")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(trials_col).cast("long").alias("trials"),
+        F.col(successes_col).cast("long").alias("successes"),
+        F.try_divide(s, t).alias("rate"),
+    )
+    m = F.avg("rate")
+    vv = F.var_pop("rate")
+    c = F.try_divide(m * (1 - m), vv) - 1.0
+    prior = F.broadcast(
+        base.where(F.col("rate").isNotNull())
+        .groupBy(F.lit(1).alias("_j"))
+        .agg(
+            F.when(c > 0, m * c).alias("alpha"),
+            F.when(c > 0, (1 - m) * c).alias("beta"),
+        )
+    )
+    a, b = F.col("alpha"), F.col("beta")
+    return base.crossJoin(prior).select(
+        "key", "trials", "successes", "rate", "alpha", "beta",
+        F.try_divide(
+            F.col("successes").cast("double") + a,
+            F.col("trials").cast("double") + a + b,
+        ).alias("rate_eb"),
+    )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treated: Column,
+    post: Column,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Two-period two-group difference-in-differences → ONE row:
+    (n, mean_c_pre, mean_c_post, mean_t_pre, mean_t_post, did, se, z).
+    The workhorse quasi-experimental estimator (Card & Krueger 1994
+    canonical form): entities are first collapsed to one mean outcome
+    per (entity, period) cell, then
+    DID = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) with the
+    four-cell unpooled SE = √(Σ s²_gp/n_gp) over ENTITY-level means
+    (sample variance; the parallel-trends assumption is the caller's
+    burden, stated). z = DID/SE, NULL when any cell is empty or
+    degenerate.
+
+    Plan: groupBy(key, treated, post) entity-cell means, one 4-row
+    reduce. All JVM, no joins."""
+    cells = df.groupBy(
+        F.col(key_col).alias("_k"),
+        treated.cast("int").alias("_t"),
+        post.cast("int").alias("_p"),
+    ).agg(F.avg(F.col(value_col)).alias("_y"))
+    g = cells.groupBy("_t", "_p").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("_y").alias("_m"),
+        F.var_samp("_y").alias("_v"),
+    )
+    one = g.groupBy(F.lit(1).alias("_j")).agg(
+        F.sum("_n").alias("n"),
+        *[
+            F.first(
+                F.when(
+                    (F.col("_t") == t_) & (F.col("_p") == p_),
+                    F.col(f"_{c_}"),
+                ),
+                ignorenulls=True,
+            ).alias(f"_{c_}{t_}{p_}")
+            for t_ in (0, 1)
+            for p_ in (0, 1)
+            for c_ in ("m", "v", "n")
+        ],
+    )
+    did = (F.col("_m11") - F.col("_m10")) - (
+        F.col("_m01") - F.col("_m00")
+    )
+    se = F.sqrt(
+        F.try_divide(F.col("_v00"), F.col("_n00").cast("double"))
+        + F.try_divide(F.col("_v01"), F.col("_n01").cast("double"))
+        + F.try_divide(F.col("_v10"), F.col("_n10").cast("double"))
+        + F.try_divide(F.col("_v11"), F.col("_n11").cast("double"))
+    )
+    return one.select(
+        "n",
+        F.col("_m00").alias("mean_c_pre"),
+        F.col("_m01").alias("mean_c_post"),
+        F.col("_m10").alias("mean_t_pre"),
+        F.col("_m11").alias("mean_t_post"),
+        did.alias("did"),
+        se.alias("se"),
+        F.try_divide(did, se).alias("z"),
     )

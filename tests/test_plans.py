@@ -1161,3 +1161,35 @@ def test_log_rank_grid_bounded(spark):
     _, _, p = _counts(log_rank(binned, group_col="grp"))
     assert "BroadcastExchange" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_msprt_single_exchange_no_join(spark):
+    """msprt: cumulative count/mean/variance and the running-min p all
+    ride ONE (key, order) exchange; no joins, no Python."""
+    from spark_timeseries_spark.operators.experiment import msprt
+    from spark_timeseries_spark.sources import events_observations
+
+    obs = events_observations(spark, SF)
+    shuffles, sorts, p = _counts(msprt(obs, tau2=25.0, mu0=30.0))
+    assert "Join" not in p, p
+    assert shuffles <= 1, p
+
+
+def test_eb_shrinkage_one_row_broadcast_only(spark):
+    """eb_shrinkage: the only join is the one-row method-of-moments
+    prior broadcast back onto the per-key table — never a key-sized
+    side."""
+    from spark_timeseries_spark.operators.experiment import eb_shrinkage
+    from spark_timeseries_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    d = ev.groupBy(F.col("user_id").cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("trials"),
+        F.sum(
+            (F.col("event_type") == "purchase").cast("long")
+        ).alias("successes"),
+    )
+    _, _, p = _counts(eb_shrinkage(d))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "ShuffledHashJoin" not in p, p
