@@ -5147,6 +5147,60 @@ def _q_kaplan_meier(spark, sf_dir):
     )
 
 
+def _q_ichimoku(spark, sf_dir):
+    """Ichimoku cloud (5/10/20 — scaled to the ~31-bar daily fixture)
+    over each user's daily OHLC bars — five gated midpoints + shifts on
+    one sort."""
+    from spark_timeseries_spark.operators.indicators import ichimoku
+    from spark_timeseries_spark.operators.resample import ohlc
+
+    obs = events_observations(spark, sf_dir)
+    out = ichimoku(ohlc(obs, "day"), n_tenkan=5, n_kijun=10, n_senkou=20)
+    return out.select(
+        "key", "bar_ts",
+        _stable_round(F.col("tenkan"), 6).alias("tenkan"),
+        _stable_round(F.col("kijun"), 6).alias("kijun"),
+        _stable_round(F.col("senkou_a"), 6).alias("senkou_a"),
+        _stable_round(F.col("senkou_b"), 6).alias("senkou_b"),
+        _stable_round(F.col("chikou"), 6).alias("chikou"),
+    )
+
+
+def _q_mfi(spark, sf_dir):
+    """Money flow index (n=7) over daily bars with bar event count as
+    volume — lag + two conditional rolling sums on one sort."""
+    from spark_timeseries_spark.operators.indicators import (
+        money_flow_index,
+    )
+    from spark_timeseries_spark.operators.resample import ohlc
+
+    obs = events_observations(spark, sf_dir)
+    out = money_flow_index(ohlc(obs, "day"), n=7)
+    return out.select(
+        "key", "bar_ts",
+        _stable_round(F.col("typical"), 6).alias("typical"),
+        _stable_round(F.col("mfi"), 6).alias("mfi"),
+    )
+
+
+def _q_risk_ratios(spark, sf_dir):
+    """Omega / gain-to-pain / max-drawdown / calmar per user return
+    stream — lag + cumulative equity windows + one combinable
+    aggregate on a single key sort."""
+    from spark_timeseries_spark.operators.indicators import risk_ratios
+
+    obs = events_observations(spark, sf_dir)
+    out = risk_ratios(obs, order_col="ts")
+    return out.select(
+        "key", "n",
+        _stable_round(F.col("mean_ret"), 6).alias("mean_ret"),
+        _stable_round(F.col("omega"), 6).alias("omega"),
+        _stable_round(F.col("gain_to_pain"), 6).alias("gain_to_pain"),
+        _stable_round(F.col("max_dd"), 6).alias("max_dd"),
+        _stable_round(F.col("calmar"), 6).alias("calmar"),
+    )
+
+
 def _q_msprt(spark, sf_dir):
     """Always-valid mSPRT over each user's event-value stream (running
     sample variance, tau2 = 25, null mean 30) — cumulative windows on
@@ -5915,6 +5969,9 @@ _ALL_QUERIES = {
     "gpd": _q_gpd,
     "nelson_aalen": _q_nelson_aalen,
     "log_rank": _q_log_rank,
+    "ichimoku": _q_ichimoku,
+    "mfi": _q_mfi,
+    "risk_ratios": _q_risk_ratios,
     "msprt": _q_msprt,
     "ab_power": _q_ab_power,
     "eb_shrinkage": _q_eb_shrinkage,
@@ -15324,6 +15381,131 @@ def oracle_sql() -> dict[str, str]:
         FROM f
         WINDOW cum AS (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
                        AND CURRENT ROW)
+    """
+
+    o["ichimoku"] = f"""
+        WITH bars AS (
+            SELECT CAST(user_id AS VARCHAR) AS key,
+                   date_trunc('day', ts) AS bar_ts,
+                   max(value) AS high, min(value) AS low,
+                   last(value ORDER BY ts, value) AS close
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        mids AS (
+            SELECT key, bar_ts, close,
+                   CASE WHEN count(*) OVER w5 >= 5 THEN
+                       (max(high) OVER w5 + min(low) OVER w5) / 2.0
+                   END AS tenkan,
+                   CASE WHEN count(*) OVER w10 >= 10 THEN
+                       (max(high) OVER w10 + min(low) OVER w10) / 2.0
+                   END AS kijun,
+                   CASE WHEN count(*) OVER w20 >= 20 THEN
+                       (max(high) OVER w20 + min(low) OVER w20) / 2.0
+                   END AS sb
+            FROM bars
+            WINDOW w5 AS (PARTITION BY key ORDER BY bar_ts
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                   w10 AS (PARTITION BY key ORDER BY bar_ts
+                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+                   w20 AS (PARTITION BY key ORDER BY bar_ts
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        )
+        SELECT key, bar_ts,
+               {_sr_sql("tenkan", 6)} AS tenkan,
+               {_sr_sql("kijun", 6)} AS kijun,
+               {_sr_sql("lag((tenkan + kijun) / 2.0, 10) OVER wk", 6)}
+                   AS senkou_a,
+               {_sr_sql("lag(sb, 10) OVER wk", 6)} AS senkou_b,
+               {_sr_sql("lead(close, 10) OVER wk", 6)} AS chikou
+        FROM mids
+        WINDOW wk AS (PARTITION BY key ORDER BY bar_ts)
+    """
+
+    o["mfi"] = f"""
+        WITH bars AS (
+            SELECT CAST(user_id AS VARCHAR) AS key,
+                   date_trunc('day', ts) AS bar_ts,
+                   max(value) AS high, min(value) AS low,
+                   last(value ORDER BY ts, value) AS close,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT key, bar_ts,
+                   (high + low + close) / 3.0 AS typical, n
+            FROM bars
+        ),
+        d AS (
+            SELECT key, bar_ts, typical, n,
+                   typical - lag(typical) OVER wk AS dt
+            FROM t
+            WINDOW wk AS (PARTITION BY key ORDER BY bar_ts)
+        ),
+        f AS (
+            SELECT key, bar_ts, typical,
+                   sum(CASE WHEN dt > 0 THEN typical * CAST(n AS DOUBLE)
+                            ELSE 0.0 END) OVER w7 AS pos,
+                   sum(CASE WHEN dt < 0 THEN typical * CAST(n AS DOUBLE)
+                            ELSE 0.0 END) OVER w7 AS neg,
+                   count(dt) OVER w7 AS ndt
+            FROM d
+            WINDOW w7 AS (PARTITION BY key ORDER BY bar_ts
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        SELECT key, bar_ts,
+               {_sr_sql("typical", 6)} AS typical,
+               {_sr_sql(
+                   "CASE WHEN ndt >= 7 THEN"
+                   " 100.0 * pos / nullif(pos + neg, 0) END", 6
+               )} AS mfi
+        FROM f
+    """
+
+    o["risk_ratios"] = f"""
+        WITH e AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, ts, value
+            FROM events WHERE value IS NOT NULL
+        ),
+        r0 AS (
+            SELECT key, ts,
+                   value / nullif(lag(value) OVER wk, 0) - 1.0 AS r
+            FROM e
+            WINDOW wk AS (PARTITION BY key ORDER BY ts)
+        ),
+        rr AS (SELECT key, ts, r FROM r0 WHERE r IS NOT NULL),
+        q AS (
+            SELECT key, ts, r,
+                   min(1.0 + r) OVER wc <= 0.0 AS dead,
+                   exp(sum(ln(CASE WHEN r > -1.0 THEN 1.0 + r
+                                   ELSE 1.0 END)) OVER wc) AS eq
+            FROM rr
+            WINDOW wc AS (PARTITION BY key ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        dd AS (
+            SELECT key, r,
+                   CASE WHEN dead THEN 1.0
+                        ELSE 1.0 - eq / max(eq) OVER wc END AS ddv
+            FROM q
+            WINDOW wc AS (PARTITION BY key ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        a AS (
+            SELECT key, CAST(count(*) AS BIGINT) AS n, avg(r) AS mean_ret,
+                   sum(CASE WHEN r > 0 THEN r ELSE 0 END) AS gain,
+                   sum(CASE WHEN r < 0 THEN -r ELSE 0 END) AS pain,
+                   sum(r) AS tot, max(ddv) AS mdd
+            FROM dd GROUP BY 1
+        )
+        SELECT key, n,
+               {_sr_sql("mean_ret", 6)} AS mean_ret,
+               {_sr_sql("gain / nullif(pain, 0)", 6)} AS omega,
+               {_sr_sql("tot / nullif(pain, 0)", 6)} AS gain_to_pain,
+               {_sr_sql("mdd", 6)} AS max_dd,
+               {_sr_sql("mean_ret / nullif(mdd, 0)", 6)} AS calmar
+        FROM a
     """
 
     o["msprt"] = f"""

@@ -1188,3 +1188,160 @@ def microstructure(
         cov.alias("roll_cov"),
         F.when(cov < 0, 2.0 * F.sqrt(-cov)).alias("roll_spread"),
     )
+
+
+def ichimoku(
+    df: DataFrame,
+    n_tenkan: int = 9,
+    n_kijun: int = 26,
+    n_senkou: int = 52,
+    key_col: str = "key",
+    order_col: str = "bar_ts",
+    high_col: str = "high",
+    low_col: str = "low",
+    close_col: str = "close",
+) -> DataFrame:
+    """Ichimoku Kinkō Hyō → input rows + ``tenkan`` ((n_tenkan-bar
+    highest high + lowest low)/2), ``kijun`` (same over n_kijun),
+    ``senkou_a`` ((tenkan+kijun)/2 SHIFTED n_kijun bars forward — the
+    leading-span convention realized as a lag so row t carries the
+    cloud edge PLOTTED at t), ``senkou_b`` (n_senkou midpoint shifted
+    the same way), and ``chikou`` (close shifted n_kijun bars BACK —
+    row t carries the lagging span plotted at t, i.e. the close from
+    t+n_kijun when it exists). Every midpoint is NULL until its full
+    window exists (the :func:`donchian_channels` burn-in convention);
+    the shifts then propagate those NULLs exactly as a chart would
+    leave the cloud blank. Five windows + two lags + one lead on ONE
+    (key, order) sort — one exchange, all JVM."""
+    for nm, v_ in (("n_tenkan", n_tenkan), ("n_kijun", n_kijun),
+                   ("n_senkou", n_senkou)):
+        if v_ < 1:
+            raise ValueError(f"{nm} must be >= 1, got {v_}")
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+
+    def mid(n: int):
+        w = ws.rowsBetween(-(n - 1), 0)
+        full = F.count(F.lit(1)).over(w) >= n
+        return F.when(
+            full, (F.max(high_col).over(w) + F.min(low_col).over(w)) / 2.0
+        )
+
+    d = (
+        df.withColumn("tenkan", mid(n_tenkan))
+        .withColumn("kijun", mid(n_kijun))
+        .withColumn("_sb", mid(n_senkou))
+    )
+    return (
+        d.withColumn(
+            "senkou_a",
+            F.lag((F.col("tenkan") + F.col("kijun")) / 2.0, n_kijun).over(
+                ws
+            ),
+        )
+        .withColumn("senkou_b", F.lag("_sb", n_kijun).over(ws))
+        .withColumn("chikou", F.lead(close_col, n_kijun).over(ws))
+        .drop("_sb")
+    )
+
+
+def money_flow_index(
+    df: DataFrame,
+    n: int = 14,
+    key_col: str = "key",
+    order_col: str = "bar_ts",
+    high_col: str = "high",
+    low_col: str = "low",
+    close_col: str = "close",
+    volume_col: str = "n",
+) -> DataFrame:
+    """Money flow index → input rows + ``typical`` ((H+L+C)/3) and
+    ``mfi`` (volume-weighted RSI): raw money flow = typical·volume,
+    classed positive/negative by the SIGN of the typical-price change
+    (flat bars contribute neither — the standard convention), and
+    MFI = 100·Σpos/(Σpos+Σneg) over the last n CHANGES. NULL until a
+    full n-change window exists (row n of the series — the first bar
+    has no change) and when the window's total flow is 0. Lag + two
+    conditional rolling sums on one sort — one exchange, all JVM."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+    w = ws.rowsBetween(-(n - 1), 0)
+    typ = (
+        F.col(high_col) + F.col(low_col) + F.col(close_col)
+    ) / 3.0
+    d = df.withColumn("typical", typ).withColumn(
+        "_dt", F.col("typical") - F.lag("typical").over(ws)
+    )
+    flow = F.col("typical") * F.col(volume_col).cast("double")
+    pos = F.sum(F.when(F.col("_dt") > 0, flow).otherwise(F.lit(0.0))).over(w)
+    neg = F.sum(F.when(F.col("_dt") < 0, flow).otherwise(F.lit(0.0))).over(w)
+    full = F.count("_dt").over(w) >= n
+    mfi = F.when(full, 100.0 * F.try_divide(pos, pos + neg))
+    return d.withColumn("mfi", mfi).drop("_dt")
+
+
+def risk_ratios(
+    df: DataFrame,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Return-stream risk ratios per series → one row per key: (key,
+    n, mean_ret, omega, gain_to_pain, max_dd, calmar). Returns are
+    simple one-step changes over consecutive NON-NULL observations
+    (the :func:`rolling_sharpe` bridging convention). omega (Ω at
+    threshold 0, Keating & Shadwick 2002) = Σ gains / Σ |losses|;
+    gain_to_pain (Schwager) = Σ r / Σ |losses|; ``max_dd`` is the
+    maximum peak-to-trough drawdown of the compounded equity curve
+    Π(1+r) (computed as exp∘cumsum∘log1p with the zero guard — a
+    return ≤ −100% pins the curve, and max_dd, to exactly 1); calmar
+    (cadence-relative form, stated: no annualization — the engine
+    doesn't know the sampling frequency) = mean_ret / max_dd. NULL
+    ratios where the denominator is 0 (an all-gain series has
+    Ω = NULL, not ∞).
+
+    Plan: one lag + two cumulative windows on one (key, order) sort,
+    then ONE map-side-combinable groupBy(key) on the same partitioning
+    — a single exchange, no joins, all JVM."""
+    v = F.col(value_col)
+    ws = Window.partitionBy(key_col).orderBy(order_col)
+    wc = ws.rowsBetween(Window.unboundedPreceding, 0)
+    pts = df.where(v.isNotNull())
+    d = pts.withColumn(
+        "_r", F.try_divide(v, F.lag(v).over(ws)) - 1.0
+    ).where(F.col("_r").isNotNull())
+    # equity curve with the <= -100% pin: ln(1+r) guarded to 0 there,
+    # the running min of (1+r) marks the pinned region (the
+    # kaplan_meier zero-factor technique)
+    safe = F.log(
+        F.when(F.col("_r") > -1.0, 1.0 + F.col("_r")).otherwise(F.lit(1.0))
+    )
+    d = (
+        d.withColumn("_dead", F.min(1.0 + F.col("_r")).over(wc) <= 0.0)
+        .withColumn("_eq", F.exp(F.sum(safe).over(wc)))
+        .withColumn(
+            "_dd",
+            F.when(F.col("_dead"), F.lit(1.0)).otherwise(
+                1.0 - F.try_divide(F.col("_eq"), F.max("_eq").over(wc))
+            ),
+        )
+    )
+    agg = d.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("_r").alias("mean_ret"),
+        F.sum(F.when(F.col("_r") > 0, F.col("_r")).otherwise(0.0)).alias(
+            "_gain"
+        ),
+        F.sum(F.when(F.col("_r") < 0, -F.col("_r")).otherwise(0.0)).alias(
+            "_pain"
+        ),
+        F.sum("_r").alias("_tot"),
+        F.max("_dd").alias("max_dd"),
+    )
+    return agg.select(
+        "key", "n", "mean_ret",
+        F.try_divide(F.col("_gain"), F.col("_pain")).alias("omega"),
+        F.try_divide(F.col("_tot"), F.col("_pain")).alias("gain_to_pain"),
+        "max_dd",
+        F.try_divide(F.col("mean_ret"), F.col("max_dd")).alias("calmar"),
+    )

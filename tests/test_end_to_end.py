@@ -6679,3 +6679,101 @@ def test_msprt_ab_power_eb_did(spark):
     did = (means[(1, 1)] - means[(1, 0)]) - (means[(0, 1)] - means[(0, 0)])
     se = np.sqrt(sum(np.var(v, ddof=1) / len(v) for v in cells.values()))
     assert abs(r.did - did) < 1e-9 and abs(r.se - se) < 1e-9
+
+
+def test_ichimoku_mfi_risk_ratios(spark):
+    """ichimoku: exact pandas replay of all five lines incl. the
+    forward/backward shifts and burn-in NULLs; money_flow_index: exact
+    replay of the volume-weighted flow split, flat bars contribute
+    neither side; risk_ratios: exact replay of omega/gain-to-pain/
+    max-dd/calmar, the <= -100% return pins max_dd to 1, an all-gain
+    series has NULL omega."""
+    from spark_timeseries_spark.operators.indicators import (
+        ichimoku,
+        money_flow_index,
+        risk_ratios,
+    )
+
+    rng = np.random.RandomState(7)
+    m = 60
+    close = 100 + np.cumsum(rng.randn(m))
+    high = close + np.abs(rng.randn(m))
+    low = close - np.abs(rng.randn(m))
+    vol = rng.randint(1, 50, m)
+    rows = [("a", i, float(high[i]), float(low[i]), float(close[i]),
+             int(vol[i])) for i in range(m)]
+    df = spark.createDataFrame(
+        rows, "key string, bar_ts long, high double, low double,"
+        " close double, n long")
+
+    got = sorted(
+        ichimoku(df, n_tenkan=5, n_kijun=10, n_senkou=20).collect(),
+        key=lambda r: r.bar_ts)
+    import pandas as pd
+    hp, lp, cp = pd.Series(high), pd.Series(low), pd.Series(close)
+
+    def mid(n):
+        return (hp.rolling(n).max() + lp.rolling(n).min()) / 2.0
+
+    tenkan, kijun, sb = mid(5), mid(10), mid(20)
+    sen_a = ((tenkan + kijun) / 2.0).shift(10)
+    sen_b = sb.shift(10)
+    chik = cp.shift(-10)
+    for i, r in enumerate(got):
+        for name, series in (("tenkan", tenkan), ("kijun", kijun),
+                             ("senkou_a", sen_a), ("senkou_b", sen_b),
+                             ("chikou", chik)):
+            want = series.iloc[i]
+            gotv = getattr(r, name)
+            if pd.isna(want):
+                assert gotv is None, (name, i)
+            else:
+                assert abs(gotv - want) < 1e-12, (name, i)
+
+    got = sorted(money_flow_index(df, n=7).collect(),
+                 key=lambda r: r.bar_ts)
+    typ = (hp + lp + cp) / 3.0
+    dt = typ.diff()
+    flow = typ * vol
+    pos = flow.where(dt > 0, 0.0).rolling(7).sum().shift(0)
+    neg = flow.where(dt < 0, 0.0).rolling(7).sum()
+    # pandas rolling(7) over the flow includes row 0 where dt is NaN;
+    # replicate the count(dt)>=7 gate
+    for i, r in enumerate(got):
+        assert abs(r.typical - typ.iloc[i]) < 1e-12
+        n_changes = min(i + 1, 7) - (1 if i - 6 <= 0 else 0)
+        if i < 7:  # first full 7-change window ends at row 7
+            assert r.mfi is None
+        else:
+            p_, g_ = pos.iloc[i], neg.iloc[i]
+            want = 100.0 * p_ / (p_ + g_) if (p_ + g_) > 0 else None
+            if want is None:
+                assert r.mfi is None
+            else:
+                assert abs(r.mfi - want) < 1e-9, i
+
+    vals = [100.0, 110.0, 99.0, 120.6, 80.0, 100.0]
+    rdf = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(vals)]
+        + [("gain", i, float(v)) for i, v in enumerate([1.0, 2.0, 4.0])]
+        + [("dead", i, float(v)) for i, v in
+           enumerate([5.0, 10.0, -2.0, 1.0])],
+        "key string, loc long, value double")
+    out = {r.key: r for r in risk_ratios(rdf).collect()}
+    r = np.diff(vals) / np.array(vals[:-1])
+    eq = np.cumprod(1 + r)
+    ddv = 1 - eq / np.maximum.accumulate(eq)
+    gain = r[r > 0].sum()
+    pain = -r[r < 0].sum()
+    a = out["a"]
+    assert a.n == 5
+    assert abs(a.mean_ret - r.mean()) < 1e-12
+    assert abs(a.omega - gain / pain) < 1e-12
+    assert abs(a.gain_to_pain - r.sum() / pain) < 1e-12
+    assert abs(a.max_dd - ddv.max()) < 1e-12
+    assert abs(a.calmar - r.mean() / ddv.max()) < 1e-12
+    g = out["gain"]
+    assert g.omega is None and g.gain_to_pain is None  # no losses
+    assert g.max_dd == 0.0 and g.calmar is None
+    d = out["dead"]
+    assert d.max_dd == 1.0  # -120% return pins the curve
