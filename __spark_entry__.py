@@ -5147,6 +5147,34 @@ def _q_kaplan_meier(spark, sf_dir):
     )
 
 
+def _q_savgol(spark, sf_dir):
+    """Savitzky-Golay (7, 2) smoothing of each user's event-value
+    sequence (rows as unit steps) — exact-rational coefficients, one
+    weighted lag/lead sum on one sort, interior-only NULL edges."""
+    from spark_timeseries_spark.operators.smoothing import savgol_smooth
+
+    obs = events_observations(spark, sf_dir)
+    out = savgol_smooth(obs, window=7, polyorder=2, order_col="ts")
+    return out.select(
+        "key", "ts", "value",
+        _stable_round(F.col("savgol"), 6).alias("savgol"),
+    )
+
+
+def _q_kernel_smooth(spark, sf_dir):
+    """Gaussian Nadaraya-Watson over event time (h = 6 h, +/-3h reach)
+    — RANGE-frame collect_list + an F.aggregate fold, all JVM; the
+    oracle replays it with a bounded range self-join."""
+    from spark_timeseries_spark.operators.smoothing import kernel_smooth
+
+    obs = events_observations(spark, sf_dir)
+    out = kernel_smooth(obs, bandwidth_seconds=21600.0)
+    return out.select(
+        "key", "ts", "n_local",
+        _stable_round(F.col("smoothed"), 6).alias("smoothed"),
+    )
+
+
 def _q_ichimoku(spark, sf_dir):
     """Ichimoku cloud (5/10/20 — scaled to the ~31-bar daily fixture)
     over each user's daily OHLC bars — five gated midpoints + shifts on
@@ -5969,6 +5997,8 @@ _ALL_QUERIES = {
     "gpd": _q_gpd,
     "nelson_aalen": _q_nelson_aalen,
     "log_rank": _q_log_rank,
+    "savgol": _q_savgol,
+    "kernel_smooth": _q_kernel_smooth,
     "ichimoku": _q_ichimoku,
     "mfi": _q_mfi,
     "risk_ratios": _q_risk_ratios,
@@ -15381,6 +15411,58 @@ def oracle_sql() -> dict[str, str]:
         FROM f
         WINDOW cum AS (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
                        AND CURRENT ROW)
+    """
+
+    from spark_timeseries_spark.operators.smoothing import savgol_coeffs
+    _sg = savgol_coeffs(7, 2)
+    _sg_terms = " + ".join(
+        f"CAST({c!r} AS DOUBLE) * "
+        + (
+            f"lag(value, {-k}) OVER wk"
+            if k < 0
+            else (f"lead(value, {k}) OVER wk" if k > 0 else "value")
+        )
+        for k, c in zip(range(-3, 4), _sg)
+    )
+    o["savgol"] = f"""
+        WITH e AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, ts, value
+            FROM events WHERE value IS NOT NULL
+        ),
+        sg AS (
+            SELECT key, ts, value, {_sg_terms} AS sv
+            FROM e
+            WINDOW wk AS (PARTITION BY key ORDER BY ts)
+        )
+        SELECT key, ts, value, {_sr_sql("sv", 6)} AS savgol FROM sg
+    """
+
+    o["kernel_smooth"] = f"""
+        WITH e AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, ts, value,
+                   epoch_us(ts) AS us
+            FROM events WHERE value IS NOT NULL
+        ),
+        j AS (
+            SELECT a.key, a.ts, CAST(count(*) AS INT) AS n_local,
+                   sum(exp(-(CAST(b.us - a.us AS DOUBLE) / 1000000.0
+                             / CAST(21600.0 AS DOUBLE))
+                           * (CAST(b.us - a.us AS DOUBLE) / 1000000.0
+                              / CAST(21600.0 AS DOUBLE))
+                           / 2.0) * b.value) AS num,
+                   sum(exp(-(CAST(b.us - a.us AS DOUBLE) / 1000000.0
+                             / CAST(21600.0 AS DOUBLE))
+                           * (CAST(b.us - a.us AS DOUBLE) / 1000000.0
+                              / CAST(21600.0 AS DOUBLE))
+                           / 2.0)) AS den
+            FROM e a JOIN e b ON a.key = b.key
+               AND b.us BETWEEN a.us - 64800000000
+                            AND a.us + 64800000000
+            GROUP BY a.key, a.ts
+        )
+        SELECT key, ts, n_local,
+               {_sr_sql("num / den", 6)} AS smoothed
+        FROM j
     """
 
     o["ichimoku"] = f"""

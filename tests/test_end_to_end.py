@@ -6777,3 +6777,64 @@ def test_ichimoku_mfi_risk_ratios(spark):
     assert g.max_dd == 0.0 and g.calmar is None
     d = out["dead"]
     assert d.max_dd == 1.0  # -120% return pins the curve
+
+
+def test_savgol_kernel_smooth(spark):
+    """savgol_coeffs: exact match with the published Savitzky-Golay
+    tables (7/2 quadratic and the 5-point cubic first derivative) and
+    weights sum to 1 (deriv=0); savgol_smooth: exact numpy convolution
+    replay, NULL edges, a quadratic signal passes through EXACTLY
+    (degree <= polyorder is reproduced); kernel_smooth: exact numpy
+    Nadaraya-Watson replay incl. the 3h truncation and n_local."""
+    from spark_timeseries_spark.operators.smoothing import (
+        kernel_smooth,
+        savgol_coeffs,
+        savgol_smooth,
+    )
+
+    c = savgol_coeffs(7, 2)
+    assert np.allclose(np.array(c) * 21, [-2, 3, 6, 7, 6, 3, -2])
+    assert np.allclose(
+        np.array(savgol_coeffs(5, 3, deriv=1)) * 12, [1, -8, 0, 8, -1])
+    assert abs(sum(savgol_coeffs(9, 4)) - 1.0) < 1e-15
+
+    rng = np.random.RandomState(5)
+    x = np.cumsum(rng.randn(40))
+    df = spark.createDataFrame(
+        [("a", i, float(v)) for i, v in enumerate(x)],
+        "key string, loc long, value double")
+    got = sorted(savgol_smooth(df, 7, 2).collect(), key=lambda r: r.loc)
+    for i, r in enumerate(got):
+        if i < 3 or i >= 37:
+            assert r.savgol is None, i
+        else:
+            want = float(np.dot(c, x[i - 3: i + 4]))
+            assert abs(r.savgol - want) < 1e-12, i
+    # a quadratic is invariant under a polyorder-2 fit (interior)
+    q = np.array([0.5 * t * t - 3 * t + 7 for t in range(20)])
+    qdf = spark.createDataFrame(
+        [("q", i, float(v)) for i, v in enumerate(q)],
+        "key string, loc long, value double")
+    for r in savgol_smooth(qdf, 7, 2).collect():
+        if r.savgol is not None:
+            assert abs(r.savgol - q[r.loc]) < 1e-9
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 3, 1)
+    secs = np.sort(rng.uniform(0, 86400 * 2, 50))
+    vals = rng.randn(50) * 5 + 20
+    kdf = spark.createDataFrame(
+        [("a", t0 + dt.timedelta(seconds=float(sc)), float(v))
+         for sc, v in zip(secs, vals)],
+        "key string, ts timestamp, value double")
+    h = 3600.0
+    got = sorted(kernel_smooth(kdf, bandwidth_seconds=h).collect(),
+                 key=lambda r: r.ts)
+    # replay on microsecond-quantized times (the operator's clock)
+    us = np.array([int(round(sc * 1e6)) for sc in secs], dtype=np.int64)
+    for i, r in enumerate(got):
+        mask = np.abs(us - us[i]) <= int(3 * h * 1e6)
+        w = np.exp(-(((us[mask] - us[i]) / 1e6) / h) ** 2 / 2.0)
+        want = float((w * vals[mask]).sum() / w.sum())
+        assert r.n_local == int(mask.sum())
+        assert abs(r.smoothed - want) < 1e-9, i

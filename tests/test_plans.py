@@ -1193,3 +1193,21 @@ def test_eb_shrinkage_one_row_broadcast_only(spark):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
     assert "SortMergeJoin" not in p, p
     assert "ShuffledHashJoin" not in p, p
+
+
+def test_smoothing_single_exchange_no_join(spark):
+    """savgol_smooth: 2m+1 lag/leads collapse into ONE window on one
+    exchange; kernel_smooth: the range-frame collect_list +
+    F.aggregate fold is one exchange, no join, no Python."""
+    from spark_timeseries_spark.operators.smoothing import (
+        kernel_smooth,
+        savgol_smooth,
+    )
+    from spark_timeseries_spark.sources import events_observations
+
+    obs = events_observations(spark, SF)
+    sh, so, p = _counts(savgol_smooth(obs, 7, 2, order_col="ts"))
+    assert "Join" not in p and sh <= 1, p
+    sh, so, p = _counts(kernel_smooth(obs, bandwidth_seconds=21600.0))
+    assert "Join" not in p and sh <= 1, p
+    assert "Python" not in p and "ArrowEval" not in p, p
