@@ -5147,6 +5147,40 @@ def _q_kaplan_meier(spark, sf_dir):
     )
 
 
+def _q_silhouette(spark, sf_dir):
+    """Simplified (centroid-based) silhouette under the shared k=8
+    Lloyd model — broadcast crossJoin + rank window; O(n*k), the only
+    silhouette that scales."""
+    from spark_timeseries_spark.pipeline.clustering import (
+        silhouette_simplified,
+    )
+
+    emb, model = _kmeans_model(spark, sf_dir)
+    out = silhouette_simplified(emb, model)
+    return out.select(
+        "vec_id", "cid",
+        _stable_round(F.col("a_dist"), 6).alias("a_dist"),
+        _stable_round(F.col("b_dist"), 6).alias("b_dist"),
+        _stable_round(F.col("silhouette"), 6).alias("silhouette"),
+    )
+
+
+def _q_ndcg(spark, sf_dir):
+    """NDCG@5 of the hyperplane-LSH ranking against exact brute-force
+    cosine — the position-aware companion of lsh_recall (same exact and
+    approx sides, graded gains)."""
+    from spark_timeseries_spark.pipeline.similarity import ndcg_at_k
+
+    exact = _q_knn_cosine(spark, sf_dir).select("qid", "vec_id", "rank")
+    approx = _q_lsh_topk(spark, sf_dir).select("qid", "vec_id", "rank")
+    out = ndcg_at_k(exact, approx, k=5)
+    return out.select(
+        "qid", "hits",
+        _stable_round(F.col("dcg"), 6).alias("dcg"),
+        _stable_round(F.col("ndcg"), 6).alias("ndcg"),
+    )
+
+
 def _q_savgol(spark, sf_dir):
     """Savitzky-Golay (7, 2) smoothing of each user's event-value
     sequence (rows as unit steps) — exact-rational coefficients, one
@@ -5997,6 +6031,8 @@ _ALL_QUERIES = {
     "gpd": _q_gpd,
     "nelson_aalen": _q_nelson_aalen,
     "log_rank": _q_log_rank,
+    "silhouette": _q_silhouette,
+    "ndcg": _q_ndcg,
     "savgol": _q_savgol,
     "kernel_smooth": _q_kernel_smooth,
     "ichimoku": _q_ichimoku,
@@ -15424,6 +15460,55 @@ def oracle_sql() -> dict[str, str]:
         )
         for k, c in zip(range(-3, 4), _sg)
     )
+    o["silhouette"] = f"""{_km_ctes},
+        rk2 AS (
+            SELECT vec_id, cid, sqrt(dist) AS d,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rk
+            FROM d3
+        ),
+        top AS (
+            SELECT vec_id,
+                   min(CASE WHEN rk = 1 THEN cid END) AS cid,
+                   min(CASE WHEN rk = 1 THEN d END) AS a_dist,
+                   min(CASE WHEN rk = 2 THEN d END) AS b_dist
+            FROM rk2 WHERE rk <= 2 GROUP BY 1
+        )
+        SELECT vec_id, cid,
+               {_sr_sql("a_dist", 6)} AS a_dist,
+               {_sr_sql("b_dist", 6)} AS b_dist,
+               {_sr_sql(
+                   "CASE WHEN greatest(a_dist, b_dist) > 0 THEN"
+                   " (b_dist - a_dist) / greatest(a_dist, b_dist)"
+                   " ELSE 0.0 END", 6
+               )} AS silhouette
+        FROM top
+    """
+
+    o["ndcg"] = f"""
+        WITH ex AS (SELECT qid, vec_id, rank FROM ({o['knn_cosine']})),
+        ap AS (SELECT qid, vec_id, rank FROM ({o['lsh_topk']})),
+        g AS (
+            SELECT ap.qid,
+                   CAST(count(ex.rank) AS INT) AS hits,
+                   sum(CASE WHEN ex.rank IS NOT NULL THEN
+                       (CAST(6.0 AS DOUBLE) - CAST(ex.rank AS DOUBLE))
+                       / log2(CAST(ap.rank AS DOUBLE) + 1.0)
+                       ELSE 0.0 END) AS dcg
+            FROM ap LEFT JOIN ex
+              ON ex.qid = ap.qid AND ex.vec_id = ap.vec_id
+            GROUP BY 1
+        ),
+        qs AS (SELECT DISTINCT qid FROM ex)
+        SELECT qs.qid,
+               CAST(coalesce(g.hits, 0) AS INT) AS hits,
+               {_sr_sql("coalesce(g.dcg, 0.0)", 6)} AS dcg,
+               {_sr_sql(
+                   "coalesce(g.dcg, 0.0) / CAST(10.271924937667158 AS DOUBLE)", 6
+               )} AS ndcg
+        FROM qs LEFT JOIN g ON g.qid = qs.qid
+    """
+
     o["savgol"] = f"""
         WITH e AS (
             SELECT CAST(user_id AS VARCHAR) AS key, ts, value

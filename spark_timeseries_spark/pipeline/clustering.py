@@ -251,3 +251,55 @@ def semantic_dedup_pairs(
         .where(F.col("sim") >= float(threshold))
         .select("id_a", "id_b", "cid", "sim")
     )
+
+
+def silhouette_simplified(
+    df: DataFrame,
+    model: KMeansModel,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per vector → (vec_id,
+    cid, a_dist, b_dist, silhouette): a = Euclidean distance to the
+    nearest centroid (the assignment, ties to the smallest cid — the
+    :func:`kmeans_assign` convention), b = distance to the
+    SECOND-nearest, s = (b − a)/max(a, b) (0 when both are 0 — the
+    vector sits on two centroids at once). The medoid-free variant
+    (Hruschka et al. 2004 "simplified silhouette"): the classic
+    all-pairs silhouette is O(n²) per cluster; against centroids it is
+    O(n·k) and broadcast-able, the only silhouette that scales to a
+    100 TB corpus. Interpretation unchanged: s → 1 well-separated,
+    s ≈ 0 boundary, s < 0 likely misassigned.
+
+    Plan: broadcast crossJoin against the k×dim centroid table, one
+    (vec_id) rank window + one groupBy on the SAME partitioning —
+    a single data-sized exchange; k bounded."""
+    vecs = df.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    cents = model.centroid_df(df.sparkSession)
+    w = Window.partitionBy("vec_id").orderBy(F.asc("_sq"), F.asc("cid"))
+    d = (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("_sq", _sq_l2(F.col("v"), F.col("cv")))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= 2)
+    )
+    top = d.groupBy("vec_id").agg(
+        F.min(F.when(F.col("_rk") == 1, F.col("cid"))).alias("cid"),
+        F.min(F.when(F.col("_rk") == 1, F.sqrt(F.col("_sq")))).alias(
+            "a_dist"
+        ),
+        F.min(F.when(F.col("_rk") == 2, F.sqrt(F.col("_sq")))).alias(
+            "b_dist"
+        ),
+    )
+    a, b = F.col("a_dist"), F.col("b_dist")
+    s = F.when(
+        F.greatest(a, b) > 0,
+        F.try_divide(b - a, F.greatest(a, b)),
+    ).otherwise(F.lit(0.0))
+    return top.select(
+        F.col("vec_id").alias(id_col), "cid", "a_dist", "b_dist",
+        s.alias("silhouette"),
+    )

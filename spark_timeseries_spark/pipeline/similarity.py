@@ -420,3 +420,57 @@ def prefix_dim_recall(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def ndcg_at_k(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int,
+    qid_col: str = "qid",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Graded ranking quality of an approximate top-k against the
+    exact top-k → one row per exact query: (qid, hits, dcg, ndcg).
+    Relevance is position-derived from the ground truth — an item at
+    exact rank r earns rel = k+1−r, anything outside the exact top-k
+    earns 0 — so DCG = Σ relᵢ/log₂(i+1) over the APPROXIMATE
+    positions i, and IDCG = Σ_{i=1..k} (k+1−i)/log₂(i+1) is a
+    constant (Järvelin & Kekäläinen 2002). Unlike recall@k
+    (:func:`~__spark_entry__._q_lsh_recall`'s metric) this rewards
+    putting the best neighbors FIRST, not just anywhere in the top-k.
+    Queries the index returned nothing for emit hits = 0, ndcg = 0.
+
+    Plan: a per-query bounded join (both sides ≤ k rows per query) +
+    one groupBy(qid); the query universe comes from the exact side so
+    silent index misses can't drop rows."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    import math as _math
+
+    idcg = sum((k + 1 - i) / _math.log2(i + 1) for i in range(1, k + 1))
+    ar = F.col("_ar").cast("double")
+    er = F.col("_er").cast("double")
+    j = approx.select(
+        qid_col, id_col, F.col(rank_col).alias("_ar")
+    ).join(
+        exact.select(qid_col, id_col, F.col(rank_col).alias("_er")),
+        [qid_col, id_col],
+        "left",
+    )
+    gain = F.when(
+        F.col("_er").isNotNull(),
+        (F.lit(float(k + 1)) - er) / F.log2(ar + 1.0),
+    ).otherwise(F.lit(0.0))
+    g = j.groupBy(qid_col).agg(
+        F.count("_er").alias("hits"), F.sum(gain).alias("_dcg")
+    )
+    qids = exact.select(qid_col).distinct()
+    return qids.join(g, qid_col, "left").select(
+        qid_col,
+        F.coalesce(F.col("hits"), F.lit(0)).cast("int").alias("hits"),
+        F.coalesce(F.col("_dcg"), F.lit(0.0)).alias("dcg"),
+        (
+            F.coalesce(F.col("_dcg"), F.lit(0.0)) / F.lit(float(idcg))
+        ).alias("ndcg"),
+    )

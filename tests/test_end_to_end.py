@@ -6838,3 +6838,58 @@ def test_savgol_kernel_smooth(spark):
         want = float((w * vals[mask]).sum() / w.sum())
         assert r.n_local == int(mask.sum())
         assert abs(r.smoothed - want) < 1e-9, i
+
+
+def test_silhouette_ndcg(spark):
+    """silhouette_simplified: exact numpy replay of a/b/s against the
+    fitted centroids, well-separated blobs score near 1, a point
+    equidistant to two centroids scores ~0; ndcg_at_k: hand-computed
+    gains on a known permutation, perfect ranking scores exactly 1,
+    reversed ranking scores < 1, an empty index scores 0."""
+    from spark_timeseries_spark.pipeline.clustering import (
+        kmeans_fit,
+        silhouette_simplified,
+    )
+    from spark_timeseries_spark.pipeline.similarity import ndcg_at_k
+
+    rng = np.random.RandomState(11)
+    blob_a = rng.randn(30, 4) * 0.1 + 5.0
+    blob_b = rng.randn(30, 4) * 0.1 - 5.0
+    vecs = np.vstack([blob_a, blob_b])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    model = kmeans_fit(df, k=2, max_iter=3)
+    cents = np.array(model.centroids)
+    out = {r.vec_id: r for r in silhouette_simplified(df, model).collect()}
+    assert len(out) == 60
+    for i, v in enumerate(vecs):
+        d = np.sqrt(((cents - v) ** 2).sum(axis=1))
+        order = np.lexsort((np.arange(len(d)), d))
+        a, b = d[order[0]], d[order[1]]
+        r = out[i]
+        assert r.cid == order[0]
+        assert abs(r.a_dist - a) < 1e-9
+        assert abs(r.b_dist - b) < 1e-9
+        assert abs(r.silhouette - (b - a) / max(a, b)) < 1e-9
+        assert r.silhouette > 0.9  # tight, well-separated blobs
+
+    k = 3
+    idcg = sum((k + 1 - i) / np.log2(i + 1) for i in range(1, k + 1))
+    exact = spark.createDataFrame(
+        [("q", 10, 1), ("q", 20, 2), ("q", 30, 3),
+         ("r", 10, 1), ("r", 20, 2), ("r", 30, 3),
+         ("s", 1, 1), ("s", 2, 2), ("s", 3, 3)],
+        "qid string, vec_id long, rank int")
+    approx = spark.createDataFrame(
+        [("q", 10, 1), ("q", 20, 2), ("q", 30, 3),   # perfect
+         ("r", 30, 1), ("r", 20, 2), ("r", 10, 3),   # reversed
+         ],                                           # s: nothing
+        "qid string, vec_id long, rank int")
+    got = {r.qid: r for r in ndcg_at_k(exact, approx, k=3).collect()}
+    assert abs(got["q"].ndcg - 1.0) < 1e-12 and got["q"].hits == 3
+    rev_dcg = (1 / np.log2(2) + 2 / np.log2(3) + 3 / np.log2(4))
+    assert abs(got["r"].dcg - rev_dcg) < 1e-12
+    assert abs(got["r"].ndcg - rev_dcg / idcg) < 1e-12
+    assert got["r"].ndcg < 1.0
+    assert got["s"].ndcg == 0.0 and got["s"].hits == 0

@@ -1211,3 +1211,21 @@ def test_smoothing_single_exchange_no_join(spark):
     sh, so, p = _counts(kernel_smooth(obs, bandwidth_seconds=21600.0))
     assert "Join" not in p and sh <= 1, p
     assert "Python" not in p and "ArrowEval" not in p, p
+
+
+def test_silhouette_broadcast_only(spark):
+    """silhouette_simplified: the centroid side joins ONLY via
+    broadcast (k x dim), one data-sized exchange for the rank window +
+    groupBy pair."""
+    from spark_timeseries_spark.pipeline.clustering import (
+        kmeans_fit,
+        silhouette_simplified,
+    )
+    from spark_timeseries_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    model = kmeans_fit(emb, k=4, max_iter=1)
+    shuffles, _, p = _counts(silhouette_simplified(emb, model))
+    assert "BroadcastExchange" in p, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    assert shuffles <= 1, p
