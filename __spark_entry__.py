@@ -5147,6 +5147,61 @@ def _q_kaplan_meier(spark, sf_dir):
     )
 
 
+def _q_dedup_canonical(spark, sf_dir):
+    """Quality-based survivor per 3-gram-Jaccard duplicate cluster
+    (keep the longest document) — the dedup_components pipeline + one
+    left join + one per-component rank window."""
+    from spark_timeseries_spark.pipeline import dedup as dd
+    from spark_timeseries_spark.pipeline.dedup import select_canonical
+
+    docs = _docs_spread(spark, sf_dir)
+    sigs = docs.select(
+        "doc_id",
+        F.transform(
+            dd.shingles(F.col("text"), 3), lambda s: F.xxhash64(s)
+        ).alias("hs"),
+    ).persist()
+    sh = sigs.select("doc_id", F.explode("hs").alias("sh"))
+    sizes = sigs.select("doc_id", F.size("hs").alias("n"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+        .join(sizes.withColumnsRenamed({"doc_id": "id_a", "n": "na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "id_b", "n": "nb"}), "id_b")
+        .where(
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+            >= 0.2
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    sigs.unpersist()
+    out = select_canonical(docs, pairs, F.col("n_chars"))
+    return out.select(
+        "doc_id", "component", "quality", "canonical_id", "is_canonical"
+    )
+
+
+def _q_source_dup_matrix(spark, sf_dir):
+    """Cross-source near-dup traffic matrix over the exact 3-gram
+    Jaccard pairs — two id-joins on the bounded pair table + one
+    source-grid aggregate."""
+    from spark_timeseries_spark.pipeline.dedup import source_dup_matrix
+
+    pairs = _q_ngram_jaccard_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    out = source_dup_matrix(pairs, docs)
+    return out.select(
+        "source_a", "source_b", "n_pairs",
+        _stable_round(F.col("avg_sim"), 6).alias("avg_sim"),
+    )
+
+
 def _q_silhouette(spark, sf_dir):
     """Simplified (centroid-based) silhouette under the shared k=8
     Lloyd model — broadcast crossJoin + rank window; O(n*k), the only
@@ -6031,6 +6086,8 @@ _ALL_QUERIES = {
     "gpd": _q_gpd,
     "nelson_aalen": _q_nelson_aalen,
     "log_rank": _q_log_rank,
+    "dedup_canonical": _q_dedup_canonical,
+    "source_dup_matrix": _q_source_dup_matrix,
     "silhouette": _q_silhouette,
     "ndcg": _q_ndcg,
     "savgol": _q_savgol,
@@ -15460,6 +15517,34 @@ def oracle_sql() -> dict[str, str]:
         )
         for k, c in zip(range(-3, 4), _sg)
     )
+    o["dedup_canonical"] = f"""
+        WITH comp AS ({o["dedup_components"]}),
+        lab AS (
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS component,
+                   d.n_chars AS quality
+            FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        )
+        SELECT doc_id, component, quality,
+               first_value(doc_id) OVER (PARTITION BY component
+                   ORDER BY quality DESC, doc_id ASC) AS canonical_id,
+               doc_id = first_value(doc_id) OVER (PARTITION BY component
+                   ORDER BY quality DESC, doc_id ASC) AS is_canonical
+        FROM lab
+    """
+
+    o["source_dup_matrix"] = f"""
+        WITH p AS ({o["ngram_jaccard_pairs"]})
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               {_sr_sql("avg(p.jaccard)", 6)} AS avg_sim
+        FROM p
+        JOIN documents da ON da.doc_id = p.id_a
+        JOIN documents db ON db.doc_id = p.id_b
+        GROUP BY 1, 2
+    """
+
     o["silhouette"] = f"""{_km_ctes},
         rk2 AS (
             SELECT vec_id, cid, sqrt(dist) AS d,

@@ -1530,3 +1530,88 @@ def dedup_sweep(
             / F.col("_nd").cast("double")
         ).alias("flagged_frac"),
     )
+
+
+def select_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality: Column,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Quality-based survivor selection per duplicate cluster → one row
+    per INPUT document: (id, component, quality, canonical_id,
+    is_canonical). The curation-grade upgrade of
+    :func:`keep_cluster_representatives`: instead of the arbitrary
+    min-id survivor, each connected component keeps its HIGHEST-
+    ``quality`` member (ties → smallest id, stated) — "of these five
+    near-identical crawls, keep the longest/cleanest one", the policy
+    every pretraining dedup pipeline actually wants. Documents in no
+    pair form singleton components (their own canonical). ``quality``
+    is any Column over ``df`` (length, a :func:`~.text.quality_score`
+    output, a model score...).
+
+    Plan: min-label-propagation components (the bounded-iteration
+    ``connected_components`` path with its localCheckpoint lineage
+    cut), one left join of the component labels onto the corpus, one
+    per-component rank window — the window partitions by component,
+    whose cardinality is the document count at worst."""
+    comp = connected_components(pairs, id_a, id_b)
+    labels = comp.select(
+        F.col("id").alias(id_col), "component"
+    ).localCheckpoint(eager=True)
+    comp.unpersist()
+    d = (
+        df.select(F.col(id_col), quality.alias("quality"))
+        .join(labels, id_col, "left")
+        .withColumn(
+            "component", F.coalesce(F.col("component"), F.col(id_col))
+        )
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality"), F.asc(id_col)
+    )
+    d = d.withColumn("canonical_id", F.first(F.col(id_col)).over(w))
+    return d.select(
+        id_col, "component", "quality", "canonical_id",
+        (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+    )
+
+
+def source_dup_matrix(
+    pairs: DataFrame,
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    sim_col: str | None = "jaccard",
+) -> DataFrame:
+    """Cross-source duplicate flow → one row per unordered source pair:
+    (source_a ≤ source_b, n_pairs[, avg_sim]). Labels each near-dup
+    pair with both members' corpus sources and counts the traffic —
+    the dataset-curation diagnostic that separates "crawl A mirrors
+    crawl B" (big off-diagonal) from "source C re-posts itself" (big
+    diagonal), which decide whether to drop a SOURCE versus dedup
+    within it. Source pairs are sorted lexicographically (pair order
+    id_a < id_b says nothing about sources).
+
+    Plan: two id-joins of the (bounded, post-threshold) pair table
+    against the (id, source) projection, one groupBy over the
+    source×source grid (k² bounded). The pair table is the expensive
+    input and is already built by the dedup pipeline — this adds no
+    new corpus scan beyond the projection."""
+    a = docs.select(
+        F.col(id_col).alias(id_a_name := "id_a"),
+        F.col(source_col).alias("_sa"),
+    )
+    b = docs.select(
+        F.col(id_col).alias("id_b"), F.col(source_col).alias("_sb")
+    )
+    j = pairs.join(a, id_a_name).join(b, "id_b")
+    aggs = [F.count(F.lit(1)).alias("n_pairs")]
+    if sim_col is not None:
+        aggs.append(F.avg(F.col(sim_col)).alias("avg_sim"))
+    return j.groupBy(
+        F.least("_sa", "_sb").alias("source_a"),
+        F.greatest("_sa", "_sb").alias("source_b"),
+    ).agg(*aggs)

@@ -6893,3 +6893,52 @@ def test_silhouette_ndcg(spark):
     assert abs(got["r"].ndcg - rev_dcg / idcg) < 1e-12
     assert got["r"].ndcg < 1.0
     assert got["s"].ndcg == 0.0 and got["s"].hits == 0
+
+
+def test_select_canonical_source_dup_matrix(spark):
+    """select_canonical: in a 3-doc cluster the highest-quality member
+    survives (ties break to smallest id), singletons are their own
+    canonical, every component has exactly one canonical;
+    source_dup_matrix: hand-built pair table rolls up into the
+    expected unordered source grid with exact avg similarity."""
+    from spark_timeseries_spark.pipeline.dedup import (
+        select_canonical,
+        source_dup_matrix,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10.0, "web"), (2, 50.0, "web"), (3, 50.0, "books"),
+         (4, 99.0, "web"), (5, 7.0, "books"), (6, 7.0, "books")],
+        "doc_id long, q double, source string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    out = {r.doc_id: r for r in
+           select_canonical(docs, pairs, F.col("q")).collect()}
+    assert len(out) == 6
+    # cluster {1,2,3}: quality 10/50/50 -> canonical 2 (tie min id)
+    for i in (1, 2, 3):
+        assert out[i].canonical_id == 2
+        assert out[i].is_canonical == (i == 2)
+    # singleton 4
+    assert out[4].canonical_id == 4 and out[4].is_canonical
+    # cluster {5,6}: tie -> 5
+    assert out[5].is_canonical and not out[6].is_canonical
+    # exactly one canonical per component
+    comps = {}
+    for r in out.values():
+        comps.setdefault(r.component, 0)
+        comps[r.component] += int(r.is_canonical)
+    assert all(v == 1 for v in comps.values())
+
+    sim_pairs = spark.createDataFrame(
+        [(1, 3, 0.9), (1, 5, 0.5), (2, 4, 0.7), (5, 6, 0.4)],
+        "id_a long, id_b long, jaccard double")
+    m = {(r.source_a, r.source_b): r for r in
+         source_dup_matrix(sim_pairs, docs).collect()}
+    # (1,3)=web-books .9; (1,5)=web-books .5; (2,4)=web-web .7;
+    # (5,6)=books-books .4
+    assert m[("books", "web")].n_pairs == 2
+    assert abs(m[("books", "web")].avg_sim - 0.7) < 1e-12
+    assert m[("web", "web")].n_pairs == 1
+    assert abs(m[("books", "books")].avg_sim - 0.4) < 1e-12
+    assert len(m) == 3
