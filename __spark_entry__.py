@@ -5147,6 +5147,18 @@ def _q_kaplan_meier(spark, sf_dir):
     )
 
 
+def _q_pagerank(spark, sf_dir):
+    """Duplicate-centrality PageRank (5 fixed-point iterations) over
+    the 3-gram-Jaccard near-dup graph — all-integer arithmetic makes
+    every iteration bit-identical across engines (pipeline/graph.py
+    determinism contract); the oracle unrolls the power iterations."""
+    from spark_timeseries_spark.pipeline.graph import pagerank
+
+    pairs = _q_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    out = pagerank(pairs, iters=5)
+    return out.select("id", "pr_int", "pr")
+
+
 def _q_dedup_canonical(spark, sf_dir):
     """Quality-based survivor per 3-gram-Jaccard duplicate cluster
     (keep the longest document) — the dedup_components pipeline + one
@@ -6086,6 +6098,7 @@ _ALL_QUERIES = {
     "gpd": _q_gpd,
     "nelson_aalen": _q_nelson_aalen,
     "log_rank": _q_log_rank,
+    "pagerank": _q_pagerank,
     "dedup_canonical": _q_dedup_canonical,
     "source_dup_matrix": _q_source_dup_matrix,
     "silhouette": _q_silhouette,
@@ -15517,6 +15530,98 @@ def oracle_sql() -> dict[str, str]:
         )
         for k, c in zip(range(-3, 4), _sg)
     )
+    o["pagerank"] = f"""
+        WITH p AS ({o['ngram_jaccard_pairs']}),
+        ed AS (
+            SELECT id_a AS src, id_b AS dst FROM p
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM p
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM ed),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        deg AS (
+            SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+            FROM ed GROUP BY 1
+        ),
+        pr0 AS (
+            SELECT id, CAST(1000000 // n AS BIGINT) AS pr
+            FROM nodes CROSS JOIN nn
+        ),
+        c1 AS (
+            SELECT e.dst AS id, SUM(pp.pr // d.deg) AS s
+            FROM ed e
+            JOIN pr0 pp ON pp.id = e.src
+            JOIN deg d ON d.id = e.src
+            GROUP BY 1
+        ),
+        pr1 AS (
+            SELECT n.id,
+                   CAST((3000000 // (20 * nn.n))
+                        + (17 * coalesce(c.s, 0)) // 20 AS BIGINT) AS pr
+            FROM nodes n CROSS JOIN nn
+            LEFT JOIN c1 c ON c.id = n.id
+        ),
+        c2 AS (
+            SELECT e.dst AS id, SUM(pp.pr // d.deg) AS s
+            FROM ed e
+            JOIN pr1 pp ON pp.id = e.src
+            JOIN deg d ON d.id = e.src
+            GROUP BY 1
+        ),
+        pr2 AS (
+            SELECT n.id,
+                   CAST((3000000 // (20 * nn.n))
+                        + (17 * coalesce(c.s, 0)) // 20 AS BIGINT) AS pr
+            FROM nodes n CROSS JOIN nn
+            LEFT JOIN c2 c ON c.id = n.id
+        ),
+        c3 AS (
+            SELECT e.dst AS id, SUM(pp.pr // d.deg) AS s
+            FROM ed e
+            JOIN pr2 pp ON pp.id = e.src
+            JOIN deg d ON d.id = e.src
+            GROUP BY 1
+        ),
+        pr3 AS (
+            SELECT n.id,
+                   CAST((3000000 // (20 * nn.n))
+                        + (17 * coalesce(c.s, 0)) // 20 AS BIGINT) AS pr
+            FROM nodes n CROSS JOIN nn
+            LEFT JOIN c3 c ON c.id = n.id
+        ),
+        c4 AS (
+            SELECT e.dst AS id, SUM(pp.pr // d.deg) AS s
+            FROM ed e
+            JOIN pr3 pp ON pp.id = e.src
+            JOIN deg d ON d.id = e.src
+            GROUP BY 1
+        ),
+        pr4 AS (
+            SELECT n.id,
+                   CAST((3000000 // (20 * nn.n))
+                        + (17 * coalesce(c.s, 0)) // 20 AS BIGINT) AS pr
+            FROM nodes n CROSS JOIN nn
+            LEFT JOIN c4 c ON c.id = n.id
+        ),
+        c5 AS (
+            SELECT e.dst AS id, SUM(pp.pr // d.deg) AS s
+            FROM ed e
+            JOIN pr4 pp ON pp.id = e.src
+            JOIN deg d ON d.id = e.src
+            GROUP BY 1
+        ),
+        pr5 AS (
+            SELECT n.id,
+                   CAST((3000000 // (20 * nn.n))
+                        + (17 * coalesce(c.s, 0)) // 20 AS BIGINT) AS pr
+            FROM nodes n CROSS JOIN nn
+            LEFT JOIN c5 c ON c.id = n.id
+        )
+        SELECT id, pr AS pr_int,
+               CAST(pr AS DOUBLE) / 1000000.0 AS pr
+        FROM pr5
+    """
+
     o["dedup_canonical"] = f"""
         WITH comp AS ({o["dedup_components"]}),
         lab AS (

@@ -6942,3 +6942,51 @@ def test_select_canonical_source_dup_matrix(spark):
     assert m[("web", "web")].n_pairs == 1
     assert abs(m[("books", "books")].avg_sim - 0.4) < 1e-12
     assert len(m) == 3
+
+
+def test_pagerank_fixed_point(spark):
+    """pagerank: exact integer replay of the fixed-point iteration on
+    a random graph (bit-identical pr_int), the star hub dominates its
+    spokes, a disconnected 2-clique keeps its mass, and total mass
+    stays within the documented floor-division leak."""
+    from spark_timeseries_spark.pipeline.graph import pagerank
+
+    rng = np.random.RandomState(3)
+    edges = set()
+    while len(edges) < 40:
+        a, b = rng.randint(0, 20), rng.randint(0, 20)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(
+        sorted(edges), "id_a long, id_b long")
+    got = {r.id: r for r in pagerank(pairs, iters=5).collect()}
+
+    # integer replay
+    sym = set()
+    for a, b in edges:
+        sym.add((a, b)); sym.add((b, a))
+    nodes = sorted({x for e in sym for x in e})
+    n = len(nodes)
+    deg = {u: sum(1 for s, _ in sym if s == u) for u in nodes}
+    scale = 10 ** 6
+    pr = {u: scale // n for u in nodes}
+    base = (3 * scale) // (20 * n)
+    for _ in range(5):
+        inflow = {u: 0 for u in nodes}
+        for s_, d_ in sym:
+            inflow[d_] += pr[s_] // deg[s_]
+        pr = {u: base + (17 * inflow[u]) // 20 for u in nodes}
+    assert set(got) == set(nodes)
+    for u in nodes:
+        assert got[u].pr_int == pr[u], u          # bit-identical
+        assert abs(got[u].pr - pr[u] / scale) < 1e-15
+    # mass: 1 minus the documented floor-division leak
+    tot = sum(pr.values()) / scale
+    assert 0.95 < tot <= 1.0 + 1e-9
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(7, 8)], "id_a long, id_b long")
+    out = {r.id: r.pr_int for r in pagerank(star, iters=5).collect()}
+    assert out[0] > out[1] > 0          # hub dominates spokes
+    assert out[7] == out[8]             # symmetric clique
+    assert all(out[i] == out[1] for i in range(2, 6))
