@@ -5147,6 +5147,48 @@ def _q_kaplan_meier(spark, sf_dir):
     )
 
 
+def _q_transfer_entropy(spark, sf_dir):
+    """Median-binarized transfer entropy between daily-grid users 1
+    and 2 (both directions + net) — integer triple counts, the
+    two-named-series bounded envelope."""
+    from spark_timeseries_spark.operators.infotheory import (
+        transfer_entropy,
+    )
+
+    grid = _daily_grid(spark, sf_dir)
+    out = transfer_entropy(grid, "1", "2", order_col="loc")
+    return out.select(
+        "key_a", "key_b", "n",
+        _stable_round(F.col("te_ab"), 6).alias("te_ab"),
+        _stable_round(F.col("te_ba"), 6).alias("te_ba"),
+        _stable_round(F.col("net"), 6).alias("net"),
+    )
+
+
+def _q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (k=10) of the documents (lang, source)
+    quasi-identifier grid — one combinable groupBy."""
+    from spark_timeseries_spark.pipeline.clean import k_anonymity
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = k_anonymity(docs, ["lang", "source"], k=10)
+    return out.select("lang", "source", "n", "anonymous")
+
+
+def _q_profile_columns(spark, sf_dir):
+    """Column-profiling audit of events (user_id, event_type, value)
+    — one scan, exact distincts, k-row unpivot."""
+    from spark_timeseries_spark.pipeline.clean import profile_columns
+
+    ev = load_table(spark, sf_dir, "events")
+    out = profile_columns(ev, ["user_id", "event_type", "value"])
+    return out.select(
+        "column", "n", "n_null",
+        _stable_round(F.col("null_frac"), 6).alias("null_frac"),
+        "n_distinct", "min_val", "max_val",
+    )
+
+
 def _q_pagerank(spark, sf_dir):
     """Duplicate-centrality PageRank (5 fixed-point iterations) over
     the 3-gram-Jaccard near-dup graph — all-integer arithmetic makes
@@ -6098,6 +6140,9 @@ _ALL_QUERIES = {
     "gpd": _q_gpd,
     "nelson_aalen": _q_nelson_aalen,
     "log_rank": _q_log_rank,
+    "transfer_entropy": _q_transfer_entropy,
+    "k_anonymity": _q_k_anonymity,
+    "profile_columns": _q_profile_columns,
     "pagerank": _q_pagerank,
     "dedup_canonical": _q_dedup_canonical,
     "source_dup_matrix": _q_source_dup_matrix,
@@ -15530,6 +15575,124 @@ def oracle_sql() -> dict[str, str]:
         )
         for k, c in zip(range(-3, 4), _sg)
     )
+    o["transfer_entropy"] = _DAILY_GRID_SQL + f""",
+        wide AS (
+            SELECT loc,
+                   max(CASE WHEN key = '1' THEN value END) AS va,
+                   max(CASE WHEN key = '2' THEN value END) AS vb
+            FROM grid WHERE value IS NOT NULL AND key IN ('1', '2')
+            GROUP BY 1
+        ),
+        wf AS (
+            SELECT * FROM wide WHERE va IS NOT NULL AND vb IS NOT NULL
+        ),
+        med AS (
+            SELECT quantile_cont(va, 0.5) AS ma,
+                   quantile_cont(vb, 0.5) AS mb
+            FROM wf
+        ),
+        st AS (
+            SELECT loc, CAST(va > ma AS INT) AS x,
+                   CAST(vb > mb AS INT) AS y
+            FROM wf CROSS JOIN med
+        ),
+        ld AS (
+            SELECT x, y, lead(y) OVER (ORDER BY loc) AS yn,
+                   lead(x) OVER (ORDER BY loc) AS xn
+            FROM st
+        ),
+        tr AS (SELECT * FROM ld WHERE yn IS NOT NULL),
+        t1 AS (
+            SELECT yn AS s1, y AS s0, x AS sx,
+                   CAST(count(*) AS BIGINT) AS n3
+            FROM tr GROUP BY 1, 2, 3
+        ),
+        t1w AS (
+            SELECT n3, sum(n3) OVER (PARTITION BY s0) AS ny,
+                   sum(n3) OVER (PARTITION BY s0, sx) AS nyx,
+                   sum(n3) OVER (PARTITION BY s1, s0) AS ny1y,
+                   sum(n3) OVER () AS nn
+            FROM t1
+        ),
+        a1 AS (
+            SELECT sum(CAST(n3 AS DOUBLE) / CAST(nn AS DOUBLE)
+                       * ln(CAST(n3 AS DOUBLE) * CAST(ny AS DOUBLE)
+                            / (CAST(nyx AS DOUBLE)
+                               * CAST(ny1y AS DOUBLE)))) AS te_ab,
+                   first(nn) AS n
+            FROM t1w
+        ),
+        t2 AS (
+            SELECT xn AS s1, x AS s0, y AS sx,
+                   CAST(count(*) AS BIGINT) AS n3
+            FROM tr GROUP BY 1, 2, 3
+        ),
+        t2w AS (
+            SELECT n3, sum(n3) OVER (PARTITION BY s0) AS ny,
+                   sum(n3) OVER (PARTITION BY s0, sx) AS nyx,
+                   sum(n3) OVER (PARTITION BY s1, s0) AS ny1y,
+                   sum(n3) OVER () AS nn
+            FROM t2
+        ),
+        a2 AS (
+            SELECT sum(CAST(n3 AS DOUBLE) / CAST(nn AS DOUBLE)
+                       * ln(CAST(n3 AS DOUBLE) * CAST(ny AS DOUBLE)
+                            / (CAST(nyx AS DOUBLE)
+                               * CAST(ny1y AS DOUBLE)))) AS te_ba
+            FROM t2w
+        )
+        SELECT '1' AS key_a, '2' AS key_b, CAST(n AS BIGINT) AS n,
+               {_sr_sql("te_ab", 6)} AS te_ab,
+               {_sr_sql("te_ba", 6)} AS te_ba,
+               {_sr_sql("te_ab - te_ba", 6)} AS net
+        FROM a1 CROSS JOIN a2
+    """
+
+    o["k_anonymity"] = """
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+               count(*) >= 10 AS anonymous
+        FROM documents GROUP BY 1, 2
+    """
+
+    o["profile_columns"] = f"""
+        WITH n_ AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events)
+        SELECT 'user_id' AS column, n,
+               CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               {_sr_sql(
+                   "sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)"
+                   " / CAST(n AS DOUBLE)", 6
+               )} AS null_frac,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+               CAST(min(user_id) AS VARCHAR) AS min_val,
+               CAST(max(user_id) AS VARCHAR) AS max_val
+        FROM events CROSS JOIN n_ GROUP BY n
+        UNION ALL
+        SELECT 'event_type', n,
+               CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               {_sr_sql(
+                   "sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)"
+                   " / CAST(n AS DOUBLE)", 6
+               )},
+               CAST(count(DISTINCT event_type) AS BIGINT),
+               CAST(min(event_type) AS VARCHAR),
+               CAST(max(event_type) AS VARCHAR)
+        FROM events CROSS JOIN n_ GROUP BY n
+        UNION ALL
+        SELECT 'value', n,
+               CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               {_sr_sql(
+                   "sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)"
+                   " / CAST(n AS DOUBLE)", 6
+               )},
+               CAST(count(DISTINCT value) AS BIGINT),
+               CAST(min(value) AS VARCHAR),
+               CAST(max(value) AS VARCHAR)
+        FROM events CROSS JOIN n_ GROUP BY n
+    """
+
     o["pagerank"] = f"""
         WITH p AS ({o['ngram_jaccard_pairs']}),
         ed AS (

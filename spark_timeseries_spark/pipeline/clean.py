@@ -255,3 +255,79 @@ def filter_audit(
         F.col("_k").alias("n_killed"),
         (F.col("_k").cast("double") / nd).alias("kill_rate"),
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns → one row per
+    observed QI combination: (<qi_cols...>, n, anonymous). A combo is
+    ``anonymous`` when at least ``k`` rows share it (Sweeney 2002) —
+    rows in smaller groups are re-identification risks and the usual
+    remedies are suppression or coarsening of the offending columns.
+    NULLs count as a value (an all-NULL combo can still be a
+    fingerprint). The summary the release gate wants — the share of
+    AT-RISK rows — is one aggregate over this output
+    (``sum(case when not anonymous then n end) / sum(n)``).
+
+    Plan: one map-side-combinable groupBy over the QI tuple. Output
+    cardinality = distinct combos (the thing being audited — if it is
+    data-sized, that IS the finding: every row is unique)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    return df.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).alias("n")
+    ).withColumn("anonymous", F.col("n") >= k)
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Column-profiling audit → one row per profiled column: (column,
+    n, n_null, null_frac, n_distinct, min_val, max_val) with min/max
+    rendered as strings (the profile is heterogeneous across types).
+    The first look every ingestion pipeline takes at a new table:
+    null saturation, key-ness (n_distinct ≈ n), degenerate constants
+    (n_distinct = 1), range sanity. Distinct counts are EXACT — the
+    approximate path is ``bucket_cardinality``'s HLL when the column
+    is too hot for exact counting.
+
+    Plan: ONE scan — a single aggregate computes every column's
+    stats (count/null/min/max plus one exact count_distinct per
+    column; Catalyst plans the multi-distinct via expand, cost ~ one
+    shuffle per distinct-set, k bounded), then a k-row unpivot."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"_null_{c}"),
+            F.count_distinct(col).alias(f"_nd_{c}"),
+            F.min(col).cast("string").alias(f"_min_{c}"),
+            F.max(col).cast("string").alias(f"_max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n").alias("n"),
+            F.col(f"_null_{c}").alias("n_null"),
+            (
+                F.col(f"_null_{c}").cast("double")
+                / F.col("_n").cast("double")
+            ).alias("null_frac"),
+            F.col(f"_nd_{c}").alias("n_distinct"),
+            F.col(f"_min_{c}").alias("min_val"),
+            F.col(f"_max_{c}").alias("max_val"),
+        )
+        for c in cols
+    ]
+    return one.select(
+        F.explode(F.array(*rows)).alias("_p")
+    ).select("_p.*")

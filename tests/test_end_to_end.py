@@ -6990,3 +6990,83 @@ def test_pagerank_fixed_point(spark):
     assert out[0] > out[1] > 0          # hub dominates spokes
     assert out[7] == out[8]             # symmetric clique
     assert all(out[i] == out[1] for i in range(2, 6))
+
+
+def test_transfer_entropy_k_anon_profile(spark):
+    """transfer_entropy: exact numpy replay of the plug-in estimate;
+    a unidirectionally coupled system (y follows x) yields
+    te_ab >> te_ba and positive net while independent noise gives
+    both ~0; k_anonymity: exact group accounting incl. NULL combos;
+    profile_columns: exact null/distinct/min/max accounting."""
+    from spark_timeseries_spark.operators.infotheory import (
+        transfer_entropy,
+    )
+    from spark_timeseries_spark.pipeline.clean import (
+        k_anonymity,
+        profile_columns,
+    )
+
+    rng = np.random.RandomState(2)
+    m = 400
+    x = rng.randn(m)
+    y = np.zeros(m)
+    for t in range(1, m):          # y driven by x's previous sign
+        y[t] = 2.5 * np.sign(x[t - 1]) + rng.randn() * 0.5
+    rows = [("a", i, float(v)) for i, v in enumerate(x)]
+    rows += [("b", i, float(v)) for i, v in enumerate(y)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    r = transfer_entropy(df, "a", "b").collect()[0]
+    assert r.n == m - 1
+
+    # independent replay
+    ma, mb = np.median(x), np.median(y)
+    bx = (x > ma).astype(int)
+    by = (y > mb).astype(int)
+
+    def te_np(src, dst):
+        import collections
+        tri = collections.Counter(
+            zip(dst[1:], dst[:-1], src[:-1]))
+        n = sum(tri.values())
+        ny = collections.Counter()
+        nyx = collections.Counter()
+        ny1y = collections.Counter()
+        for (s1, s0, sx), c in tri.items():
+            ny[s0] += c; nyx[(s0, sx)] += c; ny1y[(s1, s0)] += c
+        return sum(
+            c / n * np.log(c * ny[s0] / (nyx[(s0, sx)] * ny1y[(s1, s0)]))
+            for (s1, s0, sx), c in tri.items())
+
+    assert abs(r.te_ab - te_np(bx, by)) < 1e-9
+    assert abs(r.te_ba - te_np(by, bx)) < 1e-9
+    assert r.te_ab > 0.2 and r.te_ab > 5 * max(r.te_ba, 1e-9)
+    assert r.net > 0.2
+
+    noise = spark.createDataFrame(
+        [("a", i, float(v)) for i, v in enumerate(rng.randn(400))]
+        + [("b", i, float(v)) for i, v in enumerate(rng.randn(400))],
+        "key string, loc long, value double")
+    r0 = transfer_entropy(noise, "a", "b").collect()[0]
+    assert abs(r0.te_ab) < 0.05 and abs(r0.te_ba) < 0.05
+
+    kdf = spark.createDataFrame(
+        [("en", "web")] * 12 + [("en", "books")] * 3
+        + [(None, "web")] * 2,
+        "lang string, source string")
+    ka = {(r.lang, r.source): r for r in
+          k_anonymity(kdf, ["lang", "source"], k=10).collect()}
+    assert ka[("en", "web")].anonymous and ka[("en", "web")].n == 12
+    assert not ka[("en", "books")].anonymous
+    assert ka[(None, "web")].n == 2 and not ka[(None, "web")].anonymous
+
+    pdf = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (2, None, 3.5), (4, "a", 2.0)],
+        "id long, cat string, v double")
+    pr = {r.column: r for r in
+          profile_columns(pdf, ["id", "cat", "v"]).collect()}
+    assert pr["id"].n == 4 and pr["id"].n_null == 0
+    assert pr["id"].n_distinct == 3
+    assert pr["id"].min_val == "1" and pr["id"].max_val == "4"
+    assert pr["cat"].n_null == 1 and pr["cat"].n_distinct == 2
+    assert pr["v"].n_null == 1 and abs(pr["v"].null_frac - 0.25) < 1e-12
+    assert pr["v"].min_val == "1.5" and pr["v"].max_val == "3.5"
