@@ -5147,6 +5147,36 @@ def _q_kaplan_meier(spark, sf_dir):
     )
 
 
+def _q_haar_energy(spark, sf_dir):
+    """Haar wavelet energy spectrum (levels 1-4) per user over the
+    daily grid — one explode + one (key, level, block) aggregate; the
+    multi-resolution companion of the periodogram rows."""
+    from spark_timeseries_spark.operators.wavelet import haar_energy
+
+    grid = _daily_grid(spark, sf_dir)
+    out = haar_energy(grid, levels=4, order_col="loc")
+    return out.select(
+        "key", "level", "n_coeffs",
+        _stable_round(F.col("energy"), 6).alias("energy"),
+        _stable_round(F.col("energy_frac"), 6).alias("energy_frac"),
+    )
+
+
+def _q_compression_ratio(spark, sf_dir):
+    """zlib compressibility quality signal per document (Gopher rule
+    family) — row-local Arrow-batched pandas UDF; DEFLATE has no SQL
+    replay, so this row is the driver's rows-only check (pytest holds
+    the exact zlib parity)."""
+    from spark_timeseries_spark.pipeline.text import compression_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = compression_ratio(docs)
+    return out.select(
+        "doc_id", "n_bytes", "n_compressed",
+        _stable_round(F.col("ratio"), 6).alias("ratio"),
+    )
+
+
 def _q_transfer_entropy(spark, sf_dir):
     """Median-binarized transfer entropy between daily-grid users 1
     and 2 (both directions + net) — integer triple counts, the
@@ -6140,6 +6170,8 @@ _ALL_QUERIES = {
     "gpd": _q_gpd,
     "nelson_aalen": _q_nelson_aalen,
     "log_rank": _q_log_rank,
+    "haar_energy": _q_haar_energy,
+    "compression_ratio": _q_compression_ratio,
     "transfer_entropy": _q_transfer_entropy,
     "k_anonymity": _q_k_anonymity,
     "profile_columns": _q_profile_columns,
@@ -15575,6 +15607,41 @@ def oracle_sql() -> dict[str, str]:
         )
         for k, c in zip(range(-3, 4), _sg)
     )
+    o["haar_energy"] = _DAILY_GRID_SQL + f""",
+        pts AS (
+            SELECT key, value,
+                   CAST(row_number() OVER (PARTITION BY key ORDER BY loc)
+                        - 1 AS BIGINT) AS j
+            FROM grid WHERE value IS NOT NULL
+        ),
+        lv AS (
+            SELECT key, value, j, level
+            FROM pts, unnest([1, 2, 3, 4]) AS t(level)
+        ),
+        co AS (
+            SELECT key, level, j // (1 << level) AS b,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   sum(CASE WHEN j % (1 << level) < (1 << (level - 1))
+                            THEN value ELSE -value END)
+                   / sqrt(CAST((1 << level) AS DOUBLE)) AS d
+            FROM lv GROUP BY 1, 2, 3
+        ),
+        fu AS (SELECT * FROM co WHERE cnt = (1 << level)),
+        en AS (
+            SELECT key, CAST(level AS INT) AS level,
+                   CAST(count(*) AS BIGINT) AS n_coeffs,
+                   sum(d * d) AS energy
+            FROM fu GROUP BY 1, 2
+        )
+        SELECT key, level, n_coeffs,
+               {_sr_sql("energy", 6)} AS energy,
+               {_sr_sql(
+                   "energy / nullif(sum(energy)"
+                   " OVER (PARTITION BY key), 0)", 6
+               )} AS energy_frac
+        FROM en
+    """
+
     o["transfer_entropy"] = _DAILY_GRID_SQL + f""",
         wide AS (
             SELECT loc,

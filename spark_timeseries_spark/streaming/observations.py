@@ -615,3 +615,44 @@ def streaming_asof_static(
     return stream.join(F.broadcast(snap), cond, "left").drop(
         "_sby", "_valid_to"
     )
+
+
+def streaming_sessions(
+    stream: DataFrame,
+    gap_seconds: float = 1800.0,
+    watermark: str = "1 hour",
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Native session-window aggregation per key → (key, session_start,
+    session_end, n_events, sum_value): maximal event runs whose
+    inter-arrival gaps stay under ``gap_seconds``, computed with
+    Spark's built-in ``session_window`` — a MERGING window the engine
+    maintains in its own state store (gap-extension, out-of-order
+    merge, watermark eviction are all JVM; no Python state, unlike
+    the ``applyInPandasWithState`` operators in this module). The
+    streaming twin of ``operators.sessionize`` — same gap semantics,
+    incremental emission: a session closes (and emits, in append mode)
+    when the watermark passes its end + gap.
+
+    Works identically on a batch frame (no watermark needed) — the
+    parity test replays it against the batch sessionizer."""
+    if gap_seconds <= 0:
+        raise ValueError(f"gap_seconds must be > 0, got {gap_seconds}")
+    d = stream
+    if d.isStreaming:
+        d = d.withWatermark(ts_col, watermark)
+    win = F.session_window(
+        F.col(ts_col), f"{gap_seconds} seconds"
+    )
+    return d.groupBy(F.col(key_col), win.alias("_w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col)).alias("sum_value"),
+    ).select(
+        key_col,
+        F.col("_w.start").alias("session_start"),
+        F.col("_w.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )

@@ -7070,3 +7070,113 @@ def test_transfer_entropy_k_anon_profile(spark):
     assert pr["cat"].n_null == 1 and pr["cat"].n_distinct == 2
     assert pr["v"].n_null == 1 and abs(pr["v"].null_frac - 0.25) < 1e-12
     assert pr["v"].min_val == "1.5" and pr["v"].max_val == "3.5"
+
+
+def test_haar_compression_streaming_sessions(spark):
+    """haar_energy: exact numpy pyramid replay, a pure level-2
+    oscillation concentrates its energy at level 2, constant series
+    have NULL shares; compression_ratio: exact zlib replay, repetitive
+    text compresses far better than random text; streaming_sessions:
+    batch parity with the gap sessionizer and a real micro-batch
+    stream emits the same closed sessions."""
+    from spark_timeseries_spark.operators.wavelet import haar_energy
+    from spark_timeseries_spark.pipeline.text import compression_ratio
+    from spark_timeseries_spark.streaming.observations import (
+        streaming_sessions,
+    )
+
+    rng = np.random.RandomState(21)
+    x = np.cumsum(rng.randn(64))
+    osc = np.tile([1.0, 1.0, -1.0, -1.0], 16)  # period 4 = level 2
+    rows = [("a", i, float(v)) for i, v in enumerate(x)]
+    rows += [("osc", i, float(v)) for i, v in enumerate(osc)]
+    rows += [("const", i, 3.0) for i in range(32)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    got = {}
+    for r in haar_energy(df, levels=4).collect():
+        got.setdefault(r.key, {})[r.level] = r
+
+    def replay(vals):
+        en = {}
+        for lv in range(1, 5):
+            b = 2 ** lv
+            ds = []
+            for s0 in range(0, len(vals) - b + 1, b):
+                blk = vals[s0: s0 + b]
+                d = (blk[: b // 2].sum() - blk[b // 2:].sum()) / np.sqrt(b)
+                ds.append(d)
+            if ds:
+                en[lv] = (len(ds), float(np.sum(np.square(ds))))
+        return en
+
+    for key, vals in (("a", x), ("osc", osc)):
+        want = replay(np.asarray(vals))
+        assert set(got[key]) == set(want)
+        tot = sum(e for _, e in want.values())
+        for lv, (nc, e) in want.items():
+            r = got[key][lv]
+            assert r.n_coeffs == nc
+            assert abs(r.energy - e) < 1e-9
+            assert abs(r.energy_frac - e / tot) < 1e-9
+    # the period-4 square wave puts ~all energy at level 2
+    assert got["osc"][2].energy_frac > 0.99
+    for r in got["const"].values():
+        assert r.energy == 0.0 and r.energy_frac is None
+
+    import zlib
+    rnd_text = "".join(chr(33 + c) for c in rng.randint(0, 90, 2000))
+    docs = spark.createDataFrame(
+        [(1, "spam " * 400), (2, rnd_text), (3, "")],
+        "doc_id long, text string")
+    cr = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    for i, t in ((1, "spam " * 400), (2, rnd_text)):
+        want = len(zlib.compress(t.encode("utf-8"), 6))
+        assert cr[i].n_compressed == want
+        assert abs(cr[i].ratio - want / len(t.encode())) < 1e-12
+    assert cr[1].ratio < 0.05 and cr[2].ratio > 0.5
+    assert cr[3].ratio is None and cr[3].n_bytes == 0
+
+    # batch parity of the native session_window vs the gap sessionizer
+    import datetime as dt
+    from spark_timeseries_spark.operators.sessionize import sessionize
+    t0 = dt.datetime(2024, 5, 1)
+    offs = [0, 60, 120, 4000, 4100, 9000]
+    ev = spark.createDataFrame(
+        [("u", t0 + dt.timedelta(seconds=o), 1.0) for o in offs],
+        "key string, ts timestamp, value double")
+    ses = sorted(
+        streaming_sessions(ev, gap_seconds=1800.0).collect(),
+        key=lambda r: r.session_start)
+    assert [r.n_events for r in ses] == [3, 2, 1]
+    ref = sessionize(ev, 1800.0).groupBy("session_id").agg(
+        F.count(F.lit(1)).alias("n"), F.min("ts").alias("st")).collect()
+    assert sorted(r.n for r in ref) == sorted(r.n_events for r in ses)
+    assert {r.st for r in ref} == {r.session_start for r in ses}
+
+    # real micro-batch stream: same closed sessions arrive in append mode
+    import tempfile, os, json, time as _time
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src"); os.mkdir(src)
+        with open(os.path.join(src, "a.json"), "w") as f:
+            for o in offs:
+                f.write(json.dumps({
+                    "key": "u",
+                    "ts": (t0 + dt.timedelta(seconds=o)).isoformat(),
+                    "value": 1.0}) + "\n")
+            # a late sentinel far in the future closes the watermark
+            f.write(json.dumps({
+                "key": "w",
+                "ts": (t0 + dt.timedelta(days=2)).isoformat(),
+                "value": 0.0}) + "\n")
+        stream = (
+            spark.readStream.schema("key string, ts timestamp, value double")
+            .json(src)
+        )
+        out = streaming_sessions(stream, gap_seconds=1800.0,
+                                 watermark="10 minutes")
+        q = (out.writeStream.format("memory").queryName("ses_t")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got_s = spark.sql(
+            "SELECT * FROM ses_t WHERE key = 'u'").collect()
+    assert sorted(r.n_events for r in got_s) == [1, 2, 3]
