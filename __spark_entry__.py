@@ -5177,6 +5177,23 @@ def _q_compression_ratio(spark, sf_dir):
     )
 
 
+def _q_mutual_information(spark, sf_dir):
+    """Median-binarized mutual information (+ NMI) between daily-grid
+    users 1 and 2 — the symmetric sibling of transfer_entropy, same
+    integer-count algebra."""
+    from spark_timeseries_spark.operators.infotheory import (
+        mutual_information,
+    )
+
+    grid = _daily_grid(spark, sf_dir)
+    out = mutual_information(grid, "1", "2", order_col="loc")
+    return out.select(
+        "key_a", "key_b", "n",
+        _stable_round(F.col("mi"), 6).alias("mi"),
+        _stable_round(F.col("nmi"), 6).alias("nmi"),
+    )
+
+
 def _q_transfer_entropy(spark, sf_dir):
     """Median-binarized transfer entropy between daily-grid users 1
     and 2 (both directions + net) — integer triple counts, the
@@ -6172,6 +6189,7 @@ _ALL_QUERIES = {
     "log_rank": _q_log_rank,
     "haar_energy": _q_haar_energy,
     "compression_ratio": _q_compression_ratio,
+    "mutual_information": _q_mutual_information,
     "transfer_entropy": _q_transfer_entropy,
     "k_anonymity": _q_k_anonymity,
     "profile_columns": _q_profile_columns,
@@ -15640,6 +15658,59 @@ def oracle_sql() -> dict[str, str]:
                    " OVER (PARTITION BY key), 0)", 6
                )} AS energy_frac
         FROM en
+    """
+
+    o["mutual_information"] = _DAILY_GRID_SQL + f""",
+        wide AS (
+            SELECT loc,
+                   max(CASE WHEN key = '1' THEN value END) AS va,
+                   max(CASE WHEN key = '2' THEN value END) AS vb
+            FROM grid WHERE value IS NOT NULL AND key IN ('1', '2')
+            GROUP BY 1
+        ),
+        wf AS (
+            SELECT * FROM wide WHERE va IS NOT NULL AND vb IS NOT NULL
+        ),
+        med AS (
+            SELECT quantile_cont(va, 0.5) AS ma,
+                   quantile_cont(vb, 0.5) AS mb
+            FROM wf
+        ),
+        st AS (
+            SELECT CAST(va > ma AS INT) AS x, CAST(vb > mb AS INT) AS y
+            FROM wf CROSS JOIN med
+        ),
+        jt AS (
+            SELECT x, y, CAST(count(*) AS BIGINT) AS nxy
+            FROM st GROUP BY 1, 2
+        ),
+        tw AS (
+            SELECT nxy, sum(nxy) OVER (PARTITION BY x) AS nx,
+                   sum(nxy) OVER (PARTITION BY y) AS ny,
+                   sum(nxy) OVER () AS nn
+            FROM jt
+        ),
+        ag AS (
+            SELECT sum(CAST(nxy AS DOUBLE) / CAST(nn AS DOUBLE)
+                       * ln(CAST(nxy AS DOUBLE) * CAST(nn AS DOUBLE)
+                            / (CAST(nx AS DOUBLE)
+                               * CAST(ny AS DOUBLE)))) AS mi,
+                   sum(-(CAST(nxy AS DOUBLE) / CAST(nn AS DOUBLE))
+                       * ln(CAST(nx AS DOUBLE) / CAST(nn AS DOUBLE)))
+                       AS hx,
+                   sum(-(CAST(nxy AS DOUBLE) / CAST(nn AS DOUBLE))
+                       * ln(CAST(ny AS DOUBLE) / CAST(nn AS DOUBLE)))
+                       AS hy,
+                   first(nn) AS n
+            FROM tw
+        )
+        SELECT '1' AS key_a, '2' AS key_b, CAST(n AS BIGINT) AS n,
+               {_sr_sql("mi", 6)} AS mi,
+               {_sr_sql(
+                   "CASE WHEN hx > 0 AND hy > 0 THEN"
+                   " mi / sqrt(hx * hy) END", 6
+               )} AS nmi
+        FROM ag
     """
 
     o["transfer_entropy"] = _DAILY_GRID_SQL + f""",

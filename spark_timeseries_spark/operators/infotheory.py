@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["transfer_entropy"]
+__all__ = ["mutual_information", "transfer_entropy"]
 
 
 def transfer_entropy(
@@ -122,4 +122,95 @@ def transfer_entropy(
         "te_ab",
         "te_ba",
         (F.col("te_ab") - F.col("te_ba")).alias("net"),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    key_a: str,
+    key_b: str,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Median-binarized mutual information between two conformed
+    series → ONE row: (key_a, key_b, n, mi, nmi). The symmetric
+    companion of :func:`transfer_entropy`: MI = Σ p(x,y)·ln(p(x,y)/
+    (p(x)p(y))) over the 4 joint states (plug-in estimate from
+    integer counts — the same zero-guard-free algebra), ``nmi``
+    normalizes by √(H(X)·H(Y)) into [0, 1] (NULL when either marginal
+    entropy is 0 — a constant-sided pair carries no information to
+    normalize). Catches nonlinear association ccf misses; direction-
+    blind where TE is directional.
+
+    Plan: identical alignment to :func:`transfer_entropy` (pivot on
+    the shared grid, exact medians), then one groupBy over ≤ 4 joint
+    states + window sums on that 4-row table. All JVM."""
+    pts = df.where(
+        F.col(key_col).isin([key_a, key_b])
+        & F.col(value_col).isNotNull()
+    )
+    wide = pts.groupBy(F.col(order_col).alias("_loc")).agg(
+        F.max(
+            F.when(F.col(key_col) == key_a, F.col(value_col))
+        ).alias("_va"),
+        F.max(
+            F.when(F.col(key_col) == key_b, F.col(value_col))
+        ).alias("_vb"),
+    ).where(F.col("_va").isNotNull() & F.col("_vb").isNotNull())
+    wall = Window.partitionBy(F.lit(1))
+    d = (
+        wide.withColumn("_ma", F.percentile("_va", F.lit(0.5)).over(wall))
+        .withColumn("_mb", F.percentile("_vb", F.lit(0.5)).over(wall))
+        .select(
+            (F.col("_va") > F.col("_ma")).cast("int").alias("x"),
+            (F.col("_vb") > F.col("_mb")).cast("int").alias("y"),
+        )
+    )
+    j = d.groupBy("x", "y").agg(F.count(F.lit(1)).alias("nxy"))
+    wx = Window.partitionBy("x")
+    wy = Window.partitionBy("y")
+    w_all = Window.partitionBy(F.lit(1))
+    t = j.select(
+        "nxy",
+        F.sum("nxy").over(wx).alias("nx"),
+        F.sum("nxy").over(wy).alias("ny"),
+        F.sum("nxy").over(w_all).alias("nn"),
+    )
+    nn = F.col("nn").cast("double")
+    term = (
+        F.col("nxy").cast("double")
+        / nn
+        * F.log(
+            F.col("nxy").cast("double")
+            * nn
+            / (F.col("nx").cast("double") * F.col("ny").cast("double"))
+        )
+    )
+    # marginal entropies from the same table: each (x, y) cell carries
+    # its marginal counts; -sum over DISTINCT marginal values needs the
+    # per-cell share of its marginal to avoid double counting
+    hx_term = (
+        -(F.col("nxy").cast("double") / nn)
+        * F.log(F.col("nx").cast("double") / nn)
+    )
+    hy_term = (
+        -(F.col("nxy").cast("double") / nn)
+        * F.log(F.col("ny").cast("double") / nn)
+    )
+    out = t.groupBy(F.lit(1).alias("_j")).agg(
+        F.sum(term).alias("mi"),
+        F.sum(hx_term).alias("_hx"),
+        F.sum(hy_term).alias("_hy"),
+        F.first("nn").alias("n"),
+    )
+    return out.select(
+        F.lit(key_a).alias("key_a"),
+        F.lit(key_b).alias("key_b"),
+        F.col("n").cast("long").alias("n"),
+        "mi",
+        F.when(
+            (F.col("_hx") > 0) & (F.col("_hy") > 0),
+            F.col("mi") / F.sqrt(F.col("_hx") * F.col("_hy")),
+        ).alias("nmi"),
     )
