@@ -5172,8 +5172,10 @@ def _q_compression_ratio(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = compression_ratio(docs)
     return out.select(
-        "doc_id", "n_bytes", "n_compressed",
-        _stable_round(F.col("ratio"), 6).alias("ratio"),
+        "doc_id", "raw_bytes", "zlib_bytes",
+        _stable_round(F.col("compression_ratio"), 6).alias(
+            "compression_ratio"
+        ),
     )
 
 

@@ -5,7 +5,6 @@ array, hash builtins) — no Python UDFs — so they codegen and scale linearly.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1031,50 +1030,4 @@ def quality_token_curve(
             F.col("cum_tokens").cast("double"),
             F.col("_tot").cast("double"),
         ).alias("token_frac"),
-    )
-
-
-def compression_ratio(
-    df: DataFrame,
-    level: int = 6,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """zlib compressibility quality signal → (id, n_bytes,
-    n_compressed, ratio = compressed/raw): the Gopher rule family's
-    "too compressible = boilerplate/repetition, too incompressible =
-    noise/binary junk" filter (Rae et al. 2021 use exactly this
-    signal; typical prose sits near 0.3–0.5). DEFLATE is
-    deterministic for a fixed level and zlib build, but no SQL engine
-    replays it — this operator is pytest-parity, not oracle-backed
-    (the ``acf``/plotting class), stated.
-
-    Plan: one Arrow-batched pandas UDF over the text column (zlib is
-    C-speed; the UDF is the only non-JVM hop and is row-local — no
-    shuffle at all). Empty/NULL text yields NULL ratio."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("long")
-    def _clen(texts: pd.Series) -> pd.Series:
-        import zlib
-
-        return texts.map(
-            lambda t: None
-            if t is None
-            else len(zlib.compress(t.encode("utf-8"), level))
-        )
-
-    blen = F.length(F.encode(F.col(text_col), "UTF-8")).cast("long")
-    d = df.select(
-        F.col(id_col),
-        blen.alias("n_bytes"),
-        _clen(F.col(text_col)).alias("n_compressed"),
-    )
-    return d.withColumn(
-        "ratio",
-        F.when(
-            F.col("n_bytes") > 0,
-            F.col("n_compressed").cast("double")
-            / F.col("n_bytes").cast("double"),
-        ),
     )

@@ -7131,10 +7131,12 @@ def test_haar_compression_streaming_sessions(spark):
     cr = {r.doc_id: r for r in compression_ratio(docs).collect()}
     for i, t in ((1, "spam " * 400), (2, rnd_text)):
         want = len(zlib.compress(t.encode("utf-8"), 6))
-        assert cr[i].n_compressed == want
-        assert abs(cr[i].ratio - want / len(t.encode())) < 1e-12
-    assert cr[1].ratio < 0.05 and cr[2].ratio > 0.5
-    assert cr[3].ratio is None and cr[3].n_bytes == 0
+        assert cr[i].zlib_bytes == want
+        assert abs(
+            cr[i].compression_ratio - want / len(t.encode())) < 1e-12
+    assert cr[1].compression_ratio < 0.05
+    assert cr[2].compression_ratio > 0.5
+    assert cr[3].compression_ratio is None and cr[3].raw_bytes == 0
 
     # batch parity of the native session_window vs the gap sessionizer
     import datetime as dt
