@@ -1229,3 +1229,33 @@ def test_silhouette_broadcast_only(spark):
     assert "BroadcastExchange" in p, p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
     assert shuffles <= 1, p
+
+
+def test_r12_indicator_plans_single_exchange(spark):
+    """ichimoku / money_flow_index: every window shares the ONE
+    (key, bar) exchange of the OHLC aggregate (bars groupBy + windows =
+    2 exchanges total, no joins); risk_ratios: lag + cumulative windows
+    + the final combinable aggregate ride one key exchange, no joins;
+    haar_energy: the explode feeds a single (key, level, block)
+    aggregate — no window over the exploded data, no joins."""
+    from spark_timeseries_spark.operators.indicators import (
+        ichimoku,
+        money_flow_index,
+        risk_ratios,
+    )
+    from spark_timeseries_spark.operators.resample import ohlc
+    from spark_timeseries_spark.operators.wavelet import haar_energy
+    from spark_timeseries_spark.sources import events_observations
+
+    obs = events_observations(spark, SF)
+    bars = ohlc(obs, "day")
+    for op in (lambda b: ichimoku(b, 5, 10, 20),
+               lambda b: money_flow_index(b, n=7)):
+        shuffles, _, p = _counts(op(bars))
+        assert "Join" not in p, p
+        assert shuffles <= 2, p  # bars groupBy + the window sort
+    shuffles, _, p = _counts(risk_ratios(obs, order_col="ts"))
+    assert "Join" not in p and shuffles <= 1, p
+    shuffles, _, p = _counts(haar_energy(obs, levels=3, order_col="ts"))
+    assert "Join" not in p, p
+    assert shuffles <= 3, p  # row-number sort, (key,level,blk), (key,level)
