@@ -16147,7 +16147,9 @@ def oracle_sql() -> dict[str, str]:
         dd AS (
             SELECT key, r,
                    CASE WHEN dead THEN 1.0
-                        ELSE 1.0 - eq / max(eq) OVER wc END AS ddv
+                        ELSE 1.0 - eq / greatest(max(eq) OVER wc,
+                                                 CAST(1.0 AS DOUBLE))
+                   END AS ddv
             FROM q
             WINDOW wc AS (PARTITION BY key ORDER BY ts
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

@@ -1293,8 +1293,11 @@ def risk_ratios(
     threshold 0, Keating & Shadwick 2002) = Σ gains / Σ |losses|;
     gain_to_pain (Schwager) = Σ r / Σ |losses|; ``max_dd`` is the
     maximum peak-to-trough drawdown of the compounded equity curve
-    Π(1+r) (computed as exp∘cumsum∘log1p with the zero guard — a
-    return ≤ −100% pins the curve, and max_dd, to exactly 1); calmar
+    Π(1+r) measured against the running peak INCLUDING the initial
+    capital (equity₀ = 1 — an immediately losing stream draws down
+    from its start, not from its first post-return value; computed as
+    exp∘cumsum∘log1p with the zero guard — a return ≤ −100% pins the
+    curve, and max_dd, to exactly 1); calmar
     (cadence-relative form, stated: no annualization — the engine
     doesn't know the sampling frequency) = mean_ret / max_dd. NULL
     ratios where the denominator is 0 (an all-gain series has
@@ -1322,7 +1325,11 @@ def risk_ratios(
         .withColumn(
             "_dd",
             F.when(F.col("_dead"), F.lit(1.0)).otherwise(
-                1.0 - F.try_divide(F.col("_eq"), F.max("_eq").over(wc))
+                1.0
+                - F.try_divide(
+                    F.col("_eq"),
+                    F.greatest(F.max("_eq").over(wc), F.lit(1.0)),
+                )
             ),
         )
     )

@@ -6762,7 +6762,7 @@ def test_ichimoku_mfi_risk_ratios(spark):
     out = {r.key: r for r in risk_ratios(rdf).collect()}
     r = np.diff(vals) / np.array(vals[:-1])
     eq = np.cumprod(1 + r)
-    ddv = 1 - eq / np.maximum.accumulate(eq)
+    ddv = 1 - eq / np.maximum(np.maximum.accumulate(eq), 1.0)
     gain = r[r > 0].sum()
     pain = -r[r < 0].sum()
     a = out["a"]

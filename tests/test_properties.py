@@ -403,3 +403,160 @@ def test_containment_matches_python_sets(spark, docs):
         assert abs(r.containment_a - ca) < 1e-12
         assert abs(r.containment_b - cb) < 1e-12
         assert abs(r.jaccard - j) < 1e-12
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=0.5, max_value=1000.0,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=3, max_size=40,
+    )
+)
+def test_risk_ratios_identities(spark, vals):
+    """On any positive value series with at least one loss:
+    omega == gain_to_pain + 1 exactly (sum r = gain - pain), max_dd in
+    [0, 1), calmar = mean_ret/max_dd; with no losses omega/g2p/calmar
+    are NULL and max_dd == 0."""
+    import numpy as np
+
+    from spark_timeseries_spark.operators.indicators import risk_ratios
+
+    df = spark.createDataFrame(
+        [("k", i, float(v)) for i, v in enumerate(vals)],
+        "key string, loc long, value double",
+    )
+    rows = risk_ratios(df).collect()
+    if not rows:
+        return
+    r = rows[0]
+    rets = np.diff(vals) / np.array(vals[:-1])
+    has_loss = (rets < 0).any()
+    if has_loss:
+        assert r.omega is not None
+        assert abs(r.omega - (r.gain_to_pain + 1.0)) < 1e-9
+        assert 0.0 < r.max_dd < 1.0
+        assert abs(r.calmar - r.mean_ret / r.max_dd) < 1e-9
+    else:
+        assert r.omega is None and r.gain_to_pain is None
+        assert r.max_dd == 0.0 and r.calmar is None
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    perm=st.permutations(list(range(1, 6))),
+    extra=st.lists(st.integers(100, 200), max_size=3, unique=True),
+)
+def test_ndcg_bounds_and_perfect(spark, perm, extra):
+    """NDCG is in [0, 1] for ANY approximate ordering over the exact
+    top-5 (plus junk items); the identity ordering scores exactly 1;
+    junk-only retrieval scores 0."""
+    from spark_timeseries_spark.pipeline.similarity import ndcg_at_k
+
+    exact = spark.createDataFrame(
+        [("q", i, i) for i in range(1, 6)],
+        "qid string, vec_id long, rank int",
+    )
+    approx_rows = [("q", item, pos + 1) for pos, item in enumerate(perm)]
+    approx = spark.createDataFrame(
+        approx_rows, "qid string, vec_id long, rank int")
+    r = ndcg_at_k(exact, approx, k=5).collect()[0]
+    assert -1e-12 <= r.ndcg <= 1.0 + 1e-12
+    assert r.hits == 5
+    if perm == [1, 2, 3, 4, 5]:
+        assert abs(r.ndcg - 1.0) < 1e-12
+    junk = spark.createDataFrame(
+        [("q", 100 + i, i + 1) for i in range(5)],
+        "qid string, vec_id long, rank int")
+    r0 = ndcg_at_k(exact, junk, k=5).collect()[0]
+    assert r0.ndcg == 0.0 and r0.hits == 0
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(
+            lambda e: e[0] < e[1]
+        ),
+        min_size=1, max_size=25,
+    )
+)
+def test_pagerank_invariants(spark, edges):
+    """On any undirected graph: every pr_int is positive, total mass
+    stays in (0.9, 1 + eps] (floor-division leak only shrinks it), and
+    symmetric nodes (same neighborhoods) get identical scores."""
+    from spark_timeseries_spark.pipeline.graph import pagerank
+
+    pairs = spark.createDataFrame(
+        sorted(edges), "id_a long, id_b long")
+    rows = pagerank(pairs, iters=4).collect()
+    assert rows
+    tot = sum(r.pr_int for r in rows) / 1e6
+    assert 0.9 < tot <= 1.0 + 1e-9
+    assert all(r.pr_int > 0 for r in rows)
+    # degree-1 nodes attached to the same hub are interchangeable
+    import collections
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b); adj[b].add(a)
+    sig = collections.defaultdict(list)
+    got = {r.id: r.pr_int for r in rows}
+    for node, nb in adj.items():
+        sig[frozenset(nb)].append(node)
+    for group in sig.values():
+        prs = {got[n] for n in group}
+        assert len(prs) == 1, group
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    coeffs=st.lists(
+        st.floats(min_value=-3, max_value=3,
+                  allow_nan=False, allow_infinity=False),
+        min_size=3, max_size=3,
+    )
+)
+def test_savgol_reproduces_quadratics(spark, coeffs):
+    """A Savitzky-Golay filter of polyorder 2 reproduces ANY quadratic
+    exactly on the interior (the defining property of the filter)."""
+    from spark_timeseries_spark.operators.smoothing import savgol_smooth
+
+    a, b, c = coeffs
+    y = [a * t * t + b * t + c for t in range(25)]
+    df = spark.createDataFrame(
+        [("k", i, float(v)) for i, v in enumerate(y)],
+        "key string, loc long, value double",
+    )
+    for r in savgol_smooth(df, 7, 2).collect():
+        if r.savgol is not None:
+            assert abs(r.savgol - y[r.loc]) < 1e-7 * max(1.0, abs(y[r.loc]))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-50, max_value=50,
+                  allow_nan=False, allow_infinity=False),
+        min_size=2, max_size=60,
+    )
+)
+def test_msprt_always_valid_shape(spark, vals):
+    """For ANY value stream: p_always is in (0, 1], monotone
+    non-increasing in n, and reject_05 is exactly p <= 0.05."""
+    from spark_timeseries_spark.operators.experiment import msprt
+
+    df = spark.createDataFrame(
+        [("k", i, float(v)) for i, v in enumerate(vals)],
+        "key string, ts int, value double",
+    )
+    rows = sorted(
+        msprt(df, tau2=1.0, mu0=0.0, order_col="ts").collect(),
+        key=lambda r: r.ts,
+    )
+    ps = [r.p_always for r in rows]
+    assert all(0.0 <= p <= 1.0 for p in ps)
+    assert all(a >= b - 1e-15 for a, b in zip(ps, ps[1:]))
+    for r in rows:
+        assert r.reject_05 == (r.p_always <= 0.05)
