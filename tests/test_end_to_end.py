@@ -7237,3 +7237,52 @@ def test_mutual_information(spark):
         "key string, loc long, value double")
     rc = mutual_information(const, "a", "k").collect()[0]
     assert rc.nmi is None
+
+
+def test_log_rank_three_groups_eb_zero_trials(spark):
+    """log_rank with k = 3: the approximate chi-square matches an
+    independent replay, df = 2 picks the right critical value, and
+    chi2_exact2 is NULL (defined only for k = 2); eb_shrinkage: a
+    zero-trial key passes through with NULL rate and rate_eb equal to
+    the prior mean alpha/(alpha+beta)."""
+    from spark_timeseries_spark.operators.experiment import eb_shrinkage
+    from spark_timeseries_spark.operators.survival import log_rank
+
+    rng = np.random.RandomState(17)
+    rows = []
+    for g, scale in ((0, 5.0), (1, 9.0), (2, 14.0)):
+        for _ in range(40):
+            d = max(1, int(rng.exponential(scale)))
+            e = int(rng.rand() > 0.2)
+            rows.append((d, e, g))
+    df = spark.createDataFrame(rows, "duration long, event int, grp int")
+    r = log_rank(df, group_col="grp").collect()[0]
+    assert r.k == 3 and r.df == 2 and r.n == 120
+    assert abs(r.crit_05 - 5.991) < 1e-12
+    assert r.chi2_exact2 is None
+
+    # independent replay of the k-group O/E accounting
+    alld = sorted({d for d, e, g in rows})
+    O = {g: 0.0 for g in (0, 1, 2)}
+    E = {g: 0.0 for g in (0, 1, 2)}
+    for t in alld:
+        n_g = {g: sum(1 for d, e, gg in rows if gg == g and d >= t)
+               for g in (0, 1, 2)}
+        d_g = {g: sum(e for d, e, gg in rows if gg == g and d == t)
+               for g in (0, 1, 2)}
+        nt = sum(n_g.values()); dt = sum(d_g.values())
+        for g in (0, 1, 2):
+            O[g] += d_g[g]
+            E[g] += dt * n_g[g] / nt
+    chi2 = sum((O[g] - E[g]) ** 2 / E[g] for g in (0, 1, 2))
+    assert abs(r.chi2 - chi2) < 1e-9
+    assert r.reject_05 == (chi2 > 5.991)
+
+    edf = spark.createDataFrame(
+        [("a", 100, 30), ("b", 200, 90), ("c", 50, 10), ("d", 80, 25),
+         ("e", 120, 40), ("zero", 0, 0)],
+        "key string, trials long, successes long")
+    out = {r.key: r for r in eb_shrinkage(edf).collect()}
+    z = out["zero"]
+    assert z.rate is None and z.alpha is not None
+    assert abs(z.rate_eb - z.alpha / (z.alpha + z.beta)) < 1e-12
