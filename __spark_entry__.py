@@ -6212,69 +6212,71 @@ _ALL_QUERIES = {
 }
 
 # Driver window: the correctness harness records exactly the FIRST 50
-# entries of queries(). Round-12 policy (the r11 verdict's rotation
-# prescription, executed): (a) the 45 r11-late operators that have never
-# had a driver-hash row (the exact set-diff of the 324-query strict log
-# vs every green row in CORRECTNESS_r01–r11, listed in the r11 verdict's
-# "What's missing" §1) — promoting them all at once closes the corpus's
-# only evidence gap; (b) the 5 stalest rows of the r5/r6 rotation queue
-# (union_series, lags_custom, stats_suite, hampel, periodogram; still
-# queued after this round: dominant_period, incremental_near_dedup,
-# knn_cosine, ewma_fit, argarch_fit, fill_spline, to_series_digest).
-# Everything displaced retains full-strict-log evidence
-# (tools/check_correctness log, refreshed in the same commit as every
-# query/semantics change — the r5 lockstep rule).
-_WINDOW_R12 = [
-    "ab_conv",
-    "allan_variance",
-    "brown_forsythe",
-    "capm",
-    "circadian_stats",
-    "cluster_separation",
-    "code_detect",
-    "conformal_interval",
-    "cronbach_alpha",
-    "cuped",
-    "dedup_sweep",
-    "downside_stats",
-    "dtw_pair",
-    "edit_dist_pairs",
-    "engagement_hist",
-    "esd_outliers",
-    "fdr",
-    "gpd",
-    "interevent_stats",
-    "intrinsic_dim",
-    "jarque_bera",
-    "kaplan_meier",
-    "kendall_w",
-    "lead_lag",
-    "ma_cross",
-    "mann_whitney",
-    "microstructure",
-    "pairs_spread",
-    "pinball",
-    "powerlaw_alpha",
-    "quality_token_curve",
-    "record_stats",
-    "reliability",
-    "roll_slope",
-    "source_rank_gap",
-    "spc_rules",
-    "spectral_flatness",
-    "spectral_residual",
-    "srm",
-    "tail_dependence",
-    "transition_entropy",
-    "type_diversity",
-    "wasserstein",
-    "weibull_fit",
-    "white_noise",
-    "union_series",
-    "lags_custom",
-    "stats_suite",
-    "hampel",
-    "periodogram",
+# entries of queries(). Round-13 policy (the r12 verdict's rotation
+# prescription, executed): (a) the 22 r12-new operators — the exact
+# set-diff of the 346-query corpus vs every green row in
+# CORRECTNESS_r01–r12 (the r12 verdict's "What's missing" §1) —
+# promoting them all closes the never-hashed set to zero; (b) the 28
+# stalest rows, all last driver-hashed in r6, beginning the staleness
+# sweep of the §2 core. Everything displaced retains full-strict-log
+# evidence (tools/check_correctness log, refreshed in the same commit as
+# every query/semantics change — the r5 lockstep rule).
+_WINDOW_R13 = [
+    # (a) the 22 r12-new operators — the only never-driver-hashed rows
+    # after r12; promoting them closes the never-hashed set to zero.
+    "ab_power",
+    "compression_ratio",
+    "dedup_canonical",
+    "did",
+    "eb_shrinkage",
+    "haar_energy",
+    "ichimoku",
+    "k_anonymity",
+    "kernel_smooth",
+    "log_rank",
+    "mfi",
+    "msprt",
+    "mutual_information",
+    "ndcg",
+    "nelson_aalen",
+    "pagerank",
+    "profile_columns",
+    "risk_ratios",
+    "savgol",
+    "silhouette",
+    "source_dup_matrix",
+    "transfer_entropy",
+    # (b) the 28 stalest rows — all last driver-hashed in r6; this starts
+    # the staleness sweep of the §2 core (next in queue after this round:
+    # rebase_irregular, rebase_uniform, and the rest of the r6 tier).
+    "adf_test",
+    "ar_forecast",
+    "argarch_fit",
+    "arima_filter",
+    "autocorr",
+    "bg_test",
+    "bp_test",
+    "business_days",
+    "diff_by_frequency",
+    "differences",
+    "dominant_period",
+    "downsample",
+    "dw_test",
+    "ewma_fit",
+    "ewma_smooth",
+    "fill_linear",
+    "fill_previous",
+    "fill_spline",
+    "filter_ending_after",
+    "filter_starting_before",
+    "garch_filter",
+    "holt_winters_forecast",
+    "incremental_near_dedup",
+    "knn_cosine",
+    "kpss_test",
+    "lb_test",
+    "pacf",
+    "rebase_hybrid",
 ]
 
 
@@ -6283,8 +6285,8 @@ _WINDOW_R12 = [
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters (driver window = first 50): the window list
     above leads, the remaining corpus follows in registry order."""
-    win = set(_WINDOW_R12)
-    out = {k: _ALL_QUERIES[k] for k in _WINDOW_R12}
+    win = set(_WINDOW_R13)
+    out = {k: _ALL_QUERIES[k] for k in _WINDOW_R13}
     out.update({k: v for k, v in _ALL_QUERIES.items() if k not in win})
     return out
 
