@@ -22,13 +22,19 @@ def chi2_crit_05(dfree: Column) -> Column:
     """Upper-5% chi-square critical value as a Column: the exact table
     for df ≤ 10, the Wilson-Hilferty (1931) cube approximation beyond
     (χ²_q ≈ df·(1 − 2/(9df) + z_q·√(2/(9df)))³, accurate to <0.1% at
-    df > 10). Shared by :func:`srm_check`, the survival log-rank test,
+    df > 10). Degenerate df ≤ 0 (k = 1 groups) yields NULL, matching
+    the table-lookup behavior — the 2/(9df) term would otherwise divide
+    by zero. Shared by :func:`srm_check`, the survival log-rank test,
     and any k-group chi-square readout."""
     d = dfree.cast("double")
     z95 = 1.6448536269514722  # Phi^{-1}(0.95)
-    wh = d * F.pow(
-        1.0 - 2.0 / (9.0 * d) + F.lit(z95) * F.sqrt(2.0 / (9.0 * d)),
-        F.lit(3.0),
+    wh = F.when(
+        d > 0,
+        d
+        * F.pow(
+            1.0 - 2.0 / (9.0 * d) + F.lit(z95) * F.sqrt(2.0 / (9.0 * d)),
+            F.lit(3.0),
+        ),
     )
     table = F.element_at(
         F.create_map(
@@ -439,10 +445,12 @@ def eb_shrinkage(
     m = F.avg("rate")
     vv = F.var_pop("rate")
     c = F.try_divide(m * (1 - m), vv) - 1.0
+    # Global .agg (not groupBy(lit(1))): yields exactly ONE row even when
+    # every key has zero trials (all rates NULL — avg/var_pop skip NULLs),
+    # so the crossJoin below never empties the base rows; alpha/beta are
+    # NULL and zero-trial keys keep their documented pass-through contract.
     prior = F.broadcast(
-        base.where(F.col("rate").isNotNull())
-        .groupBy(F.lit(1).alias("_j"))
-        .agg(
+        base.agg(
             F.when(c > 0, m * c).alias("alpha"),
             F.when(c > 0, (1 - m) * c).alias("beta"),
         )

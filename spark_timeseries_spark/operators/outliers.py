@@ -19,6 +19,8 @@ two exchanges total, no Python.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -27,6 +29,19 @@ from pyspark.sql import functions as F
 __all__ = ["outliers", "hampel", "winsorize", "esd_outliers"]
 
 _MAD_K = 1.4826022185056018  # 1/Phi^-1(0.75): MAD→sigma under normality
+
+
+@lru_cache(maxsize=65536)
+def _esd_lambda(alpha: float, n0: int, i: int) -> float:
+    """Rosner λᵢ (1983 eq. 4), memoized at MODULE level keyed on
+    (alpha, n0, i) so series of equal length genuinely share the t_ppf
+    Newton solves across groups within a Python worker (an lru_cache
+    inside the grouped-map kernel would be rebuilt per group)."""
+    from ..models._numeric import t_ppf
+
+    nu = n0 - i - 1.0
+    t = t_ppf(1.0 - alpha / (2.0 * (n0 - i + 1.0)), nu)
+    return (n0 - i) * t / float(np.sqrt((nu + t * t) * (n0 - i + 1.0)))
 
 
 def outliers(
@@ -242,8 +257,9 @@ def esd_outliers(
 
     Plan: grouped-map kernel, O(k·n) per series inside the
     one-series-in-memory envelope; embarrassingly parallel across
-    keys; λᵢ is k cached scalars per series ((n, i) memoized — series
-    of equal length share). The recursion (each iteration's statistics
+    keys; λᵢ is k cached scalars per series (module-level
+    (alpha, n, i) memo — series of equal length share the t_ppf
+    Newton solves across groups within a worker process). The recursion (each iteration's statistics
     depend on the previous removal) rules out a window formulation —
     the ``kalman_level`` class; the DuckDB oracle replays the
     removal loop exactly with a recursive CTE carrying the
@@ -257,15 +273,7 @@ def esd_outliers(
     lt = df.schema[order_col].dataType.simpleString()
 
     def kern(pdf: pd.DataFrame) -> pd.DataFrame:
-        from functools import lru_cache
-
-        from ..models._numeric import t_ppf
-
-        @lru_cache(maxsize=None)
-        def lam(n0: int, i: int) -> float:
-            nu = n0 - i - 1.0
-            t = t_ppf(1.0 - alpha / (2.0 * (n0 - i + 1.0)), nu)
-            return (n0 - i) * t / np.sqrt((nu + t * t) * (n0 - i + 1.0))
+        lam = _esd_lambda  # module-level memo: shared across groups
 
         pdf = pdf[pdf[value_col].notna()].sort_values(order_col)
         vals = pdf[value_col].to_numpy(dtype=float)
@@ -288,7 +296,7 @@ def esd_outliers(
             out_l.append(locs[pos])
             out_v.append(vals[pos])
             out_r.append(devs[pos] / sd)
-            out_lam.append(lam(n0, i))
+            out_lam.append(lam(alpha, n0, i))
             vals = np.delete(vals, pos)
             locs = np.delete(locs, pos)
         # ESD rule: largest i with R_i > lambda_i; all iters <= it flag

@@ -441,6 +441,12 @@ def ndcg_at_k(
     putting the best neighbors FIRST, not just anywhere in the top-k.
     Queries the index returned nothing for emit hits = 0, ndcg = 0.
 
+    Both inputs are normalized before the join: ranks are truncated to
+    ≤ k and duplicate (qid, id) rows collapse to their best (minimum)
+    rank, so an over-long or duplicated approx table cannot accrue extra
+    gain terms and push ndcg past 1 — the gain sum is bounded by the
+    fixed IDCG over exactly k positions by construction.
+
     Plan: a per-query bounded join (both sides ≤ k rows per query) +
     one groupBy(qid); the query universe comes from the exact side so
     silent index misses can't drop rows."""
@@ -451,13 +457,17 @@ def ndcg_at_k(
     idcg = sum((k + 1 - i) / _math.log2(i + 1) for i in range(1, k + 1))
     ar = F.col("_ar").cast("double")
     er = F.col("_er").cast("double")
-    j = approx.select(
-        qid_col, id_col, F.col(rank_col).alias("_ar")
-    ).join(
-        exact.select(qid_col, id_col, F.col(rank_col).alias("_er")),
-        [qid_col, id_col],
-        "left",
+    a_k = (
+        approx.where(F.col(rank_col) <= k)
+        .groupBy(qid_col, id_col)
+        .agg(F.min(rank_col).alias("_ar"))
     )
+    e_k = (
+        exact.where(F.col(rank_col) <= k)
+        .groupBy(qid_col, id_col)
+        .agg(F.min(rank_col).alias("_er"))
+    )
+    j = a_k.join(e_k, [qid_col, id_col], "left")
     gain = F.when(
         F.col("_er").isNotNull(),
         (F.lit(float(k + 1)) - er) / F.log2(ar + 1.0),

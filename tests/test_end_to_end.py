@@ -7286,3 +7286,59 @@ def test_log_rank_three_groups_eb_zero_trials(spark):
     z = out["zero"]
     assert z.rate is None and z.alpha is not None
     assert abs(z.rate_eb - z.alpha / (z.alpha + z.beta)) < 1e-12
+
+
+def test_r13_advice_regressions(spark):
+    """r12 ADVICE regressions: (1) eb_shrinkage on an ALL-zero-trial
+    input keeps every base row (global agg yields one prior row even
+    with no observed rates) with NULL alpha/beta/rate_eb; (2) ndcg_at_k
+    truncates an over-long/duplicated approx table to its best rank
+    within k so ndcg stays <= 1 and equals the clean-input score;
+    (3) chi2_crit_05 yields NULL (not NaN) at df <= 0; (4) the
+    module-level ESD lambda memo reproduces Rosner's formula."""
+    from spark_timeseries_spark.operators.experiment import (
+        chi2_crit_05,
+        eb_shrinkage,
+    )
+    from spark_timeseries_spark.operators.outliers import _esd_lambda
+    from spark_timeseries_spark.pipeline.similarity import ndcg_at_k
+
+    # (1) every key has zero trials: rows pass through, prior undefined
+    edf = spark.createDataFrame(
+        [("a", 0, 0), ("b", 0, 0), ("c", 0, 0)],
+        "key string, trials long, successes long")
+    rows = eb_shrinkage(edf).collect()
+    assert len(rows) == 3
+    assert all(r.rate is None and r.alpha is None and r.beta is None
+               and r.rate_eb is None for r in rows)
+
+    # (2) approx with ranks beyond k AND a duplicated (qid, id) row
+    exact = spark.createDataFrame(
+        [(1, i, i) for i in (1, 2, 3)], "qid int, vec_id int, rank int")
+    approx_clean = spark.createDataFrame(
+        [(1, 1, 1), (1, 2, 2), (1, 3, 3)],
+        "qid int, vec_id int, rank int")
+    approx_dirty = spark.createDataFrame(
+        [(1, 1, 1), (1, 2, 2), (1, 3, 3), (1, 1, 2),  # dup, worse rank
+         (1, 9, 4), (1, 8, 5)],                        # beyond k = 3
+        "qid int, vec_id int, rank int")
+    clean = ndcg_at_k(exact, approx_clean, k=3).collect()[0]
+    dirty = ndcg_at_k(exact, approx_dirty, k=3).collect()[0]
+    assert abs(clean.ndcg - 1.0) < 1e-12
+    assert abs(dirty.ndcg - clean.ndcg) < 1e-12 and dirty.ndcg <= 1.0
+
+    # (3) degenerate df: NULL, and the WH fallback still works at df 25
+    got = spark.range(1).select(
+        chi2_crit_05(F.lit(0)).alias("c0"),
+        chi2_crit_05(F.lit(25)).alias("c25"),
+    ).collect()[0]
+    assert got.c0 is None
+    assert abs(got.c25 - 37.652) < 0.05  # exact chi2_{.95,25} = 37.6525
+
+    # (4) module-level memo matches the inline Rosner formula
+    from spark_timeseries_spark.models._numeric import t_ppf
+    for n0, i in ((25, 1), (25, 3), (60, 2)):
+        nu = n0 - i - 1.0
+        t = t_ppf(1.0 - 0.05 / (2.0 * (n0 - i + 1.0)), nu)
+        want = (n0 - i) * t / np.sqrt((nu + t * t) * (n0 - i + 1.0))
+        assert abs(_esd_lambda(0.05, n0, i) - want) < 1e-12

@@ -1259,3 +1259,31 @@ def test_r12_indicator_plans_single_exchange(spark):
     shuffles, _, p = _counts(haar_energy(obs, levels=3, order_col="ts"))
     assert "Join" not in p, p
     assert shuffles <= 3, p  # row-number sort, (key,level,blk), (key,level)
+
+
+def test_pagerank_iteration_join_count(spark):
+    """pagerank r13 plan: the loop-invariant degree join is folded into
+    the edge table ONCE before the loop, so a run with iters iterations
+    issues exactly 1 (edges <-> deg) + iters (edges_deg <-> pr) + iters
+    (nodes <-> inflow) DataFrame joins = 1 + 2*iters — not the pre-hoist
+    1 + 3*iters that re-joined deg inside every iteration."""
+    from unittest import mock
+
+    # instances are the classic impl class in PySpark 4, not the facade
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from spark_timeseries_spark.pipeline.graph import pagerank
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "id_a int, id_b int")
+    calls = []
+    orig = DataFrame.join
+
+    def counting_join(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    with mock.patch.object(DataFrame, "join", counting_join):
+        out = pagerank(pairs, iters=3).collect()
+    assert len(out) == 4
+    assert len(calls) == 1 + 2 * 3, len(calls)
