@@ -5564,6 +5564,37 @@ def _q_log_rank(spark, sf_dir):
     )
 
 
+def _q_stratified_log_rank(spark, sf_dir):
+    """Stratified log-rank (Cox PH score test): signup->purchase
+    survival between the user_id-parity cohorts, stratified by a
+    3-level user covariate (floor(id/2) mod 3) — stratum-local O/E
+    ledgers summed before the chi-square, so a baseline-hazard shift
+    between strata cannot masquerade as a cohort effect."""
+    from spark_timeseries_spark.operators.survival import (
+        stratified_log_rank,
+        time_to_event,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    tte = time_to_event(ev, "signup", "purchase", unit_seconds=3600.0)
+    binned = tte.select(
+        F.ceil(F.col("duration")).cast("long").alias("duration"),
+        "event",
+        F.pmod(F.col("key"), F.lit(2)).cast("int").alias("grp"),
+        F.pmod(F.floor(F.col("key") / F.lit(2)), F.lit(3))
+        .cast("int").alias("stratum"),
+    )
+    out = stratified_log_rank(binned, group_col="grp")
+    return out.select(
+        "k", "strata", "n",
+        _stable_round(F.col("chi2"), 6).alias("chi2"),
+        "df",
+        _stable_round(F.col("crit_05"), 6).alias("crit_05"),
+        "reject_05",
+        _stable_round(F.col("chi2_exact2"), 6).alias("chi2_exact2"),
+    )
+
+
 def _q_weibull_fit(spark, sf_dir):
     """Weibull median-rank-regression fit of inter-purchase gap hours
     per user — rank window + one OLS aggregate per key."""
@@ -6209,6 +6240,8 @@ _ALL_QUERIES = {
     "ab_power": _q_ab_power,
     "eb_shrinkage": _q_eb_shrinkage,
     "did": _q_did,
+    # --- r13 additions ---
+    "stratified_log_rank": _q_stratified_log_rank,
 }
 
 # Driver window: the correctness harness records exactly the FIRST 50
@@ -16496,6 +16529,115 @@ def oracle_sql() -> dict[str, str]:
             FROM ch CROSS JOIN nn
         )
         SELECT k, n, {_sr_sql("chi2", 6)} AS chi2, df,
+               {_sr_sql("crit", 6)} AS crit_05,
+               chi2 > crit AS reject_05,
+               {_sr_sql(
+                   "CASE WHEN k = 2 THEN num * num / nullif(den, 0) END", 6
+               )} AS chi2_exact2
+        FROM cr CROSS JOIN two
+    """
+
+    o["stratified_log_rank"] = f"""
+        WITH s AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'signup'
+                            THEN epoch_us(ts) END) AS st
+            FROM events GROUP BY 1
+        ),
+        h AS (SELECT max(epoch_us(ts)) AS hor FROM events),
+        e AS (
+            SELECT ev.user_id, min(epoch_us(ev.ts)) AS en
+            FROM events ev JOIN s ON s.user_id = ev.user_id
+            WHERE ev.event_type = 'purchase' AND epoch_us(ev.ts) >= s.st
+            GROUP BY 1
+        ),
+        t AS (
+            SELECT s.user_id,
+                   CAST(ceil(CAST(coalesce(en, hor) - st AS DOUBLE)
+                             / 3600000000.0) AS BIGINT) AS duration,
+                   CASE WHEN en IS NOT NULL THEN 1 ELSE 0 END AS ev
+            FROM s CROSS JOIN h LEFT JOIN e ON e.user_id = s.user_id
+            WHERE st IS NOT NULL
+        ),
+        tg AS (
+            SELECT CAST(user_id % 2 AS INT) AS g,
+                   CAST((user_id // 2) % 3 AS INT) AS st8,
+                   duration, ev
+            FROM t
+        ),
+        per AS (
+            SELECT st8, g, duration AS tt, CAST(sum(ev) AS BIGINT) AS d,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM tg GROUP BY 1, 2, 3
+        ),
+        grid AS (SELECT DISTINCT st8, tt FROM per),
+        gtot AS (
+            SELECT st8, g, CAST(sum(x) AS BIGINT) AS tot
+            FROM per GROUP BY 1, 2
+        ),
+        fl AS (
+            SELECT gt.st8, gt.g, gr.tt, gt.tot,
+                   coalesce(p.d, 0) AS d, coalesce(p.x, 0) AS x
+            FROM grid gr JOIN gtot gt ON gt.st8 = gr.st8
+            LEFT JOIN per p
+                ON p.st8 = gt.st8 AND p.g = gt.g AND p.tt = gr.tt
+        ),
+        fr AS (
+            SELECT *, tot - coalesce(sum(x) OVER (PARTITION BY st8, g
+                       ORDER BY tt ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS nrisk
+            FROM fl
+        ),
+        ft AS (
+            SELECT *, sum(nrisk) OVER (PARTITION BY st8, tt) AS nt,
+                   sum(d) OVER (PARTITION BY st8, tt) AS dt,
+                   min(g) OVER () AS g1
+            FROM fr
+        ),
+        eg AS (
+            SELECT *, CAST(dt AS DOUBLE) * CAST(nrisk AS DOUBLE)
+                       / CAST(nt AS DOUBLE) AS e
+            FROM ft
+        ),
+        pg AS (
+            SELECT g, sum(CAST(d AS DOUBLE)) AS o_g, sum(e) AS e_g
+            FROM eg GROUP BY 1
+        ),
+        two AS (
+            SELECT sum(CAST(d AS DOUBLE) - e) AS num,
+                   sum(CAST(dt AS DOUBLE)
+                       * (CAST(nrisk AS DOUBLE) / CAST(nt AS DOUBLE))
+                       * (1.0 - CAST(nrisk AS DOUBLE) / CAST(nt AS DOUBLE))
+                       * CASE WHEN nt > 1 THEN
+                             (CAST(nt AS DOUBLE) - CAST(dt AS DOUBLE))
+                             / (CAST(nt AS DOUBLE) - 1.0) END) AS den
+            FROM eg WHERE g = g1
+        ),
+        ch AS (
+            SELECT CAST(count(*) AS INT) AS k,
+                   sum((o_g - e_g) * (o_g - e_g) / nullif(e_g, 0)) AS chi2
+            FROM pg
+        ),
+        nn AS (
+            SELECT CAST(sum(tot) AS BIGINT) AS n,
+                   CAST(count(DISTINCT st8) AS INT) AS strata
+            FROM gtot
+        ),
+        cr AS (
+            SELECT k, strata, n, chi2, CAST(k - 1 AS INT) AS df,
+                   CASE k - 1
+                       WHEN 1 THEN 3.841 WHEN 2 THEN 5.991
+                       WHEN 3 THEN 7.815 WHEN 4 THEN 9.488
+                       WHEN 5 THEN 11.070 WHEN 6 THEN 12.592
+                       WHEN 7 THEN 14.067 WHEN 8 THEN 15.507
+                       WHEN 9 THEN 16.919 WHEN 10 THEN 18.307
+                       ELSE (k - 1) * pow(1.0 - 2.0 / (9.0 * (k - 1))
+                            + 1.6448536269514722
+                              * sqrt(2.0 / (9.0 * (k - 1))), 3.0)
+                   END AS crit
+            FROM ch CROSS JOIN nn
+        )
+        SELECT k, strata, n, {_sr_sql("chi2", 6)} AS chi2, df,
                {_sr_sql("crit", 6)} AS crit_05,
                chi2 > crit AS reject_05,
                {_sr_sql(

@@ -12,9 +12,13 @@ analysis over event streams. Three surfaces:
   (Kaplan & Meier 1958) on a (duration, event) table.
 - :func:`weibull_mrr` — Weibull shape/scale via median-rank regression
   (Bernard's approximation), the classic linearized probability-plot fit.
+- :func:`nelson_aalen` — the cumulative-hazard dual of Kaplan-Meier.
+- :func:`log_rank` / :func:`stratified_log_rank` — Mantel-Cox tests of
+  survival-curve equality, unadjusted and stratified (the Cox PH score
+  test for a group effect given a stratification covariate).
 
-All three are pure DataFrame plans (windows + aggregates, no Python in
-the hot path).
+All are pure DataFrame plans (windows + aggregates, no Python in the
+hot path).
 """
 
 from __future__ import annotations
@@ -375,6 +379,131 @@ def log_rank(
     crit = chi2_crit_05(dfree)
     return j.select(
         F.col("k").cast("int").alias("k"),
+        "n",
+        "chi2",
+        dfree.alias("df"),
+        crit.alias("crit_05"),
+        (F.col("chi2") > crit).alias("reject_05"),
+        F.when(
+            F.col("k") == 2,
+            F.try_divide(
+                F.col("_num") * F.col("_num"), F.col("_den")
+            ),
+        ).alias("chi2_exact2"),
+    )
+
+
+def stratified_log_rank(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    group_col: str = "group",
+    strata_col: str = "stratum",
+) -> DataFrame:
+    """Stratified log-rank test — the Cox proportional-hazards SCORE
+    test for a group effect adjusted for a stratification covariate
+    (Mantel 1966 extension of Mantel-Cox) → ONE row: (k, strata, n,
+    chi2, df, crit_05, reject_05, chi2_exact2). The O/E event ledger of
+    :func:`log_rank` is built WITHIN each stratum (stratum-local risk
+    sets: E_{g,s,t} = d_{s,t}·n_{g,s,t}/n_{s,t}), and the per-stratum
+    O−E and hypergeometric-variance pieces are SUMMED ACROSS strata
+    before the chi-square — so a covariate that shifts baseline hazard
+    between strata (site, device, cohort age) cannot masquerade as a
+    group effect. ``chi2`` is the k-group screen Σ_g (O_g − E_g)²/E_g
+    on k−1 df with O_g = Σ_s O_{g,s}, E_g = Σ_s E_{g,s};
+    ``chi2_exact2`` is the exact-variance two-group statistic
+    (Σ_s Σ_t (d_{1,s,t} − E_{1,s,t}))² / Σ_s Σ_t V_{s,t} with the same
+    V_t as :func:`log_rank` computed per stratum — NULL unless k = 2
+    (group 1 = the globally smallest group value). A single-group
+    stratum leaves the EXACT statistic untouched (p₁ ∈ {0, 1} zeroes
+    its O−E and V terms identically), while the k-group screen's E_g
+    denominator still absorbs that stratum's events (O_g and E_g grow
+    equally — stated, inherent to the (O−E)²/E approximation). With
+    one stratum this reduces exactly to :func:`log_rank`. Censor-at-t
+    convention unchanged.
+
+    Plan: ONE full-data pass (groupBy(stratum, group, duration));
+    everything after runs on the Σ_s (k_s × T_s) grid — the per-stratum
+    (stratum, duration) grid joined to the broadcast (stratum × group)
+    totals, per-(stratum, group) running-exit windows for the at-risk
+    ledger, per-(stratum, duration) windows for the shared totals, and
+    two one-row reduces. Bin durations at scale (the KM caveat);
+    stratum cardinality is covariate-bounded."""
+    per = df.groupBy(
+        F.col(strata_col).alias("_s"),
+        F.col(group_col).alias("_g"),
+        F.col(duration_col).alias("_t"),
+    ).agg(
+        F.sum(F.col(event_col).cast("long")).alias("_d"),
+        F.count(F.lit(1)).alias("_x"),
+    )
+    grid = per.select("_s", "_t").distinct()
+    gtot = per.groupBy("_s", "_g").agg(F.sum("_x").alias("_tot"))
+    # per-stratum (k_s × T_s) scaffold: every group PRESENT in a stratum
+    # observed on every event time of that stratum
+    full = (
+        grid.join(F.broadcast(gtot), "_s")
+        .join(per, ["_s", "_g", "_t"], "left")
+        .select(
+            "_s", "_g", "_t", "_tot",
+            F.coalesce(F.col("_d"), F.lit(0)).alias("_d"),
+            F.coalesce(F.col("_x"), F.lit(0)).alias("_x"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("_s", "_g")
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    full = full.withColumn(
+        "_nrisk",
+        F.col("_tot") - F.coalesce(F.sum("_x").over(w_prev), F.lit(0)),
+    )
+    wt = Window.partitionBy("_s", "_t")
+    wall = Window.partitionBy(F.lit(1))
+    g1 = F.min("_g").over(wall)
+    full = (
+        full.withColumn("_nt", F.sum("_nrisk").over(wt))
+        .withColumn("_dt", F.sum("_d").over(wt))
+        .withColumn("_is1", (F.col("_g") == g1).cast("int"))
+    )
+    e_gt = F.col("_dt").cast("double") * F.try_divide(
+        F.col("_nrisk").cast("double"), F.col("_nt").cast("double")
+    )
+    per_group = full.groupBy("_g").agg(
+        F.sum(F.col("_d").cast("double")).alias("_O"),
+        F.sum(e_gt).alias("_E"),
+    )
+    nt = F.col("_nt").cast("double")
+    dt = F.col("_dt").cast("double")
+    p1 = F.try_divide(F.col("_nrisk").cast("double"), nt)
+    v_t = dt * p1 * (1.0 - p1) * F.try_divide(nt - dt, nt - 1.0)
+    two = full.where(F.col("_is1") == 1).groupBy(F.lit(1).alias("_j")).agg(
+        F.sum(F.col("_d").cast("double") - e_gt).alias("_num"),
+        F.sum(v_t).alias("_den"),
+    )
+    out = per_group.groupBy(F.lit(1).alias("_j")).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            F.try_divide(
+                (F.col("_O") - F.col("_E")) * (F.col("_O") - F.col("_E")),
+                F.col("_E"),
+            )
+        ).alias("chi2"),
+    )
+    n_tot = gtot.groupBy(F.lit(1).alias("_j")).agg(
+        F.sum("_tot").alias("n"),
+        F.countDistinct("_s").alias("strata"),
+    )
+    j = (
+        out.join(F.broadcast(n_tot), "_j")
+        .join(F.broadcast(two), "_j")
+    )
+    dfree = (F.col("k") - 1).cast("int")
+    crit = chi2_crit_05(dfree)
+    return j.select(
+        F.col("k").cast("int").alias("k"),
+        F.col("strata").cast("int").alias("strata"),
         "n",
         "chi2",
         dfree.alias("df"),

@@ -7342,3 +7342,78 @@ def test_r13_advice_regressions(spark):
         t = t_ppf(1.0 - 0.05 / (2.0 * (n0 - i + 1.0)), nu)
         want = (n0 - i) * t / np.sqrt((nu + t * t) * (n0 - i + 1.0))
         assert abs(_esd_lambda(0.05, n0, i) - want) < 1e-12
+
+
+def test_stratified_log_rank_accounting(spark):
+    """stratified_log_rank: (a) with ONE stratum it reduces exactly to
+    log_rank (chi2, chi2_exact2, crit); (b) with 2 groups x 2 strata the
+    chi-squares match an independent per-stratum O/E/V replay summed
+    across strata (Mantel 1966); (c) a single-group stratum contributes
+    nothing; (d) strata counts the distinct strata."""
+    from spark_timeseries_spark.operators.survival import (
+        log_rank,
+        stratified_log_rank,
+    )
+
+    rng = np.random.RandomState(23)
+    rows = []
+    for s, base in ((0, 4.0), (1, 11.0)):  # strata shift baseline hazard
+        for g, mult in ((0, 1.0), (1, 1.8)):
+            for _ in range(35):
+                d = max(1, int(rng.exponential(base * mult)))
+                e = int(rng.rand() > 0.25)
+                rows.append((d, e, g, s))
+    df = spark.createDataFrame(
+        rows, "duration long, event int, group int, stratum int")
+
+    r = stratified_log_rank(df).collect()[0]
+    assert r.k == 2 and r.strata == 2 and r.n == 140 and r.df == 1
+    assert abs(r.crit_05 - 3.841) < 1e-12
+
+    # independent replay: per-stratum ledgers, summed before the chi2
+    O = {g: 0.0 for g in (0, 1)}
+    E = {g: 0.0 for g in (0, 1)}
+    num = 0.0
+    den = 0.0
+    for s in (0, 1):
+        sub = [(d, e, g) for d, e, g, ss in rows if ss == s]
+        for t in sorted({d for d, e, g in sub}):
+            n_g = {g: sum(1 for d, e, gg in sub if gg == g and d >= t)
+                   for g in (0, 1)}
+            d_g = {g: sum(e for d, e, gg in sub if gg == g and d == t)
+                   for g in (0, 1)}
+            nt = sum(n_g.values()); dt = sum(d_g.values())
+            for g in (0, 1):
+                O[g] += d_g[g]
+                E[g] += dt * n_g[g] / nt
+            p1 = n_g[0] / nt
+            num += d_g[0] - dt * p1
+            if nt > 1:
+                den += dt * p1 * (1 - p1) * (nt - dt) / (nt - 1)
+    chi2 = sum((O[g] - E[g]) ** 2 / E[g] for g in (0, 1))
+    assert abs(r.chi2 - chi2) < 1e-9
+    assert abs(r.chi2_exact2 - num * num / den) < 1e-9
+    assert r.reject_05 == (chi2 > 3.841)
+
+    # one stratum == plain log_rank, bit-for-bit on every statistic
+    one = df.where(F.col("stratum") == 0)
+    a = stratified_log_rank(one).collect()[0]
+    b = log_rank(one).collect()[0]
+    assert a.strata == 1
+    assert a.chi2 == b.chi2 and a.chi2_exact2 == b.chi2_exact2
+    assert a.crit_05 == b.crit_05 and a.n == b.n
+
+    # a stratum containing only group 0: the EXACT statistic is
+    # invariant (its O-E and V terms are identically 0 there), while
+    # the k-group screen's E_0 denominator absorbs the stratum's events
+    # (O_0 and E_0 both grow by d, shrinking (O-E)^2/E) - the stated
+    # behavior of the approximation
+    extra = spark.createDataFrame(
+        [(int(d), 1, 0, 9) for d in (3, 7, 12, 20)],
+        "duration long, event int, group int, stratum int")
+    r2 = stratified_log_rank(df.unionByName(extra)).collect()[0]
+    assert r2.strata == 3 and r2.n == 144
+    assert abs(r2.chi2_exact2 - r.chi2_exact2) < 1e-9
+    want_chi2 = ((O[0] - E[0]) ** 2 / (E[0] + 4.0)
+                 + (O[1] - E[1]) ** 2 / E[1])
+    assert abs(r2.chi2 - want_chi2) < 1e-9

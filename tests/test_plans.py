@@ -1287,3 +1287,29 @@ def test_pagerank_iteration_join_count(spark):
         out = pagerank(pairs, iters=3).collect()
     assert len(out) == 4
     assert len(calls) == 1 + 2 * 3, len(calls)
+
+
+def test_stratified_log_rank_grid_bounded(spark):
+    """stratified_log_rank: exactly ONE full-data pass (the
+    groupBy(stratum, group, duration) aggregate); everything downstream
+    operates on the per-stratum grid scaffold with the (stratum x group)
+    totals side broadcast — no cartesian products, no Python."""
+    from spark_timeseries_spark.operators.survival import (
+        stratified_log_rank,
+        time_to_event,
+    )
+    from spark_timeseries_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    tte = time_to_event(ev, "signup", "purchase", unit_seconds=3600.0)
+    binned = tte.select(
+        F.ceil(F.col("duration")).cast("long").alias("duration"),
+        "event",
+        F.pmod(F.col("key"), F.lit(2)).cast("int").alias("grp"),
+        F.pmod(F.floor(F.col("key") / F.lit(2)), F.lit(3))
+        .cast("int").alias("stratum"),
+    )
+    _, _, p = _counts(stratified_log_rank(binned, group_col="grp"))
+    assert "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "InPandas" not in p, p
