@@ -5595,6 +5595,102 @@ def _q_stratified_log_rank(spark, sf_dir):
     )
 
 
+def _q_rmst(spark, sf_dir):
+    """Restricted mean survival time of signup->purchase (hour grid,
+    tau = one week) per user_id-parity cohort — the model-free
+    'average hours survived in the first 168' readout; exact
+    step-function integration of the per-group KM curve."""
+    from spark_timeseries_spark.operators.survival import (
+        rmst,
+        time_to_event,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    tte = time_to_event(ev, "signup", "purchase", unit_seconds=3600.0)
+    binned = tte.select(
+        F.ceil(F.col("duration")).cast("long").alias("duration"),
+        "event",
+        F.pmod(F.col("key"), F.lit(2)).cast("int").alias("grp"),
+    )
+    out = rmst(binned, tau=168.0, group_col="grp")
+    return out.select(
+        "grp", "n", _stable_round(F.col("rmst"), 6).alias("rmst")
+    ).orderBy("grp")
+
+
+def _q_cumulative_incidence(spark, sf_dir):
+    """Aalen-Johansen cumulative incidence of the competing first
+    outcomes after signup — purchase (cause 1) vs error (cause 2),
+    purchase wins exact timestamp ties (stated); censored at the log
+    horizon. 1 - KM would overstate both curves; this is the fix."""
+    from spark_timeseries_spark.operators.survival import (
+        cumulative_incidence,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    per = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.min(F.when(F.col("event_type") == "signup", us)).alias("_st"),
+        F.max(us).alias("_last"),
+    )
+    hor = F.broadcast(ev.select(F.max(us).alias("_hor")))
+    firsts = (
+        ev.join(
+            per.where(F.col("_st").isNotNull()).select("key", "_st"),
+            F.col("user_id") == F.col("key"),
+        )
+        .where(us >= F.col("_st"))
+        .groupBy("key")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "purchase", us)
+            ).alias("_pu"),
+            F.min(F.when(F.col("event_type") == "error", us)).alias("_er"),
+            F.first("_st").alias("_st"),
+        )
+    )
+    pu, er = F.col("_pu"), F.col("_er")
+    cause = (
+        F.when(pu.isNotNull() & (er.isNull() | (pu <= er)), F.lit(1))
+        .when(er.isNotNull(), F.lit(2))
+        .otherwise(F.lit(0))
+    )
+    ev_us = (
+        F.when(cause == 1, pu)
+        .when(cause == 2, er)
+        .otherwise(F.col("_hor"))
+    )
+    tbl = firsts.crossJoin(hor).select(
+        F.ceil((ev_us - F.col("_st")).cast("double") / F.lit(3.6e9))
+        .cast("long")
+        .alias("duration"),
+        cause.alias("cause"),
+    )
+    out = cumulative_incidence(tbl)
+    return out.select(
+        "cause", "duration", "n_risk", "n_events",
+        _stable_round(F.col("cif"), 6).alias("cif"),
+    ).orderBy("cause", "duration")
+
+
+def _q_roc_auc(spark, sf_dir):
+    """Ranking quality of document length as an is-English detector:
+    midrank Mann-Whitney AUC over the distinct-score grid — one
+    combinable groupBy(n_chars) + a bounded-grid window, no global
+    row-level sort."""
+    from spark_timeseries_spark.pipeline.classifier import roc_auc
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("n_chars").cast("double").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    out = roc_auc(scored, "score", "label")
+    return out.select(
+        "n", "n_pos", "n_neg", _stable_round(F.col("auc"), 6).alias("auc")
+    )
+
+
 def _q_weibull_fit(spark, sf_dir):
     """Weibull median-rank-regression fit of inter-purchase gap hours
     per user — rank window + one OLS aggregate per key."""
@@ -6242,6 +6338,9 @@ _ALL_QUERIES = {
     "did": _q_did,
     # --- r13 additions ---
     "stratified_log_rank": _q_stratified_log_rank,
+    "rmst": _q_rmst,
+    "cumulative_incidence": _q_cumulative_incidence,
+    "roc_auc": _q_roc_auc,
 }
 
 # Driver window: the correctness harness records exactly the FIRST 50
@@ -16644,6 +16743,179 @@ def oracle_sql() -> dict[str, str]:
                    "CASE WHEN k = 2 THEN num * num / nullif(den, 0) END", 6
                )} AS chi2_exact2
         FROM cr CROSS JOIN two
+    """
+
+    o["rmst"] = f"""
+        WITH s AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'signup'
+                            THEN epoch_us(ts) END) AS st
+            FROM events GROUP BY 1
+        ),
+        h AS (SELECT max(epoch_us(ts)) AS hor FROM events),
+        e AS (
+            SELECT ev.user_id, min(epoch_us(ev.ts)) AS en
+            FROM events ev JOIN s ON s.user_id = ev.user_id
+            WHERE ev.event_type = 'purchase' AND epoch_us(ev.ts) >= s.st
+            GROUP BY 1
+        ),
+        t AS (
+            SELECT CAST(s.user_id % 2 AS INT) AS grp,
+                   CAST(ceil(CAST(coalesce(en, hor) - st AS DOUBLE)
+                             / 3600000000.0) AS DOUBLE) AS tt,
+                   CASE WHEN en IS NOT NULL THEN 1 ELSE 0 END AS ev
+            FROM s CROSS JOIN h LEFT JOIN e ON e.user_id = s.user_id
+            WHERE st IS NOT NULL
+        ),
+        g AS (
+            SELECT grp, tt, CAST(sum(ev) AS BIGINT) AS d,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM t GROUP BY 1, 2
+        ),
+        k AS (
+            SELECT *, sum(x) OVER (PARTITION BY grp)
+                       - coalesce(sum(x) OVER (PARTITION BY grp
+                             ORDER BY tt ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS nrisk
+            FROM g
+        ),
+        f AS (
+            SELECT *, 1.0 - CAST(d AS DOUBLE) / CAST(nrisk AS DOUBLE) AS fa
+            FROM k
+        ),
+        sv AS (
+            SELECT *,
+                   CASE WHEN min(fa) OVER cum <= 0.0 THEN 0.0
+                        ELSE exp(sum(ln(CASE WHEN fa > 0.0 THEN fa
+                                             ELSE 1.0 END)) OVER cum)
+                   END AS sc,
+                   lead(tt) OVER (PARTITION BY grp ORDER BY tt) AS nxt,
+                   row_number() OVER (PARTITION BY grp ORDER BY tt) AS rn
+            FROM f
+            WINDOW cum AS (PARTITION BY grp ORDER BY tt
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        contrib AS (
+            SELECT grp, x,
+                   (CASE WHEN tt < 168.0
+                         THEN sc * (least(coalesce(nxt, 168.0), 168.0) - tt)
+                         ELSE 0.0 END)
+                   + (CASE WHEN rn = 1 THEN least(tt, 168.0)
+                           ELSE 0.0 END) AS c
+            FROM sv
+        )
+        SELECT grp, CAST(sum(x) AS BIGINT) AS n,
+               {_sr_sql("sum(c)", 6)} AS rmst
+        FROM contrib GROUP BY grp ORDER BY grp
+    """
+
+    o["cumulative_incidence"] = f"""
+        WITH s AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'signup'
+                            THEN epoch_us(ts) END) AS st
+            FROM events GROUP BY 1
+        ),
+        h AS (SELECT max(epoch_us(ts)) AS hor FROM events),
+        fe AS (
+            SELECT ev.user_id,
+                   min(CASE WHEN ev.event_type = 'purchase'
+                            THEN epoch_us(ev.ts) END) AS pu,
+                   min(CASE WHEN ev.event_type = 'error'
+                            THEN epoch_us(ev.ts) END) AS er
+            FROM events ev JOIN s ON s.user_id = ev.user_id
+            WHERE s.st IS NOT NULL AND epoch_us(ev.ts) >= s.st
+            GROUP BY 1
+        ),
+        t AS (
+            SELECT CAST(ceil(CAST(
+                       (CASE WHEN pu IS NOT NULL
+                                  AND (er IS NULL OR pu <= er) THEN pu
+                             WHEN er IS NOT NULL THEN er
+                             ELSE hor END) - st AS DOUBLE)
+                       / 3600000000.0) AS BIGINT) AS tt,
+                   CASE WHEN pu IS NOT NULL AND (er IS NULL OR pu <= er)
+                        THEN 1
+                        WHEN er IS NOT NULL THEN 2 ELSE 0 END AS c
+            FROM fe JOIN s ON s.user_id = fe.user_id CROSS JOIN h
+        ),
+        g AS (
+            SELECT tt, CAST(count(*) AS BIGINT) AS x,
+                   CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d
+            FROM t GROUP BY 1
+        ),
+        k AS (
+            SELECT *, sum(x) OVER ()
+                       - coalesce(sum(x) OVER (ORDER BY tt
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS nrisk
+            FROM g
+        ),
+        f AS (
+            SELECT *, 1.0 - CAST(d AS DOUBLE) / CAST(nrisk AS DOUBLE) AS fa
+            FROM k
+        ),
+        sv AS (
+            SELECT *,
+                   CASE WHEN min(fa) OVER cum <= 0.0 THEN 0.0
+                        ELSE exp(sum(ln(CASE WHEN fa > 0.0 THEN fa
+                                             ELSE 1.0 END)) OVER cum)
+                   END AS sc
+            FROM f
+            WINDOW cum AS (ORDER BY tt ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+        ),
+        sp AS (
+            SELECT *, coalesce(lag(sc) OVER (ORDER BY tt), 1.0) AS sprev
+            FROM sv
+        ),
+        per AS (
+            SELECT c, tt, CAST(count(*) AS BIGINT) AS dk
+            FROM t WHERE c > 0 GROUP BY 1, 2
+        ),
+        causes AS (SELECT DISTINCT c FROM per),
+        fl AS (
+            SELECT ca.c, sp.tt, sp.nrisk, sp.sprev,
+                   coalesce(p.dk, 0) AS dk
+            FROM sp CROSS JOIN causes ca
+            LEFT JOIN per p ON p.c = ca.c AND p.tt = sp.tt
+        )
+        SELECT c AS cause, tt AS duration,
+               CAST(nrisk AS BIGINT) AS n_risk,
+               CAST(dk AS BIGINT) AS n_events,
+               {_sr_sql(
+                   "sum(sprev * CAST(dk AS DOUBLE) / CAST(nrisk AS DOUBLE))"
+                   " OVER (PARTITION BY c ORDER BY tt ROWS BETWEEN"
+                   " UNBOUNDED PRECEDING AND CURRENT ROW)", 6
+               )} AS cif
+        FROM fl ORDER BY cause, duration
+    """
+
+    o["roc_auc"] = f"""
+        WITH p AS (
+            SELECT CAST(n_chars AS DOUBLE) AS s,
+                   CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS l
+            FROM documents
+        ),
+        g AS (
+            SELECT s, sum(l) AS np, sum(1.0 - l) AS nn
+            FROM p GROUP BY 1
+        ),
+        u AS (
+            SELECT np, nn,
+                   np * (coalesce(sum(nn) OVER (ORDER BY s
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) + nn / 2.0) AS uu
+            FROM g
+        )
+        SELECT CAST(sum(np + nn) AS BIGINT) AS n,
+               CAST(sum(np) AS BIGINT) AS n_pos,
+               CAST(sum(nn) AS BIGINT) AS n_neg,
+               {_sr_sql(
+                   "sum(uu) / nullif(sum(np) * sum(nn), 0)", 6
+               )} AS auc
+        FROM u
     """
 
     o["weibull_fit"] = f"""

@@ -393,6 +393,188 @@ def log_rank(
     )
 
 
+def rmst(
+    df: DataFrame,
+    tau: float,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Restricted mean survival time → one row (per group):
+    (group?, n, rmst) where rmst = ∫₀^τ Ŝ(t)dt, the area under the
+    Kaplan-Meier curve truncated at ``tau`` — the model-free "average
+    survival time over the first τ units" effect measure recommended
+    when proportional hazards is doubtful (Royston & Parmar 2013). The
+    KM step function is integrated exactly: the interval [0, t₁)
+    contributes 1·min(t₁, τ), each grid interval [tᵢ, tᵢ₊₁)
+    contributes Ŝ(tᵢ)·(min(tᵢ₊₁, τ) − tᵢ) while tᵢ < τ, and the last
+    step ≤ τ runs to τ (lead-window formulation — the NULL lead on the
+    final grid row IS the run-to-τ term). Same censor-at-t convention
+    and zero-factor exp∘sum∘log guard as :func:`kaplan_meier`.
+
+    Plan: one groupBy(group, duration) full-data pass; everything
+    after runs on the per-group duration grid (windows partitioned by
+    group — bin durations at scale, the KM caveat) and one final
+    groupBy(group) reduce."""
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0, got {tau}")
+    gcol = group_col if group_col is not None else "_g1"
+    d0 = df if group_col is not None else df.withColumn("_g1", F.lit(1))
+    g = d0.groupBy(
+        F.col(gcol).alias("_grp"),
+        F.col(duration_col).cast("double").alias("_t"),
+    ).agg(
+        F.sum(F.col(event_col).cast("long")).alias("_d"),
+        F.count(F.lit(1)).alias("_x"),
+    )
+    w_tot = Window.partitionBy("_grp")
+    w_prev = (
+        Window.partitionBy("_grp")
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("_grp")
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_lead = Window.partitionBy("_grp").orderBy("_t")
+    n_risk = (
+        F.sum("_x").over(w_tot)
+        - F.coalesce(F.sum("_x").over(w_prev), F.lit(0))
+    )
+    d = g.withColumn("_nrisk", n_risk)
+    factor = F.lit(1.0) - F.try_divide(
+        F.col("_d").cast("double"), F.col("_nrisk").cast("double")
+    )
+    d = d.withColumn("_f", factor)
+    safe_log = F.log(
+        F.when(F.col("_f") > 0.0, F.col("_f")).otherwise(F.lit(1.0))
+    )
+    surv = F.when(F.min("_f").over(w_cum) <= 0.0, F.lit(0.0)).otherwise(
+        F.exp(F.sum(safe_log).over(w_cum))
+    )
+    d = (
+        d.withColumn("_s", surv)
+        .withColumn("_next", F.lead("_t").over(w_lead))
+        .withColumn("_rn", F.row_number().over(w_lead))
+    )
+    t = F.col("_t")
+    # step contribution: S(t_i) * (min(next_t, tau) - t_i) while t_i < tau;
+    # a NULL lead (last grid row) runs the step to tau. The pre-grid
+    # interval [0, t_1) contributes 1 * min(t_1, tau) on the first row.
+    step = F.when(
+        t < F.lit(float(tau)),
+        F.col("_s")
+        * (F.least(F.coalesce(F.col("_next"), F.lit(float(tau))),
+                   F.lit(float(tau))) - t),
+    ).otherwise(F.lit(0.0))
+    head = F.when(
+        F.col("_rn") == 1, F.least(t, F.lit(float(tau)))
+    ).otherwise(F.lit(0.0))
+    out = d.groupBy("_grp").agg(
+        F.sum("_x").alias("n"),
+        F.sum(step + head).alias("rmst"),
+    )
+    if group_col is None:
+        return out.drop("_grp")
+    return out.withColumnRenamed("_grp", group_col)
+
+
+def cumulative_incidence(
+    df: DataFrame,
+    duration_col: str = "duration",
+    cause_col: str = "cause",
+) -> DataFrame:
+    """Aalen-Johansen cumulative-incidence estimator for COMPETING
+    risks → one row per (cause, distinct duration): (cause, duration,
+    n_risk, n_events, cif). ``cause_col`` is 0 for right-censored
+    subjects and a positive code per competing event type; at each
+    event time t, CIF_k(t) = Σ_{t'≤t} Ŝ(t'−)·d_{k,t'}/n_{t'} with
+    Ŝ the ALL-CAUSE Kaplan-Meier survival evaluated just before t'
+    (Aalen & Johansen 1978) — the quantity 1 − KM_k overstates when
+    competing events remove subjects (Gooley et al. 1999), which is
+    exactly what this fixes. Σ_k CIF_k(t) + Ŝ(t) = 1 up to the
+    floor-division-free float arithmetic. Censor-only times appear
+    with 0 hazard so the at-risk ledger is complete; censor-at-t
+    convention matches :func:`kaplan_meier`.
+
+    Plan: one groupBy(duration) full-data pass for the shared ledger
+    (risk set + all-cause survival on the GLOBAL duration grid — bin
+    durations at scale, the KM caveat), one groupBy(cause, duration)
+    pass, a (grid × causes) scaffold join of two bounded aggregates,
+    and per-cause cumulative windows on the grid."""
+    base = df.select(
+        F.col(duration_col).alias("_t"),
+        F.col(cause_col).cast("int").alias("_c"),
+    )
+    # shared per-duration ledger: total exits, all-cause events
+    g = base.groupBy("_t").agg(
+        F.count(F.lit(1)).alias("_x"),
+        F.sum((F.col("_c") > 0).cast("long")).alias("_d"),
+    )
+    w_tot = Window.orderBy("_t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("_t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("_t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    n_risk = (
+        F.sum("_x").over(w_tot)
+        - F.coalesce(F.sum("_x").over(w_prev), F.lit(0))
+    )
+    grid = g.withColumn("_nrisk", n_risk)
+    factor = F.lit(1.0) - F.try_divide(
+        F.col("_d").cast("double"), F.col("_nrisk").cast("double")
+    )
+    grid = grid.withColumn("_f", factor)
+    safe_log = F.log(
+        F.when(F.col("_f") > 0.0, F.col("_f")).otherwise(F.lit(1.0))
+    )
+    surv = F.when(F.min("_f").over(w_cum) <= 0.0, F.lit(0.0)).otherwise(
+        F.exp(F.sum(safe_log).over(w_cum))
+    )
+    grid = grid.withColumn("_s", surv).withColumn(
+        "_s_prev", F.coalesce(F.lag("_s").over(Window.orderBy("_t")),
+                              F.lit(1.0))
+    )
+    # per-cause event counts on the (grid x causes) scaffold
+    per = base.where(F.col("_c") > 0).groupBy("_c", "_t").agg(
+        F.count(F.lit(1)).alias("_dk")
+    )
+    causes = per.select("_c").distinct()
+    full = (
+        grid.select("_t", "_nrisk", "_s_prev")
+        .crossJoin(F.broadcast(causes))
+        .join(per, ["_c", "_t"], "left")
+        .select(
+            "_c", "_t", "_nrisk", "_s_prev",
+            F.coalesce(F.col("_dk"), F.lit(0)).alias("_dk"),
+        )
+    )
+    w_kcum = (
+        Window.partitionBy("_c")
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    term = F.col("_s_prev") * F.try_divide(
+        F.col("_dk").cast("double"), F.col("_nrisk").cast("double")
+    )
+    return (
+        full.withColumn("_term", term)
+        .select(
+            F.col("_c").alias("cause"),
+            F.col("_t").alias("duration"),
+            F.col("_nrisk").alias("n_risk"),
+            F.col("_dk").alias("n_events"),
+            F.sum("_term").over(w_kcum).alias("cif"),
+        )
+    )
+
+
 def stratified_log_rank(
     df: DataFrame,
     duration_col: str = "duration",

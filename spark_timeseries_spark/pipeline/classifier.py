@@ -232,3 +232,56 @@ def reliability_bins(
     return g.withColumn(
         "ece", F.sum(F.col("w") * F.abs(F.col("gap"))).over(w_all)
     ).select("bin", "n", "w", "mean_score", "pos_rate", "gap", "ece")
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Area under the ROC curve of a score against a binary label →
+    ONE row: (n, n_pos, n_neg, auc). Computed as the normalized
+    Mann-Whitney U statistic with exact midrank tie handling:
+    AUC = Σ_s n_pos(s)·(N_neg(<s) + n_neg(s)/2) / (N_pos·N_neg) —
+    the probability a random positive outscores a random negative,
+    ties counting half (Hanley & McNeil 1982). This is the
+    trapezoidal AUC of the tie-grouped ROC curve exactly, with no
+    curve materialized. NULL scores/labels are dropped (stated);
+    degenerate inputs (no positives or no negatives) yield NULL auc.
+
+    The companion of :func:`reliability_bins`: AUC measures RANKING
+    quality (threshold-free separation), calibration measures the
+    score's probability scale — a quality filter needs both.
+
+    Plan: one map-side-combinable groupBy(score) over the data, then
+    one cumulative window + one reduce on the DISTINCT-SCORE grid —
+    the global sort is bounded by score cardinality, not rows (a
+    continuous score at corpus scale should be quantized first,
+    stated; label-side counts make skew impossible)."""
+    sc = F.col(score_col).cast("double")
+    lb = F.col(label_col).cast("double")
+    pts = df.where(sc.isNotNull() & lb.isNotNull())
+    g = pts.groupBy(sc.alias("_s")).agg(
+        F.sum(lb).alias("_np"),
+        F.sum(F.lit(1.0) - lb).alias("_nn"),
+    )
+    w_below = Window.orderBy("_s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    u = F.col("_np") * (
+        F.coalesce(F.sum("_nn").over(w_below), F.lit(0.0))
+        + F.col("_nn") / 2.0
+    )
+    return (
+        g.withColumn("_u", u)
+        .groupBy(F.lit(1).alias("_j"))
+        .agg(
+            F.sum(F.col("_np") + F.col("_nn")).cast("long").alias("n"),
+            F.sum("_np").cast("long").alias("n_pos"),
+            F.sum("_nn").cast("long").alias("n_neg"),
+            F.try_divide(
+                F.sum("_u"), F.sum("_np") * F.sum("_nn")
+            ).alias("auc"),
+        )
+        .drop("_j")
+    )

@@ -7417,3 +7417,82 @@ def test_stratified_log_rank_accounting(spark):
     want_chi2 = ((O[0] - E[0]) ** 2 / (E[0] + 4.0)
                  + (O[1] - E[1]) ** 2 / E[1])
     assert abs(r2.chi2 - want_chi2) < 1e-9
+
+
+def test_rmst_exact_integration(spark):
+    """rmst: hand-computed KM step integral; tau beyond the grid runs
+    the last step to tau (no events -> rmst == tau); the grouped path
+    matches the ungrouped computation per subset."""
+    from spark_timeseries_spark.operators.survival import rmst
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1), (5, 1)], "duration long, event int")
+    r = rmst(df, tau=4.0).collect()[0]
+    # grid: S(1)=.75, S(2)=.75, S(3)=.375, S(5)=0
+    # head 1 + .75*(2-1) + .75*(3-2) + .375*(4-3) = 2.875
+    assert r.n == 4 and abs(r.rmst - 2.875) < 1e-12
+
+    # censored-only cohort: S == 1 everywhere -> rmst == tau
+    cens = spark.createDataFrame([(3, 0)], "duration long, event int")
+    assert abs(rmst(cens, tau=10.0).collect()[0].rmst - 10.0) < 1e-12
+
+    # grouped == per-subset ungrouped
+    gdf = spark.createDataFrame(
+        [(1, 1, 0), (2, 0, 0), (3, 1, 0), (5, 1, 0),
+         (2, 1, 1), (4, 0, 1)],
+        "duration long, event int, grp int")
+    got = {r.grp: r.rmst for r in rmst(gdf, tau=4.0, group_col="grp").collect()}
+    for g in (0, 1):
+        solo = rmst(gdf.where(F.col("grp") == g), tau=4.0).collect()[0]
+        assert abs(got[g] - solo.rmst) < 1e-12
+
+
+def test_cumulative_incidence_accounting(spark):
+    """cumulative_incidence: hand-replayed Aalen-Johansen ledger on a
+    two-cause example; the mass identity sum_k CIF_k(t_max) + S(t_max)
+    = 1 holds; censor-only times appear with zero hazard."""
+    from spark_timeseries_spark.operators.survival import (
+        cumulative_incidence,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 0), (4, 1), (5, 0)],
+        "duration long, cause int")
+    rows = cumulative_incidence(df).collect()
+    got = {(r.cause, r.duration): r for r in rows}
+    assert len(rows) == 10  # 2 causes x 5 grid times
+    want1 = {1: 0.2, 2: 0.2, 3: 0.2, 4: 0.5, 5: 0.5}
+    want2 = {1: 0.0, 2: 0.2, 3: 0.2, 4: 0.2, 5: 0.2}
+    for t in (1, 2, 3, 4, 5):
+        assert abs(got[(1, t)].cif - want1[t]) < 1e-12, (t, got[(1, t)])
+        assert abs(got[(2, t)].cif - want2[t]) < 1e-12, (t, got[(2, t)])
+    assert got[(1, 1)].n_risk == 5 and got[(1, 4)].n_risk == 2
+    assert got[(1, 3)].n_events == 0 and got[(2, 2)].n_events == 1
+    # mass identity at the horizon: CIF1 + CIF2 + S = .5 + .2 + .3
+    assert abs(got[(1, 5)].cif + got[(2, 5)].cif + 0.3 - 1.0) < 1e-12
+
+
+def test_roc_auc_midranks(spark):
+    """roc_auc: matches the O(n^2) pair-counting definition (ties count
+    half) on a tied example; perfect separation gives 1.0; degenerate
+    one-class input gives NULL."""
+    from spark_timeseries_spark.pipeline.classifier import roc_auc
+
+    pts = [(0.1, 0), (0.4, 0), (0.4, 1), (0.5, 0), (0.8, 1), (0.8, 0),
+           (0.9, 1)]
+    df = spark.createDataFrame(pts, "score double, label int")
+    r = roc_auc(df, "score", "label").collect()[0]
+    pos = [s for s, l in pts if l == 1]
+    neg = [s for s, l in pts if l == 0]
+    u = sum(1.0 if p > n else 0.5 if p == n else 0.0
+            for p in pos for n in neg)
+    assert r.n == 7 and r.n_pos == 3 and r.n_neg == 4
+    assert abs(r.auc - u / (len(pos) * len(neg))) < 1e-12
+
+    perfect = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (0.1, 0)], "score double, label int")
+    assert abs(roc_auc(perfect, "score", "label").collect()[0].auc - 1.0) \
+        < 1e-12
+    onecls = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1)], "score double, label int")
+    assert roc_auc(onecls, "score", "label").collect()[0].auc is None

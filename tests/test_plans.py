@@ -1313,3 +1313,48 @@ def test_stratified_log_rank_grid_bounded(spark):
     assert "BroadcastExchange" in p, p
     assert "CartesianProduct" not in p, p
     assert "InPandas" not in p, p
+
+
+def test_r13_survival_eval_plans(spark):
+    """rmst: one full-data groupBy then per-group grid windows — no
+    joins anywhere; cumulative_incidence: the only joins are the
+    broadcast causes scaffold + the bounded grid equi-join (no
+    cartesian products, no Python); roc_auc: one combinable
+    groupBy(score) + a distinct-score-grid window + one reduce — no
+    joins, no Python."""
+    from spark_timeseries_spark.operators.survival import (
+        cumulative_incidence,
+        rmst,
+    )
+    from spark_timeseries_spark.pipeline.classifier import roc_auc
+    from spark_timeseries_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    tte = ev.select(
+        (F.pmod(F.col("user_id"), F.lit(50)) + 1).alias("duration"),
+        (F.col("event_type") == "purchase").cast("int").alias("event"),
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("grp"),
+    )
+    _, _, p = _counts(rmst(tte, tau=30.0, group_col="grp"))
+    assert "Join" not in p, p
+    assert "InPandas" not in p, p
+
+    cr = ev.select(
+        (F.pmod(F.col("user_id"), F.lit(50)) + 1).alias("duration"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .when(F.col("event_type") == "error", 2)
+        .otherwise(0).alias("cause"),
+    )
+    _, _, p = _counts(cumulative_incidence(cr))
+    assert "CartesianProduct" not in p, p
+    assert "InPandas" not in p, p
+    assert "BroadcastExchange" in p, p
+
+    docs = load_table(spark, SF, "documents")
+    scored = docs.select(
+        F.col("n_chars").cast("double").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    _, _, p = _counts(roc_auc(scored, "score", "label"))
+    assert "Join" not in p, p
+    assert "InPandas" not in p, p
