@@ -5339,6 +5339,64 @@ def _q_ndcg(spark, sf_dir):
     )
 
 
+def _q_mrr(spark, sf_dir):
+    """MRR@5 of the hyperplane-LSH ranking against exact brute-force
+    cosine — first-relevant-hit position per query (the third leg of
+    the ANN eval triad: recall = set overlap, ndcg = graded list
+    quality, mrr = time-to-first-good)."""
+    from spark_timeseries_spark.pipeline.similarity import mrr_at_k
+
+    exact = _q_knn_cosine(spark, sf_dir).select("qid", "vec_id", "rank")
+    approx = _q_lsh_topk(spark, sf_dir).select("qid", "vec_id", "rank")
+    out = mrr_at_k(exact, approx, k=5)
+    return out.select(
+        "qid", "first_rank",
+        _stable_round(F.col("rr"), 6).alias("rr"),
+    )
+
+
+def _q_cramers_v(spark, sf_dir):
+    """Cramér's V association between document language and source —
+    one groupBy(lang, source) contingency pass, margins and chi-square
+    on the bounded cell table; Bergsma-corrected V alongside."""
+    from spark_timeseries_spark.operators.hypothesis import cramers_v
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = cramers_v(docs, "lang", "source")
+    return out.select(
+        "n", "r", "c",
+        _stable_round(F.col("chi2"), 6).alias("chi2"),
+        "dof",
+        _stable_round(F.col("v"), 6).alias("v"),
+        _stable_round(F.col("v_corrected"), 6).alias("v_corrected"),
+    )
+
+
+def _q_cohens_d(spark, sf_dir):
+    """Cohen's d / Hedges' g effect size of event value between the
+    user_id-parity variants — one combinable groupBy + a 2-row reduce;
+    the experiment readout on the scale power calculations consume."""
+    from spark_timeseries_spark.operators.experiment import cohens_d
+
+    ev = load_table(spark, sf_dir, "events")
+    tbl = ev.select(
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("variant"),
+        "value",
+    )
+    out = cohens_d(tbl)
+    return out.select(
+        "n1", "n2",
+        _stable_round(F.col("mean1"), 6).alias("mean1"),
+        _stable_round(F.col("mean2"), 6).alias("mean2"),
+        _stable_round(F.col("sd_pooled"), 6).alias("sd_pooled"),
+        _stable_round(F.col("d"), 8).alias("d"),
+        _stable_round(F.col("g"), 8).alias("g"),
+        _stable_round(F.col("se"), 8).alias("se"),
+        _stable_round(F.col("ci_lo"), 8).alias("ci_lo"),
+        _stable_round(F.col("ci_hi"), 8).alias("ci_hi"),
+    )
+
+
 def _q_savgol(spark, sf_dir):
     """Savitzky-Golay (7, 2) smoothing of each user's event-value
     sequence (rows as unit steps) — exact-rational coefficients, one
@@ -6341,6 +6399,9 @@ _ALL_QUERIES = {
     "rmst": _q_rmst,
     "cumulative_incidence": _q_cumulative_incidence,
     "roc_auc": _q_roc_auc,
+    "mrr": _q_mrr,
+    "cramers_v": _q_cramers_v,
+    "cohens_d": _q_cohens_d,
 }
 
 # Driver window: the correctness harness records exactly the FIRST 50
@@ -16134,6 +16195,124 @@ def oracle_sql() -> dict[str, str]:
                    "coalesce(g.dcg, 0.0) / CAST(10.271924937667158 AS DOUBLE)", 6
                )} AS ndcg
         FROM qs LEFT JOIN g ON g.qid = qs.qid
+    """
+
+    o["mrr"] = f"""
+        WITH ex AS (SELECT qid, vec_id, rank FROM ({o['knn_cosine']})),
+        ap AS (SELECT qid, vec_id, rank FROM ({o['lsh_topk']})),
+        h AS (
+            SELECT ap.qid, min(ap.rank) AS fr
+            FROM ap JOIN ex
+              ON ex.qid = ap.qid AND ex.vec_id = ap.vec_id
+            GROUP BY 1
+        ),
+        qs AS (SELECT DISTINCT qid FROM ex)
+        SELECT qs.qid, CAST(h.fr AS INT) AS first_rank,
+               {_sr_sql(
+                   "coalesce(1.0 / CAST(h.fr AS DOUBLE), 0.0)", 6
+               )} AS rr
+        FROM qs LEFT JOIN h ON h.qid = qs.qid
+    """
+
+    o["cramers_v"] = f"""
+        WITH p AS (
+            SELECT lang AS a, source AS b FROM documents
+            WHERE lang IS NOT NULL AND source IS NOT NULL
+        ),
+        cells AS (
+            SELECT a, b, CAST(count(*) AS DOUBLE) AS o FROM p GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT *, sum(o) OVER (PARTITION BY a) AS ra,
+                   sum(o) OVER (PARTITION BY b) AS cb
+            FROM cells
+        ),
+        t AS (
+            -- o^2/(row*col): the n*(S-1) identity folds the mass of
+            -- EMPTY cells (absent from the groupBy) into chi2 exactly
+            SELECT o, o * o / (ra * cb) AS tt, a, b FROM m
+        ),
+        agg AS (
+            SELECT CAST(sum(o) AS BIGINT) AS n,
+                   CAST(count(DISTINCT a) AS INT) AS r,
+                   CAST(count(DISTINCT b) AS INT) AS c,
+                   sum(o) * (sum(tt) - 1.0) AS chi2, sum(o) AS nd
+            FROM t
+        ),
+        fin AS (
+            SELECT n, r, c, chi2,
+                   CAST((r - 1) * (c - 1) AS INT) AS dof,
+                   chi2 / nd AS phi2,
+                   greatest(0.0, chi2 / nd
+                       - CAST((r - 1) * (c - 1) AS DOUBLE)
+                         / (nd - 1.0)) AS phi2c,
+                   CAST(r AS DOUBLE)
+                       - CAST((r - 1) * (r - 1) AS DOUBLE)
+                         / (nd - 1.0) AS rc,
+                   CAST(c AS DOUBLE)
+                       - CAST((c - 1) * (c - 1) AS DOUBLE)
+                         / (nd - 1.0) AS cc
+            FROM agg
+        )
+        SELECT n, r, c, {_sr_sql("chi2", 6)} AS chi2, dof,
+               {_sr_sql(
+                   "sqrt(phi2 / nullif(least(CAST(r AS DOUBLE),"
+                   " CAST(c AS DOUBLE)) - 1.0, 0))", 6
+               )} AS v,
+               {_sr_sql(
+                   "sqrt(phi2c / nullif(least(rc, cc) - 1.0, 0))", 6
+               )} AS v_corrected
+        FROM fin
+    """
+
+    o["cohens_d"] = f"""
+        WITH p AS (
+            SELECT CAST(user_id % 2 AS INT) AS grp, value FROM events
+            WHERE value IS NOT NULL
+        ),
+        s AS (
+            SELECT grp, CAST(count(*) AS BIGINT) AS n, avg(value) AS m,
+                   var_samp(value) AS v
+            FROM p GROUP BY 1
+        ),
+        w AS (SELECT row_number() OVER (ORDER BY grp) AS i, * FROM s),
+        a AS (
+            SELECT max(CASE WHEN i = 1 THEN n END) AS n1,
+                   max(CASE WHEN i = 2 THEN n END) AS n2,
+                   max(CASE WHEN i = 1 THEN m END) AS mean1,
+                   max(CASE WHEN i = 2 THEN m END) AS mean2,
+                   max(CASE WHEN i = 1 THEN v END) AS v1,
+                   max(CASE WHEN i = 2 THEN v END) AS v2
+            FROM w
+        ),
+        f AS (
+            SELECT *,
+                   sqrt(((CAST(n1 AS DOUBLE) - 1.0) * v1
+                         + (CAST(n2 AS DOUBLE) - 1.0) * v2)
+                        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0))
+                       AS sp
+            FROM a
+        ),
+        g2 AS (
+            SELECT *, (mean2 - mean1) / nullif(sp, 0) AS dd,
+                   CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS nn
+            FROM f
+        ),
+        h AS (
+            SELECT *,
+                   sqrt(nn / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                        + dd * dd / (2.0 * nn)) AS see
+            FROM g2
+        )
+        SELECT n1, n2, {_sr_sql("mean1", 6)} AS mean1,
+               {_sr_sql("mean2", 6)} AS mean2,
+               {_sr_sql("sp", 6)} AS sd_pooled,
+               {_sr_sql("dd", 8)} AS d,
+               {_sr_sql("dd * (1.0 - 3.0 / (4.0 * nn - 9.0))", 8)} AS g,
+               {_sr_sql("see", 8)} AS se,
+               {_sr_sql("dd - 1.96 * see", 8)} AS ci_lo,
+               {_sr_sql("dd + 1.96 * see", 8)} AS ci_hi
+        FROM h
     """
 
     o["savgol"] = f"""

@@ -529,3 +529,86 @@ def diff_in_diff(
         se.alias("se"),
         F.try_divide(did, se).alias("z"),
     )
+
+
+def cohens_d(
+    df: DataFrame,
+    group_col: str = "variant",
+    value_col: str = "value",
+) -> DataFrame:
+    """Standardized two-group effect size → ONE row: (n1, n2, mean1,
+    mean2, sd_pooled, d, g, se, ci_lo, ci_hi). d = (x̄₂ − x̄₁)/s_p
+    with the pooled SAMPLE sd s_p = √(((n₁−1)s₁² + (n₂−1)s₂²)/
+    (n₁+n₂−2)) (Cohen 1988); g applies Hedges' small-sample bias
+    correction J = 1 − 3/(4(n₁+n₂) − 9) (Hedges 1981); se is the
+    standard large-sample SE √((n₁+n₂)/(n₁n₂) + d²/(2(n₁+n₂))) and
+    the CI is d ± 1.96·se. Group 1 = the lexicographically smaller
+    group value (stated; flip the sign for the other direction).
+    Exactly two groups required — raises otherwise (the srm_check
+    discipline: a silent subset would misattribute the effect). NULL
+    d/g/se/CI when either group is degenerate (n < 2 or s_p = 0).
+
+    The missing third leg of the experiment readout: ab_conversion
+    tests significance of proportions, :func:`ab_power` sizes the
+    experiment, this measures HOW BIG a continuous-metric effect is
+    on the scale every power calculation consumes.
+
+    Plan: ONE map-side-combinable groupBy(group) aggregate, then a
+    2-row reduce. No windows, no joins, no Python."""
+    g = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("_g"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.avg(F.col(value_col).cast("double")).alias("_m"),
+            F.var_samp(F.col(value_col).cast("double")).alias("_v"),
+        )
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("_g")
+    r = g.select(
+        F.row_number().over(w).alias("_i"), "_g", "_n", "_m", "_v"
+    )
+    agg = r.groupBy(F.lit(1).alias("_j")).agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.max(F.when(F.col("_i") == 1, F.col("_n"))).alias("n1"),
+        F.max(F.when(F.col("_i") == 2, F.col("_n"))).alias("n2"),
+        F.max(F.when(F.col("_i") == 1, F.col("_m"))).alias("mean1"),
+        F.max(F.when(F.col("_i") == 2, F.col("_m"))).alias("mean2"),
+        F.max(F.when(F.col("_i") == 1, F.col("_v"))).alias("_v1"),
+        F.max(F.when(F.col("_i") == 2, F.col("_v"))).alias("_v2"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    sp = F.sqrt(
+        F.try_divide(
+            (n1 - 1.0) * F.col("_v1") + (n2 - 1.0) * F.col("_v2"),
+            n1 + n2 - 2.0,
+        )
+    )
+    d = F.try_divide(F.col("mean2") - F.col("mean1"), sp)
+    nn = n1 + n2
+    jcorr = 1.0 - 3.0 / (4.0 * nn - 9.0)
+    se = F.sqrt(
+        F.try_divide(nn, n1 * n2) + F.try_divide(d * d, 2.0 * nn)
+    )
+    return agg.select(
+        # the k-check lives INSIDE the emitted n1 column (the srm_check
+        # raise_error pattern) so column pruning can't optimize it away
+        F.when(F.col("_k") == 2, F.col("n1"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("cohens_d needs exactly 2 groups, got "),
+                    F.col("_k").cast("string"),
+                )
+            )
+        )
+        .alias("n1"),
+        "n2", "mean1", "mean2",
+        sp.alias("sd_pooled"),
+        d.alias("d"),
+        (d * jcorr).alias("g"),
+        se.alias("se"),
+        (d - 1.96 * se).alias("ci_lo"),
+        (d + 1.96 * se).alias("ci_hi"),
+    )

@@ -48,6 +48,7 @@ __all__ = [
     "mann_whitney_halves",
     "brown_forsythe_dow",
     "fdr_bh",
+    "cramers_v",
 ]
 
 
@@ -296,3 +297,81 @@ def fdr_bh(
         "q", F.lit(None).cast("double")
     ).withColumn("reject", F.lit(None).cast("boolean"))
     return d.unionByName(bad)
+
+
+def cramers_v(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Association strength between two CATEGORICAL columns → ONE row:
+    (n, r, c, chi2, dof, v, v_corrected). chi2 is the Pearson
+    contingency statistic Σ (o − e)²/e over the r×c table with
+    e = row_tot·col_tot/n, computed via the algebraically identical
+    χ² = n·(Σ o²/(row_tot·col_tot) − 1) so EMPTY cells — absent from
+    the groupBy output — still contribute their (0 − e)²/e mass
+    without materializing the zero scaffold;
+    V = √(chi2/(n·(min(r,c) − 1))) (Cramér
+    1946) ∈ [0, 1]; ``v_corrected`` applies the Bergsma (2013)
+    bias correction (φ̃² = max(0, φ² − (r−1)(c−1)/(n−1)) with
+    similarly shrunk r̃, c̃) — the plain V overstates association in
+    small samples / large tables. NULL categories are dropped
+    (stated). Complements :func:`~..pipeline.clean.profile_columns`
+    (per-column shape) and the info-theoretic
+    :func:`~.infotheory.mutual_information` (which needs binning for
+    continuous data; V is the χ²-scale analog for categoricals).
+
+    Plan: ONE groupBy(a, b) full-data pass; the margins and the
+    chi-square run on the r×c CELL table (two windows + one reduce —
+    bounded by category cardinalities, not rows). No joins, no
+    Python."""
+    cells = (
+        df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
+    wa = Window.partitionBy("_a")
+    wb = Window.partitionBy("_b")
+    o = F.col("_o").cast("double")
+    # o^2/(row_tot * col_tot): zero cells contribute 0 to this sum, and
+    # the n*(S - 1) identity folds their (0 - e)^2/e mass in exactly
+    cells = cells.select(
+        "_a", "_b", "_o",
+        (
+            o * o
+            / (
+                F.sum("_o").over(wa).cast("double")
+                * F.sum("_o").over(wb).cast("double")
+            )
+        ).alias("_t"),
+    )
+    agg = cells.groupBy(F.lit(1).alias("_j")).agg(
+        F.sum("_o").alias("_ncheck"),
+        F.countDistinct("_a").alias("_r"),
+        F.countDistinct("_b").alias("_c"),
+        F.sum("_t").alias("_s"),
+    )
+    nd = F.col("_ncheck").cast("double")
+    agg = agg.withColumn("chi2", nd * (F.col("_s") - 1.0))
+    r, c = F.col("_r").cast("double"), F.col("_c").cast("double")
+    phi2 = F.col("chi2") / nd
+    # Bergsma bias correction: shrink phi2 and the table dims by their
+    # small-sample expectation under independence
+    phi2c = F.greatest(
+        F.lit(0.0), phi2 - (r - 1.0) * (c - 1.0) / (nd - 1.0)
+    )
+    rc = r - (r - 1.0) * (r - 1.0) / (nd - 1.0)
+    cc = c - (c - 1.0) * (c - 1.0) / (nd - 1.0)
+    return agg.select(
+        F.col("_ncheck").cast("long").alias("n"),
+        F.col("_r").cast("int").alias("r"),
+        F.col("_c").cast("int").alias("c"),
+        "chi2",
+        ((F.col("_r") - 1) * (F.col("_c") - 1)).cast("int").alias("dof"),
+        F.sqrt(
+            F.try_divide(phi2, F.least(r, c) - 1.0)
+        ).alias("v"),
+        F.sqrt(
+            F.try_divide(phi2c, F.least(rc, cc) - 1.0)
+        ).alias("v_corrected"),
+    )

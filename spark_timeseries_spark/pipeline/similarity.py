@@ -484,3 +484,46 @@ def ndcg_at_k(
             F.coalesce(F.col("_dcg"), F.lit(0.0)) / F.lit(float(idcg))
         ).alias("ndcg"),
     )
+
+
+def mrr_at_k(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int,
+    qid_col: str = "qid",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Mean-reciprocal-rank readout of an approximate top-k against
+    the exact top-k → one row per exact query: (qid, first_rank, rr),
+    where ``first_rank`` is the best approx position holding ANY
+    exact-top-k item and rr = 1/first_rank (0 with NULL first_rank
+    when the index returned no relevant item) — the "how fast do I
+    hit something good" metric (Voorhees 1999 TREC QA), complementing
+    :func:`ndcg_at_k` (full-list graded quality) and recall@k (set
+    overlap, position-blind). Average rr downstream for the scalar
+    MRR. Inputs are normalized exactly as in :func:`ndcg_at_k`:
+    ranks truncated to ≤ k, duplicate (qid, id) rows collapse to
+    their best rank, query universe from the exact side.
+
+    Plan: per-query bounded join (both sides ≤ k rows per query) +
+    one groupBy(qid) min — no Python, no data-sized broadcast."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    a_k = (
+        approx.where(F.col(rank_col) <= k)
+        .groupBy(qid_col, id_col)
+        .agg(F.min(rank_col).alias("_ar"))
+    )
+    e_k = exact.where(F.col(rank_col) <= k).select(qid_col, id_col)
+    hits = a_k.join(e_k, [qid_col, id_col]).groupBy(qid_col).agg(
+        F.min("_ar").alias("first_rank")
+    )
+    qids = exact.select(qid_col).distinct()
+    return qids.join(hits, qid_col, "left").select(
+        qid_col,
+        F.col("first_rank").cast("int").alias("first_rank"),
+        F.coalesce(
+            1.0 / F.col("first_rank").cast("double"), F.lit(0.0)
+        ).alias("rr"),
+    )

@@ -7496,3 +7496,72 @@ def test_roc_auc_midranks(spark):
     onecls = spark.createDataFrame(
         [(1.0, 1), (2.0, 1)], "score double, label int")
     assert roc_auc(onecls, "score", "label").collect()[0].auc is None
+
+
+def test_mrr_cramers_v_cohens_d(spark):
+    """r13 trio: mrr_at_k first-hit semantics + miss -> rr 0 + dirty
+    input normalization; cramers_v exact chi2/V on hand tables (perfect
+    association -> V = 1); cohens_d matches a numpy replay and raises
+    on k != 2 groups."""
+    from spark_timeseries_spark.operators.experiment import cohens_d
+    from spark_timeseries_spark.operators.hypothesis import cramers_v
+    from spark_timeseries_spark.pipeline.similarity import mrr_at_k
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1), (2, 21, 2)],
+        "qid int, vec_id int, rank int")
+    approx = spark.createDataFrame(
+        [(1, 99, 1), (1, 10, 2), (1, 11, 3),        # first hit at 2
+         (2, 98, 1), (2, 97, 2),                    # no hit
+         (1, 10, 9)],                               # beyond k: ignored
+        "qid int, vec_id int, rank int")
+    got = {r.qid: r for r in mrr_at_k(exact, approx, k=3).collect()}
+    assert got[1].first_rank == 2 and abs(got[1].rr - 0.5) < 1e-12
+    assert got[2].first_rank is None and got[2].rr == 0.0
+
+    # perfect association: diagonal 2x2 -> chi2 = n, V = 1
+    diag = spark.createDataFrame(
+        [("x", "p")] * 10 + [("y", "q")] * 10, "a string, b string")
+    r = cramers_v(diag, "a", "b").collect()[0]
+    assert r.n == 20 and r.r == 2 and r.c == 2 and r.dof == 1
+    assert abs(r.chi2 - 20.0) < 1e-9 and abs(r.v - 1.0) < 1e-12
+    # hand-checked 2x2: [[8, 2], [3, 7]]
+    tbl = ([("x", "p")] * 8 + [("x", "q")] * 2
+           + [("y", "p")] * 3 + [("y", "q")] * 7)
+    r = cramers_v(spark.createDataFrame(tbl, "a string, b string"),
+                  "a", "b").collect()[0]
+    n, row1, col1 = 20.0, 10.0, 11.0
+    import itertools
+    chi2 = sum(
+        (o - e) ** 2 / e
+        for o, e in [
+            (8.0, row1 * col1 / n), (2.0, row1 * (n - col1) / n),
+            (3.0, (n - row1) * col1 / n),
+            (7.0, (n - row1) * (n - col1) / n),
+        ])
+    assert abs(r.chi2 - chi2) < 1e-9
+    assert abs(r.v - np.sqrt(chi2 / n)) < 1e-12
+
+    # cohens_d vs numpy replay
+    rng = np.random.RandomState(5)
+    a = rng.normal(0.0, 1.0, 40)
+    b = rng.normal(0.5, 1.2, 55)
+    rows = [("a", float(x)) for x in a] + [("b", float(x)) for x in b]
+    r = cohens_d(
+        spark.createDataFrame(rows, "variant string, value double")
+    ).collect()[0]
+    sp = np.sqrt(((40 - 1) * a.var(ddof=1) + (55 - 1) * b.var(ddof=1))
+                 / (40 + 55 - 2))
+    d = (b.mean() - a.mean()) / sp
+    nn = 95.0
+    se = np.sqrt(nn / (40 * 55) + d * d / (2 * nn))
+    assert r.n1 == 40 and r.n2 == 55
+    assert abs(r.d - d) < 1e-12
+    assert abs(r.g - d * (1 - 3 / (4 * nn - 9))) < 1e-12
+    assert abs(r.se - se) < 1e-12
+    assert abs(r.ci_lo - (d - 1.96 * se)) < 1e-12
+
+    three = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 3.0)], "variant string, value double")
+    with pytest.raises(Exception, match="exactly 2 groups"):
+        cohens_d(three).collect()

@@ -1358,3 +1358,36 @@ def test_r13_survival_eval_plans(spark):
     _, _, p = _counts(roc_auc(scored, "score", "label"))
     assert "Join" not in p, p
     assert "InPandas" not in p, p
+
+
+def test_r13_assoc_effect_plans(spark):
+    """cramers_v: ONE full-data groupBy(a, b); margins/chi2 on the
+    bounded cell table — no joins, no Python; cohens_d: one combinable
+    groupBy + a 2-row reduce — no joins, no Python; mrr_at_k: bounded
+    per-query equi-joins only — no cartesian products, no Python."""
+    from spark_timeseries_spark.operators.experiment import cohens_d
+    from spark_timeseries_spark.operators.hypothesis import cramers_v
+    from spark_timeseries_spark.pipeline.similarity import mrr_at_k
+    from spark_timeseries_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    _, _, p = _counts(cramers_v(docs, "lang", "source"))
+    assert "Join" not in p, p
+    assert "InPandas" not in p, p
+
+    ev = load_table(spark, SF, "events")
+    tbl = ev.select(
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("variant"),
+        "value",
+    )
+    _, _, p = _counts(cohens_d(tbl))
+    assert "Join" not in p, p
+    assert "InPandas" not in p, p
+
+    ex = spark.createDataFrame(
+        [(1, 10, 1)], "qid int, vec_id int, rank int")
+    ap = spark.createDataFrame(
+        [(1, 10, 1)], "qid int, vec_id int, rank int")
+    _, _, p = _counts(mrr_at_k(ex, ap, k=5))
+    assert "CartesianProduct" not in p, p
+    assert "InPandas" not in p, p
