@@ -5397,6 +5397,123 @@ def _q_cohens_d(spark, sf_dir):
     )
 
 
+def _q_welch_t(spark, sf_dir):
+    """Welch's unequal-variance t of event value between the user_id
+    parity groups — one combinable groupBy + a 2-row reduce;
+    Satterthwaite df emitted for the downstream t-table compare."""
+    from spark_timeseries_spark.operators.hypothesis import welch_t
+
+    ev = load_table(spark, sf_dir, "events")
+    tbl = ev.select(
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("grp"),
+        "value",
+    )
+    out = welch_t(tbl, group_col="grp")
+    return out.select(
+        "n1", "n2",
+        _stable_round(F.col("mean1"), 6).alias("mean1"),
+        _stable_round(F.col("mean2"), 6).alias("mean2"),
+        _stable_round(F.col("t_stat"), 8).alias("t_stat"),
+        _stable_round(F.col("df"), 4).alias("df"),
+    )
+
+
+def _q_mcnemar(spark, sf_dir):
+    """McNemar's paired test: per user, purchased-in-first-half vs
+    purchased-in-second-half of the log (global time midpoint) — the
+    discordant-cell chi-square with continuity correction."""
+    from spark_timeseries_spark.operators.hypothesis import mcnemar
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    mid = F.broadcast(
+        ev.select(
+            ((F.min(us) + F.max(us)) / F.lit(2.0)).alias("_mid")
+        )
+    )
+    per = ev.crossJoin(mid).groupBy(F.col("user_id").alias("key")).agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase") & (us < F.col("_mid"))
+            ).cast("int")
+        ).alias("before"),
+        F.max(
+            (
+                (F.col("event_type") == "purchase") & (us >= F.col("_mid"))
+            ).cast("int")
+        ).alias("after"),
+    )
+    out = mcnemar(per)
+    return out.select(
+        "n", "n00", "n01", "n10", "n11",
+        _stable_round(F.col("chi2"), 6).alias("chi2"),
+        "reject_05",
+    )
+
+
+def _q_wilcoxon_signed(spark, sf_dir):
+    """Wilcoxon signed-rank on per-user paired differences (second-half
+    mean event value minus first-half, global time midpoint) — global
+    mid-rank over the bounded per-user diff table + one reduce."""
+    from spark_timeseries_spark.operators.hypothesis import (
+        wilcoxon_signed,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    mid = F.broadcast(
+        ev.select(
+            ((F.min(us) + F.max(us)) / F.lit(2.0)).alias("_mid")
+        )
+    )
+    per = (
+        ev.where(F.col("value").isNotNull())
+        .crossJoin(mid)
+        .groupBy(F.col("user_id").alias("key"))
+        .agg(
+            F.avg(
+                F.when(us < F.col("_mid"), F.col("value"))
+            ).alias("_pre"),
+            F.avg(
+                F.when(us >= F.col("_mid"), F.col("value"))
+            ).alias("_post"),
+        )
+        .where(F.col("_pre").isNotNull() & F.col("_post").isNotNull())
+        .select((F.col("_post") - F.col("_pre")).alias("diff"))
+    )
+    out = wilcoxon_signed(per)
+    return out.select(
+        "n", "n_zero",
+        _stable_round(F.col("w_plus"), 6).alias("w_plus"),
+        _stable_round(F.col("w_minus"), 6).alias("w_minus"),
+        _stable_round(F.col("z"), 8).alias("z"),
+    )
+
+
+def _q_odds_ratio(spark, sf_dir):
+    """Odds ratio + relative risk (Woolf / Katz log CIs) of a document
+    being English given an even-numbered source — the 2x2 effect-scale
+    readout; one four-cell aggregate."""
+    from spark_timeseries_spark.operators.experiment import odds_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = odds_ratio(
+        docs,
+        exposed=F.regexp_extract(F.col("source"), r"(\d+)", 1)
+        .cast("int") % 2 == 0,
+        outcome=F.col("lang") == "en",
+    )
+    return out.select(
+        "n", "n11", "n10", "n01", "n00",
+        _stable_round(F.col("odds_ratio"), 6).alias("odds_ratio"),
+        _stable_round(F.col("or_ci_lo"), 6).alias("or_ci_lo"),
+        _stable_round(F.col("or_ci_hi"), 6).alias("or_ci_hi"),
+        _stable_round(F.col("relative_risk"), 6).alias("relative_risk"),
+        _stable_round(F.col("rr_ci_lo"), 6).alias("rr_ci_lo"),
+        _stable_round(F.col("rr_ci_hi"), 6).alias("rr_ci_hi"),
+    )
+
+
 def _q_savgol(spark, sf_dir):
     """Savitzky-Golay (7, 2) smoothing of each user's event-value
     sequence (rows as unit steps) — exact-rational coefficients, one
@@ -6402,6 +6519,10 @@ _ALL_QUERIES = {
     "mrr": _q_mrr,
     "cramers_v": _q_cramers_v,
     "cohens_d": _q_cohens_d,
+    "welch_t": _q_welch_t,
+    "mcnemar": _q_mcnemar,
+    "wilcoxon_signed": _q_wilcoxon_signed,
+    "odds_ratio": _q_odds_ratio,
 }
 
 # Driver window: the correctness harness records exactly the FIRST 50
@@ -16312,6 +16433,200 @@ def oracle_sql() -> dict[str, str]:
                {_sr_sql("see", 8)} AS se,
                {_sr_sql("dd - 1.96 * see", 8)} AS ci_lo,
                {_sr_sql("dd + 1.96 * see", 8)} AS ci_hi
+        FROM h
+    """
+
+    o["welch_t"] = f"""
+        WITH p AS (
+            SELECT CAST(user_id % 2 AS INT) AS grp, value FROM events
+            WHERE value IS NOT NULL
+        ),
+        s AS (
+            SELECT grp, CAST(count(*) AS BIGINT) AS n, avg(value) AS m,
+                   var_samp(value) AS v
+            FROM p GROUP BY 1
+        ),
+        w AS (SELECT row_number() OVER (ORDER BY grp) AS i, * FROM s),
+        a AS (
+            SELECT max(CASE WHEN i = 1 THEN n END) AS n1,
+                   max(CASE WHEN i = 2 THEN n END) AS n2,
+                   max(CASE WHEN i = 1 THEN m END) AS mean1,
+                   max(CASE WHEN i = 2 THEN m END) AS mean2,
+                   max(CASE WHEN i = 1 THEN v END) AS v1,
+                   max(CASE WHEN i = 2 THEN v END) AS v2
+            FROM w
+        ),
+        f AS (
+            SELECT *, v1 / CAST(n1 AS DOUBLE) AS aa,
+                   v2 / CAST(n2 AS DOUBLE) AS bb
+            FROM a
+        )
+        SELECT n1, n2, {_sr_sql("mean1", 6)} AS mean1,
+               {_sr_sql("mean2", 6)} AS mean2,
+               {_sr_sql(
+                   "(mean2 - mean1) / nullif(sqrt(aa + bb), 0)", 8
+               )} AS t_stat,
+               {_sr_sql(
+                   "(aa + bb) * (aa + bb)"
+                   " / nullif(aa * aa / (CAST(n1 AS DOUBLE) - 1.0)"
+                   " + bb * bb / (CAST(n2 AS DOUBLE) - 1.0), 0)", 4
+               )} AS df
+        FROM f
+    """
+
+    o["mcnemar"] = f"""
+        WITH m AS (
+            SELECT (CAST(min(epoch_us(ts)) AS DOUBLE)
+                    + CAST(max(epoch_us(ts)) AS DOUBLE)) / 2.0 AS mid
+            FROM events
+        ),
+        per AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'purchase'
+                            AND epoch_us(ts) < mid THEN 1 ELSE 0 END)
+                       AS b,
+                   max(CASE WHEN event_type = 'purchase'
+                            AND epoch_us(ts) >= mid THEN 1 ELSE 0 END)
+                       AS a
+            FROM events CROSS JOIN m GROUP BY 1
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN b = 0 AND a = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n00,
+                   CAST(sum(CASE WHEN b = 0 AND a = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n01,
+                   CAST(sum(CASE WHEN b = 1 AND a = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n10,
+                   CAST(sum(CASE WHEN b = 1 AND a = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n11
+            FROM per
+        )
+        SELECT n, n00, n01, n10, n11,
+               {_sr_sql(
+                   "(abs(CAST(n01 AS DOUBLE) - CAST(n10 AS DOUBLE)) - 1.0)"
+                   " * (abs(CAST(n01 AS DOUBLE) - CAST(n10 AS DOUBLE))"
+                   " - 1.0) / nullif(CAST(n01 + n10 AS DOUBLE), 0)", 6
+               )} AS chi2,
+               (abs(CAST(n01 AS DOUBLE) - CAST(n10 AS DOUBLE)) - 1.0)
+                   * (abs(CAST(n01 AS DOUBLE) - CAST(n10 AS DOUBLE)) - 1.0)
+                   / nullif(CAST(n01 + n10 AS DOUBLE), 0) > 3.841
+                   AS reject_05
+        FROM agg
+    """
+
+    o["wilcoxon_signed"] = f"""
+        WITH m AS (
+            SELECT (CAST(min(epoch_us(ts)) AS DOUBLE)
+                    + CAST(max(epoch_us(ts)) AS DOUBLE)) / 2.0 AS mid
+            FROM events
+        ),
+        per AS (
+            SELECT user_id,
+                   avg(CASE WHEN epoch_us(ts) < mid THEN value END)
+                       AS pre,
+                   avg(CASE WHEN epoch_us(ts) >= mid THEN value END)
+                       AS post
+            FROM events CROSS JOIN m
+            WHERE value IS NOT NULL
+            GROUP BY 1
+        ),
+        d AS (
+            SELECT post - pre AS dd FROM per
+            WHERE pre IS NOT NULL AND post IS NOT NULL
+        ),
+        nzero AS (
+            SELECT CAST(sum(CASE WHEN dd = 0.0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_zero
+            FROM d
+        ),
+        r AS (
+            SELECT dd,
+                   rank() OVER (ORDER BY abs(dd))
+                       + (count(*) OVER (PARTITION BY abs(dd)) - 1) / 2.0
+                       AS rk,
+                   count(*) OVER (PARTITION BY abs(dd)) AS t
+            FROM d WHERE dd <> 0.0
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   coalesce(sum(CASE WHEN dd > 0 THEN rk END), 0.0)
+                       AS wp,
+                   coalesce(sum(CASE WHEN dd < 0 THEN rk END), 0.0)
+                       AS wm,
+                   sum(t * t - 1) AS tsum
+            FROM r
+        ),
+        f AS (
+            SELECT n, wp, wm,
+                   CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0
+                       AS mu,
+                   sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                        * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+                        - CAST(tsum AS DOUBLE) / 48.0) AS sig
+            FROM agg
+        )
+        SELECT n, n_zero,
+               {_sr_sql("wp", 6)} AS w_plus,
+               {_sr_sql("wm", 6)} AS w_minus,
+               {_sr_sql(
+                   "CASE WHEN sig > 0.0 THEN"
+                   " sign(wp - mu) * greatest(abs(wp - mu) - 0.5, 0.0)"
+                   " / sig END", 8
+               )} AS z
+        FROM f CROSS JOIN nzero
+    """
+
+    o["odds_ratio"] = f"""
+        WITH p AS (
+            SELECT CAST(regexp_extract(source, '(\\d+)', 1) AS INT)
+                       % 2 = 0 AS e,
+                   lang = 'en' AS oc
+            FROM documents
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN e AND oc THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n11,
+                   CAST(sum(CASE WHEN e AND NOT oc THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n10,
+                   CAST(sum(CASE WHEN NOT e AND oc THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n01,
+                   CAST(sum(CASE WHEN NOT e AND NOT oc THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n00
+            FROM p
+        ),
+        f AS (
+            SELECT *,
+                   CAST(n11 AS DOUBLE) AS a, CAST(n10 AS DOUBLE) AS b,
+                   CAST(n01 AS DOUBLE) AS c, CAST(n00 AS DOUBLE) AS d
+            FROM agg
+        ),
+        g AS (
+            SELECT *,
+                   a * d / nullif(b * c, 0) AS orr,
+                   (a / nullif(a + b, 0)) / nullif(c / nullif(c + d, 0), 0)
+                       AS rr,
+                   sqrt(1.0 / nullif(a, 0) + 1.0 / nullif(b, 0)
+                        + 1.0 / nullif(c, 0) + 1.0 / nullif(d, 0))
+                       AS se_or,
+                   sqrt(b / nullif(a * (a + b), 0)
+                        + d / nullif(c * (c + d), 0)) AS se_rr
+            FROM f
+        ),
+        h AS (
+            SELECT *,
+                   CASE WHEN orr > 0.0 THEN ln(orr) END AS lor,
+                   CASE WHEN rr > 0.0 THEN ln(rr) END AS lrr
+            FROM g
+        )
+        SELECT n, n11, n10, n01, n00,
+               {_sr_sql("orr", 6)} AS odds_ratio,
+               {_sr_sql("exp(lor - 1.96 * se_or)", 6)} AS or_ci_lo,
+               {_sr_sql("exp(lor + 1.96 * se_or)", 6)} AS or_ci_hi,
+               {_sr_sql("rr", 6)} AS relative_risk,
+               {_sr_sql("exp(lrr - 1.96 * se_rr)", 6)} AS rr_ci_lo,
+               {_sr_sql("exp(lrr + 1.96 * se_rr)", 6)} AS rr_ci_hi
         FROM h
     """
 

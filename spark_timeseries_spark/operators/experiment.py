@@ -612,3 +612,63 @@ def cohens_d(
         (d - 1.96 * se).alias("ci_lo"),
         (d + 1.96 * se).alias("ci_hi"),
     )
+
+
+def odds_ratio(
+    df: DataFrame,
+    exposed: Column,
+    outcome: Column,
+) -> DataFrame:
+    """2×2 association readout → ONE row: (n, n11, n10, n01, n00,
+    odds_ratio, or_ci_lo, or_ci_hi, relative_risk, rr_ci_lo,
+    rr_ci_hi). With a = exposed∧outcome, b = exposed∧¬outcome,
+    c = ¬exposed∧outcome, d = neither: OR = ad/bc with the Woolf
+    (1955) log CI exp(ln OR ± 1.96·√(1/a+1/b+1/c+1/d));
+    RR = (a/(a+b))/(c/(c+d)) with the Katz (1978) log CI
+    exp(ln RR ± 1.96·√(b/(a(a+b)) + d/(c(c+d)))). The effect-scale
+    companion of :func:`ab_conversion`'s z-test (which answers "is
+    there an effect", not "how big") and the 2×2 special case
+    :func:`~.hypothesis.cramers_v` only sizes symmetrically. Any
+    empty margin cell → NULL estimate/CI (try_divide + ln guards —
+    add 0.5 Haldane-style upstream if zero cells are expected). NULL
+    exposure/outcome rows are dropped (stated).
+
+    Plan: ONE map-side-combinable aggregate of four cell counts. No
+    windows, no joins, no Python."""
+    e = exposed.cast("boolean")
+    o = outcome.cast("boolean")
+    pts = df.where(e.isNotNull() & o.isNotNull())
+    agg = pts.groupBy(F.lit(1).alias("_j")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((e & o).cast("long")).alias("n11"),
+        F.sum((e & ~o).cast("long")).alias("n10"),
+        F.sum((~e & o).cast("long")).alias("n01"),
+        F.sum((~e & ~o).cast("long")).alias("n00"),
+    )
+    a = F.col("n11").cast("double")
+    b = F.col("n10").cast("double")
+    c = F.col("n01").cast("double")
+    d = F.col("n00").cast("double")
+    orr = F.try_divide(a * d, b * c)
+    # ln guard: a zero/NULL ratio must yield NULL CI, not an ANSI abort
+    ln_or = F.when(orr > 0.0, F.log(orr))
+    se_or = F.sqrt(
+        F.try_divide(F.lit(1.0), a) + F.try_divide(F.lit(1.0), b)
+        + F.try_divide(F.lit(1.0), c) + F.try_divide(F.lit(1.0), d)
+    )
+    rr = F.try_divide(
+        F.try_divide(a, a + b), F.try_divide(c, c + d)
+    )
+    ln_rr = F.when(rr > 0.0, F.log(rr))
+    se_rr = F.sqrt(
+        F.try_divide(b, a * (a + b)) + F.try_divide(d, c * (c + d))
+    )
+    return agg.select(
+        "n", "n11", "n10", "n01", "n00",
+        orr.alias("odds_ratio"),
+        F.exp(ln_or - 1.96 * se_or).alias("or_ci_lo"),
+        F.exp(ln_or + 1.96 * se_or).alias("or_ci_hi"),
+        rr.alias("relative_risk"),
+        F.exp(ln_rr - 1.96 * se_rr).alias("rr_ci_lo"),
+        F.exp(ln_rr + 1.96 * se_rr).alias("rr_ci_hi"),
+    )

@@ -49,6 +49,9 @@ __all__ = [
     "brown_forsythe_dow",
     "fdr_bh",
     "cramers_v",
+    "welch_t",
+    "mcnemar",
+    "wilcoxon_signed",
 ]
 
 
@@ -374,4 +377,178 @@ def cramers_v(
         F.sqrt(
             F.try_divide(phi2c, F.least(rc, cc) - 1.0)
         ).alias("v_corrected"),
+    )
+
+
+def welch_t(
+    df: DataFrame,
+    group_col: str = "group",
+    value_col: str = "value",
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups → ONE row:
+    (n1, n2, mean1, mean2, t_stat, df). t = (x̄₂ − x̄₁)/√(s₁²/n₁ +
+    s₂²/n₂) with the Welch-Satterthwaite degrees of freedom
+    ν = (s₁²/n₁ + s₂²/n₂)² / ((s₁²/n₁)²/(n₁−1) + (s₂²/n₂)²/(n₂−1))
+    (Welch 1947) — the default two-sample mean test (Student's
+    equal-variance form is a special case that buys nothing and risks
+    a broken size under variance heterogeneity). Group 1 = the
+    lexicographically smaller group value; exactly two groups required
+    (raises otherwise — the srm_check discipline). t/df NULL when a
+    group is degenerate (n < 2 or both variances 0). No p-value: the
+    t CDF has no closed form (module convention — compare |t| against
+    the t table at ν downstream).
+
+    Plan: ONE map-side-combinable groupBy(group) + a 2-row reduce.
+    No windows on data, no joins, no Python."""
+    g = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("_g"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.avg(F.col(value_col).cast("double")).alias("_m"),
+            F.var_samp(F.col(value_col).cast("double")).alias("_v"),
+        )
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("_g")
+    r = g.select(
+        F.row_number().over(w).alias("_i"), "_n", "_m", "_v"
+    )
+    agg = r.groupBy(F.lit(1).alias("_j")).agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.max(F.when(F.col("_i") == 1, F.col("_n"))).alias("n1"),
+        F.max(F.when(F.col("_i") == 2, F.col("_n"))).alias("n2"),
+        F.max(F.when(F.col("_i") == 1, F.col("_m"))).alias("mean1"),
+        F.max(F.when(F.col("_i") == 2, F.col("_m"))).alias("mean2"),
+        F.max(F.when(F.col("_i") == 1, F.col("_v"))).alias("_v1"),
+        F.max(F.when(F.col("_i") == 2, F.col("_v"))).alias("_v2"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    a = F.col("_v1") / n1
+    b = F.col("_v2") / n2
+    t = F.try_divide(F.col("mean2") - F.col("mean1"), F.sqrt(a + b))
+    dfree = F.try_divide(
+        (a + b) * (a + b),
+        F.try_divide(a * a, n1 - 1.0) + F.try_divide(b * b, n2 - 1.0),
+    )
+    return agg.select(
+        # k-check embedded in the emitted n1 (the srm_check pattern)
+        F.when(F.col("_k") == 2, F.col("n1"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("welch_t needs exactly 2 groups, got "),
+                    F.col("_k").cast("string"),
+                )
+            )
+        )
+        .alias("n1"),
+        "n2", "mean1", "mean2",
+        t.alias("t_stat"),
+        dfree.alias("df"),
+    )
+
+
+def mcnemar(
+    df: DataFrame,
+    before_col: str = "before",
+    after_col: str = "after",
+) -> DataFrame:
+    """McNemar's test of marginal homogeneity for PAIRED binary
+    outcomes → ONE row: (n, n00, n01, n10, n11, chi2, reject_05).
+    Only the discordant cells carry information: with b = n01
+    (before 0, after 1) and c = n10, χ² = (|b − c| − 1)²/(b + c)
+    (Edwards 1948 continuity-corrected form of McNemar 1947),
+    compared against the df = 1 upper-5% critical value 3.841. The
+    standard readout for "did the change flip outcomes" on the SAME
+    subjects — model A vs model B on one eval set, pre vs post per
+    user — where a two-proportion z-test would ignore the pairing.
+    chi2 NULL when b + c = 0 (no discordant pairs — nothing to test).
+    NULL-valued pairs are dropped (stated).
+
+    Plan: ONE map-side-combinable aggregate of the four cell counts.
+    No windows, no joins, no Python."""
+    b0 = F.col(before_col).cast("int")
+    a0 = F.col(after_col).cast("int")
+    pts = df.where(b0.isNotNull() & a0.isNotNull())
+    agg = pts.groupBy(F.lit(1).alias("_j")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(((b0 == 0) & (a0 == 0)).cast("long")).alias("n00"),
+        F.sum(((b0 == 0) & (a0 == 1)).cast("long")).alias("n01"),
+        F.sum(((b0 == 1) & (a0 == 0)).cast("long")).alias("n10"),
+        F.sum(((b0 == 1) & (a0 == 1)).cast("long")).alias("n11"),
+    )
+    b = F.col("n01").cast("double")
+    c = F.col("n10").cast("double")
+    num = (F.abs(b - c) - 1.0) * (F.abs(b - c) - 1.0)
+    chi2 = F.try_divide(num, b + c)
+    return agg.select(
+        "n", "n00", "n01", "n10", "n11",
+        chi2.alias("chi2"),
+        (chi2 > 3.841).alias("reject_05"),
+    )
+
+
+def wilcoxon_signed(
+    df: DataFrame,
+    diff_col: str = "diff",
+) -> DataFrame:
+    """Wilcoxon signed-rank test on a column of PAIRED differences →
+    ONE row: (n, n_zero, w_plus, w_minus, z). Zero differences are
+    dropped (Wilcoxon 1945 convention; their count is reported),
+    |d| is mid-ranked, W⁺ = Σ ranks of positive d; z is the
+    tie-corrected normal approximation with ±0.5 continuity
+    correction: σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48 (Lehmann 1975).
+    The paired sibling of :func:`mann_whitney_halves` — location
+    shift of matched before/after measurements without normality.
+    z NULL when σ = 0 (all |d| tied at one value after zero-drop ≤ 1
+    row). No p-value (module convention — normal table downstream).
+
+    Plan: one global mid-rank window over non-zero |d| (single-
+    partition sort bounded by the PAIRED-ENTITY table, which is
+    pre-aggregated — not raw rows; quantize/bin at corpus scale) +
+    ONE reduce. No joins, no Python."""
+    d = F.col(diff_col).cast("double")
+    pts = df.where(d.isNotNull())
+    nz = pts.where(d != 0.0).select(
+        d.alias("_d"), F.abs(d).alias("_a")
+    )
+    wr = Window.orderBy("_a")
+    wtie = Window.partitionBy("_a")
+    ranked = nz.select(
+        "_d",
+        (
+            F.rank().over(wr)
+            + (F.count(F.lit(1)).over(wtie) - 1) / 2.0
+        ).alias("_r"),
+        F.count(F.lit(1)).over(wtie).alias("_t"),
+    )
+    zero_n = pts.where(d == 0.0).groupBy(F.lit(1).alias("_j")).agg(
+        F.count(F.lit(1)).alias("n_zero")
+    )
+    agg = ranked.groupBy(F.lit(1).alias("_j")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("_d") > 0, F.col("_r"))).alias("_wp"),
+        F.sum(F.when(F.col("_d") < 0, F.col("_r"))).alias("_wm"),
+        F.sum(F.col("_t") * F.col("_t") - 1).alias("_tsum"),
+    )
+    n = F.col("n").cast("double")
+    mu = n * (n + 1.0) / 4.0
+    sigma = F.sqrt(
+        n * (n + 1.0) * (2.0 * n + 1.0) / 24.0
+        - F.col("_tsum").cast("double") / 48.0
+    )
+    dev = F.coalesce(F.col("_wp"), F.lit(0.0)) - mu
+    corrected = F.signum(dev) * F.greatest(
+        F.abs(dev) - 0.5, F.lit(0.0)
+    )
+    return (
+        agg.join(F.broadcast(zero_n), "_j", "left")
+        .select(
+            "n",
+            F.coalesce(F.col("n_zero"), F.lit(0)).alias("n_zero"),
+            F.coalesce(F.col("_wp"), F.lit(0.0)).alias("w_plus"),
+            F.coalesce(F.col("_wm"), F.lit(0.0)).alias("w_minus"),
+            F.when(sigma > 0.0, F.try_divide(corrected, sigma)).alias("z"),
+        )
     )

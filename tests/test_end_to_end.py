@@ -7565,3 +7565,82 @@ def test_mrr_cramers_v_cohens_d(spark):
         [("a", 1.0), ("b", 2.0), ("c", 3.0)], "variant string, value double")
     with pytest.raises(Exception, match="exactly 2 groups"):
         cohens_d(three).collect()
+
+
+def test_welch_mcnemar_wilcoxon_odds(spark):
+    """r13 paired/two-sample batch: welch_t matches a numpy replay
+    (t and Satterthwaite df) and raises on k != 2; mcnemar exact
+    discordant-cell accounting incl. the b + c = 0 NULL; wilcoxon_signed
+    matches a hand replay with ties and zero-drop; odds_ratio exact OR/RR
+    and Woolf/Katz CIs, NULL on a zero cell."""
+    from spark_timeseries_spark.operators.experiment import odds_ratio
+    from spark_timeseries_spark.operators.hypothesis import (
+        mcnemar,
+        welch_t,
+        wilcoxon_signed,
+    )
+
+    rng = np.random.RandomState(11)
+    a = rng.normal(0.0, 1.0, 30)
+    b = rng.normal(0.4, 2.0, 45)
+    rows = [("a", float(x)) for x in a] + [("b", float(x)) for x in b]
+    r = welch_t(
+        spark.createDataFrame(rows, "group string, value double")
+    ).collect()[0]
+    va, vb = a.var(ddof=1) / 30, b.var(ddof=1) / 45
+    t = (b.mean() - a.mean()) / np.sqrt(va + vb)
+    dfree = (va + vb) ** 2 / (va ** 2 / 29 + vb ** 2 / 44)
+    assert r.n1 == 30 and r.n2 == 45
+    assert abs(r.t_stat - t) < 1e-12 and abs(r.df - dfree) < 1e-10
+    with pytest.raises(Exception, match="exactly 2 groups"):
+        welch_t(
+            spark.createDataFrame(
+                [("a", 1.0), ("b", 2.0), ("c", 3.0)],
+                "group string, value double")
+        ).collect()
+
+    # mcnemar: b=5 c=2 -> chi2 = (|5-2|-1)^2/7 = 4/7
+    pairs = ([(0, 1)] * 5 + [(1, 0)] * 2 + [(1, 1)] * 3 + [(0, 0)] * 4)
+    r = mcnemar(
+        spark.createDataFrame(pairs, "before int, after int")
+    ).collect()[0]
+    assert (r.n, r.n01, r.n10, r.n11, r.n00) == (14, 5, 2, 3, 4)
+    assert abs(r.chi2 - 4.0 / 7.0) < 1e-12 and r.reject_05 is False
+    concordant = mcnemar(
+        spark.createDataFrame([(1, 1), (0, 0)], "before int, after int")
+    ).collect()[0]
+    assert concordant.chi2 is None
+
+    # wilcoxon: diffs [2, -1, 1, 3, 0] -> zero dropped, |d| ranks:
+    # 1 & -1 tied at rank 1.5, 2 -> 3, 3 -> 4; W+ = 1.5 + 3 + 4 = 8.5
+    r = wilcoxon_signed(
+        spark.createDataFrame(
+            [(2.0,), (-1.0,), (1.0,), (3.0,), (0.0,)], "diff double")
+    ).collect()[0]
+    assert r.n == 4 and r.n_zero == 1
+    assert abs(r.w_plus - 8.5) < 1e-12 and abs(r.w_minus - 1.5) < 1e-12
+    mu = 4 * 5 / 4.0
+    sig = np.sqrt(4 * 5 * 9 / 24.0 - (2 ** 2 - 1) * 2 / 48.0)
+    assert abs(r.z - (np.sign(8.5 - mu)
+                      * max(abs(8.5 - mu) - 0.5, 0) / sig)) < 1e-12
+
+    # odds_ratio: a=20 b=10 c=5 d=15 -> OR = 6, RR = 2.667
+    tbl = ([(1, 1)] * 20 + [(1, 0)] * 10 + [(0, 1)] * 5 + [(0, 0)] * 15)
+    r = odds_ratio(
+        spark.createDataFrame(tbl, "e int, o int"),
+        exposed=F.col("e") == 1, outcome=F.col("o") == 1,
+    ).collect()[0]
+    assert (r.n11, r.n10, r.n01, r.n00) == (20, 10, 5, 15)
+    assert abs(r.odds_ratio - 6.0) < 1e-12
+    assert abs(r.relative_risk - (20 / 30) / (5 / 20)) < 1e-12
+    se_or = np.sqrt(1 / 20 + 1 / 10 + 1 / 5 + 1 / 15)
+    assert abs(r.or_ci_lo - np.exp(np.log(6.0) - 1.96 * se_or)) < 1e-12
+    se_rr = np.sqrt(10 / (20 * 30) + 15 / (5 * 20))
+    assert abs(r.rr_ci_hi
+               - np.exp(np.log((20 / 30) / (5 / 20)) + 1.96 * se_rr)) \
+        < 1e-12
+    zero_cell = odds_ratio(
+        spark.createDataFrame([(1, 1), (0, 0)], "e int, o int"),
+        exposed=F.col("e") == 1, outcome=F.col("o") == 1,
+    ).collect()[0]
+    assert zero_cell.odds_ratio is None and zero_cell.or_ci_lo is None

@@ -1391,3 +1391,42 @@ def test_r13_assoc_effect_plans(spark):
     _, _, p = _counts(mrr_at_k(ex, ap, k=5))
     assert "CartesianProduct" not in p, p
     assert "InPandas" not in p, p
+
+
+def test_r13_paired_test_plans(spark):
+    """welch_t / mcnemar / odds_ratio: one combinable aggregate (+ a
+    bounded 2-row reduce for welch) — no joins, no Python;
+    wilcoxon_signed: the only sort is the bounded diff-table mid-rank
+    window; the single join is the broadcast one-row zero-count."""
+    from spark_timeseries_spark.operators.experiment import odds_ratio
+    from spark_timeseries_spark.operators.hypothesis import (
+        mcnemar,
+        welch_t,
+        wilcoxon_signed,
+    )
+    from spark_timeseries_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    tbl = ev.select(
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("grp"),
+        "value",
+    )
+    _, _, p = _counts(welch_t(tbl, group_col="grp"))
+    assert "Join" not in p and "InPandas" not in p, p
+
+    pairs = ev.select(
+        (F.col("value") > 0).cast("int").alias("before"),
+        (F.col("value") > 1).cast("int").alias("after"),
+    )
+    _, _, p = _counts(mcnemar(pairs))
+    assert "Join" not in p and "InPandas" not in p, p
+
+    _, _, p = _counts(odds_ratio(
+        ev, exposed=F.col("value") > 0, outcome=F.col("value") > 1))
+    assert "Join" not in p and "InPandas" not in p, p
+
+    diffs = ev.groupBy("user_id").agg(
+        (F.avg("value") - F.lit(1.0)).alias("diff"))
+    _, _, p = _counts(wilcoxon_signed(diffs))
+    assert "SortMergeJoin" not in p and "InPandas" not in p, p
+    assert "BroadcastExchange" in p, p
