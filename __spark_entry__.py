@@ -5514,6 +5514,66 @@ def _q_odds_ratio(spark, sf_dir):
     )
 
 
+def _q_friedman(spark, sf_dir):
+    """Friedman rank test: do the event types shift value across
+    matched users (blocks = users with all 5 types, treatments =
+    event_type, cell = per-(user, type) mean value) — within-block
+    mid-ranks, tie-corrected Q vs chi-square."""
+    from spark_timeseries_spark.operators.hypothesis import friedman
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            F.col("user_id").alias("block"),
+            F.col("event_type").alias("treatment"),
+        )
+        .agg(F.avg("value").alias("value"))
+    )
+    out = friedman(cells)
+    return out.select(
+        "n_blocks", "k",
+        _stable_round(F.col("q"), 6).alias("q"),
+        "df",
+        _stable_round(F.col("crit_05"), 6).alias("crit_05"),
+        "reject_05",
+    )
+
+
+def _q_chow(spark, sf_dir):
+    """Chow structural-break F at the log's time midpoint for the
+    global value-on-time regression — three moment sets in ONE
+    aggregate pass, SSE from moments (no residual materialization)."""
+    from spark_timeseries_spark.operators.hypothesis import chow
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    mid = F.broadcast(
+        ev.select(
+            ((F.min(us) + F.max(us)) / F.lit(2.0)).alias("_mid"),
+            F.min(us).alias("_mn"),
+        )
+    )
+    # x is hours SINCE LOG START, not raw epoch hours: the moment-based
+    # SSE cancels mxx against mx^2, and a ~5e5-magnitude x would burn
+    # ~7 significant digits in that subtraction (the jarque_bera
+    # centered-moment lesson) — centering keeps the oracle bit-stable
+    pts = ev.crossJoin(mid).select(
+        (us < F.col("_mid")).alias("pre"),
+        ((us - F.col("_mn")).cast("double") / F.lit(3.6e9)).alias("x"),
+        F.col("value").alias("y"),
+    )
+    out = chow(pts, split=F.col("pre"))
+    return out.select(
+        "n1", "n2",
+        _stable_round(F.col("ssr_pooled"), 4).alias("ssr_pooled"),
+        _stable_round(F.col("ssr1"), 4).alias("ssr1"),
+        _stable_round(F.col("ssr2"), 4).alias("ssr2"),
+        _stable_round(F.col("f_stat"), 6).alias("f_stat"),
+        "df1", "df2",
+    )
+
+
 def _q_savgol(spark, sf_dir):
     """Savitzky-Golay (7, 2) smoothing of each user's event-value
     sequence (rows as unit steps) — exact-rational coefficients, one
@@ -6523,6 +6583,8 @@ _ALL_QUERIES = {
     "mcnemar": _q_mcnemar,
     "wilcoxon_signed": _q_wilcoxon_signed,
     "odds_ratio": _q_odds_ratio,
+    "friedman": _q_friedman,
+    "chow": _q_chow,
 }
 
 # Driver window: the correctness harness records exactly the FIRST 50
@@ -16628,6 +16690,137 @@ def oracle_sql() -> dict[str, str]:
                {_sr_sql("exp(lrr - 1.96 * se_rr)", 6)} AS rr_ci_lo,
                {_sr_sql("exp(lrr + 1.96 * se_rr)", 6)} AS rr_ci_hi
         FROM h
+    """
+
+    o["friedman"] = f"""
+        WITH cells AS (
+            SELECT user_id AS b, event_type AS t, avg(value) AS v
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ),
+        kg AS (SELECT count(DISTINCT t) AS k FROM cells),
+        bn AS (SELECT b, count(*) AS bn FROM cells GROUP BY 1),
+        comp AS (
+            SELECT c.* FROM cells c JOIN bn ON bn.b = c.b
+            CROSS JOIN kg WHERE bn.bn = kg.k
+        ),
+        r AS (
+            SELECT b, t,
+                   rank() OVER (PARTITION BY b ORDER BY v)
+                       + (count(*) OVER (PARTITION BY b, v) - 1) / 2.0
+                       AS rk,
+                   count(*) OVER (PARTITION BY b, v) AS tsz
+            FROM comp
+        ),
+        pt AS (
+            SELECT t, sum(rk) AS rsum, CAST(count(*) AS BIGINT) AS nb,
+                   sum(tsz * tsz - 1) AS tc
+            FROM r GROUP BY 1
+        ),
+        agg AS (
+            SELECT max(nb) AS n_blocks,
+                   CAST(count(*) AS INT) AS k,
+                   sum(rsum * rsum) AS r2, sum(tc) AS tc
+            FROM pt
+        ),
+        f AS (
+            SELECT n_blocks, k,
+                   (12.0 / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+                            * (CAST(k AS DOUBLE) + 1.0)) * r2
+                    - 3.0 * CAST(n_blocks AS DOUBLE)
+                      * (CAST(k AS DOUBLE) + 1.0))
+                   / nullif(1.0 - CAST(tc AS DOUBLE)
+                        / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+                           * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+                              - 1.0)), 0) AS q,
+                   CAST(k - 1 AS INT) AS df
+            FROM agg
+        )
+        SELECT n_blocks, k, {_sr_sql("q", 6)} AS q, df,
+               {_sr_sql(
+                   "CASE df WHEN 1 THEN 3.841 WHEN 2 THEN 5.991"
+                   " WHEN 3 THEN 7.815 WHEN 4 THEN 9.488"
+                   " WHEN 5 THEN 11.070 WHEN 6 THEN 12.592"
+                   " WHEN 7 THEN 14.067 WHEN 8 THEN 15.507"
+                   " WHEN 9 THEN 16.919 WHEN 10 THEN 18.307"
+                   " ELSE df * pow(1.0 - 2.0 / (9.0 * df)"
+                   " + 1.6448536269514722 * sqrt(2.0 / (9.0 * df)), 3.0)"
+                   " END", 6
+               )} AS crit_05,
+               q > (CASE df WHEN 1 THEN 3.841 WHEN 2 THEN 5.991
+                    WHEN 3 THEN 7.815 WHEN 4 THEN 9.488
+                    WHEN 5 THEN 11.070 WHEN 6 THEN 12.592
+                    WHEN 7 THEN 14.067 WHEN 8 THEN 15.507
+                    WHEN 9 THEN 16.919 WHEN 10 THEN 18.307
+                    ELSE df * pow(1.0 - 2.0 / (9.0 * df)
+                         + 1.6448536269514722
+                           * sqrt(2.0 / (9.0 * df)), 3.0) END)
+                   AS reject_05
+        FROM f
+    """
+
+    o["chow"] = f"""
+        WITH m AS (
+            SELECT (CAST(min(epoch_us(ts)) AS DOUBLE)
+                    + CAST(max(epoch_us(ts)) AS DOUBLE)) / 2.0 AS mid,
+                   min(epoch_us(ts)) AS mn
+            FROM events
+        ),
+        p AS (
+            SELECT CASE WHEN CAST(epoch_us(ts) AS DOUBLE) < mid
+                        THEN 1 ELSE 2 END AS g,
+                   CAST(epoch_us(ts) - mn AS DOUBLE) / 3600000000.0 AS x,
+                   value AS y
+            FROM events CROSS JOIN m WHERE value IS NOT NULL
+        ),
+        gm AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n, avg(x) AS mx,
+                   avg(y) AS my, avg(x * x) AS mxx, avg(y * y) AS myy,
+                   avg(x * y) AS mxy
+            FROM p GROUP BY 1
+        ),
+        pm AS (
+            SELECT CAST(count(*) AS BIGINT) AS n, avg(x) AS mx,
+                   avg(y) AS my, avg(x * x) AS mxx, avg(y * y) AS myy,
+                   avg(x * y) AS mxy
+            FROM p
+        ),
+        sg AS (
+            SELECT g, n,
+                   CAST(n AS DOUBLE) * ((myy - my * my)
+                       - (mxy - mx * my) * (mxy - mx * my)
+                         / nullif(mxx - mx * mx, 0)) AS ssr
+            FROM gm
+        ),
+        sp AS (
+            SELECT CAST(n AS DOUBLE) * ((myy - my * my)
+                       - (mxy - mx * my) * (mxy - mx * my)
+                         / nullif(mxx - mx * mx, 0)) AS ssrp
+            FROM pm
+        ),
+        w AS (
+            SELECT max(CASE WHEN g = 1 THEN n END) AS n1,
+                   max(CASE WHEN g = 2 THEN n END) AS n2,
+                   max(CASE WHEN g = 1 THEN ssr END) AS s1,
+                   max(CASE WHEN g = 2 THEN ssr END) AS s2
+            FROM sg
+        ),
+        f AS (
+            SELECT n1, n2, ssrp, s1, s2,
+                   CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 4.0 AS df2
+            FROM w CROSS JOIN sp
+        )
+        SELECT n1, n2,
+               {_sr_sql("ssrp", 4)} AS ssr_pooled,
+               {_sr_sql("s1", 4)} AS ssr1,
+               {_sr_sql("s2", 4)} AS ssr2,
+               {_sr_sql(
+                   "CASE WHEN n1 > 2 AND n2 > 2 THEN"
+                   " ((ssrp - s1 - s2) / 2.0)"
+                   " / nullif((s1 + s2) / df2, 0) END", 6
+               )} AS f_stat,
+               CAST(2 AS INT) AS df1,
+               CAST(df2 AS INT) AS df2
+        FROM f
     """
 
     o["savgol"] = f"""

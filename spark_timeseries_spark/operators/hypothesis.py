@@ -40,7 +40,7 @@ reuses one sort for windows sharing a partition/order).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -52,6 +52,8 @@ __all__ = [
     "welch_t",
     "mcnemar",
     "wilcoxon_signed",
+    "friedman",
+    "chow",
 ]
 
 
@@ -551,4 +553,183 @@ def wilcoxon_signed(
             F.coalesce(F.col("_wm"), F.lit(0.0)).alias("w_minus"),
             F.when(sigma > 0.0, F.try_divide(corrected, sigma)).alias("z"),
         )
+    )
+
+
+def friedman(
+    df: DataFrame,
+    block_col: str = "block",
+    treatment_col: str = "treatment",
+    value_col: str = "value",
+) -> DataFrame:
+    """Friedman rank test for k treatments over n matched blocks →
+    ONE row: (n_blocks, k, q, df, crit_05, reject_05). Within each
+    complete block the k treatment values are mid-ranked; with R_j
+    the treatment rank sums, Q = (12/(n·k·(k+1)))·ΣR_j² − 3n(k+1),
+    divided by the tie correction 1 − Σ(t³−t)/(n·k·(k²−1))
+    (Friedman 1937; Conover 1999 tie form), compared against the
+    χ²_{k−1} 5% critical value. The repeated-measures companion of a
+    one-way rank ANOVA: "did ANY treatment shift outcomes across
+    matched subjects". Blocks missing any treatment are dropped
+    (Friedman is defined on the complete n×k layout — count reported
+    via n_blocks); duplicate (block, treatment) rows must be
+    pre-aggregated (raises on detection — a silent mean would hide a
+    data bug).
+
+    Plan: one groupBy(block) completeness pass + the per-block
+    mid-rank window on the same hash key (one exchange each, both on
+    the bounded n×k cell table), a broadcast one-row global-k, one
+    aggregate + a one-row reduce. No data-sized joins, no Python."""
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull()).select(
+        F.col(block_col).alias("_b"),
+        F.col(treatment_col).alias("_t"),
+        v.cast("double").alias("_v"),
+    )
+    # k = the GLOBAL treatment count (one-row broadcast); a block is
+    # complete iff it holds all k DISTINCT treatments. The dup check
+    # lives INSIDE the single gate filter (when(no-dup, complete?)
+    # .otherwise(raise)) so no predicate reordering can skip it.
+    kg = F.broadcast(pts.agg(F.countDistinct("_t").alias("_k")))
+    blocks = pts.groupBy("_b").agg(
+        F.countDistinct("_t").alias("_nt"),
+        F.count(F.lit(1)).alias("_bn"),
+    )
+    good = (
+        blocks.crossJoin(kg)
+        .where(
+            F.when(
+                F.col("_bn") == F.col("_nt"),
+                F.col("_nt") == F.col("_k"),
+            ).otherwise(
+                F.raise_error(F.lit(
+                    "friedman: duplicate (block, treatment) rows — "
+                    "pre-aggregate first"
+                ))
+            )
+        )
+        .select("_b", "_k")
+    )
+    complete = pts.join(good, "_b")
+    wr = Window.partitionBy("_b").orderBy("_v")
+    wtie = Window.partitionBy("_b", "_v")
+    ranked = complete.select(
+        "_b", "_t", "_k",
+        (
+            F.rank().over(wr)
+            + (F.count(F.lit(1)).over(wtie) - 1) / 2.0
+        ).alias("_r"),
+        F.count(F.lit(1)).over(wtie).alias("_tsz"),
+    )
+    per_t = ranked.groupBy("_t").agg(
+        F.sum("_r").alias("_rsum"),
+        F.count(F.lit(1)).alias("_nb"),
+        F.max("_k").alias("_k"),
+        # t² − 1 summed over member rows = Σ over tie groups of t³ − t
+        F.sum(F.col("_tsz") * F.col("_tsz") - 1).alias("_tcorr"),
+    )
+    agg = per_t.groupBy(F.lit(1).alias("_j")).agg(
+        F.max("_nb").alias("n_blocks"),
+        F.max("_k").alias("_k"),
+        F.sum(F.col("_rsum") * F.col("_rsum")).alias("_r2"),
+        F.sum("_tcorr").alias("_tc"),
+    )
+    n = F.col("n_blocks").cast("double")
+    k = F.col("_k").cast("double")
+    q_raw = (
+        12.0 / (n * k * (k + 1.0)) * F.col("_r2") - 3.0 * n * (k + 1.0)
+    )
+    corr = 1.0 - F.try_divide(
+        F.col("_tc").cast("double"), n * k * (k * k - 1.0)
+    )
+    q = F.try_divide(q_raw, corr)
+    from .experiment import chi2_crit_05
+
+    dfree = (F.col("_k") - 1).cast("int")
+    crit = chi2_crit_05(dfree)
+    return agg.select(
+        "n_blocks",
+        F.col("_k").cast("int").alias("k"),
+        q.alias("q"),
+        dfree.alias("df"),
+        crit.alias("crit_05"),
+        (q > crit).alias("reject_05"),
+    )
+
+
+def chow(
+    df: DataFrame,
+    split: Column,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Chow test for a structural break in the simple regression
+    y = a + b·x at a KNOWN split → ONE row: (n1, n2, ssr_pooled,
+    ssr1, ssr2, f_stat, df1, df2). ``split`` is a boolean Column —
+    True marks the first regime. Each regime and the pooled sample
+    get an intercept+slope OLS whose residual sum of squares comes
+    from moments (SSE = n·var_pop(y)·(1 − ρ²), exact for OLS with
+    intercept); F = ((SSR_p − SSR₁ − SSR₂)/p) / ((SSR₁ + SSR₂)/
+    (n₁ + n₂ − 2p)) with p = 2 parameters (Chow 1960). The
+    known-breakpoint complement of the SEARCHING detectors
+    (:mod:`~.changepoint`, :mod:`~.cusum`): "did the relationship
+    change at the deploy/policy date". F NULL when a regime is
+    degenerate (n ≤ p or zero x-variance — try_divide). No p-value
+    (F CDF has no closed form — module convention).
+
+    Plan: ONE map-side-combinable aggregate pass computing both
+    regime moment sets (conditional aggregates) + the pooled set in
+    the same row. No second scan, no windows, no joins, no Python."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    pts = df.where(x.isNotNull() & y.isNotNull()).select(
+        split.cast("boolean").alias("_s"), x.alias("_x"), y.alias("_y")
+    )
+
+    def moments(cond):
+        xx = F.when(cond, F.col("_x"))
+        yy = F.when(cond, F.col("_y"))
+        return [
+            F.count(xx),
+            F.avg(xx), F.avg(yy),
+            F.avg(xx * F.col("_x")), F.avg(yy * F.col("_y")),
+            F.avg(xx * F.col("_y")),
+        ]
+
+    cols = []
+    for tag, cond in (
+        ("1", F.col("_s")), ("2", ~F.col("_s")), ("p", F.lit(True))
+    ):
+        m = moments(cond)
+        cols += [
+            m[0].alias(f"_n{tag}"),
+            m[1].alias(f"_mx{tag}"), m[2].alias(f"_my{tag}"),
+            m[3].alias(f"_mxx{tag}"), m[4].alias(f"_myy{tag}"),
+            m[5].alias(f"_mxy{tag}"),
+        ]
+    agg = pts.groupBy(F.lit(1).alias("_j")).agg(*cols)
+
+    def ssr(tag):
+        n = F.col(f"_n{tag}").cast("double")
+        vx = F.col(f"_mxx{tag}") - F.col(f"_mx{tag}") * F.col(f"_mx{tag}")
+        vy = F.col(f"_myy{tag}") - F.col(f"_my{tag}") * F.col(f"_my{tag}")
+        cxy = F.col(f"_mxy{tag}") - F.col(f"_mx{tag}") * F.col(f"_my{tag}")
+        return n * (vy - F.try_divide(cxy * cxy, vx))
+
+    s1, s2, sp = ssr("1"), ssr("2"), ssr("p")
+    n1 = F.col("_n1").cast("double")
+    n2 = F.col("_n2").cast("double")
+    df2 = n1 + n2 - 4.0
+    f_stat = F.try_divide(
+        (sp - s1 - s2) / 2.0, F.try_divide(s1 + s2, df2)
+    )
+    return agg.select(
+        F.col("_n1").alias("n1"),
+        F.col("_n2").alias("n2"),
+        sp.alias("ssr_pooled"),
+        s1.alias("ssr1"),
+        s2.alias("ssr2"),
+        F.when((n1 > 2.0) & (n2 > 2.0), f_stat).alias("f_stat"),
+        F.lit(2).alias("df1"),
+        df2.cast("int").alias("df2"),
     )

@@ -7644,3 +7644,64 @@ def test_welch_mcnemar_wilcoxon_odds(spark):
         exposed=F.col("e") == 1, outcome=F.col("o") == 1,
     ).collect()[0]
     assert zero_cell.odds_ratio is None and zero_cell.or_ci_lo is None
+
+
+def test_friedman_chow(spark):
+    """friedman: hand-ranked 4-block x 3-treatment example with a tie
+    and an incomplete block (dropped); duplicate cells raise; chow:
+    exact numpy OLS SSE replay on a synthetic break."""
+    from spark_timeseries_spark.operators.hypothesis import chow, friedman
+
+    rows = [
+        # block 1: values 1 < 2 < 3 -> ranks 1, 2, 3
+        (1, "a", 1.0), (1, "b", 2.0), (1, "c", 3.0),
+        # block 2: tie between a and b -> 1.5, 1.5, 3
+        (2, "a", 5.0), (2, "b", 5.0), (2, "c", 9.0),
+        # block 3: c < a < b
+        (3, "a", 2.0), (3, "b", 4.0), (3, "c", 1.0),
+        # block 4: incomplete (no c) -> dropped
+        (4, "a", 1.0), (4, "b", 2.0),
+    ]
+    df = spark.createDataFrame(rows, "block int, treatment string, value double")
+    r = friedman(df).collect()[0]
+    assert r.n_blocks == 3 and r.k == 3 and r.df == 2
+    # rank sums over the 3 complete blocks:
+    # a: 1 + 1.5 + 2 = 4.5; b: 2 + 1.5 + 3 = 6.5; c: 3 + 3 + 1 = 7
+    n, k = 3.0, 3.0
+    r2 = 4.5 ** 2 + 6.5 ** 2 + 7.0 ** 2
+    q_raw = 12.0 / (n * k * (k + 1)) * r2 - 3.0 * n * (k + 1)
+    corr = 1.0 - (2 ** 3 - 2) / (n * k * (k * k - 1))
+    assert abs(r.q - q_raw / corr) < 1e-12
+    assert abs(r.crit_05 - 5.991) < 1e-12
+    assert r.reject_05 == (q_raw / corr > 5.991)
+
+    dup = spark.createDataFrame(
+        rows + [(1, "a", 9.0)], "block int, treatment string, value double")
+    with pytest.raises(Exception, match="duplicate"):
+        friedman(dup).collect()
+
+    # chow: regime 1 y = 2x + noise-free, regime 2 y = 5x - 3
+    pts = [(True, float(x), 2.0 * x + 1.0 + (0.3 if x % 3 == 0 else -0.2))
+           for x in range(20)]
+    pts += [(False, float(x), 5.0 * x - 3.0 + (0.5 if x % 2 == 0 else 0.1))
+            for x in range(20, 45)]
+    df = spark.createDataFrame(pts, "pre boolean, x double, y double")
+    r = chow(df, split=F.col("pre")).collect()[0]
+
+    def sse(xs, ys):
+        xs, ys = np.asarray(xs), np.asarray(ys)
+        vx, vy = xs.var(), ys.var()
+        cxy = ((xs - xs.mean()) * (ys - ys.mean())).mean()
+        return len(xs) * (vy - cxy * cxy / vx)
+
+    x1 = [p[1] for p in pts if p[0]]; y1 = [p[2] for p in pts if p[0]]
+    x2 = [p[1] for p in pts if not p[0]]; y2 = [p[2] for p in pts if not p[0]]
+    s1, s2 = sse(x1, y1), sse(x2, y2)
+    spool = sse(x1 + x2, y1 + y2)
+    f = ((spool - s1 - s2) / 2.0) / ((s1 + s2) / (20 + 25 - 4))
+    assert r.n1 == 20 and r.n2 == 25 and r.df2 == 41
+    assert abs(r.ssr1 - s1) < 1e-9 and abs(r.ssr2 - s2) < 1e-9
+    assert abs(r.ssr_pooled - spool) < 1e-9
+    # F ~ 1e5 on a near-perfect fit (tiny residual denominator):
+    # compare relatively — raw- vs centered-moment replay differ in ulps
+    assert abs(r.f_stat - f) / f < 1e-9

@@ -1430,3 +1430,36 @@ def test_r13_paired_test_plans(spark):
     _, _, p = _counts(wilcoxon_signed(diffs))
     assert "SortMergeJoin" not in p and "InPandas" not in p, p
     assert "BroadcastExchange" in p, p
+
+
+def test_r13_friedman_chow_plans(spark):
+    """friedman: the only joins are the broadcast global-k and the
+    block-keyed completeness gate on the bounded cell table — no
+    cartesian products beyond the one-row broadcast, no Python; chow:
+    ONE aggregate pass (three conditional moment sets in one row) —
+    no joins, no windows, no Python."""
+    from spark_timeseries_spark.operators.hypothesis import chow, friedman
+    from spark_timeseries_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    cells = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            F.col("user_id").alias("block"),
+            F.col("event_type").alias("treatment"),
+        )
+        .agg(F.avg("value").alias("value"))
+    )
+    _, _, p = _counts(friedman(cells))
+    assert "InPandas" not in p, p
+    assert "BroadcastExchange" in p, p
+
+    pts = ev.select(
+        (F.col("value") > 0).alias("pre"),
+        F.col("event_id").cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    _, _, p = _counts(chow(pts, split=F.col("pre")))
+    assert "Join" not in p, p
+    assert "Window" not in p, p
+    assert "InPandas" not in p, p
