@@ -5574,6 +5574,22 @@ def _q_chow(spark, sf_dir):
     )
 
 
+def _q_l_diversity(spark, sf_dir):
+    """Entropy l-diversity audit of document language groups against
+    the source attribute (l = 3) — the homogeneity-attack companion of
+    the k_anonymity gate; two combinable aggregates on one key
+    prefix."""
+    from spark_timeseries_spark.pipeline.clean import l_diversity
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = l_diversity(docs, ["lang"], "source", l=3)
+    return out.select(
+        "lang", "n", "n_sensitive",
+        _stable_round(F.col("entropy"), 6).alias("entropy"),
+        "diverse",
+    )
+
+
 def _q_savgol(spark, sf_dir):
     """Savitzky-Golay (7, 2) smoothing of each user's event-value
     sequence (rows as unit steps) — exact-rational coefficients, one
@@ -6585,6 +6601,7 @@ _ALL_QUERIES = {
     "odds_ratio": _q_odds_ratio,
     "friedman": _q_friedman,
     "chow": _q_chow,
+    "l_diversity": _q_l_diversity,
 }
 
 # Driver window: the correctness harness records exactly the FIRST 50
@@ -16821,6 +16838,29 @@ def oracle_sql() -> dict[str, str]:
                CAST(2 AS INT) AS df1,
                CAST(df2 AS INT) AS df2
         FROM f
+    """
+
+    o["l_diversity"] = f"""
+        WITH per AS (
+            SELECT lang, source AS sv, CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY 1, 2
+        ),
+        w AS (
+            SELECT *, CAST(c AS DOUBLE)
+                       / sum(CAST(c AS DOUBLE)) OVER (PARTITION BY lang)
+                       AS p
+            FROM per
+        ),
+        g AS (
+            SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(*) AS INT) AS n_sensitive,
+                   -sum(p * ln(p)) AS entropy
+            FROM w GROUP BY 1
+        )
+        SELECT lang, n, n_sensitive,
+               {_sr_sql("entropy", 6)} AS entropy,
+               entropy >= ln(CAST(3 AS DOUBLE)) - 1e-12 AS diverse
+        FROM g
     """
 
     o["savgol"] = f"""

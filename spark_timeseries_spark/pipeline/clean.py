@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import dedup_exact
@@ -284,7 +284,55 @@ def k_anonymity(
     ).withColumn("anonymous", F.col("n") >= k)
 
 
+def l_diversity(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity audit over quasi-identifier columns against a
+    SENSITIVE attribute → one row per observed QI combination:
+    (<qi_cols...>, n, n_sensitive, entropy, diverse). k-anonymity
+    (:func:`k_anonymity`) alone fails the homogeneity attack — a
+    k-sized group whose sensitive value is CONSTANT still discloses
+    it — so each group must also hold ``l`` well-represented
+    sensitive values (Machanavajjhala et al. 2007): ``diverse`` is
+    ENTROPY l-diversity, −Σ p·ln p ≥ ln(l) − 1e-12 (the slack keeps
+    the canonical boundary case — a group UNIFORM over exactly l
+    values, whose float entropy lands an ulp under ln l — on the
+    passing side; with distinct l-diversity n_sensitive ≥ l implied;
+    both columns emitted so the release gate can pick its
+    strictness). NULL sensitive values
+    count as a value (a group that is all-NULL discloses the NULL).
+
+    Plan: one map-side-combinable groupBy(QI, sensitive) + one
+    groupBy(QI) — the second exchange is on a prefix of the first
+    key. Output cardinality = distinct combos (the k_anonymity
+    contract)."""
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    per = df.groupBy(
+        *qi_cols, F.col(sensitive_col).alias("_sv")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    wq = Window.partitionBy(*qi_cols)
+    p = F.col("_c").cast("double") / F.sum("_c").over(wq).cast("double")
+    per = per.withColumn("_plp", p * F.log(p))
+    g = per.groupBy(*qi_cols).agg(
+        F.sum("_c").alias("n"),
+        F.count(F.lit(1)).cast("int").alias("n_sensitive"),
+        (-F.sum("_plp")).alias("entropy"),
+    )
+    import math as _math
+
+    return g.withColumn(
+        "diverse", F.col("entropy") >= float(_math.log(l)) - 1e-12
+    )
+
+
 def profile_columns(
+
     df: DataFrame,
     cols: list[str],
 ) -> DataFrame:

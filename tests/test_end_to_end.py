@@ -7705,3 +7705,26 @@ def test_friedman_chow(spark):
     # F ~ 1e5 on a near-perfect fit (tiny residual denominator):
     # compare relatively — raw- vs centered-moment replay differ in ulps
     assert abs(r.f_stat - f) / f < 1e-9
+
+
+def test_l_diversity(spark):
+    """l_diversity: a k-anonymous but HOMOGENEOUS group fails (the
+    attack k_anonymity misses) while a balanced group passes; entropy
+    matches the hand computation; NULL sensitive counts as a value."""
+    from spark_timeseries_spark.pipeline.clean import l_diversity
+
+    rows = (
+        [("a", "s1")] * 4 + [("a", "s2")] * 4 + [("a", "s3")] * 4  # balanced
+        + [("b", "s1")] * 12                                       # homogeneous
+        + [("c", "s1")] * 6 + [("c", None)] * 6                    # NULL counts
+    )
+    df = spark.createDataFrame(rows, "qi string, sv string")
+    got = {r.qi: r for r in l_diversity(df, ["qi"], "sv", l=3).collect()}
+    assert got["a"].n == 12 and got["a"].n_sensitive == 3
+    assert abs(got["a"].entropy - np.log(3.0)) < 1e-12
+    assert got["a"].diverse is True
+    assert got["b"].n_sensitive == 1 and abs(got["b"].entropy) < 1e-12
+    assert got["b"].diverse is False
+    assert got["c"].n_sensitive == 2
+    assert abs(got["c"].entropy - np.log(2.0)) < 1e-12
+    assert got["c"].diverse is False  # ln 2 < ln 3
