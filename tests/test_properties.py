@@ -560,3 +560,126 @@ def test_msprt_always_valid_shape(spark, vals):
     assert all(a >= b - 1e-15 for a, b in zip(ps, ps[1:]))
     for r in rows:
         assert r.reject_05 == (r.p_always <= 0.05)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    scores=st.lists(
+        st.tuples(st.integers(0, 8), st.booleans()),
+        min_size=4, max_size=40,
+    ).filter(lambda xs: any(l for _, l in xs) and any(not l for _, l in xs)),
+)
+def test_roc_auc_properties(spark, scores):
+    """AUC in [0, 1]; invariant under any strictly monotone transform
+    of the score; complemented by label flip (AUC_flipped = 1 - AUC)."""
+    from spark_timeseries_spark.pipeline.classifier import roc_auc
+
+    rows = [(float(s), int(l)) for s, l in scores]
+    df = spark.createDataFrame(rows, "score double, label int")
+    a = roc_auc(df, "score", "label").collect()[0]
+    assert 0.0 <= a.auc <= 1.0
+    # strictly monotone transform: 3x + 1 (order-preserving, tie-preserving)
+    mono = df.select(
+        (F.col("score") * 3.0 + 1.0).alias("score"), "label")
+    b = roc_auc(mono, "score", "label").collect()[0]
+    assert abs(a.auc - b.auc) < 1e-12
+    flip = df.select("score", (1 - F.col("label")).alias("label"))
+    c = roc_auc(flip, "score", "label").collect()[0]
+    assert abs((a.auc + c.auc) - 1.0) < 1e-12
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    durs=st.lists(
+        st.tuples(st.integers(1, 30), st.booleans()),
+        min_size=2, max_size=40,
+    ),
+    tau=st.integers(2, 40),
+)
+def test_rmst_cif_mass_properties(spark, durs, tau):
+    """rmst in (0, tau]; equals tau when nothing ever dies;
+    cumulative_incidence curves are nondecreasing and
+    sum_k CIF_k(T) + S(T) == 1 (Aalen-Johansen mass identity)."""
+    from spark_timeseries_spark.operators.survival import (
+        cumulative_incidence,
+        kaplan_meier,
+        rmst,
+    )
+
+    rows = [(d, int(e)) for d, e in durs]
+    df = spark.createDataFrame(rows, "duration long, event int")
+    r = rmst(df, tau=float(tau)).collect()[0]
+    assert 0.0 < r.rmst <= tau + 1e-9
+    cens = df.select("duration", F.lit(0).alias("event"))
+    assert abs(rmst(cens, tau=float(tau)).collect()[0].rmst - tau) < 1e-9
+
+    # competing risks: cause = 1/2 split by duration parity for events
+    cr = df.select(
+        "duration",
+        F.when(F.col("event") == 0, 0)
+        .otherwise(F.pmod(F.col("duration"), F.lit(2)) + 1)
+        .alias("cause"),
+    )
+    rows_cif = cumulative_incidence(cr).orderBy("cause", "duration").collect()
+    by_cause = {}
+    for row in rows_cif:
+        seq = by_cause.setdefault(row.cause, [])
+        if seq:
+            assert row.cif >= seq[-1] - 1e-12  # nondecreasing
+        seq.append(row.cif)
+    if by_cause:
+        km = kaplan_meier(
+            cr.select("duration", (F.col("cause") > 0).cast("int").alias("event"))
+        ).orderBy("duration").collect()
+        s_last = km[-1].survival
+        total = sum(seq[-1] for seq in by_cause.values()) + s_last
+        assert abs(total - 1.0) < 1e-9
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    diffs=st.lists(
+        st.integers(-6, 6), min_size=2, max_size=40
+    ).filter(lambda xs: any(x != 0 for x in xs)),
+)
+def test_wilcoxon_antisymmetry(spark, diffs):
+    """Negating every difference swaps W+/W- and negates z; W+ + W-
+    equals n(n+1)/2 over the nonzero diffs."""
+    from spark_timeseries_spark.operators.hypothesis import wilcoxon_signed
+
+    df = spark.createDataFrame([(float(d),) for d in diffs], "diff double")
+    a = wilcoxon_signed(df).collect()[0]
+    neg = df.select((-F.col("diff")).alias("diff"))
+    b = wilcoxon_signed(neg).collect()[0]
+    assert abs(a.w_plus - b.w_minus) < 1e-9
+    assert abs(a.w_minus - b.w_plus) < 1e-9
+    assert abs(a.w_plus + a.w_minus - a.n * (a.n + 1) / 2.0) < 1e-9
+    if a.z is not None:
+        assert abs(a.z + b.z) < 1e-12
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    cells=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 3)),
+        min_size=5, max_size=60,
+    ).filter(
+        lambda xs: len({a for a, _ in xs}) > 1 and len({b for _, b in xs}) > 1
+    ),
+)
+def test_cramers_v_bounds(spark, cells):
+    """V and corrected V in [0, 1]; chi2 >= 0; a duplicated table
+    (every row twice) keeps V identical (scale invariance of the
+    association measure) while chi2 doubles."""
+    from spark_timeseries_spark.operators.hypothesis import cramers_v
+
+    rows = [(str(a), str(b)) for a, b in cells]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cramers_v(df, "a", "b").collect()[0]
+    assert r.chi2 >= -1e-9
+    assert 0.0 - 1e-12 <= r.v <= 1.0 + 1e-9
+    assert 0.0 - 1e-12 <= r.v_corrected <= 1.0 + 1e-9
+    dup = spark.createDataFrame(rows + rows, "a string, b string")
+    r2 = cramers_v(dup, "a", "b").collect()[0]
+    assert abs(r2.v - r.v) < 1e-9
+    assert abs(r2.chi2 - 2.0 * r.chi2) < 1e-6
