@@ -6605,71 +6605,73 @@ _ALL_QUERIES = {
 }
 
 # Driver window: the correctness harness records exactly the FIRST 50
-# entries of queries(). Round-13 policy (the r12 verdict's rotation
-# prescription, executed): (a) the 22 r12-new operators — the exact
-# set-diff of the 346-query corpus vs every green row in
-# CORRECTNESS_r01–r12 (the r12 verdict's "What's missing" §1) —
-# promoting them all closes the never-hashed set to zero; (b) the 28
-# stalest rows, all last driver-hashed in r6, beginning the staleness
-# sweep of the §2 core. Everything displaced retains full-strict-log
-# evidence (tools/check_correctness log, refreshed in the same commit as
-# every query/semantics change — the r5 lockstep rule).
-_WINDOW_R13 = [
-    # (a) the 22 r12-new operators — the only never-driver-hashed rows
-    # after r12; promoting them closes the never-hashed set to zero.
-    "ab_power",
-    "compression_ratio",
-    "dedup_canonical",
-    "did",
-    "eb_shrinkage",
-    "haar_energy",
-    "ichimoku",
-    "k_anonymity",
-    "kernel_smooth",
-    "log_rank",
-    "mfi",
-    "msprt",
-    "mutual_information",
-    "ndcg",
-    "nelson_aalen",
-    "pagerank",
-    "profile_columns",
-    "risk_ratios",
-    "savgol",
-    "silhouette",
-    "source_dup_matrix",
-    "transfer_entropy",
-    # (b) the 28 stalest rows — all last driver-hashed in r6; this starts
-    # the staleness sweep of the §2 core (next in queue after this round:
-    # rebase_irregular, rebase_uniform, and the rest of the r6 tier).
-    "adf_test",
-    "ar_forecast",
-    "argarch_fit",
-    "arima_filter",
-    "autocorr",
-    "bg_test",
-    "bp_test",
-    "business_days",
-    "diff_by_frequency",
-    "differences",
-    "dominant_period",
-    "downsample",
-    "dw_test",
-    "ewma_fit",
-    "ewma_smooth",
-    "fill_linear",
-    "fill_previous",
-    "fill_spline",
-    "filter_ending_after",
-    "filter_starting_before",
-    "garch_filter",
-    "holt_winters_forecast",
-    "incremental_near_dedup",
-    "knn_cosine",
-    "kpss_test",
-    "lb_test",
-    "pacf",
-    "rebase_hybrid",
+# entries of queries(). Round-14 policy (the r13 verdict's rotation
+# prescription, executed): (a) the 14 r13-new operators — the exact
+# set-diff of the 360-query corpus vs every green row in
+# CORRECTNESS_r01–r13 minus the permanently-adjudicated rows-only
+# compression_ratio — promoting them closes the never-hashed set again;
+# (b) the 11 remaining r6-tier rows, finishing the r6 staleness tier;
+# (c) the 25 stalest r7-tier rows in registry order (the 18 remaining
+# r7-tier rows roll to r15). Everything displaced retains
+# full-strict-log evidence (tools/check_correctness log, refreshed in
+# the same commit as every query/semantics change — the r5 lockstep
+# rule).
+_WINDOW_R14 = [
+    # (a) the 14 r13-new operators — the only never-driver-hashed rows
+    # after r13 (compression_ratio excepted, permanent rows-only).
+    "stratified_log_rank",
+    "rmst",
+    "cumulative_incidence",
+    "roc_auc",
+    "mrr",
+    "cramers_v",
+    "cohens_d",
+    "welch_t",
+    "mcnemar",
+    "wilcoxon_signed",
+    "odds_ratio",
+    "friedman",
+    "chow",
+    "l_diversity",
+    # (b) the 11 remaining r6-tier rows — finishes the r6 staleness tier.
+    "rebase_irregular",
+    "rebase_uniform",
+    "remove_instants_with_nans",
+    "resample_daily_avg",
+    "return_rates",
+    "roll_mean",
+    "roll_sum_center",
+    "series_stats",
+    "to_instants_pivot",
+    "to_observations",
+    "to_series_digest",
+    # (c) the 25 stalest r7-tier rows in registry order (18 r7-tier rows
+    # remain for r15: tfidf_topk ... containment_pairs).
+    "sax",
+    "paa",
+    "peaks",
+    "psi_drift",
+    "cointegration",
+    "threshold_runs",
+    "gini_sources",
+    "ks_drift",
+    "roll_beta",
+    "scale_suite",
+    "matrix_profile",
+    "asof_enrich",
+    "roll_rank",
+    "downsample_minmax",
+    "sax_mindist",
+    "embedding_drift",
+    "croston",
+    "counter_rate",
+    "window_join_ctx",
+    "max_drawdown",
+    "changepoint",
+    "hurst",
+    "half_life",
+    "corr_matrix",
+    "readability",
 ]
 
 
@@ -6678,8 +6680,8 @@ _WINDOW_R13 = [
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters (driver window = first 50): the window list
     above leads, the remaining corpus follows in registry order."""
-    win = set(_WINDOW_R13)
-    out = {k: _ALL_QUERIES[k] for k in _WINDOW_R13}
+    win = set(_WINDOW_R14)
+    out = {k: _ALL_QUERIES[k] for k in _WINDOW_R14}
     out.update({k: v for k, v in _ALL_QUERIES.items() if k not in win})
     return out
 
