@@ -16376,8 +16376,17 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["ndcg"] = f"""
-        WITH ex AS (SELECT qid, vec_id, rank FROM ({o['knn_cosine']})),
-        ap AS (SELECT qid, vec_id, rank FROM ({o['lsh_topk']})),
+        -- ex/ap mirror ndcg_at_k's input normalization STRUCTURALLY
+        -- (rank <= k truncation + (qid, id) best-rank dedup), same
+        -- rationale as the mrr oracle (r13 ADVICE).
+        WITH ex AS (
+            SELECT qid, vec_id, min(rank) AS rank
+            FROM ({o['knn_cosine']}) WHERE rank <= 5 GROUP BY 1, 2
+        ),
+        ap AS (
+            SELECT qid, vec_id, min(rank) AS rank
+            FROM ({o['lsh_topk']}) WHERE rank <= 5 GROUP BY 1, 2
+        ),
         g AS (
             SELECT ap.qid,
                    CAST(count(ex.rank) AS INT) AS hits,
@@ -16400,8 +16409,18 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["mrr"] = f"""
-        WITH ex AS (SELECT qid, vec_id, rank FROM ({o['knn_cosine']})),
-        ap AS (SELECT qid, vec_id, rank FROM ({o['lsh_topk']})),
+        -- ex/ap mirror mrr_at_k's input normalization STRUCTURALLY
+        -- (rank <= k truncation + (qid, id) best-rank dedup) rather
+        -- than relying on the feeder queries emitting clean top-5
+        -- tables — parity survives a k or feeder change (r13 ADVICE).
+        WITH ex AS (
+            SELECT qid, vec_id, min(rank) AS rank
+            FROM ({o['knn_cosine']}) WHERE rank <= 5 GROUP BY 1, 2
+        ),
+        ap AS (
+            SELECT qid, vec_id, min(rank) AS rank
+            FROM ({o['lsh_topk']}) WHERE rank <= 5 GROUP BY 1, 2
+        ),
         h AS (
             SELECT ap.qid, min(ap.rank) AS fr
             FROM ap JOIN ex

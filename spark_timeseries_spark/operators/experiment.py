@@ -553,6 +553,13 @@ def cohens_d(
     experiment, this measures HOW BIG a continuous-metric effect is
     on the scale every power calculation consumes.
 
+    Empty-input contract: an EMPTY (or all-NULL-value) input yields
+    ZERO rows, not a NULL-statistic row — the groupBy(lit(1)) reduce
+    has nothing to group (module convention for pure one-row test
+    readouts; see the log_rank class). Callers that crossJoin the
+    result against base rows need a global ``.agg`` instead (the
+    eb_shrinkage rule).
+
     Plan: ONE map-side-combinable groupBy(group) aggregate, then a
     2-row reduce. No windows, no joins, no Python."""
     g = (

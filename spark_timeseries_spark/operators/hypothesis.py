@@ -400,6 +400,12 @@ def welch_t(
     t CDF has no closed form (module convention — compare |t| against
     the t table at ν downstream).
 
+    Empty-input contract: an EMPTY (or all-NULL-value) input yields
+    ZERO rows, not a NULL-statistic row — the groupBy(lit(1)) reduce
+    has nothing to group (module convention for pure one-row test
+    readouts). Callers that crossJoin the result against base rows
+    need a global ``.agg`` instead (the eb_shrinkage rule).
+
     Plan: ONE map-side-combinable groupBy(group) + a 2-row reduce.
     No windows on data, no joins, no Python."""
     g = (
@@ -506,6 +512,12 @@ def wilcoxon_signed(
     z NULL when σ = 0 (all |d| tied at one value after zero-drop ≤ 1
     row). No p-value (module convention — normal table downstream).
 
+    Empty-input contract: an input with NO non-zero differences (all
+    d = 0 or empty) yields ZERO rows, not a NULL-statistic row — the
+    groupBy(lit(1)) reduce has nothing to group (module convention
+    for pure one-row test readouts). Callers that crossJoin the
+    result against base rows need a global ``.agg`` instead.
+
     Plan: one global mid-rank window over non-zero |d| (single-
     partition sort bounded by the PAIRED-ENTITY table, which is
     pre-aggregated — not raw rows; quantize/bin at corpus scale) +
@@ -575,6 +587,12 @@ def friedman(
     via n_blocks); duplicate (block, treatment) rows must be
     pre-aggregated (raises on detection — a silent mean would hide a
     data bug).
+
+    Empty-input contract: an EMPTY input (or one with no complete
+    block) yields ZERO rows, not a NULL-statistic row — the
+    groupBy(lit(1)) reduce has nothing to group (module convention
+    for pure one-row test readouts). Callers that crossJoin the
+    result against base rows need a global ``.agg`` instead.
 
     Plan: one groupBy(block) completeness pass + the per-block
     mid-rank window on the same hash key (one exchange each, both on
@@ -674,15 +692,22 @@ def chow(
     known-breakpoint complement of the SEARCHING detectors
     (:mod:`~.changepoint`, :mod:`~.cusum`): "did the relationship
     change at the deploy/policy date". F NULL when a regime is
-    degenerate (n ≤ p or zero x-variance — try_divide). No p-value
-    (F CDF has no closed form — module convention).
+    degenerate (n ≤ p or zero x-variance — try_divide). Rows where
+    ``split`` evaluates to NULL are DROPPED (a NULL split belongs to
+    neither regime; silently pooling it would bias F with n₁+n₂ < n).
+    No p-value (F CDF has no closed form — module convention).
 
     Plan: ONE map-side-combinable aggregate pass computing both
     regime moment sets (conditional aggregates) + the pooled set in
     the same row. No second scan, no windows, no joins, no Python."""
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")
-    pts = df.where(x.isNotNull() & y.isNotNull()).select(
+    # NULL split dropped alongside NULL x/y: F.when(NULL) and ~NULL both
+    # skip, so a NULL-split row would enter the pooled moments but
+    # neither regime — SSR_pooled over more rows than SSR1+SSR2.
+    pts = df.where(
+        x.isNotNull() & y.isNotNull() & split.cast("boolean").isNotNull()
+    ).select(
         split.cast("boolean").alias("_s"), x.alias("_x"), y.alias("_y")
     )
 

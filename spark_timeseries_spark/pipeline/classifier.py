@@ -248,6 +248,9 @@ def roc_auc(
     trapezoidal AUC of the tie-grouped ROC curve exactly, with no
     curve materialized. NULL scores/labels are dropped (stated);
     degenerate inputs (no positives or no negatives) yield NULL auc.
+    Labels outside {0, 1} RAISE (the srm_check discipline): n_pos and
+    n_neg come from Σlabel and Σ(1−label), so a stray 2 or −1 would
+    silently corrupt both counts and the AUC itself.
 
     The companion of :func:`reliability_bins`: AUC measures RANKING
     quality (threshold-free separation), calibration measures the
@@ -260,10 +263,21 @@ def roc_auc(
     stated; label-side counts make skew impossible)."""
     sc = F.col(score_col).cast("double")
     lb = F.col(label_col).cast("double")
+    # Domain gate INSIDE the aggregated expression (the r13 guard-
+    # placement rule): every surviving row's label flows through this
+    # when/otherwise, so no predicate reordering can skip the check.
+    lb_ok = F.when((lb == 0.0) | (lb == 1.0), lb).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("roc_auc: label outside {0,1}: "),
+                lb.cast("string"),
+            )
+        )
+    )
     pts = df.where(sc.isNotNull() & lb.isNotNull())
     g = pts.groupBy(sc.alias("_s")).agg(
-        F.sum(lb).alias("_np"),
-        F.sum(F.lit(1.0) - lb).alias("_nn"),
+        F.sum(lb_ok).alias("_np"),
+        F.sum(F.lit(1.0) - lb_ok).alias("_nn"),
     )
     w_below = Window.orderBy("_s").rowsBetween(
         Window.unboundedPreceding, -1

@@ -332,7 +332,6 @@ def l_diversity(
 
 
 def profile_columns(
-
     df: DataFrame,
     cols: list[str],
 ) -> DataFrame:
