@@ -5942,6 +5942,49 @@ def _q_roc_auc(spark, sf_dir):
     )
 
 
+def _q_brier(spark, sf_dir):
+    """Brier score + exact Murphy decomposition of a synthetic [0,1)
+    document score (length mod 100 as centi-probability) against
+    is-English — one combinable groupBy over the 100-level score grid,
+    one reduce; BS = REL - RES + UNC holds as an identity."""
+    from spark_timeseries_spark.pipeline.classifier import brier
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        ((F.col("n_chars") % 100) / F.lit(100.0)).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    out = brier(scored, "score", "label")
+    return out.select(
+        "n", "n_pos",
+        _stable_round(F.col("brier"), 6).alias("brier"),
+        _stable_round(F.col("reliability"), 6).alias("reliability"),
+        _stable_round(F.col("resolution"), 6).alias("resolution"),
+        _stable_round(F.col("uncertainty"), 6).alias("uncertainty"),
+    )
+
+
+def _q_average_precision(spark, sf_dir):
+    """Step-interpolated PR-AUC of document length as an is-English
+    detector (the imbalance-robust companion of the roc_auc row, same
+    inputs) — one groupBy(n_chars) + one cumulative window on the
+    distinct-score grid."""
+    from spark_timeseries_spark.pipeline.classifier import (
+        average_precision,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("n_chars").cast("double").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    out = average_precision(scored, "score", "label")
+    return out.select(
+        "n", "n_pos", "n_neg",
+        _stable_round(F.col("ap"), 6).alias("ap"),
+    )
+
+
 def _q_weibull_fit(spark, sf_dir):
     """Weibull median-rank-regression fit of inter-purchase gap hours
     per user — rank window + one OLS aggregate per key."""
@@ -6602,6 +6645,8 @@ _ALL_QUERIES = {
     "friedman": _q_friedman,
     "chow": _q_chow,
     "l_diversity": _q_l_diversity,
+    "brier": _q_brier,
+    "average_precision": _q_average_precision,
 }
 
 # Driver window: the correctness harness records exactly the FIRST 50
@@ -18191,4 +18236,63 @@ def oracle_sql() -> dict[str, str]:
                )} AS var_p
         FROM f
     """
+
+    o["brier"] = f"""
+        WITH p AS (
+            SELECT CAST(n_chars % 100 AS DOUBLE) / CAST(100.0 AS DOUBLE)
+                       AS s,
+                   CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS l
+            FROM documents
+        ),
+        g AS (
+            SELECT s, CAST(count(*) AS DOUBLE) AS nk, avg(l) AS yk
+            FROM p GROUP BY 1
+        ),
+        a AS (
+            SELECT CAST(sum(nk) AS DOUBLE) AS n,
+                   sum(nk * yk) AS npos,
+                   sum(nk * (s - yk) * (s - yk)) AS reln,
+                   sum(nk * yk * yk) AS y2n
+            FROM g
+        ),
+        d AS (
+            SELECT n, npos,
+                   reln / n AS rel,
+                   y2n / n - (npos / n) * (npos / n) AS res,
+                   (npos / n) * (1.0 - npos / n) AS unc
+            FROM a
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(npos AS BIGINT) AS n_pos,
+               {_sr_sql("rel - res + unc", 6)} AS brier,
+               {_sr_sql("rel", 6)} AS reliability,
+               {_sr_sql("res", 6)} AS resolution,
+               {_sr_sql("unc", 6)} AS uncertainty
+        FROM d
+    """
+
+    o["average_precision"] = f"""
+        WITH p AS (
+            SELECT CAST(n_chars AS DOUBLE) AS s,
+                   CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS l
+            FROM documents
+        ),
+        g AS (
+            SELECT s, sum(l) AS np, CAST(count(*) AS BIGINT) AS nt
+            FROM p GROUP BY 1
+        ),
+        c AS (
+            SELECT np, nt,
+                   sum(np) OVER w / CAST(sum(nt) OVER w AS DOUBLE) AS prec
+            FROM g
+            WINDOW w AS (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        )
+        SELECT CAST(sum(nt) AS BIGINT) AS n,
+               CAST(sum(np) AS BIGINT) AS n_pos,
+               CAST(sum(nt) - sum(np) AS BIGINT) AS n_neg,
+               {_sr_sql("sum(np * prec) / nullif(sum(np), 0)", 6)} AS ap
+        FROM c
+    """
+
     return o

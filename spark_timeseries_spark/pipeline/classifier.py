@@ -299,3 +299,140 @@ def roc_auc(
         )
         .drop("_j")
     )
+
+
+def brier(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Brier score of a probability forecast against a binary label,
+    with its exact Murphy (1973) decomposition → ONE row: (n, n_pos,
+    brier, reliability, resolution, uncertainty). BS = mean((p − y)²);
+    grouping by the DISTINCT forecast values p_k (not arbitrary bins)
+    makes the decomposition an identity:
+
+        BS = REL − RES + UNC
+        REL = Σ n_k (p_k − ȳ_k)² / n      (calibration: forecast vs
+                                            realized rate at that p)
+        RES = Σ n_k (ȳ_k − ȳ)² / n        (how much the forecast
+                                            separates outcome rates)
+        UNC = ȳ (1 − ȳ)                    (base-rate entropy floor)
+
+    The proper-scoring-rule companion of :func:`roc_auc` (ranking) and
+    :func:`reliability_bins` (binned diagram): AUC is blind to the
+    probability SCALE, ECE is blind to sharpness — the Brier
+    decomposition reads both at once, and BS is what a quality-filter
+    threshold actually pays. Scores are expected in [0, 1] (stated —
+    out-of-range scores still yield the mean squared error but void
+    the probabilistic reading); labels outside {0, 1} RAISE (the
+    roc_auc discipline — Σlabel feeds every term). NULL scores/labels
+    are dropped. Empty input yields ZERO rows (module convention).
+
+    Plan: one map-side-combinable groupBy(score) over the data, then
+    ONE reduce on the DISTINCT-SCORE grid — quantize a continuous
+    score first at corpus scale (the roc_auc caveat). No windows, no
+    joins, no Python."""
+    sc = F.col(score_col).cast("double")
+    lb = F.col(label_col).cast("double")
+    # domain gate INSIDE the aggregated expression (guard-placement
+    # rule): every surviving row's label flows through it.
+    lb_ok = F.when((lb == 0.0) | (lb == 1.0), lb).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("brier: label outside {0,1}: "), lb.cast("string")
+            )
+        )
+    )
+    pts = df.where(sc.isNotNull() & lb.isNotNull())
+    g = pts.groupBy(sc.alias("_p")).agg(
+        F.count(F.lit(1)).alias("_nk"),
+        F.avg(lb_ok).alias("_yk"),
+    )
+    nk = F.col("_nk").cast("double")
+    agg = g.groupBy(F.lit(1).alias("_j")).agg(
+        F.sum("_nk").cast("long").alias("n"),
+        F.sum(nk * F.col("_yk")).alias("_npos"),
+        F.sum(
+            nk * (F.col("_p") - F.col("_yk")) * (F.col("_p") - F.col("_yk"))
+        ).alias("_rel_num"),
+        F.sum(nk * F.col("_yk") * F.col("_yk")).alias("_y2_num"),
+    )
+    n = F.col("n").cast("double")
+    ybar = F.col("_npos") / n
+    rel = F.col("_rel_num") / n
+    # RES = Σ n_k ȳ_k²/n − ȳ² (moment form); UNC = ȳ(1 − ȳ); the three
+    # assemble BS exactly — no second pass over the data.
+    res = F.col("_y2_num") / n - ybar * ybar
+    unc = ybar * (F.lit(1.0) - ybar)
+    return agg.select(
+        "n",
+        F.col("_npos").cast("long").alias("n_pos"),
+        (rel - res + unc).alias("brier"),
+        rel.alias("reliability"),
+        res.alias("resolution"),
+        unc.alias("uncertainty"),
+    )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Average precision (area under the precision-recall curve, step
+    interpolation) of a score against a binary label → ONE row:
+    (n, n_pos, n_neg, ap). AP = Σ_k (R_k − R_{k−1})·P_k over the
+    DISTINCT score thresholds in descending order, with P_k = TP_k /
+    rows-at-or-above and R_k = TP_k / N_pos — the threshold-grouped
+    step AP (no trapezoid, which is optimistic for PR curves; see
+    Davis & Goadrich 2006). Equals Σ_k pos_k·P_k / N_pos, so the whole
+    statistic is one cumulative window + one reduce. Tied scores
+    collapse into one threshold (their internal order is unknowable —
+    the tie-grouped curve is the honest one). The PR companion of
+    :func:`roc_auc`: under heavy class imbalance (the usual quality-
+    filter regime — few good documents in a big crawl) AUC saturates
+    while AP keeps discriminating (Saito & Rehmsmeier 2015). NULL
+    scores/labels dropped; labels outside {0, 1} RAISE (the roc_auc
+    discipline); no positives → NULL ap; empty input → ZERO rows
+    (module convention).
+
+    Plan: one map-side-combinable groupBy(score), then one cumulative
+    window + one reduce on the DISTINCT-SCORE grid (global sort
+    bounded by score cardinality — quantize a continuous score first
+    at corpus scale, the roc_auc caveat)."""
+    sc = F.col(score_col).cast("double")
+    lb = F.col(label_col).cast("double")
+    lb_ok = F.when((lb == 0.0) | (lb == 1.0), lb).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("average_precision: label outside {0,1}: "),
+                lb.cast("string"),
+            )
+        )
+    )
+    pts = df.where(sc.isNotNull() & lb.isNotNull())
+    g = pts.groupBy(sc.alias("_s")).agg(
+        F.sum(lb_ok).alias("_np"),
+        F.count(F.lit(1)).alias("_nt"),
+    )
+    w_cum = Window.orderBy(F.desc("_s")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    prec = F.try_divide(
+        F.sum("_np").over(w_cum),
+        F.sum("_nt").over(w_cum).cast("double"),
+    )
+    return (
+        g.withColumn("_prec", prec)
+        .groupBy(F.lit(1).alias("_j"))
+        .agg(
+            F.sum("_nt").cast("long").alias("n"),
+            F.sum("_np").cast("long").alias("n_pos"),
+            (F.sum("_nt") - F.sum("_np")).cast("long").alias("n_neg"),
+            F.try_divide(
+                F.sum(F.col("_np") * F.col("_prec")), F.sum("_np")
+            ).alias("ap"),
+        )
+        .drop("_j")
+    )

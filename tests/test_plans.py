@@ -1463,3 +1463,30 @@ def test_r13_friedman_chow_plans(spark):
     assert "Join" not in p, p
     assert "Window" not in p, p
     assert "InPandas" not in p, p
+
+
+def test_r14_classifier_eval_plans(spark):
+    """brier: one combinable groupBy(score) + ONE reduce — no joins, no
+    windows, no Python; average_precision: one groupBy(score) + exactly
+    one cumulative window on the distinct-score grid + one reduce — no
+    joins, no Python."""
+    from spark_timeseries_spark.pipeline.classifier import (
+        average_precision,
+        brier,
+    )
+    from spark_timeseries_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    scored = docs.select(
+        ((F.col("n_chars") % 100) / F.lit(100.0)).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    _, _, p = _counts(brier(scored, "score", "label"))
+    assert "Join" not in p, p
+    assert "Window" not in p, p
+    assert "InPandas" not in p, p
+
+    _, _, p = _counts(average_precision(scored, "score", "label"))
+    assert "Join" not in p, p
+    assert "InPandas" not in p, p
+    assert len(re.findall(r"\bWindow\b", p)) == 1, p

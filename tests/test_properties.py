@@ -683,3 +683,60 @@ def test_cramers_v_bounds(spark, cells):
     r2 = cramers_v(dup, "a", "b").collect()[0]
     assert abs(r2.v - r.v) < 1e-9
     assert abs(r2.chi2 - 2.0 * r.chi2) < 1e-6
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 10), st.booleans()),
+        min_size=3, max_size=40,
+    ),
+)
+def test_brier_decomposition_identity(spark, pts):
+    """Brier score in [0, 1] for in-range forecasts; the Murphy
+    decomposition BS = REL - RES + UNC is an exact identity; every
+    component is within its bounds; a perfect forecast scores 0."""
+    from spark_timeseries_spark.pipeline.classifier import brier
+
+    rows = [(s / 10.0, int(l)) for s, l in pts]
+    df = spark.createDataFrame(rows, "score double, label int")
+    b = brier(df, "score", "label").collect()[0]
+    assert 0.0 <= b.brier <= 1.0 + 1e-12
+    assert abs(b.brier - (b.reliability - b.resolution + b.uncertainty)) < 1e-12
+    assert b.reliability >= -1e-12
+    assert b.resolution >= -1e-12
+    assert -1e-12 <= b.uncertainty <= 0.25 + 1e-12
+    perfect = df.select(
+        F.col("label").cast("double").alias("score"), "label")
+    p = brier(perfect, "score", "label").collect()[0]
+    assert abs(p.brier) < 1e-12
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    scores=st.lists(
+        st.tuples(st.integers(0, 8), st.booleans()),
+        min_size=4, max_size=40,
+    ).filter(lambda xs: any(l for _, l in xs)),
+)
+def test_average_precision_properties(spark, scores):
+    """AP in (0, 1]; invariant under any strictly monotone transform
+    of the score; exactly 1 when every positive strictly outscores
+    every negative."""
+    from spark_timeseries_spark.pipeline.classifier import (
+        average_precision,
+    )
+
+    rows = [(float(s), int(l)) for s, l in scores]
+    df = spark.createDataFrame(rows, "score double, label int")
+    a = average_precision(df, "score", "label").collect()[0]
+    assert 0.0 < a.ap <= 1.0 + 1e-12
+    mono = df.select(
+        (F.col("score") * 3.0 + 1.0).alias("score"), "label")
+    b = average_precision(mono, "score", "label").collect()[0]
+    assert abs(a.ap - b.ap) < 1e-12
+    # separable ranking: positives at score+100 -> AP exactly 1
+    sep = df.select(
+        (F.col("score") + F.col("label") * 100.0).alias("score"), "label")
+    c = average_precision(sep, "score", "label").collect()[0]
+    assert abs(c.ap - 1.0) < 1e-12
