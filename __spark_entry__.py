@@ -5985,6 +5985,35 @@ def _q_average_precision(spark, sf_dir):
     )
 
 
+def _q_concordance_index(spark, sf_dir):
+    """Harrell's C of a per-user activity-count risk score (decade
+    buckets, capped at 20) against signup->purchase survival (hour
+    grid) — pair counting via two cumulative ledgers on the
+    duration-grid x risk-grid rectangle, no all-pairs join."""
+    from spark_timeseries_spark.operators.survival import (
+        concordance_index,
+        time_to_event,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    tte = time_to_event(ev, "signup", "purchase", unit_seconds=3600.0)
+    cnt = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    tbl = tte.join(cnt, "key").select(
+        F.ceil(F.col("duration")).cast("double").alias("duration"),
+        "event",
+        F.least(F.floor(F.col("_c") / 10), F.lit(20))
+        .cast("double")
+        .alias("risk"),
+    )
+    out = concordance_index(tbl)
+    return out.select(
+        "n", "n_events", "comparable", "concordant", "tied_risk",
+        _stable_round(F.col("c_index"), 6).alias("c_index"),
+    )
+
+
 def _q_weibull_fit(spark, sf_dir):
     """Weibull median-rank-regression fit of inter-purchase gap hours
     per user — rank window + one OLS aggregate per key."""
@@ -6647,6 +6676,7 @@ _ALL_QUERIES = {
     "l_diversity": _q_l_diversity,
     "brier": _q_brier,
     "average_precision": _q_average_precision,
+    "concordance_index": _q_concordance_index,
 }
 
 # Driver window: the correctness harness records exactly the FIRST 50
@@ -18295,4 +18325,78 @@ def oracle_sql() -> dict[str, str]:
         FROM c
     """
 
+    o["concordance_index"] = f"""
+        WITH s AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'signup'
+                            THEN epoch_us(ts) END) AS st
+            FROM events GROUP BY 1
+        ),
+        h AS (SELECT max(epoch_us(ts)) AS hor FROM events),
+        e AS (
+            SELECT ev.user_id, min(epoch_us(ev.ts)) AS en
+            FROM events ev JOIN s ON s.user_id = ev.user_id
+            WHERE ev.event_type = 'purchase' AND epoch_us(ev.ts) >= s.st
+            GROUP BY 1
+        ),
+        cnt AS (
+            SELECT user_id, CAST(count(*) AS DOUBLE) AS c
+            FROM events GROUP BY 1
+        ),
+        t AS (
+            SELECT ceil(CAST(coalesce(en, hor) - st AS DOUBLE)
+                        / 3600000000.0) AS tt,
+                   CASE WHEN en IS NOT NULL THEN 1 ELSE 0 END AS ev,
+                   least(floor(c / 10.0), CAST(20 AS DOUBLE)) AS r
+            FROM s CROSS JOIN h
+            LEFT JOIN e ON e.user_id = s.user_id
+            JOIN cnt ON cnt.user_id = s.user_id
+            WHERE st IS NOT NULL
+        ),
+        cells AS (
+            SELECT tt, r, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(ev) AS BIGINT) AS nev,
+                   CAST(count(*) - sum(ev) AS BIGINT) AS ncens
+            FROM t GROUP BY 1, 2
+        ),
+        tg AS (SELECT DISTINCT tt FROM cells),
+        rg AS (SELECT DISTINCT r FROM cells),
+        dense AS (
+            SELECT tg.tt, rg.r,
+                   coalesce(c.n, 0) AS n,
+                   coalesce(c.nev, 0) AS nev,
+                   coalesce(c.ncens, 0) AS ncens
+            FROM tg CROSS JOIN rg
+            LEFT JOIN cells c ON c.tt = tg.tt AND c.r = rg.r
+        ),
+        lat AS (
+            SELECT *,
+                   coalesce(sum(n) OVER (PARTITION BY r ORDER BY tt
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+                       0) + ncens AS later
+            FROM dense
+        ),
+        av AS (
+            SELECT *,
+                   coalesce(sum(later) OVER (PARTITION BY tt ORDER BY r
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS ca,
+                   coalesce(sum(later) OVER (PARTITION BY tt ORDER BY r
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+                       0) AS da
+            FROM lat
+        )
+        SELECT CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(nev) AS BIGINT) AS n_events,
+               CAST(sum(nev * (ca + later + da)) AS BIGINT) AS comparable,
+               CAST(sum(nev * ca) AS BIGINT) AS concordant,
+               CAST(sum(nev * later) AS BIGINT) AS tied_risk,
+               {_sr_sql(
+                   "(CAST(sum(nev * ca) AS DOUBLE)"
+                   " + CAST(sum(nev * later) AS DOUBLE) / 2.0)"
+                   " / nullif(CAST(sum(nev * (ca + later + da))"
+                   " AS DOUBLE), 0)", 6
+               )} AS c_index
+        FROM av
+    """
     return o

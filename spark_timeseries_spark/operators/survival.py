@@ -698,3 +698,109 @@ def stratified_log_rank(
             ),
         ).alias("chi2_exact2"),
     )
+
+
+def concordance_index(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    risk_col: str = "risk",
+) -> DataFrame:
+    """Harrell's concordance index (C-index) of a risk score against
+    right-censored outcomes → ONE row: (n, n_events, comparable,
+    concordant, tied_risk, c_index). A pair (i, j) is COMPARABLE when
+    i had the event and j demonstrably outlived i: T_j > T_i, or j
+    censored at T_j = T_i (the censored subject is known to have
+    survived past the event — the lifelines tie convention); two
+    events at the same time, or a censored i, are not comparable. A
+    comparable pair is CONCORDANT when risk_i > risk_j (higher risk
+    predicted the earlier event); tied risks count ½ (Harrell, Califf,
+    Pryor et al. 1982). C = (concordant + tied/2) / comparable — the
+    censoring-aware generalization of :func:`~..pipeline.classifier.
+    roc_auc` (with no censoring and a binary "event by horizon" label
+    the two coincide), the standard ranking readout for survival
+    models. NULL duration/risk/event rows are dropped; ``event`` is
+    truthiness-cast (0/false = censored). No comparable pairs → NULL
+    c_index; empty input → ZERO rows (module convention).
+
+    NOT an all-pairs join: subjects collapse to the (duration × risk)
+    CELL table in one full-data pass, the cell table is densified to
+    the duration-grid × risk-grid rectangle (the documented grid
+    densification — both grids are value grids, so QUANTIZE a
+    continuous duration or risk first at corpus scale, the KM caveat),
+    and every pair count comes from two cumulative ledgers on that
+    rectangle: later(t, r) = #{T > t at risk r} + #{censored at
+    exactly (t, r)} via a duration-descending window per risk column,
+    then the r-cumulative split of later into concordant / tied /
+    discordant mass per duration row. Σ over event cells of
+    n_ev · mass counts every ordered comparable pair exactly once.
+
+    Plan: one groupBy(duration, risk) full-data pass; a |T|×|R|
+    crossJoin densification; two bounded-grid window passes; ONE
+    reduce. No data-sized joins, no Python."""
+    t = F.col(duration_col).cast("double")
+    r = F.col(risk_col).cast("double")
+    e = F.col(event_col).cast("boolean").cast("int")
+    pts = df.where(t.isNotNull() & r.isNotNull() & e.isNotNull())
+    cells = pts.groupBy(t.alias("_t"), r.alias("_r")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(e).alias("_nev"),
+        (F.count(F.lit(1)) - F.sum(e)).alias("_ncens"),
+    )
+    tg = cells.select("_t").distinct()
+    rg = cells.select("_r").distinct()
+    dense = (
+        tg.crossJoin(rg)
+        .join(cells, ["_t", "_r"], "left")
+        .select(
+            "_t", "_r",
+            F.coalesce(F.col("_n"), F.lit(0)).alias("_n"),
+            F.coalesce(F.col("_nev"), F.lit(0)).alias("_nev"),
+            F.coalesce(F.col("_ncens"), F.lit(0)).alias("_ncens"),
+        )
+    )
+    w_later = (
+        Window.partitionBy("_r")
+        .orderBy("_t")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    d = dense.withColumn(
+        "_later",
+        F.coalesce(F.sum("_n").over(w_later), F.lit(0)) + F.col("_ncens"),
+    )
+    w_lo = (
+        Window.partitionBy("_t")
+        .orderBy("_r")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_hi = (
+        Window.partitionBy("_t")
+        .orderBy("_r")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    d = d.withColumn(
+        "_conc_a", F.coalesce(F.sum("_later").over(w_lo), F.lit(0))
+    ).withColumn(
+        "_disc_a", F.coalesce(F.sum("_later").over(w_hi), F.lit(0))
+    )
+    nev = F.col("_nev").cast("double")
+    agg = d.groupBy(F.lit(1).alias("_j")).agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.sum("_nev").cast("long").alias("n_events"),
+        F.sum(nev * F.col("_conc_a")).cast("long").alias("concordant"),
+        F.sum(nev * F.col("_later")).cast("long").alias("tied_risk"),
+        F.sum(nev * F.col("_disc_a")).cast("long").alias("_disc"),
+    )
+    comparable = (
+        F.col("concordant") + F.col("tied_risk") + F.col("_disc")
+    )
+    return agg.select(
+        "n", "n_events",
+        comparable.alias("comparable"),
+        "concordant", "tied_risk",
+        F.try_divide(
+            F.col("concordant").cast("double")
+            + F.col("tied_risk").cast("double") / 2.0,
+            comparable.cast("double"),
+        ).alias("c_index"),
+    )

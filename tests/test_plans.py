@@ -1490,3 +1490,29 @@ def test_r14_classifier_eval_plans(spark):
     assert "Join" not in p, p
     assert "InPandas" not in p, p
     assert len(re.findall(r"\bWindow\b", p)) == 1, p
+
+
+def test_concordance_index_grid_bounded(spark):
+    """concordance_index: ONE full-data pass (the groupBy(duration,
+    risk) cell aggregate); the only joins are the grid-densification
+    cross (broadcast nested-loop over the two VALUE grids) and the
+    broadcast cell equi-join — nothing data-sized joins, no Python."""
+    from spark_timeseries_spark.operators.survival import (
+        concordance_index,
+    )
+    from spark_timeseries_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    tbl = ev.select(
+        (F.pmod(F.col("user_id"), F.lit(50)) + 1)
+        .cast("double").alias("duration"),
+        (F.col("event_type") == "purchase").cast("int").alias("event"),
+        F.pmod(F.col("user_id"), F.lit(7)).cast("double").alias("risk"),
+    )
+    _, _, p = _counts(concordance_index(tbl))
+    assert "InPandas" not in p, p
+    assert "SortMergeJoin" not in p, p
+    # exactly the two grid joins: the tg x rg densification cross and
+    # the broadcast cells lookup
+    assert len(re.findall(r"BroadcastNestedLoopJoin", p)) == 1, p
+    assert len(re.findall(r"BroadcastHashJoin", p)) == 1, p

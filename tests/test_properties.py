@@ -740,3 +740,47 @@ def test_average_precision_properties(spark, scores):
         (F.col("score") + F.col("label") * 100.0).alias("score"), "label")
     c = average_precision(sep, "score", "label").collect()[0]
     assert abs(c.ap - 1.0) < 1e-12
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    subj=st.lists(
+        st.tuples(
+            st.integers(1, 12), st.booleans(), st.integers(0, 5)
+        ),
+        min_size=3, max_size=40,
+    ).filter(lambda xs: any(e for _, e, _ in xs)),
+)
+def test_concordance_index_properties(spark, subj):
+    """C in [0, 1]; negating the risk complements it exactly
+    (concordant and discordant swap, ties stay); C is invariant under
+    a strictly monotone risk transform; a risk that perfectly
+    anti-orders distinct uncensored durations scores 1."""
+    from spark_timeseries_spark.operators.survival import (
+        concordance_index,
+    )
+
+    rows = [(float(t), int(e), float(r)) for t, e, r in subj]
+    df = spark.createDataFrame(
+        rows, "duration double, event int, risk double")
+    a = concordance_index(df).collect()[0]
+    if a.comparable == 0:
+        return
+    assert 0.0 <= a.c_index <= 1.0 + 1e-12
+    neg = df.select("duration", "event", (-F.col("risk")).alias("risk"))
+    b = concordance_index(neg).collect()[0]
+    assert b.comparable == a.comparable
+    assert b.tied_risk == a.tied_risk
+    assert abs(a.c_index + b.c_index - 1.0) < 1e-12
+    mono = df.select(
+        "duration", "event", (F.col("risk") * 2.0 + 5.0).alias("risk"))
+    c = concordance_index(mono).collect()[0]
+    assert c.concordant == a.concordant and c.comparable == a.comparable
+    # perfect model on distinct uncensored durations
+    dd = [(float(t), 1, -float(t)) for t, _, _ in subj]
+    dd = [(t, e, r) for t, e, r in dict.fromkeys(dd)]
+    if len({t for t, _, _ in dd}) == len(dd) and len(dd) >= 2:
+        pdf = spark.createDataFrame(
+            dd, "duration double, event int, risk double")
+        p = concordance_index(pdf).collect()[0]
+        assert abs(p.c_index - 1.0) < 1e-12
