@@ -6014,6 +6014,70 @@ def _q_concordance_index(spark, sf_dir):
     )
 
 
+def _q_log_loss(spark, sf_dir):
+    """Cross-entropy of the centi-probability document score against
+    is-English (the likelihood-scale sibling of the brier row, same
+    inputs) — ONE combinable aggregate, clip-guarded logs."""
+    from spark_timeseries_spark.pipeline.classifier import log_loss
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        ((F.col("n_chars") % 100) / F.lit(100.0)).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    out = log_loss(scored, "score", "label")
+    return out.select(
+        "n", "n_pos",
+        _stable_round(F.col("log_loss"), 6).alias("log_loss"),
+    )
+
+
+def _q_classification_report(spark, sf_dir):
+    """Confusion-matrix operating point of 'length >= 300 chars' as an
+    is-English detector — accuracy/precision/recall/F1/MCC from ONE
+    four-cell aggregate."""
+    from spark_timeseries_spark.pipeline.classifier import (
+        classification_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("n_chars").cast("double").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    out = classification_report(scored, "score", "label", threshold=300.0)
+    return out.select(
+        "n", "tp", "fp", "tn", "fn",
+        _stable_round(F.col("accuracy"), 6).alias("accuracy"),
+        _stable_round(F.col("precision"), 6).alias("precision"),
+        _stable_round(F.col("recall"), 6).alias("recall"),
+        _stable_round(F.col("specificity"), 6).alias("specificity"),
+        _stable_round(F.col("f1"), 6).alias("f1"),
+        _stable_round(F.col("mcc"), 6).alias("mcc"),
+    )
+
+
+def _q_lift_table(spark, sf_dir):
+    """Decile gains/lift of document length as an is-English ranker —
+    tie-safe bucketing by cumulative position on the descending
+    distinct-score grid."""
+    from spark_timeseries_spark.pipeline.classifier import lift_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("n_chars").cast("double").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    out = lift_table(scored, "score", "label", buckets=10)
+    return out.select(
+        "bucket", "n", "n_pos",
+        _stable_round(F.col("pos_rate"), 6).alias("pos_rate"),
+        "cum_n", "cum_pos",
+        _stable_round(F.col("gain"), 6).alias("gain"),
+        _stable_round(F.col("lift"), 6).alias("lift"),
+    ).orderBy("bucket")
+
+
 def _q_weibull_fit(spark, sf_dir):
     """Weibull median-rank-regression fit of inter-purchase gap hours
     per user — rank window + one OLS aggregate per key."""
@@ -6677,6 +6741,9 @@ _ALL_QUERIES = {
     "brier": _q_brier,
     "average_precision": _q_average_precision,
     "concordance_index": _q_concordance_index,
+    "log_loss": _q_log_loss,
+    "classification_report": _q_classification_report,
+    "lift_table": _q_lift_table,
 }
 
 # Driver window: the correctness harness records exactly the FIRST 50
@@ -18398,5 +18465,107 @@ def oracle_sql() -> dict[str, str]:
                    " AS DOUBLE), 0)", 6
                )} AS c_index
         FROM av
+    """
+
+    o["log_loss"] = f"""
+        WITH p AS (
+            SELECT greatest(least(
+                       CAST(n_chars % 100 AS DOUBLE)
+                           / CAST(100.0 AS DOUBLE),
+                       1.0 - 1e-15), 1e-15) AS s,
+                   CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS l
+            FROM documents
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(l) AS BIGINT) AS n_pos,
+               {_sr_sql(
+                   "avg(-(l * ln(s) + (1.0 - l) * ln(1.0 - s)))", 6
+               )} AS log_loss
+        FROM p
+    """
+
+    o["classification_report"] = f"""
+        WITH p AS (
+            SELECT CASE WHEN CAST(n_chars AS DOUBLE) >= 300.0
+                        THEN 1.0 ELSE 0.0 END AS pr,
+                   CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS l
+            FROM documents
+        ),
+        a AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(pr * l) AS BIGINT) AS tp,
+                   CAST(sum(pr * (1.0 - l)) AS BIGINT) AS fp,
+                   CAST(sum((1.0 - pr) * (1.0 - l)) AS BIGINT) AS tn,
+                   CAST(sum((1.0 - pr) * l) AS BIGINT) AS fn
+            FROM p
+        ),
+        d AS (
+            SELECT n, tp, fp, tn, fn,
+                   CAST(tp AS DOUBLE) AS tpd, CAST(fp AS DOUBLE) AS fpd,
+                   CAST(tn AS DOUBLE) AS tnd, CAST(fn AS DOUBLE) AS fnd
+            FROM a
+        ),
+        r AS (
+            SELECT *,
+                   tpd / nullif(tpd + fpd, 0) AS prec,
+                   tpd / nullif(tpd + fnd, 0) AS rec
+            FROM d
+        )
+        SELECT n, tp, fp, tn, fn,
+               {_sr_sql("(tpd + tnd) / CAST(n AS DOUBLE)", 6)} AS accuracy,
+               {_sr_sql("prec", 6)} AS precision,
+               {_sr_sql("rec", 6)} AS recall,
+               {_sr_sql("tnd / nullif(tnd + fpd, 0)", 6)} AS specificity,
+               {_sr_sql("2.0 * prec * rec / nullif(prec + rec, 0)", 6)}
+                   AS f1,
+               {_sr_sql(
+                   "(tpd * tnd - fpd * fnd) / nullif(sqrt((tpd + fpd)"
+                   " * (tpd + fnd) * (tnd + fpd) * (tnd + fnd)), 0)", 6
+               )} AS mcc
+        FROM r
+    """
+
+    o["lift_table"] = f"""
+        WITH p AS (
+            SELECT CAST(n_chars AS DOUBLE) AS s,
+                   CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS l
+            FROM documents
+        ),
+        g AS (
+            SELECT s, CAST(count(*) AS BIGINT) AS nt, sum(l) AS np
+            FROM p GROUP BY 1
+        ),
+        c AS (
+            SELECT nt, np,
+                   sum(nt) OVER w AS cn, sum(np) OVER w AS cp,
+                   sum(nt) OVER () AS nn, sum(np) OVER () AS pp
+            FROM g
+            WINDOW w AS (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        ),
+        per AS (
+            SELECT CAST(ceil(10.0 * CAST(cn AS DOUBLE)
+                             / CAST(nn AS DOUBLE)) AS INT) AS bucket,
+                   CAST(sum(nt) AS BIGINT) AS n,
+                   CAST(sum(np) AS BIGINT) AS n_pos,
+                   CAST(max(cn) AS BIGINT) AS cum_n,
+                   CAST(max(cp) AS BIGINT) AS cum_pos,
+                   CAST(max(nn) AS DOUBLE) AS nd,
+                   CAST(max(pp) AS DOUBLE) AS pd
+            FROM c GROUP BY 1
+        )
+        SELECT bucket, n, n_pos,
+               {_sr_sql(
+                   "CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)", 6
+               )} AS pos_rate,
+               cum_n, cum_pos,
+               {_sr_sql(
+                   "CAST(cum_pos AS DOUBLE) / nullif(pd, 0)", 6
+               )} AS gain,
+               {_sr_sql(
+                   "(CAST(cum_pos AS DOUBLE) / nullif(pd, 0))"
+                   " / (CAST(cum_n AS DOUBLE) / nd)", 6
+               )} AS lift
+        FROM per ORDER BY bucket
     """
     return o

@@ -436,3 +436,200 @@ def average_precision(
         )
         .drop("_j")
     )
+
+
+def log_loss(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    eps: float = 1e-15,
+) -> DataFrame:
+    """Cross-entropy (logarithmic loss) of a probability forecast
+    against a binary label → ONE row: (n, n_pos, log_loss).
+    LL = −mean(y·ln p̂ + (1−y)·ln(1−p̂)) with p̂ clipped into
+    [eps, 1−eps] (the sklearn convention — a hard 0/1 forecast that
+    is WRONG would otherwise cost ∞ and poison the mean). The
+    likelihood-scale companion of :func:`brier`: both are strictly
+    proper scoring rules, but log loss punishes confident mistakes
+    exponentially harder — the right gate when a downstream consumer
+    treats the score as a probability in expectation arithmetic.
+    NULL scores/labels dropped; labels outside {0, 1} RAISE (the
+    roc_auc discipline); empty input → ZERO rows (module convention).
+
+    Plan: ONE map-side-combinable aggregate — no groupBy key, no
+    windows, no joins, no Python."""
+    if not 0.0 < eps < 0.5:
+        raise ValueError(f"eps must be in (0, 0.5), got {eps}")
+    sc = F.col(score_col).cast("double")
+    lb = F.col(label_col).cast("double")
+    lb_ok = F.when((lb == 0.0) | (lb == 1.0), lb).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("log_loss: label outside {0,1}: "),
+                lb.cast("string"),
+            )
+        )
+    )
+    # clip BEFORE the logs so both ln arguments are strictly positive
+    # on every row (the guard-ln-on-both-engines rule)
+    p = F.least(
+        F.greatest(sc, F.lit(float(eps))), F.lit(1.0 - float(eps))
+    )
+    term = -(
+        lb_ok * F.log(p) + (F.lit(1.0) - lb_ok) * F.log(F.lit(1.0) - p)
+    )
+    return (
+        df.where(sc.isNotNull() & lb.isNotNull())
+        .groupBy(F.lit(1).alias("_j"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(lb_ok).cast("long").alias("n_pos"),
+            F.avg(term).alias("log_loss"),
+        )
+        .drop("_j")
+    )
+
+
+def classification_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Thresholded confusion-matrix readout → ONE row: (n, tp, fp, tn,
+    fn, accuracy, precision, recall, specificity, f1, mcc). Predicted
+    positive iff score ≥ threshold. MCC = (tp·tn − fp·fn) /
+    √((tp+fp)(tp+fn)(tn+fp)(tn+fn)) (Matthews 1975) — the single
+    number that stays honest under class imbalance where accuracy and
+    even F1 mislead (Chicco & Jurman 2020); NULL when any marginal is
+    zero (try_divide), as are the other ratio columns on degenerate
+    margins. The operating-point companion of the threshold-free
+    :func:`roc_auc`/:func:`average_precision`: once a filter cutoff is
+    CHOSEN, this is what it does. NULL scores/labels dropped; labels
+    outside {0, 1} RAISE (the roc_auc discipline); empty input → ZERO
+    rows (module convention).
+
+    Plan: ONE map-side-combinable aggregate of the four cells — no
+    windows, no joins, no Python."""
+    sc = F.col(score_col).cast("double")
+    lb = F.col(label_col).cast("double")
+    lb_ok = F.when((lb == 0.0) | (lb == 1.0), lb).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("classification_report: label outside {0,1}: "),
+                lb.cast("string"),
+            )
+        )
+    )
+    pred = (sc >= F.lit(float(threshold))).cast("double")
+    agg = (
+        df.where(sc.isNotNull() & lb.isNotNull())
+        .groupBy(F.lit(1).alias("_j"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(pred * lb_ok).cast("long").alias("tp"),
+            F.sum(pred * (1.0 - lb_ok)).cast("long").alias("fp"),
+            F.sum((1.0 - pred) * (1.0 - lb_ok)).cast("long").alias("tn"),
+            F.sum((1.0 - pred) * lb_ok).cast("long").alias("fn"),
+        )
+    )
+    tp = F.col("tp").cast("double")
+    fp = F.col("fp").cast("double")
+    tn = F.col("tn").cast("double")
+    fn = F.col("fn").cast("double")
+    prec = F.try_divide(tp, tp + fp)
+    rec = F.try_divide(tp, tp + fn)
+    return agg.select(
+        "n", "tp", "fp", "tn", "fn",
+        ((tp + tn) / F.col("n").cast("double")).alias("accuracy"),
+        prec.alias("precision"),
+        rec.alias("recall"),
+        F.try_divide(tn, tn + fp).alias("specificity"),
+        F.try_divide(2.0 * prec * rec, prec + rec).alias("f1"),
+        F.try_divide(
+            tp * tn - fp * fn,
+            F.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)),
+        ).alias("mcc"),
+    )
+
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift table → one row per score bucket
+    (descending score): (bucket, n, n_pos, pos_rate, cum_n, cum_pos,
+    gain, lift). Rows are bucketed by their cumulative POSITION on the
+    descending distinct-score grid — bucket = ⌈buckets · cum_n / N⌉ —
+    so tied scores land in one bucket together and never straddle a
+    boundary (a row-level ntile would split ties arbitrarily and make
+    the table nondeterministic). ``gain`` = cumulative share of all
+    positives captured through this bucket; ``lift`` = that share
+    relative to the bucket's share of rows (gain / (cum_n/N)) — the
+    "top-decile catches k× its share" campaign/filter readout
+    completing the eval set (:func:`roc_auc` ranks, this BUDGETS).
+    Bucket sizes are approximately N/buckets, exactly so when no tie
+    group straddles a boundary. NULL scores/labels dropped; labels
+    outside {0, 1} RAISE; no positives → NULL gain/lift.
+
+    Plan: one map-side-combinable groupBy(score), one cumulative
+    window on the DISTINCT-SCORE grid, one groupBy(bucket) reduce +
+    one all-buckets window (≤ buckets rows) — quantize a continuous
+    score first at corpus scale (the roc_auc caveat)."""
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    sc = F.col(score_col).cast("double")
+    lb = F.col(label_col).cast("double")
+    lb_ok = F.when((lb == 0.0) | (lb == 1.0), lb).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("lift_table: label outside {0,1}: "),
+                lb.cast("string"),
+            )
+        )
+    )
+    g = (
+        df.where(sc.isNotNull() & lb.isNotNull())
+        .groupBy(sc.alias("_s"))
+        .agg(
+            F.count(F.lit(1)).alias("_nt"),
+            F.sum(lb_ok).alias("_np"),
+        )
+    )
+    w_cum = Window.orderBy(F.desc("_s")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    cum = g.select(
+        "_nt", "_np",
+        F.sum("_nt").over(w_cum).alias("_cn"),
+        F.sum("_np").over(w_cum).alias("_cp"),
+        F.sum("_nt").over(w_all).alias("_N"),
+        F.sum("_np").over(w_all).alias("_P"),
+    )
+    b = F.ceil(
+        F.lit(buckets) * F.col("_cn").cast("double")
+        / F.col("_N").cast("double")
+    ).cast("int")
+    per = cum.groupBy(b.alias("bucket")).agg(
+        F.sum("_nt").cast("long").alias("n"),
+        F.sum("_np").cast("long").alias("n_pos"),
+        F.max("_cn").cast("long").alias("cum_n"),
+        F.max("_cp").cast("long").alias("cum_pos"),
+        F.max("_N").cast("long").alias("_N"),
+        F.max("_P").cast("long").alias("_P"),
+    )
+    gain = F.try_divide(
+        F.col("cum_pos").cast("double"), F.col("_P").cast("double")
+    )
+    share = F.col("cum_n").cast("double") / F.col("_N").cast("double")
+    return per.select(
+        "bucket", "n", "n_pos",
+        (F.col("n_pos").cast("double") / F.col("n").cast("double"))
+        .alias("pos_rate"),
+        "cum_n", "cum_pos",
+        gain.alias("gain"),
+        F.try_divide(gain, share).alias("lift"),
+    )

@@ -1516,3 +1516,30 @@ def test_concordance_index_grid_bounded(spark):
     # the broadcast cells lookup
     assert len(re.findall(r"BroadcastNestedLoopJoin", p)) == 1, p
     assert len(re.findall(r"BroadcastHashJoin", p)) == 1, p
+
+
+def test_r14_threshold_eval_plans(spark):
+    """log_loss / classification_report: ONE combinable aggregate —
+    no joins, no windows, no Python; lift_table: one groupBy(score) +
+    grid windows + one bucket reduce — no joins, no Python."""
+    from spark_timeseries_spark.pipeline.classifier import (
+        classification_report,
+        lift_table,
+        log_loss,
+    )
+    from spark_timeseries_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    scored = docs.select(
+        ((F.col("n_chars") % 100) / F.lit(100.0)).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    _, _, p = _counts(log_loss(scored, "score", "label"))
+    assert "Join" not in p and "Window" not in p and "InPandas" not in p, p
+
+    _, _, p = _counts(
+        classification_report(scored, "score", "label", threshold=0.5))
+    assert "Join" not in p and "Window" not in p and "InPandas" not in p, p
+
+    _, _, p = _counts(lift_table(scored, "score", "label"))
+    assert "Join" not in p and "InPandas" not in p, p

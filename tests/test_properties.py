@@ -784,3 +784,78 @@ def test_concordance_index_properties(spark, subj):
             dd, "duration double, event int, risk double")
         p = concordance_index(pdf).collect()[0]
         assert abs(p.c_index - 1.0) < 1e-12
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 10), st.booleans()),
+        min_size=3, max_size=40,
+    ),
+)
+def test_log_loss_classification_report_properties(spark, pts):
+    """log_loss >= 0, ~0 for a perfect confident forecast, and
+    symmetric under (p, y) -> (1-p, 1-y); classification_report cells
+    partition n, accuracy = (tp+tn)/n, f1 is the harmonic mean."""
+    from spark_timeseries_spark.pipeline.classifier import (
+        classification_report,
+        log_loss,
+    )
+
+    rows = [(s / 10.0, int(l)) for s, l in pts]
+    df = spark.createDataFrame(rows, "score double, label int")
+    a = log_loss(df, "score", "label").collect()[0]
+    assert a.log_loss >= -1e-12
+    # symmetry holds exactly only away from the clip boundary (1-(1-eps)
+    # is not eps in doubles), so test it on interior scores
+    interior = df.select(
+        (F.col("score") * 0.8 + 0.1).alias("score"), "label")
+    ai = log_loss(interior, "score", "label").collect()[0]
+    flip = interior.select(
+        (1.0 - F.col("score")).alias("score"),
+        (1 - F.col("label")).alias("label"),
+    )
+    b = log_loss(flip, "score", "label").collect()[0]
+    assert abs(ai.log_loss - b.log_loss) < 1e-9
+    perfect = df.select(
+        F.col("label").cast("double").alias("score"), "label")
+    p = log_loss(perfect, "score", "label").collect()[0]
+    assert abs(p.log_loss) < 1e-9
+
+    r = classification_report(df, "score", "label", threshold=0.5)
+    r = r.collect()[0]
+    assert r.tp + r.fp + r.tn + r.fn == r.n
+    assert abs(r.accuracy - (r.tp + r.tn) / r.n) < 1e-12
+    if r.f1 is not None:
+        prec = r.tp / (r.tp + r.fp)
+        rec = r.tp / (r.tp + r.fn)
+        assert abs(r.f1 - 2 * prec * rec / (prec + rec)) < 1e-12
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    scores=st.lists(
+        st.tuples(st.integers(0, 30), st.booleans()),
+        min_size=10, max_size=60,
+    ).filter(lambda xs: any(l for _, l in xs)),
+)
+def test_lift_table_properties(spark, scores):
+    """Buckets partition the rows; cum_n/cum_pos/gain are nondecreasing
+    in bucket order; the final bucket has gain = 1 and lift = 1."""
+    from spark_timeseries_spark.pipeline.classifier import lift_table
+
+    rows = [(float(s), int(l)) for s, l in scores]
+    df = spark.createDataFrame(rows, "score double, label int")
+    tbl = sorted(
+        lift_table(df, "score", "label").collect(),
+        key=lambda r: r.bucket,
+    )
+    assert sum(r.n for r in tbl) == len(rows)
+    assert sum(r.n_pos for r in tbl) == sum(l for _, l in scores)
+    for a, b in zip(tbl, tbl[1:]):
+        assert b.cum_n > a.cum_n and b.cum_pos >= a.cum_pos
+        assert b.gain >= a.gain - 1e-12
+    last = tbl[-1]
+    assert last.cum_n == len(rows)
+    assert abs(last.gain - 1.0) < 1e-12
+    assert abs(last.lift - 1.0) < 1e-12
