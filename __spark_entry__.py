@@ -6078,6 +6078,70 @@ def _q_lift_table(spark, sf_dir):
     ).orderBy("bucket")
 
 
+def _q_g_test(spark, sf_dir):
+    """G-test (log-likelihood ratio) of document language x source
+    independence — the information-theoretic sibling of the cramers_v
+    row on the same contingency table; empty cells vanish in the
+    o*ln(o/e) limit, no zero scaffold needed."""
+    from spark_timeseries_spark.operators.hypothesis import g_test
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = g_test(docs, "lang", "source")
+    return out.select(
+        "n", "r", "c",
+        _stable_round(F.col("g"), 6).alias("g"),
+        "dof",
+        _stable_round(F.col("crit_05"), 6).alias("crit_05"),
+        "reject_05",
+    )
+
+
+def _q_cohen_kappa(spark, sf_dir):
+    """Cohen's kappa agreement between two derived document
+    'labelers' (is-English vs even-length) — chance-corrected via the
+    category-keyed outer join of the two margin tables."""
+    from spark_timeseries_spark.operators.hypothesis import cohen_kappa
+
+    docs = load_table(spark, sf_dir, "documents")
+    rated = docs.select(
+        F.when(F.col("lang") == "en", F.lit("y"))
+        .otherwise(F.lit("n")).alias("rater_a"),
+        F.when(F.col("n_chars") % 2 == 0, F.lit("y"))
+        .otherwise(F.lit("n")).alias("rater_b"),
+    )
+    out = cohen_kappa(rated, "rater_a", "rater_b")
+    return out.select(
+        "n", "n_categories",
+        _stable_round(F.col("po"), 6).alias("po"),
+        _stable_round(F.col("pe"), 6).alias("pe"),
+        _stable_round(F.col("kappa"), 6).alias("kappa"),
+    )
+
+
+def _q_cochran_armitage(spark, sf_dir):
+    """Cochran-Armitage trend of purchase propensity across five
+    user-id dose levels — the ordered alternative an omnibus 5x2 chi2
+    wastes power on; ONE moment aggregate."""
+    from spark_timeseries_spark.operators.hypothesis import (
+        cochran_armitage,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    dosed = ev.select(
+        F.pmod(F.col("user_id"), F.lit(5)).cast("double").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    out = cochran_armitage(dosed)
+    return out.select(
+        "n", "k", "n_pos",
+        _stable_round(F.col("t_stat"), 6).alias("t_stat"),
+        _stable_round(F.col("var_t"), 6).alias("var_t"),
+        _stable_round(F.col("z"), 6).alias("z"),
+        _stable_round(F.col("chi2"), 6).alias("chi2"),
+        "reject_05",
+    )
+
+
 def _q_weibull_fit(spark, sf_dir):
     """Weibull median-rank-regression fit of inter-purchase gap hours
     per user — rank window + one OLS aggregate per key."""
@@ -6744,6 +6808,9 @@ _ALL_QUERIES = {
     "log_loss": _q_log_loss,
     "classification_report": _q_classification_report,
     "lift_table": _q_lift_table,
+    "g_test": _q_g_test,
+    "cohen_kappa": _q_cohen_kappa,
+    "cochran_armitage": _q_cochran_armitage,
 }
 
 # Driver window: the correctness harness records exactly the FIRST 50
@@ -18567,5 +18634,125 @@ def oracle_sql() -> dict[str, str]:
                    " / (CAST(cum_n AS DOUBLE) / nd)", 6
                )} AS lift
         FROM per ORDER BY bucket
+    """
+
+    _chi2_crit_sql = (
+        "CASE dof WHEN 1 THEN 3.841 WHEN 2 THEN 5.991"
+        " WHEN 3 THEN 7.815 WHEN 4 THEN 9.488"
+        " WHEN 5 THEN 11.070 WHEN 6 THEN 12.592"
+        " WHEN 7 THEN 14.067 WHEN 8 THEN 15.507"
+        " WHEN 9 THEN 16.919 WHEN 10 THEN 18.307"
+        " ELSE dof * pow(1.0 - 2.0 / (9.0 * dof)"
+        " + 1.6448536269514722 * sqrt(2.0 / (9.0 * dof)), 3.0)"
+        " END"
+    )
+    o["g_test"] = f"""
+        WITH p AS (
+            SELECT lang AS a, source AS b FROM documents
+            WHERE lang IS NOT NULL AND source IS NOT NULL
+        ),
+        cells AS (
+            SELECT a, b, CAST(count(*) AS DOUBLE) AS oo
+            FROM p GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT *, sum(oo) OVER (PARTITION BY a) AS ra,
+                   sum(oo) OVER (PARTITION BY b) AS cb
+            FROM cells
+        ),
+        agg AS (
+            SELECT CAST(sum(oo) AS BIGINT) AS n,
+                   CAST(count(DISTINCT a) AS INT) AS r,
+                   CAST(count(DISTINCT b) AS INT) AS c,
+                   sum(oo * ln(oo / (ra * cb))) AS s,
+                   sum(oo) AS nd
+            FROM m
+        ),
+        fin AS (
+            SELECT n, r, c,
+                   2.0 * (s + nd * ln(nd)) AS g,
+                   CAST((r - 1) * (c - 1) AS INT) AS dof
+            FROM agg
+        )
+        SELECT n, r, c, {_sr_sql("g", 6)} AS g, dof,
+               {_sr_sql(_chi2_crit_sql, 6)} AS crit_05,
+               g > ({_chi2_crit_sql}) AS reject_05
+        FROM fin
+    """
+
+    o["cohen_kappa"] = f"""
+        WITH p AS (
+            SELECT CASE WHEN lang = 'en' THEN 'y' ELSE 'n' END AS a,
+                   CASE WHEN n_chars % 2 = 0 THEN 'y' ELSE 'n' END AS b
+            FROM documents
+        ),
+        cells AS (
+            SELECT a, b, CAST(count(*) AS BIGINT) AS oo
+            FROM p GROUP BY 1, 2
+        ),
+        ma AS (SELECT a AS v, sum(oo) AS ra FROM cells GROUP BY 1),
+        mb AS (SELECT b AS v, sum(oo) AS cb FROM cells GROUP BY 1),
+        marg AS (
+            SELECT coalesce(ma.v, mb.v) AS v,
+                   coalesce(ra, 0) AS ra, coalesce(cb, 0) AS cb
+            FROM ma FULL OUTER JOIN mb ON ma.v = mb.v
+        ),
+        d AS (
+            SELECT CAST(sum(oo) AS DOUBLE) AS nd,
+                   CAST(sum(oo) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN a = b THEN oo ELSE 0 END)
+                        AS DOUBLE) AS agree
+            FROM cells
+        ),
+        pe AS (
+            SELECT CAST(count(*) AS INT) AS k,
+                   sum(CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)) AS pesum
+            FROM marg
+        ),
+        fin AS (
+            SELECT n, k, agree / nd AS po, pesum / (nd * nd) AS pe
+            FROM d CROSS JOIN pe
+        )
+        SELECT n, k AS n_categories,
+               {_sr_sql("po", 6)} AS po,
+               {_sr_sql("pe", 6)} AS pe,
+               {_sr_sql("(po - pe) / nullif(1.0 - pe, 0)", 6)} AS kappa
+        FROM fin
+    """
+
+    o["cochran_armitage"] = f"""
+        WITH p AS (
+            SELECT CAST(user_id % 5 AS DOUBLE) AS s,
+                   CASE WHEN event_type = 'purchase'
+                        THEN 1.0 ELSE 0.0 END AS l
+            FROM events
+        ),
+        a AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT s) AS INT) AS k,
+                   sum(l) AS rr, sum(s) AS ss,
+                   sum(s * s) AS ss2, sum(l * s) AS rs
+            FROM p
+        ),
+        d AS (
+            SELECT n, k, rr,
+                   rs - (rr / CAST(n AS DOUBLE)) * ss AS t,
+                   (rr / CAST(n AS DOUBLE))
+                       * (1.0 - rr / CAST(n AS DOUBLE))
+                       * (ss2 - ss * ss / CAST(n AS DOUBLE)) AS v
+            FROM a
+        ),
+        z AS (
+            SELECT n, k, rr, t, v,
+                   CASE WHEN v > 0.0 THEN t / sqrt(v) END AS zz
+            FROM d
+        )
+        SELECT n, k, CAST(rr AS BIGINT) AS n_pos,
+               {_sr_sql("t", 6)} AS t_stat,
+               {_sr_sql("v", 6)} AS var_t,
+               {_sr_sql("zz", 6)} AS z,
+               {_sr_sql("zz * zz", 6)} AS chi2,
+               zz * zz > 3.841 AS reject_05
+        FROM z
     """
     return o

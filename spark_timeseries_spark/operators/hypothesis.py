@@ -758,3 +758,192 @@ def chow(
         F.lit(2).alias("df1"),
         df2.cast("int").alias("df2"),
     )
+
+
+def g_test(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Log-likelihood-ratio test of independence for two CATEGORICAL
+    columns → ONE row: (n, r, c, g, dof, crit_05, reject_05).
+    G = 2·Σ o·ln(o/e) over the r×c contingency table with
+    e = row_tot·col_tot/n (Sokal & Rohlf 1981) — the
+    information-theoretic sibling of :func:`cramers_v`'s Pearson χ²
+    (G = 2n·MI in nats), asymptotically χ²_{(r−1)(c−1)} like it but
+    additive across table partitions, which Pearson χ² is not.
+    Empty cells need NO special handling here: lim_{o→0} o·ln(o/e) = 0,
+    so cells absent from the groupBy contribute exactly their limit
+    (contrast the χ² identity dance in :func:`cramers_v`). NULL
+    categories dropped; empty input → ZERO rows (module convention).
+
+    Plan: ONE groupBy(a, b) full-data pass; margins and the reduce on
+    the r×c CELL table (two windows + one reduce, bounded by category
+    cardinalities). No joins, no Python."""
+    from .experiment import chi2_crit_05
+
+    cells = (
+        df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
+    wa = Window.partitionBy("_a")
+    wb = Window.partitionBy("_b")
+    o = F.col("_o").cast("double")
+    # o >= 1 on every materialized cell, so the ln argument is strictly
+    # positive by construction (the guard-ln rule)
+    term = o * F.log(
+        o / (
+            F.sum("_o").over(wa).cast("double")
+            * F.sum("_o").over(wb).cast("double")
+        )
+    )
+    agg = cells.select("_a", "_b", "_o", term.alias("_t")).groupBy(
+        F.lit(1).alias("_j")
+    ).agg(
+        F.sum("_o").alias("_n"),
+        F.countDistinct("_a").alias("_r"),
+        F.countDistinct("_b").alias("_c"),
+        F.sum("_t").alias("_s"),
+    )
+    nd = F.col("_n").cast("double")
+    # Σ o ln(o n/(ra cb)) = Σ o ln(o/(ra cb)) + n ln n
+    g = 2.0 * (F.col("_s") + nd * F.log(nd))
+    dof = ((F.col("_r") - 1) * (F.col("_c") - 1)).cast("int")
+    crit = chi2_crit_05(dof)
+    return agg.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_r").cast("int").alias("r"),
+        F.col("_c").cast("int").alias("c"),
+        g.alias("g"),
+        dof.alias("dof"),
+        crit.alias("crit_05"),
+        (g > crit).alias("reject_05"),
+    )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cohen's κ chance-corrected agreement between two raters/labelers
+    over the SAME items → ONE row: (n, n_categories, po, pe, kappa).
+    po = observed agreement rate (diagonal mass), pe = Σ_v p_a(v)·p_b(v)
+    the agreement expected if both raters labeled independently from
+    their own marginals, κ = (po − pe)/(1 − pe) (Cohen 1960). The
+    labeling-pipeline QA readout raw percent-agreement overstates:
+    two raters who both say "good" 95% of the time agree 90.5% by
+    chance alone. κ NULL when pe = 1 (a single shared category —
+    agreement is vacuous). Categories are compared by VALUE across the
+    union of both raters' label sets (a category one rater never uses
+    has marginal 0 and drops out of pe). NULL-labeled rows dropped;
+    empty input → ZERO rows (module convention).
+
+    Plan: ONE groupBy(a, b) full-data pass; both marginals re-aggregate
+    the CELL table; the pe pairing is a UNION + groupBy(category) of
+    the two category-bounded margin tables (join-free — a full-outer
+    join cannot broadcast) + one reduce. Nothing data-sized after the
+    first pass, no Python."""
+    cells = (
+        df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(
+            F.col(a_col).cast("string").alias("_a"),
+            F.col(b_col).cast("string").alias("_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
+    ma = cells.groupBy(F.col("_a").alias("_v")).agg(
+        F.sum("_o").alias("_ra"), F.lit(0).cast("long").alias("_cb")
+    )
+    mb = cells.groupBy(F.col("_b").alias("_v")).agg(
+        F.lit(0).cast("long").alias("_ra"), F.sum("_o").alias("_cb")
+    )
+    marg = ma.unionByName(mb).groupBy("_v").agg(
+        F.sum("_ra").alias("_ra"), F.sum("_cb").alias("_cb")
+    )
+    diag = cells.groupBy(F.lit(1).alias("_j")).agg(
+        F.sum("_o").alias("_n"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_o"))).alias(
+            "_agree"
+        ),
+    )
+    pe_agg = marg.groupBy(F.lit(1).alias("_j")).agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum(
+            F.col("_ra").cast("double") * F.col("_cb").cast("double")
+        ).alias("_pesum"),
+    )
+    j = diag.join(F.broadcast(pe_agg), "_j")
+    nd = F.col("_n").cast("double")
+    po = F.coalesce(F.col("_agree").cast("double"), F.lit(0.0)) / nd
+    pe = F.col("_pesum") / (nd * nd)
+    return j.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_k").cast("int").alias("n_categories"),
+        po.alias("po"),
+        pe.alias("pe"),
+        F.try_divide(po - pe, F.lit(1.0) - pe).alias("kappa"),
+    )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Cochran-Armitage test for a linear TREND in a binary outcome
+    across ordered exposure levels → ONE row: (n, k, n_pos, t_stat,
+    var_t, z, chi2, reject_05). With numeric dose scores s and binary
+    y, T = Σᵢ yᵢ(sᵢ − s̄) and Var(T) = p̄(1 − p̄)·Σᵢ(sᵢ − s̄)²
+    (Cochran 1954, Armitage 1955 — algebraically the grouped
+    Σ_k s_k(r_k − n_k R/N) form, collapsed to plain moments so no
+    per-level grouping is needed); z = T/√Var, chi2 = z² ~ χ²₁. The
+    ORDERED alternative the omnibus r×2 χ² wastes power on: "does the
+    positive rate climb with the dose/severity/bucket level". z/chi2
+    NULL when the outcome or the score is constant (Var = 0 —
+    try_divide). NULL rows dropped; labels outside {0, 1} RAISE (the
+    roc_auc discipline); empty input → ZERO rows (module convention).
+
+    Plan: ONE map-side-combinable aggregate (moment sums in one row) —
+    no groupBy key, no windows, no joins, no Python."""
+    s = F.col(score_col).cast("double")
+    lb = F.col(label_col).cast("double")
+    lb_ok = F.when((lb == 0.0) | (lb == 1.0), lb).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("cochran_armitage: label outside {0,1}: "),
+                lb.cast("string"),
+            )
+        )
+    )
+    agg = (
+        df.where(s.isNotNull() & lb.isNotNull())
+        .groupBy(F.lit(1).alias("_j"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(s).alias("_k"),
+            F.sum(lb_ok).alias("_rr"),
+            F.sum(s).alias("_ss"),
+            F.sum(s * s).alias("_ss2"),
+            F.sum(lb_ok * s).alias("_rs"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    pbar = F.col("_rr") / nd
+    t = F.col("_rs") - pbar * F.col("_ss")
+    var_t = (
+        pbar * (F.lit(1.0) - pbar)
+        * (F.col("_ss2") - F.col("_ss") * F.col("_ss") / nd)
+    )
+    z = F.when(var_t > 0.0, t / F.sqrt(var_t))
+    return agg.select(
+        "n",
+        F.col("_k").cast("int").alias("k"),
+        F.col("_rr").cast("long").alias("n_pos"),
+        t.alias("t_stat"),
+        var_t.alias("var_t"),
+        z.alias("z"),
+        (z * z).alias("chi2"),
+        (z * z > 3.841).alias("reject_05"),
+    )

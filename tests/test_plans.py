@@ -1543,3 +1543,40 @@ def test_r14_threshold_eval_plans(spark):
 
     _, _, p = _counts(lift_table(scored, "score", "label"))
     assert "Join" not in p and "InPandas" not in p, p
+
+
+def test_r14_contingency_plans(spark):
+    """g_test: ONE full-data groupBy(a, b); margins/G on the bounded
+    cell table — no joins, no Python; cohen_kappa: the only join is
+    the category-bounded margin outer join (+ the one-row broadcast
+    pe) — no data-sized joins, no Python; cochran_armitage: ONE moment
+    aggregate — no joins, no windows, no Python."""
+    from spark_timeseries_spark.operators.hypothesis import (
+        cochran_armitage,
+        cohen_kappa,
+        g_test,
+    )
+    from spark_timeseries_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    _, _, p = _counts(g_test(docs, "lang", "source"))
+    assert "Join" not in p and "InPandas" not in p, p
+
+    rated = docs.select(
+        F.when(F.col("lang") == "en", F.lit("y"))
+        .otherwise(F.lit("n")).alias("a"),
+        F.when(F.col("n_chars") % 2 == 0, F.lit("y"))
+        .otherwise(F.lit("n")).alias("b"),
+    )
+    _, _, p = _counts(cohen_kappa(rated, "a", "b"))
+    assert "SortMergeJoin" not in p and "InPandas" not in p, p
+    # margin pairing is a union+groupBy, NOT an outer join
+    assert "FullOuter" not in p, p
+
+    ev = load_table(spark, SF, "events")
+    dosed = ev.select(
+        F.pmod(F.col("user_id"), F.lit(5)).cast("double").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    _, _, p = _counts(cochran_armitage(dosed))
+    assert "Join" not in p and "Window" not in p and "InPandas" not in p, p

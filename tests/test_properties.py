@@ -859,3 +859,63 @@ def test_lift_table_properties(spark, scores):
     assert last.cum_n == len(rows)
     assert abs(last.gain - 1.0) < 1e-12
     assert abs(last.lift - 1.0) < 1e-12
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(st.sampled_from("abc"), st.sampled_from("abd")),
+        min_size=4, max_size=60,
+    ),
+)
+def test_g_test_kappa_properties(spark, pairs):
+    """G >= 0 and symmetric in argument order; kappa = 1 on perfect
+    agreement, po/pe are probabilities, and kappa <= 1 always."""
+    from spark_timeseries_spark.operators.hypothesis import (
+        cohen_kappa,
+        g_test,
+    )
+
+    df = spark.createDataFrame(list(pairs), "a string, b string")
+    g1 = g_test(df, "a", "b").collect()[0]
+    g2 = g_test(df, "b", "a").collect()[0]
+    assert g1.g >= -1e-9
+    assert abs(g1.g - g2.g) < 1e-9
+    assert (g1.r, g1.c) == (g2.c, g2.r)
+
+    k = cohen_kappa(df, "a", "b").collect()[0]
+    assert 0.0 <= k.po <= 1.0 and 0.0 < k.pe <= 1.0
+    if k.kappa is not None:
+        assert k.kappa <= 1.0 + 1e-12
+    same = df.select("a", F.col("a").alias("b"))
+    ks = cohen_kappa(same, "a", "b").collect()[0]
+    if ks.kappa is not None:
+        assert abs(ks.kappa - 1.0) < 1e-12
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 4), st.booleans()),
+        min_size=6, max_size=60,
+    ),
+)
+def test_cochran_armitage_properties(spark, pts):
+    """Antisymmetric under dose reversal (z flips sign); invariant
+    under a positive affine dose transform; chi2 = z^2."""
+    from spark_timeseries_spark.operators.hypothesis import (
+        cochran_armitage,
+    )
+
+    rows = [(float(s), int(l)) for s, l in pts]
+    df = spark.createDataFrame(rows, "score double, label int")
+    a = cochran_armitage(df).collect()[0]
+    if a.z is None:
+        return
+    rev = df.select((4.0 - F.col("score")).alias("score"), "label")
+    b = cochran_armitage(rev).collect()[0]
+    assert abs(a.z + b.z) < 1e-9
+    aff = df.select((F.col("score") * 3.0 + 7.0).alias("score"), "label")
+    c = cochran_armitage(aff).collect()[0]
+    assert abs(a.z - c.z) < 1e-9
+    assert abs(a.chi2 - a.z * a.z) < 1e-12
