@@ -6142,6 +6142,68 @@ def _q_cochran_armitage(spark, sf_dir):
     )
 
 
+def _q_anova_oneway(spark, sf_dir):
+    """One-way ANOVA F of event value across event-type groups — ONE
+    combinable groupBy + a k-row reduce; the k-group extension of the
+    welch_t row."""
+    from spark_timeseries_spark.operators.hypothesis import anova_oneway
+
+    ev = load_table(spark, sf_dir, "events")
+    out = anova_oneway(ev, group_col="event_type", value_col="value")
+    return out.select(
+        "n", "k",
+        _stable_round(F.col("ss_between"), 4).alias("ss_between"),
+        _stable_round(F.col("ss_within"), 4).alias("ss_within"),
+        _stable_round(F.col("f_stat"), 6).alias("f_stat"),
+        "df1", "df2",
+        _stable_round(F.col("eta_sq"), 6).alias("eta_sq"),
+    )
+
+
+def _q_kendall_tau_b(spark, sf_dir):
+    """Kendall's tau-b of user-id bucket (20 levels) vs deci-quantized
+    event value — concordant/discordant mass from dominance ledgers on
+    the 20 x value-grid rectangle, no all-pairs."""
+    from spark_timeseries_spark.operators.hypothesis import kendall_tau_b
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.where(F.col("value").isNotNull()).select(
+        F.pmod(F.col("user_id"), F.lit(20)).cast("double").alias("x"),
+        (F.floor(F.col("value") * 10 + 0.5) / 10).alias("y"),
+    )
+    out = kendall_tau_b(pts)
+    return out.select(
+        "n", "concordant", "discordant", "s",
+        _stable_round(F.col("tau_b"), 6).alias("tau_b"),
+        _stable_round(F.col("z"), 6).alias("z"),
+    )
+
+
+def _q_energy_distance(spark, sf_dir):
+    """Szekely-Rizzo energy distance between the two user-parity
+    cohorts' centi-quantized value distributions — every pairwise
+    |difference| sum collapsed to prefix-sum ledgers on the
+    distinct-value grid."""
+    from spark_timeseries_spark.operators.hypothesis import (
+        energy_distance,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.where(F.col("value").isNotNull()).select(
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("group"),
+        (F.floor(F.col("value") * 100 + 0.5) / 100).alias("value"),
+    )
+    out = energy_distance(pts)
+    return out.select(
+        "n1", "n2",
+        _stable_round(F.col("e_xy"), 6).alias("e_xy"),
+        _stable_round(F.col("e_xx"), 6).alias("e_xx"),
+        _stable_round(F.col("e_yy"), 6).alias("e_yy"),
+        _stable_round(F.col("energy"), 6).alias("energy"),
+        _stable_round(F.col("e_stat"), 6).alias("e_stat"),
+    )
+
+
 def _q_weibull_fit(spark, sf_dir):
     """Weibull median-rank-regression fit of inter-purchase gap hours
     per user — rank window + one OLS aggregate per key."""
@@ -6811,6 +6873,9 @@ _ALL_QUERIES = {
     "g_test": _q_g_test,
     "cohen_kappa": _q_cohen_kappa,
     "cochran_armitage": _q_cochran_armitage,
+    "anova_oneway": _q_anova_oneway,
+    "kendall_tau_b": _q_kendall_tau_b,
+    "energy_distance": _q_energy_distance,
 }
 
 # Driver window: the correctness harness records exactly the FIRST 50
@@ -18754,5 +18819,175 @@ def oracle_sql() -> dict[str, str]:
                {_sr_sql("zz * zz", 6)} AS chi2,
                zz * zz > 3.841 AS reject_05
         FROM z
+    """
+
+    o["anova_oneway"] = f"""
+        WITH p AS (
+            SELECT event_type AS g, value AS v FROM events
+            WHERE value IS NOT NULL
+        ),
+        gm AS (
+            SELECT g, CAST(count(*) AS DOUBLE) AS n, avg(v) AS m,
+                   var_samp(v) AS vv
+            FROM p GROUP BY 1
+        ),
+        a AS (
+            SELECT sum(n) AS nn, CAST(count(*) AS INT) AS k,
+                   sum(n * m) AS snm, sum(n * m * m) AS snm2,
+                   sum((n - 1.0) * coalesce(vv, 0.0)) AS ssw
+            FROM gm
+        ),
+        d AS (
+            SELECT nn, k, snm2 - snm * snm / nn AS ssb, ssw FROM a
+        )
+        SELECT CAST(nn AS BIGINT) AS n, k,
+               {_sr_sql("ssb", 4)} AS ss_between,
+               {_sr_sql("ssw", 4)} AS ss_within,
+               {_sr_sql(
+                   "CASE WHEN nn > k AND ssw > 0.0 THEN"
+                   " (ssb / (CAST(k AS DOUBLE) - 1.0))"
+                   " / (ssw / (nn - CAST(k AS DOUBLE))) END", 6
+               )} AS f_stat,
+               CAST(k - 1 AS INT) AS df1,
+               CAST(nn - k AS INT) AS df2,
+               {_sr_sql("ssb / nullif(ssb + ssw, 0)", 6)} AS eta_sq
+        FROM d
+    """
+
+    o["kendall_tau_b"] = f"""
+        WITH p AS (
+            SELECT CAST(user_id % 20 AS DOUBLE) AS x,
+                   floor(value * 10 + 0.5) / 10 AS y
+            FROM events WHERE value IS NOT NULL
+        ),
+        cells AS (
+            SELECT x, y, CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2
+        ),
+        xg AS (SELECT DISTINCT x FROM cells),
+        yg AS (SELECT DISTINCT y FROM cells),
+        dense AS (
+            SELECT xg.x, yg.y, coalesce(c.n, 0) AS n
+            FROM xg CROSS JOIN yg
+            LEFT JOIN cells c ON c.x = xg.x AND c.y = yg.y
+        ),
+        l1 AS (
+            SELECT *,
+                   coalesce(sum(n) OVER (PARTITION BY x ORDER BY y
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+                       0) AS gty,
+                   coalesce(sum(n) OVER (PARTITION BY x ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS lty
+            FROM dense
+        ),
+        l2 AS (
+            SELECT *,
+                   coalesce(sum(gty) OVER (PARTITION BY y ORDER BY x
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+                       0) AS cc,
+                   coalesce(sum(lty) OVER (PARTITION BY y ORDER BY x
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+                       0) AS dd
+            FROM l1
+        ),
+        pa AS (
+            SELECT CAST(sum(n) AS DOUBLE) AS nt,
+                   sum(CAST(n AS DOUBLE) * cc) AS c,
+                   sum(CAST(n AS DOUBLE) * dd) AS d
+            FROM l2
+        ),
+        mx AS (
+            SELECT sum(t * (t - 1.0) / 2.0) AS n1,
+                   sum(t * (t - 1.0) * (2.0 * t + 5.0)) AS vt,
+                   sum(t * (t - 1.0)) AS xt1,
+                   sum(t * (t - 1.0) * (t - 2.0)) AS xt2
+            FROM (SELECT CAST(sum(n) AS DOUBLE) AS t
+                  FROM cells GROUP BY x)
+        ),
+        my AS (
+            SELECT sum(t * (t - 1.0) / 2.0) AS n2,
+                   sum(t * (t - 1.0) * (2.0 * t + 5.0)) AS vu,
+                   sum(t * (t - 1.0)) AS yt1,
+                   sum(t * (t - 1.0) * (t - 2.0)) AS yt2
+            FROM (SELECT CAST(sum(n) AS DOUBLE) AS t
+                  FROM cells GROUP BY y)
+        ),
+        fin AS (
+            SELECT nt, c, d, n1, n2, vt, vu, xt1, xt2, yt1, yt2,
+                   nt * (nt - 1.0) / 2.0 AS n0,
+                   c - d AS s,
+                   nt * (nt - 1.0) * (2.0 * nt + 5.0) AS v0
+            FROM pa CROSS JOIN mx CROSS JOIN my
+        )
+        SELECT CAST(nt AS BIGINT) AS n,
+               CAST(c AS BIGINT) AS concordant,
+               CAST(d AS BIGINT) AS discordant,
+               CAST(s AS BIGINT) AS s,
+               {_sr_sql(
+                   "s / nullif(sqrt((n0 - n1) * (n0 - n2)), 0)", 6
+               )} AS tau_b,
+               {_sr_sql(
+                   "CASE WHEN (v0 - vt - vu) / 18.0"
+                   " + coalesce(xt1 * yt1 / nullif(2.0 * nt"
+                   " * (nt - 1.0), 0), 0)"
+                   " + coalesce(xt2 * yt2 / nullif(9.0 * nt * (nt - 1.0)"
+                   " * (nt - 2.0), 0), 0) > 0.0 THEN"
+                   " s / sqrt((v0 - vt - vu) / 18.0"
+                   " + coalesce(xt1 * yt1 / nullif(2.0 * nt"
+                   " * (nt - 1.0), 0), 0)"
+                   " + coalesce(xt2 * yt2 / nullif(9.0 * nt * (nt - 1.0)"
+                   " * (nt - 2.0), 0), 0)) END", 6
+               )} AS z
+        FROM fin
+    """
+
+    o["energy_distance"] = f"""
+        WITH p AS (
+            SELECT CAST(user_id % 2 AS INT) AS g,
+                   floor(value * 100 + 0.5) / 100 AS v
+            FROM events WHERE value IS NOT NULL
+        ),
+        cells AS (
+            SELECT v,
+                   CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS na,
+                   CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS nb
+            FROM p GROUP BY 1
+        ),
+        l AS (
+            SELECT *,
+                   coalesce(sum(na) OVER w, 0) AS ca,
+                   coalesce(sum(na * v) OVER w, 0) AS sa,
+                   coalesce(sum(nb) OVER w, 0) AS cb,
+                   coalesce(sum(nb * v) OVER w, 0) AS sb
+            FROM cells
+            WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING)
+        ),
+        a AS (
+            SELECT sum(na) AS n1, sum(nb) AS n2,
+                   sum(na * (v * cb - sb) + nb * (v * ca - sa)) AS sab,
+                   sum(na * (v * ca - sa)) AS saa,
+                   sum(nb * (v * cb - sb)) AS sbb
+            FROM l
+        ),
+        d AS (
+            SELECT n1, n2,
+                   sab / nullif(n1 * n2, 0) AS exy,
+                   2.0 * saa / nullif(n1 * n1, 0) AS exx,
+                   2.0 * sbb / nullif(n2 * n2, 0) AS eyy
+            FROM a
+        )
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               {_sr_sql("exy", 6)} AS e_xy,
+               {_sr_sql("exx", 6)} AS e_xx,
+               {_sr_sql("eyy", 6)} AS e_yy,
+               {_sr_sql("2.0 * exy - exx - eyy", 6)} AS energy,
+               {_sr_sql(
+                   "n1 * n2 / (n1 + n2) * (2.0 * exy - exx - eyy)", 6
+               )} AS e_stat
+        FROM d
     """
     return o

@@ -54,6 +54,12 @@ __all__ = [
     "wilcoxon_signed",
     "friedman",
     "chow",
+    "g_test",
+    "cohen_kappa",
+    "cochran_armitage",
+    "anova_oneway",
+    "kendall_tau_b",
+    "energy_distance",
 ]
 
 
@@ -946,4 +952,304 @@ def cochran_armitage(
         z.alias("z"),
         (z * z).alias("chi2"),
         (z * z > 3.841).alias("reject_05"),
+    )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str = "group",
+    value_col: str = "value",
+) -> DataFrame:
+    """One-way fixed-effects ANOVA F-test across k groups → ONE row:
+    (n, k, ss_between, ss_within, f_stat, df1, df2, eta_sq).
+    SSB = Σ n_j(x̄_j − x̄)², SSW = Σ(n_j − 1)s_j²,
+    F = (SSB/(k−1))/(SSW/(n−k)) (Fisher 1925); η² = SSB/(SSB+SSW) is
+    the variance-explained effect size. The k-group extension of
+    :func:`welch_t` under homoskedasticity (for a robust variant see
+    :func:`brown_forsythe_dow`'s median-centered form; for the rank
+    analog :func:`~.features.kruskal_dow`). At least two groups
+    required — raises otherwise (the srm_check discipline). F NULL
+    when SSW = 0 or any df ≤ 0 (try_divide). NULL values dropped;
+    empty input → ZERO rows (module convention). No p-value (F CDF
+    has no closed form — module convention).
+
+    Plan: ONE map-side-combinable groupBy(group) + a k-row reduce.
+    No windows on data, no joins, no Python."""
+    v = F.col(value_col).cast("double")
+    g = (
+        df.where(v.isNotNull())
+        .groupBy(F.col(group_col).alias("_g"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.avg(v).alias("_m"),
+            F.var_samp(v).alias("_v"),
+        )
+    )
+    agg = g.groupBy(F.lit(1).alias("_j")).agg(
+        F.sum("_n").alias("_nn"),
+        F.count(F.lit(1)).alias("_k"),
+        F.sum(F.col("_n").cast("double") * F.col("_m")).alias("_snm"),
+        F.sum(
+            F.col("_n").cast("double") * F.col("_m") * F.col("_m")
+        ).alias("_snm2"),
+        F.sum(
+            (F.col("_n") - 1).cast("double")
+            * F.coalesce(F.col("_v"), F.lit(0.0))
+        ).alias("_ssw"),
+    )
+    nd = F.col("_nn").cast("double")
+    kd = F.col("_k").cast("double")
+    ssb = F.col("_snm2") - F.col("_snm") * F.col("_snm") / nd
+    ssw = F.col("_ssw")
+    f_stat = F.try_divide(
+        F.try_divide(ssb, kd - 1.0), F.try_divide(ssw, nd - kd)
+    )
+    # k-check embedded in the emitted n (the srm_check pattern)
+    return agg.select(
+        F.when(F.col("_k") >= 2, F.col("_nn"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("anova_oneway needs >= 2 groups, got "),
+                    F.col("_k").cast("string"),
+                )
+            )
+        )
+        .cast("long")
+        .alias("n"),
+        F.col("_k").cast("int").alias("k"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        F.when((nd > kd) & (ssw > 0.0), f_stat).alias("f_stat"),
+        (F.col("_k") - 1).cast("int").alias("df1"),
+        (F.col("_nn") - F.col("_k")).cast("int").alias("df2"),
+        F.try_divide(ssb, ssb + ssw).alias("eta_sq"),
+    )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Kendall's τ-b rank correlation between two numeric columns →
+    ONE row: (n, concordant, discordant, s, tau_b, z).
+    τ_b = (C − D)/√((n₀ − n₁)(n₀ − n₂)) with n₀ = n(n−1)/2 and
+    n₁/n₂ the within-tie pair counts of each margin (Kendall 1945);
+    z uses the exact tie-corrected null variance
+    Var(S) = (v₀ − v_t − v_u)/18 + v₁ + v₂ (Kendall 1970, the scipy
+    formula). The PAIRWISE-column companion of the per-series trend
+    test :func:`~.cusum.mann_kendall` (x = time there) and the
+    rank-robust alternative to Pearson when outliers or monotone
+    nonlinearity would distort moments. NULL pairs dropped; τ/z NULL
+    when either margin is a single tie group (try_divide); empty
+    input → ZERO rows (module convention).
+
+    NOT an all-pairs join: rows collapse to the (x × y) VALUE-CELL
+    table in one pass; concordant/discordant pair mass comes from two
+    cumulative-dominance ledgers on the densified x-grid × y-grid
+    rectangle (the :func:`~.survival.concordance_index` pattern —
+    QUANTIZE continuous columns first at corpus scale), tie terms
+    from the two margin tables.
+
+    Plan: one groupBy(x, y) full-data pass; a |X|×|Y| crossJoin
+    densification; two window passes per direction on the bounded
+    grid; margin groupBys on the cell table; ONE reduce."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    cells = (
+        df.where(x.isNotNull() & y.isNotNull())
+        .groupBy(x.alias("_x"), y.alias("_y"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    xg = cells.select("_x").distinct()
+    yg = cells.select("_y").distinct()
+    dense = (
+        xg.crossJoin(yg)
+        .join(cells, ["_x", "_y"], "left")
+        .select(
+            "_x", "_y", F.coalesce(F.col("_n"), F.lit(0)).alias("_n")
+        )
+    )
+    w_y_hi = (
+        Window.partitionBy("_x").orderBy("_y")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    w_y_lo = (
+        Window.partitionBy("_x").orderBy("_y")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = dense.withColumn(
+        "_gty", F.coalesce(F.sum("_n").over(w_y_hi), F.lit(0))
+    ).withColumn(
+        "_lty", F.coalesce(F.sum("_n").over(w_y_lo), F.lit(0))
+    )
+    w_x_hi = (
+        Window.partitionBy("_y").orderBy("_x")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    d = d.withColumn(
+        "_cc", F.coalesce(F.sum("_gty").over(w_x_hi), F.lit(0))
+    ).withColumn(
+        "_dd", F.coalesce(F.sum("_lty").over(w_x_hi), F.lit(0))
+    )
+    nn = F.col("_n").cast("double")
+    pair_agg = d.groupBy(F.lit(1).alias("_j")).agg(
+        F.sum("_n").alias("_nt"),
+        F.sum(nn * F.col("_cc")).alias("_c"),
+        F.sum(nn * F.col("_dd")).alias("_d"),
+    )
+
+    def _margin(col):
+        t = cells.groupBy(col).agg(F.sum("_n").alias("_t"))
+        td = F.col("_t").cast("double")
+        return t.groupBy(F.lit(1).alias("_j")).agg(
+            F.sum(td * (td - 1.0) / 2.0).alias("_pairs"),
+            F.sum(td * (td - 1.0) * (2.0 * td + 5.0)).alias("_v"),
+            F.sum(td * (td - 1.0)).alias("_tt1"),
+            F.sum(td * (td - 1.0) * (td - 2.0)).alias("_tt2"),
+        )
+
+    mx = _margin("_x").select(
+        "_j",
+        F.col("_pairs").alias("_n1"), F.col("_v").alias("_vt"),
+        F.col("_tt1").alias("_xt1"), F.col("_tt2").alias("_xt2"),
+    )
+    my = _margin("_y").select(
+        "_j",
+        F.col("_pairs").alias("_n2"), F.col("_v").alias("_vu"),
+        F.col("_tt1").alias("_yt1"), F.col("_tt2").alias("_yt2"),
+    )
+    j = pair_agg.join(F.broadcast(mx), "_j").join(F.broadcast(my), "_j")
+    nd = F.col("_nt").cast("double")
+    n0 = nd * (nd - 1.0) / 2.0
+    s = F.col("_c") - F.col("_d")
+    tau = F.try_divide(
+        s,
+        F.sqrt((n0 - F.col("_n1")) * (n0 - F.col("_n2"))),
+    )
+    v0 = nd * (nd - 1.0) * (2.0 * nd + 5.0)
+    v1 = F.try_divide(
+        F.col("_xt1") * F.col("_yt1"), 2.0 * nd * (nd - 1.0)
+    )
+    v2 = F.try_divide(
+        F.col("_xt2") * F.col("_yt2"),
+        9.0 * nd * (nd - 1.0) * (nd - 2.0),
+    )
+    var_s = (
+        (v0 - F.col("_vt") - F.col("_vu")) / 18.0
+        + F.coalesce(v1, F.lit(0.0))
+        + F.coalesce(v2, F.lit(0.0))
+    )
+    return j.select(
+        F.col("_nt").cast("long").alias("n"),
+        F.col("_c").cast("long").alias("concordant"),
+        F.col("_d").cast("long").alias("discordant"),
+        s.cast("long").alias("s"),
+        tau.alias("tau_b"),
+        F.when(var_s > 0.0, s / F.sqrt(var_s)).alias("z"),
+    )
+
+
+def energy_distance(
+    df: DataFrame,
+    group_col: str = "group",
+    value_col: str = "value",
+) -> DataFrame:
+    """Székely-Rizzo energy distance between two groups' value
+    distributions → ONE row: (n1, n2, e_xy, e_xx, e_yy, energy, e_stat).
+    e_xy = E|X−Y|, e_xx = E|X−X'|, e_yy = E|Y−Y'| (expectations over
+    independent draws); energy = 2e_xy − e_xx − e_yy ≥ 0, zero iff the
+    distributions coincide; e_stat = (n₁n₂/(n₁+n₂))·energy is the
+    two-sample test statistic (Székely & Rizzo 2004). Sensitive to ANY
+    distributional difference — location, scale, shape — where KS
+    (sup-CDF) underweights tails; metric-scale, unlike rank tests.
+    Group 1 = the lexicographically smaller group value; exactly two
+    groups required (raises, the srm_check discipline). NULL values
+    dropped; empty input → ZERO rows.
+
+    NOT an all-pairs join: every pairwise-|difference| sum collapses
+    to cumulative count/sum ledgers on the DISTINCT-VALUE grid —
+    Σ_{i,j}|v_i − w_j| = Σ_v n_v·(v·cnt_below(v) − sum_below(v)) + …
+    (the sorted prefix-sum identity) — so cost is grid-bounded
+    (quantize a continuous column first at corpus scale).
+
+    Plan: one groupBy(value) full-data pass with conditional group
+    counts (group-cardinality gate embedded); four cumulative windows
+    on the distinct-value grid; ONE reduce. No joins, no Python."""
+    v = F.col(value_col).cast("double")
+    pts = df.where(v.isNotNull()).select(
+        F.col(group_col).alias("_g"), v.alias("_v")
+    )
+    kg = pts.groupBy(F.lit(1).alias("_j")).agg(
+        F.countDistinct("_g").alias("_k"),
+        F.min("_g").alias("_g1"),
+    )
+    cells = (
+        pts.crossJoin(F.broadcast(kg))
+        .select(
+            "_v",
+            # k-check embedded in the per-row group indicator (the
+            # guard-placement rule: every surviving row flows through)
+            F.when(
+                F.col("_k") == 2, (F.col("_g") == F.col("_g1"))
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("energy_distance needs exactly 2 "
+                              "groups, got "),
+                        F.col("_k").cast("string"),
+                    )
+                )
+            )
+            .alias("_isa"),
+        )
+        .groupBy("_v")
+        .agg(
+            F.sum(F.col("_isa").cast("long")).alias("_na"),
+            F.sum((~F.col("_isa")).cast("long")).alias("_nb"),
+        )
+    )
+    w_lo = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    d = cells.select(
+        "_v", "_na", "_nb",
+        F.coalesce(F.sum(na).over(w_lo), F.lit(0.0)).alias("_ca"),
+        F.coalesce(F.sum(na * F.col("_v")).over(w_lo), F.lit(0.0))
+        .alias("_sa"),
+        F.coalesce(F.sum(nb).over(w_lo), F.lit(0.0)).alias("_cb"),
+        F.coalesce(F.sum(nb * F.col("_v")).over(w_lo), F.lit(0.0))
+        .alias("_sb"),
+    )
+    vv = F.col("_v")
+    agg = d.groupBy(F.lit(1).alias("_j")).agg(
+        F.sum("_na").alias("_n1"),
+        F.sum("_nb").alias("_n2"),
+        # unordered pair sums of |vi - vj|, each pair counted once at
+        # its LARGER value via the below-ledgers
+        F.sum(
+            na * (vv * F.col("_cb") - F.col("_sb"))
+            + nb * (vv * F.col("_ca") - F.col("_sa"))
+        ).alias("_sab"),
+        F.sum(na * (vv * F.col("_ca") - F.col("_sa"))).alias("_saa"),
+        F.sum(nb * (vv * F.col("_cb") - F.col("_sb"))).alias("_sbb"),
+    )
+    n1 = F.col("_n1").cast("double")
+    n2 = F.col("_n2").cast("double")
+    e_xy = F.try_divide(F.col("_sab"), n1 * n2)
+    e_xx = F.try_divide(2.0 * F.col("_saa"), n1 * n1)
+    e_yy = F.try_divide(2.0 * F.col("_sbb"), n2 * n2)
+    energy = 2.0 * e_xy - e_xx - e_yy
+    return agg.select(
+        F.col("_n1").cast("long").alias("n1"),
+        F.col("_n2").cast("long").alias("n2"),
+        e_xy.alias("e_xy"),
+        e_xx.alias("e_xx"),
+        e_yy.alias("e_yy"),
+        energy.alias("energy"),
+        (n1 * n2 / (n1 + n2) * energy).alias("e_stat"),
     )

@@ -1580,3 +1580,42 @@ def test_r14_contingency_plans(spark):
     )
     _, _, p = _counts(cochran_armitage(dosed))
     assert "Join" not in p and "Window" not in p and "InPandas" not in p, p
+
+
+def test_r14_rank_distance_plans(spark):
+    """anova_oneway: one combinable groupBy + a k-row reduce — no
+    joins, no windows on data, no Python; kendall_tau_b: ONE full-data
+    groupBy(x, y); the only joins are the grid densification cross +
+    the broadcast cell lookup (+ one-row margin broadcasts) — no
+    SortMergeJoin, no Python; energy_distance: one groupBy(value) with
+    the broadcast k-gate, grid windows, one reduce — no data-sized
+    joins, no Python."""
+    from spark_timeseries_spark.operators.hypothesis import (
+        anova_oneway,
+        energy_distance,
+        kendall_tau_b,
+    )
+    from spark_timeseries_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    _, _, p = _counts(
+        anova_oneway(ev, group_col="event_type", value_col="value"))
+    assert "Join" not in p and "Window" not in p and "InPandas" not in p, p
+
+    pts = ev.where(F.col("value").isNotNull()).select(
+        F.pmod(F.col("user_id"), F.lit(20)).cast("double").alias("x"),
+        (F.floor(F.col("value") * 10 + 0.5) / 10).alias("y"),
+    )
+    _, _, p = _counts(kendall_tau_b(pts))
+    assert "SortMergeJoin" not in p and "InPandas" not in p, p
+    # exactly 3 broadcast nested-loop joins: the xg x yg densification
+    # cross + the two ONE-ROW margin attaches (constant-key equi-joins
+    # fold to BNLJ) — nothing data-sized
+    assert len(re.findall(r"BroadcastNestedLoopJoin", p)) == 3, p
+
+    ed = ev.where(F.col("value").isNotNull()).select(
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("group"),
+        (F.floor(F.col("value") * 100 + 0.5) / 100).alias("value"),
+    )
+    _, _, p = _counts(energy_distance(ed))
+    assert "SortMergeJoin" not in p and "InPandas" not in p, p

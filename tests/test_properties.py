@@ -919,3 +919,97 @@ def test_cochran_armitage_properties(spark, pts):
     c = cochran_armitage(aff).collect()[0]
     assert abs(a.z - c.z) < 1e-9
     assert abs(a.chi2 - a.z * a.z) < 1e-12
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 4)),
+        min_size=4, max_size=50,
+    ),
+)
+def test_kendall_tau_b_properties(spark, pts):
+    """tau_b in [-1, 1]; antisymmetric under y negation (concordant
+    and discordant swap); invariant under strictly increasing
+    transforms of either margin; tau_b(x, x) = 1 when x varies."""
+    from spark_timeseries_spark.operators.hypothesis import kendall_tau_b
+
+    rows = [(float(x), float(y)) for x, y in pts]
+    df = spark.createDataFrame(rows, "x double, y double")
+    a = kendall_tau_b(df).collect()[0]
+    if a.tau_b is None:
+        return
+    assert -1.0 - 1e-12 <= a.tau_b <= 1.0 + 1e-12
+    neg = df.select("x", (-F.col("y")).alias("y"))
+    b = kendall_tau_b(neg).collect()[0]
+    assert b.concordant == a.discordant and b.discordant == a.concordant
+    assert abs(a.tau_b + b.tau_b) < 1e-12
+    mono = df.select(
+        (F.col("x") * 2.0 + 1.0).alias("x"),
+        (F.col("y") * 3.0 - 4.0).alias("y"),
+    )
+    c = kendall_tau_b(mono).collect()[0]
+    assert c.concordant == a.concordant and c.discordant == a.discordant
+    self_df = df.select("x", F.col("x").alias("y"))
+    s = kendall_tau_b(self_df).collect()[0]
+    if s.tau_b is not None:
+        assert abs(s.tau_b - 1.0) < 1e-12
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    a=st.lists(st.integers(-10, 10), min_size=2, max_size=30),
+    b=st.lists(st.integers(-10, 10), min_size=2, max_size=30),
+)
+def test_energy_distance_properties(spark, a, b):
+    """energy >= 0; exactly 0 (and e_stat 0) when the two samples are
+    identical multisets; symmetric in group order."""
+    from spark_timeseries_spark.operators.hypothesis import (
+        energy_distance,
+    )
+
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "group string, value double")
+    e = energy_distance(df).collect()[0]
+    assert e.energy >= -1e-9
+    sym_rows = [("b", float(v)) for v in a] + [("a", float(v)) for v in b]
+    sdf = spark.createDataFrame(sym_rows, "group string, value double")
+    es = energy_distance(sdf).collect()[0]
+    assert abs(e.energy - es.energy) < 1e-9
+    assert abs(e.e_xy - es.e_xy) < 1e-9
+    same = spark.createDataFrame(
+        [("a", float(v)) for v in a] + [("b", float(v)) for v in a],
+        "group string, value double",
+    )
+    z = energy_distance(same).collect()[0]
+    assert abs(z.energy) < 1e-9 and abs(z.e_stat) < 1e-9
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(-20, 20)),
+        min_size=4, max_size=50,
+    ).filter(lambda xs: len({g for g, _ in xs}) >= 2),
+)
+def test_anova_oneway_properties(spark, pts):
+    """SSB + SSW equals the total sum of squares; F and eta_sq are
+    nonnegative; location shift of every value leaves SSB/SSW/F
+    unchanged."""
+    from spark_timeseries_spark.operators.hypothesis import anova_oneway
+
+    rows = [(g, float(v)) for g, v in pts]
+    df = spark.createDataFrame(rows, "group string, value double")
+    a = anova_oneway(df).collect()[0]
+    vals = [v for _, v in rows]
+    gm = sum(vals) / len(vals)
+    sst = sum((v - gm) ** 2 for v in vals)
+    assert abs((a.ss_between + a.ss_within) - sst) < 1e-6 * max(1, sst)
+    assert a.ss_between >= -1e-9 and a.ss_within >= -1e-9
+    if a.f_stat is not None:
+        assert a.f_stat >= -1e-12
+    assert 0.0 - 1e-12 <= (a.eta_sq or 0.0) <= 1.0 + 1e-12
+    shifted = df.select("group", (F.col("value") + 100.0).alias("value"))
+    s = anova_oneway(shifted).collect()[0]
+    assert abs(a.ss_between - s.ss_between) < 1e-6
+    assert abs(a.ss_within - s.ss_within) < 1e-6
