@@ -6204,6 +6204,67 @@ def _q_energy_distance(spark, sf_dir):
     )
 
 
+def _q_partial_corr(spark, sf_dir):
+    """Partial correlation of lineitem extended price and quantity
+    controlling for discount — does the price-quantity association
+    survive the confounder; ONE nine-moment aggregate."""
+    from spark_timeseries_spark.operators.hypothesis import partial_corr
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_extendedprice").cast("double").alias("x"),
+        F.col("l_quantity").cast("double").alias("y"),
+        F.col("l_discount").cast("double").alias("z"),
+    )
+    out = partial_corr(pts)
+    return out.select(
+        "n",
+        _stable_round(F.col("r_xy"), 6).alias("r_xy"),
+        _stable_round(F.col("r_xz"), 6).alias("r_xz"),
+        _stable_round(F.col("r_yz"), 6).alias("r_yz"),
+        _stable_round(F.col("r_partial"), 6).alias("r_partial"),
+    )
+
+
+def _q_theil_u(spark, sf_dir):
+    """Theil's uncertainty coefficients of document language vs source
+    — the ASYMMETRIC association readout on the cramers_v/g_test
+    contingency table (how much of lang does source explain, and
+    vice versa)."""
+    from spark_timeseries_spark.operators.hypothesis import theil_u
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = theil_u(docs, "lang", "source")
+    return out.select(
+        "n",
+        _stable_round(F.col("h_a"), 6).alias("h_a"),
+        _stable_round(F.col("h_b"), 6).alias("h_b"),
+        _stable_round(F.col("mi"), 6).alias("mi"),
+        _stable_round(F.col("u_a_given_b"), 6).alias("u_a_given_b"),
+        _stable_round(F.col("u_b_given_a"), 6).alias("u_b_given_a"),
+    )
+
+
+def _q_hellinger(spark, sf_dir):
+    """Hellinger / Bhattacharyya distance between the two user-parity
+    cohorts' deci-binned value distributions — the bounded metric
+    companion of the psi_drift and energy_distance rows."""
+    from spark_timeseries_spark.pipeline.drift import hellinger
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.where(F.col("value").isNotNull()).select(
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("group"),
+        (F.floor(F.col("value") * 10 + 0.5) / 10).alias("value"),
+    )
+    out = hellinger(pts)
+    return out.select(
+        "n1", "n2",
+        _stable_round(F.col("bc"), 6).alias("bc"),
+        _stable_round(F.col("hellinger"), 6).alias("hellinger"),
+        _stable_round(F.col("bhattacharyya"), 6).alias("bhattacharyya"),
+    )
+
+
 def _q_weibull_fit(spark, sf_dir):
     """Weibull median-rank-regression fit of inter-purchase gap hours
     per user — rank window + one OLS aggregate per key."""
@@ -6876,6 +6937,9 @@ _ALL_QUERIES = {
     "anova_oneway": _q_anova_oneway,
     "kendall_tau_b": _q_kendall_tau_b,
     "energy_distance": _q_energy_distance,
+    "partial_corr": _q_partial_corr,
+    "theil_u": _q_theil_u,
+    "hellinger": _q_hellinger,
 }
 
 # Driver window: the correctness harness records exactly the FIRST 50
@@ -18988,6 +19052,118 @@ def oracle_sql() -> dict[str, str]:
                {_sr_sql(
                    "n1 * n2 / (n1 + n2) * (2.0 * exy - exx - eyy)", 6
                )} AS e_stat
+        FROM d
+    """
+
+    o["partial_corr"] = f"""
+        WITH p AS (
+            SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+                   CAST(l_quantity AS DOUBLE) AS y,
+                   CAST(l_discount AS DOUBLE) AS z
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL
+              AND l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        ),
+        a AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   avg(x * x) AS mxx, avg(y * y) AS myy,
+                   avg(z * z) AS mzz, avg(x * y) AS mxy,
+                   avg(x * z) AS mxz, avg(y * z) AS myz,
+                   avg(x) AS mx, avg(y) AS my, avg(z) AS mz
+            FROM p
+        ),
+        r AS (
+            SELECT n,
+                   (mxy - mx * my) / nullif(sqrt((mxx - mx * mx)
+                       * (myy - my * my)), 0) AS rxy,
+                   (mxz - mx * mz) / nullif(sqrt((mxx - mx * mx)
+                       * (mzz - mz * mz)), 0) AS rxz,
+                   (myz - my * mz) / nullif(sqrt((myy - my * my)
+                       * (mzz - mz * mz)), 0) AS ryz
+            FROM a
+        )
+        SELECT n,
+               {_sr_sql("rxy", 6)} AS r_xy,
+               {_sr_sql("rxz", 6)} AS r_xz,
+               {_sr_sql("ryz", 6)} AS r_yz,
+               {_sr_sql(
+                   "(rxy - rxz * ryz) / nullif(sqrt((1.0 - rxz * rxz)"
+                   " * (1.0 - ryz * ryz)), 0)", 6
+               )} AS r_partial
+        FROM r
+    """
+
+    o["theil_u"] = f"""
+        WITH p AS (
+            SELECT lang AS a, source AS b FROM documents
+            WHERE lang IS NOT NULL AND source IS NOT NULL
+        ),
+        cells AS (
+            SELECT a, b, CAST(count(*) AS DOUBLE) AS oo
+            FROM p GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT *, sum(oo) OVER (PARTITION BY a) AS ra,
+                   sum(oo) OVER (PARTITION BY b) AS cb
+            FROM cells
+        ),
+        mia AS (
+            SELECT sum(oo) AS nd, sum(oo * ln(oo / (ra * cb))) AS s
+            FROM m
+        ),
+        ea AS (
+            SELECT sum(t * ln(t)) AS e FROM (
+                SELECT sum(oo) AS t FROM cells GROUP BY a)
+        ),
+        eb AS (
+            SELECT sum(t * ln(t)) AS e FROM (
+                SELECT sum(oo) AS t FROM cells GROUP BY b)
+        ),
+        fin AS (
+            SELECT nd,
+                   ln(nd) - ea.e / nd AS ha,
+                   ln(nd) - eb.e / nd AS hb,
+                   (s + nd * ln(nd)) / nd AS mi
+            FROM mia CROSS JOIN ea CROSS JOIN eb
+        )
+        SELECT CAST(nd AS BIGINT) AS n,
+               {_sr_sql("ha", 6)} AS h_a,
+               {_sr_sql("hb", 6)} AS h_b,
+               {_sr_sql("mi", 6)} AS mi,
+               {_sr_sql("mi / nullif(ha, 0)", 6)} AS u_a_given_b,
+               {_sr_sql("mi / nullif(hb, 0)", 6)} AS u_b_given_a
+        FROM fin
+    """
+
+    o["hellinger"] = f"""
+        WITH p AS (
+            SELECT CAST(user_id % 2 AS INT) AS g,
+                   floor(value * 10 + 0.5) / 10 AS v
+            FROM events WHERE value IS NOT NULL
+        ),
+        cells AS (
+            SELECT v,
+                   CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS na,
+                   CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS nb
+            FROM p GROUP BY 1
+        ),
+        a AS (
+            SELECT sum(na) AS n1, sum(nb) AS n2,
+                   sum(sqrt(na * nb)) AS sroot
+            FROM cells
+        ),
+        d AS (
+            SELECT n1, n2, sroot / nullif(sqrt(n1 * n2), 0) AS bc
+            FROM a
+        )
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               {_sr_sql("bc", 6)} AS bc,
+               {_sr_sql("sqrt(greatest(0.0, 1.0 - bc))", 6)} AS hellinger,
+               {_sr_sql(
+                   "CASE WHEN bc > 0.0 THEN -ln(bc) END", 6
+               )} AS bhattacharyya
         FROM d
     """
     return o

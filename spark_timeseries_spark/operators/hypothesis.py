@@ -60,6 +60,8 @@ __all__ = [
     "anova_oneway",
     "kendall_tau_b",
     "energy_distance",
+    "partial_corr",
+    "theil_u",
 ]
 
 
@@ -1252,4 +1254,136 @@ def energy_distance(
         e_yy.alias("e_yy"),
         energy.alias("energy"),
         (n1 * n2 / (n1 + n2) * energy).alias("e_stat"),
+    )
+
+
+def partial_corr(
+    df: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    z_col: str = "z",
+) -> DataFrame:
+    """First-order partial correlation of x and y CONTROLLING for z →
+    ONE row: (n, r_xy, r_xz, r_yz, r_partial).
+    r_xy·z = (r_xy − r_xz·r_yz)/√((1 − r_xz²)(1 − r_yz²)) (Fisher
+    1924) — "does the x↔y association survive once the confounder z is
+    held fixed", the cheapest confounding probe before a regression.
+    The cross-sectional cousin of :func:`~.rolling.pacf` (which
+    partials out intermediate LAGS of one series; this partials a
+    third COLUMN). Rows with any NULL among x/y/z are dropped (the
+    correlations must share one sample). r_partial NULL when either
+    controlling correlation is degenerate (|r| = 1 or a zero-variance
+    margin — try_divide). Empty input → ZERO rows (module convention).
+
+    Plan: ONE map-side-combinable aggregate of the 9 pairwise moments
+    — no groupBy key, no windows, no joins, no Python."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    z = F.col(z_col).cast("double")
+    pts = df.where(x.isNotNull() & y.isNotNull() & z.isNotNull()).select(
+        x.alias("_x"), y.alias("_y"), z.alias("_z")
+    )
+    agg = pts.groupBy(F.lit(1).alias("_j")).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.avg(F.col(a) * F.col(b)).alias(f"_m{a[1]}{b[1]}")
+            for a, b in (
+                ("_x", "_x"), ("_y", "_y"), ("_z", "_z"),
+                ("_x", "_y"), ("_x", "_z"), ("_y", "_z"),
+            )
+        ],
+        F.avg("_x").alias("_mx"),
+        F.avg("_y").alias("_my"),
+        F.avg("_z").alias("_mz"),
+    )
+
+    def corr(ab, a, b):
+        cov = F.col(f"_m{ab}") - F.col(f"_m{a}") * F.col(f"_m{b}")
+        va = F.col(f"_m{a}{a}") - F.col(f"_m{a}") * F.col(f"_m{a}")
+        vb = F.col(f"_m{b}{b}") - F.col(f"_m{b}") * F.col(f"_m{b}")
+        return F.try_divide(cov, F.sqrt(va * vb))
+
+    agg = agg.select(
+        "n",
+        corr("xy", "x", "y").alias("r_xy"),
+        corr("xz", "x", "z").alias("r_xz"),
+        corr("yz", "y", "z").alias("r_yz"),
+    )
+    num = F.col("r_xy") - F.col("r_xz") * F.col("r_yz")
+    den = F.sqrt(
+        (1.0 - F.col("r_xz") * F.col("r_xz"))
+        * (1.0 - F.col("r_yz") * F.col("r_yz"))
+    )
+    return agg.select(
+        "n", "r_xy", "r_xz", "r_yz",
+        F.try_divide(num, den).alias("r_partial"),
+    )
+
+
+def theil_u(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Theil's uncertainty coefficient between two CATEGORICAL columns
+    → ONE row: (n, h_a, h_b, mi, u_a_given_b, u_b_given_a).
+    U(a|b) = I(a;b)/H(a) ∈ [0, 1]: the fraction of a's entropy that
+    knowing b removes (Theil 1970) — the ASYMMETRIC association
+    readout :func:`cramers_v` and :func:`g_test` cannot give ("source
+    determines language" vs "language determines source" are different
+    numbers here). I = Σ (o/n)·ln(o·n/(r_a·c_b)) over the cell table
+    (plug-in MI in nats; empty cells vanish in the limit, the g_test
+    argument); H from the margins. U NULL when the conditioned
+    margin is constant (H = 0 — nothing to explain; try_divide). NULL
+    categories dropped; empty input → ZERO rows (module convention).
+    The categorical-column sibling of the series-level
+    :func:`~.infotheory.mutual_information` (median-binarized there).
+
+    Plan: ONE groupBy(a, b) full-data pass; MI from the cell table
+    with window margins, entropies from the two margin re-aggregates
+    (one-row broadcasts). No data-sized joins, no Python."""
+    cells = (
+        df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
+    wa = Window.partitionBy("_a")
+    wb = Window.partitionBy("_b")
+    o = F.col("_o").cast("double")
+    term = o * F.log(
+        o / (
+            F.sum("_o").over(wa).cast("double")
+            * F.sum("_o").over(wb).cast("double")
+        )
+    )
+    mi_agg = cells.select("_o", term.alias("_t")).groupBy(
+        F.lit(1).alias("_j")
+    ).agg(
+        F.sum("_o").alias("_n"),
+        F.sum("_t").alias("_s"),
+    )
+
+    def _entropy(col, out):
+        m = cells.groupBy(col).agg(F.sum("_o").alias("_t"))
+        td = F.col("_t").cast("double")
+        return m.groupBy(F.lit(1).alias("_j")).agg(
+            F.sum(td * F.log(td)).alias(out),
+            F.sum("_t").alias(f"{out}_n"),
+        )
+
+    ha = _entropy("_a", "_ea")
+    hb = _entropy("_b", "_eb")
+    j = mi_agg.join(F.broadcast(ha), "_j").join(F.broadcast(hb), "_j")
+    nd = F.col("_n").cast("double")
+    # H = ln n − Σ t ln t / n; MI = (Σ o ln(o/(ra·cb)) + n ln n)/n
+    h_a = F.log(nd) - F.col("_ea") / nd
+    h_b = F.log(nd) - F.col("_eb") / nd
+    mi = (F.col("_s") + nd * F.log(nd)) / nd
+    return j.select(
+        F.col("_n").cast("long").alias("n"),
+        h_a.alias("h_a"),
+        h_b.alias("h_b"),
+        mi.alias("mi"),
+        F.try_divide(mi, h_a).alias("u_a_given_b"),
+        F.try_divide(mi, h_b).alias("u_b_given_a"),
     )

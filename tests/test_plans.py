@@ -1619,3 +1619,38 @@ def test_r14_rank_distance_plans(spark):
     )
     _, _, p = _counts(energy_distance(ed))
     assert "SortMergeJoin" not in p and "InPandas" not in p, p
+
+
+def test_r14_assoc_drift_plans(spark):
+    """partial_corr: ONE nine-moment aggregate — no joins, no windows,
+    no Python; theil_u: one full-data groupBy(a, b), cell-table
+    windows + one-row entropy broadcasts — no data-sized joins, no
+    Python; hellinger: one groupBy(value) with the broadcast k-gate +
+    one reduce — no windows, no data-sized joins, no Python."""
+    from spark_timeseries_spark.operators.hypothesis import (
+        partial_corr,
+        theil_u,
+    )
+    from spark_timeseries_spark.pipeline.drift import hellinger
+    from spark_timeseries_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    pts = ev.select(
+        F.col("value").alias("x"),
+        (F.col("value") * 2).alias("y"),
+        F.col("user_id").cast("double").alias("z"),
+    )
+    _, _, p = _counts(partial_corr(pts))
+    assert "Join" not in p and "Window" not in p and "InPandas" not in p, p
+
+    docs = load_table(spark, SF, "documents")
+    _, _, p = _counts(theil_u(docs, "lang", "source"))
+    assert "SortMergeJoin" not in p and "InPandas" not in p, p
+
+    hd = ev.where(F.col("value").isNotNull()).select(
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("group"),
+        (F.floor(F.col("value") * 10 + 0.5) / 10).alias("value"),
+    )
+    _, _, p = _counts(hellinger(hd))
+    assert "SortMergeJoin" not in p and "Window" not in p, p
+    assert "InPandas" not in p, p

@@ -1013,3 +1013,96 @@ def test_anova_oneway_properties(spark, pts):
     s = anova_oneway(shifted).collect()[0]
     assert abs(a.ss_between - s.ss_between) < 1e-6
     assert abs(a.ss_within - s.ss_within) < 1e-6
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(st.sampled_from("abc"), st.sampled_from("abde")),
+        min_size=4, max_size=60,
+    ),
+)
+def test_theil_u_properties(spark, pairs):
+    """U(a|b) and U(b|a) lie in [0, 1]; MI <= min(H_a, H_b);
+    U(a|b) = 1 when a is a function of b; MI is symmetric in
+    argument order."""
+    from spark_timeseries_spark.operators.hypothesis import theil_u
+
+    df = spark.createDataFrame(list(pairs), "a string, b string")
+    t = theil_u(df, "a", "b").collect()[0]
+    assert t.mi >= -1e-9
+    assert t.mi <= min(t.h_a, t.h_b) + 1e-9
+    for u in (t.u_a_given_b, t.u_b_given_a):
+        if u is not None:
+            assert -1e-9 <= u <= 1.0 + 1e-9
+    t2 = theil_u(df, "b", "a").collect()[0]
+    assert abs(t.mi - t2.mi) < 1e-9
+    det = df.select(F.upper(F.col("b")).alias("a"), "b")
+    td = theil_u(det, "a", "b").collect()[0]
+    if td.u_a_given_b is not None:
+        assert abs(td.u_a_given_b - 1.0) < 1e-9
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    a=st.lists(st.integers(-8, 8), min_size=2, max_size=30),
+    b=st.lists(st.integers(-8, 8), min_size=2, max_size=30),
+)
+def test_hellinger_properties(spark, a, b):
+    """H in [0, 1]; 0 for identical distributions; 1 exactly on
+    disjoint supports (bhattacharyya NULL there); symmetric in group
+    order."""
+    from spark_timeseries_spark.pipeline.drift import hellinger
+
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "group string, value double")
+    h = hellinger(df).collect()[0]
+    assert -1e-12 <= h.hellinger <= 1.0 + 1e-12
+    sym = spark.createDataFrame(
+        [("b", float(v)) for v in a] + [("a", float(v)) for v in b],
+        "group string, value double",
+    )
+    hs = hellinger(sym).collect()[0]
+    assert abs(h.hellinger - hs.hellinger) < 1e-12
+    same = spark.createDataFrame(
+        [("a", float(v)) for v in a] + [("b", float(v)) for v in a],
+        "group string, value double",
+    )
+    hz = hellinger(same).collect()[0]
+    assert abs(hz.hellinger) < 1e-7
+    disj = spark.createDataFrame(
+        [("a", float(v)) for v in a]
+        + [("b", float(v) + 100.0) for v in b],
+        "group string, value double",
+    )
+    hd = hellinger(disj).collect()[0]
+    assert abs(hd.hellinger - 1.0) < 1e-12
+    assert hd.bhattacharyya is None
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    triples=st.lists(
+        st.tuples(
+            st.integers(-10, 10), st.integers(-10, 10),
+            st.integers(-10, 10),
+        ),
+        min_size=4, max_size=40,
+    ),
+)
+def test_partial_corr_properties(spark, triples):
+    """All four correlations lie in [-1, 1]; partialling out a
+    CONSTANT-independent z leaves r_xy unchanged; r(x, x, z) partial
+    is 1 where defined."""
+    from spark_timeseries_spark.operators.hypothesis import partial_corr
+
+    rows = [(float(x), float(y), float(z)) for x, y, z in triples]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    r = partial_corr(df).collect()[0]
+    for c in (r.r_xy, r.r_xz, r.r_yz, r.r_partial):
+        if c is not None:
+            assert -1.0 - 1e-9 <= c <= 1.0 + 1e-9
+    selfd = df.select("x", F.col("x").alias("y"), "z")
+    rs = partial_corr(selfd).collect()[0]
+    if rs.r_partial is not None:
+        assert abs(rs.r_partial - 1.0) < 1e-6
