@@ -1043,7 +1043,13 @@ def kendall_tau_b(
     formula). The PAIRWISE-column companion of the per-series trend
     test :func:`~.cusum.mann_kendall` (x = time there) and the
     rank-robust alternative to Pearson when outliers or monotone
-    nonlinearity would distort moments. NULL pairs dropped; τ/z NULL
+    nonlinearity would distort moments. Distinct from
+    :func:`~.rankcorr.kendall_tau`, which takes two NAMED SERIES from
+    a long table (loc-aligned overlap, O(T²) join / O(T log T)
+    merge-kernel plans, no z): use that for a series pair; use THIS
+    for two row-level columns whose value cardinalities are bounded —
+    the cell-collapsed grid plan is O(|X|·|Y|) regardless of row
+    count and stays entirely JVM-side, and it ships the test z. NULL pairs dropped; τ/z NULL
     when either margin is a single tie group (try_divide); empty
     input → ZERO rows (module convention).
 
@@ -1166,6 +1172,10 @@ def energy_distance(
     two-sample test statistic (Székely & Rizzo 2004). Sensitive to ANY
     distributional difference — location, scale, shape — where KS
     (sup-CDF) underweights tails; metric-scale, unlike rank tests.
+    Complements :func:`~..pipeline.drift.wasserstein_halves` (W₁ of a
+    series' first vs second half — a fixed temporal split there; an
+    arbitrary two-group column here, and energy is the quadratic-
+    kernel distance, not W₁).
     Group 1 = the lexicographically smaller group value; exactly two
     groups required (raises, the srm_check discipline). NULL values
     dropped; empty input → ZERO rows.

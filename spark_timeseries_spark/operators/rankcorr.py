@@ -277,7 +277,14 @@ def kendall_tau(
     inversion-count grouped-map kernel above it (8192² /2 ≈ 3.4·10⁷
     join rows is where the quadratic plan stops being cheap);
     "join" / "mergesort" force one strategy. Both produce the exact
-    same integer counters (parity-pinned at the threshold boundary)."""
+    same integer counters (parity-pinned at the threshold boundary).
+
+    For τ-b between two row-level COLUMNS (not two named series) with
+    bounded value cardinalities, prefer
+    :func:`~.hypothesis.kendall_tau_b` — its cell-collapsed grid plan
+    is O(|X|·|Y|) independent of row count and also ships the
+    tie-corrected test z; this function's pair plans are the right
+    tool when the inputs are long-format series aligned by loc."""
     if method not in ("auto", "join", "mergesort"):
         raise ValueError(
             f"method must be auto|join|mergesort, got {method}"
