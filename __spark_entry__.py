@@ -17983,6 +17983,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(n_chars AS DOUBLE) AS s,
                    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS l
             FROM documents
+            WHERE lang IS NOT NULL AND n_chars IS NOT NULL
         ),
         g AS (
             SELECT s, sum(l) AS np, sum(1.0 - l) AS nn
@@ -18536,14 +18537,21 @@ def oracle_sql() -> dict[str, str]:
                        AS s,
                    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS l
             FROM documents
+            -- mirror the operator's NULL-row drop STRUCTURALLY (the
+            -- mrr-oracle rule): a NULL lang maps to a NULL label on
+            -- the Spark side and the row is dropped, not counted as 0
+            WHERE lang IS NOT NULL AND n_chars IS NOT NULL
         ),
         g AS (
-            SELECT s, CAST(count(*) AS DOUBLE) AS nk, avg(l) AS yk
+            SELECT s, CAST(count(*) AS DOUBLE) AS nk, avg(l) AS yk,
+                   -- exact positive count, NOT nk*avg (the long cast
+                   -- would truncate 49*(1/49) = 0.999..)
+                   sum(l) AS pk
             FROM p GROUP BY 1
         ),
         a AS (
             SELECT CAST(sum(nk) AS DOUBLE) AS n,
-                   sum(nk * yk) AS npos,
+                   sum(pk) AS npos,
                    sum(nk * (s - yk) * (s - yk)) AS reln,
                    sum(nk * yk * yk) AS y2n
             FROM g
@@ -18569,6 +18577,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(n_chars AS DOUBLE) AS s,
                    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS l
             FROM documents
+            WHERE lang IS NOT NULL AND n_chars IS NOT NULL
         ),
         g AS (
             SELECT s, sum(l) AS np, CAST(count(*) AS BIGINT) AS nt
@@ -18671,6 +18680,7 @@ def oracle_sql() -> dict[str, str]:
                        1.0 - 1e-15), 1e-15) AS s,
                    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS l
             FROM documents
+            WHERE lang IS NOT NULL AND n_chars IS NOT NULL
         )
         SELECT CAST(count(*) AS BIGINT) AS n,
                CAST(sum(l) AS BIGINT) AS n_pos,
@@ -18686,6 +18696,7 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1.0 ELSE 0.0 END AS pr,
                    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS l
             FROM documents
+            WHERE lang IS NOT NULL AND n_chars IS NOT NULL
         ),
         a AS (
             SELECT CAST(count(*) AS BIGINT) AS n,
@@ -18726,6 +18737,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(n_chars AS DOUBLE) AS s,
                    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS l
             FROM documents
+            WHERE lang IS NOT NULL AND n_chars IS NOT NULL
         ),
         g AS (
             SELECT s, CAST(count(*) AS BIGINT) AS nt, sum(l) AS np
@@ -18855,20 +18867,22 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_type = 'purchase'
                         THEN 1.0 ELSE 0.0 END AS l
             FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
         ),
         a AS (
+            -- stable covar_pop/var_pop form, mirroring the operator
             SELECT CAST(count(*) AS BIGINT) AS n,
                    CAST(count(DISTINCT s) AS INT) AS k,
-                   sum(l) AS rr, sum(s) AS ss,
-                   sum(s * s) AS ss2, sum(l * s) AS rs
+                   sum(l) AS rr,
+                   covar_pop(l, s) AS cls, var_pop(s) AS vs
             FROM p
         ),
         d AS (
             SELECT n, k, rr,
-                   rs - (rr / CAST(n AS DOUBLE)) * ss AS t,
+                   CAST(n AS DOUBLE) * cls AS t,
                    (rr / CAST(n AS DOUBLE))
                        * (1.0 - rr / CAST(n AS DOUBLE))
-                       * (ss2 - ss * ss / CAST(n AS DOUBLE)) AS v
+                       * CAST(n AS DOUBLE) * vs AS v
             FROM a
         ),
         z AS (
@@ -18922,7 +18936,8 @@ def oracle_sql() -> dict[str, str]:
         WITH p AS (
             SELECT CAST(user_id % 20 AS DOUBLE) AS x,
                    floor(value * 10 + 0.5) / 10 AS y
-            FROM events WHERE value IS NOT NULL
+            FROM events
+            WHERE value IS NOT NULL AND user_id IS NOT NULL
         ),
         cells AS (
             SELECT x, y, CAST(count(*) AS BIGINT) AS n
@@ -19010,7 +19025,8 @@ def oracle_sql() -> dict[str, str]:
         WITH p AS (
             SELECT CAST(user_id % 2 AS INT) AS g,
                    floor(value * 100 + 0.5) / 100 AS v
-            FROM events WHERE value IS NOT NULL
+            FROM events
+            WHERE value IS NOT NULL AND user_id IS NOT NULL
         ),
         cells AS (
             SELECT v,
@@ -19065,21 +19081,21 @@ def oracle_sql() -> dict[str, str]:
               AND l_quantity IS NOT NULL AND l_discount IS NOT NULL
         ),
         a AS (
+            -- stable covar_samp/var_samp builtins, mirroring the
+            -- operator (raw-moment algebra cancels catastrophically
+            -- on large-offset inputs)
             SELECT CAST(count(*) AS BIGINT) AS n,
-                   avg(x * x) AS mxx, avg(y * y) AS myy,
-                   avg(z * z) AS mzz, avg(x * y) AS mxy,
-                   avg(x * z) AS mxz, avg(y * z) AS myz,
-                   avg(x) AS mx, avg(y) AS my, avg(z) AS mz
+                   covar_samp(x, y) AS cxy, covar_samp(x, z) AS cxz,
+                   covar_samp(y, z) AS cyz,
+                   var_samp(x) AS vx, var_samp(y) AS vy,
+                   var_samp(z) AS vz
             FROM p
         ),
         r AS (
             SELECT n,
-                   (mxy - mx * my) / nullif(sqrt((mxx - mx * mx)
-                       * (myy - my * my)), 0) AS rxy,
-                   (mxz - mx * mz) / nullif(sqrt((mxx - mx * mx)
-                       * (mzz - mz * mz)), 0) AS rxz,
-                   (myz - my * mz) / nullif(sqrt((myy - my * my)
-                       * (mzz - mz * mz)), 0) AS ryz
+                   cxy / nullif(sqrt(vx * vy), 0) AS rxy,
+                   cxz / nullif(sqrt(vx * vz), 0) AS rxz,
+                   cyz / nullif(sqrt(vy * vz), 0) AS ryz
             FROM a
         )
         SELECT n,
@@ -19139,7 +19155,8 @@ def oracle_sql() -> dict[str, str]:
         WITH p AS (
             SELECT CAST(user_id % 2 AS INT) AS g,
                    floor(value * 10 + 0.5) / 10 AS v
-            FROM events WHERE value IS NOT NULL
+            FROM events
+            WHERE value IS NOT NULL AND user_id IS NOT NULL
         ),
         cells AS (
             SELECT v,

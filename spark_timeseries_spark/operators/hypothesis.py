@@ -925,6 +925,10 @@ def cochran_armitage(
             )
         )
     )
+    # stable covar_pop/var_pop form: T = n·cov_pop(y, s) and
+    # Σ(s−s̄)² = n·var_pop(s) — the raw Σs² − (Σs)²/n algebra cancels
+    # catastrophically on large-offset dose scores (calendar years,
+    # epochs); the builtins are the same single combinable aggregate
     agg = (
         df.where(s.isNotNull() & lb.isNotNull())
         .groupBy(F.lit(1).alias("_j"))
@@ -932,18 +936,14 @@ def cochran_armitage(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct(s).alias("_k"),
             F.sum(lb_ok).alias("_rr"),
-            F.sum(s).alias("_ss"),
-            F.sum(s * s).alias("_ss2"),
-            F.sum(lb_ok * s).alias("_rs"),
+            F.covar_pop(lb_ok, s).alias("_cls"),
+            F.var_pop(s).alias("_vs"),
         )
     )
     nd = F.col("n").cast("double")
     pbar = F.col("_rr") / nd
-    t = F.col("_rs") - pbar * F.col("_ss")
-    var_t = (
-        pbar * (F.lit(1.0) - pbar)
-        * (F.col("_ss2") - F.col("_ss") * F.col("_ss") / nd)
-    )
+    t = nd * F.col("_cls")
+    var_t = pbar * (F.lit(1.0) - pbar) * nd * F.col("_vs")
     z = F.when(var_t > 0.0, t / F.sqrt(var_t))
     return agg.select(
         "n",
@@ -1178,7 +1178,8 @@ def energy_distance(
     kernel distance, not W₁).
     Group 1 = the lexicographically smaller group value; exactly two
     groups required (raises, the srm_check discipline). NULL values
-    dropped; empty input → ZERO rows.
+    AND NULL-group rows are dropped (a NULL group belongs to neither
+    cohort — the chow NULL-split rationale); empty input → ZERO rows.
 
     NOT an all-pairs join: every pairwise-|difference| sum collapses
     to cumulative count/sum ledgers on the DISTINCT-VALUE grid —
@@ -1190,9 +1191,9 @@ def energy_distance(
     counts (group-cardinality gate embedded); four cumulative windows
     on the distinct-value grid; ONE reduce. No joins, no Python."""
     v = F.col(value_col).cast("double")
-    pts = df.where(v.isNotNull()).select(
-        F.col(group_col).alias("_g"), v.alias("_v")
-    )
+    pts = df.where(
+        v.isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("_g"), v.alias("_v"))
     kg = pts.groupBy(F.lit(1).alias("_j")).agg(
         F.countDistinct("_g").alias("_k"),
         F.min("_g").alias("_g1"),
@@ -1293,31 +1294,29 @@ def partial_corr(
     pts = df.where(x.isNotNull() & y.isNotNull() & z.isNotNull()).select(
         x.alias("_x"), y.alias("_y"), z.alias("_z")
     )
+    # stable covar_samp/var_samp builtins, NOT raw-moment algebra
+    # (avg(x*x) - avg(x)^2 cancels catastrophically on large-offset
+    # inputs like epoch timestamps — the rankcorr/features convention)
     agg = pts.groupBy(F.lit(1).alias("_j")).agg(
         F.count(F.lit(1)).alias("n"),
-        *[
-            F.avg(F.col(a) * F.col(b)).alias(f"_m{a[1]}{b[1]}")
-            for a, b in (
-                ("_x", "_x"), ("_y", "_y"), ("_z", "_z"),
-                ("_x", "_y"), ("_x", "_z"), ("_y", "_z"),
-            )
-        ],
-        F.avg("_x").alias("_mx"),
-        F.avg("_y").alias("_my"),
-        F.avg("_z").alias("_mz"),
+        F.covar_samp("_x", "_y").alias("_cxy"),
+        F.covar_samp("_x", "_z").alias("_cxz"),
+        F.covar_samp("_y", "_z").alias("_cyz"),
+        F.var_samp("_x").alias("_vx"),
+        F.var_samp("_y").alias("_vy"),
+        F.var_samp("_z").alias("_vz"),
     )
 
-    def corr(ab, a, b):
-        cov = F.col(f"_m{ab}") - F.col(f"_m{a}") * F.col(f"_m{b}")
-        va = F.col(f"_m{a}{a}") - F.col(f"_m{a}") * F.col(f"_m{a}")
-        vb = F.col(f"_m{b}{b}") - F.col(f"_m{b}") * F.col(f"_m{b}")
-        return F.try_divide(cov, F.sqrt(va * vb))
+    def corr(cov, va, vb):
+        return F.try_divide(
+            F.col(cov), F.sqrt(F.col(va) * F.col(vb))
+        )
 
     agg = agg.select(
         "n",
-        corr("xy", "x", "y").alias("r_xy"),
-        corr("xz", "x", "z").alias("r_xz"),
-        corr("yz", "y", "z").alias("r_yz"),
+        corr("_cxy", "_vx", "_vy").alias("r_xy"),
+        corr("_cxz", "_vx", "_vz").alias("r_xz"),
+        corr("_cyz", "_vy", "_vz").alias("r_yz"),
     )
     num = F.col("r_xy") - F.col("r_xz") * F.col("r_yz")
     den = F.sqrt(
@@ -1378,7 +1377,6 @@ def theil_u(
         td = F.col("_t").cast("double")
         return m.groupBy(F.lit(1).alias("_j")).agg(
             F.sum(td * F.log(td)).alias(out),
-            F.sum("_t").alias(f"{out}_n"),
         )
 
     ha = _entropy("_a", "_ea")

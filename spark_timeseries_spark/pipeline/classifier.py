@@ -234,6 +234,23 @@ def reliability_bins(
     ).select("bin", "n", "w", "mean_score", "pos_rate", "gap", "ece")
 
 
+
+def _binary_label_guard(lb, op_name: str):
+    """Label-domain gate shared by every binary-label eval operator:
+    passes 0.0/1.0 through, raises on anything else. Lives INSIDE the
+    aggregated expression at each call site (the guard-placement rule:
+    every surviving row's label flows through it, so no predicate
+    reordering can skip the check)."""
+    return F.when((lb == 0.0) | (lb == 1.0), lb).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(op_name + ": label outside {0,1}: "),
+                lb.cast("string"),
+            )
+        )
+    )
+
+
 def roc_auc(
     df: DataFrame,
     score_col: str,
@@ -263,17 +280,7 @@ def roc_auc(
     stated; label-side counts make skew impossible)."""
     sc = F.col(score_col).cast("double")
     lb = F.col(label_col).cast("double")
-    # Domain gate INSIDE the aggregated expression (the r13 guard-
-    # placement rule): every surviving row's label flows through this
-    # when/otherwise, so no predicate reordering can skip the check.
-    lb_ok = F.when((lb == 0.0) | (lb == 1.0), lb).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("roc_auc: label outside {0,1}: "),
-                lb.cast("string"),
-            )
-        )
-    )
+    lb_ok = _binary_label_guard(lb, "roc_auc")
     pts = df.where(sc.isNotNull() & lb.isNotNull())
     g = pts.groupBy(sc.alias("_s")).agg(
         F.sum(lb_ok).alias("_np"),
@@ -337,22 +344,20 @@ def brier(
     lb = F.col(label_col).cast("double")
     # domain gate INSIDE the aggregated expression (guard-placement
     # rule): every surviving row's label flows through it.
-    lb_ok = F.when((lb == 0.0) | (lb == 1.0), lb).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("brier: label outside {0,1}: "), lb.cast("string")
-            )
-        )
-    )
+    lb_ok = _binary_label_guard(lb, "brier")
     pts = df.where(sc.isNotNull() & lb.isNotNull())
     g = pts.groupBy(sc.alias("_p")).agg(
         F.count(F.lit(1)).alias("_nk"),
         F.avg(lb_ok).alias("_yk"),
+        # exact per-group positive count: n_pos must NOT be rebuilt as
+        # n_k * avg(label) downstream — 49 * (1/49) is 0.99999... in
+        # doubles and a long cast would truncate it to 0
+        F.sum(lb_ok).alias("_pk"),
     )
     nk = F.col("_nk").cast("double")
     agg = g.groupBy(F.lit(1).alias("_j")).agg(
         F.sum("_nk").cast("long").alias("n"),
-        F.sum(nk * F.col("_yk")).alias("_npos"),
+        F.sum("_pk").alias("_npos"),
         F.sum(
             nk * (F.col("_p") - F.col("_yk")) * (F.col("_p") - F.col("_yk"))
         ).alias("_rel_num"),
@@ -403,14 +408,7 @@ def average_precision(
     at corpus scale, the roc_auc caveat)."""
     sc = F.col(score_col).cast("double")
     lb = F.col(label_col).cast("double")
-    lb_ok = F.when((lb == 0.0) | (lb == 1.0), lb).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("average_precision: label outside {0,1}: "),
-                lb.cast("string"),
-            )
-        )
-    )
+    lb_ok = _binary_label_guard(lb, "average_precision")
     pts = df.where(sc.isNotNull() & lb.isNotNull())
     g = pts.groupBy(sc.alias("_s")).agg(
         F.sum(lb_ok).alias("_np"),
@@ -462,14 +460,7 @@ def log_loss(
         raise ValueError(f"eps must be in (0, 0.5), got {eps}")
     sc = F.col(score_col).cast("double")
     lb = F.col(label_col).cast("double")
-    lb_ok = F.when((lb == 0.0) | (lb == 1.0), lb).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("log_loss: label outside {0,1}: "),
-                lb.cast("string"),
-            )
-        )
-    )
+    lb_ok = _binary_label_guard(lb, "log_loss")
     # clip BEFORE the logs so both ln arguments are strictly positive
     # on every row (the guard-ln-on-both-engines rule)
     p = F.least(
@@ -513,14 +504,7 @@ def classification_report(
     windows, no joins, no Python."""
     sc = F.col(score_col).cast("double")
     lb = F.col(label_col).cast("double")
-    lb_ok = F.when((lb == 0.0) | (lb == 1.0), lb).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("classification_report: label outside {0,1}: "),
-                lb.cast("string"),
-            )
-        )
-    )
+    lb_ok = _binary_label_guard(lb, "classification_report")
     pred = (sc >= F.lit(float(threshold))).cast("double")
     agg = (
         df.where(sc.isNotNull() & lb.isNotNull())
@@ -582,14 +566,7 @@ def lift_table(
         raise ValueError(f"buckets must be >= 2, got {buckets}")
     sc = F.col(score_col).cast("double")
     lb = F.col(label_col).cast("double")
-    lb_ok = F.when((lb == 0.0) | (lb == 1.0), lb).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("lift_table: label outside {0,1}: "),
-                lb.cast("string"),
-            )
-        )
-    )
+    lb_ok = _binary_label_guard(lb, "lift_table")
     g = (
         df.where(sc.isNotNull() & lb.isNotNull())
         .groupBy(sc.alias("_s"))

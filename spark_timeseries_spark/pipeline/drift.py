@@ -558,16 +558,17 @@ def hellinger(
     continuous column (the operator treats values as categories — the
     psi_bins caveat). Group 1 = the lexicographically smaller group
     value; exactly two groups required (raises, the srm_check
-    discipline). NULL values dropped; empty input → ZERO rows.
+    discipline). NULL values AND NULL-group rows are dropped (a NULL
+    group belongs to neither cohort); empty input → ZERO rows.
 
     Plan: one groupBy(value) full-data pass with conditional group
     counts (group-cardinality gate embedded, the energy_distance
     pattern) + ONE reduce on the value grid. No joins beyond the
     one-row broadcast gate, no windows, no Python."""
     v = F.col(value_col)
-    pts = df.where(v.isNotNull()).select(
-        F.col(group_col).alias("_g"), v.alias("_v")
-    )
+    pts = df.where(
+        v.isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("_g"), v.alias("_v"))
     kg = pts.groupBy(F.lit(1).alias("_j")).agg(
         F.countDistinct("_g").alias("_k"),
         F.min("_g").alias("_g1"),
