@@ -52,8 +52,9 @@ def _spread(df: DataFrame, key_col: str) -> DataFrame:
     coalesces that to ONE partition — measured 7× slowdown (serialized
     fits). An odd `2·parallelism + 1` count never matches cores or the
     usual shuffle-partition settings and load-balances CPU-skewed series."""
-    n = 2 * df.sparkSession.sparkContext.defaultParallelism + 1
-    return df.repartition(n, key_col)
+    from ..parallel import spread_kernel
+
+    return spread_kernel(df, key_col)
 
 
 def _clean(y: np.ndarray) -> np.ndarray:

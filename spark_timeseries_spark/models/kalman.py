@@ -150,7 +150,9 @@ def kalman_local_level(
             "q_hat": qq, "r_hat": r_hat,
         })
 
-    return df.groupBy(key_col).applyInPandas(
+    from ..parallel import spread_kernel
+
+    return spread_kernel(df, key_col).groupBy(key_col).applyInPandas(
         kern,
         f"`{key_col}` {kt}, `{order_col}` {lt}, value double, "
         "level double, level_var double, smoothed double, "

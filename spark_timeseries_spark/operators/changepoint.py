@@ -404,7 +404,9 @@ def bocpd(
              "run_map": run_map}
         )
 
-    return df.groupBy(key_col).applyInPandas(
+    from ..parallel import spread_kernel
+
+    return spread_kernel(df, key_col).groupBy(key_col).applyInPandas(
         kern,
         f"`{key_col}` {kt}, `{order_col}` {lt}, p_cp double, run_map long",
     )

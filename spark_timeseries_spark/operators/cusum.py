@@ -236,7 +236,9 @@ def theil_sen(
                  "intercept": [inter], "n_pairs": [int(sl.size)]}
             )
 
-        return src.groupBy(key_col).applyInPandas(
+        from ..parallel import spread_kernel
+
+        return spread_kernel(src, key_col).groupBy(key_col).applyInPandas(
             kern,
             f"`{key_col}` {kt}, slope double, intercept double, n_pairs long",
         )
@@ -356,8 +358,12 @@ def _mk_s_groups(
                 out["s"] = [c - d]
             return pd.DataFrame(out)
 
-        return src.groupBy(*group_cols).applyInPandas(
-            kern, f"{fields}, s long"
+        from ..parallel import spread_kernel
+
+        return (
+            spread_kernel(src, *group_cols)
+            .groupBy(*group_cols)
+            .applyInPandas(kern, f"{fields}, s long")
         )
 
     if method == "join":

@@ -159,7 +159,9 @@ def dtw_nearest(
         F.col(order_col).alias("_o"),
         F.col(value_col).alias("_v"),
     )
-    dists = pts.groupBy("_k").applyInPandas(
+    from ..parallel import spread_kernel
+
+    dists = spread_kernel(pts, "_k").groupBy("_k").applyInPandas(
         _d, schema="key string, n long, dtw double"
     )
     from pyspark.sql import Window as W

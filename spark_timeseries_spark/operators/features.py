@@ -748,7 +748,9 @@ def sample_entropy(
                  "b": [bcnt], "a": [acnt]}
             )
 
-        return src.groupBy(key_col).applyInPandas(
+        from ..parallel import spread_kernel
+
+        return spread_kernel(src, key_col).groupBy(key_col).applyInPandas(
             kern, f"`{key_col}` {kt}, n long, b long, a long"
         )
 

@@ -234,7 +234,13 @@ def fill_spline(
         pdf[value_col] = [None if np.isnan(v) else float(v) for v in filled]
         return pdf
 
-    return df.groupBy(key_col).applyInPandas(_fill, schema=df.schema)
+    from ..parallel import spread_kernel
+
+    return (
+        spread_kernel(df, key_col)
+        .groupBy(key_col)
+        .applyInPandas(_fill, schema=df.schema)
+    )
 
 
 def missingness_profile(

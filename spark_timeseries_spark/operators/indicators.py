@@ -93,7 +93,9 @@ def _ema_kernel(df, alpha, key_col, order_col, value_col, out_col):
         pdf[out_col] = e
         return pdf
 
-    return df.groupBy(key_col).applyInPandas(
+    from ..parallel import spread_kernel
+
+    return spread_kernel(df, key_col).groupBy(key_col).applyInPandas(
         kern, f"{fields}, `{out_col}` double"
     )
 

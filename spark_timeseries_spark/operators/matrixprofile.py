@@ -121,6 +121,8 @@ def matrix_profile(
         F.col(order_col).alias("_o"),
         F.col(value_col).alias("_v"),
     )
-    return obs.groupBy("_k").applyInPandas(
+    from ..parallel import spread_kernel
+
+    return spread_kernel(obs, "_k").groupBy("_k").applyInPandas(
         _mp, schema="key string, loc long, mp double, mp_idx long"
     )

@@ -311,8 +311,10 @@ def esd_outliers(
         })
 
     # pre-filter JVM-side: null values never reach the Arrow transfer
+    from ..parallel import spread_kernel
+
     return (
-        df.where(F.col(value_col).isNotNull())
+        spread_kernel(df.where(F.col(value_col).isNotNull()), key_col)
         .groupBy(key_col)
         .applyInPandas(
             kern,

@@ -142,7 +142,11 @@ def _periodogram_fft(df: DataFrame, key_col, loc_col, value_col) -> DataFrame:
             }
         )
 
-    return df.groupBy(key_col).applyInPandas(kernel, schema)
+    from ..parallel import spread_kernel
+
+    return spread_kernel(df, key_col).groupBy(key_col).applyInPandas(
+        kernel, schema
+    )
 
 
 def _periodogram_with_n(

@@ -173,4 +173,6 @@ def stl_decompose(
         f"`{key_col}` {key_t}, `{loc_col}` {loc_t}, `{ts_col}` {ts_t}, "
         f"`{value_col}` double, trend double, seasonal double, resid double"
     )
-    return df.groupBy(key_col).applyInPandas(_k, schema)
+    from ..parallel import spread_kernel
+
+    return spread_kernel(df, key_col).groupBy(key_col).applyInPandas(_k, schema)

@@ -529,13 +529,25 @@ class TimeSeriesDataFrame:
             pdf[value] = out.to_numpy()
             return pdf
 
-        out = self.df.groupBy(self.KEY).applyInPandas(_apply, schema=self.df.schema)
+        from .parallel import spread_kernel
+
+        out = (
+            spread_kernel(self.df, self.KEY)
+            .groupBy(self.KEY)
+            .applyInPandas(_apply, schema=self.df.schema)
+        )
         return TimeSeriesDataFrame(out, self.index)
 
     def aggr_series(self, fn: Callable[[pd.DataFrame], pd.DataFrame], schema):
         """Per-series arbitrary aggregation → caller-defined schema
         (``mapValues``, ``TimeSeries.scala:361-363``)."""
-        return self.df.groupBy(self.KEY).applyInPandas(fn, schema=schema)
+        from .parallel import spread_kernel
+
+        return (
+            spread_kernel(self.df, self.KEY)
+            .groupBy(self.KEY)
+            .applyInPandas(fn, schema=schema)
+        )
 
     # -- basic sugar -------------------------------------------------------
     def sum(self) -> DataFrame:
