@@ -77,6 +77,19 @@ def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings spread across all cores — same rationale as
+    :func:`_docs_spread`: the corpus is one small parquet file (one scan
+    split), and everything downstream (codebook fits, broadcast scoring
+    crossJoins, moment partials) is CPU-bound per vector, so a sub-MB
+    round-robin shuffle buys full parallelism for every job in the
+    fit-then-score pipelines. At real scale the same repartition
+    decouples vector CPU work from input-file skew."""
+    return load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: irregular events → daily alignment → linear fill →
     7-day rolling mean (the Phase-0 slice of SURVEY.md §7)."""
@@ -665,7 +678,7 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
 
 
 def _q_knn_cosine(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    emb = _emb_spread(spark, sf_dir).withColumn(
         "v", F.transform("embedding", lambda x: x.cast("double"))
     )
     q = emb.where(F.col("vec_id") < 10).select(
@@ -1668,7 +1681,7 @@ def _q_lm_perplexity(spark, sf_dir):
     tokens carry no bigram evidence and are excluded (documented)."""
     from spark_timeseries_spark.pipeline.lm import score_perplexity, train_bigram_lm
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     lm = train_bigram_lm(docs.where(F.col("lang") == "en"))
     out = score_perplexity(docs, lm, k=1.0)
     return out.select(
@@ -1693,7 +1706,7 @@ def _q_bm25_search(spark, sf_dir):
     the ordering exactly."""
     from spark_timeseries_spark.pipeline.search import bm25_search
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     return bm25_search(docs, _BM25_QUERIES, k=10, round_digits=6)
 
 
@@ -1711,7 +1724,7 @@ def _q_dup_spans(spark, sf_dir):
     locally, and integer columns cannot hash-diverge."""
     from spark_timeseries_spark.pipeline.dedup import duplicated_span_stats
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     out = duplicated_span_stats(docs, n=8, hash_fn="md5_60")
     return out.select(
         "doc_id",
@@ -1771,7 +1784,7 @@ def _q_remove_dup_spans(spark, sf_dir):
     quadratic HOF). md5_60 mode; compared via md5 of the rebuilt text."""
     from spark_timeseries_spark.pipeline.dedup import remove_dup_spans
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     out = remove_dup_spans(docs, n=8, keep_first=True, hash_fn="md5_60")
     return out.select(
         "doc_id",
@@ -1992,7 +2005,7 @@ def _q_containment_pairs(spark, sf_dir):
     reaches 0.9."""
     from spark_timeseries_spark.pipeline.dedup import ngram_containment_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     pred = docs.select(
         (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("_pt")
     )
@@ -2099,7 +2112,7 @@ def _q_lm3_perplexity(spark, sf_dir):
         train_trigram_lm,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     lm = train_trigram_lm(docs.where(F.col("lang") == "en"))
     out = score_perplexity_trigram(docs, lm, k=1.0, lambdas=(0.6, 0.3, 0.1))
     return out.select(
@@ -2263,7 +2276,7 @@ def _q_embedding_covariance(spark, sf_dir):
         embedding_covariance,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb_spread(spark, sf_dir)
     out = embedding_covariance(emb)
     return out.select(
         "i", "j", _stable_round(F.col("cov"), 6).alias("cov")
@@ -2280,7 +2293,7 @@ def _q_bpe_merges(spark, sf_dir):
     leftmost-first fold via list_reduce — as unrolled CTEs."""
     from spark_timeseries_spark.pipeline.bpe import bpe_train
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     m = bpe_train(docs, n_merges=8)
     rows = [
         (i + 1, a, b, c)
@@ -2300,7 +2313,7 @@ def _q_bpe_segment(spark, sf_dir):
     stream."""
     from spark_timeseries_spark.pipeline.bpe import bpe_segment, bpe_train
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     m = bpe_train(docs, n_merges=8)
     out = bpe_segment(docs, m)
     return out.select("doc_id", "n_tokens")
@@ -2617,7 +2630,7 @@ def _q_readability(spark, sf_dir):
     scan); the oracle replays the exact regex counting rules in RE2."""
     from spark_timeseries_spark.pipeline.text import readability
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     out = readability(docs)
     return out.select(
         "doc_id", "n_sents", "n_words", "n_syllables",
@@ -2655,7 +2668,7 @@ def _q_sq8_error(spark, sf_dir):
     sequence both engines replay bit-for-bit); the error stats round 6."""
     from spark_timeseries_spark.pipeline.embeddings import sq8_quantize
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb_spread(spark, sf_dir)
     out = sq8_quantize(emb)
     # Codes are emitted as a comma-joined STRING (not an array column):
     # the driver's pandas canonicalizer sorts raw cells and cannot hash
@@ -4980,7 +4993,7 @@ def _q_dedup_sweep(spark, sf_dir):
     from spark_timeseries_spark.pipeline.dedup import dedup_sweep
 
     pairs = _q_ngram_jaccard_pairs(spark, sf_dir)
-    ndocs = load_table(spark, sf_dir, "documents").agg(
+    ndocs = _docs_spread(spark, sf_dir).agg(
         F.count("doc_id").alias("n")
     )
     out = dedup_sweep(pairs, ndocs)
@@ -5297,7 +5310,7 @@ def _q_source_dup_matrix(spark, sf_dir):
     from spark_timeseries_spark.pipeline.dedup import source_dup_matrix
 
     pairs = _q_ngram_jaccard_pairs(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     out = source_dup_matrix(pairs, docs)
     return out.select(
         "source_a", "source_b", "n_pairs",
@@ -6401,7 +6414,7 @@ def _q_intrinsic_dim(spark, sf_dir):
         intrinsic_dimension,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb_spread(spark, sf_dir)
     out = intrinsic_dimension(emb)
     return out.select(
         "n", "dim",

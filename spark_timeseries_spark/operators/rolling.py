@@ -505,17 +505,33 @@ def corr_matrix(
         return _corr_matrix_compact(
             df, min_overlap, key_col, order_col, value_col
         )
-    a = df.where(F.col(value_col).isNotNull()).select(
-        F.col(key_col).alias("key_a"),
-        F.col(order_col).alias("_o"),
-        F.col(value_col).alias("_va"),
+    from ..parallel import spread_kernel
+
+    # Left side partitioned by key_a with an explicit cores-scaled count
+    # (AQE preserves it): the location equi-join EXPLODES the row count
+    # (T·K² joined rows from T·K input rows), and AQE's byte-based
+    # coalescing — seeing only the small pre-join inputs — would other-
+    # wise run the entire O(T·K²) moment aggregation in ONE task. The
+    # right side is broadcast: it is the same K×T series table the
+    # compact kernel already broadcasts (K-row array form), so the memory
+    # envelope is unchanged, and with the stream side hash-partitioned by
+    # key_a the (key_a, key_b) aggregate needs NO post-join exchange —
+    # the 35M-row partial-aggregate shuffle disappears from the plan
+    # (HashPartitioning(key_a) satisfies the grouping's clustering).
+    a = spread_kernel(
+        df.where(F.col(value_col).isNotNull()).select(
+            F.col(key_col).alias("key_a"),
+            F.col(order_col).alias("_o"),
+            F.col(value_col).alias("_va"),
+        ),
+        "key_a",
     )
     b = df.where(F.col(value_col).isNotNull()).select(
         F.col(key_col).alias("key_b"),
         F.col(order_col).alias("_o"),
         F.col(value_col).alias("_vb"),
     )
-    j = a.join(b, "_o").where(F.col("key_a") < F.col("key_b"))
+    j = a.join(F.broadcast(b), "_o").where(F.col("key_a") < F.col("key_b"))
     agg = j.groupBy("key_a", "key_b").agg(
         F.count(F.lit(1)).alias("n_overlap"),
         F.covar_samp("_va", "_vb").alias("_cov"),
@@ -555,7 +571,16 @@ def _corr_matrix_compact(
     # collect_list drops NULL VALUES but keeps structs with a null field,
     # so _v retains a slot per location — positional alignment holds on a
     # dense grid. Broadcast the (tiny) K-row side; nested-loop a < b.
-    a = vecs.select(F.col(key_col).alias("key_a"), F.col("_v").alias("_va"))
+    from ..parallel import spread_kernel
+
+    # stream side spread cores-wide (explicit count, AQE-preserved): the
+    # nested-loop pair join explodes K rows into K²/2 pairs whose masked
+    # fold is CPU-bound — without this the whole fold runs in the one
+    # partition AQE coalesces the K-row aggregate down to
+    a = spread_kernel(
+        vecs.select(F.col(key_col).alias("key_a"), F.col("_v").alias("_va")),
+        "key_a",
+    )
     b = vecs.select(F.col(key_col).alias("key_b"), F.col("_v").alias("_vb"))
     pairs = a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
     zipped = F.zip_with(

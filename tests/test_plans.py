@@ -604,7 +604,28 @@ def test_corr_matrix_compact_broadcasts_pairs_no_sortmerge(spark, grid):
     assert "BroadcastNestedLoopJoin" in p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
-    assert shuffles <= 2  # per-key collapse (+ AQE-coalesced agg)
+    # per-key collapse + AQE-coalesced agg + the r14 cores-scaled spread
+    # of the pair-join stream side (the CPU-bound masked fold must not
+    # ride a byte-coalesced single partition)
+    assert shuffles <= 3
+
+
+def test_corr_matrix_join_no_postjoin_exchange(spark, grid):
+    """r14 optimization pin for the default join kernel: the location
+    equi-join must BROADCAST the right series table (same K×T envelope
+    the compact kernel broadcasts) and the (key_a, key_b) moment
+    aggregate must reuse the stream side's explicit key_a partitioning —
+    NO exchange between the join and the aggregate, so the exploded
+    O(T·K²) joined rows are never shuffled. The only hash exchanges
+    allowed are inside the grid build + the one cores-scaled spread of
+    the stream side."""
+    out = rolling.corr_matrix(grid, 3, method="join")
+    p = _plan(out)
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    # the aggregate must sit directly on the join output: no
+    # "Exchange hashpartitioning(key_a..., key_b...)" anywhere
+    assert not re.search(r"Exchange hashpartitioning\(key_a[^)]*key_b", p), p
 
 
 def test_threshold_runs_single_exchange_no_python(spark, grid):
