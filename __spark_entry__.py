@@ -424,7 +424,7 @@ def _q_spectral_entropy(spark, sf_dir):
     tsfeatures catalog."""
     from spark_timeseries_spark.operators.features import spectral_entropy
 
-    out = spectral_entropy(_hw_filled(spark, sf_dir))
+    out = spectral_entropy(_hw_filled(spark, sf_dir), method="explode")
     return out.select(
         "key", _stable_round(F.col("entropy"), 6).alias("entropy")
     )
@@ -2172,7 +2172,7 @@ def _q_theil_sen(spark, sf_dir):
     envelope), keyed per series so the corpus dimension parallelizes."""
     from spark_timeseries_spark.operators.cusum import theil_sen
 
-    out = theil_sen(_daily_grid(spark, sf_dir))
+    out = theil_sen(_daily_grid(spark, sf_dir), method="join")
     return out.select(
         "key",
         _stable_round(F.col("slope"), 6).alias("slope"),
@@ -2428,7 +2428,7 @@ def _q_periodogram(spark, sf_dir):
     projection sums exactly."""
     from spark_timeseries_spark.operators.spectral import periodogram
 
-    out = periodogram(_hw_filled(spark, sf_dir))
+    out = periodogram(_hw_filled(spark, sf_dir), method="explode")
     return out.select(
         "key", "k", _stable_round(F.col("power"), 4).alias("power")
     )
@@ -2441,7 +2441,7 @@ def _q_dominant_period(spark, sf_dir):
     engines instead of by fp summation noise."""
     from spark_timeseries_spark.operators.spectral import dominant_period
 
-    out = dominant_period(_hw_filled(spark, sf_dir), tie_digits=6)
+    out = dominant_period(_hw_filled(spark, sf_dir), tie_digits=6, method="explode")
     return out.select(
         "key",
         "k",
@@ -2520,27 +2520,38 @@ def _q_stats_suite(spark, sf_dir):
     (``exp(-stat/2)``, exactly our ``chi2_sf`` at df=2), so the LB/BG
     p-values replay in SQL from the rounded statistics; ADF's MacKinnon
     interpolation and BP's χ²(1) (needs erfc) stay pytest-covered."""
-    from spark_timeseries_spark.models import test_series
+    from spark_timeseries_spark.models import test_series_suite
 
+    # r14 optimization: the five Python-kernel tests run in ONE
+    # grouped-map pass (test_series_suite — shared dispatch, statistics
+    # bit-identical to the standalone adf/kpss/lb/bg/bp rows), replacing
+    # five separate scan+spread+kernel pipelines and four of the five
+    # key joins. Only the pure-SQL Durbin-Watson frame still joins (its
+    # sum order must keep matching the SQL oracle's aggregate exactly).
     obs = events_observations(spark, sf_dir)
-    lb = test_series(obs, "ljung_box", order_col="ts", max_lag=2).select(
-        "key", _stable_round(F.col("stat"), 6).alias("lb2_stat")
+    suite = test_series_suite(
+        obs,
+        [
+            ("adf", "adf", {"max_lag": 1}),
+            ("kpss", "kpss", {"method": "c"}),
+            ("lb2", "ljung_box", {"max_lag": 2}),
+            ("bg", "breusch_godfrey", {"max_lag": 2}),
+            ("bp", "breusch_pagan", {}),
+        ],
+        order_col="ts",
     )
-    lb = lb.withColumn(
+    out = suite.select(
+        "key",
+        _stable_round(F.col("adf_stat"), 4).alias("adf_stat"),
+        _stable_round(F.col("kpss_stat"), 6).alias("kpss_stat"),
+        _stable_round(F.col("lb2_stat"), 6).alias("lb2_stat"),
+        _stable_round(F.col("bg_stat"), 4).alias("bg_stat"),
+        _stable_round(F.col("bp_stat"), 5).alias("bp_stat"),
+    )
+    out = out.withColumn(
         "lb2_p", _stable_round(F.exp(-F.col("lb2_stat") / 2), 6)
-    )
-    bg = _q_bg_test(spark, sf_dir).withColumn(
-        "bg_p", _stable_round(F.exp(-F.col("bg_stat") / 2), 6)
-    )
-    out = (
-        _q_adf_test(spark, sf_dir)
-        .join(_q_kpss_test(spark, sf_dir), "key")
-        .join(_q_dw_test(spark, sf_dir), "key")
-        .join(lb, "key")
-        .join(bg, "key")
-        .join(_q_bp_test(spark, sf_dir), "key")
-    )
-    return out
+    ).withColumn("bg_p", _stable_round(F.exp(-F.col("bg_stat") / 2), 6))
+    return out.join(_q_dw_test(spark, sf_dir), "key")
 
 
 def _q_max_drawdown(spark, sf_dir):
@@ -2886,7 +2897,7 @@ def _q_mann_kendall(spark, sf_dir):
     from spark_timeseries_spark.operators.cusum import mann_kendall
 
     grid = _daily_grid(spark, sf_dir)
-    out = mann_kendall(grid)
+    out = mann_kendall(grid, s_method="join")
     return out.select(
         "key", "n", "s",
         _stable_round(F.col("var_s"), 6).alias("var_s"),
@@ -3093,7 +3104,7 @@ def _q_seasonal_mk(spark, sf_dir):
     from spark_timeseries_spark.operators.cusum import seasonal_mann_kendall
 
     grid = _daily_grid(spark, sf_dir)
-    out = seasonal_mann_kendall(grid, 7)
+    out = seasonal_mann_kendall(grid, 7, s_method="join")
     return out.select(
         "key", "n", "s",
         _stable_round(F.col("var_s"), 6).alias("var_s"),
@@ -3168,7 +3179,7 @@ def _q_rsi(spark, sf_dir):
 
     grid = _daily_grid(spark, sf_dir)
     filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
-    out = rsi(filled, 14)
+    out = rsi(filled, 14, max_len=31)
     return out.select(
         "key", "loc",
         _stable_round(F.col("avg_gain"), 6).alias("avg_gain"),
@@ -3185,7 +3196,7 @@ def _q_macd(spark, sf_dir):
 
     grid = _daily_grid(spark, sf_dir)
     filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
-    out = macd(filled)
+    out = macd(filled, max_len=31)
     return out.select(
         "key", "loc",
         _stable_round(F.col("macd"), 6).alias("macd"),
@@ -3215,7 +3226,7 @@ def _q_sample_entropy(spark, sf_dir):
 
     grid = _daily_grid(spark, sf_dir)
     filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
-    out = sample_entropy(filled, m=2, r_frac=0.2)
+    out = sample_entropy(filled, m=2, r_frac=0.2, method="join")
     return out.select(
         "key", "n", "b", "a",
         _stable_round(F.col("sampen"), 6).alias("sampen"),
@@ -3369,7 +3380,7 @@ def _q_coherence(spark, sf_dir):
 
     grid = _daily_grid(spark, sf_dir)
     filled = fill_ops.fill_next(fill_ops.fill_previous(fill_ops.fill_linear(grid)))
-    out = coherence(filled, "1", "2", smooth=2)
+    out = coherence(filled, "1", "2", smooth=2, method="explode")
     return out.select(
         "k",
         _stable_round(F.col("freq"), 6).alias("freq"),
@@ -3471,7 +3482,7 @@ def _q_adx(spark, sf_dir):
     from spark_timeseries_spark.operators.resample import ohlc
 
     obs = events_observations(spark, sf_dir)
-    out = adx(ohlc(obs, "day"), n=14)
+    out = adx(ohlc(obs, "day"), n=14, max_len=31)
     return out.select(
         "key", "bar_ts",
         _stable_round(F.col("tr"), 6).alias("tr"),
@@ -3889,7 +3900,7 @@ def _q_atr(spark, sf_dir):
     from spark_timeseries_spark.operators.resample import ohlc
 
     obs = events_observations(spark, sf_dir)
-    out = atr(ohlc(obs, "day"), n=14)
+    out = atr(ohlc(obs, "day"), n=14, max_len=31)
     return out.select(
         "key", "bar_ts",
         _stable_round(F.col("tr"), 6).alias("tr"),
@@ -4019,7 +4030,7 @@ def _q_keltner(spark, sf_dir):
     from spark_timeseries_spark.operators.resample import ohlc
 
     obs = events_observations(spark, sf_dir)
-    out = keltner_channels(ohlc(obs, "day"), n=20, mult=2.0)
+    out = keltner_channels(ohlc(obs, "day"), n=20, mult=2.0, max_len=31)
     return out.select(
         "key", "bar_ts",
         _stable_round(F.col("typical"), 6).alias("typical"),
@@ -6397,7 +6408,7 @@ def _q_white_noise(spark, sf_dir):
     filled daily grid — periodogram plan + two key windows."""
     from spark_timeseries_spark.operators.spectral import white_noise_test
 
-    out = white_noise_test(_hw_filled(spark, sf_dir))
+    out = white_noise_test(_hw_filled(spark, sf_dir), method="explode")
     return out.select(
         "key", "m",
         _stable_round(F.col("ks_stat"), 6).alias("ks_stat"),
@@ -6461,7 +6472,7 @@ def _q_spectral_flatness(spark, sf_dir):
     periodogram plan + one combinable aggregate."""
     from spark_timeseries_spark.operators.spectral import spectral_flatness
 
-    out = spectral_flatness(_hw_filled(spark, sf_dir))
+    out = spectral_flatness(_hw_filled(spark, sf_dir), method="explode")
     return out.select(
         "key", "m",
         _stable_round(F.col("flatness"), 6).alias("flatness"),

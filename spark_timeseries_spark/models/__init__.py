@@ -19,6 +19,7 @@ from .fit import (
     granger_test,
     residuals,
     test_series,
+    test_series_suite,
     variance_forecast,
 )
 from .baselines import croston, baseline_forecast
@@ -47,7 +48,7 @@ __all__ = [
     "fit_regression_arima_cochrane_orcutt",
     "apply_model_effects", "fit_improvement", "fit_models", "fit_xreg_models",
     "fit_xreg_improvement",
-    "forecast", "granger_test", "cointegration_test", "residuals", "test_series", "variance_forecast",
+    "forecast", "granger_test", "cointegration_test", "residuals", "test_series", "test_series_suite", "variance_forecast",
     "baseline_forecast", "croston", "fit_var", "forecast_var", "impulse_response",
     "ARGARCHModel", "ARModel", "EGARCHModel", "EWMAModel", "GARCHModel",
     "HoltWintersModel", "egarch_start",

@@ -569,39 +569,87 @@ def test_series(
     caller-supplied ``factors``, ``TimeSeriesStatisticalTests.scala:276-329``);
     ``arch_lm`` (beyond-reference, Engle 1982) treats the series values as
     the residuals under test — pre-whiten first if they carry structure."""
-    from ..stats import tests as st
-
     test = _require(test, _KNOWN_TESTS)
 
     def _t(pdf: pd.DataFrame) -> pd.DataFrame:
         key = pdf[key_col].iloc[0]
         y = _clean(_series_from(pdf, order_col, value_col))
-        stat, p = float("nan"), float("nan")
-        try:
-            if test == "adf":
-                stat, p = st.adf_test(
-                    y, kwargs.get("max_lag", 1), kwargs.get("regression", "c")
-                )
-            elif test == "kpss":
-                stat, _ = st.kpss_test(y, kwargs.get("method", "c"))
-            elif test == "dw":
-                stat = st.durbin_watson(y)
-            elif test == "ljung_box":
-                stat, p = st.ljung_box(y, kwargs.get("max_lag", 10))
-            elif test == "breusch_godfrey":
-                trend = np.arange(len(y), dtype=float)[:, None]
-                stat, p = st.breusch_godfrey(y, trend, kwargs.get("max_lag", 1))
-            elif test == "breusch_pagan":
-                trend = np.arange(len(y), dtype=float)[:, None]
-                stat, p = st.breusch_pagan(y, trend)
-            elif test == "arch_lm":
-                stat, p = st.arch_lm(y, kwargs.get("max_lag", 1))
-        except Exception:
-            pass  # degenerate series → NaN stat, like fit_models
+        stat, p = _run_series_test(test, y, kwargs)
         return pd.DataFrame({"key": [key], "stat": [stat], "p_value": [p]})
 
     return _spread(df, key_col).groupBy(key_col).applyInPandas(
         _t, schema="key string, stat double, p_value double"
+    )
+
+
+def _run_series_test(test: str, y: np.ndarray, kwargs: dict):
+    """Shared single-test dispatch for :func:`test_series` and
+    :func:`test_series_suite` — one code path so the suite's per-test
+    statistics are bit-identical to the standalone rows'."""
+    from ..stats import tests as st
+
+    stat, p = float("nan"), float("nan")
+    try:
+        if test == "adf":
+            stat, p = st.adf_test(
+                y, kwargs.get("max_lag", 1), kwargs.get("regression", "c")
+            )
+        elif test == "kpss":
+            stat, _ = st.kpss_test(y, kwargs.get("method", "c"))
+        elif test == "dw":
+            stat = st.durbin_watson(y)
+        elif test == "ljung_box":
+            stat, p = st.ljung_box(y, kwargs.get("max_lag", 10))
+        elif test == "breusch_godfrey":
+            trend = np.arange(len(y), dtype=float)[:, None]
+            stat, p = st.breusch_godfrey(y, trend, kwargs.get("max_lag", 1))
+        elif test == "breusch_pagan":
+            trend = np.arange(len(y), dtype=float)[:, None]
+            stat, p = st.breusch_pagan(y, trend)
+        elif test == "arch_lm":
+            stat, p = st.arch_lm(y, kwargs.get("max_lag", 1))
+    except Exception:
+        pass  # degenerate series → NaN stat, like fit_models
+    return stat, p
+
+
+def test_series_suite(
+    df: DataFrame,
+    specs: list,
+    key_col: str = "key",
+    order_col: str = "loc",
+    value_col: str = "value",
+) -> DataFrame:
+    """Run SEVERAL per-series tests in ONE grouped-map pass →
+    (key, <name>_stat, <name>_p per spec). ``specs`` is a list of
+    ``(name, test, kwargs)`` with ``test`` from the same registry as
+    :func:`test_series`.
+
+    Pure plan optimization (r14): a suite row composed of N
+    :func:`test_series` calls pays N scans + N spread exchanges + N
+    Python stages + N−1 key joins; each series is already IN CORE once
+    per test, so computing every statistic while it is there collapses
+    the plan to ONE scan + ONE exchange + ONE Python stage with zero
+    change to any statistic (the dispatch is shared —
+    :func:`_run_series_test`)."""
+    for _, test, _kw in specs:
+        _require(test, _KNOWN_TESTS)
+
+    def _t(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf[key_col].iloc[0]
+        y = _clean(_series_from(pdf, order_col, value_col))
+        row: dict = {"key": [key]}
+        for name, test, kw in specs:
+            stat, p = _run_series_test(test, y, kw)
+            row[f"{name}_stat"] = [stat]
+            row[f"{name}_p"] = [p]
+        return pd.DataFrame(row)
+
+    fields = ", ".join(
+        f"`{name}_stat` double, `{name}_p` double" for name, _, _ in specs
+    )
+    return _spread(df, key_col).groupBy(key_col).applyInPandas(
+        _t, schema=f"key string, {fields}"
     )
 
 
