@@ -1681,7 +1681,7 @@ def _q_lm_perplexity(spark, sf_dir):
     tokens carry no bigram evidence and are excluded (documented)."""
     from spark_timeseries_spark.pipeline.lm import score_perplexity, train_bigram_lm
 
-    docs = _docs_spread(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
     lm = train_bigram_lm(docs.where(F.col("lang") == "en"))
     out = score_perplexity(docs, lm, k=1.0)
     return out.select(
@@ -2112,7 +2112,7 @@ def _q_lm3_perplexity(spark, sf_dir):
         train_trigram_lm,
     )
 
-    docs = _docs_spread(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
     lm = train_trigram_lm(docs.where(F.col("lang") == "en"))
     out = score_perplexity_trigram(docs, lm, k=1.0, lambdas=(0.6, 0.3, 0.1))
     return out.select(
