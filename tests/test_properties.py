@@ -884,7 +884,9 @@ def test_g_test_kappa_properties(spark, pairs):
     assert (g1.r, g1.c) == (g2.c, g2.r)
 
     k = cohen_kappa(df, "a", "b").collect()[0]
-    assert 0.0 <= k.po <= 1.0 and 0.0 < k.pe <= 1.0
+    # pe = sum_k pA(k)*pB(k) is legitimately 0 when the raters' category
+    # supports are disjoint (e.g. A always 'a', B always 'b')
+    assert 0.0 <= k.po <= 1.0 and 0.0 <= k.pe <= 1.0
     if k.kappa is not None:
         assert k.kappa <= 1.0 + 1e-12
     same = df.select("a", F.col("a").alias("b"))
