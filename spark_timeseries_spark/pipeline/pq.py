@@ -59,13 +59,15 @@ def pq_train(
     """Fit per-subspace codebooks with :func:`clustering.kmeans_fit`
     (deterministic lowest-id init, so the whole model is replayable).
     Each subspace trains independently on the sliced vectors."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from spark_timeseries_spark.pipeline.clustering import kmeans_fit
 
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
-    books = []
-    for s in range(m):
+
+    def fit_subspace(s: int) -> list[list[float]]:
         sliced = df.select(
             F.col(id_col).alias("vec_id"),
             F.slice(
@@ -77,7 +79,14 @@ def pq_train(
         model = kmeans_fit(
             sliced, k=k, max_iter=max_iter, vec_col="embedding", id_col="vec_id"
         )
-        books.append(model.centroids)
+        return model.centroids
+
+    # the m subspace fits are fully independent Lloyd loops; submitting
+    # them from concurrent threads overlaps their driver-synchronized
+    # per-iteration jobs (each fit's own plans/arithmetic are unchanged —
+    # results are indexed by subspace, so completion order is irrelevant)
+    with ThreadPoolExecutor(max_workers=m) as pool:
+        books = list(pool.map(fit_subspace, range(m)))
     return PQModel(dim=dim, m=m, k=k, codebooks=books)
 
 

@@ -1268,6 +1268,29 @@ def test_pq_encode_matches_numpy(spark, vectors):
         pq_train(vectors, dim=8, m=3)
 
 
+def test_pq_train_parallel_matches_sequential(spark, vectors):
+    """pq_train fits its subspaces from concurrent threads; the codebooks
+    must equal exactly what per-subspace kmeans_fit calls produce
+    sequentially (same slicing, same init, same iteration count)."""
+    from pyspark.sql import functions as F
+
+    from spark_timeseries_spark.pipeline.clustering import kmeans_fit
+    from spark_timeseries_spark.pipeline.pq import pq_train
+
+    model = pq_train(vectors, dim=8, m=2, k=4, max_iter=3)
+    for s in range(2):
+        sliced = vectors.select(
+            F.col("vec_id"),
+            F.slice(
+                F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                s * 4 + 1,
+                4,
+            ).alias("embedding"),
+        )
+        ref = kmeans_fit(sliced, k=4, max_iter=3)
+        assert model.codebooks[s] == ref.centroids, s
+
+
 def test_pq_encode_plan_is_row_local(spark, vectors):
     """Encoding must be a pure scan-stage transform: literal codebooks,
     HOF argmin, no shuffle, no UDF."""
