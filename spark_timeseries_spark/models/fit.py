@@ -632,8 +632,12 @@ def test_series_suite(
     the plan to ONE scan + ONE exchange + ONE Python stage with zero
     change to any statistic (the dispatch is shared —
     :func:`_run_series_test`)."""
-    for _, test, _kw in specs:
-        _require(test, _KNOWN_TESTS)
+    # normalize aliases up front (e.g. 'ljungbox' -> 'ljung_box'): the
+    # kernel dispatches on the CANONICAL name, so a validated-but-raw
+    # alias would silently match no branch and yield NaN stat/p
+    specs = [
+        (name, _require(test, _KNOWN_TESTS), kw) for name, test, kw in specs
+    ]
 
     def _t(pdf: pd.DataFrame) -> pd.DataFrame:
         key = pdf[key_col].iloc[0]

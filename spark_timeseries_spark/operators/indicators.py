@@ -143,6 +143,37 @@ def _ema_col(
     return short.unionByName(long_)
 
 
+def _ema_chain(df, key_col, alphas, chain, method, max_len):
+    """Route a CHAIN of EMA passes with ONE per-series length decision.
+
+    ``chain(d, m)`` must apply every pass with the forced method ``m``.
+    Before r15, ``method="auto"`` routed inside each ``_ema_col`` call:
+    every pass planned a closed+kernel Union over its whole input, so
+    chained passes DOUBLED the subplan each time — adx's four chained
+    EMAs planned a 16×-duplicated tree costing ~5 s of pure driver
+    analysis/optimizer time before a task ran (the r14 entry rows dodged
+    it only by caller vouches). Splitting ONCE on the chain's tightest
+    envelope (min closed-form cap over the chain's alphas, with count(*)
+    per key as a conservative series-length bound) keeps both branches
+    LINEAR: one Union total, 2 upstream copies instead of 2^n.
+
+    A series whose length lands between a per-pass cap and the chain cap
+    now takes the kernel for every pass instead of the closed form for
+    some; both implement the identical adjust=False recursion (floats
+    may differ in the last bits between the two exact forms — the same
+    closed-vs-kernel seam auto always had, moved a few lengths down)."""
+    if method != "auto":
+        return chain(df, method)
+    cap = min(_ema_safe_len(a) for a in alphas)
+    if max_len is not None and max_len <= cap:
+        return chain(df, "closed")
+    wn = Window.partitionBy(key_col)
+    d = df.withColumn("_gn", F.count(F.lit(1)).over(wn))
+    short = chain(d.where(F.col("_gn") <= cap).drop("_gn"), "closed")
+    long_ = chain(d.where(F.col("_gn") > cap).drop("_gn"), "kernel")
+    return short.unionByName(long_)
+
+
 def ema(
     df: DataFrame,
     alpha: float,
@@ -185,11 +216,17 @@ def macd(
         raise ValueError(f"need 1 <= fast < slow, got {fast}, {slow}")
     a_fast, a_slow = 2.0 / (fast + 1), 2.0 / (slow + 1)
     a_sig = 2.0 / (signal + 1)
-    d = _ema_col(df, a_fast, key_col, order_col, value_col, "_ef", method, max_len)
-    d = _ema_col(d, a_slow, key_col, order_col, value_col, "_es", method, max_len)
-    d = d.withColumn("macd", F.col("_ef") - F.col("_es")).drop("_ef", "_es")
-    d = _ema_col(d, a_sig, key_col, order_col, "macd", "signal", method, max_len)
-    return d.withColumn("histogram", F.col("macd") - F.col("signal"))
+
+    def _chain(d, m):
+        d = _ema_col(d, a_fast, key_col, order_col, value_col, "_ef", m, max_len)
+        d = _ema_col(d, a_slow, key_col, order_col, value_col, "_es", m, max_len)
+        d = d.withColumn("macd", F.col("_ef") - F.col("_es")).drop("_ef", "_es")
+        d = _ema_col(d, a_sig, key_col, order_col, "macd", "signal", m, max_len)
+        return d.withColumn("histogram", F.col("macd") - F.col("signal"))
+
+    return _ema_chain(
+        df, key_col, (a_fast, a_slow, a_sig), _chain, method, max_len
+    )
 
 
 def rsi(
@@ -223,15 +260,19 @@ def rsi(
         .drop("_d")
     )
     alpha = 1.0 / n
-    d = _ema_col(d, alpha, key_col, order_col, "gain", "avg_gain", method, max_len)
-    d = _ema_col(d, alpha, key_col, order_col, "loss", "avg_loss", method, max_len)
-    return d.withColumn(
-        "rsi",
-        100.0
-        * F.try_divide(
-            F.col("avg_gain"), F.col("avg_gain") + F.col("avg_loss")
-        ),
-    )
+
+    def _chain(dd, m):
+        dd = _ema_col(dd, alpha, key_col, order_col, "gain", "avg_gain", m, max_len)
+        dd = _ema_col(dd, alpha, key_col, order_col, "loss", "avg_loss", m, max_len)
+        return dd.withColumn(
+            "rsi",
+            100.0
+            * F.try_divide(
+                F.col("avg_gain"), F.col("avg_gain") + F.col("avg_loss")
+            ),
+        )
+
+    return _ema_chain(d, key_col, (alpha,), _chain, method, max_len)
 
 
 def bollinger(
@@ -332,25 +373,29 @@ def adx(
         .drop("_ph", "_pl", "_pc")
     )
     alpha = 1.0 / n
-    d = _ema_col(d, alpha, key_col, order_col, "_pdm", "_spdm", method, max_len)
-    d = _ema_col(d, alpha, key_col, order_col, "_mdm", "_smdm", method, max_len)
-    d = _ema_col(d, alpha, key_col, order_col, "tr", "_str", method, max_len)
     plus_di = 100.0 * F.try_divide(F.col("_spdm"), F.col("_str"))
     minus_di = 100.0 * F.try_divide(F.col("_smdm"), F.col("_str"))
-    d = (
-        d.withColumn("plus_di", plus_di)
-        .withColumn("minus_di", minus_di)
-        .withColumn(
-            "dx",
-            100.0
-            * F.try_divide(
-                F.abs(F.col("plus_di") - F.col("minus_di")),
-                F.col("plus_di") + F.col("minus_di"),
-            ),
+
+    def _chain(dd, m):
+        dd = _ema_col(dd, alpha, key_col, order_col, "_pdm", "_spdm", m, max_len)
+        dd = _ema_col(dd, alpha, key_col, order_col, "_mdm", "_smdm", m, max_len)
+        dd = _ema_col(dd, alpha, key_col, order_col, "tr", "_str", m, max_len)
+        dd = (
+            dd.withColumn("plus_di", plus_di)
+            .withColumn("minus_di", minus_di)
+            .withColumn(
+                "dx",
+                100.0
+                * F.try_divide(
+                    F.abs(F.col("plus_di") - F.col("minus_di")),
+                    F.col("plus_di") + F.col("minus_di"),
+                ),
+            )
+            .drop("_pdm", "_mdm", "_spdm", "_smdm", "_str")
         )
-        .drop("_pdm", "_mdm", "_spdm", "_smdm", "_str")
-    )
-    return _ema_col(d, alpha, key_col, order_col, "dx", "adx", method, max_len)
+        return _ema_col(dd, alpha, key_col, order_col, "dx", "adx", m, max_len)
+
+    return _ema_chain(d, key_col, (alpha,), _chain, method, max_len)
 
 
 def stochastic(
@@ -447,16 +492,20 @@ def ewm_var(
     closed form's envelope, dual-plan routed beyond it."""
     v = F.col(value_col)
     d = df.where(v.isNotNull()).withColumn("_x2", v * v)
-    d = _ema_col(d, alpha, key_col, order_col, value_col, "ewm_mean", method, max_len)
-    d = _ema_col(d, alpha, key_col, order_col, "_x2", "_e2", method, max_len)
     var = F.greatest(
         F.lit(0.0), F.col("_e2") - F.col("ewm_mean") * F.col("ewm_mean")
     )
-    return (
-        d.withColumn("ewm_var", var)
-        .withColumn("ewm_std", F.sqrt(F.col("ewm_var")))
-        .drop("_x2", "_e2")
-    )
+
+    def _chain(dd, m):
+        dd = _ema_col(dd, alpha, key_col, order_col, value_col, "ewm_mean", m, max_len)
+        dd = _ema_col(dd, alpha, key_col, order_col, "_x2", "_e2", m, max_len)
+        return (
+            dd.withColumn("ewm_var", var)
+            .withColumn("ewm_std", F.sqrt(F.col("ewm_var")))
+            .drop("_x2", "_e2")
+        )
+
+    return _ema_chain(d, key_col, (alpha,), _chain, method, max_len)
 
 
 def atr(
@@ -558,13 +607,18 @@ def keltner_channels(
         )
         .drop("_pc")
     )
-    d = _ema_col(d, 2.0 / (n + 1), key_col, order_col, "typical", "kc_mid",
-                 method, max_len)
-    d = _ema_col(d, 1.0 / n, key_col, order_col, "tr", "_atr", method, max_len)
-    return (
-        d.withColumn("kc_upper", F.col("kc_mid") + mult * F.col("_atr"))
-        .withColumn("kc_lower", F.col("kc_mid") - mult * F.col("_atr"))
-        .drop("_atr")
+    def _chain(dd, m):
+        dd = _ema_col(dd, 2.0 / (n + 1), key_col, order_col, "typical",
+                      "kc_mid", m, max_len)
+        dd = _ema_col(dd, 1.0 / n, key_col, order_col, "tr", "_atr", m, max_len)
+        return (
+            dd.withColumn("kc_upper", F.col("kc_mid") + mult * F.col("_atr"))
+            .withColumn("kc_lower", F.col("kc_mid") - mult * F.col("_atr"))
+            .drop("_atr")
+        )
+
+    return _ema_chain(
+        d, key_col, (2.0 / (n + 1), 1.0 / n), _chain, method, max_len
     )
 
 
@@ -886,18 +940,24 @@ def trix(
         raise ValueError(f"n must be >= 1, got {n}")
     alpha = 2.0 / (n + 1)
     pts = df.where(F.col(value_col).isNotNull())
-    d = _ema_col(pts, alpha, key_col, order_col, value_col, "_e1",
-                 method, max_len)
-    d = _ema_col(d, alpha, key_col, order_col, "_e1", "_e2",
-                 method, max_len)
-    d = _ema_col(d, alpha, key_col, order_col, "_e2", "ema3",
-                 method, max_len)
     ws = Window.partitionBy(key_col).orderBy(order_col)
     prev = F.lag("ema3").over(ws)
-    return (
-        d.withColumn("trix", 100.0 * (F.try_divide(F.col("ema3"), prev) - 1.0))
-        .drop("_e1", "_e2")
-    )
+
+    def _chain(dd, m):
+        dd = _ema_col(dd, alpha, key_col, order_col, value_col, "_e1",
+                      m, max_len)
+        dd = _ema_col(dd, alpha, key_col, order_col, "_e1", "_e2",
+                      m, max_len)
+        dd = _ema_col(dd, alpha, key_col, order_col, "_e2", "ema3",
+                      m, max_len)
+        return (
+            dd.withColumn(
+                "trix", 100.0 * (F.try_divide(F.col("ema3"), prev) - 1.0)
+            )
+            .drop("_e1", "_e2")
+        )
+
+    return _ema_chain(pts, key_col, (alpha,), _chain, method, max_len)
 
 
 def aroon(

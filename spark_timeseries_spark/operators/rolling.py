@@ -449,6 +449,36 @@ def autocorr(
     )
 
 
+_CORR_BCAST_CONF = "spark.spark_timeseries.corrMatrix.broadcastMaxBytes"
+_CORR_BCAST_DEFAULT = 512 * 1024 * 1024  # 512 MiB — well under the 8 GiB cap
+
+
+def _corr_broadcast_max_bytes(spark) -> int:
+    """Broadcast budget for corr_matrix's join kernel — parameterised via
+    session conf (production clusters size it to driver/executor memory),
+    local default 512 MiB."""
+    try:
+        return int(spark.conf.get(_CORR_BCAST_CONF, str(_CORR_BCAST_DEFAULT)))
+    except Exception:
+        return _CORR_BCAST_DEFAULT
+
+
+def _est_bytes(df: DataFrame) -> int:
+    """The optimizer's size estimate for ``df`` (the same statistic the
+    autoBroadcastJoinThreshold decision reads) — no job is run. Returns 0
+    (i.e. 'fits') when the estimate is unavailable or is the
+    ``spark.sql.defaultSizeInBytes`` Long.MaxValue sentinel (non-file
+    sources like LocalRelation/ExistingRDD report that, meaning UNKNOWN,
+    not huge), preserving the documented bounded-K broadcast contract."""
+    try:
+        est = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return 0
+    return 0 if est >= (1 << 62) else est
+
+
 def corr_matrix(
     df: DataFrame,
     min_overlap: int = 2,
@@ -479,9 +509,15 @@ def corr_matrix(
     pick whenever compute is the constraint):
 
     - ``method="join"`` (default): one self-equi-join on the location +
-      one (key_a, key_b) moment aggregate. Shuffles O(T·K²) joined rows
-      but every flop runs inside whole-stage-codegen'd native
-      aggregates — on a CPU-bound box it beats the array fold ~1.7×.
+      one (key_a, key_b) moment aggregate, every flop inside
+      whole-stage-codegen'd native aggregates — on a CPU-bound box it
+      beats the array fold ~1.7×. The right side is BROADCAST (the same
+      K×T envelope the compact kernel broadcasts) so the joined rows are
+      never exchanged — but only while its plan-estimated size stays
+      under ``spark.spark_timeseries.corrMatrix.broadcastMaxBytes``
+      (default 512 MiB; the broadcast hard cap is 8 GiB / 512M rows).
+      Past the bound it degrades to a location shuffle join + post-join
+      aggregate exchange — O(T·K²) shuffled rows, slower but unbounded.
     - ``method="compact"`` (aligned grids, shuffle-bound clusters):
       collapse each series to ONE row carrying its loc-sorted value
       array (grand shuffle volume: K rows vs T·K² joined rows),
@@ -531,7 +567,21 @@ def corr_matrix(
         F.col(order_col).alias("_o"),
         F.col(value_col).alias("_vb"),
     )
-    j = a.join(F.broadcast(b), "_o").where(F.col("key_a") < F.col("key_b"))
+    # Size guard (r14 ADVICE): the explicit broadcast hint bypasses
+    # autoBroadcastJoinThreshold, so an unguarded hint would drive the
+    # join into the 8 GiB / 512M-row broadcast hard cap (or a driver
+    # OOM) on long-series/many-key corpora where the old shuffle join
+    # merely crawled. Gate on the optimizer's size ESTIMATE (no job);
+    # if the estimate is unavailable, keep the broadcast (the bounded-K
+    # contract above).
+    if _est_bytes(b) <= _corr_broadcast_max_bytes(df.sparkSession):
+        j = a.join(F.broadcast(b), "_o")
+    else:
+        # fallback regime: plain location equi-join (sort-merge /
+        # shuffled-hash per planner); the (key_a, key_b) aggregate then
+        # pays its own exchange — unbounded, network-bound, correct.
+        j = a.join(b, "_o")
+    j = j.where(F.col("key_a") < F.col("key_b"))
     agg = j.groupBy("key_a", "key_b").agg(
         F.count(F.lit(1)).alias("n_overlap"),
         F.covar_samp("_va", "_vb").alias("_cov"),

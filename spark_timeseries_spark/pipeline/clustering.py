@@ -8,10 +8,11 @@ O(N²) all-pairs comparison into k independent within-cluster problems.
 
 Everything here is DataFrame ops on `array<double>` columns:
 
-- **Assignment** is a crossJoin against a broadcast centroid frame (k rows)
-  with a `zip_with`/`aggregate` squared-L2 expression and a per-vector
-  `row_number` argmin — the same shape `similarity.ivf_topk` pins. Cost
-  O(N·k·dim), fully codegen, no Python.
+- **Assignment** ships the driver-held k×dim centroid matrix as LITERALS
+  inside one row-local `array_min` argmin over `zip_with`/`aggregate`
+  squared-L2 structs — cost O(N·k·dim), fully codegen, no Python, ZERO
+  shuffles (the former broadcast-crossJoin + rank-window shape paid an
+  exchange + sort of N·k rows per call).
 - **Update** re-averages per (cluster, dimension) via posexplode — one
   shuffle of N·dim narrow rows with map-side partial aggregation.
 - **Driver state** is exactly the k×dim centroid matrix per iteration
@@ -69,16 +70,45 @@ class KMeansModel:
         return spark.createDataFrame(rows, "cid int, cv array<double>")
 
 
-def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+def _lit_vec(c) -> "F.Column":
+    """A centroid as a literal ARRAY<DOUBLE> column expression."""
+    return F.array(*[F.lit(float(x)) for x in c])
+
+
+def _dist_structs(v, centroids: list[list[float]]):
+    """ARRAY<STRUCT<dist:double, cid:int>> of squared-L2 distances from
+    ``v`` to every centroid (centroid list index = cid). The fold inside
+    ``_sq_l2`` runs element-by-element exactly as the former broadcast
+    crossJoin did, so the dist doubles are bit-identical."""
+    return F.array(
+        *[
+            F.struct(
+                _sq_l2(v, _lit_vec(c)).alias("dist"),
+                F.lit(i).cast("int").alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+
+
+def _assign(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """(vec_id, v, cid, dist): nearest centroid by squared L2; ties break
-    to the smallest cid so assignment is deterministic."""
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
+    to the smallest cid so assignment is deterministic.
+
+    The centroids are a driver-held k×dim list (kilobytes), so they ship
+    as LITERALS inside one row-local argmin expression — struct ordering
+    is lexicographic (dist asc, cid asc), the exact order the former
+    ``row_number`` window used. This replaces the broadcast crossJoin +
+    rank-window assignment (which materialized N·k rows and paid an
+    exchange + sort per call) with a narrow map: zero shuffles, zero
+    broadcast, same values bit-for-bit."""
+    near = F.array_min(_dist_structs(F.col("v"), centroids))
     return (
-        vecs.crossJoin(F.broadcast(cents))
-        .withColumn("dist", _sq_l2(F.col("v"), F.col("cv")))
-        .withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") == 1)
-        .select("vec_id", "v", "cid", "dist")
+        vecs.withColumn("_n", near)
+        .select(
+            "vec_id", "v", F.col("_n.cid").alias("cid"),
+            F.col("_n.dist").alias("dist"),
+        )
     )
 
 
@@ -127,11 +157,8 @@ def _lloyd(spark, vecs, k, max_iter):
         raise ValueError(f"need at least k={k} vectors, got {len(centroids)}")
 
     for it in range(max_iter):
-        cents = spark.createDataFrame(
-            sorted(centroids.items()), "cid int, cv array<double>"
-        )
         new = (
-            _assign(vecs, cents)
+            _assign(vecs, [centroids[c] for c in sorted(centroids)])
             .select("cid", F.posexplode("v").alias("i", "x"))
             .groupBy("cid", "i")
             .agg(F.avg("x").alias("m"))
@@ -156,7 +183,7 @@ def kmeans_assign(
     vecs = df.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )
-    out = _assign(vecs, model.centroid_df(df.sparkSession))
+    out = _assign(vecs, model.centroids)
     return out.select(F.col("vec_id").alias(id_col), "cid", "dist")
 
 
@@ -210,9 +237,9 @@ def semantic_dedup_pairs(
     # the assignment feeds BOTH self-join sides; eager localCheckpoint
     # materializes it once and truncates the lineage (same pattern as
     # connected_components — blocks are freed when the frame is GC'd),
-    # instead of running the crossJoin-argmin over the corpus twice
+    # instead of running the literal-argmin over the corpus twice
     vecs = (
-        _assign(base, model.centroid_df(df.sparkSession))
+        _assign(base, model.centroids)
         .select("vec_id", "v", "cid")
         .localCheckpoint(eager=True)
     )
@@ -271,35 +298,37 @@ def silhouette_simplified(
     100 TB corpus. Interpretation unchanged: s → 1 well-separated,
     s ≈ 0 boundary, s < 0 likely misassigned.
 
-    Plan: broadcast crossJoin against the k×dim centroid table, one
-    (vec_id) rank window + one groupBy on the SAME partitioning —
-    a single data-sized exchange; k bounded."""
+    Plan: the k×dim centroid matrix is driver-held, so the per-vector
+    distances ship as one literal array_sort expression — nearest and
+    second-nearest are elements 0/1 of the sorted (dist, cid) structs
+    (lexicographic order = the dist-asc/cid-asc tie-break). Entirely
+    row-local: zero joins, zero exchanges, no broadcast."""
+    from spark_timeseries_spark.functions import let
+
     vecs = df.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )
-    cents = model.centroid_df(df.sparkSession)
-    w = Window.partitionBy("vec_id").orderBy(F.asc("_sq"), F.asc("cid"))
-    d = (
-        vecs.crossJoin(F.broadcast(cents))
-        .withColumn("_sq", _sq_l2(F.col("v"), F.col("cv")))
-        .withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= 2)
-    )
-    top = d.groupBy("vec_id").agg(
-        F.min(F.when(F.col("_rk") == 1, F.col("cid"))).alias("cid"),
-        F.min(F.when(F.col("_rk") == 1, F.sqrt(F.col("_sq")))).alias(
-            "a_dist"
+
+    def _sil(pairs):
+        one, two = F.get(pairs, F.lit(0)), F.get(pairs, F.lit(1))
+        a = F.sqrt(one["dist"])
+        b = F.sqrt(two["dist"])
+        s = F.when(
+            F.greatest(a, b) > 0,
+            F.try_divide(b - a, F.greatest(a, b)),
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            one["cid"].alias("cid"), a.alias("a_dist"), b.alias("b_dist"),
+            s.alias("silhouette"),
+        )
+
+    out = vecs.withColumn(
+        "_s",
+        let(
+            F.array_sort(_dist_structs(F.col("v"), model.centroids)), _sil
         ),
-        F.min(F.when(F.col("_rk") == 2, F.sqrt(F.col("_sq")))).alias(
-            "b_dist"
-        ),
     )
-    a, b = F.col("a_dist"), F.col("b_dist")
-    s = F.when(
-        F.greatest(a, b) > 0,
-        F.try_divide(b - a, F.greatest(a, b)),
-    ).otherwise(F.lit(0.0))
-    return top.select(
-        F.col("vec_id").alias(id_col), "cid", "a_dist", "b_dist",
-        s.alias("silhouette"),
+    return out.select(
+        F.col("vec_id").alias(id_col), "_s.cid", "_s.a_dist", "_s.b_dist",
+        "_s.silhouette",
     )

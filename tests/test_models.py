@@ -403,6 +403,24 @@ def test_model_name_aliases():
         _require("holt-winters", _KNOWN_MODELS)
 
 
+def test_series_suite_normalizes_aliases(spark):
+    """An alias spelling in a suite spec ('ljungbox') must produce the
+    SAME statistic as the canonical name — not silently NaN (r14 ADVICE:
+    the suite validated aliases but dispatched on the raw name)."""
+    import math
+
+    from spark_timeseries_spark.models.fit import test_series_suite
+
+    rows = [("a", i, float((i * 7) % 5) + 0.1 * i) for i in range(30)]
+    df = spark.createDataFrame(rows, "key string, loc long, value double")
+    specs_alias = [("lb", "ljungbox", {"max_lag": 3})]
+    specs_canon = [("lb", "ljung_box", {"max_lag": 3})]
+    got = test_series_suite(df, specs_alias).collect()[0]
+    want = test_series_suite(df, specs_canon).collect()[0]
+    assert not math.isnan(got.lb_stat)
+    assert got.lb_stat == want.lb_stat and got.lb_p == want.lb_p
+
+
 def test_forecast_accuracy_vs_numpy(spark):
     """MAE/RMSE/MAPE/sMAPE/MASE match a hand-rolled numpy computation on
     a series with a NULL forecast, a zero actual (MAPE exclusion), and a

@@ -628,6 +628,72 @@ def test_corr_matrix_join_no_postjoin_exchange(spark, grid):
     assert not re.search(r"Exchange hashpartitioning\(key_a[^)]*key_b", p), p
 
 
+def test_corr_matrix_join_broadcast_guard_fallback(spark, grid, tmp_path):
+    """r15 size guard: past the broadcast budget the join kernel must
+    degrade to a shuffle join (no broadcast hint driving toward the 8 GiB
+    hard cap), and the values must be IDENTICAL to the broadcast regime.
+    The guard reads the optimizer's size estimate, so the input must be a
+    file source (a LocalRelation reports the unknown-size sentinel, which
+    deliberately keeps the broadcast)."""
+    from spark_timeseries_spark.operators.rolling import _CORR_BCAST_CONF
+
+    import math
+
+    path = str(tmp_path / "grid.parquet")
+    grid.write.parquet(path)
+    fgrid = spark.read.parquet(path)
+    fast = {
+        (r.key_a, r.key_b): (r.n_overlap, r.corr)
+        for r in rolling.corr_matrix(fgrid, 3, method="join").collect()
+    }
+    spark.conf.set(_CORR_BCAST_CONF, "1")
+    # a table past the guard is also past the planner's own 10 MB
+    # auto-broadcast threshold; emulate that for the KB-sized fixture
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = rolling.corr_matrix(fgrid, 3, method="join")
+        p = _plan(out)
+        assert "BroadcastHashJoin" not in p, p
+        slow = {
+            (r.key_a, r.key_b): (r.n_overlap, r.corr) for r in out.collect()
+        }
+    finally:
+        spark.conf.unset(_CORR_BCAST_CONF)
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert slow.keys() == fast.keys()
+    for k, (n, c) in fast.items():
+        n2, c2 = slow[k]
+        assert n2 == n
+        # the two regimes aggregate in different partial orders — equal
+        # to float tolerance, not necessarily bit-for-bit
+        assert (c is None and c2 is None) or math.isclose(
+            c, c2, rel_tol=1e-9, abs_tol=1e-12
+        )
+
+
+def test_ema_chain_auto_plans_without_union_blowup(spark, grid):
+    """r15: the EMA family's ``auto`` routing must make ONE per-chain
+    split, not one per pass — before, each chained _ema_col planned a
+    closed+kernel Union over its whole input, doubling the subplan per
+    pass (adx's 4 chained EMAs planned a 16×-duplicated tree with 60
+    FlatMapGroupsInPandas nodes and ~5 s of driver analysis time).
+    Pin: one Union, and exactly as many kernel nodes as EMA passes."""
+    from spark_timeseries_spark.operators.indicators import adx, macd
+
+    bars = grid.select(
+        "key", F.col("ts").alias("bar_ts"),
+        (F.coalesce("value", F.lit(1.0)) + 1.0).alias("high"),
+        F.coalesce("value", F.lit(1.0)).alias("low"),
+        (F.coalesce("value", F.lit(1.0)) + 0.5).alias("close"),
+    )
+    p = _plan(adx(bars, 14, method="auto"))
+    assert p.count("Union") <= 1, p
+    assert p.count("FlatMapGroupsInPandas") <= 4, p
+    p = _plan(macd(grid, method="auto"))
+    assert p.count("Union") <= 1, p
+    assert p.count("FlatMapGroupsInPandas") <= 3, p
+
+
 def test_threshold_runs_single_exchange_no_python(spark, grid):
     """Gaps-and-islands rides the one (key, loc) sort: both row_numbers
     and the island aggregate hash-partition by key, so the plan carries
@@ -1234,10 +1300,11 @@ def test_smoothing_single_exchange_no_join(spark):
     assert "Python" not in p and "ArrowEval" not in p, p
 
 
-def test_silhouette_broadcast_only(spark):
-    """silhouette_simplified: the centroid side joins ONLY via
-    broadcast (k x dim), one data-sized exchange for the rank window +
-    groupBy pair."""
+def test_silhouette_row_local(spark):
+    """silhouette_simplified (r15): the k×dim centroid matrix ships as a
+    literal array_sort expression — the plan is entirely row-local: no
+    join of ANY kind, zero exchanges (the pre-r15 shape was a broadcast
+    crossJoin + rank window + groupBy, one data-sized exchange)."""
     from spark_timeseries_spark.pipeline.clustering import (
         kmeans_fit,
         silhouette_simplified,
@@ -1247,9 +1314,8 @@ def test_silhouette_broadcast_only(spark):
     emb = load_table(spark, SF, "embeddings")
     model = kmeans_fit(emb, k=4, max_iter=1)
     shuffles, _, p = _counts(silhouette_simplified(emb, model))
-    assert "BroadcastExchange" in p, p
-    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
-    assert shuffles <= 1, p
+    assert "Join" not in p, p
+    assert shuffles == 0, p
 
 
 def test_r12_indicator_plans_single_exchange(spark):
