@@ -38,6 +38,11 @@ __all__ = ["BPEModel", "bpe_train", "bpe_segment", "word_type_table"]
 
 #: end-of-word marker appended to every word's symbol sequence
 EOW = "</w>"
+#: type-table row bound under which :func:`bpe_train` collects the
+#: vocabulary and runs the merge loop at the driver (a few MB — the same
+#: envelope as a broadcast join build side) instead of paying one cluster
+#: job round-trip per merge
+DRIVER_VOCAB_ROWS = 65536
 #: fold sentinel — ASCII unit separator, filtered from the input alphabet
 SEP = "\x1f"
 
@@ -161,18 +166,52 @@ def bpe_train(
     lowercase: bool = True,
     checkpoint_every: int = 8,
 ) -> BPEModel:
-    """Learn ``n_merges`` BPE merges from the corpus. Driver traffic is
-    one (left, right, count) row per merge; the word-type table is
-    localCheckpoint'ed every ``checkpoint_every`` merges so the fold
-    expressions never stack past a bounded depth (each merge adds one
-    fold+split layer; unbounded stacking is a codegen/analysis blow-up,
-    the same lineage-truncation pattern as ``connected_components``).
-    Stops early when no adjacent pair is left (fully merged corpus)."""
+    """Learn ``n_merges`` BPE merges from the corpus. The corpus is
+    scanned once to build the word-type table; when that table fits under
+    :data:`DRIVER_VOCAB_ROWS` the merge loop runs locally on the collected
+    vocabulary (one collect total). Above the bound, the loop iterates on
+    the cluster: driver traffic is one (left, right, count) row per merge,
+    and the word-type table is localCheckpoint'ed every
+    ``checkpoint_every`` merges so the fold expressions never stack past a
+    bounded depth (each merge adds one fold+split layer; unbounded
+    stacking is a codegen/analysis blow-up, the same lineage-truncation
+    pattern as ``connected_components``). Both paths produce identical
+    models. Stops early when no adjacent pair is left."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
     types_df = word_type_table(df, text_col, lowercase).localCheckpoint(
         eager=True
     )
+    n_types = types_df.count()
+    if n_types <= DRIVER_VOCAB_ROWS:
+        # The type table fits at the driver (same envelope as a broadcast
+        # join's build side: 64k rows of short strings is a few MB). The
+        # distributed loop below ships ONE useful row per merge but pays a
+        # full job round-trip n_merges times; collecting the vocabulary
+        # once and merging locally is the bounded-small-side move, not a
+        # driver data job. The local loop mirrors the cluster semantics
+        # token for token: pair counts weighted by word count, argmax
+        # tie-broken (count DESC, left ASC, right ASC — Python str
+        # comparison is code-point order, which equals Spark's UTF-8
+        # binary order), merges applied leftmost-first exactly like the
+        # fold in :func:`merge_fold_expr`. Same merges, same counts,
+        # bit-for-bit.
+        rows = types_df.select("cnt", "syms").collect()
+        return _merge_loop_local(
+            [(list(r["syms"]), int(r["cnt"])) for r in rows], int(n_merges)
+        )
+    # Scale path: the vocabulary is too big to collect — iterate on the
+    # cluster. Right-size the materialized table first: it inherits the
+    # corpus aggregation's partition count, and every per-merge job below
+    # schedules one task per partition, so a small-ish vocabulary spread
+    # over the full shuffle width pays pure scheduling overhead n_merges
+    # times over. Derive the width from the ACTUAL row count (never a
+    # constant); coalesce is narrow, so the checkpointed blocks are
+    # reused with no extra materialization.
+    width = types_df.rdd.getNumPartitions()
+    fit = max(1, min(width, int(n_types // max(1, DRIVER_VOCAB_ROWS)) + 1))
+    if fit < width:
+        types_df = types_df.coalesce(fit)
     # base alphabet: distinct initial symbols (chars + EOW) — one
     # explode+distinct over the vocabulary-sized type table, bounded by
     # alphabet size at the driver
@@ -184,6 +223,7 @@ def bpe_train(
     )
     model = BPEModel(alphabet=alphabet)
     since_ckpt = 0
+    merges_left = int(n_merges)
     for _ in range(int(n_merges)):
         top = (
             _pair_counts(types_df)
@@ -191,6 +231,7 @@ def bpe_train(
             .limit(1)
             .collect()
         )
+        merges_left -= 1
         if not top:
             break
         a, b, cnt = top[0].left, top[0].right, top[0].pcnt
@@ -200,9 +241,47 @@ def bpe_train(
             "syms", merge_fold_expr(F.col("syms"), a, b)
         )
         since_ckpt += 1
-        if since_ckpt >= checkpoint_every:
+        if since_ckpt >= checkpoint_every and merges_left > 0:
+            # (skip the re-checkpoint when no merge will read it)
             types_df = types_df.localCheckpoint(eager=True)
             since_ckpt = 0
+    return model
+
+
+def _merge_loop_local(
+    words: list[tuple[list[str], int]], n_merges: int
+) -> BPEModel:
+    """Driver-local replica of the distributed merge loop — used only
+    when the whole type table fits under :data:`DRIVER_VOCAB_ROWS`. The
+    merge application mirrors the left-fold in :func:`merge_fold_expr`:
+    walk the symbols left to right, fusing the tail symbol with the next
+    when they equal (a, b) — so ``(a, a)`` over ``aaa`` yields
+    ``[aa, a]``, exactly like the fold."""
+    alphabet = sorted({s for syms, _ in words for s in syms})
+    model = BPEModel(alphabet=alphabet)
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, cnt in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        model.merges.append((a, b))
+        model.pair_counts.append(int(cnt))
+        for j, (syms, wc) in enumerate(words):
+            if len(syms) < 2:
+                continue
+            out = [syms[0]]
+            for x in syms[1:]:
+                if out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            words[j] = (out, wc)
     return model
 
 

@@ -1997,6 +1997,36 @@ def test_bpe_train_classic_corpus(spark):
     assert mt.merges == [("a", "b"), ("ab", "</w>")]
 
 
+def test_bpe_train_local_loop_matches_distributed(spark, monkeypatch):
+    """The driver-local merge loop (taken when the type table fits under
+    DRIVER_VOCAB_ROWS) must produce the identical model — merges, counts,
+    alphabet — as the distributed per-merge job loop. Pinned by forcing
+    the bound to 0 (distributed) vs default (local) on the same corpus,
+    including a tie-heavy alphabet and an early-stop corpus."""
+    import spark_timeseries_spark.pipeline.bpe as bpe
+
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+        + ["aaa"] * 4 + ["ba"] * 4
+    )
+    df = spark.createDataFrame(
+        [(0, text), (1, "ba aaa low")], "doc_id long, text string"
+    )
+    local = bpe.bpe_train(df, n_merges=6)
+    monkeypatch.setattr(bpe, "DRIVER_VOCAB_ROWS", 0)
+    dist = bpe.bpe_train(df, n_merges=6)
+    assert local.merges == dist.merges
+    assert local.pair_counts == dist.pair_counts
+    assert local.alphabet == dist.alphabet
+
+    tiny = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
+    dist_t = bpe.bpe_train(tiny, n_merges=50)
+    monkeypatch.undo()
+    local_t = bpe.bpe_train(tiny, n_merges=50)
+    assert local_t.merges == dist_t.merges == [("a", "b"), ("ab", "</w>")]
+    assert local_t.pair_counts == dist_t.pair_counts
+
+
 def test_bpe_merge_fold_leftmost_first(spark):
     """The fold applies a merge leftmost-first over overlaps (aaa with
     merge (a,a) -> [aa, a]) and single-symbol arrays pass through —
