@@ -28,6 +28,12 @@ from pyspark.sql import functions as F
 
 from spark_timeseries_spark.functions import let
 
+#: edge-table row bound under which :func:`connected_components` collects
+#: the (symmetrized, distinct) near-dup edge list and label-propagates at
+#: the driver — a few MB of longs, the broadcast-build-side envelope.
+#: Above it, the distributed loop is the scale path.
+DRIVER_EDGE_ROWS = 1 << 17
+
 
 def content_digest(text: Column, normalize: bool = True) -> Column:
     """Stable digest for exact dedup; optional whitespace/case normalization."""
@@ -617,6 +623,24 @@ def connected_components(
         .distinct()
         .persist()
     )
+    n_edges = edges.count()  # also warms the persist the loop below reuses
+    if n_edges <= DRIVER_EDGE_ROWS:
+        # The pair table is tiny (near-dup edges, not the corpus — the
+        # corpus-scale join that produced it already ran). The cluster
+        # loop costs two job round-trips per round (materialize + changed
+        # count) on near-empty tasks; min-label propagation over longs is
+        # exact on any engine, so a driver-local replay of the SAME
+        # round-by-round algorithm (same max_iter bound, same
+        # nonconvergence contract) returns identical labels. Collect
+        # once, propagate locally.
+        rows = edges.collect()
+        edges.unpersist()
+        return _components_local(
+            pairs.sparkSession,
+            [(r["a"], r["b"]) for r in rows],
+            max_iter,
+            on_nonconverged,
+        )
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
@@ -660,6 +684,41 @@ def connected_components(
 
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
+
+
+def _components_local(spark, edges, max_iter, on_nonconverged):
+    """Driver-local replica of the distributed min-label propagation —
+    used only when the symmetrized distinct edge list fits under
+    :data:`DRIVER_EDGE_ROWS`. Identical round semantics: each round every
+    node takes the min of its own label and its neighbors' labels from the
+    PREVIOUS round, the loop stops on a fixed point, and hitting
+    ``max_iter`` with labels still moving raises/warns exactly like the
+    cluster loop."""
+    labels = {a: a for a, _ in edges}
+    changed = 1
+    for _ in range(max_iter):
+        new = dict(labels)
+        for a, b in edges:
+            lb = labels[b]
+            if lb < new[a]:
+                new[a] = lb
+        changed = sum(1 for k in labels if labels[k] != new[k])
+        labels = new
+        if changed == 0:
+            break
+    if changed != 0:
+        msg = (
+            f"connected_components did not converge in {max_iter} rounds: "
+            "a duplicate chain's diameter exceeds max_iter; labels are "
+            "partial (under-merged)"
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=3)
+    out = [(k, labels[k]) for k in sorted(labels)]
+    return spark.createDataFrame(out, "id long, component long")
 
 
 def keep_cluster_representatives(

@@ -29,6 +29,13 @@ from pyspark.sql import functions as F
 
 __all__ = ["pagerank"]
 
+#: edge-table row bound under which :func:`pagerank` collects the
+#: (already symmetrized + distinct) edge list and iterates at the driver —
+#: a few MB of longs, the broadcast-build-side envelope. The fixed-point
+#: integer contract makes the local loop bit-identical by construction;
+#: above the bound the distributed loop below is the scale path.
+DRIVER_EDGE_ROWS = 1 << 17
+
 
 def pagerank(
     pairs: DataFrame,
@@ -70,6 +77,21 @@ def pagerank(
             )
         )
     edges = e.distinct().localCheckpoint(eager=True)
+    n_edges = edges.count()
+    if n_edges <= DRIVER_EDGE_ROWS:
+        # The decision table (edges) is tiny — the corpus-scale work that
+        # PRODUCED it already ran inside the checkpoint above. Iterating
+        # on the cluster from here costs one job round-trip per checkpoint
+        # (init, degree fold, one per power iteration) with near-empty
+        # tasks; the integer fixed-point contract means a driver-local
+        # replay is bit-identical (floor divisions and integer sums are
+        # exact in any order and any engine). Collect once, iterate
+        # locally, return the small result as a local relation.
+        rows = edges.collect()
+        return _pagerank_local(
+            pairs.sparkSession, [(r["src"], r["dst"]) for r in rows],
+            iters, scale, edges.schema["src"].dataType,
+        )
     nodes = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
@@ -119,3 +141,43 @@ def pagerank(
         "pr_int",
         (F.col("pr_int").cast("double") / F.lit(float(scale))).alias("pr"),
     )
+
+
+def _pagerank_local(spark, edges, iters, scale, id_type):
+    """Driver-local replica of the distributed power iteration — used only
+    when the symmetrized distinct edge list fits under
+    :data:`DRIVER_EDGE_ROWS`. Mirrors the cluster arithmetic term for
+    term: ``pr div deg`` per edge, damping ``(17·Σ) div 20``, teleport
+    ``(3·scale) div (20·N)`` — all non-negative integer ops, so floor and
+    truncating division agree and the sums are order-independent."""
+    deg: dict = {}
+    nodes = set()
+    for src, dst in edges:
+        deg[src] = deg.get(src, 0) + 1
+        nodes.add(src)
+        nodes.add(dst)
+    n_nodes = len(nodes)
+    init = scale // n_nodes
+    base = (3 * scale) // (20 * n_nodes)
+    pr = {nid: init for nid in nodes}
+    for _ in range(iters):
+        inflow = {}
+        for src, dst in edges:
+            inflow[dst] = inflow.get(dst, 0) + pr[src] // deg[src]
+        pr = {nid: base + (17 * inflow.get(nid, 0)) // 20 for nid in nodes}
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        DoubleType,
+    )
+
+    out = [(nid, pr[nid], float(pr[nid]) / float(scale)) for nid in sorted(nodes)]
+    schema = StructType(
+        [
+            StructField("id", id_type, True),
+            StructField("pr_int", LongType(), True),
+            StructField("pr", DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(out, schema)

@@ -392,6 +392,38 @@ def test_connected_components_nonconvergence_is_loud(spark):
     assert set(full.values()) == {0}
 
 
+def test_connected_components_local_matches_distributed(spark, monkeypatch):
+    """The driver-local label propagation (taken when the edge list fits
+    under DRIVER_EDGE_ROWS) returns identical labels to the cluster loop —
+    same components, same round-bounded nonconvergence behavior."""
+    import pytest
+
+    import spark_timeseries_spark.pipeline.dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20), (30, 30)],
+        "id_a long, id_b long",
+    )
+    local = {r.id: r.component
+             for r in dd.connected_components(pairs).collect()}
+    monkeypatch.setattr(dd, "DRIVER_EDGE_ROWS", 0)
+    dist_df = dd.connected_components(pairs)
+    dist = {r.id: r.component for r in dist_df.collect()}
+    dist_df.unpersist()
+    assert local == dist
+    assert set(local.values()) == {1, 10, 20, 30}
+
+    # nonconvergence raises identically on both paths
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(chain, max_iter=2)
+    monkeypatch.undo()
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(chain, max_iter=2)
+
+
 def test_connected_components_and_representatives(spark):
     """A~B, B~C chain is ONE cluster even though A~C never paired; the
     representative keep drops everything but the min id per cluster."""

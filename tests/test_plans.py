@@ -1348,32 +1348,59 @@ def test_r12_indicator_plans_single_exchange(spark):
     assert shuffles <= 3, p  # row-number sort, (key,level,blk), (key,level)
 
 
-def test_pagerank_iteration_join_count(spark):
-    """pagerank r13 plan: the loop-invariant degree join is folded into
-    the edge table ONCE before the loop, so a run with iters iterations
-    issues exactly 1 (edges <-> deg) + iters (edges_deg <-> pr) + iters
+def test_pagerank_iteration_join_count(spark, monkeypatch):
+    """pagerank r13 plan (distributed path, forced by a zero driver-edge
+    bound): the loop-invariant degree join is folded into the edge table
+    ONCE before the loop, so a run with iters iterations issues exactly
+    1 (edges <-> deg) + iters (edges_deg <-> pr) + iters
     (nodes <-> inflow) DataFrame joins = 1 + 2*iters — not the pre-hoist
-    1 + 3*iters that re-joined deg inside every iteration."""
+    1 + 3*iters that re-joined deg inside every iteration. r15: under the
+    bound the loop instead runs at the driver with ZERO joins, and the
+    two paths agree bit-for-bit (integer fixed-point contract)."""
     from unittest import mock
 
     # instances are the classic impl class in PySpark 4, not the facade
     from pyspark.sql.classic.dataframe import DataFrame
 
-    from spark_timeseries_spark.pipeline.graph import pagerank
+    import spark_timeseries_spark.pipeline.graph as graph
 
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "id_a int, id_b int")
     calls = []
     orig = DataFrame.join
 
+    monkeypatch.setattr(graph, "DRIVER_EDGE_ROWS", 0)
+
     def counting_join(self, *a, **kw):
         calls.append(1)
         return orig(self, *a, **kw)
 
     with mock.patch.object(DataFrame, "join", counting_join):
-        out = pagerank(pairs, iters=3).collect()
+        out = graph.pagerank(pairs, iters=3).collect()
     assert len(out) == 4
     assert len(calls) == 1 + 2 * 3, len(calls)
+
+    dist = {r.id: (r.pr_int, r.pr) for r in out}
+    monkeypatch.undo()
+    calls.clear()
+    with mock.patch.object(DataFrame, "join", counting_join):
+        local = {
+            r.id: (r.pr_int, r.pr)
+            for r in graph.pagerank(pairs, iters=3).collect()
+        }
+    assert len(calls) == 0, "local path must not issue DataFrame joins"
+    assert local == dist
+
+    # directed graph with a dangling node exercises the deg/inflow
+    # asymmetry on both paths
+    dpairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "id_a int, id_b int")
+    local_d = {r.id: (r.pr_int, r.pr)
+               for r in graph.pagerank(dpairs, iters=4, directed=True).collect()}
+    monkeypatch.setattr(graph, "DRIVER_EDGE_ROWS", 0)
+    dist_d = {r.id: (r.pr_int, r.pr)
+              for r in graph.pagerank(dpairs, iters=4, directed=True).collect()}
+    assert local_d == dist_d
 
 
 def test_stratified_log_rank_grid_bounded(spark):
