@@ -37,7 +37,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from spark_timeseries_spark.pipeline.dedup import cosine
+from spark_timeseries_spark.parallel import spread_rows
+from spark_timeseries_spark.pipeline.dedup import dot_product, l2_norm
 
 __all__ = ["KMeansModel", "kmeans_fit", "kmeans_assign", "semantic_dedup_pairs"]
 
@@ -265,16 +266,36 @@ def semantic_dedup_pairs(
         # the hard cap applies with or without the sub-split — a caller
         # asking only for max_bucket_size must still get a bounded join
         vecs = cap_bucket_size(vecs, keys, max_bucket_size)
+    # The self-join's stream side inherits the checkpoint's partitioning
+    # (often ONE partition: a single-split scan through narrow ops), and
+    # the broadcast hash join keeps it — so the quadratic cosine work
+    # would run in one task. Spread rows cores-wide first (row-local, no
+    # value change), and fold each vector's norm ONCE per row here rather
+    # than re-folding both arrays per joined pair (identical expressions
+    # per vector → identical values).
+    vecs = spread_rows(vecs)
     left = vecs.select(
-        *keys, F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+        *keys,
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        l2_norm(F.col("v")).alias("_na"),
     )
     right = vecs.select(
-        *keys, F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+        *keys,
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        l2_norm(F.col("v")).alias("_nb"),
     )
     return (
         left.join(right, keys)
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "sim",
+            F.try_divide(
+                dot_product(F.col("va"), F.col("vb")),
+                F.col("_na") * F.col("_nb"),
+            ),
+        )
         .where(F.col("sim") >= float(threshold))
         .select("id_a", "id_b", "cid", "sim")
     )

@@ -508,14 +508,25 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two ARRAY<DOUBLE> columns, JVM-side fold."""
-    dot = F.aggregate(
+def dot_product(a: Column, b: Column) -> Column:
+    """JVM-side fold dot product of two ARRAY<DOUBLE> columns."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
-    return F.try_divide(dot, na * nb)
+
+
+def l2_norm(a: Column) -> Column:
+    """JVM-side fold L2 norm of an ARRAY<DOUBLE> column. Per-VECTOR, so
+    pair-joins should compute it on each side BEFORE the join and combine
+    the scalars per pair (same expressions, same values — the fold over a
+    given vector is deterministic) instead of re-folding both arrays for
+    every joined pair."""
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two ARRAY<DOUBLE> columns, JVM-side fold."""
+    return F.try_divide(dot_product(a, b), l2_norm(a) * l2_norm(b))
 
 
 def embedding_lsh_signature(
@@ -556,10 +567,14 @@ def dedup_embedding_cosine(
     for corpora where one direction dominates (e.g. zero/constant
     embeddings from a broken encoder land in one bucket)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # per-vector norm computed ONCE per row here, not re-folded per joined
+    # pair — cosine below combines the two scalars with the pair's dot
+    # product (identical expressions per vector, identical values)
     base = df.select(
         F.col(id_col).alias("id"),
         v.alias("v"),
         embedding_lsh_signature(v, dim, n_planes, seed).alias("bucket"),
+        l2_norm(v).alias("nv"),
     )
     if max_bucket_size is not None:
         base = cap_bucket_size(base, ["bucket"], max_bucket_size)
@@ -567,7 +582,13 @@ def dedup_embedding_cosine(
     return (
         a.join(b, "bucket")
         .where(F.col("a.id") < F.col("b.id"))
-        .withColumn("cosine", cosine(F.col("a.v"), F.col("b.v")))
+        .withColumn(
+            "cosine",
+            F.try_divide(
+                dot_product(F.col("a.v"), F.col("b.v")),
+                F.col("a.nv") * F.col("b.nv"),
+            ),
+        )
         .where(F.col("cosine") >= threshold)
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine"
