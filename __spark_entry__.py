@@ -690,10 +690,13 @@ def _q_knn_cosine(spark, sf_dir):
     norm = lambda c: F.sqrt(
         F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
     )
+    # norms folded once per row on each side (same expressions, same
+    # values); the pair stage folds only the dot product
     scored = (
-        q.crossJoin(F.broadcast(emb))
+        q.withColumn("_nq", norm(F.col("qv")))
+        .crossJoin(F.broadcast(emb.withColumn("_nv", norm(F.col("v")))))
         .where(F.col("qid") != F.col("vec_id"))
-        .withColumn("sim", F.try_divide(dot, norm(F.col("qv")) * norm(F.col("v"))))
+        .withColumn("sim", F.try_divide(dot, F.col("_nq") * F.col("_nv")))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (

@@ -21,7 +21,17 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import cosine, embedding_lsh_signature
+from .dedup import cosine, dot_product, embedding_lsh_signature, l2_norm
+
+
+def _pair_cosine(left_vec, left_norm, right_vec, right_norm):
+    """Cosine for a joined pair from PRE-FOLDED per-side norms: identical
+    expressions to :func:`~.dedup.cosine` (dot, then left·right norm
+    product), but each side's norm is folded once per ROW before the join
+    instead of once per PAIR after it — 3 array folds per pair down to 1."""
+    return F.try_divide(
+        dot_product(left_vec, right_vec), left_norm * right_norm
+    )
 
 
 def _as_double(vec: Column) -> Column:
@@ -139,15 +149,18 @@ def brute_force_topk(
     tiny); exclude self-matches when ids collide."""
     c = corpus.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
-    )
+    ).withColumn("_nv", l2_norm(F.col("v")))
     q = queries.select(
         F.col(query_id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("_nq", l2_norm(F.col("qv")))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .where(F.col("qid") != F.col("vec_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("v")))
+        .withColumn(
+            "sim",
+            _pair_cosine(F.col("qv"), F.col("_nq"), F.col("v"), F.col("_nv")),
+        )
     )
     return _ranked(scored, k)
 
@@ -170,10 +183,12 @@ def lsh_topk(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )
     c = c.withColumn("bucket", embedding_lsh_signature(F.col("v"), dim, n_planes, seed))
+    c = c.withColumn("_nv", l2_norm(F.col("v")))
     q = queries.select(
         F.col(query_id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
     )
     q = q.withColumn("_sig", embedding_lsh_signature(F.col("qv"), dim, n_planes, seed))
+    q = q.withColumn("_nq", l2_norm(F.col("qv")))
     if multiprobe:
         probes = F.array(
             F.col("_sig"),
@@ -182,14 +197,17 @@ def lsh_topk(
                 for i in range(n_planes)
             ],
         )
-        q = q.select("qid", "qv", F.explode(probes).alias("bucket"))
+        q = q.select("qid", "qv", "_nq", F.explode(probes).alias("bucket"))
     else:
-        q = q.select("qid", "qv", F.col("_sig").alias("bucket"))
+        q = q.select("qid", "qv", "_nq", F.col("_sig").alias("bucket"))
     scored = (
         F.broadcast(q)
         .join(c, "bucket")
         .where(F.col("qid") != F.col("vec_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("v")))
+        .withColumn(
+            "sim",
+            _pair_cosine(F.col("qv"), F.col("_nq"), F.col("v"), F.col("_nv")),
+        )
         .select("qid", "vec_id", "sim")
         .distinct()
     )
@@ -220,9 +238,12 @@ def ivf_topk(
         F.col(query_id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
     )
     q_probe = (
-        F.broadcast(q)
-        .crossJoin(F.broadcast(cents))
-        .withColumn("_d", cosine(F.col("qv"), F.col("cv")))
+        F.broadcast(q.withColumn("_nq", l2_norm(F.col("qv"))))
+        .crossJoin(F.broadcast(cents.withColumn("_nc", l2_norm(F.col("cv")))))
+        .withColumn(
+            "_d",
+            _pair_cosine(F.col("qv"), F.col("_nq"), F.col("cv"), F.col("_nc")),
+        )
         .withColumn(
             "_rk",
             F.row_number().over(
@@ -230,12 +251,15 @@ def ivf_topk(
             ),
         )
         .where(F.col("_rk") <= nprobe)
-        .select("qid", "qv", "cid")
+        .select("qid", "qv", "_nq", "cid")
     )
     scored = (
-        q_probe.join(assigned, "cid")
+        q_probe.join(assigned.withColumn("_nv", l2_norm(F.col("v"))), "cid")
         .where(F.col("qid") != F.col("vec_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("v")))
+        .withColumn(
+            "sim",
+            _pair_cosine(F.col("qv"), F.col("_nq"), F.col("v"), F.col("_nv")),
+        )
         .select("qid", "vec_id", "sim")
         .distinct()
     )
@@ -271,8 +295,12 @@ def _ivf_assign(c: DataFrame, cents: DataFrame) -> DataFrame:
     ivf_topk and ivf_build (one copy, so the inline and persisted paths
     cannot drift)."""
     return (
-        c.crossJoin(F.broadcast(cents))
-        .withColumn("_d", cosine(F.col("v"), F.col("cv")))
+        c.withColumn("_nv", l2_norm(F.col("v")))
+        .crossJoin(F.broadcast(cents.withColumn("_nc", l2_norm(F.col("cv")))))
+        .withColumn(
+            "_d",
+            _pair_cosine(F.col("v"), F.col("_nv"), F.col("cv"), F.col("_nc")),
+        )
         .withColumn(
             "_rk",
             F.row_number().over(
@@ -340,9 +368,12 @@ def ivf_probe(
         F.col(query_id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
     )
     q_probe = (
-        F.broadcast(q)
-        .crossJoin(F.broadcast(cents))
-        .withColumn("_d", cosine(F.col("qv"), F.col("cv")))
+        F.broadcast(q.withColumn("_nq", l2_norm(F.col("qv"))))
+        .crossJoin(F.broadcast(cents.withColumn("_nc", l2_norm(F.col("cv")))))
+        .withColumn(
+            "_d",
+            _pair_cosine(F.col("qv"), F.col("_nq"), F.col("cv"), F.col("_nc")),
+        )
         .withColumn(
             "_rk",
             F.row_number().over(
@@ -350,12 +381,17 @@ def ivf_probe(
             ),
         )
         .where(F.col("_rk") <= nprobe)
-        .select("qid", "qv", "cid")
+        .select("qid", "qv", "_nq", "cid")
     )
+    # the on-disk list format is unchanged — the norm is folded once per
+    # list row after the read, not stored
     scored = (
-        q_probe.join(lists, "cid")
+        q_probe.join(lists.withColumn("_nv", l2_norm(F.col("v"))), "cid")
         .where(F.col("qid") != F.col("vec_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("v")))
+        .withColumn(
+            "sim",
+            _pair_cosine(F.col("qv"), F.col("_nq"), F.col("v"), F.col("_nv")),
+        )
         .select("qid", "vec_id", "sim")
         .distinct()
     )
