@@ -1065,10 +1065,16 @@ def kendall_tau_b(
     grid; margin groupBys on the cell table; ONE reduce."""
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")
+    # the cell table is referenced five times below (grid margins, the
+    # densification join, both tie margins); without materialization each
+    # reference re-runs the FULL-data scan + aggregate — measured 10
+    # parquet scans in one plan. One eager checkpoint = one data pass;
+    # everything downstream runs on the bounded |X|·|Y| table.
     cells = (
         df.where(x.isNotNull() & y.isNotNull())
         .groupBy(x.alias("_x"), y.alias("_y"))
         .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=True)
     )
     xg = cells.select("_x").distinct()
     yg = cells.select("_y").distinct()

@@ -124,6 +124,12 @@ def var_es(
         pts.withColumn("_prev", F.lag(value_col).over(ws))
         .where(F.col("_prev").isNotNull())
         .select(key_col, F.log(v / F.col("_prev")).alias("_r"))
+        # the returns table feeds BOTH the percentile pass and the tail
+        # re-aggregate; without materialization each pass re-runs the
+        # whole upstream (grid + fills + lag window — measured 12 parquet
+        # scans in one entry plan). One eager checkpoint of the narrow
+        # (key, return) table = one upstream pass.
+        .localCheckpoint(eager=True)
     )
     q = r.groupBy(key_col).agg(
         F.count("_r").alias("n_ret"),
