@@ -140,9 +140,14 @@ def _q_fill_previous(spark, sf_dir):
 
 
 def _q_fill_linear(spark, sf_dir):
+    # _stable_round, not round: interpolating 6-decimal grid values with a
+    # rational fraction can land EXACTLY on the 7th-digit .5 boundary,
+    # where the two engines' ROUND disagree by one ulp of input (caught by
+    # the first full sf0.001 sweep, r15) — the nudged boundary is the
+    # established cross-engine contract (_sr_sql mirrors it)
     grid = _daily_grid(spark, sf_dir)
     return fill_ops.fill_linear(grid).select(
-        "key", "loc", "ts", F.round("value", 6).alias("value")
+        "key", "loc", "ts", _stable_round(F.col("value"), 6).alias("value")
     )
 
 
@@ -211,7 +216,7 @@ def _q_fill_suite(spark, sf_dir):
                             value_col="cval")
     return g.select(
         "key", "loc", "ts", "prev", "nxt", "near",
-        F.round("lin", 6).alias("lin"), "zero", "cval",
+        _stable_round(F.col("lin"), 6).alias("lin"), "zero", "cval",
     )
 
 
@@ -8530,12 +8535,17 @@ def oracle_sql() -> dict[str, str]:
                               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
             )
             SELECT key, loc, ts,
-                   ROUND(CASE WHEN value IS NOT NULL THEN value
-                              WHEN pv IS NULL OR nv IS NULL THEN NULL
-                              ELSE pv + (nv - pv) * (CAST(loc AS DOUBLE) - pi) / (ni - pi)
-                         END, 6) AS value
+                   {lin_sr} AS value
             FROM aug
-        """,
+        """.format(
+            lin_sr=_sr_sql(
+                "CASE WHEN value IS NOT NULL THEN value "
+                "WHEN pv IS NULL OR nv IS NULL THEN NULL "
+                "ELSE pv + (nv - pv) * (CAST(loc AS DOUBLE) - pi) / (ni - pi) "
+                "END",
+                6,
+            )
+        ),
         "differences": """
             SELECT * FROM (
                 SELECT CAST(user_id AS VARCHAR) AS key, ts,
@@ -8590,15 +8600,19 @@ def oracle_sql() -> dict[str, str]:
                         WHEN nv IS NULL THEN pv
                         WHEN loc - pi <= ni - loc THEN pv
                         ELSE nv END AS near,
-                   ROUND(CASE WHEN value IS NOT NULL THEN value
-                              WHEN pv IS NULL OR nv IS NULL THEN NULL
-                              ELSE pv + (nv - pv) * (CAST(loc AS DOUBLE) - pi)
-                                   / (ni - pi)
-                         END, 6) AS lin,
+                   {lin_sr} AS lin,
                    COALESCE(value, 0.0) AS zero,
                    COALESCE(value, -1.0) AS cval
             FROM aug
-        """,
+        """.format(
+            lin_sr=_sr_sql(
+                "CASE WHEN value IS NOT NULL THEN value "
+                "WHEN pv IS NULL OR nv IS NULL THEN NULL "
+                "ELSE pv + (nv - pv) * (CAST(loc AS DOUBLE) - pi) / (ni - pi) "
+                "END",
+                6,
+            )
+        ),
         "roll_skew_kurt": _DAILY_GRID_SQL
         + """
             , rolled AS (

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..frequencies import DayFrequency, DurationFrequency, WeekFrequency
 from ..index import DateTimeIndex, UniformDateTimeIndex
+from .resample import MAP_GRID_MAX_INSTANTS
 
 
 def _uniform_step_us(index: UniformDateTimeIndex) -> int | None:
@@ -127,22 +128,57 @@ def from_observations(
         raise ValueError(
             f"duplicates must be 'max', 'min' or 'fail', got {duplicates!r}"
         )
-    obs = (
-        attach_loc(
-            df.select(
-                F.col(ts_col).alias("ts"),
-                F.col(key_col).cast("string").alias("key"),
-                F.col(value_col).cast("double").alias("value"),
-            ),
-            index,
+    located = attach_loc(
+        df.select(
+            F.col(ts_col).alias("ts"),
+            F.col(key_col).cast("string").alias("key"),
+            F.col(value_col).cast("double").alias("value"),
+        ),
+        index,
+    )
+    if not dense:
+        obs = (
+            located.where(F.col("loc").isNotNull())
+            .groupBy("key", "loc")
+            .agg(agg_value.alias("value"))
         )
-        .where(F.col("loc").isNotNull())
+        idx = index.to_df(df.sparkSession)
+        return obs.join(F.broadcast(idx), "loc").select("key", "loc", "ts", "value")
+    if (
+        keys_df is None
+        and duplicates != "fail"
+        and len(index) <= MAP_GRID_MAX_INSTANTS
+    ):
+        # One-pass dense grid (see resample.resample): aggregate WITHOUT
+        # the loc filter so all-out-of-index keys keep their all-NULL
+        # series, fold each key's cells into a loc→value map, emit
+        # per_key × broadcast(index) with a map lookup. One data pass, no
+        # second keys scan, no (key, loc) grid join. duplicates="fail" is
+        # routed to the classic path below: its raise_error aggregate
+        # must never see the unfiltered loc-NULL group (out-of-index
+        # duplicates do not raise, by contract).
+        binned_all = located.groupBy("key", "loc").agg(
+            agg_value.alias("value")
+        )
+        per_key = binned_all.groupBy("key").agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.when(
+                        F.col("loc").isNotNull(),
+                        F.struct("loc", "value"),
+                    )
+                )
+            ).alias("_cells")
+        )
+        grid = per_key.crossJoin(F.broadcast(index.to_df(df.sparkSession)))
+        return grid.select(
+            "key", "loc", "ts", F.col("_cells")[F.col("loc")].alias("value")
+        )
+    obs = (
+        located.where(F.col("loc").isNotNull())
         .groupBy("key", "loc")
         .agg(agg_value.alias("value"))
     )
-    if not dense:
-        idx = index.to_df(df.sparkSession)
-        return obs.join(F.broadcast(idx), "loc").select("key", "loc", "ts", "value")
     keys = (
         keys_df.select(F.col(keys_df.columns[0]).cast("string").alias("key"))
         if keys_df is not None

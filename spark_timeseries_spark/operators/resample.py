@@ -41,6 +41,12 @@ from pyspark.sql import functions as F
 from ..frequencies import DayFrequency, DurationFrequency, WeekFrequency
 from ..index import DateTimeIndex, UniformDateTimeIndex
 
+#: index-length bound for the one-pass map-based dense grid in
+#: :func:`resample` / ``align.from_observations`` — one key's cell map must
+#: stay row-sized; longer indices fall back to the classic key×instant
+#: grid join, which scales to billions of instants.
+MAP_GRID_MAX_INSTANTS = 65536
+
 
 def _floordiv(a: Column, b: int) -> Column:
     return ((a - F.pmod(a, F.lit(b))) / F.lit(b)).cast("long")
@@ -131,15 +137,60 @@ def resample(
     agg_expr = (
         getattr(F, aggr)(value_col) if isinstance(aggr, str) else aggr
     ).alias(value_col)
+    if not dense:
+        binned = (
+            df.withColumn("loc", loc)
+            .where(F.col("loc").isNotNull())
+            .groupBy(key_col, "loc")
+            .agg(agg_expr)
+        )
+        idx_df = F.broadcast(target_index.to_df(df.sparkSession))
+        return binned.join(idx_df, "loc").select(key_col, "loc", "ts", value_col)
+    if (
+        keys_df is None
+        and isinstance(aggr, str)
+        and len(target_index) <= MAP_GRID_MAX_INSTANTS
+    ):
+        # (caller-supplied Column aggregates are routed to the classic
+        # path: they may embed side-effecting expressions — raise_error
+        # validators — that must not see the unfiltered loc-NULL group)
+        # One-pass dense grid: aggregate WITHOUT the loc filter (so a key
+        # whose observations all fall outside the index still owns a
+        # group and survives as an all-NULL series — the documented key
+        # universe), fold each key's cells into a loc→value map, and
+        # emit the grid as per_key × broadcast(index) with a map lookup.
+        # Removes the second full-data scan (the old keys-from-df
+        # distinct) and the (key, loc) grid join + its exchanges; value
+        # per cell is the identical aggregate or NULL, exactly the old
+        # left join. Bounded by index length — a map of the whole index
+        # per key must stay row-sized; past the bound the classic
+        # grid-join path below handles billion-instant indices.
+        binned_all = df.withColumn("loc", loc).groupBy(key_col, "loc").agg(
+            agg_expr
+        )
+        per_key = binned_all.groupBy(key_col).agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.when(
+                        F.col("loc").isNotNull(),
+                        F.struct("loc", value_col),
+                    )
+                )
+            ).alias("_cells")
+        )
+        idx_df = F.broadcast(target_index.to_df(df.sparkSession))
+        return per_key.crossJoin(idx_df).select(
+            key_col,
+            "loc",
+            "ts",
+            F.col("_cells")[F.col("loc")].alias(value_col),
+        )
     binned = (
         df.withColumn("loc", loc)
         .where(F.col("loc").isNotNull())
         .groupBy(key_col, "loc")
         .agg(agg_expr)
     )
-    if not dense:
-        idx_df = F.broadcast(target_index.to_df(df.sparkSession))
-        return binned.join(idx_df, "loc").select(key_col, "loc", "ts", value_col)
     keys = (
         keys_df.select(F.col(keys_df.columns[0]).alias(key_col))
         if keys_df is not None
