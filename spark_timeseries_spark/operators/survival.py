@@ -611,6 +611,10 @@ def stratified_log_rank(
     ledger, per-(stratum, duration) windows for the shared totals, and
     two one-row reduces. Bin durations at scale (the KM caveat);
     stratum cardinality is covariate-bounded."""
+    # the cell table feeds the grid scaffold, the totals, and the
+    # densification join; materialize it once so the full-data pass (and
+    # whatever pipeline produced df — time_to_event is itself windowed)
+    # runs exactly once instead of per reference
     per = df.groupBy(
         F.col(strata_col).alias("_s"),
         F.col(group_col).alias("_g"),
@@ -618,7 +622,7 @@ def stratified_log_rank(
     ).agg(
         F.sum(F.col(event_col).cast("long")).alias("_d"),
         F.count(F.lit(1)).alias("_x"),
-    )
+    ).localCheckpoint(eager=True)
     grid = per.select("_s", "_t").distinct()
     gtot = per.groupBy("_s", "_g").agg(F.sum("_x").alias("_tot"))
     # per-stratum (k_s × T_s) scaffold: every group PRESENT in a stratum
